@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the registered query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop write (full computation,
+no driver collect). A warmup pass on sf0.001 triggers JVM/codegen
+warmup so measured numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from finanalyzer_spark.plans import REGISTRY
+from finanalyzer_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+
+# Queries whose cost is quadratic in fixture size by design (all-pairs
+# verification demos) are excluded from the headline wall-clock only if
+# they dominate; keep everything for now and revisit per BENCH data.
+BENCH_QUERIES = sorted(REGISTRY)
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("finanalyzer_spark_bench")
+    # warmup: tiny SF, same plans
+    for name in BENCH_QUERIES:
+        try:
+            run_once(spark, name, WARMUP_DIR)
+        except Exception as exc:  # pragma: no cover
+            print(f"warmup {name} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        try:
+            timings[name] = round(run_once(spark, name, SF_DIR), 3)
+        except Exception as exc:  # pragma: no cover
+            print(f"bench {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Table catalog for the synthetic star schema + LLM-pipeline tables.
+
+The reference keeps three SQLite tables and introspects them with
+``PRAGMA table_info`` (reference: finanalyzer/database/findatabase.py:119-126).
+Here the catalog is a set of Parquet-backed DataFrames registered as
+temp views, so every operator can be written against either the
+DataFrame API or ``spark.sql``.
+
+At 100 TB the fact tables (lineitem/orders/events) would be
+date-partitioned Parquet/Delta directories; the loaders below read
+whatever layout sits at ``{sf_dir}/{name}.parquet`` (file or
+directory), so the same code path serves both.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+#: All tables the driver materializes per scale factor (TESTDATA.md).
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these (region: 5 rows,
+#: nation: 25, supplier: O(100)); mirrors the reference's dimension
+#: registry `namesCompanies` (findatabase.py:18-21), which is a
+#: broadcast-join candidate at any scale.
+DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass
+class Catalog:
+    """Lazy loader + view registrar for one scale-factor directory."""
+
+    spark: SparkSession
+    sf_dir: str = DEFAULT_SF_DIR
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLE_NAMES:
+                raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+            df = self.spark.read.parquet(self.path(name))
+            self._cache[name] = _normalize(df)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TABLE_NAMES) -> None:
+        for n in names:
+            self.table(n).createOrReplaceTempView(n)
+
+    def columns(self, name: str) -> list[str]:
+        """Schema introspection (reference S8: PRAGMA table_info,
+        findatabase.py:119-122)."""
+        return self.table(name).columns
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    """Convert nanosecond-timestamp columns (read as int64 via the
+    nanosAsLong legacy conf) to microsecond TimestampType, truncating —
+    DuckDB's TIMESTAMP_NS→TIMESTAMP cast truncates identically.
+
+    Heuristic: long columns named `ts` (the events table). Integer
+    division (`div`) — a double roundtrip would lose precision above
+    2^53 ns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Tune the (possibly driver-owned) session and open a catalog."""
+    tune(spark)
+    return Catalog(spark, sf_dir)

@@ -1,0 +1,106 @@
+"""Text-analysis column kernels — all built-in-function compositions
+(JVM codegen, no Python), so they run at scan speed on a 100 TB corpus.
+
+These are the engine's LLM-pipeline extensions (BASELINE.json): token
+counting, quality scoring, language-ID heuristics, fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list for the heuristic ratio features (kept
+#: deliberately small + frozen so oracle SQL can inline it).
+EN_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty/whitespace-only text → empty array."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def stopword_ratio_col(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens_col(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def punct_ratio_col(text: Column) -> Column:
+    """Share of characters that are not alphanumeric-or-space."""
+    n = F.length(text)
+    kept = F.length(F.regexp_replace(text, r"[a-zA-Z0-9 ]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(kept * F.lit(1.0) / n)
+
+
+def avg_token_len_col(text: Column) -> Column:
+    """Mean token length including separators folded out: len(trim)/n_tokens."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.trim(text)) * F.lit(1.0) / n
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    return {
+        "punct_ratio": punct_ratio_col(text),
+        "stopword_ratio": stopword_ratio_col(text),
+        "avg_token_len": avg_token_len_col(text),
+    }
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Stable content fingerprint. md5 hex is byte-identical in every
+    engine, which makes dedup results oracle-checkable; for pure
+    in-Spark use, xxhash64 is ~4x faster."""
+    return F.md5(text)
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer approximation: contractions, letter
+    runs, digit runs, punctuation runs each count as a token."""
+    pattern = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def language_id_col(text: Column, profiles: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Heuristic language ID: argmax of stopword-profile hit ratios.
+
+    `profiles` maps lang → stopword tuple; defaults cover en/es/fr/de.
+    Pure column expression (a chain of ratio comparisons), no UDF.
+    """
+    profiles = profiles or {
+        "en": ("the", "and", "of", "to", "in", "is"),
+        "es": ("el", "la", "de", "que", "y", "en"),
+        "fr": ("le", "la", "de", "et", "les", "des"),
+        "de": ("der", "die", "und", "das", "ist", "von"),
+    }
+    toks = tokens_col(text)
+    n = F.size(toks)
+    scores = [
+        (
+            lang,
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.size(F.filter(toks, lambda w, sw=sw: w.isin(*sw))) / n
+            ),
+        )
+        for lang, sw in profiles.items()
+    ]
+    best_lang, best_score = F.lit("und"), F.lit(0.0)
+    # fold: keep the max-scoring language (ties → first profile order wins
+    # because strict > is required to replace)
+    expr_lang, expr_score = best_lang, best_score
+    for lang, score in scores:
+        take = score > expr_score
+        expr_lang = F.when(take, F.lit(lang)).otherwise(expr_lang)
+        expr_score = F.when(take, score).otherwise(expr_score)
+    return expr_lang

@@ -1,0 +1,466 @@
+"""Core relational queries — scans, projections, filters, aggregates,
+sorts, set ops (SURVEY.md §2.1, §2.2, §2.4, §2.6, §2.7, §2.8).
+
+Each query is the Spark-first re-expression of an operator the
+reference implements procedurally over SQLite (citations inline).
+Floats that aggregate across rows are rounded identically on both the
+Spark and oracle side so summation-order ULP drift can't break the
+value hash.
+
+Scale notes: every query here is a single declarative plan — Catalyst
+pushes the filters/projections into the Parquet scan, does partial
+(map-side) aggregation before the shuffle, and AQE coalesces the
+post-shuffle partitions. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# S4 / P1 / P2 — generic scan + projection + equality predicate
+# (reference: read_database(table, element, optional),
+#  finanalyzer/database/findatabase.py:124-126)
+# --------------------------------------------------------------------------
+@query(
+    "select_project_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+    tags=("scan", "projection", "filter"),
+)
+def select_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + equality/range predicate; Catalyst pushes both into
+    the Parquet scan (PushedFilters + ReadSchema pruning)."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.where((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# P3 — range predicate / retention window
+# (reference: DELETE ... WHERE dateAdded < cutoff, findatabase.py:230)
+# --------------------------------------------------------------------------
+@query(
+    "filter_retention_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("filter", "retention"),
+)
+def filter_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention expressed as keep-filter (Spark's DELETE equivalent on
+    immutable Parquet is read→filter→overwrite; the filter is this)."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.where(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 — conditional value replacement
+# (reference: X["weather"].replace(...), plot_cyclical_feature_engineering.py:108)
+# --------------------------------------------------------------------------
+@query(
+    "conditional_replace",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'HIGH'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'MEDIUM'
+                ELSE 'LOW' END AS priority_class
+    FROM orders
+    """,
+    tags=("projection", "case"),
+)
+def conditional_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "HIGH")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "MEDIUM")
+        .otherwise("LOW")
+        .alias("priority_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 / J3 — per-key max (the incremental-cursor aggregation)
+# (reference: check_last_update one key at a time, findatabase.py:68-77;
+#  N+1 loop at findatabase.py:209-229 collapsed into ONE groupBy)
+# --------------------------------------------------------------------------
+@query(
+    "groupby_last_update",
+    oracle="""
+    SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("aggregate",),
+)
+def groupby_last_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference queries each key's max date in a Python loop (N+1);
+    in Spark it's one shuffle with map-side partial aggregation."""
+    t = load(spark, sf_dir)
+    return t.orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 / A6 — grouped means / stddev (pricing summary; TPC-H Q1 shape)
+# (reference: groupby(["weekday","hour"]).mean(),
+#  plot_cyclical_feature_engineering.py:38; mae.mean()+/-std :222-235)
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "flagship"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped wide aggregate: 2 grouping keys, 8 aggregates.
+    One shuffle; partial aggregation makes the shuffle tiny at any SF."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — frequency counts (value_counts)
+# (reference: value_counts(), plot_cyclical_feature_engineering.py:101-115)
+# --------------------------------------------------------------------------
+@query(
+    "value_counts",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    tags=("aggregate",),
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# A5 — histogram (fixed-width bucketing)
+# (reference: y.hist(bins=30), plot_cyclical_feature_engineering.py:75)
+# --------------------------------------------------------------------------
+@query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket, count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("aggregate", "histogram"),
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-divide is a single deterministic FP
+    op, so bucket ids match the oracle exactly (no summation drift)."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.select(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 / F7 — global max + min-max rescale
+# (reference: df["count"]/df["count"].max(), plot_cyclical_feature_engineering.py:71;
+#  MinMaxScaler :259-271)
+# --------------------------------------------------------------------------
+@query(
+    "minmax_scale",
+    oracle="""
+    SELECT c_custkey,
+           round((c_acctbal - min(c_acctbal) OVER ())
+                 / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS acctbal_scaled
+    FROM customer
+    """,
+    tags=("window", "scaling"),
+)
+def minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scaling via scalar aggregate broadcast-joined back — avoids
+    the single-partition global window at scale (an unpartitioned window
+    funnels ALL rows through one task; a 2-row broadcast join doesn't)."""
+    t = load(spark, sf_dir)
+    bounds = t.customer.agg(
+        F.min("c_acctbal").alias("_lo"), F.max("c_acctbal").alias("_hi")
+    )
+    return (
+        t.customer.crossJoin(F.broadcast(bounds))
+        .select(
+            "c_custkey",
+            F.round(
+                (F.col("c_acctbal") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")), 6
+            ).alias("acctbal_scaled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O1 — order-by + top-k
+# (reference: ORDER BY dateValue DESC then row 0, findatabase.py:72-75)
+# --------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans this as TakeOrderedAndProject — a per-partition
+    heap + driver merge, no global sort. Unique tiebreak (o_orderkey)
+    makes the selected SET deterministic for the oracle hash."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — set operations (UNION / INTERSECT / EXCEPT)
+# --------------------------------------------------------------------------
+@query(
+    "set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    tags=("setop",),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    building = t.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big_buyers = (
+        t.orders.where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(big_buyers)
+
+
+@query(
+    "except_all",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("setop",),
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    ordered = t.orders.select(F.col("o_custkey").alias("c_custkey"))
+    negative = t.customer.where(F.col("c_acctbal") < 0).select("c_custkey")
+    return ordered.subtract(negative)  # EXCEPT (set) semantics, matches SQL
+
+
+# --------------------------------------------------------------------------
+# W1-W3 as full-row distinct — exact dedup
+# (reference: redundancy.sql ROW_NUMBER dedup; dropDuplicates semantics)
+# --------------------------------------------------------------------------
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("dedup", "distinct"),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# F1-F3 — date arithmetic / parsing / truncation
+# (reference: get_date(), findatabase.py:108-110; strptime+1day :218-219;
+#  str(ts)[:10] truncation :170-171)
+# --------------------------------------------------------------------------
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(CAST(o_orderdate AS DATE) + 1, '%Y-%m-%d') AS next_day,
+           strftime(CAST(o_orderdate AS DATE) - 3650, '%Y-%m-%d') AS ten_years_back,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_string
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    tags=("scalar", "dates"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date kernel parity: truncation (ts→date), ±N days arithmetic,
+    field extraction, ISO formatting — the reference does all of these
+    with Python strftime/strptime string math."""
+    t = load(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    return t.orders.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_add(d, 1), "yyyy-MM-dd").alias("next_day"),
+        F.date_format(F.date_sub(d, 3650), "yyyy-MM-dd").alias("ten_years_back"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_string"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — null→0 coercion + JSON extraction
+# (reference: missing fundamentals → 0, dataAcquisition.py:59-66;
+#  extended surface: events.props JSON)
+# --------------------------------------------------------------------------
+@query(
+    "json_extract_coalesce",
+    oracle="""
+    SELECT event_type,
+           round(sum(coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0)), 2)
+               AS sum_k,
+           round(sum(coalesce(CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0)), 2)
+               AS sum_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "coalesce"),
+)
+def json_extract_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction with the reference's 0-sentinel for missing
+    values (never NULL — dataAcquisition.py:59-66 semantics)."""
+    t = load(spark, sf_dir)
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("double"), F.lit(0.0))
+    missing = F.coalesce(
+        F.get_json_object("props", "$.missing").cast("double"), F.lit(0.0)
+    )
+    return t.events.groupBy("event_type").agg(
+        F.round(F.sum(k), 2).alias("sum_k"),
+        F.round(F.sum(missing), 2).alias("sum_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F6 — cyclical (sin/cos) feature encodings
+# (reference: FunctionTransformer sin/cos, plot_cyclical_feature_engineering.py:354-359)
+# --------------------------------------------------------------------------
+@query(
+    "cyclical_features",
+    oracle="""
+    SELECT o_orderkey,
+           round(sin(month(o_orderdate) / 12.0 * 2 * pi()), 6) + 0.0 AS month_sin,
+           round(cos(month(o_orderdate) / 12.0 * 2 * pi()), 6) + 0.0 AS month_cos
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    tags=("scalar", "ml-features"),
+)
+def cyclical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    t = load(spark, sf_dir)
+    angle = F.month("o_orderdate") / 12.0 * 2 * math.pi
+    return t.orders.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        (F.round(F.sin(angle), 6) + 0.0).alias("month_sin"),
+        (F.round(F.cos(angle), 6) + 0.0).alias("month_cos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — rollup (grouping sets)
+# --------------------------------------------------------------------------
+@query(
+    "rollup_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot (conditional aggregation on the oracle side)
+# --------------------------------------------------------------------------
+@query(
+    "pivot_status_qty",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "pivot"),
+)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    out = (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )

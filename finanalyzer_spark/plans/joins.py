@@ -1,0 +1,262 @@
+"""Join queries (SURVEY.md §2.3).
+
+The reference never writes a SQL JOIN — join semantics appear as
+procedural loops: a per-fact dimension lookup
+(get_ticker_from_id, findatabase.py:112-117), a per-row existence probe
+before insert (set_database_names, findatabase.py:147-161), and an N+1
+per-key max-date loop (update_database, findatabase.py:209-229). Each
+becomes one declarative join here; Catalyst picks broadcast-hash for
+the small dimension sides.
+
+Scale notes: dimension joins are explicitly `F.broadcast` (region 5
+rows, nation 25, supplier O(100) — trivially broadcastable even at
+100 TB fact scale). The fact-fact joins (orders⋈lineitem) shuffle on
+the join key; at cluster scale those tables would be co-bucketed on
+orderkey to eliminate the exchange entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.joins import asof_join
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# J1 — FK dimension lookup as broadcast hash join
+# (reference: get_ticker_from_id per-fact-fetch, findatabase.py:112-117)
+# --------------------------------------------------------------------------
+@query(
+    "fk_broadcast_lookup",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.r_name AS region
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("join", "broadcast"),
+)
+def fk_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation),
+            t.supplier.s_nationkey == t.nation.n_nationkey,
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — left-anti join (register-if-absent)
+# (reference: skip CSV ticker if already present, findatabase.py:147-161)
+# --------------------------------------------------------------------------
+@query(
+    "anti_join_unregistered",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+    tags=("join", "anti"),
+)
+def anti_join_unregistered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large order yet — the reference's per-row
+    existence probe before insert (N queries) as ONE left-anti join."""
+    t = load(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# P6 — existence test as left-semi join
+# (reference: check_exists probe, dataAcquisition.py:70-78)
+# --------------------------------------------------------------------------
+@query(
+    "semi_join_active",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# J3 — the N+1 incremental-cursor loop as one aggregate + outer join
+# (reference: update_database per-id max-date loop, findatabase.py:209-229)
+# --------------------------------------------------------------------------
+@query(
+    "staleness_report",
+    oracle="""
+    SELECT c.c_custkey,
+           max(o.o_orderdate) AS last_order,
+           CASE WHEN max(o.o_orderdate) IS NULL THEN 'never'
+                WHEN max(o.o_orderdate) < TIMESTAMP '2001-01-01 00:00:00' THEN 'stale'
+                ELSE 'fresh' END AS freshness
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "aggregate", "incremental"),
+)
+def staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heart of update_database: per key, decide {never|stale|fresh}
+    from the last-loaded date. The reference does one query per key;
+    this is one aggregation + one outer join for ALL keys."""
+    t = load(spark, sf_dir)
+    last = t.orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_order"))
+    return (
+        t.customer.join(last, t.customer.c_custkey == last.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "last_order",
+            F.when(F.col("last_order").isNull(), "never")
+            .when(F.col("last_order") < F.lit("2001-01-01").cast("timestamp"), "stale")
+            .otherwise("fresh")
+            .alias("freshness"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# multi-way star join + aggregate (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "aggregate", "flagship"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact⋈fact shuffle on orderkey, then broadcast dims.
+    The region filter reaches the scan of `region` (5 rows) and prunes
+    nations before they ever touch the fact side."""
+    t = load(spark, sf_dir)
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# range join — equi key + interval predicate
+# --------------------------------------------------------------------------
+@query(
+    "range_join_shipping_delay",
+    oracle="""
+    SELECT o.o_orderkey, count(*) AS lines_in_90d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def range_join_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with an equi-key: Spark plans the equi part as a hash
+    join and evaluates the interval as a post-join filter — linear, not
+    the quadratic pure-theta-join case."""
+    t = load(spark, sf_dir)
+    o, l = t.orders, t.lineitem
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate < F.date_add(o.o_orderdate, 90).cast("timestamp")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("lines_in_90d"))
+    )
+
+
+# --------------------------------------------------------------------------
+# as-of join — "latest order state at or before each event"
+# (the natural finanalyzer extension: latest fundamentals at trade date,
+#  SURVEY.md §2.3 closing note)
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT event_id, user_id, last_orderkey, last_totalprice
+    FROM (
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window composition (operators.joins.asof_join)
+    — one shuffle on the key, no per-key Python. DuckDB's native ASOF
+    JOIN is the oracle."""
+    t = load(spark, sf_dir)
+    return asof_join(
+        left=t.events.select("event_id", "user_id", "ts"),
+        right=t.orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        ),
+        on="user_id",
+        ts="ts",
+        right_tiebreak=["last_orderkey"],
+    ).select("event_id", "user_id", "last_orderkey", "last_totalprice")

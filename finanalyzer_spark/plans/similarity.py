@@ -1,0 +1,107 @@
+"""Similarity-search queries over `embeddings` (SURVEY.md §7 Phase 5).
+
+Brute-force cosine top-k is the oracle-checked baseline; the
+hyperplane-LSH bucket assignment is the 100 TB scale path (bucketed
+candidate generation instead of all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.similarity import cosine_topk, cosine_col, hyperplane_lsh_buckets
+from .registry import query
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
+        FROM e q
+        JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, match_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "flagship"),
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest neighbors by cosine for query vectors vec_id<5.
+    Query side broadcast; corpus scanned exactly once."""
+    t = load(spark, sf_dir)
+    return cosine_topk(
+        corpus=t.embeddings,
+        queries=t.embeddings.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 5) + 0.0 AS cosine,
+           CAST(a.label = b.label AS BOOLEAN) AS same_label
+    FROM e a
+    JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 5) > 0.40
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+    Brute force at fixture scale; hyperplane-LSH bucketing (tested in
+    tests/test_similarity.py) is the scale path for the same semantics."""
+    t = load(spark, sf_dir)
+    a = t.embeddings.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = t.embeddings.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 5) + 0.0
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cos.alias("cosine"),
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+        )
+        .where(F.col("cosine") > 0.40)
+    )
+
+
+@query(
+    "lsh_bucket_histogram",
+    oracle=None,  # plane projection order is engine-internal; rows-only check
+    tags=("similarity", "lsh"),
+)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket occupancy — the candidate-generation
+    structure for ANN at scale (deterministic planes, seed=42)."""
+    t = load(spark, sf_dir)
+    return (
+        hyperplane_lsh_buckets(t.embeddings, "embedding", num_planes=8, dim=64)
+        .groupBy("lsh_bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )

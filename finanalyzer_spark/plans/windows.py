@@ -1,0 +1,245 @@
+"""Window-function queries (SURVEY.md §2.5).
+
+The reference's only window op is ROW_NUMBER-based dedup
+(finanalyzer/database/sql/redundancy.sql); its rolling statistics
+(fiftyDayAverage, twoHundredDayAverage, fiftyTwoWeekHigh/Low —
+sqlrequests.sql:90-95,144-145) are *ingested precomputed* from the
+feed. Here we compute them properly with window frames — the flagship
+window surface of the new engine.
+
+Scale notes: every window below partitions by a key (never an
+unpartitioned global window), so state stays bounded per task and the
+shuffle is a standard hash exchange on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# W1 — ROW_NUMBER dedup with deterministic survivor
+# (reference: redundancy.sql:1-10 — arbitrary survivor; we order the
+#  partition so the survivor is deterministic and oracle-checkable)
+# --------------------------------------------------------------------------
+@query(
+    "window_rownum_dedup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, l_linenumber DESC,
+                            l_quantity DESC, l_extendedprice DESC
+               ) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    """,
+    tags=("window", "dedup"),
+)
+def window_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest line per order — the redundancy.sql pattern with an
+    explicit ORDER BY so both engines keep the same survivor. The
+    fixture injects duplicate (orderkey, linenumber) rows with
+    DIFFERENT payloads (the reference's redundancy scenario), so the
+    ordering must extend to payload columns for full determinism."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(),
+        F.col("l_linenumber").desc(),
+        F.col("l_quantity").desc(),
+        F.col("l_extendedprice").desc(),
+    )
+    return (
+        t.lineitem.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# --------------------------------------------------------------------------
+# W4 — rolling average over a row frame (the 50-day moving average,
+# computed instead of ingested; sqlrequests.sql:90-95)
+# --------------------------------------------------------------------------
+@query(
+    "rolling_avg_price",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           sum(round(l_extendedprice * 100)::BIGINT) OVER w
+               / (count(*) OVER w * 100.0) AS avg50
+    FROM lineitem
+    WINDOW w AS (
+        PARTITION BY l_partkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice
+        ROWS BETWEEN 49 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "rolling", "flagship"),
+)
+def rolling_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50-row trailing average per part (ticker-equivalent).
+
+    Computed exactly: prices are 2-decimal, so the frame sum in CENTS
+    is an exact integer (< 2^53) in any engine and the single final
+    division is bit-deterministic IEEE — no rounding tolerance needed.
+    Ordering extends to payload columns because the fixture injects
+    duplicate keys with differing payloads."""
+    t = load(spark, sf_dir)
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        .rowsBetween(-49, 0)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return t.lineitem.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(cents).over(w) / (F.count("*").over(w) * 100.0)).alias("avg50"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4 — rolling high/low (fiftyTwoWeekHigh/Low analog; sqlrequests.sql:144-145)
+# --------------------------------------------------------------------------
+@query(
+    "rolling_high_low",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           max(l_extendedprice) OVER w AS high252,
+           min(l_extendedprice) OVER w AS low252
+    FROM lineitem
+    WINDOW w AS (
+        PARTITION BY l_partkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice
+        ROWS BETWEEN 251 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "rolling"),
+)
+def rolling_high_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """252-row trailing extrema — no FP accumulation, so no rounding
+    needed: min/max of identical doubles are bit-identical."""
+    t = load(spark, sf_dir)
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        .rowsBetween(-251, 0)
+    )
+    return t.lineitem.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.max("l_extendedprice").over(w).alias("high252"),
+        F.min("l_extendedprice").over(w).alias("low252"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lead/lag — day-over-day delta (no reference analog; standard extension)
+# --------------------------------------------------------------------------
+@query(
+    "lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice
+                 - lag(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ), 2) + 0.0 AS delta_prev
+    FROM orders
+    """,
+    tags=("window", "lag"),
+)
+def lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        # +0.0 normalizes IEEE -0.0 (round of a small negative) to +0.0
+        # so the value hash is engine-agnostic
+        (F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2) + 0.0).alias(
+            "delta_prev"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# running cumulative sum + rank
+# --------------------------------------------------------------------------
+@query(
+    "cumsum_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS spend_to_date,
+           rank() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS price_rank
+    FROM orders
+    """,
+    tags=("window", "cumsum", "rank"),
+)
+def cumsum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    wtime = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wrank = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wtime), 2).alias("spend_to_date"),
+        F.rank().over(wrank).alias("price_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# top-k per group (Window + row_number ≤ K — the classic OLAP pattern)
+# --------------------------------------------------------------------------
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. At scale this is one hash shuffle on
+    the group key + per-partition sort; no global sort, no collect."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

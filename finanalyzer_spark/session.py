@@ -1,0 +1,80 @@
+"""SparkSession factory + runtime tuning.
+
+Two layers:
+
+* :func:`get_spark` — builds a session for standalone runs (tests,
+  bench.py). Local mode by default, sized from ``SPARK_GRAFT_CPUS``.
+* :func:`tune` — applies *runtime* SQL confs to any externally supplied
+  session (the correctness driver builds its own ``SparkSession`` and
+  hands it to us, so everything that matters for correctness/perf must
+  be settable at runtime, not only at builder time).
+
+Scale notes (100 TB target):
+* AQE on — runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy demotion are essential at cluster scale and
+  harmless locally.
+* ``spark.sql.session.timeZone=UTC`` — deterministic timestamp
+  semantics; the DuckDB oracle is UTC-naive.
+* Shuffle partitions default to a small local value; on a real cluster
+  AQE's coalescing makes the initial number mostly an upper bound, so a
+  deployment would raise ``spark.sql.shuffle.partitions`` (or set
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``) to
+  ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs (safe to apply to a live session).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scan parallelism: 128 MB splits are the right granularity
+    # both locally and at 100 TB (≈800k tasks — fine for a 1000-exec cluster).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # ANSI off: the reference's semantics are permissive (SQLite); we want
+    # NULL-on-bad-cast, not errors, matching DuckDB's non-strict reads too.
+    "spark.sql.ansi.enabled": "false",
+    # Spark's Parquet reader rejects TIMESTAMP(NANOS) outright; read them
+    # as int64 nanos and convert in the catalog (events.ts).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — builder-time only
+    n = shuffle_partitions or default_parallelism()
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return spark
+
+
+def get_spark(app_name: str = "finanalyzer_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a tuned local session."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(n))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark, n)
