@@ -8,26 +8,51 @@ this to the LLM-corpus dedup families (BASELINE.json):
 * exact: hash-groupBy on content fingerprint — one shuffle.
 * key dedup with deterministic survivor — row_number over ordered
   partition (the oracle-checkable variant of dropDuplicates).
-* MinHash + LSH banding: shingle → k portable min-hashes → band →
-  self-join on (band_id, band_hash) buckets → candidate pairs.
-  Shuffle cost O(docs × bands), never O(docs²).
-* SimHash: 64-bit weighted-projection fingerprint; near-dups differ in
-  few bits — bucket on rotated prefixes for candidate generation.
+* MinHash + LSH banding → candidate pairs, O(docs × bands) shuffle.
 * n-gram Jaccard: exact verify step for candidate pairs.
+* SimHash: 32-bit weighted-projection fingerprint.
 
-Portability note: min-hashes here are md5 hex strings (lexicographic
-min), NOT engine-native hash() — md5 is byte-identical in Spark and
-DuckDB, so every stage is oracle-checkable. md5 costs more than
-xxhash64; swap `_portable_hash` for xxhash64 when oracle parity is not
-needed.
+Performance design (100 TB corpus): the only cryptographic hash is ONE
+md5 per TOKEN (not per shingle × seed). Everything downstream is
+integer arithmetic mod P = 2^31-1 inside whole-stage codegen:
+
+  token_hash  = int(md5(token)[:15 hex]) mod P          (one md5/token)
+  shingle     = polynomial hash of its k token hashes    (3 mults)
+  minhash_i   = min over shingles of (a_i·sh + b_i) mod P (universal)
+  band_hash   = base-2^31 packing of r signature values   (exact, r≤2)
+
+The shingle stream is EXPLODED to rows and min-hashed with plain
+aggregates — grouped codegen'd min()s, one hash shuffle on doc_id —
+instead of nested higher-order array lambdas (which are interpreted
+per element and re-inline the shingle expression once per seed).
+Every step is reproducible in ANSI SQL, so the DuckDB oracle matches
+bit-for-bit (see plans/dedup.py, which generates the mirror SQL from
+the same constants).
 """
 
 from __future__ import annotations
 
+import random
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1 — all shingle/minhash arithmetic is mod P so
+#: every product stays below 2^63 (a·x < 2^31·2^31 = 2^62).
+P = 2147483647
+#: polynomial base for combining token hashes into a shingle hash
+B = 131071
+B2 = (B * B) % P
+#: base-2^31 packing factor for collision-free 2-row band hashes
+PACK = 2147483648
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients; shared with
+    the oracle-SQL generator so both engines use identical literals."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_hashes)]
 
 
 # --------------------------------------------------------------------------
@@ -62,53 +87,130 @@ def dedup_by_key(
 
 
 # --------------------------------------------------------------------------
-# shingling + MinHash
+# tokenize → hash → shingle (shared kernels)
 # --------------------------------------------------------------------------
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array<string>; shorter docs yield their
-    single full-token-join shingle; empty docs → empty array."""
+def token_hashes_col(text: Column) -> Column:
+    """array<long>: one md5 per token, folded to [0, P)."""
     toks = F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.trim(text), r"\s+")
     )
-    n = F.size(toks)
-    # sequence over token starts; slice+join per start
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.when(n > 0, F.sequence(F.lit(0), F.lit(0))).otherwise(
-            F.array().cast("array<int>")
-        )
-    )
     return F.transform(
-        starts,
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long") % P,
     )
 
 
+def shingle_hashes_col(text: Column, k: int = 3) -> Column:
+    """array<long> of word-k-shingle hashes (polynomial over token
+    hashes). Docs shorter than k yield one shingle over all tokens;
+    empty docs yield an empty array."""
+    if k != 3:
+        raise ValueError("portable oracle parity is generated for k=3")
+    th = token_hashes_col(text)
+    n = F.size(th)
+    full = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: (
+            (F.element_at(th, i + 1) * B2) % P
+            + (F.element_at(th, i + 2) * B) % P
+            + F.element_at(th, i + 3)
+        )
+        % P,
+    )
+    two = F.array(((F.element_at(th, 1) * B) % P + F.element_at(th, 2)) % P)
+    one = F.array(F.element_at(th, 1))
+    return (
+        F.when(n >= k, full)
+        .when(n == 2, two)
+        .when(n == 1, one)
+        .otherwise(F.array().cast("array<long>"))
+    )
+
+
+# --------------------------------------------------------------------------
+# row-based shingle stream (the hot-path kernel)
+# --------------------------------------------------------------------------
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, sh) rows of word-k-shingle hashes.
+
+    Row-based on purpose: posexplode tokens → ONE md5 per token row →
+    shingle hash via lead() over (doc, position). Everything is
+    whole-stage-codegen'd row expressions; the array-lambda form
+    (shingle_hashes_col) re-inlines — and re-evaluates — the full
+    token-hash array once per element_at reference, which is O(len²)
+    md5 calls per document."""
+    if k != 3:
+        raise ValueError("portable oracle parity is generated for k=3")
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        F.posexplode(toks).alias("_pos", "_w"),
+    ).select(
+        F.col(id_col),
+        "_n",
+        "_pos",
+        (F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("long") % P).alias("_th"),
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    l1 = F.lead("_th", 1).over(w)
+    l2 = F.lead("_th", 2).over(w)
+    sh = (
+        F.when(
+            l2.isNotNull(),
+            ((F.col("_th") * B2) % P + (l1 * B) % P + l2) % P,
+        )
+        .when(
+            (F.col("_n") == 2) & (F.col("_pos") == 0),
+            ((F.col("_th") * B) % P + l1) % P,
+        )
+        .when(F.col("_n") == 1, F.col("_th"))
+    )
+    return base.select(F.col(id_col), sh.alias("sh")).where(F.col("sh").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# MinHash signature + LSH banding
+# --------------------------------------------------------------------------
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """id → array of `num_hashes` portable min-hash values.
+    """id → m0..m{n-1} minhash columns: shingle rows, then ONE groupBy
+    with `num_hashes` codegen'd min() aggregates (the lead-window and
+    the groupBy hash-partition on the same key, so AQE reuses the
+    exchange). Docs with no shingles (empty text) drop out."""
+    params = minhash_params(num_hashes)
+    exploded = shingle_rows(df, text_col, id_col, k).select(
+        F.col(id_col), F.col("sh").alias("_sh")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_sh") + F.lit(b)) % P).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
-    Hash_i(shingle) = md5(i || ':' || shingle); the signature element is
-    the lexicographic min — identical strings hash identically in any
-    engine. Computed as a pure array expression (no explode, no
-    shuffle): per row, transform seeds × aggregate over shingles.
-    """
-    sh = shingles_col(F.col(text_col), k).alias("_sh")
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda i: F.array_min(
-            F.transform(
-                F.col("_sh"),
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
-    return (
-        df.select(F.col(id_col), sh)
-        .where(F.size("_sh") > 0)  # empty docs have no signature (oracle parity)
-        .select(F.col(id_col), sig.alias("signature"))
-    )
+
+def band_hash_cols(num_hashes: int, bands: int) -> list[Column]:
+    """One column per band: exact base-2^31 packing for r≤2 rows per
+    band (collision-free), mod-P polynomial fold otherwise (collisions
+    ~n²/2P — harmless: both engines mirror them and the Jaccard verify
+    stage rejects false positives)."""
+    r = num_hashes // bands
+    out = []
+    for j in range(bands):
+        cols = [F.col(f"m{j * r + t}") for t in range(r)]
+        if r <= 2:
+            bh = cols[0]
+            for c in cols[1:]:
+                bh = bh * PACK + c
+        else:
+            bh = F.lit(0).cast("long")
+            for c in cols:
+                bh = ((bh * B2) % P + c) % P
+        out.append(bh)
+    return out
 
 
 def minhash_lsh_pairs(
@@ -116,41 +218,30 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding.
-
-    rows_per_band = num_hashes // bands; docs sharing ANY full band
-    become a candidate pair. Output: (id_a, id_b) with id_a < id_b,
-    distinct. Cost: explode to docs×bands rows (tiny: band hash is one
-    md5), groupBy band bucket, pair within bucket. At 100 TB the
-    bucket sizes are the skew risk — salt or cap oversized buckets
-    upstream (see `explode` note below).
-    """
-    r = num_hashes // bands
+    """Candidate near-duplicate pairs (id_a < id_b, distinct): docs
+    sharing ANY full band bucket. Shuffle cost O(docs × bands) longs —
+    never O(docs²). At 100 TB, cap oversized buckets (a degenerate
+    all-identical corpus) upstream with a bucket-count filter."""
     sig = minhash_signature(df, text_col, id_col, num_hashes, k)
+    bhs = band_hash_cols(num_hashes, bands)
     banded = sig.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(F.slice(F.col("signature"), b * r + 1, r), "|")
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), bh.alias("bhash"))
+                    for j, bh in enumerate(bhs)
+                ]
             )
         ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
-
-    a = banded.select(
-        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_a")
+    ).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
-    b = banded.select(
-        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_b")
-    )
+    a = banded.select("band", "bhash", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bhash", F.col(id_col).alias("id_b"))
     return (
         a.join(b, ["band", "bhash"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -159,49 +250,91 @@ def minhash_lsh_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# n-gram Jaccard verify (explode-join, no giant array intersections)
+# --------------------------------------------------------------------------
 def ngram_jaccard(
     pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
-    """Exact Jaccard over word-k-shingle sets for candidate pairs.
-
-    pairs: (id_a, id_b). Joins each side's shingle set and computes
-    |∩|/|∪| with array_intersect/array_union on deduped shingle arrays.
-    Verify step after LSH — only runs on candidates, never all pairs.
-    """
-    sets = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles_col(F.col(text_col), k)).alias("_set"),
+    """Exact Jaccard over distinct shingle-hash sets for candidate
+    pairs: |A∩B| via a (pair ⋈ shingles_a ⋈ shingles_b) equi-join,
+    |A|,|B| via group counts. Runs only on candidates."""
+    sh = (
+        shingle_rows(docs, text_col, id_col, k)
+        .distinct()
+        .select(F.col(id_col).alias("_id"), F.col("sh").alias("_sh"))
     )
-    out = (
-        pairs.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
-        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "set_b"), "id_b")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        .where(F.col("_sh") == F.col("_shb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("set_a", "set_b"))
-                / F.greatest(F.size(F.array_union("set_a", "set_b")), F.lit(1))
+                F.coalesce(F.col("_inter"), F.lit(0))
+                / F.greatest(
+                    F.col("_na") + F.col("_nb") - F.coalesce(F.col("_inter"), F.lit(0)),
+                    F.lit(1),
+                )
             ).alias("jaccard"),
         )
     )
-    return out
 
 
 # --------------------------------------------------------------------------
-# SimHash
+# SimHash — explode + 32 codegen'd sum() aggregates (no nested lambdas)
 # --------------------------------------------------------------------------
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """id → simhash{bits} fingerprint. Token hash = first 8 hex chars of
+    md5 (32-bit); bit b votes ±1; fingerprint bit = sign of vote sum.
+
+    Bit extraction is floor(h / 2^b) % 2 — division by a power of two
+    is exact in binary FP, so any oracle engine agrees bit-for-bit.
+    explode_outer keeps empty docs (fingerprint 0)."""
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashed = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+            )
+        ).alias("_h"),
+    )
+
+    def vote(b: int) -> Column:
+        bit = F.floor(F.col("_h") / F.lit(float(2**b))).cast("long") % 2
+        return F.sum(
+            F.when(F.col("_h").isNull(), 0).when(bit == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+
+    votes = hashed.groupBy(id_col).agg(*[vote(b) for b in range(bits)])
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias(f"simhash{bits}"))
+
+
 def simhash_col(text: Column, bits: int = 32) -> Column:
-    """SimHash fingerprint (default 32-bit for portable integer math).
+    """Single-column SimHash (array-expression form) — keep for ad-hoc
+    use on narrow data; prefer `simhash_fingerprints` (explode+agg) in
+    pipelines: nested array lambdas are interpreted, not codegen'd."""
 
-    Per token: h = first 8 hex chars of md5(token) as int; each bit
-    votes ±1; fingerprint bit b = 1 iff the vote sum > 0. Pure array
-    expressions — aggregate over tokens × transform over bits.
-
-    Bit extraction uses floor(h / 2^b) % 2 rather than shift ops: the
-    division by a power of two is EXACT in binary FP (only the exponent
-    changes), so Spark and any oracle engine agree bit-for-bit, and it
-    sidesteps shiftright's literal-only second argument.
-    """
     toks = F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.trim(text), r"\s+")
     )

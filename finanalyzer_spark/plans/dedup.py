@@ -1,10 +1,10 @@
 """Deduplication queries over `documents` (SURVEY.md §7 Phase 5;
 generalizing the reference's redundancy.sql ROW_NUMBER dedup).
 
-Families: exact (hash-groupBy), deterministic key-dedup,
-MinHash+LSH banding, n-gram Jaccard verify, SimHash. Every stage is
-built from portable hashes (md5) so the DuckDB oracle can reproduce it
-bit-for-bit — see operators/dedup.py for the scale analysis.
+The MinHash/Jaccard oracle SQL is GENERATED from the same constants the
+Spark operators use (operators/dedup.py: P, B, universal-hash params),
+so both engines run bit-identical integer arithmetic — one md5 per
+token, everything else mod-P math.
 """
 
 from __future__ import annotations
@@ -14,32 +14,63 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.dedup import (
+    B,
+    B2,
+    P,
+    PACK,
     dedup_by_key,
     exact_dedup_groups,
     minhash_lsh_pairs,
+    minhash_params,
     ngram_jaccard,
-    simhash_col,
+    simhash_fingerprints,
 )
 from .registry import query
 
-# Shared CTE text for word-3-shingles in DuckDB, mirroring
-# operators.dedup.shingles_col exactly (edge cases included).
-_SHINGLES_CTE = r"""
+NUM_HASHES, BANDS = 16, 8
+_R = NUM_HASHES // BANDS
+_PARAMS = minhash_params(NUM_HASHES)
+
+# ---- generated oracle-SQL fragments (mirror operators/dedup.py) ----------
+_SHINGLE_CTES = rf"""
     toks AS (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                     ELSE string_split_regex(trim(text), '\s+') END AS t
         FROM documents
     ),
-    sh AS (
+    th AS (
         SELECT doc_id,
-               CASE WHEN len(t) >= 3
-                        THEN list_transform(range(len(t) - 2),
-                                            i -> array_to_string(t[i+1:i+3], ' '))
-                    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
-                    ELSE CAST([] AS VARCHAR[]) END AS shingles
+               list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {P}) AS h,
+               len(t) AS n
         FROM toks
-    )
+    ),
+    shv AS (
+        SELECT doc_id,
+               CASE WHEN n >= 3 THEN list_transform(range(n - 2),
+                        i -> ((h[i+1] * {B2}) % {P} + (h[i+2] * {B}) % {P} + h[i+3]) % {P})
+                    WHEN n = 2 THEN [((h[1] * {B}) % {P} + h[2]) % {P}]
+                    WHEN n = 1 THEN [h[1]]
+                    ELSE CAST([] AS BIGINT[]) END AS s
+        FROM th
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM shv)
+"""
+
+_SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
+    f"min(({a} * sh + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(_PARAMS)
+) + " FROM ex GROUP BY doc_id)"
+
+_BANDED_CTE = "banded AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, m{j * _R} * {PACK} + m{j * _R + 1} AS bhash FROM sig"
+    for j in range(BANDS)
+) + ")"
+
+_CAND_SQL = """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+    WHERE a.doc_id < b.doc_id
 """
 
 
@@ -80,7 +111,9 @@ def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_by_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """redundancy.sql's key-dedup with a deterministic keep-latest
-    survivor (reference keeps an arbitrary row; redundancy.sql:1-10)."""
+    survivor (reference keeps an arbitrary row; redundancy.sql:1-10).
+    Payload columns in the ordering because the fixture injects
+    duplicate keys with different payloads."""
     t = load(spark, sf_dir)
     return dedup_by_key(
         t.lineitem,
@@ -97,77 +130,49 @@ def dedup_by_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_candidates",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
-    sig AS (
-        SELECT doc_id,
-               list_transform(range(16),
-                   i -> list_min(list_transform(shingles,
-                        s -> md5(i::VARCHAR || ':' || s)))) AS signature
-        FROM sh
-        WHERE len(shingles) > 0
-    ),
-    banded AS (
-        SELECT doc_id, b.band,
-               md5(array_to_string(signature[b.band*2+1 : b.band*2+2], '|')) AS bhash
-        FROM sig, (SELECT unnest(range(8)) AS band) b
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
-    WHERE a.doc_id < b.doc_id
-    """,
+    oracle=f"WITH {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE} {_CAND_SQL}",
     tags=("dedup", "minhash", "lsh"),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH banding (8 bands × 2 rows): candidate near-dup
-    pairs. Shuffle is O(docs × bands) on 16-byte band hashes — never
-    materializes O(n²)."""
+    pairs. One md5 per token; mod-P arithmetic for shingles/signatures;
+    shuffle is O(docs × bands) longs — never O(docs²)."""
     t = load(spark, sf_dir)
     return minhash_lsh_pairs(
-        t.documents, "text", "doc_id", num_hashes=16, bands=8, k=3
+        t.documents, "text", "doc_id", num_hashes=NUM_HASHES, bands=BANDS, k=3
     )
 
 
 @query(
     "near_dup_jaccard",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
-    sig AS (
-        SELECT doc_id,
-               list_transform(range(16),
-                   i -> list_min(list_transform(shingles,
-                        s -> md5(i::VARCHAR || ':' || s)))) AS signature
-        FROM sh
-        WHERE len(shingles) > 0
-    ),
-    banded AS (
-        SELECT doc_id, b.band,
-               md5(array_to_string(signature[b.band*2+1 : b.band*2+2], '|')) AS bhash
-        FROM sig, (SELECT unnest(range(8)) AS band) b
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
-        WHERE a.doc_id < b.doc_id
-    ),
-    sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+    WITH {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE},
+    cand AS ({_CAND_SQL}),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM ex),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY c.id_a, c.id_b
+    )
     SELECT c.id_a, c.id_b,
-           round(len(list_intersect(sa.s, sb.s)) * 1.0
-                 / greatest(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 1), 6)
-               AS jaccard
+           round(coalesce(i.i, 0) * 1.0
+                 / greatest(sa.n + sb.n - coalesce(i.i, 0), 1), 6) AS jaccard
     FROM cand c
-    JOIN sets sa ON sa.doc_id = c.id_a
-    JOIN sets sb ON sb.doc_id = c.id_b
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
     """,
     tags=("dedup", "jaccard"),
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard verification over the LSH candidates —
-    the verify stage runs only on candidates, never all pairs."""
+    """Exact shingle-set Jaccard over the LSH candidates — the verify
+    stage runs only on candidates, via explode-joins (no giant array
+    intersections)."""
     t = load(spark, sf_dir)
-    pairs = minhash_lsh_pairs(t.documents, "text", "doc_id", 16, 8, 3)
+    pairs = minhash_lsh_pairs(t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3)
     out = ngram_jaccard(pairs, t.documents, "text", "doc_id", 3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -196,9 +201,8 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "simhash"),
 )
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (portable md5-derived token hashes)."""
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (portable md5-derived token hashes),
+    computed explode-and-aggregate style (codegen'd sums)."""
     t = load(spark, sf_dir)
-    return t.documents.select(
-        "doc_id", simhash_col(F.col("text"), bits=32).alias("simhash32")
-    )
+    return simhash_fingerprints(t.documents, "text", "doc_id", bits=32)

@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.similarity import cosine_topk, cosine_col, hyperplane_lsh_buckets
+from ..operators.similarity import (
+    cosine_all_pairs,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+)
 from .registry import query
 
 
@@ -64,30 +68,19 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold.
-    Brute force at fixture scale; hyperplane-LSH bucketing (tested in
-    tests/test_similarity.py) is the scale path for the same semantics."""
+    """Embedding-cosine near-duplicate pairs above a threshold — the
+    BLAS matmul path (one broadcast matrix + one matmul per Arrow
+    batch; operators.similarity.cosine_all_pairs). hyperplane-LSH
+    bucketing is the >10M-vector scale path for the same semantics."""
     t = load(spark, sf_dir)
-    a = t.embeddings.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("va"),
-    )
-    b = t.embeddings.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vb"),
-    )
-    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 5) + 0.0
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cos.alias("cosine"),
-            (F.col("label_a") == F.col("label_b")).alias("same_label"),
-        )
-        .where(F.col("cosine") > 0.40)
+    return cosine_all_pairs(
+        t.embeddings,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.40,
+        label_col="label",
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("cosine"), F.col("same_label")
     )
 
 
