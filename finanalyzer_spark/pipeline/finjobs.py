@@ -1,0 +1,215 @@
+"""finanalyzer's three ETL entry points as idempotent Spark jobs.
+
+Reference lifecycle (SURVEY.md §3):
+* initialize_database(fill) — DDL + registry bootstrap
+  (findatabase.py:79-91)
+* update_database() — per-key incremental refresh with freshness
+  branches, retention, dedup (findatabase.py:203-232)
+* fill_all_data() — full reload (findatabase.py:181-201)
+
+Spark redesign: the N+1 per-ticker loop collapses into ONE plan —
+  names ⟕ history.groupBy(id).agg(max(date))  → fetch ranges
+  → mapInPandas parallel fetch → append → dedup → retention filter.
+
+Quirk semantics preserved exactly (SURVEY §5 item 2):
+* surrogate ids are 1-based CSV-positional (findatabase.py:158) —
+  row_number over the seed order, never monotonically_increasing_id;
+* freshness: skip refresh if last date is today OR yesterday
+  (findatabase.py:217 — market-closed tolerance);
+* retention: drop rows with date_added older than 10 years
+  (findatabase.py:230, constants.py:1);
+* dedup keeps one arbitrary row per (date_value, names_id) — we keep a
+  DETERMINISTIC one (latest by date_added then close) and tests assert
+  key-uniqueness, not survivor identity (redundancy.sql is unordered).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_by_key
+from ..sources.csvseed import read_tickers_csv
+from ..sources.fetcher import FakeFeed, fetch_history
+
+MAX_DATA_HISTORY_YEARS = 10  # reference constants.py:1
+RETENTION_DAYS = 3650  # findatabase.py:50: 365 * years
+
+
+class FinStore:
+    """Parquet-backed store for the three reference tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        import glob
+
+        return bool(glob.glob(os.path.join(self.path(table), "*.parquet"))) or bool(
+            glob.glob(os.path.join(self.path(table), "*/*.parquet"))
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.path(table))
+
+
+def bootstrap_registry(store: FinStore, tickers_csv: str) -> DataFrame:
+    """initialize_database + set_database_names (findatabase.py:79-91,
+    147-161): CSV seed → left-anti against existing registry → append
+    with 1-based positional surrogate ids.
+
+    The reference probes each ticker with a per-row SELECT then INSERTs
+    one at a time; here it's one anti-join and one append."""
+    seed = read_tickers_csv(store.spark, tickers_csv).select(
+        F.col("Ticker").alias("ticker"),
+        F.col("Name").alias("name"),
+        F.col("Exchange").alias("exchange"),
+    )
+    if store.exists("names"):
+        existing = store.read("names")
+        new = seed.join(existing, "ticker", "left_anti")
+        base = existing.select("id", "ticker", "name", "exchange")
+        offset = existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[
+            0
+        ]["m"]
+    else:
+        new = seed
+        base = None
+        offset = 0
+    w = W.orderBy("ticker")  # deterministic 1-based positional ids
+    appended = new.select(
+        (F.row_number().over(w) + F.lit(offset)).cast("long").alias("id"),
+        "ticker",
+        "name",
+        "exchange",
+    )
+    out = appended if base is None else base.unionByName(appended)
+    if base is None:
+        store.write(out, "names")
+    else:
+        # plain parquet can't overwrite a path its own plan is reading —
+        # stage then swap (same pattern as update_history)
+        store.write(out, "names_next")
+        store.write(store.read("names_next"), "names")
+    return store.read("names")
+
+
+def _freshness(history: DataFrame, names: DataFrame, today: dt.date) -> DataFrame:
+    """names ⟕ per-key max(date_value): one aggregation replaces the
+    reference's per-id check_last_update loop (findatabase.py:209-229).
+    Adds fetch range [start_date, end_date] per the branch semantics."""
+    last = history.groupBy("names_id").agg(F.max("date_value").alias("last_date"))
+    today_lit = F.lit(today.isoformat()).cast("date")
+    ten_years_ago = F.date_sub(today_lit, RETENTION_DAYS)
+    joined = names.join(last, names.id == last.names_id, "left")
+    return joined.select(
+        "id",
+        "ticker",
+        "last_date",
+        F.when(F.col("last_date").isNull(), ten_years_ago)
+        .otherwise(F.date_add(F.col("last_date"), 1))
+        .alias("start_date"),
+        today_lit.alias("end_date"),
+        # fresh = last date is today or yesterday (findatabase.py:217)
+        (
+            F.col("last_date").isNotNull()
+            & (F.datediff(today_lit, F.col("last_date")) <= 1)
+        ).alias("is_fresh"),
+    )
+
+
+def update_history(
+    store: FinStore,
+    today: dt.date,
+    feed: FakeFeed | None = None,
+) -> DataFrame:
+    """update_database (findatabase.py:203-232) as one idempotent job:
+    stale-key fetch → append → dedup → retention. Returns the new
+    history DataFrame."""
+    names = store.read("names")
+    history = (
+        store.read("history")
+        if store.exists("history")
+        else store.spark.createDataFrame(
+            [],
+            "names_id long, date_value date, date_added date, open double, "
+            "high double, low double, close double",
+        )
+    )
+    plan = _freshness(history, names, today)
+    tasks = plan.where(~F.col("is_fresh")).select(
+        "ticker",
+        F.col("start_date").cast("string"),
+        F.col("end_date").cast("string"),
+    )
+    fetched = fetch_history(tasks, feed)
+    incoming = (
+        fetched.join(F.broadcast(names.select("id", "ticker")), "ticker")
+        .select(
+            F.col("id").alias("names_id"),
+            F.col("date_value").cast("date"),
+            F.lit(today.isoformat()).cast("date").alias("date_added"),
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    merged = history.unionByName(incoming)
+    deduped = dedup_by_key(
+        merged,
+        ["names_id", "date_value"],
+        [F.col("date_added").desc(), F.col("close").desc()],
+    )
+    retained = deduped.where(
+        F.col("date_added") >= F.date_sub(F.lit(today.isoformat()).cast("date"), RETENTION_DAYS)
+    )
+    store.write(retained, "history_next")
+    # atomic-ish swap: plain parquet can't overwrite a path being read
+    out = store.read("history_next")
+    store.write(out, "history")
+    return store.read("history")
+
+
+def fill_all_history(
+    store: FinStore, today: dt.date, feed: FakeFeed | None = None
+) -> DataFrame:
+    """fill_all_data (findatabase.py:181-201): truncate + full 10-year
+    fetch for every registered ticker."""
+    names = store.read("names")
+    start = today - dt.timedelta(days=RETENTION_DAYS)
+    tasks = names.select(
+        "ticker",
+        F.lit(start.isoformat()).alias("start_date"),
+        F.lit(today.isoformat()).alias("end_date"),
+    )
+    fetched = fetch_history(tasks, feed)
+    incoming = (
+        fetched.join(F.broadcast(names.select("id", "ticker")), "ticker")
+        .select(
+            F.col("id").alias("names_id"),
+            F.col("date_value").cast("date"),
+            F.lit(today.isoformat()).cast("date").alias("date_added"),
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    deduped = dedup_by_key(
+        incoming,
+        ["names_id", "date_value"],
+        [F.col("date_added").desc(), F.col("close").desc()],
+    )
+    store.write(deduped, "history")
+    return store.read("history")

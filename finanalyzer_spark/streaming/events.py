@@ -1,0 +1,131 @@
+"""Structured Streaming operators over the `events` table.
+
+Each aggregation here is the streaming twin of a batch query in
+plans/eventsops.py — identical groupBy logic, plus watermarks for
+bounded state. In tests the parquet fixture drives the stream
+(maxFilesPerTrigger-style micro-batches) through a memory sink via
+`run_to_completion`.
+
+Scale notes: watermarks bound the state store (without one, a windowed
+agg keeps every window forever); `dropDuplicates` within the watermark
+is how the reference's post-hoc redundancy delete becomes an online
+operator. Real deployments swap the file source for Kafka and the
+memory sink for a Delta/parquet sink with checkpointing — the
+transformation graph is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema with ts already normalized to microsecond timestamps.
+#: (The raw parquet stores TIMESTAMP(NANOS); streaming reads use the
+#: nanosAsLong conf like the batch catalog, then convert.)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (fixture driver).
+
+    One file per micro-batch keeps the test deterministic; a production
+    source (Kafka, rate, Delta CDF) plugs in here unchanged.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # the file source only monitors directories; stage a single-file
+        # fixture behind a symlink dir (read-only testdata stays untouched)
+        staged = tempfile.mkdtemp(prefix="evstream_")
+        os.symlink(path, os.path.join(staged, os.path.basename(path)))
+        path = staged
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums with watermarked state."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def streaming_sliding_sums(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", lateness: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — the streaming form of
+    plans/eventsops.session_windows."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, lateness: str = "1 day") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids arriving
+    within the watermark — the online form of the reference's post-load
+    redundancy delete (redundancy.sql) with its lateness tolerance
+    (today-or-yesterday, findatabase.py:217 → 1-day watermark)."""
+    return events.withWatermark("ts", lateness).dropDuplicates(["event_id"])
+
+
+def run_to_completion(
+    stream_df: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DataFrame over a finite source to completion
+    through a memory sink; return the materialized result as a batch
+    DataFrame. Test harness only."""
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)

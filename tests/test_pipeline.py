@@ -1,0 +1,116 @@
+"""End-to-end ETL pipeline tests — mirrors the reference lifecycle
+(initialize_database → update_database day N / N+1 → fill_all_data,
+findatabase.py:79-91,203-232,181-201) with the invariants SURVEY.md §5
+item 3 calls for: key-uniqueness after dedup, retention, idempotence,
+incremental-only fetching, 1-based positional surrogate ids.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from finanalyzer_spark.pipeline.finjobs import (
+    FinStore,
+    RETENTION_DAYS,
+    bootstrap_registry,
+    fill_all_history,
+    update_history,
+)
+from finanalyzer_spark.sources.fetcher import FakeFeed
+
+TODAY = dt.date(2026, 8, 10)
+
+
+@pytest.fixture()
+def tickers_csv(tmp_path) -> str:
+    p = tmp_path / "tickers.csv"
+    p.write_text(
+        "Ticker,Name,Exchange\n"
+        "AAPL,Apple Inc.,NASDAQ\n"
+        "MSFT,Microsoft,NASDAQ\n"
+        "TTE,TotalEnergies,EPA\n"
+    )
+    return str(p)
+
+
+@pytest.fixture()
+def store(spark, tmp_path) -> FinStore:
+    return FinStore(spark, str(tmp_path / "warehouse"))
+
+
+def test_bootstrap_ids_are_1_based_positional(store, tickers_csv):
+    names = bootstrap_registry(store, tickers_csv)
+    rows = {r["ticker"]: r["id"] for r in names.collect()}
+    # reference ids are 1-based insertion-order (findatabase.py:158);
+    # ours are 1-based over the deterministic ticker ordering
+    assert rows == {"AAPL": 1, "MSFT": 2, "TTE": 3}
+
+
+def test_bootstrap_is_idempotent_and_appends_only_new(store, tickers_csv, tmp_path):
+    bootstrap_registry(store, tickers_csv)
+    again = bootstrap_registry(store, tickers_csv)  # J2 anti-join: no dupes
+    assert again.count() == 3
+    # add one new ticker to the seed → only it is appended, ids extend
+    p = tmp_path / "tickers2.csv"
+    p.write_text("Ticker,Name,Exchange\nAAPL,Apple,NASDAQ\nNVDA,NVIDIA,NASDAQ\n")
+    names = bootstrap_registry(store, str(p))
+    rows = {r["ticker"]: r["id"] for r in names.collect()}
+    assert rows["NVDA"] == 4 and len(rows) == 4
+
+
+def test_update_history_full_then_incremental(store, tickers_csv):
+    bootstrap_registry(store, tickers_csv)
+    feed = FakeFeed()
+    h1 = update_history(store, TODAY, feed)
+    n1 = h1.count()
+    # 3 tickers x (RETENTION_DAYS+1) synthetic days
+    assert n1 == 3 * (RETENTION_DAYS + 1)
+    # key uniqueness invariant (redundancy.sql semantics)
+    assert h1.groupBy("names_id", "date_value").count().where("count > 1").count() == 0
+
+    # same-day rerun: every key fresh → fetch nothing, history unchanged
+    h2 = update_history(store, TODAY, feed)
+    assert h2.count() == n1
+
+    # two days later the keys are stale (beyond the today-or-yesterday
+    # tolerance) → exactly the two missing days per ticker arrive
+    h3 = update_history(store, TODAY + dt.timedelta(days=2), feed)
+    assert h3.count() == n1 + 2 * 3
+    assert h3.groupBy("names_id", "date_value").count().where("count > 1").count() == 0
+
+
+def test_update_history_freshness_tolerance_yesterday(store, tickers_csv):
+    """Reference skips refresh when last date is today OR yesterday
+    (findatabase.py:217) — so a day-after rerun right after a full load
+    must be a no-op."""
+    bootstrap_registry(store, tickers_csv)
+    feed = FakeFeed()
+    update_history(store, TODAY, feed)
+    # last_date == TODAY == tomorrow-1 → fresh → no fetch
+    h = update_history(store, TODAY + dt.timedelta(days=1), feed)
+    # (assert exact: one new day per ticker happens only when stale by
+    # >1 day; at datediff==1 the branch is 'fresh')
+    per_key_max = h.groupBy("names_id").agg(F.max("date_value").alias("m"))
+    assert all(r["m"] == TODAY for r in per_key_max.collect())
+
+
+def test_fill_all_history_overwrites(store, tickers_csv):
+    bootstrap_registry(store, tickers_csv)
+    feed = FakeFeed()
+    h = fill_all_history(store, TODAY, feed)
+    assert h.count() == 3 * (RETENTION_DAYS + 1)
+    assert h.groupBy("names_id", "date_value").count().where("count > 1").count() == 0
+    # deterministic feed → rerun produces identical content (materialize
+    # the first result before the overwrite invalidates its files)
+    keys = ["names_id", "date_value"]
+    first = h.toPandas().sort_values(keys).reset_index(drop=True)
+    second = (
+        fill_all_history(store, TODAY, feed)
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    assert first.equals(second)

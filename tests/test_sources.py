@@ -1,0 +1,69 @@
+"""Source kernels — CSV seed, parallel fetch (S1-S3) with the
+reference's quirk semantics: missing-ticker empty frames
+(check_exists, dataAcquisition.py:70-78) and null→0 fundamentals
+coercion (dataAcquisition.py:59-66).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from finanalyzer_spark.sources.csvseed import read_tickers_csv
+from finanalyzer_spark.sources.fetcher import (
+    FUNDAMENTALS,
+    FakeFeed,
+    fetch_history,
+    fetch_info,
+)
+
+
+@pytest.fixture()
+def tasks(spark):
+    return spark.createDataFrame(
+        [
+            ("AAPL", "2026-08-01", "2026-08-05"),
+            ("MSFT", "2026-08-03", "2026-08-05"),
+            ("MISSINGX", "2026-08-01", "2026-08-05"),
+        ],
+        "ticker string, start_date string, end_date string",
+    )
+
+
+def test_read_tickers_csv(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("Ticker,Name,Exchange\nAAPL,Apple,NASDAQ\n")
+    df = read_tickers_csv(spark, str(p))
+    assert df.columns == ["Ticker", "Name", "Exchange"]
+    assert df.collect()[0]["Ticker"] == "AAPL"
+
+
+def test_fetch_history_parallel_and_deterministic(spark, tasks):
+    out = fetch_history(tasks).collect()
+    by_ticker = {}
+    for r in out:
+        by_ticker.setdefault(r["ticker"], []).append(r)
+    assert len(by_ticker["AAPL"]) == 5 and len(by_ticker["MSFT"]) == 3
+    assert "MISSINGX" not in by_ticker  # empty feed → no rows
+    # deterministic: same (ticker, date) → same price across runs
+    again = {
+        (r["ticker"], r["date_value"]): r["close"]
+        for r in fetch_history(tasks).collect()
+    }
+    for r in out:
+        assert again[(r["ticker"], r["date_value"])] == r["close"]
+        assert r["low"] <= min(r["open"], r["close"]) <= max(r["open"], r["close"]) <= r["high"]
+
+
+def test_fetch_info_null_to_zero(spark):
+    tasks = spark.createDataFrame(
+        [("AAPL", "2026-08-05")], "ticker string, as_of string"
+    )
+    row = fetch_info(tasks).collect()[0]
+    feed = FakeFeed()
+    provided = feed.info("AAPL", __import__("datetime").date(2026, 8, 5))
+    absent = [c for c in FUNDAMENTALS if c not in provided]
+    assert absent, "fixture should simulate sparse fields"
+    for c in absent:
+        assert row[c] == 0.0  # null→0 sentinel, never NULL
+    for c in provided:
+        assert row[c] == pytest.approx(provided[c])

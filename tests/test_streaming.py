@@ -1,0 +1,65 @@
+"""Streaming twins vs their batch queries — same aggregation graph,
+incremental execution. The parquet fixture drives the stream one file
+per micro-batch; complete-mode memory sink materializes final state,
+which must equal the batch answer exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finanalyzer_spark.catalog import load
+from finanalyzer_spark.plans import REGISTRY
+from finanalyzer_spark.streaming.events import (
+    read_events_stream,
+    run_to_completion,
+    streaming_dedup,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+EVENTS_PATH = f"{SF_DIR}/events.parquet"
+
+
+def _sorted_pdf(df, keys):
+    return (
+        df.toPandas().sort_values(keys).reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return read_events_stream(spark, EVENTS_PATH)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream):
+    got = run_to_completion(
+        streaming_tumbling_counts(events_stream), output_mode="complete"
+    )
+    want = REGISTRY["tumbling_hourly"].fn(spark, SF_DIR)
+    keys = ["window_start", "event_type"]
+    g, w = _sorted_pdf(got, keys), _sorted_pdf(want, keys)
+    assert len(g) == len(w) > 0
+    assert (g[keys].values == w[keys].values).all()
+    assert (g["n"].values == w["n"].values).all()
+
+
+def test_streaming_sessions_equal_batch(spark, events_stream):
+    got = run_to_completion(
+        streaming_session_windows(events_stream), output_mode="complete"
+    )
+    want = REGISTRY["session_windows"].fn(spark, SF_DIR)
+    keys = ["user_id", "session_start"]
+    g, w = _sorted_pdf(got, keys), _sorted_pdf(want, keys)
+    assert len(g) == len(w) > 0
+    assert (g["n_events"].values == w["n_events"].values).all()
+
+
+def test_streaming_dedup_drops_in_watermark_duplicates(spark, events_stream):
+    got = run_to_completion(streaming_dedup(events_stream), output_mode="append")
+    events = load(spark, SF_DIR).events
+    distinct_ids = events.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count() == distinct_ids
