@@ -143,6 +143,16 @@ def cosine_all_pairs(
     )
 
 
+def lsh_planes(num_planes: int = 8, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes — shared by the Spark bucket
+    operator and the oracle-SQL generator (plans/similarity.py) so both
+    engines project against identical literals."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -158,14 +168,8 @@ def hyperplane_lsh_buckets(
     Vectors in the same bucket are near-duplicate / high-cosine
     candidates; at scale, join within buckets instead of all-pairs.
     """
-    import math
-    import random
-
     if planes is None:
-        rng = random.Random(seed)
-        planes = [
-            [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
-        ]
+        planes = lsh_planes(num_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = F.aggregate(

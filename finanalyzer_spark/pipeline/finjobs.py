@@ -28,10 +28,11 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_by_key
+from ..operators.ids import positional_ids
 from ..sources.csvseed import read_tickers_csv
 from ..sources.fetcher import FakeFeed, fetch_history
 
@@ -86,9 +87,9 @@ def bootstrap_registry(store: FinStore, tickers_csv: str) -> DataFrame:
         new = seed
         base = None
         offset = 0
-    w = W.orderBy("ticker")  # deterministic 1-based positional ids
-    appended = new.select(
-        (F.row_number().over(w) + F.lit(offset)).cast("long").alias("id"),
+    # deterministic 1-based positional ids without a global window
+    appended = positional_ids(new, ["ticker"], id_name="_rid").select(
+        (F.col("_rid") + F.lit(offset)).cast("long").alias("id"),
         "ticker",
         "name",
         "exchange",

@@ -16,3 +16,4 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import eventsops  # noqa: E402,F401
 from . import finance  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401

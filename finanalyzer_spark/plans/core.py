@@ -15,7 +15,7 @@ post-shuffle partitions. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -466,4 +466,84 @@ def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("O").alias("qty_O"),
         F.col("F").alias("qty_F"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — cube (full grouping-set lattice)
+# --------------------------------------------------------------------------
+@query(
+    "cube_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "cube"),
+)
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four grouping sets in
+    one pass (map-side partial aggregation covers every set; no
+    re-scan per set)."""
+    t = load(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.11 — time-ordered CV fold assignment (P5: positional slicing
+# becomes explicit ntile over an explicit time ordering)
+# --------------------------------------------------------------------------
+@query(
+    "time_split_folds",
+    oracle="""
+    SELECT fold, count(*) AS n_orders,
+           min(o_orderdate) AS fold_start, max(o_orderdate) AS fold_end
+    FROM (
+        SELECT o_orderdate,
+               ntile(5) OVER (ORDER BY o_orderdate, o_orderkey) AS fold
+        FROM orders
+    )
+    GROUP BY fold
+    """,
+    tags=("ml-features", "window", "split"),
+)
+def time_split_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold time-series split (the reference's positional iloc splits,
+    plot_cyclical_feature_engineering.py:131-138, made deterministic):
+    ntile over (date, key). The global window is the point of the op —
+    at 100 TB you'd precompute date quantile boundaries instead."""
+    t = load(spark, sf_dir)
+    w = W.orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select("o_orderdate", F.ntile(5).over(w).alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("fold_start"),
+            F.max("o_orderdate").alias("fold_end"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# approximate aggregates — HLL distinct (no oracle: sketch estimate is
+# engine-specific; the rows-only check plus the exact twin below bound it)
+# --------------------------------------------------------------------------
+@query(
+    "approx_distinct_users",
+    oracle=None,
+    tags=("aggregate", "approx", "sketch"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type next to the exact
+    count — at 100 TB the sketch avoids the exact path's per-key
+    distinct shuffle (mergeable partials only)."""
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )

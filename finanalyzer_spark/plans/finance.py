@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.ids import positional_ids
 from .registry import query
 
 
@@ -81,13 +82,16 @@ def latest_price_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def registry_bootstrap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surrogate-id generation replacing SQLite AUTOINCREMENT
-    (sqlrequests.sql:24-27): deterministic 1-based row_number over an
+    (sqlrequests.sql:24-27): deterministic 1-based numbering over an
     explicit ordering — never monotonically_increasing_id, whose values
-    depend on partition layout (SURVEY §7 'what's hard' (b))."""
+    depend on partition layout (SURVEY §7 'what's hard' (b)).
+
+    Uses the distributed range-partition + offset recipe
+    (operators/ids.positional_ids) rather than a global window, so the
+    numbering never funnels all rows through one partition."""
     t = load(spark, sf_dir)
-    w = W.orderBy("p_name", "p_partkey")
-    return t.part.select(
-        F.row_number().over(w).cast("long").alias("id"),
+    return positional_ids(t.part, ["p_name", "p_partkey"], id_name="id").select(
+        "id",
         F.col("p_partkey").alias("ticker_key"),
         F.col("p_name").alias("name"),
         F.col("p_brand").alias("exchange"),

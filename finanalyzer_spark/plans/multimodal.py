@@ -1,0 +1,113 @@
+"""Multimodal-column queries — binary media over the documents table.
+
+No media fixture exists, so media is derived deterministically from
+`documents` (content = UTF-8 bytes of text, mime alternates by doc_id).
+The metadata and frame-count paths are byte-exact oracle-checkable;
+the feature-extraction path runs the stubbed fake decoder
+(operators/multimodal.py) and gets the rows-only check.
+
+Scale notes: metadata (length/md5) is computed JVM-side before any
+decode — predicate pushdown on mime/size never touches payload bytes;
+the decode kernels stream Arrow batches through mapInPandas, so a 100 TB
+media corpus is bounded by scan + Python-worker throughput, never by
+driver memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.multimodal import decode_image_features, sample_video_frames
+from .registry import query
+
+FRAME_BYTES = 64
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media: opaque binary content + alternating mime."""
+    t = load(spark, sf_dir)
+    return t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+@query(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'video/mp4' END AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("multimodal", "metadata"),
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary — computed JVM-side
+    (length + md5 of the payload), no decode. Both engines hash the
+    same UTF-8 bytes."""
+    return _media(spark, sf_dir).select(
+        "media_id",
+        "mime",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@query(
+    "media_frame_count",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT)
+               AS n_frames
+    FROM documents
+    WHERE doc_id % 2 = 1
+    """,
+    tags=("multimodal", "video"),
+)
+def media_frame_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape check: explode each video payload into
+    fixed-size frames (fake demux — byte slices) and count per media;
+    the oracle derives the same count arithmetically."""
+    videos = _media(spark, sf_dir).where(F.col("mime") == "video/mp4")
+    frames = sample_video_frames(
+        videos, content_col="content", id_col="media_id",
+        every_n_bytes=FRAME_BYTES, fake=True,
+    )
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+@query(
+    "media_image_features",
+    oracle=None,  # feature arrays from the stubbed decoder; rows-only
+    tags=("multimodal", "features"),
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → embed pipeline shape: byte-histogram features from the
+    fake decoder, aggregated per mime class (mean feature norm) — the
+    real decoder drops in without changing the plan."""
+    images = _media(spark, sf_dir)
+    feats = decode_image_features(
+        images, content_col="content", id_col="media_id", dim=8, fake=True
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    return (
+        feats.join(
+            _media(spark, sf_dir).select("media_id", "mime"), "media_id"
+        )
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.avg(norm), 5).alias("avg_feature_norm"),
+        )
+    )

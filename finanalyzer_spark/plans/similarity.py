@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..operators.similarity import (
     cosine_all_pairs,
+    cosine_col,
     cosine_topk,
     hyperplane_lsh_buckets,
+    lsh_planes,
 )
 from .registry import query
 
@@ -81,6 +83,85 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="label",
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("cosine"), F.col("same_label")
+    )
+
+
+def _ann_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """Generate the DuckDB twin of the LSH-bucketed ANN: the plane
+    vectors are interpolated as double literals, so both engines compute
+    identical sign-bit buckets (same fold order, same IEEE doubles)."""
+    planes = lsh_planes(num_planes, dim)
+    bits = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+           {bits} AS bucket
+        FROM e
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
+        FROM b q
+        JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+    )
+    SELECT query_id, match_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {k}
+    """
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=_ann_lsh_oracle(),
+    tags=("similarity", "ann", "lsh", "scale-path"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the 100 TB scale path for
+    cosine_topk: candidates come from an equality join on the sign-bit
+    bucket (hash-partitionable, no all-pairs blowup), then exact cosine
+    re-ranks within the bucket. Recall trades off against num_planes;
+    the oracle reproduces the same buckets so the check is exact."""
+    t = load(spark, sf_dir)
+    b = hyperplane_lsh_buckets(t.embeddings, "embedding", num_planes=8, dim=64)
+    q = b.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        "lsh_bucket",
+        F.col("embedding").alias("_qvec"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("match_id"),
+        "lsh_bucket",
+        F.col("embedding").alias("_cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "lsh_bucket")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5) + 0.0).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .drop("_rn")
     )
 
 
