@@ -144,6 +144,17 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     toks = F.when(
         F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # Shuffle BEFORE exploding: the lead() window needs a hash partition
+    # on the doc id anyway, and placing the exchange here (a) moves whole
+    # documents instead of ~token-count× more token rows, and (b)
+    # parallelizes the md5/explode kernel even when the source collapses
+    # to few input splits (one small parquet file → one task otherwise).
+    # Same-key hash partitioning means the window adds no second shuffle.
+    # Explicit partition count: tiny-but-CPU-heavy inputs (text bytes are
+    # small, md5-per-token cost is not) must not let AQE coalesce the
+    # exchange down to one task on byte-size grounds.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, F.col(id_col))
     base = df.select(
         F.col(id_col),
         F.size(toks).alias("_n"),
@@ -240,12 +251,31 @@ def minhash_lsh_pairs(
     ).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
-    a = banded.select("band", "bhash", F.col(id_col).alias("id_a"))
-    b = banded.select("band", "bhash", F.col(id_col).alias("id_b"))
+    # One pass, no self-join: a self-join would re-run the whole
+    # scan→shingle→minhash pipeline for each side (Catalyst does not
+    # dedupe self-joined subplans). Grouping the bucket members and
+    # expanding in-bucket pairs reads the corpus ONCE; bucket sizes are
+    # small by construction (b·r tuned for the similarity threshold), so
+    # the n² expansion is per-bucket-tiny. A degenerate corpus (all docs
+    # identical) should cap `size(ids)` upstream before expansion.
+    buckets = banded.groupBy("band", "bhash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, ["band", "bhash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.where(F.size("ids") >= 2)
+        .select(pair.alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -258,11 +288,17 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle-hash sets for candidate
     pairs: |A∩B| via a (pair ⋈ shingles_a ⋈ shingles_b) equi-join,
-    |A|,|B| via group counts. Runs only on candidates."""
+    |A|,|B| via group counts. Runs only on candidates.
+
+    The distinct shingle stream is referenced three times (sizes + both
+    join sides); Catalyst re-executes self-referenced subplans, so it is
+    persisted (memory-and-disk — ~16 bytes/shingle, spills cleanly) to
+    make the corpus scan + hash kernel run once."""
     sh = (
         shingle_rows(docs, text_col, id_col, k)
         .distinct()
         .select(F.col(id_col).alias("_id"), F.col("sh").alias("_sh"))
+        .persist()
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     inter = (

@@ -172,7 +172,11 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage runs only on candidates, via explode-joins (no giant array
     intersections)."""
     t = load(spark, sf_dir)
-    pairs = minhash_lsh_pairs(t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    # candidates feed two joins downstream — persist so the minhash
+    # pipeline (scan → shingle → signature → banding) runs once
+    pairs = minhash_lsh_pairs(
+        t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3
+    ).persist()
     out = ngram_jaccard(pairs, t.documents, "text", "doc_id", 3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
