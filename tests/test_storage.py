@@ -1,0 +1,76 @@
+"""Storage layer — partitioned writes with pruning, idempotent append
+(S5/S6 at scale), and skew-salting operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finanalyzer_spark.catalog import load
+from finanalyzer_spark.operators.skew import salted_collect_list, salted_join
+from finanalyzer_spark.sources.parquet import append_dedup, write_partitioned
+
+from .conftest import SF_DIR
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """A date-partition filter must reach the scan as a PartitionFilter
+    (directory pruning), not a row filter over the full table."""
+    path = str(tmp_path / "orders_by_month")
+    t = load(spark, SF_DIR)
+    df = t.orders.withColumn("dt", F.date_format("o_orderdate", "yyyy-MM"))
+    write_partitioned(df, path, ["dt"])
+
+    back = spark.read.parquet(path)
+    one_month = back.where(F.col("dt") == "1995-03")
+    plan = one_month._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+    want = df.where(F.col("dt") == "1995-03").count()
+    assert one_month.count() == want > 0
+
+
+def test_append_dedup_idempotent(spark, tmp_path):
+    path = str(tmp_path / "history")
+    t = load(spark, SF_DIR)
+    batch = t.orders.select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).limit(500)
+    first = append_dedup(
+        spark, batch, path, keys=["o_orderkey"], order_desc=["o_orderdate"]
+    )
+    n1 = first.count()
+    # redelivery of the same batch: reader still resolves to one row/key
+    second = append_dedup(
+        spark, batch, path, keys=["o_orderkey"], order_desc=["o_orderdate"]
+    )
+    assert second.count() == n1
+    assert (
+        second.groupBy("o_orderkey").count().where("count > 1").count() == 0
+    )
+
+
+def test_salted_join_matches_plain(spark):
+    t = load(spark, SF_DIR)
+    left = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    right = t.customer.select("c_custkey", "c_name").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = left.join(right, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(
+        left, right, ["o_custkey"], salt_buckets=4, salt_from=["o_orderkey"]
+    ).select("o_orderkey", "c_name")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_collect_list_complete_and_sorted(spark):
+    t = load(spark, SF_DIR)
+    df = t.orders.select("o_custkey", "o_orderkey")
+    got = salted_collect_list(df, ["o_custkey"], "o_orderkey", salt_buckets=4)
+    want = (
+        df.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("o_orderkey_list"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
