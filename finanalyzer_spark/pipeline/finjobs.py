@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import dedup_by_key
 from ..operators.ids import positional_ids
 from ..sources.csvseed import read_tickers_csv
-from ..sources.fetcher import FakeFeed, fetch_history
+from ..sources.fetcher import FakeFeed, fetch_history, fetch_info
 
 MAX_DATA_HISTORY_YEARS = 10  # reference constants.py:1
 RETENTION_DAYS = 3650  # findatabase.py:50: 365 * years
@@ -214,3 +214,63 @@ def fill_all_history(
     )
     store.write(deduped, "history")
     return store.read("history")
+
+
+def update_fundamentals(
+    store: FinStore,
+    today: dt.date,
+    feed: FakeFeed | None = None,
+) -> DataFrame:
+    """Fundamentals refresh (insert_info_from_web branch of
+    update_database, findatabase.py:225-227): unlike history, info is
+    stale unless its last snapshot is EXACTLY today (no yesterday
+    tolerance). One anti-join finds stale tickers; one mapInPandas
+    fetch pulls their snapshots; null→0 coercion happens in the kernel
+    (dataAcquisition.py:59-66)."""
+    names = store.read("names")
+    if store.exists("fundamentals"):
+        info = store.read("fundamentals")
+        fresh_ids = info.where(
+            F.col("date_value") == F.lit(today.isoformat()).cast("date")
+        ).select("names_id")
+        stale = names.join(
+            fresh_ids, names.id == fresh_ids.names_id, "left_anti"
+        )
+        base = info
+    else:
+        stale = names
+        base = None
+    tasks = stale.select("ticker", F.lit(today.isoformat()).alias("as_of"))
+    fetched = fetch_info(tasks, feed)
+    incoming = fetched.join(
+        F.broadcast(names.select("id", "ticker")), "ticker"
+    ).select(
+        F.col("id").alias("names_id"),
+        F.col("date_value").cast("date"),
+        *[c for c in fetched.columns if c not in ("ticker", "date_value")],
+    )
+    merged = incoming if base is None else base.unionByName(incoming)
+    deduped = dedup_by_key(
+        merged, ["names_id", "date_value"], [F.col("names_id").asc()]
+    )
+    store.write(deduped, "fundamentals_next")
+    store.write(store.read("fundamentals_next"), "fundamentals")
+    return store.read("fundamentals")
+
+
+def latest_fundamentals_asof(
+    history: DataFrame, fundamentals: DataFrame
+) -> DataFrame:
+    """As-of join: each (names_id, date_value) price row gets the most
+    recent fundamentals snapshot at or before that date — the analytic
+    join the reference's schema implies but never writes (SURVEY §2.3).
+    Implemented as union + last(ignorenulls) over a time window
+    (operators/joins.asof_join is the generic range form)."""
+    from ..operators.joins import asof_join
+
+    return asof_join(
+        history.select("names_id", "date_value", "close"),
+        fundamentals.select("names_id", "date_value", "currentPrice", "marketCap"),
+        on="names_id",
+        ts="date_value",
+    )

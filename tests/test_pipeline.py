@@ -114,3 +114,50 @@ def test_fill_all_history_overwrites(store, tickers_csv):
         .reset_index(drop=True)
     )
     assert first.equals(second)
+
+
+def test_update_fundamentals_stale_today_only(store, tickers_csv):
+    """Info refreshes unless its snapshot is EXACTLY today
+    (findatabase.py:225-227 — no yesterday tolerance, unlike history)."""
+    from finanalyzer_spark.pipeline.finjobs import update_fundamentals
+
+    bootstrap_registry(store, tickers_csv)
+    feed = FakeFeed()
+    f1 = update_fundamentals(store, TODAY, feed)
+    assert f1.count() == 3  # one snapshot per ticker
+    # null→0 coercion: no NULLs anywhere in the wide row
+    non_null = f1.na.drop()
+    assert non_null.count() == 3
+
+    # same-day rerun: everyone fresh → no new rows
+    f2 = update_fundamentals(store, TODAY, feed)
+    assert f2.count() == 3
+
+    # NEXT day: stale again (== today only), one more snapshot each
+    f3 = update_fundamentals(store, TODAY + dt.timedelta(days=1), feed)
+    assert f3.count() == 6
+    assert f3.groupBy("names_id", "date_value").count().where("count > 1").count() == 0
+
+
+def test_latest_fundamentals_asof(store, tickers_csv):
+    from finanalyzer_spark.pipeline.finjobs import (
+        latest_fundamentals_asof,
+        update_fundamentals,
+    )
+
+    bootstrap_registry(store, tickers_csv)
+    feed = FakeFeed()
+    update_history(store, TODAY, feed)
+    update_fundamentals(store, TODAY - dt.timedelta(days=3), feed)
+    joined = latest_fundamentals_asof(
+        store.read("history"), store.read("fundamentals")
+    )
+    rows = joined.where(F.col("date_value") == TODAY.isoformat()).collect()
+    assert len(rows) == 3
+    # snapshot is 3 days old → every as-of match carries it
+    assert all(r["currentPrice"] is not None for r in rows)
+    # price rows BEFORE the snapshot date get no fundamentals
+    early = joined.where(
+        F.col("date_value") < (TODAY - dt.timedelta(days=3)).isoformat()
+    )
+    assert early.where(F.col("currentPrice").isNotNull()).count() == 0

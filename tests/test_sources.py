@@ -67,3 +67,26 @@ def test_fetch_info_null_to_zero(spark):
         assert row[c] == 0.0  # null→0 sentinel, never NULL
     for c in provided:
         assert row[c] == pytest.approx(provided[c])
+
+
+def test_feed_datasource_matches_mapinpandas_fetcher(spark):
+    """The DataSource-API reader and the mapInPandas fetcher must
+    produce identical rows for the same (tickers, range)."""
+    from finanalyzer_spark.sources.feed_datasource import FeedDataSource
+
+    spark.dataSource.register(FeedDataSource)
+    via_ds = (
+        spark.read.format("fake_feed")
+        .option("tickers", "AAPL,MSFT")
+        .option("start", "2026-08-01")
+        .option("end", "2026-08-05")
+        .load()
+    )
+    assert via_ds.rdd.getNumPartitions() == 2  # one per ticker
+    tasks = spark.createDataFrame(
+        [("AAPL", "2026-08-01", "2026-08-05"), ("MSFT", "2026-08-01", "2026-08-05")],
+        "ticker string, start_date string, end_date string",
+    )
+    via_fetch = fetch_history(tasks)
+    assert via_ds.exceptAll(via_fetch).count() == 0
+    assert via_fetch.exceptAll(via_ds).count() == 0

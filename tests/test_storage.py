@@ -74,3 +74,42 @@ def test_salted_collect_list_complete_and_sorted(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate join keys at WRITE time: a join on the
+    bucket key needs no exchange at read — the 100 TB answer for a join
+    repeated across many queries/runs."""
+    t = load(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    try:
+        (
+            t.orders.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            t.customer.withColumnRenamed("c_custkey", "o_custkey")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable("b_customer")
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer").hint("merge"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed SMJ: no ShuffleExchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        want = (
+            t.orders.join(
+                t.customer.withColumnRenamed("c_custkey", "o_custkey"),
+                "o_custkey",
+            ).count()
+        )
+        assert joined.count() == want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
