@@ -634,3 +634,29 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — exact percentiles (one-pass grouped; the approx
+# twin approx_percentile is what a 100 TB deployment would use — it's
+# a mergeable sketch — but exact is the oracle-checkable form)
+# --------------------------------------------------------------------------
+@query(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )

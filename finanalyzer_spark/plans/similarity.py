@@ -179,3 +179,111 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lsh_bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+def _ann_ivf_oracle(dim: int = 64, nprobe: int = 2, k: int = 5) -> str:
+    """DuckDB twin of the IVF path: identical centroids (per-label mean,
+    each component rounded to 6 digits on both engines), identical probe
+    ranking and in-cluster re-rank."""
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    un AS (
+        SELECT label, i, v[i] AS x
+        FROM e, generate_series(1, {dim}) AS g(i)
+    ),
+    cent AS (
+        SELECT label, list(round(m, 6) ORDER BY i) AS c
+        FROM (SELECT label, i, avg(x) AS m FROM un GROUP BY label, i)
+        GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probe AS (
+        SELECT query_id, label, qv FROM (
+            SELECT q.query_id, cent.label, q.qv,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, cent.c), 5)
+                                DESC, cent.label
+                   ) AS rn
+            FROM q, cent
+        )
+        WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.query_id, e.vec_id AS match_id,
+               round(list_cosine_similarity(p.qv, e.v), 5) + 0.0 AS cosine
+        FROM probe p
+        JOIN e ON e.label = p.label AND e.vec_id != p.query_id
+    )
+    SELECT query_id, match_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {k}
+    """
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_ann_ivf_oracle(),
+    tags=("similarity", "ann", "ivf", "scale-path"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroids (at 100 TB
+    these come from a k-means fit; the label column stands in as the
+    trained assignment, keeping the oracle exact), probe the top-2
+    clusters per query, exact re-rank inside probed clusters only.
+
+    Scan economics: centroids are tiny (n_clusters × dim) → broadcast;
+    the candidate join is an equality join on the cluster id —
+    hash-partitionable, touching only probed inverted lists instead of
+    the full corpus (the LSH variant's bucket join, with a trained
+    codebook instead of random planes)."""
+    dim, nprobe, k = 64, 2, 5
+    t = load(spark, sf_dir)
+    e = t.embeddings
+    cent = e.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.col("embedding")[i].cast("double")), 6)
+                for i in range(dim)
+            ]
+        ).alias("cvec")
+    )
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ranked = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        F.col("label"),
+        F.round(cosine_col(F.col("qv"), F.col("cvec")), 5).alias("ccos"),
+    )
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probe = (
+        ranked.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "label", "qv")
+    )
+    scored = (
+        e.join(F.broadcast(probe), "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (F.round(cosine_col(F.col("qv"), F.col("embedding")), 5) + 0.0).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

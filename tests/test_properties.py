@@ -1,0 +1,132 @@
+"""Property-based spot checks (SURVEY.md §5 item 4): dedup idempotence,
+merge-order insensitivity, surrogate-id bijectivity, as-of join
+equivalence with pandas merge_asof — over hypothesis-generated frames.
+
+Spark jobs are slow per example, so examples are few and small; the
+properties (not the sizes) carry the value.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from finanalyzer_spark.operators.dedup import dedup_by_key, exact_dedup_groups
+from finanalyzer_spark.operators.ids import positional_ids
+from finanalyzer_spark.operators.joins import asof_join
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # key
+        st.integers(min_value=0, max_value=3),      # version
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_dedup_by_key_idempotent_and_key_unique(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v long, x double")
+    once = dedup_by_key(df, ["k"], [F.col("v").desc(), F.col("x").desc()])
+    twice = dedup_by_key(once, ["k"], [F.col("v").desc(), F.col("x").desc()])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice                       # idempotent
+    keys = [r[0] for r in got_once]
+    assert len(keys) == len(set(keys))                 # key-unique
+    assert set(keys) == {r[0] for r in rows}           # no key lost
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_dedup_insensitive_to_input_order(spark, rows):
+    """redundancy.sql's survivor is arbitrary; ours must NOT be —
+    shuffling the input can't change the result."""
+    order = [F.col("v").desc(), F.col("x").desc(), F.col("k")]
+    a = dedup_by_key(
+        spark.createDataFrame(rows, "k long, v long, x double"), ["k"], order
+    )
+    b = dedup_by_key(
+        spark.createDataFrame(rows[::-1], "k long, v long, x double"), ["k"], order
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    )
+)
+@SLOW
+def test_positional_ids_bijective_and_ordered(spark, vals):
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "v long, u long")
+    out = positional_ids(df, ["v", "u"], id_name="id").collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == list(range(1, len(vals) + 1))        # dense 1..n
+    by_order = sorted(out, key=lambda r: (r["v"], r["u"]))
+    assert [r["id"] for r in by_order] == list(range(1, len(vals) + 1))
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=30
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SLOW
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # dedupe right on (key, ts): merge_asof keeps the LAST among equal
+    # ts rows, our asof_join breaks ties by right_tiebreak — align by
+    # keeping one row per (k, ts) with max payload on both sides
+    rpdf = (
+        pd.DataFrame(right, columns=["k", "ts", "p"])
+        .groupby(["k", "ts"], as_index=False)["p"]
+        .max()
+    )
+    ldf = spark.createDataFrame(left, "k long, ts long")
+    rdf = spark.createDataFrame(rpdf, "k long, ts long, p long")
+    got = {
+        (r["k"], r["ts"]): r["p"]
+        for r in asof_join(ldf, rdf, on="k", ts="ts").collect()
+    }
+    lpdf = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
+    want_df = pd.merge_asof(
+        lpdf,
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    for row in want_df.itertuples(index=False):
+        want_p = None if pd.isna(row.p) else int(row.p)
+        assert got[(row.k, row.ts)] == want_p
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=25
+    )
+)
+@SLOW
+def test_exact_dedup_groups_partition_property(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    groups = exact_dedup_groups(df, "text", "doc_id").collect()
+    assert sum(r["n_copies"] for r in groups) == len(texts)   # partition
+    assert len(groups) == len(set(texts))                     # one per distinct
