@@ -637,9 +637,11 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# §2.4 extension — exact percentiles (one-pass grouped; the approx
-# twin approx_percentile is what a 100 TB deployment would use — it's
-# a mergeable sketch — but exact is the oracle-checkable form)
+# §2.4 extension — exact grouped percentiles. NOT the built-in
+# `percentile()` holistic agg (which buffers a whole group in one task
+# — 3 tasks for 3 return flags no matter the data size); the
+# distributed order-statistics operator keeps parallelism at
+# partitions × groups with bounded task memory (operators/percentiles).
 # --------------------------------------------------------------------------
 @query(
     "price_percentiles",
@@ -654,9 +656,91 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "percentile"),
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import grouped_exact_percentiles
+
+    t = load(spark, sf_dir)
+    out = grouped_exact_percentiles(
+        t.lineitem,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+        names=["p50", "p90", "p99"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — distinct + conditional aggregation in one pass
+# (count(DISTINCT) expands to a two-stage partial agg under Catalyst;
+# conditional sums are filter-free single-pass)
+# --------------------------------------------------------------------------
+@query(
+    "distinct_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+               AS discounted_revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "distinct", "conditional"),
+)
+def distinct_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count(DISTINCT) columns: Catalyst plans an expand +
+    two-level aggregate — each distinct column deduplicates map-side
+    before the shuffle, so the exchange carries distinct (group, value)
+    pairs, not raw rows."""
     t = load(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                    0
+                )
+            ),
+            2,
+        ).alias("discounted_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — GROUPING SETS (the general form of rollup_qty /
+# cube_qty): arbitrary set list in one scan via Expand
+# --------------------------------------------------------------------------
+@query(
+    "grouping_sets_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — one scan, Expand multiplies each row
+    into its sets, then a single partial-aggregated shuffle (never one
+    scan per set)."""
+    t = load(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
     )

@@ -156,3 +156,53 @@ def event_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("n_first_events"))
     )
+
+
+# --------------------------------------------------------------------------
+# ext — hypertable-style continuous-aggregate rollup: fixed time
+# buckets × type with a full stat row (the materialized-rollup shape
+# a timeseries store maintains incrementally; here one batch pass,
+# and streaming/events.py maintains the same shape with a watermark)
+# --------------------------------------------------------------------------
+@query(
+    "time_bucket_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "rollup", "time-bucket"),
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute hypertable rollup. At 100 TB the events table is
+    date-partitioned, so the scan prunes to the rollup's refresh
+    horizon and the shuffle carries one partial row per
+    (mapper × bucket × type)."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+            "n_users",
+        )
+    )

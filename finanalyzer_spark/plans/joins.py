@@ -260,3 +260,97 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts",
         right_tiebreak=["last_orderkey"],
     ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
+# --------------------------------------------------------------------------
+# ext — multi-join + aggregate + top-k (TPC-H Q3 shape): the classic
+# "shipping priority" plan that composes J1's dimension join with a
+# fact-fact shuffle join and a bounded top-k
+# --------------------------------------------------------------------------
+@query(
+    "top_unshipped_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "tpch-q3", "topk"),
+)
+def top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape. The segment filter prunes customer BEFORE the join
+    (pushed to the scan), the customer side is broadcast after
+    filtering, and the orders⋈lineitem join shuffles on orderkey —
+    co-bucketing both facts on orderkey removes that exchange on a
+    cluster. TakeOrderedAndProject bounds the top-k without a global
+    sort."""
+    t = load(spark, sf_dir)
+    cust = t.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = t.orders.where(F.col("o_orderdate") < F.lit("1998-06-01").cast("date"))
+    li = t.lineitem.where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+# "lineitems under 50% of their part's average quantity". The oracle
+# keeps the CORRELATED form to prove the rewrite is equivalent.
+# --------------------------------------------------------------------------
+@query(
+    "below_avg_qty_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    tags=("join", "tpch-q17", "subquery-decorrelation"),
+)
+def below_avg_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N+1 correlated subquery (the reference's update_database loop
+    is the same shape, findatabase.py:209-229) decorrelates into ONE
+    per-key aggregate joined back — the aggregate side is tiny
+    (one row per partkey) and shuffles partial rows only."""
+    t = load(spark, sf_dir)
+    li = t.lineitem
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

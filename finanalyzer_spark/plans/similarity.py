@@ -287,3 +287,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# --------------------------------------------------------------------------
+# ext — higher-order array functions as the vector-math surface:
+# transform / aggregate / zip_with stay inside codegen (no UDF, no
+# serialization) — the JVM-side path for embedding feature stats
+# --------------------------------------------------------------------------
+@query(
+    "vector_norm_stats",
+    oracle="""
+    SELECT label,
+           round(avg(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 5)
+               AS avg_l2,
+           round(max(list_aggregate(embedding::DOUBLE[], 'max')), 5) AS max_component,
+           round(avg(embedding[1]::DOUBLE), 5) AS avg_first
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "higher-order", "array"),
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats via higher-order functions
+    (F.aggregate for the L2 norm, F.array_max, element access) — all
+    whole-stage-codegen expressions; the 100 TB path never leaves the
+    JVM."""
+    t = load(spark, sf_dir)
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return t.embeddings.groupBy("label").agg(
+        F.round(F.avg(l2), 5).alias("avg_l2"),
+        F.round(F.max(F.array_max(emb)), 5).alias("max_component"),
+        F.round(F.avg(F.col("embedding")[0].cast("double")), 5).alias("avg_first"),
+    )

@@ -9,6 +9,7 @@ properties (not the sizes) carry the value.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -115,6 +116,42 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     for row in want_df.itertuples(index=False):
         want_p = None if pd.isna(row.p) else int(row.p)
         assert got[(row.k, row.ts)] == want_p
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@SLOW
+def test_grouped_percentiles_match_numpy_linear(spark, vals):
+    """Distributed order-statistics == numpy 'linear' quantiles — the
+    same definition as Spark's holistic percentile() and DuckDB's
+    quantile_cont, without the one-task-per-group cliff."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.percentiles import grouped_exact_percentiles
+
+    df = spark.createDataFrame(vals, "g int, v double")
+    got = {
+        r["g"]: (r["q25"], r["q50"], r["q99"])
+        for r in grouped_exact_percentiles(
+            df, ["g"], "v", [0.25, 0.5, 0.99], names=["q25", "q50", "q99"]
+        ).collect()
+    }
+    by_g: dict[int, list[float]] = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    for g, xs in by_g.items():
+        arr = np.array(xs)
+        for got_v, q in zip(got[g], (0.25, 0.5, 0.99)):
+            want = float(np.quantile(arr, q, method="linear"))
+            assert got_v == pytest.approx(want, abs=1e-6), (g, q, got_v, want)
 
 
 @given(
