@@ -1,0 +1,100 @@
+"""Distributed connected components over an edge list.
+
+The missing stage between near-dup *candidate pairs* (minhash/LSH,
+operators/dedup.py) and an actual deduplicated corpus: pairs form a
+graph; each connected component is one duplicate cluster; the cluster
+representative (canonical doc) is the minimum doc id in the component.
+
+Algorithm: iterative min-label propagation with pointer jumping.
+
+* labels start as each node's own id;
+* each round every node takes the min label over itself and its
+  neighbors (one hash join + partial-aggregated groupBy — map-side
+  combine keeps the shuffle at one row per (node, distinct label));
+* a pointer-jumping step (label := label's label) follows each round,
+  collapsing chains so convergence is ~O(log diameter) rounds rather
+  than O(diameter);
+* every round is `localCheckpoint`-ed, truncating the lineage so the
+  plan does not grow with iterations (a growing lineage is the classic
+  iterative-Spark failure mode — reanalysis cost per round and stack
+  overflows at scale);
+* monotone convergence: labels only decrease, so a round with zero
+  changes is a fixpoint and the loop exits.
+
+At 100 TB / billions of edges the same loop holds: both joins shuffle
+on node id, the label frame is one row per node, and the per-round
+cost is two shuffles of (node, label) longs. For graphs with massive
+diameter the two-phase star contraction of Kiveris et al.
+("Connected Components in MapReduce and Beyond", SoCC'14) converges in
+fewer rounds; dedup-cluster graphs are small-diameter (near-clique
+clusters), where min-propagation + pointer jumping is the cheaper
+loop body.
+
+Reference parity: the reference's only dedup is single-table key dedup
+(redundancy.sql ROW_NUMBER) — clustering across a similarity relation
+is part of the extended LLM-data-pipeline surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`;
+    `component` is the minimum node id of the connected component.
+
+    Exact (runs to fixpoint; `max_iter` is a safety bound — with
+    pointer jumping 25 rounds covers graphs of diameter ~2^25).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: follow the label one hop (label is always a
+        # live node id, so the join is inner)
+        hop = new.select(
+            F.col("node").alias("label"), F.col("label").alias("_label2")
+        )
+        new = new.join(hop, "label").select(
+            "node", F.least("label", "_label2").alias("label")
+        )
+        new = new.localCheckpoint()
+
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "node")
+            .where(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

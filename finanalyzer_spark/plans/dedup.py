@@ -182,6 +182,56 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE},
+    cand AS ({_CAND_SQL}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    cc AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.a AS node, c.label FROM edges e JOIN cc c ON c.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node)
+    SELECT c.doc_id, c.component, s.n_docs,
+           CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END AS is_canonical
+    FROM comp c
+    JOIN (SELECT component, count(*) AS n_docs
+          FROM comp GROUP BY component) s USING (component)
+    """,
+    tags=("dedup", "connected-components", "clustering"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: LSH candidate pairs → exact
+    distributed connected components (operators/components.py) →
+    per-doc component id, cluster size, and canonical flag (min doc_id
+    survives). The oracle re-derives components with a recursive CTE
+    (min reachable id), proving the iterative join loop exact."""
+    from ..operators.components import connected_components
+
+    t = load(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_docs"))
+    return (
+        cc.withColumnRenamed("node", "doc_id")
+        .join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            "component",
+            "n_docs",
+            F.when(F.col("doc_id") == F.col("component"), 1)
+            .otherwise(0)
+            .alias("is_canonical"),
+        )
+    )
+
+
+@query(
     "simhash_fingerprints",
     oracle=r"""
     WITH toks AS (

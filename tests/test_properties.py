@@ -167,3 +167,47 @@ def test_exact_dedup_groups_partition_property(spark, texts):
     groups = exact_dedup_groups(df, "text", "doc_id").collect()
     assert sum(r["n_copies"] for r in groups) == len(texts)   # partition
     assert len(groups) == len(set(texts))                     # one per distinct
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_connected_components_match_union_find(spark, edges):
+    """Iterative min-label propagation == textbook union-find: same
+    partition of nodes, representative = min node id."""
+    from finanalyzer_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # representative must be the min id of its class
+    rep_min: dict[int, int] = {}
+    for n, r in want.items():
+        rep_min[find(r)] = min(rep_min.get(find(r), n), n)
+    want = {n: rep_min[find(n)] for n in want}
+    assert got == want
