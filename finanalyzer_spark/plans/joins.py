@@ -354,3 +354,84 @@ def below_avg_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# --------------------------------------------------------------------------
+# ext — EXISTS decorrelated to left-semi (TPC-H Q4 shape): order
+# priority distribution for orders with at least one late lineitem
+# --------------------------------------------------------------------------
+@query(
+    "priority_count_late",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate < DATE '1997-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "tpch-q4", "exists"),
+)
+def priority_count_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS (with a cross-table date predicate)
+    becomes a left-semi join carrying the non-equi condition; the semi
+    join deduplicates orderkeys without a distinct. The date filter
+    prunes the orders scan (and at 100 TB, its date partitions)."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        t.orders.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+        )
+        .join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — distribution-of-counts (TPC-H Q13 shape): orders-per-customer
+# histogram including zero-order customers (left outer + double agg)
+# --------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("join", "tpch-q13", "histogram"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: the join predicate filter lives IN the outer join
+    condition (not a post-filter, which would drop the zero-order
+    customers), then two aggregations — the second input is one row
+    per customer, so the second shuffle is tiny."""
+    t = load(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t.customer.join(o, t.customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -1,0 +1,132 @@
+"""Deterministic sampling / split queries (extended LLM-pipeline
+surface; operators/sampling.py).
+
+The oracle SQL is GENERATED from the same md5-bucket arithmetic the
+Spark operators use, so DuckDB reproduces the *exact* sample — the
+whole point of content-hash sampling (reproducible, engine- and
+partitioning-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.sampling import (
+    _SPACE,
+    deterministic_sample,
+    hash_bucket_col,
+    split_col,
+    split_thresholds,
+    stratified_sample,
+)
+from .registry import query
+
+_WEIGHTS = (0.8, 0.1, 0.1)
+_NAMES = ("train", "val", "test")
+_CUTS = split_thresholds(_WEIGHTS)  # [52428, 58982]
+
+
+def _duck_bucket(key_sql: str, salt: str = "") -> str:
+    return f"('0x' || substr(md5('{salt}' || {key_sql}), 1, 4))::BIGINT"
+
+
+@query(
+    "train_test_split_counts",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, length(text) AS len,
+               {_duck_bucket("doc_id::VARCHAR")} % {_SPACE} AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < {_CUTS[0]} THEN 'train'
+                WHEN bucket < {_CUTS[1]} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(len), 4) AS avg_len
+    FROM b
+    GROUP BY 1
+    """,
+    tags=("sampling", "split"),
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test by content hash of doc_id: per-row,
+    shuffle-free, stable under any repartitioning — a doc's split never
+    changes when the corpus grows or the cluster resizes (unlike
+    df.randomSplit, whose assignment depends on partition layout)."""
+    t = load(spark, sf_dir)
+    return (
+        t.documents.withColumn(
+            "split", split_col(F.col("doc_id").cast("string"), _WEIGHTS, _NAMES)
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+    )
+
+
+@query(
+    "deterministic_sample_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE {_duck_bucket("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")}
+          % {_SPACE} < {int(0.05 * _SPACE)}
+    GROUP BY l_returnflag
+    """,
+    tags=("sampling", "deterministic"),
+)
+def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% content-hash sample of lineitem (keyed on the row identity
+    (orderkey, linenumber)) — the reproducible alternative to
+    df.sample(). The predicate is pure codegen'd expression work
+    evaluated at the scan; no shuffle, no state."""
+    t = load(spark, sf_dir)
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        deterministic_sample(t.lineitem, key, 0.05)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_STRATA_RATES = {"1-URGENT": 0.5, "3-MEDIUM": 0.1, "5-LOW": 0.02}
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE {_duck_bucket("o_orderkey::VARCHAR")} % {_SPACE} <
+          CASE o_orderpriority
+               WHEN '1-URGENT' THEN {int(0.5 * _SPACE)}
+               WHEN '3-MEDIUM' THEN {int(0.1 * _SPACE)}
+               WHEN '5-LOW' THEN {int(0.02 * _SPACE)}
+               ELSE 0 END
+    GROUP BY o_orderpriority
+    """,
+    tags=("sampling", "stratified"),
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (down-sample the dominant class, keep the rare
+    one) — the portable, oracle-checkable analog of df.sampleBy."""
+    t = load(spark, sf_dir)
+    return (
+        stratified_sample(
+            t.orders,
+            F.col("o_orderpriority"),
+            _STRATA_RATES,
+            F.col("o_orderkey").cast("string"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )

@@ -243,3 +243,47 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# ext — the full ranking family in one window pass (rank, dense_rank,
+# percent_rank, cume_dist, ntile): all share ONE partition+sort, so
+# Catalyst plans a single Window operator (one shuffle, one sort)
+# --------------------------------------------------------------------------
+@query(
+    "rank_analytics",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_totalprice > 450000
+    WINDOW w AS (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey
+    )
+    """,
+    tags=("window", "ranking"),
+)
+def rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ranking function over the same window spec — one Window
+    physical operator (single shuffle on the partition key, single
+    sort), not five. The tie-break on o_orderkey makes rank/ntile
+    deterministic so the oracle hash matches."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.orders.where(F.col("o_totalprice") > 450000).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
