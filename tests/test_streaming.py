@@ -87,3 +87,55 @@ def test_stateful_running_totals_match_batch(spark, events_stream):
     joined = latest.join(want, lsuffix="_s", rsuffix="_b")
     assert (joined["n_events_s"] == joined["n_events_b"]).all()
     assert (abs(joined["sum_value_s"] - joined["sum_value_b"]) < 1e-6).all()
+
+
+def test_stream_static_join_equals_batch(spark, events_stream):
+    """Stream-static enrichment: per-segment counts from the stream
+    must equal the batch join (customer as the user dimension)."""
+    from finanalyzer_spark.streaming.events import streaming_enrich_with_dim
+
+    dim = load(spark, SF_DIR).customer.select("c_custkey", "c_mktsegment")
+    enriched = streaming_enrich_with_dim(events_stream, dim)
+    got = run_to_completion(
+        enriched.groupBy("c_mktsegment").agg(F.count("*").alias("n")),
+        output_mode="complete",
+    )
+    want = (
+        load(spark, SF_DIR)
+        .events.join(
+            dim, F.col("user_id") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    keys = ["c_mktsegment"]
+    g, w = _sorted_pdf(got, keys), _sorted_pdf(want, keys)
+    assert len(g) == len(w) > 0
+    assert (g["n"].values == w["n"].values).all()
+
+
+def test_foreach_batch_merge_idempotent(spark, tmp_path):
+    """foreachBatch keyed upsert: duplicates across micro-batches and
+    full stream replays both collapse to one row per key."""
+    from finanalyzer_spark.streaming.events import (
+        foreach_batch_merge,
+        read_events_stream,
+    )
+
+    target = str(tmp_path / "events_merged")
+    for _ in range(2):  # second run = full redelivery of every batch
+        stream = read_events_stream(spark, EVENTS_PATH)
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(foreach_batch_merge(target, ["event_id"]))
+            .option("checkpointLocation", str(tmp_path / f"ck_{_}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    merged = spark.read.parquet(target)
+    distinct_ids = (
+        load(spark, SF_DIR).events.select("event_id").distinct().count()
+    )
+    assert merged.count() == merged.select("event_id").distinct().count() == distinct_ids
