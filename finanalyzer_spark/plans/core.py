@@ -744,3 +744,74 @@ def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — bivariate statistical aggregates (corr, covariance,
+# least-squares slope/intercept): one-pass mergeable moments, the
+# groundwork for "beta of a stock vs the market" style analytics
+# --------------------------------------------------------------------------
+@query(
+    "price_qty_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "statistics", "regression"),
+)
+def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar/regr_* are algebraic aggregates (sum, sum², cross
+    moments) — partial-aggregated map-side, one tiny shuffle row per
+    (mapper, group); never a holistic buffer."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 6
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — unpivot (wide → long): the inverse of pivot_status_qty;
+# the reference's 44-column fundamentals snapshot is exactly the wide
+# shape a metrics store melts into (metric, value) rows
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_flag_metrics",
+    oracle="""
+    SELECT * FROM (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    ) UNPIVOT (val FOR metric IN (sum_qty, sum_price, avg_disc))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate → long (metric, val) via the native unpivot
+    (Expand under the hood — one pass, rows × metrics output, no
+    shuffle beyond the aggregation's own)."""
+    t = load(spark, sf_dir)
+    wide = t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "val"
+    )

@@ -118,3 +118,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 — byte-stable across engines)."""
     t = load(spark, sf_dir)
     return t.documents.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# ext — corpus TF-IDF top terms: explode → two aggregations → score.
+# The classic "what characterizes this corpus" text op at any scale
+# --------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS n_docs FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT term, n_docs,
+           round(sum(tf * ln(n.n / n_docs)), 4) AS total_tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    GROUP BY term, n_docs, n.n
+    ORDER BY total_tfidf DESC, term
+    LIMIT 20
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by summed TF-IDF. Shuffles carry (doc, term)
+    then (term) aggregates — both partial-aggregated; the doc count
+    joins in as a broadcast scalar. Explode stays in codegen (no UDF
+    tokenizer)."""
+    t = load(spark, sf_dir)
+    docs = t.documents
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("term", "n_docs")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n") / F.col("n_docs"))), 4
+            ).alias("total_tfidf")
+        )
+        .orderBy(F.col("total_tfidf").desc(), "term")
+        .limit(20)
+    )

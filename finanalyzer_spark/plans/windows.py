@@ -287,3 +287,44 @@ def rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext — forward fill (gap filling): last_value IGNORE NULLS over an
+# ordered window — the canonical sparse-timeseries repair (carry a
+# price forward through non-trading gaps)
+# --------------------------------------------------------------------------
+@query(
+    "forward_fill_prices",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           last_value(px IGNORE NULLS) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS px_filled
+    FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               CASE WHEN l_quantity < 10 THEN NULL ELSE l_extendedprice END AS px
+        FROM lineitem
+    )
+    """,
+    tags=("window", "forward-fill", "gap-fill"),
+)
+def forward_fill_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill = F.last(ignorenulls) over an ordered frame — one
+    shuffle on the partition key, one sort, no self-join. (Rows with
+    quantity < 10 play the role of gap days in the OHLC analogy.)"""
+    t = load(spark, sf_dir)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    px = F.when(F.col("l_quantity") < 10, None).otherwise(F.col("l_extendedprice"))
+    return t.lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.last(px, ignorenulls=True).over(w).alias("px_filled"),
+    )
