@@ -206,3 +206,159 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — semi-structured props via the Variant type (Spark 4):
+# parse_json once into a binary-encoded variant, then typed paths —
+# the columnar-friendly replacement for per-access string re-parsing
+# (get_json_object). Oracle uses DuckDB's JSON path extraction.
+# --------------------------------------------------------------------------
+@query(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+           max(json_extract(props, '$.k')::INT) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "variant", "json"),
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse_json` → VariantType → `variant_get` typed paths: the
+    payload parses ONCE per row into Variant's binary encoding, and
+    every path access is a cheap binary probe (vs get_json_object's
+    re-parse per access). At 100 TB of event payloads, parse cost is
+    the hot path."""
+    t = load(spark, sf_dir)
+    v = F.parse_json("props")
+    return (
+        t.events.select("event_type", F.variant_get(v, "$.k", "int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — conversion funnel (view → click → purchase, time-ordered):
+# the sequential-behavior query every event store needs. Stage N
+# counts users whose earliest stage-N event follows their earliest
+# stage-(N-1) event.
+# --------------------------------------------------------------------------
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    tags=("events", "funnel"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is one conditional-filtered aggregation joined to the
+    previous stage's per-user frontier — three shuffles on user_id
+    total (the per-user frontiers are tiny: one row per converted
+    user). No window over the full event stream needed."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — sessionization by inactivity gap, window-composition form:
+# lag → gap flag → cumulative sum assigns a session id to EVERY ROW
+# (session_window aggregates; this labels), the standard construction
+# --------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               (sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::BIGINT AS session_seq
+        FROM g
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    tags=("events", "sessionize", "window"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + cumulative sum over ONE (user, time) window ordering —
+    Catalyst plans a single shuffle + sort reused by both window
+    functions; the aggregation then groups on the assigned ids."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    g = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap <= 30 * 60, 0).otherwise(1).alias("new_session"),
+    )
+    return (
+        g.withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
