@@ -90,3 +90,62 @@ def test_feed_datasource_matches_mapinpandas_fetcher(spark):
     via_fetch = fetch_history(tasks)
     assert via_ds.exceptAll(via_fetch).count() == 0
     assert via_fetch.exceptAll(via_ds).count() == 0
+
+
+def test_jsonl_round_trip_and_convert(spark, tmp_path):
+    """JSONL write → schema-declared read → identical rows; corrupt
+    lines land in _corrupt_record instead of failing the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from finanalyzer_spark.catalog import load
+    from finanalyzer_spark.sources.textual import (
+        jsonl_to_parquet,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR).documents
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in docs.schema.fields]
+    )
+    back = read_jsonl(spark, path, schema).select(*docs.columns)
+    assert back.schema == docs.select(*docs.columns).schema
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+    pq = str(tmp_path / "docs_pq")
+    jsonl_to_parquet(spark, path, pq, schema)
+    assert spark.read.parquet(pq).count() == docs.count()
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves rows; the read plan pushes filters to
+    the ORC scan like parquet."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.catalog import load
+    from finanalyzer_spark.sources.textual import read_orc, write_orc
+
+    from .conftest import SF_DIR
+
+    orders = load(spark, SF_DIR).orders
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+
+    plan_df = back.where(F.col("o_totalprice") > 300000).select("o_orderkey")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
