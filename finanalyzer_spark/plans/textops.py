@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.text import (
+    punct_ratio_col,
     quality_features,
     token_count_col,
     fingerprint_col,
@@ -170,4 +171,74 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_tfidf").desc(), "term")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — end-to-end corpus cleaning: exact-dedup survivor selection +
+# quality thresholds + language allowlist in ONE composed plan — the
+# standard LLM pre-training filter chain, reported per language
+# --------------------------------------------------------------------------
+@query(
+    "clean_corpus_stats",
+    oracle=r"""
+    WITH dedup AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id
+        ) AS rn
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                         * 1.0 / length(text) END AS punct_ratio
+        FROM dedup WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM scored
+    WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+      AND lang IN ('en', 'fr', 'de', 'es')
+    GROUP BY lang
+    """,
+    tags=("text", "cleaning", "pipeline"),
+)
+def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter chain composes into ONE Catalyst plan: dedup window,
+    quality expressions, language filter, and aggregation share a
+    single pass over the corpus — no intermediate materialization.
+    (Near-dup clustering chains in front via dedup_components when
+    exact dedup isn't enough.)"""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    kept = (
+        t.documents.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            token_count_col(F.col("text")).alias("n_tokens"),
+            punct_ratio_col(F.col("text")).alias("punct_ratio"),
+        )
+    )
+    return (
+        kept.where(
+            (F.col("n_tokens") >= 5)
+            & (F.col("punct_ratio") <= 0.2)
+            & F.col("lang").isin("en", "fr", "de", "es")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
     )

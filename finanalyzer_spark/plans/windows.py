@@ -328,3 +328,40 @@ def forward_fill_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.last(px, ignorenulls=True).over(w).alias("px_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext — RANGE frame (value/time-interval window): trailing 30-DAY sum
+# per supplier — frames defined by the ORDER BY value, not row offsets
+# (rows frames are wrong when days are missing; range frames aren't)
+# --------------------------------------------------------------------------
+@query(
+    "trailing_30d_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rev_30d
+    FROM lineitem
+    """,
+    tags=("window", "range-frame"),
+)
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween on epoch seconds: the frame covers a 30-day VALUE
+    interval regardless of how many rows fall in it — the correct
+    trailing-window semantics for sparse time series (rowsBetween(-N)
+    silently widens over gaps). Same single shuffle + sort as any
+    window."""
+    t = load(spark, sf_dir)
+    # TIMESTAMP_NTZ → epoch seconds (session tz is UTC, so the two
+    # timestamp types agree; rangeBetween needs a numeric ordering)
+    epoch = F.col("l_shipdate").cast("timestamp").cast("long")
+    w = W.partitionBy("l_suppkey").orderBy(epoch).rangeBetween(-30 * 86400, 0)
+    return t.lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("rev_30d"),
+    )
