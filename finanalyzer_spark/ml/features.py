@@ -65,3 +65,32 @@ def scaled_price_by_priority(orders: DataFrame) -> DataFrame:
             F.max("cat_idx").cast("long").alias("cat_index"),
         )
     )
+
+
+def fit_ols(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Train pyspark.ml LinearRegression (unregularized, solver=normal
+    → exact OLS) on one feature; return a 1-row DataFrame of
+    (slope, intercept, n). Closed form slope = covar/var means the
+    TRAINING RUN itself is oracle-checkable against SQL
+    regr_slope/regr_intercept — the reference's Ridge ambition
+    (plot_cyclical_feature_engineering.py:201-238) with a provable
+    fit."""
+    from pyspark.ml.regression import LinearRegression
+
+    spark = df.sparkSession
+    assembled = VectorAssembler(inputCols=[x], outputCol="_features").transform(
+        df.select(F.col(x).cast("double"), F.col(y).cast("double"))
+    )
+    model = LinearRegression(
+        featuresCol="_features", labelCol=y, regParam=0.0, solver="normal"
+    ).fit(assembled)
+    return spark.createDataFrame(
+        [
+            (
+                float(model.coefficients[0]),
+                float(model.intercept),
+                assembled.count(),
+            )
+        ],
+        "slope double, intercept double, n long",
+    )

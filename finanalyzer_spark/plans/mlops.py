@@ -39,3 +39,33 @@ def ml_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form: alphabetic label index + (x-min)/(max-min) scaling."""
     t = load(spark, sf_dir)
     return scaled_price_by_priority(t.orders)
+
+
+@query(
+    "ols_price_on_qty",
+    oracle="""
+    SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           count(*) AS n
+    FROM lineitem
+    """,
+    tags=("ml", "regression", "training"),
+)
+def ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real pyspark.ml training run (LinearRegression, normal-
+    equation solver = exact OLS) verified against SQL's closed-form
+    regr_slope/regr_intercept — distributed training whose result is
+    still oracle-checkable. The normal-equation solve aggregates
+    X'X / X'y moments in one pass (mergeable, like any algebraic agg);
+    no gradient iterations, no driver-side data."""
+    from pyspark.sql import functions as F
+
+    from ..ml.features import fit_ols
+
+    t = load(spark, sf_dir)
+    fitted = fit_ols(t.lineitem, "l_quantity", "l_extendedprice")
+    return fitted.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        "n",
+    )
