@@ -59,14 +59,16 @@ def connected_components(
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.persist()
 
+    # round 0 folded into init: label = min(self, min neighbor) is a
+    # groupBy over sym (no join needed when every label is still its
+    # own node id)
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("label"))
         .localCheckpoint()
     )
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
@@ -86,6 +88,12 @@ def connected_components(
         )
         new = new.localCheckpoint()
 
+        if i == 0:
+            # a round-0 fixpoint only happens on graphs that converge
+            # in one hop anyway; skipping the check saves a job and at
+            # worst costs one extra (cheap) round
+            labels = new
+            continue
         changed = (
             new.join(labels.withColumnRenamed("label", "_old"), "node")
             .where(F.col("label") != F.col("_old"))
