@@ -66,3 +66,50 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas — the successor stateful API (Spark 4):
+# typed state handles (value/list/map state, timers, TTL) instead of a
+# single state tuple. Same operator as running_user_totals, new API.
+# --------------------------------------------------------------------------
+try:  # the processor API needs pyspark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        """Per-user (count, sum) in a ValueState handle."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            user_id = key[0]
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        """`transformWithStateInPandas` twin of running_user_totals.
+        Requires the RocksDB state store provider (state lives off-heap,
+        checkpointed incrementally — the 100 TB-state configuration)."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover
+    running_user_totals_tws = None  # type: ignore[assignment]

@@ -139,3 +139,52 @@ def test_foreach_batch_merge_idempotent(spark, tmp_path):
         load(spark, SF_DIR).events.select("event_id").distinct().count()
     )
     assert merged.count() == merged.select("event_id").distinct().count() == distinct_ids
+
+
+def test_transform_with_state_matches_batch(spark, events_stream):
+    """transformWithStateInPandas (typed-state successor API): final
+    per-user totals must equal the batch aggregation, like the
+    applyInPandasWithState twin."""
+    from finanalyzer_spark.streaming.stateful import running_user_totals_tws
+
+    if running_user_totals_tws is None:
+        pytest.skip("transformWithState API unavailable")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        try:
+            got = run_to_completion(
+                running_user_totals_tws(events_stream), output_mode="update"
+            )
+        except Exception as exc:  # environment gate, not a correctness pass
+            if "driver worker exited unexpectedly" in str(exc):
+                # pyspark 4.1.2 in this container crashes the TWS
+                # driver-side Python worker even on the canonical
+                # rate-source example — API-level environment
+                # limitation, not this operator (see module docstring)
+                pytest.skip("transformWithState python worker broken here")
+            raise
+        latest = got.toPandas().groupby("user_id").last()
+        want = (
+            load(spark, SF_DIR)
+            .events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .toPandas()
+            .set_index("user_id")
+        )
+        assert len(latest) == len(want) > 0
+        joined = latest.join(want, lsuffix="_s", rsuffix="_b")
+        assert (joined["n_events_s"] == joined["n_events_b"]).all()
+        assert (abs(joined["sum_value_s"] - joined["sum_value_b"]) < 1e-6).all()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
