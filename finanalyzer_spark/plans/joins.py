@@ -435,3 +435,55 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# ext — ratio-to-report: share of global revenue per nation. The
+# window-over-aggregate runs on the POST-AGGREGATION frame (25 rows),
+# so the empty-partition global window is trivially safe
+# --------------------------------------------------------------------------
+@query(
+    "revenue_share_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM rev
+    """,
+    tags=("join", "aggregate", "ratio-to-report"),
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an empty-frame window — computed over the
+    25-row aggregate, never the fact table (a global window on raw
+    rows would funnel 100 TB through one task; on the aggregate it's
+    free)."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    from pyspark.sql import Window as W
+
+    return rev.select(
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6
+        ).alias("share"),
+    )
