@@ -487,3 +487,56 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext — disjunctive multi-clause predicate join (TPC-H Q19 shape):
+# OR-of-ANDs across both join sides — the classic pushdown/CNF test
+# --------------------------------------------------------------------------
+@query(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 20)
+       OR (p.p_type = 'ECONOMY' AND l.l_discount > 0.08)
+    """,
+    tags=("join", "tpch-q19", "disjunction"),
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape. Catalyst CNF-converts the OR-of-ANDs so the
+    single-side conjuncts (brand/size on part, quantity/discount on
+    lineitem) push below the join as partial filters; only the
+    residual disjunction evaluates post-join. The filtered part side
+    broadcasts."""
+    t = load(spark, sf_dir)
+    li = t.lineitem
+    p = t.part
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 20)
+        )
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") > 0.08))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

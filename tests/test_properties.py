@@ -211,3 +211,24 @@ def test_connected_components_match_union_find(spark, edges):
         rep_min[find(r)] = min(rep_min.get(find(r), n), n)
     want = {n: rep_min[find(n)] for n in want}
     assert got == want
+
+
+def test_hash_split_stable_under_repartition(spark):
+    """A row's split assignment must not depend on physical layout —
+    the property that distinguishes content-hash splitting from
+    randomSplit/sample."""
+    from finanalyzer_spark.operators.sampling import split_col
+
+    df = spark.range(0, 2000).withColumn(
+        "split", split_col(F.col("id").cast("string"), (0.8, 0.1, 0.1),
+                           ("train", "val", "test"))
+    )
+    base = dict(df.select("id", "split").collect())
+    for layout in (df.repartition(17), df.coalesce(1), df.repartition(5, "id")):
+        got = dict(layout.select("id", "split").collect())
+        assert got == base
+    # weights are approximately honored
+    from collections import Counter
+    c = Counter(base.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.05 < c["val"] / 2000 < 0.15
