@@ -242,3 +242,57 @@ def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — sequence packing for training: assign docs to token-budget
+# batches by running total over a deterministic order — the
+# shuffle-once, window-once form of greedy packing
+# --------------------------------------------------------------------------
+@query(
+    "pack_token_batches",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               ((sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - 1) // 512)::BIGINT AS batch_id
+        FROM toks
+    )
+    SELECT batch_id, count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens
+    FROM packed
+    GROUP BY batch_id
+    """,
+    tags=("text", "packing", "training-prep"),
+)
+def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch assignment (512-token budget): cumulative
+    token count over doc order, integer-divided into batch ids — every
+    batch's total lands in (budget-overflow-by-one-doc) bounds, the
+    greedy packing guarantee. One window pass; at 100 TB the order
+    column is (shard, doc) so the running total parallelizes per shard
+    (the global ORDER BY here funnels one partition — fine for a demo,
+    sharded in production, same arithmetic)."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "batch_id",
+        F.floor((F.sum("n_tokens").over(w) - 1) / F.lit(512)),
+    )
+    return packed.groupBy("batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
