@@ -253,46 +253,52 @@ def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_token_batches",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id,
+        SELECT doc_id, doc_id % 8 AS shard,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         FROM documents
     ),
     packed AS (
-        SELECT doc_id, n_tokens,
+        SELECT shard, doc_id, n_tokens,
                ((sum(n_tokens) OVER (
-                   ORDER BY doc_id
+                   PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) - 1) // 512)::BIGINT AS batch_id
+               ) - 1) // 512)::BIGINT AS local_batch
         FROM toks
     )
-    SELECT batch_id, count(*) AS n_docs,
+    SELECT shard, local_batch, count(*) AS n_docs,
            sum(n_tokens)::BIGINT AS total_tokens
     FROM packed
-    GROUP BY batch_id
+    GROUP BY shard, local_batch
     """,
     tags=("text", "packing", "training-prep"),
 )
 def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget batch assignment (512-token budget): cumulative
-    token count over doc order, integer-divided into batch ids — every
-    batch's total lands in (budget-overflow-by-one-doc) bounds, the
-    greedy packing guarantee. One window pass; at 100 TB the order
-    column is (shard, doc) so the running total parallelizes per shard
-    (the global ORDER BY here funnels one partition — fine for a demo,
-    sharded in production, same arithmetic)."""
+    """Token-budget batch assignment (512-token budget), SHARDED:
+    cumulative token count per (shard = doc_id % 8) over doc order,
+    integer-divided into local batch ids — greedy packing's
+    budget-overflow-by-one-doc bound per batch, and the running-total
+    window parallelizes across shards (never a global single-partition
+    ORDER BY). A production corpus raises the shard count with the
+    cluster; the arithmetic is unchanged."""
     from pyspark.sql import Window as W
 
     t = load(spark, sf_dir)
     toks = t.documents.select(
-        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count_col(F.col("text")).alias("n_tokens"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     packed = toks.withColumn(
-        "batch_id",
+        "local_batch",
         F.floor((F.sum("n_tokens").over(w) - 1) / F.lit(512)),
     )
-    return packed.groupBy("batch_id").agg(
+    return packed.groupBy("shard", "local_batch").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
