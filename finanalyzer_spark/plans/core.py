@@ -815,3 +815,42 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "val"
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 extension — TPC-H Q6 shape: pure scan → filter → scalar agg,
+# the canonical predicate-pushdown benchmark query
+# --------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("aggregate", "tpch-q6", "pushdown"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: every predicate reaches the parquet scan
+    (PushedFilters) and only 3 columns are read (ReadSchema) — at
+    100 TB the scan skips entire row groups on shipdate min/max
+    stats. No shuffle until the single partial-aggregated scalar."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -540,3 +540,51 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — returned-item ranking (TPC-H Q10 shape): fact-fact join +
+# dimension broadcast + top-20 customers by lost revenue
+# --------------------------------------------------------------------------
+@query(
+    "top_returning_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "tpch-q10", "topk"),
+)
+def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: the returnflag filter prunes lineitem at the scan,
+    the date filter prunes orders (and date partitions at scale), the
+    nation dim broadcasts, and TakeOrderedAndProject bounds the
+    result without a global sort."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.where(F.col("l_returnflag") == "R")
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -104,6 +104,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["rangepartitioning", "BroadcastHashJoin"],
         "must_not": [],
     },
+    "forecast_revenue_change": {
+        # Q6: every predicate pushed to the scan, 3-column ReadSchema
+        "must": ["PushedFilters: [IsNotNull", "GreaterThanOrEqual(l_shipdate",
+                 "HashAggregate"],
+        "must_not": ["Window", "SortMergeJoin"],
+    },
+    "top_returning_customers": {
+        "must": ["TakeOrderedAndProject", "BroadcastHashJoin",
+                 "EqualTo(l_returnflag,R)"],
+        "must_not": ["BroadcastNestedLoopJoin"],
+    },
     "trailing_30d_revenue": {
         "must": ["Window"],
         "must_not": ["SortMergeJoin"],
