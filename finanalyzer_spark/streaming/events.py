@@ -174,3 +174,44 @@ def foreach_batch_merge(target_dir: str, keys: list[str]):
         os.rename(tmp, target_dir)
 
     return write
+
+
+def streaming_view_click_join(
+    views: DataFrame, clicks: DataFrame, within: str = "30 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each view joins the same user's clicks
+    landing within `within` after it. Both sides are watermarked and
+    the join condition time-bounds both event times, so the state store
+    evicts rows once they can no longer match — bounded state, the
+    requirement for an unbounded two-stream join.
+
+    Output: (user_id, view_id, click_id, view_ts, click_ts)."""
+    v = (
+        views.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )

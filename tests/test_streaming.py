@@ -188,3 +188,44 @@ def test_transform_with_state_matches_batch(spark, events_stream):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream join (views ⋈ same-user clicks within
+    30 min) must produce exactly the batch join's pairs."""
+    from finanalyzer_spark.streaming.events import (
+        read_events_stream,
+        streaming_view_click_join,
+    )
+
+    sv = read_events_stream(spark, EVENTS_PATH)
+    sc = read_events_stream(spark, EVENTS_PATH)
+    got = run_to_completion(
+        streaming_view_click_join(
+            sv.where(F.col("event_type") == "view"),
+            sc.where(F.col("event_type") == "click"),
+        ),
+        output_mode="append",
+    )
+
+    ev = load(spark, SF_DIR).events
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    assert got.count() == want.count() > 0
+    g = set(map(tuple, got.select("view_id", "click_id").collect()))
+    w = set(map(tuple, want.select("view_id", "click_id").collect()))
+    assert g == w
