@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.text import (
+    bpe_ish_token_count_col,
     punct_ratio_col,
     quality_features,
     token_count_col,
@@ -24,25 +25,32 @@ from .registry import query
 
 @query(
     "text_token_stats",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            n_chars,
            length(text) AS n_chars_check,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text,
+               e'\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+               AS n_bpe_tokens
     FROM documents
     """,
     tags=("text", "tokenize"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + char counts (the BPE-ish regex count
-    is in `text_quality_score`)."""
+    """Token counting both ways: whitespace split and the GPT-2-style
+    pre-tokenizer regex (contractions / letter runs / digit runs /
+    punctuation runs) — the cheap token-budget estimator for LLM
+    corpora. Both are codegen'd regex expressions; the same pattern
+    runs in DuckDB's RE2 for the oracle."""
     t = load(spark, sf_dir)
     return t.documents.select(
         "doc_id",
         "n_chars",
         F.length("text").cast("long").alias("n_chars_check"),
         token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
