@@ -86,15 +86,15 @@ def language_id_col(text: Column, profiles: dict[str, tuple[str, ...]] | None = 
     }
     toks = tokens_col(text)
     n = F.size(toks)
-    scores = [
-        (
-            lang,
-            F.when(n == 0, F.lit(0.0)).otherwise(
-                F.size(F.filter(toks, lambda w, sw=sw: w.isin(*sw))) / n
-            ),
+
+    def hit_ratio(sw: tuple[str, ...]) -> Column:
+        # bind sw via closure — an extra lambda default would change
+        # the higher-order function's arity and receive a Column
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(toks, lambda w: w.isin(*sw))) / n
         )
-        for lang, sw in profiles.items()
-    ]
+
+    scores = [(lang, hit_ratio(sw)) for lang, sw in profiles.items()]
     best_lang, best_score = F.lit("und"), F.lit(0.0)
     # fold: keep the max-scoring language (ties → first profile order wins
     # because strict > is required to replace)

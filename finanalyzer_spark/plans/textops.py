@@ -310,3 +310,71 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext — heuristic language-ID confusion matrix: the stopword-profile
+# argmax classifier (operators/text.language_id_col) vs the declared
+# lang column. Oracle replicates the argmax fold (ties → first
+# profile order) in plain CASE logic.
+# --------------------------------------------------------------------------
+_LANGID_PROFILES = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "fr": ("le", "la", "de", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+}
+
+
+def _langid_score_sql(sw: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in sw)
+    return (
+        "CASE WHEN len(t) = 0 THEN 0.0 "
+        f"ELSE len(list_filter(t, w -> w IN ({inlist}))) * 1.0 / len(t) END"
+    )
+
+
+@query(
+    "langid_confusion",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+               {_langid_score_sql(_LANGID_PROFILES["en"])} AS s_en,
+               {_langid_score_sql(_LANGID_PROFILES["es"])} AS s_es,
+               {_langid_score_sql(_LANGID_PROFILES["fr"])} AS s_fr,
+               {_langid_score_sql(_LANGID_PROFILES["de"])} AS s_de
+        FROM toks
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS predicted,
+           count(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    tags=("text", "langid", "confusion"),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared × predicted language counts. The classifier is a pure
+    codegen'd expression chain (filter + ratio + argmax fold) — no
+    UDF, no model download; ratios are identical IEEE divisions in
+    both engines, so even the argmax ties match the oracle."""
+    from ..operators.text import language_id_col
+
+    t = load(spark, sf_dir)
+    return (
+        t.documents.select(
+            "lang", language_id_col(F.col("text")).alias("predicted")
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
