@@ -18,8 +18,18 @@ import os
 import sys
 import time
 
-from finanalyzer_spark.plans import REGISTRY
-from finanalyzer_spark.session import get_spark
+# The driver parses this process's ENTIRE stdout as one JSON document
+# (BENCH_r01.json recorded parsed:null because JVM/py4j chatter shared
+# fd 1 with the payload).  Before anything else — including the Spark
+# import, whose JVM child inherits our file descriptors — dup the real
+# stdout aside for the final JSON and point fd 1 at stderr so every
+# other writer (Python prints, log4j, Ivy, py4j) lands on fd 2.
+_REAL_STDOUT = os.fdopen(os.dup(1), "w")
+os.dup2(2, 1)
+sys.stdout = sys.stderr
+
+from finanalyzer_spark.plans import REGISTRY  # noqa: E402
+from finanalyzer_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -74,8 +84,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
             }
-        )
+        ),
+        file=_REAL_STDOUT,
     )
+    _REAL_STDOUT.flush()
 
 
 if __name__ == "__main__":

@@ -84,12 +84,13 @@ def fit_ols(df: DataFrame, x: str, y: str) -> DataFrame:
     model = LinearRegression(
         featuresCol="_features", labelCol=y, regParam=0.0, solver="normal"
     ).fit(assembled)
+    # numInstances comes from the training summary — no second pass
     return spark.createDataFrame(
         [
             (
                 float(model.coefficients[0]),
                 float(model.intercept),
-                assembled.count(),
+                int(model.summary.numInstances),
             )
         ],
         "slope double, intercept double, n long",

@@ -46,6 +46,10 @@ B = 131071
 B2 = (B * B) % P
 #: base-2^31 packing factor for collision-free 2-row band hashes
 PACK = 2147483648
+#: max LSH bucket size admitted to the quadratic pair expansion — a
+#: degenerate bucket (all-identical corpus) is dropped, not exploded;
+#: mirrored into the DuckDB oracle so both engines share the semantics
+BUCKET_CAP = 1000
 
 
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -231,11 +235,19 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     k: int = 3,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, distinct): docs
     sharing ANY full band bucket. Shuffle cost O(docs × bands) longs —
-    never O(docs²). At 100 TB, cap oversized buckets (a degenerate
-    all-identical corpus) upstream with a bucket-count filter."""
+    never O(docs²).
+
+    `bucket_cap` bounds the per-bucket pair expansion: a degenerate
+    corpus (every document identical) puts all n docs in ONE bucket per
+    band, and the n²/2 in-bucket expansion would OOM an executor at
+    scale. Buckets larger than the cap are dropped before expansion —
+    at a real near-dup threshold such buckets are all mutual duplicates
+    anyway, and exact_dedup_groups is the right (linear) tool for them.
+    The DuckDB oracle twin applies the identical cap."""
     sig = minhash_signature(df, text_col, id_col, num_hashes, k)
     bhs = band_hash_cols(num_hashes, bands)
     banded = sig.select(
@@ -256,8 +268,8 @@ def minhash_lsh_pairs(
     # dedupe self-joined subplans). Grouping the bucket members and
     # expanding in-bucket pairs reads the corpus ONCE; bucket sizes are
     # small by construction (b·r tuned for the similarity threshold), so
-    # the n² expansion is per-bucket-tiny. A degenerate corpus (all docs
-    # identical) should cap `size(ids)` upstream before expansion.
+    # the n² expansion is per-bucket-tiny; `bucket_cap` (enforced below,
+    # before the expansion) bounds the pathological all-identical case.
     buckets = banded.groupBy("band", "bhash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -273,7 +285,7 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        buckets.where(F.size("ids") >= 2)
+        buckets.where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
         .select(pair.alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()

@@ -51,14 +51,20 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in {*keys, ts}]
     left_cols = [c for c in left.columns if c not in {*keys, ts}]
 
-    lpay_type = left.select(F.struct(*left_cols).alias("s")).schema["s"].dataType
-    rpay_type = right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType
+    def _pay(cols: list[str]) -> F.Column:
+        # struct() with zero fields fails analysis — a side with no
+        # columns beyond (key, ts) rides a dummy field instead (never
+        # surfaced: the final select only names real columns)
+        return F.struct(*cols) if cols else F.struct(F.lit(0).alias("_dummy"))
+
+    lpay_type = left.select(_pay(left_cols).alias("s")).schema["s"].dataType
+    rpay_type = right.select(_pay(payload_cols).alias("s")).schema["s"].dataType
 
     l_tagged = left.select(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.struct(*left_cols).alias("_lpay"),
+        _pay(left_cols).alias("_lpay"),
         F.lit(None).cast(rpay_type).alias("_rpay"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"_tb_{c}")
@@ -70,7 +76,7 @@ def asof_join(
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lpay_type).alias("_lpay"),
-        F.struct(*payload_cols).alias("_rpay"),
+        _pay(payload_cols).alias("_rpay"),
         *[F.col(c).alias(f"_tb_{c}") for c in right_tiebreak],
     )
 

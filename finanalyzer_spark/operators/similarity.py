@@ -79,67 +79,67 @@ def cosine_topk(
     )
 
 
-def cosine_all_pairs(
+def cosine_bucketed_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     label_col: str | None = None,
+    planes: list[list[float]] | None = None,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
     round_digits: int = 5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine above a threshold — vectorized BLAS path.
+    """Near-duplicate pairs above a cosine threshold, LSH-bucketed —
+    the 100 TB shape for all-pairs similarity (replaces a former
+    driver-side `toPandas` + broadcast-matrix kernel; `num_planes=0`
+    degenerates to exact all-pairs semantics while still running as a
+    distributed join, never a driver collect).
 
-    One side of the O(n²) comparison is broadcast as a dense float64
-    matrix; the corpus side streams through `mapInPandas`, and each
-    Arrow batch does a single `block @ M.T` matmul. This is the
-    sanctioned Python escape hatch (Arrow-batched, never per-row) and
-    beats interpreted JVM array-lambda evaluation by ~50×.
+    Candidate generation is an equality self-join on the sign-bit
+    hyperplane bucket (hash-partitionable — one shuffle of
+    (bucket, id, vec), no all-pairs blowup, no driver materialization);
+    exact cosine then verifies only within-bucket candidates, entirely
+    in whole-stage codegen (`cosine_col`).  Recall is governed by
+    `num_planes` (fewer planes → bigger buckets → higher recall); the
+    DuckDB oracle twin interpolates the identical plane literals so the
+    bucketed semantics are exactly checkable.
 
-    Bounded use: broadcast is n×dim×8 bytes — fine to ~10M vectors.
-    Beyond that, use hyperplane_lsh_buckets to restrict pairs to
-    buckets first (same kernel within buckets).
+    `bucket_cap`: optional guard that drops buckets with more than this
+    many vectors before the quadratic pair join (an adversarial
+    all-identical corpus makes one bucket of size n).  The bucket-size
+    frame is 2**num_planes rows — broadcast, never a shuffle.
 
-    Emits (id_a, id_b, cosine, [same_label]) with id_a < id_b.
+    Emits (id_a, id_b, cosine[, same_label]) with id_a < id_b.
     """
-    import numpy as np
-    import pandas as pd
-
-    spark = df.sparkSession
-    cols = [id_col, vec_col] + ([label_col] if label_col else [])
-    pdf = df.select(*cols).toPandas()
-    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-    ids = pdf[id_col].to_numpy()[order]
-    M = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
-    norms = np.sqrt((M * M).sum(axis=1))
-    labels = pdf[label_col].to_numpy()[order] if label_col else None
-    bc = spark.sparkContext.broadcast((ids, M, norms, labels))
-
-    out_fields = "id_a long, id_b long, cosine double" + (
-        ", same_label boolean" if label_col else ""
+    b = hyperplane_lsh_buckets(df, vec_col, planes, num_planes, dim, seed)
+    if bucket_cap is not None:
+        keep = (
+            b.groupBy("lsh_bucket")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= bucket_cap)
+            .select("lsh_bucket")
+        )
+        b = b.join(F.broadcast(keep), "lsh_bucket")
+    la = [F.col(label_col).alias("_la")] if label_col else []
+    lb = [F.col(label_col).alias("_lb")] if label_col else []
+    left = b.select(
+        F.col("lsh_bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), *la
     )
-
-    def gen(batches):
-        ids_all, M_all, norms_all, labels_all = bc.value
-        for block in batches:
-            A = np.array(block[vec_col].tolist(), dtype=np.float64)
-            a_ids = block[id_col].to_numpy()
-            a_norms = np.sqrt((A * A).sum(axis=1))
-            S = (A @ M_all.T) / np.outer(a_norms, norms_all)
-            S = np.round(S, round_digits) + 0.0
-            ii, jj = np.nonzero((S > threshold) & (a_ids[:, None] < ids_all[None, :]))
-            out = {
-                "id_a": a_ids[ii],
-                "id_b": ids_all[jj],
-                "cosine": S[ii, jj],
-            }
-            if labels_all is not None:
-                out["same_label"] = (
-                    block[label_col].to_numpy()[ii] == labels_all[jj]
-                )
-            yield pd.DataFrame(out)
-
-    return df.select(id_col, vec_col, *([label_col] if label_col else [])).mapInPandas(
-        gen, schema=out_fields
+    right = b.select(
+        F.col("lsh_bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), *lb
+    )
+    cos = F.round(cosine_col(F.col("_va"), F.col("_vb")), round_digits) + 0.0
+    out_cols = [F.col("id_a"), F.col("id_b"), cos.alias("cosine")] + (
+        [(F.col("_la") == F.col("_lb")).alias("same_label")] if label_col else []
+    )
+    return (
+        left.join(right, "lsh_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(*out_cols)
+        .where(F.col("cosine") > threshold)
     )
 
 

@@ -38,7 +38,17 @@ def salted_join(
     use only when `right` is too big to broadcast but small enough to
     replicate, the classic mid-size dimension). The join key becomes
     (on..., salt), so one hot key now lands on `salt_buckets` reducers.
+
+    `how` is restricted to inner/left/left_semi/left_anti: replicating
+    the right side per salt bucket would emit every unmatched RIGHT row
+    `salt_buckets` times under right/full outer semantics.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated right side breaks right/full outer semantics "
+            "(each unmatched right row would appear once per salt bucket)"
+        )
     salt_src = list(salt_from or [c for c in left.columns if c not in on])
     if not salt_src:
         raise ValueError("need at least one non-key column to derive the salt")
@@ -64,9 +74,15 @@ def salted_collect_list(
     already bounds reducer load — but holistic aggs ship every value to
     one reducer unless sharded like this. Order within the list follows
     shard order (deterministic given the salt), so callers needing a
-    total order should sort the array afterwards."""
+    total order should sort the array afterwards.
+
+    The salt hashes EVERY non-key column (not just `value_col`): a hot
+    key whose skew comes from one repeated value would otherwise land
+    every copy in a single shard, spreading nothing. Fully identical
+    rows still co-shard — unavoidable for a deterministic salt."""
+    salt_src = [c for c in df.columns if c not in key_cols] or [value_col]
     salted = df.withColumn(
-        SALT_COL, F.pmod(F.hash(F.col(value_col)), F.lit(salt_buckets))
+        SALT_COL, F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
     )
     partial = salted.groupBy(*key_cols, SALT_COL).agg(
         F.collect_list(value_col).alias("_part")

@@ -16,6 +16,7 @@ from ..catalog import load
 from ..operators.dedup import (
     B,
     B2,
+    BUCKET_CAP,
     P,
     PACK,
     dedup_by_key,
@@ -66,10 +67,13 @@ _BANDED_CTE = "banded AS (" + " UNION ALL ".join(
     for j in range(BANDS)
 ) + ")"
 
-_CAND_SQL = """
+_CAND_SQL = f"""
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+    JOIN (SELECT band, bhash FROM banded GROUP BY band, bhash
+          HAVING count(*) <= {BUCKET_CAP}) ok
+      ON ok.band = a.band AND ok.bhash = a.bhash
     WHERE a.doc_id < b.doc_id
 """
 

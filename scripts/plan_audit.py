@@ -60,6 +60,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin"],  # the scale path replaces the NL join
         "must_not": ["BroadcastNestedLoopJoin"],
     },
+    "embedding_near_dup": {
+        # near-dup candidates come from an equality join on the LSH
+        # bucket (hash-partitionable), never all-pairs / driver collect
+        "must": ["Join", "lsh_bucket"],
+        "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
     "tumbling_hourly": {
         "must": ["HashAggregate"],
         "must_not": ["SortMergeJoin"],

@@ -232,3 +232,32 @@ def test_hash_split_stable_under_repartition(spark):
     c = Counter(base.values())
     assert 0.75 < c["train"] / 2000 < 0.85
     assert 0.05 < c["val"] / 2000 < 0.15
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """An all-identical corpus collapses into ONE bucket per band; the
+    enforced bucket cap must drop it before the quadratic pair
+    expansion (bounded output on the pathological input), while a
+    corpus under the cap still yields all its candidate pairs."""
+    from finanalyzer_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 40
+    df = spark.createDataFrame(
+        [(i, "the same exact document text every single time") for i in range(n)],
+        "doc_id long, text string",
+    )
+    # cap below the corpus size: the degenerate bucket is dropped whole
+    capped = minhash_lsh_pairs(df, "text", "doc_id", bucket_cap=n - 1)
+    assert capped.count() == 0
+    # cap at/above the corpus size: all n*(n-1)/2 pairs survive
+    full = minhash_lsh_pairs(df, "text", "doc_id", bucket_cap=n)
+    assert full.count() == n * (n - 1) // 2
+
+
+def test_asof_join_payloadless_sides(spark):
+    """Either side may carry nothing beyond (key, ts) — the internal
+    payload struct must not fail analysis on zero fields."""
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k long, t long")
+    right = spark.createDataFrame([(1, 5), (1, 15)], "k long, t long")
+    out = asof_join(left, right, "k", "t").collect()
+    assert sorted((r["k"], r["t"]) for r in out) == [(1, 10), (1, 20)]

@@ -113,3 +113,18 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_rejects_outer_how(spark):
+    """Replicated-right salting breaks right/full outer semantics —
+    the operator must refuse rather than silently duplicate rows."""
+    import pytest as _pytest
+
+    from finanalyzer_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, ["k"], how=how)
+    assert salted_join(left, right, ["k"], how="inner").count() == 1
