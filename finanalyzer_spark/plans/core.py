@@ -535,17 +535,37 @@ def time_split_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "approx_distinct_users",
-    oracle=None,
+    # Sketches aren't exact by definition — the checkable contract is
+    # the HLL++ error bound: the oracle asserts the approximation lands
+    # within 5% of the exact count (rsd=0.02 → generous margin), so the
+    # row is a real verdict without pretending the sketch is exact.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
     tags=("aggregate", "approx", "sketch"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type next to the exact
     count — at 100 TB the sketch avoids the exact path's per-key
-    distinct shuffle (mergeable partials only)."""
+    distinct shuffle (mergeable partials only). The output exposes the
+    BOUNDED-ERROR check (|approx − exact| ≤ 5% of exact) rather than
+    the raw sketch value, which is engine-internal."""
     t = load(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -85,7 +85,33 @@ def media_frame_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_image_features",
-    oracle=None,  # feature arrays from the stubbed decoder; rows-only
+    # The fake decoder is deterministic (byte histogram / total, float32
+    # components), so it has an exact DuckDB twin: fixture text is pure
+    # ASCII, hence ascii(char) == UTF-8 byte; bin = byte // 32 matches
+    # np.histogram(bins=8, range=(0,256)); CAST AS REAL reproduces the
+    # float32 quantization before the double norm.
+    oracle="""
+    WITH by AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                    ELSE 'video/mp4' END AS mime,
+               list_transform(string_split_regex(text, ''), c -> ascii(c)) AS bs
+        FROM documents
+    ),
+    feat AS (
+        SELECT mime,
+               list_transform(range(8), b ->
+                   CAST(CAST(len(list_filter(bs, x -> x // 32 = b)) AS DOUBLE)
+                        / greatest(len(bs), 1) AS REAL)) AS f
+        FROM by
+    )
+    SELECT mime, count(*) AS n_media,
+           round(avg(sqrt(list_sum(list_transform(f,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5)
+               AS avg_feature_norm
+    FROM feat
+    GROUP BY mime
+    """,
     tags=("multimodal", "features"),
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

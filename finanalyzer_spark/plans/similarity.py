@@ -195,9 +195,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_histogram_oracle(num_planes: int = 8, dim: int = 64) -> str:
+    """The plane literals are shared (lsh_planes seed=42), so the bucket
+    assignment — and hence the whole histogram — is exactly twinned."""
+    return f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST({_bucket_bits_sql(num_planes, dim)} AS BIGINT) AS lsh_bucket,
+           count(*) AS n_vectors
+    FROM e
+    GROUP BY 1
+    """
+
+
 @query(
     "lsh_bucket_histogram",
-    oracle=None,  # plane projection order is engine-internal; rows-only check
+    oracle=_bucket_histogram_oracle(),
     tags=("similarity", "lsh"),
 )
 def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
