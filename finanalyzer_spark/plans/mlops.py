@@ -111,7 +111,7 @@ RIDGE_LAMBDA = 1000000.0
     tags=("ml", "regression", "ridge", "eval"),
 )
 def ridge_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ridge (L2, λ=100, unstandardized penalty) via pyspark.ml with
+    """Ridge (L2, λ=RIDGE_LAMBDA, unstandardized penalty) via pyspark.ml with
     RegressionEvaluator MAE/RMSE over the training frame — the
     reference's regularized-regressor ambition with a provable fit:
     single-feature ridge has the closed form slope = cov/(var+λ), so
@@ -130,4 +130,205 @@ def ridge_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mae", 4).alias("mae"),
         F.round("rmse", 4).alias("rmse"),
         "n",
+    )
+
+
+@query(
+    "polynomial_features",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_quantity), 6) AS p_x,
+           round(avg(l_quantity * l_quantity), 6) AS p_x2,
+           round(avg(l_discount), 6) AS p_y,
+           round(avg(l_quantity * l_discount), 6) AS p_xy,
+           round(avg(l_discount * l_discount), 6) AS p_y2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ml", "features", "polynomial"),
+)
+def polynomial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml PolynomialExpansion (degree 2) over (quantity,
+    discount) — the reference's polynomial-interaction features
+    (plot_cyclical_feature_engineering.py:615-627). The expansion is a
+    narrow map (no shuffle); the per-flag averages of each expanded
+    component have exact closed forms, so the operator's output order
+    and values are both oracle-pinned."""
+    from pyspark.ml.feature import PolynomialExpansion, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    t = load(spark, sf_dir)
+    base = t.lineitem.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_discount").cast("double").alias("y"),
+    )
+    assembled = VectorAssembler(inputCols=["x", "y"], outputCol="_v").transform(base)
+    expanded = PolynomialExpansion(degree=2, inputCol="_v", outputCol="_p").transform(
+        assembled
+    ).withColumn("_pa", vector_to_array("_p"))
+    # Spark's expansion order for (x, y) @ degree 2: x, x², y, xy, y²
+    return expanded.groupBy("l_returnflag").agg(
+        F.round(F.avg(F.col("_pa")[0]), 6).alias("p_x"),
+        F.round(F.avg(F.col("_pa")[1]), 6).alias("p_x2"),
+        F.round(F.avg(F.col("_pa")[2]), 6).alias("p_y"),
+        F.round(F.avg(F.col("_pa")[3]), 6).alias("p_xy"),
+        F.round(F.avg(F.col("_pa")[4]), 6).alias("p_y2"),
+    )
+
+
+def _spline_oracle(n_splines: int = 6, period: float = 12.0) -> str:
+    from ..ml.features import periodic_spline_sql
+
+    basis = periodic_spline_sql("CAST(month(o_orderdate) AS DOUBLE)",
+                                period, n_splines)
+    cols = ",\n           ".join(
+        f"round(avg({b}), 6) AS spline_{j}" for j, b in enumerate(basis)
+    )
+    return f"""
+    SELECT o_orderpriority,
+           {cols}
+    FROM orders
+    GROUP BY o_orderpriority
+    """
+
+
+@query(
+    "spline_seasonal_features",
+    oracle=_spline_oracle(),
+    tags=("ml", "features", "spline", "cyclical"),
+)
+def spline_seasonal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic uniform cubic B-spline basis over order month — the
+    reference's periodic_spline_transformer for cyclical time features
+    (plot_cyclical_feature_engineering.py:431-441), as pure codegen
+    piecewise polynomials (no UDF, no fitted state). Basis functions
+    and the oracle SQL are generated from the same knot constants."""
+    from pyspark.sql import functions as F
+
+    from ..ml.features import periodic_spline_cols
+
+    t = load(spark, sf_dir)
+    x = F.month("o_orderdate").cast("double")
+    basis = periodic_spline_cols(x, period=12.0, n_splines=6)
+    return t.orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.avg(b), 6).alias(f"spline_{j}")
+            for j, b in enumerate(basis)
+        ]
+    )
+
+
+def _nystroem_oracle(n_landmarks: int = 4, dim: int = 64,
+                     gamma: float = 0.5) -> str:
+    from ..ml.features import (
+        nystroem_constants,
+        nystroem_kernel_sql,
+        nystroem_landmark_ctes,
+    )
+
+    L, W = nystroem_constants(n_landmarks, dim, gamma)
+    kx = nystroem_kernel_sql("v", n_landmarks, dim, gamma)
+    k_cols = ",\n               ".join(f"{k} AS k{j}" for j, k in enumerate(kx))
+    phi = []
+    for i, row in enumerate(W):
+        terms = " + ".join(f"{float(w)!r} * k{j}" for j, w in enumerate(row))
+        phi.append(f"round(avg({terms}), 5) AS phi_{i}")
+    phi_cols = ",\n           ".join(phi)
+    return f"""
+    WITH {nystroem_landmark_ctes(L)},
+    e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    k AS (
+        SELECT label,
+               {k_cols}
+        FROM e, consts
+    )
+    SELECT label,
+           {phi_cols}
+    FROM k
+    GROUP BY label
+    """
+
+
+@query(
+    "nystroem_features",
+    oracle=_nystroem_oracle(),
+    tags=("ml", "features", "kernel", "nystroem"),
+)
+def nystroem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nyström RBF kernel approximation over the embedding corpus —
+    the reference's Nystroem stage (plot_cyclical_feature_engineering
+    .py:662-669). The m×m landmark factorization W = K_mm^(-1/2) is
+    computed once from seeded constants (driver-side, m=4) and
+    interpolated into BOTH engines; the distributed part is a narrow
+    map φ(x) = W·k(x,L) in whole-stage codegen — the correct 100 TB
+    shape (constant broadcast, no shuffle, no UDF)."""
+    from pyspark.sql import functions as F
+
+    from ..ml.features import nystroem_constants, nystroem_feature_cols
+
+    L, W = nystroem_constants()
+    t = load(spark, sf_dir)
+    feats = nystroem_feature_cols(F.col("embedding"), L, W, gamma=0.5)
+    return t.embeddings.groupBy("label").agg(
+        *[F.round(F.avg(p), 5).alias(f"phi_{i}") for i, p in enumerate(feats)]
+    )
+
+
+@query(
+    "gbt_price_improves",
+    # Tree-ensemble fits aren't SQL-expressible; the checkable contract
+    # is the eval harness: baseline MAE (mean-predictor) has an exact
+    # closed form, and a depth-3 GBT on a strongly predictive feature
+    # must beat it. The oracle pins n, the exact baseline, and the
+    # improvement flag.
+    oracle="""
+    WITH m AS (SELECT avg(l_extendedprice) AS mu FROM lineitem)
+    SELECT count(*) AS n,
+           round(avg(abs(l_extendedprice - m.mu)), 4) AS baseline_mae,
+           TRUE AS gbt_beats_baseline
+    FROM lineitem, m
+    GROUP BY m.mu
+    """,
+    tags=("ml", "regression", "gbt", "eval"),
+)
+def gbt_price_improves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBTRegressor training run (the reference's
+    HistGradientBoostingRegressor ambition, :201-238) with
+    RegressionEvaluator MAE against the closed-form mean-predictor
+    baseline. Distributed training: each iteration is a set of
+    aggregation passes for split stats — no driver-side data."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+    from pyspark.sql import functions as F
+
+    t = load(spark, sf_dir)
+    base = t.lineitem.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    assembled = VectorAssembler(inputCols=["x"], outputCol="_f").transform(base)
+    model = GBTRegressor(
+        featuresCol="_f", labelCol="y", maxDepth=3, maxIter=5, seed=42
+    ).fit(assembled)
+    mae = RegressionEvaluator(
+        labelCol="y", predictionCol="prediction", metricName="mae"
+    ).evaluate(model.transform(assembled))
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("_mu"),
+    )
+    baseline = base.crossJoin(F.broadcast(stats)).agg(
+        F.round(F.avg(F.abs(F.col("y") - F.col("_mu"))), 4).alias("baseline_mae")
+    )
+    return (
+        stats.select("n")
+        .crossJoin(baseline)
+        .select(
+            "n",
+            "baseline_mae",
+            (F.lit(float(mae)) < F.col("baseline_mae")).alias("gbt_beats_baseline"),
+        )
     )

@@ -136,6 +136,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["Window", "BroadcastHashJoin"],
         "must_not": [],
     },
+    "spline_seasonal_features": {
+        # pure codegen piecewise polynomials + one aggregation:
+        # no window, no join, no Python anywhere
+        "must": ["HashAggregate"],
+        "must_not": ["Window", "SortMergeJoin", "BroadcastHashJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "nystroem_features": {
+        # kernel features are a narrow map (landmark literals folded
+        # into the plan); one aggregation, JVM-side only
+        "must": ["HashAggregate"],
+        "must_not": ["Window", "SortMergeJoin", "BroadcastHashJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
