@@ -19,3 +19,4 @@ from . import finance  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import mlops  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401

@@ -150,6 +150,31 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["Window", "SortMergeJoin", "BroadcastHashJoin",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "tpch_q8_market_share": {
+        # deepest star join: every dimension side must broadcast; the
+        # only shuffle joins are fact⋈fact
+        "must": ["BroadcastHashJoin", "PushedFilters"],
+        "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "tpch_q15_top_supplier": {
+        # the max scalar subquery rides a broadcast join over the
+        # 100-row revenue view — never a global sort or NL join over
+        # the fact table
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "GlobalLimit"],
+    },
+    "tpch_q18_large_orders": {
+        # HAVING semi-join reuses the aggregate; bounded top-k must be
+        # TakeOrderedAndProject, not Sort+Limit over all matches
+        "must": ["TakeOrderedAndProject", "HashAggregate"],
+        "must_not": ["BroadcastNestedLoopJoin"],
+    },
+    "tpch_q21_waiting_supplier": {
+        # EXISTS/NOT-EXISTS decorrelated: exactly one lineitem⋈orders
+        # join feeds both flag and aggregate; supplier/nation broadcast
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
