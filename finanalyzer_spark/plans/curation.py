@@ -1,0 +1,402 @@
+"""Corpus-curation operators — the cleaning passes an LLM training-data
+pipeline runs between raw crawl and tokenizer (C4-style boilerplate
+removal, Gopher repetition filters, benchmark decontamination, PII
+scrubbing, vocabulary/OOV accounting).
+
+Published designs these follow (public papers; patterns only):
+* C4 (Raffel et al. 2020) removes LINES occurring ≥3× in the corpus;
+  the harness documents have no line structure, so the corpus-frequency
+  primitive operates on word n-gram SPANS instead — same shape: build
+  span stream, count distinct docs per span, join the "boilerplate"
+  spans back.
+* Gopher (Rae et al. 2021) filters docs by duplicate-n-gram fractions;
+  implemented exactly (top-n-gram share + duplicate-n-gram share).
+* Test-set decontamination (GPT-3 appendix; PaLM) drops training docs
+  sharing long n-grams with benchmark data; the harness vocabulary is
+  ~30 words, so the span length constant is 3 (a real pipeline uses
+  8-13) to keep the check non-vacuous — the plan is length-agnostic.
+
+Scale notes: every op is one explode → hash-shuffle aggregate →
+(broadcast) join-back — the same one-scan, bucketed discipline as the
+dedup family (operators/dedup.py). Span streams shuffle as strings
+here for oracle readability; at 100 TB the span column would be
+hashed to a long first (shingle_hashes_col does exactly that for the
+minhash family). Nothing collects to the driver; all thresholds are
+literals shared with the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.text import tokens_col
+from .registry import query
+
+#: a span is "boilerplate" when it appears in ≥ this many distinct docs
+#: (C4 uses 3 for full lines; 2-gram spans over a 30-word vocabulary
+#: need a much higher bar to mean anything)
+BOILERPLATE_MIN_DOCS = 36
+#: Gopher-style repetition gates (tuned to split the harness corpus,
+#: same role as the paper's 0.2 / 0.6 line-fraction thresholds)
+TOP_2GRAM_MAX_SHARE = 0.05
+DUP_2GRAM_MAX_SHARE = 0.05
+#: decontamination span length (see module docstring)
+DECONTAM_K = 3
+#: benchmark subset: every 97th doc stands in for a held-out eval set
+BENCHMARK_MOD = 97
+#: vocabulary size for OOV accounting
+VOCAB_TOP_K = 20
+#: PII stand-in pattern: runs of ≥2 digits (account-number shape)
+PII_PATTERN = "[0-9]{2,}"
+
+
+def _ngrams(toks: Column, k: int) -> Column:
+    """Word k-gram strings via one transform over index positions —
+    whole-stage codegen, no UDF. Docs shorter than k yield an empty
+    array (guarded: Spark's sequence() would count DOWN for a negative
+    stop and explode garbage)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ngram_sql(k: int) -> str:
+    """DuckDB twin of `_ngrams` over the alias ``t`` (token list)."""
+    parts = " || ' ' || ".join(f"t[i + {j + 1}]" for j in range(k))
+    return (
+        f"CASE WHEN len(t) >= {k} "
+        f"THEN list_transform(range(len(t) - {k - 1}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+_TOKS_SQL = (
+    "CASE WHEN trim(text) = '' THEN [] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+# --------------------------------------------------------------------------
+# C4-style corpus-frequency boilerplate detection
+# --------------------------------------------------------------------------
+@query(
+    "boilerplate_span_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, source, unnest({_ngram_sql(2)}) AS span FROM toks
+    ),
+    df AS (
+        SELECT span, count(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY span
+    ),
+    flagged AS (
+        SELECT s.source, s.span,
+               (d.n_docs >= {BOILERPLATE_MIN_DOCS}) AS is_boiler
+        FROM spans s JOIN df d ON s.span = d.span
+    )
+    SELECT source,
+           count(*) AS n_spans,
+           sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT
+               AS n_boiler_spans,
+           round(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS boiler_share
+    FROM flagged
+    GROUP BY source
+    """,
+    tags=("curation", "boilerplate", "c4"),
+)
+def boilerplate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's remove-repeated-lines pass as span accounting: explode
+     2-gram spans once, aggregate distinct-doc frequency per span (the
+    corpus-wide "how boilerplate is this phrase" table), join it back
+    to the span stream, and report the per-source share of span
+    occurrences that a removal pass would delete. Two hash shuffles on
+    the span key — the join-back is NOT broadcast by hint because the
+    df table is corpus-sized; at 100 TB both sides are hash-partitioned
+    on span (or its hash) and co-locate."""
+    t = load(spark, sf_dir)
+    spans = t.documents.select(
+        "doc_id",
+        "source",
+        F.explode(_ngrams(tokens_col(F.col("text")), 2)).alias("span"),
+    )
+    df_tbl = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = spans.join(df_tbl, "span").withColumn(
+        "is_boiler", F.col("n_docs") >= BOILERPLATE_MIN_DOCS
+    )
+    boiler = F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_spans"),
+        boiler.alias("n_boiler_spans"),
+        F.round(boiler / F.count("*"), 6).alias("boiler_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition gates
+# --------------------------------------------------------------------------
+@query(
+    "gopher_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, unnest({_ngram_sql(2)}) AS g FROM toks
+    ),
+    per_gram AS (
+        SELECT doc_id, source, g, count(*) AS c
+        FROM grams GROUP BY doc_id, source, g
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               max(c) * 1.0 / sum(c) AS top_share,
+               sum(c - 1) * 1.0 / sum(c) AS dup_share
+        FROM per_gram GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN top_share <= {TOP_2GRAM_MAX_SHARE}
+                     AND dup_share <= {DUP_2GRAM_MAX_SHARE}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           round(avg(top_share), 6) AS avg_top_share,
+           round(avg(dup_share), 6) AS avg_dup_share
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("curation", "repetition", "gopher"),
+)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram quality gates: per doc, the share of
+    2-gram occurrences held by the single most frequent 2-gram
+    (top_share) and the share that are repeats of an earlier occurrence
+    (dup_share); a doc passes when both are under threshold. One
+    explode + two partial-aggregating hash shuffles, all keyed by
+    doc_id — partition-friendly because every per-doc statistic groups
+    on the same key (a single repartition serves both aggregates at
+    scale)."""
+    t = load(spark, sf_dir)
+    grams = t.documents.select(
+        "doc_id",
+        "source",
+        F.explode(_ngrams(tokens_col(F.col("text")), 2)).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "source", "g").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id", "source").agg(
+        (F.max("c") / F.sum("c")).alias("top_share"),
+        (F.sum(F.col("c") - 1) / F.sum("c")).alias("dup_share"),
+    )
+    passes = (F.col("top_share") <= TOP_2GRAM_MAX_SHARE) & (
+        F.col("dup_share") <= DUP_2GRAM_MAX_SHARE
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(passes, 1).otherwise(0)).alias("n_pass"),
+        F.round(F.avg("top_share"), 6).alias("avg_top_share"),
+        F.round(F.avg("dup_share"), 6).alias("avg_dup_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, source, unnest({_ngram_sql(DECONTAM_K)}) AS span
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT span FROM spans
+        WHERE doc_id % {BENCHMARK_MOD} = 0
+    ),
+    hits AS (
+        SELECT DISTINCT s.doc_id, s.source
+        FROM spans s JOIN bench b ON s.span = b.span
+        WHERE s.doc_id % {BENCHMARK_MOD} <> 0
+    ),
+    corpus AS (
+        SELECT doc_id, source FROM documents
+        WHERE doc_id % {BENCHMARK_MOD} <> 0
+    )
+    SELECT c.source,
+           count(*) AS n_docs,
+           count(h.doc_id) AS n_contaminated,
+           round(count(h.doc_id) * 1.0 / count(*), 6) AS contam_rate
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    GROUP BY c.source
+    """,
+    tags=("curation", "decontamination"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination sweep: the benchmark subset's distinct
+    spans form the probe side; any training doc sharing a span is
+    contaminated. The benchmark span set is tiny relative to the corpus
+    (held-out evals are MBs against 100 TB) so it is explicitly
+    broadcast — the corpus-side span stream is scanned once and never
+    shuffled; the only shuffle is the distinct-doc collapse after the
+    semi join."""
+    t = load(spark, sf_dir)
+    spans = t.documents.select(
+        "doc_id",
+        "source",
+        F.explode(_ngrams(tokens_col(F.col("text")), DECONTAM_K)).alias("span"),
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    bench = spans.where(is_bench).select("span").distinct()
+    hits = (
+        spans.where(~is_bench)
+        .join(F.broadcast(bench), "span", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = t.documents.where(~is_bench).select("doc_id", "source")
+    joined = corpus.join(hits, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("_hit").alias("n_contaminated"),
+        F.round(F.count("_hit") / F.count("*"), 6).alias("contam_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing accounting
+# --------------------------------------------------------------------------
+@query(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH raw AS (
+        SELECT 'customer_name' AS field, c_name AS s FROM customer
+        UNION ALL
+        SELECT 'event_props' AS field, props AS s FROM events
+    ),
+    scrubbed AS (
+        SELECT field, s,
+               len(regexp_extract_all(s, '{PII_PATTERN}')) AS n_hits,
+               regexp_replace(s, '{PII_PATTERN}', '<NUM>', 'g') AS red
+        FROM raw
+    )
+    SELECT field,
+           count(*) AS n_rows,
+           sum(n_hits)::BIGINT AS n_redactions,
+           round(avg(length(s) - length(regexp_replace(
+               s, '{PII_PATTERN}', '', 'g'))), 6) AS avg_chars_removed,
+           round(avg(length(red)), 6) AS avg_len_redacted
+    FROM scrubbed
+    GROUP BY field
+    """,
+    tags=("curation", "pii", "redaction"),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (digit-run stand-in pattern — the harness corpus
+    has no real emails/phones; the operator is pattern-generic) over
+    two differently-shaped string columns unioned into one stream:
+    count matches, measure characters removed, and the redacted
+    lengths. Pure regexp_count/regexp_replace expressions — narrow
+    map + one aggregate, no shuffle beyond the 2-group collapse."""
+    t = load(spark, sf_dir)
+    raw = t.customer.select(
+        F.lit("customer_name").alias("field"), F.col("c_name").alias("s")
+    ).unionByName(
+        t.events.select(
+            F.lit("event_props").alias("field"), F.col("props").alias("s")
+        )
+    )
+    scrub = raw.select(
+        "field",
+        "s",
+        F.regexp_count("s", F.lit(PII_PATTERN)).alias("n_hits"),
+        F.regexp_replace("s", PII_PATTERN, "<NUM>").alias("red"),
+        F.regexp_replace("s", PII_PATTERN, "").alias("gone"),
+    )
+    return scrub.groupBy("field").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_hits").alias("n_redactions"),
+        F.round(F.avg(F.length("s") - F.length("gone")), 6).alias(
+            "avg_chars_removed"
+        ),
+        F.round(F.avg(F.length("red")), 6).alias("avg_len_redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# vocabulary build + OOV accounting
+# --------------------------------------------------------------------------
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ORDER BY c DESC, tok
+            LIMIT {VOCAB_TOP_K}
+        )
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+    GROUP BY source
+    """,
+    tags=("curation", "vocab", "oov"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep accounting: build the top-K corpus vocabulary
+    (frequency desc, token asc tiebreak — deterministic on both
+    engines) and measure each source's out-of-vocabulary token rate.
+    The vocab is K rows by construction, so the membership probe is a
+    broadcast left join against the token stream — the stream itself
+    shuffles once for the frequency count (map-side partial sums) and
+    once for the per-source rollup."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(VOCAB_TOP_K)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

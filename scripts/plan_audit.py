@@ -175,6 +175,25 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin", "HashAggregate"],
         "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     },
+    "benchmark_decontamination": {
+        # the benchmark span set is explicitly broadcast; the corpus
+        # span stream must never shuffle through a cartesian/NL join
+        "must": ["BroadcastHashJoin", "Generate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "vocab_oov_rate": {
+        # K-row vocab broadcast onto the token stream; explode +
+        # aggregates stay JVM-side
+        "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython"],
+    },
+    "gopher_repetition_filter": {
+        # pure explode + two keyed aggregates: no join at all, no Python
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["Join", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
