@@ -1,0 +1,114 @@
+"""Unit tests for the corpus-curation primitives (plans/curation.py)
+on edge cases the sf0.01 oracle runs can't reach: short/empty docs in
+the n-gram builder, boundary repetition gates, and benchmark-doc
+exclusion in the decontamination sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from finanalyzer_spark.operators.text import tokens_col
+from finanalyzer_spark.plans.curation import (
+    BENCHMARK_MOD,
+    DECONTAM_K,
+    PII_PATTERN,
+    _ngrams,
+)
+
+
+def _grams_of(spark, text: str, k: int) -> list[str]:
+    df = spark.createDataFrame([Row(text=text)])
+    return df.select(
+        _ngrams(tokens_col(F.col("text")), k).alias("g")
+    ).collect()[0]["g"]
+
+
+def test_ngrams_basic(spark):
+    assert _grams_of(spark, "a b c d", 2) == ["a b", "b c", "c d"]
+    assert _grams_of(spark, "a b c d", 3) == ["a b c", "b c d"]
+
+
+def test_ngrams_short_and_empty_docs_yield_empty(spark):
+    # the guard matters: sequence(0, negative) would count DOWN and
+    # fabricate garbage grams for docs shorter than k
+    assert _grams_of(spark, "solo", 2) == []
+    assert _grams_of(spark, "two tokens", 3) == []
+    assert _grams_of(spark, "", 2) == []
+    assert _grams_of(spark, "   ", 2) == []
+
+
+def test_ngrams_exact_length_doc(spark):
+    assert _grams_of(spark, "x y", 2) == ["x y"]
+    assert _grams_of(spark, "x y z", 3) == ["x y z"]
+
+
+def test_pii_pattern_redaction_counts(spark):
+    rows = [
+        Row(s="Customer#000000042"),   # one 9-digit run
+        Row(s="call 12 or 9 or 345"),  # two runs of >=2; lone 9 kept
+        Row(s="no digits here"),
+        Row(s=""),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        F.regexp_count("s", F.lit(PII_PATTERN)).alias("n"),
+        F.regexp_replace("s", PII_PATTERN, "<NUM>").alias("red"),
+    ).collect()
+    assert [r["n"] for r in out] == [1, 2, 0, 0]
+    assert out[0]["red"] == "Customer#<NUM>"
+    assert out[1]["red"] == "call <NUM> or 9 or <NUM>"
+    assert out[2]["red"] == "no digits here"
+
+
+def test_decontamination_excludes_benchmark_docs(spark, sf_dir):
+    """Benchmark docs must appear on neither side of the report: not in
+    n_docs (they aren't training data) and not as contamination hits
+    (they'd trivially share every span with themselves)."""
+    from finanalyzer_spark.catalog import load
+    from finanalyzer_spark.plans.curation import benchmark_decontamination
+
+    t = load(spark, sf_dir)
+    total = t.documents.count()
+    n_bench = t.documents.where(
+        F.col("doc_id") % BENCHMARK_MOD == 0
+    ).count()
+    out = benchmark_decontamination(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_contaminated").alias("hits")
+    ).collect()[0]
+    assert n_bench > 0, "fixture must contain benchmark docs"
+    assert agg["docs"] == total - n_bench
+    assert agg["hits"] <= agg["docs"]
+
+
+def test_decontamination_flags_known_overlap(spark):
+    """A doc sharing a K-gram with a benchmark doc is flagged; a
+    disjoint doc is not."""
+    import os
+    import tempfile
+
+    from finanalyzer_spark.plans.curation import benchmark_decontamination
+
+    bench_text = "alpha beta gamma delta"
+    dirty_text = "zzz alpha beta gamma qqq"  # shares 3-gram "alpha beta gamma"
+    clean_text = "one two three four five"
+    assert DECONTAM_K == 3
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=bench_text, lang="en", source="bench",
+                n_chars=len(bench_text)),
+            Row(doc_id=1, text=dirty_text, lang="en", source="s",
+                n_chars=len(dirty_text)),
+            Row(doc_id=2, text=clean_text, lang="en", source="s",
+                n_chars=len(clean_text)),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["source"]: r
+            for r in benchmark_decontamination(spark, d).collect()
+        }
+    assert rows["s"]["n_docs"] == 2
+    assert rows["s"]["n_contaminated"] == 1
