@@ -112,3 +112,32 @@ def test_decontamination_flags_known_overlap(spark):
         }
     assert rows["s"]["n_docs"] == 2
     assert rows["s"]["n_contaminated"] == 1
+
+
+# --------------------------------------------------------------------------
+# property: the zip-of-slices n-gram builder matches a plain-Python
+# reference on arbitrary token streams (the builder was rewritten for
+# performance — see plans/curation.py::_ngrams — so pin its semantics)
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_texts = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@given(text=_texts, k=st.integers(min_value=2, max_value=4))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngrams_matches_python_reference(spark, text, k):
+    toks = text.split()
+    expect = [
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    ]
+    assert _grams_of(spark, text, k) == expect
