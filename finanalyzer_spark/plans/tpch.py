@@ -453,26 +453,33 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape (lateness stand-in — see module docstring). The
-    correlated EXISTS / NOT-EXISTS pair is decorrelated into ONE
-    per-order aggregate — n_suppliers and n_late_suppliers via
-    count(distinct) — instead of two more passes over lineitem: a row
-    qualifies iff its supplier is late, the order has ≥2 suppliers,
-    and exactly 1 late supplier (necessarily this one). The oracle
-    keeps the correlated form to prove the rewrite. One lineitem⋈orders
-    shuffle feeds both the flags and the aggregate; supplier⋈nation is
-    broadcast."""
+    correlated EXISTS / NOT-EXISTS pair is decorrelated into per-order
+    window aggregates over the SAME shuffle the qualifying rows ride:
+    collect_set(suppkey) and collect_set(late suppkeys) partitioned by
+    orderkey — a row qualifies iff its supplier is late, the order has
+    ≥2 suppliers, and exactly 1 late supplier (necessarily this one).
+    The oracle keeps the correlated form to prove the rewrite. This
+    beats the aggregate-then-join-back form, which scans lineitem twice
+    (no exchange reuse once the orders side broadcasts); here lineitem
+    is scanned ONCE and shuffles once on orderkey. Per-order groups are
+    bounded (≤ lines per order) so the holistic window state is tiny;
+    supplier⋈nation is broadcast."""
+    from pyspark.sql import Window as W
+
     t = load(spark, sf_dir)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    lo = (
-        t.lineitem.join(
-            t.orders.where(F.col("o_orderstatus") == "F"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
-    )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    lo = t.lineitem.join(
+        t.orders.where(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    w = W.partitionBy("l_orderkey")
+    flagged = lo.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
     )
     sn = t.supplier.join(
         F.broadcast(
@@ -481,10 +488,8 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
     return (
-        lo.where(F.col("is_late"))
-        .join(
-            per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-            F.col("l_orderkey") == F.col("_ok"),
+        flagged.where(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
         )
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

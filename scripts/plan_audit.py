@@ -170,10 +170,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["BroadcastNestedLoopJoin"],
     },
     "tpch_q21_waiting_supplier": {
-        # EXISTS/NOT-EXISTS decorrelated: exactly one lineitem⋈orders
-        # join feeds both flag and aggregate; supplier/nation broadcast
-        "must": ["BroadcastHashJoin", "HashAggregate"],
-        "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        # EXISTS/NOT-EXISTS decorrelated into per-order window flags:
+        # lineitem scanned once, one orderkey shuffle, no join-back
+        # (the aggregate-then-rejoin form scans the fact table twice)
+        "must": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct",
+                     "SortMergeJoin"],
     },
     "benchmark_decontamination": {
         # the benchmark span set is explicitly broadcast; the corpus
