@@ -874,3 +874,50 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 ext — approximate quantile sketch with a bounded-error verdict
+# (companion to approx_distinct_users' HLL bound: sketches are graded
+# on their error contract, not on bit-equality with the oracle)
+# --------------------------------------------------------------------------
+@query(
+    "approx_quantiles_bounded",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           round(quantile_cont(value, 0.95), 4) AS exact_p95,
+           TRUE AS p50_within_5pct,
+           TRUE AS p95_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "approx", "sketch", "quantile"),
+)
+def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch (percentile_approx) next to the exact
+    interpolated percentile — at 100 TB the sketch is the only sane
+    path (mergeable fixed-size partials, one reduce; the exact path is
+    a full sort or the range-partitioned scheme in price_percentiles).
+    Output exposes the BOUNDED-ERROR verdict (|approx − exact| ≤ 5% of
+    |exact|) plus the exact values; the raw sketch estimate is
+    engine-internal and not part of the contract."""
+    t = load(spark, sf_dir)
+    agg = t.events.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "_approx"
+        ),
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95))).alias("_exact"),
+    )
+
+    def within(i: int) -> F.Column:
+        a, e = F.col("_approx")[i], F.col("_exact")[i]
+        return F.abs(a - e) <= 0.05 * F.abs(e)
+
+    return agg.select(
+        "event_type",
+        F.round(F.col("_exact")[0], 4).alias("exact_p50"),
+        F.round(F.col("_exact")[1], 4).alias("exact_p95"),
+        within(0).alias("p50_within_5pct"),
+        within(1).alias("p95_within_5pct"),
+    )

@@ -405,3 +405,120 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation funnel
+# --------------------------------------------------------------------------
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, source, text,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                         * 1.0 / length(text) END AS punct_ratio
+        FROM documents
+        WHERE doc_id % {BENCHMARK_MOD} <> 0
+    ),
+    flagged AS (
+        SELECT *,
+               (n_tokens >= 5 AND punct_ratio <= 0.2) AS q_pass,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY (n_tokens >= 5 AND punct_ratio <= 0.2) DESC,
+                            doc_id
+               ) AS rn
+        FROM corpus
+    ),
+    toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, unnest({_ngram_sql(DECONTAM_K)}) AS span FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT span FROM spans WHERE doc_id % {BENCHMARK_MOD} = 0
+    ),
+    hits AS (
+        SELECT DISTINCT s.doc_id
+        FROM spans s JOIN bench b ON s.span = b.span
+        WHERE s.doc_id % {BENCHMARK_MOD} <> 0
+    )
+    SELECT f.source,
+           count(*) AS n_raw,
+           sum(CASE WHEN f.q_pass THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+           sum(CASE WHEN f.q_pass AND f.rn = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dedup,
+           sum(CASE WHEN f.q_pass AND f.rn = 1 AND h.doc_id IS NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_final,
+           sum(CASE WHEN f.q_pass AND f.rn = 1 AND h.doc_id IS NULL
+                    THEN f.n_tokens ELSE 0 END)::BIGINT AS final_tokens
+    FROM flagged f LEFT JOIN hits h ON f.doc_id = h.doc_id
+    GROUP BY f.source
+    """,
+    tags=("curation", "pipeline", "funnel"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training prep chain as ONE Catalyst plan with a
+    stage-survival funnel per source: quality gates (token count +
+    punctuation ratio), exact dedup (content-fingerprint window with
+    quality-passing docs winning the survivor slot), and benchmark
+    decontamination (broadcast span probe, computed once on the raw
+    corpus). Stage flags are carried as booleans and the funnel falls
+    out of ONE conditional aggregation — no intermediate
+    materialization, no per-stage repartition: the fingerprint window
+    and the final source rollup are the only shuffles the corpus
+    takes; the span-stream shuffle runs on the (tiny) benchmark side
+    of a broadcast semi-join."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import punct_ratio_col, token_count_col
+
+    t = load(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    corpus = t.documents.where(~is_bench).select(
+        "doc_id",
+        "source",
+        "text",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        punct_ratio_col(F.col("text")).alias("punct_ratio"),
+    )
+    q_pass = (F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.2)
+    flagged = corpus.withColumn("q_pass", q_pass).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(F.md5("text")).orderBy(
+                F.col("q_pass").desc(), "doc_id"
+            )
+        ),
+    )
+    spans = t.documents.select(
+        "doc_id", F.explode(_ngrams(tokens_col(F.col("text")), DECONTAM_K)).alias("span")
+    )
+    bench = spans.where(is_bench).select("span").distinct()
+    hits = (
+        spans.where(~is_bench)
+        .join(F.broadcast(bench), "span", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    final = F.col("q_pass") & (F.col("rn") == 1) & F.col("_hit").isNull()
+    survivor = F.col("q_pass") & (F.col("rn") == 1)
+    return (
+        flagged.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(survivor, 1).otherwise(0)).alias("n_dedup"),
+            F.sum(F.when(final, 1).otherwise(0)).alias("n_final"),
+            F.sum(F.when(final, F.col("n_tokens")).otherwise(0)).alias(
+                "final_tokens"
+            ),
+        )
+    )
