@@ -85,22 +85,33 @@ def language_id_col(text: Column, profiles: dict[str, tuple[str, ...]] | None = 
         "de": ("der", "die", "und", "das", "ist", "von"),
     }
     toks = tokens_col(text)
-    n = F.size(toks)
+    langs = list(profiles)
 
-    def hit_ratio(sw: tuple[str, ...]) -> Column:
-        # bind sw via closure — an extra lambda default would change
-        # the higher-order function's arity and receive a Column
-        return F.when(n == 0, F.lit(0.0)).otherwise(
-            F.size(F.filter(toks, lambda w: w.isin(*sw))) / n
+    # ONE aggregate fold with a struct-of-counters accumulator: the
+    # token array (and therefore the upstream regex split) is evaluated
+    # once per row. The per-profile `filter` form evaluates `toks` once
+    # per profile plus once per guard/denominator (~2·k splits per row);
+    # this fold's lambda touches only its own variables. Because every
+    # hit RATIO shares the same denominator, argmax over ratios equals
+    # argmax over raw counts — no division, no zero-guard needed, and
+    # ties still resolve to the first profile (strict > to replace),
+    # exactly matching the ratio fold the oracle SQL replicates.
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+
+    def _step(acc: Column, w: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[lang] + F.when(w.isin(*profiles[lang]), 1).otherwise(0)).alias(
+                    lang
+                )
+                for lang in langs
+            ]
         )
 
-    scores = [(lang, hit_ratio(sw)) for lang, sw in profiles.items()]
-    best_lang, best_score = F.lit("und"), F.lit(0.0)
-    # fold: keep the max-scoring language (ties → first profile order wins
-    # because strict > is required to replace)
-    expr_lang, expr_score = best_lang, best_score
-    for lang, score in scores:
-        take = score > expr_score
+    counts = F.aggregate(toks, zero, _step)
+    expr_lang, expr_count = F.lit("und"), F.lit(0)
+    for lang in langs:
+        take = counts[lang] > expr_count
         expr_lang = F.when(take, F.lit(lang)).otherwise(expr_lang)
-        expr_score = F.when(take, score).otherwise(expr_score)
+        expr_count = F.when(take, counts[lang]).otherwise(expr_count)
     return expr_lang
