@@ -21,3 +21,4 @@ from . import mlops  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import retrieval  # noqa: E402,F401

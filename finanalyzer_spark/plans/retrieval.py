@@ -1,0 +1,105 @@
+"""Full-text retrieval queries over `documents` — BM25 ranking and
+term statistics (the lexical half of hybrid search; the embedding half
+lives in plans/similarity.py).
+
+Reference parity: the reference engine's query surface is lookup-
+oriented (`findatabase.py` read paths); BM25 is part of the extended
+LLM-data-pipeline surface (BASELINE.json) — retrieval for curation,
+e.g. pulling benchmark-like documents out of a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+    term_frequencies,
+)
+from .registry import query
+
+#: Frozen query-term set, shared with the oracle SQL below. Chosen for
+#: document-frequency spread in the synthetic corpus ('dup' is rare,
+#: the others are common) so idf discrimination is actually exercised.
+QUERY_TERMS: tuple[str, ...] = ("spark", "window", "vector", "dup")
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+#: Shared tokenization fragment: whitespace split of trimmed text,
+#: empty text → zero-length list (matches operators.text.tokens_col).
+_TOKS = r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS toks
+    FROM documents
+"""
+
+
+@query(
+    "term_doc_frequency",
+    oracle=f"""
+    WITH d AS ({_TOKS}),
+    hits AS (
+        SELECT doc_id, unnest(toks) AS term FROM d
+    )
+    SELECT term,
+           count(DISTINCT doc_id) AS df,
+           count(*) AS total_tf
+    FROM hits
+    WHERE term IN ({_TERMS_SQL})
+    GROUP BY term
+    """,
+    tags=("retrieval", "text"),
+)
+def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics for the frozen query terms: document
+    frequency and total term frequency. The explode is filtered before
+    the shuffle — O(matching tokens), not O(corpus tokens)."""
+    t = load(spark, sf_dir)
+    tf = term_frequencies(t.documents, QUERY_TERMS)
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH d AS ({_TOKS}),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
+        )
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {BM25_K1 + 1.0})
+               / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))
+           ), 6) + 0.0 AS bm25
+    FROM tf JOIN dfreq USING (term), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("retrieval", "text", "topk"),
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the frozen term set (k1=1.2, b=0.75).
+
+    Scale shape (operators.retrieval.bm25_topk): filtered explode →
+    one combiner-friendly (doc, term) shuffle carrying doc length;
+    document frequencies (≤|terms| rows) and corpus stats (1 row) are
+    broadcast; final ranking is TakeOrderedAndProject, never a global
+    sort. Scores are rounded to 6 digits on both engines so the
+    order-insensitive hash is stable across summation orders."""
+    t = load(spark, sf_dir)
+    return bm25_topk(t.documents, QUERY_TERMS, k=20)
