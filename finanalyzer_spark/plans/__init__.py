@@ -22,3 +22,4 @@ from . import sampling  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401
