@@ -50,6 +50,12 @@ BENCHMARK_MOD = 97
 VOCAB_TOP_K = 20
 #: PII stand-in pattern: runs of ≥2 digits (account-number shape)
 PII_PATTERN = "[0-9]{2,}"
+#: per-source document quota (kept below every sf's per-source count so
+#: the cap actually binds)
+SOURCE_QUOTA = 15
+#: mixture resampling target size (docs) — the "budget" the weighted
+#: rates are solved against
+MIXTURE_TARGET_DOCS = 200.0
 
 
 def _ngrams(toks: Column, k: int) -> Column:
@@ -403,6 +409,188 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"),
                 6,
             ).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-document duplication share (RefinedWeb-style per-doc metric)
+# --------------------------------------------------------------------------
+@query(
+    "crossdoc_span_dup_share",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, source, unnest({_ngram_sql(3)}) AS span FROM toks
+    ),
+    df AS (
+        SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span
+    ),
+    per_doc AS (
+        SELECT s.doc_id, s.source,
+               count(*) AS n_spans,
+               sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM spans s JOIN df d ON s.span = d.span
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_dup * 1.0 / n_spans), 6) AS avg_dup_share,
+           sum(CASE WHEN n_dup * 1.0 / n_spans > 0.5 THEN 1 ELSE 0 END)
+               ::BIGINT AS n_mostly_dup
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("curation", "dedup", "crossdoc"),
+)
+def crossdoc_span_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of 3-gram spans that also occur in at least
+    one OTHER document — the per-doc cross-corpus duplication metric
+    (RefinedWeb reports exactly this distribution; boilerplate_span_
+    stats is the complementary corpus-frequency view). Same two-shuffle
+    shape as the boilerplate pass: span stream → distinct-doc counts →
+    join back keyed on span, then per-doc and per-source rollups on the
+    doc/source keys."""
+    t = load(spark, sf_dir)
+    spans = t.documents.select(
+        "doc_id",
+        "source",
+        F.explode(_ngrams(tokens_col(F.col("text")), 3)).alias("span"),
+    )
+    df_tbl = spans.groupBy("span").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        spans.join(df_tbl, "span")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    share = F.col("n_dup") / F.col("n_spans")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(share), 6).alias("avg_dup_share"),
+        F.sum(F.when(share > 0.5, 1).otherwise(0)).alias("n_mostly_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source quota capping
+# --------------------------------------------------------------------------
+@query(
+    "source_quota_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN rn <= {SOURCE_QUOTA} THEN 1 ELSE 0 END)::BIGINT
+               AS n_kept,
+           sum(CASE WHEN rn <= {SOURCE_QUOTA} THEN n_chars ELSE 0 END)
+               ::BIGINT AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("curation", "quota", "sampling"),
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (per-domain) document quota — the anti-head-domain
+    pass every crawl pipeline runs so a handful of giant sources can't
+    dominate the mixture. Deterministic survivor order (n_chars desc,
+    doc_id) makes the kept set reproducible; one window shuffle keyed
+    by source, then a rollup on the SAME key — at scale the second
+    aggregation reuses the window's hash partitioning, so the cap adds
+    no extra exchange."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = t.documents.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= SOURCE_QUOTA
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted mixture resampling
+# --------------------------------------------------------------------------
+@query(
+    "source_mixture_sample",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT doc_id, source,
+               ((substr(source, 4)::INT % 4) + 1) * 1.0 AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, w, count(*) AS n_docs FROM weighted GROUP BY source, w
+    ),
+    rates AS (
+        SELECT source, w, n_docs,
+               least(1.0, {MIXTURE_TARGET_DOCS!r} * w
+                          / (SELECT sum(w) FROM counts) / n_docs) AS rate
+        FROM counts
+    )
+    SELECT d.source,
+           max(r.n_docs) AS n_docs,
+           round(max(r.rate), 6) AS rate,
+           sum(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))
+                        ::BIGINT % 65536
+                    < CAST(r.rate * 65536 AS BIGINT)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM weighted d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+    """,
+    tags=("curation", "mixture", "sampling"),
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus toward target mixture weights (weight_s ∝
+    (source index mod 4) + 1 — an expression both engines compute, no
+    lookup table): solve per-source keep rates rate_s = min(1, T·w̄_s /
+    n_s) against a document budget T, then keep rows by the portable
+    md5-bucket coin (operators/sampling.hash_bucket_col semantics) so
+    the sample is deterministic, repartition-stable, and
+    oracle-checkable. The per-source rate table is a tiny aggregate —
+    broadcast back onto the stream; no row ever shuffles for the
+    sampling decision itself."""
+    t = load(spark, sf_dir)
+    w_col = ((F.substring("source", 4, 10).cast("int") % 4) + 1) * F.lit(1.0)
+    weighted = t.documents.select("doc_id", "source", w_col.alias("w"))
+    counts = weighted.groupBy("source", "w").agg(F.count("*").alias("n_docs"))
+    wsum = counts.agg(F.sum("w").alias("wsum"))
+    rates = counts.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIXTURE_TARGET_DOCS) * F.col("w") / F.col("wsum") / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 65536
+    )
+    keep = bucket < (F.col("rate") * 65536).cast("long")
+    return (
+        weighted.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.round(F.max("rate"), 6).alias("rate"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
         )
     )
 
