@@ -23,3 +23,4 @@ from . import tpch  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
+from . import profile  # noqa: E402,F401

@@ -365,3 +365,85 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing + trailing z-score anomaly flags
+# --------------------------------------------------------------------------
+#: EWMA smoothing factor and lookback (finite-window normalized form)
+EWMA_ALPHA = 0.3
+EWMA_LOOKBACK = 8
+#: trailing z-score frame length and anomaly threshold
+ZSCORE_FRAME = 20
+ZSCORE_CUT = 2.5
+
+#: per-lag weights alpha*(1-alpha)^i, folded in Python so BOTH engines
+#: consume the identical IEEE doubles
+_EWMA_WEIGHTS = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** i for i in range(EWMA_LOOKBACK)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {i}) OVER w, 0.0) * {w!r}"
+        for i, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for i, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"""
+    WITH scored AS (
+        SELECT user_id, event_id, value,
+               ({num}) / ({den}) AS ewma,
+               avg(value) OVER wz AS mu,
+               stddev_samp(value) OVER wz AS sd
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wz AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {ZSCORE_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(ewma, 6) AS ewma,
+           CASE WHEN sd > 0 THEN round((value - mu) / sd, 4) END AS z,
+           CASE WHEN sd > 0 THEN abs(round((value - mu) / sd, 4)) > {ZSCORE_CUT}
+                ELSE FALSE END AS is_anomaly
+    FROM scored
+    """
+
+
+@query(
+    "ewma_anomaly_flags",
+    oracle=_ewma_oracle(),
+    tags=("events", "window", "anomaly", "timeseries"),
+)
+def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing and trailing z-score anomaly flags.
+
+    The EWMA uses the finite normalized form (8 explicit lags with
+    alpha*(1-alpha)^i literal weights, renormalized over the lags that
+    exist near series start) — unlike the recursive definition this is
+    expressible as pure window functions, and every lag shares ONE
+    (user, time) sort, so Catalyst plans a single shuffle+sort for the
+    EWMA, the trailing mean/stddev frame, and the flags. Weights are
+    Python-folded doubles consumed verbatim by both engines; z is
+    rounded before thresholding so the flag decision is identical."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wz = w.rowsBetween(-(ZSCORE_FRAME - 1), W.currentRow)
+    num, den = F.lit(0.0), F.lit(0.0)
+    for i, wt in enumerate(_EWMA_WEIGHTS):
+        lag_i = F.lag("value", i).over(w)
+        num = num + F.coalesce(lag_i, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    mu = F.avg("value").over(wz)
+    sd = F.stddev_samp("value").over(wz)
+    z = F.when(sd > 0, F.round((F.col("value") - mu) / sd, 4))
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.round(num / den, 6).alias("ewma"),
+        z.alias("z"),
+        F.when(sd > 0, F.abs(z) > ZSCORE_CUT).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
