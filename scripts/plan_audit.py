@@ -196,6 +196,54 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["Generate", "HashAggregate"],
         "must_not": ["Join", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "bm25_topk": {
+        # filtered explode feeds the persisted tf frame (reused by the
+        # df aggregation and the scoring join); document frequencies
+        # broadcast; ranking is bounded top-k. The one-row corpus-stats
+        # cross join is a deliberate 1-row broadcast NL join.
+        "must": ["TakeOrderedAndProject", "BroadcastHashJoin", "Generate",
+                 "InMemoryTableScan"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "kmeans_lloyd_step": {
+        # assignment is a narrow map against centroid literals fused
+        # into the scan; ONE aggregation, no join/window/Python at all
+        "must": ["HashAggregate"],
+        "must_not": ["Join", "Window", "Generate",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "crossdoc_span_dup_share": {
+        # span stream + distinct-doc counts + join-back: keyed hash
+        # shuffles only — never cartesian/NL, never Python
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "source_quota_cap": {
+        # one window shuffle keyed by source; the rollup groups on the
+        # same key — no join anywhere
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "source_mixture_sample": {
+        # per-source rate table broadcast back onto the stream; the
+        # sampling coin is a per-row expression (no shuffle, no window)
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Window"],
+    },
+    "ewma_anomaly_flags": {
+        # all lags + the trailing frame share ONE (user, time) window
+        # sort; no join in the plan
+        "must": ["Window"],
+        "must_not": ["Join", "Generate"],
+    },
+    "table_profile_checks": {
+        # six metrics in one conditional aggregate + broadcast anti-join
+        # for FK orphans; checks unpivot from the single aggregate row
+        "must": ["HashAggregate", "LeftAnti", "Union"],
+        "must_not": ["SortMergeJoin"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
