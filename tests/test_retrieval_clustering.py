@@ -1,0 +1,127 @@
+"""Unit tests for the retrieval (BM25) and clustering (Lloyd-step)
+kernels on crafted inputs — semantics checks independent of the DuckDB
+oracle parity that tests/test_oracle_queries.py already enforces.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from finanalyzer_spark.operators.clustering import (
+    assign_cluster_col,
+    kmeans_centroids,
+    sq_dist_cols,
+)
+from finanalyzer_spark.operators.retrieval import (
+    bm25_topk,
+    corpus_stats,
+    term_frequencies,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark spark spark window"),
+            (1, "spark window"),
+            (2, "window window window window"),
+            (3, "nothing relevant here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_term_frequencies_counts_and_lengths(spark):
+    tf = term_frequencies(_corpus(spark), ("spark", "window")).collect()
+    got = {(r.doc_id, r.term): (r.tf, r.dl) for r in tf}
+    assert got == {
+        (0, "spark"): (3, 4),
+        (0, "window"): (1, 4),
+        (1, "spark"): (1, 2),
+        (1, "window"): (1, 2),
+        (2, "window"): (4, 4),
+    }
+
+
+def test_corpus_stats_counts_empty_docs(spark):
+    row = corpus_stats(_corpus(spark)).collect()[0]
+    assert row.n_docs == 5
+    # lengths 4, 2, 4, 3, 0 — the empty doc counts toward the average
+    assert row.avgdl == pytest.approx(13 / 5)
+
+
+def test_bm25_matches_hand_computation(spark):
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(_corpus(spark), ("spark", "window"), k=10).collect()
+    }
+    # doc 3 and the empty doc contain no query term → absent (score 0)
+    assert set(got) == {0, 1, 2}
+
+    n_docs, avgdl, k1, b = 5, 13 / 5, 1.2, 0.75
+
+    def idf(df):
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def w(tf, dl, df):
+        return idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    # df: spark→2 docs, window→3 docs
+    expect = {
+        0: round(w(3, 4, 2) + w(1, 4, 3), 6),
+        1: round(w(1, 2, 2) + w(1, 2, 3), 6),
+        2: round(w(4, 4, 3), 6),
+    }
+    for doc, score in expect.items():
+        assert got[doc] == pytest.approx(score, abs=1e-6)
+    # rarer term ('spark', df=2) must outrank the common one at equal tf
+    assert got[1] > 0 and got[0] > got[2]
+
+
+def test_kmeans_assignment_matches_numpy_argmin(spark):
+    dim, k = 8, 3
+    cents = kmeans_centroids(k=k, dim=dim, seed=5)
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(0, 0.2, size=(50, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    dists = sq_dist_cols("embedding", cents)
+    got = {
+        r.vec_id: r.cluster
+        for r in df.select("vec_id", assign_cluster_col(dists).alias("cluster")).collect()
+    }
+    c = np.asarray(cents)
+    want = np.argmin(
+        ((vecs.astype("float64")[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    assert got == {i: int(want[i]) for i in range(len(vecs))}
+
+
+def test_kmeans_first_centroid_wins_exact_ties(spark):
+    # two identical centroids: the argmin chain must pick index 0
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 5.0]]
+    df = spark.createDataFrame([(0, [1.0, 0.1])], "vec_id long, embedding array<float>")
+    cluster = df.select(
+        assign_cluster_col(sq_dist_cols("embedding", cents)).alias("c")
+    ).collect()[0].c
+    assert cluster == 0
+
+
+def test_mixture_sample_rates_bounded(spark):
+    from finanalyzer_spark.plans import REGISTRY
+
+    rows = REGISTRY["source_mixture_sample"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "mixture sample produced no sources"
+    for r in rows:
+        assert 0.0 <= r.rate <= 1.0
+        assert 0 <= r.n_kept <= r.n_docs
