@@ -61,3 +61,57 @@ def assign_cluster_col(dists: list[Column]) -> Column:
     for i in range(len(dists) - 2, -1, -1):
         expr = F.when(dists[i] == m, F.lit(i)).otherwise(expr)
     return expr
+
+
+def fit_kmeans(
+    df,
+    vec_col: str = "embedding",
+    k: int = 4,
+    dim: int = 64,
+    iters: int = 10,
+    seed: int = 11,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], float]:
+    """Lloyd's algorithm to (near-)convergence. Returns (centroids,
+    inertia of the final assignment).
+
+    Each iteration is one job: assignment fused into the scan (centroid
+    literals — see module docstring), then a single groupBy computing
+    per-cluster counts, per-dim sums, and the inertia. The driver
+    round-trips k rows of k×dim doubles — never data rows — so the
+    loop's cost is O(iters) corpus scans regardless of corpus size.
+    Empty clusters keep their previous centroid (standard Lloyd
+    degeneracy handling, deterministic).
+    """
+    cents = kmeans_centroids(k, dim, seed)
+    prev_inertia = float("inf")
+    inertia = prev_inertia
+    for _ in range(iters):
+        dists = sq_dist_cols(vec_col, cents)
+        assigned = df.select(
+            assign_cluster_col(dists).alias("cluster"),
+            F.least(*dists).alias("dm"),
+            F.col(vec_col).alias("v"),
+        )
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("dm").alias("inertia"),
+                *[
+                    F.sum(F.col("v")[j].cast("double")).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        inertia = 0.0
+        for r in rows:
+            inertia += r["inertia"]
+            new_cents[r["cluster"]] = [r[f"s{j}"] / r["n"] for j in range(dim)]
+        cents = new_cents
+        if prev_inertia - inertia <= tol * max(abs(prev_inertia), 1.0):
+            break
+        prev_inertia = inertia
+    return cents, inertia

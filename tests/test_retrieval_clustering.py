@@ -115,6 +115,37 @@ def test_kmeans_first_centroid_wins_exact_ties(spark):
     assert cluster == 0
 
 
+def test_fit_kmeans_matches_numpy_lloyd(spark):
+    from finanalyzer_spark.operators.clustering import fit_kmeans
+
+    dim, k, iters = 6, 3, 4
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 0.3, size=(80, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got_cents, got_inertia = fit_kmeans(
+        df, "embedding", k=k, dim=dim, iters=iters, seed=5, tol=0.0
+    )
+
+    # numpy twin with identical init, rounded-distance argmin (first
+    # index wins ties), mean update, and keep-centroid-on-empty
+    cents = np.asarray(kmeans_centroids(k=k, dim=dim, seed=5))
+    x = vecs.astype("float64")
+    inertia = 0.0
+    for _ in range(iters):
+        d = np.round(((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 5)
+        assign = np.argmin(d, axis=1)
+        inertia = d[np.arange(len(x)), assign].sum()
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    assert got_inertia == pytest.approx(inertia, rel=1e-9)
+    np.testing.assert_allclose(np.asarray(got_cents), cents, rtol=1e-9, atol=1e-12)
+
+
 def test_mixture_sample_rates_bounded(spark):
     from finanalyzer_spark.plans import REGISTRY
 
