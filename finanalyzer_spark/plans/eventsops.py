@@ -447,3 +447,64 @@ def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC time-bucket downsampling
+# --------------------------------------------------------------------------
+@query(
+    "ohlc_downsample",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket_start, value,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn,
+               count(*) OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+               ) AS n
+        FROM events
+    )
+    SELECT user_id, bucket_start,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = n THEN value END) AS close,
+           count(*) AS n_events,
+           round(sum(value), 6) AS vol
+    FROM ranked
+    GROUP BY user_id, bucket_start
+    """,
+    tags=("events", "timeseries", "downsample", "ohlc"),
+)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the per-user event stream to hourly OHLC bars — the
+    hypertable/candlestick resample every market-data store provides.
+    First/last are picked by row_number against the deterministic
+    (ts, event_id) order (min_by/max_by would need a composite ordering
+    key the oracle engine can't express); open/high/low/close are exact
+    row values so only the volume sum needs rounding. One window sort
+    keyed by (user, bucket) feeds both the positional flags and the
+    rollup — the aggregation groups on the window's own partition keys,
+    so no second exchange at scale. Streaming twin: the same agg over a
+    1-hour tumbling watermark window."""
+    t = load(spark, sf_dir)
+    bucket = F.date_trunc("hour", F.col("ts"))
+    w = W.partitionBy("user_id", bucket).orderBy("ts", "event_id")
+    wc = W.partitionBy("user_id", bucket)
+    ranked = t.events.select(
+        "user_id",
+        bucket.alias("bucket_start"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return ranked.groupBy("user_id", "bucket_start").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("vol"),
+    )

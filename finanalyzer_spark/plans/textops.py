@@ -378,3 +378,59 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# curriculum binning by document length
+# --------------------------------------------------------------------------
+@query(
+    "curriculum_quartile_bins",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens,
+               ntile(4) OVER (
+                   ORDER BY CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END,
+                            doc_id
+               ) AS bin
+        FROM documents
+    )
+    SELECT bin,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM scored
+    GROUP BY bin
+    """,
+    tags=("text", "curriculum", "binning"),
+)
+def curriculum_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering prep: quartile-bin the corpus by token count
+    (ntile over the fully-deterministic (n_tokens, doc_id) order) and
+    report each bin's document and token budget — the stats a
+    length-staged training schedule is built from. ntile is a global
+    window here; at 100 TB the same bins come from the distributed
+    order-statistics operator (operators/percentiles.py) as boundary
+    filters — the plan below is the small-N exact form the oracle can
+    twin."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import token_count_col
+
+    t = load(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    w = W.orderBy("n_tokens", "doc_id")
+    binned = scored.withColumn("bin", F.ntile(4).over(w))
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

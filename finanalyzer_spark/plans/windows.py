@@ -365,3 +365,42 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.sum("l_extendedprice").over(w), 2).alias("rev_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# rolling bivariate correlation
+# --------------------------------------------------------------------------
+@query(
+    "rolling_corr_price_qty",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(corr(l_extendedprice, l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW
+           ), 5) + 0.0 AS corr_30
+    FROM lineitem
+    """,
+    tags=("window", "timeseries", "bivariate"),
+)
+def rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-row trailing Pearson correlation between price and quantity
+    per supplier — the rolling-beta/pairs-trading window shape. `corr`
+    runs as a window aggregate inside the same single (supplier, time)
+    sort any other frame stat would use; frames with <2 rows or zero
+    variance yield NULL identically on both engines. Rounded to 5
+    digits: the co-moment accumulation order differs across engines."""
+    t = load(spark, sf_dir)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-29, W.currentRow)
+    )
+    return t.lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.round(F.corr("l_extendedprice", "l_quantity").over(w), 5) + 0.0).alias(
+            "corr_30"
+        ),
+    )
