@@ -404,3 +404,44 @@ def rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_30"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval construction (dimension history build)
+# --------------------------------------------------------------------------
+@query(
+    "scd2_order_intervals",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_orderstatus,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    )
+    """,
+    tags=("window", "warehouse", "scd2"),
+)
+def scd2_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build: each
+    customer's order history becomes half-open validity intervals via
+    lead() over the deterministic (date, key) order — valid_to of one
+    row is valid_from of the next, the open row is flagged current.
+    The standard CDC-to-dimension materialization; one window sort
+    keyed by the dimension key, no join, no self-merge. At 100 TB the
+    partition key is the natural hash-distribution key and the sort is
+    per-key local."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

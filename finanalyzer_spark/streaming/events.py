@@ -103,6 +103,37 @@ def streaming_session_windows(
     )
 
 
+def streaming_ohlc(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Hourly OHLC bars per user over the stream — the online twin of
+    plans/eventsops.ohlc_downsample. Open/close pick the first/last
+    value by (ts, event_id) via min_by/max_by with a struct ordering
+    key (order-insensitive declarative aggregates — micro-batch
+    arrival order never matters); the watermark bounds per-(user,
+    window) state exactly as for any windowed agg."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("vol"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "vol",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, lateness: str = "1 day") -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids arriving
     within the watermark — the online form of the reference's post-load

@@ -58,6 +58,18 @@ def test_streaming_sessions_equal_batch(spark, events_stream):
     assert (g["n_events"].values == w["n_events"].values).all()
 
 
+def test_streaming_ohlc_equals_batch(spark, events_stream):
+    from finanalyzer_spark.streaming.events import streaming_ohlc
+
+    got = run_to_completion(streaming_ohlc(events_stream), output_mode="complete")
+    want = REGISTRY["ohlc_downsample"].fn(spark, SF_DIR)
+    keys = ["user_id", "bucket_start"]
+    g, w = _sorted_pdf(got, keys), _sorted_pdf(want, keys)
+    assert len(g) == len(w) > 0
+    for col in ("open", "high", "low", "close", "n_events", "vol"):
+        assert (g[col].values == w[col].values).all(), col
+
+
 def test_streaming_dedup_drops_in_watermark_duplicates(spark, events_stream):
     got = run_to_completion(streaming_dedup(events_stream), output_mode="append")
     events = load(spark, SF_DIR).events
