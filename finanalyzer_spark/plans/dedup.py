@@ -264,3 +264,128 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed explode-and-aggregate style (codegen'd sums)."""
     t = load(spark, sf_dir)
     return simhash_fingerprints(t.documents, "text", "doc_id", bits=32)
+
+
+# --------------------------------------------------------------------------
+# incremental snapshot dedup (incoming batch vs existing corpus)
+# --------------------------------------------------------------------------
+#: incoming batch = top 20% of the id space (stand-in for "today's crawl")
+INGEST_MOD, INGEST_CUT = 10, 8
+#: span-overlap share above which an incoming doc counts as a near-dup
+OVERLAP_CUT = 0.5
+
+
+@query(
+    "incremental_ingest_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(t) >= 3
+                      THEN list_transform(range(len(t) - 2),
+                           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                      ELSE CAST([] AS VARCHAR[]) END) AS span
+        FROM toks
+    ),
+    existing_spans AS (
+        SELECT DISTINCT span FROM spans
+        WHERE doc_id % {INGEST_MOD} < {INGEST_CUT}
+    ),
+    inc_overlap AS (
+        SELECT s.doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM spans s LEFT JOIN existing_spans e ON s.span = e.span
+        WHERE s.doc_id % {INGEST_MOD} >= {INGEST_CUT}
+        GROUP BY s.doc_id
+    ),
+    exact AS (
+        SELECT DISTINCT i.doc_id
+        FROM documents i
+        JOIN documents x ON md5(i.text) = md5(x.text)
+                        AND x.doc_id % {INGEST_MOD} < {INGEST_CUT}
+        WHERE i.doc_id % {INGEST_MOD} >= {INGEST_CUT}
+    )
+    SELECT d.source,
+           count(*) AS n_incoming,
+           count(e.doc_id) AS n_exact_dup,
+           sum(CASE WHEN o.n_spans > 0
+                     AND o.n_hit * 1.0 / o.n_spans >= {OVERLAP_CUT}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_near_dup,
+           sum(CASE WHEN e.doc_id IS NULL
+                     AND NOT (o.n_spans > 0
+                              AND o.n_hit * 1.0 / o.n_spans >= {OVERLAP_CUT})
+                    THEN 1 ELSE 0 END)::BIGINT AS n_new
+    FROM documents d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN inc_overlap o ON d.doc_id = o.doc_id
+    WHERE d.doc_id % {INGEST_MOD} >= {INGEST_CUT}
+    GROUP BY d.source
+    """,
+    tags=("dedup", "incremental", "ingest"),
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup of an incoming batch against the existing
+    corpus — the asymmetric form every recurring crawl runs (dedup the
+    new 0.1% against the 100 TB index, never the index against
+    itself). Exact dups via a fingerprint semi-join (16-byte digests
+    shuffle, never text); near-dups via the incoming span stream
+    LEFT-joined to the existing corpus' distinct-span index with a
+    per-doc overlap share. The incoming side is small by construction,
+    so at scale its span stream broadcasts against the bucketed span
+    index; both verdict flags land in one conditional rollup."""
+    from ..operators.text import tokens_col
+    from .curation import _ngrams
+
+    t = load(spark, sf_dir)
+    is_inc = F.col("doc_id") % INGEST_MOD >= INGEST_CUT
+    spans = t.documents.select(
+        "doc_id",
+        F.explode(_ngrams(tokens_col(F.col("text")), 3)).alias("span"),
+    )
+    existing_spans = spans.where(~is_inc).select("span").distinct()
+    inc_overlap = (
+        spans.where(is_inc)
+        .join(
+            existing_spans.withColumn("_hit", F.lit(1)), "span", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        )
+    )
+    exact = (
+        t.documents.where(is_inc)
+        .select("doc_id", F.md5("text").alias("_fp"))
+        .join(
+            t.documents.where(~is_inc).select(F.md5("text").alias("_fp")).distinct(),
+            "_fp",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("_exact", F.lit(1))
+    )
+    near = (F.col("n_spans") > 0) & (
+        F.col("n_hit") / F.col("n_spans") >= OVERLAP_CUT
+    )
+    base = (
+        t.documents.where(is_inc)
+        .select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(inc_overlap, "doc_id", "left")
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_incoming"),
+        F.count("_exact").alias("n_exact_dup"),
+        F.sum(F.when(near, 1).otherwise(0)).alias("n_near_dup"),
+        F.sum(
+            F.when(F.col("_exact").isNull() & ~F.coalesce(near, F.lit(False)), 1)
+            .otherwise(0)
+        ).alias("n_new"),
+    )

@@ -434,3 +434,69 @@ def curriculum_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# unigram language-model scoring (perplexity-style quality signal)
+# --------------------------------------------------------------------------
+@query(
+    "unigram_logprob_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END) AS tok
+        FROM documents
+    ),
+    lm AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    total AS (SELECT sum(c) AS n FROM lm),
+    per_doc AS (
+        SELECT t.doc_id, t.source,
+               round(avg(ln(lm.c * 1.0 / total.n)), 6) AS lp
+        FROM toks t JOIN lm ON t.tok = lm.tok, total
+        GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(lp), 6) AS avg_logprob,
+           min(lp) AS min_logprob,
+           max(lp) AS max_logprob
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("text", "lm", "quality"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal with a self-trained unigram model:
+    each document scores avg ln p(token) under the corpus unigram
+    distribution; per-source distribution stats surface outlier
+    sources. The LM table is vocabulary-sized (bounded, broadcast —
+    at 100 TB: top-K + a floor probability for the tail); the token
+    stream shuffles once to train it and never again, because the
+    scoring join is a broadcast. Per-doc averages are rounded before
+    the min/max/avg rollup so both engines aggregate identical
+    doubles."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    per_doc = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") * 1.0 / F.col("n"))), 6).alias("lp")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.min("lp").alias("min_logprob"),
+        F.max("lp").alias("max_logprob"),
+    )
