@@ -1,0 +1,68 @@
+"""Fixed-iteration PageRank over an edge list — the second iterative
+graph algorithm next to connected components (operators/components.py),
+with the loop body shaped for scale the same way.
+
+Each iteration is two hash-partitioned shuffles of (node, double):
+join ranks onto the (src, dst, deg) edge frame, then a map-side-combined
+groupBy(dst) summing contributions. The rank frame is one row per node;
+edges never rebuild. Ranks are rounded per iteration so the fixed-
+iteration result is bit-reproducible across engines (the DuckDB oracle
+unrolls the same rounds as chained CTEs) and across partitionings —
+the same shared-literal discipline as the LSH planes and k-means
+centroids.
+
+For a fixed small iteration count the lineage stays bounded and needs
+no checkpointing; an open-ended convergence loop would add the
+`localCheckpoint`-per-round of connected_components unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: teleport and damping as separate literals — NEVER derive one from
+#: the other at runtime (1 - 0.85 != 0.15 in IEEE doubles; both engines
+#: must consume identical constants)
+DAMPING: float = 0.85
+TELEPORT: float = 0.15
+#: per-iteration rank rounding: re-syncs engines' summation orders
+#: while staying ~6 digits below the rank scale
+ITER_ROUND: int = 12
+
+
+def pagerank_fixed(
+    edges_sym: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    round_digits: int = ITER_ROUND,
+) -> DataFrame:
+    """PageRank after `iters` power iterations on a symmetrized edge
+    list (every node must appear as a source — guaranteed by
+    symmetrization, so there are no dangling nodes and no rank leak).
+
+    Returns (node, pr) with pr rounded to `round_digits`.
+    """
+    e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = e.join(deg, "src")
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_df = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = contrib.crossJoin(F.broadcast(n_df)).select(
+            "node",
+            F.round(
+                F.lit(TELEPORT) / F.col("n") + F.lit(DAMPING) * F.col("c"),
+                round_digits,
+            ).alias("pr"),
+        )
+    return pr

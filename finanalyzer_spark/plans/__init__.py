@@ -24,3 +24,4 @@ from . import curation  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import profile  # noqa: E402,F401
+from . import graph  # noqa: E402,F401

@@ -146,6 +146,19 @@ def test_fit_kmeans_matches_numpy_lloyd(spark):
     np.testing.assert_allclose(np.asarray(got_cents), cents, rtol=1e-9, atol=1e-12)
 
 
+def test_pagerank_conserves_mass_and_positivity(spark):
+    from finanalyzer_spark.plans import REGISTRY
+
+    rows = REGISTRY["pagerank_trade_graph"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total = sum(r.pr for r in rows)
+    # no dangling nodes on a symmetrized graph → rank mass is conserved
+    assert total == pytest.approx(1.0, abs=1e-5)
+    assert all(r.pr > 0 for r in rows)
+
+
 def test_mixture_sample_rates_bounded(spark):
     from finanalyzer_spark.plans import REGISTRY
 
