@@ -244,6 +244,42 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["HashAggregate", "LeftAnti", "Union"],
         "must_not": ["SortMergeJoin"],
     },
+    "ohlc_downsample": {
+        # one window sort keyed by (user, bucket); the rollup groups on
+        # the window's own partition keys — no join anywhere
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "scd2_order_intervals": {
+        # pure lead() over one keyed sort — no join, no self-merge
+        "must": ["Window"],
+        "must_not": ["Join", "HashAggregate"],
+    },
+    "rolling_corr_price_qty": {
+        # corr as a window aggregate in a single supplier-time sort
+        "must": ["Window"],
+        "must_not": ["Join"],
+    },
+    "incremental_ingest_dedup": {
+        # fingerprint semi-join + span-overlap join: keyed hash
+        # shuffles only, never cartesian/NL, no Python
+        "must": ["Generate", "HashAggregate", "LeftSemi"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "unigram_logprob_score": {
+        # the unigram LM table broadcasts onto the token stream; the
+        # 1-row total rides a broadcast NL join (scalar — fine)
+        "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "pagerank_trade_graph": {
+        # rank joins are keyed hash joins; the 1-row node count rides a
+        # broadcast; no NL join over edges, no Python
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
