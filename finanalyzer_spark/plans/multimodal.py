@@ -137,3 +137,46 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(norm), 5).alias("avg_feature_norm"),
         )
     )
+
+
+@query(
+    "media_content_dedup",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+               ELSE 'video/mp4' END AS mime,
+               md5(text) AS fp,
+               count(*) AS n,
+               min(doc_id) AS survivor
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT mime,
+           sum(n)::BIGINT AS n_media,
+           count(*) AS n_distinct,
+           sum(n - 1)::BIGINT AS n_dup_rows,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+           min(survivor) AS min_survivor
+    FROM g
+    GROUP BY mime
+    """,
+    tags=("multimodal", "dedup"),
+)
+def media_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup per mime type: one groupBy over
+    (mime, md5(content)) — 16-byte digests shuffle, payload bytes never
+    do (the binary column is pruned out of the exchange; same digest
+    discipline as the text exact-dedup family). Survivor = min id,
+    deterministic."""
+    g = (
+        _media(spark, sf_dir)
+        .groupBy("mime", F.md5("content").alias("fp"))
+        .agg(F.count("*").alias("n"), F.min("media_id").alias("survivor"))
+    )
+    return g.groupBy("mime").agg(
+        F.sum("n").alias("n_media"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("n") - 1).alias("n_dup_rows"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.min("survivor").alias("min_survivor"),
+    )

@@ -500,3 +500,45 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lp").alias("min_logprob"),
         F.max("lp").alias("max_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# skew-salted holistic aggregation (registry face of operators/skew.py)
+# --------------------------------------------------------------------------
+@query(
+    "salted_token_vocabulary",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END) AS tok
+        FROM documents
+    )
+    SELECT source,
+           list_sort(list(DISTINCT tok)) AS tok_list,
+           count(DISTINCT tok) AS n_distinct
+    FROM toks
+    GROUP BY source
+    """,
+    tags=("text", "skew", "holistic"),
+)
+def salted_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sorted distinct-token vocabulary via the salted
+    two-stage collect (operators/skew.salted_collect_list): values
+    shard over (key, salt) reducers before the final flatten-merge, so
+    a head source with billions of tokens never funnels through one
+    task — the holistic-agg skew pattern as an oracle-checked query
+    (array_distinct + array_sort canonicalize the shard order away)."""
+    from ..operators.skew import salted_collect_list
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    collected = salted_collect_list(toks, ["source"], "tok")
+    return collected.select(
+        "source",
+        F.array_sort(F.array_distinct("tok_list")).alias("tok_list"),
+        F.size(F.array_distinct("tok_list")).cast("long").alias("n_distinct"),
+    )

@@ -445,3 +445,48 @@ def scd2_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# period-over-period growth
+# --------------------------------------------------------------------------
+@query(
+    "mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) + 0.0
+               AS delta,
+           CASE WHEN lag(revenue) OVER (ORDER BY month) > 0
+                THEN round((revenue - lag(revenue) OVER (ORDER BY month))
+                           / lag(revenue) OVER (ORDER BY month), 6) + 0.0
+           END AS growth_rate
+    FROM monthly
+    """,
+    tags=("window", "warehouse", "growth"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: aggregate first (the window
+    runs over ~84 month rows, not the fact table — the ratio-to-report
+    discipline), then lag over the month order. The monthly revenue is
+    rounded BEFORE the delta/ratio so both engines difference identical
+    doubles."""
+    t = load(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.round(F.col("revenue") - prev, 2) + 0.0).alias("delta"),
+        F.when(
+            prev > 0, F.round((F.col("revenue") - prev) / prev, 6) + 0.0
+        ).alias("growth_rate"),
+    )
