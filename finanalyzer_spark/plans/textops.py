@@ -542,3 +542,70 @@ def salted_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct("tok_list")).alias("tok_list"),
         F.size(F.array_distinct("tok_list")).cast("long").alias("n_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer sizing)
+# --------------------------------------------------------------------------
+@query(
+    "vocab_coverage_curve",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT sum(c) AS n FROM freq),
+    ranked AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+               sum(c) OVER (ORDER BY c DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM freq
+    )
+    SELECT rnk, tok, c AS freq,
+           round(cum * 1.0 / total.n, 6) AS cum_share
+    FROM ranked, total
+    WHERE rnk <= 30
+    """,
+    tags=("text", "vocab", "tokenizer"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-30 tokens — the curve that
+    sizes a tokenizer vocabulary ('how many types cover 99% of
+    tokens'). The cumsum window runs over the VOCABULARY aggregate
+    (types, not the token stream), so the global window is bounded by
+    vocabulary size, with the deterministic (freq desc, token) order
+    shared by both engines."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    freq = (
+        t.documents.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = freq.agg(F.sum("c").alias("n"))
+    w = W.orderBy(F.col("c").desc(), "tok")
+    ranked = freq.select(
+        "tok",
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "cum"
+        ),
+    )
+    return (
+        ranked.where(F.col("rnk") <= 30)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "tok",
+            F.col("c").alias("freq"),
+            F.round(F.col("cum") * 1.0 / F.col("n"), 6).alias("cum_share"),
+        )
+    )
