@@ -68,6 +68,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_ALPHA = 0.3
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, ewma = state.get if state.exists else (0, None)
+    # one group's micro-batch may arrive as several Arrow chunks with no
+    # order guarantee across them — concatenate, then impose the
+    # deterministic (ts, event_id) order before folding (state size is
+    # one double; the transient buffer is one key's batch volume)
+    batch = pd.concat(list(pdfs))
+    batch = batch.sort_values(["ts", "event_id"])
+    for x in batch["value"].to_list():
+        ewma = x if ewma is None else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * ewma
+        n += 1
+    state.update((n, float(ewma)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ewma": [round(float(ewma), 9)]}
+    )
+
+
+def running_ewma(events: DataFrame) -> DataFrame:
+    """Per-user RECURSIVE EWMA (e ← αx + (1−α)e) as a stateful
+    streaming operator. The recursive form needs a sequential fold no
+    window function expresses — exactly the escape-hatch case: state is
+    one (n, ewma) pair per user, updated in event-time order within
+    each micro-batch. The batch registry query `ewma_anomaly_flags`
+    uses the finite-lag approximation because batch SQL has no
+    sequential state; this operator is the exact online form."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # transformWithStateInPandas — the successor stateful API (Spark 4):
 # typed state handles (value/list/map state, timers, TTL) instead of a

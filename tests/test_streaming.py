@@ -70,6 +70,28 @@ def test_streaming_ohlc_equals_batch(spark, events_stream):
         assert (g[col].values == w[col].values).all(), col
 
 
+def test_stateful_ewma_matches_pandas_fold(spark, events_stream):
+    """Recursive EWMA via applyInPandasWithState: the final state per
+    user must equal a pandas fold over the fully-ordered history."""
+    from finanalyzer_spark.streaming.stateful import EWMA_ALPHA, running_ewma
+
+    got = run_to_completion(running_ewma(events_stream), output_mode="update")
+    latest = got.toPandas().groupby("user_id").last()
+
+    events = load(spark, SF_DIR).events.toPandas().sort_values(["ts", "event_id"])
+
+    def fold(vals):
+        e = None
+        for x in vals:
+            e = x if e is None else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * e
+        return round(e, 9)
+
+    want = events.groupby("user_id")["value"].apply(lambda s: fold(s.to_list()))
+    assert len(latest) == len(want) > 0
+    for uid, row in latest.iterrows():
+        assert row["ewma"] == pytest.approx(want[uid], abs=1e-9), uid
+
+
 def test_streaming_dedup_drops_in_watermark_duplicates(spark, events_stream):
     got = run_to_completion(streaming_dedup(events_stream), output_mode="append")
     events = load(spark, SF_DIR).events
