@@ -921,3 +921,68 @@ def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(0).alias("p50_within_5pct"),
         within(1).alias("p95_within_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# equi-depth histogram (quantile-boundary buckets)
+# --------------------------------------------------------------------------
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS b1,
+               round(quantile_cont(o_totalprice, 0.50), 6) AS b2,
+               round(quantile_cont(o_totalprice, 0.75), 6) AS b3
+        FROM orders
+    )
+    SELECT CASE WHEN o_totalprice < b1 THEN 0
+                WHEN o_totalprice < b2 THEN 1
+                WHEN o_totalprice < b3 THEN 2
+                ELSE 3 END AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders, b
+    GROUP BY 1
+    """,
+    tags=("aggregate", "histogram", "percentile"),
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-boundary) histogram of order totals — the
+    optimizer-statistics companion to the equal-width
+    `histogram_totalprice`. Boundaries come from the distributed
+    exact-percentile operator (range repartition + broadcast boundary
+    filter — never a holistic single-task sort, operators/
+    percentiles.py), rounded identically on both engines before the
+    strict-< bucket CASE; the 3-boundary frame broadcasts onto the
+    scan so bucket assignment is a narrow map."""
+    from ..operators.percentiles import grouped_exact_percentiles
+
+    t = load(spark, sf_dir)
+    bounds = grouped_exact_percentiles(
+        t.orders.select(F.lit(1).alias("_g"), "o_totalprice"),
+        ["_g"],
+        "o_totalprice",
+        [0.25, 0.5, 0.75],
+        names=["b1", "b2", "b3"],
+    ).select(
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round("b3", 6).alias("b3"),
+    )
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x < F.col("b1"), 0)
+        .when(x < F.col("b2"), 1)
+        .when(x < F.col("b3"), 2)
+        .otherwise(3)
+    )
+    return (
+        t.orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(x), 2).alias("lo"),
+            F.round(F.max(x), 2).alias("hi"),
+        )
+    )

@@ -508,3 +508,69 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("vol"),
     )
+
+
+# --------------------------------------------------------------------------
+# cohort retention matrix
+# --------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               datediff('week', f.cohort_week, date_trunc('week', e.ts))
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    cohort_size AS (
+        SELECT cohort_week, count(*) AS n_users FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week,
+           a.week_offset,
+           count(*) AS n_active,
+           round(count(*) * 1.0 / max(s.n_users), 6) AS retention
+    FROM activity a JOIN cohort_size s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset
+    """,
+    tags=("events", "cohort", "retention", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = a user's first active
+    week (one min-aggregate), activity = distinct (user, week-offset)
+    pairs against that cohort, retention = active users over cohort
+    size. The firsts frame is user-cardinality (small relative to
+    events) — broadcast back onto the stream; the distinct collapse
+    and the matrix rollup both shuffle on the cohort keys. The
+    week-offset arithmetic (datediff on week-truncated timestamps) is
+    identical in both engines."""
+    t = load(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        t.events.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.datediff(
+                F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+            ).alias("_days"),
+        )
+        .select(
+            "user_id", "cohort_week", (F.col("_days") / 7).cast("long").alias("week_offset")
+        )
+        .distinct()
+    )
+    cohort_size = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    return (
+        activity.join(F.broadcast(cohort_size), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.round(F.count("*") * 1.0 / F.max("n_users"), 6).alias("retention"),
+        )
+    )
