@@ -609,3 +609,99 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum") * 1.0 / F.col("n"), 6).alias("cum_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# token co-occurrence + PMI (association mining)
+# --------------------------------------------------------------------------
+#: co-occurrence is restricted to the top-K vocabulary — bounds the
+#: within-doc pair expansion at K^2 regardless of corpus size
+PMI_TOP_K = 10
+
+
+@query(
+    "token_pmi_pairs",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ORDER BY c DESC, tok LIMIT {PMI_TOP_K}
+        )
+    ),
+    vt AS (
+        SELECT t.doc_id, t.tok FROM toks t JOIN vocab v ON t.tok = v.tok
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    singles AS (SELECT tok, count(*) AS c FROM vt GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+        FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT p.tok_a, p.tok_b, p.c_ab,
+           round(ln(p.c_ab * 1.0 * n.n / (sa.c * 1.0 * sb.c)), 6) AS pmi
+    FROM pairs p
+    JOIN singles sa ON p.tok_a = sa.tok
+    JOIN singles sb ON p.tok_b = sb.tok, n_docs n
+    """,
+    tags=("text", "pmi", "cooccurrence"),
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence counts and pointwise mutual
+    information for the top-K vocabulary — the association-mining
+    pass behind phrase detection and embedding evaluation. The vocab
+    cap bounds the within-doc self-join at K² pairs per doc (broadcast
+    membership probe before the join); doc-frequency denominators are
+    K-row broadcasts and the corpus size is a 1-row broadcast. PMI =
+    ln(P(a,b)/P(a)P(b)) over document incidence."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .distinct()
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(PMI_TOP_K)
+        .select("tok")
+    )
+    vt = toks.join(F.broadcast(vocab), "tok")
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("n"))
+    singles = vt.groupBy("tok").agg(F.count("*").alias("c"))
+    a = vt.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = vt.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    sa = singles.select(F.col("tok").alias("tok_a"), F.col("c").alias("_ca"))
+    sb = singles.select(F.col("tok").alias("tok_b"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(sa), "tok_a")
+        .join(F.broadcast(sb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab") * 1.0 * F.col("n") / (F.col("_ca") * 1.0 * F.col("_cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
