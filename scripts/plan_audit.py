@@ -280,6 +280,50 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["CartesianProduct", "BatchEvalPython",
                      "ArrowEvalPython"],
     },
+    "cohort_retention": {
+        # the user-cardinality firsts frame and cohort sizes broadcast
+        # back onto the stream; never a shuffled fact⋈fact join
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "equidepth_histogram": {
+        # boundaries via range-partitioned order statistics (no
+        # holistic single-task sort), broadcast onto the scan. (The
+        # percentile operator's internal rank-offset join may plan as
+        # SMJ on tiny frames — not asserted against.)
+        "must": ["rangepartitioning", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct"],
+    },
+    "mom_revenue_growth": {
+        # the lag window runs over the monthly aggregate (~84 rows),
+        # never the fact table
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join"],
+    },
+    "media_content_dedup": {
+        # digest-grouped dedup: binary payload pruned before the
+        # exchange, no join anywhere
+        "must": ["HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "salted_token_vocabulary": {
+        # two-stage sharded collect: (key, salt) partial then final
+        # merge — aggregates only, no join
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["Join"],
+    },
+    "vocab_coverage_curve": {
+        # the cumsum window runs over the vocabulary aggregate, with
+        # the 1-row total riding a broadcast NL join (scalar — fine)
+        "must": ["Window", "HashAggregate", "Generate"],
+        "must_not": ["SortMergeJoin"],
+    },
+    "token_pmi_pairs": {
+        # vocab membership + denominators broadcast; the within-doc
+        # pair join is an equality join on doc_id, never cartesian
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
