@@ -116,7 +116,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+def _ann_lsh_oracle(
+    num_planes: int = 8, dim: int = 64, k: int = 5, q_cut: int = 8
+) -> str:
     """Generate the DuckDB twin of the LSH-bucketed ANN: the plane
     vectors are interpolated as double literals, so both engines compute
     identical sign-bit buckets (same fold order, same IEEE doubles)."""
@@ -138,7 +140,7 @@ def _ann_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
                round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
         FROM b q
         JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
-        WHERE q.vec_id < 8
+        WHERE q.vec_id < {q_cut}
     )
     SELECT query_id, match_id, cosine
     FROM (
@@ -367,4 +369,114 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(l2), 5).alias("avg_l2"),
         F.round(F.max(F.array_max(emb)), 5).alias("max_component"),
         F.round(F.avg(F.col("embedding")[0].cast("double")), 5).alias("avg_first"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall of the LSH path vs exact top-k
+# --------------------------------------------------------------------------
+def _ann_recall_oracle(k: int = 5, q_cut: int = 5) -> str:
+    """Compose the existing exact and LSH oracle fragments: recall@k =
+    |lsh ∩ exact| / k per query, with both sides built from the same
+    shared plane literals the component queries already prove."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {q_cut}
+    ),
+    exact_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, match_id
+            ) AS rn FROM exact_scored
+        ) WHERE rn <= {k}
+    ),
+    b AS (
+        SELECT vec_id, v,
+           {_bucket_bits_sql(8, 64)} AS bucket
+        FROM e
+    ),
+    lsh_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
+        FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {q_cut}
+    ),
+    lsh_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, match_id
+            ) AS rn FROM lsh_scored
+        ) WHERE rn <= {k}
+    )
+    SELECT x.query_id,
+           count(l.match_id) AS n_hits,
+           round(count(l.match_id) * 1.0 / {k}, 6) AS recall_at_{k}
+    FROM exact_topk x
+    LEFT JOIN lsh_topk l
+      ON x.query_id = l.query_id AND x.match_id = l.match_id
+    GROUP BY x.query_id
+    """
+
+
+@query(
+    "ann_recall_eval",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "ann", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN: recall@5 of the LSH-bucketed path against
+    the exact brute-force top-5 for the same queries — the measurement
+    loop that tunes num_planes in production. Both sides reuse the
+    component operators (cosine_topk, hyperplane LSH re-rank); the
+    intersection is a per-query left join of two k-row-per-query
+    frames, so the eval costs one extra tiny join over running the two
+    searches. At 100 TB this runs on a sampled query set while the
+    exact side is the expensive scan — exactly how ANN indexes are
+    evaluated offline."""
+    t = load(spark, sf_dir)
+    k, q_cut = 5, 5
+    queries_df = t.embeddings.where(F.col("vec_id") < q_cut)
+    exact = cosine_topk(
+        corpus=t.embeddings, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=k,
+    ).select("query_id", "match_id")
+
+    b = hyperplane_lsh_buckets(t.embeddings, "embedding", num_planes=8, dim=64)
+    q = b.where(F.col("vec_id") < q_cut).select(
+        F.col("vec_id").alias("query_id"), "lsh_bucket",
+        F.col("embedding").alias("_qvec"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("match_id"), "lsh_bucket",
+        F.col("embedding").alias("_cvec"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        c.join(F.broadcast(q), "lsh_bucket")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5) + 0.0).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    lsh = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "match_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        exact.join(lsh, ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") * 1.0 / k, 6).alias(f"recall_at_{k}"),
+        )
     )
