@@ -332,3 +332,74 @@ def gbt_price_improves(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(float(mae)) < F.col("baseline_mae")).alias("gbt_beats_baseline"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# grouped-map Arrow UDF: per-group OLS via applyInPandas
+# --------------------------------------------------------------------------
+@query(
+    "per_supplier_ols_slopes",
+    oracle="""
+    SELECT l_suppkey,
+           count(*) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
+               AS intercept
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    tags=("ml", "regression", "udf", "grouped-map"),
+)
+def per_supplier_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier price-on-quantity OLS fit via `applyInPandas` — the
+    grouped-map Arrow UDF surface (one numpy lstsq per group, vectorized
+    inside the worker; the reference's vendored-sklearn ambition done
+    per key). Each group is one supplier's lineitems — bounded and
+    hash-partitioned; the kernel sees a pandas frame per group and
+    returns one row, so the Python boundary moves one Arrow batch in
+    and k rows out. The oracle is the closed form (regr_slope/
+    regr_intercept); matching it proves the kernel's math, not just
+    its plumbing. When the per-group model is SQL-expressible (as
+    here), the pure-SQL form is the faster path — this query is the
+    exemplar for when it is not."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    t = load(spark, sf_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("slope", T.DoubleType()),
+            T.StructField("intercept", T.DoubleType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["l_quantity"].to_numpy(dtype="float64")
+        y = pdf["l_extendedprice"].to_numpy(dtype="float64")
+        # closed form (matches regr_slope): cov/var with mean centering
+        xm, ym = x.mean(), y.mean()
+        vx = ((x - xm) ** 2).sum()
+        slope = float(((x - xm) * (y - ym)).sum() / vx) if vx > 0 else None
+        intercept = float(ym - slope * xm) if slope is not None else None
+        return pd.DataFrame(
+            {
+                "l_suppkey": [int(pdf["l_suppkey"].iloc[0])],
+                "n": [len(pdf)],
+                "slope": [None if slope is None else round(slope, 4) + 0.0],
+                "intercept": [
+                    None if intercept is None else round(intercept, 4) + 0.0
+                ],
+            }
+        )
+
+    return (
+        t.lineitem.select("l_suppkey", "l_quantity", "l_extendedprice")
+        .groupBy("l_suppkey")
+        .applyInPandas(fit, schema=schema)
+    )
