@@ -324,6 +324,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin", "HashAggregate"],
         "must_not": ["CartesianProduct", "SortMergeJoin"],
     },
+    "ann_recall_eval": {
+        # both search paths broadcast the query side; the recall
+        # intersection is a tiny keyed join — never cartesian. (The
+        # exact side's query×corpus scan is a deliberate broadcast NL
+        # join, same as cosine_topk.)
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "per_supplier_ols_slopes": {
+        # the grouped-map Arrow UDF: one FlatMapGroupsInPandas over the
+        # supplier hash partitioning, nothing else
+        "must": ["FlatMapGroupsInPandas"],
+        "must_not": ["Window", "Join", "BatchEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
