@@ -473,7 +473,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "match_id", F.lit(1).alias("_hit"))
     )
     return (
-        exact.join(lsh, ["query_id", "match_id"], "left")
+        exact.join(F.broadcast(lsh), ["query_id", "match_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("_hit").alias("n_hits"),
