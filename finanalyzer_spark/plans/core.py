@@ -986,3 +986,121 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(x), 2).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mergeable HLL sketch rollup (datasketches)
+# --------------------------------------------------------------------------
+@query(
+    "hll_mergeable_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+           count(DISTINCT l_orderkey) AS n_exact,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY 1
+    UNION ALL
+    SELECT 'TOTAL', count(DISTINCT l_orderkey), TRUE FROM lineitem
+    """,
+    tags=("aggregate", "sketch", "hll", "scale-path"),
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned distinct-count sketches with a union-merge total —
+    the mergeability property that makes sketch rollups work at 100 TB
+    (per-partition HLL sketches union into the global estimate without
+    rescanning; naive per-month exact counts can NOT be summed because
+    an order ships across months). The driver-checked contract is the
+    error bound: every per-month estimate and the merged total must be
+    within 5% of exact (the oracle emits the exact counts and a TRUE
+    verdict; Spark's row only hash-matches if its sketch verdict is
+    also TRUE — same error-contract pattern as
+    approx_quantiles_bounded)."""
+    t = load(spark, sf_dir)
+    month = F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM")
+    sk = t.lineitem.groupBy(month.alias("month")).agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("n_exact"),
+    )
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        / F.col("n_exact")
+        <= 0.05
+    )
+    per_month = sk.select("month", "n_exact", within.alias("within_5pct"))
+    merged = sk.agg(F.hll_union_agg("sk").alias("msk"))
+    g_exact = t.lineitem.agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    total = (
+        merged.crossJoin(g_exact)
+        .select(
+            F.lit("TOTAL").alias("month"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("msk") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+    return per_month.unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# one-pass correlation matrix
+# --------------------------------------------------------------------------
+@query(
+    "corr_matrix_lineitem",
+    oracle="""
+    SELECT 'quantity_price' AS pair,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_discount', round(corr(l_quantity, l_discount), 6) + 0.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_tax', round(corr(l_quantity, l_tax), 6) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'price_discount', round(corr(l_extendedprice, l_discount), 6) + 0.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_tax', round(corr(l_extendedprice, l_tax), 6) + 0.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_tax', round(corr(l_discount, l_tax), 6) + 0.0 FROM lineitem
+    """,
+    tags=("aggregate", "statistics", "bivariate"),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pairwise correlation matrix of the four lineitem
+    measures in ONE aggregate pass (six corr accumulators share the
+    single scan — map-side partial co-moments, one exchange), then
+    unpivoted to (pair, r) rows. The oracle's six scans produce the
+    same numbers; Spark's plan does it with one."""
+    t = load(spark, sf_dir)
+    pairs = [
+        ("quantity_price", "l_quantity", "l_extendedprice"),
+        ("quantity_discount", "l_quantity", "l_discount"),
+        ("quantity_tax", "l_quantity", "l_tax"),
+        ("price_discount", "l_extendedprice", "l_discount"),
+        ("price_tax", "l_extendedprice", "l_tax"),
+        ("discount_tax", "l_discount", "l_tax"),
+    ]
+    agg = t.lineitem.agg(
+        *[
+            (F.round(F.corr(a, b), 6) + 0.0).alias(name)
+            for name, a, b in pairs
+        ]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("pair"), F.col(name).alias("r")
+                    )
+                    for name, _, _ in pairs
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
