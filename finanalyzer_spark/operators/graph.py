@@ -46,7 +46,9 @@ def pagerank_fixed(
     """
     e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = e.join(deg, "src")
+    # every iteration joins ranks onto this frame — persist it, or the
+    # whole upstream graph build re-executes once per round
+    edges = e.join(deg, "src").persist()
     nodes = e.select(F.col("src").alias("node")).distinct()
     n_df = nodes.agg(F.count("*").alias("n"))
     pr = nodes.crossJoin(F.broadcast(n_df)).select(
