@@ -338,6 +338,18 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["FlatMapGroupsInPandas"],
         "must_not": ["Window", "Join", "BatchEvalPython"],
     },
+    "hll_mergeable_rollup": {
+        # per-month sketches + union-merged total: aggregates and a
+        # 2-branch union; the 1-row merge rides broadcast NL (fine)
+        "must": ["HashAggregate", "Union"],
+        "must_not": ["Window", "SortMergeJoin"],
+    },
+    "corr_matrix_lineitem": {
+        # six corr accumulators share ONE scan (no Union-of-scans —
+        # the unpivot is an explode over the single aggregate row)
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["Union", "Join", "Window"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
