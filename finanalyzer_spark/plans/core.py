@@ -1104,3 +1104,79 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.*")
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit analysis (fraud screening)
+# --------------------------------------------------------------------------
+import math as _math
+
+#: expected Benford shares log10(1 + 1/d), folded in Python so both
+#: engines consume identical doubles
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in _BENFORD.items()
+) + " END"
+
+
+@query(
+    "benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(floor(o_totalprice
+                          / power(10, floor(log10(o_totalprice))))
+               AS BIGINT) AS first_digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    counts AS (
+        SELECT first_digit, count(*) AS n FROM digits GROUP BY first_digit
+    ),
+    total AS (SELECT sum(n) AS t FROM counts)
+    SELECT first_digit, n,
+           round(n * 1.0 / t, 6) AS share,
+           round({_BENFORD_CASE}, 6) AS benford,
+           round(n * 1.0 / t - {_BENFORD_CASE}, 6) + 0.0 AS deviation
+    FROM counts, total
+    """,
+    tags=("aggregate", "finance", "benford"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening over order totals — the
+    classic forensic-accounting scan. The leading digit comes from
+    floor(x / 10^floor(log10 x)) (pure math, no string formatting —
+    double-to-string renderings differ across engines, log10/floor do
+    not); expected shares are Python-folded literals. One scan, one
+    9-group aggregate, a 1-row total broadcast."""
+    t = load(spark, sf_dir)
+    x = F.col("o_totalprice")
+    first_digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast(
+        "long"
+    )
+    counts = (
+        t.orders.where(x > 0)
+        .groupBy(first_digit.alias("first_digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    benford_col = F.lit(None).cast("double")
+    expr = None
+    for d, v in _BENFORD.items():
+        expr = (
+            F.when(F.col("first_digit") == d, F.lit(v))
+            if expr is None
+            else expr.when(F.col("first_digit") == d, F.lit(v))
+        )
+    benford_col = expr
+    share = F.col("n") * 1.0 / F.col("t")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(benford_col, 6).alias("benford"),
+            (F.round(share - benford_col, 6) + 0.0).alias("deviation"),
+        )
+    )

@@ -588,3 +588,49 @@ def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# fuzzy entity matching (edit-distance join against a probe list)
+# --------------------------------------------------------------------------
+#: probe names with deliberate typos — shared literals on both engines
+FUZZY_PROBES: tuple[str, ...] = (
+    "Customer#000000019",
+    "Customer#0000O0042",   # O for 0 — distance 1 from #42
+    "Customer#00000O1O7",   # two O-for-0 typos — distance 2 from #107
+)
+FUZZY_MAX_DIST = 2
+
+_PROBES_SQL = ", ".join(f"('{p}')" for p in FUZZY_PROBES)
+
+
+@query(
+    "fuzzy_name_match",
+    oracle=f"""
+    WITH probes(probe) AS (VALUES {_PROBES_SQL})
+    SELECT p.probe, c.c_custkey, c.c_name,
+           levenshtein(p.probe, c.c_name) AS dist
+    FROM probes p
+    JOIN customer c ON levenshtein(p.probe, c.c_name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: match a dirty probe list
+    (OCR-style O-for-0 typos) against the customer dimension within
+    Levenshtein distance 2. The probe side is tiny and broadcast, so
+    the corpus is scanned once with the distance predicate evaluated
+    in codegen — the blocking-free form, right whenever |probes| ×
+    |corpus| comparisons fit one scan's CPU budget. At larger probe
+    sets, block first (length bands / q-gram prefilter, the minhash
+    discipline) and verify with the same predicate."""
+    t = load(spark, sf_dir)
+    probes = spark.createDataFrame(
+        [(p,) for p in FUZZY_PROBES], "probe string"
+    )
+    dist = F.levenshtein(F.col("probe"), F.col("c_name"))
+    return (
+        t.customer.crossJoin(F.broadcast(probes))
+        .where(dist <= FUZZY_MAX_DIST)
+        .select("probe", "c_custkey", "c_name", dist.alias("dist"))
+    )
