@@ -348,8 +348,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     # microsecond precision: cast('long') truncates to whole seconds,
     # which would mis-sessionize a 1800.4s gap vs the oracle's exact
-    # INTERVAL 30 MINUTE comparison
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # INTERVAL 30 MINUTE comparison. unix_micros requires TIMESTAMP
+    # (rejects the parquet TIMESTAMP_NTZ); the session tz is pinned
+    # to UTC (session.py) so the NTZ→LTZ cast is the identity on the
+    # epoch and gap differences are exact either way.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     g = t.events.select(
         "user_id",
         "ts",
