@@ -352,7 +352,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (rejects the parquet TIMESTAMP_NTZ); the session tz is pinned
     # to UTC (session.py) so the NTZ→LTZ cast is the identity on the
     # epoch and gap differences are exact either way.
-    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     gap = micros - F.lag(micros).over(w)
     g = t.events.select(
         "user_id",

@@ -357,7 +357,7 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     # TIMESTAMP_NTZ → epoch seconds (session tz is UTC, so the two
     # timestamp types agree; rangeBetween needs a numeric ordering)
-    epoch = F.col("l_shipdate").cast("timestamp").cast("long")
+    epoch = F.col("l_shipdate").cast("timestamp_ltz").cast("long")
     w = W.partitionBy("l_suppkey").orderBy(epoch).rangeBetween(-30 * 86400, 0)
     return t.lineitem.select(
         "l_suppkey",

@@ -24,19 +24,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events schema with ts already normalized to microsecond timestamps.
-#: (The raw parquet stores TIMESTAMP(NANOS); streaming reads use the
-#: nanosAsLong conf like the batch catalog, then convert.)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_parquet_unit(path: str) -> str | None:
+    """Read the `ts` column's timestamp unit ('us', 'ns', ...) straight
+    from the parquet footer; None for a plain int64 column (treated as
+    raw nanoseconds, the pre-normalization layout).
+
+    The streaming source must declare its schema up front (no inference
+    on readStream), and a wrong unit silently shifts every event by
+    1000x — so the unit is taken from the file itself, never hardcoded,
+    and a fixture regeneration (ns <-> us) cannot break the family.
+    """
+    import pyarrow.parquet as pq
+
+    file = path
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                file = os.path.join(path, entry)
+                break
+    return getattr(pq.ParquetFile(file).schema_arrow.field("ts").type, "unit", None)
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -44,16 +63,37 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
     One file per micro-batch keeps the test deterministic; a production
     source (Kafka, rate, Delta CDF) plugs in here unchanged.
+
+    The `ts` unit is footer-driven (see _ts_parquet_unit): microsecond
+    fixtures stream as TIMESTAMP_NTZ exactly like the batch catalog
+    reads them; nanosecond fixtures go through the nanosAsLong legacy
+    conf (Spark's parquet reader rejects TIMESTAMP(NANOS)) and an
+    integer div to microseconds, matching catalog._normalize.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    unit = _ts_parquet_unit(path)
     if os.path.isfile(path):
         # the file source only monitors directories; stage a single-file
         # fixture behind a symlink dir (read-only testdata stays untouched)
         staged = tempfile.mkdtemp(prefix="evstream_")
         os.symlink(path, os.path.join(staged, os.path.basename(path)))
         path = staged
+    if unit == "us":
+        raw = (
+            spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        # Watermarks demand TIMESTAMP_LTZ; with the session pinned to
+        # UTC (session.tune) the NTZ->LTZ cast is value-preserving, so
+        # stream and batch agree on every window boundary. The cast
+        # names timestamp_ltz explicitly (not "timestamp") so an
+        # external session's spark.sql.timestampType conf can't turn
+        # it into a no-op.
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    # 'ns' (or a raw int64 ts): read as long nanos, truncate to micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(T.LongType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )

@@ -263,3 +263,68 @@ def test_stream_stream_join_equals_batch(spark):
     g = set(map(tuple, got.select("view_id", "click_id").collect()))
     w = set(map(tuple, want.select("view_id", "click_id").collect()))
     assert g == w
+
+
+def test_stream_ts_unit_matches_batch(spark, events_stream):
+    """Unit-sanity guard: streamed min(ts) must equal batch min(ts).
+
+    A wrong timestamp unit in the streaming reader (us read as ns, or
+    vice versa) shifts every event by 1000x toward 1970 — this assert
+    makes that class of bug impossible to pass silently."""
+    got = run_to_completion(
+        events_stream.groupBy().agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts")
+        ),
+        output_mode="complete",
+    ).collect()[0]["min_ts"]
+    want = (
+        load(spark, SF_DIR)
+        .events.agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts")
+        )
+        .collect()[0]["min_ts"]
+    )
+    assert got == want
+
+
+def test_reader_roundtrips_us_and_ns_fixtures(spark, tmp_path):
+    """The footer-driven reader must handle both a microsecond- and a
+    nanosecond-written events fixture (a driver regeneration flipping
+    the unit cannot break the streaming family again)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [base, base + datetime.timedelta(hours=1),
+               base + datetime.timedelta(hours=2)],
+        "user_id": [10, 11, 10],
+        "event_type": ["view", "click", "view"],
+        "value": [1.5, 2.5, 3.5],
+        "props": ["{}", "{}", "{}"],
+    }
+    for unit in ("us", "ns"):
+        tbl = pa.table(
+            {
+                k: pa.array(v, type=pa.timestamp(unit) if k == "ts" else None)
+                for k, v in rows.items()
+            }
+        )
+        path = str(tmp_path / f"events_{unit}.parquet")
+        pq.write_table(tbl, path)
+        got = run_to_completion(
+            read_events_stream(spark, path).select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            ),
+            output_mode="append",
+        )
+        pdf = got.toPandas().sort_values("event_id")
+        assert list(pdf["ts_s"]) == [
+            "2024-03-01 12:00:00",
+            "2024-03-01 13:00:00",
+            "2024-03-01 14:00:00",
+        ], unit
