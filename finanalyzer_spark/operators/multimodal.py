@@ -3,12 +3,18 @@ metadata (BASELINE.json extension surface).
 
 Design: media rides in a `binary` column next to a metadata struct
 (mime, width/height or sample_rate/duration, byte size, content hash).
-All transport/partitioning/batching is real Spark; only the codec
-kernels are stubbed (the decode libraries aren't in this container):
-each decode function is a `mapInPandas` kernel with the real UDF
-signature, Arrow batch shape, and output schema, raising
-NotImplementedError at the pixel/sample-decode step unless the
-deterministic fake decoder is requested.
+All transport/partitioning/batching is real Spark. Two codec tiers:
+
+* **Real codecs for public headerless-dependency formats** — pure-numpy
+  decoders for binary PPM (Netpbm P6) images and PCM-16 WAV audio, so
+  `fake=False` genuinely decodes pixels/samples with zero external
+  libraries. Compressed formats (PNG/JPEG/MP4) still raise
+  NotImplementedError — their codecs (PIL/ffmpeg) aren't in this
+  container; the kernel signature, Arrow batch shape, and output
+  schema are identical, so they drop in without touching any plan.
+* **Deterministic fake decoders** (`fake=True`) — byte-histogram /
+  byte-slice paths with exact DuckDB oracles, used by the registry
+  queries.
 
 Scale notes:
 * binary payloads make rows wide — `spark.sql.files.maxPartitionBytes`
@@ -49,6 +55,92 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def decode_ppm(buf: bytes):
+    """Pure-numpy decoder for binary PPM (Netpbm P6, maxval<=255) —
+    a public format documented at netpbm.sourceforge.net/doc/ppm.html.
+
+    Returns an (height, width, 3) uint8 pixel array. Raises ValueError
+    on a non-P6 payload so callers can route other mimes elsewhere."""
+    import numpy as np
+
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(buf[start:pos])
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {tokens[0]!r})")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit-per-sample PPM not supported")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    data = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_wav(buf: bytes):
+    """Pure-numpy decoder for PCM-16 RIFF/WAVE audio (public format,
+    IBM/Microsoft Multimedia Programming Interface spec).
+
+    Returns (sample_rate, samples) with samples shaped
+    (n_frames, n_channels) int16. ValueError on non-WAV payloads;
+    NotImplementedError for compressed / non-16-bit encodings."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 supported (format={audio_format}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = (len(data) // (2 * channels)) * 2 * channels
+    samples = np.frombuffer(data[:n], dtype="<i2").reshape(-1, channels)
+    return rate, samples
+
+
+def encode_wav_pcm16(pcm: bytes, rate: int = 8000, channels: int = 1) -> bytes:
+    """Wrap raw little-endian int16 sample bytes in a canonical RIFF/
+    WAVE PCM-16 container (the encode twin of decode_wav; test vector
+    builder). Truncates to whole frames."""
+    import struct
+
+    n = (len(pcm) // (2 * channels)) * 2 * channels
+    pcm = pcm[:n]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
 def attach_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Compute byte-size + content hash metadata JVM-side (no decode)."""
     return df.withColumn(
@@ -67,9 +159,15 @@ def decode_image_features(
     dim: int = 8,
     fake: bool = False,
 ) -> DataFrame:
-    """Image → feature vector. Real codec path STUBBED (no PIL/cv2 in
-    this environment); `fake=True` yields a deterministic byte-histogram
-    feature so the full pipeline (decode → embed → ANN) is testable.
+    """Image → feature vector: normalized `dim`-bin intensity histogram.
+
+    `fake=False` REALLY decodes binary-PPM payloads (decode_ppm, pure
+    numpy) and histograms the decoded pixel bytes; compressed formats
+    (PNG/JPEG) raise NotImplementedError — their codecs aren't in this
+    container, and they'd slot into the same branch. `fake=True`
+    histograms the raw payload bytes instead (deterministic, has an
+    exact DuckDB oracle) so the full pipeline (decode → embed → ANN)
+    is testable without any fixture being a real image.
 
     Output: (id, feature array<float>) — feeds cosine_topk /
     hyperplane_lsh_buckets unchanged."""
@@ -80,18 +178,112 @@ def decode_image_features(
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv (not in this container); "
-                    "run with fake=True for the deterministic byte-histogram path"
-                )
             feats = []
             for buf in pdf[content_col]:
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = bytes(buf)
+                if fake:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                elif b[:2] == b"P6":
+                    arr = decode_ppm(b).ravel()
+                else:
+                    raise NotImplementedError(
+                        "real decode supports binary PPM only; PNG/JPEG need "
+                        "PIL/opencv (not in this container) — or run with "
+                        "fake=True for the raw-byte-histogram path"
+                    )
                 hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
                 total = max(int(hist.sum()), 1)
                 feats.append((hist / total).astype(np.float32))
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Audio → scalar features (sample_rate, n_frames, rms, peak).
+
+    `fake=False` REALLY decodes PCM-16 WAV payloads (decode_wav, pure
+    numpy). `fake=True` reinterprets the raw payload as little-endian
+    int16 mono at a nominal 8 kHz — deterministic, oracle-expressible.
+
+    RMS/peak are computed over all channels; both paths share the
+    arithmetic so the real codec drops in without changing any plan."""
+
+    schema = f"{id_col} long, sample_rate int, n_frames long, rms double, peak int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {id_col: [], "sample_rate": [], "n_frames": [], "rms": [], "peak": []}
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                if fake:
+                    rate = 8000
+                    n = (len(b) // 2) * 2
+                    samples = np.frombuffer(b[:n], dtype="<i2").reshape(-1, 1)
+                else:
+                    rate, samples = decode_wav(b)
+                s = samples.astype(np.float64)
+                out[id_col].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(samples.shape[0])
+                out["rms"].append(
+                    float(np.sqrt((s * s).mean())) if samples.size else 0.0
+                )
+                out["peak"].append(
+                    int(np.abs(samples.astype(np.int32)).max()) if samples.size else 0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_h: int,
+    target_w: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + nearest-neighbor resize of binary-PPM payloads to
+    (target_h, target_w), emitted as a flat array<float> in [0, 1] —
+    the fixed-size input a vision encoder expects.
+
+    Nearest-neighbor (index map `(i * src) // dst`) keeps the kernel
+    dependency-free and bit-deterministic across partitionings; a
+    production swap-in (PIL bilinear, GPU batch) only replaces the
+    per-row body. Arrow batches stream through mapInPandas, so resizing
+    a 100 TB image corpus is scan-bound, never driver-bound."""
+
+    schema = f"{id_col} long, height int, width int, pixels array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, pix = [], []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                img = decode_ppm(bytes(buf))
+                h, w, _ = img.shape
+                rows = (np.arange(target_h) * h) // target_h
+                cols = (np.arange(target_w) * w) // target_w
+                small = img[rows][:, cols].astype(np.float32) / 255.0
+                ids.append(mid)
+                pix.append(small.ravel())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "height": [target_h] * len(ids),
+                    "width": [target_w] * len(ids),
+                    "pixels": pix,
+                }
+            )
 
     return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)
 

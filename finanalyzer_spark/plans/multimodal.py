@@ -19,10 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.multimodal import decode_image_features, sample_video_frames
+from ..operators.multimodal import (
+    decode_audio_features,
+    decode_image_features,
+    encode_wav_pcm16,
+    sample_video_frames,
+)
 from .registry import query
 
 FRAME_BYTES = 64
+
+#: 8x8 RGB binary PPM: 192 raster bytes after an 11-byte header.
+PPM_DIM = 8
+PPM_RASTER_BYTES = PPM_DIM * PPM_DIM * 3
+PPM_HEADER = f"P6\n{PPM_DIM} {PPM_DIM}\n255\n"
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,6 +146,143 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_media"),
             F.round(F.avg(norm), 5).alias("avg_feature_norm"),
         )
+    )
+
+
+@query(
+    "media_ppm_pixel_features",
+    # The Spark side builds REAL binary-PPM files (header + raster =
+    # text bytes cycled to 192) and decodes them with the pure-numpy P6
+    # codec (fake=False). The oracle recomputes the same histogram from
+    # the raster bytes directly — decoding must recover exactly the
+    # 192 pixel bytes, header excluded, or the hash diverges. Fixture
+    # text is pure ASCII so ascii(char) == UTF-8 byte; rpad cycles its
+    # pad string identically in both engines.
+    oracle=f"""
+    WITH by AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split_regex(rpad(text, {PPM_RASTER_BYTES}, text), ''),
+                   c -> ascii(c)) AS bs
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, list_transform(range(8), b ->
+            CAST(CAST(len(list_filter(bs, x -> x // 32 = b)) AS DOUBLE)
+                 / {PPM_RASTER_BYTES} AS REAL)) AS f
+        FROM by
+    )
+    SELECT doc_id % 4 AS grp, count(*) AS n_media,
+           round(avg(sqrt(list_sum(list_transform(f,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5)
+               AS avg_feature_norm
+    FROM feat
+    GROUP BY grp
+    """,
+    tags=("multimodal", "codec"),
+)
+def media_ppm_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: synthesize valid binary-PPM payloads JVM-side
+    (concat of header + cycled text bytes), then run the actual P6
+    codec — not the fake — through the Arrow-batched kernel. Proves
+    the production decode path end-to-end with an exact oracle."""
+    t = load(spark, sf_dir)
+    media = t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(F.lit(PPM_HEADER), "UTF-8"),
+            F.encode(F.expr(f"rpad(text, {PPM_RASTER_BYTES}, text)"), "UTF-8"),
+        ).alias("content"),
+    )
+    feats = decode_image_features(
+        media, content_col="content", id_col="media_id", dim=8, fake=False
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    return (
+        feats.select((F.col("media_id") % 4).alias("grp"), norm.alias("norm"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.avg("norm"), 5).alias("avg_feature_norm"),
+        )
+    )
+
+
+@query(
+    "media_wav_audio_stats",
+    # The Spark side wraps each document's (even-truncated) text bytes
+    # in a REAL RIFF/WAVE PCM-16 container and decodes it with the
+    # pure-numpy WAV codec (fake=False). The oracle reassembles the
+    # little-endian int16 samples arithmetically from consecutive byte
+    # pairs (lo + 256*hi, two's complement) — parsing must recover the
+    # exact sample stream or rms/peak diverge. DuckDB lists are
+    # 1-based; range(n) is 0-based.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, 2 * (length(text) // 2)), ''),
+                   c -> ascii(c)) AS bs
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, list_transform(range(len(bs) // 2), i ->
+            CASE WHEN bs[2*i+2] * 256 + bs[2*i+1] >= 32768
+                 THEN bs[2*i+2] * 256 + bs[2*i+1] - 65536
+                 ELSE bs[2*i+2] * 256 + bs[2*i+1] END) AS smp
+        FROM b
+    )
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           CAST(len(smp) AS BIGINT) AS n_frames,
+           round(sqrt(list_sum(list_transform(smp,
+               x -> CAST(x AS DOUBLE) * x)) / len(smp)), 6) AS rms,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+    FROM s
+    """,
+    tags=("multimodal", "codec"),
+)
+def media_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: build valid PCM-16 WAV files (RIFF container
+    around text-derived sample bytes, encode_wav_pcm16), decode them
+    with the actual WAV codec, and report per-media sample stats."""
+    t = load(spark, sf_dir)
+    pcm = t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.expr("substr(text, 1, 2 * (length(text) div 2))"), "UTF-8"
+        ).alias("content"),
+    )
+
+    def wrap(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        encode_wav_pcm16(bytes(b), rate=8000, channels=1)
+                        for b in pdf["content"]
+                    ],
+                }
+            )
+
+    wav = pcm.mapInPandas(wrap, schema="media_id long, content binary")
+    feats = decode_audio_features(
+        wav, content_col="content", id_col="media_id", fake=False
+    )
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_frames",
+        F.round("rms", 6).alias("rms"),
+        "peak",
     )
 
 

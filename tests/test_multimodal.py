@@ -59,9 +59,76 @@ def test_decode_image_features_feeds_similarity(spark, media):
     assert top.count() == 3
 
 
-def test_real_codec_path_is_stubbed(media):
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+def test_compressed_codec_path_is_stubbed(media):
+    # PNG/JPEG payloads (no PIL/opencv here) still raise; only the
+    # pure-numpy PPM/WAV codecs run for real.
+    with pytest.raises(Exception, match="NotImplementedError|binary PPM"):
         decode_image_features(media, fake=False).collect()
+
+
+def test_decode_ppm_real_pixels(spark):
+    """The pure-numpy P6 codec recovers exact pixel values (incl.
+    header comments), and the real feature path histograms decoded
+    pixels, not raw file bytes."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import decode_ppm
+
+    pixels = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    ppm = b"P6\n# test comment\n2 2\n255\n" + pixels
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 1].tolist() == [10, 20, 30]
+
+    df = spark.createDataFrame([(1, ppm)], "media_id long, content binary")
+    got = decode_image_features(df, dim=8, fake=False).collect()[0]["feature"]
+    hist, _ = np.histogram(np.frombuffer(pixels, dtype=np.uint8),
+                           bins=8, range=(0, 256))
+    want = (hist / hist.sum()).astype(np.float32)
+    assert np.allclose(got, want)
+
+
+def test_decode_wav_real_samples(spark):
+    """encode_wav_pcm16 -> decode_wav round-trips the sample stream;
+    the Spark kernel's rms/peak match a direct numpy computation."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([0, 1000, -2000, 32767, -32768, 5], dtype="<i2")
+    wav = encode_wav_pcm16(samples.tobytes(), rate=44100, channels=2)
+    rate, got = decode_wav(wav)
+    assert rate == 44100
+    assert got.shape == (3, 2)
+    assert (got.ravel() == samples).all()
+
+    df = spark.createDataFrame([(7, wav)], "media_id long, content binary")
+    row = decode_audio_features(df, fake=False).collect()[0]
+    s = samples.astype(np.float64)
+    assert row["sample_rate"] == 44100
+    assert row["n_frames"] == 3
+    assert row["rms"] == pytest.approx(float(np.sqrt((s * s).mean())))
+    assert row["peak"] == 32768
+
+
+def test_resize_images_nearest(spark):
+    """Nearest-neighbor resize picks source pixels via (i*src)//dst."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import resize_images
+
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    ppm = b"P6\n4 4\n255\n" + src.tobytes()
+    df = spark.createDataFrame([(3, ppm)], "media_id long, content binary")
+    row = resize_images(df, target_h=2, target_w=2).collect()[0]
+    assert (row["height"], row["width"]) == (2, 2)
+    want = (src[[0, 2]][:, [0, 2]].astype(np.float32) / 255.0).ravel()
+    assert np.allclose(row["pixels"], want)
 
 
 def test_sample_video_frames_fake_path(media):
