@@ -75,15 +75,26 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # Full-precision per-query map as a repo artifact (the stdout line
+    # is size-limited by the driver's capture window).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json"), "w") as fh:
+        json.dump({"queries": timings, "sf": sf_val, "total_sec": total}, fh,
+                  indent=1, sort_keys=True)
+    # stdout: ONE compact JSON doc, 2-decimal per-query timings —
+    # r1/r2 both recorded parsed:null with the driver's stored tail
+    # cutting into the middle of the (then ~4.2 KB) payload, so every
+    # byte saved here matters for fitting the capture window.
     print(
         json.dumps(
             {
                 "metric": "suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         ),
         file=_REAL_STDOUT,
     )
