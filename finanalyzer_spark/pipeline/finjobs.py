@@ -35,6 +35,7 @@ from ..operators.dedup import dedup_by_key
 from ..operators.ids import positional_ids
 from ..sources.csvseed import read_tickers_csv
 from ..sources.fetcher import FakeFeed, fetch_history, fetch_info
+from .merge import overwrite_atomic
 
 MAX_DATA_HISTORY_YEARS = 10  # reference constants.py:1
 RETENTION_DAYS = 3650  # findatabase.py:50: 365 * years
@@ -62,6 +63,11 @@ class FinStore:
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self.path(table))
+
+    def overwrite_atomic(self, df: DataFrame, table: str) -> None:
+        """Stage-and-swap overwrite — safe even when `df` reads the
+        same table (see pipeline.merge; Delta backend drop-in seam)."""
+        overwrite_atomic(df, self.path(table))
 
 
 def bootstrap_registry(store: FinStore, tickers_csv: str) -> DataFrame:
@@ -99,9 +105,8 @@ def bootstrap_registry(store: FinStore, tickers_csv: str) -> DataFrame:
         store.write(out, "names")
     else:
         # plain parquet can't overwrite a path its own plan is reading —
-        # stage then swap (same pattern as update_history)
-        store.write(out, "names_next")
-        store.write(store.read("names_next"), "names")
+        # stage-and-swap via the merge seam (one write, not two)
+        store.overwrite_atomic(out, "names")
     return store.read("names")
 
 
@@ -175,10 +180,10 @@ def update_history(
     retained = deduped.where(
         F.col("date_added") >= F.date_sub(F.lit(today.isoformat()).cast("date"), RETENTION_DAYS)
     )
-    store.write(retained, "history_next")
-    # atomic-ish swap: plain parquet can't overwrite a path being read
-    out = store.read("history_next")
-    store.write(out, "history")
+    # stage-and-swap through the merge seam (reads history, writes
+    # history); a Delta backend turns this whole dedup+retention
+    # rewrite into MERGE INTO + a retention DELETE, metadata-only
+    store.overwrite_atomic(retained, "history")
     return store.read("history")
 
 
@@ -253,8 +258,7 @@ def update_fundamentals(
     deduped = dedup_by_key(
         merged, ["names_id", "date_value"], [F.col("names_id").asc()]
     )
-    store.write(deduped, "fundamentals_next")
-    store.write(store.read("fundamentals_next"), "fundamentals")
+    store.overwrite_atomic(deduped, "fundamentals")
     return store.read("fundamentals")
 
 

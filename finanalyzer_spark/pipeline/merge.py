@@ -1,0 +1,66 @@
+"""Keyed MERGE / atomic overwrite on plain parquet — the thin seam a
+Delta/Iceberg backend drops into.
+
+The reference "merges" by inserting everything and deleting duplicates
+afterwards (redundancy.sql); the Spark-first shape is an idempotent
+keyed upsert. On plain parquet that is necessarily read-union-rewrite:
+parquet can't overwrite a path its own plan is reading, so we stage to
+a sibling directory and swap with a rename. Every caller goes through
+these two functions, so upgrading the store means reimplementing ONLY
+this module:
+
+* `merge_into`  -> `DeltaTable.merge(...).whenMatched...` — a
+  metadata-only operation touching just the files holding matched
+  keys, instead of rewriting the table;
+* `overwrite_atomic` -> a transactional `overwrite` commit.
+
+At 100 TB the parquet fallback is the wrong tool (full rewrite per
+merge); the docstrings say so rather than pretending otherwise. The
+os.rename swap is atomic on a local filesystem and NOT on S3 — another
+reason the production path is a table format, not raw parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def overwrite_atomic(df: DataFrame, path: str) -> None:
+    """Overwrite `path` with `df`, staging to a sibling temp dir first
+    so a plan that READS `path` can be written back to it (parquet
+    self-overwrite guard), and readers never observe a half-written
+    directory."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Idempotent keyed upsert of `source` into the parquet table at
+    `target_path`: target rows whose key matches an incoming row are
+    replaced; unmatched target rows survive; incoming rows are
+    key-deduplicated first (arbitrary survivor within the batch — give
+    the source a deterministic pre-dedup if survivor identity matters).
+
+    Replaying the same source is a no-op on the row set — the property
+    at-least-once streaming sinks and restarted batch jobs need.
+    Returns the merged DataFrame (fresh read of the target)."""
+    incoming = source.dropDuplicates(keys)
+    if os.path.isdir(target_path):
+        current = spark.read.parquet(target_path)
+        merged = current.join(incoming, keys, "left_anti").unionByName(incoming)
+    else:
+        merged = incoming
+    overwrite_atomic(merged, target_path)
+    return spark.read.parquet(target_path)

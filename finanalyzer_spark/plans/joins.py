@@ -634,3 +634,116 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= FUZZY_MAX_DIST)
         .select("probe", "c_custkey", "c_name", dist.alias("dist"))
     )
+
+
+# --------------------------------------------------------------------------
+# blocked fuzzy matching (q-gram count filtering, the scale path)
+# --------------------------------------------------------------------------
+FUZZY_BLOCK_MOD = 37    #: every 37th customer contributes a distorted probe
+FUZZY_BLOCK_Q = 2       #: gram width
+FUZZY_BLOCK_DIST = 2    #: max edit distance
+FUZZY_CODE_LEN = 12     #: record-code length (hex chars)
+#: q-gram count-filtering bound (Gravano et al., VLDB'01): strings
+#: within edit distance d share >= max(|s|,|t|) - 1 - q*d positional
+#: q-grams (multiset). Equal fixed lengths here, so T is a constant.
+FUZZY_BLOCK_T = FUZZY_CODE_LEN - 1 - FUZZY_BLOCK_Q * FUZZY_BLOCK_DIST
+
+#: chars 4 and 5 transposed — an OCR/typist-style corruption, edit
+#: distance <= 2 from the source code; identical expression on both
+#: engines.
+_TRANSPOSE = "concat(substr({s},1,3), substr({s},5,1), substr({s},4,1), substr({s},6))"
+
+
+@query(
+    "fuzzy_code_match_blocked",
+    # Ground-truth oracle: the UNBLOCKED brute-force edit-distance
+    # join. The Spark side only ever compares q-gram-blocked candidate
+    # pairs — a green hash therefore proves the blocking is lossless
+    # on this data, exactly what the count-filtering theorem promises.
+    oracle=f"""
+    WITH corpus AS (
+        SELECT c_custkey,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, {FUZZY_CODE_LEN}) AS code
+        FROM customer
+    ),
+    probes AS (
+        SELECT c_custkey AS probe_id,
+               {_TRANSPOSE.format(s='code')} AS probe
+        FROM corpus WHERE c_custkey % {FUZZY_BLOCK_MOD} = 0
+    )
+    SELECT p.probe_id, p.probe, c.c_custkey, c.code AS c_code,
+           levenshtein(p.probe, c.code) AS dist
+    FROM probes p
+    JOIN corpus c ON levenshtein(p.probe, c.code) <= {FUZZY_BLOCK_DIST}
+    """,
+    tags=("join", "fuzzy", "entity-resolution", "blocked"),
+)
+def fuzzy_code_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching at scale: the q-gram prefilter variant the
+    fuzzy_name_match docstring promises, for probe sets too large to
+    broadcast-nested-loop.
+
+    Entities are 12-hex-char record codes derived from md5(c_custkey)
+    (high-entropy, deterministic on both engines); probes are every
+    37th code with two characters transposed. Pipeline:
+
+    1. explode positional bigrams with multiplicity (transform over a
+       sequence — JVM-side, no UDF), count per (id, gram);
+    2. candidate generation: BROADCAST the probe grams (tiny side) and
+       equi-join on gram — a hash join, no cartesian anywhere — then
+       per pair sum(least(count_p, count_c)) and keep pairs sharing
+       >= T = len - 1 - q*d grams. Count filtering is lossless for
+       edit distance <= d, so no true match can be pruned;
+    3. verify survivors only with levenshtein <= d.
+
+    At 100 TB both gram frames shuffle on the gram key (bounded
+    alphabet -> bounded skew, and the candidate aggregation is
+    map-side combinable); raising q sharpens selectivity for longer
+    strings. The broadcast keeps the corpus-side scan shuffle-free
+    here; with a huge probe table the same plan runs as a shuffled
+    hash join on gram."""
+    t = load(spark, sf_dir)
+    corpus = t.customer.select(
+        "c_custkey",
+        F.expr(f"substr(md5(cast(c_custkey as string)), 1, {FUZZY_CODE_LEN})").alias(
+            "code"
+        ),
+    )
+    probes = corpus.where(F.col("c_custkey") % FUZZY_BLOCK_MOD == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.expr(_TRANSPOSE.format(s="code")).alias("probe"),
+    )
+
+    def grams(df: DataFrame, id_col: str, s_col: str, out: str) -> DataFrame:
+        g = F.explode(
+            F.expr(
+                f"transform(sequence(1, length({s_col})-{FUZZY_BLOCK_Q - 1}),"
+                f" i -> substr({s_col}, i, {FUZZY_BLOCK_Q}))"
+            )
+        )
+        return (
+            df.select(id_col, g.alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias(out))
+        )
+
+    cand = (
+        grams(corpus, "c_custkey", "code", "nc")
+        .join(F.broadcast(grams(probes, "probe_id", "probe", "np")), "gram")
+        .groupBy("probe_id", "c_custkey")
+        .agg(F.sum(F.least("np", "nc")).alias("shared"))
+        .where(F.col("shared") >= FUZZY_BLOCK_T)
+    )
+    dist = F.levenshtein("probe", "code")
+    return (
+        cand.join(F.broadcast(probes), "probe_id")
+        .join(corpus, "c_custkey")
+        .where(dist <= FUZZY_BLOCK_DIST)
+        .select(
+            "probe_id",
+            "probe",
+            "c_custkey",
+            F.col("code").alias("c_code"),
+            dist.alias("dist"),
+        )
+    )

@@ -225,24 +225,13 @@ def foreach_batch_merge(target_dir: str, keys: list[str]):
     (at-least-once sources, restarts) replace rather than duplicate.
     Plain parquet makes the rewrite full-table (fine for a test
     harness and small dims); at 100 TB the target is Delta/Iceberg and
-    this body becomes a metadata-only `MERGE INTO` on the same keys —
-    the streaming graph above it is unchanged.
+    `merge_into` becomes a metadata-only `MERGE INTO` on the same keys
+    — the streaming graph above it is unchanged.
     """
-    import shutil
+    from ..pipeline.merge import merge_into
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        new = batch.dropDuplicates(keys)
-        if os.path.isdir(target_dir):
-            cur = spark.read.parquet(target_dir)
-            merged = cur.join(new, keys, "left_anti").unionByName(new)
-        else:
-            merged = new
-        tmp = f"{target_dir}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
-        os.rename(tmp, target_dir)
+        merge_into(batch.sparkSession, target_dir, batch, keys)
 
     return write
 

@@ -350,6 +350,26 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["HashAggregate", "Generate"],
         "must_not": ["Union", "Join", "Window"],
     },
+    "fuzzy_code_match_blocked": {
+        # the whole point of the blocked variant: candidate generation
+        # is a broadcast HASH join on the gram key + count-filter
+        # aggregation — no nested-loop / cartesian anywhere in the plan
+        "must": ["BroadcastHashJoin", "HashAggregate", "Generate"],
+        "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "media_ppm_pixel_features": {
+        # real-codec decode is one Arrow-batched mapInPandas over the
+        # scan; the feature agg is a plain hash aggregate — no join,
+        # no row-at-a-time Python
+        "must": ["MapInPandas", "HashAggregate"],
+        "must_not": ["Join", "BatchEvalPython"],
+    },
+    "media_wav_audio_stats": {
+        # two Arrow kernels (WAV wrap + decode) back-to-back on the
+        # same pass — still no shuffle, no join
+        "must": ["MapInPandas"],
+        "must_not": ["Join", "Exchange", "BatchEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a

@@ -128,3 +128,36 @@ def test_salted_join_rejects_outer_how(spark):
         with _pytest.raises(ValueError, match="salted_join supports"):
             salted_join(left, right, ["k"], how=how)
     assert salted_join(left, right, ["k"], how="inner").count() == 1
+
+
+def test_merge_into_idempotent_upsert(spark, tmp_path):
+    """The merge seam (pipeline.merge.merge_into): matched keys are
+    replaced, unmatched survive, and replaying the same source is a
+    row-set no-op — the Delta MERGE contract on plain parquet."""
+    from finanalyzer_spark.pipeline.merge import merge_into
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    merge_into(spark, target, base, ["k"])
+
+    upd = spark.createDataFrame(
+        [(2, "B"), (4, "d"), (4, "d")], "k long, v string"
+    )
+    for _ in range(3):  # re-merge must be idempotent
+        out = merge_into(spark, target, upd, ["k"])
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_overwrite_atomic_self_read(spark, tmp_path):
+    """overwrite_atomic writes a plan that reads the target path back
+    to the same path (parquet self-overwrite guard)."""
+    from finanalyzer_spark.pipeline.merge import overwrite_atomic
+
+    path = str(tmp_path / "self")
+    spark.range(10).write.parquet(path)
+    df = spark.read.parquet(path).where("id < 5")
+    overwrite_atomic(df, path)
+    assert spark.read.parquet(path).count() == 5
