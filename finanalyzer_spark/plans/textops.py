@@ -705,3 +705,53 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "udtf_chunk_documents",
+    # The oracle rebuilds the same fixed-size token windows with pure
+    # list arithmetic (1-based inclusive slices); chunk content is
+    # compared by md5 so the hash check covers every token of every
+    # window without hauling full text through the comparator.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(CAST(ceil(len(t) / 64.0) AS BIGINT)), i ->
+                   struct_pack(
+                       chunk_no := CAST(i AS INT),
+                       n_tokens := CAST(least((i+1)*64, len(t)) - i*64 AS INT),
+                       chunk_md5 := md5(array_to_string(
+                           t[(i*64+1):least((i+1)*64, len(t))], ' '))
+                   ))) AS s
+        FROM toks
+    )
+    SELECT doc_id, s.chunk_no AS chunk_no, s.n_tokens AS n_tokens,
+           s.chunk_md5 AS chunk_md5
+    FROM ch
+    """,
+    tags=("text", "udtf", "chunking"),
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.10, third UDF kind): LATERAL
+    chunk_document(text, 64) splits each document into consecutive
+    64-token windows — the pre-tokenization chunking step of an LLM
+    data pipeline — via an Arrow-batched table function
+    (functions/udtf.py). The codegen twin of this shape is
+    pack_token_batches; the UDTF exists for imperative row-expansion
+    kernels (real tokenizers, stateful parsers) that explode cannot
+    express."""
+    from ..functions.udtf import CHUNK_TOKENS, register_udtfs
+
+    t = load(spark, sf_dir)
+    register_udtfs(spark)
+    t.documents.createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_no, c.n_tokens, md5(c.chunk) AS chunk_md5
+        FROM udtf_docs_src d, LATERAL chunk_document(d.text, {CHUNK_TOKENS}) c
+        """
+    )

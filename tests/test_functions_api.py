@@ -58,3 +58,24 @@ def test_every_column_helper_evaluates(spark):
     ).collect()
     assert abs(vec[0]["dot"] - 5.0) < 1e-6
     assert abs(vec[0]["cos"] - 1.0) < 1e-6
+
+
+def test_udtf_chunk_document_lateral(spark):
+    """Arrow UDTF: LATERAL expansion matches a hand-computed split."""
+    from finanalyzer_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_test_src")
+    rows = spark.sql(
+        "SELECT doc_id, c.* FROM udtf_test_src, "
+        "LATERAL chunk_document(text, 2) c ORDER BY doc_id, chunk_no"
+    ).collect()
+    got = [(r["doc_id"], r["chunk_no"], r["n_tokens"], r["chunk"]) for r in rows]
+    assert got == [
+        (1, 0, 2, "a b"),
+        (1, 1, 2, "c d"),
+        (1, 2, 1, "e"),
+        (2, 0, 1, "x"),
+    ]

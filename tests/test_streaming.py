@@ -328,3 +328,39 @@ def test_reader_roundtrips_us_and_ns_fixtures(spark, tmp_path):
             "2024-03-01 13:00:00",
             "2024-03-01 14:00:00",
         ], unit
+
+
+def test_rate_source_drives_event_operators(spark):
+    """A real unbounded source (built-in rate — Kafka's in-box stand-
+    in) mapped onto the events schema drives the same watermarked
+    operator graph as the file fixture: deterministic event derivation,
+    monotone ids, and the tumbling aggregation consuming it live."""
+    from finanalyzer_spark.streaming.events import streaming_tumbling_counts
+    from finanalyzer_spark.streaming.sources import (
+        rate_as_events,
+        read_rate_stream,
+        run_until_rows,
+    )
+
+    events = rate_as_events(read_rate_stream(spark, rows_per_second=2000,
+                                             partitions=4))
+    got = run_until_rows(events, min_rows=100, output_mode="append")
+    assert got.count() >= 100
+    assert set(got.columns) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    }
+    rows = got.select("event_id", "user_id", "event_type").collect()
+    for r in rows:  # schema-mapping determinism: derived fields from value
+        assert r["user_id"] == r["event_id"] % 100
+        assert r["event_type"] == ["view", "click", "purchase", "refund"][
+            r["event_id"] % 4
+        ]
+
+    agg = run_until_rows(
+        streaming_tumbling_counts(rate_as_events(
+            read_rate_stream(spark, rows_per_second=2000, partitions=4))),
+        min_rows=1,
+        output_mode="complete",
+    )
+    assert agg.count() >= 1
+    assert agg.agg(F.sum("n")).collect()[0][0] > 0
