@@ -68,3 +68,52 @@ def pagerank_fixed(
             ).alias("pr"),
         )
     return pr
+
+
+def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Exact triangle count via degree-ordered orientation — the
+    standard scale-safe formulation (each edge is directed from its
+    lower-(degree, id) endpoint to the higher one, making the graph a
+    DAG whose max out-degree is O(sqrt(m)); the wedge join therefore
+    generates O(m^1.5) candidates instead of the O(sum deg^2) a naive
+    neighbor join produces on skewed graphs).
+
+    Input: undirected edge list with u < v, one row per edge.
+    Returns a 1-row DataFrame (n_triangles long). All joins are
+    equi-joins on node ids — hash-partitionable, no cartesian."""
+    e = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    # orientation key: (degree, id) packed into one long so the
+    # comparison rides codegen; ids here are small ints (node ids),
+    # degrees <= n — 1e9 spacing keeps the packing collision-free
+    withdeg = (
+        e.join(deg.withColumnRenamed("a", "_n1"), F.col("a") == F.col("_n1"))
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("a", "_n2"), F.col("b") == F.col("_n2"))
+        .withColumnRenamed("deg", "deg_b")
+    )
+    ka = F.col("deg_a") * F.lit(1_000_000_000) + F.col("a")
+    kb = F.col("deg_b") * F.lit(1_000_000_000) + F.col("b")
+    oriented = withdeg.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(ka < kb, kb).otherwise(ka).alias("dst_key"),
+    )
+    # wedges u->v, u->w with ord(v) < ord(w); triangle iff v->w oriented
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("dst_key").alias("kv"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("dst_key").alias("kw"),
+    )
+    wedges = o1.join(o2, "u").where(F.col("kv") < F.col("kw"))
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    return (
+        wedges.join(closing, ["v", "w"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -102,3 +102,16 @@ def stratified_sample(
         else:
             cut = cut.when(stratum == value, int(rate * _SPACE))
     return df.where(bucket < cut.otherwise(0))
+
+
+def weighted_sample_col(
+    key: Column, weight: Column, max_weight: float, rate: float, salt: str = ""
+) -> Column:
+    """Weighted-Bernoulli inclusion predicate: P(keep) = rate *
+    weight / max_weight, decided per row from the key's hash bucket —
+    deterministic, shuffle-free, stable under repartitioning, and
+    portable to the DuckDB twin (same bucket arithmetic, same double
+    threshold — no transcendentals, so both engines compare
+    identically)."""
+    thr = F.lit(rate * _SPACE / max_weight) * weight
+    return hash_bucket_col(key, _SPACE, salt) < thr

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.graph import DAMPING, ITER_ROUND, TELEPORT, pagerank_fixed
+from ..operators.graph import (
+    DAMPING,
+    ITER_ROUND,
+    TELEPORT,
+    count_triangles,
+    pagerank_fixed,
+)
 from .registry import query
 
 _ITERS = 3
@@ -91,3 +97,81 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_fixed(sym, iters=_ITERS)
     return pr.select("node", (F.round(F.col("pr"), _OUT_ROUND) + 0.0).alias("pr"))
+
+
+_TRI_FACTOR = 1.2  # edge threshold: shared customers > factor * mean
+
+
+@query(
+    "triangle_count_cosupply",
+    # Ground-truth oracle: canonical a<b<c three-way self-join — no
+    # orientation trick, so a green hash proves the oriented wedge
+    # join counts every triangle exactly once. The edge threshold is a
+    # scalar (mean shared-customer count) both engines derive from the
+    # same exact integer pair counts.
+    oracle=f"""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    p AS (
+        SELECT a.s AS u, b.s AS v, count(*) AS shared
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    thr AS (SELECT {_TRI_FACTOR} * avg(shared) AS t FROM p),
+    e AS (SELECT u, v FROM p, thr WHERE shared > t),
+    nodes AS (
+        SELECT count(DISTINCT x) AS n FROM
+            (SELECT u AS x FROM e UNION SELECT v FROM e)
+    )
+    SELECT (SELECT n FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    tags=("graph", "triangles"),
+)
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph (suppliers
+    linked when they share more customers than {factor}x the mean pair
+    overlap). Spark counts via degree-ordered orientation
+    (operators/graph.count_triangles): wedge generation is bounded by
+    O(m^1.5) regardless of degree skew — the formulation that survives
+    a power-law graph at 100 TB, where a naive neighborhood join
+    explodes on hub nodes. The oracle counts the same triangles with
+    the canonical a<b<c three-way join."""
+    t = load(spark, sf_dir)
+    cs = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("u"))
+    b = cs.select(F.col("c"), F.col("s").alias("v"))
+    pairs = (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+    )
+    thr = pairs.agg((F.lit(_TRI_FACTOR) * F.avg("shared")).alias("t"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .where(F.col("shared") > F.col("t"))
+        .select("u", "v")
+        .persist()
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    tri = count_triangles(edges)
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))

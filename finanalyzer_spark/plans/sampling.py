@@ -130,3 +130,46 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
+
+
+_W_RATE = 0.2
+_W_MAX = 50.0  # l_quantity upper bound
+
+
+@query(
+    "weighted_sample_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE {_duck_bucket("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")}
+          % {_SPACE} < {_W_RATE} * {_SPACE} / {_W_MAX} * l_quantity
+    GROUP BY l_returnflag
+    """,
+    tags=("sampling", "weighted"),
+)
+def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Bernoulli sample: inclusion probability proportional to
+    l_quantity (P = 0.2 * qty / 50) — the size-biased sampling a
+    training-data pipeline uses to oversample long/high-value records.
+    Per-row hash decision at the scan, no shuffle, no state; the
+    selected set is identical no matter how the table is partitioned.
+    The quantity-tilt shows up as avg_qty well above the population
+    mean — the oracle reproduces the exact same selected set."""
+    from ..operators.sampling import weighted_sample_col
+
+    t = load(spark, sf_dir)
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        t.lineitem.where(
+            weighted_sample_col(key, F.col("l_quantity"), _W_MAX, _W_RATE)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

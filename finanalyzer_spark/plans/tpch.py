@@ -13,7 +13,10 @@ documented per query): there is no ``partsupp`` table, no
 ``l_commitdate``/``l_receiptdate``/``l_shipmode``, and no ``c_phone``.
 Q9/Q12/Q21/Q22 keep their plan SHAPE (the part being graded — join
 topology, decorrelation, scalar-subquery broadcast) with stand-in
-columns; Q7/Q8/Q14/Q15/Q18 are faithful.
+columns; Q7/Q8/Q14/Q15/Q18 are faithful; Q2/Q11/Q16/Q20 run over a
+supplier-part catalog derived from lineitem (see _PS_SQL below). With
+those, all 22 TPC-H query SHAPES have a registered, oracle-checked
+form across core.py / joins.py / this module.
 
 Scale notes common to all: dimension sides (region 5, nation 25,
 supplier 100, part 2k rows — still tiny at 100 TB fact scale) are
@@ -556,4 +559,254 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Derived supplier-part catalog: the harness has no partsupp table, so
+# the Q2/Q11/Q16/Q20 shapes run over one derived from lineitem —
+# ps_supplycost = min observed unit price, ps_availqty = total shipped
+# quantity. Both engines derive it with identical arithmetic
+# (quantities are integer-valued doubles, so sums are EXACT and
+# order-independent; unit price is a single IEEE division, so min() is
+# a selection, not an accumulation — no float-order hazards anywhere).
+# --------------------------------------------------------------------------
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               sum(l_quantity) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _ps(t) -> DataFrame:
+    return t.lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    el AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+               s.s_name, s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name AS nation, e.ps_partkey AS p_partkey,
+           p.p_brand, e.ps_suppkey AS s_suppkey,
+           round(e.ps_supplycost, 4) AS supplycost
+    FROM el e
+    JOIN part p ON e.ps_partkey = p.p_partkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size % 5 = 0
+      AND e.ps_supplycost = (
+          SELECT min(e2.ps_supplycost) FROM el e2
+          WHERE e2.ps_partkey = e.ps_partkey)
+    ORDER BY e.s_acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+    tags=("tpch-q2", "join", "correlated-subquery"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: cheapest supplier per part within a region. The
+    correlated min-cost subquery decorrelates into one per-part
+    aggregate joined back on partkey (same discipline as Q17's
+    below-avg decorrelation); region/nation/supplier/part dims all
+    broadcast; the top-100 is TakeOrderedAndProject with a fully
+    deterministic (acctbal, partkey, suppkey) boundary."""
+    t = load(spark, sf_dir)
+    el = (
+        _ps(t)
+        .join(F.broadcast(t.supplier), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name",
+                "s_acctbal", "n_name")
+    )
+    minc = el.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("_min_cost"))
+    parts = t.part.where((F.col("p_type") == "ECONOMY") & (F.col("p_size") % 5 == 0))
+    return (
+        el.join(minc, "ps_partkey")
+        .where(F.col("ps_supplycost") == F.col("_min_cost"))
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            F.col("ps_suppkey").alias("s_suppkey"),
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    natps AS (
+        SELECT ps.ps_partkey, ps.ps_availqty
+        FROM ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+    )
+    SELECT ps_partkey AS p_partkey,
+           round(sum(ps_availqty), 2) AS total_qty
+    FROM natps
+    GROUP BY 1
+    HAVING sum(ps_availqty) > (SELECT sum(ps_availqty) * 0.001 FROM natps)
+    """,
+    tags=("tpch-q11", "scalar-subquery", "having"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose stock concentration inside a nation group
+    exceeds a fraction of the group total — a HAVING against a scalar
+    subquery. The scalar rides a 1-row broadcast (never a shuffle);
+    importance is measured in quantity (exact integer-valued sums) so
+    the threshold comparison is bit-identical on both engines.
+
+    Harness nations are NATION_* (no TPC-H names); the canonical query
+    filters one nation, here a 3-nation group for a non-trivial
+    aggregate."""
+    t = load(spark, sf_dir)
+    natps = (
+        _ps(t)
+        .join(F.broadcast(t.supplier), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                t.nation.where(
+                    F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("ps_partkey", "ps_availqty")
+    )
+    total = natps.agg((F.sum("ps_availqty") * 0.001).alias("_thr"))
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("ps_availqty").alias("_qty"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("_qty") > F.col("_thr"))
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            F.round("_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch-q16", "anti-join", "count-distinct"),
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier counts per (brand, type, size)
+    excluding a supplier blacklist. The NOT IN becomes a broadcast
+    left-anti join (s_suppkey is non-null, so NOT IN and anti-join
+    agree); the blacklist stands in on acctbal < 0 — the harness
+    supplier table has no comment column."""
+    t = load(spark, sf_dir)
+    ps = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    parts = t.part.where(
+        (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    blacklist = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(blacklist),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty97
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM ps
+        JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                       AND ps.ps_suppkey = sh.l_suppkey
+        WHERE ps.ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND sh.qty97 > 0.5 * ps.ps_availqty)
+    """,
+    tags=("tpch-q20", "nested-in", "semi-join"),
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who shipped more than half their total
+    stock of 'red' parts during 1997 — two nested IN subqueries. Both
+    INs decorrelate to semi joins: part filter broadcasts into the
+    catalog, and the qualifying-supplier set (tiny) broadcasts into
+    supplier. Quantity sums are exact (integer-valued doubles), so the
+    half-stock comparison is engine-independent."""
+    t = load(spark, sf_dir)
+    shipped = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty97"))
+    )
+    red = t.part.where(F.col("p_name").like("red%")).select("p_partkey")
+    qualifying = (
+        _ps(t)
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .where(F.col("qty97") > 0.5 * F.col("ps_availqty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )

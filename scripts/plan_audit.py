@@ -350,6 +350,23 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["HashAggregate", "Generate"],
         "must_not": ["Union", "Join", "Window"],
     },
+    "tpch_q2_min_cost_supplier": {
+        # decorrelated min-cost subquery + all dims broadcast + bounded
+        # top-100 — never a global sort or a shuffled dim join
+        "must": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "tpch_q20_excess_shippers": {
+        # both nested INs decorrelate to (broadcast) semi joins
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "weighted_sample_stats": {
+        # per-row hash predicate evaluated at the scan: no join, the
+        # only exchange is the final tiny group-by
+        "must": ["HashAggregate"],
+        "must_not": ["Join", "Window"],
+    },
     "fuzzy_code_match_blocked": {
         # the whole point of the blocked variant: candidate generation
         # is a broadcast HASH join on the gram key + count-filter

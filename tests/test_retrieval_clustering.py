@@ -169,3 +169,16 @@ def test_mixture_sample_rates_bounded(spark):
     for r in rows:
         assert 0.0 <= r.rate <= 1.0
         assert 0 <= r.n_kept <= r.n_docs
+
+
+def test_count_triangles_known_graphs(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge changes
+    nothing; an edgeless wedge contributes none."""
+    from finanalyzer_spark.operators.graph import count_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "u long, v long")
+    assert count_triangles(edges).collect()[0]["n_triangles"] == 4
+
+    wedge = spark.createDataFrame([(0, 1), (1, 2)], "u long, v long")
+    assert count_triangles(wedge).collect()[0]["n_triangles"] == 0
