@@ -81,23 +81,42 @@ def main() -> None:
                            "BENCH_QUERIES.json"), "w") as fh:
         json.dump({"queries": timings, "sf": sf_val, "total_sec": total}, fh,
                   indent=1, sort_keys=True)
-    # stdout: ONE compact JSON doc, 2-decimal per-query timings —
-    # r1/r2 both recorded parsed:null with the driver's stored tail
-    # cutting into the middle of the (then ~4.2 KB) payload, so every
-    # byte saved here matters for fitting the capture window.
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        ),
-        file=_REAL_STDOUT,
-    )
+    # stdout: ONE compact JSON doc. r1/r2 both recorded parsed:null
+    # with the driver's stored tail cutting into the middle of the
+    # (then ~4.2 KB) payload — so the document must FIT the capture
+    # window, whatever the suite size. Degrade the per-query precision
+    # first, and as a last resort drop the map (full precision always
+    # lives in BENCH_QUERIES.json): a parseable summary beats a
+    # complete-but-truncated document.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BUDGET", "3800"))
+    head = {"metric": "suite_wall_clock", "value": total, "unit": "sec"}
+
+    def doc_for(qmap: dict[str, float], omitted: int) -> str:
+        d = {**head, "queries": qmap, "sf": sf_val}
+        if omitted:
+            # remainder (the fastest queries) lives in BENCH_QUERIES.json
+            d["queries_omitted"] = omitted
+            d["queries_file"] = "BENCH_QUERIES.json"
+        return json.dumps(d, separators=(",", ":"))
+
+    payload = doc_for({k: round(v, 2) for k, v in timings.items()}, 0)
+    if len(payload) > budget:
+        # keep the slowest-N per-query timings that fit — those carry
+        # the signal (scale-killers, regressions); the full map is in
+        # BENCH_QUERIES.json either way
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        lo, hi = 0, len(by_cost)
+        while lo < hi:  # largest N whose doc fits
+            mid = (lo + hi + 1) // 2
+            trial = doc_for({k: round(v, 1) for k, v in by_cost[:mid]},
+                            len(by_cost) - mid)
+            if len(trial) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        payload = doc_for({k: round(v, 1) for k, v in by_cost[:lo]},
+                          len(by_cost) - lo)
+    print(payload, file=_REAL_STDOUT)
     _REAL_STDOUT.flush()
 
 

@@ -159,6 +159,9 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count("*").alias("shared"))
     )
+    # the pair projection is the expensive pass (per-customer supplier
+    # self-join); both the threshold scalar and the edge filter read it
+    pairs = pairs.persist()
     thr = pairs.agg((F.lit(_TRI_FACTOR) * F.avg("shared")).alias("t"))
     edges = (
         pairs.crossJoin(F.broadcast(thr))

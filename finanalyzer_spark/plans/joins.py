@@ -747,3 +747,40 @@ def fuzzy_code_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+@query(
+    "null_safe_join",
+    # Spark's <=> (eqNullSafe) and DuckDB's IS NOT DISTINCT FROM share
+    # semantics: NULL matches NULL, and a plain = would silently drop
+    # those rows — the corner this query pins down.
+    oracle="""
+    WITH a AS (
+        SELECT nullif(l_returnflag, 'N') AS k, count(*) AS n_left
+        FROM lineitem GROUP BY 1
+    ),
+    b AS (
+        SELECT nullif(l_linestatus, 'O') AS k, count(*) AS n_right
+        FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(a.k, '<null>') AS k, a.n_left, b.n_right
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "null-semantics"),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (SQL IS NOT DISTINCT FROM / Spark <=>):
+    grouped keys where the interesting bucket IS the null one — a
+    plain equi-join loses it, eqNullSafe keeps it. Catalyst still
+    plans this as a hash join (null-safe equality is a valid hash
+    key), so the null bucket doesn't cost a nested loop."""
+    t = load(spark, sf_dir)
+    a = t.lineitem.groupBy(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k")
+    ).agg(F.count("*").alias("n_left"))
+    b = t.lineitem.groupBy(
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("k")
+    ).agg(F.count("*").alias("n_right"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        F.coalesce(a["k"], F.lit("<null>")).alias("k"), "n_left", "n_right"
+    )

@@ -2,9 +2,12 @@
 
 No media fixture exists, so media is derived deterministically from
 `documents` (content = UTF-8 bytes of text, mime alternates by doc_id).
-The metadata and frame-count paths are byte-exact oracle-checkable;
-the feature-extraction path runs the stubbed fake decoder
-(operators/multimodal.py) and gets the rows-only check.
+Every query here is exact-oracle-checked, including the REAL codec
+paths: media_ppm_pixel_features synthesizes valid binary-PPM files and
+decodes them with the pure-numpy P6 codec, media_wav_audio_stats wraps
+text bytes in real RIFF/WAVE containers and decodes them with the
+PCM-16 codec; the fake-decoder paths (byte histogram / byte slices)
+keep their own arithmetic oracles.
 
 Scale notes: metadata (length/md5) is computed JVM-side before any
 decode — predicate pushdown on mime/size never touches payload bytes;

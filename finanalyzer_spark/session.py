@@ -42,7 +42,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # NULL-on-bad-cast, not errors, matching DuckDB's non-strict reads too.
     "spark.sql.ansi.enabled": "false",
     # Spark's Parquet reader rejects TIMESTAMP(NANOS) outright; read them
-    # as int64 nanos and convert in the catalog (events.ts).
+    # as int64 nanos and convert in the catalog (events.ts in older
+    # fixture generations — the current fixture stores micros, for which
+    # this conf is a no-op; kept so a ns regeneration keeps working).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
