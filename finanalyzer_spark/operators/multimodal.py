@@ -120,6 +120,50 @@ def decode_wav(buf: bytes):
     return rate, samples
 
 
+def demux_y4m(buf: bytes):
+    """Pure-python demuxer for YUV4MPEG2 (y4m) — the public
+    uncompressed video container (header line + 'FRAME' markers + raw
+    planar YUV). Yields (frame_no, frame_bytes) with frame_bytes the
+    raw plane data of one frame.
+
+    Supports C420 (default, 1.5 bytes/px), C444, and Cmono chroma
+    modes; ValueError on a non-y4m payload so callers can route other
+    containers elsewhere."""
+    if not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    eol = buf.index(b"\n")
+    w = h = None
+    chroma = "420"
+    for tok in buf[:eol].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode()
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if chroma.startswith("420"):
+        frame_size = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif chroma == "444":
+        frame_size = 3 * w * h
+    elif chroma == "mono":
+        frame_size = w * h
+    else:
+        raise NotImplementedError(f"chroma mode C{chroma}")
+    pos, frame_no = eol + 1, 0
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = buf.index(b"\n", pos) + 1  # frame params (if any) end at \n
+        frame = buf[pos : pos + frame_size]
+        if len(frame) < frame_size:
+            raise ValueError("truncated frame")
+        yield frame_no, frame
+        pos += frame_size
+        frame_no += 1
+
+
 def encode_wav_pcm16(pcm: bytes, rate: int = 8000, channels: int = 1) -> bytes:
     """Wrap raw little-endian int16 sample bytes in a canonical RIFF/
     WAVE PCM-16 container (the encode twin of decode_wav; test vector
@@ -295,26 +339,40 @@ def sample_video_frames(
     every_n_bytes: int = 64,
     fake: bool = False,
 ) -> DataFrame:
-    """Video → sampled frame rows (one output row per frame). Real
-    demux STUBBED; `fake=True` treats every `every_n_bytes` slice as a
-    'frame' so the explode/batch shape is exercised end-to-end."""
+    """Video → sampled frame rows (one output row per frame).
+
+    `fake=False` REALLY demuxes YUV4MPEG2 payloads (demux_y4m, pure
+    python — header parse + FRAME-marker walk + raw plane slices);
+    compressed containers (MP4/MKV) raise NotImplementedError — their
+    demuxers (ffmpeg) aren't in this container and slot into the same
+    branch. `fake=True` treats every `every_n_bytes` slice as a
+    'frame' so the explode/batch shape is exercised without any
+    fixture being a real video."""
 
     schema = f"{id_col} long, frame_no int, frame binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video demux requires ffmpeg bindings (not in this container); "
-                    "run with fake=True for the byte-slice path"
-                )
             out_id, out_no, out_fr = [], [], []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(buf)
-                for i in range(0, len(b), every_n_bytes):
+                if fake:
+                    frames = (
+                        (i // every_n_bytes, b[i : i + every_n_bytes])
+                        for i in range(0, len(b), every_n_bytes)
+                    )
+                elif b.startswith(b"YUV4MPEG2"):
+                    frames = demux_y4m(b)
+                else:
+                    raise NotImplementedError(
+                        "real demux supports YUV4MPEG2 only; MP4/MKV need "
+                        "ffmpeg bindings (not in this container) — or run "
+                        "with fake=True for the byte-slice path"
+                    )
+                for no, fr in frames:
                     out_id.append(mid)
-                    out_no.append(i // every_n_bytes)
-                    out_fr.append(b[i : i + every_n_bytes])
+                    out_no.append(no)
+                    out_fr.append(fr)
             yield pd.DataFrame({id_col: out_id, "frame_no": out_no, "frame": out_fr})
 
     return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)

@@ -330,3 +330,60 @@ def media_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
         F.min("survivor").alias("min_survivor"),
     )
+
+
+#: 8x8 C420 y4m: one frame = 64 luma + 2*16 chroma = 96 bytes; 2 frames
+Y4M_FRAME_BYTES = 96
+Y4M_FRAMES = 2
+Y4M_HEADER = "YUV4MPEG2 W8 H8 F25:1 C420\n"
+
+
+@query(
+    "media_y4m_frames",
+    # The Spark side assembles REAL YUV4MPEG2 containers (header +
+    # FRAME markers + raw planes = text bytes cycled to 192) and
+    # demuxes them with the actual y4m demuxer (fake=False). The
+    # oracle slices the same 96-byte frames straight out of the cycled
+    # payload — the demuxer must walk headers/markers exactly right to
+    # reproduce the md5s.
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, rpad(text, {Y4M_FRAME_BYTES * Y4M_FRAMES}, text) AS pay
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_no,
+           md5(substr(pay, CAST(i * {Y4M_FRAME_BYTES} + 1 AS INT),
+               {Y4M_FRAME_BYTES})) AS frame_md5
+    FROM p, range({Y4M_FRAMES}) t(i)
+    """,
+    tags=("multimodal", "codec", "video"),
+)
+def media_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux: valid YUV4MPEG2 containers built JVM-side,
+    frame-walked by the pure-python y4m demuxer through the Arrow
+    kernel (operators/multimodal.sample_video_frames, fake=False) —
+    the last media family whose production decode path was stubbed
+    now runs for real on a public format."""
+    t = load(spark, sf_dir)
+    n = Y4M_FRAME_BYTES * Y4M_FRAMES
+    pay = f"rpad(text, {n}, text)"
+    parts = [F.encode(F.lit(Y4M_HEADER), "UTF-8")]
+    for i in range(Y4M_FRAMES):
+        parts.append(F.encode(F.lit("FRAME\n"), "UTF-8"))
+        parts.append(
+            F.encode(
+                F.expr(f"substr({pay}, {i * Y4M_FRAME_BYTES + 1}, {Y4M_FRAME_BYTES})"),
+                "UTF-8",
+            )
+        )
+    media = t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(*parts).alias("content"),
+    )
+    out = sample_video_frames(
+        media, content_col="content", id_col="media_id", fake=False
+    )
+    return out.select(
+        "media_id", "frame_no", F.md5("frame").alias("frame_md5")
+    )

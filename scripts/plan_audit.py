@@ -381,6 +381,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["MapInPandas", "HashAggregate"],
         "must_not": ["Join", "BatchEvalPython"],
     },
+    "media_y4m_frames": {
+        # container assembly is JVM concat; the demux is one Arrow
+        # kernel emitting frame rows — no shuffle, no join
+        "must": ["MapInPandas"],
+        "must_not": ["Join", "Exchange", "BatchEvalPython"],
+    },
     "media_wav_audio_stats": {
         # two Arrow kernels (WAV wrap + decode) back-to-back on the
         # same pass — still no shuffle, no join

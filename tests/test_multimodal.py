@@ -1,6 +1,10 @@
-"""Multimodal binary-column plumbing — real Spark transport/batching,
-stubbed codecs (the decode libs aren't in this container). The fake
-decoder paths exercise the full schema/partitioning/UDF shape.
+"""Multimodal binary-column plumbing — real Spark transport/batching.
+
+Codec tiers under test: REAL pure-numpy/python codecs for public
+dependency-free formats (binary PPM images, PCM-16 WAV audio, y4m
+video), plus the deterministic fake decoders whose arithmetic the
+DuckDB oracles mirror. Compressed formats (PNG/JPEG/MP4) stay stubbed
+— their libraries aren't in this container.
 """
 
 from __future__ import annotations
@@ -137,3 +141,29 @@ def test_sample_video_frames_fake_path(media):
     assert len(got) == 4  # 256 bytes / 64
     assert bytes(got[0]["frame"]) == bytes(range(64))
     assert [r["frame_no"] for r in got] == [0, 1, 2, 3]
+
+
+def test_demux_y4m_real_frames(spark):
+    """The y4m demuxer walks header + FRAME markers and recovers exact
+    plane bytes for C420 and mono; the Spark kernel routes y4m
+    payloads through it under fake=False."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import (
+        demux_y4m,
+        sample_video_frames,
+    )
+
+    # 4x2 C420: 8 luma + 2*(2*1) chroma = 12 bytes/frame
+    f0 = bytes(range(12))
+    f1 = bytes(range(100, 112))
+    y4m = b"YUV4MPEG2 W4 H2 F25:1 C420\n" + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    got = list(demux_y4m(y4m))
+    assert got == [(0, f0), (1, f1)]
+
+    mono = b"YUV4MPEG2 W3 H2 Cmono\n" + b"FRAME\n" + bytes(6)
+    assert list(demux_y4m(mono)) == [(0, bytes(6))]
+
+    df = spark.createDataFrame([(5, y4m)], "media_id long, content binary")
+    rows = sample_video_frames(df, fake=False).orderBy("frame_no").collect()
+    assert [(r["frame_no"], bytes(r["frame"])) for r in rows] == [(0, f0), (1, f1)]

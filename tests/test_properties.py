@@ -261,3 +261,53 @@ def test_asof_join_payloadless_sides(spark):
     right = spark.createDataFrame([(1, 5), (1, 15)], "k long, t long")
     out = asof_join(left, right, "k", "t").collect()
     assert sorted((r["k"], r["t"]) for r in out) == [(1, 10), (1, 20)]
+
+
+# --------------------------------------------------------------------------
+# q-gram count-filtering losslessness (the recall claim behind
+# fuzzy_code_match_blocked): strings within edit distance d ALWAYS
+# share >= max(len)-1-q*d positional q-gram multiset mass, so the
+# blocking can never prune a true match. Pure-python mirror of the
+# Spark arithmetic (bigram multiset min-sum), driven by hypothesis
+# over random strings and random edit scripts.
+# --------------------------------------------------------------------------
+def _bigram_counts(s: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for i in range(len(s) - 1):
+        g = s[i : i + 2]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+def _shared_mass(a: str, b: str) -> int:
+    ca, cb = _bigram_counts(a), _bigram_counts(b)
+    return sum(min(n, cb.get(g, 0)) for g, n in ca.items())
+
+
+@given(
+    base=st.text(alphabet="0123456789abcdef", min_size=6, max_size=24),
+    edits=st.lists(
+        st.tuples(
+            st.sampled_from(["sub", "ins", "del"]),
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from("0123456789abcdefXYZ"),
+        ),
+        min_size=0,
+        max_size=2,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_qgram_count_filter_is_lossless(base, edits):
+    d = len(edits)
+    s = base
+    for op, pos, ch in edits:
+        p = pos % max(len(s), 1)
+        if op == "sub" and s:
+            s = s[:p] + ch + s[p + 1 :]
+        elif op == "ins":
+            s = s[:p] + ch + s[p:]
+        elif op == "del" and s:
+            s = s[:p] + s[p + 1 :]
+    # T mirrors FUZZY_BLOCK_T generalized to unequal lengths
+    t = max(len(base), len(s)) - 1 - 2 * d
+    assert _shared_mass(base, s) >= t
