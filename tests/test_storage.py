@@ -161,3 +161,83 @@ def test_overwrite_atomic_self_read(spark, tmp_path):
     df = spark.read.parquet(path).where("id < 5")
     overwrite_atomic(df, path)
     assert spark.read.parquet(path).count() == 5
+
+
+def test_zorder_write_improves_multi_column_skipping(spark, tmp_path):
+    """Z-order layout vs single-column sort: count the parquet row
+    groups whose min/max footer stats intersect a 2-D selective
+    predicate. The z-ordered layout must prune row groups on BOTH
+    dimensions; the 1-D sorted layout skips on its sort column only
+    and keeps (nearly) every row group for the other column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from finanalyzer_spark.catalog import load
+    from finanalyzer_spark.operators.zorder import zorder_write
+
+    li = load(spark, SF_DIR).lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 64  # skipping is per row group — granularity matters
+    sorted_path = str(tmp_path / "sorted_by_partkey")
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(sorted_path)
+    )
+    z_path = str(tmp_path / "zordered")
+    zorder_write(li, z_path, ["l_partkey", "l_suppkey"], n_files=n_files)
+
+    def touched(path, lo_p, hi_p, lo_s, hi_s):
+        hit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                total += 1
+                sp = md.row_group(rg).column(idx["l_partkey"]).statistics
+                ss = md.row_group(rg).column(idx["l_suppkey"]).statistics
+                if (sp.min <= hi_p and sp.max >= lo_p
+                        and ss.min <= hi_s and ss.max >= lo_s):
+                    hit += 1
+        return hit, total
+
+    # selective box on both dims (~1/8 of each key range)
+    hi_part = int(li.agg(F.max("l_partkey")).collect()[0][0])
+    hi_supp = int(li.agg(F.max("l_suppkey")).collect()[0][0])
+    box = (0, hi_part // 8, 0, hi_supp // 8)
+
+    z_hit, z_total = touched(z_path, *box)
+    s_hit, s_total = touched(sorted_path, *box)
+    assert z_total > 0 and s_total > 0
+    # 1-D sort: partkey prunes to ~1/8 of groups, suppkey prunes none
+    # of the survivors; z-order prunes on both → strictly fewer groups
+    assert z_hit < s_hit
+    # and the data is identical either way
+    assert (
+        spark.read.parquet(z_path).count()
+        == spark.read.parquet(sorted_path).count()
+        == li.count()
+    )
+
+
+def test_zorder_key_locality_bit_interleave(spark):
+    """Morton-key sanity on a known grid: interleaving is exact
+    (x=3,y=5 @ 3 bits -> 0b100111 = 39) and close points share
+    prefixes."""
+    from finanalyzer_spark.operators.zorder import with_zorder_key
+
+    # grid 0..7 x 0..7; min=0 max=7 → 3-bit quantization is identity
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {(r["x"], r["y"]): r["_z"]
+           for r in with_zorder_key(df, ["x", "y"], bits=3).collect()}
+    # bit b of x at position 2b, of y at 2b+1
+    def morton(x, y):
+        z = 0
+        for b in range(3):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert all(out[(x, y)] == morton(x, y) for x, y in rows)
