@@ -1180,3 +1180,39 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(share - benford_col, 6) + 0.0).alias("deviation"),
         )
     )
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE chain(s_suppkey, root, depth) AS (
+        SELECT s_suppkey, s_suppkey AS root, 0 AS depth
+        FROM supplier WHERE s_suppkey < 2
+        UNION ALL
+        SELECT s.s_suppkey, c.root, c.depth + 1
+        FROM supplier s JOIN chain c ON s.s_suppkey {div} 2 = c.s_suppkey
+        WHERE s.s_suppkey >= 2
+    )
+    SELECT depth, count(*) AS n_suppliers,
+           min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+           CAST(sum(root) AS BIGINT) AS root_sum
+    FROM chain GROUP BY depth
+"""
+
+
+@query(
+    "recursive_supplier_chain",
+    # DuckDB runs the same recursive CTE with // integer division;
+    # identical fixpoint, identical per-depth aggregates.
+    oracle=_RCTE_SQL.format(div="//"),
+    tags=("sql", "recursive-cte"),
+)
+def recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 SQL surface): transitive closure of a
+    reporting hierarchy (parent(k) = k div 2 — a binary tree over the
+    supplier registry, deterministic on both engines). Each recursion
+    step is one join of the frontier against the dimension — the
+    iterative-join shape Catalyst executes as repeated hash joins with
+    the frontier on the build side; depth is logarithmic in the
+    registry size. The same closure is what a BOM explosion or an org
+    rollup runs at warehouse scale."""
+    load(spark, sf_dir).register_views(("supplier",))
+    return spark.sql(_RCTE_SQL.format(div="div"))
