@@ -151,6 +151,10 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # pair generation: self-join on the customer key. (A collect_set +
+    # combination-explode variant was measured SLOWER here — it emits
+    # the same C(k,2) pair rows with heavier per-row expression work;
+    # the hash join + map-side-combined count is the better plan.)
     a = cs.select(F.col("c"), F.col("s").alias("u"))
     b = cs.select(F.col("c"), F.col("s").alias("v"))
     pairs = (
@@ -159,8 +163,8 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count("*").alias("shared"))
     )
-    # the pair projection is the expensive pass (per-customer supplier
-    # self-join); both the threshold scalar and the edge filter read it
+    # both the threshold scalar and the edge filter read the expensive
+    # pair projection — persist it
     pairs = pairs.persist()
     thr = pairs.agg((F.lit(_TRI_FACTOR) * F.avg("shared")).alias("t"))
     edges = (
