@@ -79,3 +79,33 @@ def test_udtf_chunk_document_lateral(spark):
         (1, 2, 1, "e"),
         (2, 0, 1, "x"),
     ]
+
+
+def test_observe_metrics_without_rescan(spark):
+    """df.observe collects row/sum metrics as a side effect of the ONE
+    action — at 100 TB this replaces the count()-then-write double
+    scan every naive pipeline pays."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.catalog import load
+
+    from .conftest import SF_DIR
+
+    obs = Observation("ingest_metrics")
+    df = (
+        load(spark, SF_DIR)
+        .lineitem.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .where(F.col("l_quantity") >= 0)
+    )
+    df.write.format("noop").mode("overwrite").save()  # the one action
+    got = obs.get
+    want = load(spark, SF_DIR).lineitem.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    assert got["n_rows"] == want["n"]
+    assert got["total_qty"] == want["q"]
