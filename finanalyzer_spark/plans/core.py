@@ -1216,3 +1216,24 @@ def recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup runs at warehouse scale."""
     load(spark, sf_dir).register_views(("supplier",))
     return spark.sql(_RCTE_SQL.format(div="div"))
+
+
+@query(
+    "intersect_all_multiset",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    tags=("setop", "multiset"),
+)
+def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection preserving duplicate
+    multiplicity min(n_left, n_right) per value, completing the §2.7
+    set-op family (union / intersect / except / exceptAll already
+    registered). Catalyst plans it as one aggregate-and-replicate over
+    a single shuffle, not a join."""
+    t = load(spark, sf_dir)
+    r = t.lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    f = t.lineitem.where(F.col("l_linestatus") == "F").select("l_orderkey")
+    return r.intersectAll(f)
