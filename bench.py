@@ -34,8 +34,10 @@ from finanalyzer_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
 #: best-of-N per query (min) — damps co-tenant load noise in the
-#: recorded numbers; 1 for a single-shot run
-REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+#: recorded numbers; 1 for a single-shot run.  r3's lone >2x
+#: round-over-round swing (pivot_status_qty) looked like scheduler
+#: noise under best-of-2, so the default is 3.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Queries whose cost is quadratic in fixture size by design (all-pairs
 # verification demos) are excluded from the headline wall-clock only if
@@ -88,7 +90,13 @@ def main() -> None:
     # first, and as a last resort drop the map (full precision always
     # lives in BENCH_QUERIES.json): a parseable summary beats a
     # complete-but-truncated document.
-    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BUDGET", "3800"))
+    # r1-r3 all recorded parsed:null: the driver keeps only a ~2 KB
+    # stdout TAIL, so any payload larger than that starts mid-document
+    # and can never parse. Budget well under the observed window and
+    # cap the per-query map at the top-10 slowest (the signal carriers);
+    # the full-precision map always lives in BENCH_QUERIES.json.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BUDGET", "1400"))
+    top_n = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_TOPN", "10"))
     head = {"metric": "suite_wall_clock", "value": total, "unit": "sec"}
 
     def doc_for(qmap: dict[str, float], omitted: int) -> str:
@@ -99,23 +107,14 @@ def main() -> None:
             d["queries_file"] = "BENCH_QUERIES.json"
         return json.dumps(d, separators=(",", ":"))
 
-    payload = doc_for({k: round(v, 2) for k, v in timings.items()}, 0)
-    if len(payload) > budget:
-        # keep the slowest-N per-query timings that fit — those carry
-        # the signal (scale-killers, regressions); the full map is in
-        # BENCH_QUERIES.json either way
-        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
-        lo, hi = 0, len(by_cost)
-        while lo < hi:  # largest N whose doc fits
-            mid = (lo + hi + 1) // 2
-            trial = doc_for({k: round(v, 1) for k, v in by_cost[:mid]},
-                            len(by_cost) - mid)
-            if len(trial) <= budget:
-                lo = mid
-            else:
-                hi = mid - 1
-        payload = doc_for({k: round(v, 1) for k, v in by_cost[:lo]},
-                          len(by_cost) - lo)
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    n = min(top_n, len(by_cost))
+    payload = doc_for({k: round(v, 2) for k, v in by_cost[:n]},
+                      len(by_cost) - n)
+    while len(payload) > budget and n > 0:  # defensive: never exceed budget
+        n -= 1
+        payload = doc_for({k: round(v, 1) for k, v in by_cost[:n]},
+                          len(by_cost) - n)
     print(payload, file=_REAL_STDOUT)
     _REAL_STDOUT.flush()
 
