@@ -456,11 +456,18 @@ def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "pivot"),
 )
 def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a PINNED value list, expressed as direct conditional
+    aggregation: one scan, one exchange, plain SUM(CASE...) accumulators
+    — the exact plan `.pivot(col, values=[...])` lowers to, minus the
+    PivotFirst machinery (which benched 4x slower in r3)."""
     t = load(spark, sf_dir)
-    out = (
-        t.lineitem.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+    out = t.lineitem.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 2
+        ).alias("O"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 2
+        ).alias("F"),
     )
     return out.select(
         "l_returnflag",
