@@ -84,17 +84,18 @@ def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     e = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
-    # orientation key: (degree, id) packed into one long so the
-    # comparison rides codegen; ids here are small ints (node ids),
-    # degrees <= n — 1e9 spacing keeps the packing collision-free
+    # orientation key: a (degree, id) STRUCT — struct comparison is
+    # lexicographic and rides codegen, and unlike the packed-long
+    # alternative it cannot collide for ids >= 1e9 (ids are distinct,
+    # so the pair is a total order with no ties)
     withdeg = (
         e.join(deg.withColumnRenamed("a", "_n1"), F.col("a") == F.col("_n1"))
         .withColumnRenamed("deg", "deg_a")
         .join(deg.withColumnRenamed("a", "_n2"), F.col("b") == F.col("_n2"))
         .withColumnRenamed("deg", "deg_b")
     )
-    ka = F.col("deg_a") * F.lit(1_000_000_000) + F.col("a")
-    kb = F.col("deg_b") * F.lit(1_000_000_000) + F.col("b")
+    ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i"))
     oriented = withdeg.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),

@@ -104,12 +104,16 @@ def decode_wav(buf: bytes):
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short ({len(body)} < 16 bytes)")
             audio_format, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_format != 1 or bits != 16:
                 raise NotImplementedError(
                     f"only PCM-16 supported (format={audio_format}, bits={bits})"
                 )
+            if channels == 0:
+                raise ValueError("fmt chunk declares 0 channels")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned

@@ -36,9 +36,17 @@ def overwrite_atomic(df: DataFrame, path: str) -> None:
     directory."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
+    # Rename-aside swap: park the live dir, promote the staged one, then
+    # reclaim. The table-missing window is a single rename (not a full
+    # rmtree), and a crash between the renames leaves `.old-*` intact so
+    # recovery has both versions on disk.
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    had_old = os.path.isdir(path)
+    if had_old:
+        os.rename(path, old)
     os.rename(tmp, path)
+    if had_old:
+        shutil.rmtree(old)
 
 
 def merge_into(

@@ -243,9 +243,10 @@ def media_ppm_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            8000 AS sample_rate,
            CAST(len(smp) AS BIGINT) AS n_frames,
-           round(sqrt(list_sum(list_transform(smp,
-               x -> CAST(x AS DOUBLE) * x)) / len(smp)), 6) AS rms,
-           CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+           coalesce(round(sqrt(list_sum(list_transform(smp,
+               x -> CAST(x AS DOUBLE) * x)) / len(smp)), 6), 0.0) AS rms,
+           CAST(coalesce(list_max(list_transform(smp, x -> abs(x))), 0)
+                AS INT) AS peak
     FROM s
     """,
     tags=("multimodal", "codec"),

@@ -51,10 +51,20 @@ def _ts_parquet_unit(path: str) -> str | None:
 
     file = path
     if os.path.isdir(path):
+        # Unit is inferred from the first file; one unit per directory is
+        # an invariant of the fixture layout (a mixed-unit dir would need
+        # per-file schemas, which the file stream source can't declare).
+        file = None
         for entry in sorted(os.listdir(path)):
             if entry.endswith(".parquet"):
                 file = os.path.join(path, entry)
                 break
+        if file is None:
+            raise FileNotFoundError(
+                f"no *.parquet files under {path!r}: cannot determine the ts "
+                "timestamp unit (an empty streaming source dir must be "
+                "seeded with at least one file before the stream starts)"
+            )
     return getattr(pq.ParquetFile(file).schema_arrow.field("ts").type, "unit", None)
 
 
