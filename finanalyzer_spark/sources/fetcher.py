@@ -98,29 +98,81 @@ class FakeFeed:
         return out
 
 
+#: reference operational constants (constants.py:2,13) — zero wait and
+#: rotate-every-600 are the reference's shipped defaults
+WAIT_TIME_BETWEEN_REQUESTS = 0.0
+MAX_REQUESTS_BEFORE_PROXY_CHANGE = 600
+
+
 class YFinanceFeed:
     """yfinance-backed feed (reference dataAcquisition.py:36-67) with
     the same duck-typed interface as FakeFeed, so the fetch kernels
     take either interchangeably.
+
+    Operational parity with the reference:
+
+    * inter-request throttle — `wait_secs` sleeps before each HTTP
+      call, like WAIT_TIME_BETWEEN_REQUESTS around every yf request
+      (dataAcquisition.py:44-46, constants.py:2);
+    * proxy rotation — when a `proxy_provider` callable is given, its
+      proxy is passed to every history call and refreshed every
+      `rotate_every` requests, reproducing Findatabase.request_count
+      (findatabase.py:128-133, constants.py:13; proxy sourcing itself —
+      the reference uses FreeProxy — stays behind the provider).
 
     The yfinance module is injectable for unit testing (a mock module
     exercises the full mapping without the package or the network);
     `yfinance_feed()` builds the real one when the package exists.
     """
 
-    def __init__(self, module=None):
+    def __init__(
+        self,
+        module=None,
+        wait_secs: float = WAIT_TIME_BETWEEN_REQUESTS,
+        proxy_provider=None,
+        rotate_every: int = MAX_REQUESTS_BEFORE_PROXY_CHANGE,
+        sleep_fn=None,
+    ):
         if module is None:  # pragma: no cover - needs the real package
             import yfinance as module
         self._yf = module
+        self._wait = wait_secs
+        self._provider = proxy_provider
+        self._rotate_every = max(1, rotate_every)
+        self._sleep = sleep_fn
+        self._req_count = 0
+        self._proxy = proxy_provider() if proxy_provider else None
+
+    def _before_request(self) -> None:
+        """Throttle + proxy-rotation bookkeeping, once per HTTP call.
+
+        Mirrors the reference exactly: sleep WAIT_TIME_BETWEEN_REQUESTS
+        per request, and on every MAX_REQUESTS_BEFORE_PROXY_CHANGE-th
+        request pull a fresh proxy and reset the counter."""
+        if self._wait:
+            sleep = self._sleep
+            if sleep is None:
+                import time
+
+                sleep = time.sleep
+            sleep(self._wait)
+        self._req_count += 1
+        if self._provider and self._req_count >= self._rotate_every:
+            self._proxy = self._provider()
+            self._req_count = 0
 
     def history(self, ticker: str, start: dt.date, end: dt.date) -> pd.DataFrame:
         """OHLC frame for [start, end] INCLUSIVE (yfinance's `end` is
         exclusive — shifted by one day; reference dataAcquisition.py:36-51)."""
-        hist = self._yf.Ticker(ticker).history(
+        self._before_request()
+        kwargs = dict(
             start=start.isoformat(),
             end=(end + dt.timedelta(days=1)).isoformat(),
             auto_adjust=False,
         )
+        if self._proxy is not None:
+            kwargs["proxy"] = self._proxy
+        hist = self._yf.Ticker(ticker).history(**kwargs)
         if hist is None or len(hist) == 0:
             return pd.DataFrame(
                 columns=["date_value", "open", "high", "low", "close"]
@@ -142,6 +194,7 @@ class YFinanceFeed:
         the caller's null→0 coercion (dataAcquisition.py:59-66) fills
         the rest. `day` is part of the interface (FakeFeed uses it);
         the live API only serves 'now'."""
+        self._before_request()
         raw = self._yf.Ticker(ticker).info or {}
         out: dict[str, float] = {}
         for c in FUNDAMENTALS:

@@ -218,3 +218,71 @@ def test_yfinance_feed_via_mocked_module(spark):
 
         with _pytest.raises(RuntimeError, match="yfinance not installed"):
             yfinance_feed()
+
+
+def test_yfinance_feed_throttle_and_proxy_rotation():
+    """Operational parity with the reference fetch loop: a wait between
+    every request (constants.py:2 WAIT_TIME_BETWEEN_REQUESTS), and the
+    proxy refreshed every `rotate_every`-th request with the counter
+    reset (findatabase.py:128-133, constants.py:13). Verified entirely
+    against a fake transport — no package, no network, no real sleep."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from finanalyzer_spark.sources.fetcher import YFinanceFeed
+
+    history_proxies = []
+
+    class _MockTicker:
+        def __init__(self, symbol):
+            self.symbol = symbol
+
+        def history(self, start, end, auto_adjust, proxy=None):
+            history_proxies.append(proxy)
+            idx = pd.to_datetime(["2024-03-01"])
+            return pd.DataFrame(
+                {"Open": [1.0], "High": [1.5], "Low": [0.5], "Close": [1.2]},
+                index=idx,
+            )
+
+        @property
+        def info(self):
+            return {"beta": 1.0}
+
+    class _MockYF:
+        Ticker = _MockTicker
+
+    proxies = iter([f"proxy{i}" for i in range(10)])
+    sleeps = []
+    feed = YFinanceFeed(
+        module=_MockYF,
+        wait_secs=0.25,
+        proxy_provider=lambda: next(proxies),
+        rotate_every=3,
+        sleep_fn=sleeps.append,
+    )
+
+    day = dt.date(2024, 3, 1)
+    for _ in range(7):
+        feed.history("ACME", day, day)
+
+    # one throttle sleep per request, at the configured wait
+    assert sleeps == [0.25] * 7
+    # proxy0 assigned up front, rotated on the 3rd and 6th request
+    assert history_proxies == [
+        "proxy0", "proxy0", "proxy1", "proxy1", "proxy1", "proxy2", "proxy2",
+    ]
+
+    # info requests share the same throttle/rotation bookkeeping
+    feed.info("ACME", day)  # 2nd request since last rotation
+    feed.info("ACME", day)  # 3rd -> rotates
+    feed.history("ACME", day, day)
+    assert history_proxies[-1] == "proxy3"
+    assert len(sleeps) == 10
+
+    # no provider -> no proxy kwarg surprises, counter still advances
+    bare = YFinanceFeed(module=_MockYF, wait_secs=0.0, sleep_fn=sleeps.append)
+    bare.history("ACME", day, day)
+    assert history_proxies[-1] is None
+    assert len(sleeps) == 10  # zero wait -> no sleep calls
