@@ -35,7 +35,7 @@ from ..operators.dedup import dedup_by_key
 from ..operators.ids import positional_ids
 from ..sources.csvseed import read_tickers_csv
 from ..sources.fetcher import FakeFeed, fetch_history, fetch_info
-from .merge import overwrite_atomic
+from .merge import merge_into, overwrite_atomic
 
 MAX_DATA_HISTORY_YEARS = 10  # reference constants.py:1
 RETENTION_DAYS = 3650  # findatabase.py:50: 365 * years
@@ -171,20 +171,22 @@ def update_history(
             "close",
         )
     )
-    merged = history.unionByName(incoming)
-    deduped = dedup_by_key(
-        merged,
+    # Keyed upsert + fused retention through the merge seam: incoming
+    # rows replace matched (names_id, date_value) keys, within-batch
+    # duplicates resolve deterministically, and rows outside the 10-y
+    # window drop in the same rewrite. On a Delta backend this whole
+    # call is MERGE INTO + DELETE WHERE, metadata-only.
+    if not store.exists("history"):
+        incoming = history.unionByName(incoming)  # preserve declared schema
+    return merge_into(
+        store.spark,
+        store.path("history"),
+        incoming,
         ["names_id", "date_value"],
-        [F.col("date_added").desc(), F.col("close").desc()],
+        order_by=[F.col("date_added").desc(), F.col("close").desc()],
+        retain=F.col("date_added")
+        >= F.date_sub(F.lit(today.isoformat()).cast("date"), RETENTION_DAYS),
     )
-    retained = deduped.where(
-        F.col("date_added") >= F.date_sub(F.lit(today.isoformat()).cast("date"), RETENTION_DAYS)
-    )
-    # stage-and-swap through the merge seam (reads history, writes
-    # history); a Delta backend turns this whole dedup+retention
-    # rewrite into MERGE INTO + a retention DELETE, metadata-only
-    store.overwrite_atomic(retained, "history")
-    return store.read("history")
 
 
 def fill_all_history(
@@ -241,10 +243,8 @@ def update_fundamentals(
         stale = names.join(
             fresh_ids, names.id == fresh_ids.names_id, "left_anti"
         )
-        base = info
     else:
         stale = names
-        base = None
     tasks = stale.select("ticker", F.lit(today.isoformat()).alias("as_of"))
     fetched = fetch_info(tasks, feed)
     incoming = fetched.join(
@@ -254,12 +254,15 @@ def update_fundamentals(
         F.col("date_value").cast("date"),
         *[c for c in fetched.columns if c not in ("ticker", "date_value")],
     )
-    merged = incoming if base is None else base.unionByName(incoming)
-    deduped = dedup_by_key(
-        merged, ["names_id", "date_value"], [F.col("names_id").asc()]
+    # same merge seam as update_history: keyed upsert, arbitrary
+    # within-batch survivor (reference redundancy.sql semantics —
+    # the stale anti-join guarantees no key overlap with the base)
+    return merge_into(
+        store.spark,
+        store.path("fundamentals"),
+        incoming,
+        ["names_id", "date_value"],
     )
-    store.overwrite_atomic(deduped, "fundamentals")
-    return store.read("fundamentals")
 
 
 def latest_fundamentals_asof(

@@ -54,21 +54,36 @@ def merge_into(
     target_path: str,
     source: DataFrame,
     keys: list[str],
+    order_by: list | None = None,
+    retain=None,
 ) -> DataFrame:
     """Idempotent keyed upsert of `source` into the parquet table at
     `target_path`: target rows whose key matches an incoming row are
     replaced; unmatched target rows survive; incoming rows are
-    key-deduplicated first (arbitrary survivor within the batch — give
-    the source a deterministic pre-dedup if survivor identity matters).
+    key-deduplicated first — by `order_by` (deterministic survivor:
+    first row per key under that ordering) when given, else
+    `dropDuplicates` (arbitrary survivor, the reference's
+    redundancy.sql semantics).
+
+    `retain`, when given, is a boolean Column applied to the merged
+    frame before the write — the TTL/retention DELETE fused into the
+    same rewrite (on Delta it becomes a separate `DELETE WHERE`).
 
     Replaying the same source is a no-op on the row set — the property
     at-least-once streaming sinks and restarted batch jobs need.
     Returns the merged DataFrame (fresh read of the target)."""
-    incoming = source.dropDuplicates(keys)
+    if order_by:
+        from ..operators.dedup import dedup_by_key
+
+        incoming = dedup_by_key(source, keys, order_by)
+    else:
+        incoming = source.dropDuplicates(keys)
     if os.path.isdir(target_path):
         current = spark.read.parquet(target_path)
         merged = current.join(incoming, keys, "left_anti").unionByName(incoming)
     else:
         merged = incoming
+    if retain is not None:
+        merged = merged.where(retain)
     overwrite_atomic(merged, target_path)
     return spark.read.parquet(target_path)

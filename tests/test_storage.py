@@ -151,6 +151,107 @@ def test_merge_into_idempotent_upsert(spark, tmp_path):
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
 
 
+def test_merge_into_ordered_survivor_and_retain(spark, tmp_path):
+    """merge_into's deterministic within-batch survivor (order_by) and
+    fused retention predicate (retain) — the two knobs update_history
+    rides through the seam."""
+    from finanalyzer_spark.pipeline.merge import merge_into
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 5, "old"), (9, 1, "ancient")], "k long, ver long, v string"
+    )
+    merge_into(spark, target, base, ["k"])
+
+    # two incoming rows for k=1: the higher-`ver` one must survive
+    upd = spark.createDataFrame(
+        [(1, 7, "new"), (1, 6, "stale"), (2, 1, "x")],
+        "k long, ver long, v string",
+    )
+    out = merge_into(
+        spark, target, upd, ["k"],
+        order_by=[F.col("ver").desc()],
+        retain=F.col("ver") >= 1,
+    )
+    got = {(r["k"], r["ver"], r["v"]) for r in out.collect()}
+    assert got == {(1, 7, "new"), (2, 1, "x"), (9, 1, "ancient")}
+
+    # retention drops merged rows failing the predicate — including
+    # pre-existing target rows, in the same rewrite
+    out = merge_into(
+        spark, target, spark.createDataFrame([(3, 9, "y")], "k long, ver long, v string"),
+        ["k"], retain=F.col("ver") >= 5,
+    )
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(1, "new"), (3, "y")}
+
+
+def test_overwrite_atomic_crash_between_renames_keeps_both_versions(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injected between the park-old and promote-new renames: the
+    swap is two renames, and an interruption after the first must leave
+    BOTH versions on disk (old parked aside, new fully staged) so
+    recovery is a rename — never a data loss. Proves the rename-aside
+    design: no rmtree happens before the new version is live."""
+    import os as _os
+
+    from finanalyzer_spark.pipeline import merge as merge_mod
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "v1")], "k long, v string").write.parquet(path)
+
+    real_rename = _os.rename
+    calls = []
+
+    def crashing_rename(src, dst):
+        calls.append((src, dst))
+        if len(calls) == 1:  # park-old succeeds...
+            return real_rename(src, dst)
+        raise OSError("injected crash before promote")  # ...promote dies
+
+    monkeypatch.setattr(merge_mod.os, "rename", crashing_rename)
+    new = spark.createDataFrame([(2, "v2")], "k long, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected crash"):
+        merge_mod.overwrite_atomic(new, path)
+    monkeypatch.undo()
+
+    # the live path is momentarily absent, but BOTH versions survive:
+    entries = sorted(_os.listdir(tmp_path))
+    olds = [e for e in entries if e.startswith("tbl.old-")]
+    tmps = [e for e in entries if e.startswith("tbl.tmp-")]
+    assert len(olds) == 1 and len(tmps) == 1 and not _os.path.exists(path)
+    assert spark.read.parquet(str(tmp_path / olds[0])).collect()[0]["v"] == "v1"
+    assert spark.read.parquet(str(tmp_path / tmps[0])).collect()[0]["v"] == "v2"
+
+    # recovery = one rename of either version; promote the staged one
+    _os.rename(str(tmp_path / tmps[0]), path)
+    assert spark.read.parquet(path).collect()[0]["v"] == "v2"
+
+
+def test_overwrite_atomic_crash_during_staging_leaves_target_untouched(
+    spark, tmp_path
+):
+    """A failure while WRITING the staged directory (before any rename)
+    must leave the live table byte-identical — the stage-and-swap
+    never mutates the target until the stage is complete."""
+    from finanalyzer_spark.pipeline.merge import overwrite_atomic
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "keep")], "k long, v string").write.parquet(path)
+
+    bad = spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k", "raise_error('boom during stage write') as v"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="boom during stage write"):
+        overwrite_atomic(bad, path)
+    assert spark.read.parquet(path).collect()[0]["v"] == "keep"
+
+
 def test_overwrite_atomic_self_read(spark, tmp_path):
     """overwrite_atomic writes a plan that reads the target path back
     to the same path (parquet self-overwrite guard)."""
