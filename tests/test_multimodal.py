@@ -66,8 +66,63 @@ def test_decode_image_features_feeds_similarity(spark, media):
 def test_compressed_codec_path_is_stubbed(media):
     # PNG/JPEG payloads (no PIL/opencv here) still raise; only the
     # pure-numpy PPM/WAV codecs run for real.
-    with pytest.raises(Exception, match="NotImplementedError|binary PPM"):
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
         decode_image_features(media, fake=False).collect()
+
+
+def test_optional_codec_helpers_raise_without_deps():
+    """The optional codec tier degrades honestly: without PIL/av the
+    helpers raise NotImplementedError (never ImportError) so kernel
+    error contracts stay uniform. Skipped assertion-by-assertion when
+    the real codec IS installed (the env-gated tests cover that)."""
+    from finanalyzer_spark.operators.multimodal import (
+        decode_image_compressed,
+        demux_video_compressed,
+    )
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image_compressed(b"\x89PNG\r\n\x1a\n garbage")
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            next(demux_video_compressed(b"\x00\x00\x00 ftypmp42"))
+
+
+def test_png_decode_via_pil_when_available(spark):
+    """Env-gated REAL compressed decode (skipped in this container —
+    no PIL): a PIL-encoded PNG must decode to the same histogram
+    features as its equivalent PPM, proving the codec tier drops in
+    without plan changes."""
+    pytest.importorskip("PIL")  # container gate
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from finanalyzer_spark.operators.multimodal import decode_image_compressed
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px, "RGB").save(buf, format="PNG")
+    decoded = decode_image_compressed(buf.getvalue())
+    assert np.array_equal(decoded, px)
+
+    # and through the Spark kernel: PNG row == PPM row, same features
+    ppm = b"P6\n4 5\n255\n" + px.tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(ppm))],
+        "media_id long, content binary",
+    )
+    feats = {
+        r["media_id"]: list(r["feature"])
+        for r in decode_image_features(media, fake=False).collect()
+    }
+    assert feats[1] == feats[2]
 
 
 def test_decode_ppm_real_pixels(spark):
