@@ -480,3 +480,132 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit") * 1.0 / k, 6).alias(f"recall_at_{k}"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — SQ8 scalar-quantized ANN scoring: the memory-compression leg of
+# large-scale similarity search (FAISS IndexScalarQuantizer QT_8bit).
+# Corpus vectors store as 64 uint8 codes (8x smaller than float64);
+# scoring reconstructs midpoints and ranks by asymmetric (raw-query vs
+# reconstructed-corpus) cosine. Quantizer training is just per-dim
+# min/max — one aggregate pass, exactly SQL-expressible, so unlike
+# k-means codebooks the oracle replicates the codec bit-for-bit.
+# --------------------------------------------------------------------------
+def _ann_sq8_oracle(dim: int = 64, k: int = 5, q_cut: int = 5) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT u.i AS i, min(e.v[u.i]) AS mn, max(e.v[u.i]) AS mx
+        FROM e, (SELECT unnest(range(1, {dim + 1})) AS i) u
+        GROUP BY u.i
+    ),
+    st AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        FROM dims
+    ),
+    rec AS (
+        SELECT vec_id,
+               list_transform(range(1, {dim + 1}), i ->
+                   CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                        ELSE mns[i]
+                             + (least(255.0, greatest(0.0,
+                                  floor((v[i] - mns[i])
+                                        / (mxs[i] - mns[i]) * 256)))
+                                + 0.5)
+                               * (mxs[i] - mns[i]) / 256
+                   END) AS r
+        FROM e, st
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.r), 5) + 0.0 AS cosine_sq8
+        FROM e q
+        JOIN rec c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {q_cut}
+    )
+    SELECT query_id, match_id, cosine_sq8
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sq8 DESC, match_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {k}
+    """
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=_ann_sq8_oracle(),
+    tags=("similarity", "ann", "quantization", "scale-path"),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by asymmetric cosine against an SQ8-quantized corpus: each
+    dimension compresses to an 8-bit code against the corpus per-dim
+    [min, max] range; scoring reconstructs bucket midpoints
+    (mn + (code+0.5)*range/256) and ranks raw query vs reconstruction.
+
+    Scale shape: the quantizer state is 2*dim doubles (one aggregate
+    pass, broadcast); encode and reconstruct are zip_with chains in
+    whole-stage codegen — no UDF, no shuffle beyond the final per-query
+    top-k. In production the codes (64 B/vector vs 512 B) are what a
+    100 TB corpus keeps hot while raw floats stay cold, and this
+    scoring plan composes with the IVF probe (ann_ivf_topk) unchanged —
+    probe selects inverted lists, SQ8 scores inside them. Recall loss
+    is measurable by swapping this frame into ann_recall_eval."""
+    dim, k, q_cut = 64, 5, 5
+    t = load(spark, sf_dir)
+    e = t.embeddings
+    st = e.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("mxs"),
+    )
+    with_st = e.crossJoin(F.broadcast(st))
+    d = F.zip_with("embedding", "mns", lambda x, mn: x.cast("double") - mn)
+    rng = F.zip_with("mxs", "mns", lambda a, b: a - b)
+    code = F.zip_with(
+        d,
+        rng,
+        lambda di, r: F.when(r == 0, F.lit(0.0)).otherwise(
+            F.least(
+                F.lit(255.0), F.greatest(F.lit(0.0), F.floor(di / r * 256))
+            )
+        ),
+    )
+    # rec_i = mn_i + (code_i + 0.5) * rng_i / 256  (midpoint reconstruction)
+    rec = F.zip_with(
+        F.zip_with(code, rng, lambda c, r: (c + 0.5) * r / 256),
+        F.col("mns"),
+        lambda t_, mn: t_ + mn,
+    )
+    corpus = with_st.select(
+        F.col("vec_id").alias("match_id"), rec.alias("rvec")
+    )
+    q = e.where(F.col("vec_id") < q_cut).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (F.round(cosine_col(F.col("qv"), F.col("rvec")), 5) + 0.0).alias(
+                "cosine_sq8"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sq8").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -248,13 +248,20 @@ def foreach_batch_merge(target_dir: str, keys: list[str]):
 
 def streaming_view_click_join(
     views: DataFrame, clicks: DataFrame, within: str = "30 minutes",
-    lateness: str = "1 hour",
+    lateness: str = "1 hour", how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each view joins the same user's clicks
+    """Stream-stream join: each view joins the same user's clicks
     landing within `within` after it. Both sides are watermarked and
     the join condition time-bounds both event times, so the state store
     evicts rows once they can no longer match — bounded state, the
     requirement for an unbounded two-stream join.
+
+    `how="left_outer"` preserves unmatched views: their null-click rows
+    emit only once the watermark passes view_ts + `within` (no earlier
+    — a match could still arrive), which is why outer stream-stream
+    joins REQUIRE the time-bound condition Spark enforces. Rows still
+    open when the stream stops never emit; an eval comparing against a
+    batch join must restrict to watermark-closable views.
 
     Output: (user_id, view_id, click_id, view_ts, click_ts)."""
     v = (
@@ -278,6 +285,7 @@ def streaming_view_click_join(
         (F.col("v_user") == F.col("c_user"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select(
         F.col("v_user").alias("user_id"),
         "view_id",

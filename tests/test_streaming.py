@@ -265,6 +265,73 @@ def test_stream_stream_join_equals_batch(spark):
     assert g == w
 
 
+def test_stream_stream_left_outer_join_equals_batch(spark):
+    """Left-outer stream-stream join: matched pairs equal the batch
+    inner join; unmatched views emit null-click rows exactly for the
+    views the final watermark could CLOSE (view_ts + 30 min behind
+    max_ts - lateness) — the no-data micro-batch after the last file is
+    what flushes them, so this also pins that eviction semantics."""
+    from finanalyzer_spark.streaming.events import (
+        read_events_stream,
+        streaming_view_click_join,
+    )
+
+    sv = read_events_stream(spark, EVENTS_PATH)
+    sc = read_events_stream(spark, EVENTS_PATH)
+    got = run_to_completion(
+        streaming_view_click_join(
+            sv.where(F.col("event_type") == "view"),
+            sc.where(F.col("event_type") == "click"),
+            how="left_outer",
+        ),
+        output_mode="append",
+    )
+    g_matched = set(
+        map(
+            tuple,
+            got.where(F.col("click_id").isNotNull())
+            .select("view_id", "click_id")
+            .collect(),
+        )
+    )
+    g_nulls = {
+        r["view_id"] for r in got.where(F.col("click_id").isNull()).collect()
+    }
+
+    ev = load(spark, SF_DIR).events
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    inner = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    w_matched = set(map(tuple, inner.select("view_id", "click_id").collect()))
+    assert g_matched == w_matched and len(g_matched) > 0
+
+    # expected nulls: views with no click in-window whose join horizon
+    # (view_ts + 30 min) the final watermark (max_ts - 1 h) passed
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    closable = (
+        v.join(inner.select("view_id"), "view_id", "left_anti")
+        .where(
+            F.col("view_ts") + F.expr("INTERVAL 30 minutes")
+            < F.lit(max_ts) - F.expr("INTERVAL 1 hour")
+        )
+    )
+    w_nulls = {r["view_id"] for r in closable.collect()}
+    assert g_nulls == w_nulls and len(w_nulls) > 0
+
+
 def test_stream_ts_unit_matches_batch(spark, events_stream):
     """Unit-sanity guard: streamed min(ts) must equal batch min(ts).
 
