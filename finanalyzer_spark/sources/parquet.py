@@ -33,6 +33,23 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-aware read: reconcile the column sets of every
+    parquet footer under `path` (mergeSchema), null-filling columns a
+    file predates.
+
+    The reference's wide fundamentals snapshot is exactly the table
+    this serves — yfinance grows fields over time
+    (sqlrequests.sql:58-145 froze 44 of them; a 45th lands as an ALTER
+    in SQLite, as a wider appended file here). A plain read resolves
+    the schema from ONE arbitrary footer, so new columns silently
+    vanish or appear depending on file listing order; merged reads are
+    deterministic. Cost: one footer read per file at planning time —
+    at 100 TB table scale, pin the schema in the catalog instead and
+    use this only at ingest boundaries."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def append_dedup(
     spark: SparkSession,
     batch: DataFrame,

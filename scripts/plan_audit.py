@@ -60,6 +60,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin"],  # the scale path replaces the NL join
         "must_not": ["BroadcastNestedLoopJoin"],
     },
+    "ann_sq8_topk": {
+        # quantizer stats = one HashAggregate broadcast; scoring is the
+        # deliberate k-queries × corpus broadcast NL scan (the IVF probe
+        # composes on top to bound candidates); never a repartition join
+        "must": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+    },
     "embedding_near_dup": {
         # near-dup candidates come from an equality join on the LSH
         # bucket (hash-partitionable), never all-pairs / driver collect

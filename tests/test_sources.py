@@ -151,6 +151,39 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     assert "PushedFilters" in plan and "o_totalprice" in plan
 
 
+def test_read_evolved_merges_widened_schema(spark, tmp_path):
+    """Schema evolution on the wide-snapshot table: a later batch adds
+    a fundamentals column; the merged read sees the union schema with
+    nulls for pre-widening rows, and filters on the new column still
+    push down to the scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.sources.parquet import read_evolved
+
+    path = str(tmp_path / "fund")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "names_id long, marketCap double"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, 30.0, 1.5)], "names_id long, marketCap double, pegRatio double"
+    ).write.mode("append").parquet(path)
+
+    df = read_evolved(spark, path)
+    assert set(df.columns) == {"names_id", "marketCap", "pegRatio"}
+    rows = {r["names_id"]: r["pegRatio"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+
+    plan_df = df.where(F.col("pegRatio") > 1.0).select("names_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "PushedFilters" in buf.getvalue() and "pegRatio" in buf.getvalue()
+    assert plan_df.count() == 1
+
+
 def test_yfinance_feed_via_mocked_module(spark):
     """YFinanceFeed maps the yfinance API surface (Ticker().history /
     .info) onto the feed interface without the package or network: a
