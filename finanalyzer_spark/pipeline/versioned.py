@@ -1,0 +1,135 @@
+"""Versioned snapshot store on plain parquet — MVCC semantics behind
+the same seam `pipeline/merge.py` defines, one step closer to a table
+format.
+
+`overwrite_atomic` (merge.py) makes a single swap crash-recoverable,
+but readers planned against the old directory can still lose files
+mid-scan, and there is no history. A `VersionedTable` removes both
+limits the way Delta/Iceberg do — immutable snapshot directories plus
+an atomically-replaced pointer:
+
+    table/
+      _CURRENT          <- text file holding "3" (rename-replaced)
+      v=1/ ... parquet
+      v=2/ ... parquet
+      v=3/ ... parquet
+
+* Writers stage `v=N+1` fully, then atomically repoint `_CURRENT`
+  (write temp + `os.replace`, atomic on POSIX). A crash mid-write
+  leaves a dangling unreferenced snapshot — invisible, reclaimed by
+  the next `vacuum`.
+* Readers resolve `_CURRENT` once at plan time and scan an immutable
+  directory: a concurrent commit can never delete files under a
+  running scan (until `vacuum` passes its retention).
+* Time travel = reading any still-retained `v=K`.
+
+The reference keeps one mutable SQLite file — history is simply lost
+(findatabase.py:79-91 truncates on re-init). At 100 TB the same layout
+holds per PARTITION rather than per table (rewriting the full table
+per commit is the plain-parquet tax merge.py already documents); a
+real deployment graduates to Delta, where `_CURRENT` becomes the
+transaction log and `vacuum` is literally `VACUUM`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    """Snapshot-versioned parquet table rooted at `root`."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointer management ------------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version(self) -> int:
+        """0 = no committed snapshot yet."""
+        try:
+            with open(self._pointer) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def versions(self) -> list[int]:
+        """All snapshot versions present on disk (committed or not
+        yet vacuumed), ascending."""
+        out = []
+        for entry in os.listdir(self.root):
+            if entry.startswith("v="):
+                try:
+                    out.append(int(entry[2:]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version}")
+
+    # -- write path --------------------------------------------------------
+    def commit(self, df: DataFrame) -> int:
+        """Write `df` as the next snapshot and atomically repoint
+        `_CURRENT` to it. Returns the new version number.
+
+        The snapshot directory is fully materialized before the
+        pointer moves, so a crash at ANY point leaves the previous
+        version live and intact. Any snapshot ABOVE the pointer is a
+        dead stage from a crashed writer (single-writer protocol) and
+        is reclaimed here first — which keeps the invariant that every
+        on-disk version <= current is genuinely committed history, so
+        time travel can never surface uncommitted data."""
+        current = self.current_version()
+        for v in self.versions():
+            if v > current:
+                shutil.rmtree(self._snapshot_dir(v))
+        version = current + 1
+        target = self._snapshot_dir(version)
+        df.write.mode("overwrite").parquet(target)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer)  # atomic on POSIX
+        return version
+
+    # -- read path ---------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time travel to any retained `version`."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        path = self._snapshot_dir(v)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {v} of {self.root} is gone (vacuumed?); "
+                f"retained: {self.versions()}"
+            )
+        return self.spark.read.parquet(path)
+
+    # -- maintenance -------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all snapshots older than the `keep_last` most recent
+        committed ones, plus any dead stage a crashed writer left
+        above the pointer. Returns the versions removed.
+
+        `keep_last >= 1`; the current version is always retained. The
+        retention window is the time-travel horizon AND the grace
+        period for in-flight readers of old snapshots — identical to
+        Delta's VACUUM contract."""
+        keep_last = max(1, keep_last)
+        current = self.current_version()
+        removed = []
+        for v in self.versions():
+            if current - keep_last < v <= current:
+                continue
+            shutil.rmtree(self._snapshot_dir(v))
+            removed.append(v)
+        return removed

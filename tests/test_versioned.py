@@ -1,0 +1,79 @@
+"""Versioned snapshot store (pipeline/versioned.py): MVCC on plain
+parquet — commit/pointer atomicity, snapshot-pinned readers, time
+travel, vacuum retention, crash-leftover reclamation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from finanalyzer_spark.pipeline.versioned import VersionedTable
+
+
+def _df(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "x long")
+
+
+def test_commit_read_roundtrip_and_history(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    assert t.current_version() == 0
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    assert t.commit(_df(spark, 1, 2)) == 1
+    assert t.commit(_df(spark, 3)) == 2
+    assert t.current_version() == 2
+    assert {r["x"] for r in t.read().collect()} == {3}
+    # time travel
+    assert {r["x"] for r in t.read(version=1).collect()} == {1, 2}
+
+
+def test_reader_planned_before_commit_survives_it(spark, tmp_path):
+    """Snapshot isolation: a reader planned against the current
+    snapshot keeps scanning immutable files while a writer commits —
+    the failure mode overwrite-in-place has (files deleted under a
+    running scan) cannot occur."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 10, 20))
+    pinned = t.read()  # plans against v=1
+    t.commit(_df(spark, 99))
+    assert {r["x"] for r in pinned.collect()} == {10, 20}
+    assert {r["x"] for r in t.read().collect()} == {99}
+
+
+def test_vacuum_retention_and_time_travel_horizon(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(1, 4):
+        t.commit(_df(spark, i))
+    removed = t.vacuum(keep_last=2)
+    assert removed == [1]
+    assert t.versions() == [2, 3]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read(version=1)
+    assert {r["x"] for r in t.read(version=2).collect()} == {2}
+    # current always survives even with keep_last=1
+    t.vacuum(keep_last=1)
+    assert t.versions() == [3]
+    assert {r["x"] for r in t.read().collect()} == {3}
+
+
+def test_crashed_commit_leftover_is_invisible_and_reclaimed(spark, tmp_path):
+    """A snapshot staged but never referenced (writer died before the
+    pointer move) is invisible to readers and reclaimed by the next
+    commit, which takes its version slot — so time travel can never
+    surface the uncommitted data."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    # simulate a crashed writer: v=2 exists, pointer still at 1
+    crashed = os.path.join(str(tmp_path / "t"), "v=2")
+    _df(spark, 666).write.parquet(crashed)
+    assert t.current_version() == 1
+    assert {r["x"] for r in t.read().collect()} == {1}
+
+    v = t.commit(_df(spark, 2))  # reclaims the dead stage, reuses the slot
+    assert v == 2
+    assert {r["x"] for r in t.read().collect()} == {2}
+    assert {r["x"] for r in t.read(version=2).collect()} == {2}  # never 666
+    assert t.versions() == [1, 2]
