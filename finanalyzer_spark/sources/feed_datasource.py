@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from .fetcher import FakeFeed
 
@@ -34,7 +39,14 @@ FEED_SCHEMA = (
 
 class FeedDataSource(DataSource):
     """Batch reader over the deterministic FakeFeed; a yfinance-backed
-    variant would differ only in the feed constructed inside read()."""
+    variant would differ only in the feed constructed inside read().
+
+    Also a STREAMING source (`spark.readStream.format("fake_feed")`):
+    the reference's daily-refresh cadence (findatabase.py:62
+    "rafraichies chaque jour" + the per-key incremental cursor,
+    findatabase.py:211-222) becomes real stream offsets — each
+    micro-batch ingests the next `days_per_batch` calendar days for
+    every ticker, exactly-once via the engine's offset log."""
 
     @classmethod
     def name(cls) -> str:
@@ -45,6 +57,9 @@ class FeedDataSource(DataSource):
 
     def reader(self, schema) -> "FeedReader":
         return FeedReader(self.options)
+
+    def streamReader(self, schema) -> "FeedStreamReader":
+        return FeedStreamReader(self.options)
 
 
 class FeedReader(DataSourceReader):
@@ -78,3 +93,80 @@ class FeedReader(DataSourceReader):
                 float(row.low),
                 float(row.close),
             )
+
+
+class FeedStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the feed: offsets are calendar days.
+
+    Offset = {"next_day": "<iso date>"} — the first day NOT yet
+    ingested. Pacing lives in `latestOffset` (the only legal place: a
+    `partitions()` that clamps below the engine-chosen end would mark
+    skipped days as processed — data loss): a driver-side cursor
+    advances at most `days_per_batch` days per trigger, never past
+    `end` — `maxFilesPerTrigger`'s analog. `partitions(start, end)`
+    covers exactly [start, end) with one partition per ticker, so the
+    fetch fans out across executors like the batch reader. The engine's
+    checkpointed offset log replays any batch deterministically — the
+    FakeFeed is a pure function of (ticker, day), which is what makes
+    replay exactly-once all the way to the sink. After a restart the
+    fresh cursor may briefly trail the checkpoint (empty batches, no
+    loss) until it catches up via the max() in _bump."""
+
+    def __init__(self, options: dict):
+        tickers = options.get("tickers", "")
+        if not tickers:
+            raise ValueError("fake_feed requires option 'tickers' (csv list)")
+        self.tickers = [t.strip() for t in tickers.split(",") if t.strip()]
+        start, end = options.get("start"), options.get("end")
+        if not (start and end):
+            raise ValueError("fake_feed requires options 'start' and 'end'")
+        self.start = dt.date.fromisoformat(start)
+        self.end = dt.date.fromisoformat(end)
+        self.days_per_batch = int(options.get("days_per_batch", "1"))
+        self._cursor: dt.date | None = None
+
+    def _bump(self, day: dt.date) -> None:
+        if self._cursor is None or day > self._cursor:
+            self._cursor = day
+
+    def initialOffset(self) -> dict:
+        return {"next_day": self.start.isoformat()}
+
+    def latestOffset(self) -> dict:
+        if self._cursor is None:
+            self._cursor = self.start
+        nxt = min(
+            self._cursor + dt.timedelta(days=self.days_per_batch),
+            self.end + dt.timedelta(days=1),  # bounded: end is inclusive
+        )
+        self._bump(nxt)
+        return {"next_day": nxt.isoformat()}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo = dt.date.fromisoformat(start["next_day"])
+        hi = dt.date.fromisoformat(end["next_day"])  # exclusive
+        self._bump(hi)
+        if hi <= lo:
+            return []
+        span = (lo.isoformat(), (hi - dt.timedelta(days=1)).isoformat())
+        return [InputPartition((t, *span)) for t in self.tickers]
+
+    def read(self, partition: InputPartition):
+        ticker, lo, hi = partition.value
+        hist = FakeFeed().history(
+            ticker, dt.date.fromisoformat(lo), dt.date.fromisoformat(hi)
+        )
+        for row in hist.itertuples(index=False):
+            yield (
+                ticker,
+                row.date_value,
+                float(row.open),
+                float(row.high),
+                float(row.low),
+                float(row.close),
+            )
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the engine's checkpoint; the feed is
+        # stateless — just keep the pacing cursor monotone
+        self._bump(dt.date.fromisoformat(end["next_day"]))

@@ -92,6 +92,49 @@ def test_feed_datasource_matches_mapinpandas_fetcher(spark):
     assert via_fetch.exceptAll(via_ds).count() == 0
 
 
+def test_feed_stream_source_paced_batches_match_batch_read(spark, tmp_path):
+    """The streaming face of the feed DataSource: day-paced micro-batch
+    offsets must deliver exactly the batch reader's rows for the same
+    (tickers, range) — the reference's daily-refresh cursor
+    (findatabase.py:211-222) as real, checkpointable stream offsets —
+    and pacing must actually split the range into multiple triggers."""
+    from finanalyzer_spark.sources.feed_datasource import FeedDataSource
+
+    spark.dataSource.register(FeedDataSource)
+    opts = {"tickers": "AAPL,MSFT", "start": "2026-08-01", "end": "2026-08-06"}
+    stream = (
+        spark.readStream.format("fake_feed")
+        .options(**opts, days_per_batch="2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_stream_rows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+
+    got = spark.table("feed_stream_rows")
+    want = spark.read.format("fake_feed").options(**opts).load()
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # 6 days at 2 days/trigger -> exactly 3 data-bearing micro-batches
+    assert len(data_batches) == 3
+    assert {p["numInputRows"] for p in data_batches} == {4}  # 2 tickers × 2 days
+    # and every day arrived exactly once
+    days = [r["date_value"] for r in got.select("date_value").collect()]
+    assert len(days) == 12 and len(set(days)) == 6
+
+
 def test_jsonl_round_trip_and_convert(spark, tmp_path):
     """JSONL write → schema-declared read → identical rows; corrupt
     lines land in _corrupt_record instead of failing the scan."""
