@@ -189,6 +189,70 @@ def update_history(
     )
 
 
+def stream_update_history(
+    store: FinStore,
+    start: dt.date,
+    end: dt.date,
+    days_per_batch: int = 1,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """update_database as a CONTINUOUS job: the feed's streaming reader
+    (sources/feed_datasource.FeedStreamReader — calendar-day offsets,
+    the reference's per-key incremental cursor made checkpointable)
+    joins the broadcast registry for surrogate ids and upserts every
+    micro-batch through the same merge seam the batch job uses.
+
+    Exactly-once end to end: the engine's offset log decides which days
+    each micro-batch covers, the feed is a pure function of
+    (ticker, day), and foreach_batch_merge is an idempotent keyed
+    upsert — a replayed batch replaces rather than duplicates. The
+    batch `update_history` and this stream land identical rows for the
+    same range (tests/test_pipeline.py proves it); the reference's
+    daily cron (findatabase.py:62) becomes a trigger cadence.
+
+    `date_added` is the ingest day (= `end`, 'today' at stream setup),
+    matching the batch job's bookkeeping column."""
+    from ..sources.feed_datasource import FeedDataSource
+    from ..streaming.events import foreach_batch_merge
+
+    try:
+        store.spark.dataSource.register(FeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    names = store.read("names")
+    tickers = ",".join(r["ticker"] for r in names.select("ticker").collect())
+    stream = (
+        store.spark.readStream.format("fake_feed")
+        .option("tickers", tickers)
+        .option("start", start.isoformat())
+        .option("end", end.isoformat())
+        .option("days_per_batch", str(days_per_batch))
+        .load()
+    )
+    incoming = stream.join(
+        F.broadcast(names.select("id", "ticker")), "ticker"
+    ).select(
+        F.col("id").alias("names_id"),
+        F.col("date_value").cast("date"),
+        F.lit(end.isoformat()).cast("date").alias("date_added"),
+        "open",
+        "high",
+        "low",
+        "close",
+    )
+    writer = incoming.writeStream.foreachBatch(
+        foreach_batch_merge(store.path("history"), ["names_id", "date_value"])
+    ).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read("history")
+
+
 def fill_all_history(
     store: FinStore, today: dt.date, feed: FakeFeed | None = None
 ) -> DataFrame:

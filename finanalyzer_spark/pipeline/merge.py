@@ -47,6 +47,11 @@ def overwrite_atomic(df: DataFrame, path: str) -> None:
     os.rename(tmp, path)
     if had_old:
         shutil.rmtree(old)
+    # invalidate cached relations/plans over the path (df.cache()'d
+    # tables, cached listings): repeated swaps — e.g. a foreachBatch
+    # merge sink, one rewrite per trigger — otherwise leave them
+    # referencing deleted part files
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def merge_into(

@@ -82,6 +82,50 @@ def test_update_history_full_then_incremental(store, tickers_csv):
     assert h3.groupBy("names_id", "date_value").count().where("count > 1").count() == 0
 
 
+def test_stream_update_history_matches_batch(spark, store, tickers_csv, tmp_path):
+    """The streaming ingest (feed stream reader → broadcast registry
+    join → foreachBatch merge) must land EXACTLY the rows the batch
+    update_history lands for the same range — the reference's daily
+    loop and its continuous form are the same job — and replaying the
+    whole stream from scratch must be a row-set no-op (idempotent
+    merge sink + pure feed)."""
+    from finanalyzer_spark.pipeline.finjobs import stream_update_history
+
+    bootstrap_registry(store, tickers_csv)
+    start = TODAY - dt.timedelta(days=RETENTION_DAYS)
+    got = stream_update_history(
+        store, start, TODAY, days_per_batch=2000,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert (
+        got.groupBy("names_id", "date_value").count().where("count > 1").count()
+        == 0
+    )
+
+    store2 = FinStore(spark, str(tmp_path / "warehouse2"))
+    bootstrap_registry(store2, tickers_csv)
+    want = update_history(store2, TODAY, FakeFeed())
+    n_got = got.count()
+    assert n_got == want.count() == 3 * (RETENTION_DAYS + 1)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # full replay (fresh checkpoint -> every day re-delivered): no-op.
+    # NOTE: `got`'s captured file listing dies with the replay's swap
+    # (overwrite-in-place semantics — the VersionedTable store is the
+    # fix when pinned readers must survive); count it before, re-read
+    # after.
+    again = stream_update_history(
+        store, start, TODAY, days_per_batch=4000,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert again.count() == n_got
+    assert (
+        again.groupBy("names_id", "date_value").count().where("count > 1").count()
+        == 0
+    )
+
+
 def test_update_history_freshness_tolerance_yesterday(store, tickers_csv):
     """Reference skips refresh when last date is today OR yesterday
     (findatabase.py:217) — so a day-after rerun right after a full load
