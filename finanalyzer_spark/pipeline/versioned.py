@@ -114,6 +114,36 @@ class VersionedTable:
             )
         return self.spark.read.parquet(path)
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        order_by: list | None = None,
+        retain=None,
+    ) -> int:
+        """Keyed upsert as a snapshot commit: same semantics as
+        pipeline.merge.merge_into (matched keys replaced, deterministic
+        within-batch survivor under `order_by`, `retain` predicate
+        fused into the write) but readers of the previous version are
+        never disturbed and the pre-merge state stays time-travelable
+        until vacuum. Returns the committed version."""
+        if order_by:
+            from ..operators.dedup import dedup_by_key
+
+            incoming = dedup_by_key(source, keys, order_by)
+        else:
+            incoming = source.dropDuplicates(keys)
+        if self.current_version() > 0:
+            current = self.read()
+            merged = current.join(incoming, keys, "left_anti").unionByName(
+                incoming
+            )
+        else:
+            merged = incoming
+        if retain is not None:
+            merged = merged.where(retain)
+        return self.commit(merged)
+
     # -- maintenance -------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all snapshots older than the `keep_last` most recent

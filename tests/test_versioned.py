@@ -59,6 +59,35 @@ def test_vacuum_retention_and_time_travel_horizon(spark, tmp_path):
     assert {r["x"] for r in t.read().collect()} == {3}
 
 
+def test_merge_commits_upsert_with_history(spark, tmp_path):
+    """Versioned keyed merge: merge_into semantics, but the pre-merge
+    snapshot survives for time travel and pinned readers."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k long, ver long, v string"
+    )
+    assert t.merge(base, ["k"]) == 1
+
+    pinned = t.read()  # v=1
+    upd = spark.createDataFrame(
+        [(2, 3, "B"), (2, 2, "stale"), (3, 1, "c")],
+        "k long, ver long, v string",
+    )
+    assert t.merge(upd, ["k"], order_by=[F.col("ver").desc()]) == 2
+
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # pre-merge snapshot intact for the pinned reader AND time travel
+    assert {(r["k"], r["v"]) for r in pinned.collect()} == {(1, "a"), (2, "b")}
+    assert t.read(version=1).count() == 2
+
+    # replay the same source: row set unchanged, but as a NEW version
+    assert t.merge(upd, ["k"], order_by=[F.col("ver").desc()]) == 3
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == got
+
+
 def test_crashed_commit_leftover_is_invisible_and_reclaimed(spark, tmp_path):
     """A snapshot staged but never referenced (writer died before the
     pointer move) is invisible to readers and reclaimed by the next
