@@ -491,9 +491,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min/max — one aggregate pass, exactly SQL-expressible, so unlike
 # k-means codebooks the oracle replicates the codec bit-for-bit.
 # --------------------------------------------------------------------------
-def _ann_sq8_oracle(dim: int = 64, k: int = 5, q_cut: int = 5) -> str:
+def _sq8_rec_cte(dim: int = 64) -> str:
+    """Shared CTE fragment: per-dim min/max stats and the SQ8
+    reconstructed corpus `rec(vec_id, r)` — the codec half both the
+    top-k oracle and the recall-eval oracle build on."""
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     dims AS (
         SELECT u.i AS i, min(e.v[u.i]) AS mn, max(e.v[u.i]) AS mx
         FROM e, (SELECT unnest(range(1, {dim + 1})) AS i) u
@@ -515,7 +517,13 @@ def _ann_sq8_oracle(dim: int = 64, k: int = 5, q_cut: int = 5) -> str:
                                * (mxs[i] - mns[i]) / 256
                    END) AS r
         FROM e, st
-    ),
+    )"""
+
+
+def _ann_sq8_oracle(dim: int = 64, k: int = 5, q_cut: int = 5) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_sq8_rec_cte(dim)},
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS match_id,
                round(list_cosine_similarity(q.v, c.r), 5) + 0.0 AS cosine_sq8
@@ -608,4 +616,79 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def _ann_sq8_recall_oracle(dim: int = 64, k: int = 5, q_cut: int = 5) -> str:
+    """Compose the exact-top-k and SQ8-top-k fragments: recall@k of the
+    quantized ranking against the exact one, per query."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_sq8_rec_cte(dim)},
+    exact_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 5)
+                                    DESC, c.vec_id
+                   ) AS rn
+            FROM e q JOIN e c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {q_cut}
+        ) WHERE rn <= {k}
+    ),
+    sq8_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.r), 5)
+                                    DESC, c.vec_id
+                   ) AS rn
+            FROM e q JOIN rec c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {q_cut}
+        ) WHERE rn <= {k}
+    )
+    SELECT x.query_id,
+           count(s.match_id) AS n_hits,
+           round(count(s.match_id) * 1.0 / {k}, 6) AS recall_at_{k}
+    FROM exact_topk x
+    LEFT JOIN sq8_topk s
+      ON x.query_id = s.query_id AND x.match_id = s.match_id
+    GROUP BY x.query_id
+    """
+
+
+@query(
+    "ann_sq8_recall_eval",
+    oracle=_ann_sq8_recall_oracle(),
+    tags=("similarity", "ann", "quantization", "eval"),
+)
+def ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SQ8-quantized ranking against the exact top-5 —
+    the offline measurement that decides whether 8-bit compression is
+    free for a given corpus (here it effectively is: the fixture's
+    per-dim ranges make midpoint error tiny relative to neighbor
+    gaps). Same composition shape as ann_recall_eval: both searches
+    reuse their component operators; the intersection is one tiny
+    per-query join."""
+    k, q_cut = 5, 5
+    t = load(spark, sf_dir)
+    exact = cosine_topk(
+        corpus=t.embeddings,
+        queries=t.embeddings.where(F.col("vec_id") < q_cut),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=k,
+    ).select("query_id", "match_id")
+    sq8 = ann_sq8_topk(spark, sf_dir).select(
+        "query_id", "match_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(F.broadcast(sq8), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") * 1.0 / k, 6).alias(f"recall_at_{k}"),
+        )
     )
