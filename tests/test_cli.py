@@ -1,0 +1,53 @@
+"""CLI entry point (python -m finanalyzer_spark) — the reference's
+runnable surface (findatabase.py:246-248) mapped onto the Spark jobs.
+main() is called in-process with argv to keep the suite fast; one
+subprocess smoke proves the module wiring.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from finanalyzer_spark.__main__ import main
+
+from .conftest import SF_DIR_ORACLE
+
+
+def test_cli_queries_lists_registry(capsys):
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "pricing_summary" in out and len(out) >= 150
+
+
+def test_cli_init_update_roundtrip(spark, tmp_path, capsys):
+    csv = tmp_path / "tickers.csv"
+    csv.write_text("Ticker,Name,Exchange\nAAPL,Apple,NASDAQ\nMSFT,Microsoft,NASDAQ\n")
+    wh = str(tmp_path / "wh")
+    assert main(["init", "--warehouse", wh, "--tickers", str(csv)], spark=spark) == 0
+    assert "registry: 2 tickers" in capsys.readouterr().out
+    assert (
+        main(["update", "--warehouse", wh, "--today", "2026-08-10"], spark=spark) == 0
+    )
+    out = capsys.readouterr().out
+    assert "history: " in out and "fundamentals: 2" in out
+
+
+def test_cli_sql_and_query(spark, capsys):
+    assert main(
+        ["sql", "--sf-dir", SF_DIR_ORACLE,
+         "SELECT count(*) AS n FROM lineitem"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "|n" in out.replace(" ", "")  # show() table header
+    assert any(ch.isdigit() for ch in out)  # and the count row
+    assert main(["query", "--sf-dir", SF_DIR_ORACLE, "value_counts"], spark=spark) == 0
+    assert main(["query", "--sf-dir", SF_DIR_ORACLE, "nope"], spark=spark) == 2
+
+
+def test_cli_module_wiring_subprocess():
+    res = subprocess.run(
+        [sys.executable, "-m", "finanalyzer_spark", "queries"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert res.returncode == 0 and "pricing_summary" in res.stdout
