@@ -77,6 +77,44 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["HashAggregate"],
         "must_not": ["SortMergeJoin"],
     },
+    "tpch_q9_profit_by_nation": {
+        # deep star join over part-filtered lineitem: dims broadcast,
+        # filters pushed; never a cartesian/NL expansion
+        "must": ["BroadcastHashJoin", "HashAggregate", "PushedFilters"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "exact_dedup_groups": {
+        # content digests computed in codegen (JVM md5/sha, never a
+        # Python worker); the shuffle carries 16-byte digests only
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+    },
+    "near_dup_jaccard": {
+        # shingle explode + banded-bucket candidate join: the pair
+        # stream is bucketed (equi-join — SMJ/BHJ both fine), never
+        # all-pairs, and shingling stays JVM-side
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "pack_token_batches": {
+        # greedy sequence packing = running-sum window + bucket agg,
+        # all codegen — no Python, no join
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython",
+                     "SortMergeJoin", "BroadcastHashJoin"],
+    },
+    "cohort_retention": {
+        "must": ["BroadcastHashJoin", "HashAggregate", "PushedFilters"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "hll_mergeable_rollup": {
+        # datasketches aggregation buffers (ObjectHashAggregate); the
+        # one NL join is the deliberate scalar total-sketch broadcast
+        "must": ["ObjectHashAggregate"],
+        "must_not": ["CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython"],
+    },
     "top_unshipped_revenue": {
         # bounded top-k: TakeOrderedAndProject, never a global Sort;
         # the filtered customer dim broadcasts
