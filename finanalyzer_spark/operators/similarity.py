@@ -40,6 +40,35 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def sq8_reconstruct_col(vec: Column, mns: Column, mxs: Column) -> Column:
+    """SQ8 scalar quantization, encode+decode fused into one column
+    expression: each dimension of `vec` compresses to an 8-bit code
+    against [mns_i, mxs_i] and reconstructs to its bucket midpoint
+    (mn + (code + 0.5) * range / 256) — FAISS IndexScalarQuantizer
+    QT_8bit. Pure zip_with chains: whole-stage codegen, no UDF.
+
+    Midpoint reconstruction bounds the per-dimension absolute error by
+    range/512 for in-range inputs (tests/test_properties.py proves the
+    bound over hypothesis-generated vectors); a degenerate dimension
+    (mn == mx) reconstructs exactly."""
+    d = F.zip_with(vec, mns, lambda x, mn: x.cast("double") - mn)
+    rng = F.zip_with(mxs, mns, lambda a, b: a - b)
+    code = F.zip_with(
+        d,
+        rng,
+        lambda di, r: F.when(r == 0, F.lit(0.0)).otherwise(
+            F.least(
+                F.lit(255.0), F.greatest(F.lit(0.0), F.floor(di / r * 256))
+            )
+        ),
+    )
+    return F.zip_with(
+        F.zip_with(code, rng, lambda c, r: (c + 0.5) * r / 256),
+        mns,
+        lambda t_, mn: t_ + mn,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

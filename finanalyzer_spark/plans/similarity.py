@@ -572,23 +572,11 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.max(F.col("embedding")[i].cast("double")) for i in range(dim)]
         ).alias("mxs"),
     )
+    from ..operators.similarity import sq8_reconstruct_col
+
     with_st = e.crossJoin(F.broadcast(st))
-    d = F.zip_with("embedding", "mns", lambda x, mn: x.cast("double") - mn)
-    rng = F.zip_with("mxs", "mns", lambda a, b: a - b)
-    code = F.zip_with(
-        d,
-        rng,
-        lambda di, r: F.when(r == 0, F.lit(0.0)).otherwise(
-            F.least(
-                F.lit(255.0), F.greatest(F.lit(0.0), F.floor(di / r * 256))
-            )
-        ),
-    )
-    # rec_i = mn_i + (code_i + 0.5) * rng_i / 256  (midpoint reconstruction)
-    rec = F.zip_with(
-        F.zip_with(code, rng, lambda c, r: (c + 0.5) * r / 256),
-        F.col("mns"),
-        lambda t_, mn: t_ + mn,
+    rec = sq8_reconstruct_col(
+        F.col("embedding"), F.col("mns"), F.col("mxs")
     )
     corpus = with_st.select(
         F.col("vec_id").alias("match_id"), rec.alias("rvec")

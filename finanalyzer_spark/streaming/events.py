@@ -246,6 +246,21 @@ def foreach_batch_merge(target_dir: str, keys: list[str]):
     return write
 
 
+def foreach_batch_versioned_merge(table, keys: list[str]):
+    """ForeachBatch sink over a VersionedTable: every micro-batch
+    commits a new snapshot via the keyed merge, so the streaming write
+    gets MVCC for free — readers pinned to any snapshot are never
+    disturbed by the next trigger, history is time-travelable until
+    vacuum, and replayed batches produce identical row sets (as fresh
+    versions). The upgrade path from foreach_batch_merge when
+    downstream consumers read WHILE the stream runs."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        table.merge(batch, keys)
+
+    return write
+
+
 def streaming_view_click_join(
     views: DataFrame, clicks: DataFrame, within: str = "30 minutes",
     lateness: str = "1 hour", how: str = "inner",

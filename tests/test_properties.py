@@ -311,3 +311,79 @@ def test_qgram_count_filter_is_lossless(base, edits):
     # T mirrors FUZZY_BLOCK_T generalized to unequal lengths
     t = max(len(base), len(s)) - 1 - 2 * d
     assert _shared_mass(base, s) >= t
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                      width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@SLOW
+def test_sq8_reconstruction_error_bounded(spark, vecs):
+    """The SQ8 codec column expression (the one ann_sq8_topk ships):
+    per-dimension reconstruction error is <= range/512 (+ float slack)
+    for corpus-trained [min, max] ranges, and a degenerate dimension
+    (mn == mx) reconstructs exactly."""
+    from finanalyzer_spark.operators.similarity import sq8_reconstruct_col
+
+    dim = 4
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, v array<float>",
+    )
+    st_df = df.agg(
+        F.array(*[F.min(F.col("v")[i].cast("double")) for i in range(dim)]
+                ).alias("mns"),
+        F.array(*[F.max(F.col("v")[i].cast("double")) for i in range(dim)]
+                ).alias("mxs"),
+    )
+    out = (
+        df.crossJoin(F.broadcast(st_df))
+        .select(
+            "vec_id", "v", "mns", "mxs",
+            sq8_reconstruct_col(
+                F.col("v"), F.col("mns"), F.col("mxs")
+            ).alias("r"),
+        )
+        .collect()
+    )
+    for row in out:
+        for x, rec, mn, mx in zip(row["v"], row["r"], row["mns"], row["mxs"]):
+            rng = mx - mn
+            if rng == 0:
+                assert rec == mn
+            else:
+                slack = 1e-9 * max(abs(mn), abs(mx), 1.0)
+                assert abs(rec - float(x)) <= rng / 512 + slack
+
+
+@given(
+    pcm=st.binary(min_size=0, max_size=256),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_codec_roundtrip(pcm, rate, channels):
+    """encode_wav_pcm16 -> decode_wav recovers the exact sample
+    stream (truncated to whole frames), rate, and channel shape —
+    pure-numpy, no Spark."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    buf = encode_wav_pcm16(pcm, rate=rate, channels=channels)
+    got_rate, samples = decode_wav(buf)
+    assert got_rate == rate
+    assert samples.shape[1] == channels
+    frame_bytes = 2 * channels
+    whole = (len(pcm) // frame_bytes) * frame_bytes
+    want = np.frombuffer(pcm[:whole], dtype="<i2").reshape(-1, channels)
+    assert np.array_equal(samples, want)

@@ -88,6 +88,54 @@ def test_merge_commits_upsert_with_history(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in t.read().collect()} == got
 
 
+def test_streaming_versioned_merge_sink(spark, tmp_path):
+    """The feed stream writing through the MVCC merge sink: one
+    snapshot per data-bearing trigger, the final version holds exactly
+    the batch reader's rows, and every intermediate snapshot remains
+    time-travelable — a reader pinned mid-stream is never disturbed."""
+    from finanalyzer_spark.sources.feed_datasource import FeedDataSource
+    from finanalyzer_spark.streaming.events import (
+        foreach_batch_versioned_merge,
+    )
+
+    try:
+        spark.dataSource.register(FeedDataSource)
+    except Exception:
+        pass
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    opts = {"tickers": "AAPL,MSFT", "start": "2026-08-01", "end": "2026-08-04"}
+    stream = (
+        spark.readStream.format("fake_feed")
+        .options(**opts, days_per_batch="2")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_versioned_merge(t, ["ticker", "date_value"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # 4 days at 2/trigger -> 2 committed snapshots
+    assert t.current_version() == 2
+    want = spark.read.format("fake_feed").options(**opts).load()
+    got = t.read()
+    assert got.count() == want.count() == 2 * 4
+    assert got.exceptAll(want).count() == 0
+    # time travel into the mid-stream state: first 2 days only
+    v1 = t.read(version=1)
+    assert v1.count() == 2 * 2
+    assert {r["date_value"] for r in v1.collect()} == {
+        "2026-08-01", "2026-08-02"
+    }
+
+
 def test_crashed_commit_leftover_is_invisible_and_reclaimed(spark, tmp_path):
     """A snapshot staged but never referenced (writer died before the
     pointer move) is invisible to readers and reclaimed by the next
