@@ -114,19 +114,49 @@ class VersionedTable:
             )
         return self.spark.read.parquet(path)
 
+    # -- transactional batch tracking (Delta's txn appId/version) ----------
+    @property
+    def _txn_pointer(self) -> str:
+        return os.path.join(self.root, "_LAST_TXN")
+
+    def last_txn(self) -> int:
+        """Highest committed transaction id; -1 before any."""
+        try:
+            with open(self._txn_pointer) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _record_txn(self, txn_id: int) -> None:
+        tmp = self._txn_pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(txn_id))
+        os.replace(tmp, self._txn_pointer)
+
     def merge(
         self,
         source: DataFrame,
         keys: list[str],
         order_by: list | None = None,
         retain=None,
+        txn_id: int | None = None,
     ) -> int:
         """Keyed upsert as a snapshot commit: same semantics as
         pipeline.merge.merge_into (matched keys replaced, deterministic
         within-batch survivor under `order_by`, `retain` predicate
         fused into the write) but readers of the previous version are
         never disturbed and the pre-merge state stays time-travelable
-        until vacuum. Returns the committed version."""
+        until vacuum. Returns the committed version.
+
+        `txn_id` makes the commit TRANSACTIONALLY idempotent (Delta's
+        txn appId/version pattern): a merge whose id is <= the last
+        recorded one is a redelivery and returns the current version
+        without writing — the guarantee a foreachBatch sink needs to
+        turn at-least-once batch delivery into exactly-once, even
+        across query restarts (keyed idempotence alone can't skip the
+        snapshot churn, and non-keyed appends can't dedup at all)."""
+        if txn_id is not None and txn_id <= self.last_txn():
+            return self.current_version()
         if order_by:
             from ..operators.dedup import dedup_by_key
 
@@ -142,7 +172,14 @@ class VersionedTable:
             merged = incoming
         if retain is not None:
             merged = merged.where(retain)
-        return self.commit(merged)
+        version = self.commit(merged)
+        if txn_id is not None:
+            # recorded AFTER the snapshot commit: a crash in between
+            # redelivers the batch, and the keyed merge makes the
+            # redelivery a row-set no-op (at-least-once collapses to
+            # effectively-once on the data, exactly-once on the txn log)
+            self._record_txn(txn_id)
+        return version
 
     # -- maintenance -------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> list[int]:

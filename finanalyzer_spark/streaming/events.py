@@ -256,7 +256,9 @@ def foreach_batch_versioned_merge(table, keys: list[str]):
     downstream consumers read WHILE the stream runs."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        table.merge(batch, keys)
+        # batch_id is the engine's monotone epoch — passing it as the
+        # txn id makes redelivered batches version-level no-ops
+        table.merge(batch, keys, txn_id=batch_id)
 
     return write
 

@@ -88,6 +88,27 @@ def test_merge_commits_upsert_with_history(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in t.read().collect()} == got
 
 
+def test_txn_id_makes_merge_exactly_once(spark, tmp_path):
+    """Transactional idempotence (Delta txn pattern): redelivering a
+    batch with an already-recorded txn id is a version-level no-op, so
+    at-least-once foreachBatch delivery cannot even churn snapshots;
+    a NEW txn id commits normally."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    b0 = _df(spark, 1, 2)
+    assert t.merge(b0, ["x"], txn_id=0) == 1
+    # redelivery of batch 0: same version back, nothing written
+    assert t.merge(b0, ["x"], txn_id=0) == 1
+    assert t.current_version() == 1 and t.last_txn() == 0
+
+    assert t.merge(_df(spark, 3), ["x"], txn_id=1) == 2
+    # stale redelivery after later progress: still a no-op
+    assert t.merge(b0, ["x"], txn_id=0) == 2
+    assert t.versions() == [1, 2]
+    assert {r["x"] for r in t.read().collect()} == {1, 2, 3}
+
+
 def test_streaming_versioned_merge_sink(spark, tmp_path):
     """The feed stream writing through the MVCC merge sink: one
     snapshot per data-bearing trigger, the final version holds exactly
