@@ -88,6 +88,40 @@ def test_merge_commits_upsert_with_history(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in t.read().collect()} == got
 
 
+def test_changes_between_snapshots_cdf(spark, tmp_path):
+    """Change data feed: keyed diff of two snapshots yields exact
+    insert / delete / update pre+post rows — the surface an
+    incremental downstream pipeline consumes."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+    )
+    # v2: update k=2, insert k=4, drop k=3 (retention), keep k=1
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        ["k"],
+        retain=F.col("k") != 3,
+    )
+    got = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changes(["k"], from_version=1, to_version=2).collect()
+    }
+    assert got == {
+        (4, "d", "insert"),
+        (3, "c", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+    }
+    # from empty: everything is an insert
+    all_ins = t.changes(["k"], from_version=0, to_version=1)
+    assert {r["_change_type"] for r in all_ins.collect()} == {"insert"}
+    assert all_ins.count() == 3
+
+
 def test_txn_id_makes_merge_exactly_once(spark, tmp_path):
     """Transactional idempotence (Delta txn pattern): redelivering a
     batch with an already-recorded txn id is a version-level no-op, so
