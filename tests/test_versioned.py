@@ -191,6 +191,70 @@ def test_streaming_versioned_merge_sink(spark, tmp_path):
     }
 
 
+def test_stream_restart_from_checkpoint_resumes_exactly_once(spark, tmp_path):
+    """Kill the ingest mid-stream, restart from the same checkpoint:
+    already-committed days are not re-delivered (offset log) and the
+    txn-id guard means not even a redelivered epoch could churn a
+    snapshot — the final table equals the uninterrupted run's."""
+    import time
+
+    from finanalyzer_spark.sources.feed_datasource import FeedDataSource
+    from finanalyzer_spark.streaming.events import (
+        foreach_batch_versioned_merge,
+    )
+
+    try:
+        spark.dataSource.register(FeedDataSource)
+    except Exception:
+        pass
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    opts = {"tickers": "AAPL,MSFT", "start": "2026-08-01", "end": "2026-08-06"}
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        return (
+            spark.readStream.format("fake_feed")
+            .options(**opts, days_per_batch="2")
+            .load()
+            .writeStream.foreachBatch(
+                foreach_batch_versioned_merge(t, ["ticker", "date_value"])
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    # run until at least one data batch landed, then kill
+    q = start_query()
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("no data batch within 60s")
+    finally:
+        q.stop()
+    v_mid = t.current_version()
+    assert v_mid >= 1
+
+    # restart from the same checkpoint: runs to completion
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = spark.read.format("fake_feed").options(**opts).load()
+    got = t.read()
+    assert got.count() == want.count() == 2 * 6
+    assert got.exceptAll(want).count() == 0
+    # 6 days / 2 per trigger = 3 data epochs TOTAL across both runs —
+    # no epoch committed twice
+    assert t.current_version() == 3
+
+
 def test_crashed_commit_leftover_is_invisible_and_reclaimed(spark, tmp_path):
     """A snapshot staged but never referenced (writer died before the
     pointer move) is invisible to readers and reclaimed by the next
