@@ -4,7 +4,9 @@ the fitted transform reduces to closed-form SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..ml.features import scaled_price_by_priority
@@ -402,4 +404,54 @@ def per_supplier_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.select("l_suppkey", "l_quantity", "l_extendedprice")
         .groupBy("l_suppkey")
         .applyInPandas(fit, schema=schema)
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped-AGGREGATE Arrow UDF (pandas_udf inside .agg) — the remaining
+# Arrow UDF variant: series in, scalar out, composable with built-in
+# aggregates in one aggregation
+# --------------------------------------------------------------------------
+@query(
+    "grouped_agg_median_discount",
+    # median is sort-based (no accumulation-order float drift):
+    # quantile_cont(0.5) interpolates the two middle values exactly
+    # like numpy's median — safe cross-engine parity at round 6
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(quantile_cont(l_discount, 0.5), 6) + 0.0 AS median_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "grouped-agg", "aggregate"),
+)
+def grouped_agg_median_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag median discount via a grouped-aggregate `pandas_udf` —
+    the Arrow UDF variant that slots INTO `.agg()`. Spark disallows
+    mixing grouped-agg pandas UDFs with JVM aggregates in one `.agg()`
+    (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides a second
+    pandas UDF over the same shuffle. The worker receives each group's
+    column as one pandas Series and returns a scalar; numpy's
+    sort-based median is deterministic across partitionings, which is
+    what makes an exact oracle possible where a sum-based custom
+    aggregate would drift. Spark's own percentile_approx is the
+    no-Python path when approximation is acceptable; this exercises
+    the exact-custom-statistic shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        import numpy as np
+
+        return round(float(np.median(v.to_numpy(dtype="float64"))), 6) + 0.0
+
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return len(v)
+
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        count_udf(F.col("l_discount")).alias("n"),
+        median_udf(F.col("l_discount")).alias("median_disc"),
     )
