@@ -122,6 +122,64 @@ def test_changes_between_snapshots_cdf(spark, tmp_path):
     assert all_ins.count() == 3
 
 
+def test_cdf_maintains_derived_aggregate_incrementally(spark, tmp_path):
+    """The point of the change feed: maintain a derived aggregate from
+    the CDF delta alone (insert/update_postimage contribute +, delete/
+    update_preimage contribute −) and land exactly the full recompute —
+    without rescanning the base table."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [("A", 1, 10.0), ("A", 2, 20.0), ("B", 3, 5.0), ("C", 4, 1.0)],
+            "g string, k long, x double",
+        )
+    )
+
+    def full(df):
+        return df.groupBy("g").agg(
+            F.count("*").alias("n"), F.round(F.sum("x"), 6).alias("s")
+        )
+
+    derived_v1 = full(t.read(version=1)).collect()
+
+    # v2: update k=2 (A: 20→25), insert k=5 (new group D), drop group C
+    t.merge(
+        spark.createDataFrame(
+            [("A", 2, 25.0), ("D", 5, 7.0)], "g string, k long, x double"
+        ),
+        ["k"],
+        retain=F.col("g") != "C",
+    )
+
+    signed = t.changes(["k"], from_version=1, to_version=2).withColumn(
+        "_w",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1),
+    )
+    delta = signed.groupBy("g").agg(
+        F.sum("_w").alias("dn"),
+        F.round(F.sum(F.col("x") * F.col("_w")), 6).alias("ds"),
+    )
+    prev = spark.createDataFrame(derived_v1)
+    maintained = (
+        prev.join(delta, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            F.round(
+                F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0)), 6
+            ).alias("s"),
+        )
+        .where(F.col("n") > 0)
+    )
+    got = {(r["g"], r["n"], r["s"]) for r in maintained.collect()}
+    want = {(r["g"], r["n"], r["s"]) for r in full(t.read()).collect()}
+    assert got == want == {("A", 2, 35.0), ("B", 1, 5.0), ("D", 1, 7.0)}
+
+
 def test_txn_id_makes_merge_exactly_once(spark, tmp_path):
     """Transactional idempotence (Delta txn pattern): redelivering a
     batch with an already-recorded txn id is a version-level no-op, so
