@@ -333,6 +333,49 @@ def decode_audio_features(
     return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)
 
 
+def sample_video_frames_arrow(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    every_n_bytes: int = 64,
+) -> DataFrame:
+    """Arrow-native (`mapInArrow`) variant of the fake-path frame
+    sampler: operates on `pyarrow.RecordBatch` directly, so the binary
+    payloads never round-trip through pandas object arrays — for
+    media-sized blobs the pandas conversion materializes a Python
+    bytes object per row, while Arrow slices the shared value buffer.
+    At 100 TB of video this is the difference between a copy per row
+    and zero-copy batch slicing; the pandas variant
+    (sample_video_frames) stays the readable reference and the two are
+    row-identical (tests/test_multimodal.py)."""
+
+    schema = f"{id_col} long, frame_no int, frame binary"
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            bufs = batch.column(batch.schema.get_field_index(content_col))
+            out_id, out_no, out_fr = [], [], []
+            for mid, buf in zip(ids, bufs):
+                b = buf.as_py()  # one slice of the Arrow value buffer
+                for i in range(0, len(b), every_n_bytes):
+                    out_id.append(mid.as_py())
+                    out_no.append(i // every_n_bytes)
+                    out_fr.append(b[i : i + every_n_bytes])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_no, pa.int32()),
+                    pa.array(out_fr, pa.binary()),
+                ],
+                names=[id_col, "frame_no", "frame"],
+            )
+
+    return df.select(id_col, content_col).mapInArrow(kernel, schema=schema)
+
+
 def resize_images(
     df: DataFrame,
     target_h: int,

@@ -198,6 +198,22 @@ def test_sample_video_frames_fake_path(media):
     assert [r["frame_no"] for r in got] == [0, 1, 2, 3]
 
 
+def test_arrow_frame_sampler_matches_pandas_kernel(spark, media):
+    """mapInArrow and mapInPandas frame samplers are row-identical —
+    the Arrow variant just skips the per-row pandas bytes
+    materialization (the copy that matters at media scale)."""
+    from finanalyzer_spark.operators.multimodal import (
+        sample_video_frames,
+        sample_video_frames_arrow,
+    )
+
+    via_pandas = sample_video_frames(media, fake=True, every_n_bytes=16)
+    via_arrow = sample_video_frames_arrow(media, every_n_bytes=16)
+    assert via_arrow.count() == via_pandas.count() > 0
+    assert via_arrow.exceptAll(via_pandas).count() == 0
+    assert via_pandas.exceptAll(via_arrow).count() == 0
+
+
 def test_demux_y4m_real_frames(spark):
     """The y4m demuxer walks header + FRAME markers and recovers exact
     plane bytes for C420 and mono; the Spark kernel routes y4m
