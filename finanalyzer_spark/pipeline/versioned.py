@@ -201,7 +201,14 @@ class VersionedTable:
         without rescanning the world."""
         from pyspark.sql import functions as F
 
-        new = self.read(to_version)
+        resolved_to = self.current_version() if to_version is None else to_version
+        if from_version > resolved_to:
+            raise ValueError(
+                f"from_version={from_version} is newer than "
+                f"to_version={resolved_to}; a reversed range would silently "
+                "swap insert/delete semantics"
+            )
+        new = self.read(resolved_to)
         old = (
             self.read(from_version)
             if from_version > 0

@@ -122,7 +122,9 @@ class FeedStreamReader(DataSourceStreamReader):
             raise ValueError("fake_feed requires options 'start' and 'end'")
         self.start = dt.date.fromisoformat(start)
         self.end = dt.date.fromisoformat(end)
-        self.days_per_batch = int(options.get("days_per_batch", "1"))
+        # clamp: 0/negative would pin latestOffset forever (a stream
+        # that never makes progress and never finishes)
+        self.days_per_batch = max(1, int(options.get("days_per_batch", "1")))
         self._cursor: dt.date | None = None
 
     def _bump(self, day: dt.date) -> None:

@@ -120,6 +120,9 @@ def test_changes_between_snapshots_cdf(spark, tmp_path):
     all_ins = t.changes(["k"], from_version=0, to_version=1)
     assert {r["_change_type"] for r in all_ins.collect()} == {"insert"}
     assert all_ins.count() == 3
+    # reversed range is an error, not silently-swapped semantics
+    with pytest.raises(ValueError, match="reversed"):
+        t.changes(["k"], from_version=2, to_version=1)
 
 
 def test_cdf_maintains_derived_aggregate_incrementally(spark, tmp_path):
