@@ -42,7 +42,12 @@ RETENTION_DAYS = 3650  # findatabase.py:50: 365 * years
 
 
 class FinStore:
-    """Parquet-backed store for the three reference tables."""
+    """Parquet-backed store for the three reference tables.
+
+    The storage seam of the whole pipeline: every job goes through
+    read / write / overwrite_atomic / merge / merge_sink, so swapping
+    the backend (VersionedFinStore below; Delta in production) is a
+    constructor change, never a job change."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -68,6 +73,80 @@ class FinStore:
         """Stage-and-swap overwrite — safe even when `df` reads the
         same table (see pipeline.merge; Delta backend drop-in seam)."""
         overwrite_atomic(df, self.path(table))
+
+    def merge(
+        self,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+        order_by: list | None = None,
+        retain=None,
+    ) -> DataFrame:
+        """Keyed upsert into `table` (pipeline.merge.merge_into
+        semantics). Returns the post-merge table."""
+        return merge_into(
+            self.spark, self.path(table), source, keys,
+            order_by=order_by, retain=retain,
+        )
+
+    def merge_sink(self, table: str, keys: list[str]):
+        """foreachBatch writer performing the idempotent keyed merge
+        per micro-batch — the streaming face of merge()."""
+        from ..streaming.events import foreach_batch_merge
+
+        return foreach_batch_merge(self.path(table), keys)
+
+
+class VersionedFinStore(FinStore):
+    """FinStore on the MVCC snapshot store: every overwrite/merge is a
+    snapshot commit, so pipeline readers are never disturbed by a
+    concurrent refresh, any pre-refresh state is time-travelable until
+    vacuum, and the streaming sink is transactionally idempotent by
+    epoch. Same jobs, same tests — only the backend differs (the
+    promise the Delta seam makes, demonstrated end to end)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        from .versioned import VersionedTable
+
+        self._tables: dict[str, VersionedTable] = {}
+        self._VersionedTable = VersionedTable
+
+    def table(self, name: str):
+        if name not in self._tables:
+            self._tables[name] = self._VersionedTable(
+                self.spark, self.path(name)
+            )
+        return self._tables[name]
+
+    def exists(self, table: str) -> bool:
+        return self.table(table).current_version() > 0
+
+    def read(self, table: str) -> DataFrame:
+        return self.table(table).read()
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        self.table(table).commit(df)
+
+    def overwrite_atomic(self, df: DataFrame, table: str) -> None:
+        self.table(table).commit(df)
+
+    def merge(
+        self,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+        order_by: list | None = None,
+        retain=None,
+    ) -> DataFrame:
+        t = self.table(table)
+        t.merge(source, keys, order_by=order_by, retain=retain)
+        return t.read()
+
+    def merge_sink(self, table: str, keys: list[str]):
+        from ..streaming.events import foreach_batch_versioned_merge
+
+        return foreach_batch_versioned_merge(self.table(table), keys)
 
 
 def bootstrap_registry(store: FinStore, tickers_csv: str) -> DataFrame:
@@ -178,9 +257,8 @@ def update_history(
     # call is MERGE INTO + DELETE WHERE, metadata-only.
     if not store.exists("history"):
         incoming = history.unionByName(incoming)  # preserve declared schema
-    return merge_into(
-        store.spark,
-        store.path("history"),
+    return store.merge(
+        "history",
         incoming,
         ["names_id", "date_value"],
         order_by=[F.col("date_added").desc(), F.col("close").desc()],
@@ -213,7 +291,6 @@ def stream_update_history(
     `date_added` is the ingest day (= `end`, 'today' at stream setup),
     matching the batch job's bookkeeping column."""
     from ..sources.feed_datasource import FeedDataSource
-    from ..streaming.events import foreach_batch_merge
 
     try:
         store.spark.dataSource.register(FeedDataSource)
@@ -241,7 +318,7 @@ def stream_update_history(
         "close",
     )
     writer = incoming.writeStream.foreachBatch(
-        foreach_batch_merge(store.path("history"), ["names_id", "date_value"])
+        store.merge_sink("history", ["names_id", "date_value"])
     ).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -321,12 +398,7 @@ def update_fundamentals(
     # same merge seam as update_history: keyed upsert, arbitrary
     # within-batch survivor (reference redundancy.sql semantics —
     # the stale anti-join guarantees no key overlap with the base)
-    return merge_into(
-        store.spark,
-        store.path("fundamentals"),
-        incoming,
-        ["names_id", "date_value"],
-    )
+    return store.merge("fundamentals", incoming, ["names_id", "date_value"])
 
 
 def latest_fundamentals_asof(

@@ -126,6 +126,39 @@ def test_stream_update_history_matches_batch(spark, store, tickers_csv, tmp_path
     )
 
 
+def test_full_lifecycle_on_versioned_store_matches_plain(
+    spark, tickers_csv, tmp_path
+):
+    """The same jobs on the MVCC backend (VersionedFinStore) land the
+    same rows as on plain parquet — the storage seam really is
+    swappable — and add what MVCC promises: the pre-refresh history
+    stays time-travelable after an incremental update."""
+    from finanalyzer_spark.pipeline.finjobs import VersionedFinStore
+
+    plain = FinStore(spark, str(tmp_path / "plain"))
+    mvcc = VersionedFinStore(spark, str(tmp_path / "mvcc"))
+    feed = FakeFeed()
+    for s in (plain, mvcc):
+        bootstrap_registry(s, tickers_csv)
+        update_history(s, TODAY, feed)
+    # day+2 incremental on both
+    h_plain = update_history(plain, TODAY + dt.timedelta(days=2), feed)
+    h_mvcc = update_history(mvcc, TODAY + dt.timedelta(days=2), feed)
+    assert h_mvcc.count() == h_plain.count()
+    assert h_mvcc.exceptAll(h_plain).count() == 0
+    assert h_plain.exceptAll(h_mvcc).count() == 0
+
+    # MVCC extras: the pre-update snapshot is still readable, and the
+    # incremental added exactly 2 days x 3 tickers
+    hist_table = mvcc.table("history")
+    assert hist_table.current_version() == 2
+    pre = hist_table.read(version=1)
+    assert h_mvcc.count() - pre.count() == 2 * 3
+    # change feed across the refresh: only inserts (new days)
+    cdf = hist_table.changes(["names_id", "date_value"], 1, 2)
+    assert {r["_change_type"] for r in cdf.collect()} == {"insert"}
+
+
 def test_update_history_freshness_tolerance_yesterday(store, tickers_csv):
     """Reference skips refresh when last date is today OR yesterday
     (findatabase.py:217) — so a day-after rerun right after a full load
