@@ -389,3 +389,106 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("n_new"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): k-means partition, within-cluster prune
+# --------------------------------------------------------------------------
+#: cluster count / dim shared with the kmeans trainer; cosine threshold
+#: shared with the LSH near-dup band (plans/similarity.py)
+SEM_K, SEM_DIM, SEM_TAU = 4, 64, 0.40
+
+
+def _semantic_dedup_oracle(k: int = SEM_K, dim: int = SEM_DIM) -> str:
+    """DuckDB twin: identical centroid literals and distance algebra as
+    the kmeans oracle (plans/clustering.py), identical round-5 cosine
+    threshold, identical keep-lowest-id survivor rule."""
+    from ..operators.clustering import kmeans_centroids
+
+    cents = kmeans_centroids(k, dim)
+    d_cols = ",\n               ".join(
+        f"round(vv - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]) + {sum(x * x for x in c)!r}, 5) AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    least = f"least({', '.join(f'd{i}' for i in range(k))})"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(k - 1))
+        + f" ELSE {k - 1} END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    a AS (SELECT vec_id, v,
+               {d_cols}
+          FROM d),
+    m AS (SELECT vec_id, v, {case} AS cluster FROM a),
+    p AS (SELECT x.cluster AS cluster, y.vec_id AS dup_id
+          FROM m x JOIN m y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.v, y.v), 5) > {SEM_TAU}),
+    drops AS (SELECT cluster, count(DISTINCT dup_id) AS n_dropped
+              FROM p GROUP BY cluster),
+    sizes AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster)
+    SELECT s.cluster,
+           s.n_members,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           s.n_members - coalesce(d.n_dropped, 0) AS n_kept
+    FROM sizes s LEFT JOIN drops d USING (cluster)
+    """
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "similarity", "clustering", "scale-path"),
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space with a k-means
+    codebook (literal centroids — the trainer is
+    operators/clustering.fit_kmeans), then prune near-duplicates ONLY
+    within each cluster: a vector is dropped when a lower-id member of
+    its own cluster has cosine above the threshold.  Returns per-cluster
+    members / dropped / kept counts.
+
+    Scale shape: assignment is a narrow codegen map fused into the scan
+    (no broadcast — the k x dim codebook folds into literals); the
+    pairwise compare is an equi-join ON CLUSTER, so candidate pairs are
+    bounded per-cluster instead of corpus-global — the same
+    bucket-bounding idea as the LSH band join, with cluster granularity
+    controlled by k (at 100 TB: k ~ corpus/10k so each cluster's pair
+    block fits an executor; degenerate clusters are guarded the same
+    way as BUCKET_CAP in minhash_lsh_pairs)."""
+    from ..operators.clustering import (
+        assign_cluster_col,
+        kmeans_centroids,
+        sq_dist_cols,
+    )
+    from ..operators.similarity import cosine_col
+
+    t = load(spark, sf_dir)
+    cents = kmeans_centroids(SEM_K, SEM_DIM)
+    dists = sq_dist_cols("embedding", cents)
+    m = t.embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        assign_cluster_col(dists).alias("cluster"),
+    )
+    x = m.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    y = m.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    drops = (
+        x.join(y, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_col(F.col("va"), F.col("vb")), 5) > SEM_TAU)
+        .groupBy("cluster")
+        .agg(F.count_distinct("id_b").alias("n_dropped"))
+    )
+    sizes = m.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return sizes.join(drops, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+    )

@@ -755,3 +755,67 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_src d, LATERAL chunk_document(d.text, {CHUNK_TOKENS}) c
         """
     )
+
+
+# --------------------------------------------------------------------------
+# BPE trainer step: weighted adjacent-symbol pair counts over the word table
+# --------------------------------------------------------------------------
+#: merge candidates reported per step
+BPE_TOP = 10
+
+_BPE_ORACLE = f"""
+WITH w AS (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+),
+wf AS (
+    SELECT w, count(*) AS f FROM w WHERE length(w) >= 2 GROUP BY w
+),
+p AS (
+    SELECT f,
+           unnest(list_transform(range(1, length(w)),
+                  i -> w[i:i] || ' ' || w[i+1:i+1])) AS pair
+    FROM wf
+),
+agg AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY pair)
+SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
+"""
+
+
+@query("bpe_top_merges", oracle=_BPE_ORACLE, tags=("text", "tokenizer", "scale-path"))
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE trainer iteration (Sennrich et al. 2016): count adjacent
+    symbol pairs weighted by word frequency and surface the top merge
+    candidates — the inner loop of byte-pair-encoding vocabulary
+    training, run over the word-frequency table rather than raw text.
+
+    Scale shape: the corpus collapses to the word table FIRST (one
+    groupBy — at 100 TB the distinct-word table is orders of magnitude
+    smaller than the corpus), pair expansion is a codegen
+    transform+explode over that table (substring slicing, no UDF, no
+    split-on-empty-regex edge cases), and the pair count is a second
+    map-side-combined groupBy.  Iterating replaces the merged pair in
+    the symbol sequences and repeats; each step is two shuffles of
+    shrinking cardinality.  Top-k is a bounded TakeOrdered, never a
+    global sort."""
+    t = load(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP)
+    )
