@@ -578,3 +578,74 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("*") * 1.0 / F.max("n_users"), 6).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interval overlap: sweep-line peak concurrency per event type
+# --------------------------------------------------------------------------
+_CONCURRENT_ORACLE = """
+WITH iv AS (
+    SELECT event_type, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+    FROM events
+),
+pts AS (
+    SELECT event_type, s AS t, 1 AS delta FROM iv
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS delta FROM iv
+),
+run AS (
+    SELECT event_type,
+           sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                            ROWS UNBOUNDED PRECEDING) AS n_open
+    FROM pts
+)
+SELECT event_type,
+       CAST(max(n_open) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_events
+FROM run
+GROUP BY event_type
+"""
+
+
+@query(
+    "concurrent_events_peak",
+    oracle=_CONCURRENT_ORACLE,
+    tags=("events", "window", "interval"),
+)
+def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type via the classic
+    sweep-line: each event opens an interval [ts, ts + value minutes);
+    +1/-1 deltas at the endpoints, one ordered running sum, max per
+    type.  (The room-occupancy / connection-pool shape — an overlap
+    COUNT without an interval self-join.)
+
+    Scale shape: the naive formulation is an O(n^2) range self-join;
+    the sweep is a UNION (narrow), ONE shuffle on event_type, and a
+    single sort-based window — linear in events and embarrassingly
+    partitionable because concurrency never crosses the partition key.
+    End events sort BEFORE starts at the same instant (delta ASC), so
+    intervals are half-open and a back-to-back handoff never counts as
+    an overlap; micros arithmetic with explicit floor() keeps both
+    engines on identical integers.  unix_micros requires TIMESTAMP —
+    the session tz is pinned UTC so the NTZ->LTZ cast is the epoch
+    identity (same convention as sessionize_events)."""
+    t = load(spark, sf_dir)
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    end = micros + F.floor(F.col("value") * F.lit(60_000_000)).cast("long")
+    iv = t.events.select("event_type", micros.alias("s"), end.alias("e"))
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("n_open"))
+    return run.groupBy("event_type").agg(
+        F.max("n_open").cast("long").alias("peak_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_events"),
+    )

@@ -455,3 +455,104 @@ def grouped_agg_median_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_udf(F.col("l_discount")).alias("n"),
         median_udf(F.col("l_discount")).alias("median_disc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Closed-form 2-feature PCA: eigendecomposition as SQL, no driver math
+# --------------------------------------------------------------------------
+_PCA2_ORACLE = """
+WITH s AS (
+    SELECT avg(l_quantity)                     AS mx,
+           avg(l_extendedprice)                AS my,
+           var_pop(l_quantity)                 AS cxx,
+           var_pop(l_extendedprice)            AS cyy,
+           covar_pop(l_quantity, l_extendedprice) AS cxy
+    FROM lineitem
+),
+e AS (
+    SELECT *,
+           (cxx + cyy + sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy)) / 2
+               AS lam1,
+           (cxx + cyy - sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy)) / 2
+               AS lam2
+    FROM s
+),
+v AS (
+    SELECT *,
+           cxy / sqrt(cxy * cxy + (lam1 - cxx) * (lam1 - cxx))          AS v1x,
+           (lam1 - cxx) / sqrt(cxy * cxy + (lam1 - cxx) * (lam1 - cxx)) AS v1y
+    FROM e
+),
+p AS (
+    SELECT l.l_returnflag,
+           (l.l_quantity - v.mx) * v.v1x + (l.l_extendedprice - v.my) * v.v1y
+               AS pc1,
+           v.lam1 / (v.lam1 + v.lam2) AS ratio
+    FROM lineitem l CROSS JOIN v
+)
+SELECT l_returnflag,
+       count(*) AS n,
+       round(avg(pc1), 4) + 0.0 AS mean_pc1,
+       round(stddev_samp(pc1), 2) + 0.0 AS std_pc1,
+       round(any_value(ratio), 6) + 0.0 AS var_explained
+FROM p
+GROUP BY l_returnflag
+"""
+
+
+@query("pca2_price_qty", oracle=_PCA2_ORACLE, tags=("ml", "features", "scale-path"))
+def pca2_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-feature PCA with the eigendecomposition in closed form
+    (2x2 covariance: lambda = (tr +- sqrt(tr^2 - 4 det))/2), entirely
+    inside the SQL engine — per-returnflag distribution of the first
+    principal component plus the explained-variance ratio.
+
+    Scale shape: pass 1 is one scalar aggregate (5 moments, map-side
+    combined); the eigenvector algebra runs on that single row; pass 2
+    re-scans lineitem and projects via a broadcast (1-row) cross join —
+    no driver-side math, no collect, no iteration.  This is the
+    degenerate-k case of the general pattern 'moment aggregate ->
+    tiny-matrix factorization -> fold constants into the projection
+    map' that nystroem_features uses with precomputed landmarks
+    (ml/features.py)."""
+    t = load(spark, sf_dir)
+    li = t.lineitem
+    s = li.agg(
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.var_pop("l_quantity").alias("cxx"),
+        F.var_pop("l_extendedprice").alias("cyy"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("cxy"),
+    )
+    disc = F.sqrt(
+        (F.col("cxx") - F.col("cyy")) * (F.col("cxx") - F.col("cyy"))
+        + 4 * F.col("cxy") * F.col("cxy")
+    )
+    e = s.select(
+        "*",
+        ((F.col("cxx") + F.col("cyy") + disc) / 2).alias("lam1"),
+        ((F.col("cxx") + F.col("cyy") - disc) / 2).alias("lam2"),
+    )
+    nrm = F.sqrt(
+        F.col("cxy") * F.col("cxy")
+        + (F.col("lam1") - F.col("cxx")) * (F.col("lam1") - F.col("cxx"))
+    )
+    v = e.select(
+        "*",
+        (F.col("cxy") / nrm).alias("v1x"),
+        ((F.col("lam1") - F.col("cxx")) / nrm).alias("v1y"),
+    )
+    pc1 = (F.col("l_quantity") - F.col("mx")) * F.col("v1x") + (
+        F.col("l_extendedprice") - F.col("my")
+    ) * F.col("v1y")
+    p = li.crossJoin(F.broadcast(v)).select(
+        "l_returnflag",
+        pc1.alias("pc1"),
+        (F.col("lam1") / (F.col("lam1") + F.col("lam2"))).alias("ratio"),
+    )
+    return p.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg("pc1"), 4) + 0.0).alias("mean_pc1"),
+        (F.round(F.stddev_samp("pc1"), 2) + 0.0).alias("std_pc1"),
+        (F.round(F.any_value("ratio"), 6) + 0.0).alias("var_explained"),
+    )

@@ -680,3 +680,94 @@ def ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit") * 1.0 / k, 6).alias(f"recall_at_{k}"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 4), norm-preservation check
+# --------------------------------------------------------------------------
+_JL_K, _JL_SEED = 4, 7
+
+
+def _jl_mat() -> list[list[float]]:
+    """Seeded Gaussian projection rows with the 1/sqrt(k) JL scale
+    folded in — identical literals on both engines."""
+    k = _JL_K
+    return [
+        [x / k**0.5 for x in row]
+        for row in lsh_planes(num_planes=k, dim=64, seed=_JL_SEED)
+    ]
+
+
+def _jl_oracle() -> str:
+    rows = _jl_mat()
+    projs = ",\n           ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in r)}]) AS p{i}"
+        for i, r in enumerate(rows)
+    )
+    sq = " + ".join(f"p{i} * p{i}" for i in range(_JL_K))
+    return f"""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT label, list_dot_product(v, v) AS vv,
+           {projs}
+          FROM e)
+    SELECT label,
+           count(*) AS n,
+           round(avg(({sq}) / vv), 4) + 0.0 AS norm_ratio,
+           round(avg(p0), 5) + 0.0 AS mean_p0,
+           round(avg(p1), 5) + 0.0 AS mean_p1
+    FROM p
+    GROUP BY label
+    """
+
+
+@query(
+    "random_projection_features",
+    oracle=_jl_oracle(),
+    tags=("similarity", "ml", "features", "scale-path"),
+)
+def random_projection_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 4 (seeded Gaussian
+    rows, 1/sqrt(k) scale) with the norm-preservation ratio E[||Rv||^2 /
+    ||v||^2] ~= 1 reported per label — the standard cheap dimensionality
+    reduction in front of clustering / dedup at corpus scale.
+
+    Scale shape: the projection matrix folds into column literals (like
+    the LSH planes and IVF centroids), so the whole map is one narrow
+    codegen pass over the scan — zero shuffle, zero broadcast, zero
+    Python; only the final per-label aggregate exchanges data.  At
+    100 TB the k x 64 doubles never leave the plan."""
+    t = load(spark, sf_dir)
+    rows = _jl_mat()
+
+    def dot_lit(r: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in r]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    vv = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = t.embeddings.select(
+        "label",
+        vv.alias("vv"),
+        *[dot_lit(r).alias(f"p{i}") for i, r in enumerate(rows)],
+    )
+    sq = sum(F.col(f"p{i}") * F.col(f"p{i}") for i in range(_JL_K))
+    return p.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg(sq / F.col("vv")), 4) + 0.0).alias("norm_ratio"),
+        (F.round(F.avg("p0"), 5) + 0.0).alias("mean_p0"),
+        (F.round(F.avg("p1"), 5) + 0.0).alias("mean_p1"),
+    )
