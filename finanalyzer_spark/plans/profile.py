@@ -152,3 +152,43 @@ def table_profile_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fk_orphan_count") == 0).alias("pass"),
     )
     return rows.unionByName(orphan_row)
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters: Misra-Gries candidates + exact recount
+# --------------------------------------------------------------------------
+HH_SUPPORT = 0.2
+
+_HH_ORACLE = f"""
+WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+n AS (SELECT count(*) AS total FROM events)
+SELECT c.event_type, c.cnt
+FROM c CROSS JOIN n
+WHERE c.cnt > {HH_SUPPORT} * n.total
+"""
+
+
+@query(
+    "heavy_hitters_exact",
+    oracle=_HH_ORACLE,
+    tags=("aggregate", "sketch", "profile", "scale-path"),
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event types with frequency > 20%, found the bounded-memory way:
+    per-partition Misra-Gries summaries (operators/heavy.py) generate a
+    provably complete candidate set with O(1/support) state and NO
+    shuffle, then only candidates are recounted exactly behind a
+    broadcast semi-join.  The result is exact — the sketch bounds the
+    candidate set, never the reported counts — so a plain GROUP BY twin
+    checks it.
+
+    Scale shape: a full groupBy on a hot-key column shuffles every
+    distinct key; this shuffles only candidate rows after the semi-join
+    filter.  At 100 TB with billions of distinct keys and support 1e-4,
+    pass-1 state is 20k counters per task and the recount aggregates
+    ~1/support keys — the standard hot-key detector in front of
+    operators/skew.salted_join."""
+    from ..operators.heavy import heavy_hitters
+
+    t = load(spark, sf_dir)
+    return heavy_hitters(t.events, "event_type", support=HH_SUPPORT)
