@@ -173,3 +173,63 @@ def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group deterministic k-sample (distributed reservoir equivalent)
+# --------------------------------------------------------------------------
+_GK = 5
+
+
+@query(
+    "per_group_hash_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id, n_chars,
+               md5('gk' || doc_id::VARCHAR) AS hk
+        FROM documents
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY hk, doc_id
+        ) AS rn
+        FROM h
+    )
+    SELECT source,
+           count(*) AS n_sampled,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(doc_id) AS min_doc_id
+    FROM r WHERE rn <= {_GK}
+    GROUP BY source
+    """,
+    tags=("sampling", "scale-path"),
+)
+def per_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sample, deterministic and re-runnable: order
+    each group by a salted content hash (a uniform permutation) and
+    keep the first k — the distributed equivalent of per-group
+    reservoir sampling, with identical selections on every rerun /
+    backfill because the 'randomness' is the hash, not an RNG.
+
+    Scale shape: one hash-partitioned window per group key (no global
+    sort, no collect); groups process independently so the operator
+    scales with the widest group, and a skewed group can be pre-capped
+    with the same two-stage trick as salted_collect_list.  This is how
+    eval/holdout subsets get pinned from a 100 TB corpus without a
+    seed-coordination problem across executors."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    h = t.documents.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("gk"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    w = W.partitionBy("source").orderBy("hk", "doc_id")
+    r = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _GK)
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -490,3 +490,106 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev > 0, F.round((F.col("revenue") - prev) / prev, 6) + 0.0
         ).alias("growth_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext — linear interpolation gap fill: forward + backward anchors in one
+# pass, exact time-weighted blend between them
+# --------------------------------------------------------------------------
+@query(
+    "linear_interpolate_prices",
+    oracle="""
+    WITH m AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               (l_shipdate::DATE - DATE '1970-01-01') AS d,
+               CASE WHEN l_quantity < 10 THEN NULL ELSE l_extendedprice END AS px
+        FROM lineitem
+    ),
+    a AS (
+        SELECT *,
+           last_value(px IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN px IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wb AS pd,
+           first_value(px IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN px IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wf AS nd
+        FROM m
+        WINDOW
+          wb AS (PARTITION BY l_suppkey
+                 ORDER BY d, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY l_suppkey
+                 ORDER BY d, l_orderkey, l_linenumber
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           -- floor-based half-up: bit-identical across engines (native
+           -- round() disagrees in the last cent when x*100 straddles .5)
+           floor(CASE
+               WHEN px IS NOT NULL THEN px
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               WHEN nd = pd THEN pv
+               ELSE pv + (nv - pv) * (d - pd) / (nd - pd)
+           END * 100 + 0.5) / 100 AS px_interp
+    FROM a
+    """,
+    tags=("window", "gap-fill", "interpolate"),
+)
+def linear_interpolate_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (time-weighted) interpolation of masked prices: the
+    nearest non-null anchor on each side comes from ONE backward and
+    ONE forward ignore-nulls window over the same sort, then the blend
+    is a narrow arithmetic map — pandas' ``interpolate(method='time')``
+    as two window passes, never a self-join.
+
+    Scale shape: Catalyst reuses a single shuffle+sort per frame
+    direction within one window spec pair on identical partition/order
+    keys; cost is two sorts of the partition, not O(gap) probing.
+    Edge rows fall back to the available side (leading gap -> backfill,
+    trailing gap -> forward fill), matching pandas' limit_direction=
+    'both'."""
+    t = load(spark, sf_dir)
+    d = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    px = F.when(F.col("l_quantity") < 10, None).otherwise(F.col("l_extendedprice"))
+    m = t.lineitem.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", d.alias("d"), px.alias("px")
+    )
+    order = [F.col("d"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wb = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_d = F.when(F.col("px").isNotNull(), F.col("d"))
+    a = m.select(
+        "*",
+        F.last("px", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(wb).alias("pd"),
+        F.first("px", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("px").isNotNull(), F.col("px"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nd") == F.col("pd"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("d") - F.col("pd"))
+            / (F.col("nd") - F.col("pd"))
+        )
+    )
+    return a.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        # floor-based half-up rounding — same doubles as the oracle
+        (F.floor(interp * 100 + 0.5) / 100).alias("px_interp"),
+    )
