@@ -181,6 +181,42 @@ class VersionedTable:
             self._record_txn(txn_id)
         return version
 
+    def delete_where(
+        self,
+        condition,
+        txn_id: int | None = None,
+        purge: bool = False,
+    ) -> int:
+        """Targeted row deletion (the GDPR right-to-erasure shape) as a
+        snapshot commit: rows where `condition` is TRUE are dropped,
+        everything else is rewritten unchanged. Returns the committed
+        version. Standard SQL DELETE null-semantics: rows where the
+        predicate evaluates to NULL are KEPT.
+
+        Deletion by commit means prior snapshots STILL CONTAIN the
+        rows — time travel and the CDF ('delete' change rows) keep the
+        erasure auditable, but actual forgetting requires dropping the
+        retention window: `purge=True` runs ``vacuum(keep_last=1)``
+        after the commit so no retained snapshot holds the deleted
+        rows (Delta has the same two-step contract: DELETE then VACUUM
+        inside the compliance window).
+
+        `txn_id` gives redelivered delete requests the same
+        exactly-once skip as `merge`."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        if txn_id is not None and txn_id <= self.last_txn():
+            return self.current_version()
+        cond = condition if isinstance(condition, Column) else F.expr(condition)
+        kept = self.read().where(~F.coalesce(cond, F.lit(False)))
+        version = self.commit(kept)
+        if txn_id is not None:
+            self._record_txn(txn_id)
+        if purge:
+            self.vacuum(keep_last=1)
+        return version
+
     def changes(
         self,
         keys: list[str],

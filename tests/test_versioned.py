@@ -334,3 +334,47 @@ def test_crashed_commit_leftover_is_invisible_and_reclaimed(spark, tmp_path):
     assert {r["x"] for r in t.read().collect()} == {2}
     assert {r["x"] for r in t.read(version=2).collect()} == {2}  # never 666
     assert t.versions() == [1, 2]
+
+
+def test_delete_where_erasure_and_audit(spark, tmp_path):
+    """Right-to-erasure: delete commits a new snapshot, the CDF shows
+    auditable 'delete' rows, prior snapshots still hold the data until
+    purge drops the retention window."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    rows = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "uid long, name string"
+    )
+    t.commit(rows)
+    v = t.delete_where(F.col("uid") == 2)
+    assert v == 2
+    assert {r["uid"] for r in t.read().collect()} == {1, 3}
+    # audit trail: CDF records the deletion; time travel still sees bob
+    cdf = t.changes(["uid"], from_version=1).collect()
+    assert {(r["uid"], r["_change_type"]) for r in cdf} == {(2, "delete")}
+    assert {r["uid"] for r in t.read(version=1).collect()} == {1, 2, 3}
+    # purge completes the forgetting: no retained snapshot has uid=2
+    t.delete_where(F.lit(False), purge=True)
+    assert t.versions() == [t.current_version()]
+    assert {r["uid"] for r in t.read().collect()} == {1, 3}
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: NULL-valued predicates do not delete."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, 50)], "uid long, score int"
+        )
+    )
+    t.delete_where("score > 10")
+    assert {r["uid"] for r in t.read().collect()} == {1, 2}
+
+
+def test_delete_where_txn_idempotent(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1,), (2,)], "uid long"))
+    v1 = t.delete_where("uid = 1", txn_id=7)
+    v2 = t.delete_where("uid = 1", txn_id=7)  # redelivery: no new snapshot
+    assert v1 == v2 == t.current_version()
