@@ -36,17 +36,31 @@ def asof_join(
     on: str | Sequence[str],
     ts: str,
     right_tiebreak: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the greatest ``ts`` ≤ left ``ts`` within the same ``on`` key.
+    """As-of join: for each left row, attach one right row by time.
 
-    Ties on the right timestamp are broken by ``right_tiebreak``
-    (ascending → the max tiebreak value wins), making the result
-    deterministic and oracle-checkable.
+    ``direction``:
+
+    * ``"backward"`` (default) — greatest right ``ts`` ≤ left ``ts``;
+      among equal right timestamps the MAX ``right_tiebreak`` wins.
+    * ``"forward"`` — smallest right ``ts`` ≥ left ``ts``; among equal
+      right timestamps the MIN tiebreak wins.
+    * ``"nearest"`` — whichever of the two is closer in time; an exact
+      tie in distance prefers the backward match (pandas
+      ``merge_asof(direction='nearest')`` convention).
+
+    All three run on ONE hash shuffle + per-partition sort: backward
+    and forward are the same ordered window scanned from opposite
+    ends, and nearest evaluates both frames over a single sort (the
+    matched right timestamp rides inside the payload struct, so the
+    distance compare is a narrow map).
 
     ``right``'s non-key, non-ts columns become the payload; left rows
     with no match get NULL payload (left-outer semantics).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in {*keys, ts}]
     left_cols = [c for c in left.columns if c not in {*keys, ts}]
@@ -57,8 +71,15 @@ def asof_join(
         # surfaced: the final select only names real columns)
         return F.struct(*cols) if cols else F.struct(F.lit(0).alias("_dummy"))
 
+    # the matched right timestamp rides as the struct's first field so
+    # `nearest` can compare distances without a second join
+    def _rpay_struct(src: DataFrame) -> F.Column:
+        return F.struct(
+            F.col(ts).alias("_rts"), *[F.col(c) for c in payload_cols]
+        )
+
     lpay_type = left.select(_pay(left_cols).alias("s")).schema["s"].dataType
-    rpay_type = right.select(_pay(payload_cols).alias("s")).schema["s"].dataType
+    rpay_type = right.select(_rpay_struct(right).alias("s")).schema["s"].dataType
 
     l_tagged = left.select(
         *keys,
@@ -76,22 +97,43 @@ def asof_join(
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lpay_type).alias("_lpay"),
-        _pay(payload_cols).alias("_rpay"),
+        _rpay_struct(right).alias("_rpay"),
         *[F.col(c).alias(f"_tb_{c}") for c in right_tiebreak],
     )
 
     unioned = l_tagged.unionByName(r_tagged)
 
-    order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+    # side ordering decides whether an equal-timestamp right row counts:
+    # backward/nearest sort rights first (≤ includes equality in the
+    # backward frame); forward sorts rights after lefts (≥ includes it
+    # in the forward frame).
+    side_order = (
+        F.col("_side").desc() if direction == "forward" else F.col("_side").asc()
+    )
+    order = [F.col("_ts").asc(), side_order] + [
         F.col(f"_tb_{c}").asc_nulls_first() for c in right_tiebreak
     ]
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base = W.partitionBy(*keys).orderBy(*order)
+    wb = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = base.rowsBetween(W.currentRow, W.unboundedFollowing)
 
-    filled = unioned.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+    if direction == "backward":
+        match = F.last("_rpay", ignorenulls=True).over(wb)
+    elif direction == "forward":
+        match = F.first("_rpay", ignorenulls=True).over(wf)
+    else:  # nearest: both frames over ONE sort, closest wins, tie → backward
+        b = F.last("_rpay", ignorenulls=True).over(wb)
+        f = F.first("_rpay", ignorenulls=True).over(wf)
+        match = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(
+                (F.col("_ts") - b["_rts"]) <= (f["_rts"] - F.col("_ts")), b
+            )
+            .otherwise(f)
+        )
+
+    filled = unioned.withColumn("_match", match)
     out = filled.where(F.col("_side") == 1).select(
         *keys,
         F.col("_ts").alias(ts),

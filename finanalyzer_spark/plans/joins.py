@@ -784,3 +784,59 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         F.coalesce(a["k"], F.lit("<null>")).alias("k"), "n_left", "n_right"
     )
+
+
+# --------------------------------------------------------------------------
+# as-of join, nearest direction — "closest order state to each event,
+# either side" (pandas merge_asof(direction='nearest') semantics)
+# --------------------------------------------------------------------------
+@query(
+    "asof_nearest_order",
+    oracle="""
+    SELECT event_id, user_id, near_orderkey, near_totalprice
+    FROM (
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS near_orderkey,
+               o.o_totalprice AS near_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY
+                     abs(epoch_us(e.ts) - epoch_us(o.o_orderdate::TIMESTAMP)),
+                     CASE WHEN o.o_orderdate::TIMESTAMP <= e.ts
+                          THEN 0 ELSE 1 END,
+                     CASE WHEN o.o_orderdate::TIMESTAMP <= e.ts
+                          THEN -o.o_orderkey ELSE o.o_orderkey END
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o ON e.user_id = o.o_custkey
+    )
+    WHERE rn = 1
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators.joins.asof_join,
+    direction='nearest'): both candidate frames come from ONE
+    (key, time)-sorted window pass — the backward match scans up from
+    unbounded-preceding, the forward match down from
+    unbounded-following, and a narrow map picks the closer timestamp
+    (exact tie prefers backward, the merge_asof convention).
+
+    Scale shape: identical to the backward as-of — one hash shuffle on
+    the key, one sort reused by both frames; the oracle's brute
+    left-join + row_number over every (event, order) candidate pair is
+    exactly the O(n*m) plan this operator avoids."""
+    t = load(spark, sf_dir)
+    return asof_join(
+        left=t.events.select("event_id", "user_id", "ts"),
+        right=t.orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+            F.col("o_orderkey").alias("near_orderkey"),
+            F.col("o_totalprice").alias("near_totalprice"),
+        ),
+        on="user_id",
+        ts="ts",
+        right_tiebreak=["near_orderkey"],
+        direction="nearest",
+    ).select("event_id", "user_id", "near_orderkey", "near_totalprice")

@@ -89,11 +89,14 @@ def test_positional_ids_bijective_and_ordered(spark, vals):
         max_size=30,
     ),
 )
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @SLOW
-def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+def test_asof_join_matches_pandas_merge_asof(spark, direction, left, right):
     # dedupe right on (key, ts): merge_asof keeps the LAST among equal
     # ts rows, our asof_join breaks ties by right_tiebreak — align by
     # keeping one row per (k, ts) with max payload on both sides
+    # (dedup also makes the three directions directly comparable:
+    # equal-timestamp tie rules can't differ when there are no ties)
     rpdf = (
         pd.DataFrame(right, columns=["k", "ts", "p"])
         .groupby(["k", "ts"], as_index=False)["p"]
@@ -103,7 +106,9 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     rdf = spark.createDataFrame(rpdf, "k long, ts long, p long")
     got = {
         (r["k"], r["ts"]): r["p"]
-        for r in asof_join(ldf, rdf, on="k", ts="ts").collect()
+        for r in asof_join(
+            ldf, rdf, on="k", ts="ts", direction=direction
+        ).collect()
     }
     lpdf = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
     want_df = pd.merge_asof(
@@ -111,7 +116,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         rpdf.sort_values("ts"),
         on="ts",
         by="k",
-        direction="backward",
+        direction=direction,
     )
     for row in want_df.itertuples(index=False):
         want_p = None if pd.isna(row.p) else int(row.p)
