@@ -445,6 +445,70 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["Generate", "TakeOrderedAndProject"],
         "must_not": ["SortMergeJoin"],
     },
+    "semantic_dedup_clusters": {
+        # centroid assignment is a literal-folded narrow map (no
+        # broadcast of the codebook); the pairwise compare joins ON
+        # CLUSTER (equi-join — never cartesian); the count join-back
+        # broadcasts the k-row drops side
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "bpe_top_merges": {
+        # corpus → word table (one agg), codegen pair explode, second
+        # agg, bounded top-k; no join, no Python
+        "must": ["Generate", "HashAggregate", "TakeOrderedAndProject"],
+        "must_not": ["Join", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "concurrent_events_peak": {
+        # sweep-line: union + ONE keyed window sort + one aggregate —
+        # asserts the O(n^2) interval self-join never sneaks in
+        "must": ["Union", "Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "pca2_price_qty": {
+        # pass 1 collapses to one 5-moment aggregate row; the
+        # projection pass rides a deliberate 1-row broadcast NL join
+        # (the right plan for scalar constants)
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["SortMergeJoin", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "random_projection_features": {
+        # projection matrix folds into literals: narrow map + one
+        # aggregate, nothing else in the plan
+        "must": ["HashAggregate"],
+        "must_not": ["Join", "Window", "Generate",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "heavy_hitters_exact": {
+        # pass-1 Misra-Gries candidates via MapInPandas (bounded,
+        # per-partition); candidates broadcast into a semi-join before
+        # the exact recount — the full-cardinality groupBy never runs
+        "must": ["MapInPandas", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin"],
+    },
+    "per_group_hash_sample": {
+        # rank-limit pushes into the shuffle (WindowGroupLimit): each
+        # group ships only its top-k candidates, not the whole group
+        "must": ["WindowGroupLimit", "Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "linear_interpolate_prices": {
+        # both anchor directions from ONE window sort: exactly one
+        # exchange and one sort in the whole plan
+        "must": ["Window"],
+        "must_not": ["Join", "Generate", "BatchEvalPython",
+                     "ArrowEvalPython"],
+    },
+    "asof_nearest_order": {
+        # nearest = backward + forward frames over a single union sort
+        # — same one-shuffle shape as the backward as-of; the oracle's
+        # brute candidate join must never appear
+        "must": ["Union", "Window"],
+        "must_not": ["Join", "Generate", "BatchEvalPython",
+                     "ArrowEvalPython"],
+    },
 }
 
 
