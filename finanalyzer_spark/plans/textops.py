@@ -819,3 +819,105 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# bigram language-model scoring with add-k smoothing
+# --------------------------------------------------------------------------
+_BG_K = 0.5
+
+_BIGRAM_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, source,
+           string_split_regex(trim(text), '\s+') AS a
+    FROM documents WHERE trim(text) != ''
+),
+p AS (
+    SELECT doc_id, source, a[i] AS w1, a[i] || ' ' || a[i + 1] AS bg
+    FROM (SELECT doc_id, source, a, unnest(range(1, len(a))) AS i FROM t)
+),
+c12 AS (SELECT bg, count(*) AS c FROM p GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS ch FROM p GROUP BY w1),
+v AS (
+    SELECT count(DISTINCT w) AS vocab FROM (
+        SELECT w1 AS w FROM p UNION SELECT split_part(bg, ' ', 2) FROM p
+    )
+),
+per_doc AS (
+    SELECT p.doc_id, p.source,
+           round(avg(ln((c12.c + {_BG_K}) / (c1.ch + {_BG_K} * v.vocab))), 6)
+               AS lp
+    FROM p JOIN c12 USING (bg) JOIN c1 USING (w1), v
+    GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(lp), 6) AS avg_logprob,
+       min(lp) AS min_logprob,
+       max(lp) AS max_logprob
+FROM per_doc
+GROUP BY source
+"""
+
+
+@query("bigram_logprob_score", oracle=_BIGRAM_ORACLE, tags=("text", "lm", "quality"))
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality signal, the order-2 upgrade of
+    unigram_logprob_score: each document scores avg ln P(w2|w1) under a
+    self-trained add-k-smoothed bigram model (k=0.5; history counts are
+    left-context occurrences, so the conditional normalizes over the
+    vocabulary).
+
+    Scale shape: bigrams come straight off the split array with a
+    codegen transform+explode — no window, no posexplode self-join; the
+    model tables are vocabulary-sized and broadcast back onto the pair
+    stream (at 100 TB: top-K bigrams + backoff floor, same contract as
+    the unigram note). Per-doc averages round before the source rollup
+    so both engines aggregate identical doubles."""
+    t = load(spark, sf_dir)
+    a = F.split(F.trim(F.col("text")), r"\s+")
+    pairs_expr = (
+        "CASE WHEN size(a) < 2 THEN "
+        "cast(array() as array<struct<w1 string, bg string>>) "
+        "ELSE transform(sequence(1, size(a) - 1), "
+        "i -> struct(element_at(a, i) AS w1, "
+        "concat(element_at(a, i), ' ', element_at(a, i + 1)) AS bg)) END"
+    )
+    p = (
+        t.documents.where(F.trim(F.col("text")) != "")
+        .select("doc_id", "source", a.alias("a"))
+        .select("doc_id", "source", F.explode(F.expr(pairs_expr)).alias("pr"))
+        .select("doc_id", "source", F.col("pr.w1").alias("w1"),
+                F.col("pr.bg").alias("bg"))
+    )
+    c12 = p.groupBy("bg").agg(F.count("*").alias("c"))
+    c1 = p.groupBy("w1").agg(F.count("*").alias("ch"))
+    v = (
+        p.select(F.col("w1").alias("w"))
+        .union(p.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(2))))
+        .distinct()
+        .agg(F.count("*").alias("vocab"))
+    )
+    per_doc = (
+        p.join(F.broadcast(c12), "bg")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c") + _BG_K)
+                        / (F.col("ch") + _BG_K * F.col("vocab"))
+                    )
+                ),
+                6,
+            ).alias("lp")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.min("lp").alias("min_logprob"),
+        F.max("lp").alias("max_logprob"),
+    )
