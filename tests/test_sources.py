@@ -362,3 +362,66 @@ def test_yfinance_feed_throttle_and_proxy_rotation():
     bare.history("ACME", day, day)
     assert history_proxies[-1] is None
     assert len(sleeps) == 10  # zero wait -> no sleep calls
+
+
+# ---------------------------------------------------------------------------
+# jsonl_manifest sink (Python DataSource WRITE surface)
+# ---------------------------------------------------------------------------
+def test_jsonl_sink_roundtrip_and_append(spark, tmp_path):
+    from finanalyzer_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df.write.format("jsonl_manifest").mode("append").save(path)
+    back = read_manifest(spark, path, schema="id long, s string")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    # append accumulates in the manifest
+    spark.createDataFrame([(3, "c")], "id long, s string").write.format(
+        "jsonl_manifest"
+    ).mode("append").save(path)
+    assert read_manifest(spark, path, schema="id long, s string").count() == 3
+
+
+def test_jsonl_sink_uncommitted_files_invisible(spark, tmp_path):
+    """Manifest-based visibility: a stray part file from a crashed or
+    speculative attempt never reaches readers."""
+    import os
+
+    from finanalyzer_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    path = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.format(
+        "jsonl_manifest"
+    ).mode("append").save(path)
+    # simulate a zombie attempt's leftover file
+    with open(os.path.join(path, "part-deadbeef.jsonl"), "w") as fh:
+        fh.write('{"id": 999, "s": "ghost"}\n')
+    rows = read_manifest(spark, path, schema="id long, s string").collect()
+    assert [(r["id"], r["s"]) for r in rows] == [(1, "a")]
+
+
+def test_jsonl_sink_overwrite_resets_manifest(spark, tmp_path):
+    from finanalyzer_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    path = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.format(
+        "jsonl_manifest"
+    ).mode("append").save(path)
+    spark.createDataFrame([(9, "z")], "id long, s string").write.format(
+        "jsonl_manifest"
+    ).mode("overwrite").save(path)
+    rows = read_manifest(spark, path, schema="id long, s string").collect()
+    assert [(r["id"], r["s"]) for r in rows] == [(9, "z")]
