@@ -49,7 +49,13 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # drop persisted frames between measurements: queries that persist()
+    # intermediates would otherwise accumulate cache across the suite,
+    # and the growing GC pressure shows up as multi-second spikes on
+    # UNRELATED trivial queries (r4: minmax_scale 0.4s → 5.5s)
+    spark.catalog.clearCache()
+    return dt
 
 
 def main() -> None:

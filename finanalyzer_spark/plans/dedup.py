@@ -395,14 +395,19 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic dedup (SemDeDup shape): k-means partition, within-cluster prune
 # --------------------------------------------------------------------------
 #: cluster count / dim shared with the kmeans trainer; cosine threshold
-#: shared with the LSH near-dup band (plans/similarity.py)
-SEM_K, SEM_DIM, SEM_TAU = 4, 64, 0.40
+#: shared with the LSH near-dup band (plans/similarity.py). k=8 (not
+#: the trainer's 4): cluster granularity is the quadratic-cost knob —
+#: per-cluster candidate pairs scale with (n/k)^2, so k grows with the
+#: corpus (see docstring); 16 keeps the fixture's pair block <1M.
+SEM_K, SEM_DIM, SEM_TAU = 16, 64, 0.40
 
 
 def _semantic_dedup_oracle(k: int = SEM_K, dim: int = SEM_DIM) -> str:
     """DuckDB twin: identical centroid literals and distance algebra as
     the kmeans oracle (plans/clustering.py), identical round-5 cosine
-    threshold, identical keep-lowest-id survivor rule."""
+    threshold, identical keep-lowest-id survivor rule. The cosine is
+    dot over PRE-NORMALIZED vectors — same per-element divide-then-fold
+    order as the Spark side, so the doubles agree bitwise."""
     from ..operators.clustering import kmeans_centroids
 
     cents = kmeans_centroids(k, dim)
@@ -420,14 +425,17 @@ def _semantic_dedup_oracle(k: int = SEM_K, dim: int = SEM_DIM) -> str:
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
-    a AS (SELECT vec_id, v,
+    a AS (SELECT vec_id, v, vv,
                {d_cols}
           FROM d),
-    m AS (SELECT vec_id, v, {case} AS cluster FROM a),
+    m AS (SELECT vec_id,
+                 list_transform(v, e -> e / sqrt(vv)) AS vn,
+                 {case} AS cluster
+          FROM a),
     p AS (SELECT x.cluster AS cluster, y.vec_id AS dup_id
           FROM m x JOIN m y
             ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-          WHERE round(list_cosine_similarity(x.v, y.v), 5) > {SEM_TAU}),
+          WHERE round(list_dot_product(x.vn, y.vn), 5) > {SEM_TAU}),
     drops AS (SELECT cluster, count(DISTINCT dup_id) AS n_dropped
               FROM p GROUP BY cluster),
     sizes AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster)
@@ -460,28 +468,51 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-bounding idea as the LSH band join, with cluster granularity
     controlled by k (at 100 TB: k ~ corpus/10k so each cluster's pair
     block fits an executor; degenerate clusters are guarded the same
-    way as BUCKET_CAP in minhash_lsh_pairs)."""
+    way as BUCKET_CAP in minhash_lsh_pairs).  Vectors are L2-normalized
+    ONCE before the pair join, so each candidate pair costs a single
+    dot-product fold instead of dot + two norms — at (n/k)^2 pairs per
+    cluster that third is the dominant term."""
     from ..operators.clustering import (
         assign_cluster_col,
         kmeans_centroids,
         sq_dist_cols,
     )
-    from ..operators.similarity import cosine_col
+    from ..operators.similarity import dot_col, norm_col
 
     t = load(spark, sf_dir)
     cents = kmeans_centroids(SEM_K, SEM_DIM)
     dists = sq_dist_cols("embedding", cents)
-    m = t.embeddings.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        assign_cluster_col(dists).alias("cluster"),
+    # each distance fold and the norm land in their OWN projection
+    # before the argmin CASE references them: with k=16 the inlined form
+    # would expand to k^2 = 256 folds per row and minutes of codegen
+    named = [F.col(f"_d{i}") for i in range(len(dists))]
+    m = (
+        t.embeddings.select(
+            "vec_id",
+            "embedding",
+            norm_col(F.col("embedding")).alias("nrm"),
+            *[d.alias(f"_d{i}") for i, d in enumerate(dists)],
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            assign_cluster_col(named).alias("cluster"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(
+                F.col("embedding"), lambda e: e.cast("double") / F.col("nrm")
+            ).alias("vn"),
+        )
     )
-    x = m.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    y = m.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    x = m.select("cluster", F.col("vec_id").alias("id_a"), F.col("vn").alias("va"))
+    y = m.select("cluster", F.col("vec_id").alias("id_b"), F.col("vn").alias("vb"))
     drops = (
         x.join(y, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_col(F.col("va"), F.col("vb")), 5) > SEM_TAU)
+        .where(F.round(dot_col(F.col("va"), F.col("vb")), 5) > SEM_TAU)
         .groupBy("cluster")
         .agg(F.count_distinct("id_b").alias("n_dropped"))
     )
