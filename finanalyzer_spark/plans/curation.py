@@ -710,3 +710,124 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+_KANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN n < {_KANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(coalesce(sum(CASE WHEN n < {_KANON} THEN n END), 0) AS BIGINT)
+               AS n_risky_rows,
+           min(n) AS min_group_size
+    FROM g
+    """,
+    tags=("curation", "privacy", "profile"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): how many quasi-identifier
+    combinations — here (nation, market segment) — identify fewer than
+    k=5 individuals, and how many rows sit in those re-identifiable
+    groups. The release gate a PII-scrubbed export runs before
+    publication, complementing pii_scrub_stats' content-level redaction
+    with a POPULATION-level disclosure check.
+
+    Scale shape: one map-side-combined groupBy on the quasi-identifier
+    tuple, then a 4-metric scalar aggregate over the (bounded) group
+    table — two shuffles, the second over group counts only."""
+    t = load(spark, sf_dir)
+    g = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    risky = F.col("n") < _KANON
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0)).alias("n_risky_groups"),
+        F.coalesce(
+            F.sum(F.when(risky, F.col("n"))), F.lit(0)
+        ).alias("n_risky_rows"),
+        F.min("n").alias("min_group_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# linear quality-classifier inference (fasttext-filter stand-in)
+# --------------------------------------------------------------------------
+#: literal model weights: (bias, w_len, w_ttr, w_stopish) — a stand-in
+#: for an offline-trained quality model, folded into the plan the same
+#: way the IVF centroids and spline knots are
+_QW = (-1.2, 0.004, 2.1, 1.5)
+_QCUT = 0.5
+
+
+@query(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH f AS (
+        SELECT source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS n_uniq
+        FROM documents WHERE trim(text) != ''
+    ),
+    s AS (
+        SELECT source,
+               1.0 / (1.0 + exp(-({_QW[0]} + {_QW[1]} * n_tok
+                   + {_QW[2]} * (n_uniq * 1.0 / n_tok)
+                   + {_QW[3]} * (CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END))))
+                   AS p
+        FROM f
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN p > {_QCUT} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(avg(p), 6) AS avg_score
+    FROM s
+    GROUP BY source
+    """,
+    tags=("curation", "quality", "ml", "scale-path"),
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-model inference as a narrow codegen map: a linear
+    classifier over cheap text features (token count, type-token
+    ratio, length gate) with sigmoid score and keep-threshold — the
+    fasttext-style quality filter every production corpus pass runs,
+    with the trained weights folded into plan literals exactly like
+    the Nystroem landmarks and IVF centroids.
+
+    Scale shape: zero joins, zero shuffles before the per-source
+    rollup; featurization + inference fuse into the scan. A real model
+    swap-in changes only the literal weights (or, for a nonlinear
+    model, becomes one Arrow-batched kernel with the same plan
+    position)."""
+    t = load(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    f = t.documents.where(F.trim(F.col("text")) != "").select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    z = (
+        F.lit(_QW[0])
+        + F.lit(_QW[1]) * F.col("n_tok")
+        + F.lit(_QW[2]) * (F.col("n_uniq") * 1.0 / F.col("n_tok"))
+        + F.lit(_QW[3]) * F.when(F.col("n_tok") >= 20, 1.0).otherwise(0.0)
+    )
+    s = f.select("source", (1.0 / (1.0 + F.exp(-z))).alias("p"))
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("p") > _QCUT, 1).otherwise(0)).alias("n_kept"),
+        F.round(F.avg("p"), 6).alias("avg_score"),
+    )
