@@ -630,22 +630,9 @@ def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines on identical integers.  unix_micros requires TIMESTAMP —
     the session tz is pinned UTC so the NTZ->LTZ cast is the epoch
     identity (same convention as sessionize_events)."""
+    from ..operators.intervals import sweep_concurrency
+
     t = load(spark, sf_dir)
     micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     end = micros + F.floor(F.col("value") * F.lit(60_000_000)).cast("long")
-    iv = t.events.select("event_type", micros.alias("s"), end.alias("e"))
-    pts = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("t", "delta")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    run = pts.select("event_type", F.sum("delta").over(w).alias("n_open"))
-    return run.groupBy("event_type").agg(
-        F.max("n_open").cast("long").alias("peak_concurrent"),
-        (F.count("*") / 2).cast("long").alias("n_events"),
-    )
+    return sweep_concurrency(t.events, "event_type", micros, end)

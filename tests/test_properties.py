@@ -392,3 +392,62 @@ def test_wav_codec_roundtrip(pcm, rate, channels):
     whole = (len(pcm) // frame_bytes) * frame_bytes
     want = np.frombuffer(pcm[:whole], dtype="<i2").reshape(-1, channels)
     assert np.array_equal(samples, want)
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key
+            st.integers(0, 50),     # start
+            st.integers(0, 20),     # length (0 → empty interval)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SLOW
+def test_sweep_concurrency_matches_bruteforce(spark, ivs):
+    """Sweep-line peak == brute-force max-over-starts count of open
+    half-open intervals, per key."""
+    from finanalyzer_spark.operators.intervals import sweep_concurrency
+
+    df = spark.createDataFrame(
+        [(k, s, s + ln) for k, s, ln in ivs], "k long, s long, e long"
+    )
+    got = {
+        r["k"]: (r["peak_concurrent"], r["n_events"])
+        for r in sweep_concurrency(df, "k", "s", "e").collect()
+    }
+    for key in {k for k, _, _ in ivs}:
+        mine = [(s, s + ln) for k, s, ln in ivs if k == key]
+        # peak occurs at some interval start; [s, e) containment
+        peak = max(
+            sum(1 for s2, e2 in mine if s2 <= t < e2) for t, _ in mine
+        )
+        assert got[key] == (peak, len(mine))
+
+
+@given(
+    stream=st.lists(st.integers(0, 25), min_size=1, max_size=400),
+    support=st.sampled_from([0.1, 0.2, 0.35]),
+)
+@SLOW
+def test_heavy_hitters_property(spark, stream, support):
+    """Exactness + completeness on arbitrary streams: the MG candidate
+    pass may overgenerate but the final rows equal brute force."""
+    from collections import Counter
+
+    from finanalyzer_spark.operators.heavy import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(str(v),) for v in stream], "k string"
+    ).repartition(7)
+    got = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters(df, "k", support=support).collect()
+    }
+    n = len(stream)
+    want = {
+        (str(v), c) for v, c in Counter(stream).items() if c > support * n
+    }
+    assert got == want
