@@ -425,3 +425,63 @@ def test_jsonl_sink_overwrite_resets_manifest(spark, tmp_path):
     ).mode("overwrite").save(path)
     rows = read_manifest(spark, path, schema="id long, s string").collect()
     assert [(r["id"], r["s"]) for r in rows] == [(9, "z")]
+
+
+def test_jsonl_sink_streaming_epochs_exactly_once(spark, tmp_path):
+    """writeStream → jsonl_manifest: per-epoch manifest commits, and a
+    replayed epoch REPLACES its file list instead of duplicating rows."""
+    import json as _json
+    import os
+
+    from finanalyzer_spark.sources.jsonl_sink import (
+        MANIFEST,
+        JsonlSinkDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.parquet(
+        str(src), mode="append"
+    )
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, s string")
+            .parquet(str(src))
+            .writeStream.format("jsonl_manifest")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    got = read_manifest(spark, sink, schema="id long, s string")
+    assert sorted((r["id"], r["s"]) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+    # second availableNow run with no new data: no new epochs, no dupes
+    run()
+    assert read_manifest(spark, sink, schema="id long, s string").count() == 2
+
+    # simulate a redelivered epoch: re-commit batch 0 with a new file
+    # list — the manifest REPLACES epoch 0 (idempotent visibility)
+    with open(os.path.join(sink, MANIFEST)) as fh:
+        doc = _json.load(fh)
+    epoch0 = doc["epochs"]["0"]
+    from pyspark.sql.types import StructType
+
+    schema = spark.createDataFrame([(1, "a")], "id long, s string").schema
+    from finanalyzer_spark.sources.jsonl_sink import JsonlStreamWriter, _FileMsg
+
+    w = JsonlStreamWriter({"path": sink}, schema)
+    w.commit([_FileMsg(filename=f, rows=1) for f in epoch0], batchId=0)
+    with open(os.path.join(sink, MANIFEST)) as fh:
+        doc2 = _json.load(fh)
+    assert doc2["epochs"]["0"] == sorted(epoch0)
+    assert read_manifest(spark, sink, schema="id long, s string").count() == 2
