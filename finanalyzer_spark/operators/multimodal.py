@@ -465,3 +465,54 @@ def sample_video_frames(
             yield pd.DataFrame({id_col: out_id, "frame_no": out_no, "frame": out_fr})
 
     return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)
+
+
+def extract_patches(
+    df: DataFrame,
+    patch: int = 8,
+    grid_h: int = 4,
+    grid_w: int = 4,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """ViT input prep: decode, nearest-neighbor resize to a
+    (grid_h*patch, grid_w*patch) canvas, then split into non-overlapping
+    patch vectors — one output row per patch, raster order, each a flat
+    array<float> of patch*patch*3 values in [0, 1] (exactly the token
+    sequence a vision transformer embeds).
+
+    One image fans out to grid_h*grid_w rows inside the Arrow kernel —
+    the explode happens executor-side in numpy (a reshape/transpose,
+    zero copies of the source beyond the resize), so patch extraction
+    over a 100 TB corpus stays scan-bound and the downstream embedding
+    join can repartition on (id, patch_no) freely."""
+    th, tw = grid_h * patch, grid_w * patch
+    schema = f"{id_col} long, patch_no int, patch array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nos, vecs = [], [], []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                img = (
+                    decode_ppm(b) if b[:2] == b"P6" else decode_image_compressed(b)
+                )
+                h, w, _ = img.shape
+                rows = (np.arange(th) * h) // th
+                cols = (np.arange(tw) * w) // tw
+                canvas = img[rows][:, cols].astype(np.float32) / 255.0
+                # (gh, p, gw, p, 3) -> (gh, gw, p, p, 3) -> (n, p*p*3)
+                patches = (
+                    canvas.reshape(grid_h, patch, grid_w, patch, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(grid_h * grid_w, patch * patch * 3)
+                )
+                for no in range(patches.shape[0]):
+                    ids.append(mid)
+                    nos.append(no)
+                    vecs.append(patches[no])
+            yield pd.DataFrame({id_col: ids, "patch_no": nos, "patch": vecs})
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)

@@ -238,3 +238,54 @@ def test_demux_y4m_real_frames(spark):
     df = spark.createDataFrame([(5, y4m)], "media_id long, content binary")
     rows = sample_video_frames(df, fake=False).orderBy("frame_no").collect()
     assert [(r["frame_no"], bytes(r["frame"])) for r in rows] == [(0, f0), (1, f1)]
+
+
+def test_extract_patches_vit_grid(spark):
+    """Patch extraction: raster order, exact values vs a direct numpy
+    reshape, and perfect reassembly of the resized canvas."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import extract_patches
+
+    rng = np.random.default_rng(11)
+    h, w = 16, 16  # already the canvas size -> resize is identity
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    df = spark.createDataFrame([(7, ppm)], "media_id long, content binary")
+
+    patch, gh, gw = 8, 2, 2
+    rows = extract_patches(df, patch=patch, grid_h=gh, grid_w=gw).collect()
+    assert len(rows) == gh * gw
+    got = {r["patch_no"]: np.array(r["patch"], dtype=np.float32) for r in rows}
+
+    canvas = px.astype(np.float32) / 255.0
+    want = (
+        canvas.reshape(gh, patch, gw, patch, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(gh * gw, patch * patch * 3)
+    )
+    for no in range(gh * gw):
+        assert np.array_equal(got[no], want[no])
+
+    # reassembly: patches stitched back == canvas
+    stitched = (
+        np.stack([got[no] for no in range(gh * gw)])
+        .reshape(gh, gw, patch, patch, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(h, w, 3)
+    )
+    assert np.array_equal(stitched, canvas)
+
+
+def test_extract_patches_resizes_arbitrary_input(spark):
+    """A non-divisible source image lands on the fixed ViT canvas."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import extract_patches
+
+    px = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3)
+    ppm = b"P6\n5 7\n255\n" + px.tobytes()
+    df = spark.createDataFrame([(1, ppm)], "media_id long, content binary")
+    rows = extract_patches(df, patch=4, grid_h=3, grid_w=2).collect()
+    assert len(rows) == 6
+    assert all(len(r["patch"]) == 4 * 4 * 3 for r in rows)
