@@ -636,3 +636,93 @@ def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     end = micros + F.floor(F.col("value") * F.lit(60_000_000)).cast("long")
     return sweep_concurrency(t.events, "event_type", micros, end)
+
+
+# --------------------------------------------------------------------------
+# marketing attribution: last-touch click before each purchase
+# --------------------------------------------------------------------------
+_ATTR_WINDOW_MIN = 7 * 24 * 60  # lookback window, minutes
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT event_id, ts, click_ts FROM (
+            SELECT p.event_id, p.ts, c.click_ts,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.click_ts DESC, c.click_id DESC
+                   ) AS rn
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id AND c.click_ts <= p.ts
+        ) WHERE rn = 1
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN click_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(click_ts)
+                    <= {_ATTR_WINDOW_MIN * 60_000_000} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_attributed,
+           round(avg(CASE WHEN click_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(click_ts)
+                    <= {_ATTR_WINDOW_MIN * 60_000_000}
+                THEN (epoch_us(ts) - epoch_us(click_ts)) / 60000000.0 END), 4)
+               AS avg_delay_min
+    FROM m
+    GROUP BY 1
+    """,
+    tags=("events", "asof", "attribution"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest click
+    by the same user at-or-before it, within a 7-day lookback — the
+    funnels-and-campaigns sibling of sessionization, expressed as the
+    BACKWARD as-of join (operators/joins.asof_join) instead of the
+    oracle's O(purchases x clicks) candidate join + row_number.
+
+    Scale shape: one union + one (user, time) window sort — identical
+    to every other as-of composition; the lookback bound is a narrow
+    post-filter on the matched delay (filtering inside the window
+    would change state size, not the shuffle count)."""
+    from ..operators.joins import asof_join
+
+    t = load(spark, sf_dir)
+    p = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = t.events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    m = asof_join(
+        left=p, right=c.drop("ts").withColumnRenamed("click_ts", "ts")
+        .select("user_id", "ts", "click_id", F.col("ts").alias("click_ts")),
+        on="user_id",
+        ts="ts",
+        right_tiebreak=["click_id"],
+    )
+    delay_us = F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.unix_micros(
+        F.col("click_ts").cast("timestamp_ltz")
+    )
+    in_window = F.col("click_ts").isNotNull() & (
+        delay_us <= _ATTR_WINDOW_MIN * 60_000_000
+    )
+    return m.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.when(in_window, 1).otherwise(0)).alias("n_attributed"),
+        F.round(
+            F.avg(F.when(in_window, delay_us / 60_000_000.0)), 4
+        ).alias("avg_delay_min"),
+    )
