@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp.add_argument("name")
     sp.add_argument("--limit", type=int, default=20)
 
+    sp = add("explain", help="print a registry query's physical plan")
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("name")
+    sp.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+
     add("queries", help="list registered query names")
 
     args = p.parse_args(argv)
@@ -149,6 +158,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             REGISTRY[args.name].fn(spark, args.sf_dir).show(
                 args.limit, truncate=False
             )
+        elif args.cmd == "explain":
+            from .plans import REGISTRY
+
+            if args.name not in REGISTRY:
+                print(f"unknown query {args.name!r}", file=sys.stderr)
+                return 2
+            REGISTRY[args.name].fn(spark, args.sf_dir).explain(args.mode)
     finally:
         if owns_session:
             spark.stop()

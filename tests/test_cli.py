@@ -51,3 +51,26 @@ def test_cli_module_wiring_subprocess():
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert res.returncode == 0 and "pricing_summary" in res.stdout
+
+
+def test_cli_explain_prints_physical_plan(spark, capsys):
+    from finanalyzer_spark.__main__ import main
+
+    assert (
+        main(
+            ["explain", "--sf-dir", "/root/testdata/sf0.001",
+             "select_project_filter"],
+            spark=spark,
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+    assert (
+        main(
+            ["explain", "--sf-dir", "/root/testdata/sf0.001", "nope"],
+            spark=spark,
+        )
+        == 2
+    )
