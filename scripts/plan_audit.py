@@ -509,6 +509,44 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["Join", "Generate", "BatchEvalPython",
                      "ArrowEvalPython"],
     },
+    "bigram_logprob_score": {
+        # pair stream via codegen transform+explode (Generate), model
+        # tables broadcast back; the vocab scalar rides a 1-row
+        # broadcast NL join — no SMJ, no Python anywhere
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "hybrid_rrf_topk": {
+        # both rankings are depth-bounded TakeOrdered + WindowGroupLimit
+        # results; the fusion joins k-row frames (its SMJ is over ~100
+        # rows — not asserted against), and the corpus-side joins stay
+        # broadcast
+        "must": ["TakeOrderedAndProject", "WindowGroupLimit",
+                 "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython"],
+    },
+    "attribution_last_touch": {
+        # as-of composition: union + ONE (user, time) window sort; the
+        # oracle's candidate join + row_number never appears
+        "must": ["Union", "Window", "HashAggregate"],
+        "must_not": ["Join", "Generate", "BatchEvalPython",
+                     "ArrowEvalPython"],
+    },
+    "quality_classifier_filter": {
+        # featurize + sigmoid fused into the scan: one aggregate, no
+        # join, no window, no Python
+        "must": ["HashAggregate"],
+        "must_not": ["Join", "Window", "Generate",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "k_anonymity_audit": {
+        # two chained aggregates (QI groups, then scalar audit row) —
+        # nothing else
+        "must": ["HashAggregate"],
+        "must_not": ["Join", "Window", "Generate"],
+    },
 }
 
 
