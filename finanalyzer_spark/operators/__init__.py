@@ -29,3 +29,7 @@ from .sampling import (  # noqa: F401
     stratified_sample,
 )
 from .skew import salted_join  # noqa: F401
+from .bpe import bpe_encode, fit_bpe  # noqa: F401
+from .heavy import heavy_hitters  # noqa: F401
+from .intervals import sweep_concurrency  # noqa: F401
+from .multimodal import extract_patches, resize_images  # noqa: F401
