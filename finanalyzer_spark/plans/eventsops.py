@@ -726,3 +726,126 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(in_window, delay_us / 60_000_000.0)), 4
         ).alias("avg_delay_min"),
     )
+
+
+# --------------------------------------------------------------------------
+# session path mining: event-type transition matrix
+# --------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    p AS (
+        SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, sum(n) AS row_n FROM p GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           round(p.n * 1.0 / t.row_n, 6) AS prob
+    FROM p JOIN tot t USING (cur)
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current) with raw transition counts
+    — the path-mining / next-action-model input, from ONE lead()
+    window over the (user, time) sort plus two aggregations.
+
+    Scale shape: the window shuffle is keyed by user (same sort every
+    sessionization query reuses); the transition pairs collapse
+    immediately to a |types|^2-row matrix, so the row-normalizing join
+    is over a broadcast-sized frame."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t.events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    p = (
+        o.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = p.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return p.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") * 1.0 / F.col("row_n"), 6).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# robust outliers: median/MAD z-scores via distributed order statistics
+# --------------------------------------------------------------------------
+_MAD_CUT = 3.5
+_MAD_K = 0.6745  # normal-consistency constant (Iglewicz-Hoaglin)
+
+
+@query(
+    "mad_outlier_flags",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           round(any_value(d.med), 6) AS median_value,
+           round(any_value(x.mad), 6) AS mad_value,
+           CAST(sum(CASE WHEN x.mad > 0
+                AND {_MAD_K} * abs(d.value - d.med) / x.mad > {_MAD_CUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad x USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("events", "robust-stats", "profile", "scale-path"),
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection with the modified z-score (Iglewicz &
+    Hoaglin 1993): 0.6745·|x − median| / MAD > 3.5 — the
+    mean/stddev-free anomaly gate that survives the heavy tails that
+    wreck ewma_anomaly_flags'-style parametric scores.
+
+    Scale shape: both medians come from the distributed order-statistics
+    operator (operators/percentiles.grouped_exact_percentiles — range
+    repartition + per-partition offsets, NO one-task-per-group holistic
+    aggregate); each median table is per-group-row-sized and broadcast
+    back onto the stream. Two ordered passes + one flagging scan."""
+    from ..operators.percentiles import grouped_exact_percentiles
+
+    t = load(spark, sf_dir)
+    med = grouped_exact_percentiles(
+        t.events, ["event_type"], "value", [0.5], names=["med"]
+    )
+    dev = t.events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = grouped_exact_percentiles(
+        dev, ["event_type"], "adev", [0.5], names=["mad"]
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("mad") > 0) & (
+        F.lit(_MAD_K) * F.col("adev") / F.col("mad") > _MAD_CUT
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.any_value("med"), 6).alias("median_value"),
+        F.round(F.any_value("mad"), 6).alias("mad_value"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+    )
