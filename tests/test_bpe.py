@@ -110,3 +110,32 @@ def test_bpe_encode_handles_unseen_words(spark, docs):
     )
     out = {r["doc_id"]: r["tokens"] for r in bpe_encode(other, merges).collect()}
     assert "".join(out[99]) == "lowestzzz"
+
+
+def test_fit_bpe_property_random_corpora(spark):
+    """Trainer == reference implementation over randomized small
+    corpora (hypothesis): merge list identical, including tie-breaks."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        words=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(words):
+        text = " ".join(words)
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        wf = Counter(w for w in text.split())
+        want = _ref_fit(dict(wf), n_merges=4, min_freq=1)
+        got = fit_bpe(docs, n_merges=4, min_freq=1, checkpoint_every=2)
+        assert got == want
+
+    run()
