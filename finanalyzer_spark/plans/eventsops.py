@@ -829,16 +829,25 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.percentiles import grouped_exact_percentiles
 
     t = load(spark, sf_dir)
+    # localCheckpoint the two per-group-sized median tables: the
+    # percentile operator references its input several times, so
+    # NESTING one call inside the other without truncating lineage
+    # re-expands the first plan combinatorially (observed: 64 scans,
+    # 185 exchanges for this query — vs 4 scans checkpointed). The
+    # frames are |groups| rows; at scale this is a metadata-sized
+    # materialization, the same trade as fit_kmeans' k-row collects.
     med = grouped_exact_percentiles(
-        t.events, ["event_type"], "value", [0.5], names=["med"]
-    )
+        t.events, ["event_type"], "value", [0.5], names=["med"],
+        num_partitions=8,
+    ).localCheckpoint()
     dev = t.events.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
     mad = grouped_exact_percentiles(
-        dev, ["event_type"], "adev", [0.5], names=["mad"]
-    )
+        dev, ["event_type"], "adev", [0.5], names=["mad"],
+        num_partitions=8,
+    ).localCheckpoint()
     flagged = dev.join(F.broadcast(mad), "event_type")
     is_out = (F.col("mad") > 0) & (
         F.lit(_MAD_K) * F.col("adev") / F.col("mad") > _MAD_CUT

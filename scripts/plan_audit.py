@@ -547,6 +547,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["HashAggregate"],
         "must_not": ["Join", "Window", "Generate"],
     },
+    "event_transition_matrix": {
+        # one lead() window on the (user, time) sort; the row-normalize
+        # join is over the |types|^2 matrix and broadcasts
+        "must": ["Window", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Generate",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "mad_outlier_flags": {
+        # both order-statistics tables are checkpointed per-group-row
+        # frames broadcast back onto the stream; without the lineage
+        # truncation this plan exploded to 64 scans / 185 exchanges
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Generate",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
 }
 
 
