@@ -771,3 +771,178 @@ def random_projection_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("p0"), 5) + 0.0).alias("mean_p0"),
         (F.round(F.avg("p1"), 5) + 0.0).alias("mean_p1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with ADC lookup-table scoring
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 4  # m subspaces × sub dim × codebook size
+_PQ_TOPK, _PQ_QCUT = 5, 3
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Per-subspace codebooks — deterministic literals shared with the
+    oracle (a trained variant would come from operators/clustering.
+    fit_kmeans per subspace slice; plan shape identical)."""
+    from ..operators.clustering import kmeans_centroids
+
+    return [
+        kmeans_centroids(_PQ_K, _PQ_SUB, seed=101 + j) for j in range(_PQ_M)
+    ]
+
+
+def _pq_oracle() -> str:
+    books = _pq_codebooks()
+
+    def sub(j: int, var: str = "v") -> str:  # 1-based inclusive slice
+        return f"{var}[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}]"
+
+    code_cols, lut_cols, score_terms = [], [], []
+    for j, cents in enumerate(books):
+        ds = []
+        for c, cent in enumerate(cents):
+            lit = f"[{', '.join(repr(x) for x in cent)}]"
+            cc = sum(x * x for x in cent)
+            ds.append(
+                f"round(list_dot_product({sub(j)}, {sub(j)}) "
+                f"- 2.0 * list_dot_product({sub(j)}, {lit}) + {cc!r}, 5)"
+            )
+            lut_cols.append(
+                f"list_dot_product({sub(j, 'qv')}, {lit}) AS lut_{j}_{c}"
+            )
+        least = f"least({', '.join(ds)})"
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN {d} = {least} THEN {c}" for c, d in enumerate(ds[:-1])
+            )
+            + f" ELSE {_PQ_K - 1} END"
+        )
+        code_cols.append(f"{case} AS code_{j}")
+        lut_case = (
+            "CASE "
+            + " ".join(
+                f"WHEN c.code_{j} = {c} THEN q.lut_{j}_{c}"
+                for c in range(_PQ_K - 1)
+            )
+            + f" ELSE q.lut_{j}_{_PQ_K - 1} END"
+        )
+        score_terms.append(lut_case)
+    score = " + ".join(score_terms)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (SELECT vec_id, {', '.join(code_cols)} FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, {', '.join(lut_cols)}
+          FROM e WHERE vec_id < {_PQ_QCUT}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS match_id,
+               round({score}, 5) + 0.0 AS score
+        FROM q JOIN codes c ON c.vec_id != q.query_id
+    )
+    SELECT query_id, match_id, score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, match_id) AS rn
+          FROM scored)
+    WHERE rn <= {_PQ_TOPK}
+    """
+
+
+@query(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "quantization", "scale-path"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    distance via lookup tables — the FAISS `PQ{m}` shape completing
+    the quantization family next to SQ8 and IVF: each vector stores m
+    sub-codes (argmin against per-subspace codebooks), and each query
+    precomputes an m×k table of sub-dot-products ONCE; pair scoring is
+    then m table lookups — no floating-point folds in the pair loop at
+    all.
+
+    Scale shape: code assignment is a narrow literal-folded map (like
+    kmeans assignment) done once per corpus vector — at 100 TB codes
+    are 4 bytes/vector, stored instead of recomputed; the per-query
+    LUT is a k-row broadcast side; the scan of the code table does
+    only integer CASE lookups per candidate.  Every distance constant
+    lives behind a named-column projection boundary (the k=16 argmin
+    lesson from semantic_dedup_clusters)."""
+    t = load(spark, sf_dir)
+    books = _pq_codebooks()
+
+    def dot_slice(vec, j: int, cent: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB),
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def self_dot_slice(vec, j: int):
+        s = F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB)
+        return F.aggregate(
+            F.zip_with(s, s, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # corpus codes: distances behind a projection boundary, then argmin
+    dist_cols = []
+    for j, cents in enumerate(books):
+        for c, cent in enumerate(cents):
+            cc = sum(x * x for x in cent)
+            d = F.round(
+                self_dot_slice(F.col("embedding"), j)
+                - 2.0 * dot_slice(F.col("embedding"), j, cent)
+                + F.lit(cc),
+                5,
+            )
+            dist_cols.append(d.alias(f"_d{j}_{c}"))
+    with_d = t.embeddings.select("vec_id", *dist_cols)
+    code_cols = []
+    for j in range(_PQ_M):
+        ds = [F.col(f"_d{j}_{c}") for c in range(_PQ_K)]
+        m = F.least(*ds)
+        expr = F.lit(_PQ_K - 1)
+        for c in range(_PQ_K - 2, -1, -1):
+            expr = F.when(ds[c] == m, F.lit(c)).otherwise(expr)
+        code_cols.append(expr.alias(f"code_{j}"))
+    codes = with_d.select("vec_id", *code_cols)
+
+    # query LUT: m×k sub-dot-products, once per query row
+    lut = t.embeddings.where(F.col("vec_id") < _PQ_QCUT).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            dot_slice(F.col("embedding"), j, cent).alias(f"lut_{j}_{c}")
+            for j, cents in enumerate(books)
+            for c, cent in enumerate(cents)
+        ],
+    )
+
+    score = None
+    for j in range(_PQ_M):
+        expr = F.col(f"lut_{j}_{_PQ_K - 1}")
+        for c in range(_PQ_K - 2, -1, -1):
+            expr = F.when(F.col(f"code_{j}") == c, F.col(f"lut_{j}_{c}")).otherwise(
+                expr
+            )
+        score = expr if score is None else score + expr
+    scored = codes.join(
+        F.broadcast(lut), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("match_id"),
+        (F.round(score, 5) + 0.0).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "match_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _PQ_TOPK)
+        .drop("_rn")
+    )
