@@ -946,3 +946,65 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= _PQ_TOPK)
         .drop("_rn")
     )
+
+
+def _pq_recall_oracle(k: int = _PQ_TOPK, q_cut: int = _PQ_QCUT) -> str:
+    """Exact-top-k vs the full PQ ranking query (nested as a derived
+    table so the PQ algebra is written exactly once)."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 5)
+                                    DESC, c.vec_id
+                   ) AS rn
+            FROM e q JOIN e c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {q_cut}
+        ) WHERE rn <= {k}
+    ),
+    pq_topk AS (SELECT query_id, match_id FROM ({_pq_oracle()}))
+    SELECT x.query_id,
+           count(s.match_id) AS n_hits,
+           round(count(s.match_id) * 1.0 / {k}, 6) AS recall_at_{k}
+    FROM exact_topk x
+    LEFT JOIN pq_topk s
+      ON x.query_id = s.query_id AND x.match_id = s.match_id
+    GROUP BY x.query_id
+    """
+
+
+@query(
+    "ann_pq_recall_eval",
+    oracle=_pq_recall_oracle(),
+    tags=("similarity", "ann", "quantization", "eval"),
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC ranking against the exact top-5 — the
+    measurement that sizes m and k for a target recall before rolling
+    codes out corpus-wide (PQ at 4 bytes/vector trades much more
+    precision than SQ8's 64 bytes; this query quantifies exactly how
+    much, per query). Composition shape identical to
+    ann_sq8_recall_eval."""
+    k = _PQ_TOPK
+    t = load(spark, sf_dir)
+    exact = cosine_topk(
+        corpus=t.embeddings,
+        queries=t.embeddings.where(F.col("vec_id") < _PQ_QCUT),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=k,
+    ).select("query_id", "match_id")
+    pq = ann_pq_topk(spark, sf_dir).select(
+        "query_id", "match_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(F.broadcast(pq), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") * 1.0 / k, 6).alias(f"recall_at_{k}"),
+        )
+    )
