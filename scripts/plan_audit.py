@@ -554,6 +554,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["SortMergeJoin", "Generate",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "ann_pq_topk": {
+        # corpus codes from literal-folded argmins; the 3-row query LUT
+        # broadcasts into the theta join (deliberate broadcast NL — the
+        # cosine_topk shape); rank bound pushes into the shuffle
+        "must": ["BroadcastExchange", "WindowGroupLimit"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "mad_outlier_flags": {
         # both order-statistics tables are checkpointed per-group-row
         # frames broadcast back onto the stream; without the lineage
