@@ -115,3 +115,36 @@ def fit_kmeans(
             break
         prev_inertia = inertia
     return cents, inertia
+
+
+def fit_pq_codebooks(
+    df,
+    vec_col: str = "embedding",
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    iters: int = 10,
+    seed: int = 11,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: an independent k-means per
+    subspace slice (FAISS `PQ{m}` training). Returns m codebooks of
+    k × sub_dim centroids, ready to fold into the ADC scoring plan
+    (plans/similarity.ann_pq_topk uses deterministic stand-ins with the
+    identical plan shape).
+
+    Each subspace trains on a narrow `slice()` projection of the same
+    scan — Catalyst prunes the untouched dimensions; driver traffic is
+    m × k × sub_dim doubles per iteration, never data rows."""
+    from pyspark.sql import functions as F
+
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("_sub")
+        )
+        cents, _ = fit_kmeans(
+            sliced, vec_col="_sub", k=k, dim=sub_dim, iters=iters,
+            seed=seed + j,
+        )
+        books.append(cents)
+    return books

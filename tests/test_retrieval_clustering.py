@@ -182,3 +182,34 @@ def test_count_triangles_known_graphs(spark):
 
     wedge = spark.createDataFrame([(0, 1), (1, 2)], "u long, v long")
     assert count_triangles(wedge).collect()[0]["n_triangles"] == 0
+
+
+def test_fit_pq_codebooks_shapes_and_quality(spark, sf_dir):
+    """PQ training: m independent per-subspace k-means runs — correct
+    shapes, and each codebook beats the seed centroids' inertia on its
+    own slice (training actually improved the quantizer)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.catalog import load
+    from finanalyzer_spark.operators.clustering import (
+        fit_pq_codebooks,
+        kmeans_centroids,
+    )
+
+    emb = load(spark, sf_dir).embeddings
+    m, sub, k = 4, 16, 4
+    books = fit_pq_codebooks(emb, m=m, sub_dim=sub, k=k, iters=5)
+    assert len(books) == m
+    assert all(len(b) == k and len(b[0]) == sub for b in books)
+
+    vecs = np.array([r["embedding"] for r in emb.collect()], dtype=float)
+
+    def inertia(sub_vecs, cents):
+        d = ((sub_vecs[:, None, :] - np.array(cents)[None]) ** 2).sum(-1)
+        return d.min(1).sum()
+
+    for j, book in enumerate(books):
+        sl = vecs[:, j * sub : (j + 1) * sub]
+        seed_book = kmeans_centroids(k, sub, seed=11 + j)
+        assert inertia(sl, book) < inertia(sl, seed_book)
