@@ -791,7 +791,79 @@ def _pq_codebooks() -> list[list[list[float]]]:
     ]
 
 
-def _pq_oracle() -> str:
+def _pq_dot_slice(vec, j: int, cent: list[float]):
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB),
+            F.array(*[F.lit(float(x)) for x in cent]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_self_dot_slice(vec, j: int):
+    s = F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB)
+    return F.aggregate(
+        F.zip_with(s, s, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codes_df(emb: DataFrame, extra_cols: list[str] = []) -> DataFrame:
+    """(vec_id[, extra], code_0..code_{m-1}) — distances behind a
+    projection boundary, then argmin (the k=16 codegen lesson)."""
+    books = _pq_codebooks()
+    dist_cols = []
+    for j, cents in enumerate(books):
+        for c, cent in enumerate(cents):
+            cc = sum(x * x for x in cent)
+            d = F.round(
+                _pq_self_dot_slice(F.col("embedding"), j)
+                - 2.0 * _pq_dot_slice(F.col("embedding"), j, cent)
+                + F.lit(cc),
+                5,
+            )
+            dist_cols.append(d.alias(f"_d{j}_{c}"))
+    with_d = emb.select("vec_id", *extra_cols, *dist_cols)
+    code_cols = []
+    for j in range(_PQ_M):
+        ds = [F.col(f"_d{j}_{c}") for c in range(_PQ_K)]
+        m = F.least(*ds)
+        expr = F.lit(_PQ_K - 1)
+        for c in range(_PQ_K - 2, -1, -1):
+            expr = F.when(ds[c] == m, F.lit(c)).otherwise(expr)
+        code_cols.append(expr.alias(f"code_{j}"))
+    return with_d.select("vec_id", *extra_cols, *code_cols)
+
+
+def _pq_lut_cols() -> list:
+    """m×k ADC sub-dot-products for a query row's `embedding`."""
+    return [
+        _pq_dot_slice(F.col("embedding"), j, cent).alias(f"lut_{j}_{c}")
+        for j, cents in enumerate(_pq_codebooks())
+        for c, cent in enumerate(cents)
+    ]
+
+
+def _pq_score_col():
+    """ADC score: m integer CASE lookups into the query LUT."""
+    score = None
+    for j in range(_PQ_M):
+        expr = F.col(f"lut_{j}_{_PQ_K - 1}")
+        for c in range(_PQ_K - 2, -1, -1):
+            expr = F.when(
+                F.col(f"code_{j}") == c, F.col(f"lut_{j}_{c}")
+            ).otherwise(expr)
+        score = expr if score is None else score + expr
+    return score
+
+
+def _pq_sql_fragments() -> tuple[str, str, str]:
+    """(code column list, LUT column list, score expression) — the PQ
+    algebra as SQL, written once for both PQ oracles."""
     books = _pq_codebooks()
 
     def sub(j: int, var: str = "v") -> str:  # 1-based inclusive slice
@@ -828,11 +900,15 @@ def _pq_oracle() -> str:
             + f" ELSE q.lut_{j}_{_PQ_K - 1} END"
         )
         score_terms.append(lut_case)
-    score = " + ".join(score_terms)
+    return ", ".join(code_cols), ", ".join(lut_cols), " + ".join(score_terms)
+
+
+def _pq_oracle() -> str:
+    code_cols, lut_cols, score = _pq_sql_fragments()
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    codes AS (SELECT vec_id, {', '.join(code_cols)} FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, {', '.join(lut_cols)}
+    codes AS (SELECT vec_id, {code_cols} FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, {lut_cols}
           FROM e WHERE vec_id < {_PQ_QCUT}),
     scored AS (
         SELECT q.query_id, c.vec_id AS match_id,
@@ -869,74 +945,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives behind a named-column projection boundary (the k=16 argmin
     lesson from semantic_dedup_clusters)."""
     t = load(spark, sf_dir)
-    books = _pq_codebooks()
-
-    def dot_slice(vec, j: int, cent: list[float]):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB),
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def self_dot_slice(vec, j: int):
-        s = F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB)
-        return F.aggregate(
-            F.zip_with(s, s, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # corpus codes: distances behind a projection boundary, then argmin
-    dist_cols = []
-    for j, cents in enumerate(books):
-        for c, cent in enumerate(cents):
-            cc = sum(x * x for x in cent)
-            d = F.round(
-                self_dot_slice(F.col("embedding"), j)
-                - 2.0 * dot_slice(F.col("embedding"), j, cent)
-                + F.lit(cc),
-                5,
-            )
-            dist_cols.append(d.alias(f"_d{j}_{c}"))
-    with_d = t.embeddings.select("vec_id", *dist_cols)
-    code_cols = []
-    for j in range(_PQ_M):
-        ds = [F.col(f"_d{j}_{c}") for c in range(_PQ_K)]
-        m = F.least(*ds)
-        expr = F.lit(_PQ_K - 1)
-        for c in range(_PQ_K - 2, -1, -1):
-            expr = F.when(ds[c] == m, F.lit(c)).otherwise(expr)
-        code_cols.append(expr.alias(f"code_{j}"))
-    codes = with_d.select("vec_id", *code_cols)
-
+    codes = _pq_codes_df(t.embeddings)
     # query LUT: m×k sub-dot-products, once per query row
     lut = t.embeddings.where(F.col("vec_id") < _PQ_QCUT).select(
-        F.col("vec_id").alias("query_id"),
-        *[
-            dot_slice(F.col("embedding"), j, cent).alias(f"lut_{j}_{c}")
-            for j, cents in enumerate(books)
-            for c, cent in enumerate(cents)
-        ],
+        F.col("vec_id").alias("query_id"), *_pq_lut_cols()
     )
-
-    score = None
-    for j in range(_PQ_M):
-        expr = F.col(f"lut_{j}_{_PQ_K - 1}")
-        for c in range(_PQ_K - 2, -1, -1):
-            expr = F.when(F.col(f"code_{j}") == c, F.col(f"lut_{j}_{c}")).otherwise(
-                expr
-            )
-        score = expr if score is None else score + expr
     scored = codes.join(
         F.broadcast(lut), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vec_id").alias("match_id"),
-        (F.round(score, 5) + 0.0).alias("score"),
+        (F.round(_pq_score_col(), 5) + 0.0).alias("score"),
     )
     from pyspark.sql import Window as W
 
@@ -1007,4 +1026,120 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("n_hits"),
             F.round(F.count("_hit") * 1.0 / k, 6).alias(f"recall_at_{k}"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse probe on inverted lists, ADC lookup scoring within
+# --------------------------------------------------------------------------
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle(dim: int = 64, k: int = _PQ_TOPK, q_cut: int = _PQ_QCUT) -> str:
+    code_cols, lut_cols, score = _pq_sql_fragments()
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    un AS (
+        SELECT label, i, v[i] AS x
+        FROM e, generate_series(1, {dim}) AS g(i)
+    ),
+    cent AS (
+        SELECT label, list(round(m, 6) ORDER BY i) AS c
+        FROM (SELECT label, i, avg(x) AS m FROM un GROUP BY label, i)
+        GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, {lut_cols}
+          FROM e WHERE vec_id < {q_cut}),
+    probe AS (
+        SELECT query_id, label FROM (
+            SELECT q.query_id, cent.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, cent.c), 5)
+                                DESC, cent.label
+                   ) AS rn
+            FROM q, cent
+        )
+        WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    codes AS (SELECT vec_id, label, {code_cols} FROM e),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS match_id,
+               round({score}, 5) + 0.0 AS score
+        FROM probe p
+        JOIN codes c ON c.label = p.label AND c.vec_id != p.query_id
+        JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, match_id, score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, match_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "quantization", "scale-path"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS `IVF{n},PQ{m}` architecture: the coarse
+    quantizer (per-label centroids, as in ann_ivf_topk) bounds the
+    candidate set to nprobe inverted lists, and within those lists the
+    scoring touches ONLY the 4-byte PQ codes via the query's ADC
+    lookup table (ann_pq_topk) — neither the full corpus nor any raw
+    candidate vector is read at query time.
+
+    Scale shape: the two quantizers compose orthogonally — the probe
+    join is an equality join on the list id (hash-partitionable), the
+    candidate scan reads the code table (a ~16x compression of the
+    vector column), and per-candidate cost is m integer lookups. This
+    is what a billion-vector deployment actually runs; recall is
+    priced per knob by ann_pq_recall_eval / ann_recall_eval."""
+    dim = 64
+    t = load(spark, sf_dir)
+    e = t.embeddings
+    cent = e.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.col("embedding")[i].cast("double")), 6)
+                for i in range(dim)
+            ]
+        ).alias("cvec")
+    )
+    lut = e.where(F.col("vec_id") < _PQ_QCUT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        *_pq_lut_cols(),
+    )
+    ranked = lut.select("query_id", "qv").crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "label",
+        F.round(cosine_col(F.col("qv"), F.col("cvec")), 5).alias("ccos"),
+    )
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probe = (
+        ranked.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "label")
+    )
+    codes = _pq_codes_df(e, extra_cols=["label"])
+    scored = (
+        codes.join(F.broadcast(probe), "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut.drop("qv")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (F.round(_pq_score_col(), 5) + 0.0).alias("score"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "match_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= _PQ_TOPK)
+        .drop("_rn")
     )
