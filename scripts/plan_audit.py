@@ -562,6 +562,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "ann_ivfpq_topk": {
+        # candidate generation joins the CODE table on the probed list
+        # id (BroadcastHashJoin — never the NL corpus scan of plain PQ
+        # beyond the tiny query-x-centroid probe); rank bounds push down
+        "must": ["BroadcastHashJoin", "WindowGroupLimit"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "mad_outlier_flags": {
         # both order-statistics tables are checkpointed per-group-row
         # frames broadcast back onto the stream; without the lineage
