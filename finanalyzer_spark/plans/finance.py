@@ -157,3 +157,220 @@ def orphan_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey, "left_anti"
         ).agg(F.count("*").alias("n_orphans"))
     )
+
+
+# --------------------------------------------------------------------------
+# technical indicators over the price series (ticker = l_partkey,
+# close = l_extendedprice, date = l_shipdate — FIXTURES.md role map)
+# --------------------------------------------------------------------------
+_ORD = "l_shipdate, l_orderkey, l_linenumber"
+
+
+@query(
+    "max_drawdown",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_partkey, l_extendedprice AS px,
+               max(l_extendedprice) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS runmax
+        FROM lineitem
+    )
+    SELECT l_partkey,
+           count(*) AS n_obs,
+           round(max((runmax - px) / runmax), 6) + 0.0 AS max_drawdown
+    FROM s
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "window", "indicator"),
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per ticker: peak-to-trough loss fraction off
+    the running maximum — THE risk statistic every portfolio report
+    carries, and the natural extension of the reference's 52-week
+    high/low (rolling_high_low): same running-extreme window, one
+    extra arithmetic map and aggregate.
+
+    Scale shape: one (ticker, time) window sort + one groupBy on the
+    window's own partition key — the sort is reused, nothing else
+    shuffles."""
+    t = load(spark, sf_dir)
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = t.lineitem.select(
+        "l_partkey",
+        F.col("l_extendedprice").alias("px"),
+        F.max("l_extendedprice").over(w).alias("runmax"),
+    )
+    dd = (F.col("runmax") - F.col("px")) / F.col("runmax")
+    return s.groupBy("l_partkey").agg(
+        F.count("*").alias("n_obs"),
+        (F.round(F.max(dd), 6) + 0.0).alias("max_drawdown"),
+    )
+
+
+_RSI_N = 14
+
+
+@query(
+    "rsi_14",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               l_extendedprice
+                   - lag(l_extendedprice) OVER (
+                         PARTITION BY l_partkey ORDER BY {_ORD}
+                     ) AS delta
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_partkey,
+               avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER w AS ag,
+               avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER w AS al
+        FROM d
+        WHERE delta IS NOT NULL
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY {_ORD}
+                     ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+    ),
+    r AS (
+        SELECT l_partkey,
+               CASE WHEN al = 0 THEN 100.0
+                    ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+        FROM g
+    )
+    SELECT l_partkey,
+           count(*) AS n_obs,
+           round(avg(rsi), 4) + 0.0 AS avg_rsi,
+           CAST(sum(CASE WHEN rsi > 70 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overbought,
+           CAST(sum(CASE WHEN rsi < 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oversold
+    FROM r
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "window", "indicator"),
+)
+def rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI (Cutler\'s SMA form — the windowed variant;
+    Wilder\'s recursive smoothing would be the streaming/EWMA twin):
+    per-ticker average RSI and overbought/oversold day counts. The
+    natural next indicator after the reference\'s rolling averages
+    (plot_rolling_mean, SURVEY W4).
+
+    Scale shape: the lag and the two trailing means share ONE
+    (ticker, time) sort; the rollup groups on the window\'s own
+    partition key. Zero average-loss frames pin RSI to 100 with the
+    same CASE on both engines (no inf/NaN divergence)."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wl = W.partitionBy("l_partkey").orderBy(*order)
+    wf = wl.rowsBetween(-(_RSI_N - 1), W.currentRow)
+    d = t.lineitem.select(
+        "l_partkey",
+        *order,
+        (
+            F.col("l_extendedprice")
+            - F.lag("l_extendedprice").over(wl)
+        ).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    g = d.select(
+        "l_partkey",
+        F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0))
+        .over(wf)
+        .alias("ag"),
+        F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0.0))
+        .over(wf)
+        .alias("al"),
+    )
+    rsi = F.when(F.col("al") == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al"))
+    )
+    return g.select("l_partkey", rsi.alias("rsi")).groupBy("l_partkey").agg(
+        F.count("*").alias("n_obs"),
+        (F.round(F.avg("rsi"), 4) + 0.0).alias("avg_rsi"),
+        F.sum(F.when(F.col("rsi") > 70, 1).otherwise(0)).alias("n_overbought"),
+        F.sum(F.when(F.col("rsi") < 30, 1).otherwise(0)).alias("n_oversold"),
+    )
+
+
+# MACD(12, 26, 9) in the finite-window normalized EWMA form (the same
+# truncation convention as ewma_anomaly_flags; Wilder-style recursion is
+# the streaming twin's job). Weights fold in Python so both engines
+# consume identical IEEE doubles.
+_MACD_L = 26
+_W12 = [(2.0 / 13.0) * (1.0 - 2.0 / 13.0) ** i for i in range(_MACD_L)]
+_W26 = [(2.0 / 27.0) * (1.0 - 2.0 / 27.0) ** i for i in range(_MACD_L)]
+_W9 = [(2.0 / 10.0) * (1.0 - 2.0 / 10.0) ** i for i in range(9)]
+
+
+def _macd_oracle() -> str:
+    def filt(col: str, ws: list[float]) -> str:
+        return " + ".join(
+            f"coalesce(lag({col}, {i}) OVER w, 0.0) * {wt!r}"
+            for i, wt in enumerate(ws)
+        )
+
+    return f"""
+    WITH m AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               ({filt('l_extendedprice', _W12)})
+               - ({filt('l_extendedprice', _W26)}) AS macd
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY {_ORD})
+    ),
+    sgn AS (
+        SELECT l_partkey, macd,
+               {filt('macd', _W9)} AS signal
+        FROM m
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY {_ORD})
+    )
+    SELECT l_partkey,
+           count(*) AS n_obs,
+           round(avg(macd), 4) + 0.0 AS avg_macd,
+           round(avg(signal), 4) + 0.0 AS avg_signal,
+           CAST(sum(CASE WHEN macd > signal THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bullish
+    FROM sgn
+    GROUP BY l_partkey
+    """
+
+
+@query("macd_signal", oracle=_macd_oracle(), tags=("finance", "window", "indicator"))
+def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26) with its 9-period signal line and per-ticker
+    bullish-day counts — the momentum companion to rsi_14, computed as
+    two stacked linear filters: the MACD lags and the signal's lags
+    each share ONE (ticker, time) window sort per level (Catalyst
+    plans one Window operator per level over the same exchange — the
+    sort order never changes, so the second level needs no second
+    shuffle)."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    w = W.partitionBy("l_partkey").orderBy(*order)
+
+    def filt(col, ws):
+        expr = F.lit(0.0)
+        for i, wt in enumerate(ws):
+            expr = expr + F.coalesce(F.lag(col, i).over(w), F.lit(0.0)) * F.lit(wt)
+        return expr
+
+    m = t.lineitem.select(
+        "l_partkey",
+        *order,
+        (filt("l_extendedprice", _W12) - filt("l_extendedprice", _W26)).alias(
+            "macd"
+        ),
+    )
+    sgn = m.select("l_partkey", "macd", filt("macd", _W9).alias("signal"))
+    return sgn.groupBy("l_partkey").agg(
+        F.count("*").alias("n_obs"),
+        (F.round(F.avg("macd"), 4) + 0.0).alias("avg_macd"),
+        (F.round(F.avg("signal"), 4) + 0.0).alias("avg_signal"),
+        F.sum(F.when(F.col("macd") > F.col("signal"), 1).otherwise(0)).alias(
+            "n_bullish"
+        ),
+    )
