@@ -374,3 +374,106 @@ def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bullish"
         ),
     )
+
+
+@query(
+    "sma_crossover_backtest",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               l_extendedprice AS px,
+               avg(l_extendedprice) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS sma_fast,
+               avg(l_extendedprice) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+                   ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS sma_slow,
+               lead(l_extendedprice) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}) AS next_px
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, px, next_px,
+               CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END AS long_now,
+               lag(CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}) AS long_prev
+        FROM s
+    )
+    SELECT l_partkey,
+           CAST(sum(CASE WHEN long_prev IS NOT NULL
+                         AND long_now != long_prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_crossovers,
+           round(sum(CASE WHEN long_now = 1 AND next_px IS NOT NULL
+                          THEN next_px / px - 1.0 ELSE 0.0 END), 6) + 0.0
+               AS strategy_return,
+           round(sum(CASE WHEN next_px IS NOT NULL
+                          THEN next_px / px - 1.0 ELSE 0.0 END), 6) + 0.0
+               AS hold_return
+    FROM g
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "window", "backtest"),
+)
+def sma_crossover_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover backtest per ticker: 12/26-row SMA
+    signal, crossover event counts, and the in-position sum of
+    next-period simple returns against buy-and-hold — the analysis the
+    reference's rolling-mean plots exist to feed, as one query.
+
+    Scale shape: BOTH SMAs, the lead, the signal lag — five frame
+    functions — share a single (ticker, time) window sort; the backtest
+    aggregate groups on the partition key. One shuffle end to end."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wl = W.partitionBy("l_partkey").orderBy(*order)
+    s = t.lineitem.select(
+        "l_partkey",
+        *order,
+        F.col("l_extendedprice").alias("px"),
+        F.avg("l_extendedprice")
+        .over(wl.rowsBetween(-11, W.currentRow))
+        .alias("sma_fast"),
+        F.avg("l_extendedprice")
+        .over(wl.rowsBetween(-25, W.currentRow))
+        .alias("sma_slow"),
+        F.lead("l_extendedprice").over(wl).alias("next_px"),
+    )
+    long_now = F.when(F.col("sma_fast") > F.col("sma_slow"), 1).otherwise(0)
+    g = s.select(
+        "l_partkey",
+        "px",
+        "next_px",
+        long_now.alias("long_now"),
+        F.lag(long_now).over(wl).alias("long_prev"),
+    )
+    ret = F.col("next_px") / F.col("px") - 1.0
+    return g.groupBy("l_partkey").agg(
+        F.sum(
+            F.when(
+                F.col("long_prev").isNotNull()
+                & (F.col("long_now") != F.col("long_prev")),
+                1,
+            ).otherwise(0)
+        ).alias("n_crossovers"),
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("long_now") == 1) & F.col("next_px").isNotNull(),
+                        ret,
+                    ).otherwise(0.0)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("strategy_return"),
+        (
+            F.round(
+                F.sum(
+                    F.when(F.col("next_px").isNotNull(), ret).otherwise(0.0)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("hold_return"),
+    )
