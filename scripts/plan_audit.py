@@ -570,6 +570,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "max_drawdown": {
+        # running max + rollup on the window's own key: one sort
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "sma_crossover_backtest": {
+        # five frame functions (2 SMAs, lead, signal lag, via 2 window
+        # levels) over ONE (ticker, time) sort; no join anywhere
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
     "mad_outlier_flags": {
         # both order-statistics tables are checkpointed per-group-row
         # frames broadcast back onto the stream; without the lineage
