@@ -477,3 +477,54 @@ def sma_crossover_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("hold_return"),
     )
+
+
+@query(
+    "market_beta",
+    oracle="""
+    WITH px AS (
+        SELECT l_partkey, l_shipdate AS d, avg(l_extendedprice) AS p
+        FROM lineitem GROUP BY l_partkey, l_shipdate
+    ),
+    idx AS (SELECT d, avg(p) AS mkt FROM px GROUP BY d),
+    j AS (SELECT px.l_partkey, px.p, idx.mkt FROM px JOIN idx USING (d))
+    SELECT l_partkey,
+           count(*) AS n_days,
+           round(covar_pop(p, mkt) / var_pop(mkt), 6) + 0.0 AS beta,
+           round(corr(p, mkt), 6) + 0.0 AS mkt_corr
+    FROM j
+    GROUP BY l_partkey
+    HAVING var_pop(mkt) > 0
+    """,
+    tags=("finance", "aggregate", "bivariate"),
+)
+def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker market beta and correlation against an equal-weight
+    index: daily panel (ticker, day) average prices, a per-day index,
+    and per-ticker covariance/variance — CAPM's workhorse regression
+    coefficient as three aggregations.
+
+    Scale shape: the panel collapse is the big shuffle (ticker x day
+    keys); the index is day-cardinality and broadcasts back; the beta
+    aggregate groups on ticker with map-side partials. The per-ticker
+    variance guard (HAVING) drops degenerate single-day tickers
+    identically on both engines."""
+    t = load(spark, sf_dir)
+    px = t.lineitem.groupBy(
+        "l_partkey", F.col("l_shipdate").alias("d")
+    ).agg(F.avg("l_extendedprice").alias("p"))
+    idx = px.groupBy("d").agg(F.avg("p").alias("mkt"))
+    j = px.join(F.broadcast(idx), "d")
+    return (
+        j.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_days"),
+            (
+                F.round(F.covar_pop("p", "mkt") / F.var_pop("mkt"), 6) + 0.0
+            ).alias("beta"),
+            (F.round(F.corr("p", "mkt"), 6) + 0.0).alias("mkt_corr"),
+            F.var_pop("mkt").alias("_vm"),
+        )
+        .where(F.col("_vm") > 0)
+        .drop("_vm")
+    )
