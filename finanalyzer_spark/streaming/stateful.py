@@ -168,3 +168,96 @@ try:  # the processor API needs pyspark >= 4.0
 
 except ImportError:  # pragma: no cover
     running_user_totals_tws = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: bucketed Misra-Gries state
+# ---------------------------------------------------------------------------
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_lb", T.LongType()),
+    ]
+)
+
+#: MG counters as parallel arrays (GroupState rows must be flat)
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_heavy(m: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.exists:
+            items, counts = state.get
+            mg = dict(zip(list(items), list(counts)))
+        else:
+            mg = {}
+        for pdf in pdfs:
+            for v, c in pdf["item"].value_counts().items():
+                c = int(c)
+                if v in mg:
+                    mg[v] += c
+                elif len(mg) < m:
+                    mg[v] = c
+                else:
+                    dec = min(min(mg.values()), c)
+                    mg = {k: n - dec for k, n in mg.items() if n - dec > 0}
+                    if c - dec > 0 and len(mg) < m:
+                        mg[v] = c - dec
+        state.update((list(mg.keys()), [int(v) for v in mg.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(mg),
+                "item": list(mg.keys()),
+                "count_lb": [int(v) for v in mg.values()],
+            }
+        )
+
+    return update
+
+
+def running_heavy_hitters(
+    stream: DataFrame, col: str, support: float, num_buckets: int = 16
+) -> DataFrame:
+    """Streaming heavy-hitter candidates: hash-bucket the value space
+    and run a Misra-Gries summary as per-bucket GroupState — the online
+    form of operators/heavy.heavy_hitters' pass 1.
+
+    Because the bucket key is a hash OF THE VALUE, every occurrence of
+    an item lands in one bucket, so the per-bucket MG bound applies to
+    the item's FULL stream count: any item with global frequency
+    > support * n survives in its bucket's state (m = 2/support
+    counters). Each trigger emits the surviving (item, lower-bound
+    count) rows in 'update' mode; an exact recount joining candidates
+    against stored history completes the exactly-counted answer, as in
+    the batch operator.
+
+    Scale notes: state is num_buckets * m counters TOTAL (not
+    per-user-key) — a few KB regardless of stream cardinality; the one
+    shuffle is on the bucket hash, so the operator scales with
+    executor count, and skew is impossible by construction (buckets
+    are a uniform hash)."""
+    from pyspark.sql import functions as F
+
+    m = int(2.0 / support) + 1
+    keyed = stream.select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.col(col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _update_heavy(m),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

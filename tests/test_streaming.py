@@ -489,3 +489,61 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     assert len(got) == len(want) > 0
     assert (got["n"].values == want["n"].values).all()
     assert (got["sum_value"].values == want["sum_value"].values).all()
+
+
+def test_streaming_heavy_hitters_candidates_complete(spark, tmp_path):
+    """Bucketed Misra-Gries GroupState: after the stream drains, the
+    per-bucket candidate sets contain every true heavy hitter of the
+    full data (support 0.2), across multiple micro-batches."""
+    import glob
+    import os
+    import shutil
+    from collections import Counter
+
+    from finanalyzer_spark.streaming.stateful import running_heavy_hitters
+
+    full = load(spark, SF_DIR).events
+    staged = tmp_path / "staged"
+    full.repartition(4).write.parquet(str(staged))
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in sorted(glob.glob(f"{staged}/part-*.parquet")):
+        shutil.copy(f, src / os.path.basename(f))
+
+    # last emission per bucket wins (MG counts are not monotone)
+    latest: dict = {}
+
+    def sink(df, batch_id):
+        rows = df.collect()
+        for b in {r["bucket"] for r in rows}:
+            latest[b] = {"_batch": batch_id, "items": {}}
+        for r in rows:
+            latest[r["bucket"]]["items"][r["item"]] = r["count_lb"]
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        running_heavy_hitters(stream, "event_type", support=0.2)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    candidates = {
+        item for b in latest.values() for item in b.get("items", {})
+    }
+    rows = [r["event_type"] for r in full.select("event_type").collect()]
+    n = len(rows)
+    true_heavy = {v for v, c in Counter(rows).items() if c > 0.2 * n}
+    assert true_heavy, "fixture must have heavy hitters at support 0.2"
+    assert true_heavy <= candidates
+    # state is bounded: every bucket holds at most m = 2/support + 1 items
+    m = int(2.0 / 0.2) + 1
+    assert all(len(b.get("items", {})) <= m for b in latest.values())
