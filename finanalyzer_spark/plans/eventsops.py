@@ -858,3 +858,87 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.any_value("mad"), 6).alias("mad_value"),
         F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# sketch algebra: distinct-set union/intersection estimates from HLL
+# --------------------------------------------------------------------------
+@query(
+    "hll_set_ops_estimate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    SELECT 'viewers' AS seg, count(*) AS n_exact, TRUE AS within_bound FROM a
+    UNION ALL
+    SELECT 'clickers', count(*), TRUE FROM b
+    UNION ALL
+    SELECT 'union', count(*), TRUE FROM (
+        SELECT user_id FROM a UNION SELECT user_id FROM b)
+    UNION ALL
+    SELECT 'intersection', count(*), TRUE FROM (
+        SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    """,
+    tags=("events", "sketch", "hll"),
+)
+def hll_set_ops_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA on sketches: viewer and clicker HLLs,
+    their union by sketch merge, and the intersection by
+    inclusion-exclusion (|A| + |B| − |A∪B|) — the audience-overlap
+    question answered without ever co-shuffling the two sides.  Same
+    error-contract pattern as hll_mergeable_rollup: the oracle emits
+    exact counts and TRUE verdicts; Spark's rows hash-match only if
+    every estimate lands inside its bound (5% for the direct sketches,
+    15% for the subtraction-compounded intersection).
+
+    Scale shape: each segment aggregates to ONE sketch (map-side
+    combined); union/intersection are driver-side algebra on two
+    sketch values — at 100 TB, set operations over billions of users
+    cost two scans and bytes of state, the whole point of mergeable
+    sketches."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    sk = ev.groupBy().agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("ska"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("skb"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("na"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("nb"),
+    )
+    both = ev.where(F.col("event_type").isin("view", "click"))
+    n_union = both.select("user_id").distinct().count()
+    inter = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(ev.where(F.col("event_type") == "click").select("user_id"))
+        .count()
+    )
+    row = sk.select(
+        "na",
+        "nb",
+        F.hll_sketch_estimate("ska").alias("ea"),
+        F.hll_sketch_estimate("skb").alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("ska", "skb")
+        ).alias("eu"),
+    ).collect()[0]
+    est_inter = row["ea"] + row["eb"] - row["eu"]
+
+    def ok(est, exact, tol):
+        return bool(exact > 0 and abs(est - exact) / exact <= tol)
+
+    out = [
+        ("viewers", int(row["na"]), ok(row["ea"], row["na"], 0.05)),
+        ("clickers", int(row["nb"]), ok(row["eb"], row["nb"], 0.05)),
+        ("union", int(n_union), ok(row["eu"], n_union, 0.05)),
+        ("intersection", int(inter), ok(est_inter, inter, 0.15)),
+    ]
+    return spark.createDataFrame(
+        out, "seg string, n_exact long, within_bound boolean"
+    )
