@@ -388,3 +388,99 @@ def media_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "frame_no", F.md5("frame").alias("frame_md5")
     )
+
+
+# --------------------------------------------------------------------------
+# contrastive training pairs: positives by id, hash-derived negatives
+# --------------------------------------------------------------------------
+_NEG_K = 3
+
+
+@query(
+    "contrastive_pairs",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    pos AS (
+        SELECT d.doc_id, d.doc_id AS pair_doc, 'pos' AS kind
+        FROM documents d
+    ),
+    neg AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substr(md5(d.doc_id::VARCHAR || '-' || j), 1, 8))
+                    ::BIGINT % n.n_docs AS BIGINT) AS pair_doc,
+               'neg' AS kind
+        FROM documents d, n, generate_series(0, {_NEG_K - 1}) AS g(j)
+    ),
+    pairs AS (
+        SELECT * FROM pos
+        UNION ALL
+        SELECT * FROM neg WHERE pair_doc != doc_id
+    )
+    SELECT p.kind,
+           count(*) AS n_pairs,
+           count(DISTINCT p.doc_id) AS n_anchors,
+           round(avg(c.n_chars), 4) AS avg_pair_chars
+    FROM pairs p JOIN documents c ON c.doc_id = p.pair_doc
+    GROUP BY p.kind
+    """,
+    tags=("multimodal", "contrastive", "sampling", "scale-path"),
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style contrastive pair construction: each document anchors
+    one positive (its own paired media — here doc_id == media_id, the
+    fixture's 1:1 pairing) and k=3 DETERMINISTIC hash-derived negatives
+    — the md5-bucket coin again (deterministic_sample_stats), so
+    resharding or re-running never changes anyone's negatives and
+    epochs are reproducible without an RNG-state coordination problem.
+
+    Scale shape: negatives come from a hash expression, not a shuffle
+    or a per-partition RNG; the only joins are FK lookups of the pair
+    payloads. In-batch negatives (the training-time trick) replace the
+    hash with the co-batch ids; the audit shape here stays the same."""
+    t = load(spark, sf_dir)
+    n_docs = t.documents.count()
+    d = t.documents.select("doc_id")
+    pos = d.select(
+        "doc_id", F.col("doc_id").alias("pair_doc"), F.lit("pos").alias("kind")
+    )
+    neg = (
+        d.crossJoin(
+            spark.range(_NEG_K).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "doc_id",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit("-"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_docs),
+            ).alias("pair_doc"),
+            F.lit("neg").alias("kind"),
+        )
+        .where(F.col("pair_doc") != F.col("doc_id"))
+    )
+    pairs = pos.unionByName(neg)
+    payload = t.documents.select(
+        F.col("doc_id").alias("pair_doc"), "n_chars"
+    )
+    return (
+        pairs.join(payload, "pair_doc")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("doc_id").alias("n_anchors"),
+            F.round(F.avg("n_chars"), 4).alias("avg_pair_chars"),
+        )
+    )
