@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         choices=["simple", "extended", "formatted", "cost", "codegen"],
     )
 
+    sp = add("shards", help="build deduped, packed training shards")
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--tokens-per-shard", type=int, default=500)
+
     add("queries", help="list registered query names")
 
     args = p.parse_args(argv)
@@ -158,6 +163,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             REGISTRY[args.name].fn(spark, args.sf_dir).show(
                 args.limit, truncate=False
             )
+        elif args.cmd == "shards":
+            from .catalog import load as _load
+            from .pipeline.shards import build_training_shards
+
+            manifest = build_training_shards(
+                _load(spark, args.sf_dir).documents,
+                args.out,
+                tokens_per_shard=args.tokens_per_shard,
+            )
+            manifest.orderBy("split", "shard_id").show(50, truncate=False)
         elif args.cmd == "explain":
             from .plans import REGISTRY
 

@@ -74,3 +74,21 @@ def test_cli_explain_prints_physical_plan(spark, capsys):
         )
         == 2
     )
+
+
+def test_cli_shards_builds_layout(spark, tmp_path, capsys):
+    import glob
+
+    from finanalyzer_spark.__main__ import main
+
+    out = str(tmp_path / "shards")
+    assert (
+        main(
+            ["shards", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+             "--tokens-per-shard", "400"],
+            spark=spark,
+        )
+        == 0
+    )
+    assert glob.glob(f"{out}/split=*/shard_id=*/*.parquet")
+    assert "train" in capsys.readouterr().out
