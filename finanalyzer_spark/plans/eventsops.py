@@ -942,3 +942,73 @@ def hll_set_ops_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "seg string, n_exact long, within_bound boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartile codes)
+# --------------------------------------------------------------------------
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS now FROM events),
+    u AS (
+        SELECT user_id,
+               date_diff('second', max(ts), any_value(ref.now)) AS rec_s,
+               count(*) AS freq,
+               round(sum(value), 2) AS monetary
+        FROM events, ref
+        GROUP BY user_id
+    ),
+    q AS (
+        SELECT user_id,
+               ntile(4) OVER (ORDER BY rec_s, user_id) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+        FROM u
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           count(*) AS n_users
+    FROM q
+    GROUP BY 1
+    """,
+    tags=("events", "analytics", "segmentation"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary stats,
+    quartile-coded (1 = best) and rolled up to segment sizes — the
+    classic lifecycle-marketing cut of an event stream, as one keyed
+    aggregate plus three ntile windows over the per-USER table.
+
+    Scale shape: the big shuffle is the user aggregate; the quartile
+    windows run over user-cardinality rows (the same global-ntile note
+    as time_split_folds: at extreme user counts the distributed
+    percentile operator replaces ntile with boundary filters)."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    now = t.events.agg(F.max("ts").alias("now"))
+    u = (
+        t.events.crossJoin(F.broadcast(now))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                (
+                    F.unix_micros(F.col("now").cast("timestamp_ltz"))
+                    - F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                ) / 1_000_000
+            ).cast("long").alias("rec_s"),
+            F.count("*").alias("freq"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    q = u.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy("rec_s", "user_id")).alias("r"),
+        F.ntile(4).over(W.orderBy(F.col("freq").desc(), "user_id")).alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m"),
+    )
+    return q.groupBy(
+        F.concat_ws("-", "r", "f", "m").alias("segment")
+    ).agg(F.count("*").alias("n_users"))

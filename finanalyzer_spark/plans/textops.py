@@ -921,3 +921,137 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lp").alias("min_logprob"),
         F.max("lp").alias("max_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf's-law fit over the rank-frequency curve
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 200
+
+_ZIPF_ORACLE = f"""
+WITH w AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents WHERE trim(text) != ''
+),
+wf AS (SELECT w, count(*) AS f FROM w GROUP BY w),
+r AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rnk
+    FROM wf
+    ORDER BY f DESC, w
+    LIMIT {_ZIPF_TOP}
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(ln(f), ln(rnk)), 4) + 0.0 AS zipf_slope,
+       round(corr(ln(f), ln(rnk)) * corr(ln(f), ln(rnk)), 4) + 0.0 AS r2
+FROM r
+"""
+
+
+@query("zipf_slope_fit", oracle=_ZIPF_ORACLE, tags=("text", "lm", "profile"))
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent: the OLS slope of ln(freq) on ln(rank) over
+    the top-200 vocabulary — natural corpora sit near −1, so the fitted
+    slope (with its R²) is a one-number sanity check that a scraped or
+    synthetic corpus has natural token statistics (the companion to
+    vocab_coverage_curve's tokenizer-sizing view).
+
+    Scale shape: the corpus collapses to the word table, the top-200
+    cut is a bounded TakeOrdered, and the regression runs on 200 rows
+    via the built-in bivariate aggregates — the global rank window
+    touches only the k survivors, never the vocabulary."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    wf = (
+        t.documents.where(F.trim(F.col("text")) != "")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), "w")
+        .limit(_ZIPF_TOP)
+    )
+    r = wf.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("f").desc(), "w"))
+    )
+    lf, lr = F.log(F.col("f")), F.log(F.col("rnk"))
+    return r.agg(
+        F.count("*").alias("n_terms"),
+        (F.round(F.regr_slope(lf, lr), 4) + 0.0).alias("zipf_slope"),
+        (F.round(F.corr(lf, lr) * F.corr(lf, lr), 4) + 0.0).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# per-document top TF-IDF term (keyword extraction)
+# --------------------------------------------------------------------------
+_KW_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END AS toks
+    FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM d),
+tf AS (
+    SELECT doc_id, unnest(toks) AS term FROM d
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term),
+scored AS (
+    SELECT tfc.doc_id, tfc.term,
+           round(tfc.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+    FROM tfc JOIN df USING (term), n
+),
+top AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS rn
+    FROM scored
+)
+SELECT doc_id, term AS top_term, tfidf + 0.0 AS top_tfidf
+FROM top WHERE rn = 1
+"""
+
+
+@query("doc_top_keyword", oracle=_KW_ORACLE, tags=("text", "retrieval", "tfidf"))
+def doc_top_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's highest-TF-IDF term — the
+    per-document argmax over the corpus-weighted term matrix
+    (tfidf_top_terms gives the corpus view; this gives the per-doc
+    labels a tagging or routing pipeline wants).
+
+    Scale shape: one (doc, term) aggregation, document frequencies
+    broadcast back, and a WindowGroupLimit rank-1 cut per doc — the
+    per-group argmax never sorts more than each doc's own terms."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    from ..operators.text import tokens_col
+
+    tf = (
+        t.documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = t.documents.count()
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            (F.col("tfidf") + 0.0).alias("top_tfidf"),
+        )
+    )
