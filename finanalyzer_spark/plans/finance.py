@@ -528,3 +528,56 @@ def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_vm") > 0)
         .drop("_vm")
     )
+
+
+@query(
+    "realized_volatility",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_partkey,
+               l_extendedprice / lag(l_extendedprice) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+               ) - 1.0 AS ret
+        FROM lineitem
+    )
+    SELECT l_partkey,
+           count(ret) AS n_returns,
+           round(stddev_samp(ret), 6) + 0.0 AS vol,
+           round(avg(ret), 6) + 0.0 AS mean_ret,
+           round(stddev_samp(ret) * sqrt(252.0), 6) + 0.0 AS vol_annualized
+    FROM r
+    GROUP BY l_partkey
+    HAVING count(ret) >= 2
+    """,
+    tags=("finance", "window", "risk"),
+)
+def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per ticker: stddev of simple period returns
+    with the sqrt-252 annualization — the risk denominator under every
+    Sharpe ratio, completing the indicator set (drawdown = path risk,
+    beta = systematic risk, this = total risk).
+
+    Scale shape: one lag over the (ticker, time) sort, then a keyed
+    aggregate with map-side partials; the HAVING guard drops
+    single-observation tickers identically on both engines."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wl = W.partitionBy("l_partkey").orderBy(*order)
+    r = t.lineitem.select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice") / F.lag("l_extendedprice").over(wl) - 1.0
+        ).alias("ret"),
+    )
+    return (
+        r.groupBy("l_partkey")
+        .agg(
+            F.count("ret").alias("n_returns"),
+            (F.round(F.stddev_samp("ret"), 6) + 0.0).alias("vol"),
+            (F.round(F.avg("ret"), 6) + 0.0).alias("mean_ret"),
+            (
+                F.round(F.stddev_samp("ret") * F.sqrt(F.lit(252.0)), 6) + 0.0
+            ).alias("vol_annualized"),
+        )
+        .where(F.col("n_returns") >= 2)
+    )
