@@ -581,6 +581,29 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["Window", "HashAggregate"],
         "must_not": ["Join", "Generate"],
     },
+    "zipf_slope_fit": {
+        # vocab agg → bounded TakeOrdered(200) → rank window + bivariate
+        # agg over 200 rows; no join
+        "must": ["TakeOrderedAndProject", "HashAggregate"],
+        "must_not": ["Join", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "doc_top_keyword": {
+        # df table broadcast onto the (doc, term) matrix; rank-1 cut
+        # pushes into the shuffle (WindowGroupLimit)
+        "must": ["BroadcastHashJoin", "WindowGroupLimit"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "rfm_segments": {
+        # user aggregate + three ntile windows over user-cardinality
+        # rows; the 1-row 'now' is a deliberate broadcast NL join
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Generate"],
+    },
+    "realized_volatility": {
+        # one lag window + keyed aggregate: single shuffle + sort
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
     "mad_outlier_flags": {
         # both order-statistics tables are checkpointed per-group-row
         # frames broadcast back onto the stream; without the lineage
