@@ -581,3 +581,283 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_returns") >= 2)
     )
+
+
+_BB_N = 20
+
+
+@query(
+    "bollinger_breakouts",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_partkey, l_extendedprice AS px,
+               avg(l_extendedprice) OVER w AS sma,
+               stddev_samp(l_extendedprice) OVER w AS sd,
+               row_number() OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+               ) AS rn
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY {_ORD}
+                     ROWS BETWEEN {_BB_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_partkey,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN px > sma + 2 * sd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_upper,
+           CAST(sum(CASE WHEN px < sma - 2 * sd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_lower,
+           round(avg(4 * sd / sma), 6) + 0.0 AS avg_bandwidth
+    FROM s
+    WHERE rn >= {_BB_N}
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "window", "indicator"),
+)
+def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-row SMA +/- 2 sigma) with per-ticker breakout
+    counts and average relative bandwidth — the volatility-envelope
+    indicator alongside RSI/MACD (reference roadmap: technical
+    indicators, README.md 'Moving averages').
+
+    Only full 20-row windows count (row_number gate), so the result is
+    identical on both engines regardless of how partial leading windows
+    would round.
+
+    Scale shape: a single (ticker, time) window sort feeds sma, sd and
+    row_number; the breakout flags fold into one keyed aggregate with
+    map-side partials. One shuffle total."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wb = (
+        W.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(-(_BB_N - 1), W.currentRow)
+    )
+    wr = W.partitionBy("l_partkey").orderBy(*order)
+    s = t.lineitem.select(
+        "l_partkey",
+        F.col("l_extendedprice").alias("px"),
+        F.avg("l_extendedprice").over(wb).alias("sma"),
+        F.stddev_samp("l_extendedprice").over(wb).alias("sd"),
+        F.row_number().over(wr).alias("rn"),
+    ).where(F.col("rn") >= _BB_N)
+    upper = F.col("sma") + 2 * F.col("sd")
+    lower = F.col("sma") - 2 * F.col("sd")
+    return s.groupBy("l_partkey").agg(
+        F.count("*").alias("n_windows"),
+        F.sum((F.col("px") > upper).cast("long")).alias("n_above_upper"),
+        F.sum((F.col("px") < lower).cast("long")).alias("n_below_lower"),
+        (
+            F.round(F.avg(4 * F.col("sd") / F.col("sma")), 6) + 0.0
+        ).alias("avg_bandwidth"),
+    )
+
+
+_ATR_N = 14
+
+
+@query(
+    "atr_14",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_partkey,
+               l_extendedprice * (1 + l_tax) AS hi,
+               l_extendedprice * (1 - l_discount) AS lo,
+               lag(l_extendedprice) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+               ) AS prev_close
+        FROM lineitem
+    ),
+    tr AS (
+        SELECT l_partkey,
+               greatest(hi - lo, abs(hi - prev_close),
+                        abs(lo - prev_close)) AS tr
+        FROM b WHERE prev_close IS NOT NULL
+    )
+    SELECT l_partkey,
+           count(*) AS n_obs,
+           round(avg(tr), 6) + 0.0 AS avg_tr,
+           round(max(tr), 6) + 0.0 AS max_tr
+    FROM tr
+    GROUP BY l_partkey
+    HAVING count(*) >= {_ATR_N}
+    """,
+    tags=("finance", "window", "indicator"),
+)
+def atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range: per-bar true range
+    greatest(high-low, |high-prev_close|, |low-prev_close|) averaged per
+    ticker (Cutler SMA form, matching rsi_14's convention). High/low are
+    derived deterministically from the fixture's price via the tax and
+    discount rates (FIXTURES.md role map — the fixture carries one price
+    column, so the envelope is synthesized the same way on both
+    engines).
+
+    Scale shape: one lag window over the (ticker, time) sort, then a
+    keyed aggregate; tickers with fewer than 14 ranges drop identically
+    via HAVING."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wl = W.partitionBy("l_partkey").orderBy(*order)
+    px = F.col("l_extendedprice")
+    b = t.lineitem.select(
+        "l_partkey",
+        (px * (1 + F.col("l_tax"))).alias("hi"),
+        (px * (1 - F.col("l_discount"))).alias("lo"),
+        F.lag("l_extendedprice").over(wl).alias("prev_close"),
+    ).where(F.col("prev_close").isNotNull())
+    tr = F.greatest(
+        F.col("hi") - F.col("lo"),
+        F.abs(F.col("hi") - F.col("prev_close")),
+        F.abs(F.col("lo") - F.col("prev_close")),
+    )
+    return (
+        b.select("l_partkey", tr.alias("tr"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_obs"),
+            (F.round(F.avg("tr"), 6) + 0.0).alias("avg_tr"),
+            (F.round(F.max("tr"), 6) + 0.0).alias("max_tr"),
+        )
+        .where(F.col("n_obs") >= _ATR_N)
+    )
+
+
+@query(
+    "sharpe_sortino",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_partkey,
+               l_extendedprice / lag(l_extendedprice) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+               ) - 1.0 AS ret
+        FROM lineitem
+    ),
+    a AS (
+        SELECT l_partkey,
+               count(ret) AS n_returns,
+               avg(ret) AS mu,
+               stddev_samp(ret) AS sd,
+               sqrt(avg(CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END))
+                   AS dd
+        FROM r
+        GROUP BY l_partkey
+        HAVING count(ret) >= 2 AND stddev_samp(ret) > 0
+    )
+    SELECT l_partkey, n_returns,
+           round(mu / sd * sqrt(252.0), 6) + 0.0 AS sharpe,
+           round(CASE WHEN dd > 0 THEN mu / dd * sqrt(252.0) END, 6) + 0.0
+               AS sortino
+    FROM a
+    """,
+    tags=("finance", "risk"),
+)
+def sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios per ticker (risk-free rate
+    0): Sharpe divides mean return by total volatility, Sortino by the
+    downside semi-deviation sqrt(E[min(ret,0)^2]) — the pair every
+    portfolio screen ranks by, built on realized_volatility's return
+    series.
+
+    Scale shape: one lag window + one keyed aggregate; the downside
+    branch is a CASE inside the same map-side partial, no second
+    pass."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wl = W.partitionBy("l_partkey").orderBy(*order)
+    r = t.lineitem.select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice") / F.lag("l_extendedprice").over(wl) - 1.0
+        ).alias("ret"),
+    )
+    ret = F.col("ret")
+    a = (
+        r.groupBy("l_partkey")
+        .agg(
+            F.count("ret").alias("n_returns"),
+            F.avg("ret").alias("mu"),
+            F.stddev_samp("ret").alias("sd"),
+            F.sqrt(
+                F.avg(F.when(ret < 0, ret * ret).otherwise(F.lit(0.0)))
+            ).alias("dd"),
+        )
+        .where((F.col("n_returns") >= 2) & (F.col("sd") > 0))
+    )
+    ann = F.sqrt(F.lit(252.0))
+    return a.select(
+        "l_partkey",
+        "n_returns",
+        (F.round(F.col("mu") / F.col("sd") * ann, 6) + 0.0).alias("sharpe"),
+        (
+            F.round(
+                F.when(F.col("dd") > 0, F.col("mu") / F.col("dd") * ann), 6
+            )
+            + 0.0
+        ).alias("sortino"),
+    )
+
+
+@query(
+    "vwap_premium",
+    oracle="""
+    WITH c AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    a AS (
+        SELECT l_partkey, count(*) AS n_obs,
+               sum(cents * qty) AS pv, sum(qty) AS v, sum(cents) AS c
+        FROM c GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_obs,
+           CAST(pv * 10000 // v AS DOUBLE) / 1e6 AS vwap,
+           CAST(c * 10000 // n_obs AS DOUBLE) / 1e6 AS mean_px,
+           CAST(c * v * 1000000 // (n_obs * pv) - 1000000 AS BIGINT)
+               AS premium_ppm
+    FROM a
+    """,
+    tags=("finance",),
+)
+def vwap_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ticker (volume = l_quantity,
+    FIXTURES.md role map) and the premium of the unweighted mean price
+    over it — the execution-quality benchmark (TWAP vs VWAP gap).
+
+    Everything runs in exact integer cents (prices are 2-decimal
+    money, the quantities integral): sums, the micro-dollar quotients
+    and the ppm premium are integer arithmetic end-to-end, because the
+    float quotients land exactly on decimal half-boundaries for small
+    groups, where cross-engine round() tie-breaking (decimal-string
+    HALF_UP vs binary) is flaky by construction.
+
+    Scale shape: a pure one-pass keyed aggregate — three partial sums,
+    map-side combined, one shuffle; no window, no join."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    a = (
+        t.lineitem.select(
+            "l_partkey", cents.alias("cents"), qty.alias("qty")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.col("cents") * F.col("qty")).alias("pv"),
+            F.sum("qty").alias("v"),
+            F.sum("cents").alias("c"),
+        )
+    )
+    return a.select(
+        "l_partkey",
+        "n_obs",
+        (F.expr("pv * 10000 div v").cast("double") / 1e6).alias("vwap"),
+        (
+            F.expr("c * 10000 div n_obs").cast("double") / 1e6
+        ).alias("mean_px"),
+        F.expr("c * v * 1000000 div (n_obs * pv) - 1000000").alias(
+            "premium_ppm"
+        ),
+    )
