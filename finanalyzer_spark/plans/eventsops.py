@@ -1012,3 +1012,206 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy(
         F.concat_ws("-", "r", "f", "m").alias("segment")
     ).agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "dau_stickiness",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM user_days),
+    dau AS (
+        SELECT d, count(DISTINCT user_id) AS dau FROM user_days GROUP BY d
+    ),
+    wau AS (
+        SELECT days.d, count(DISTINCT u.user_id) AS wau
+        FROM days JOIN user_days u
+          ON u.d <= days.d AND u.d >= days.d - INTERVAL 6 DAY
+        GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    tags=("events", "analytics"),
+)
+def dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness per day — the product-
+    analytics engagement headline. Distinct user-days collapse first
+    (the only pass over raw events); the trailing-7-day active set is
+    a range join of that small frame against the distinct-day list.
+
+    Scale shape: raw events reduce to |users|x|days| pairs in one
+    map-side-combined distinct; the range join broadcasts the day
+    list (one row per day — tiny forever) so the 7x expansion happens
+    without a shuffle, then one keyed count-distinct. Stickiness is
+    integer ppm — no float rounding to tie-break cross-engine."""
+    t = load(spark, sf_dir)
+    user_days = t.events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    days = user_days.select("d").distinct()
+    dau = user_days.groupBy("d").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        user_days.alias("u")
+        .join(
+            F.broadcast(days.select(F.col("d").alias("dd"))),
+            (F.col("u.d") <= F.col("dd"))
+            & (F.col("u.d") >= F.date_sub(F.col("dd"), 6)),
+        )
+        .groupBy("dd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == F.col("dd"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
+        )
+    )
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INTEGER) AS anchor
+        FROM user_days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, count(*) AS len
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM streaks
+    GROUP BY user_id
+    """,
+    tags=("events", "analytics", "window"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands construction: distinct user-days, then
+    `day - row_number()` is constant within a consecutive run, so one
+    groupBy on that anchor measures every streak.
+
+    Scale shape: events collapse to user-days first; the window sort
+    partitions by user (bounded rows each); two keyed aggregates, all
+    map-side combinable. No self-join — the naive adjacency approach
+    would be one."""
+    t = load(spark, sf_dir)
+    user_days = t.events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = user_days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+@query(
+    "session_duration_percentiles",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               (sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::BIGINT AS session_seq
+        FROM g
+    ),
+    durs AS (
+        SELECT user_id, session_seq,
+               date_diff('microsecond', min(ts), max(ts)) AS dur_us,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, session_seq
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_event,
+           round(quantile_cont(dur_us / 1e6, 0.5), 4) + 0.0 AS p50_sec,
+           round(quantile_cont(dur_us / 1e6, 0.9), 4) + 0.0 AS p90_sec,
+           round(max(dur_us) / 1e6, 4) + 0.0 AS max_sec
+    FROM durs
+    """,
+    tags=("events", "sessionize", "percentile"),
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session durations — composes the sessionize
+    labeling (same 30-minute gap rule as `sessionize_events`) with
+    exact linear-interpolation percentiles (`percentile` in Spark ==
+    `quantile_cont` in DuckDB); durations are exact microsecond
+    integers until the final unit conversion.
+
+    Scale shape: one (user, time) window sort shared by lag and the
+    running sum, one keyed aggregate to session rows, then a single
+    global aggregate of one small row per session. The global
+    percentile is exact — at a 100 TB event scale you'd swap in
+    `approx_percentile` (the KLL family is covered by
+    `approx_quantiles_bounded`)."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
+    g = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_session"),
+    )
+    s = g.select(
+        "user_id", "ts", F.sum("new_session").over(wrun).alias("session_seq")
+    )
+    durs = s.groupBy("user_id", "session_seq").agg(
+        (
+            F.unix_micros(F.max("ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.min("ts").cast("timestamp_ltz"))
+        ).alias("dur_us"),
+        F.count("*").alias("n_events"),
+    )
+    return durs.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") > 1).cast("long")).alias("n_multi_event"),
+        (
+            F.round(F.expr("percentile(dur_us / 1e6, 0.5)"), 4) + 0.0
+        ).alias("p50_sec"),
+        (
+            F.round(F.expr("percentile(dur_us / 1e6, 0.9)"), 4) + 0.0
+        ).alias("p90_sec"),
+        (F.round(F.max("dur_us") / 1e6, 4) + 0.0).alias("max_sec"),
+    )

@@ -840,3 +840,85 @@ def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tiebreak=["near_orderkey"],
         direction="nearest",
     ).select("event_id", "user_id", "near_orderkey", "near_totalprice")
+
+
+@query(
+    "basket_pair_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_cnt AS (
+        SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY l_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.pair_cnt,
+           CAST(p.pair_cnt * n.n_orders * 1000000
+                // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN item_cnt ca ON ca.l_partkey = p.part_a
+    JOIN item_cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+    tags=("join", "analytics", "basket"),
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: co-occurrence counts of part pairs
+    within an order plus the lift statistic
+    P(a,b) / (P(a) P(b)) = pair_cnt * n_orders / (cnt_a * cnt_b) —
+    the candidate-pair step of association-rule mining (a-priori),
+    with min-support 2. Lift is exact integer ppm (the ratio of small
+    integers lands on decimal halves, where float rounding is
+    cross-engine-flaky).
+
+    Scale shape: baskets dedup first (one shuffle on orderkey); the
+    pair expansion is a self-equi-join on orderkey — co-partitioned,
+    so it adds NO extra shuffle after the dedup — and is bounded by
+    C(basket_size, 2) with TPC-H basket size <= 7. The canonical
+    a < b ordering halves the pairs and makes the output
+    deterministic. Item counts broadcast back onto the (much smaller)
+    surviving pair list; the order total is a scalar literal join."""
+    t = load(spark, sf_dir)
+    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_cnt = baskets.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_cnt.select(F.col("l_partkey").alias("part_a"),
+                                        F.col("cnt").alias("cnt_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item_cnt.select(F.col("l_partkey").alias("part_b"),
+                                        F.col("cnt").alias("cnt_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.expr(
+                "pair_cnt * n_orders * 1000000 div (cnt_a * cnt_b)"
+            ).alias("lift_ppm"),
+        )
+    )
