@@ -25,3 +25,4 @@ from . import retrieval  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import profile  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401

@@ -1215,3 +1215,88 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_sec"),
         (F.round(F.max("dur_us") / 1e6, 4) + 0.0).alias("max_sec"),
     )
+
+
+@query(
+    "funnel_conversion_lag",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    lags AS (
+        SELECT p.user_id,
+               date_diff('microsecond', v.t_view, p.t_purchase) AS lag_us
+        FROM p JOIN v ON v.user_id = p.user_id
+    ),
+    r AS (
+        SELECT lag_us,
+               row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM lags
+    )
+    SELECT max(n) AS n_converted,
+           max(CASE WHEN rn = (n + 1) // 2 THEN lag_us END) AS p50_lag_us,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END)
+               AS p90_lag_us,
+           max(lag_us) AS max_lag_us
+    FROM r
+    """,
+    tags=("events", "funnel", "percentile"),
+)
+def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from first view to first subsequent purchase per user, with
+    discrete p50/p90 — the funnel-latency companion to
+    `conversion_funnel` (which counts stages, not delays). Percentile
+    positions use pure integer arithmetic (ceil(q*n) as (q_num*n +
+    q_den-1) // q_den): float `0.9 * n` is NOT exact and can push
+    ceil() off by one between engines; the microsecond lags stay
+    integer end-to-end — no rounding anywhere.
+
+    Scale shape: two keyed min-aggregates over filtered scans, a keyed
+    join, then a global window over one row per CONVERTED user (the
+    small end of the funnel). At full scale the discrete percentile
+    would swap to approx_percentile; the exact form here is the
+    oracle-checkable contract."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lags = p.join(v, "user_id").select(
+        "user_id",
+        (
+            F.unix_micros(F.col("t_purchase").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("t_view").cast("timestamp_ltz"))
+        ).alias("lag_us"),
+    )
+    r = lags.select(
+        "lag_us",
+        F.row_number().over(W.orderBy("lag_us", "user_id")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").alias("n_converted"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) div 2"), F.col("lag_us"))
+        ).alias("p50_lag_us"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("lag_us"))
+        ).alias("p90_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+    )

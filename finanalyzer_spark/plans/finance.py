@@ -861,3 +861,83 @@ def vwap_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
             "premium_ppm"
         ),
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT d, x,
+               row_number() OVER (ORDER BY d) AS k,
+               sum(x) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               count(*) OVER () AS n,
+               sum(x) OVER () AS total
+        FROM daily
+    ),
+    c AS (
+        SELECT strftime(d, '%Y-%m-%d') AS cp_day,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(abs(n * cum - k * total) AS BIGINT) AS s_abs,
+               CAST(cum * 1000000 // k AS BIGINT) AS mean_before_ucents,
+               CAST(CASE WHEN k < n
+                    THEN (total - cum) * 1000000 // (n - k) END AS BIGINT)
+                   AS mean_after_ucents
+        FROM s
+    )
+    SELECT * FROM c ORDER BY s_abs DESC, cp_day ASC LIMIT 1
+    """,
+    tags=("finance", "timeseries", "changepoint"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily revenue series: the
+    day k maximizing |n*cum_k - k*total| — the scaled cumulative
+    deviation from the global mean (the classic offline CUSUM
+    statistic, scaled by n to stay in exact integer cents; the
+    unscaled S_k = cum_k - k*mean is this divided by n). Output is the
+    argmax day with segment means on each side in integer
+    micro-cents.
+
+    Scale shape: the raw fact scan reduces to ONE ROW PER DAY first
+    (map-side-combined sum of integer cents); every window after that
+    runs over the daily series — thousands of rows for years of data,
+    a deliberate single-partition sort of a pre-aggregated frame, not
+    of raw facts. Tie-break on earliest day makes the argmax
+    deterministic."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    word = W.orderBy("d")
+    wrun = word.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    s = daily.select(
+        "d",
+        F.row_number().over(word).alias("k"),
+        F.sum("x").over(wrun).alias("cum"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("total"),
+    )
+    c = s.select(
+        F.date_format("d", "yyyy-MM-dd").alias("cp_day"),
+        F.col("n").alias("n_days"),
+        F.abs(
+            F.col("n") * F.col("cum") - F.col("k") * F.col("total")
+        ).alias("s_abs"),
+        F.expr("cum * 1000000 div k").alias("mean_before_ucents"),
+        F.expr(
+            "CASE WHEN k < n THEN (total - cum) * 1000000 div (n - k) END"
+        ).alias("mean_after_ucents"),
+    )
+    return c.orderBy(F.col("s_abs").desc(), F.col("cp_day").asc()).limit(1)

@@ -1,0 +1,131 @@
+"""Count-min sketch over a portable hash — the frequency sketch that
+completes the approximate-counting family (HLL = distinct, KLL =
+quantiles, Misra-Gries = heavy-hitter candidates, CMS = point
+frequency estimates).
+
+Unlike engine-native sketches (`approx_count_distinct`,
+`approx_percentile`) the CMS here is built from first principles on a
+PORTABLE hash (md5 prefix, the repo's cross-engine determinism
+convention — operators/sampling.py) so the DuckDB oracle replicates
+the sketch bit-for-bit: the check is exact equality of estimates, not
+just an error contract.
+
+Reference parity: the reference has no sketches at all (SQLite exact
+aggregates only); this is part of the 100 TB extension surface, where
+exact per-key counting of a hot stream is the thing you CAN'T do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+#: sketch geometry: d independent hash rows x w buckets. w = 256 on a
+#: 2000-key fixture FORCES collisions (~8 keys/bucket) so the
+#: overcount path is actually exercised; at production scale w ~ 2^16+
+#: and the sketch is a few hundred KB per executor — mergeable by
+#: simple addition, groupBy-reducible.
+_CMS_D = 4
+_CMS_W = 256
+_TOP = 10
+
+
+def _bucket_spark(i: int):
+    key = F.concat(F.lit(f"cms{i}|"), F.col("l_partkey").cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _CMS_W
+    )
+
+
+def _bucket_sql(i: int) -> str:
+    return (
+        f"('0x' || substr(md5('cms{i}|' || l_partkey::VARCHAR), 1, 8))"
+        f"::BIGINT % {_CMS_W}"
+    )
+
+
+_SEEDS = ", ".join(f"({i})" for i in range(_CMS_D))
+_B_CASE = (
+    "CASE s.i "
+    + " ".join(f"WHEN {i} THEN {_bucket_sql(i)}" for i in range(_CMS_D))
+    + " END"
+)
+
+
+@query(
+    "cms_frequency_estimates",
+    oracle=f"""
+    WITH incr AS (
+        SELECT l_partkey, s.i, {_B_CASE} AS b
+        FROM lineitem CROSS JOIN (VALUES {_SEEDS}) AS s(i)
+    ),
+    counters AS (
+        SELECT i, b, count(*) AS cnt FROM incr GROUP BY i, b
+    ),
+    exact AS (
+        SELECT l_partkey, count(*) AS exact_cnt
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY exact_cnt DESC, l_partkey ASC LIMIT {_TOP}
+    ),
+    probes AS (
+        SELECT e.l_partkey, e.exact_cnt, s.i, {_B_CASE} AS b
+        FROM exact e CROSS JOIN (VALUES {_SEEDS}) AS s(i)
+    )
+    SELECT p.l_partkey, p.exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS est_cnt,
+           CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN counters c ON c.i = p.i AND c.b = p.b
+    GROUP BY p.l_partkey, p.exact_cnt
+    """,
+    tags=("sketch", "frequency"),
+)
+def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows, w=256 buckets) frequency estimates
+    for the exact top-10 keys. Build: one pass over the fact table
+    explodes each row into d (row, bucket) increments (posexplode of a
+    literal array — stays in codegen), then ONE groupBy builds every
+    counter. Probe: the d candidate buckets per key join the counter
+    table; the estimate is the min across rows — always >= exact (CMS
+    never undercounts), the `overcount` column shows collision
+    inflation.
+
+    Scale shape: counters are at most d*w rows regardless of input
+    size (mergeable by addition — the same shape as the HLL rollup);
+    the probe side is 10 keys broadcast against a d*w-row table. The
+    md5-prefix hash is the repo's portable-hash convention, so the
+    oracle rebuilds the identical sketch and the comparison is exact,
+    not probabilistic."""
+    t = load(spark, sf_dir)
+    li = t.lineitem
+    incr = li.select(
+        "l_partkey",
+        F.posexplode(
+            F.array(*[_bucket_spark(i) for i in range(_CMS_D)])
+        ).alias("i", "b"),
+    )
+    counters = incr.groupBy("i", "b").agg(F.count("*").alias("cnt"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc())
+        .limit(_TOP)
+    )
+    probes = exact.select(
+        "l_partkey",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_bucket_spark(i) for i in range(_CMS_D)])
+        ).alias("i", "b"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, ["i", "b"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(
+            F.min("cnt").alias("est_cnt"),
+            (F.min("cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
