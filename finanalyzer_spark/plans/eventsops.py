@@ -1300,3 +1300,135 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_lag_us"),
         F.max("lag_us").alias("max_lag_us"),
     )
+
+
+@query(
+    "event_entropy_per_user",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    u AS (
+        SELECT user_id, sum(n) AS total, count(*) AS n_types
+        FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(max(u.total) AS BIGINT) AS n_events,
+           CAST(max(u.n_types) AS BIGINT) AS n_types,
+           round(-sum((n / CAST(total AS DOUBLE))
+                      * log2(n / CAST(total AS DOUBLE))), 6) + 0.0
+               AS entropy_bits
+    FROM c JOIN u ON u.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+    tags=("events", "analytics", "entropy"),
+)
+def event_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type distribution —
+    the behavioral-diversity profile feature (bots score ~0, organic
+    users near log2(5)). Two stacked keyed aggregates; the entropy sum
+    runs over at most |event_types| rows per user.
+
+    Scale shape: both groupBys share the user_id shuffle key (one
+    exchange, reused); counts stay integers until the final p*log2(p)
+    map. log2 of a small-int ratio never terminates in decimal, so the
+    round-6 comparison has no half-boundary flake exposure."""
+    t = load(spark, sf_dir)
+    c = t.events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_types")
+    )
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        c.join(u, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("total").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+            (F.round(-F.sum(p * F.log2(p)), 6) + 0.0).alias("entropy_bits"),
+        )
+    )
+
+
+@query(
+    "repeat_purchase_interval",
+    oracle="""
+    WITH per AS (
+        SELECT l.l_partkey, o.o_custkey,
+               CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    gaps AS (
+        SELECT l_partkey, o_custkey,
+               date_diff('day', lag(d) OVER (
+                   PARTITION BY l_partkey, o_custkey ORDER BY d
+               ), d) AS gap_days
+        FROM per
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    r AS (
+        SELECT gap_days,
+               row_number() OVER (ORDER BY gap_days) AS rn,
+               count(*) OVER () AS n
+        FROM g
+    )
+    SELECT max(n) AS n_repeat_pairs,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS BIGINT)
+               AS p50_gap_days,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_days END)
+                AS BIGINT) AS p90_gap_days,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM r
+    """,
+    tags=("events", "analytics", "percentile"),
+)
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between repeat purchases of the same part by the same
+    customer: per (part, customer) ordered purchase days, lag
+    deltas, then integer-exact discrete p50/p90 over all gaps — the
+    replenishment-cycle statistic behind reorder-reminder features.
+
+    Scale shape: the join shuffles on orderkey (co-bucketable); the
+    per-pair dedup and lag share one (part, customer) shuffle; the
+    final global window runs over gap rows only (repeat pairs are a
+    small fraction of the fact table). Integer day arithmetic
+    end-to-end — same no-float-ties convention as
+    funnel_conversion_lag."""
+    t = load(spark, sf_dir)
+    per = (
+        t.lineitem.join(
+            t.orders,
+            t.lineitem.l_orderkey == t.orders.o_orderkey,
+        )
+        .select(
+            "l_partkey",
+            "o_custkey",
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("l_partkey", "o_custkey").orderBy("d")
+    gaps = per.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    r = gaps.select(
+        "gap_days",
+        F.row_number().over(W.orderBy("gap_days")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").alias("n_repeat_pairs"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) div 2"), F.col("gap_days"))
+        ).cast("long").alias("p50_gap_days"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("gap_days"))
+        ).cast("long").alias("p90_gap_days"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

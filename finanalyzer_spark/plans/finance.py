@@ -941,3 +941,60 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_after_ucents"),
     )
     return c.orderBy(F.col("s_abs").desc(), F.col("cp_day").asc()).limit(1)
+
+
+@query(
+    "time_weighted_avg_price",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               date_diff('day',
+                   CAST(l_shipdate AS DATE),
+                   CAST(lead(l_shipdate) OVER (
+                       PARTITION BY l_partkey ORDER BY {_ORD}
+                   ) AS DATE)) AS w_days
+        FROM lineitem
+    )
+    SELECT l_partkey,
+           count(*) AS n_intervals,
+           CAST(sum(w_days) AS BIGINT) AS span_days,
+           CAST(sum(cents * w_days) * 10000
+                // NULLIF(sum(w_days), 0) AS BIGINT) AS twap_ucents
+    FROM s
+    WHERE w_days IS NOT NULL AND w_days > 0
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "window", "timeseries"),
+)
+def time_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE time-weighted average price over an IRREGULAR observation
+    grid: each close is weighted by the days it was the live price
+    (lead-date gap), unlike the per-observation mean in vwap_premium
+    which over-weights densely-sampled periods. Zero-day gaps
+    (same-date duplicate keys in the fixture) drop identically on
+    both engines. Integer cents x integer days end-to-end; the
+    micro-cent output is an exact integer division.
+
+    Scale shape: one lead over the (ticker, time) window sort, one
+    keyed aggregate — identical single-shuffle shape as the other
+    indicators."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wl = W.partitionBy("l_partkey").orderBy(*order)
+    s = t.lineitem.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.datediff(
+            F.to_date(F.lead("l_shipdate").over(wl)),
+            F.to_date("l_shipdate"),
+        ).alias("w_days"),
+    ).where(F.col("w_days").isNotNull() & (F.col("w_days") > 0))
+    return s.groupBy("l_partkey").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("w_days").cast("long").alias("span_days"),
+        F.expr(
+            "CAST(sum(cents * w_days) * 10000"
+            " div nullif(sum(w_days), 0) AS BIGINT)"
+        ).alias("twap_ucents"),
+    )

@@ -16,7 +16,7 @@ driver-side loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -192,3 +192,205 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir)
     return heavy_hitters(t.events, "event_type", support=HH_SUPPORT)
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x,
+               row_number() OVER (ORDER BY x, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(x) OVER () AS total
+        FROM rev
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           CAST((2 * sum(i * x) - (max(n) + 1) * max(total))
+                // NULLIF(max(n) * max(total) // 1000000, 0) AS BIGINT)
+               AS gini_ppm
+    FROM ranked
+    """,
+    tags=("profile", "analytics", "inequality"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the
+    rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    ascending-ranked revenues — the inequality statistic completing
+    the Pareto/ABC family. All integer cents: the ppm output divides
+    by a PRE-SCALED denominator (n*total // 1e6) so every intermediate
+    fits BIGINT at any SF while both engines execute the identical
+    integer steps (documented convention: deterministic integer div,
+    not round(G*1e6)).
+
+    Scale shape: facts reduce to one integer per customer; the global
+    rank window sorts the aggregated frame only; one final aggregate.
+    Same two-phase shape as abc_customer_classes — the sort never
+    touches raw facts."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("x").alias("x"))
+    )
+    ranked = rev.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "o_custkey")).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("x").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.max("total").alias("total_cents"),
+        F.expr(
+            "(2 * sum(i * x) - (max(n) + 1) * max(total))"
+            " div nullif(max(n) * max(total) div 1000000, 0)"
+        ).alias("gini_ppm"),
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds on a 32-bit md5 uniform — the
+#: SAME literals in the Spark plan and the oracle SQL (shared-constant
+#: convention, cf. plans/similarity.py plane literals). k caps at 6
+#: (P[k>6] < 1e-4).
+_POIS_T = (1580030169, 3160060337, 3950075422, 4213413783, 4279248374,
+           4292415292)
+_BOOT_B = 100
+
+
+def _pois_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    reps AS (
+        SELECT b.b, r.x,
+               ('0x' || substr(md5('boot' || b.b::VARCHAR || '|'
+                                   || r.o_custkey::VARCHAR), 1, 8))::BIGINT
+                   AS u
+        FROM rev r CROSS JOIN (
+            SELECT unnest(range({_BOOT_B})) AS b
+        ) b
+    ),
+    means AS (
+        SELECT b,
+               CAST(sum({_pois_case('u')} * x) * 100
+                    // NULLIF(sum({_pois_case('u')}), 0) AS BIGINT)
+                   AS mean_tcents
+        FROM reps GROUP BY b
+    ),
+    ranked AS (
+        SELECT mean_tcents,
+               row_number() OVER (ORDER BY mean_tcents, b) AS rn
+        FROM means
+    ),
+    point AS (
+        SELECT CAST(sum(x) * 100 // count(*) AS BIGINT) AS est FROM rev
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           max(point.est) AS mean_tcents,
+           max(CASE WHEN rn = {(5 * _BOOT_B + 99) // 100}
+               THEN ranked.mean_tcents END) AS ci_lo_tcents,
+           max(CASE WHEN rn = {(95 * _BOOT_B + 99) // 100}
+               THEN ranked.mean_tcents END) AS ci_hi_tcents
+    FROM ranked CROSS JOIN point
+    """,
+    tags=("profile", "stats", "bootstrap"),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) multiplier bootstrap for the mean customer revenue —
+    the distributed bootstrap (each replica reweights rows by an iid
+    Poisson(1) count, the large-n limit of multinomial resampling —
+    the trick that makes bootstrap shuffle-free on a cluster: no
+    resample materialization, just B weighted aggregates in ONE pass).
+    Weights come from the portable md5 hash through a shared
+    inverse-CDF threshold table, so the oracle rebuilds the identical
+    replicas; the 5th/95th replica means bound the 90% CI. Outputs in
+    integer hundredths-of-cents (tcents*100 scaling keeps the integer
+    div exact-deterministic).
+
+    Scale shape: facts reduce to one row per customer; the B-way
+    expansion is a broadcast range join (B tiny literals); one keyed
+    aggregate over (replica) with map-side partials; the final rank
+    window sorts B rows. Nothing driver-side."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("x").alias("x"))
+    )
+    seeds = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = F.lit(6)
+    for kk in range(len(_POIS_T) - 1, -1, -1):
+        k = F.when(F.col("u") < _POIS_T[kk], F.lit(kk)).otherwise(k)
+    reps = rev.crossJoin(F.broadcast(seeds)).select(
+        "b", "x", u.alias("u")
+    )
+    means = (
+        reps.select("b", "x", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "CAST(sum(k * x) * 100 div nullif(sum(k), 0) AS BIGINT)"
+            ).alias("mean_tcents")
+        )
+    )
+    ranked = means.select(
+        "mean_tcents",
+        F.row_number().over(W.orderBy("mean_tcents", "b")).alias("rn"),
+    )
+    point = rev.agg(
+        F.expr("CAST(sum(x) * 100 div count(*) AS BIGINT)").alias("est")
+    )
+    lo_rn = (5 * _BOOT_B + 99) // 100
+    hi_rn = (95 * _BOOT_B + 99) // 100
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .agg(
+            F.count("*").alias("n_replicas"),
+            F.max("est").alias("mean_tcents"),
+            F.max(
+                F.when(F.col("rn") == lo_rn, F.col("mean_tcents"))
+            ).alias("ci_lo_tcents"),
+            F.max(
+                F.when(F.col("rn") == hi_rn, F.col("mean_tcents"))
+            ).alias("ci_hi_tcents"),
+        )
+    )

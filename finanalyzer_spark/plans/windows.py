@@ -593,3 +593,146 @@ def linear_interpolate_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         # floor-based half-up rounding — same doubles as the oracle
         (F.floor(interp * 100 + 0.5) / 100).alias("px_interp"),
     )
+
+
+@query(
+    "abc_customer_classes",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(cents) OVER () AS total
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked
+    )
+    SELECT abc_class,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc_class
+    """,
+    tags=("window", "analytics", "pareto"),
+)
+def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) customer classification: rank customers by revenue
+    descending, take the cumulative share, and split at 80% / 95% —
+    the inventory-management classic, and the canonical
+    cumulative-share window shape. Class boundaries compare integer
+    cents (`cum * 100 <= total * 80`) so no float share is ever
+    computed — the 80% cut is exact.
+
+    Scale shape: the fact scan reduces to one integer row per customer
+    first; the global cumulative window then sorts customers, not
+    facts (a deliberate single-sort of the aggregated frame — at 100 TB
+    you would range-partition that sort, which Spark's global orderBy
+    already does under AQE). Final aggregate is 3 rows."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wcum = W.orderBy(F.col("cents").desc(), F.col("o_custkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(W.partitionBy()).alias("total"),
+    )
+    classed = ranked.select(
+        "cents",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@query(
+    "pareto_front_parts",
+    oracle="""
+    WITH prof AS (
+        SELECT l_partkey,
+               min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS px_cents,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pts AS (
+        SELECT px_cents, total_qty, count(*) AS n_parts,
+               min(l_partkey) AS example_part
+        FROM prof GROUP BY px_cents, total_qty
+    ),
+    sky AS (
+        SELECT px_cents, total_qty, n_parts, example_part,
+               max(total_qty) OVER (
+                   ORDER BY px_cents, total_qty DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_qty_cheaper
+        FROM pts
+    )
+    SELECT px_cents, total_qty, n_parts, example_part
+    FROM sky
+    WHERE best_qty_cheaper IS NULL OR total_qty > best_qty_cheaper
+    """,
+    tags=("window", "analytics", "skyline"),
+)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of parts on (cheapest observed
+    price, total traded quantity): a point survives iff no point
+    is both cheaper-or-equal and strictly better on quantity. The
+    classic O(n log n) sweep: sort by price ascending (quantity
+    descending within ties), keep a point iff its quantity strictly
+    beats the running max of everything cheaper — a single window over
+    the deduplicated point set, NOT the O(n^2) dominance self-join.
+
+    Scale shape: facts reduce to one profile row per part, then to
+    distinct (price, qty) points (two keyed aggregates); the sweep
+    sorts only the point set. Integer cents/quantities end-to-end."""
+    t = load(spark, sf_dir)
+    prof = t.lineitem.groupBy("l_partkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "px_cents"
+        ),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )
+    pts = prof.groupBy("px_cents", "total_qty").agg(
+        F.count("*").alias("n_parts"),
+        F.min("l_partkey").alias("example_part"),
+    )
+    wsweep = W.orderBy(
+        F.col("px_cents").asc(), F.col("total_qty").desc()
+    ).rowsBetween(W.unboundedPreceding, -1)
+    sky = pts.select(
+        "px_cents",
+        "total_qty",
+        "n_parts",
+        "example_part",
+        F.max("total_qty").over(wsweep).alias("best_qty_cheaper"),
+    )
+    return sky.where(
+        F.col("best_qty_cheaper").isNull()
+        | (F.col("total_qty") > F.col("best_qty_cheaper"))
+    ).drop("best_qty_cheaper")

@@ -612,6 +612,110 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["SortMergeJoin", "Generate",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "bollinger_breakouts": {
+        # sma/sd/row_number share ONE (ticker, time) window sort; the
+        # breakout flags fold into a single keyed aggregate
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "atr_14": {
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "sharpe_sortino": {
+        # one lag window + one keyed aggregate; downside branch is a
+        # CASE in the same map-side partial, never a second pass
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "vwap_premium": {
+        # pure one-pass keyed aggregate in exact integer cents
+        "must": ["HashAggregate"],
+        "must_not": ["Window", "Join", "Generate"],
+    },
+    "time_weighted_avg_price": {
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "cusum_changepoint": {
+        # facts reduce to one row per day before the global window;
+        # the argmax is bounded top-1, never a full output sort
+        "must": ["Window", "HashAggregate", "TakeOrderedAndProject"],
+        "must_not": ["Join"],
+    },
+    "dau_stickiness": {
+        # the trailing-7-day range join broadcasts the tiny day list
+        # (deliberate BNLJ on a bounded side); everything else is
+        # keyed hash aggregation
+        "must": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "activity_streaks": {
+        # gaps-and-islands: one keyed window + two keyed aggregates —
+        # no self-join adjacency probe
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "session_duration_percentiles": {
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "funnel_conversion_lag": {
+        # keyed min-aggregates + keyed joins; the global percentile
+        # window runs over one row per converted user only
+        "must": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "event_entropy_per_user": {
+        # both groupBys and the join share the user_id key — hash
+        # joins/aggregates only, no window, no explode
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "Window", "Generate"],
+    },
+    "repeat_purchase_interval": {
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "basket_pair_lift": {
+        # pair expansion is an equi-join on orderkey (hash, bounded by
+        # basket size); item counts broadcast; the only NL join is the
+        # deliberate 1-row order-total scalar
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "abc_customer_classes": {
+        # facts reduce to one integer row per customer BEFORE the
+        # global cumulative window; final aggregate is 3 rows
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "pareto_front_parts": {
+        # O(n log n) skyline sweep: one window over the deduplicated
+        # point set — never the O(n^2) dominance self-join
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "gini_revenue_concentration": {
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "poisson_bootstrap_ci": {
+        # the B-replica expansion is a broadcast of B tiny seed rows
+        # (deliberate BNLJ); weights are codegen md5 expressions —
+        # never a Python worker
+        "must": ["BroadcastNestedLoopJoin", "Window", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython", "SortMergeJoin"],
+    },
+    "cms_frequency_estimates": {
+        # counter build = posexplode + ONE groupBy; probes broadcast;
+        # exact top-k is bounded TakeOrdered, never a full sort
+        "must": ["Generate", "HashAggregate", "BroadcastHashJoin",
+                 "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython", "SortMergeJoin"],
+    },
 }
 
 
