@@ -202,19 +202,23 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
         FROM orders GROUP BY o_custkey
     ),
-    ranked AS (
-        SELECT x,
-               row_number() OVER (ORDER BY x, o_custkey) AS i,
-               count(*) OVER () AS n,
-               sum(x) OVER () AS total
-        FROM rev
+    stats AS (
+        SELECT count(*) AS n, sum(x) AS total FROM rev
+    ),
+    -- INDEPENDENT algorithm: the O(n^2) pairwise identity
+    -- sum_ij |x_i - x_j| == 2*(2*sum(i*x_(i)) - (n+1)*sum(x)); exact
+    -- integer equality (the sum is even by symmetry), so any rank/tie
+    -- bug in the window form is caught by a formula that never ranks
+    pairsum AS (
+        SELECT sum(abs(a.x - b.x)) AS s
+        FROM rev a CROSS JOIN rev b
     )
-    SELECT CAST(max(n) AS BIGINT) AS n_customers,
-           CAST(max(total) AS BIGINT) AS total_cents,
-           CAST((2 * sum(i * x) - (max(n) + 1) * max(total))
-                // NULLIF(max(n) * max(total) // 1000000, 0) AS BIGINT)
+    SELECT CAST(stats.n AS BIGINT) AS n_customers,
+           CAST(stats.total AS BIGINT) AS total_cents,
+           CAST((pairsum.s // 2)
+                // NULLIF(stats.n * stats.total // 1000000, 0) AS BIGINT)
                AS gini_ppm
-    FROM ranked
+    FROM stats CROSS JOIN pairsum
     """,
     tags=("profile", "analytics", "inequality"),
 )

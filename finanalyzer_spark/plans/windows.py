@@ -684,18 +684,18 @@ def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT px_cents, total_qty, count(*) AS n_parts,
                min(l_partkey) AS example_part
         FROM prof GROUP BY px_cents, total_qty
-    ),
-    sky AS (
-        SELECT px_cents, total_qty, n_parts, example_part,
-               max(total_qty) OVER (
-                   ORDER BY px_cents, total_qty DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ) AS best_qty_cheaper
-        FROM pts
     )
+    -- INDEPENDENT algorithm: brute-force O(n^2) dominance test (a
+    -- point is dominated by any cheaper-or-equal point with >= qty,
+    -- other than itself) — catches sweep/tie bugs the window form
+    -- could share with a same-shaped oracle
     SELECT px_cents, total_qty, n_parts, example_part
-    FROM sky
-    WHERE best_qty_cheaper IS NULL OR total_qty > best_qty_cheaper
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.px_cents <= p.px_cents AND q.total_qty >= p.total_qty
+          AND (q.px_cents <> p.px_cents OR q.total_qty <> p.total_qty)
+    )
     """,
     tags=("window", "analytics", "skyline"),
 )
