@@ -33,11 +33,17 @@ _CMS_W = 256
 _TOP = 10
 
 
+def cms_bucket(key_col, i: int, w: int = _CMS_W):
+    """Row i's counter bucket for `key_col` under the portable md5
+    hash — shared by the batch query, the DuckDB oracle generator and
+    the streaming incremental-maintenance twin
+    (streaming.events.streaming_cms_counters)."""
+    key = F.concat(F.lit(f"cms{i}|"), key_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % w
+
+
 def _bucket_spark(i: int):
-    key = F.concat(F.lit(f"cms{i}|"), F.col("l_partkey").cast("string"))
-    return (
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _CMS_W
-    )
+    return cms_bucket(F.col("l_partkey"), i)
 
 
 def _bucket_sql(i: int) -> str:

@@ -310,3 +310,32 @@ def streaming_view_click_join(
         "view_ts",
         "click_ts",
     )
+
+
+def cms_counter_increments(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
+    """(row, bucket) increment stream for a count-min sketch over
+    user_id — shared by the batch and streaming twins below."""
+    from ..plans.sketches import cms_bucket
+
+    return events.select(
+        F.posexplode(
+            F.array(
+                *[cms_bucket(F.col("user_id"), i, w) for i in range(d)]
+            )
+        ).alias("i", "b")
+    )
+
+
+def streaming_cms_counters(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
+    """INCREMENTAL count-min sketch maintenance: the counter matrix is
+    a plain streaming groupBy count over the (row, bucket) increment
+    stream — CMS counters are additive, so micro-batch updates compose
+    exactly (the same mergeability that makes the sketch
+    groupBy-reducible in batch makes it update-mode maintainable in
+    streaming; state is bounded at d*w rows FOREVER, the ideal
+    streaming-aggregate shape: no watermark needed, no state
+    eviction).
+
+    Batch twin: the same increments aggregated in one pass — the test
+    asserts final stream state == batch counters row-for-row."""
+    return cms_counter_increments(events, d, w).groupBy("i", "b").count()

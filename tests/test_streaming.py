@@ -547,3 +547,28 @@ def test_streaming_heavy_hitters_candidates_complete(spark, tmp_path):
     # state is bounded: every bucket holds at most m = 2/support + 1 items
     m = int(2.0 / 0.2) + 1
     assert all(len(b.get("items", {})) <= m for b in latest.values())
+
+
+def test_streaming_cms_counters_equal_batch(spark, events_stream):
+    """CMS counters maintained incrementally over micro-batches ==
+    the one-pass batch sketch (additivity ⇒ exact equality)."""
+    from finanalyzer_spark.streaming.events import (
+        cms_counter_increments,
+        streaming_cms_counters,
+    )
+
+    got = run_to_completion(
+        streaming_cms_counters(events_stream), output_mode="complete"
+    )
+    want = (
+        cms_counter_increments(spark.read.parquet(EVENTS_PATH))
+        .groupBy("i", "b")
+        .count()
+    )
+    keys = ["i", "b"]
+    g, w = _sorted_pdf(got, keys), _sorted_pdf(want, keys)
+    assert len(g) == len(w) > 0
+    assert (g[keys].values == w[keys].values).all()
+    assert (g["count"].values == w["count"].values).all()
+    # bounded-state invariant: at most d*w counter rows
+    assert len(g) <= 4 * 256
