@@ -118,3 +118,53 @@ def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         wedges.join(closing, ["v", "w"], "left_semi")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def kcore(
+    edges_sym: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k, by iterated peeling — drop all nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat until stable.
+    (The classic decomposition; peeling converges because the node set
+    only shrinks.)
+
+    Scale shape per round: one groupBy(src) degree count and one
+    semi-join of the edge frame against the surviving-node frame on
+    BOTH endpoints — all hash-partitioned on node ids, no driver-side
+    state beyond the loop counter and the one-scalar convergence
+    check. Each round `localCheckpoint`s the shrinking edge frame
+    (same lineage-truncation discipline as
+    operators/components.connected_components) so the plan never
+    deepens with the iteration count.
+
+    Returns a (node,) DataFrame. Termination: node count is
+    monotonically non-increasing and integer — at most |V| rounds;
+    `max_iters` is a backstop, not a tuning knob.
+    """
+    e = edges_sym.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    prev_n = None
+    for _ in range(max_iters):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select(
+            F.col("src").alias("node")
+        )
+        # scalar driver round-trip: ONE count for the convergence test
+        n = keep.count()
+        if n == 0:
+            return keep
+        if prev_n is not None and n == prev_n:
+            return keep
+        prev_n = n
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return keep

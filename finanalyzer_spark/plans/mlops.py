@@ -556,3 +556,72 @@ def pca2_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.stddev_samp("pc1"), 2) + 0.0).alias("std_pc1"),
         (F.round(F.any_value("ratio"), 6) + 0.0).alias("var_explained"),
     )
+
+
+@query(
+    "loo_target_encoding",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, sum(x) AS s
+        FROM c GROUP BY l_returnflag, l_linestatus
+    ),
+    enc AS (
+        SELECT c.l_returnflag, c.l_linestatus, g.n,
+               CAST((g.s - c.x) * 10000
+                    // NULLIF(g.n - 1, 0) AS BIGINT) AS enc_ucents
+        FROM c JOIN g ON g.l_returnflag = c.l_returnflag
+                     AND g.l_linestatus = c.l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(enc_ucents) AS BIGINT) AS min_enc_ucents,
+           CAST(max(enc_ucents) AS BIGINT) AS max_enc_ucents,
+           CAST(sum(enc_ucents) // count(*) AS BIGINT) AS avg_enc_ucents
+    FROM enc GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("ml", "encoding"),
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of (returnflag, linestatus) on
+    price: each row's encoding is the category target mean EXCLUDING
+    itself, (S - x_i)/(n - 1) — the leakage-safe categorical encoder
+    (plain target encoding leaks the row's own label; LOO is the
+    standard fix). Integer cents end-to-end; the summary per category
+    pins min/max/avg of the encodings.
+
+    Scale shape: one keyed aggregate builds (n, S) per category (6
+    rows), broadcast back onto the stream — the encoding itself never
+    shuffles row data; the verification rollup reuses the category
+    key. This is how target encoding actually deploys at 100 TB: a
+    tiny statistics table joined into the feature pipeline."""
+    t = load(spark, sf_dir)
+    c = t.lineitem.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
+    )
+    g = c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    enc = c.join(F.broadcast(g), ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.expr(
+            "CAST((s - x) * 10000 div nullif(n - 1, 0) AS BIGINT)"
+        ).alias("enc_ucents"),
+    )
+    return enc.groupBy("l_returnflag", "l_linestatus").agg(
+        F.max("n").alias("n"),
+        F.min("enc_ucents").alias("min_enc_ucents"),
+        F.max("enc_ucents").alias("max_enc_ucents"),
+        F.expr(
+            "CAST(sum(enc_ucents) div count(*) AS BIGINT)"
+        ).alias("avg_enc_ucents"),
+    )

@@ -736,3 +736,149 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_qty_cheaper").isNull()
         | (F.col("total_qty") > F.col("best_qty_cheaper"))
     ).drop("best_qty_cheaper")
+
+
+@query(
+    "calendar_spine_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (
+        SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    filled AS (
+        SELECT spine.d,
+               coalesce(daily.cents, 0) AS cents,
+               coalesce(daily.n_orders, 0) AS n_orders
+        FROM spine LEFT JOIN daily ON daily.d = spine.d
+    )
+    SELECT count(*) AS n_days,
+           CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_days,
+           CAST(max(CASE WHEN n_orders = 0
+                    THEN strftime(d, '%Y-%m-%d') END) AS VARCHAR)
+               AS last_zero_day,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM filled
+    """,
+    tags=("window", "calendar", "gapfill"),
+)
+def calendar_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: generate the continuous date spine
+    between the first and last order day (`sequence()` + explode —
+    the generated dimension every warehouse calendar join needs),
+    left-join the daily revenue rollup onto it, and zero-fill missing
+    days. Complements forward_fill_prices (which carries values; this
+    materializes the missing rows themselves).
+
+    Scale shape: facts reduce to one row per day; the spine explodes
+    from a SINGLE two-scalar row (years of days = thousands of rows —
+    nothing); the fill join is keyed on day. The final aggregate
+    proves the fill (zero-day count + unchanged revenue total)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("cents"), F.count("*").alias("n_orders"))
+    )
+    spine = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("d")
+        )
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+    return filled.agg(
+        F.count("*").alias("n_days"),
+        F.sum((F.col("n_orders") == 0).cast("long")).alias("n_zero_days"),
+        F.max(
+            F.when(
+                F.col("n_orders") == 0, F.date_format("d", "yyyy-MM-dd")
+            )
+        ).alias("last_zero_day"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+_WINSOR_LO, _WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "winsorized_price_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, {_WINSOR_LO}) AS lo,
+               quantile_cont(l_extendedprice, {_WINSOR_HI}) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    wz AS (
+        SELECT l.l_returnflag,
+               least(greatest(l.l_extendedprice, b.lo), b.hi) AS px,
+               CASE WHEN l.l_extendedprice < b.lo
+                      OR l.l_extendedprice > b.hi THEN 1 ELSE 0 END
+                   AS clipped
+        FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           round(avg(px), 4) + 0.0 AS winsorized_mean,
+           round(stddev_samp(px), 4) + 0.0 AS winsorized_std
+    FROM wz GROUP BY l_returnflag
+    """,
+    tags=("window", "robust", "percentile"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p5/p95-clipped) mean and std per return flag — the
+    robust-statistics companion to mad_outlier_flags: instead of
+    FLAGGING outliers it CLIPS them, the standard de-fat-tailing step
+    before training on heavy-tailed features. Exact linear-interpolated
+    percentiles (`percentile` == `quantile_cont`) feed a broadcast
+    clip-bound join.
+
+    Scale shape: the per-group bounds are a 3-row aggregate broadcast
+    back onto the stream; one keyed aggregate after the clip map. At
+    100 TB the exact percentile swaps for approx_percentile — same
+    plan otherwise."""
+    t = load(spark, sf_dir)
+    b = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, {_WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(l_extendedprice, {_WINSOR_HI})").alias("hi"),
+    )
+    wz = t.lineitem.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+        ).alias("px"),
+        (
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi"))
+        )
+        .cast("long")
+        .alias("clipped"),
+    )
+    return wz.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("clipped").alias("n_clipped"),
+        (F.round(F.avg("px"), 4) + 0.0).alias("winsorized_mean"),
+        (F.round(F.stddev_samp("px"), 4) + 0.0).alias("winsorized_std"),
+    )

@@ -1,0 +1,49 @@
+"""k-core decomposition operator vs a pure-Python peeling reference."""
+
+
+
+def _naive_kcore(edges: set[tuple[int, int]], k: int) -> set[int]:
+    """Pure-Python peeling reference on an undirected edge set."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj[node]) < k:
+                for nb in adj.pop(node):
+                    adj[nb].discard(node)
+                changed = True
+    return set(adj)
+
+
+def test_kcore_matches_naive_peel(spark):
+    import random
+
+    from finanalyzer_spark.operators.graph import kcore
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    for k in (2, 3, 4):
+        got = {r.node for r in kcore(e, k).collect()}
+        want = _naive_kcore(edges, k)
+        assert got == want, f"k={k}: {sorted(got)} != {sorted(want)}"
+
+
+def test_kcore_triangle_plus_tail(spark):
+    from finanalyzer_spark.operators.graph import kcore
+
+    # triangle 1-2-3 with a pendant 4: 2-core = the triangle only
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    assert {r.node for r in kcore(e, 2).collect()} == {1, 2, 3}
+    assert kcore(e, 3).count() == 0
