@@ -1432,3 +1432,73 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+@query(
+    "sessions_to_convert",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_type,
+               (sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::BIGINT AS session_seq
+        FROM g
+    ),
+    conv AS (
+        SELECT user_id, min(session_seq) AS conv_session
+        FROM s WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT conv_session AS sessions_to_convert,
+           count(*) AS n_users
+    FROM conv GROUP BY conv_session
+    """,
+    tags=("events", "sessionize", "funnel"),
+)
+def sessions_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sessions until the first purchase: sessionize (same
+    30-minute rule as sessionize_events), find each converting user's
+    first purchase-bearing session ordinal, histogram the ordinals —
+    the activation-latency distribution product teams track next to
+    the funnel counts.
+
+    Scale shape: the one (user, time) window sort from the sessionize
+    family, a filtered keyed min, and a tiny histogram groupBy.
+    Session ordinals are integers end-to-end."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
+    g = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_session"),
+    )
+    s = g.select(
+        "user_id",
+        "event_type",
+        F.sum("new_session").over(wrun).alias("session_seq"),
+    )
+    conv = (
+        s.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("session_seq").alias("conv_session"))
+    )
+    return conv.groupBy(
+        F.col("conv_session").alias("sessions_to_convert")
+    ).agg(F.count("*").alias("n_users"))

@@ -135,3 +135,70 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+@query(
+    "approx_topk_contract",
+    oracle=f"""
+    -- error-contract verdict oracle (engine-specific sketch; cf. the
+    -- HLL/KLL precedent): with maxItemsTracked >= the fixture's key
+    -- cardinality the space-saving sketch is provably exact, so every
+    -- contract bit must come back true
+    SELECT CAST({_TOP} AS BIGINT) AS n_items,
+           true AS counts_exact,
+           true AS covers_exact_topk
+    """,
+    tags=("sketch", "frequency", "contract"),
+)
+def approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` (space-saving sketch, the engine-native sibling
+    of the hand-built CMS above) checked against the exact top-k under
+    its accuracy contract: when maxItemsTracked exceeds the number of
+    distinct keys the sketch degenerates to exact counting, so (a)
+    every returned count must equal the exact count and (b) the
+    returned item set must cover the exact top-k (up to count ties at
+    the boundary, which the >=-threshold test admits).
+
+    Scale shape: the sketch is ONE aggregation buffer (mergeable,
+    map-side combined); the exact side is the same groupBy+TakeOrdered
+    as cms_frequency_estimates; both reduce to k rows before the
+    verdict join."""
+    t = load(spark, sf_dir)
+    li = t.lineitem
+    approx = (
+        li.agg(
+            F.expr(
+                f"approx_top_k(l_partkey, {_TOP}, 16384)"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("l_partkey"),
+            F.col("e.count").alias("approx_cnt"),
+        )
+    )
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_cnt"))
+    joined = approx.join(exact, "l_partkey")
+    kth = (
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("l_partkey"))
+        .limit(_TOP)
+        .agg(F.min("exact_cnt").alias("kth_cnt"))
+    )
+    return (
+        joined.crossJoin(F.broadcast(kth))
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum(
+                    (F.col("approx_cnt") != F.col("exact_cnt")).cast("int")
+                )
+                == 0
+            ).alias("counts_exact"),
+            (
+                F.sum(
+                    (F.col("exact_cnt") >= F.col("kth_cnt")).cast("int")
+                )
+                == F.lit(_TOP)
+            ).alias("covers_exact_topk"),
+        )
+    )

@@ -882,3 +882,144 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("px"), 4) + 0.0).alias("winsorized_mean"),
         (F.round(F.stddev_samp("px"), 4) + 0.0).alias("winsorized_std"),
     )
+
+
+_MED_N = 15
+
+
+@query(
+    "rolling_median_price",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_partkey,
+               CAST(quantile_cont(l_extendedprice, 0.5) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN {_MED_N - 1} PRECEDING AND CURRENT ROW
+               ) * 200 AS BIGINT) AS med_halfcents
+        FROM lineitem
+    )
+    SELECT l_partkey,
+           count(*) AS n_obs,
+           CAST(sum(med_halfcents) // count(*) AS BIGINT)
+               AS avg_med_halfcents,
+           CAST(max(med_halfcents) AS BIGINT) AS max_med_halfcents
+    FROM m GROUP BY l_partkey
+    """,
+    tags=("window", "robust", "percentile"),
+)
+def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-row rolling EXACT median per ticker — the robust moving
+    center (a median filter rejects single-tick spikes that drag a
+    rolling mean), via `percentile` as a WINDOW aggregate (==
+    DuckDB's `quantile_cont` over the same frame). The median of
+    2-decimal prices is always a whole half-cent, so `* 200` makes it
+    an exact integer and the per-ticker rollup divides integers —
+    no float rounding anywhere.
+
+    Scale shape: one (ticker, time) window sort; the frame holds 15
+    rows of state per position; the rollup groups on the window's own
+    partition key. Same single-shuffle shape as rolling_avg_price —
+    the holistic median just carries a tiny sorted buffer instead of
+    a running sum."""
+    t = load(spark, sf_dir)
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(_MED_N - 1), W.currentRow)
+    )
+    m = t.lineitem.select(
+        "l_partkey",
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.5)").over(w) * 200, 0
+        )
+        .cast("long")
+        .alias("med_halfcents"),
+    )
+    return m.groupBy("l_partkey").agg(
+        F.count("*").alias("n_obs"),
+        F.expr(
+            "CAST(sum(med_halfcents) div count(*) AS BIGINT)"
+        ).alias("avg_med_halfcents"),
+        F.max("med_halfcents").alias("max_med_halfcents"),
+    )
+
+
+@query(
+    "revenue_decile_profile",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+        FROM rev
+    ),
+    agg AS (
+        SELECT decile, count(*) AS n_customers,
+               sum(cents) AS cents
+        FROM d GROUP BY decile
+    ),
+    tot AS (SELECT sum(cents) AS total FROM agg)
+    SELECT decile,
+           n_customers,
+           CAST(agg.cents AS BIGINT) AS revenue_cents,
+           CAST(agg.cents * 1000000 // tot.total AS BIGINT) AS share_ppm,
+           CAST(sum(agg.cents) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // tot.total AS BIGINT) AS cum_share_ppm
+    FROM agg CROSS JOIN tot
+    """,
+    tags=("window", "analytics", "pareto"),
+)
+def revenue_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift profile: customers cut into revenue deciles
+    (ntile over the aggregated frame), each decile's share and
+    cumulative share of total revenue in integer ppm — the
+    marketing-analytics decile chart, and the fine-grained sibling of
+    abc_customer_classes. The ntile tie-break on customer key makes
+    decile assignment deterministic.
+
+    Scale shape: facts reduce to one integer row per customer; the
+    global ntile sorts the aggregated frame; per-decile rollup is 10
+    rows; the scalar total rides a 1-row broadcast. Integer cents
+    end-to-end."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    d = rev.select(
+        "cents",
+        F.ntile(10)
+        .over(W.orderBy(F.col("cents").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("cents").alias("cents")
+    )
+    tot = agg.agg(F.sum("cents").alias("total"))
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("cents").alias("revenue_cents"),
+            F.expr("cents * 1000000 div total").alias("share_ppm"),
+            F.expr(
+                "CAST(sum(cents) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " * 1000000 div total AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
