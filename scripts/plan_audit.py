@@ -716,6 +716,48 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["CartesianProduct", "BatchEvalPython",
                      "ArrowEvalPython", "SortMergeJoin"],
     },
+    "calendar_spine_fill": {
+        # the spine explodes from ONE two-scalar row; the fill join is
+        # keyed on day against the pre-aggregated daily frame
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "SortMergeJoin", "Window"],
+    },
+    "winsorized_price_stats": {
+        # 3-row percentile-bound table broadcast back onto the stream
+        # (ObjectHashAggregate = the holistic percentile buffers)
+        "must": ["BroadcastHashJoin", "ObjectHashAggregate"],
+        "must_not": ["SortMergeJoin", "Window", "Generate"],
+    },
+    "loo_target_encoding": {
+        # 6-row (n, S) stats table broadcast; the encoding map never
+        # shuffles row data
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Window", "Generate"],
+    },
+    "rolling_median_price": {
+        # holistic median as a window aggregate in the ONE keyed sort
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "revenue_decile_profile": {
+        # ntile over the aggregated frame; the scalar total is the
+        # deliberate 1-row broadcast
+        "must": ["Window", "HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "approx_topk_contract": {
+        # sketch = one ObjectHashAggregate buffer; exact side bounded
+        # TakeOrdered; verdict joins broadcast k-row frames
+        "must": ["ObjectHashAggregate", "TakeOrderedAndProject",
+                 "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "sessions_to_convert": {
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
 }
 
 
