@@ -572,3 +572,82 @@ def test_streaming_cms_counters_equal_batch(spark, events_stream):
     assert (g["count"].values == w["count"].values).all()
     # bounded-state invariant: at most d*w counter rows
     assert len(g) <= 4 * 256
+
+
+def test_watermark_drops_late_beyond_threshold(spark, tmp_path):
+    """Append-mode tumbling aggregation with a 1h watermark: a row
+    arriving in a later micro-batch with event time BELOW the current
+    watermark is dropped — the emitted window count must not include
+    it. This pins the LATENESS semantics themselves, not just
+    stream == batch on in-order data."""
+    import os
+    import uuid
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ts = F.to_timestamp
+
+    def write_one_file(rows, name, mtime):
+        sub = tmp_path / f"stage_{name}"
+        df = spark.createDataFrame(rows, ["ts_s", "user_id"]).select(
+            ts("ts_s").alias("ts"), "user_id"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(sub))
+        part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dst = src / f"{name}.parquet"
+        os.rename(sub / part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 1: on-time rows; their max (12:00) sets the 11:00
+    # watermark — which takes EFFECT two batches later (empirically,
+    # the filter watermark lags the progress-reported one by a batch:
+    # a batch-2 row below batch-1's watermark is still admitted)
+    write_one_file(
+        [("2024-03-01 10:15:00", 1), ("2024-03-01 10:45:00", 2),
+         ("2024-03-01 12:00:00", 3)],
+        "0001", 1_700_000_000,
+    )
+    # batch 2: on-time row, advances the future watermark to 12:00
+    write_one_file([("2024-03-01 13:00:00", 4)], "0002", 1_700_000_100)
+    # batch 3: one LATE row a full window below the NOW-EFFECTIVE
+    # 11:00 watermark (the filter drops by window END, strictly) plus
+    # an on-time row keeping the stream moving
+    write_one_file(
+        [("2024-03-01 08:30:00", 5), ("2024-03-01 14:00:00", 6)],
+        "0003", 1_700_000_200,
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r.window_start.strftime("%H:%M"): r.n
+        for r in spark.table(name).collect()
+    }
+    # [10:00, 11:00) finalized with its 2 on-time rows; the late
+    # 08:30 row was DROPPED — no [08:00) window ever emits
+    assert out.get("10:00") == 2, out
+    assert "08:00" not in out, out
+    # the tail windows ([13,14) and [14,15)) never finalize (the
+    # watermark stops at 13:00), so append mode must not emit them
+    assert "13:00" not in out and "14:00" not in out, out
