@@ -398,3 +398,142 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi_tcents"),
         )
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    v AS (  -- collapse ties BEFORE the running sum: one row per value
+        SELECT l_returnflag, cents, sum(qty) AS qty
+        FROM c GROUP BY l_returnflag, cents
+    ),
+    r AS (
+        SELECT l_returnflag, cents,
+               sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(qty) OVER (PARTITION BY l_returnflag) AS total
+        FROM v
+    )
+    SELECT l_returnflag,
+           CAST(max(total) AS BIGINT) AS total_qty,
+           CAST(min(CASE WHEN cum * 2 >= total THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM r GROUP BY l_returnflag
+    """,
+    tags=("profile", "robust", "percentile"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative traded quantity reaches half the total —
+    the volume-centric center (where half the VOLUME traded at or
+    below), vs the observation-median of rolling_median_price.
+    Integer cents and quantities end-to-end; the threshold compare
+    `cum * 2 >= total` avoids ever forming total/2 as a float.
+
+    Scale shape: ties collapse in a keyed aggregate BEFORE the window
+    (the running sum then walks distinct prices, not raw rows — at
+    2-decimal prices that bounds the sorted frame), one keyed window
+    sort, one final aggregate."""
+    t = load(spark, sf_dir)
+    c = t.lineitem.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    v = c.groupBy("l_returnflag", "cents").agg(F.sum("qty").alias("qty"))
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    r = v.select(
+        "l_returnflag",
+        "cents",
+        F.sum("qty").over(wcum).alias("cum"),
+        F.sum("qty").over(wall).alias("total"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.max("total").alias("total_qty"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("total"), F.col("cents"))
+        ).alias("wmedian_cents"),
+    )
+
+
+@query(
+    "ks_statistic_returned_vs_kept",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in_b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    v AS (
+        SELECT cents, sum(in_a) AS a, sum(in_b) AS b
+        FROM c GROUP BY cents
+    ),
+    r AS (
+        SELECT cents,
+               sum(a) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(b) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(a) OVER () AS na,
+               sum(b) OVER () AS nb
+        FROM v
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_returned,
+           CAST(max(nb) AS BIGINT) AS n_kept,
+           CAST(max(abs(ca * nb - cb * na)) * 1000000
+                // (max(na) * max(nb)) AS BIGINT) AS ks_ppm
+    FROM r
+    """,
+    tags=("profile", "stats"),
+)
+def ks_statistic_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    price distributions of returned (R) and kept (N) lineitems —
+    distribution-drift detection, the two-sample test a data-quality
+    monitor runs between yesterday's and today's feature
+    distributions. D = max |F_a - F_b| over the pooled support,
+    computed as cross-multiplied integer counts |ca*nb - cb*na| so no
+    CDF is ever a float; the ppm output is one integer division.
+
+    Scale shape: both empirical CDFs come from ONE pass — collapse to
+    distinct values with per-group counts, one global ordered window
+    over the (bounded) distinct-value frame, one final max. The
+    pooled sort never touches raw rows."""
+    t = load(spark, sf_dir)
+    c = t.lineitem.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("long").alias("in_a"),
+        (F.col("l_returnflag") == "N").cast("long").alias("in_b"),
+    )
+    v = c.groupBy("cents").agg(
+        F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
+    )
+    wcum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    r = v.select(
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum("b").over(wall).alias("nb"),
+    )
+    return r.agg(
+        F.max("na").alias("n_returned"),
+        F.max("nb").alias("n_kept"),
+        F.expr(
+            "CAST(max(abs(ca * nb - cb * na)) * 1000000"
+            " div (max(na) * max(nb)) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )

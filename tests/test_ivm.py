@@ -100,3 +100,92 @@ def test_noop_refresh_is_stable(spark, tables):
     before = {tuple(r) for r in view.read().collect()}
     refresh_join_view(fact, dim, view, "pk", "k", since_fact=vf, since_dim=vd)
     assert {tuple(r) for r in view.read().collect()} == before
+
+
+# --------------------------------------------------------------------------
+# aggregate-view maintenance by CDF delta application
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def agg_tables(spark, tmp_path):
+    from finanalyzer_spark.pipeline.ivm import bootstrap_agg_view
+
+    src = VersionedTable(spark, str(tmp_path / "agg_src"))
+    view = VersionedTable(spark, str(tmp_path / "agg_view"))
+    # integer cents so incremental == recompute bit-for-bit
+    src.commit(
+        spark.createDataFrame(
+            [(1, "x", 500), (2, "x", 700), (3, "y", 100), (4, "y", 250)],
+            "pk long, grp string, cents long",
+        )
+    )
+    bootstrap_agg_view(src, view, "grp", "cents")
+    return src, view
+
+
+def test_agg_bootstrap_matches_full(spark, agg_tables):
+    from finanalyzer_spark.pipeline.ivm import agg_view_equals_full
+
+    src, view = agg_tables
+    assert agg_view_equals_full(view, src, "grp", "cents")
+
+
+def test_agg_insert_update_delete_and_group_move(spark, agg_tables):
+    from finanalyzer_spark.pipeline.ivm import (
+        agg_view_equals_full,
+        refresh_agg_view,
+    )
+
+    src, view = agg_tables
+    since = src.current_version()
+    # insert pk=5 into y; update pk=2's amount; MOVE pk=3 from y to z;
+    # delete pk=4
+    src.merge(
+        spark.createDataFrame(
+            [(5, "y", 40), (2, "x", 900), (3, "z", 100)],
+            "pk long, grp string, cents long",
+        ),
+        keys=["pk"],
+    )
+    src.delete_where("pk = 4")
+    refresh_agg_view(src, view, ["pk"], "grp", "cents", since=since)
+    assert agg_view_equals_full(view, src, "grp", "cents")
+    rows = {
+        (r["grp"], r["n_rows"], r["total"]) for r in view.read().collect()
+    }
+    assert rows == {("x", 2, 1400), ("y", 1, 40), ("z", 1, 100)}
+
+
+def test_agg_group_vanishes_at_zero_count(spark, agg_tables):
+    from finanalyzer_spark.pipeline.ivm import (
+        agg_view_equals_full,
+        refresh_agg_view,
+    )
+
+    src, view = agg_tables
+    since = src.current_version()
+    src.delete_where("grp = 'y'")
+    refresh_agg_view(src, view, ["pk"], "grp", "cents", since=since)
+    assert agg_view_equals_full(view, src, "grp", "cents")
+    assert {r["grp"] for r in view.read().collect()} == {"x"}
+
+
+def test_agg_refresh_is_cumulative_across_rounds(spark, agg_tables):
+    from finanalyzer_spark.pipeline.ivm import (
+        agg_view_equals_full,
+        refresh_agg_view,
+    )
+
+    src, view = agg_tables
+    for batch in (
+        [(6, "x", 11)],
+        [(7, "z", 22), (6, "x", 33)],  # second round also updates pk=6
+    ):
+        since = src.current_version()
+        src.merge(
+            spark.createDataFrame(batch, "pk long, grp string, cents long"),
+            keys=["pk"],
+        )
+        refresh_agg_view(src, view, ["pk"], "grp", "cents", since=since)
+        assert agg_view_equals_full(view, src, "grp", "cents")
