@@ -758,6 +758,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["Window", "HashAggregate"],
         "must_not": ["Join", "Generate"],
     },
+    "weighted_median_price": {
+        # ties collapse in a keyed aggregate BEFORE the window sort
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "ks_statistic_returned_vs_kept": {
+        # both CDFs from one pass over the distinct-value frame
+        "must": ["Window", "HashAggregate",
+                 "PushedFilters: [In(l_returnflag"],
+        "must_not": ["Join", "Generate"],
+    },
 }
 
 
