@@ -90,15 +90,17 @@ def decode_wav(buf: bytes):
     IBM/Microsoft Multimedia Programming Interface spec).
 
     Returns (sample_rate, samples) with samples shaped
-    (n_frames, n_channels) int16. ValueError on non-WAV payloads;
-    NotImplementedError for compressed / non-16-bit encodings."""
+    (n_frames, n_channels) int16. Also decodes G.711 mu-law (WAVE
+    format 7, 8-bit — the telephony codec; expansion per ITU-T G.711)
+    to the same int16 range. ValueError on non-WAV payloads;
+    NotImplementedError for other compressed encodings."""
     import struct
 
     import numpy as np
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, channels, data = 12, None, None, None
+    pos, rate, channels, data, fmt = 12, None, None, None, None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
@@ -108,20 +110,55 @@ def decode_wav(buf: bytes):
                 raise ValueError(f"fmt chunk too short ({len(body)} < 16 bytes)")
             audio_format, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if audio_format != 1 or bits != 16:
+            if not (
+                (audio_format == 1 and bits == 16)
+                or (audio_format == 7 and bits == 8)
+            ):
                 raise NotImplementedError(
-                    f"only PCM-16 supported (format={audio_format}, bits={bits})"
+                    f"only PCM-16 and mu-law supported"
+                    f" (format={audio_format}, bits={bits})"
                 )
-            if channels == 0:
-                raise ValueError("fmt chunk declares 0 channels")
+            fmt = audio_format
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if channels == 0:
+        raise ValueError("fmt chunk declares 0 channels")
+    if fmt == 7:
+        u = np.frombuffer(data, dtype=np.uint8)
+        n = (len(u) // channels) * channels
+        samples = _mulaw_expand(u[:n]).reshape(-1, channels)
+        return rate, samples
     n = (len(data) // (2 * channels)) * 2 * channels
     samples = np.frombuffer(data[:n], dtype="<i2").reshape(-1, channels)
     return rate, samples
+
+
+def _mulaw_expand(u):
+    """ITU-T G.711 mu-law byte -> linear int16 expansion (vectorized).
+    Inverse of _mulaw_compress up to the codec's quantization."""
+    import numpy as np
+
+    u = (~u) & 0xFF
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa.astype(np.int32) << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _mulaw_compress(pcm):
+    """Linear int16 -> mu-law byte (test-side encoder twin)."""
+    import numpy as np
+
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
 
 
 def demux_y4m(buf: bytes):
@@ -186,6 +223,98 @@ def encode_wav_pcm16(pcm: bytes, rate: int = 8000, channels: int = 1) -> bytes:
         + b"data"
         + struct.pack("<I", len(pcm))
         + pcm
+    )
+
+
+def encode_wav_mulaw(pcm16, rate: int = 8000, channels: int = 1) -> bytes:
+    """RIFF/WAVE container around G.711 mu-law bytes (format 7) —
+    the test-side twin of decode_wav's mu-law branch."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pcm16, dtype=np.int16).reshape(-1)
+    u = _mulaw_compress(arr).tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 18 + 8 + len(u))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 18)
+        + struct.pack(
+            "<HHIIHHH", 7, channels, rate, rate * channels, channels, 8, 0
+        )
+        + b"data"
+        + struct.pack("<I", len(u))
+        + u
+    )
+
+
+def decode_bmp(buf: bytes):
+    """Pure-numpy decoder for uncompressed 24-bit Windows BMP (BITMAP
+    file header + BITMAPINFOHEADER, BI_RGB) — the third real image
+    codec next to PPM, exercising the format quirks PPM lacks:
+    4-byte row padding, bottom-up row order (positive height),
+    BGR channel order.
+
+    Returns an (h, w, 3) uint8 RGB array. ValueError on non-BMP
+    payloads; NotImplementedError for compressed / non-24-bit BMPs."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM" or len(buf) < 54:
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    header_size = struct.unpack_from("<I", buf, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError(f"BMP header size {header_size} unsupported")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp},"
+            f" compression={compression})"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    need = data_offset + row_size * h
+    if len(buf) < need:
+        raise ValueError(f"truncated BMP ({len(buf)} < {need} bytes)")
+    rows = (
+        np.frombuffer(buf, dtype=np.uint8, count=row_size * h, offset=data_offset)
+        .reshape(h, row_size)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp24(arr) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP writer (test twin)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = row_size - w * 3
+    body = b"".join(
+        a[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    pixel_offset = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", pixel_offset + len(body), 0, 0, pixel_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + body
     )
 
 

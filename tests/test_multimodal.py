@@ -289,3 +289,63 @@ def test_extract_patches_resizes_arbitrary_input(spark):
     rows = extract_patches(df, patch=4, grid_h=3, grid_w=2).collect()
     assert len(rows) == 6
     assert all(len(r["patch"]) == 4 * 4 * 3 for r in rows)
+
+
+def test_decode_bmp_roundtrip_and_quirks():
+    """BMP: 4-byte row padding (odd widths), bottom-up row order, and
+    BGR channel order all round-trip exactly through the pure-numpy
+    codec; top-down (negative height) files decode too."""
+    import struct
+
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import decode_bmp, encode_bmp24
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (4, 4), (7, 2)]:  # odd widths -> padding
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp24(img)), img), (h, w)
+
+    # top-down variant: flip the sign of the height field; rows are
+    # then stored first-row-first
+    img = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    buf = bytearray(encode_bmp24(img[::-1]))  # undo writer's flip
+    buf[22:26] = struct.pack("<i", -3)
+    assert np.array_equal(decode_bmp(bytes(buf)), img)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    # 8-bit BMP header -> honest NotImplementedError, not garbage
+    bad = bytearray(encode_bmp24(img))
+    bad[28:30] = struct.pack("<H", 8)
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_decode_wav_mulaw_branch(spark):
+    """G.711 mu-law WAVs decode through the SAME Spark kernel as
+    PCM-16 (decode_audio_features routes on the fmt chunk), with
+    samples within the codec's quantization error of the original."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_wav,
+        encode_wav_mulaw,
+    )
+
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-30000, 30000, 400).astype(np.int16)
+    buf = encode_wav_mulaw(pcm, rate=16000)
+    rate, smp = decode_wav(buf)
+    assert rate == 16000 and smp.shape == (400, 1)
+    err = np.abs(pcm.astype(int) - smp.reshape(-1).astype(int))
+    assert (err <= np.maximum(40, np.abs(pcm.astype(int)) * 0.04)).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(buf))], "media_id long, content binary"
+    )
+    row = decode_audio_features(df).collect()[0]
+    assert row.sample_rate == 16000 and row.n_frames == 400
