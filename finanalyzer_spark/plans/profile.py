@@ -537,3 +537,157 @@ def ks_statistic_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame
             " div (max(na) * max(nb)) AS BIGINT)"
         ).alias("ks_ppm"),
     )
+
+
+@query(
+    "chi2_status_priority",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT s, p, o,
+               sum(o) OVER (PARTITION BY s) AS row_tot,
+               sum(o) OVER (PARTITION BY p) AS col_tot,
+               sum(o) OVER () AS total
+        FROM cells
+    ),
+    stat AS (
+        SELECT CAST(max(total) AS BIGINT) AS n,
+               count(*) AS n_cells,
+               sum(power(o * total - row_tot * col_tot, 2)
+                   / (CAST(row_tot AS DOUBLE) * col_tot * total)) / max(total)
+                   AS chi2,
+               count(DISTINCT s) AS r, count(DISTINCT p) AS c
+        FROM m
+    )
+    SELECT n, n_cells,
+           round(chi2, 6) + 0.0 AS chi2,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) + 0.0
+               AS cramers_v
+    FROM stat
+    """,
+    tags=("profile", "stats"),
+)
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between order status and priority
+    (+ Cramér's V effect size) — the categorical drift/association
+    companion to the KS statistic: chi2 = sum((O-E)^2/E) computed in
+    the algebraically-expanded form (O*T - r*c)^2 / (r*c*T) / T so
+    every count stays an exact integer until the 15-cell final fold.
+
+    Scale shape: the contingency table is ONE keyed aggregate (counts
+    per cell); marginals are windows over the 15-row cell frame; the
+    statistic folds in a single final aggregate. Nothing after the
+    first groupBy touches fact rows."""
+    t = load(spark, sf_dir)
+    cells = t.orders.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count("*").alias("o"))
+    m = cells.select(
+        "s",
+        "p",
+        "o",
+        F.sum("o").over(W.partitionBy("s")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("p")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("total"),
+    )
+    term = F.pow(
+        F.col("o") * F.col("total") - F.col("row_tot") * F.col("col_tot"), 2
+    ) / (
+        F.col("row_tot").cast("double") * F.col("col_tot") * F.col("total")
+    )
+    stat = m.agg(
+        F.max("total").alias("n"),
+        F.count("*").alias("n_cells"),
+        (F.sum(term) / F.max("total")).alias("chi2"),
+        F.countDistinct("s").alias("r"),
+        F.countDistinct("p").alias("c"),
+    )
+    return stat.select(
+        "n",
+        "n_cells",
+        (F.round(F.col("chi2"), 6) + 0.0).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "weekday_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    wk AS (
+        SELECT d, n, dayofweek(d) AS dow,
+               avg(n) OVER (PARTITION BY dayofweek(d)) AS mu,
+               stddev_samp(n) OVER (PARTITION BY dayofweek(d)) AS sd,
+               count(*) OVER (PARTITION BY dayofweek(d)) AS n_days_dow
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN sd > 0 AND n > mu + 2 * sd
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN sd > 0 AND n < mu - 2 * sd
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(min(CASE WHEN sd > 0 AND abs(n - mu) > 2 * sd
+                    THEN strftime(d, '%Y-%m-%d') END) AS VARCHAR)
+               AS first_anomaly_day
+    FROM wk WHERE n_days_dow >= 10
+    """,
+    tags=("profile", "timeseries", "anomaly"),
+)
+def weekday_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each day's order count
+    against the mean ± 2σ of ITS OWN WEEKDAY — the seasonality-aware
+    version of ewma_anomaly_flags' trailing z-score (a busy Monday is
+    only anomalous relative to Mondays). Weekday groups with fewer
+    than 10 observations are excluded from flagging on both engines.
+
+    Scale shape: facts reduce to one count per day; the per-weekday
+    baseline is a window over the daily frame partitioned 7 ways; one
+    final aggregate. Counts stay integers; the ±2σ compare never
+    materializes a rounded float."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    wdow = W.partitionBy(F.dayofweek("d"))
+    wk = daily.select(
+        "d",
+        "n",
+        F.avg("n").over(wdow).alias("mu"),
+        F.stddev_samp("n").over(wdow).alias("sd"),
+        F.count("*").over(wdow).alias("n_days_dow"),
+    ).where(F.col("n_days_dow") >= 10)
+    high = (F.col("sd") > 0) & (F.col("n") > F.col("mu") + 2 * F.col("sd"))
+    low = (F.col("sd") > 0) & (F.col("n") < F.col("mu") - 2 * F.col("sd"))
+    anom = (F.col("sd") > 0) & (
+        F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")
+    )
+    return wk.agg(
+        F.count("*").alias("n_days"),
+        F.sum(high.cast("long")).alias("n_high"),
+        F.sum(low.cast("long")).alias("n_low"),
+        F.min(
+            F.when(anom, F.date_format("d", "yyyy-MM-dd"))
+        ).alias("first_anomaly_day"),
+    )
