@@ -769,6 +769,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                  "PushedFilters: [In(l_returnflag"],
         "must_not": ["Join", "Generate"],
     },
+    "chi2_status_priority": {
+        # marginals are windows over the 15-row cell frame
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
+    "weekday_anomaly_days": {
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["Join", "Generate"],
+    },
 }
 
 
