@@ -34,10 +34,14 @@ from finanalyzer_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
 #: best-of-N per query (min) — damps co-tenant load noise in the
-#: recorded numbers; 1 for a single-shot run.  r3's lone >2x
-#: round-over-round swing (pivot_status_qty) looked like scheduler
-#: noise under best-of-2, so the default is 3.
-REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+#: recorded numbers; 1 for a single-shot run.  r3's lone >2x swing
+#: (pivot_status_qty) was traced to cross-query cache accumulation
+#: (fixed directly: clearCache between reps + pinned pivot values),
+#: so best-of-2 suffices — and the DRIVER already runs this script
+#: n=3 times per round (BENCH_r03.json "n": 3), so the effective
+#: sample per query is 6; REPS=3 here would push the driver's total
+#: bench wall-clock past any sane window on a 217-query suite.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
 # Queries whose cost is quadratic in fixture size by design (all-pairs
 # verification demos) are excluded from the headline wall-clock only if
