@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--tokens-per-shard", type=int, default=500)
 
+    sp = add("lint", help="scan registry plans for 100 TB anti-patterns")
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("names", nargs="*", help="default: every registry query")
+    sp.add_argument("--strict", action="store_true",
+                    help="exit 1 on ERROR findings")
+
     add("queries", help="list registered query names")
 
     args = p.parse_args(argv)
@@ -180,6 +186,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"unknown query {args.name!r}", file=sys.stderr)
                 return 2
             REGISTRY[args.name].fn(spark, args.sf_dir).explain(args.mode)
+        elif args.cmd == "lint":
+            from .plans.lint import lint_registry
+
+            findings = lint_registry(
+                spark, args.sf_dir, args.names or None
+            )
+            for f in findings:
+                print(f"{f.severity:5s} {f.query}: [{f.rule}] {f.detail}")
+            n_err = sum(1 for f in findings if f.severity == "ERROR")
+            print(
+                f"{len(findings)} findings"
+                f" ({n_err} errors) across the scanned plans"
+            )
+            if args.strict and n_err:
+                return 1
     finally:
         if owns_session:
             spark.stop()

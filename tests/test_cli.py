@@ -92,3 +92,32 @@ def test_cli_shards_builds_layout(spark, tmp_path, capsys):
     )
     assert glob.glob(f"{out}/split=*/shard_id=*/*.parquet")
     assert "train" in capsys.readouterr().out
+
+
+def test_cli_lint_subset(spark, capsys):
+    """Lint a known-clean query (no findings) and a deliberate-BNLJ
+    query (exactly the whitelisted WARN)."""
+    from finanalyzer_spark.__main__ import main
+
+    from .conftest import SF_DIR_ORACLE
+
+    rc = main(
+        ["lint", "--sf-dir", SF_DIR_ORACLE, "pricing_summary",
+         "revenue_decile_profile"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ERROR" not in out
+    assert "revenue_decile_profile: [nested-loop-join]" in out
+
+
+def test_cli_lint_strict_flags_cartesian(spark, capsys):
+    from finanalyzer_spark.plans.lint import lint_plan
+
+    a = spark.range(3)
+    b = spark.range(4).withColumnRenamed("id", "id2")
+    findings = lint_plan("crossed", a.crossJoin(b))
+    assert any(
+        f.rule in ("cartesian-product", "nested-loop-join") for f in findings
+    )
