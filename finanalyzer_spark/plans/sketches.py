@@ -202,3 +202,88 @@ def approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covers_exact_topk"),
         )
     )
+
+
+_KMV_K = 64
+
+
+@query(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('kmv|' || l_partkey::VARCHAR), 1, 8))
+                   ::BIGINT AS hv
+        FROM lineitem
+    ),
+    k AS (
+        SELECT hv FROM h ORDER BY hv ASC LIMIT {_KMV_K}
+    ),
+    stat AS (
+        SELECT count(*) AS k_seen, max(hv) AS kth
+        FROM k
+    ),
+    exact AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+    SELECT CAST(stat.k_seen AS BIGINT) AS k_seen,
+           CAST(stat.kth AS BIGINT) AS kth_hash,
+           CAST(({_KMV_K} - 1) * 4294967296 // stat.kth AS BIGINT)
+               AS est_distinct,
+           CAST(exact.exact_distinct AS BIGINT) AS exact_distinct,
+           abs(({_KMV_K} - 1) * 4294967296 // stat.kth
+               - exact.exact_distinct) * 100 <= exact.exact_distinct * 40
+               AS within_40pct
+    FROM stat CROSS JOIN exact
+    """,
+    tags=("sketch", "distinct"),
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch on the portable md5
+    hash: keep the k=64 smallest 32-bit hash values; the estimator
+    (k-1) * 2^32 / kth_min inverts the uniform-order-statistic
+    spacing (Bar-Yossef et al., the theta-sketch ancestor). The
+    DuckDB oracle rebuilds the IDENTICAL sketch — exact comparison —
+    and the exact-distinct column carries the error contract
+    (within 40%: ~1/sqrt(64) ≈ 12.5% relative standard error, so
+    40% is a ≈3σ deterministic bound for this fixture).
+
+    Scale shape: the hash dedup is one map-side-combined distinct of
+    integers; the k smallest collapse via TakeOrdered (bounded k per
+    partition, then k at the driver stage — never a global sort);
+    KMV sketches merge by union+truncate, same mergeability story as
+    HLL/CMS but with a portable hash."""
+    t = load(spark, sf_dir)
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("l_partkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+    h = t.lineitem.select(hv).distinct()
+    k = h.orderBy(F.col("hv").asc()).limit(_KMV_K)
+    stat = k.agg(
+        F.count("*").alias("k_seen"), F.max("hv").alias("kth")
+    )
+    exact = t.lineitem.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    est = F.expr(f"({_KMV_K} - 1) * 4294967296 div kth")
+    return (
+        stat.crossJoin(F.broadcast(exact))
+        .select(
+            "k_seen",
+            F.col("kth").alias("kth_hash"),
+            est.alias("est_distinct"),
+            "exact_distinct",
+            (
+                F.abs(est - F.col("exact_distinct")) * 100
+                <= F.col("exact_distinct") * 40
+            ).alias("within_40pct"),
+        )
+    )
