@@ -1502,3 +1502,49 @@ def sessions_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv.groupBy(
         F.col("conv_session").alias("sessions_to_convert")
     ).agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "new_vs_returning_users",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(d) AS d0 FROM user_days GROUP BY user_id
+    )
+    SELECT strftime(u.d, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN u.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN u.d > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning
+    FROM user_days u JOIN first_seen f ON f.user_id = u.user_id
+    GROUP BY u.d
+    """,
+    tags=("events", "analytics"),
+)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-seen vs returning —
+    the acquisition/retention headline next to dau_stickiness. One
+    keyed min finds each user's first day; the split is a broadcast
+    join back onto the (already tiny) user-day frame.
+
+    Scale shape: raw events collapse to distinct user-days first;
+    both aggregates and the join share the user_id key. Integer
+    counts end-to-end."""
+    t = load(spark, sf_dir)
+    user_days = t.events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    first_seen = user_days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        user_days.join(first_seen, "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum((F.col("d") == F.col("d0")).cast("long")).alias("n_new"),
+            F.sum((F.col("d") > F.col("d0")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+    )

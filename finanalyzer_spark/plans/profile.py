@@ -691,3 +691,70 @@ def weekday_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(anom, F.date_format("d", "yyyy-MM-dd"))
         ).alias("first_anomaly_day"),
     )
+
+
+@query(
+    "iqr_outlier_fences",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    f AS (
+        SELECT l_returnflag, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo,
+               q3 + 1.5 * (q3 - q1) AS hi
+        FROM b
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n,
+           round(max(f.q1), 4) + 0.0 AS q1,
+           round(max(f.q3), 4) + 0.0 AS q3,
+           CAST(sum(CASE WHEN l.l_extendedprice < f.lo
+                          OR l.l_extendedprice > f.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN f ON f.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("profile", "robust", "percentile"),
+)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's IQR outlier fences per return flag: flag rows outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the boxplot rule, completing the
+    robust-outlier trio (MAD z-score = mad_outlier_flags, clipping =
+    winsorized_price_stats, fencing = this). Exact interpolated
+    quartiles; the fence compare runs on the raw doubles (never a
+    rounded bound), so both engines flag identical rows.
+
+    Scale shape: the per-group fences are a 3-row holistic aggregate
+    broadcast back onto the stream; one keyed count after the
+    filter map."""
+    t = load(spark, sf_dir)
+    b = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    f = b.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * iqr).alias("lo"),
+        (F.col("q3") + 1.5 * iqr).alias("hi"),
+    )
+    out = (
+        (F.col("l_extendedprice") < F.col("lo"))
+        | (F.col("l_extendedprice") > F.col("hi"))
+    ).cast("long")
+    return (
+        t.lineitem.join(F.broadcast(f), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.max("q1"), 4) + 0.0).alias("q1"),
+            (F.round(F.max("q3"), 4) + 0.0).alias("q3"),
+            F.sum(out).alias("n_outliers"),
+        )
+    )
