@@ -922,3 +922,142 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+#: synthetic geography: deterministic milli-degree coordinates derived
+#: from the portable md5 hash of the customer key — same literals in
+#: both engines (the fixture has no geo columns; the JOIN SHAPE is the
+#: thing under test). Grid cell = 1000 mdeg (1 degree); radius 500
+#: mdeg, so all matches live in the 3x3 cell neighborhood.
+_GEO_CELL = 1000
+_GEO_R = 500
+_GEO_N = 2000  #: probe set size cap keeps the demo pair count sane
+
+
+@query(
+    "spatial_neighbor_pairs",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               ('0x' || substr(md5('lat|' || c_custkey::VARCHAR), 1, 8))
+                   ::BIGINT % 180000 - 90000 AS lat,
+               ('0x' || substr(md5('lon|' || c_custkey::VARCHAR), 1, 8))
+                   ::BIGINT % 360000 - 180000 AS lon
+        FROM customer
+        WHERE c_custkey <= {_GEO_N}
+    ),
+    binned AS (
+        SELECT c_custkey, lat, lon,
+               (lat + 90000) // {_GEO_CELL} AS cx,
+               (lon + 180000) // {_GEO_CELL} AS cy
+        FROM pts
+    ),
+    expanded AS (
+        SELECT b.c_custkey, b.lat, b.lon,
+               b.cx + dx.v AS nx, b.cy + dy.v AS ny
+        FROM binned b
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+    ),
+    pairs AS (
+        SELECT e.c_custkey AS a, b.c_custkey AS b
+        FROM expanded e
+        JOIN binned b ON b.cx = e.nx AND b.cy = e.ny
+                     AND e.c_custkey < b.c_custkey
+        WHERE (e.lat - b.lat) * (e.lat - b.lat)
+              + (e.lon - b.lon) * (e.lon - b.lon)
+              <= {_GEO_R} * {_GEO_R}
+    ),
+    dedup AS (SELECT DISTINCT a, b FROM pairs)
+    SELECT count(*) AS n_pairs,
+           CAST(coalesce(min(a), -1) AS BIGINT) AS min_a,
+           CAST(coalesce(max(b), -1) AS BIGINT) AS max_b
+    FROM dedup
+    """,
+    tags=("join", "spatial", "blocking"),
+)
+def spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join by GRID BLOCKING: bin points into
+    1-degree cells, expand each point into its 3x3 cell neighborhood
+    (radius <= cell size guarantees no missed pair), equi-join on the
+    cell id, then verify exact distance — the standard plan that
+    turns an O(n^2) all-pairs distance join into a hash join with a
+    bounded 9x expansion (same blocking discipline as the LSH bands
+    and q-gram prefilter, applied to coordinates). Coordinates are
+    deterministic integer milli-degrees from the portable hash, so
+    the distance test is exact integer arithmetic on both engines.
+
+    Scale shape: explode x9 on the probe side, one equi-join on
+    (cx, cy), squared-distance verify in codegen; pair count bounded
+    by local density x9, never n^2. At 100 TB you'd bucket the table
+    BY cell id so the join co-locates."""
+    t = load(spark, sf_dir)
+
+    def u32(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pts = t.customer.where(F.col("c_custkey") <= _GEO_N).select(
+        "c_custkey",
+        (u32("lat|") % 180000 - 90000).alias("lat"),
+        (u32("lon|") % 360000 - 180000).alias("lon"),
+    )
+    binned = pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr(f"(lat + 90000) div {_GEO_CELL}").alias("cx"),
+        F.expr(f"(lon + 180000) div {_GEO_CELL}").alias("cy"),
+    )
+    offsets = F.array(*[F.lit(v) for v in (-1, 0, 1)])
+    expanded = (
+        binned.select(
+            F.col("c_custkey").alias("a"),
+            F.col("lat").alias("alat"),
+            F.col("lon").alias("alon"),
+            "cx",
+            "cy",
+            F.explode(offsets).alias("dx"),
+        )
+        .select(
+            "a", "alat", "alon", "cx", "cy", "dx",
+            F.explode(offsets).alias("dy"),
+        )
+        .select(
+            "a",
+            "alat",
+            "alon",
+            (F.col("cx") + F.col("dx")).alias("nx"),
+            (F.col("cy") + F.col("dy")).alias("ny"),
+        )
+    )
+    right = binned.select(
+        F.col("c_custkey").alias("b"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+    )
+    d2 = (F.col("alat") - F.col("blat")) * (
+        F.col("alat") - F.col("blat")
+    ) + (F.col("alon") - F.col("blon")) * (F.col("alon") - F.col("blon"))
+    pairs = (
+        expanded.join(right, ["nx", "ny"])
+        .where((F.col("a") < F.col("b")) & (d2 <= _GEO_R * _GEO_R))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(F.min("a"), F.lit(-1)).alias("min_a"),
+        F.coalesce(F.max("b"), F.lit(-1)).alias("max_b"),
+    )
