@@ -778,6 +778,31 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["Window", "HashAggregate"],
         "must_not": ["Join", "Generate"],
     },
+    "iqr_outlier_fences": {
+        # 3-row fence table broadcast (ObjectHashAggregate = the
+        # holistic percentile buffers)
+        "must": ["BroadcastHashJoin", "ObjectHashAggregate"],
+        "must_not": ["SortMergeJoin", "Window", "Generate"],
+    },
+    "new_vs_returning_users": {
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Window", "Generate",
+                     "BroadcastNestedLoopJoin"],
+    },
+    "spatial_neighbor_pairs": {
+        # 3x3 cell expansion is Generate; the neighbor probe is an
+        # EQUI-join on the cell id — never an all-pairs distance join
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "SortMergeJoin"],
+    },
+    "kmv_distinct_estimate": {
+        # k smallest via bounded TakeOrdered; the exact-distinct side
+        # rides the deliberate 1-row scalar broadcast
+        "must": ["TakeOrderedAndProject", "HashAggregate",
+                 "BroadcastNestedLoopJoin"],
+        "must_not": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
 }
 
 
