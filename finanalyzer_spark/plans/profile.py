@@ -758,3 +758,78 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(out).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "mann_whitney_u_returned_vs_kept",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in_b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    v AS (
+        SELECT cents, sum(in_a) AS a, sum(in_b) AS b
+        FROM c GROUP BY cents
+    ),
+    r AS (
+        SELECT a, b,
+               2 * (sum(a + b) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (a + b)) + (a + b + 1) AS dr,
+               sum(a) OVER () AS na,
+               sum(b) OVER () AS nb
+        FROM v
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_returned,
+           CAST(max(nb) AS BIGINT) AS n_kept,
+           CAST(sum(a * dr) - max(na) * (max(na) + 1) AS BIGINT) AS u1_x2,
+           CAST((sum(a * dr) - max(na) * (max(na) + 1)) * 1000000
+                // (2 * max(na) * max(nb)) AS BIGINT) AS cles_ppm
+    FROM r
+    """,
+    tags=("profile", "stats"),
+)
+def mann_whitney_u_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between returned (R)
+    and kept (N) price distributions, tie-corrected with average
+    ranks — the nonparametric location test next to KS (shape) and
+    chi2 (association). Doubled ranks keep everything integer: the
+    average rank of a tied run is `prev_count + (run+1)/2`, so
+    `2*rank` = 2*prev_count + run + 1 is exact; `u1_x2` = 2*U1 and
+    the common-language effect size U1/(n1*n2) comes out as one
+    integer ppm division.
+
+    Scale shape: identical to the KS plan — collapse to distinct
+    values with per-group counts, one ordered window over the bounded
+    distinct-value frame, one final fold."""
+    t = load(spark, sf_dir)
+    c = t.lineitem.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("long").alias("in_a"),
+        (F.col("l_returnflag") == "N").cast("long").alias("in_b"),
+    )
+    v = c.groupBy("cents").agg(
+        F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
+    )
+    wcum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    run = F.col("a") + F.col("b")
+    r = v.select(
+        "a",
+        "b",
+        (2 * (F.sum(run).over(wcum) - run) + run + 1).alias("dr"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum("b").over(wall).alias("nb"),
+    )
+    u1x2 = F.sum(F.col("a") * F.col("dr")) - F.max("na") * (F.max("na") + 1)
+    return r.agg(
+        F.max("na").alias("n_returned"),
+        F.max("nb").alias("n_kept"),
+        u1x2.alias("u1_x2"),
+        F.expr(
+            "CAST((sum(a * dr) - max(na) * (max(na) + 1)) * 1000000"
+            " div (2 * max(na) * max(nb)) AS BIGINT)"
+        ).alias("cles_ppm"),
+    )
