@@ -803,6 +803,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                  "BroadcastNestedLoopJoin"],
         "must_not": ["CartesianProduct", "SortMergeJoin", "Window"],
     },
+    "mann_whitney_u_returned_vs_kept": {
+        # same one-pass distinct-value CDF shape as the KS statistic
+        "must": ["Window", "HashAggregate",
+                 "PushedFilters: [In(l_returnflag"],
+        "must_not": ["Join", "Generate"],
+    },
 }
 
 
