@@ -860,9 +860,21 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the exact percentile swaps for approx_percentile — same
     plan otherwise."""
     t = load(spark, sf_dir)
-    b = t.lineitem.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, {_WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(l_extendedprice, {_WINSOR_HI})").alias("hi"),
+    # one holistic buffer for both bounds (array form; cf. the same
+    # 2-3x win measured on iqr_outlier_fences)
+    b = (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"percentile(l_extendedprice,"
+                f" array({_WINSOR_LO}, {_WINSOR_HI}))"
+            ).alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("lo"),
+            F.col("qs")[1].alias("hi"),
+        )
     )
     wz = t.lineitem.join(F.broadcast(b), "l_returnflag").select(
         "l_returnflag",
