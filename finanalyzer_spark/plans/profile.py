@@ -845,3 +845,60 @@ def mann_whitney_u_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFra
             " div (2 * max(na) * max(nb)) AS BIGINT)"
         ).alias("cles_ppm"),
     )
+
+
+@query(
+    "theil_index_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (SELECT count(*) AS n, sum(x) AS total FROM rev)
+    SELECT CAST(max(s.n) AS BIGINT) AS n_customers,
+           round(sum((x / (CAST(total AS DOUBLE) / n))
+                     * ln(x / (CAST(total AS DOUBLE) / n))) / max(s.n), 6)
+               + 0.0 AS theil_t,
+           round(-sum(ln(x / (CAST(total AS DOUBLE) / n))) / max(s.n), 6)
+               + 0.0 AS theil_l
+    FROM rev CROSS JOIN s
+    """,
+    tags=("profile", "analytics", "inequality"),
+)
+def theil_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and L inequality indices of customer revenue — the
+    entropy-based decomposable complements to the Gini coefficient
+    (Theil decomposes exactly into between-group + within-group
+    terms, which Gini cannot). T = mean(r*ln r), L = -mean(ln r)
+    with r = x/mean(x); the log ratios are irrational-valued so the
+    round-6 comparison has no half-boundary exposure (unlike plain
+    ratios — cf. the integer-ppm discipline elsewhere).
+
+    Scale shape: facts reduce to one integer row per customer; the
+    (n, total) scalars ride a 1-row broadcast; one final aggregate.
+    No window, no sort."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("x").alias("x"))
+    )
+    s = rev.agg(F.count("*").alias("n"), F.sum("x").alias("total"))
+    mu = F.col("total").cast("double") / F.col("n")
+    r = F.col("x") / mu
+    return (
+        rev.crossJoin(F.broadcast(s))
+        .agg(
+            F.max("n").alias("n_customers"),
+            (
+                F.round(F.sum(r * F.log(r)) / F.max("n"), 6) + 0.0
+            ).alias("theil_t"),
+            (
+                F.round(-F.sum(F.log(r)) / F.max("n"), 6) + 0.0
+            ).alias("theil_l"),
+        )
+    )
