@@ -26,11 +26,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: names that have already received a driver-side CORRECTNESS row
-#: (union of CORRECTNESS_r01-r03 samples). The driver samples ~50
+#: (union of CORRECTNESS_r01-r04 samples). The driver samples ~50
 #: queries per round; listing never-sampled names FIRST steers a
 #: prefix/ordered sampler toward them so the verified union widens
 #: each round. Refresh per round from the CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r4 sample ---
+    "abc_customer_classes", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_recall_eval", "ann_sq8_recall_eval", "ann_sq8_topk",
+    "asof_nearest_order", "basket_pair_lift", "bigram_logprob_score",
+    "bpe_top_merges", "calendar_spine_fill", "clean_corpus_stats",
+    "cosine_topk", "curriculum_quartile_bins", "dedup_by_key_latest",
+    "dedup_components", "disjunctive_revenue", "doc_top_keyword",
+    "embedding_near_dup", "exact_dedup_groups", "fuzzy_code_match_blocked",
+    "fuzzy_name_match", "incremental_ingest_dedup", "langid_confusion",
+    "linear_interpolate_prices", "lsh_bucket_histogram",
+    "minhash_lsh_candidates", "near_dup_jaccard", "null_safe_join",
+    "pack_token_batches", "pareto_front_parts", "revenue_decile_profile",
+    # salted_token_vocabulary / semantic_dedup_clusters intentionally
+    # OMITTED from the r4 union: both changed this round (flattened
+    # vocab column; capped column) and must be re-sampled for a fresh
+    # green driver row.
+    "rolling_median_price", "simhash_fingerprints",
+    "spatial_neighbor_pairs", "text_fingerprint", "text_langid_agreement",
+    "text_quality_score", "text_token_stats", "tfidf_top_terms",
+    "token_pmi_pairs", "top_returning_customers", "udtf_chunk_documents",
+    "unigram_logprob_score", "vector_norm_stats", "vocab_coverage_curve",
+    "winsorized_price_stats", "zipf_slope_fit",
+    # --- r1-r3 union ---
     "anti_join_unregistered", "approx_distinct_users",
     "approx_quantiles_bounded", "asof_join_events", "below_avg_qty_revenue",
     "benford_first_digit", "conditional_replace", "corr_matrix_lineitem",

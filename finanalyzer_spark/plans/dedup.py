@@ -400,6 +400,12 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-cluster candidate pairs scale with (n/k)^2, so k grows with the
 #: corpus (see docstring); 16 keeps the fixture's pair block <1M.
 SEM_K, SEM_DIM, SEM_TAU = 16, 64, 0.40
+#: max cluster size admitted to the quadratic within-cluster pair join —
+#: the SemDeDup twin of operators/dedup.BUCKET_CAP: a degenerate cluster
+#: (k too small for the corpus, or a pathological embedding collapse) is
+#: EXCLUDED from dedup (reported with n_dropped=0 and capped=1) instead
+#: of exploding O(n²) pairs on one join key. Mirrored in the oracle.
+SEM_CLUSTER_CAP = 10_000
 
 
 def _semantic_dedup_oracle(k: int = SEM_K, dim: int = SEM_DIM) -> str:
@@ -432,17 +438,20 @@ def _semantic_dedup_oracle(k: int = SEM_K, dim: int = SEM_DIM) -> str:
                  list_transform(v, e -> e / sqrt(vv)) AS vn,
                  {case} AS cluster
           FROM a),
+    sizes AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster),
+    elig AS (SELECT m.* FROM m JOIN sizes USING (cluster)
+             WHERE n_members <= {SEM_CLUSTER_CAP}),
     p AS (SELECT x.cluster AS cluster, y.vec_id AS dup_id
-          FROM m x JOIN m y
+          FROM elig x JOIN elig y
             ON x.cluster = y.cluster AND x.vec_id < y.vec_id
           WHERE round(list_dot_product(x.vn, y.vn), 5) > {SEM_TAU}),
     drops AS (SELECT cluster, count(DISTINCT dup_id) AS n_dropped
-              FROM p GROUP BY cluster),
-    sizes AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster)
+              FROM p GROUP BY cluster)
     SELECT s.cluster,
            s.n_members,
            coalesce(d.n_dropped, 0) AS n_dropped,
-           s.n_members - coalesce(d.n_dropped, 0) AS n_kept
+           s.n_members - coalesce(d.n_dropped, 0) AS n_kept,
+           CAST(s.n_members > {SEM_CLUSTER_CAP} AS INT) AS capped
     FROM sizes s LEFT JOIN drops d USING (cluster)
     """
 
@@ -467,8 +476,12 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-cluster instead of corpus-global — the same
     bucket-bounding idea as the LSH band join, with cluster granularity
     controlled by k (at 100 TB: k ~ corpus/10k so each cluster's pair
-    block fits an executor; degenerate clusters are guarded the same
-    way as BUCKET_CAP in minhash_lsh_pairs).  Vectors are L2-normalized
+    block fits an executor).  Degenerate clusters ARE guarded:
+    semantic_dedup_report excludes any cluster above SEM_CLUSTER_CAP
+    members from the pair join (reported capped=1, n_dropped=0) — the
+    enforced twin of BUCKET_CAP in minhash_lsh_pairs, mirrored in the
+    oracle and unit-tested with an oversized cluster
+    (tests/test_dedup.py).  Vectors are L2-normalized
     ONCE before the pair join, so each candidate pair costs a single
     dot-product fold instead of dot + two norms — at (n/k)^2 pairs per
     cluster that third is the dominant term."""
@@ -477,7 +490,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
         sq_dist_cols,
     )
-    from ..operators.similarity import dot_col, norm_col
+    from ..operators.similarity import norm_col
 
     t = load(spark, sf_dir)
     cents = kmeans_centroids(SEM_K, SEM_DIM)
@@ -507,19 +520,45 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vn"),
         )
     )
-    x = m.select("cluster", F.col("vec_id").alias("id_a"), F.col("vn").alias("va"))
-    y = m.select("cluster", F.col("vec_id").alias("id_b"), F.col("vn").alias("vb"))
+    return semantic_dedup_report(m, tau=SEM_TAU, cluster_cap=SEM_CLUSTER_CAP)
+
+
+def semantic_dedup_report(
+    m: DataFrame, *, tau: float, cluster_cap: int = SEM_CLUSTER_CAP
+) -> DataFrame:
+    """Within-cluster near-dup report over a member frame
+    ``(vec_id, cluster, vn)`` with L2-normalized ``vn``.
+
+    The degenerate-cluster guard is enforced HERE: cluster sizes are
+    aggregated first (tiny — one row per cluster), clusters above
+    ``cluster_cap`` are excluded from the quadratic pair join via a
+    broadcast semi-filter on the eligible cluster ids, and surface in
+    the output with ``capped=1`` and ``n_dropped=0``.  Without the cap
+    one collapsed cluster is O(n²) pairs landing on a single join key —
+    the exact failure mode BUCKET_CAP blocks in minhash_lsh_pairs
+    (operators/dedup.py)."""
+    from ..operators.similarity import dot_col
+
+    sizes = m.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    ok = sizes.where(F.col("n_members") <= cluster_cap).select("cluster")
+    elig = m.join(F.broadcast(ok), "cluster")
+    x = elig.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("vn").alias("va")
+    )
+    y = elig.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("vn").alias("vb")
+    )
     drops = (
         x.join(y, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(dot_col(F.col("va"), F.col("vb")), 5) > SEM_TAU)
+        .where(F.round(dot_col(F.col("va"), F.col("vb")), 5) > tau)
         .groupBy("cluster")
         .agg(F.count_distinct("id_b").alias("n_dropped"))
     )
-    sizes = m.groupBy("cluster").agg(F.count("*").alias("n_members"))
     return sizes.join(drops, "cluster", "left").select(
         "cluster",
         "n_members",
         F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        (F.col("n_members") > cluster_cap).cast("int").alias("capped"),
     )

@@ -259,6 +259,35 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
     assert full.count() == n * (n - 1) // 2
 
 
+def test_semantic_dedup_cluster_cap_excludes_fat_cluster(spark):
+    """SemDeDup's degenerate-cluster guard (plans/dedup.SEM_CLUSTER_CAP
+    discipline): a cluster above the cap is EXCLUDED from the quadratic
+    pair join — reported with capped=1 and n_dropped=0 — while clusters
+    at/under the cap dedup normally. One collapsed cluster of identical
+    vectors (all pairwise cosine = 1.0) is the pathological input."""
+    from finanalyzer_spark.plans.dedup import semantic_dedup_report
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(5)]  # fat: 5 identical
+    rows += [(10, 1, [0.0, 1.0]), (11, 1, [0.0, 1.0]), (12, 1, [1.0, 0.0])]
+    m = spark.createDataFrame(
+        rows, "vec_id long, cluster int, vn array<double>"
+    )
+    out = {
+        r["cluster"]: r
+        for r in semantic_dedup_report(m, tau=0.9, cluster_cap=3).collect()
+    }
+    fat, ok = out[0], out[1]
+    assert (fat["capped"], fat["n_dropped"], fat["n_kept"]) == (1, 0, 5)
+    # cluster 1 is under the cap: ids 10/11 are near-dups, 11 dropped
+    assert (ok["capped"], ok["n_dropped"], ok["n_kept"]) == (0, 1, 2)
+    # cap at/above every cluster size: the fat cluster dedups fully
+    out4 = {
+        r["cluster"]: r
+        for r in semantic_dedup_report(m, tau=0.9, cluster_cap=5).collect()
+    }
+    assert (out4[0]["capped"], out4[0]["n_dropped"]) == (0, 4)
+
+
 def test_asof_join_payloadless_sides(spark):
     """Either side may carry nothing beyond (key, ts) — the internal
     payload struct must not fail analysis on zero fields."""
