@@ -18,6 +18,8 @@ no checkpointing; an open-ended convergence loop would add the
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,6 +128,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 100,
+    dedup: bool = True,
 ) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k, by iterated peeling — drop all nodes with degree < k,
@@ -142,13 +145,25 @@ def kcore(
     operators/components.connected_components) so the plan never
     deepens with the iteration count.
 
+    Input contract: `edges_sym` is the SYMMETRIC edge list (both
+    (u,v) and (v,u) present). Duplicate edge rows would inflate
+    degrees and admit under-connected nodes into the core, so the
+    frame is deduplicated once up front (`dedup=False` skips that
+    shuffle when the caller guarantees uniqueness).
+
     Returns a (node,) DataFrame. Termination: node count is
     monotonically non-increasing and integer — at most |V| rounds;
-    `max_iters` is a backstop, not a tuning knob.
+    `max_iters` is a backstop, not a tuning knob. If the backstop
+    trips (only possible when max_iters < peel depth), the result may
+    not have converged — a RuntimeWarning is raised rather than
+    silently returning the partial core.
     """
     e = edges_sym.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    )
+    if dedup:
+        e = e.dropDuplicates()
+    e = e.localCheckpoint()
     prev_n = None
     for _ in range(max_iters):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -167,4 +182,11 @@ def kcore(
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .localCheckpoint()
         )
+    warnings.warn(
+        f"kcore: max_iters={max_iters} exhausted before the peel "
+        "converged; the returned node set may be a superset of the "
+        f"true {k}-core",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return keep

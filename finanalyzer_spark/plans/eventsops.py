@@ -1040,28 +1040,38 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-7-day-WAU stickiness per day — the product-
     analytics engagement headline. Distinct user-days collapse first
-    (the only pass over raw events); the trailing-7-day active set is
-    a range join of that small frame against the distinct-day list.
+    (the only pass over raw events); the trailing-7-day active set
+    comes from EXPLODING each user-day into the 7 WAU days it covers
+    (d contributes to day X iff X-6 <= d <= X), then one keyed
+    count-distinct per covered day — a fixed 7x row expansion plus an
+    equi-join, replacing the earlier broadcast nested-loop range join
+    whose predicate evaluations grew O(|user_days| x |days|) with
+    unbounded history (ADVICE r4).
 
     Scale shape: raw events reduce to |users|x|days| pairs in one
-    map-side-combined distinct; the range join broadcasts the day
-    list (one row per day — tiny forever) so the 7x expansion happens
-    without a shuffle, then one keyed count-distinct. Stickiness is
-    integer ppm — no float rounding to tie-break cross-engine."""
+    map-side-combined distinct; the cover explode is a narrow codegen
+    Generate (exactly 7 rows out per row in, independent of history
+    length); the day-list semi-join (drops cover days with no events,
+    matching the oracle's day spine) broadcasts the tiny day frame;
+    then one keyed count-distinct. Stickiness is integer ppm — no
+    float rounding to tie-break cross-engine."""
     t = load(spark, sf_dir)
     user_days = t.events.select(
-        "user_id", F.date_trunc("day", "ts").alias("d")
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).distinct()
     days = user_days.select("d").distinct()
     dau = user_days.groupBy("d").agg(
         F.countDistinct("user_id").alias("dau")
     )
+    cover = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("dd"),
+    )
     wau = (
-        user_days.alias("u")
-        .join(
-            F.broadcast(days.select(F.col("d").alias("dd"))),
-            (F.col("u.d") <= F.col("dd"))
-            & (F.col("u.d") >= F.date_sub(F.col("dd"), 6)),
+        cover.join(
+            F.broadcast(days.select(F.col("d").alias("dd"))), "dd", "left_semi"
         )
         .groupBy("dd")
         .agg(F.countDistinct("user_id").alias("wau"))

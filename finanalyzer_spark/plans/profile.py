@@ -215,8 +215,8 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(stats.n AS BIGINT) AS n_customers,
            CAST(stats.total AS BIGINT) AS total_cents,
-           CAST((pairsum.s // 2)
-                // NULLIF(stats.n * stats.total // 1000000, 0) AS BIGINT)
+           CAST((pairsum.s // 2 * 1000000)
+                // NULLIF(stats.n * stats.total, 0) AS BIGINT)
                AS gini_ppm
     FROM stats CROSS JOIN pairsum
     """,
@@ -226,11 +226,16 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue concentration via the
     rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
     ascending-ranked revenues — the inequality statistic completing
-    the Pareto/ABC family. All integer cents: the ppm output divides
-    by a PRE-SCALED denominator (n*total // 1e6) so every intermediate
-    fits BIGINT at any SF while both engines execute the identical
-    integer steps (documented convention: deterministic integer div,
-    not round(G*1e6)).
+    the Pareto/ABC family. All integer cents, with WIDE intermediates:
+    `sum(i*x)` and `n*total` leave int64 around sf10 (n ~ 1.5e5·sf,
+    total ~ 2e13·sf cents), so the Spark side accumulates them in
+    DECIMAL(38,0) — exact to ~1e38, covering any realistic SF — while
+    DuckDB's sum() is already HUGEINT (int128). The ppm is ONE exact
+    integer division, (numerator·1e6) div (n·total), all-wide until
+    the final div whose quotient is ≤ 1e6 (numerator and denominator
+    are non-negative, so Spark's truncating `div` and DuckDB's
+    flooring `//` agree); documented convention: deterministic integer
+    div, not round(G*1e6).
 
     Scale shape: facts reduce to one integer per customer; the global
     rank window sorts the aggregated frame only; one final aggregate.
@@ -255,8 +260,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_customers"),
         F.max("total").alias("total_cents"),
         F.expr(
-            "(2 * sum(i * x) - (max(n) + 1) * max(total))"
-            " div nullif(max(n) * max(total) div 1000000, 0)"
+            "((2 * sum(CAST(i AS DECIMAL(38,0)) * x)"
+            " - (CAST(max(n) AS DECIMAL(38,0)) + 1) * max(total))"
+            " * 1000000)"
+            " div nullif(CAST(max(n) AS DECIMAL(38,0)) * max(total), 0)"
         ).alias("gini_ppm"),
     )
 
@@ -536,6 +543,116 @@ def ks_statistic_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(max(abs(ca * nb - cb * na)) * 1000000"
             " div (max(na) * max(nb)) AS BIGINT)"
         ).alias("ks_ppm"),
+    )
+
+
+#: bin count for the approximate (binned) KS variant — the cumulative
+#: window runs over at most this many rows regardless of value
+#: cardinality, so the drift check never needs a single-partition sort
+#: over the raw distinct-value domain.
+KS_BINS = 256
+
+
+@query(
+    "binned_ks_drift",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in_b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+    bkt AS (
+        SELECT CAST((cents - mn) * {KS_BINS} // (mx - mn + 1) AS BIGINT)
+                   AS bucket,
+               in_a, in_b
+        FROM c, mm
+    ),
+    v AS (SELECT bucket, sum(in_a) AS a, sum(in_b) AS b
+          FROM bkt GROUP BY bucket),
+    r AS (
+        SELECT bucket, a, b,
+               sum(a) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(b) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(a) OVER () AS na,
+               sum(b) OVER () AS nb
+        FROM v
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_returned,
+           CAST(max(nb) AS BIGINT) AS n_kept,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(max(abs(ca * nb - cb * na)) * 1000000
+                // (max(na) * max(nb)) AS BIGINT) AS ks_ppm,
+           CAST(max(greatest(a * 1000000 // na,
+                             b * 1000000 // nb)) AS BIGINT)
+               AS err_bound_ppm
+    FROM r
+    """,
+    tags=("profile", "stats", "approx", "scale-path"),
+)
+def binned_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE two-sample KS between returned (R) and kept (N)
+    price distributions — the raw-fact-scale companion to the exact
+    `ks_statistic_returned_vs_kept`.  Prices are binned into KS_BINS
+    fixed-width buckets (pure integer arithmetic on cents, identical
+    in both engines), so the cumulative-CDF window runs over AT MOST
+    KS_BINS rows no matter how many distinct raw values exist — the
+    exact variant's `Window.partitionBy()` over the distinct-value
+    frame (fine for bounded domains, fatal for unbounded ones per
+    plans/lint.py) never happens here.
+
+    The binned D is a LOWER bound on the exact D; `err_bound_ppm` is
+    the max per-bin mass share max_k max(massA_k, massB_k), so
+    D_exact ∈ [ks_ppm, ks_ppm + err_bound_ppm] — the monitor gets a
+    certified interval, tightened by raising KS_BINS.  All CDF algebra
+    stays in cross-multiplied integers (|ca*nb - cb*na|) exactly like
+    the exact variant: no float CDFs, bit-identical across engines.
+
+    Scale shape: one scan → (min,max) scalar broadcast → narrow bucket
+    map → KS_BINS-row aggregate → window over ≤KS_BINS rows.  At
+    100 TB the only shuffle is the KS_BINS-key partial agg."""
+    t = load(spark, sf_dir)
+    c = t.lineitem.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("long").alias("in_a"),
+        (F.col("l_returnflag") == "N").cast("long").alias("in_b"),
+    )
+    mm = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    bkt = c.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            f"CAST((cents - mn) * {KS_BINS} div (mx - mn + 1) AS BIGINT)"
+        ).alias("bucket"),
+        "in_a",
+        "in_b",
+    )
+    v = bkt.groupBy("bucket").agg(
+        F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
+    )
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    r = v.select(
+        "a",
+        "b",
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum("b").over(wall).alias("nb"),
+    )
+    return r.agg(
+        F.max("na").alias("n_returned"),
+        F.max("nb").alias("n_kept"),
+        F.count("*").alias("n_bins"),
+        F.expr(
+            "CAST(max(abs(ca * nb - cb * na)) * 1000000"
+            " div (max(na) * max(nb)) AS BIGINT)"
+        ).alias("ks_ppm"),
+        F.expr(
+            "CAST(max(greatest(a * 1000000 div na,"
+            " b * 1000000 div nb)) AS BIGINT)"
+        ).alias("err_bound_ppm"),
     )
 
 

@@ -644,11 +644,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["Join"],
     },
     "dau_stickiness": {
-        # the trailing-7-day range join broadcasts the tiny day list
-        # (deliberate BNLJ on a bounded side); everything else is
-        # keyed hash aggregation
-        "must": ["BroadcastNestedLoopJoin", "HashAggregate"],
-        "must_not": ["CartesianProduct", "SortMergeJoin"],
+        # each user-day EXPLODES into its 7 covered WAU days
+        # (Generate), then a broadcast semi-join against the tiny day
+        # spine and keyed count-distincts — the BNLJ range join is
+        # gone (was O(|user_days| x |days|) predicate evals)
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin"],
     },
     "activity_streaks": {
         # gaps-and-islands: one keyed window + two keyed aggregates —
@@ -768,6 +770,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["Window", "HashAggregate",
                  "PushedFilters: [In(l_returnflag"],
         "must_not": ["Join", "Generate"],
+    },
+    "binned_ks_drift": {
+        # the raw-fact-scale KS: narrow bucket map (the 1-row min/max
+        # scalar rides a broadcast NL join — fine), KS_BINS-row agg,
+        # window over <=KS_BINS rows; never a sort-merge join or a
+        # window over the raw distinct-value domain
+        "must": ["Window", "HashAggregate",
+                 "PushedFilters: [In(l_returnflag"],
+        "must_not": ["SortMergeJoin", "CartesianProduct", "Generate"],
     },
     "chi2_status_priority": {
         # marginals are windows over the 15-row cell frame

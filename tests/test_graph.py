@@ -47,3 +47,32 @@ def test_kcore_triangle_plus_tail(spark):
     e = spark.createDataFrame(sym, ["src", "dst"])
     assert {r.node for r in kcore(e, 2).collect()} == {1, 2, 3}
     assert kcore(e, 3).count() == 0
+
+
+def test_kcore_duplicate_edges_do_not_inflate_degrees(spark):
+    from finanalyzer_spark.operators.graph import kcore
+
+    # path 1-2-3: no 2-core. With edge (1,2) duplicated, raw degree
+    # counting would see deg(1)=deg(2)=2 and wrongly keep a "core".
+    und = [(1, 2), (1, 2), (2, 3)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    assert kcore(e, 2).count() == 0
+    # opt-out reproduces the inflated-degree behavior on dirty input
+    assert kcore(e, 2, dedup=False).count() > 0
+
+
+def test_kcore_warns_when_max_iters_exhausted(spark):
+    import warnings
+
+    from finanalyzer_spark.operators.graph import kcore
+
+    # long path: peeling strips one node from each end per round, so
+    # max_iters=1 cannot converge for k=2
+    und = [(i, i + 1) for i in range(8)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kcore(e, 2, max_iters=1).collect()
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
