@@ -273,6 +273,7 @@ def stream_update_history(
     end: dt.date,
     days_per_batch: int = 1,
     checkpoint_dir: str | None = None,
+    wait_secs: float = 0.0,
 ) -> DataFrame:
     """update_database as a CONTINUOUS job: the feed's streaming reader
     (sources/feed_datasource.FeedStreamReader — calendar-day offsets,
@@ -289,7 +290,10 @@ def stream_update_history(
     daily cron (findatabase.py:62) becomes a trigger cadence.
 
     `date_added` is the ingest day (= `end`, 'today' at stream setup),
-    matching the batch job's bookkeeping column."""
+    matching the batch job's bookkeeping column.  `wait_secs` forwards
+    the reference's WAIT_TIME_BETWEEN_REQUESTS throttle to the feed
+    reader — each micro-batch's per-ticker fetch sleeps that long
+    before its request (rate-limited ingest, executor-side)."""
     from ..sources.feed_datasource import FeedDataSource
 
     try:
@@ -304,6 +308,7 @@ def stream_update_history(
         .option("start", start.isoformat())
         .option("end", end.isoformat())
         .option("days_per_batch", str(days_per_batch))
+        .option("wait_secs", str(wait_secs))
         .load()
     )
     incoming = stream.join(

@@ -13,7 +13,11 @@ Python DataSource API (Spark 4+) so it composes as a reader:
 One InputPartition per ticker → each executor fetches its tickers
 independently (the reference's serial per-ticker loop with proxy
 rotation, dataAcquisition.py:36-51 / findatabase.py:128-133,
-parallelized; rate limiting would sit inside `read`, per partition).
+parallelized). Rate limiting sits inside `read`, per partition: the
+`wait_secs` option sleeps before each feed request — the reference's
+WAIT_TIME_BETWEEN_REQUESTS (constants.py:2) applied per executor-side
+fetch, so a 1000-partition fan-out still honors the per-connection
+budget the upstream API expects (each partition is one connection).
 Filters on ticker/date could prune partitions at planning time; kept
 minimal here since the fixture feed is cheap.
 """
@@ -21,6 +25,7 @@ minimal here since the fixture feed is cheap.
 from __future__ import annotations
 
 import datetime as dt
+import time
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -72,12 +77,15 @@ class FeedReader(DataSourceReader):
         self.end = options.get("end")
         if not (self.start and self.end):
             raise ValueError("fake_feed requires options 'start' and 'end'")
+        self.wait_secs = float(options.get("wait_secs", "0"))
 
     def partitions(self) -> list[InputPartition]:
         # one partition per ticker — fetch parallelism == ticker count
         return [InputPartition(t) for t in self.tickers]
 
     def read(self, partition: InputPartition):
+        if self.wait_secs:
+            time.sleep(self.wait_secs)  # reference inter-request throttle
         feed = FakeFeed()
         hist = feed.history(
             partition.value,
@@ -125,6 +133,7 @@ class FeedStreamReader(DataSourceStreamReader):
         # clamp: 0/negative would pin latestOffset forever (a stream
         # that never makes progress and never finishes)
         self.days_per_batch = max(1, int(options.get("days_per_batch", "1")))
+        self.wait_secs = float(options.get("wait_secs", "0"))
         self._cursor: dt.date | None = None
 
     def _bump(self, day: dt.date) -> None:
@@ -154,6 +163,8 @@ class FeedStreamReader(DataSourceStreamReader):
         return [InputPartition((t, *span)) for t in self.tickers]
 
     def read(self, partition: InputPartition):
+        if self.wait_secs:
+            time.sleep(self.wait_secs)  # reference inter-request throttle
         ticker, lo, hi = partition.value
         hist = FakeFeed().history(
             ticker, dt.date.fromisoformat(lo), dt.date.fromisoformat(hi)

@@ -125,6 +125,44 @@ def test_png_decode_via_pil_when_available(spark):
     assert feats[1] == feats[2]
 
 
+def test_video_demux_via_av_when_available():
+    """Env-gated REAL compressed video demux (skipped in this
+    container — no PyAV/ffmpeg): an in-memory lossless-encoded clip
+    must demux through demux_video_compressed into exactly its source
+    frames as packed RGB24 bytes — the same (frame_no, frame_bytes)
+    contract demux_y4m already proves natively, showing the `av` tier
+    drops in without touching the Spark-side frame-sampling plumbing
+    (operators/multimodal.py:350)."""
+    av = pytest.importorskip("av")  # container gate
+    import io
+
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import (
+        demux_video_compressed,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="matroska") as container:
+        stream = container.add_stream("ffv1", rate=5)  # lossless codec
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "rgb24"
+        for px in frames:
+            frame = av.VideoFrame.from_ndarray(px, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    got = list(demux_video_compressed(buf.getvalue()))
+    assert [no for no, _ in got] == [0, 1, 2]
+    for (_, raw), px in zip(got, frames):
+        assert raw == px.tobytes()
+
+
 def test_decode_ppm_real_pixels(spark):
     """The pure-numpy P6 codec recovers exact pixel values (incl.
     header comments), and the real feature path histograms decoded

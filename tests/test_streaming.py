@@ -651,3 +651,75 @@ def test_watermark_drops_late_beyond_threshold(spark, tmp_path):
     # the tail windows ([13,14) and [14,15)) never finalize (the
     # watermark stops at 13:00), so append mode must not emit them
     assert "13:00" not in out and "14:00" not in out, out
+
+
+def test_stream_feed_resumes_from_batch_cursor_and_restores_freshness(
+    spark, tmp_path
+):
+    """Daily-refresh cursor/freshness parity between the batch and
+    streaming ingest paths (VERDICT r5 #8; reference
+    findatabase.py:203-232): seed history with the BATCH job at day
+    T-3, continue with the rate-limited STREAM from the per-key cursor
+    (last_date + 1) to day T, and the result must equal running the
+    batch job straight to T — and the freshness plan must report every
+    key fresh afterwards, exactly as it does on the batch-only store."""
+    import datetime as dt
+
+    from finanalyzer_spark.pipeline.finjobs import (
+        FinStore,
+        _freshness,
+        bootstrap_registry,
+        stream_update_history,
+        update_history,
+    )
+    from finanalyzer_spark.sources.fetcher import FakeFeed
+
+    csv = tmp_path / "tickers.csv"
+    csv.write_text(
+        "Ticker,Name,Exchange\nAAPL,Apple Inc.,NASDAQ\nMSFT,Microsoft,NASDAQ\n"
+    )
+    today = dt.date(2026, 8, 10)
+    t1 = today - dt.timedelta(days=3)
+
+    # batch-only twin: straight to `today`
+    ref = FinStore(spark, str(tmp_path / "wh_batch"))
+    bootstrap_registry(ref, str(csv))
+    want = update_history(ref, today, FakeFeed())
+
+    # batch to T-3, then stream the remaining days from the cursor
+    st = FinStore(spark, str(tmp_path / "wh_stream"))
+    names = bootstrap_registry(st, str(csv))
+    update_history(st, t1, FakeFeed())
+    plan = _freshness(st.read("history"), names, today)
+    cursors = plan.select("start_date").distinct().collect()
+    assert [r["start_date"] for r in cursors] == [
+        t1 + dt.timedelta(days=1)
+    ], "per-key cursor must resume at last_date + 1"
+    assert plan.where("is_fresh").count() == 0  # T-3 is stale at T
+    got = stream_update_history(
+        st,
+        t1 + dt.timedelta(days=1),
+        today,
+        days_per_batch=1,  # one micro-batch per calendar day
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        wait_secs=0.01,  # exercise the throttle path end-to-end
+    )
+
+    # same rows modulo bookkeeping: date_added differs by design (the
+    # ingest day of each path), and the T-3 seed's 10-year backfill
+    # window starts 3 days earlier than the batch-only twin's (the
+    # reference anchors the empty-history start at today-RETENTION,
+    # findatabase.py:211-216) — so compare the data columns over the
+    # common window; the stream path must add NOTHING else.
+    lower = today - dt.timedelta(days=3650)
+    cols = ["names_id", "date_value", "open", "high", "low", "close"]
+    g = got.where(F.col("date_value") >= F.lit(lower.isoformat())).select(cols)
+    w = want.where(F.col("date_value") >= F.lit(lower.isoformat())).select(cols)
+    assert g.exceptAll(w).count() == 0
+    assert w.exceptAll(g).count() == 0
+    assert got.count() == want.count() + 2 * 3  # the 3-day-earlier seed
+
+    # freshness restored on BOTH stores: every key fresh at T
+    for s in (st, ref):
+        p = _freshness(s.read("history"), names, today)
+        assert p.where("NOT is_fresh").count() == 0
