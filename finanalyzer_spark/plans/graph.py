@@ -182,3 +182,111 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     tri = count_triangles(edges)
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+
+
+# --------------------------------------------------------------------------
+# k-core of the co-supply graph (iterated peel vs recursive-CTE oracle)
+# --------------------------------------------------------------------------
+#: edge threshold / core order for kcore_cosupply — 1.1x mean keeps a
+#: graph sparse enough that the k=3 peel actually cascades several
+#: rounds on the fixtures (1.2x, the triangle threshold, peels to
+#: empty at every fixture SF — a degenerate check)
+_CORE_FACTOR = 1.1
+_CORE_K = 3
+
+
+@query(
+    "kcore_cosupply",
+    # Ground-truth oracle: the peel as a RECURSIVE CTE. Iteration-
+    # tagged rows (UNION ALL keeps the working table = the previous
+    # round's survivors), a fixpoint guard that stops recursion when
+    # nothing was dropped, and a final re-filter of the max-iteration
+    # set (handles the peel-to-empty case, where the last emitted
+    # round still contains sub-k nodes).
+    oracle=f"""
+    WITH RECURSIVE
+    cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    p AS (SELECT a.s AS u, b.s AS v, count(*) AS shared
+          FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    peel(iter, node) AS (
+        SELECT 0, node FROM nodes
+        UNION ALL
+        SELECT p.iter + 1, p.node FROM peel p
+        WHERE (SELECT count(*) FROM e
+               WHERE e.u = p.node
+                 AND e.v IN (SELECT node FROM peel)) >= {_CORE_K}
+          AND (SELECT count(*) FROM peel) >
+              (SELECT count(*) FROM peel q
+               WHERE (SELECT count(*) FROM e
+                      WHERE e.u = q.node
+                        AND e.v IN (SELECT node FROM peel)) >= {_CORE_K})
+    ),
+    last AS (SELECT node FROM peel
+             WHERE iter = (SELECT max(iter) FROM peel))
+    SELECT p.node,
+           (SELECT count(*) FROM e
+            WHERE e.u = p.node
+              AND e.v IN (SELECT node FROM last)) AS core_deg
+    FROM last p
+    WHERE (SELECT count(*) FROM e
+           WHERE e.u = p.node
+             AND e.v IN (SELECT node FROM last)) >= {_CORE_K}
+    """,
+    tags=("graph", "iterative", "kcore"),
+)
+def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-supply graph (suppliers linked when
+    they share more customers than 1.1x the mean pair overlap):
+    the maximal subgraph where every supplier co-supplies with >= k
+    core peers — the dense trading cluster a risk analyst watches.
+    Returns (node, core_deg), core_deg = degree within the core.
+
+    Spark side is operators/graph.kcore: iterated peeling with one
+    degree aggregate + two semi-joins per round, localCheckpoint
+    lineage truncation, and a single scalar count per round as the
+    convergence probe (dedup=False — the u<v distinct pair frame plus
+    its reversal cannot contain duplicates, so the guard shuffle is
+    skipped). The oracle reproduces the peel as a DuckDB recursive CTE
+    — genuinely SQL-expressible, so this iterative operator gets a
+    full value-hash check, not rows-only."""
+    from ..operators.graph import kcore
+
+    t = load(spark, sf_dir)
+    cs = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("u"))
+    b = cs.select(F.col("c"), F.col("s").alias("v"))
+    pairs = (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .persist()
+    )
+    thr = pairs.agg((F.lit(_CORE_FACTOR) * F.avg("shared")).alias("t"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .where(F.col("shared") > F.col("t"))
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    core = kcore(sym, _CORE_K, src="u", dst="v", dedup=False)
+    in_core = sym.join(
+        F.broadcast(core.withColumnRenamed("node", "u")), "u", "left_semi"
+    ).join(F.broadcast(core.withColumnRenamed("node", "v")), "v", "left_semi")
+    return in_core.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("core_deg")
+    )

@@ -656,6 +656,91 @@ def binned_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PSI bin count — coarser than KS_BINS on purpose: PSI's industry
+#: convention is 10-20 bins; 64 keeps per-bin mass stable while the
+#: window/agg stays trivially bounded.
+PSI_BINS = 64
+
+
+@query(
+    "psi_drift",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in_b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+    bkt AS (
+        SELECT CAST((cents - mn) * {PSI_BINS} // (mx - mn + 1) AS BIGINT)
+                   AS bucket,
+               in_a, in_b
+        FROM c, mm
+    ),
+    v AS (SELECT bucket, sum(in_a) AS a, sum(in_b) AS b
+          FROM bkt GROUP BY bucket),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb, count(*) AS k FROM v)
+    SELECT CAST(max(na) AS BIGINT) AS n_current,
+           CAST(max(nb) AS BIGINT) AS n_baseline,
+           CAST(max(k) AS BIGINT) AS n_bins,
+           round(sum(
+               ((a + 1) / CAST(na + k AS DOUBLE)
+                - (b + 1) / CAST(nb + k AS DOUBLE))
+               * ln(((a + 1) / CAST(na + k AS DOUBLE))
+                    / ((b + 1) / CAST(nb + k AS DOUBLE)))
+           ), 6) + 0.0 AS psi
+    FROM v CROSS JOIN tot
+    """,
+    tags=("profile", "stats", "approx", "scale-path"),
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between returned (current) and kept
+    (baseline) price distributions — the industry-standard production
+    drift monitor (PSI < 0.1 stable, > 0.25 shifted), completing the
+    drift family alongside the exact and binned KS.  Same fixed-width
+    integer binning as `binned_ks_drift`; per-bin shares are
+    Laplace-smoothed ((cnt+1)/(n+k), identical algebra both engines)
+    so empty bins never hit ln(0) — the standard PSI practice.  The
+    log terms are irrational-valued, so the round-6 comparison has no
+    half-boundary exposure (theil_index_revenue's convention).
+
+    Scale shape: one scan → (min,max) scalar broadcast → narrow bucket
+    map → PSI_BINS-row aggregate → one final fold over ≤PSI_BINS rows.
+    No window at all — PSI needs no CDF."""
+    t = load(spark, sf_dir)
+    c = t.lineitem.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("long").alias("in_a"),
+        (F.col("l_returnflag") == "N").cast("long").alias("in_b"),
+    )
+    mm = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    bkt = c.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            f"CAST((cents - mn) * {PSI_BINS} div (mx - mn + 1) AS BIGINT)"
+        ).alias("bucket"),
+        "in_a",
+        "in_b",
+    )
+    v = bkt.groupBy("bucket").agg(
+        F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
+    )
+    tot = v.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb"), F.count("*").alias("k")
+    )
+    pa = (F.col("a") + 1) / (F.col("na") + F.col("k")).cast("double")
+    pb = (F.col("b") + 1) / (F.col("nb") + F.col("k")).cast("double")
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("na").cast("long").alias("n_current"),
+            F.max("nb").cast("long").alias("n_baseline"),
+            F.max("k").cast("long").alias("n_bins"),
+            (F.round(F.sum((pa - pb) * F.log(pa / pb)), 6) + 0.0).alias("psi"),
+        )
+    )
+
+
 @query(
     "chi2_status_priority",
     oracle="""

@@ -552,6 +552,95 @@ def salted_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# per-source Jensen-Shannon divergence vs the corpus (source-drift)
+# --------------------------------------------------------------------------
+#: ln(2) as a shared literal — both engines consume the identical
+#: double instead of each computing log(2) (shared-constant convention,
+#: cf. plans/graph DAMPING/TELEPORT)
+LN2 = 0.6931471805599453
+
+
+@query(
+    "js_divergence_sources",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source,
+               unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END) AS tok
+        FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, sum(cnt) AS n_s FROM st GROUP BY 1),
+    g  AS (SELECT tok, sum(cnt) AS g_cnt FROM st GROUP BY 1),
+    ng AS (SELECT sum(g_cnt) AS n_g FROM g),
+    j AS (
+        SELECT st.source, st.cnt / CAST(ns.n_s AS DOUBLE) AS p,
+               g.g_cnt / CAST(ng.n_g AS DOUBLE) AS q
+        FROM st JOIN g USING (tok) JOIN ns USING (source) CROSS JOIN ng
+    )
+    SELECT source,
+           count(*) AS n_types,
+           round(0.5 * sum(p * ln(2 * p / (p + q))
+                           + q * ln(2 * q / (p + q)))
+                 + 0.5 * {LN2} * (1 - sum(q)), 6) + 0.0 AS jsd
+    FROM j GROUP BY source
+    """,
+    tags=("text", "drift", "curation", "scale-path"),
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    against the whole corpus — the curation-time source-outlier
+    detector ('which feed stopped looking like the rest of the
+    crawl'), bounded in [0, ln 2] and symmetric, unlike raw KL.
+
+    The sum runs ONLY over (source, token) pairs that exist: for
+    corpus tokens absent from a source, p=0 collapses the JS term to
+    q·ln2, and those contributions fold into the closed form
+    0.5·ln2·(1 − Σ_present q) — so the join output is |source-token|
+    rows, never |sources| × |vocab|.
+
+    Scale shape: one tokenize pass → (source,tok) counts (map-side
+    combined); the global token frame derives from that aggregate, not
+    a second scan; the per-source totals broadcast; one keyed equi-join
+    on tok and a final per-source fold.  The log ratios are
+    irrational-valued, so round-6 has no half-boundary exposure
+    (theil convention)."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    ns = st.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    g = st.groupBy("tok").agg(F.sum("cnt").alias("g_cnt"))
+    ng = g.agg(F.sum("g_cnt").alias("n_g"))
+    j = (
+        st.join(g, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            (F.col("cnt") / F.col("n_s").cast("double")).alias("p"),
+            (F.col("g_cnt") / F.col("n_g").cast("double")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_types"),
+        (
+            F.round(
+                0.5 * F.sum(p * F.log(2 * p / (p + q))
+                            + q * F.log(2 * q / (p + q)))
+                + 0.5 * LN2 * (1 - F.sum(q)),
+                6,
+            )
+            + 0.0
+        ).alias("jsd"),
+    )
+
+
+# --------------------------------------------------------------------------
 # vocabulary coverage curve (tokenizer sizing)
 # --------------------------------------------------------------------------
 @query(

@@ -771,6 +771,29 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                  "PushedFilters: [In(l_returnflag"],
         "must_not": ["Join", "Generate"],
     },
+    "psi_drift": {
+        # binned PSI: narrow bucket map (1-row min/max scalar on a
+        # broadcast NL join — fine), PSI_BINS-row agg, one final fold.
+        # No window, no generate, no sort-merge join anywhere.
+        "must": ["HashAggregate", "PushedFilters: [In(l_returnflag"],
+        "must_not": ["SortMergeJoin", "CartesianProduct", "Generate",
+                     "Window"],
+    },
+    "js_divergence_sources": {
+        # one tokenize pass (Generate); global token counts derive
+        # from the (source,tok) aggregate; per-source totals broadcast
+        # (the 1-row corpus total rides a broadcast NL join — fine)
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct"],
+    },
+    "kcore_cosupply": {
+        # peel already ran (driver-controlled iteration); the final
+        # frame is the core-membership semi-joins (broadcast — the
+        # core is small by construction) over the symmetric edge
+        # frame + one keyed degree count
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct"],
+    },
     "binned_ks_drift": {
         # the raw-fact-scale KS: narrow bucket map (the 1-row min/max
         # scalar rides a broadcast NL join — fine), KS_BINS-row agg,
