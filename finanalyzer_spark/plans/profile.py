@@ -656,6 +656,93 @@ def binned_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "binned_wasserstein_drift",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS in_b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+    bkt AS (
+        SELECT CAST((cents - mn) * {KS_BINS} // (mx - mn + 1) AS BIGINT)
+                   AS bucket,
+               in_a, in_b
+        FROM c, mm
+    ),
+    v AS (SELECT bucket, sum(in_a) AS a, sum(in_b) AS b
+          FROM bkt GROUP BY bucket),
+    r AS (
+        SELECT sum(a) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(b) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(a) OVER () AS na,
+               sum(b) OVER () AS nb
+        FROM v
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_returned,
+           CAST(max(nb) AS BIGINT) AS n_kept,
+           CAST(sum(abs(ca * nb - cb * na)) * (max(mm.mx) - max(mm.mn) + 1)
+                // (max(na) * max(nb) * {KS_BINS}) AS BIGINT) AS w1_cents
+    FROM r CROSS JOIN mm
+    """,
+    tags=("profile", "stats", "approx", "scale-path"),
+)
+def binned_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 (earth mover's) distance between returned
+    and kept price distributions — the drift metric that reports HOW
+    FAR mass moved in price units, complementing KS (max gap) and PSI
+    (log score).  W1 = ∫|F_a − F_b| dx, discretized over the same
+    KS_BINS fixed-width integer bins as `binned_ks_drift`: bin width
+    times the sum of cross-multiplied CDF gaps, one exact integer
+    division at the end — quantization error ≤ one bin width, in the
+    same certified-approximation spirit.  Intermediates accumulate in
+    DECIMAL(38,0) on the Spark side / HUGEINT in DuckDB (Σ|ca·nb−cb·na|
+    × width leaves int64 near sf100 — the gini discipline).
+
+    Scale shape: identical to binned_ks_drift — one scan, scalar
+    broadcast, narrow bucket map, KS_BINS-row agg, window over
+    ≤KS_BINS rows."""
+    t = load(spark, sf_dir)
+    c = t.lineitem.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("long").alias("in_a"),
+        (F.col("l_returnflag") == "N").cast("long").alias("in_b"),
+    )
+    mm = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    bkt = c.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            f"CAST((cents - mn) * {KS_BINS} div (mx - mn + 1) AS BIGINT)"
+        ).alias("bucket"),
+        "in_a",
+        "in_b",
+    )
+    v = bkt.groupBy("bucket").agg(
+        F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
+    )
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    r = v.select(
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum("b").over(wall).alias("nb"),
+    )
+    return r.crossJoin(F.broadcast(mm)).agg(
+        F.max("na").alias("n_returned"),
+        F.max("nb").alias("n_kept"),
+        F.expr(
+            "CAST(sum(CAST(abs(ca * nb - cb * na) AS DECIMAL(38,0)))"
+            " * (max(mx) - max(mn) + 1)"
+            f" div (CAST(max(na) AS DECIMAL(38,0)) * max(nb) * {KS_BINS})"
+            " AS BIGINT)"
+        ).alias("w1_cents"),
+    )
+
+
 #: PSI bin count — coarser than KS_BINS on purpose: PSI's industry
 #: convention is 10-20 bins; 64 keeps per-bin mass stable while the
 #: window/agg stays trivially bounded.

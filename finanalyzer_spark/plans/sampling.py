@@ -233,3 +233,75 @@ def per_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+#: sample size for weighted_sample_topk
+_WS_K = 50
+#: 2^32 — the md5-uniform denominator (8 hex chars)
+_WS_SPACE = 4294967296
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substr(md5('wsamp' || doc_id::VARCHAR), 1, 8))
+                       ::BIGINT + 1) / {_WS_SPACE}.0) / n_chars AS lk
+        FROM documents WHERE n_chars > 0
+    ),
+    top AS (SELECT * FROM w ORDER BY lk DESC, doc_id LIMIT {_WS_K})
+    SELECT row_number() OVER (ORDER BY lk DESC, doc_id) AS rnk,
+           doc_id, source, n_chars
+    FROM top
+    """,
+    tags=("sampling", "weighted", "scale-path"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-ES one-pass reduction: each row gets key u^(1/w)
+    (compared as ln(u)/w) with u a salted md5 uniform and w = n_chars,
+    and the k largest keys ARE a weighted sample without replacement —
+    the standard way to draw 'sample documents proportional to length/
+    quality' from a corpus in one distributed pass, deterministic and
+    backfill-stable because the randomness is the content hash, not an
+    RNG (the same discipline as deterministic_sample).
+
+    The float key is computed from bit-identical md5 integers in both
+    engines and is NEVER emitted — only integer ranks and data columns
+    — so a last-ulp ln() divergence between libm implementations
+    cannot surface (keys of distinct docs are random doubles, never
+    within an ulp of each other).
+
+    Scale shape: narrow codegen key map fused into the scan, then ONE
+    bounded top-k (TakeOrderedAndProject — no global sort, no
+    shuffle beyond the k-row reduction); the final rank window runs
+    over k rows."""
+    t = load(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = t.documents.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log((h + 1) / F.lit(float(_WS_SPACE))) / F.col("n_chars")).alias(
+            "lk"
+        ),
+    )
+    top = w.orderBy(F.col("lk").desc(), "doc_id").limit(_WS_K)
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.col("lk").desc(), "doc_id"))
+    return top.select(
+        rnk.alias("rnk"), "doc_id", "source", "n_chars"
+    )

@@ -771,6 +771,19 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                  "PushedFilters: [In(l_returnflag"],
         "must_not": ["Join", "Generate"],
     },
+    "binned_wasserstein_drift": {
+        # same shape as binned_ks_drift: bucket map + bounded agg +
+        # window over <=KS_BINS rows (scalars ride broadcast NL joins)
+        "must": ["Window", "HashAggregate",
+                 "PushedFilters: [In(l_returnflag"],
+        "must_not": ["SortMergeJoin", "CartesianProduct", "Generate"],
+    },
+    "weighted_sample_topk": {
+        # A-ES: codegen key map fused into the scan, ONE bounded
+        # top-k — never a global Sort or an exchange-heavy join
+        "must": ["TakeOrderedAndProject", "Window"],
+        "must_not": ["Join", "Generate", "Exchange hashpartitioning"],
+    },
     "psi_drift": {
         # binned PSI: narrow bucket map (1-row min/max scalar on a
         # broadcast NL join — fine), PSI_BINS-row agg, one final fold.
