@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Compare two BENCH_QUERIES.json artifacts and flag per-query swings.
+
+Usage:
+    python scripts/bench_diff.py OLD.json NEW.json [--factor 2.0]
+                                 [--min-sec 0.5]
+
+Prints one line per flagged query (slowdowns above --factor whose new
+time also exceeds --min-sec — sub-second jitter is measurement noise,
+cf. the deterministic_sample_stats r4 false alarm), then a summary.
+Exit code 1 when anything is flagged, so it can gate CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--factor", type=float, default=2.0)
+    ap.add_argument("--min-sec", type=float, default=0.5)
+    args = ap.parse_args()
+
+    with open(args.old) as fh:
+        old = json.load(fh)["queries"]
+    with open(args.new) as fh:
+        new = json.load(fh)["queries"]
+
+    flagged = []
+    for name, t_new in sorted(new.items()):
+        t_old = old.get(name)
+        if t_old is None:
+            continue  # new query this round — nothing to compare
+        if t_old <= 0 or t_new <= 0:
+            flagged.append((name, t_old, t_new, "errored run"))
+            continue
+        if t_new >= args.min_sec and t_new > args.factor * t_old:
+            flagged.append(
+                (name, t_old, t_new, f"{t_new / t_old:.2f}x slower")
+            )
+    for name, t_old, t_new, why in flagged:
+        print(f"FLAG {name}: {t_old:.3f}s -> {t_new:.3f}s ({why})")
+    gone = sorted(set(old) - set(new))
+    added = sorted(set(new) - set(old))
+    tot_old = sum(v for v in old.values() if v > 0)
+    tot_new = sum(v for v in new.values() if v > 0)
+    print(
+        f"{len(flagged)} flagged; {len(added)} added, {len(gone)} removed; "
+        f"total {tot_old:.1f}s -> {tot_new:.1f}s"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -480,3 +480,24 @@ def test_heavy_hitters_property(spark, stream, support):
         (str(v), c) for v, c in Counter(stream).items() if c > support * n
     }
     assert got == want
+
+
+def test_binned_ks_interval_contains_exact_ks(spark):
+    """The binned KS's certified interval must CONTAIN the exact KS:
+    ks_ppm <= exact <= ks_ppm + err_bound_ppm (the whole point of the
+    approximate variant), and the W1 distance must be consistent with
+    its own bound (0 <= w1 <= data range). Checked on the real fixture
+    so the three drift metrics agree about the same distributions."""
+    from finanalyzer_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = REGISTRY["ks_statistic_returned_vs_kept"].fn(spark, sf).collect()[0]
+    binned = REGISTRY["binned_ks_drift"].fn(spark, sf).collect()[0]
+    assert binned["n_returned"] == exact["n_returned"]
+    assert binned["n_kept"] == exact["n_kept"]
+    lo, hi = binned["ks_ppm"], binned["ks_ppm"] + binned["err_bound_ppm"]
+    # integer-floor slack: each ppm is a floor division, so allow 1
+    assert lo - 1 <= exact["ks_ppm"] <= hi + 1, (lo, exact["ks_ppm"], hi)
+
+    w1 = REGISTRY["binned_wasserstein_drift"].fn(spark, sf).collect()[0]
+    assert w1["w1_cents"] >= 0
