@@ -483,23 +483,31 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
 
 
 def decode_image_compressed(buf: bytes):
-    """Codec tier for compressed images. PNG decodes FOR REAL with no
-    external dependency (decode_png — stdlib zlib + numpy filter
-    reconstruction); other formats (JPEG/WebP/...) decode via PIL when
-    importable and raise NotImplementedError otherwise (JPEG's
-    DCT+Huffman pipeline genuinely needs a codec library), keeping the
-    honest-unsupported contract while a PIL-equipped deployment
-    decodes real corpora with zero plan changes. Returns (h, w, 3)
-    uint8 RGB, shape-compatible with decode_ppm."""
+    """Codec tier for compressed images. PNG and baseline JPEG decode
+    FOR REAL with no external dependency (decode_png — stdlib zlib +
+    numpy filter reconstruction; operators/jpeg.decode_jpeg — Huffman
+    + dequant + IDCT in numpy); remaining formats (WebP, progressive
+    JPEG, ...) decode via PIL when importable and raise
+    NotImplementedError otherwise, keeping the honest-unsupported
+    contract while a PIL-equipped deployment decodes anything with
+    zero plan changes. Returns (h, w, 3) uint8 RGB, shape-compatible
+    with decode_ppm."""
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(buf)
+        except NotImplementedError:
+            pass  # progressive/arithmetic: fall through to PIL tier
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PNG compressed image decode needs PIL (not in this "
-            "container); PNG/PPM/BMP decode natively, or run with "
-            "fake=True for the raw-byte-histogram path"
+            "this compressed image needs PIL (not in this container); "
+            "PNG, baseline JPEG, PPM and BMP decode natively, or run "
+            "with fake=True for the raw-byte-histogram path"
         ) from exc
     import io
 
@@ -549,11 +557,12 @@ def decode_image_features(
 ) -> DataFrame:
     """Image → feature vector: normalized `dim`-bin intensity histogram.
 
-    `fake=False` REALLY decodes binary-PPM payloads (decode_ppm) and
-    PNG payloads (decode_png — stdlib zlib + numpy filter
-    reconstruction, no codec library) and histograms the decoded
-    pixel bytes; formats that genuinely need a codec library (JPEG)
-    raise NotImplementedError unless PIL is present. `fake=True`
+    `fake=False` REALLY decodes binary-PPM, PNG (decode_png — stdlib
+    zlib + numpy filter reconstruction) and baseline-JPEG payloads
+    (operators/jpeg.decode_jpeg — Huffman + dequant + IDCT in numpy,
+    no codec library) and histograms the decoded pixel bytes; formats
+    beyond that tier (WebP, progressive JPEG) raise
+    NotImplementedError unless PIL is present. `fake=True`
     histograms the raw payload bytes instead (deterministic, has an
     exact DuckDB oracle) so the full pipeline (decode → embed → ANN)
     is testable without any fixture being a real image.

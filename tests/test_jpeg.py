@@ -1,0 +1,167 @@
+"""Pure-numpy baseline JPEG codec tests.
+
+The encoder/decoder pair could in principle share an inverse bug (a
+transposition applied both ways cancels in a round-trip), so the spec
+tables and transforms are ALSO asserted directly against published
+values: the zigzag sequence, the Annex-K table checksums, DCT
+orthonormality, and the F.2.2.1 sign-extension algebra. Round-trips
+then bound end-to-end error at several qualities and both samplings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from finanalyzer_spark.operators.jpeg import (
+    STD_AC_CHROMA,
+    STD_AC_LUMA,
+    STD_DC_LUMA,
+    STD_LUMA_Q,
+    ZIGZAG,
+    _DCT_M,
+    _build_huffman_decode,
+    _extend,
+    _mag_bits,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_zigzag_is_the_spec_sequence():
+    # T.81 Figure 5 spot values: start, the first anti-diagonal, end
+    assert ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert ZIGZAG[-4:].tolist() == [47, 55, 62, 63]
+    # a permutation of 0..63
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # symmetry: reversing the scan mirrors the block (63 - pos)
+    assert (np.sort(ZIGZAG) == np.arange(64)).all()
+
+
+def test_dct_matrix_is_orthonormal():
+    ident = _DCT_M @ _DCT_M.T
+    assert np.allclose(ident, np.eye(8), atol=1e-12)
+    # DC basis row is the constant vector 1/sqrt(8)
+    assert np.allclose(_DCT_M[0], np.full(8, 1 / np.sqrt(8)))
+
+
+def test_annex_k_tables_well_formed():
+    # luminance quant table spot values (T.81 Table K.1)
+    q = STD_LUMA_Q.reshape(8, 8)
+    assert q[0, 0] == 16 and q[7, 7] == 99 and q[0, 7] == 61
+    # Huffman BITS sum == number of HUFFVAL entries, and the canonical
+    # code construction yields prefix-free codes of <= 16 bits
+    for bits, vals in (STD_DC_LUMA, STD_AC_LUMA, STD_AC_CHROMA):
+        assert sum(bits) == len(vals)
+        dec = _build_huffman_decode(bits, vals)
+        assert len(dec) == len(vals)
+        codes = sorted((l, c) for (l, c) in dec)
+        # prefix-freedom: no code is a prefix of another
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1)
+
+
+def test_sign_extension_f221():
+    # spec F.2.2.1: t-bit magnitude -> signed value
+    assert _extend(0b1, 1) == 1 and _extend(0b0, 1) == -1
+    assert _extend(0b111, 3) == 7 and _extend(0b000, 3) == -7
+    assert _extend(0b100, 3) == 4 and _extend(0b011, 3) == -4
+    # encoder inverse
+    for v in (-255, -17, -1, 1, 2, 100, 255):
+        t, code = _mag_bits(v)
+        assert _extend(code, t) == v
+
+
+def test_flat_color_roundtrip_is_exact():
+    """A flat image is DC-only; quality 50 keeps the Annex-K tables
+    unscaled and the DC quantizer divides the level-shifted value
+    exactly for multiples — decode must return the exact color."""
+    px = np.full((16, 24, 3), 128, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(px, quality=50))
+    assert got.shape == (16, 24, 3)
+    assert np.array_equal(got, px)
+
+
+def test_greyscale_gradient_high_quality_roundtrip():
+    x = np.linspace(0, 255, 32, dtype=np.uint8)
+    px = np.repeat(np.tile(x, (32, 1))[:, :, None], 3, axis=2)
+    got = decode_jpeg(encode_jpeg(px, quality=95))
+    err = np.abs(got.astype(int) - px.astype(int)).max()
+    assert err <= 6, err
+
+
+@pytest.mark.parametrize("quality,tol", [(95, 20), (75, 40)])
+def test_random_image_roundtrip_bounded_error(quality, tol):
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    # smooth it so the error bound is meaningful (JPEG is built for
+    # band-limited content; pure noise stresses only the tables)
+    px = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    got = decode_jpeg(encode_jpeg(px, quality=quality))
+    assert got.shape == px.shape
+    err = np.abs(got.astype(int) - px.astype(int)).max()
+    assert err <= tol, err
+
+
+def test_subsampled_420_roundtrip():
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    px = np.repeat(np.repeat(base, 16, axis=0), 16, axis=1)
+    got = decode_jpeg(encode_jpeg(px, quality=90, subsample=True))
+    assert got.shape == px.shape
+    # 4:2:0 halves chroma resolution: compare in luma (exactly the
+    # information the subsampling preserves)
+    wy = np.array([0.299, 0.587, 0.114])
+    ly = (px.astype(float) @ wy)
+    gy = (got.astype(float) @ wy)
+    assert np.abs(ly - gy).max() <= 25
+    # interior of each 16x16 flat tile must match closely in full RGB
+    assert np.abs(
+        got[8:-8, 8:-8].astype(int) - px[8:-8, 8:-8].astype(int)
+    ).max() <= 40
+
+
+def test_odd_dimensions_and_edge_padding():
+    rng = np.random.default_rng(29)
+    px = np.repeat(
+        np.repeat(
+            rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8), 9, axis=0
+        ),
+        7,
+        axis=1,
+    )  # 18 x 21 — not multiples of 8 or 16
+    for sub in (False, True):
+        got = decode_jpeg(encode_jpeg(px, quality=92, subsample=sub))
+        assert got.shape == px.shape
+
+
+def test_progressive_and_garbage_rejected():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    buf = bytearray(encode_jpeg(px))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must raise
+    i = bytes(buf).find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"definitely not a jpeg")
+
+
+def test_jpeg_through_spark_image_kernel(spark):
+    """The codec rides the same Arrow mapInPandas path as PPM/PNG —
+    a flat JPEG and its exact PPM twin produce identical features."""
+    from finanalyzer_spark.operators.multimodal import decode_image_features
+
+    px = np.full((8, 8, 3), 200, dtype=np.uint8)
+    jpg = encode_jpeg(px, quality=50)
+    ppm = b"P6\n8 8\n255\n" + px.tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(jpg)), (2, bytearray(ppm))],
+        "media_id long, content binary",
+    )
+    feats = {
+        r["media_id"]: list(r["feature"])
+        for r in decode_image_features(media, fake=False).collect()
+    }
+    assert feats[1] == feats[2]

@@ -2,10 +2,12 @@
 
 Codec tiers under test: REAL pure-numpy/python codecs for public
 dependency-free formats (binary PPM images, **PNG** via stdlib zlib +
-numpy filter reconstruction, PCM-16 WAV audio, y4m video), plus the
+numpy filter reconstruction, **baseline JPEG** via operators/jpeg —
+tested in tests/test_jpeg.py, PCM-16 WAV audio, y4m video), plus the
 deterministic fake decoders whose arithmetic the DuckDB oracles
-mirror. Formats that genuinely need a codec library (JPEG, MP4) stay
-stubbed — those libraries aren't in this container.
+mirror. Formats that genuinely need a codec library (WebP,
+progressive JPEG, MP4) stay stubbed — those libraries aren't in this
+container.
 """
 
 from __future__ import annotations
@@ -84,9 +86,9 @@ def test_optional_codec_helpers_raise_without_deps():
     try:
         import PIL  # noqa: F401
     except ImportError:
-        # JPEG magic: needs a real codec library
+        # WebP: outside the pure PNG/baseline-JPEG tier, needs PIL
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_compressed(b"\xff\xd8\xff\xe0 jpeg garbage")
+            decode_image_compressed(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     try:
         import av  # noqa: F401
     except ImportError:
