@@ -205,6 +205,94 @@ def demux_y4m(buf: bytes):
         frame_no += 1
 
 
+def demux_mjpeg_avi(buf: bytes):
+    """REAL compressed-video demux with no codec library: MJPEG-in-AVI
+    (each frame an independent baseline JPEG inside the RIFF 'movi'
+    list — the classic capture/dataset layout). RIFF walking is pure
+    struct; each '..dc' chunk decodes through operators/jpeg.
+    Yields (frame_no, (h, w, 3) uint8 RGB ndarray).
+
+    ValueError on a non-AVI payload so callers can route MP4/MKV to
+    the PyAV tier; NotImplementedError bubbles up from decode_jpeg
+    for non-baseline frame codecs."""
+    import struct
+
+    from .jpeg import decode_jpeg
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI byte stream")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            ctype = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = (pos + 8, pos + 8 + size)
+            yield ctype, body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    frame_no = 0
+    for ctype, (lo, hi) in walk(12, len(buf)):
+        if ctype == b"LIST" and buf[lo : lo + 4] == b"movi":
+            for sub, (slo, shi) in walk(lo + 4, hi):
+                if sub[2:4] in (b"dc", b"db"):  # compressed/raw video
+                    yield frame_no, decode_jpeg(buf[slo:shi])
+                    frame_no += 1
+
+
+def encode_mjpeg_avi(frames, fps: int = 25, quality: int = 90) -> bytes:
+    """Minimal MJPEG AVI writer (the demux twin / fixture builder):
+    every frame JPEG-encoded independently (operators/jpeg), wrapped
+    in RIFF hdrl/movi lists with an idx1 index."""
+    import struct
+
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return ctype + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, len(payloads), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        fps, 0, len(payloads), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+        w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi_chunks, idx, offset = [], [], 4
+    for p in payloads:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, offset, len(p)))
+        movi_chunks.append(chunk(b"00dc", p))
+        offset += 8 + len(p) + (len(p) & 1)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_pcm16(pcm: bytes, rate: int = 8000, channels: int = 1) -> bytes:
     """Wrap raw little-endian int16 sample bytes in a canonical RIFF/
     WAVE PCM-16 container (the encode twin of decode_wav; test vector
@@ -518,17 +606,24 @@ def decode_image_compressed(buf: bytes):
 
 
 def demux_video_compressed(buf: bytes):
-    """Optional codec tier for compressed video (MP4/MKV/...): demux +
-    decode via PyAV when importable, yielding (frame_no, frame_bytes)
-    like demux_y4m (frame_bytes = packed RGB24 planes). Raises
-    NotImplementedError when av is absent."""
+    """Codec tier for compressed video, yielding (frame_no,
+    frame_bytes) like demux_y4m (frame_bytes = packed RGB24 planes).
+    MJPEG-in-AVI demuxes FOR REAL with no codec library
+    (demux_mjpeg_avi — RIFF walk + the pure baseline-JPEG decoder);
+    inter-frame codecs (MP4/MKV H.264...) demux via PyAV when
+    importable and raise NotImplementedError otherwise — motion-
+    compensated decode genuinely needs a codec library."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        for no, frame in demux_mjpeg_avi(buf):
+            yield no, frame.tobytes()
+        return
     try:
         import av
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed video demux needs PyAV/ffmpeg (not in this "
-            "container); YUV4MPEG2 demuxes natively, or run with "
-            "fake=True for the byte-slice path"
+            "inter-frame compressed video demux needs PyAV/ffmpeg "
+            "(not in this container); YUV4MPEG2 and MJPEG-AVI demux "
+            "natively, or run with fake=True for the byte-slice path"
         ) from exc
     import io
 
@@ -740,12 +835,14 @@ def sample_video_frames(
     """Video → sampled frame rows (one output row per frame).
 
     `fake=False` REALLY demuxes YUV4MPEG2 payloads (demux_y4m, pure
-    python — header parse + FRAME-marker walk + raw plane slices);
-    compressed containers (MP4/MKV) raise NotImplementedError — their
-    demuxers (ffmpeg) aren't in this container and slot into the same
-    branch. `fake=True` treats every `every_n_bytes` slice as a
-    'frame' so the explode/batch shape is exercised without any
-    fixture being a real video."""
+    python — header parse + FRAME-marker walk + raw plane slices) and
+    MJPEG-AVI payloads (demux_mjpeg_avi — RIFF walk + pure baseline-
+    JPEG decode, via demux_video_compressed); inter-frame containers
+    (MP4/MKV) raise NotImplementedError — their demuxers (ffmpeg)
+    aren't in this container and slot into the same branch.
+    `fake=True` treats every `every_n_bytes` slice as a 'frame' so
+    the explode/batch shape is exercised without any fixture being a
+    real video."""
 
     schema = f"{id_col} long, frame_no int, frame binary"
 

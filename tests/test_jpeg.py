@@ -165,3 +165,55 @@ def test_jpeg_through_spark_image_kernel(spark):
         for r in decode_image_features(media, fake=False).collect()
     }
     assert feats[1] == feats[2]
+
+
+def test_mjpeg_avi_roundtrip():
+    """encode_mjpeg_avi -> demux_mjpeg_avi: frame count/order exact,
+    per-frame pixels within the JPEG round-trip bound."""
+    from finanalyzer_spark.operators.multimodal import (
+        demux_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = [
+        np.repeat(
+            np.repeat(
+                rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8), 8, 0
+            ),
+            8,
+            1,
+        )
+        for _ in range(4)
+    ]
+    avi = encode_mjpeg_avi(frames, quality=95)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    got = list(demux_mjpeg_avi(avi))
+    assert [no for no, _ in got] == [0, 1, 2, 3]
+    for (_, g), f in zip(got, frames):
+        assert g.shape == f.shape
+        assert np.abs(g.astype(int) - f.astype(int)).max() <= 20
+
+
+def test_mjpeg_avi_through_spark_video_kernel(spark):
+    """The AVI tier rides the same Arrow frame-sampling kernel as y4m
+    — real demux, one output row per frame, RGB24 frame bytes."""
+    from finanalyzer_spark.operators.multimodal import (
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    frames = [np.full((8, 8, 3), 40 * (i + 1), dtype=np.uint8) for i in range(3)]
+    avi = encode_mjpeg_avi(frames, quality=50)
+    df = spark.createDataFrame(
+        [(9, bytearray(avi))], "media_id long, content binary"
+    )
+    rows = sorted(
+        sample_video_frames(df, fake=False).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert [r["frame_no"] for r in rows] == [0, 1, 2]
+    for r, f in zip(rows, frames):
+        got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(8, 8, 3)
+        # flat frames are DC-only at quality 50: exact
+        assert np.array_equal(got, f)
