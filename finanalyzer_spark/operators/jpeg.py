@@ -263,6 +263,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (spec B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -328,6 +331,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 def _decode_scan(data, frame, scan_sel, qtables, htables, restart_interval):
     if frame is None:
         raise ValueError("JPEG SOS before SOF0")
+    if len(scan_sel) != len(frame["comps"]):
+        raise NotImplementedError(
+            "non-interleaved JPEG scans (one component per SOS) are "
+            "not supported by the pure decoder — baseline interleaved "
+            "only"
+        )
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
