@@ -217,3 +217,33 @@ def test_mjpeg_avi_through_spark_video_kernel(spark):
         got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(8, 8, 3)
         # flat frames are DC-only at quality 50: exact
         assert np.array_equal(got, f)
+
+
+def test_jpeg_fuzz_roundtrip_never_crashes():
+    """Property fuzz: any small image at any quality must encode →
+    decode to the right shape with pixel values in range — including
+    pure noise and extreme checkerboards (worst-case high frequency),
+    where the ERROR is large by design but the codec must stay total."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        quality=st.integers(1, 100),
+        seed=st.integers(0, 2**31),
+        sub=st.booleans(),
+    )
+    def prop(h, w, quality, seed, sub):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(px, quality=quality, subsample=sub))
+        assert got.shape == (h, w, 3)
+        assert got.dtype == np.uint8
+
+    prop()
