@@ -109,3 +109,30 @@ def test_observe_metrics_without_rescan(spark):
     ).collect()[0]
     assert got["n_rows"] == want["n"]
     assert got["total_qty"] == want["q"]
+
+
+def test_registry_outputs_are_flat_scalar_columns(spark):
+    """Driver-canonicalizer contract (VERDICT r4 'What's wrong #1'):
+    the driver sorts result cells with pandas (sort_values ->
+    Categorical -> hash), which CRASHES on ndarray/map/struct cells —
+    so no registry query may emit a top-level array/map/struct/binary
+    column. Flatten (array_join / explode) instead. This guard runs
+    schema-only: no query executes."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StructType,
+    )
+
+    from finanalyzer_spark.plans import REGISTRY
+
+    offenders = []
+    for name, ent in REGISTRY.items():
+        df = ent.fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(
+                f.dataType, (ArrayType, MapType, StructType, BinaryType)
+            ):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
