@@ -40,8 +40,19 @@ def positional_ids(
     last column) — ties would make the numbering nondeterministic, same
     as any ROW_NUMBER."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(n), *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint PINS the sampled range boundaries: this frame is
+    # referenced twice (ranks + offsets), and repartitionByRange's
+    # boundary sampling is seeded per-RDD-id — two physical executions
+    # of the same logical subtree can pick DIFFERENT boundaries (the
+    # exchange is not guaranteed to be reused under AQE), which
+    # desyncs the per-partition counts from the rank partitioning and
+    # yields duplicate/skipped ids. Caught by the sf0.1 oracle sweep
+    # (round 5); the numbering must come from ONE materialized
+    # partitioning.
+    ranged = (
+        df.repartitionByRange(int(n), *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local = F.row_number().over(
         W.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])

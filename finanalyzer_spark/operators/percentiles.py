@@ -58,10 +58,17 @@ def grouped_exact_percentiles(
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
 
+    # localCheckpoint PINS the sampled range boundaries: `d` feeds both
+    # the count/offset branch and the boundary-row branch, and
+    # repartitionByRange's boundary sampling is seeded per RDD id — two
+    # physical executions can pick different boundaries, desyncing the
+    # offsets from the ranks (exactly the positional_ids bug caught by
+    # the round-5 sf0.1 oracle sweep; operators/ids.py).
     d = (
         df.select(*keys, F.col(value).cast("double").alias("_v"))
         .repartitionByRange(n_parts, *keys, F.col("_v"))
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     d = d.withColumn(
         "_lrn", F.row_number().over(W.partitionBy("_pid", *keys).orderBy("_v"))

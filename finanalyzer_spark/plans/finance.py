@@ -163,7 +163,15 @@ def orphan_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # technical indicators over the price series (ticker = l_partkey,
 # close = l_extendedprice, date = l_shipdate — FIXTURES.md role map)
 # --------------------------------------------------------------------------
-_ORD = "l_shipdate, l_orderkey, l_linenumber"
+#: shared indicator ordering — the PRICE payload is the final
+#: tiebreak because the fixture's (l_orderkey, l_linenumber) is NOT
+#: unique (duplicate keys with different payloads, FIXTURES.md): a
+#: lag/lead over a tied order hands each engine a different
+#: predecessor for the tied rows (round-5 sf0.1 oracle sweep caught
+#: atr_14 doing exactly that). Rows tied on all four columns are
+#: interchangeable for every user of this order (they lag the price
+#: only), so the order is effectively total.
+_ORD = "l_shipdate, l_orderkey, l_linenumber, l_extendedprice"
 
 
 @query(
@@ -198,7 +206,7 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     w = (
         W.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     s = t.lineitem.select(
@@ -221,6 +229,7 @@ _RSI_N = 14
     oracle=f"""
     WITH d AS (
         SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               l_extendedprice,
                l_extendedprice
                    - lag(l_extendedprice) OVER (
                          PARTITION BY l_partkey ORDER BY {_ORD}
@@ -266,7 +275,7 @@ def rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key. Zero average-loss frames pin RSI to 100 with the
     same CASE on both engines (no inf/NaN divergence)."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     wl = W.partitionBy("l_partkey").orderBy(*order)
     wf = wl.rowsBetween(-(_RSI_N - 1), W.currentRow)
     d = t.lineitem.select(
@@ -317,6 +326,7 @@ def _macd_oracle() -> str:
     return f"""
     WITH m AS (
         SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               l_extendedprice,
                ({filt('l_extendedprice', _W12)})
                - ({filt('l_extendedprice', _W26)}) AS macd
         FROM lineitem
@@ -349,7 +359,7 @@ def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort order never changes, so the second level needs no second
     shuffle)."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     w = W.partitionBy("l_partkey").orderBy(*order)
 
     def filt(col, ws):
@@ -381,7 +391,7 @@ def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
-               l_extendedprice AS px,
+               l_extendedprice, l_extendedprice AS px,
                avg(l_extendedprice) OVER (
                    PARTITION BY l_partkey ORDER BY {_ORD}
                    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS sma_fast,
@@ -393,7 +403,8 @@ def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     ),
     g AS (
-        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, px, next_px,
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               l_extendedprice, px, next_px,
                CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END AS long_now,
                lag(CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END) OVER (
                    PARTITION BY l_partkey ORDER BY {_ORD}) AS long_prev
@@ -424,7 +435,7 @@ def sma_crossover_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions — share a single (ticker, time) window sort; the backtest
     aggregate groups on the partition key. One shuffle end to end."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     wl = W.partitionBy("l_partkey").orderBy(*order)
     s = t.lineitem.select(
         "l_partkey",
@@ -561,7 +572,7 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side partials; the HAVING guard drops
     single-observation tickers identically on both engines."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     wl = W.partitionBy("l_partkey").orderBy(*order)
     r = t.lineitem.select(
         "l_partkey",
@@ -627,7 +638,7 @@ def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number; the breakout flags fold into one keyed aggregate with
     map-side partials. One shuffle total."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     wb = (
         W.partitionBy("l_partkey")
         .orderBy(*order)
@@ -661,23 +672,25 @@ _ATR_N = 14
     oracle=f"""
     WITH b AS (
         SELECT l_partkey,
-               l_extendedprice * (1 + l_tax) AS hi,
-               l_extendedprice * (1 - l_discount) AS lo,
-               lag(l_extendedprice) OVER (
+               CAST(round(l_extendedprice * (1 + l_tax) * 10000, 0)
+                    AS BIGINT) AS hi_u,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                    AS BIGINT) AS lo_u,
+               lag(CAST(round(l_extendedprice * 10000, 0) AS BIGINT)) OVER (
                    PARTITION BY l_partkey ORDER BY {_ORD}
-               ) AS prev_close
+               ) AS prev_u
         FROM lineitem
     ),
     tr AS (
         SELECT l_partkey,
-               greatest(hi - lo, abs(hi - prev_close),
-                        abs(lo - prev_close)) AS tr
-        FROM b WHERE prev_close IS NOT NULL
+               greatest(hi_u - lo_u, abs(hi_u - prev_u),
+                        abs(lo_u - prev_u)) AS tr_u
+        FROM b WHERE prev_u IS NOT NULL
     )
     SELECT l_partkey,
            count(*) AS n_obs,
-           round(avg(tr), 6) + 0.0 AS avg_tr,
-           round(max(tr), 6) + 0.0 AS max_tr
+           CAST(sum(tr_u) // count(*) AS BIGINT) AS avg_tr_u,
+           CAST(max(tr_u) AS BIGINT) AS max_tr_u
     FROM tr
     GROUP BY l_partkey
     HAVING count(*) >= {_ATR_N}
@@ -693,31 +706,40 @@ def atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, so the envelope is synthesized the same way on both
     engines).
 
+    True ranges are quantized to INTEGER 1e-4 price units before
+    aggregation (both engines round the identical doubles, then all
+    algebra is integer): a float avg(tr) rounded at 6 digits landed
+    ULP-apart across engines on 3 groups at sf0.1 (round-5 oracle
+    sweep) — the summation-order tie the integer-exact discipline
+    (SCALE.md) exists to eliminate. avg_tr_u is one exact floor
+    division.
+
     Scale shape: one lag window over the (ticker, time) sort, then a
     keyed aggregate; tickers with fewer than 14 ranges drop identically
     via HAVING."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     wl = W.partitionBy("l_partkey").orderBy(*order)
     px = F.col("l_extendedprice")
+    u = lambda c: F.round(c * 10000, 0).cast("long")  # noqa: E731
     b = t.lineitem.select(
         "l_partkey",
-        (px * (1 + F.col("l_tax"))).alias("hi"),
-        (px * (1 - F.col("l_discount"))).alias("lo"),
-        F.lag("l_extendedprice").over(wl).alias("prev_close"),
-    ).where(F.col("prev_close").isNotNull())
+        u(px * (1 + F.col("l_tax"))).alias("hi_u"),
+        u(px * (1 - F.col("l_discount"))).alias("lo_u"),
+        F.lag(u(px)).over(wl).alias("prev_u"),
+    ).where(F.col("prev_u").isNotNull())
     tr = F.greatest(
-        F.col("hi") - F.col("lo"),
-        F.abs(F.col("hi") - F.col("prev_close")),
-        F.abs(F.col("lo") - F.col("prev_close")),
+        F.col("hi_u") - F.col("lo_u"),
+        F.abs(F.col("hi_u") - F.col("prev_u")),
+        F.abs(F.col("lo_u") - F.col("prev_u")),
     )
     return (
-        b.select("l_partkey", tr.alias("tr"))
+        b.select("l_partkey", tr.alias("tr_u"))
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_obs"),
-            (F.round(F.avg("tr"), 6) + 0.0).alias("avg_tr"),
-            (F.round(F.max("tr"), 6) + 0.0).alias("max_tr"),
+            F.expr("CAST(sum(tr_u) div count(*) AS BIGINT)").alias("avg_tr_u"),
+            F.max("tr_u").alias("max_tr_u"),
         )
         .where(F.col("n_obs") >= _ATR_N)
     )
@@ -763,7 +785,7 @@ def sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch is a CASE inside the same map-side partial, no second
     pass."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     wl = W.partitionBy("l_partkey").orderBy(*order)
     r = t.lineitem.select(
         "l_partkey",
@@ -980,7 +1002,7 @@ def time_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed aggregate — identical single-shuffle shape as the other
     indicators."""
     t = load(spark, sf_dir)
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
     wl = W.partitionBy("l_partkey").orderBy(*order)
     s = t.lineitem.select(
         "l_partkey",

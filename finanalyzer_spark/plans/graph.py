@@ -202,40 +202,60 @@ _CORE_K = 3
     # round's survivors), a fixpoint guard that stops recursion when
     # nothing was dropped, and a final re-filter of the max-iteration
     # set (handles the peel-to-empty case, where the last emitted
-    # round still contains sub-k nodes).
+    # round still contains sub-k nodes). The edge pipeline is
+    # MATERIALIZED and every per-round degree count is a hash
+    # join+GROUP BY, never a correlated subquery — the correlated form
+    # re-evaluated the whole pair-join pipeline per node per round and
+    # ran DuckDB out of memory one SF up from the gate (sf0.1 sweep).
     oracle=f"""
     WITH RECURSIVE
-    cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-    p AS (SELECT a.s AS u, b.s AS v, count(*) AS shared
-          FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    cs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    p AS MATERIALIZED (
+        SELECT a.s AS u, b.s AS v, count(*) AS shared
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
     thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
-    und AS (SELECT u, v FROM p, thr WHERE shared > t),
-    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
     nodes AS (SELECT DISTINCT u AS node FROM e),
     peel(iter, node) AS (
         SELECT 0, node FROM nodes
         UNION ALL
-        SELECT p.iter + 1, p.node FROM peel p
-        WHERE (SELECT count(*) FROM e
-               WHERE e.u = p.node
-                 AND e.v IN (SELECT node FROM peel)) >= {_CORE_K}
-          AND (SELECT count(*) FROM peel) >
-              (SELECT count(*) FROM peel q
-               WHERE (SELECT count(*) FROM e
-                      WHERE e.u = q.node
-                        AND e.v IN (SELECT node FROM peel)) >= {_CORE_K})
+        SELECT s.iter + 1, s.node
+        FROM (
+            SELECT a.iter AS iter, e.u AS node
+            FROM e
+            JOIN peel a ON a.node = e.u
+            JOIN peel b ON b.node = e.v
+            GROUP BY a.iter, e.u
+            HAVING count(*) >= {_CORE_K}
+        ) s
+        WHERE (SELECT count(*) FROM peel) > (
+            SELECT count(*)
+            FROM (
+                SELECT e.u
+                FROM e
+                JOIN peel a ON a.node = e.u
+                JOIN peel b ON b.node = e.v
+                GROUP BY e.u
+                HAVING count(*) >= {_CORE_K}
+            )
+        )
     ),
-    last AS (SELECT node FROM peel
-             WHERE iter = (SELECT max(iter) FROM peel))
-    SELECT p.node,
-           (SELECT count(*) FROM e
-            WHERE e.u = p.node
-              AND e.v IN (SELECT node FROM last)) AS core_deg
-    FROM last p
-    WHERE (SELECT count(*) FROM e
-           WHERE e.u = p.node
-             AND e.v IN (SELECT node FROM last)) >= {_CORE_K}
+    last AS MATERIALIZED (
+        SELECT node FROM peel
+        WHERE iter = (SELECT max(iter) FROM peel)),
+    core_deg AS (
+        SELECT e.u AS node, count(*) AS core_deg
+        FROM e
+        JOIN last a ON a.node = e.u
+        JOIN last b ON b.node = e.v
+        GROUP BY e.u
+        HAVING count(*) >= {_CORE_K}
+    )
+    SELECT node, core_deg FROM core_deg
     """,
     tags=("graph", "iterative", "kcore"),
 )

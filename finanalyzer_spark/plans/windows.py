@@ -376,7 +376,8 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(corr(l_extendedprice, l_quantity) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_extendedprice, l_quantity
                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW
            ), 5) + 0.0 AS corr_30
     FROM lineitem
@@ -389,11 +390,24 @@ def rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs as a window aggregate inside the same single (supplier, time)
     sort any other frame stat would use; frames with <2 rows or zero
     variance yield NULL identically on both engines. Rounded to 5
-    digits: the co-moment accumulation order differs across engines."""
+    digits: the co-moment accumulation order differs across engines.
+
+    The ORDER BY carries the PAYLOAD columns too: the fixture's
+    (l_orderkey, l_linenumber) is NOT unique (duplicate keys with
+    different payloads — FIXTURES.md quirk), and a ROWS frame over a
+    tied order gives each engine a different frame multiset for the
+    tied rows (caught by the round-5 sf0.1 oracle sweep; at sf0.01 no
+    tie happened to land inside a 30-row frame boundary)."""
     t = load(spark, sf_dir)
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_quantity",
+        )
         .rowsBetween(-29, W.currentRow)
     )
     return t.lineitem.select(

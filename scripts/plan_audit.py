@@ -150,10 +150,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["Window", "SortMergeJoin", "BroadcastHashJoin"],
     },
     "price_percentiles": {
-        # distributed order statistics: range shuffle + broadcast
+        # distributed order statistics: the range shuffle happens
+        # BEFORE a localCheckpoint (pinning the sampled boundaries —
+        # operators/percentiles.py round-5 fix), so the visible plan
+        # starts at the materialized RDD; downstream is the broadcast
         # boundary filter, never a holistic sort-all-into-one-task
-        "must": ["rangepartitioning", "BroadcastHashJoin"],
-        "must_not": [],
+        "must": ["Scan ExistingRDD", "BroadcastHashJoin"],
+        "must_not": ["Sort ["],
     },
     "forecast_revenue_change": {
         # Q6: every predicate pushed to the scan, 3-column ReadSchema
@@ -333,10 +336,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "equidepth_histogram": {
         # boundaries via range-partitioned order statistics (no
-        # holistic single-task sort), broadcast onto the scan. (The
-        # percentile operator's internal rank-offset join may plan as
-        # SMJ on tiny frames — not asserted against.)
-        "must": ["rangepartitioning", "BroadcastHashJoin", "HashAggregate"],
+        # holistic single-task sort; the range exchange sits behind
+        # the boundary-pinning localCheckpoint — Scan ExistingRDD),
+        # broadcast onto the scan. (The percentile operator's internal
+        # rank-offset join may plan as SMJ on tiny frames — not
+        # asserted against.)
+        "must": ["Scan ExistingRDD", "BroadcastHashJoin", "HashAggregate"],
         "must_not": ["CartesianProduct"],
     },
     "mom_revenue_growth": {

@@ -501,3 +501,36 @@ def test_binned_ks_interval_contains_exact_ks(spark):
 
     w1 = REGISTRY["binned_wasserstein_drift"].fn(spark, sf).collect()[0]
     assert w1["w1_cents"] >= 0
+
+
+def test_positional_ids_dense_at_scale_with_duplicate_sort_prefix(spark):
+    """Round-5 regression (sf0.1 oracle sweep): positional_ids must
+    yield a DENSE, DUPLICATE-FREE 1..n numbering even when the frame
+    is large enough for repartitionByRange's sampled boundaries to
+    matter and the leading sort column is heavily duplicated. The
+    pre-fix implementation could re-sample different boundaries for
+    the rank and offset branches, duplicating/skipping ids."""
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.operators.ids import positional_ids
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 97).alias("bucket"),  # duplicated prefix
+        F.col("id").alias("uniq"),
+    )
+    out = positional_ids(df, ["bucket", "uniq"], id_name="rid")
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("rid").alias("n_ids"),
+        F.min("rid").alias("lo"),
+        F.max("rid").alias("hi"),
+    ).collect()[0]
+    assert (stats["n"], stats["n_ids"], stats["lo"], stats["hi"]) == (
+        n, n, 1, n,
+    )
+    # and the numbering follows the declared order
+    probe = out.where(F.col("rid").isin(1, n)).collect()
+    by_rid = {r["rid"]: (r["bucket"], r["uniq"]) for r in probe}
+    assert by_rid[1] == (0, 0)
+    assert by_rid[n] == (96, n - 1 if (n - 1) % 97 == 96 else by_rid[n][1])
