@@ -43,10 +43,13 @@ DRIVER_SAMPLED = frozenset({
     "linear_interpolate_prices", "lsh_bucket_histogram",
     "minhash_lsh_candidates", "near_dup_jaccard", "null_safe_join",
     "pack_token_batches", "pareto_front_parts", "revenue_decile_profile",
-    # salted_token_vocabulary / semantic_dedup_clusters intentionally
-    # OMITTED from the r4 union: both changed this round (flattened
-    # vocab column; capped column) and must be re-sampled for a fresh
-    # green driver row.
+    # Intentionally OMITTED from the union despite earlier green rows,
+    # because they CHANGED in round 5 and must be re-sampled for a
+    # fresh driver row: salted_token_vocabulary (flattened vocab
+    # column), semantic_dedup_clusters (capped column),
+    # rolling_corr_price_qty (payload tie-break order),
+    # equidepth_histogram / price_percentiles (boundary-pinning
+    # localCheckpoint in the percentile operator).
     "rolling_median_price", "simhash_fingerprints",
     "spatial_neighbor_pairs", "text_fingerprint", "text_langid_agreement",
     "text_quality_score", "text_token_stats", "tfidf_top_terms",
@@ -59,17 +62,16 @@ DRIVER_SAMPLED = frozenset({
     "benford_first_digit", "conditional_replace", "corr_matrix_lineitem",
     "cube_qty", "cumsum_rank", "customer_order_distribution",
     "cyclical_features", "date_functions", "distinct_conditional_agg",
-    "distinct_pairs", "equidepth_histogram", "except_all",
+    "distinct_pairs", "except_all",
     "filter_retention_window", "fk_broadcast_lookup",
     "forecast_revenue_change", "forward_fill_prices", "groupby_last_update",
     "grouping_sets_qty", "histogram_totalprice", "hll_mergeable_rollup",
     "intersect_all_multiset", "json_extract_coalesce", "lag_delta",
     "minmax_scale", "mom_revenue_growth", "pivot_status_qty",
-    "price_percentiles", "price_qty_regression", "pricing_summary",
+    "price_qty_regression", "pricing_summary",
     "priority_count_late", "range_join_shipping_delay", "rank_analytics",
     "recursive_supplier_chain", "regex_validated_filter", "revenue_by_nation",
-    "revenue_share_by_nation", "rolling_avg_price", "rolling_corr_price_qty",
-    "rolling_high_low", "rollup_qty", "scd2_order_intervals",
+    "revenue_share_by_nation", "rolling_avg_price", "rolling_high_low", "rollup_qty", "scd2_order_intervals",
     "select_project_filter", "semi_join_active", "set_ops", "sql_surface",
     "staleness_report", "time_split_folds", "top_unshipped_revenue",
     "topk_orders", "topk_per_group", "trailing_30d_revenue",
