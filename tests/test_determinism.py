@@ -28,6 +28,15 @@ TIE_SENSITIVE = [
     "minhash_lsh_candidates",
     "cusum_changepoint",
     "revenue_decile_profile",
+    # round-5 additions: window tie-breaks over non-unique fixture
+    # keys, A-ES hash-keyed sampling, bounded-frame drift stats, and
+    # the iterative peel (scalar-count convergence per round)
+    "rolling_corr_price_qty",
+    "atr_14",
+    "weighted_sample_topk",
+    "binned_ks_drift",
+    "kcore_cosupply",
+    "salted_token_vocabulary",
 ]
 
 
