@@ -339,3 +339,59 @@ def streaming_cms_counters(events: DataFrame, d: int = 4, w: int = 256) -> DataF
     Batch twin: the same increments aggregated in one pass — the test
     asserts final stream state == batch counters row-for-row."""
     return cms_counter_increments(events, d, w).groupBy("i", "b").count()
+
+
+def drift_bin_increments(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "view",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    bins: int = 64,
+) -> DataFrame:
+    """(bucket, in_a, in_b) increment stream for the binned drift
+    monitor — shared by the batch and streaming twins. Bin edges are
+    FIXED [lo, hi) reference bounds (how a production monitor bins:
+    against the training-time reference range, so bucket assignment
+    never depends on data seen so far); values outside clamp to the
+    edge bins. Pure codegen arithmetic, identical in both paths."""
+    x = F.col("value")
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((x - F.lit(lo)) * bins / F.lit(hi - lo)).cast("int"),
+        ),
+    )
+    return events.where(F.col("event_type").isin(type_a, type_b)).select(
+        bucket.alias("bucket"),
+        (F.col("event_type") == type_a).cast("long").alias("in_a"),
+        (F.col("event_type") == type_b).cast("long").alias("in_b"),
+    )
+
+
+def streaming_drift_bins(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "view",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    bins: int = 64,
+) -> DataFrame:
+    """INCREMENTAL drift-monitor state: per-bucket counts of the two
+    populations as a plain streaming groupBy sum over the increment
+    stream — binned counts are additive, so micro-batch updates
+    compose exactly and state is bounded at `bins` rows FOREVER (the
+    CMS shape: no watermark, no eviction). KS / PSI / W1 then read off
+    the final ≤`bins`-row table with the same integer CDF algebra as
+    the batch queries (plans/profile.binned_ks_drift) — the monitor
+    never rescans history to re-score drift.
+
+    Batch twin: the same increments aggregated in one pass — the test
+    asserts final stream state == batch bins row-for-row, and the KS
+    computed from the streamed state equals the batch KS exactly."""
+    return (
+        drift_bin_increments(events, type_a, type_b, lo, hi, bins)
+        .groupBy("bucket")
+        .agg(F.sum("in_a").alias("a"), F.sum("in_b").alias("b"))
+    )

@@ -723,3 +723,39 @@ def test_stream_feed_resumes_from_batch_cursor_and_restores_freshness(
     for s in (st, ref):
         p = _freshness(s.read("history"), names, today)
         assert p.where("NOT is_fresh").count() == 0
+
+
+def test_streaming_drift_bins_equal_batch_and_ks(spark, events_stream):
+    """Drift monitor: streamed per-bucket population counts equal the
+    one-pass batch aggregation row-for-row (additive state, CMS
+    shape), and the binned KS computed from the streamed state equals
+    the KS computed from the batch bins — drift scoring off streaming
+    state, no history rescan."""
+    from finanalyzer_spark.catalog import load
+    from finanalyzer_spark.streaming.events import (
+        drift_bin_increments,
+        streaming_drift_bins,
+        run_to_completion,
+    )
+
+    got = run_to_completion(
+        streaming_drift_bins(events_stream), output_mode="complete"
+    )
+    batch_events = load(spark, SF_DIR).events
+    want = (
+        drift_bin_increments(batch_events)
+        .groupBy("bucket")
+        .agg(F.sum("in_a").alias("a"), F.sum("in_b").alias("b"))
+    )
+    g, w = _sorted_pdf(got, ["bucket"]), _sorted_pdf(want, ["bucket"])
+    assert len(g) == len(w) > 0
+    for col in ("bucket", "a", "b"):
+        assert (g[col].values == w[col].values).all(), col
+
+    def ks_ppm(pdf):
+        pdf = pdf.sort_values("bucket")
+        ca, cb = pdf["a"].cumsum(), pdf["b"].cumsum()
+        na, nb = int(pdf["a"].sum()), int(pdf["b"].sum())
+        return int((ca * nb - cb * na).abs().max() * 1_000_000 // (na * nb))
+
+    assert ks_ppm(g) == ks_ppm(w) > 0
