@@ -582,6 +582,12 @@ def decode_image_compressed(buf: bytes):
     with decode_ppm."""
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        for _no, frame in decode_gif(buf):
+            return frame  # image contract: first frame
+        raise ValueError("GIF with no image data")
     if buf[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -615,6 +621,12 @@ def demux_video_compressed(buf: bytes):
     compensated decode genuinely needs a codec library."""
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         for no, frame in demux_mjpeg_avi(buf):
+            yield no, frame.tobytes()
+        return
+    if buf[:6] in (b"GIF87a", b"GIF89a"):  # animated GIF = tiny video
+        from .gif import decode_gif
+
+        for no, frame in decode_gif(buf):
             yield no, frame.tobytes()
         return
     try:
