@@ -26,11 +26,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: names that have already received a driver-side CORRECTNESS row
-#: (union of CORRECTNESS_r01-r04 samples). The driver samples ~50
+#: (union of CORRECTNESS_r01-r05 samples). The driver samples ~50
 #: queries per round; listing never-sampled names FIRST steers a
 #: prefix/ordered sampler toward them so the verified union widens
 #: each round. Refresh per round from the CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r5 sample (all green, CORRECTNESS_r05.json) ---
+    "activity_streaks", "ann_ivfpq_topk", "ann_pq_recall_eval", "ann_pq_topk",
+    "atr_14", "attribution_last_touch", "bollinger_breakouts",
+    "cohort_retention", "concurrent_events_peak", "conversion_funnel",
+    "cusum_changepoint", "dau_stickiness", "equidepth_histogram",
+    "event_dedup_within_watermark", "event_entropy_per_user",
+    "event_transition_matrix", "ewma_anomaly_flags", "funnel_conversion_lag",
+    "hll_set_ops_estimate", "idempotent_merge", "js_divergence_sources",
+    "latest_price_per_key", "macd_signal", "mad_outlier_flags",
+    "market_beta", "max_drawdown", "new_vs_returning_users",
+    "ohlc_downsample", "orphan_fk_check", "price_percentiles",
+    "props_variant_stats", "random_projection_features",
+    "realized_volatility", "registry_bootstrap_ids",
+    "repeat_purchase_interval", "rfm_segments", "rolling_corr_price_qty",
+    "rsi_14", "salted_token_vocabulary", "semantic_dedup_clusters",
+    "session_duration_percentiles", "session_windows", "sessionize_events",
+    "sessions_to_convert", "sharpe_sortino", "sliding_hourly_30m",
+    "sma_crossover_backtest", "time_bucket_rollup", "tumbling_hourly",
+    "vwap_premium",
     # --- r4 sample ---
     "abc_customer_classes", "ann_ivf_topk", "ann_lsh_topk",
     "ann_recall_eval", "ann_sq8_recall_eval", "ann_sq8_topk",
@@ -43,13 +62,10 @@ DRIVER_SAMPLED = frozenset({
     "linear_interpolate_prices", "lsh_bucket_histogram",
     "minhash_lsh_candidates", "near_dup_jaccard", "null_safe_join",
     "pack_token_batches", "pareto_front_parts", "revenue_decile_profile",
-    # Intentionally OMITTED from the union despite earlier green rows,
-    # because they CHANGED in round 5 and must be re-sampled for a
-    # fresh driver row: salted_token_vocabulary (flattened vocab
-    # column), semantic_dedup_clusters (capped column),
-    # rolling_corr_price_qty (payload tie-break order),
-    # equidepth_histogram / price_percentiles (boundary-pinning
-    # localCheckpoint in the percentile operator).
+    # (the five round-5-changed names that were re-queued here — salted_
+    # token_vocabulary, semantic_dedup_clusters, rolling_corr_price_qty,
+    # equidepth_histogram, price_percentiles — got fresh green r5 rows
+    # and now live in the r5 block above)
     "rolling_median_price", "simhash_fingerprints",
     "spatial_neighbor_pairs", "text_fingerprint", "text_langid_agreement",
     "text_quality_score", "text_token_stats", "tfidf_top_terms",
@@ -80,12 +96,39 @@ DRIVER_SAMPLED = frozenset({
 })
 
 
+#: Names changed THIS round (round 6) — re-queued for a fresh driver row
+#: even though an earlier round greened them (same discipline as the
+#: round-5 re-queue): the global-window → operators/rank.ordered_scan
+#: rewrite touches these plans.  (gini / exact-KS / Mann-Whitney /
+#: binned_ks_drift also changed but were never driver-sampled, so they
+#: already sit in the never-sampled tier.)
+ROUND_CHANGED = frozenset({
+    "abc_customer_classes",
+    "funnel_conversion_lag",
+    "repeat_purchase_interval",
+    "cusum_changepoint",
+})
+
+
 def _ordered_names() -> list[str]:
-    """Never-driver-sampled names first (registry order), then the rest."""
+    """Sampling-priority order for the driver's ~50-query prefix sampler:
+    never-sampled tpch_* first (the likeliest hiding place for semantic
+    drift — VERDICT r5 #5), then round-6-changed names, then the other
+    never-sampled names, then the already-verified rest (registry order
+    within each tier)."""
     names = list(REGISTRY)
-    return [n for n in names if n not in DRIVER_SAMPLED] + [
-        n for n in names if n in DRIVER_SAMPLED
-    ]
+    sampled = DRIVER_SAMPLED - ROUND_CHANGED
+
+    def tier(n: str) -> int:
+        if n not in sampled and n.startswith("tpch_"):
+            return 0
+        if n in ROUND_CHANGED:
+            return 1
+        if n not in sampled:
+            return 2
+        return 3
+
+    return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

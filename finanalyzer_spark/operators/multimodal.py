@@ -5,13 +5,19 @@ Design: media rides in a `binary` column next to a metadata struct
 (mime, width/height or sample_rate/duration, byte size, content hash).
 All transport/partitioning/batching is real Spark. Two codec tiers:
 
-* **Real codecs for public headerless-dependency formats** — pure-numpy
-  decoders for binary PPM (Netpbm P6) images and PCM-16 WAV audio, so
-  `fake=False` genuinely decodes pixels/samples with zero external
-  libraries. Compressed formats (PNG/JPEG/MP4) still raise
-  NotImplementedError — their codecs (PIL/ffmpeg) aren't in this
-  container; the kernel signature, Arrow batch shape, and output
-  schema are identical, so they drop in without touching any plan.
+* **Real codecs, zero external libraries** — pure-python/numpy
+  decoders (each with an encoder twin for fixtures) covering: PPM
+  (Netpbm P6), PNG (stdlib-zlib inflate + numpy filter
+  reconstruction), baseline JPEG (Huffman + IDCT, 4:4:4/4:2:2/4:2:0,
+  restart markers — operators/jpeg.py), GIF87a/89a (variable-width
+  LZW, interlace, animation/disposal — operators/gif.py), BMP,
+  PCM-16 + G.711 mu-law WAV, Y4M frames, and MJPEG-in-AVI demux
+  (RIFF walk). Remaining tiers are import-guarded, honest
+  NotImplementedError otherwise: progressive/arithmetic JPEG and
+  WebP route to PIL when importable (`decode_image_compressed`);
+  MP4/MKV/H.264 route to PyAV (`demux_video_compressed`). The kernel
+  signature, Arrow batch shape, and output schema are identical
+  across tiers, so a codec upgrade never touches a plan.
 * **Deterministic fake decoders** (`fake=True`) — byte-histogram /
   byte-slice paths with exact DuckDB oracles, used by the registry
   queries.
@@ -235,9 +241,22 @@ def demux_mjpeg_avi(buf: bytes):
     for ctype, (lo, hi) in walk(12, len(buf)):
         if ctype == b"LIST" and buf[lo : lo + 4] == b"movi":
             for sub, (slo, shi) in walk(lo + 4, hi):
-                if sub[2:4] in (b"dc", b"db"):  # compressed/raw video
+                # '..dc' = compressed frames (JPEG for MJPG streams);
+                # '..db' conventionally carries uncompressed DIB
+                # frames — only treat it as JPEG if it actually starts
+                # with the FFD8 magic (some writers mislabel), else
+                # it's a format this tier doesn't cover (ADVICE r5).
+                if sub[2:4] == b"dc" or (
+                    sub[2:4] == b"db"
+                    and buf[slo : slo + 2] == b"\xff\xd8"
+                ):
                     yield frame_no, decode_jpeg(buf[slo:shi])
                     frame_no += 1
+                elif sub[2:4] == b"db":
+                    raise NotImplementedError(
+                        "raw-DIB AVI frames ('..db' without JPEG magic)"
+                        " are outside the MJPEG tier"
+                    )
 
 
 def encode_mjpeg_avi(frames, fps: int = 25, quality: int = 90) -> bytes:

@@ -1,0 +1,144 @@
+"""Distributed global rank / running sums without a global window.
+
+`Window.orderBy(...)` with no `partitionBy` funnels the whole frame
+through ONE task (Spark warns `No Partition Defined for Window
+operation`).  That is tolerable over a pre-aggregated frame at sf0.1
+and fatal at 100 TB: ranking 1e9 customers becomes a single-task sort.
+`ordered_scan` computes the identical global `row_number()` and
+inclusive running sums with bounded per-task work — the
+`grouped_exact_percentiles` recipe (operators/percentiles.py) with the
+group keys removed and the partition-offset pass moved to the driver:
+
+1. range-repartition on the order columns — rows ascend across
+   partitions under the requested total order, equal keys land in one
+   partition (RangePartitioner assigns by key), and no partition
+   exceeds the range-split size;
+2. local `row_number()` / running `sum()` per partition — fully
+   parallel, each task sorts only its own range;
+3. per-partition (count, sum) totals — ≤ `num_partitions` rows —
+   round-trip the DRIVER, where exclusive prefix offsets are computed
+   in exact arbitrary-precision Python ints (the bounded-scalar
+   collect convention of operators/clustering.py:106: k×dim doubles
+   there, ≤1024 longs here; never data rows).  Computing the offsets
+   with a window instead would itself be a single-partition window —
+   the driver pass is what retires the warning entirely;
+4. offsets broadcast-join back on partition id: local value + offset
+   = exact global value.  Grand totals fall out of the same pass for
+   free and are attached as literal columns — no `sum() OVER ()`
+   single-partition window, no 1-row cross join.
+
+The input is `localCheckpoint`ed before fan-out for the same reason as
+grouped_exact_percentiles: the checkpoint PINS repartitionByRange's
+sampled boundaries, which are seeded per RDD id — without it the
+offsets branch and the row branch could see different boundaries and
+desync ranks from offsets (the positional_ids bug caught by the
+round-5 sf0.1 oracle sweep, operators/ids.py).
+
+Reference parity: the reference's only ranking device is
+`ROW_NUMBER()` inside SQLite (redundancy.sql:1-10), where the single
+file IS one partition; this operator is how the same semantics stay
+exact when the frame is distributed (SURVEY.md §2.5).
+
+Determinism: callers must pass a TOTAL order (include a tie-break
+column) whenever the rank itself feeds the result — the same contract
+as any `row_number()` use in this repo.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def ordered_scan(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    rank: str | None = None,
+    running: Mapping[str, str] | None = None,
+    totals: Mapping[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach global order statistics under a total order, distributed.
+
+    Parameters
+    ----------
+    order : sort expressions (str → ascending column); passed verbatim
+        to both `repartitionByRange` and the local window, so `desc()`
+        columns work.
+    rank : name for the 1-based global `row_number()` column.
+    running : {out_name: source_col} inclusive running sums
+        (`sum(src) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`).
+    totals : {out_name: source_col or "*"} grand totals attached as
+        literal columns ("*" → row count) — exact, computed on the
+        driver from the per-partition totals.
+
+    Returns `df`'s columns plus the requested outputs.  Eager: runs
+    one bounded job (localCheckpoint + ≤num_partitions-row collect).
+    """
+    running = dict(running or {})
+    totals = dict(totals or {})
+    if not (rank or running or totals):
+        raise ValueError("ordered_scan: nothing requested")
+    taken = set(df.columns)
+    for out in (*([rank] if rank else []), *running, *totals):
+        if out in taken:
+            raise ValueError(f"ordered_scan: output {out!r} collides")
+        taken.add(out)
+
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order]
+
+    d = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+    # per-partition totals → driver (≤ n_parts rows of longs)
+    srcs = sorted(
+        {*running.values(), *[s for s in totals.values() if s != "*"]}
+    )
+    per_part = (
+        d.groupBy("_pid")
+        .agg(
+            F.count("*").alias("_c"),
+            *[F.sum(s).alias(f"_s_{s}") for s in srcs],
+        )
+        .collect()
+    )
+    per_part.sort(key=lambda r: r["_pid"])
+    acc_c, acc = 0, dict.fromkeys(srcs, 0)
+    off_rows = []
+    for row in per_part:
+        off_rows.append((row["_pid"], acc_c, *[acc[s] for s in srcs]))
+        acc_c += row["_c"]
+        for s in srcs:
+            acc[s] += row[f"_s_{s}"] or 0
+
+    schema = ", ".join(
+        ["_pid INT", "_off_rank BIGINT"]
+        + [f"_off_{s} BIGINT" for s in srcs]
+    )
+    off = df.sparkSession.createDataFrame(off_rows, schema=schema)
+
+    wloc = W.partitionBy("_pid").orderBy(*order_cols)
+    wrun = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out_cols: list[Column] = [F.col(c) for c in df.columns]
+    if rank:
+        out_cols.append(
+            (F.row_number().over(wloc) + F.col("_off_rank")).alias(rank)
+        )
+    for out, src in running.items():
+        out_cols.append(
+            (F.sum(src).over(wrun) + F.col(f"_off_{src}")).alias(out)
+        )
+    for out, src in totals.items():
+        val = acc_c if src == "*" else acc[src]
+        out_cols.append(F.lit(int(val)).cast("long").alias(out))
+
+    return d.join(F.broadcast(off), "_pid").select(*out_cols)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import ordered_scan
 from .registry import query
 
 
@@ -1270,10 +1271,13 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer end-to-end — no rounding anywhere.
 
     Scale shape: two keyed min-aggregates over filtered scans, a keyed
-    join, then a global window over one row per CONVERTED user (the
-    small end of the funnel). At full scale the discrete percentile
-    would swap to approx_percentile; the exact form here is the
-    oracle-checkable contract."""
+    join, then the global position of each converted user comes from
+    operators/rank.ordered_scan (range repartition + local row_number
+    + driver partition offsets) — a fully parallel range shuffle even
+    if every user converts, never a single-task `Window.orderBy()`;
+    the population count rides along as an exact literal. At full
+    scale approx_percentile is the cheaper alternative; the exact form
+    here is the oracle-checkable contract."""
     t = load(spark, sf_dir)
     ev = t.events
     v = (
@@ -1295,10 +1299,8 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("t_view").cast("timestamp_ltz"))
         ).alias("lag_us"),
     )
-    r = lags.select(
-        "lag_us",
-        F.row_number().over(W.orderBy("lag_us", "user_id")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    r = ordered_scan(
+        lags, ["lag_us", "user_id"], rank="rn", totals={"n": "*"}
     )
     return r.agg(
         F.max("n").alias("n_converted"),
@@ -1405,10 +1407,14 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the join shuffles on orderkey (co-bucketable); the
     per-pair dedup and lag share one (part, customer) shuffle; the
-    final global window runs over gap rows only (repeat pairs are a
-    small fraction of the fact table). Integer day arithmetic
-    end-to-end — same no-float-ties convention as
-    funnel_conversion_lag."""
+    global position of each gap comes from operators/rank.ordered_scan
+    (range repartition + local row_number + driver partition offsets)
+    — parallel even when repeat pairs are fact-table-sized, never a
+    single-task `Window.orderBy()`; ties in gap_days stay within one
+    range partition (RangePartitioner assigns by key) and any tie
+    order yields the same value at a given rank, so the percentile is
+    deterministic. Integer day arithmetic end-to-end — same
+    no-float-ties convention as funnel_conversion_lag."""
     t = load(spark, sf_dir)
     per = (
         t.lineitem.join(
@@ -1426,11 +1432,7 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = per.select(
         F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days")
     ).where(F.col("gap_days").isNotNull())
-    r = gaps.select(
-        "gap_days",
-        F.row_number().over(W.orderBy("gap_days")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    )
+    r = ordered_scan(gaps, ["gap_days"], rank="rn", totals={"n": "*"})
     return r.agg(
         F.max("n").alias("n_repeat_pairs"),
         F.max(

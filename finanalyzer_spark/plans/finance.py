@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.ids import positional_ids
+from ..operators.rank import ordered_scan
 from .registry import query
 
 
@@ -927,11 +928,13 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-cents.
 
     Scale shape: the raw fact scan reduces to ONE ROW PER DAY first
-    (map-side-combined sum of integer cents); every window after that
-    runs over the daily series — thousands of rows for years of data,
-    a deliberate single-partition sort of a pre-aggregated frame, not
-    of raw facts. Tie-break on earliest day makes the argmax
-    deterministic."""
+    (map-side-combined sum of integer cents); the day index and
+    cumulative revenue then come from operators/rank.ordered_scan
+    (range repartition + local rank/running sums + driver partition
+    offsets), so even a decades-deep or finer-grained series never
+    funnels through a single-task `Window.orderBy()` sort; n and the
+    grand total ride along as exact literals. Tie-break on earliest
+    day makes the argmax deterministic."""
     t = load(spark, sf_dir)
     daily = (
         t.orders.select(
@@ -941,15 +944,12 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("cents").alias("x"))
     )
-    word = W.orderBy("d")
-    wrun = word.rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.partitionBy()
-    s = daily.select(
-        "d",
-        F.row_number().over(word).alias("k"),
-        F.sum("x").over(wrun).alias("cum"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("x").over(wall).alias("total"),
+    s = ordered_scan(
+        daily,
+        ["d"],
+        rank="k",
+        running={"cum": "x"},
+        totals={"n": "*", "total": "x"},
     )
     c = s.select(
         F.date_format("d", "yyyy-MM-dd").alias("cp_day"),

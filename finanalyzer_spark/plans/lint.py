@@ -18,6 +18,7 @@ Severity model:
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 from dataclasses import dataclass
 
@@ -62,6 +63,86 @@ def _plan_string(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+#: tree-section line: indentation + optional codegen star + "Name (id)".
+#: The name may be multi-word ("Scan ExistingRDD") — captured whole so
+#: every tree line parses and the chain walks below never silently
+#: skip a node (a skipped node would corrupt adjacency).
+_TREE_NODE = re.compile(r"^[\s:+|-]*\*?\s*([A-Za-z][\w .$#]*?)\s*\((\d+)\)\s*$")
+
+
+def _tree_nodes(plan: str) -> list[tuple[str, int]]:
+    """(operator, node_id) in tree order from `explain('formatted')`.
+
+    The tree section ends at the first blank line; unary chains (the
+    only kind Window/Sort/Project form) appear as consecutive lines,
+    so 'next tree line' IS the child for the walks below.  Any node
+    whose name is not in the passthrough set BREAKS a walk — unknown
+    operators are conservative chain enders, never skipped.
+    """
+    nodes = []
+    for line in plan.splitlines():
+        if nodes and not line.strip():
+            break
+        m = _TREE_NODE.match(line)
+        if m:
+            nodes.append((m.group(1), int(m.group(2))))
+    return nodes
+
+
+def _node_details(plan: str) -> dict[int, str]:
+    """node_id → its details block (the '(id) Name\\n...' paragraphs)."""
+    out: dict[int, str] = {}
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) [A-Za-z]", block.strip())
+        if m:
+            out[int(m.group(1))] = block
+    return out
+
+
+#: unary operators a Window's input may pass through before the
+#: exchange that determines its partitioning
+_WINDOW_PASSTHROUGH = frozenset(
+    {"Sort", "Project", "Window", "WindowGroupLimit", "Filter",
+     "AQEShuffleRead", "ShuffleQueryStage"}
+)
+
+
+def global_window_ids(plan: str) -> list[int]:
+    """Window node ids fed (through sorts/projects) by a
+    SinglePartition exchange — the 'whole frame in one task' shape.
+    Formatted mode renders exchange arguments on their own line, so a
+    flat `'Exchange SinglePartition' in plan` check can never fire
+    (ADVICE r5 found the same vacuity in the audit's 'Sort [' guard);
+    this walks the tree structurally instead."""
+    nodes = _tree_nodes(plan)
+    details = _node_details(plan)
+    flagged = []
+    for i, (op, nid) in enumerate(nodes):
+        if op != "Window":
+            continue
+        j = i + 1
+        while j < len(nodes) and nodes[j][0] in _WINDOW_PASSTHROUGH:
+            j += 1
+        if j < len(nodes) and nodes[j][0] == "Exchange":
+            if "SinglePartition" in details.get(nodes[j][1], ""):
+                flagged.append(nid)
+    return flagged
+
+
+def global_sort_ids(plan: str) -> list[int]:
+    """Sort node ids with global=true (an all-data range sort —
+    `df.orderBy` without a bounding limit). Detected from the details
+    block: `(n) Sort ... Arguments: [...], true, 0`; window-local
+    sorts carry `false`."""
+    out = []
+    for nid, block in _node_details(plan).items():
+        if re.match(r"\(\d+\) Sort\b", block.strip()) and re.search(
+            r"Arguments: .*\], true, \d+", block
+        ):
+            out.append(nid)
+    return out
+
+
 def lint_plan(name: str, df: DataFrame) -> list[Finding]:
     plan = _plan_string(df)
     out = [
@@ -69,14 +150,16 @@ def lint_plan(name: str, df: DataFrame) -> list[Finding]:
         for frag, sev, rule, detail in _RULES
         if frag in plan
     ]
-    if "Exchange SinglePartition" in plan and "Window" in plan:
+    gw = global_window_ids(plan)
+    if gw:
         out.append(
             Finding(
                 name,
                 "WARN",
                 "global-window",
-                "single-partition exchange feeding a Window — fine over a"
-                " pre-aggregated frame, fatal over raw facts",
+                f"single-partition exchange feeding Window node(s) {gw}"
+                " — fine over a pre-aggregated frame, fatal over raw"
+                " facts; use operators/rank.ordered_scan",
             )
         )
     return out

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import ordered_scan
 from .registry import query
 
 #: o_orderdate sanity bounds (TPC-H generation window)
@@ -238,9 +239,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     div, not round(G*1e6).
 
     Scale shape: facts reduce to one integer per customer; the global
-    rank window sorts the aggregated frame only; one final aggregate.
-    Same two-phase shape as abc_customer_classes — the sort never
-    touches raw facts."""
+    rank comes from operators/rank.ordered_scan — range repartition +
+    local row_number + driver-computed partition offsets — so the rank
+    of 1e9 customers is a fully parallel range shuffle, never a
+    single-task `Window.orderBy()` sort; one final aggregate."""
     t = load(spark, sf_dir)
     rev = (
         t.orders.select(
@@ -250,20 +252,17 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("x").alias("x"))
     )
-    ranked = rev.select(
-        "x",
-        F.row_number().over(W.orderBy("x", "o_custkey")).alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-        F.sum("x").over(W.partitionBy()).alias("total"),
-    )
+    ranked = ordered_scan(rev, ["x", "o_custkey"], rank="i")
     return ranked.agg(
-        F.max("n").alias("n_customers"),
-        F.max("total").alias("total_cents"),
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("total_cents"),
         F.expr(
             "((2 * sum(CAST(i AS DECIMAL(38,0)) * x)"
-            " - (CAST(max(n) AS DECIMAL(38,0)) + 1) * max(total))"
+            " - (CAST(count(*) AS DECIMAL(38,0)) + 1)"
+            " * sum(CAST(x AS DECIMAL(38,0))))"
             " * 1000000)"
-            " div nullif(CAST(max(n) AS DECIMAL(38,0)) * max(total), 0)"
+            " div nullif(CAST(count(*) AS DECIMAL(38,0))"
+            " * sum(CAST(x AS DECIMAL(38,0))), 0)"
         ).alias("gini_ppm"),
     )
 
@@ -516,9 +515,15 @@ def ks_statistic_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame
     CDF is ever a float; the ppm output is one integer division.
 
     Scale shape: both empirical CDFs come from ONE pass — collapse to
-    distinct values with per-group counts, one global ordered window
-    over the (bounded) distinct-value frame, one final max. The
-    pooled sort never touches raw rows."""
+    distinct values with per-group counts, then the cumulative counts
+    come from operators/rank.ordered_scan (range repartition + local
+    running sums + driver partition offsets), so the CDF walk over an
+    unbounded distinct-value domain is a parallel range shuffle, never
+    a single-task `Window.orderBy()`; grand totals ride along as exact
+    literals from the same pass. One final max.  The ppm division
+    widens to DECIMAL(38,0) first: max|ca·nb−cb·na|·1e6 leaves int64
+    near sf1 while DuckDB silently promotes to HUGEINT (the gini /
+    binned_wasserstein discipline)."""
     t = load(spark, sf_dir)
     c = t.lineitem.where(F.col("l_returnflag").isin("R", "N")).select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
@@ -528,20 +533,19 @@ def ks_statistic_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame
     v = c.groupBy("cents").agg(
         F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
     )
-    wcum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.partitionBy()
-    r = v.select(
-        F.sum("a").over(wcum).alias("ca"),
-        F.sum("b").over(wcum).alias("cb"),
-        F.sum("a").over(wall).alias("na"),
-        F.sum("b").over(wall).alias("nb"),
+    r = ordered_scan(
+        v,
+        ["cents"],
+        running={"ca": "a", "cb": "b"},
+        totals={"na": "a", "nb": "b"},
     )
     return r.agg(
         F.max("na").alias("n_returned"),
         F.max("nb").alias("n_kept"),
         F.expr(
-            "CAST(max(abs(ca * nb - cb * na)) * 1000000"
-            " div (max(na) * max(nb)) AS BIGINT)"
+            "CAST(CAST(max(abs(ca * nb - cb * na)) AS DECIMAL(38,0))"
+            " * 1000000"
+            " div (CAST(max(na) AS DECIMAL(38,0)) * max(nb)) AS BIGINT)"
         ).alias("ks_ppm"),
     )
 
@@ -646,8 +650,14 @@ def binned_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").alias("n_kept"),
         F.count("*").alias("n_bins"),
         F.expr(
-            "CAST(max(abs(ca * nb - cb * na)) * 1000000"
-            " div (max(na) * max(nb)) AS BIGINT)"
+            # DECIMAL(38,0) before the ×1e6 and in the denominator:
+            # na·nb·1e6 leaves int64 near sf1 while DuckDB's oracle
+            # silently promotes to HUGEINT — a narrow Spark side would
+            # wrap and diverge (the binned_wasserstein / gini
+            # discipline; ADVICE r5).
+            "CAST(CAST(max(abs(ca * nb - cb * na)) AS DECIMAL(38,0))"
+            " * 1000000"
+            " div (CAST(max(na) AS DECIMAL(38,0)) * max(nb)) AS BIGINT)"
         ).alias("ks_ppm"),
         F.expr(
             "CAST(max(greatest(a * 1000000 div na,"
@@ -1103,8 +1113,13 @@ def mann_whitney_u_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFra
     integer ppm division.
 
     Scale shape: identical to the KS plan — collapse to distinct
-    values with per-group counts, one ordered window over the bounded
-    distinct-value frame, one final fold."""
+    values with per-group counts, then the cumulative pooled counts
+    come from operators/rank.ordered_scan (range repartition + local
+    running sums + driver partition offsets): a parallel range
+    shuffle, never a single-task `Window.orderBy()` over the
+    distinct-value frame; totals ride along as exact literals.  The
+    ppm division widens to DECIMAL(38,0) first (the gini/KS
+    discipline — DuckDB promotes to HUGEINT silently)."""
     t = load(spark, sf_dir)
     c = t.lineitem.where(F.col("l_returnflag").isin("R", "N")).select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
@@ -1113,16 +1128,20 @@ def mann_whitney_u_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFra
     )
     v = c.groupBy("cents").agg(
         F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
+    ).withColumn("run", F.col("a") + F.col("b"))
+    scanned = ordered_scan(
+        v,
+        ["cents"],
+        running={"crun": "run"},
+        totals={"na": "a", "nb": "b"},
     )
-    wcum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.partitionBy()
-    run = F.col("a") + F.col("b")
-    r = v.select(
+    run = F.col("run")
+    r = scanned.select(
         "a",
         "b",
-        (2 * (F.sum(run).over(wcum) - run) + run + 1).alias("dr"),
-        F.sum("a").over(wall).alias("na"),
-        F.sum("b").over(wall).alias("nb"),
+        (2 * (F.col("crun") - run) + run + 1).alias("dr"),
+        "na",
+        "nb",
     )
     u1x2 = F.sum(F.col("a") * F.col("dr")) - F.max("na") * (F.max("na") + 1)
     return r.agg(
@@ -1130,8 +1149,10 @@ def mann_whitney_u_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFra
         F.max("nb").alias("n_kept"),
         u1x2.alias("u1_x2"),
         F.expr(
-            "CAST((sum(a * dr) - max(na) * (max(na) + 1)) * 1000000"
-            " div (2 * max(na) * max(nb)) AS BIGINT)"
+            "CAST(CAST(sum(a * dr) - max(na) * (max(na) + 1)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div (2 * CAST(max(na) AS DECIMAL(38,0)) * max(nb))"
+            " AS BIGINT)"
         ).alias("cles_ppm"),
     )
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import ordered_scan
 from .registry import query
 
 
@@ -648,10 +649,13 @@ def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed — the 80% cut is exact.
 
     Scale shape: the fact scan reduces to one integer row per customer
-    first; the global cumulative window then sorts customers, not
-    facts (a deliberate single-sort of the aggregated frame — at 100 TB
-    you would range-partition that sort, which Spark's global orderBy
-    already does under AQE). Final aggregate is 3 rows."""
+    first; the cumulative revenue then comes from
+    operators/rank.ordered_scan — range repartition on (revenue desc,
+    custkey) + local running sums + driver-computed partition offsets
+    — so the Pareto walk over 1e9 customers is a fully parallel range
+    shuffle, never a single-task `Window.orderBy()` sort; the grand
+    total rides along as an exact literal. Final aggregate is 3
+    rows."""
     t = load(spark, sf_dir)
     rev = (
         t.orders.select(
@@ -663,13 +667,11 @@ def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("cents"))
     )
-    wcum = W.orderBy(F.col("cents").desc(), F.col("o_custkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    ranked = rev.select(
-        "cents",
-        F.sum("cents").over(wcum).alias("cum"),
-        F.sum("cents").over(W.partitionBy()).alias("total"),
+    ranked = ordered_scan(
+        rev,
+        [F.col("cents").desc(), "o_custkey"],
+        running={"cum": "cents"},
+        totals={"total": "cents"},
     )
     classed = ranked.select(
         "cents",

@@ -17,10 +17,19 @@ from contextlib import redirect_stdout
 sys.path.insert(0, ".")
 
 from finanalyzer_spark.plans import REGISTRY  # noqa: E402
+from finanalyzer_spark.plans.lint import (  # noqa: E402
+    global_sort_ids,
+    global_window_ids,
+)
 from finanalyzer_spark.session import get_spark  # noqa: E402
 
-#: query → properties we insist on (substring must appear in the plan)
-EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+#: query → properties we insist on. "must"/"must_not" are plan
+#: substrings; "no_global_window"/"no_global_sort" (optional bools)
+#: run the STRUCTURAL detectors from plans/lint.py — a flat substring
+#: can't express "SinglePartition exchange feeding a Window" because
+#: formatted mode puts exchange arguments on their own line (the r5
+#: 'Sort [' assertion was vacuous for exactly that reason; ADVICE r5).
+EXPECTATIONS: dict[str, dict] = {
     "select_project_filter": {
         "must": ["EqualTo(o_orderstatus,O)", "GreaterThan(o_totalprice",
                  "[codegen id :"],
@@ -104,17 +113,6 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["BatchEvalPython", "ArrowEvalPython",
                      "SortMergeJoin", "BroadcastHashJoin"],
     },
-    "cohort_retention": {
-        "must": ["BroadcastHashJoin", "HashAggregate", "PushedFilters"],
-        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
-    },
-    "hll_mergeable_rollup": {
-        # datasketches aggregation buffers (ObjectHashAggregate); the
-        # one NL join is the deliberate scalar total-sketch broadcast
-        "must": ["ObjectHashAggregate"],
-        "must_not": ["CartesianProduct", "BatchEvalPython",
-                     "ArrowEvalPython"],
-    },
     "top_unshipped_revenue": {
         # bounded top-k: TakeOrderedAndProject, never a global Sort;
         # the filtered customer dim broadcasts
@@ -155,8 +153,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         # operators/percentiles.py round-5 fix), so the visible plan
         # starts at the materialized RDD; downstream is the broadcast
         # boundary filter, never a holistic sort-all-into-one-task
+        # (structural guards — the r5 "Sort [" substring could never
+        # match formatted output; ADVICE r5)
         "must": ["Scan ExistingRDD", "BroadcastHashJoin"],
-        "must_not": ["Sort ["],
+        "must_not": [],
+        "no_global_sort": True,
+        "no_global_window": True,
     },
     "forecast_revenue_change": {
         # Q6: every predicate pushed to the scan, 3-column ReadSchema
@@ -643,10 +645,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["Join", "Generate"],
     },
     "cusum_changepoint": {
-        # facts reduce to one row per day before the global window;
-        # the argmax is bounded top-1, never a full output sort
-        "must": ["Window", "HashAggregate", "TakeOrderedAndProject"],
-        "must_not": ["Join"],
+        # facts reduce to one row per day INSIDE the ordered_scan
+        # checkpoint job (so no HashAggregate is visible here); rank +
+        # running sum come from operators/rank.ordered_scan; the
+        # argmax is bounded top-1, never a full output sort
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "TakeOrderedAndProject"],
+        "must_not": ["Generate", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "dau_stickiness": {
         # each user-day EXPLODES into its 7 covered WAU days
@@ -669,9 +676,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "funnel_conversion_lag": {
         # keyed min-aggregates + keyed joins; the global percentile
-        # window runs over one row per converted user only
-        "must": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        # position comes from operators/rank.ordered_scan — parallel
+        # range shuffle, never a single-task window
+        "must": ["Scan ExistingRDD", "BroadcastHashJoin", "Window",
+                 "HashAggregate"],
         "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "event_entropy_per_user": {
         # both groupBys and the join share the user_id key — hash
@@ -681,8 +692,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                      "Window", "Generate"],
     },
     "repeat_purchase_interval": {
-        "must": ["Window", "HashAggregate"],
+        # gap percentiles via ordered_scan (checkpointed range shuffle
+        # + driver-offset broadcast join)
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
         "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "basket_pair_lift": {
         # pair expansion is an equi-join on orderkey (hash, bounded by
@@ -693,9 +709,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "abc_customer_classes": {
         # facts reduce to one integer row per customer BEFORE the
-        # global cumulative window; final aggregate is 3 rows
-        "must": ["Window", "HashAggregate"],
-        "must_not": ["Join", "Generate"],
+        # cumulative walk, which runs in operators/rank.ordered_scan
+        # (range shuffle + _pid-local window + driver-offset broadcast
+        # join); final aggregate is 3 rows
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
+        "must_not": ["Generate", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "pareto_front_parts": {
         # O(n log n) skyline sweep: one window over the deduplicated
@@ -704,8 +725,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["Join", "Generate"],
     },
     "gini_revenue_concentration": {
-        "must": ["Window", "HashAggregate"],
-        "must_not": ["Join", "Generate"],
+        # rank via operators/rank.ordered_scan: checkpointed range
+        # shuffle (Scan ExistingRDD), _pid-partitioned local window,
+        # driver-offset broadcast join — never a single-task rank
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
+        "must_not": ["Generate", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "poisson_bootstrap_ci": {
         # the B-replica expansion is a broadcast of B tiny seed rows
@@ -771,10 +798,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must_not": ["Join", "Generate"],
     },
     "ks_statistic_returned_vs_kept": {
-        # both CDFs from one pass over the distinct-value frame
-        "must": ["Window", "HashAggregate",
-                 "PushedFilters: [In(l_returnflag"],
-        "must_not": ["Join", "Generate"],
+        # both CDFs from one pass over the distinct-value frame; the
+        # cumulative walk runs in operators/rank.ordered_scan, so the
+        # visible plan starts at the checkpointed RDD (the returnflag
+        # pushdown lives in the checkpoint's own job) and the only
+        # join is the driver-offset broadcast
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
+        "must_not": ["Generate", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "binned_wasserstein_drift": {
         # same shape as binned_ks_drift: bucket map + bounded agg +
@@ -857,9 +890,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "mann_whitney_u_returned_vs_kept": {
         # same one-pass distinct-value CDF shape as the KS statistic
-        "must": ["Window", "HashAggregate",
-                 "PushedFilters: [In(l_returnflag"],
-        "must_not": ["Join", "Generate"],
+        # (ordered_scan: checkpointed range shuffle + offset broadcast)
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
+        "must_not": ["Generate", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
 }
 
@@ -895,6 +931,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             checks.append(f"- `{frag}` absent: {'✅' if ok else '❌'}")
             if not ok:
                 failures.append((name, f"unexpected {frag}"))
+        if exp.get("no_global_window"):
+            bad = global_window_ids(plan)
+            checks.append(
+                f"- no SinglePartition-fed Window: {'✅' if not bad else '❌ ' + str(bad)}"
+            )
+            if bad:
+                failures.append((name, f"global window nodes {bad}"))
+        if exp.get("no_global_sort"):
+            bad = global_sort_ids(plan)
+            checks.append(
+                f"- no global Sort: {'✅' if not bad else '❌ ' + str(bad)}"
+            )
+            if bad:
+                failures.append((name, f"global sort nodes {bad}"))
         lines += [f"## {name}", "", *checks, "", "```", plan.rstrip(), "```", ""]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(lines))

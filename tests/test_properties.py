@@ -529,8 +529,83 @@ def test_positional_ids_dense_at_scale_with_duplicate_sort_prefix(spark):
     assert (stats["n"], stats["n_ids"], stats["lo"], stats["hi"]) == (
         n, n, 1, n,
     )
-    # and the numbering follows the declared order
+    # and the numbering follows the declared order: rid==n is the max
+    # row under (bucket, uniq) — bucket 96, uniq = the largest id < n
+    # with id % 97 == 96 (the r5 form compared by_rid[n] to itself in
+    # the else branch — a tautology; ADVICE r5)
     probe = out.where(F.col("rid").isin(1, n)).collect()
     by_rid = {r["rid"]: (r["bucket"], r["uniq"]) for r in probe}
     assert by_rid[1] == (0, 0)
-    assert by_rid[n] == (96, n - 1 if (n - 1) % 97 == 96 else by_rid[n][1])
+    max_uniq = max(i for i in range(n) if i % 97 == 96)
+    assert by_rid[n] == (96, max_uniq)
+
+
+def test_ordered_scan_matches_single_partition_semantics(spark):
+    """operators/rank.ordered_scan must agree EXACTLY with the global
+    window it replaces (row_number / inclusive running sum / totals)
+    under a duplicated leading sort column, ascending and descending —
+    the r6 rewrite contract for gini/abc/KS/Mann-Whitney/cusum/funnel
+    (VERDICT r5 #1: no single-partition Exchange feeding a Window)."""
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.operators.rank import ordered_scan
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") * 37 % 101).alias("x"),  # heavy duplication
+        F.col("id").alias("k"),
+        (F.col("id") % 13 + 1).alias("w"),
+    )
+    out = ordered_scan(
+        df,
+        ["x", "k"],
+        rank="i",
+        running={"cw": "w"},
+        totals={"nt": "*", "wt": "w"},
+    ).collect()
+    rows = sorted(((r["x"], r["k"], r["w"], r["i"], r["cw"]) for r in out))
+    exp_cum = 0
+    for pos, (x, k, w, i, cw) in enumerate(rows):
+        exp_cum += w
+        assert i == pos + 1, f"rank mismatch at {pos}"
+        assert cw == exp_cum, f"running sum mismatch at {pos}"
+    assert out[0]["nt"] == n
+    assert out[0]["wt"] == exp_cum
+
+    # descending order with tie-break
+    outd = ordered_scan(
+        df, [F.col("x").desc(), "k"], rank="i"
+    ).collect()
+    ranked = sorted(((-r["x"], r["k"], r["i"]) for r in outd))
+    assert [i for _, _, i in ranked] == list(range(1, n + 1))
+
+
+def test_ordered_scan_plan_has_no_global_window_or_sort(spark):
+    """The replacement must not smuggle the single-task shape back in
+    anywhere — checked with the structural detectors (plans/lint.py),
+    not substrings, because formatted explain puts exchange arguments
+    on their own line."""
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.operators.rank import ordered_scan
+    from finanalyzer_spark.plans.lint import (
+        _plan_string,
+        global_sort_ids,
+        global_window_ids,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("x"), F.col("id").alias("k")
+    )
+    plan = _plan_string(
+        ordered_scan(df, ["x", "k"], rank="i", running={"c": "x"})
+    )
+    assert not global_window_ids(plan)
+    assert not global_sort_ids(plan)
+    # ...and the detectors themselves can fire (no vacuous guards —
+    # the r5 'Sort [' / 'Exchange SinglePartition' lesson)
+    from pyspark.sql import Window as W
+
+    bad = df.select(F.row_number().over(W.orderBy("x", "k")).alias("i"))
+    assert global_window_ids(_plan_string(bad))
+    assert global_sort_ids(_plan_string(df.orderBy("x")))
