@@ -96,17 +96,28 @@ DRIVER_SAMPLED = frozenset({
 })
 
 
-#: Names changed THIS round (round 6) — re-queued for a fresh driver row
-#: even though an earlier round greened them (same discipline as the
-#: round-5 re-queue): the global-window → operators/rank.ordered_scan
-#: rewrite touches these plans.  (gini / exact-KS / Mann-Whitney /
-#: binned_ks_drift also changed but were never driver-sampled, so they
-#: already sit in the never-sampled tier.)
+#: Names changed THIS round (round 6) — priority-queued for a fresh
+#: driver row (same discipline as the round-5 re-queue): the
+#: global-window → operators/rank.ordered_scan/global_ntile rewrite
+#: touches all of these plans (never-sampled members are listed too so
+#: they jump the tier-2 queue — a changed query needs a driver row
+#: more than an unchanged never-sampled one).
 ROUND_CHANGED = frozenset({
     "abc_customer_classes",
-    "funnel_conversion_lag",
-    "repeat_purchase_interval",
+    "binned_ks_drift",
     "cusum_changepoint",
+    "curriculum_quartile_bins",
+    "funnel_conversion_lag",
+    "gini_revenue_concentration",
+    "ks_statistic_returned_vs_kept",
+    "mann_whitney_u_returned_vs_kept",
+    "pareto_front_parts",
+    "registry_bootstrap_ids",
+    "repeat_purchase_interval",
+    "revenue_decile_profile",
+    "rfm_segments",
+    "time_split_folds",
+    "vocab_coverage_curve",
 })
 
 

@@ -12,10 +12,12 @@ All transport/partitioning/batching is real Spark. Two codec tiers:
   restart markers — operators/jpeg.py), GIF87a/89a (variable-width
   LZW, interlace, animation/disposal — operators/gif.py), BMP,
   PCM-16 + G.711 mu-law WAV, Y4M frames, and MJPEG-in-AVI demux
-  (RIFF walk). Remaining tiers are import-guarded, honest
-  NotImplementedError otherwise: progressive/arithmetic JPEG and
-  WebP route to PIL when importable (`decode_image_compressed`);
-  MP4/MKV/H.264 route to PyAV (`demux_video_compressed`). The kernel
+  (RIFF walk); round 6 added progressive JPEG (SOF2: spectral
+  selection + successive approximation) to the pure tier. Remaining
+  tiers are import-guarded, honest NotImplementedError otherwise:
+  arithmetic-coded JPEG and WebP route to PIL when importable
+  (`decode_image_compressed`); MP4/MKV/H.264 route to PyAV
+  (`demux_video_compressed`). The kernel
   signature, Arrow batch shape, and output schema are identical
   across tiers, so a codec upgrade never touches a plan.
 * **Deterministic fake decoders** (`fake=True`) — byte-histogram /
@@ -590,15 +592,16 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
 
 
 def decode_image_compressed(buf: bytes):
-    """Codec tier for compressed images. PNG and baseline JPEG decode
-    FOR REAL with no external dependency (decode_png — stdlib zlib +
-    numpy filter reconstruction; operators/jpeg.decode_jpeg — Huffman
-    + dequant + IDCT in numpy); remaining formats (WebP, progressive
-    JPEG, ...) decode via PIL when importable and raise
-    NotImplementedError otherwise, keeping the honest-unsupported
-    contract while a PIL-equipped deployment decodes anything with
-    zero plan changes. Returns (h, w, 3) uint8 RGB, shape-compatible
-    with decode_ppm."""
+    """Codec tier for compressed images. PNG and JPEG — baseline AND
+    progressive (SOF2) — decode FOR REAL with no external dependency
+    (decode_png — stdlib zlib + numpy filter reconstruction;
+    operators/jpeg.decode_jpeg — Huffman + dequant + IDCT in numpy,
+    multi-scan accumulation for progressive); remaining formats
+    (WebP, arithmetic-coded JPEG, ...) decode via PIL when importable
+    and raise NotImplementedError otherwise, keeping the
+    honest-unsupported contract while a PIL-equipped deployment
+    decodes anything with zero plan changes. Returns (h, w, 3) uint8
+    RGB, shape-compatible with decode_ppm."""
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
     if buf[:6] in (b"GIF87a", b"GIF89a"):
@@ -613,7 +616,7 @@ def decode_image_compressed(buf: bytes):
         try:
             return decode_jpeg(buf)
         except NotImplementedError:
-            pass  # progressive/arithmetic: fall through to PIL tier
+            pass  # arithmetic-coded/16-bit: fall through to PIL tier
     try:
         from PIL import Image
     except ImportError as exc:

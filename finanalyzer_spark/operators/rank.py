@@ -57,6 +57,7 @@ def ordered_scan(
     order: Sequence[Column | str],
     rank: str | None = None,
     running: Mapping[str, str] | None = None,
+    running_max_prev: Mapping[str, str] | None = None,
     totals: Mapping[str, str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -70,6 +71,11 @@ def ordered_scan(
     rank : name for the 1-based global `row_number()` column.
     running : {out_name: source_col} inclusive running sums
         (`sum(src) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`).
+    running_max_prev : {out_name: source_col} running max over STRICTLY
+        PRECEDING rows (`max(src) OVER (... ROWS BETWEEN UNBOUNDED
+        PRECEDING AND 1 PRECEDING)`; null on the first row) — the
+        skyline-sweep frame.  Max is associative, so the partition
+        offset is the max over all earlier partitions.
     totals : {out_name: source_col or "*"} grand totals attached as
         literal columns ("*" → row count) — exact, computed on the
         driver from the per-partition totals.
@@ -78,11 +84,14 @@ def ordered_scan(
     one bounded job (localCheckpoint + ≤num_partitions-row collect).
     """
     running = dict(running or {})
+    running_max_prev = dict(running_max_prev or {})
     totals = dict(totals or {})
-    if not (rank or running or totals):
+    if not (rank or running or running_max_prev or totals):
         raise ValueError("ordered_scan: nothing requested")
     taken = set(df.columns)
-    for out in (*([rank] if rank else []), *running, *totals):
+    for out in (
+        *([rank] if rank else []), *running, *running_max_prev, *totals
+    ):
         if out in taken:
             raise ValueError(f"ordered_scan: output {out!r} collides")
         taken.add(out)
@@ -100,34 +109,50 @@ def ordered_scan(
     )
 
     # per-partition totals → driver (≤ n_parts rows of longs)
-    srcs = sorted(
+    sum_srcs = sorted(
         {*running.values(), *[s for s in totals.values() if s != "*"]}
     )
+    max_srcs = sorted(set(running_max_prev.values()))
     per_part = (
         d.groupBy("_pid")
         .agg(
             F.count("*").alias("_c"),
-            *[F.sum(s).alias(f"_s_{s}") for s in srcs],
+            *[F.sum(s).alias(f"_s_{s}") for s in sum_srcs],
+            *[F.max(s).alias(f"_m_{s}") for s in max_srcs],
         )
         .collect()
     )
     per_part.sort(key=lambda r: r["_pid"])
-    acc_c, acc = 0, dict.fromkeys(srcs, 0)
+    acc_c, acc = 0, dict.fromkeys(sum_srcs, 0)
+    macc: dict[str, int | None] = dict.fromkeys(max_srcs, None)
     off_rows = []
     for row in per_part:
-        off_rows.append((row["_pid"], acc_c, *[acc[s] for s in srcs]))
+        off_rows.append(
+            (
+                row["_pid"],
+                acc_c,
+                *[acc[s] for s in sum_srcs],
+                *[macc[s] for s in max_srcs],
+            )
+        )
         acc_c += row["_c"]
-        for s in srcs:
+        for s in sum_srcs:
             acc[s] += row[f"_s_{s}"] or 0
+        for s in max_srcs:
+            v = row[f"_m_{s}"]
+            if v is not None and (macc[s] is None or v > macc[s]):
+                macc[s] = v
 
     schema = ", ".join(
         ["_pid INT", "_off_rank BIGINT"]
-        + [f"_off_{s} BIGINT" for s in srcs]
+        + [f"_off_{s} BIGINT" for s in sum_srcs]
+        + [f"_moff_{s} BIGINT" for s in max_srcs]
     )
     off = df.sparkSession.createDataFrame(off_rows, schema=schema)
 
     wloc = W.partitionBy("_pid").orderBy(*order_cols)
     wrun = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wprev = wloc.rowsBetween(W.unboundedPreceding, -1)
     out_cols: list[Column] = [F.col(c) for c in df.columns]
     if rank:
         out_cols.append(
@@ -137,8 +162,51 @@ def ordered_scan(
         out_cols.append(
             (F.sum(src).over(wrun) + F.col(f"_off_{src}")).alias(out)
         )
+    for out, src in running_max_prev.items():
+        # greatest() skips nulls: first-row-of-first-partition → null,
+        # first rows of later partitions → the earlier partitions' max
+        out_cols.append(
+            F.greatest(
+                F.max(src).over(wprev), F.col(f"_moff_{src}")
+            ).alias(out)
+        )
     for out, src in totals.items():
         val = acc_c if src == "*" else acc[src]
         out_cols.append(F.lit(int(val)).cast("long").alias(out))
 
     return d.join(F.broadcast(off), "_pid").select(*out_cols)
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    k: int,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`ntile(k) OVER (ORDER BY order)` without the single-task sort.
+
+    The SQL-standard bucket rule (both Spark and DuckDB implement it):
+    with n rows, the first n%k buckets hold ceil(n/k) rows, the rest
+    floor(n/k).  The global rank comes from `ordered_scan`; n comes
+    from the same pass, so the bucket arithmetic constant-folds into
+    codegen.  Output is IntegerType, matching Spark's native ntile.
+
+    Same total-order contract as ntile itself: include a tie-break
+    column or bucket assignment is nondeterministic at the boundaries.
+    """
+    rn_c, n_c = f"_gnt_rn_{out}", f"_gnt_n_{out}"
+    scanned = ordered_scan(
+        df, order, rank=rn_c, totals={n_c: "*"},
+        num_partitions=num_partitions,
+    )
+    big = f"(({n_c} div {k}) + 1)"
+    cut = f"(({n_c} % {k}) * {big})"
+    tile = (
+        f"CAST(CASE WHEN {rn_c} <= {cut}"
+        f" THEN ({rn_c} - 1) div {big} + 1"
+        f" ELSE ({n_c} % {k})"
+        f" + ({rn_c} - 1 - {cut}) div greatest({n_c} div {k}, 1) + 1"
+        f" END AS INT)"
+    )
+    return scanned.withColumn(out, F.expr(tile)).drop(rn_c, n_c)

@@ -521,18 +521,23 @@ def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_split_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-fold time-series split (the reference's positional iloc splits,
     plot_cyclical_feature_engineering.py:131-138, made deterministic):
-    ntile over (date, key). The global window is the point of the op —
-    at 100 TB you'd precompute date quantile boundaries instead."""
+    ntile over (date, key) — computed by operators/rank.global_ntile
+    (range-partitioned global rank + the SQL-standard bucket formula),
+    so even a raw-fact-scale split never funnels every row through one
+    task the way a native `ntile() OVER (ORDER BY ...)` would."""
+    from ..operators.rank import global_ntile
+
     t = load(spark, sf_dir)
-    w = W.orderBy("o_orderdate", "o_orderkey")
-    return (
-        t.orders.select("o_orderdate", F.ntile(5).over(w).alias("fold"))
-        .groupBy("fold")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.min("o_orderdate").alias("fold_start"),
-            F.max("o_orderdate").alias("fold_end"),
-        )
+    folds = global_ntile(
+        t.orders.select("o_orderdate", "o_orderkey"),
+        ["o_orderdate", "o_orderkey"],
+        5,
+        "fold",
+    )
+    return folds.groupBy("fold").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderdate").alias("fold_start"),
+        F.max("o_orderdate").alias("fold_end"),
     )
 
 

@@ -980,13 +980,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic lifecycle-marketing cut of an event stream, as one keyed
     aggregate plus three ntile windows over the per-USER table.
 
-    Scale shape: the big shuffle is the user aggregate; the quartile
-    windows run over user-cardinality rows (the same global-ntile note
-    as time_split_folds: at extreme user counts the distributed
-    percentile operator replaces ntile with boundary filters)."""
-    t = load(spark, sf_dir)
-    from pyspark.sql import Window as W
+    Scale shape: the big shuffle is the user aggregate; the three
+    quartile codes come from operators/rank.global_ntile (range-
+    partitioned global rank + the SQL-standard bucket formula), one
+    chained pass per axis, so even 1e9 users never funnel through the
+    single task a native `ntile() OVER (ORDER BY ...)` requires."""
+    from ..operators.rank import global_ntile
 
+    t = load(spark, sf_dir)
     now = t.events.agg(F.max("ts").alias("now"))
     u = (
         t.events.crossJoin(F.broadcast(now))
@@ -1002,14 +1003,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("monetary"),
         )
     )
-    q = u.select(
-        "user_id",
-        F.ntile(4).over(W.orderBy("rec_s", "user_id")).alias("r"),
-        F.ntile(4).over(W.orderBy(F.col("freq").desc(), "user_id")).alias("f"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary").desc(), "user_id"))
-        .alias("m"),
-    )
+    q = global_ntile(u, ["rec_s", "user_id"], 4, "r")
+    q = global_ntile(q, [F.col("freq").desc(), "user_id"], 4, "f")
+    q = global_ntile(q, [F.col("monetary").desc(), "user_id"], 4, "m")
     return q.groupBy(
         F.concat_ws("-", "r", "f", "m").alias("segment")
     ).agg(F.count("*").alias("n_users"))

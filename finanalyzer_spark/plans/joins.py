@@ -459,7 +459,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(revenue / sum(revenue) OVER (), 6) AS share
     FROM rev
     """,
-    tags=("join", "aggregate", "ratio-to-report"),
+    tags=("join", "aggregate", "ratio-to-report", "bounded-window"),
 )
 def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total via an empty-frame window — computed over the

@@ -11,8 +11,13 @@ Severity model:
 * WARN — acceptable only deliberately, so it must be visible:
   BroadcastNestedLoopJoin (fine for 1-row scalars / bounded literal
   frames, fatal for real tables) and a single-partition Exchange
-  feeding a Window (fine over pre-aggregated frames, fatal over raw
-  facts).
+  feeding a Window (entity-scale frames must use
+  operators/rank.ordered_scan instead — the round-6 rewrite).
+* INFO — acknowledged-bounded: queries tagged ``bounded-window`` in
+  the registry declare their remaining global window runs over a
+  frame bounded BY CONSTRUCTION (KS_BINS bins, 25 nations, 10
+  deciles, 100 bootstrap replicas, a k-row fusion) — the finding
+  stays visible but is not a scale defect.
 """
 
 from __future__ import annotations
@@ -143,7 +148,9 @@ def global_sort_ids(plan: str) -> list[int]:
     return out
 
 
-def lint_plan(name: str, df: DataFrame) -> list[Finding]:
+def lint_plan(
+    name: str, df: DataFrame, bounded_window_ok: bool = False
+) -> list[Finding]:
     plan = _plan_string(df)
     out = [
         Finding(name, sev, rule, detail)
@@ -151,15 +158,26 @@ def lint_plan(name: str, df: DataFrame) -> list[Finding]:
         if frag in plan
     ]
     gw = global_window_ids(plan)
-    if gw:
+    if gw and bounded_window_ok:
+        out.append(
+            Finding(
+                name,
+                "INFO",
+                "bounded-global-window",
+                f"global Window node(s) {gw} over a frame bounded by"
+                " construction (registry tag 'bounded-window')",
+            )
+        )
+    elif gw:
         out.append(
             Finding(
                 name,
                 "WARN",
                 "global-window",
                 f"single-partition exchange feeding Window node(s) {gw}"
-                " — fine over a pre-aggregated frame, fatal over raw"
-                " facts; use operators/rank.ordered_scan",
+                " — entity-scale rank/cumsum must use"
+                " operators/rank.ordered_scan; if the frame is bounded"
+                " by construction, tag the query 'bounded-window'",
             )
         )
     return out
@@ -169,16 +187,25 @@ def lint_registry(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> list[Finding]:
     """Lint every (or the given) registry queries; returns findings
-    sorted ERROR-first. Building the plan never executes the query."""
+    sorted ERROR-first. Building a plan is lazy for most queries;
+    the ordered_scan-backed ones (operators/rank.py) run their
+    bounded checkpoint+offsets job eagerly at build time."""
     from . import REGISTRY
 
     findings: list[Finding] = []
     for name in names or sorted(REGISTRY):
         try:
-            findings.extend(lint_plan(name, REGISTRY[name].fn(spark, sf_dir)))
+            findings.extend(
+                lint_plan(
+                    name,
+                    REGISTRY[name].fn(spark, sf_dir),
+                    bounded_window_ok="bounded-window"
+                    in REGISTRY[name].tags,
+                )
+            )
         except Exception as exc:  # surface broken plans as findings
             findings.append(
                 Finding(name, "ERROR", "plan-build-failed", str(exc)[:200])
             )
-    sev_rank = {"ERROR": 0, "WARN": 1}
+    sev_rank = {"ERROR": 0, "WARN": 1, "INFO": 2}
     return sorted(findings, key=lambda f: (sev_rank[f.severity], f.query))

@@ -323,7 +323,7 @@ def _pois_case(u: str) -> str:
                THEN ranked.mean_tcents END) AS ci_hi_tcents
     FROM ranked CROSS JOIN point
     """,
-    tags=("profile", "stats", "bootstrap"),
+    tags=("profile", "stats", "bootstrap", "bounded-window"),
 )
 def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson(1) multiplier bootstrap for the mean customer revenue —
@@ -595,7 +595,7 @@ KS_BINS = 256
                AS err_bound_ppm
     FROM r
     """,
-    tags=("profile", "stats", "approx", "scale-path"),
+    tags=("profile", "stats", "approx", "scale-path", "bounded-window"),
 )
 def binned_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE two-sample KS between returned (R) and kept (N)
@@ -699,7 +699,7 @@ def binned_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (max(na) * max(nb) * {KS_BINS}) AS BIGINT) AS w1_cents
     FROM r CROSS JOIN mm
     """,
-    tags=("profile", "stats", "approx", "scale-path"),
+    tags=("profile", "stats", "approx", "scale-path", "bounded-window"),
 )
 def binned_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned Wasserstein-1 (earth mover's) distance between returned
@@ -868,7 +868,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cramers_v
     FROM stat
     """,
-    tags=("profile", "stats"),
+    tags=("profile", "stats", "bounded-window"),
 )
 def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test between order status and priority

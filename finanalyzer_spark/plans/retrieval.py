@@ -166,7 +166,7 @@ _RRF_QVEC = 0  # frozen dense-query vector id
     )
     SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
     """,
-    tags=("retrieval", "similarity", "hybrid", "topk"),
+    tags=("retrieval", "similarity", "hybrid", "topk", "bounded-window"),
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: reciprocal-rank fusion (Cormack et al. 2009,

@@ -413,12 +413,12 @@ def curriculum_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-ordering prep: quartile-bin the corpus by token count
     (ntile over the fully-deterministic (n_tokens, doc_id) order) and
     report each bin's document and token budget — the stats a
-    length-staged training schedule is built from. ntile is a global
-    window here; at 100 TB the same bins come from the distributed
-    order-statistics operator (operators/percentiles.py) as boundary
-    filters — the plan below is the small-N exact form the oracle can
-    twin."""
-    from pyspark.sql import Window as W
+    length-staged training schedule is built from. The bin assignment
+    comes from operators/rank.global_ntile (range-partitioned global
+    rank + the SQL-standard bucket formula), so a web-crawl-sized
+    corpus never funnels through the single task a native
+    `ntile() OVER (ORDER BY ...)` requires."""
+    from ..operators.rank import global_ntile
 
     from ..operators.text import token_count_col
 
@@ -426,8 +426,7 @@ def curriculum_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = t.documents.select(
         "doc_id", token_count_col(F.col("text")).alias("n_tokens")
     )
-    w = W.orderBy("n_tokens", "doc_id")
-    binned = scored.withColumn("bin", F.ntile(4).over(w))
+    binned = global_ntile(scored, ["n_tokens", "doc_id"], 4, "bin")
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -671,12 +670,13 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative corpus coverage of the top-30 tokens — the curve that
     sizes a tokenizer vocabulary ('how many types cover 99% of
-    tokens'). The cumsum window runs over the VOCABULARY aggregate
-    (types, not the token stream), so the global window is bounded by
-    vocabulary size, with the deterministic (freq desc, token) order
+    tokens'). Rank, cumulative counts, and the corpus total all come
+    from ONE operators/rank.ordered_scan pass over the vocabulary
+    aggregate — type counts grow with the corpus (Heaps' law), so even
+    this 'bounded' frame gets the range-partitioned walk rather than a
+    single-task window; the deterministic (freq desc, token) order is
     shared by both engines."""
-    from pyspark.sql import Window as W
-
+    from ..operators.rank import ordered_scan
     from ..operators.text import tokens_col
 
     t = load(spark, sf_dir)
@@ -685,25 +685,18 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    total = freq.agg(F.sum("c").alias("n"))
-    w = W.orderBy(F.col("c").desc(), "tok")
-    ranked = freq.select(
-        "tok",
-        "c",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
-            "cum"
-        ),
+    ranked = ordered_scan(
+        freq,
+        [F.col("c").desc(), "tok"],
+        rank="rnk",
+        running={"cum": "c"},
+        totals={"n": "c"},
     )
-    return (
-        ranked.where(F.col("rnk") <= 30)
-        .crossJoin(F.broadcast(total))
-        .select(
-            "rnk",
-            "tok",
-            F.col("c").alias("freq"),
-            F.round(F.col("cum") * 1.0 / F.col("n"), 6).alias("cum_share"),
-        )
+    return ranked.where(F.col("rnk") <= 30).select(
+        "rnk",
+        "tok",
+        F.col("c").alias("freq"),
+        F.round(F.col("cum") * 1.0 / F.col("n"), 6).alias("cum_share"),
     )
 
 

@@ -483,7 +483,7 @@ def scd2_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS growth_rate
     FROM monthly
     """,
-    tags=("window", "warehouse", "growth"),
+    tags=("window", "warehouse", "growth", "bounded-window"),
 )
 def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: aggregate first (the window
@@ -721,12 +721,19 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is both cheaper-or-equal and strictly better on quantity. The
     classic O(n log n) sweep: sort by price ascending (quantity
     descending within ties), keep a point iff its quantity strictly
-    beats the running max of everything cheaper — a single window over
-    the deduplicated point set, NOT the O(n^2) dominance self-join.
+    beats the running max of everything cheaper — NOT the O(n^2)
+    dominance self-join.  The strictly-preceding running max comes
+    from operators/rank.ordered_scan's `running_max_prev` (max is
+    associative, so the partition offset is the max of all earlier
+    range partitions), so the sweep over the point set is a parallel
+    range shuffle, never a single-task window sort.
 
     Scale shape: facts reduce to one profile row per part, then to
     distinct (price, qty) points (two keyed aggregates); the sweep
-    sorts only the point set. Integer cents/quantities end-to-end."""
+    shuffles only the point set. Integer cents/quantities
+    end-to-end."""
+    from ..operators.rank import ordered_scan
+
     t = load(spark, sf_dir)
     prof = t.lineitem.groupBy("l_partkey").agg(
         F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
@@ -738,15 +745,10 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.min("l_partkey").alias("example_part"),
     )
-    wsweep = W.orderBy(
-        F.col("px_cents").asc(), F.col("total_qty").desc()
-    ).rowsBetween(W.unboundedPreceding, -1)
-    sky = pts.select(
-        "px_cents",
-        "total_qty",
-        "n_parts",
-        "example_part",
-        F.max("total_qty").over(wsweep).alias("best_qty_cheaper"),
+    sky = ordered_scan(
+        pts,
+        [F.col("px_cents").asc(), F.col("total_qty").desc()],
+        running_max_prev={"best_qty_cheaper": "total_qty"},
     )
     return sky.where(
         F.col("best_qty_cheaper").isNull()
@@ -1001,7 +1003,7 @@ def rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 1000000 // tot.total AS BIGINT) AS cum_share_ppm
     FROM agg CROSS JOIN tot
     """,
-    tags=("window", "analytics", "pareto"),
+    tags=("window", "analytics", "pareto", "bounded-window"),
 )
 def revenue_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift profile: customers cut into revenue deciles
@@ -1012,9 +1014,13 @@ def revenue_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile assignment deterministic.
 
     Scale shape: facts reduce to one integer row per customer; the
-    global ntile sorts the aggregated frame; per-decile rollup is 10
-    rows; the scalar total rides a 1-row broadcast. Integer cents
-    end-to-end."""
+    decile cut comes from operators/rank.global_ntile (range-
+    partitioned rank + bucket formula — never a single-task ntile
+    sort); per-decile rollup is 10 rows, over which the cumulative
+    window is bounded by construction; the scalar total rides a 1-row
+    broadcast. Integer cents end-to-end."""
+    from ..operators.rank import global_ntile
+
     t = load(spark, sf_dir)
     rev = (
         t.orders.select(
@@ -1026,12 +1032,9 @@ def revenue_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("cents"))
     )
-    d = rev.select(
-        "cents",
-        F.ntile(10)
-        .over(W.orderBy(F.col("cents").desc(), F.col("o_custkey")))
-        .alias("decile"),
-    )
+    d = global_ntile(
+        rev, [F.col("cents").desc(), F.col("o_custkey")], 10, "decile"
+    ).select("cents", "decile")
     agg = d.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("cents").alias("cents")
     )

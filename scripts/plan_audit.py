@@ -365,10 +365,13 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["Join"],
     },
     "vocab_coverage_curve": {
-        # the cumsum window runs over the vocabulary aggregate, with
-        # the 1-row total riding a broadcast NL join (scalar — fine)
-        "must": ["Window", "HashAggregate", "Generate"],
-        "must_not": ["SortMergeJoin"],
+        # rank/cumsum/total in ONE ordered_scan pass over the
+        # vocabulary aggregate (the explode + groupBy live inside the
+        # checkpoint job, so the visible plan starts at the RDD scan)
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin"],
+        "must_not": ["SortMergeJoin", "CartesianProduct", "Generate"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "token_pmi_pairs": {
         # vocab membership + denominators broadcast; the within-doc
@@ -601,10 +604,14 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct"],
     },
     "rfm_segments": {
-        # user aggregate + three ntile windows over user-cardinality
-        # rows; the 1-row 'now' is a deliberate broadcast NL join
-        "must": ["Window", "HashAggregate"],
+        # user aggregate + three chained global_ntile passes (range-
+        # partitioned rank + bucket formula — never a single-task
+        # ntile); the 1-row 'now' is a deliberate broadcast NL join
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
         "must_not": ["SortMergeJoin", "Generate"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "realized_volatility": {
         # one lag window + keyed aggregate: single shuffle + sort
@@ -719,10 +726,13 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_sort": True,
     },
     "pareto_front_parts": {
-        # O(n log n) skyline sweep: one window over the deduplicated
-        # point set — never the O(n^2) dominance self-join
-        "must": ["Window", "HashAggregate"],
-        "must_not": ["Join", "Generate"],
+        # O(n log n) skyline sweep via ordered_scan running_max_prev
+        # (checkpointed range shuffle + offset broadcast join) — never
+        # the O(n^2) dominance self-join
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin"],
+        "must_not": ["Generate", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "gini_revenue_concentration": {
         # rank via operators/rank.ordered_scan: checkpointed range
@@ -775,10 +785,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["Join", "Generate"],
     },
     "revenue_decile_profile": {
-        # ntile over the aggregated frame; the scalar total is the
-        # deliberate 1-row broadcast
-        "must": ["Window", "HashAggregate", "BroadcastNestedLoopJoin"],
+        # decile cut via global_ntile (range-partitioned rank); the
+        # remaining global cumulative window runs over the 10-row
+        # decile rollup — bounded by the ntile arity, tagged
+        # bounded-window; the scalar total is the deliberate 1-row
+        # broadcast
+        "must": ["Scan ExistingRDD", "Window", "HashAggregate",
+                 "BroadcastNestedLoopJoin"],
         "must_not": ["CartesianProduct", "SortMergeJoin"],
+        "no_global_sort": True,
     },
     "approx_topk_contract": {
         # sketch = one ObjectHashAggregate buffer; exact side bounded
@@ -887,6 +902,32 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["TakeOrderedAndProject", "HashAggregate",
                  "BroadcastNestedLoopJoin"],
         "must_not": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
+    "time_split_folds": {
+        # raw-fact-scale ntile via global_ntile: range-partitioned
+        # rank + bucket formula, never a single-task sort of orders
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct", "Generate"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "curriculum_quartile_bins": {
+        # corpus-scale ntile via global_ntile (token counting lives
+        # inside the checkpoint job)
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "registry_bootstrap_ids": {
+        # surrogate ids via positional_ids → ordered_scan: the offsets
+        # come from the driver pass, so no window anywhere is global
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin"],
+        "must_not": ["SortMergeJoin", "CartesianProduct", "Generate"],
+        "no_global_window": True,
+        "no_global_sort": True,
     },
     "mann_whitney_u_returned_vs_kept": {
         # same one-pass distinct-value CDF shape as the KS statistic

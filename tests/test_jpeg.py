@@ -136,16 +136,82 @@ def test_odd_dimensions_and_edge_padding():
         assert got.shape == px.shape
 
 
-def test_progressive_and_garbage_rejected():
+def test_unsupported_sof_and_garbage_rejected():
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     buf = bytearray(encode_jpeg(px))
-    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must raise
     i = bytes(buf).find(b"\xff\xc0")
+    # SOF3 (lossless sequential) stays honestly unsupported
+    buf[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(bytes(buf))
+    # SOF2 with a BASELINE scan header (Ss=0, Se=63) is spec-invalid:
+    # progressive scans are DC-only or an AC band (G.1.1.1.1)
     buf[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="spectral selection"):
         decode_jpeg(bytes(buf))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"definitely not a jpeg")
+
+
+def _textured(shape, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    base = (
+        (128 + 100 * np.sin(xx / 3.0) * np.cos(yy / 5.0))[..., None]
+        + rng.integers(-20, 20, size=shape)
+    )
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,quality",
+    [
+        ((16, 24, 3), False, 90),
+        ((17, 23, 3), False, 75),   # odd dims, edge padding
+        ((32, 32, 3), True, 90),    # 4:2:0
+        ((33, 41, 3), True, 50),    # 4:2:0 + odd dims + coarse quant
+        ((8, 8, 3), False, 95),
+    ],
+)
+def test_progressive_decode_equals_baseline_decode(shape, subsample, quality):
+    """decode(encode_progressive(x)) must be BIT-IDENTICAL to
+    decode(encode(x)): both encoders share `_quantize_planes`, so any
+    divergence is a defect in the multi-scan accumulation (DC/AC
+    first+refinement, EOB bands, correction bits) — pinned against
+    the fuzz-tested baseline path rather than a sibling bug."""
+    from finanalyzer_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _textured(shape, seed=sum(shape) + quality)
+    db = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    dp = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsample=subsample)
+    )
+    assert np.array_equal(db, dp)
+
+
+def test_progressive_is_sof2_and_multiscan():
+    """The fixture encoder really writes a progressive stream: SOF2
+    marker and 8 SOS scans (DC first, 3x AC first, DC refine, 3x AC
+    refine) — not a relabeled baseline."""
+    from finanalyzer_spark.operators.jpeg import encode_jpeg_progressive
+
+    p = encode_jpeg_progressive(_textured((16, 16, 3), seed=7))
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    assert p.count(b"\xff\xda") == 8
+
+
+def test_progressive_through_image_kernel_route():
+    """decode_image_compressed must decode SOF2 natively now — no PIL
+    fallthrough (VERDICT r5 #4 done criterion)."""
+    from finanalyzer_spark.operators.jpeg import encode_jpeg_progressive
+    from finanalyzer_spark.operators.multimodal import (
+        decode_image_compressed,
+    )
+
+    img = _textured((24, 16, 3), seed=11)
+    got = decode_image_compressed(encode_jpeg_progressive(img))
+    assert got.shape == img.shape
+    assert np.array_equal(got, decode_jpeg(encode_jpeg(img)))
 
 
 def test_jpeg_through_spark_image_kernel(spark):
@@ -240,10 +306,17 @@ def test_jpeg_fuzz_roundtrip_never_crashes():
         sub=st.booleans(),
     )
     def prop(h, w, quality, seed, sub):
+        from finanalyzer_spark.operators.jpeg import encode_jpeg_progressive
+
         rng = np.random.default_rng(seed)
         px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         got = decode_jpeg(encode_jpeg(px, quality=quality, subsample=sub))
         assert got.shape == (h, w, 3)
         assert got.dtype == np.uint8
+        # progressive path must agree bit-for-bit on the same input
+        gotp = decode_jpeg(
+            encode_jpeg_progressive(px, quality=quality, subsample=sub)
+        )
+        assert np.array_equal(got, gotp)
 
     prop()

@@ -5,9 +5,10 @@ dependency-free formats (binary PPM images, **PNG** via stdlib zlib +
 numpy filter reconstruction, **baseline JPEG** via operators/jpeg —
 tested in tests/test_jpeg.py, PCM-16 WAV audio, y4m video), plus the
 deterministic fake decoders whose arithmetic the DuckDB oracles
-mirror. Formats that genuinely need a codec library (WebP,
-progressive JPEG, MP4) stay stubbed — those libraries aren't in this
-container.
+mirror. Progressive JPEG joined the pure tier in round 6
+(tests/test_jpeg.py); formats that genuinely need a codec library
+(WebP, arithmetic-coded JPEG, MP4) stay stubbed — those libraries
+aren't in this container.
 """
 
 from __future__ import annotations
