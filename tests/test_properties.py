@@ -609,3 +609,32 @@ def test_ordered_scan_plan_has_no_global_window_or_sort(spark):
     bad = df.select(F.row_number().over(W.orderBy("x", "k")).alias("i"))
     assert global_window_ids(_plan_string(bad))
     assert global_sort_ids(_plan_string(df.orderBy("x")))
+
+
+def test_global_ntile_matches_native_ntile(spark):
+    """operators/rank.global_ntile must reproduce Spark's (and the SQL
+    standard's / DuckDB's) ntile bucketing EXACTLY — including the
+    uneven-bucket rule (first n%k buckets get ceil(n/k) rows) and the
+    n<k edge (each row its own bucket) — since oracle parity for the
+    rewritten ntile queries rides on the bucket formula."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.operators.rank import global_ntile
+
+    for n, k in [(1, 4), (3, 4), (4, 4), (10, 4), (11, 3), (97, 10)]:
+        df = spark.range(n).select(
+            (F.col("id") * 13 % 7).alias("x"), F.col("id").alias("u")
+        )
+        want = {
+            (r["x"], r["u"]): r["t"]
+            for r in df.select(
+                "x", "u",
+                F.ntile(k).over(W.orderBy("x", "u")).alias("t"),
+            ).collect()
+        }
+        got = {
+            (r["x"], r["u"]): r["t"]
+            for r in global_ntile(df, ["x", "u"], k, "t").collect()
+        }
+        assert got == want, (n, k)
