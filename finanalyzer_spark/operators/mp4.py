@@ -1,0 +1,295 @@
+"""Pure-python MP4 / ISO BMFF (MPEG-4 Part 12) demuxer + MJPEG muxer.
+
+The container layer of the remaining video gap, with no codec
+library: walk the box tree (ftyp / moov / trak / mdia / minf / stbl),
+reconstruct each video track's sample table from
+stsz (sizes) + stco/co64 (chunk offsets) + stsc (samples-per-chunk
+runs) + stts (decode timestamps) + stss (sync/keyframe table), and
+yield every sample's bytes + timestamp + keyframe flag.  That is the
+half of "MP4 support" a training-data pipeline needs even without a
+codec: keyframe indexing, frame-rate/duration metadata, sample-level
+content hashing and dedup all operate on demuxed samples, not decoded
+pixels.  Decode stays tiered exactly like the other codecs
+(operators/multimodal.py): MJPEG samples ('jpeg' sample entries, or
+anything carrying the FFD8 magic) decode through the pure baseline
+JPEG decoder; avc1/hev1 samples demux fine but DECODE routes to the
+PyAV tier — motion compensation genuinely needs a codec library.
+
+`mux_mp4_mjpeg` is the encoder twin (fixture builder): a minimal
+ftyp + mdat + moov file with a 'jpeg' VisualSampleEntry (the
+QuickTime-lineage MJPEG layout ffmpeg also writes for `-c:v mjpeg`),
+one sample per chunk, every sample a keyframe.  Spec grounding:
+ISO/IEC 14496-12 box layout; all integers big-endian.
+
+Reference context: the reference repo has no media surface — this is
+extended training-data-pipeline tier (SURVEY.md Phase 5 scope).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+_FULLBOX = {
+    b"mvhd", b"tkhd", b"mdhd", b"hdlr", b"vmhd", b"dref", b"stsd",
+    b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss",
+}
+
+#: containers whose payload is a sequence of child boxes
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts",
+}
+
+
+def _boxes(buf: bytes, lo: int, hi: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, body_lo, body_hi) for the boxes in buf[lo:hi]."""
+    pos = lo
+    while pos + 8 <= hi:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        btype = buf[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = hi - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > hi:
+            raise ValueError("malformed MP4 box")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find(buf: bytes, lo: int, hi: int, btype: bytes):
+    for t, blo, bhi in _boxes(buf, lo, hi):
+        if t == btype:
+            return blo, bhi
+    return None
+
+
+def _u32s(buf: bytes, lo: int, n: int) -> list[int]:
+    return list(struct.unpack(f">{n}I", buf[lo : lo + 4 * n]))
+
+
+def demux_mp4(buf: bytes):
+    """Walk an ISO BMFF file and yield, for every sample of every
+    VIDEO track, ``(track_id, sample_no, ts_us, is_sync, fourcc,
+    sample_bytes)`` in decode order.  ts_us is the decode timestamp in
+    microseconds (from stts + the track's mdhd timescale); is_sync is
+    True for keyframes (all samples, if no stss box is present — the
+    spec default).  ValueError on non-BMFF payloads so callers can
+    route other containers elsewhere."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) byte stream")
+    moov = _find(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise ValueError("MP4 without moov box")
+    for t, tlo, thi in _boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        tkhd = _find(buf, tlo, thi, b"tkhd")
+        version = buf[tkhd[0]]
+        track_id = struct.unpack(
+            ">I", buf[tkhd[0] + (20 if version else 12) :][:4]
+        )[0]
+        mdia = _find(buf, tlo, thi, b"mdia")
+        hdlr = _find(buf, *mdia, b"hdlr")
+        handler = buf[hdlr[0] + 8 : hdlr[0] + 12]
+        if handler != b"vide":
+            continue
+        mdhd = _find(buf, *mdia, b"mdhd")
+        mv = buf[mdhd[0]]
+        timescale = struct.unpack(
+            ">I", buf[mdhd[0] + (20 if mv else 12) :][:4]
+        )[0]
+        minf = _find(buf, *mdia, b"minf")
+        stbl = _find(buf, *minf, b"stbl")
+
+        stsd = _find(buf, *stbl, b"stsd")
+        # first sample entry's fourcc: stsd fullbox header (8) + entry
+        # size (4) + fourcc (4)
+        fourcc = buf[stsd[0] + 12 : stsd[0] + 16]
+
+        slo, _shi = _find(buf, *stbl, b"stsz")
+        sample_size, sample_count = struct.unpack(
+            ">II", buf[slo + 4 : slo + 12]
+        )
+        if sample_size:
+            sizes = [sample_size] * sample_count
+        else:
+            sizes = _u32s(buf, slo + 12, sample_count)
+
+        co = _find(buf, *stbl, b"stco")
+        if co is not None:
+            (n_chunks,) = struct.unpack(">I", buf[co[0] + 4 : co[0] + 8])
+            offsets = _u32s(buf, co[0] + 8, n_chunks)
+        else:
+            co = _find(buf, *stbl, b"co64")
+            (n_chunks,) = struct.unpack(">I", buf[co[0] + 4 : co[0] + 8])
+            offsets = list(
+                struct.unpack(f">{n_chunks}Q", buf[co[0] + 8 :][: 8 * n_chunks])
+            )
+
+        sclo, _ = _find(buf, *stbl, b"stsc")
+        (n_runs,) = struct.unpack(">I", buf[sclo + 4 : sclo + 8])
+        runs = [
+            struct.unpack(">III", buf[sclo + 8 + 12 * i : sclo + 20 + 12 * i])
+            for i in range(n_runs)
+        ]  # (first_chunk 1-based, samples_per_chunk, desc_index)
+
+        ttlo, _ = _find(buf, *stbl, b"stts")
+        (n_tt,) = struct.unpack(">I", buf[ttlo + 4 : ttlo + 8])
+        tt = [
+            struct.unpack(">II", buf[ttlo + 8 + 8 * i : ttlo + 16 + 8 * i])
+            for i in range(n_tt)
+        ]  # (sample_count, delta)
+
+        ss = _find(buf, *stbl, b"stss")
+        if ss is None:
+            sync = None  # every sample is a keyframe (spec 8.6.2)
+        else:
+            (n_ss,) = struct.unpack(">I", buf[ss[0] + 4 : ss[0] + 8])
+            sync = set(_u32s(buf, ss[0] + 8, n_ss))  # 1-based
+
+        # samples-per-chunk for every chunk from the stsc runs
+        per_chunk = []
+        for ri, (first, spc, _d) in enumerate(runs):
+            last = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+            )
+            per_chunk += [spc] * (last - first + 1)
+
+        # decode timestamps from stts deltas
+        ts, acc = [], 0
+        for cnt, delta in tt:
+            for _ in range(cnt):
+                ts.append(acc)
+                acc += delta
+
+        sno = 0
+        for ci, chunk_off in enumerate(offsets):
+            pos = chunk_off
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if sno >= sample_count:
+                    break
+                size = sizes[sno]
+                is_sync = sync is None or (sno + 1) in sync
+                ts_us = (
+                    ts[sno] * 1_000_000 // timescale
+                    if sno < len(ts) and timescale
+                    else 0
+                )
+                yield (
+                    track_id, sno, ts_us, is_sync, fourcc.decode("latin1"),
+                    buf[pos : pos + size],
+                )
+                pos += size
+                sno += 1
+
+
+def mux_mp4_mjpeg(frames, fps: int = 25, quality: int = 90) -> bytes:
+    """Minimal MJPEG-in-MP4 writer (the demux twin / fixture builder):
+    every frame JPEG-encoded independently (operators/jpeg) into mdat,
+    one sample per chunk, a 'jpeg' VisualSampleEntry in stsd, every
+    sample a sync sample (no stss box — the spec default)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    timescale = fps * 1000
+    delta = 1000  # per-frame duration in timescale units
+    n = len(payloads)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def full(btype: bytes, payload: bytes, version=0, flags=0) -> bytes:
+        return box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    # mdat directly after ftyp → chunk offsets are ftyp+8 plus running
+    mdat_body = b"".join(payloads)
+    mdat = box(b"mdat", mdat_body)
+    data_base = len(ftyp) + 8
+    offsets = []
+    acc = data_base
+    for p in payloads:
+        offsets.append(acc)
+        acc += len(p)
+
+    duration = n * delta
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", w << 16, h << 16),
+        flags=0x7,  # enabled | in movie | in preview
+    )
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = full(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00"
+    )
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = full(
+        b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1)
+    )
+    dinf = box(b"dinf", dref)
+    # 'jpeg' VisualSampleEntry: 6 reserved + data_ref_index, then the
+    # 70-byte visual sample entry body (14496-12 §12.1.3)
+    vse_body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data reference index
+        + struct.pack(">HH", 0, 0)  # pre_defined, reserved
+        + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    jpeg_entry = box(b"jpeg", vse_body)
+    stsd = full(b"stsd", struct.pack(">I", 1) + jpeg_entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    stco = full(
+        b"stco",
+        struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

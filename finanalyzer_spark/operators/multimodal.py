@@ -11,15 +11,18 @@ All transport/partitioning/batching is real Spark. Two codec tiers:
   reconstruction), baseline JPEG (Huffman + IDCT, 4:4:4/4:2:2/4:2:0,
   restart markers — operators/jpeg.py), GIF87a/89a (variable-width
   LZW, interlace, animation/disposal — operators/gif.py), BMP,
-  PCM-16 + G.711 mu-law WAV, Y4M frames, and MJPEG-in-AVI demux
-  (RIFF walk); round 6 added progressive JPEG (SOF2: spectral
-  selection + successive approximation) to the pure tier. Remaining
-  tiers are import-guarded, honest NotImplementedError otherwise:
-  arithmetic-coded JPEG and WebP route to PIL when importable
-  (`decode_image_compressed`); MP4/MKV/H.264 route to PyAV
-  (`demux_video_compressed`). The kernel
-  signature, Arrow batch shape, and output schema are identical
-  across tiers, so a codec upgrade never touches a plan.
+  PCM-16 + G.711 mu-law WAV, Y4M frames, MJPEG-in-AVI demux (RIFF
+  walk), and MP4/ISO-BMFF sample-table demux (operators/mp4.py:
+  stsz/stco/stsc/stts/stss walk — codec-agnostic keyframe indexing,
+  full decode for MJPEG-in-MP4); round 6 added progressive JPEG
+  (SOF2: spectral selection + successive approximation) to the pure
+  tier. Remaining tiers are import-guarded, honest
+  NotImplementedError otherwise: arithmetic-coded JPEG and WebP
+  route to PIL when importable (`decode_image_compressed`);
+  inter-frame video DECODE (H.264/HEVC pixels, MKV) routes to PyAV
+  (`demux_video_compressed`). The kernel signature, Arrow batch
+  shape, and output schema are identical across tiers, so a codec
+  upgrade never touches a plan.
 * **Deterministic fake decoders** (`fake=True`) — byte-histogram /
   byte-slice paths with exact DuckDB oracles, used by the registry
   queries.
@@ -636,10 +639,12 @@ def decode_image_compressed(buf: bytes):
 def demux_video_compressed(buf: bytes):
     """Codec tier for compressed video, yielding (frame_no,
     frame_bytes) like demux_y4m (frame_bytes = packed RGB24 planes).
-    MJPEG-in-AVI demuxes FOR REAL with no codec library
-    (demux_mjpeg_avi — RIFF walk + the pure baseline-JPEG decoder);
-    inter-frame codecs (MP4/MKV H.264...) demux via PyAV when
-    importable and raise NotImplementedError otherwise — motion-
+    MJPEG-in-AVI and MJPEG-in-MP4 demux + decode FOR REAL with no
+    codec library (demux_mjpeg_avi — RIFF walk; operators/mp4.demux_mp4
+    — ISO BMFF sample-table walk; both feed the pure JPEG decoder,
+    baseline or progressive); MP4s carrying inter-frame codecs
+    (avc1/hev1...) demux natively too, but DECODE routes to PyAV when
+    importable and raises NotImplementedError otherwise — motion-
     compensated decode genuinely needs a codec library."""
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         for no, frame in demux_mjpeg_avi(buf):
@@ -651,13 +656,36 @@ def demux_video_compressed(buf: bytes):
         for no, frame in decode_gif(buf):
             yield no, frame.tobytes()
         return
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        from .jpeg import decode_jpeg
+        from .mp4 import demux_mp4
+
+        mjpeg_all = True
+        samples = []
+        try:
+            for _tid, no, _ts, _sync, fourcc, sample in demux_mp4(buf):
+                if fourcc != "jpeg" and sample[:2] != b"\xff\xd8":
+                    mjpeg_all = False
+                    break
+                samples.append((no, sample))
+        except ValueError:
+            # malformed for the strict pure walker — ffmpeg's laxer
+            # parser may still handle it, so fall to the PyAV tier
+            mjpeg_all = False
+        if mjpeg_all:
+            for no, sample in samples:
+                yield no, decode_jpeg(sample).tobytes()
+            return
+        # inter-frame codec (or unparseable box tree) → PyAV tier below
     try:
         import av
     except ImportError as exc:
         raise NotImplementedError(
-            "inter-frame compressed video demux needs PyAV/ffmpeg "
-            "(not in this container); YUV4MPEG2 and MJPEG-AVI demux "
-            "natively, or run with fake=True for the byte-slice path"
+            "inter-frame compressed video DECODE needs PyAV/ffmpeg "
+            "(not in this container); YUV4MPEG2, MJPEG-AVI and "
+            "MJPEG-MP4 decode natively, MP4 sample-level demux is "
+            "native for any codec (operators/mp4.demux_mp4), or run "
+            "with fake=True for the byte-slice path"
         ) from exc
     import io
 

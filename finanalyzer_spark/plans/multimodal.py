@@ -484,3 +484,82 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_pair_chars"),
         )
     )
+
+
+@query(
+    "media_mp4_keyframe_index",
+    # The Spark side BUILDS a real MJPEG-in-MP4 per document
+    # (operators/mp4.mux_mp4_mjpeg: ftyp/mdat/moov with stsd/stts/
+    # stsc/stsz/stco sample tables) and then DEMUXES it back with the
+    # pure ISO-BMFF walker; the reported counts/timestamps come from
+    # the parsed boxes, never from the construction parameters.  The
+    # oracle recomputes the expected index arithmetically from the
+    # same deterministic rule (n = 1 + len(text) % 4 frames at fps 10
+    # → 100 ms per sample; every MJPEG sample is a keyframe).
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + length(text) % 4 AS BIGINT) AS n_samples,
+           CAST(1 + length(text) % 4 AS BIGINT) AS n_keyframes,
+           CAST((length(text) % 4) * 100000 AS BIGINT) AS last_ts_us,
+           'jpeg' AS fourcc
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+    tags=("multimodal", "video", "container"),
+)
+def media_mp4_keyframe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe/sample index of real MP4 containers with no codec
+    library — the query a video-corpus pipeline runs FIRST at 100 TB:
+    how many samples, which are sync points, what timeline, before
+    any decode is scheduled.  Sample-level demux (ISO BMFF box walk)
+    is codec-agnostic, so this path also serves avc1/hev1 corpora
+    whose pixel decode lives in the PyAV tier.
+
+    Scale shape: one Arrow mapInPandas over a bounded projection (the
+    payload is synthesized per row; a real corpus would read the
+    binary column) — no shuffle at all until the final row emission;
+    metadata-only outputs keep the exchange free of payload bytes."""
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.mp4 import demux_mp4, mux_mp4_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 1 + int(n_chars) % 4
+                fill = int(n_chars) % 256
+                frames = [
+                    np.full((8, 8, 3), (fill + i) % 256, dtype=np.uint8)
+                    for i in range(n)
+                ]
+                buf = mux_mp4_mjpeg(frames, fps=10, quality=80)
+                samples = list(demux_mp4(buf))
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(samples),
+                        sum(1 for s in samples if s[3]),
+                        max(s[2] for s in samples),
+                        samples[0][4],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_keyframes", "last_ts_us",
+                    "fourcc",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, n_samples long, n_keyframes long,"
+        " last_ts_us long, fourcc string",
+    )

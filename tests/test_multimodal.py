@@ -483,3 +483,57 @@ def test_decode_wav_mulaw_branch(spark):
     )
     row = decode_audio_features(df).collect()[0]
     assert row.sample_rate == 16000 and row.n_frames == 400
+
+
+def test_mp4_mux_demux_roundtrip():
+    """mux_mp4_mjpeg → demux_mp4 recovers every sample byte-exactly
+    (samples are independently-encoded baseline JPEGs), with the
+    declared timeline (fps 10 → 100 ms decode timestamps from
+    stts/mdhd) and every sample a keyframe (no stss box — the spec
+    default)."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from finanalyzer_spark.operators.mp4 import demux_mp4, mux_mp4_mjpeg
+
+    rng = np.random.default_rng(5)
+    frames = [
+        np.clip(rng.integers(0, 256, (16, 24, 3)), 0, 255).astype(np.uint8)
+        for _ in range(4)
+    ]
+    buf = mux_mp4_mjpeg(frames, fps=10, quality=85)
+    samples = list(demux_mp4(buf))
+    assert [s[1] for s in samples] == [0, 1, 2, 3]
+    assert [s[2] for s in samples] == [0, 100000, 200000, 300000]
+    assert all(s[3] for s in samples)          # all sync
+    assert {s[4] for s in samples} == {"jpeg"}
+    for (_, _, _, _, _, b), f in zip(samples, frames):
+        assert b == encode_jpeg(f, quality=85)
+        assert np.array_equal(decode_jpeg(b), decode_jpeg(b))
+
+    with pytest.raises(ValueError, match="ISO BMFF"):
+        list(demux_mp4(b"RIFF0000AVI "))
+    with pytest.raises(ValueError, match="moov"):
+        list(demux_mp4(buf[: buf.index(b"moov") - 4]))
+
+
+def test_mp4_through_video_tier():
+    """demux_video_compressed must route MJPEG-in-MP4 through the pure
+    tier (ISO BMFF walk + pure JPEG decode) — same (frame_no,
+    rgb24_bytes) contract as the AVI and y4m paths."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from finanalyzer_spark.operators.mp4 import mux_mp4_mjpeg
+    from finanalyzer_spark.operators.multimodal import (
+        demux_video_compressed,
+    )
+
+    frames = [
+        np.full((8, 8, 3), 40 * i + 10, dtype=np.uint8) for i in range(3)
+    ]
+    buf = mux_mp4_mjpeg(frames, fps=25, quality=90)
+    got = list(demux_video_compressed(buf))
+    assert [no for no, _ in got] == [0, 1, 2]
+    for (_, raw), f in zip(got, frames):
+        assert raw == decode_jpeg(encode_jpeg(f, quality=90)).tobytes()
