@@ -1,0 +1,524 @@
+"""Pure-python H.264 (ITU-T H.264 / MPEG-4 AVC) Annex-B layer.
+
+Two honest tiers, continuing the codec-tier discipline of
+operators/multimodal.py:
+
+* **Stream indexing — any H.264 stream.** `split_annexb` (start-code
+  scan + emulation-prevention unescape), `parse_sps` (exp-Golomb
+  syntax: profile/level, frame dimensions incl. cropping, chroma
+  format), `parse_pps`, and `h264_stream_index` (per-NAL type/size +
+  IDR keyframe flags + resolution).  A video corpus pipeline gets
+  resolution filtering, keyframe counting and codec metadata at
+  100 TB without any codec library — the same sample-level posture as
+  operators/mp4.demux_mp4.
+* **Pixel decode — the I_PCM tier.** `decode_h264_annexb` decodes
+  baseline streams whose macroblocks are all I_PCM (mb_type 25 in I
+  slices: raw uncompressed 4:2:0 samples, spec §7.3.5 / §8.3.5 —
+  I_PCM exists in the spec precisely as the always-decodable escape
+  hatch), which `encode_h264_ipcm` emits as the encoder twin.  The
+  round trip is LOSSLESS at the YCbCr level, so the pair is pinned by
+  exact equality, not a sibling-bug-prone approximate check.
+  Entropy-coded residual macroblocks (CAVLC/CABAC) raise
+  NotImplementedError naming the PyAV tier: transcribing the CAVLC
+  VLC tables without a conformance vector to check them against
+  would risk a decoder that passes its own tests and fails on real
+  streams — the failure mode this repo's spec-value-test discipline
+  exists to prevent.
+
+Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
+emulation prevention (7.4.1.1).  Reference context: the reference
+repo has no media surface — extended training-data-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: NAL unit types (Table 7-1)
+NAL_SLICE = 1
+NAL_IDR = 5
+NAL_SEI = 6
+NAL_SPS = 7
+NAL_PPS = 8
+NAL_AUD = 9
+
+
+class _BitReader:
+    """MSB-first reader over an RBSP (already unescaped)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def bytes_at(self, n: int) -> bytes:
+        assert self.pos % 8 == 0
+        lo = self.pos >> 3
+        self.pos += 8 * n
+        return self.data[lo : lo + n]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def u(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align_zero(self) -> None:
+        if self.nbits % 8:
+            self.u(0, 8 - self.nbits % 8)
+
+    def rbsp_trailing(self) -> None:
+        self.u(1, 1)
+        self.byte_align_zero()
+
+
+def _unescape(ebsp: bytes) -> bytes:
+    """EBSP → RBSP: drop emulation_prevention_three_byte (00 00 03)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 0x03:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _escape(rbsp: bytes) -> bytes:
+    """RBSP → EBSP: insert 00 00 03 before any 00/01/02/03 after two
+    zero bytes (7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(0x03)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def split_annexb(buf: bytes):
+    """Yield (nal_type, nal_ref_idc, rbsp_bytes) for each NAL unit in
+    an Annex-B byte stream (3- or 4-byte start codes).  ValueError on
+    a stream with no start code so callers can route elsewhere."""
+    n = len(buf)
+    starts = []
+    i = 0
+    while i + 3 <= n:
+        if buf[i] == 0 and buf[i + 1] == 0:
+            if buf[i + 2] == 1:
+                starts.append(i + 3)
+                i += 3
+                continue
+            if i + 4 <= n and buf[i + 2] == 0 and buf[i + 3] == 1:
+                starts.append(i + 4)
+                i += 4
+                continue
+        i += 1
+    if not starts:
+        raise ValueError("not an H.264 Annex-B byte stream")
+    for si, lo in enumerate(starts):
+        hi = n if si + 1 == len(starts) else starts[si + 1] - 3
+        # previous start code may have been 4 bytes
+        if si + 1 < len(starts) and hi >= 1 and buf[hi - 1] == 0:
+            hi -= 1
+        nal = buf[lo:hi]
+        if not nal:
+            continue
+        header = nal[0]
+        yield header & 0x1F, (header >> 5) & 0x3, _unescape(nal[1:])
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    """Sequence parameter set → profile/level/dimensions (7.3.2.1.1).
+    Covers baseline through high (chroma_format_idc branch); returns
+    width/height AFTER frame cropping."""
+    r = _BitReader(rbsp)
+    profile_idc = r.u(8)
+    constraints = r.u(8)
+    level_idc = r.u(8)
+    sps_id = r.ue()
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                       139, 134, 135):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass
+        if r.u(1):  # seq_scaling_matrix_present
+            raise NotImplementedError("SPS scaling matrices")
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        log2_max_poc_lsb = r.ue() + 4
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+        log2_max_poc_lsb = 0
+    else:
+        log2_max_poc_lsb = 0
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    pic_width_in_mbs = r.ue() + 1
+    pic_height_in_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field
+    r.u(1)  # direct_8x8_inference
+    crop = (0, 0, 0, 0)
+    if r.u(1):  # frame_cropping_flag
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    # crop units for 4:2:0 frames: x2 horizontally, x2 vertically
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    width = pic_width_in_mbs * 16 - sub_w * (crop[0] + crop[1])
+    height = (
+        pic_height_in_map_units * 16 * (1 if frame_mbs_only else 2)
+        - sub_h * (crop[2] + crop[3])
+    )
+    return {
+        "profile_idc": profile_idc,
+        "constraints": constraints,
+        "level_idc": level_idc,
+        "sps_id": sps_id,
+        "chroma_format_idc": chroma_format_idc,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "pic_width_in_mbs": pic_width_in_mbs,
+        "pic_height_in_map_units": pic_height_in_map_units,
+        "frame_mbs_only": frame_mbs_only,
+        "crop": crop,
+        "width": width,
+        "height": height,
+    }
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    """Picture parameter set — the fields the I_PCM slice layer needs
+    (7.3.2.2; the tail after entropy_coding_mode governs tools the
+    I_PCM tier never touches but the parser must still walk)."""
+    r = _BitReader(rbsp)
+    pps = {
+        "pps_id": r.ue(),
+        "sps_id": r.ue(),
+        "entropy_coding_mode": r.u(1),
+        "bottom_field_pic_order": r.u(1),
+    }
+    if r.ue() != 0:  # num_slice_groups_minus1
+        raise NotImplementedError("slice groups (FMO)")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    pps["pic_init_qp"] = r.se() + 26
+    r.se()  # pic_init_qs
+    r.se()  # chroma_qp_index_offset
+    pps["deblocking_filter_control_present"] = r.u(1)
+    r.u(1)  # constrained_intra_pred
+    r.u(1)  # redundant_pic_cnt_present
+    return pps
+
+
+def h264_stream_index(buf: bytes) -> dict:
+    """Codec-agnostic metadata for an Annex-B stream: NAL histogram,
+    IDR (keyframe) count, and resolution/profile/level from the first
+    SPS — the 'what is this video' pass a corpus pipeline runs before
+    scheduling any decode."""
+    n_by_type: dict[int, int] = {}
+    sps = None
+    n_idr = 0
+    n_nals = 0
+    for nal_type, _ref, rbsp in split_annexb(buf):
+        n_nals += 1
+        n_by_type[nal_type] = n_by_type.get(nal_type, 0) + 1
+        if nal_type == NAL_SPS and sps is None:
+            sps = parse_sps(rbsp)
+        elif nal_type == NAL_IDR:
+            n_idr += 1
+    return {
+        "n_nals": n_nals,
+        "n_idr": n_idr,
+        "n_by_type": n_by_type,
+        "width": sps["width"] if sps else None,
+        "height": sps["height"] if sps else None,
+        "profile_idc": sps["profile_idc"] if sps else None,
+        "level_idc": sps["level_idc"] if sps else None,
+    }
+
+
+# --------------------------------------------------------------------------
+# I_PCM pixel tier
+# --------------------------------------------------------------------------
+def _rgb_to_yuv420(arr):
+    """BT.601 full-range RGB → (Y, Cb, Cr) planes, chroma 2x2-averaged.
+    All-integer rounding so the encoder twin is deterministic."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(
+        np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255
+    )
+    cr = np.clip(
+        np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255
+    )
+    cb = np.round(
+        (cb[0::2, 0::2] + cb[1::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 1::2])
+        / 4.0
+    )
+    cr = np.round(
+        (cr[0::2, 0::2] + cr[1::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 1::2])
+        / 4.0
+    )
+    return (
+        y.astype(np.uint8),
+        cb.astype(np.uint8),
+        cr.astype(np.uint8),
+    )
+
+
+def _yuv420_to_rgb(y, cb, cr):
+    import numpy as np
+
+    cbf = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1).astype(np.float64)
+    crf = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1).astype(np.float64)
+    yf = y.astype(np.float64)
+    cbf -= 128.0
+    crf -= 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(
+        np.stack([r, g, b], axis=2).round(), 0, 255
+    ).astype(np.uint8)
+
+
+def _nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + _escape(
+        rbsp
+    )
+
+
+def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
+    """Encoder twin: an Annex-B baseline stream of IDR-only frames
+    whose macroblocks are all I_PCM — spec-valid (any conformant
+    decoder plays it) and LOSSLESS at the YCbCr level.  `frames` are
+    (h, w, 3) uint8 RGB arrays (converted to 4:2:0 YCbCr), or, with
+    `yuv=True`, (y, cb, cr) plane tuples used verbatim (the exactness
+    path the tests pin).  Dimensions must be multiples of 16 (I_PCM
+    has no partial-macroblock story without cropping games)."""
+    import numpy as np
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("need at least one frame")
+    if yuv:
+        planes = [tuple(np.asarray(p, dtype=np.uint8) for p in f) for f in frames]
+        h, w = planes[0][0].shape
+    else:
+        arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+        h, w = arrs[0].shape[:2]
+        planes = [_rgb_to_yuv420(a) for a in arrs]
+    if h % 16 or w % 16:
+        raise ValueError("I_PCM encoder needs multiple-of-16 dimensions")
+    mbw, mbh = w // 16, h // 16
+
+    sps = _BitWriter()
+    sps.u(66, 8)   # profile_idc: baseline
+    sps.u(0xC0, 8)  # constraint_set0/1
+    sps.u(30, 8)   # level 3.0
+    sps.ue(0)      # sps_id
+    sps.ue(4)      # log2_max_frame_num_minus4 → 8 bits
+    sps.ue(2)      # pic_order_cnt_type 2 (display order = decode order)
+    sps.ue(1)      # max_num_ref_frames
+    sps.u(0, 1)    # gaps_in_frame_num
+    sps.ue(mbw - 1)
+    sps.ue(mbh - 1)
+    sps.u(1, 1)    # frame_mbs_only
+    sps.u(1, 1)    # direct_8x8_inference
+    sps.u(0, 1)    # frame_cropping_flag
+    sps.u(0, 1)    # vui_parameters_present
+    sps.rbsp_trailing()
+
+    pps = _BitWriter()
+    pps.ue(0)      # pps_id
+    pps.ue(0)      # sps_id
+    pps.u(0, 1)    # entropy_coding_mode: CAVLC
+    pps.u(0, 1)    # bottom_field_pic_order
+    pps.ue(0)      # num_slice_groups_minus1
+    pps.ue(0)      # num_ref_idx_l0
+    pps.ue(0)      # num_ref_idx_l1
+    pps.u(0, 1)    # weighted_pred
+    pps.u(0, 2)    # weighted_bipred
+    pps.se(0)      # pic_init_qp_minus26
+    pps.se(0)      # pic_init_qs_minus26
+    pps.se(0)      # chroma_qp_index_offset
+    pps.u(0, 1)    # deblocking_filter_control_present
+    pps.u(0, 1)    # constrained_intra_pred
+    pps.u(0, 1)    # redundant_pic_cnt_present
+    pps.rbsp_trailing()
+
+    out = bytearray()
+    out += _nal(NAL_SPS, 3, bytes(sps.out))
+    out += _nal(NAL_PPS, 3, bytes(pps.out))
+    for fi, (y, cb, cr) in enumerate(planes):
+        s = _BitWriter()
+        s.ue(0)           # first_mb_in_slice
+        s.ue(7)           # slice_type: I (all slices in pic)
+        s.ue(0)           # pps_id
+        s.u(0, 8)         # frame_num (log2_max_frame_num = 8)
+        s.ue(fi % 16)     # idr_pic_id
+        # poc_type 2 → no poc syntax; IDR dec_ref_pic_marking:
+        s.u(0, 1)         # no_output_of_prior_pics
+        s.u(0, 1)         # long_term_reference
+        s.se(0)           # slice_qp_delta
+        for mb in range(mbw * mbh):
+            s.ue(25)      # mb_type I_PCM
+            s.byte_align_zero()  # pcm_alignment_zero_bit(s)
+            my, mx = divmod(mb, mbw)
+            yb = y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+            cbb = cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            crb = cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            for row in yb:
+                for v in row:
+                    s.u(int(v), 8)
+            for blk in (cbb, crb):
+                for row in blk:
+                    for v in row:
+                        s.u(int(v), 8)
+        s.rbsp_trailing()
+        out += _nal(NAL_IDR, 3, bytes(s.out))
+    return bytes(out)
+
+
+def decode_h264_annexb(buf: bytes, yuv: bool = False):
+    """Decode an Annex-B H.264 stream whose coded macroblocks are all
+    I_PCM.  Yields (frame_no, (h, w, 3) uint8 RGB) — or (frame_no,
+    (y, cb, cr)) planes with `yuv=True`.  Entropy-coded residual
+    macroblocks raise NotImplementedError naming the PyAV tier (see
+    module docstring for why CAVLC is out of the pure tier)."""
+    import numpy as np
+
+    sps = pps = None
+    frame_no = 0
+    for nal_type, _ref, rbsp in split_annexb(buf):
+        if nal_type == NAL_SPS:
+            sps = parse_sps(rbsp)
+        elif nal_type == NAL_PPS:
+            pps = parse_pps(rbsp)
+        elif nal_type in (NAL_IDR, NAL_SLICE):
+            if sps is None or pps is None:
+                raise ValueError("H.264 slice before SPS/PPS")
+            if pps["entropy_coding_mode"]:
+                raise NotImplementedError(
+                    "CABAC H.264 decode needs the PyAV tier"
+                )
+            if sps["chroma_format_idc"] != 1:
+                raise NotImplementedError("only 4:2:0 H.264 streams")
+            r = _BitReader(rbsp)
+            if r.ue() != 0:
+                raise NotImplementedError("multi-slice H.264 pictures")
+            slice_type = r.ue()
+            if slice_type % 5 != 2:
+                raise NotImplementedError(
+                    "inter-predicted H.264 slices need the PyAV tier"
+                )
+            r.ue()  # pps_id
+            r.u(sps["log2_max_frame_num"])  # frame_num
+            if nal_type == NAL_IDR:
+                r.ue()  # idr_pic_id
+            if sps["poc_type"] == 0:
+                r.u(sps["log2_max_poc_lsb"])
+            if nal_type == NAL_IDR:
+                r.u(1)
+                r.u(1)
+            else:
+                if r.u(1):  # adaptive_ref_pic_marking
+                    raise NotImplementedError("ref pic marking ops")
+            r.se()  # slice_qp_delta
+            if pps["deblocking_filter_control_present"]:
+                if r.ue() != 1:  # disable_deblocking_filter_idc
+                    r.se()
+                    r.se()
+            mbw = sps["pic_width_in_mbs"]
+            mbh = sps["pic_height_in_map_units"]
+            y = np.zeros((mbh * 16, mbw * 16), dtype=np.uint8)
+            cb = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+            cr = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
+            for mb in range(mbw * mbh):
+                mb_type = r.ue()
+                if mb_type != 25:  # not I_PCM
+                    raise NotImplementedError(
+                        "entropy-coded (CAVLC) H.264 macroblocks need"
+                        " the PyAV tier; the pure tier decodes I_PCM"
+                        " streams and indexes any stream"
+                    )
+                r.byte_align()
+                my, mx = divmod(mb, mbw)
+                yb = np.frombuffer(r.bytes_at(256), dtype=np.uint8)
+                y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    yb.reshape(16, 16)
+                )
+                cbb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
+                crb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
+                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbb.reshape(8, 8)
+                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = crb.reshape(8, 8)
+            hh, ww = sps["height"], sps["width"]
+            y, cb, cr = y[:hh, :ww], cb[: hh // 2, : ww // 2], cr[: hh // 2, : ww // 2]
+            if yuv:
+                yield frame_no, (y, cb, cr)
+            else:
+                yield frame_no, _yuv420_to_rgb(y, cb, cr)
+            frame_no += 1

@@ -12,9 +12,12 @@ All transport/partitioning/batching is real Spark. Two codec tiers:
   restart markers — operators/jpeg.py), GIF87a/89a (variable-width
   LZW, interlace, animation/disposal — operators/gif.py), BMP,
   PCM-16 + G.711 mu-law WAV, Y4M frames, MJPEG-in-AVI demux (RIFF
-  walk), and MP4/ISO-BMFF sample-table demux (operators/mp4.py:
+  walk), MP4/ISO-BMFF sample-table demux (operators/mp4.py:
   stsz/stco/stsc/stts/stss walk — codec-agnostic keyframe indexing,
-  full decode for MJPEG-in-MP4); round 6 added progressive JPEG
+  full decode for MJPEG-in-MP4), and an H.264 Annex-B layer
+  (operators/h264.py: NAL/SPS/PPS parsing — resolution/profile/IDR
+  indexing for ANY stream, lossless pixel decode for the I_PCM
+  tier); round 6 added progressive JPEG
   (SOF2: spectral selection + successive approximation) to the pure
   tier. Remaining tiers are import-guarded, honest
   NotImplementedError otherwise: arithmetic-coded JPEG and WebP
@@ -654,6 +657,15 @@ def demux_video_compressed(buf: bytes):
         from .gif import decode_gif
 
         for no, frame in decode_gif(buf):
+            yield no, frame.tobytes()
+        return
+    if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
+        # raw H.264 Annex-B elementary stream: the pure tier decodes
+        # I_PCM streams; CAVLC/CABAC raise toward the PyAV tier from
+        # inside (operators/h264.py module docstring)
+        from .h264 import decode_h264_annexb
+
+        for no, frame in decode_h264_annexb(buf):
             yield no, frame.tobytes()
         return
     if len(buf) >= 12 and buf[4:8] == b"ftyp":

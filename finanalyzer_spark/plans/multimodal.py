@@ -563,3 +563,78 @@ def media_mp4_keyframe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, n_samples long, n_keyframes long,"
         " last_ts_us long, fourcc string",
     )
+
+
+@query(
+    "media_h264_stream_index",
+    # The Spark side BUILDS a spec-valid H.264 Annex-B stream per
+    # document (operators/h264.encode_h264_ipcm: SPS/PPS + IDR-only
+    # I_PCM frames) and then INDEXES it with the pure NAL/SPS parser;
+    # the reported counts/dimensions come from the parsed bitstream
+    # (exp-Golomb SPS walk, start-code scan), never from the
+    # construction parameters.  Oracle recomputes the expected index
+    # arithmetically from the same rule (n = 1 + len(text) % 3
+    # frames; stream = SPS + PPS + n IDR NALs; baseline profile 66).
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 + 1 + length(text) % 3 AS BIGINT) AS n_nals,
+           CAST(1 + length(text) % 3 AS BIGINT) AS n_keyframes,
+           16 AS width, 16 AS height,
+           66 AS profile_idc
+    FROM documents
+    WHERE doc_id % 3 = 1
+    """,
+    tags=("multimodal", "video", "container"),
+)
+def media_h264_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe/NAL index of raw H.264 elementary streams with no
+    codec library — resolution, profile and IDR census from the SPS
+    and start-code walk (operators/h264.h264_stream_index), the
+    metadata pass that lets a 100 TB video corpus filter by
+    resolution/keyframe density BEFORE any decode is scheduled.
+    Sample-level indexing is entropy-coding-agnostic, so the same
+    path serves CAVLC/CABAC corpora whose pixel decode lives in the
+    PyAV tier.
+
+    Scale shape: one Arrow mapInPandas over a bounded projection — no
+    shuffle until the final row emission."""
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.h264 import encode_h264_ipcm, h264_stream_index
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 1 + int(n_chars) % 3
+                fill = int(n_chars) % 256
+                frames = [
+                    np.full((16, 16, 3), (fill + i) % 256, dtype=np.uint8)
+                    for i in range(n)
+                ]
+                idx = h264_stream_index(encode_h264_ipcm(frames))
+                rows.append(
+                    (
+                        int(doc_id), idx["n_nals"], idx["n_idr"],
+                        idx["width"], idx["height"], idx["profile_idc"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_nals", "n_keyframes", "width",
+                    "height", "profile_idc",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, n_nals long, n_keyframes long,"
+        " width int, height int, profile_idc int",
+    )

@@ -537,3 +537,68 @@ def test_mp4_through_video_tier():
     assert [no for no, _ in got] == [0, 1, 2]
     for (_, raw), f in zip(got, frames):
         assert raw == decode_jpeg(encode_jpeg(f, quality=90)).tobytes()
+
+
+def test_h264_ipcm_roundtrip_and_index():
+    """The H.264 pure tier: encode_h264_ipcm emits a spec-valid
+    baseline Annex-B stream (SPS/PPS/IDR, all-I_PCM macroblocks) that
+    decode_h264_annexb recovers LOSSLESSLY at the YCbCr level;
+    h264_stream_index reports NAL histogram / keyframes / SPS
+    resolution without decoding.  A deliberate zero-valued block
+    exercises emulation-prevention escaping (00 00 0x runs inside
+    PCM samples)."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        _rgb_to_yuv420,
+        decode_h264_annexb,
+        encode_h264_ipcm,
+        h264_stream_index,
+        split_annexb,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)]
+    frames.append(np.zeros((32, 48, 3), dtype=np.uint8))  # 00-runs
+    yuv = [_rgb_to_yuv420(f) for f in frames]
+    buf = encode_h264_ipcm(yuv, yuv=True)
+
+    idx = h264_stream_index(buf)
+    assert (idx["width"], idx["height"]) == (48, 32)
+    assert idx["n_idr"] == 2 and idx["profile_idc"] == 66
+
+    dec = list(decode_h264_annexb(buf, yuv=True))
+    assert len(dec) == 2
+    for (_, got), want in zip(dec, yuv):
+        for a, b in zip(got, want):
+            assert np.array_equal(a, b)
+
+    # smooth image → RGB round trip within color-conversion rounding
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack([yy * 4, xx * 3, (yy + xx) * 2], axis=2).astype(
+        np.uint8
+    )
+    rgb = next(iter(decode_h264_annexb(encode_h264_ipcm([smooth]))))[1]
+    assert np.abs(rgb.astype(int) - smooth.astype(int)).max() <= 6
+
+    with pytest.raises(ValueError, match="Annex-B"):
+        list(split_annexb(b"\xff" * 40))
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        encode_h264_ipcm([np.zeros((20, 20, 3), dtype=np.uint8)])
+
+
+def test_h264_through_video_tier():
+    """demux_video_compressed routes raw Annex-B streams through the
+    pure I_PCM tier with the standard (frame_no, rgb24) contract."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import encode_h264_ipcm
+    from finanalyzer_spark.operators.multimodal import (
+        demux_video_compressed,
+    )
+
+    frames = [np.full((16, 16, 3), 77, dtype=np.uint8)]
+    got = list(demux_video_compressed(encode_h264_ipcm(frames)))
+    assert len(got) == 1 and got[0][0] == 0
+    arr = np.frombuffer(got[0][1], dtype=np.uint8).reshape(16, 16, 3)
+    assert np.abs(arr.astype(int) - 77).max() <= 2
