@@ -11,8 +11,12 @@ codec: keyframe indexing, frame-rate/duration metadata, sample-level
 content hashing and dedup all operate on demuxed samples, not decoded
 pixels.  Decode stays tiered exactly like the other codecs
 (operators/multimodal.py): MJPEG samples ('jpeg' sample entries, or
-anything carrying the FFD8 magic) decode through the pure baseline
-JPEG decoder; avc1/hev1 samples demux fine but DECODE routes to the
+anything carrying the FFD8 magic) decode through the pure JPEG
+decoder; avc1 tracks expose their avcC parameter sets
+(`parse_avcc` / `avc_track_info` — resolution/profile/keyframe
+metadata for ANY H.264-in-MP4) and re-frame to Annex-B
+(`mp4_avc_to_annexb`), so the I_PCM tier of operators/h264.py
+decodes them fully; entropy-coded inter-frame DECODE routes to the
 PyAV tier — motion compensation genuinely needs a codec library.
 
 `mux_mp4_mjpeg` is the encoder twin (fixture builder): a minimal
@@ -293,3 +297,272 @@ def mux_mp4_mjpeg(frames, fps: int = 25, quality: int = 90) -> bytes:
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def parse_avcc(avcc: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.2.4.1) →
+    {nal_length_size, sps: [rbsp...], pps: [rbsp...], profile, level}.
+    This is how H.264 parameter sets travel inside MP4 'avc1' sample
+    entries (out-of-band, unlike Annex-B's in-band SPS/PPS NALs)."""
+    import struct as _s
+
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("not an AVCDecoderConfigurationRecord")
+    nal_len = (avcc[4] & 0x3) + 1
+    n_sps = avcc[5] & 0x1F
+    pos = 6
+    sps = []
+    for _ in range(n_sps):
+        (ln,) = _s.unpack(">H", avcc[pos : pos + 2])
+        sps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    n_pps = avcc[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        (ln,) = _s.unpack(">H", avcc[pos : pos + 2])
+        pps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    return {
+        "nal_length_size": nal_len,
+        "profile_idc": avcc[1],
+        "level_idc": avcc[3],
+        "sps": sps,
+        "pps": pps,
+    }
+
+
+def avc_track_info(buf: bytes) -> dict | None:
+    """Resolution/profile/keyframe metadata for the first avc1 video
+    track of an MP4, from the avcC record + the sample tables — the
+    codec-metadata pass for H.264-in-MP4 corpora, no codec library.
+    Returns None when no avc1 track exists."""
+    from .h264 import parse_sps
+
+    moov = _find(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise ValueError("MP4 without moov box")
+    for t, tlo, thi in _boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(buf, tlo, thi, b"mdia")
+        hdlr = _find(buf, *mdia, b"hdlr")
+        if buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(buf, *mdia, b"minf")
+        stbl = _find(buf, *minf, b"stbl")
+        stsd = _find(buf, *stbl, b"stsd")
+        if buf[stsd[0] + 12 : stsd[0] + 16] != b"avc1":
+            continue
+        # sample entry body: 8 (size+fourcc) + 78 (VisualSampleEntry)
+        # then child boxes (avcC, ...)
+        entry_lo = stsd[0] + 8
+        (entry_size,) = struct.unpack(">I", buf[entry_lo : entry_lo + 4])
+        avcc = _find(buf, entry_lo + 86, entry_lo + entry_size, b"avcC")
+        if avcc is None:
+            return None
+        cfg = parse_avcc(buf[avcc[0] : avcc[1]])
+        sps = parse_sps(_annexb_unescape(cfg["sps"][0]))
+        n_sync = 0
+        n_samples = 0
+        for _tid, _no, _ts, is_sync, fourcc, _b in demux_mp4(buf):
+            if fourcc != "avc1":
+                continue
+            n_samples += 1
+            n_sync += bool(is_sync)
+        return {
+            "width": sps["width"],
+            "height": sps["height"],
+            "profile_idc": cfg["profile_idc"],
+            "level_idc": cfg["level_idc"],
+            "nal_length_size": cfg["nal_length_size"],
+            "n_samples": n_samples,
+            "n_keyframes": n_sync,
+        }
+    return None
+
+
+def _annexb_unescape(ebsp_with_header: bytes) -> bytes:
+    """avcC stores whole NAL units (header byte + EBSP); strip the
+    header and remove emulation-prevention bytes for the SPS parser."""
+    from .h264 import _unescape
+
+    return _unescape(ebsp_with_header[1:])
+
+
+def split_length_prefixed_nals(sample: bytes, nal_length_size: int = 4):
+    """MP4 'avc1' samples carry length-prefixed NAL units instead of
+    Annex-B start codes; yield (nal_type, rbsp) per NAL."""
+    from .h264 import _unescape
+
+    pos = 0
+    while pos + nal_length_size <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + nal_length_size], "big")
+        pos += nal_length_size
+        nal = sample[pos : pos + ln]
+        pos += ln
+        if nal:
+            yield nal[0] & 0x1F, _unescape(nal[1:])
+
+
+def mux_mp4_avc(frames, fps: int = 25) -> bytes:
+    """H.264-in-MP4 writer (fixture twin for the avc1 path): frames
+    are encoded with operators/h264.encode_h264_ipcm (spec-valid
+    IDR-only I_PCM baseline), parameter sets land out-of-band in the
+    avcC record, and each sample is the length-prefixed IDR NAL.
+    Unlike the MJPEG twin this writes an EXPLICIT stss listing every
+    sample, so the sync-table parse path is exercised too."""
+    from .h264 import NAL_IDR, split_annexb
+    from .h264 import _escape as h264_escape
+    from .h264 import encode_h264_ipcm
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    annexb = encode_h264_ipcm(frames)
+    sps_nal = pps_nal = None
+    samples = []
+    for nal_type, ref, rbsp in split_annexb(annexb):
+        nal = bytes([(ref << 5) | nal_type]) + h264_escape(rbsp)
+        if nal_type == 7:
+            sps_nal = nal
+        elif nal_type == 8:
+            pps_nal = nal
+        elif nal_type == NAL_IDR:
+            samples.append(struct.pack(">I", len(nal)) + nal)
+    avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1])
+        + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def full(btype: bytes, payload: bytes, version=0, flags=0) -> bytes:
+        return box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+    timescale = fps * 1000
+    delta = 1000
+    n = len(samples)
+    duration = n * delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomavc1")
+    mdat = box(b"mdat", b"".join(samples))
+    data_base = len(ftyp) + 8
+    offsets, acc = [], data_base
+    for s in samples:
+        offsets.append(acc)
+        acc += len(s)
+
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+        flags=0x7,
+    )
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = full(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"h264\x00"
+    )
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + full(b"url ", b"", flags=1)))
+    vse_body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    avc1 = box(b"avc1", vse_body + box(b"avcC", avcc))
+    stsd = full(b"stsd", struct.pack(">I", 1) + avc1)
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = full(
+        b"stco",
+        struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stss = full(
+        b"stss",
+        struct.pack(">I", n)
+        + b"".join(struct.pack(">I", i + 1) for i in range(n)),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_avc_to_annexb(buf: bytes) -> bytes:
+    """Reconstruct an Annex-B elementary stream from an MP4's first
+    avc1 track: out-of-band SPS/PPS from the avcC record, then every
+    sample's length-prefixed NALs re-framed with start codes — the
+    bridge that lets any Annex-B consumer (the pure I_PCM decoder, or
+    an external conformance decoder) read H.264-in-MP4 directly."""
+    info = avc_track_info(buf)
+    if info is None:
+        raise ValueError("no avc1 video track")
+    moov = _find(buf, 0, len(buf), b"moov")
+    # re-locate the avcC for the raw parameter-set NALs
+    cfg = None
+    for t, tlo, thi in _boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(buf, tlo, thi, b"mdia")
+        minf = _find(buf, *mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = _find(buf, *minf, b"stbl")
+        stsd = _find(buf, *stbl, b"stsd")
+        if buf[stsd[0] + 12 : stsd[0] + 16] != b"avc1":
+            continue
+        entry_lo = stsd[0] + 8
+        (entry_size,) = struct.unpack(">I", buf[entry_lo : entry_lo + 4])
+        avcc = _find(buf, entry_lo + 86, entry_lo + entry_size, b"avcC")
+        cfg = parse_avcc(buf[avcc[0] : avcc[1]])
+        break
+    # avcC stores whole NAL units already (header + EBSP): emit as-is
+    out = bytearray()
+    for nal in cfg["sps"] + cfg["pps"]:
+        out += b"\x00\x00\x00\x01" + nal
+    nls = cfg["nal_length_size"]
+    for _tid, _no, _ts, _sync, fourcc, sample in demux_mp4(buf):
+        if fourcc != "avc1":
+            continue
+        pos = 0
+        while pos + nls <= len(sample):
+            ln = int.from_bytes(sample[pos : pos + nls], "big")
+            pos += nls
+            out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
+            pos += ln
+    return bytes(out)

@@ -688,6 +688,19 @@ def demux_video_compressed(buf: bytes):
             for no, sample in samples:
                 yield no, decode_jpeg(sample).tobytes()
             return
+        # avc1 track? I_PCM baseline decodes in the pure tier via the
+        # Annex-B bridge; entropy-coded streams raise inside and fall
+        # through to PyAV
+        try:
+            from .h264 import decode_h264_annexb
+            from .mp4 import mp4_avc_to_annexb
+
+            annexb = mp4_avc_to_annexb(buf)
+            for no, frame in decode_h264_annexb(annexb):
+                yield no, frame.tobytes()
+            return
+        except (ValueError, NotImplementedError):
+            pass
         # inter-frame codec (or unparseable box tree) → PyAV tier below
     try:
         import av

@@ -7,9 +7,12 @@ sqlrequests.sql:90-95,144-145) are *ingested precomputed* from the
 feed. Here we compute them properly with window frames — the flagship
 window surface of the new engine.
 
-Scale notes: every window below partitions by a key (never an
-unpartitioned global window), so state stays bounded per task and the
-shuffle is a standard hash exchange on the partition key.
+Scale notes: every window below either partitions by a key (state
+bounded per task, standard hash exchange) or runs over a frame
+bounded by construction (revenue_decile_profile's 10-row decile
+cumsum — tagged `bounded-window` for the lint's INFO tier); all
+entity-scale ranks/cumsums/ntiles go through
+operators/rank.ordered_scan instead of a global window (round 6).
 """
 
 from __future__ import annotations

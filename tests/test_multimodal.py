@@ -602,3 +602,47 @@ def test_h264_through_video_tier():
     assert len(got) == 1 and got[0][0] == 0
     arr = np.frombuffer(got[0][1], dtype=np.uint8).reshape(16, 16, 3)
     assert np.abs(arr.astype(int) - 77).max() <= 2
+
+
+def test_mp4_avc1_track_info_and_pure_decode():
+    """The avc1 path: mux_mp4_avc writes H.264-in-MP4 (avcC record,
+    length-prefixed NAL samples, explicit stss); avc_track_info reads
+    resolution/profile/keyframes from the avcC SPS + sample tables;
+    mp4_avc_to_annexb reconstructs an Annex-B stream that the pure
+    I_PCM decoder recovers LOSSLESSLY; demux_video_compressed routes
+    the whole thing without PyAV."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        _rgb_to_yuv420,
+        decode_h264_annexb,
+    )
+    from finanalyzer_spark.operators.mp4 import (
+        avc_track_info,
+        mp4_avc_to_annexb,
+        mux_mp4_avc,
+    )
+    from finanalyzer_spark.operators.multimodal import (
+        demux_video_compressed,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [
+        rng.integers(0, 256, (32, 32, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    buf = mux_mp4_avc(frames, fps=10)
+    info = avc_track_info(buf)
+    assert (info["width"], info["height"]) == (32, 32)
+    assert info["profile_idc"] == 66
+    assert info["n_samples"] == 3 and info["n_keyframes"] == 3
+    assert info["nal_length_size"] == 4
+
+    want = [_rgb_to_yuv420(f) for f in frames]
+    dec = list(decode_h264_annexb(mp4_avc_to_annexb(buf), yuv=True))
+    assert len(dec) == 3
+    for (_, got), w in zip(dec, want):
+        for a, b in zip(got, w):
+            assert np.array_equal(a, b)
+
+    got = list(demux_video_compressed(buf))
+    assert [no for no, _ in got] == [0, 1, 2]
