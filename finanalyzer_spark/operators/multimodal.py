@@ -12,7 +12,9 @@ All transport/partitioning/batching is real Spark. Two codec tiers:
   restart markers — operators/jpeg.py), GIF87a/89a (variable-width
   LZW, interlace, animation/disposal — operators/gif.py), BMP,
   PCM-16 + G.711 mu-law WAV, Y4M frames, MJPEG-in-AVI demux (RIFF
-  walk), MP4/ISO-BMFF sample-table demux (operators/mp4.py:
+  walk), Matroska/WebM EBML demux (operators/mkv.py: track/codec/
+  keyframe indexing; V_MJPEG + avcC-H.264 blocks decode fully),
+  MP4/ISO-BMFF sample-table demux (operators/mp4.py:
   stsz/stco/stsc/stts/stss walk — codec-agnostic keyframe indexing,
   full decode for MJPEG-in-MP4), and an H.264 Annex-B layer
   (operators/h264.py: NAL/SPS/PPS parsing — resolution/profile/IDR
@@ -659,6 +661,31 @@ def demux_video_compressed(buf: bytes):
         for no, frame in decode_gif(buf):
             yield no, frame.tobytes()
         return
+    if buf[:4] == b"\x1aE\xdf\xa3":  # Matroska / WebM (EBML)
+        from .mkv import demux_mkv, mkv_avc_to_annexb, parse_mkv_tracks
+
+        try:
+            meta = parse_mkv_tracks(buf)
+            codecs = {
+                t["codec_id"] for t in meta["tracks"].values()
+                if t["type"] in (None, 1)
+            }
+            if codecs == {"V_MJPEG"}:
+                from .jpeg import decode_jpeg
+
+                for _t, no, _ts, _k, frame in demux_mkv(buf):
+                    yield no, decode_jpeg(frame).tobytes()
+                return
+            if "V_MPEG4/ISO/AVC" in codecs:
+                from .h264 import decode_h264_annexb
+
+                for no, frame in decode_h264_annexb(
+                    mkv_avc_to_annexb(buf)
+                ):
+                    yield no, frame.tobytes()
+                return
+        except (ValueError, NotImplementedError):
+            pass  # laced/entropy-coded/malformed → PyAV tier below
     if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
         # raw H.264 Annex-B elementary stream: the pure tier decodes
         # I_PCM streams; CAVLC/CABAC raise toward the PyAV tier from

@@ -646,3 +646,60 @@ def test_mp4_avc1_track_info_and_pure_decode():
 
     got = list(demux_video_compressed(buf))
     assert [no for no, _ in got] == [0, 1, 2]
+
+
+def test_mkv_mux_demux_both_codecs():
+    """The Matroska layer: mux_mkv writes EBML (header/Segment/Info/
+    Tracks/Cluster/SimpleBlocks, explicit sizes, no lacing);
+    mkv_track_index reads codec/dimensions/keyframe census;
+    demux_video_compressed decodes V_MJPEG blocks via the pure JPEG
+    decoder and V_MPEG4/ISO/AVC (avcC CodecPrivate + length-prefixed
+    NALs) via the I_PCM Annex-B bridge — both with no codec library."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        _rgb_to_yuv420,
+        decode_h264_annexb,
+    )
+    from finanalyzer_spark.operators.jpeg import encode_jpeg
+    from finanalyzer_spark.operators.mkv import (
+        demux_mkv,
+        mkv_avc_to_annexb,
+        mkv_track_index,
+        mux_mkv,
+        parse_mkv_tracks,
+    )
+    from finanalyzer_spark.operators.multimodal import (
+        demux_video_compressed,
+    )
+
+    rng = np.random.default_rng(21)
+    frames = [
+        rng.integers(0, 256, (16, 32, 3)).astype(np.uint8) for _ in range(3)
+    ]
+
+    mj = mux_mkv(frames, codec="mjpeg", fps=25, quality=85)
+    idx = mkv_track_index(mj)["tracks"][1]
+    assert (idx["codec_id"], idx["width"], idx["height"]) == (
+        "V_MJPEG", 32, 16,
+    )
+    assert idx["n_blocks"] == 3 and idx["n_keyframes"] == 3
+    blocks = list(demux_mkv(mj))
+    assert [b[2] for b in blocks] == [0, 40000, 80000]  # 25 fps → 40 ms
+    for b, f in zip(blocks, frames):
+        assert b[4] == encode_jpeg(f, quality=85)
+    assert len(list(demux_video_compressed(mj))) == 3
+
+    av = mux_mkv(frames, codec="avc", fps=25)
+    assert (
+        mkv_track_index(av)["tracks"][1]["codec_id"] == "V_MPEG4/ISO/AVC"
+    )
+    want = [_rgb_to_yuv420(f) for f in frames]
+    dec = list(decode_h264_annexb(mkv_avc_to_annexb(av), yuv=True))
+    for (_, got), w in zip(dec, want):
+        for a, b in zip(got, w):
+            assert np.array_equal(a, b)
+    assert len(list(demux_video_compressed(av))) == 3
+
+    with pytest.raises(ValueError, match="EBML"):
+        parse_mkv_tracks(b"nope" * 8)
