@@ -1034,3 +1034,144 @@ def extract_patches(
             yield pd.DataFrame({id_col: ids, "patch_no": nos, "patch": vecs})
 
     return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)
+
+
+def probe_media(buf: bytes) -> dict:
+    """ffprobe-lite: identify a media payload from its header bytes
+    and return uniform metadata — {kind, container, codec, width,
+    height, n_frames, n_keyframes, sample_rate, n_samples} with None
+    for fields the format doesn't carry — WITHOUT decoding pixels or
+    samples (frame counts come from container sample tables where
+    those exist).  The single entry point a 100 TB corpus pipeline
+    calls to bucket a mixed crawl by modality/codec/resolution before
+    scheduling any decode; every branch reuses the pure parsers
+    already in this tier.  Unknown payloads → kind='unknown'."""
+    import struct
+
+    out = {
+        "kind": "unknown", "container": None, "codec": None,
+        "width": None, "height": None, "n_frames": None,
+        "n_keyframes": None, "sample_rate": None, "n_samples": None,
+    }
+    if len(buf) < 12:
+        return out
+    # ---- images
+    if buf[:8] == _PNG_SIG:
+        w, h = struct.unpack(">II", buf[16:24])
+        return {**out, "kind": "image", "container": "png",
+                "codec": "png", "width": w, "height": h, "n_frames": 1}
+    if buf[:2] == b"\xff\xd8":
+        # scan markers for the first SOFn (dimensions live there)
+        pos, codec = 2, "jpeg"
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = buf[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                _prec, h, w = struct.unpack(
+                    ">BHH", buf[pos + 4 : pos + 9]
+                )
+                codec = "jpeg-progressive" if marker == 0xC2 else "jpeg"
+                return {**out, "kind": "image", "container": "jfif",
+                        "codec": codec, "width": w, "height": h,
+                        "n_frames": 1}
+            pos += 2 + seglen
+        return {**out, "kind": "image", "container": "jfif",
+                "codec": codec}
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        n = buf.count(b"\x2c")  # upper bound on image descriptors
+        return {**out, "kind": "image", "container": "gif",
+                "codec": "gif-lzw", "width": w, "height": h,
+                "n_frames": max(1, min(n, 10_000))}
+    if buf[:2] == b"BM":
+        w, h = struct.unpack("<ii", buf[18:26])
+        return {**out, "kind": "image", "container": "bmp",
+                "codec": "bmp", "width": w, "height": abs(h),
+                "n_frames": 1}
+    if buf[:2] == b"P6":
+        try:
+            px = decode_ppm(buf)  # header-cheap; raster is a view
+            return {**out, "kind": "image", "container": "ppm",
+                    "codec": "ppm", "width": px.shape[1],
+                    "height": px.shape[0], "n_frames": 1}
+        except (ValueError, NotImplementedError):
+            return out
+    # ---- audio
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        try:
+            rate, samples = decode_wav(buf)
+            return {**out, "kind": "audio", "container": "wav",
+                    "codec": "pcm", "sample_rate": rate,
+                    "n_samples": int(samples.shape[0])}
+        except (ValueError, NotImplementedError):
+            return {**out, "kind": "audio", "container": "wav"}
+    # ---- video containers
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        n = buf.count(b"00dc") + buf.count(b"00db")
+        return {**out, "kind": "video", "container": "avi",
+                "codec": "mjpeg", "n_frames": n or None,
+                "n_keyframes": n or None}
+    if buf.startswith(b"YUV4MPEG2"):
+        n = buf.count(b"FRAME")
+        return {**out, "kind": "video", "container": "y4m",
+                "codec": "rawvideo", "n_frames": n, "n_keyframes": n}
+    if buf[4:8] == b"ftyp":
+        from .mp4 import avc_track_info, demux_mp4
+
+        try:
+            info = avc_track_info(buf)
+        except ValueError:
+            return {**out, "kind": "video", "container": "mp4"}
+        if info is not None:
+            return {**out, "kind": "video", "container": "mp4",
+                    "codec": "h264", "width": info["width"],
+                    "height": info["height"],
+                    "n_frames": info["n_samples"],
+                    "n_keyframes": info["n_keyframes"]}
+        n = n_sync = 0
+        fourcc = None
+        for _t, _no, _ts, sync, fcc, _b in demux_mp4(buf):
+            n += 1
+            n_sync += bool(sync)
+            fourcc = fcc
+        return {**out, "kind": "video", "container": "mp4",
+                "codec": {"jpeg": "mjpeg"}.get(fourcc, fourcc),
+                "n_frames": n, "n_keyframes": n_sync}
+    if buf[:4] == b"\x1aE\xdf\xa3":
+        from .mkv import mkv_track_index
+
+        try:
+            idx = mkv_track_index(buf)
+        except (ValueError, NotImplementedError):
+            return {**out, "kind": "video", "container": "mkv"}
+        for t in idx["tracks"].values():
+            codec = {
+                "V_MJPEG": "mjpeg", "V_MPEG4/ISO/AVC": "h264",
+            }.get(t["codec_id"], t["codec_id"])
+            return {**out, "kind": "video", "container": "mkv",
+                    "codec": codec, "width": t["width"],
+                    "height": t["height"], "n_frames": t["n_blocks"],
+                    "n_keyframes": t["n_keyframes"]}
+        return {**out, "kind": "video", "container": "mkv"}
+    if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
+        from .h264 import h264_stream_index
+
+        try:
+            idx = h264_stream_index(buf)
+        except ValueError:
+            return out
+        return {**out, "kind": "video", "container": "annexb",
+                "codec": "h264", "width": idx["width"],
+                "height": idx["height"], "n_frames": None,
+                "n_keyframes": idx["n_idr"]}
+    return out

@@ -638,3 +638,92 @@ def media_h264_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, n_nals long, n_keyframes long,"
         " width int, height int, profile_idc int",
     )
+
+
+@query(
+    "media_probe_summary",
+    # Per-document payloads cycle through five REAL formats (built by
+    # the pure encoder twins: baseline JPEG, binary PPM, PCM-16 WAV,
+    # MJPEG-in-MP4, I_PCM-H.264-in-MKV); the Spark side PROBES each
+    # payload with operators/multimodal.probe_media (header/box/EBML
+    # parsing, no pixel decode) and rolls up by identified
+    # kind/container/codec.  The oracle recomputes the rollup
+    # arithmetically from the construction rule — probing must
+    # correctly identify every payload or the counts diverge.
+    oracle="""
+    WITH probed AS (
+        SELECT CASE doc_id % 5
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                 WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'jfif' WHEN 1 THEN 'ppm'
+                 WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
+                 ELSE 'mkv' END AS container,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ppm'
+                 WHEN 2 THEN 'pcm' WHEN 3 THEN 'mjpeg'
+                 ELSE 'h264' END AS codec
+        FROM documents
+    )
+    SELECT kind, container, codec, count(*) AS n_media
+    FROM probed GROUP BY kind, container, codec
+    """,
+    tags=("multimodal", "probe"),
+)
+def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bucketing probe: identify every payload's modality /
+    container / codec from header bytes alone (probe_media — the
+    ffprobe-lite over the pure parser tier) and roll up counts — the
+    FIRST pass over a mixed 100 TB crawl, deciding which decode tier
+    each object is routed to before any decode is scheduled.
+
+    Scale shape: one Arrow mapInPandas over the payload column, then
+    a tiny (kind, container, codec) rollup — the only shuffle carries
+    three short strings per row."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.length("text").alias("n_chars"))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.h264 import encode_h264_ipcm  # noqa: F401
+        from ..operators.jpeg import encode_jpeg
+        from ..operators.mkv import mux_mkv
+        from ..operators.mp4 import mux_mp4_mjpeg
+        from ..operators.multimodal import (
+            encode_wav_pcm16,
+            probe_media,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                fill = int(n_chars) % 256
+                img = np.full((8, 8, 3), fill, dtype=np.uint8)
+                vid = np.full((16, 16, 3), fill, dtype=np.uint8)
+                kind5 = int(doc_id) % 5
+                if kind5 == 0:
+                    payload = encode_jpeg(img, quality=80)
+                elif kind5 == 1:
+                    payload = b"P6\n8 8\n255\n" + img.tobytes()
+                elif kind5 == 2:
+                    payload = encode_wav_pcm16(
+                        bytes([fill]) * 64, rate=8000, channels=1
+                    )
+                elif kind5 == 3:
+                    payload = mux_mp4_mjpeg([vid], fps=10, quality=80)
+                else:
+                    payload = mux_mkv([vid], codec="avc", fps=10)
+                p = probe_media(bytes(payload))
+                rows.append((p["kind"], p["container"], p["codec"]))
+            yield pd.DataFrame(
+                rows, columns=["kind", "container", "codec"]
+            )
+
+    probed = docs.mapInPandas(
+        kernel, schema="kind string, container string, codec string"
+    )
+    return probed.groupBy("kind", "container", "codec").agg(
+        F.count("*").alias("n_media")
+    )

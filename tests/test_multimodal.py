@@ -703,3 +703,61 @@ def test_mkv_mux_demux_both_codecs():
 
     with pytest.raises(ValueError, match="EBML"):
         parse_mkv_tracks(b"nope" * 8)
+
+
+def test_probe_media_identifies_every_pure_tier_format():
+    """probe_media (ffprobe-lite) must identify modality / container /
+    codec / dimensions from header bytes for every format the pure
+    tier writes — and return kind='unknown' (never raise) on junk."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.gif import encode_gif
+    from finanalyzer_spark.operators.h264 import encode_h264_ipcm
+    from finanalyzer_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from finanalyzer_spark.operators.mkv import mux_mkv
+    from finanalyzer_spark.operators.mp4 import mux_mp4_avc, mux_mp4_mjpeg
+    from finanalyzer_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        probe_media,
+    )
+
+    img = np.full((8, 16, 3), 99, dtype=np.uint8)
+    vid = np.full((16, 16, 3), 5, dtype=np.uint8)
+    cases = {
+        "jpeg": (encode_jpeg(img), ("image", "jfif", "jpeg", 16, 8)),
+        "jpeg-prog": (
+            encode_jpeg_progressive(img),
+            ("image", "jfif", "jpeg-progressive", 16, 8),
+        ),
+        "gif": (encode_gif([img]), ("image", "gif", "gif-lzw", 16, 8)),
+        "ppm": (
+            b"P6\n16 8\n255\n" + img.tobytes(),
+            ("image", "ppm", "ppm", 16, 8),
+        ),
+        "wav": (
+            encode_wav_pcm16(b"\x01\x02" * 100, rate=8000, channels=1),
+            ("audio", "wav", "pcm", None, None),
+        ),
+        "mp4-mjpeg": (
+            mux_mp4_mjpeg([vid] * 2), ("video", "mp4", "mjpeg", None, None)
+        ),
+        "mp4-avc": (
+            mux_mp4_avc([vid] * 2), ("video", "mp4", "h264", 16, 16)
+        ),
+        "mkv-avc": (
+            mux_mkv([vid] * 2, codec="avc"),
+            ("video", "mkv", "h264", 16, 16),
+        ),
+        "annexb": (
+            encode_h264_ipcm([vid]), ("video", "annexb", "h264", 16, 16)
+        ),
+    }
+    for name, (buf, want) in cases.items():
+        p = probe_media(bytes(buf))
+        got = (p["kind"], p["container"], p["codec"], p["width"], p["height"])
+        assert got == want, (name, got, want)
+    assert probe_media(b"\x00" * 64)["kind"] == "unknown"
+    assert probe_media(b"xy")["kind"] == "unknown"
