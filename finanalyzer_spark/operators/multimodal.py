@@ -1052,6 +1052,7 @@ def probe_media(buf: bytes) -> dict:
         "kind": "unknown", "container": None, "codec": None,
         "width": None, "height": None, "n_frames": None,
         "n_keyframes": None, "sample_rate": None, "n_samples": None,
+        "channels": None,
     }
     if len(buf) < 12:
         return out
@@ -1112,9 +1113,55 @@ def probe_media(buf: bytes) -> dict:
             rate, samples = decode_wav(buf)
             return {**out, "kind": "audio", "container": "wav",
                     "codec": "pcm", "sample_rate": rate,
-                    "n_samples": int(samples.shape[0])}
+                    "n_samples": int(samples.shape[0]),
+                    "channels": int(samples.shape[1])}
         except (ValueError, NotImplementedError):
             return {**out, "kind": "audio", "container": "wav"}
+    if buf[:4] == b"fLaC":
+        # STREAMINFO is the mandatory first metadata block (FLAC
+        # format spec, xiph.org): 34-byte body; sample rate 20 bits,
+        # channels-1 3 bits, bits-1 5 bits, total samples 36 bits
+        body = buf[8:42]
+        if len(body) == 34:
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            channels = ((body[12] >> 1) & 0x7) + 1
+            total = ((body[13] & 0xF) << 32) | int.from_bytes(
+                body[14:18], "big"
+            )
+            return {**out, "kind": "audio", "container": "flac",
+                    "codec": "flac", "sample_rate": rate or None,
+                    "n_samples": total or None,
+                    "channels": channels}
+        return {**out, "kind": "audio", "container": "flac",
+                "codec": "flac"}
+    if (
+        buf[:3] == b"ID3"
+        or (buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0)
+    ):
+        # MPEG audio: skip an ID3v2 tag (syncsafe size), then read the
+        # first frame header's version/layer/samplerate (ISO 11172-3)
+        pos = 0
+        if buf[:3] == b"ID3" and len(buf) >= 10:
+            pos = 10 + (
+                (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+            )
+        while pos + 4 <= len(buf):
+            if buf[pos] == 0xFF and (buf[pos + 1] & 0xE0) == 0xE0:
+                version = (buf[pos + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2
+                layer = (buf[pos + 1] >> 1) & 0x3    # 1=III, 2=II, 3=I
+                sr_idx = (buf[pos + 2] >> 2) & 0x3
+                sr_tab = {
+                    3: (44100, 48000, 32000),
+                    2: (22050, 24000, 16000),
+                    0: (11025, 12000, 8000),
+                }.get(version)
+                if layer != 0 and sr_tab and sr_idx < 3:
+                    return {**out, "kind": "audio", "container": "mpeg",
+                            "codec": f"mp{4 - layer}",
+                            "sample_rate": sr_tab[sr_idx]}
+                break
+            pos += 1
+        return {**out, "kind": "audio", "container": "mpeg"}
     # ---- video containers
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         n = buf.count(b"00dc") + buf.count(b"00db")

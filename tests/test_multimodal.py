@@ -761,3 +761,30 @@ def test_probe_media_identifies_every_pure_tier_format():
         assert got == want, (name, got, want)
     assert probe_media(b"\x00" * 64)["kind"] == "unknown"
     assert probe_media(b"xy")["kind"] == "unknown"
+
+
+def test_probe_media_audio_metadata_branches():
+    """FLAC STREAMINFO and MPEG-audio frame headers probe without any
+    decode (indexing-only branches — decode has no pure tier)."""
+    from finanalyzer_spark.operators.multimodal import probe_media
+
+    body = bytearray(34)
+    rate, channels, bits, total = 44100, 2, 16, 1_234_567
+    body[10] = (rate >> 12) & 0xFF
+    body[11] = (rate >> 4) & 0xFF
+    body[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    body[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    body[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    flac = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(body)
+    p = probe_media(flac)
+    assert (p["kind"], p["codec"], p["sample_rate"], p["n_samples"],
+            p["channels"]) == ("audio", "flac", 44100, 1_234_567, 2)
+
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 100
+    p = probe_media(mp3)
+    assert (p["kind"], p["codec"], p["sample_rate"]) == (
+        "audio", "mp3", 44100,
+    )
+    # ID3v2-tagged file: skip the syncsafe-sized tag first
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + mp3
+    assert probe_media(id3)["codec"] == "mp3"
