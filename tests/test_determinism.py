@@ -37,6 +37,20 @@ TIE_SENSITIVE = [
     "binned_ks_drift",
     "kcore_cosupply",
     "salted_token_vocabulary",
+    # round-6 additions: every ordered_scan/global_ntile rewrite reads
+    # spark.sql.shuffle.partitions for its range-partition fan-out, so
+    # a different partition count exercises different offset tables —
+    # the global ranks/cumsums/buckets must come out identical
+    "gini_revenue_concentration",
+    "abc_customer_classes",
+    "rfm_segments",
+    "curriculum_quartile_bins",
+    "vocab_coverage_curve",
+    "pareto_front_parts",
+    "funnel_conversion_lag",
+    "repeat_purchase_interval",
+    "ks_statistic_returned_vs_kept",
+    "mann_whitney_u_returned_vs_kept",
 ]
 
 
