@@ -218,13 +218,16 @@ def parse_sps(rbsp: bytes) -> dict:
     crop = (0, 0, 0, 0)
     if r.u(1):  # frame_cropping_flag
         crop = (r.ue(), r.ue(), r.ue(), r.ue())
-    # crop units for 4:2:0 frames: x2 horizontally, x2 vertically
+    # crop units (spec 7.4.2.1.1): CropUnitX = SubWidthC,
+    # CropUnitY = SubHeightC * (2 - frame_mbs_only_flag) — interlaced
+    # streams crop in frame-pair units vertically
     sub_w = 2 if chroma_format_idc in (1, 2) else 1
     sub_h = 2 if chroma_format_idc == 1 else 1
+    crop_unit_y = sub_h * (2 - frame_mbs_only)
     width = pic_width_in_mbs * 16 - sub_w * (crop[0] + crop[1])
     height = (
         pic_height_in_map_units * 16 * (1 if frame_mbs_only else 2)
-        - sub_h * (crop[2] + crop[3])
+        - crop_unit_y * (crop[2] + crop[3])
     )
     return {
         "profile_idc": profile_idc,
@@ -522,3 +525,51 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
             else:
                 yield frame_no, _yuv420_to_rgb(y, cb, cr)
             frame_no += 1
+
+
+def build_avcc(annexb: bytes):
+    """Split an Annex-B stream into (avcC_record, [length-prefixed
+    coded-picture samples]) — the out-of-band parameter-set layout
+    both MP4 'avc1' sample entries and Matroska CodecPrivate use
+    (ISO/IEC 14496-15 §5.2.4.1).  Shared by the MP4 and MKV muxer
+    twins so the record layout can never diverge between them."""
+    import struct as _s
+
+    sps_nal = pps_nal = None
+    samples = []
+    for nal_type, ref, rbsp in split_annexb(annexb):
+        nal = bytes([(ref << 5) | nal_type]) + _escape(rbsp)
+        if nal_type == NAL_SPS:
+            sps_nal = nal
+        elif nal_type == NAL_PPS:
+            pps_nal = nal
+        elif nal_type in (NAL_IDR, NAL_SLICE):
+            samples.append(_s.pack(">I", len(nal)) + nal)
+    if sps_nal is None or pps_nal is None:
+        raise ValueError("Annex-B stream without SPS/PPS")
+    avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + _s.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1])
+        + _s.pack(">H", len(pps_nal)) + pps_nal
+    )
+    return avcc, samples
+
+
+def annexb_from_avcc(cfg: dict, samples) -> bytes:
+    """Rebuild an Annex-B stream from a parsed avcC config (SPS/PPS
+    NAL units + nal_length_size) and an iterable of length-prefixed
+    coded samples — the shared core of mp4_avc_to_annexb /
+    mkv_avc_to_annexb."""
+    out = bytearray()
+    for nal in cfg["sps"] + cfg["pps"]:
+        out += b"\x00\x00\x00\x01" + nal
+    nls = cfg["nal_length_size"]
+    for sample in samples:
+        pos = 0
+        while pos + nls <= len(sample):
+            ln = int.from_bytes(sample[pos : pos + nls], "big")
+            pos += nls
+            out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
+            pos += ln
+    return bytes(out)

@@ -43,6 +43,9 @@ _PIXEL_HEIGHT = 0xBA
 _CLUSTER = 0x1F43B675
 _CLUSTER_TS = 0xE7
 _SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_REFERENCE_BLOCK = 0xFB
 
 
 def _read_vint(buf: bytes, pos: int, keep_marker: bool):
@@ -140,6 +143,19 @@ def demux_mkv(buf: bytes):
         if eid == _SEGMENT:
             seg = (lo, hi)
             break
+    def _block(clo: int, chi: int, base_ts: int, is_key: bool | None):
+        """Parse one (Simple)Block body; is_key=None → read the
+        SimpleBlock keyframe flag, else use the given value (Block in
+        a BlockGroup: keyframe = no ReferenceBlock sibling)."""
+        track, pos = _read_vint(buf, clo, keep_marker=False)
+        (rel,) = struct.unpack(">h", buf[pos : pos + 2])
+        flags = buf[pos + 2]
+        if flags & 0x06:
+            raise NotImplementedError("laced Matroska blocks")
+        key = bool(flags & 0x80) if is_key is None else is_key
+        ts_us = (base_ts + rel) * scale // 1000
+        return track, ts_us, key, buf[pos + 3 : chi]
+
     block_no = 0
     for eid, lo, hi in _elements(buf, *seg):
         if eid != _CLUSTER:
@@ -149,17 +165,26 @@ def demux_mkv(buf: bytes):
             if cid == _CLUSTER_TS:
                 base_ts = _uint(buf, clo, chi)
             elif cid == _SIMPLE_BLOCK:
-                track, pos = _read_vint(buf, clo, keep_marker=False)
-                (rel,) = struct.unpack(">h", buf[pos : pos + 2])
-                flags = buf[pos + 2]
-                if flags & 0x06:
-                    raise NotImplementedError("laced Matroska blocks")
-                ts_us = (base_ts + rel) * scale // 1000
-                yield (
-                    track, block_no, ts_us, bool(flags & 0x80),
-                    buf[pos + 3 : chi],
-                )
+                track, ts_us, key, frame = _block(clo, chi, base_ts, None)
+                yield track, block_no, ts_us, key, frame
                 block_no += 1
+            elif cid == _BLOCK_GROUP:
+                # the mkvmerge/ffmpeg layout for frames with durations
+                # or references: Block + optional ReferenceBlock(s);
+                # keyframe iff no ReferenceBlock (Matroska spec)
+                blk = None
+                has_ref = False
+                for gid, glo, ghi in _elements(buf, clo, chi):
+                    if gid == _BLOCK:
+                        blk = (glo, ghi)
+                    elif gid == _REFERENCE_BLOCK:
+                        has_ref = True
+                if blk is not None:
+                    track, ts_us, _k, frame = _block(
+                        blk[0], blk[1], base_ts, not has_ref
+                    )
+                    yield track, block_no, ts_us, not has_ref, frame
+                    block_no += 1
 
 
 def mkv_track_index(buf: bytes) -> dict:
@@ -239,28 +264,10 @@ def mux_mkv(frames_or_samples, codec: str = "mjpeg", fps: int = 25,
         codec_id = b"V_MJPEG"
         payloads = [encode_jpeg(f, quality=quality) for f in frames]
     elif codec == "avc":
-        from .h264 import NAL_IDR, split_annexb
-        from .h264 import _escape as h264_escape
-        from .h264 import encode_h264_ipcm
+        from .h264 import build_avcc, encode_h264_ipcm
 
         codec_id = b"V_MPEG4/ISO/AVC"
-        annexb = encode_h264_ipcm(frames)
-        sps_nal = pps_nal = None
-        payloads = []
-        for nal_type, ref, rbsp in split_annexb(annexb):
-            nal = bytes([(ref << 5) | nal_type]) + h264_escape(rbsp)
-            if nal_type == 7:
-                sps_nal = nal
-            elif nal_type == 8:
-                pps_nal = nal
-            elif nal_type == NAL_IDR:
-                payloads.append(struct.pack(">I", len(nal)) + nal)
-        codec_private = (
-            bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
-            + struct.pack(">H", len(sps_nal)) + sps_nal
-            + bytes([1])
-            + struct.pack(">H", len(pps_nal)) + pps_nal
-        )
+        codec_private, payloads = build_avcc(encode_h264_ipcm(frames))
     else:
         raise ValueError(f"unsupported muxer codec {codec!r}")
 
@@ -289,16 +296,23 @@ def mux_mkv(frames_or_samples, codec: str = "mjpeg", fps: int = 25,
         + _el(_VIDEO, _el_uint(_PIXEL_WIDTH, w) + _el_uint(_PIXEL_HEIGHT, h))
     )
     tracks = _el(_TRACKS, _el(_TRACK_ENTRY, track_body))
-    blocks = b""
-    ms_per_frame = 1000 // fps if fps else 40
-    for i, p in enumerate(payloads):
-        blocks += _el(
-            _SIMPLE_BLOCK,
-            _vint_size(1) + struct.pack(">h", i * ms_per_frame)
-            + bytes([0x80]) + p,
-        )
-    cluster = _el(_CLUSTER, _el_uint(_CLUSTER_TS, 0) + blocks)
-    segment = _el(_SEGMENT, info + tracks + cluster)
+    # SimpleBlock relative timestamps are s16, so a long clip needs a
+    # new Cluster (fresh ClusterTimestamp base) before +/-32767 ms is
+    # exceeded; chunk well below the limit
+    ms_per_frame = max(1, 1000 // fps) if fps else 40
+    per_cluster = max(1, 30_000 // ms_per_frame)
+    clusters = b""
+    for c0 in range(0, len(payloads), per_cluster):
+        base = c0 * ms_per_frame
+        blocks = b""
+        for i, p in enumerate(payloads[c0 : c0 + per_cluster]):
+            blocks += _el(
+                _SIMPLE_BLOCK,
+                _vint_size(1) + struct.pack(">h", i * ms_per_frame)
+                + bytes([0x80]) + p,
+            )
+        clusters += _el(_CLUSTER, _el_uint(_CLUSTER_TS, base) + blocks)
+    segment = _el(_SEGMENT, info + tracks + clusters)
     return ebml + segment
 
 
@@ -318,17 +332,13 @@ def mkv_avc_to_annexb(buf: bytes) -> bytes:
             break
     if cfg is None:
         raise ValueError("no V_MPEG4/ISO/AVC track with CodecPrivate")
-    out = bytearray()
-    for nal in cfg["sps"] + cfg["pps"]:
-        out += b"\x00\x00\x00\x01" + nal
-    nls = cfg["nal_length_size"]
-    for track, _no, _ts, _key, frame in demux_mkv(buf):
-        if track != track_num:
-            continue
-        pos = 0
-        while pos + nls <= len(frame):
-            ln = int.from_bytes(frame[pos : pos + nls], "big")
-            pos += nls
-            out += b"\x00\x00\x00\x01" + frame[pos : pos + ln]
-            pos += ln
-    return bytes(out)
+    from .h264 import annexb_from_avcc
+
+    return annexb_from_avcc(
+        cfg,
+        (
+            frame
+            for track, _no, _ts, _key, frame in demux_mkv(buf)
+            if track == track_num
+        ),
+    )

@@ -363,13 +363,20 @@ def avc_track_info(buf: bytes) -> dict | None:
             return None
         cfg = parse_avcc(buf[avcc[0] : avcc[1]])
         sps = parse_sps(_annexb_unescape(cfg["sps"][0]))
-        n_sync = 0
-        n_samples = 0
-        for _tid, _no, _ts, is_sync, fourcc, _b in demux_mp4(buf):
-            if fourcc != "avc1":
-                continue
-            n_samples += 1
-            n_sync += bool(is_sync)
+        # sample/keyframe counts come from two integers in the
+        # already-parsed table headers — a metadata probe must never
+        # slice every sample's payload out of the buffer
+        stsz = _find(buf, *stbl, b"stsz")
+        (n_samples,) = struct.unpack(
+            ">I", buf[stsz[0] + 8 : stsz[0] + 12]
+        )
+        stss = _find(buf, *stbl, b"stss")
+        if stss is None:
+            n_sync = n_samples  # no stss → every sample is sync
+        else:
+            (n_sync,) = struct.unpack(
+                ">I", buf[stss[0] + 4 : stss[0] + 8]
+            )
         return {
             "width": sps["width"],
             "height": sps["height"],
@@ -412,31 +419,13 @@ def mux_mp4_avc(frames, fps: int = 25) -> bytes:
     avcC record, and each sample is the length-prefixed IDR NAL.
     Unlike the MJPEG twin this writes an EXPLICIT stss listing every
     sample, so the sync-table parse path is exercised too."""
-    from .h264 import NAL_IDR, split_annexb
-    from .h264 import _escape as h264_escape
-    from .h264 import encode_h264_ipcm
+    from .h264 import build_avcc, encode_h264_ipcm
 
     import numpy as np
 
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     h, w, _ = frames[0].shape
-    annexb = encode_h264_ipcm(frames)
-    sps_nal = pps_nal = None
-    samples = []
-    for nal_type, ref, rbsp in split_annexb(annexb):
-        nal = bytes([(ref << 5) | nal_type]) + h264_escape(rbsp)
-        if nal_type == 7:
-            sps_nal = nal
-        elif nal_type == 8:
-            pps_nal = nal
-        elif nal_type == NAL_IDR:
-            samples.append(struct.pack(">I", len(nal)) + nal)
-    avcc = (
-        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
-        + struct.pack(">H", len(sps_nal)) + sps_nal
-        + bytes([1])
-        + struct.pack(">H", len(pps_nal)) + pps_nal
-    )
+    avcc, samples = build_avcc(encode_h264_ipcm(frames))
 
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + btype + payload
@@ -529,11 +518,11 @@ def mp4_avc_to_annexb(buf: bytes) -> bytes:
     sample's length-prefixed NALs re-framed with start codes — the
     bridge that lets any Annex-B consumer (the pure I_PCM decoder, or
     an external conformance decoder) read H.264-in-MP4 directly."""
-    info = avc_track_info(buf)
-    if info is None:
-        raise ValueError("no avc1 video track")
+    from .h264 import annexb_from_avcc
+
     moov = _find(buf, 0, len(buf), b"moov")
-    # re-locate the avcC for the raw parameter-set NALs
+    if moov is None:
+        raise ValueError("MP4 without moov box")
     cfg = None
     for t, tlo, thi in _boxes(buf, *moov):
         if t != b"trak":
@@ -551,18 +540,13 @@ def mp4_avc_to_annexb(buf: bytes) -> bytes:
         avcc = _find(buf, entry_lo + 86, entry_lo + entry_size, b"avcC")
         cfg = parse_avcc(buf[avcc[0] : avcc[1]])
         break
-    # avcC stores whole NAL units already (header + EBSP): emit as-is
-    out = bytearray()
-    for nal in cfg["sps"] + cfg["pps"]:
-        out += b"\x00\x00\x00\x01" + nal
-    nls = cfg["nal_length_size"]
-    for _tid, _no, _ts, _sync, fourcc, sample in demux_mp4(buf):
-        if fourcc != "avc1":
-            continue
-        pos = 0
-        while pos + nls <= len(sample):
-            ln = int.from_bytes(sample[pos : pos + nls], "big")
-            pos += nls
-            out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
-            pos += ln
-    return bytes(out)
+    if cfg is None:
+        raise ValueError("no avc1 video track")
+    return annexb_from_avcc(
+        cfg,
+        (
+            sample
+            for _tid, _no, _ts, _sync, fourcc, sample in demux_mp4(buf)
+            if fourcc == "avc1"
+        ),
+    )

@@ -664,37 +664,61 @@ def demux_video_compressed(buf: bytes):
     if buf[:4] == b"\x1aE\xdf\xa3":  # Matroska / WebM (EBML)
         from .mkv import demux_mkv, mkv_avc_to_annexb, parse_mkv_tracks
 
+        # decode FULLY before yielding: a mid-stream failure must fall
+        # through to the PyAV tier cleanly, never hand the consumer a
+        # truncated prefix and then raise
+        decoded = None
         try:
             meta = parse_mkv_tracks(buf)
-            codecs = {
-                t["codec_id"] for t in meta["tracks"].values()
+            video = {
+                num: t for num, t in meta["tracks"].items()
                 if t["type"] in (None, 1)
             }
-            if codecs == {"V_MJPEG"}:
+            mjpeg_tracks = {
+                num for num, t in video.items()
+                if t["codec_id"] == "V_MJPEG"
+            }
+            if mjpeg_tracks:
                 from .jpeg import decode_jpeg
 
-                for _t, no, _ts, _k, frame in demux_mkv(buf):
-                    yield no, decode_jpeg(frame).tobytes()
-                return
-            if "V_MPEG4/ISO/AVC" in codecs:
+                target = min(mjpeg_tracks)
+                decoded = [
+                    decode_jpeg(frame).tobytes()
+                    for track, _no, _ts, _k, frame in demux_mkv(buf)
+                    if track == target
+                ]
+            elif any(
+                t["codec_id"] == "V_MPEG4/ISO/AVC" for t in video.values()
+            ):
                 from .h264 import decode_h264_annexb
 
-                for no, frame in decode_h264_annexb(
-                    mkv_avc_to_annexb(buf)
-                ):
-                    yield no, frame.tobytes()
-                return
+                decoded = [
+                    frame.tobytes()
+                    for _no, frame in decode_h264_annexb(
+                        mkv_avc_to_annexb(buf)
+                    )
+                ]
         except (ValueError, NotImplementedError):
-            pass  # laced/entropy-coded/malformed → PyAV tier below
+            decoded = None  # laced/entropy-coded/malformed → PyAV tier
+        if decoded is not None:
+            for no, frame_bytes in enumerate(decoded):
+                yield no, frame_bytes
+            return
     if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
         # raw H.264 Annex-B elementary stream: the pure tier decodes
-        # I_PCM streams; CAVLC/CABAC raise toward the PyAV tier from
-        # inside (operators/h264.py module docstring)
+        # I_PCM streams; CAVLC/CABAC fall through to the PyAV tier.
+        # Decode fully BEFORE yielding so a mid-stream entropy-coded
+        # macroblock can't truncate the consumer's sequence.
         from .h264 import decode_h264_annexb
 
-        for no, frame in decode_h264_annexb(buf):
-            yield no, frame.tobytes()
-        return
+        try:
+            decoded = [f.tobytes() for _no, f in decode_h264_annexb(buf)]
+        except (ValueError, NotImplementedError):
+            decoded = None
+        if decoded is not None:
+            for no, frame_bytes in enumerate(decoded):
+                yield no, frame_bytes
+            return
     if len(buf) >= 12 and buf[4:8] == b"ftyp":
         from .jpeg import decode_jpeg
         from .mp4 import demux_mp4
@@ -712,9 +736,16 @@ def demux_video_compressed(buf: bytes):
             # parser may still handle it, so fall to the PyAV tier
             mjpeg_all = False
         if mjpeg_all:
-            for no, sample in samples:
-                yield no, decode_jpeg(sample).tobytes()
-            return
+            try:
+                decoded = [
+                    decode_jpeg(sample).tobytes() for _no, sample in samples
+                ]
+            except (ValueError, NotImplementedError):
+                decoded = None  # e.g. arithmetic-coded JPEG → PyAV
+            if decoded is not None:
+                for no, frame_bytes in enumerate(decoded):
+                    yield no, frame_bytes
+                return
         # avc1 track? I_PCM baseline decodes in the pure tier via the
         # Annex-B bridge; entropy-coded streams raise inside and fall
         # through to PyAV
@@ -1090,10 +1121,40 @@ def probe_media(buf: bytes) -> dict:
                 "codec": codec}
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", buf[6:10])
-        n = buf.count(b"\x2c")  # upper bound on image descriptors
+        # count image descriptors by WALKING the block structure (a
+        # 0x2C byte-substring count also matches LZW data bytes)
+        n = 0
+        try:
+            packed = buf[10]      # logical screen descriptor flags
+            pos = 13
+            if packed & 0x80:     # global color table
+                pos += 3 * (2 << (packed & 0x7))
+            while pos < len(buf):
+                b0 = buf[pos]
+                if b0 == 0x3B:    # trailer
+                    break
+                if b0 == 0x21:    # extension: label + sub-blocks
+                    pos += 2
+                    while pos < len(buf) and buf[pos]:
+                        pos += 1 + buf[pos]
+                    pos += 1
+                elif b0 == 0x2C:  # image descriptor
+                    n += 1
+                    lpacked = buf[pos + 9]
+                    pos += 10
+                    if lpacked & 0x80:  # local color table
+                        pos += 3 * (2 << (lpacked & 0x7))
+                    pos += 1          # LZW min code size
+                    while pos < len(buf) and buf[pos]:
+                        pos += 1 + buf[pos]
+                    pos += 1
+                else:
+                    break  # malformed — stop counting
+        except Exception:
+            n = 0
         return {**out, "kind": "image", "container": "gif",
                 "codec": "gif-lzw", "width": w, "height": h,
-                "n_frames": max(1, min(n, 10_000))}
+                "n_frames": n or None}
     if buf[:2] == b"BM":
         w, h = struct.unpack("<ii", buf[18:26])
         return {**out, "kind": "image", "container": "bmp",
@@ -1164,7 +1225,27 @@ def probe_media(buf: bytes) -> dict:
         return {**out, "kind": "audio", "container": "mpeg"}
     # ---- video containers
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
-        n = buf.count(b"00dc") + buf.count(b"00db")
+        # count video chunks by WALKING the movi list (a byte-substring
+        # count also matches the idx1 index entries — exactly 2x)
+        import struct as _s
+
+        def _walk(lo, hi):
+            pos = lo
+            while pos + 8 <= hi:
+                ctype = buf[pos : pos + 4]
+                (size,) = _s.unpack("<I", buf[pos + 4 : pos + 8])
+                yield ctype, pos + 8, min(pos + 8 + size, hi)
+                pos += 8 + size + (size & 1)
+
+        n = 0
+        try:
+            for ctype, lo, hi in _walk(12, len(buf)):
+                if ctype == b"LIST" and buf[lo : lo + 4] == b"movi":
+                    for sub, _slo, _shi in _walk(lo + 4, hi):
+                        if sub[2:4] in (b"dc", b"db"):
+                            n += 1
+        except Exception:
+            n = 0
         return {**out, "kind": "video", "container": "avi",
                 "codec": "mjpeg", "n_frames": n or None,
                 "n_keyframes": n or None}
@@ -1175,9 +1256,12 @@ def probe_media(buf: bytes) -> dict:
     if buf[4:8] == b"ftyp":
         from .mp4 import avc_track_info, demux_mp4
 
+        # never-raise contract: parse_sps raises NotImplementedError
+        # for scaling-matrix SPS, truncated tables raise struct/index
+        # errors — any of these degrade to container-only metadata
         try:
             info = avc_track_info(buf)
-        except ValueError:
+        except Exception:
             return {**out, "kind": "video", "container": "mp4"}
         if info is not None:
             return {**out, "kind": "video", "container": "mp4",
@@ -1185,12 +1269,15 @@ def probe_media(buf: bytes) -> dict:
                     "height": info["height"],
                     "n_frames": info["n_samples"],
                     "n_keyframes": info["n_keyframes"]}
-        n = n_sync = 0
-        fourcc = None
-        for _t, _no, _ts, sync, fcc, _b in demux_mp4(buf):
-            n += 1
-            n_sync += bool(sync)
-            fourcc = fcc
+        try:
+            n = n_sync = 0
+            fourcc = None
+            for _t, _no, _ts, sync, fcc, _b in demux_mp4(buf):
+                n += 1
+                n_sync += bool(sync)
+                fourcc = fcc
+        except Exception:
+            return {**out, "kind": "video", "container": "mp4"}
         return {**out, "kind": "video", "container": "mp4",
                 "codec": {"jpeg": "mjpeg"}.get(fourcc, fourcc),
                 "n_frames": n, "n_keyframes": n_sync}
@@ -1199,7 +1286,7 @@ def probe_media(buf: bytes) -> dict:
 
         try:
             idx = mkv_track_index(buf)
-        except (ValueError, NotImplementedError):
+        except Exception:
             return {**out, "kind": "video", "container": "mkv"}
         for t in idx["tracks"].values():
             codec = {
@@ -1215,7 +1302,7 @@ def probe_media(buf: bytes) -> dict:
 
         try:
             idx = h264_stream_index(buf)
-        except ValueError:
+        except Exception:
             return out
         return {**out, "kind": "video", "container": "annexb",
                 "codec": "h264", "width": idx["width"],

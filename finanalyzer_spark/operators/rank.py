@@ -102,6 +102,25 @@ def ordered_scan(
     )
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order]
 
+    # offset columns are typed from the SOURCE column (driver-side
+    # accumulation is exact Python ints for integrals; floats ride
+    # Python floats — the same precision class as Spark's own sum)
+    from pyspark.sql import types as T
+
+    def _off_type(src: str) -> str:
+        dt = df.schema[src].dataType
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return "BIGINT"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "DOUBLE"
+        raise ValueError(
+            f"ordered_scan: unsupported source dtype {dt} for {src!r}"
+            " (integral and floating columns only; cast DECIMAL"
+            " explicitly)"
+        )
+
     d = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -123,8 +142,13 @@ def ordered_scan(
         .collect()
     )
     per_part.sort(key=lambda r: r["_pid"])
-    acc_c, acc = 0, dict.fromkeys(sum_srcs, 0)
-    macc: dict[str, int | None] = dict.fromkeys(max_srcs, None)
+    # accumulator zero matches the offset column type (PySpark's
+    # createDataFrame verifier rejects int into a DOUBLE field)
+    acc_c = 0
+    acc = {
+        s: 0.0 if _off_type(s) == "DOUBLE" else 0 for s in sum_srcs
+    }
+    macc: dict[str, int | float | None] = dict.fromkeys(max_srcs, None)
     off_rows = []
     for row in per_part:
         off_rows.append(
@@ -132,7 +156,18 @@ def ordered_scan(
                 row["_pid"],
                 acc_c,
                 *[acc[s] for s in sum_srcs],
-                *[macc[s] for s in max_srcs],
+                *[
+                    (
+                        None
+                        if macc[s] is None
+                        else (
+                            float(macc[s])
+                            if _off_type(s) == "DOUBLE"
+                            else int(macc[s])
+                        )
+                    )
+                    for s in max_srcs
+                ],
             )
         )
         acc_c += row["_c"]
@@ -145,8 +180,8 @@ def ordered_scan(
 
     schema = ", ".join(
         ["_pid INT", "_off_rank BIGINT"]
-        + [f"_off_{s} BIGINT" for s in sum_srcs]
-        + [f"_moff_{s} BIGINT" for s in max_srcs]
+        + [f"_off_{s} {_off_type(s)}" for s in sum_srcs]
+        + [f"_moff_{s} {_off_type(s)}" for s in max_srcs]
     )
     off = df.sparkSession.createDataFrame(off_rows, schema=schema)
 
@@ -171,8 +206,14 @@ def ordered_scan(
             ).alias(out)
         )
     for out, src in totals.items():
-        val = acc_c if src == "*" else acc[src]
-        out_cols.append(F.lit(int(val)).cast("long").alias(out))
+        if src == "*":
+            out_cols.append(F.lit(int(acc_c)).cast("long").alias(out))
+        elif _off_type(src) == "DOUBLE":
+            out_cols.append(
+                F.lit(float(acc[src])).cast("double").alias(out)
+            )
+        else:
+            out_cols.append(F.lit(int(acc[src])).cast("long").alias(out))
 
     return d.join(F.broadcast(off), "_pid").select(*out_cols)
 

@@ -638,3 +638,70 @@ def test_global_ntile_matches_native_ntile(spark):
             for r in global_ntile(df, ["x", "u"], k, "t").collect()
         }
         assert got == want, (n, k)
+
+
+def test_ordered_scan_float_sources_and_decimal_rejection(spark):
+    """Review fix: offset columns type from the SOURCE dtype — double
+    running sums/totals/maxes work (previously crashed at
+    createDataFrame with LongType-vs-21.0), DECIMAL sources get a
+    clear ValueError instead of an opaque one."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from finanalyzer_spark.operators.rank import ordered_scan
+
+    df = spark.range(200).select(
+        (F.col("id") % 7).alias("x"),
+        (F.col("id") * 0.5).alias("v"),
+        F.col("id").alias("k"),
+    )
+    r = (
+        ordered_scan(
+            df, ["x", "k"],
+            running={"cv": "v"},
+            totals={"tv": "v"},
+            running_max_prev={"mv": "v"},
+        )
+        .orderBy("x", "k")
+        .collect()
+    )
+    rows = sorted((row.x, row.k, row.v) for row in df.collect())
+    acc, mx = 0.0, None
+    for got, (_x, _k, v) in zip(r, rows):
+        acc += v
+        assert math.isclose(got.cv, acc)
+        assert (got.mv is None) == (mx is None)
+        if mx is not None:
+            assert math.isclose(got.mv, mx)
+        mx = v if mx is None else max(mx, v)
+    assert math.isclose(r[0].tv, sum(v for *_, v in rows))
+
+    with pytest.raises(ValueError, match="unsupported source dtype"):
+        ordered_scan(
+            df.withColumn("d", F.col("v").cast("decimal(10,2)")),
+            ["x", "k"],
+            running={"cd": "d"},
+        )
+
+
+def test_parse_sps_interlaced_crop_height():
+    """Review fix: CropUnitY = SubHeightC * (2 - frame_mbs_only) — an
+    interlaced SPS with bottom cropping must report the spec height."""
+    from finanalyzer_spark.operators.h264 import _BitWriter, parse_sps
+
+    w = _BitWriter()
+    w.u(66, 8); w.u(0xC0, 8); w.u(30, 8)
+    w.ue(0); w.ue(4); w.ue(2); w.ue(1)
+    w.u(0, 1)
+    w.ue(7)        # 8 MBs wide = 128
+    w.ue(3)        # 4 map units
+    w.u(0, 1)      # frame_mbs_only = 0 → frame height 128
+    w.u(0, 1)      # mb_adaptive
+    w.u(1, 1)      # direct_8x8
+    w.u(1, 1)      # frame_cropping
+    w.ue(0); w.ue(0); w.ue(0); w.ue(4)  # bottom crop 4 units
+    w.u(0, 1)
+    w.rbsp_trailing()
+    sps = parse_sps(bytes(w.out))
+    assert (sps["width"], sps["height"]) == (128, 128 - 4 * 4)
