@@ -1160,6 +1160,59 @@ def probe_media(buf: bytes) -> dict:
         return {**out, "kind": "image", "container": "bmp",
                 "codec": "bmp", "width": w, "height": abs(h),
                 "n_frames": 1}
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        # WebP chunk layouts (Google container + VP8/VP8L bitstream
+        # specs): VP8 key frame has a 9D 01 2A sync then 14-bit dims;
+        # VP8L packs w-1/h-1 in 14-bit fields after 0x2F; VP8X carries
+        # a 24-bit-minus-one canvas size. Decode is the PIL tier;
+        # dimensions probe natively.
+        try:
+            fourcc, body = buf[12:16], buf[20:]
+            if fourcc == b"VP8 " and body[3:6] == b"\x9d\x01\x2a":
+                w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            elif fourcc == b"VP8L" and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+            elif fourcc == b"VP8X":
+                w = int.from_bytes(body[4:7], "little") + 1
+                h = int.from_bytes(body[7:10], "little") + 1
+            else:
+                w = h = None
+        except Exception:
+            w = h = None
+        return {**out, "kind": "image", "container": "webp",
+                "codec": fourcc.decode("latin1").strip().lower(),
+                "width": w, "height": h, "n_frames": 1}
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk IFD0 for ImageWidth (256) / ImageLength (257)
+        try:
+            import struct as _s
+
+            bo = "<" if buf[:2] == b"II" else ">"
+            (ifd_off,) = _s.unpack(bo + "I", buf[4:8])
+            (n_entries,) = _s.unpack(
+                bo + "H", buf[ifd_off : ifd_off + 2]
+            )
+            w = h = None
+            for i in range(n_entries):
+                e = ifd_off + 2 + 12 * i
+                tag, typ = _s.unpack(bo + "HH", buf[e : e + 4])
+                if tag in (256, 257):
+                    if typ == 3:   # SHORT
+                        (v,) = _s.unpack(bo + "H", buf[e + 8 : e + 10])
+                    else:          # LONG
+                        (v,) = _s.unpack(bo + "I", buf[e + 8 : e + 12])
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return {**out, "kind": "image", "container": "tiff",
+                    "codec": "tiff", "width": w, "height": h,
+                    "n_frames": 1}
+        except Exception:
+            return {**out, "kind": "image", "container": "tiff"}
     if buf[:2] == b"P6":
         try:
             px = decode_ppm(buf)  # header-cheap; raster is a view

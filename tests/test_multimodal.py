@@ -941,3 +941,50 @@ def test_probe_media_never_raises_on_adversarial_headers():
     for buf in adversarial:
         p = probe_media(buf)  # must not raise
         assert isinstance(p, dict) and "kind" in p
+
+
+def test_probe_media_webp_and_tiff_dimensions():
+    """WebP (VP8 lossy sync + 14-bit dims, VP8L packed dims, VP8X
+    canvas) and TIFF (IFD0 tag 256/257 walk, both byte orders) probe
+    dimensions natively even though their DECODE lives in the PIL
+    tier."""
+    import struct
+
+    from finanalyzer_spark.operators.multimodal import probe_media
+
+    vp8 = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WEBPVP8 "
+        + (20).to_bytes(4, "little") + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+        + b"\x00" * 10
+    )
+    p = probe_media(vp8)
+    assert (p["container"], p["codec"], p["width"], p["height"]) == (
+        "webp", "vp8", 320, 240,
+    )
+
+    bits = 99 | (49 << 14)  # w-1=99, h-1=49
+    vp8l = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8L"
+        + (10).to_bytes(4, "little") + bytes([0x2F])
+        + bits.to_bytes(4, "little") + b"\x00" * 5
+    )
+    p = probe_media(vp8l)
+    assert (p["codec"], p["width"], p["height"]) == ("vp8l", 100, 50)
+
+    for bo, magic in (("<", b"II*\x00"), (">", b"MM\x00*")):
+        ifd = struct.pack(bo + "H", 2)
+        ifd += struct.pack(bo + "HHIHH", 256, 3, 1, 640, 0)
+        ifd += struct.pack(bo + "HHIHH", 257, 3, 1, 480, 0)
+        tif = magic + struct.pack(bo + "I", 8) + ifd + struct.pack(bo + "I", 0)
+        p = probe_media(tif)
+        assert (p["container"], p["width"], p["height"]) == (
+            "tiff", 640, 480,
+        )
+    # truncated variants must not raise (payloads under 12 bytes are
+    # below the probe's magic-sniff minimum and return 'unknown')
+    assert probe_media(b"RIFF\x00\x00\x00\x00WEBP")["container"] == "webp"
+    assert (
+        probe_media(b"II*\x00" + b"\xff" * 12)["container"] == "tiff"
+    )
+    assert probe_media(b"II*\x00\xff\xff\xff\xff")["kind"] == "unknown"
