@@ -5,10 +5,13 @@ dependency-free formats (binary PPM images, **PNG** via stdlib zlib +
 numpy filter reconstruction, **baseline JPEG** via operators/jpeg —
 tested in tests/test_jpeg.py, PCM-16 WAV audio, y4m video), plus the
 deterministic fake decoders whose arithmetic the DuckDB oracles
-mirror. Progressive JPEG joined the pure tier in round 6
-(tests/test_jpeg.py); formats that genuinely need a codec library
-(WebP, arithmetic-coded JPEG, MP4) stay stubbed — those libraries
-aren't in this container.
+mirror. Round 6 pulled progressive JPEG (tests/test_jpeg.py), the
+MP4/MKV container layers (sample-table/EBML demux, MJPEG +
+I_PCM-H.264 decode), the H.264 Annex-B layer, and the probe_media
+dispatcher into the pure tier; only entropy-coded inter-frame decode,
+arithmetic JPEG and WebP pixel decode still need PIL/PyAV — those
+libraries aren't in this container, so those paths stay honestly
+stubbed.
 """
 
 from __future__ import annotations
@@ -865,8 +868,7 @@ def test_video_tier_review_fixes():
             parts.append(_el(_CLUSTER, body + junk))
         else:
             parts.append(_el(eid, body))
-    two_track = base[: seg[0] - len(_vint_size(seg[1] - seg[0])) - 4]
-    # simpler: rebuild from scratch — EBML header + new segment
+    # rebuild: EBML header + new segment with the spliced elements
     ebml_end = next(
         hi for eid, _lo, hi in _elements(base, 0, len(base))
         if eid != _SEGMENT
