@@ -103,6 +103,11 @@ DRIVER_SAMPLED = frozenset({
 #: they jump the tier-2 queue — a changed query needs a driver row
 #: more than an unchanged never-sampled one).
 ROUND_CHANGED = frozenset({
+    # brand-new this round (media container layer) — need first rows
+    "media_mp4_keyframe_index",
+    "media_h264_stream_index",
+    "media_probe_summary",
+    # rewritten this round (ordered_scan/global_ntile)
     "abc_customer_classes",
     "binned_ks_drift",
     "cusum_changepoint",
