@@ -31,6 +31,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: prefix/ordered sampler toward them so the verified union widens
 #: each round. Refresh per round from the CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r6 sample (all green, CORRECTNESS_r06.json; overlaps with the
+    # round-6 ROUND_CHANGED re-queues are harmless set-union) ---
+    "abc_customer_classes", "binned_ks_drift", "contrastive_pairs",
+    "curriculum_quartile_bins", "cusum_changepoint",
+    "funnel_conversion_lag", "gbt_price_improves",
+    "gini_revenue_concentration", "grouped_agg_median_discount",
+    "ks_statistic_returned_vs_kept", "mann_whitney_u_returned_vs_kept",
+    "media_content_dedup", "media_frame_count", "media_h264_stream_index",
+    "media_image_features", "media_metadata", "media_mp4_keyframe_index",
+    "media_ppm_pixel_features", "media_probe_summary",
+    "media_wav_audio_stats", "media_y4m_frames", "ml_feature_pipeline",
+    "nystroem_features", "ols_price_on_qty", "pareto_front_parts",
+    "pca2_price_qty", "per_supplier_ols_slopes", "polynomial_features",
+    "registry_bootstrap_ids", "repeat_purchase_interval",
+    "revenue_decile_profile", "rfm_segments", "ridge_price_on_qty",
+    "spline_seasonal_features", "time_split_folds",
+    "time_weighted_avg_price", "tpch_q11_important_stock",
+    "tpch_q12_late_by_status", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders", "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_supplier", "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit_by_nation",
+    "vocab_coverage_curve",
     # --- r5 sample (all green, CORRECTNESS_r05.json) ---
     "activity_streaks", "ann_ivfpq_topk", "ann_pq_recall_eval", "ann_pq_topk",
     "atr_14", "attribution_last_touch", "bollinger_breakouts",
@@ -96,53 +120,28 @@ DRIVER_SAMPLED = frozenset({
 })
 
 
-#: Names changed THIS round (round 6) — priority-queued for a fresh
-#: driver row (same discipline as the round-5 re-queue): the
-#: global-window → operators/rank.ordered_scan/global_ntile rewrite
-#: touches all of these plans (never-sampled members are listed too so
-#: they jump the tier-2 queue — a changed query needs a driver row
-#: more than an unchanged never-sampled one).
+#: Names changed or added THIS round (round 7) — priority-queued for a
+#: fresh driver row (same discipline as the round-5/6 re-queues).
 ROUND_CHANGED = frozenset({
-    # brand-new this round (media container layer) — need first rows
-    "media_mp4_keyframe_index",
-    "media_h264_stream_index",
-    "media_probe_summary",
-    # rewritten this round (ordered_scan/global_ntile)
-    "abc_customer_classes",
-    "binned_ks_drift",
-    "cusum_changepoint",
-    "curriculum_quartile_bins",
-    "funnel_conversion_lag",
-    "gini_revenue_concentration",
-    "ks_statistic_returned_vs_kept",
-    "mann_whitney_u_returned_vs_kept",
-    "pareto_front_parts",
-    "registry_bootstrap_ids",
-    "repeat_purchase_interval",
-    "revenue_decile_profile",
-    "rfm_segments",
-    "time_split_folds",
-    "vocab_coverage_curve",
 })
 
 
 def _ordered_names() -> list[str]:
     """Sampling-priority order for the driver's ~50-query prefix sampler:
-    never-sampled tpch_* first (the likeliest hiding place for semantic
-    drift — VERDICT r5 #5), then round-6-changed names, then the other
-    never-sampled names, then the already-verified rest (registry order
-    within each tier)."""
+    round-7-changed/new names first, then the 38 names that have never
+    received a driver row in any of r1-r6 (curation, sampling, retrieval,
+    graph, sketches, stats — see CORRECTNESS_r*.json union), then the
+    already-verified rest (registry order within each tier).  With ~50
+    slots this round should close the union to 232/232."""
     names = list(REGISTRY)
     sampled = DRIVER_SAMPLED - ROUND_CHANGED
 
     def tier(n: str) -> int:
-        if n not in sampled and n.startswith("tpch_"):
-            return 0
         if n in ROUND_CHANGED:
-            return 1
+            return 0
         if n not in sampled:
-            return 2
-        return 3
+            return 1
+        return 2
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

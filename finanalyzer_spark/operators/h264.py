@@ -456,7 +456,7 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
 
     sps = pps = None
     frame_no = 0
-    for nal_type, _ref, rbsp in split_annexb(buf):
+    for nal_type, nal_ref_idc, rbsp in split_annexb(buf):
         if nal_type == NAL_SPS:
             sps = parse_sps(rbsp)
         elif nal_type == NAL_PPS:
@@ -484,12 +484,15 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                 r.ue()  # idr_pic_id
             if sps["poc_type"] == 0:
                 r.u(sps["log2_max_poc_lsb"])
-            if nal_type == NAL_IDR:
-                r.u(1)
-                r.u(1)
-            else:
-                if r.u(1):  # adaptive_ref_pic_marking
-                    raise NotImplementedError("ref pic marking ops")
+            if nal_ref_idc != 0:  # dec_ref_pic_marking gated on
+                # nal_ref_idc (spec 7.3.3) — a non-reference slice
+                # (nal_ref_idc=0) carries no marking bits at all
+                if nal_type == NAL_IDR:
+                    r.u(1)
+                    r.u(1)
+                else:
+                    if r.u(1):  # adaptive_ref_pic_marking
+                        raise NotImplementedError("ref pic marking ops")
             r.se()  # slice_qp_delta
             if pps["deblocking_filter_control_present"]:
                 if r.ue() != 1:  # disable_deblocking_filter_idc

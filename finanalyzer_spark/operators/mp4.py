@@ -72,6 +72,20 @@ def _find(buf: bytes, lo: int, hi: int, btype: bytes):
     return None
 
 
+def _need(buf: bytes, lo: int, hi: int, btype: bytes) -> tuple[int, int]:
+    """_find for MANDATORY boxes: a structurally valid track always has
+    tkhd/mdia/.../stts (ISO 14496-12 §8.3-8.6), so absence means the
+    file is malformed — raise ValueError (the contract demux callers
+    catch to fall through to the PyAV tier) instead of returning None
+    and letting the caller crash on a TypeError subscript."""
+    found = _find(buf, lo, hi, btype)
+    if found is None:
+        raise ValueError(
+            f"malformed MP4: mandatory {btype.decode('latin-1')} box missing"
+        )
+    return found
+
+
 def _u32s(buf: bytes, lo: int, n: int) -> list[int]:
     return list(struct.unpack(f">{n}I", buf[lo : lo + 4 * n]))
 
@@ -92,30 +106,30 @@ def demux_mp4(buf: bytes):
     for t, tlo, thi in _boxes(buf, *moov):
         if t != b"trak":
             continue
-        tkhd = _find(buf, tlo, thi, b"tkhd")
+        tkhd = _need(buf, tlo, thi, b"tkhd")
         version = buf[tkhd[0]]
         track_id = struct.unpack(
             ">I", buf[tkhd[0] + (20 if version else 12) :][:4]
         )[0]
-        mdia = _find(buf, tlo, thi, b"mdia")
-        hdlr = _find(buf, *mdia, b"hdlr")
+        mdia = _need(buf, tlo, thi, b"mdia")
+        hdlr = _need(buf, *mdia, b"hdlr")
         handler = buf[hdlr[0] + 8 : hdlr[0] + 12]
         if handler != b"vide":
             continue
-        mdhd = _find(buf, *mdia, b"mdhd")
+        mdhd = _need(buf, *mdia, b"mdhd")
         mv = buf[mdhd[0]]
         timescale = struct.unpack(
             ">I", buf[mdhd[0] + (20 if mv else 12) :][:4]
         )[0]
-        minf = _find(buf, *mdia, b"minf")
-        stbl = _find(buf, *minf, b"stbl")
+        minf = _need(buf, *mdia, b"minf")
+        stbl = _need(buf, *minf, b"stbl")
 
-        stsd = _find(buf, *stbl, b"stsd")
+        stsd = _need(buf, *stbl, b"stsd")
         # first sample entry's fourcc: stsd fullbox header (8) + entry
         # size (4) + fourcc (4)
         fourcc = buf[stsd[0] + 12 : stsd[0] + 16]
 
-        slo, _shi = _find(buf, *stbl, b"stsz")
+        slo, _shi = _need(buf, *stbl, b"stsz")
         sample_size, sample_count = struct.unpack(
             ">II", buf[slo + 4 : slo + 12]
         )
@@ -129,20 +143,20 @@ def demux_mp4(buf: bytes):
             (n_chunks,) = struct.unpack(">I", buf[co[0] + 4 : co[0] + 8])
             offsets = _u32s(buf, co[0] + 8, n_chunks)
         else:
-            co = _find(buf, *stbl, b"co64")
+            co = _need(buf, *stbl, b"co64")
             (n_chunks,) = struct.unpack(">I", buf[co[0] + 4 : co[0] + 8])
             offsets = list(
                 struct.unpack(f">{n_chunks}Q", buf[co[0] + 8 :][: 8 * n_chunks])
             )
 
-        sclo, _ = _find(buf, *stbl, b"stsc")
+        sclo, _ = _need(buf, *stbl, b"stsc")
         (n_runs,) = struct.unpack(">I", buf[sclo + 4 : sclo + 8])
         runs = [
             struct.unpack(">III", buf[sclo + 8 + 12 * i : sclo + 20 + 12 * i])
             for i in range(n_runs)
         ]  # (first_chunk 1-based, samples_per_chunk, desc_index)
 
-        ttlo, _ = _find(buf, *stbl, b"stts")
+        ttlo, _ = _need(buf, *stbl, b"stts")
         (n_tt,) = struct.unpack(">I", buf[ttlo + 4 : ttlo + 8])
         tt = [
             struct.unpack(">II", buf[ttlo + 8 + 8 * i : ttlo + 16 + 8 * i])
@@ -301,7 +315,11 @@ def mux_mp4_mjpeg(frames, fps: int = 25, quality: int = 90) -> bytes:
 
 def parse_avcc(avcc: bytes) -> dict:
     """AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.2.4.1) →
-    {nal_length_size, sps: [rbsp...], pps: [rbsp...], profile, level}.
+    {nal_length_size, sps: [...], pps: [...], profile, level}.  The
+    sps/pps lists hold COMPLETE NAL units exactly as stored in the
+    record — header byte + escaped EBSP payload, NOT unescaped RBSP;
+    callers that need RBSP fields must strip the header byte and
+    undo emulation-prevention themselves (see `_annexb_unescape`).
     This is how H.264 parameter sets travel inside MP4 'avc1' sample
     entries (out-of-band, unlike Annex-B's in-band SPS/PPS NALs)."""
     import struct as _s
@@ -345,13 +363,13 @@ def avc_track_info(buf: bytes) -> dict | None:
     for t, tlo, thi in _boxes(buf, *moov):
         if t != b"trak":
             continue
-        mdia = _find(buf, tlo, thi, b"mdia")
-        hdlr = _find(buf, *mdia, b"hdlr")
+        mdia = _need(buf, tlo, thi, b"mdia")
+        hdlr = _need(buf, *mdia, b"hdlr")
         if buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
-        minf = _find(buf, *mdia, b"minf")
-        stbl = _find(buf, *minf, b"stbl")
-        stsd = _find(buf, *stbl, b"stsd")
+        minf = _need(buf, *mdia, b"minf")
+        stbl = _need(buf, *minf, b"stbl")
+        stsd = _need(buf, *stbl, b"stsd")
         if buf[stsd[0] + 12 : stsd[0] + 16] != b"avc1":
             continue
         # sample entry body: 8 (size+fourcc) + 78 (VisualSampleEntry)
@@ -366,7 +384,7 @@ def avc_track_info(buf: bytes) -> dict | None:
         # sample/keyframe counts come from two integers in the
         # already-parsed table headers — a metadata probe must never
         # slice every sample's payload out of the buffer
-        stsz = _find(buf, *stbl, b"stsz")
+        stsz = _need(buf, *stbl, b"stsz")
         (n_samples,) = struct.unpack(
             ">I", buf[stsz[0] + 8 : stsz[0] + 12]
         )
@@ -527,17 +545,17 @@ def mp4_avc_to_annexb(buf: bytes) -> bytes:
     for t, tlo, thi in _boxes(buf, *moov):
         if t != b"trak":
             continue
-        mdia = _find(buf, tlo, thi, b"mdia")
+        mdia = _need(buf, tlo, thi, b"mdia")
         minf = _find(buf, *mdia, b"minf")
         if minf is None:
             continue
-        stbl = _find(buf, *minf, b"stbl")
-        stsd = _find(buf, *stbl, b"stsd")
+        stbl = _need(buf, *minf, b"stbl")
+        stsd = _need(buf, *stbl, b"stsd")
         if buf[stsd[0] + 12 : stsd[0] + 16] != b"avc1":
             continue
         entry_lo = stsd[0] + 8
         (entry_size,) = struct.unpack(">I", buf[entry_lo : entry_lo + 4])
-        avcc = _find(buf, entry_lo + 86, entry_lo + entry_size, b"avcC")
+        avcc = _need(buf, entry_lo + 86, entry_lo + entry_size, b"avcC")
         cfg = parse_avcc(buf[avcc[0] : avcc[1]])
         break
     if cfg is None:

@@ -44,6 +44,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -731,9 +732,11 @@ def demux_video_compressed(buf: bytes):
                     mjpeg_all = False
                     break
                 samples.append((no, sample))
-        except ValueError:
-            # malformed for the strict pure walker — ffmpeg's laxer
-            # parser may still handle it, so fall to the PyAV tier
+        except (ValueError, IndexError, struct.error):
+            # malformed for the strict pure walker (missing mandatory
+            # boxes raise ValueError; truncated sample tables can
+            # still surface as struct.error/IndexError) — ffmpeg's
+            # laxer parser may still handle it, so fall to PyAV
             mjpeg_all = False
         if mjpeg_all:
             try:
@@ -757,7 +760,7 @@ def demux_video_compressed(buf: bytes):
             for no, frame in decode_h264_annexb(annexb):
                 yield no, frame.tobytes()
             return
-        except (ValueError, NotImplementedError):
+        except (ValueError, NotImplementedError, IndexError, struct.error):
             pass
         # inter-frame codec (or unparseable box tree) → PyAV tier below
     try:

@@ -990,3 +990,92 @@ def test_probe_media_webp_and_tiff_dimensions():
         probe_media(b"II*\x00" + b"\xff" * 12)["container"] == "tiff"
     )
     assert probe_media(b"II*\x00\xff\xff\xff\xff")["kind"] == "unknown"
+
+
+def test_h264_nonref_ipcm_slice_skips_dec_ref_pic_marking():
+    """Spec 7.3.3 gates dec_ref_pic_marking() on nal_ref_idc != 0: an
+    externally produced NON-reference I_PCM slice (nal_type=1,
+    nal_ref_idc=0) carries no marking bits, so a decoder that reads
+    them unconditionally desyncs.  Build one by hand (the encoder twin
+    only emits IDR) and check lossless decode."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        NAL_SLICE,
+        _BitWriter,
+        _nal,
+        _rgb_to_yuv420,
+        decode_h264_annexb,
+        encode_h264_ipcm,
+        split_annexb,
+    )
+
+    rng = np.random.default_rng(21)
+    frame = rng.integers(0, 256, (16, 32, 3)).astype(np.uint8)
+    y, cb, cr = _rgb_to_yuv420(frame)
+    idr_stream = encode_h264_ipcm([(y, cb, cr)], yuv=True)
+    # keep the encoder's SPS/PPS NALs, replace the IDR slice with a
+    # hand-written non-IDR, nal_ref_idc=0 slice (same I_PCM payload)
+    sc = b"\x00\x00\x00\x01"
+    nals = [sc + n for n in idr_stream.split(sc) if n]
+    sps_pps = b"".join(nals[:2])
+    s = _BitWriter()
+    s.ue(0)        # first_mb_in_slice
+    s.ue(7)        # slice_type: I (all slices in pic)
+    s.ue(0)        # pps_id
+    s.u(1, 8)      # frame_num
+    # poc_type 2 → no poc syntax; nal_ref_idc=0 → NO dec_ref_pic_marking
+    s.se(0)        # slice_qp_delta
+    mbw, mbh = 2, 1
+    for mb in range(mbw * mbh):
+        s.ue(25)   # I_PCM
+        s.byte_align_zero()
+        my, mx = divmod(mb, mbw)
+        for row in y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]:
+            for v in row:
+                s.u(int(v), 8)
+        for blk in (cb, cr):
+            for row in blk[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]:
+                for v in row:
+                    s.u(int(v), 8)
+    s.rbsp_trailing()
+    stream = sps_pps + _nal(NAL_SLICE, 0, bytes(s.out))
+
+    kinds = [(t, r) for t, r, _ in split_annexb(stream)]
+    assert (NAL_SLICE, 0) in kinds  # really a non-reference slice
+    dec = list(decode_h264_annexb(stream, yuv=True))
+    assert len(dec) == 1
+    gy, gcb, gcr = dec[0][1]
+    assert np.array_equal(gy, y)
+    assert np.array_equal(gcb, cb)
+    assert np.array_equal(gcr, cr)
+
+
+def test_malformed_mp4_missing_boxes_raises_value_error():
+    """A structurally malformed MP4 (trak without mdia/stbl) must
+    surface as ValueError from the pure walker — the contract
+    demux_video_compressed catches to fall through to the PyAV tier —
+    not as a TypeError subscript on a _find miss."""
+    import struct as _s
+
+    import pytest
+
+    from finanalyzer_spark.operators.mp4 import demux_mp4
+    from finanalyzer_spark.operators.multimodal import (
+        demux_video_compressed,
+    )
+
+    def box(btype, payload):
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    tkhd = box(b"tkhd", b"\x00" + b"\x00" * 3 + b"\x00" * 80)
+    trak = box(b"trak", tkhd)  # mandatory mdia missing
+    buf = ftyp + box(b"moov", box(b"mvhd", b"\x00" * 100) + trak)
+
+    with pytest.raises(ValueError, match="mdia"):
+        list(demux_mp4(buf))
+    # the video tier must NOT crash: pure walker rejects → PyAV tier
+    # (absent in this container) → NotImplementedError naming it
+    with pytest.raises(NotImplementedError, match="PyAV|ffmpeg"):
+        list(demux_video_compressed(buf))
