@@ -11,19 +11,19 @@ operators/multimodal.py:
   resolution filtering, keyframe counting and codec metadata at
   100 TB without any codec library — the same sample-level posture as
   operators/mp4.demux_mp4.
-* **Pixel decode — the I_PCM tier.** `decode_h264_annexb` decodes
-  baseline streams whose macroblocks are all I_PCM (mb_type 25 in I
-  slices: raw uncompressed 4:2:0 samples, spec §7.3.5 / §8.3.5 —
-  I_PCM exists in the spec precisely as the always-decodable escape
-  hatch), which `encode_h264_ipcm` emits as the encoder twin.  The
-  round trip is LOSSLESS at the YCbCr level, so the pair is pinned by
-  exact equality, not a sibling-bug-prone approximate check.
-  Entropy-coded residual macroblocks (CAVLC/CABAC) raise
-  NotImplementedError naming the PyAV tier: transcribing the CAVLC
-  VLC tables without a conformance vector to check them against
-  would risk a decoder that passes its own tests and fails on real
-  streams — the failure mode this repo's spec-value-test discipline
-  exists to prevent.
+* **Pixel decode — intra pictures.** `decode_h264_annexb` decodes
+  baseline intra streams: I_PCM macroblocks (mb_type 25, raw 4:2:0
+  samples — the spec's always-decodable escape hatch, emitted by the
+  lossless `encode_h264_ipcm` twin) and, via
+  operators/h264_cavlc.decode_islice, CAVLC-entropy I_4x4 / I_16x16
+  macroblocks with full spatial prediction (emitted by the
+  `encode_h264_intra` twin).  The I_PCM round trip is pinned by exact
+  equality; the CAVLC tier is pinned decode == encoder-reconstruction
+  bit-for-bit plus an external published conformance vector
+  (tests/test_h264_cavlc.py — see h264_cavlc's module docstring for
+  the sibling-bug defences).  CABAC, inter prediction, and
+  deblocking-filtered CAVLC streams raise NotImplementedError naming
+  the PyAV tier: the pure tier is exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
 emulation prevention (7.4.1.1).  Reference context: the reference
@@ -266,7 +266,7 @@ def parse_pps(rbsp: bytes) -> dict:
     r.u(2)  # weighted_bipred_idc
     pps["pic_init_qp"] = r.se() + 26
     r.se()  # pic_init_qs
-    r.se()  # chroma_qp_index_offset
+    pps["chroma_qp_index_offset"] = r.se()
     pps["deblocking_filter_control_present"] = r.u(1)
     r.u(1)  # constrained_intra_pred
     r.u(1)  # redundant_pic_cnt_present
@@ -354,30 +354,19 @@ def _nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
     )
 
 
-def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
-    """Encoder twin: an Annex-B baseline stream of IDR-only frames
-    whose macroblocks are all I_PCM — spec-valid (any conformant
-    decoder plays it) and LOSSLESS at the YCbCr level.  `frames` are
-    (h, w, 3) uint8 RGB arrays (converted to 4:2:0 YCbCr), or, with
-    `yuv=True`, (y, cb, cr) plane tuples used verbatim (the exactness
-    path the tests pin).  Dimensions must be multiples of 16 (I_PCM
-    has no partial-macroblock story without cropping games)."""
-    import numpy as np
-
-    frames = list(frames)
-    if not frames:
-        raise ValueError("need at least one frame")
-    if yuv:
-        planes = [tuple(np.asarray(p, dtype=np.uint8) for p in f) for f in frames]
-        h, w = planes[0][0].shape
-    else:
-        arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
-        h, w = arrs[0].shape[:2]
-        planes = [_rgb_to_yuv420(a) for a in arrs]
-    if h % 16 or w % 16:
-        raise ValueError("I_PCM encoder needs multiple-of-16 dimensions")
-    mbw, mbh = w // 16, h // 16
-
+def write_sps_pps(
+    mbw: int,
+    mbh: int,
+    pic_init_qp: int = 26,
+    deblocking_control: bool = False,
+) -> tuple[bytes, bytes]:
+    """Baseline-profile SPS + PPS RBSP pair shared by the encoder
+    twins (I_PCM and CAVLC intra): level 3.0, poc_type 2, CAVLC,
+    single slice group, 4:2:0.  `deblocking_control` turns on
+    deblocking_filter_control_present so the slice header can carry
+    disable_deblocking_filter_idc (the CAVLC twin disables the filter
+    explicitly; the I_PCM twin doesn't need to — its deblock QP is 0,
+    spec 8.7, so the default-on filter is a no-op)."""
     sps = _BitWriter()
     sps.u(66, 8)   # profile_idc: baseline
     sps.u(0xC0, 8)  # constraint_set0/1
@@ -405,17 +394,44 @@ def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
     pps.ue(0)      # num_ref_idx_l1
     pps.u(0, 1)    # weighted_pred
     pps.u(0, 2)    # weighted_bipred
-    pps.se(0)      # pic_init_qp_minus26
+    pps.se(pic_init_qp - 26)  # pic_init_qp_minus26
     pps.se(0)      # pic_init_qs_minus26
     pps.se(0)      # chroma_qp_index_offset
-    pps.u(0, 1)    # deblocking_filter_control_present
+    pps.u(1 if deblocking_control else 0, 1)
     pps.u(0, 1)    # constrained_intra_pred
     pps.u(0, 1)    # redundant_pic_cnt_present
     pps.rbsp_trailing()
+    return bytes(sps.out), bytes(pps.out)
 
+
+def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
+    """Encoder twin: an Annex-B baseline stream of IDR-only frames
+    whose macroblocks are all I_PCM — spec-valid (any conformant
+    decoder plays it) and LOSSLESS at the YCbCr level.  `frames` are
+    (h, w, 3) uint8 RGB arrays (converted to 4:2:0 YCbCr), or, with
+    `yuv=True`, (y, cb, cr) plane tuples used verbatim (the exactness
+    path the tests pin).  Dimensions must be multiples of 16 (I_PCM
+    has no partial-macroblock story without cropping games)."""
+    import numpy as np
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("need at least one frame")
+    if yuv:
+        planes = [tuple(np.asarray(p, dtype=np.uint8) for p in f) for f in frames]
+        h, w = planes[0][0].shape
+    else:
+        arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+        h, w = arrs[0].shape[:2]
+        planes = [_rgb_to_yuv420(a) for a in arrs]
+    if h % 16 or w % 16:
+        raise ValueError("I_PCM encoder needs multiple-of-16 dimensions")
+    mbw, mbh = w // 16, h // 16
+
+    sps_rbsp, pps_rbsp = write_sps_pps(mbw, mbh)
     out = bytearray()
-    out += _nal(NAL_SPS, 3, bytes(sps.out))
-    out += _nal(NAL_PPS, 3, bytes(pps.out))
+    out += _nal(NAL_SPS, 3, sps_rbsp)
+    out += _nal(NAL_PPS, 3, pps_rbsp)
     for fi, (y, cb, cr) in enumerate(planes):
         s = _BitWriter()
         s.ue(0)           # first_mb_in_slice
@@ -448,10 +464,12 @@ def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
 
 def decode_h264_annexb(buf: bytes, yuv: bool = False):
     """Decode an Annex-B H.264 stream whose coded macroblocks are all
-    I_PCM.  Yields (frame_no, (h, w, 3) uint8 RGB) — or (frame_no,
-    (y, cb, cr)) planes with `yuv=True`.  Entropy-coded residual
-    macroblocks raise NotImplementedError naming the PyAV tier (see
-    module docstring for why CAVLC is out of the pure tier)."""
+    intra-coded (I_PCM, or CAVLC I_4x4/I_16x16 with the deblocking
+    filter disabled — any mix).  Yields (frame_no, (h, w, 3) uint8
+    RGB) — or (frame_no, (y, cb, cr)) planes with `yuv=True`.  CABAC,
+    inter-predicted slices, and deblocking-filtered CAVLC streams
+    raise NotImplementedError naming the PyAV tier (exact-or-refuse;
+    see the module docstrings here and in h264_cavlc)."""
     import numpy as np
 
     sps = pps = None
@@ -493,34 +511,19 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                 else:
                     if r.u(1):  # adaptive_ref_pic_marking
                         raise NotImplementedError("ref pic marking ops")
-            r.se()  # slice_qp_delta
+            qp = pps["pic_init_qp"] + r.se()  # slice_qp_delta
+            deblock_disabled = False
             if pps["deblocking_filter_control_present"]:
-                if r.ue() != 1:  # disable_deblocking_filter_idc
+                idc = r.ue()  # disable_deblocking_filter_idc
+                deblock_disabled = idc == 1
+                if idc != 1:
                     r.se()
                     r.se()
-            mbw = sps["pic_width_in_mbs"]
-            mbh = sps["pic_height_in_map_units"]
-            y = np.zeros((mbh * 16, mbw * 16), dtype=np.uint8)
-            cb = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
-            cr = np.zeros((mbh * 8, mbw * 8), dtype=np.uint8)
-            for mb in range(mbw * mbh):
-                mb_type = r.ue()
-                if mb_type != 25:  # not I_PCM
-                    raise NotImplementedError(
-                        "entropy-coded (CAVLC) H.264 macroblocks need"
-                        " the PyAV tier; the pure tier decodes I_PCM"
-                        " streams and indexes any stream"
-                    )
-                r.byte_align()
-                my, mx = divmod(mb, mbw)
-                yb = np.frombuffer(r.bytes_at(256), dtype=np.uint8)
-                y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                    yb.reshape(16, 16)
-                )
-                cbb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
-                crb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
-                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbb.reshape(8, 8)
-                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = crb.reshape(8, 8)
+            from finanalyzer_spark.operators.h264_cavlc import (
+                decode_islice,
+            )
+
+            y, cb, cr = decode_islice(r, sps, pps, qp, deblock_disabled)
             hh, ww = sps["height"], sps["width"]
             y, cb, cr = y[:hh, :ww], cb[: hh // 2, : ww // 2], cr[: hh // 2, : ww // 2]
             if yuv:

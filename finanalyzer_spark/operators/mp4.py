@@ -15,9 +15,10 @@ anything carrying the FFD8 magic) decode through the pure JPEG
 decoder; avc1 tracks expose their avcC parameter sets
 (`parse_avcc` / `avc_track_info` — resolution/profile/keyframe
 metadata for ANY H.264-in-MP4) and re-frame to Annex-B
-(`mp4_avc_to_annexb`), so the I_PCM tier of operators/h264.py
-decodes them fully; entropy-coded inter-frame DECODE routes to the
-PyAV tier — motion compensation genuinely needs a codec library.
+(`mp4_avc_to_annexb`), so the intra tier of operators/h264.py
+(+h264_cavlc) decodes I_PCM and CAVLC-intra tracks fully;
+inter-frame DECODE routes to the PyAV tier — motion compensation
+genuinely needs a codec library.
 
 `mux_mp4_mjpeg` is the encoder twin (fixture builder): a minimal
 ftyp + mdat + moov file with a 'jpeg' VisualSampleEntry (the
@@ -430,20 +431,33 @@ def split_length_prefixed_nals(sample: bytes, nal_length_size: int = 4):
             yield nal[0] & 0x1F, _unescape(nal[1:])
 
 
-def mux_mp4_avc(frames, fps: int = 25) -> bytes:
+def mux_mp4_avc(
+    frames, fps: int = 25, codec: str = "ipcm", qp: int = 28
+) -> bytes:
     """H.264-in-MP4 writer (fixture twin for the avc1 path): frames
-    are encoded with operators/h264.encode_h264_ipcm (spec-valid
-    IDR-only I_PCM baseline), parameter sets land out-of-band in the
-    avcC record, and each sample is the length-prefixed IDR NAL.
-    Unlike the MJPEG twin this writes an EXPLICIT stss listing every
-    sample, so the sync-table parse path is exercised too."""
+    are encoded with operators/h264.encode_h264_ipcm (codec="ipcm",
+    spec-valid IDR-only I_PCM baseline, lossless) or
+    operators/h264_cavlc.encode_h264_intra (codec="intra",
+    CAVLC-entropy spatial-prediction intra at `qp`); parameter sets
+    land out-of-band in the avcC record, and each sample is the
+    length-prefixed IDR NAL.  Unlike the MJPEG twin this writes an
+    EXPLICIT stss listing every sample, so the sync-table parse path
+    is exercised too."""
     from .h264 import build_avcc, encode_h264_ipcm
 
     import numpy as np
 
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     h, w, _ = frames[0].shape
-    avcc, samples = build_avcc(encode_h264_ipcm(frames))
+    if codec == "ipcm":
+        annexb = encode_h264_ipcm(frames)
+    elif codec == "intra":
+        from .h264_cavlc import encode_h264_intra
+
+        annexb = encode_h264_intra(frames, qp=qp)
+    else:
+        raise ValueError(f"unknown avc fixture codec {codec!r}")
+    avcc, samples = build_avcc(annexb)
 
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + btype + payload
@@ -534,8 +548,8 @@ def mp4_avc_to_annexb(buf: bytes) -> bytes:
     """Reconstruct an Annex-B elementary stream from an MP4's first
     avc1 track: out-of-band SPS/PPS from the avcC record, then every
     sample's length-prefixed NALs re-framed with start codes — the
-    bridge that lets any Annex-B consumer (the pure I_PCM decoder, or
-    an external conformance decoder) read H.264-in-MP4 directly."""
+    bridge that lets any Annex-B consumer (the pure intra decoder,
+    or an external conformance decoder) read H.264-in-MP4 directly."""
     from .h264 import annexb_from_avcc
 
     moov = _find(buf, 0, len(buf), b"moov")

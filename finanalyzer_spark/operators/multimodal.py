@@ -18,8 +18,9 @@ All transport/partitioning/batching is real Spark. Two codec tiers:
   stsz/stco/stsc/stts/stss walk — codec-agnostic keyframe indexing,
   full decode for MJPEG-in-MP4), and an H.264 Annex-B layer
   (operators/h264.py: NAL/SPS/PPS parsing — resolution/profile/IDR
-  indexing for ANY stream, lossless pixel decode for the I_PCM
-  tier); round 6 added progressive JPEG
+  indexing for ANY stream, lossless I_PCM pixel decode, and — via
+  operators/h264_cavlc — CAVLC-entropy I_4x4/I_16x16 intra decode
+  with full spatial prediction); round 6 added progressive JPEG
   (SOF2: spectral selection + successive approximation) to the pure
   tier. Remaining tiers are import-guarded, honest
   NotImplementedError otherwise: arithmetic-coded JPEG and WebP
@@ -707,7 +708,8 @@ def demux_video_compressed(buf: bytes):
             return
     if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
         # raw H.264 Annex-B elementary stream: the pure tier decodes
-        # I_PCM streams; CAVLC/CABAC fall through to the PyAV tier.
+        # intra streams (I_PCM + deblock-disabled CAVLC); CABAC/inter/
+        # deblocked streams fall through to the PyAV tier.
         # Decode fully BEFORE yielding so a mid-stream entropy-coded
         # macroblock can't truncate the consumer's sequence.
         from .h264 import decode_h264_annexb
@@ -749,9 +751,9 @@ def demux_video_compressed(buf: bytes):
                 for no, frame_bytes in enumerate(decoded):
                     yield no, frame_bytes
                 return
-        # avc1 track? I_PCM baseline decodes in the pure tier via the
-        # Annex-B bridge; entropy-coded streams raise inside and fall
-        # through to PyAV
+        # avc1 track? intra baseline (I_PCM / deblock-disabled CAVLC)
+        # decodes in the pure tier via the Annex-B bridge; CABAC and
+        # inter-coded streams raise inside and fall through to PyAV
         try:
             from .h264 import decode_h264_annexb
             from .mp4 import mp4_avc_to_annexb

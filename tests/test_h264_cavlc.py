@@ -1,0 +1,455 @@
+"""CAVLC intra tier tests (operators/h264_cavlc.py).
+
+Three layers of defence against the sibling-bug failure mode (encoder
+and decoder sharing one mistranscribed table and agreeing with each
+other while disagreeing with the spec):
+
+1. Structural invariants every true spec table satisfies — prefix-freeness
+   everywhere, exact Kraft completeness where the published tables are
+   complete (run_before, total_zeros, chroma-DC coeff_token).
+2. A TRUE external conformance vector: the CAVLC worked example
+   published in Richardson, "H.264 and MPEG-4 Video Compression"
+   (block with TotalCoeffs=5, T1s=3, TotalZeros=3, nC<2) whose
+   encoded bit string `000010001110010111101101` is widely reproduced
+   in the public literature — our encoder must emit exactly those
+   bits and our decoder must parse them back.
+3. Closed-loop twin exactness: decode(encode(x)) must equal the
+   encoder's own reconstruction bit-for-bit across QPs and content.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from finanalyzer_spark.operators.h264 import (
+    _BitReader,
+    _BitWriter,
+    decode_h264_annexb,
+    parse_pps,
+    parse_sps,
+    split_annexb,
+    write_sps_pps,
+)
+from finanalyzer_spark.operators.h264_cavlc import (
+    CBP_INTRA_FROM_CODENUM,
+    COEFF_TOKEN_CHROMA_DC,
+    COEFF_TOKEN_NC_0_2,
+    COEFF_TOKEN_NC_2_4,
+    COEFF_TOKEN_NC_4_8,
+    RUN_BEFORE,
+    TOTAL_ZEROS_4x4,
+    TOTAL_ZEROS_CHROMA_DC,
+    decode_islice,
+    decode_residual_block,
+    encode_h264_intra,
+    encode_residual_block,
+)
+
+
+def _bits_of(w: _BitWriter) -> str:
+    s = "".join(f"{b:08b}" for b in w.out)
+    if w.nbits:
+        s += format(w.acc & ((1 << w.nbits) - 1), f"0{w.nbits}b")
+    return s
+
+
+def _reader_of(bits: str) -> _BitReader:
+    pad = bits + "0" * (-len(bits) % 8)
+    return _BitReader(
+        bytes(int(pad[i : i + 8], 2) for i in range(0, len(pad), 8))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. table structure
+# ---------------------------------------------------------------------------
+def _assert_prefix_free(codes, name):
+    codes = list(codes)
+    assert len(set(codes)) == len(codes), f"{name}: duplicate codes"
+    for a in codes:
+        for b in codes:
+            if a is not b and b.startswith(a):
+                raise AssertionError(f"{name}: {a!r} is a prefix of {b!r}")
+
+
+def _kraft(codes) -> float:
+    return sum(2.0 ** -len(c) for c in codes)
+
+
+def test_coeff_token_tables_prefix_free_and_bounded():
+    for name, table in (
+        ("nC<2", COEFF_TOKEN_NC_0_2),
+        ("2<=nC<4", COEFF_TOKEN_NC_2_4),
+        ("4<=nC<8", COEFF_TOKEN_NC_4_8),
+        ("chromaDC", COEFF_TOKEN_CHROMA_DC),
+    ):
+        _assert_prefix_free(table.values(), name)
+        assert max(len(c) for c in table.values()) <= 16
+        # every legal (TotalCoeff, TrailingOnes) combination present
+        max_tc = 4 if name == "chromaDC" else 16
+        expect = {
+            (tc, t1)
+            for tc in range(max_tc + 1)
+            for t1 in range(min(tc, 3) + 1)
+        }
+        assert set(table) == expect, f"{name}: wrong key set"
+
+
+def test_chroma_dc_coeff_token_is_complete():
+    # the published chroma-DC table is exactly complete (Kraft sum 1)
+    assert _kraft(COEFF_TOKEN_CHROMA_DC.values()) == 1.0
+
+
+def test_total_zeros_tables_complete():
+    for tc, row in TOTAL_ZEROS_4x4.items():
+        assert len(row) == 17 - tc  # total_zeros in [0, 16 - tc]
+        _assert_prefix_free(row, f"tz4x4[{tc}]")
+        # the published Table 9-7 rows are complete except TC=1,
+        # which leaves exactly one 9-bit code unused (Kraft 511/512)
+        want = 511 / 512 if tc == 1 else 1.0
+        assert _kraft(row) == want, f"tz4x4[{tc}] wrong Kraft sum"
+    for tc, row in TOTAL_ZEROS_CHROMA_DC.items():
+        assert len(row) == 5 - tc
+        _assert_prefix_free(row, f"tzcdc[{tc}]")
+        assert _kraft(row) == 1.0
+
+
+def test_run_before_rows_complete():
+    for zl in range(1, 7):
+        row = RUN_BEFORE[zl]
+        assert len(row) == zl + 1  # run_before in [0, zerosLeft]
+        _assert_prefix_free(row, f"rb[{zl}]")
+        assert _kraft(row) == 1.0, f"rb[{zl}] not complete"
+    # the >6 column: seven 3-bit codes plus the '000'-prefixed unary
+    # extension; '000' must not collide with the seven listed codes
+    row7 = RUN_BEFORE[7]
+    assert len(row7) == 7 and all(len(c) == 3 for c in row7)
+    assert "000" not in row7
+    assert set(row7) | {"000"} == {
+        format(i, "03b") for i in range(8)
+    }
+
+
+def test_cbp_intra_mapping_is_a_permutation():
+    assert sorted(CBP_INTRA_FROM_CODENUM) == list(range(48))
+
+
+# ---------------------------------------------------------------------------
+# 2. the published Richardson conformance vector
+# ---------------------------------------------------------------------------
+RICHARDSON_LEVELS = [0, 3, 0, 1, -1, -1, 0, 1] + [0] * 8
+RICHARDSON_BITS = "000010001110010111101101"
+
+
+def test_richardson_worked_example_encode():
+    w = _BitWriter()
+    tc = encode_residual_block(w, RICHARDSON_LEVELS, nC=0)
+    assert tc == 5
+    assert _bits_of(w) == RICHARDSON_BITS
+
+
+def test_richardson_worked_example_decode():
+    r = _reader_of(RICHARDSON_BITS)
+    levels, tc = decode_residual_block(r, nC=0, max_coeffs=16)
+    assert tc == 5
+    assert levels == RICHARDSON_LEVELS
+    assert r.pos == len(RICHARDSON_BITS)  # consumed exactly, no slack
+
+
+# ---------------------------------------------------------------------------
+# 3. residual block roundtrips (all nC classes, escapes, clamp edge)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("nc", [0, 1, 2, 3, 4, 7, 8, 16])
+def test_residual_roundtrip_random(nc):
+    rng = np.random.default_rng(100 + nc)
+    for trial in range(300):
+        max_coeffs = 16 if trial % 3 == 0 else 15
+        k = int(rng.integers(0, max_coeffs + 1))
+        pos = sorted(rng.choice(max_coeffs, size=k, replace=False))
+        levels = [0] * max_coeffs
+        for p in pos:
+            mag = int(rng.choice([1, 1, 2, 3, 7, 20, 120, 2047]))
+            levels[p] = mag if rng.integers(0, 2) else -mag
+        w = _BitWriter()
+        tc_w = encode_residual_block(w, levels, nc)
+        r = _reader_of(_bits_of(w))
+        got, tc_r = decode_residual_block(r, nc, max_coeffs)
+        assert got == levels, (nc, trial, levels, got)
+        assert tc_w == tc_r == k
+
+
+def test_residual_roundtrip_chroma_dc():
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        k = int(rng.integers(0, 5))
+        pos = sorted(rng.choice(4, size=k, replace=False))
+        levels = [0] * 4
+        for p in pos:
+            mag = int(rng.choice([1, 2, 9, 300, 2047]))
+            levels[p] = mag if rng.integers(0, 2) else -mag
+        w = _BitWriter()
+        encode_residual_block(w, levels, -1)
+        got, tc = decode_residual_block(_reader_of(_bits_of(w)), -1, 4)
+        assert got == levels and tc == k
+
+
+def test_residual_every_coeff_token_cell_roundtrips():
+    # one deterministic vector per legal (TotalCoeff, TrailingOnes)
+    # cell per nC class — exercises every row of Table 9-5
+    for nc in (0, 2, 4, 8):
+        for tc in range(0, 17):
+            for t1 in range(0, min(tc, 3) + 1):
+                levels = [0] * 16
+                # t1 trailing ±1s at the high end, the rest magnitude 4
+                for i in range(tc):
+                    mag = 1 if i >= tc - t1 else 4
+                    levels[i] = mag if i % 2 == 0 else -mag
+                w = _BitWriter()
+                tcw = encode_residual_block(w, levels, nc)
+                got, tcr = decode_residual_block(
+                    _reader_of(_bits_of(w)), nc, 16
+                )
+                assert got == levels and tcw == tcr == tc
+
+
+# ---------------------------------------------------------------------------
+# 4. encoder/decoder twin exactness
+# ---------------------------------------------------------------------------
+def _fixture_planes(kind: str, h: int, w: int, rng):
+    if kind == "noise":
+        return (
+            rng.integers(0, 256, (h, w)).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+        )
+    if kind == "gradient":
+        ys, xs = np.mgrid[0:h, 0:w]
+        return (
+            ((ys * 2 + xs * 3) % 256).astype(np.uint8),
+            np.full((h // 2, w // 2), 100, np.uint8),
+            np.full((h // 2, w // 2), 150, np.uint8),
+        )
+    y = np.zeros((h, w), np.uint8)
+    y[:, w // 2 :] = 230
+    y[h // 2 :, :] ^= 127
+    cb = np.zeros((h // 2, w // 2), np.uint8)
+    cb[:, w // 4 :] = 200
+    cr = np.full((h // 2, w // 2), 60, np.uint8)
+    cr[h // 4 :, :] = 180
+    return y, cb, cr
+
+
+@pytest.mark.parametrize("qp", [0, 24, 51])
+@pytest.mark.parametrize("kind", ["noise", "gradient", "edges"])
+def test_twin_decode_equals_encoder_reconstruction(qp, kind):
+    rng = np.random.default_rng(qp * 7 + len(kind))
+    planes = _fixture_planes(kind, 48, 64, rng)
+    recon: list = []
+    stream = encode_h264_intra(
+        [planes, planes], qp=qp, yuv=True, recon_out=recon
+    )
+    decoded = list(decode_h264_annexb(stream, yuv=True))
+    assert len(decoded) == 2 == len(recon)
+    for (fno, got), want in zip(decoded, recon):
+        for g, x in zip(got, want):
+            assert np.array_equal(g, x), (qp, kind, fno)
+
+
+def test_twin_rgb_path_and_quality_bound():
+    rng = np.random.default_rng(11)
+    ys, xs = np.mgrid[0:32, 0:48]
+    rgb = np.stack(
+        [
+            ((ys * 4 + xs) % 256),
+            ((ys + xs * 5) % 256),
+            np.full_like(ys, 90),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    stream = encode_h264_intra([rgb], qp=20)
+    frames = list(decode_h264_annexb(stream))
+    assert len(frames) == 1
+    got = frames[0][1]
+    assert got.shape == rgb.shape and got.dtype == np.uint8
+    err = np.abs(got.astype(int) - rgb.astype(int)).mean()
+    assert err < 12.0, f"mean abs RGB error {err}"
+    assert len(stream) < rgb.nbytes  # actually compresses
+
+
+def test_twin_single_mb_and_tall_thin_geometry():
+    rng = np.random.default_rng(3)
+    for h, w in ((16, 16), (16, 96), (96, 16)):
+        planes = _fixture_planes("noise", h, w, rng)
+        recon: list = []
+        stream = encode_h264_intra(
+            [planes], qp=30, yuv=True, recon_out=recon
+        )
+        (fno, got), = decode_h264_annexb(stream, yuv=True)
+        for g, x in zip(got, recon[0]):
+            assert np.array_equal(g, x)
+
+
+def test_mixed_content_uses_both_mb_kinds():
+    """Flat half (→ I_16x16 wins) + noisy half (→ I_4x4 wins): the
+    coverage instrumentation must see both kinds, proving the mode
+    decision isn't degenerate."""
+    rng = np.random.default_rng(19)
+    y = np.full((32, 64), 120, np.uint8)
+    y[:, 32:] = rng.integers(0, 256, (32, 32))
+    cb = np.full((16, 32), 128, np.uint8)
+    cr = cb.copy()
+    stream = encode_h264_intra([(y, cb, cr)], qp=30, yuv=True)
+    # re-walk the slice with the instrumented low-level decoder
+    sps = pps = None
+    counts: dict = {}
+    for nal_type, _ref, rbsp in split_annexb(stream):
+        if nal_type == 7:
+            sps = parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = parse_pps(rbsp)
+        elif nal_type == 5:
+            r = _BitReader(rbsp)
+            for _ in range(3):
+                r.ue()
+            r.u(8)
+            r.ue()
+            r.u(1)
+            r.u(1)
+            qp = pps["pic_init_qp"] + r.se()
+            assert r.ue() == 1  # disable_deblocking_filter_idc
+            decode_islice(r, sps, pps, qp, True, counts=counts)
+    assert counts.get("i4", 0) > 0 and counts.get("i16", 0) > 0, counts
+
+
+# ---------------------------------------------------------------------------
+# 5. mixed I_PCM + CAVLC picture, FLC nC>=8 path, refusal paths
+# ---------------------------------------------------------------------------
+def test_mixed_ipcm_and_cavlc_macroblocks():
+    """Hand-built 32x16 picture: MB0 is I_PCM, MB1 is I_16x16 with
+    horizontal prediction and zero residual.  Exercises (a) PCM/CAVLC
+    mixing in one slice, (b) the nC>=8 FLC coeff_token branch (the
+    PCM neighbour counts as TotalCoeff 16), (c) whole-MB horizontal
+    prediction from a PCM reconstruction."""
+    rng = np.random.default_rng(4)
+    y0 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    cr0 = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+
+    from finanalyzer_spark.operators.h264 import NAL_IDR, NAL_PPS, NAL_SPS, _nal
+
+    sps_rbsp, pps_rbsp = write_sps_pps(
+        2, 1, pic_init_qp=28, deblocking_control=True
+    )
+    s = _BitWriter()
+    s.ue(0)   # first_mb_in_slice
+    s.ue(7)   # slice_type I
+    s.ue(0)   # pps_id
+    s.u(0, 8)  # frame_num
+    s.ue(0)   # idr_pic_id
+    s.u(0, 1)
+    s.u(0, 1)  # dec_ref_pic_marking
+    s.se(0)   # slice_qp_delta
+    s.ue(1)   # disable_deblocking_filter_idc
+    # MB0: I_PCM
+    s.ue(25)
+    s.byte_align_zero()
+    for row in y0:
+        for v in row:
+            s.u(int(v), 8)
+    for blk in (cb0, cr0):
+        for row in blk:
+            for v in row:
+                s.u(int(v), 8)
+    # MB1: I_16x16, horizontal luma pred (pm16=1 → mb_type 2, cbp 0),
+    # horizontal chroma pred (mode 1), zero residual everywhere
+    s.ue(2)   # mb_type: I_16x16_1_0_0
+    s.ue(1)   # intra_chroma_pred_mode: horizontal
+    s.se(0)   # mb_qp_delta
+    # Intra16x16DCLevel: left neighbour is I_PCM → nA = 16, above
+    # unavailable → nC = 16 → 6-bit FLC; TotalCoeff 0 is 000011
+    s.u(0b000011, 6)
+    # luma CBP 0 → no AC; chroma CBP 0 → no chroma residual
+    s.rbsp_trailing()
+
+    stream = (
+        _nal(NAL_SPS, 3, sps_rbsp)
+        + _nal(NAL_PPS, 3, pps_rbsp)
+        + _nal(NAL_IDR, 3, bytes(s.out))
+    )
+    (fno, (gy, gcb, gcr)), = decode_h264_annexb(stream, yuv=True)
+    assert np.array_equal(gy[:, :16], y0)
+    assert np.array_equal(gcb[:, :8], cb0)
+    assert np.array_equal(gcr[:, :8], cr0)
+    # MB1 = horizontal replication of MB0's rightmost column
+    assert np.array_equal(gy[:, 16:], np.tile(y0[:, 15:16], (1, 16)))
+    assert np.array_equal(gcb[:, 8:], np.tile(cb0[:, 7:8], (1, 8)))
+    assert np.array_equal(gcr[:, 8:], np.tile(cr0[:, 7:8], (1, 8)))
+
+
+def test_deblocking_enabled_cavlc_refused():
+    """A CAVLC macroblock in a stream whose deblocking filter is not
+    disabled must refuse (exact-or-refuse tier); the same reader
+    state with deblock_disabled=True decodes fine."""
+    rng = np.random.default_rng(2)
+    planes = _fixture_planes("noise", 16, 16, rng)
+    stream = encode_h264_intra([planes], qp=30, yuv=True)
+    sps = pps = None
+    for nal_type, _ref, rbsp in split_annexb(stream):
+        if nal_type == 7:
+            sps = parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = parse_pps(rbsp)
+        elif nal_type == 5:
+            r = _BitReader(rbsp)
+            for _ in range(3):
+                r.ue()
+            r.u(8)
+            r.ue()
+            r.u(1)
+            r.u(1)
+            qp = pps["pic_init_qp"] + r.se()
+            r.ue()  # idc
+            with pytest.raises(NotImplementedError, match="deblocking"):
+                decode_islice(r, sps, pps, qp, False)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="qp"):
+        encode_h264_intra([np.zeros((16, 16, 3), np.uint8)], qp=60)
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        encode_h264_intra([np.zeros((20, 16, 3), np.uint8)])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_h264_intra([])
+
+
+# ---------------------------------------------------------------------------
+# 6. container bridge
+# ---------------------------------------------------------------------------
+def test_mp4_avc_intra_bridge():
+    """CAVLC-intra H.264 in MP4: mux with the intra codec, rebuild
+    Annex-B from the avcC record + samples, decode — identical to
+    decoding the twin's raw Annex-B stream directly."""
+    from finanalyzer_spark.operators.mp4 import (
+        mp4_avc_to_annexb,
+        mux_mp4_avc,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    mp4 = mux_mp4_avc(frames, codec="intra", qp=26)
+    via_mp4 = [
+        f for _no, f in decode_h264_annexb(mp4_avc_to_annexb(mp4))
+    ]
+    direct = [
+        f
+        for _no, f in decode_h264_annexb(
+            encode_h264_intra(frames, qp=26)
+        )
+    ]
+    assert len(via_mp4) == 3
+    for a, b in zip(via_mp4, direct):
+        assert np.array_equal(a, b)
