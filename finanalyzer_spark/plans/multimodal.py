@@ -641,6 +641,102 @@ def media_h264_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_h264_intra_decode",
+    # The Spark side runs the FULL entropy-coded H.264 pipeline per
+    # sampled document: build a deterministic 32x32 gradient frame,
+    # encode with operators/h264_cavlc.encode_h264_intra (CAVLC
+    # I_4x4/I_16x16 spatial prediction, qp 24), decode with the pure
+    # decoder, and report decode-derived facts.  The oracle pins the
+    # invariants arithmetically: exactly one frame at 32x32, decode
+    # bit-identical to the encoder's closed-loop reconstruction,
+    # compressed stream smaller than raw 4:2:0, and mean |luma error|
+    # within the qp-24 budget (measured worst case 1.55 over the
+    # whole fixture offset range; bound 4.0).  Any codec drift flips
+    # a boolean and hash-mismatches the row.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 AS BIGINT) AS n_frames,
+           32 AS width, 32 AS height,
+           TRUE AS exact_recon,
+           TRUE AS compresses,
+           TRUE AS err_in_budget
+    FROM documents
+    WHERE doc_id % 7 = 2
+    """,
+    tags=("multimodal", "video", "codec"),
+)
+def media_h264_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-coded H.264 decode verification pass: the query a
+    corpus pipeline runs on a SAMPLE of an intra-coded video corpus
+    to certify the decode path before scheduling bulk work (the
+    sparse doc_id % 7 filter is that sampling; the heavy Python codec
+    runs on ~1/7th of documents).
+
+    Scale shape: one Arrow mapInPandas over a bounded projection —
+    per-document Python codec cost, no shuffle until the metadata
+    rollup; payload bytes never enter an exchange."""
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") % 7 == 2).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.h264 import decode_h264_annexb
+        from ..operators.h264_cavlc import encode_h264_intra
+
+        ys, xs = np.mgrid[0:32, 0:32]
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                off = int(n_chars)
+                y = ((ys * 3 + xs * 5 + off) % 256).astype(np.uint8)
+                cbp = np.full((16, 16), (off * 2) % 256, np.uint8)
+                crp = np.full((16, 16), (off * 3) % 256, np.uint8)
+                recon: list = []
+                stream = encode_h264_intra(
+                    [(y, cbp, crp)], qp=24, yuv=True, recon_out=recon
+                )
+                decoded = list(decode_h264_annexb(stream, yuv=True))
+                gy, gcb, gcr = decoded[0][1]
+                exact = (
+                    np.array_equal(gy, recon[0][0])
+                    and np.array_equal(gcb, recon[0][1])
+                    and np.array_equal(gcr, recon[0][2])
+                )
+                err = float(
+                    np.abs(gy.astype(int) - y.astype(int)).mean()
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(decoded),
+                        int(gy.shape[1]),
+                        int(gy.shape[0]),
+                        bool(exact),
+                        len(stream) < 32 * 32 * 3 // 2,
+                        err <= 4.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "width", "height",
+                    "exact_recon", "compresses", "err_in_budget",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, n_frames long, width int, height int,"
+        " exact_recon boolean, compresses boolean,"
+        " err_in_budget boolean",
+    )
+
+
+@query(
     "media_probe_summary",
     # Per-document payloads cycle through five REAL formats (built by
     # the pure encoder twins: baseline JPEG, binary PPM, PCM-16 WAV,

@@ -448,6 +448,14 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["MapInPandas"],
         "must_not": ["Join", "Exchange", "BatchEvalPython"],
     },
+    "media_h264_intra_decode": {
+        # the CAVLC codec round-trip is one Arrow kernel over a
+        # pushdown-filtered projection (doc_id % 7 sampling reaches
+        # the scan); metadata-only rows leave the kernel — no
+        # shuffle, no join, no row-at-a-time Python
+        "must": ["MapInPandas"],
+        "must_not": ["Join", "Exchange", "BatchEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
