@@ -21,9 +21,12 @@ operators/multimodal.py:
   equality; the CAVLC tier is pinned decode == encoder-reconstruction
   bit-for-bit plus an external published conformance vector
   (tests/test_h264_cavlc.py — see h264_cavlc's module docstring for
-  the sibling-bug defences).  CABAC, inter prediction, and
-  deblocking-filtered CAVLC streams raise NotImplementedError naming
-  the PyAV tier: the pure tier is exact-or-refuse.
+  the sibling-bug defences).  P slices decode too — P_Skip and
+  P_L0_16x16 motion compensation with exact quarter-pel
+  interpolation over a single reference (operators/h264_inter, twin
+  `encode_h264_video`).  CABAC, partitioned/multi-ref/weighted/B
+  inter shapes, and deblocking-filtered CAVLC streams raise
+  NotImplementedError naming the PyAV tier: exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
 emulation prevention (7.4.1.1).  Reference context: the reference
@@ -262,7 +265,7 @@ def parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError("slice groups (FMO)")
     r.ue()  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
+    pps["weighted_pred"] = r.u(1)
     r.u(2)  # weighted_bipred_idc
     pps["pic_init_qp"] = r.se() + 26
     r.se()  # pic_init_qs
@@ -465,14 +468,17 @@ def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
 def decode_h264_annexb(buf: bytes, yuv: bool = False):
     """Decode an Annex-B H.264 stream whose coded macroblocks are all
     intra-coded (I_PCM, or CAVLC I_4x4/I_16x16 with the deblocking
-    filter disabled — any mix).  Yields (frame_no, (h, w, 3) uint8
-    RGB) — or (frame_no, (y, cb, cr)) planes with `yuv=True`.  CABAC,
-    inter-predicted slices, and deblocking-filtered CAVLC streams
-    raise NotImplementedError naming the PyAV tier (exact-or-refuse;
-    see the module docstrings here and in h264_cavlc)."""
+    filter disabled — any mix) or P slices restricted to
+    P_Skip/P_L0_16x16 over a single reference.  Yields (frame_no,
+    (h, w, 3) uint8 RGB) — or (frame_no, (y, cb, cr)) planes with
+    `yuv=True`.  CABAC, partitioned/multi-ref/weighted/B inter
+    shapes, and deblocking-filtered CAVLC streams raise
+    NotImplementedError naming the PyAV tier (exact-or-refuse; see
+    the module docstrings here, in h264_cavlc and h264_inter)."""
     import numpy as np
 
     sps = pps = None
+    ref_planes = None  # previous decoded picture (P reference)
     frame_no = 0
     for nal_type, nal_ref_idc, rbsp in split_annexb(buf):
         if nal_type == NAL_SPS:
@@ -492,9 +498,17 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
             if r.ue() != 0:
                 raise NotImplementedError("multi-slice H.264 pictures")
             slice_type = r.ue()
-            if slice_type % 5 != 2:
+            if slice_type % 5 == 2:
+                kind = "I"
+            elif slice_type % 5 == 0:
+                kind = "P"
+                if ref_planes is None:
+                    raise ValueError(
+                        "P slice before any decoded reference frame"
+                    )
+            else:
                 raise NotImplementedError(
-                    "inter-predicted H.264 slices need the PyAV tier"
+                    "B/SP/SI H.264 slices need the PyAV tier"
                 )
             r.ue()  # pps_id
             r.u(sps["log2_max_frame_num"])  # frame_num
@@ -502,6 +516,22 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                 r.ue()  # idr_pic_id
             if sps["poc_type"] == 0:
                 r.u(sps["log2_max_poc_lsb"])
+            if kind == "P":
+                if pps["weighted_pred"]:
+                    raise NotImplementedError(
+                        "weighted prediction needs the PyAV tier"
+                    )
+                if r.u(1):  # num_ref_idx_active_override_flag
+                    if r.ue() != 0:  # num_ref_idx_l0_active_minus1
+                        raise NotImplementedError(
+                            "multiple reference frames need the PyAV"
+                            " tier"
+                        )
+                if r.u(1):  # ref_pic_list_modification_flag_l0
+                    raise NotImplementedError(
+                        "reference list modification needs the PyAV"
+                        " tier"
+                    )
             if nal_ref_idc != 0:  # dec_ref_pic_marking gated on
                 # nal_ref_idc (spec 7.3.3) — a non-reference slice
                 # (nal_ref_idc=0) carries no marking bits at all
@@ -520,10 +550,19 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                     r.se()
                     r.se()
             from finanalyzer_spark.operators.h264_cavlc import (
-                decode_islice,
+                decode_slice,
             )
 
-            y, cb, cr = decode_islice(r, sps, pps, qp, deblock_disabled)
+            y, cb, cr = decode_slice(
+                r, sps, pps, qp, deblock_disabled, kind, ref_planes
+            )
+            # the just-decoded picture is the (single) reference for
+            # the next P slice — uncropped, full sample precision
+            ref_planes = (
+                y.astype(np.int64),
+                cb.astype(np.int64),
+                cr.astype(np.int64),
+            )
             hh, ww = sps["height"], sps["width"]
             y, cb, cr = y[:hh, :ww], cb[: hh // 2, : ww // 2], cr[: hh // 2, : ww // 2]
             if yuv:

@@ -6,10 +6,10 @@ INTRA pictures coded with CAVLC entropy, the 4x4 integer transform,
 and full spatial prediction (I_4x4 all 9 modes, I_16x16 all 4 modes,
 chroma DC/H/V/Plane).  With this module, `decode_h264_annexb`
 decodes any baseline I-slice stream that (a) uses CAVLC (baseline
-profile has no CABAC), (b) disables the deblocking filter, and
-(c) has no inter prediction — which is exactly what the encoder twin
-`encode_h264_intra` emits, and what intra-only archival/“allintra”
-encodes look like.  Streams with deblocking enabled raise
+profile has no CABAC) and (b) disables the deblocking filter — which
+is exactly what the encoder twin `encode_h264_intra` emits, and what
+intra-only archival/“allintra” encodes look like.  (P slices decode
+too via operators/h264_inter + decode_slice's P branch.)  Streams with deblocking enabled raise
 NotImplementedError naming the PyAV tier (the pure tier is
 exact-or-refuse: an undeblocked approximation of a deblocked stream
 would silently differ from a conformant decoder).
@@ -991,6 +991,351 @@ def _recon_chroma(pred, dc_levels4, ac_blocks, qpc):
     return out
 
 
+class _SliceState:
+    """Per-slice decoder state: reconstruction planes plus the
+    neighbour-context grids (TotalCoeff for nC, Intra_4x4 pred modes,
+    4x4-block decoded flags, per-MB motion vectors) and the running
+    QP."""
+
+    def __init__(self, sps: dict, pps: dict, qp: int):
+        np = _np()
+        self.mbw = sps["pic_width_in_mbs"]
+        self.mbh = sps["pic_height_in_map_units"]
+        h, w = self.mbh * 16, self.mbw * 16
+        self.y = np.zeros((h, w), dtype=np.int64)
+        self.cb = np.zeros((h // 2, w // 2), dtype=np.int64)
+        self.cr = np.zeros((h // 2, w // 2), dtype=np.int64)
+        self.tc_y = np.zeros((self.mbh * 4, self.mbw * 4), dtype=np.int64)
+        self.tc_c = [
+            np.zeros((self.mbh * 2, self.mbw * 2), dtype=np.int64)
+            for _ in range(2)
+        ]
+        #: Intra_4x4 pred modes; 2 (DC) for non-I_4x4 MBs is exactly
+        #: the spec's neighbour inference (8.3.1.1)
+        self.mode4 = np.full((self.mbh * 4, self.mbw * 4), 2, np.int64)
+        self.dec4 = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
+        #: (mvx, mvy) per inter MB, None for intra (8.4.1.3 context)
+        self.mv: list[list] = [
+            [None] * self.mbw for _ in range(self.mbh)
+        ]
+        self.qp = qp
+        self.cq_off = pps.get("chroma_qp_index_offset", 0)
+
+    def planes_u8(self):
+        np = _np()
+        return (
+            self.y.astype(np.uint8),
+            self.cb.astype(np.uint8),
+            self.cr.astype(np.uint8),
+        )
+
+
+def _bump(counts, key):
+    if counts is not None:
+        counts[key] = counts.get(key, 0) + 1
+
+
+def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int,
+                     deblock_disabled: bool, counts):
+    """One intra macroblock (I_PCM / I_4x4 / I_16x16) — shared by I
+    slices and intra MBs inside P slices (mb_type offset 5 already
+    removed by the caller)."""
+    np = _np()
+    y, cb, cr = st.y, st.cb, st.cr
+    w = st.mbw * 16
+    if mb_type == 25:  # I_PCM — raw samples; slice QP carries over
+        _bump(counts, "ipcm")
+        r.byte_align()
+        yb = np.frombuffer(r.bytes_at(256), dtype=np.uint8)
+        y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = yb.reshape(
+            16, 16
+        )
+        cbb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
+        crb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
+        cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbb.reshape(8, 8)
+        cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = crb.reshape(8, 8)
+        st.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+        for c in range(2):
+            st.tc_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+        st.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+        return
+    if mb_type > 25:
+        raise ValueError(f"invalid intra mb_type {mb_type}")
+    if not deblock_disabled:
+        raise NotImplementedError(
+            "deblocking-filtered CAVLC H.264 needs the PyAV tier;"
+            " the pure tier decodes deblock-disabled intra streams"
+        )
+
+    if mb_type == 0:  # I_4x4 (I_NxN; baseline has no 8x8 transform)
+        _bump(counts, "i4")
+        modes = []
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            gx, gy = mx * 4 + bx, my * 4 + by
+            pm = _pred_mode_4x4(st.mode4, gx, gy)
+            if r.u(1):  # prev_intra4x4_pred_mode_flag
+                mode = pm
+            else:
+                rem = r.u(3)
+                mode = rem if rem < pm else rem + 1
+            st.mode4[gy, gx] = mode
+            modes.append(mode)
+        chroma_mode = r.ue()
+        cbp_code = r.ue()
+        if cbp_code >= len(CBP_INTRA_FROM_CODENUM):
+            raise ValueError("invalid coded_block_pattern code")
+        cbp = CBP_INTRA_FROM_CODENUM[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            st.qp = (st.qp + r.se() + 52) % 52
+        lv_luma = [[0] * 16 for _ in range(16)]
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if cbp_luma & (1 << (blk >> 2)):
+                n_c = _nc_from_grid(st.tc_y, gx, gy)
+                lv_luma[blk], tc = decode_residual_block(r, n_c, 16)
+                st.tc_y[gy, gx] = tc
+            else:
+                st.tc_y[gy, gx] = 0
+        dc_c, ac_c = _read_chroma_residual(
+            r, st.tc_c, mx, my, cbp_chroma
+        )
+        # reconstruct luma sequentially (later blocks predict from
+        # earlier reconstructions)
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            gx, gy = mx * 4 + bx, my * 4 + by
+            px, py = mx * 16 + bx * 4, my * 16 + by * 4
+            t, l, tl, have_t, have_l, have_tr = _gather4(
+                y, st.dec4, px, py, w
+            )
+            pred = predict_4x4(
+                modes[blk], t, l, tl, have_t, have_l, have_tr
+            )
+            if cbp_luma & (1 << (blk >> 2)):
+                res = inverse_transform_4x4(
+                    dequant_4x4(lv_luma[blk], st.qp)
+                )
+            else:
+                res = 0
+            y[py : py + 4, px : px + 4] = np.clip(pred + res, 0, 255)
+            st.dec4[gy, gx] = True
+    else:  # I_16x16: prediction mode and CBP from mb_type (7.4.5)
+        _bump(counts, "i16")
+        k = mb_type - 1
+        pm16 = k % 4
+        luma_flag = k >= 12
+        cbp_chroma = (k - (12 if luma_flag else 0)) // 4
+        chroma_mode = r.ue()
+        st.qp = (st.qp + r.se() + 52) % 52  # mb_qp_delta always coded
+        gx0, gy0 = mx * 4, my * 4
+        n_c = _nc_from_grid(st.tc_y, gx0, gy0)
+        dc_levels, _dc_tc = decode_residual_block(r, n_c, 16)
+        ac_blocks = [[0] * 15 for _ in range(16)]
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if luma_flag:
+                n_c = _nc_from_grid(st.tc_y, gx, gy)
+                ac_blocks[blk], tc = decode_residual_block(r, n_c, 15)
+                st.tc_y[gy, gx] = tc
+            else:
+                st.tc_y[gy, gx] = 0
+        dc_c, ac_c = _read_chroma_residual(
+            r, st.tc_c, mx, my, cbp_chroma
+        )
+        px, py = mx * 16, my * 16
+        have_t, have_l = my > 0, mx > 0
+        t = y[py - 1, px : px + 16] if have_t else np.zeros(16, np.int64)
+        l = y[py : py + 16, px - 1] if have_l else np.zeros(16, np.int64)
+        tl = int(y[py - 1, px - 1]) if have_t and have_l else 0
+        pred = predict_16x16(pm16, t, l, tl, have_t, have_l)
+        y[py : py + 16, px : px + 16] = _recon_luma16_dc_ac(
+            pred, dc_levels, ac_blocks, st.qp
+        )
+        st.dec4[gy0 : gy0 + 4, gx0 : gx0 + 4] = True
+
+    # intra chroma reconstruction (shared by I_4x4 and I_16x16)
+    qpc = chroma_qp(st.qp, st.cq_off)
+    cx, cy = mx * 8, my * 8
+    have_t, have_l = my > 0, mx > 0
+    for c, plane in ((0, cb), (1, cr)):
+        t = (
+            plane[cy - 1, cx : cx + 8]
+            if have_t
+            else np.zeros(8, np.int64)
+        )
+        l = (
+            plane[cy : cy + 8, cx - 1]
+            if have_l
+            else np.zeros(8, np.int64)
+        )
+        tl = int(plane[cy - 1, cx - 1]) if have_t and have_l else 0
+        pred = predict_chroma(chroma_mode, t, l, tl, have_t, have_l)
+        if cbp_chroma:
+            rec = _recon_chroma(pred, dc_c[c], ac_c[c], qpc)
+        else:
+            rec = np.clip(pred, 0, 255)
+        plane[cy : cy + 8, cx : cx + 8] = rec
+
+
+def _recon_inter_mb(st, mx: int, my: int, ref, mv, lv_luma, cbp_luma,
+                    dc_c, ac_c, cbp_chroma):
+    """Reconstruct one P_L0_16x16 (or P_Skip: all-zero residual)
+    macroblock from the reference planes + motion vector."""
+    np = _np()
+    from .h264_inter import mc_chroma, mc_luma
+
+    ry, rcb, rcr = ref
+    px, py = mx * 16, my * 16
+    pred = mc_luma(ry, px, py, mv[0], mv[1])
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        sl = np.s_[py + by * 4 : py + by * 4 + 4,
+                   px + bx * 4 : px + bx * 4 + 4]
+        if cbp_luma & (1 << (blk >> 2)):
+            res = inverse_transform_4x4(dequant_4x4(lv_luma[blk], st.qp))
+        else:
+            res = 0
+        ps = pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+        st.y[sl] = np.clip(ps + res, 0, 255)
+    qpc = chroma_qp(st.qp, st.cq_off)
+    cx, cy = mx * 8, my * 8
+    for c, (plane, refc) in ((0, (st.cb, rcb)), (1, (st.cr, rcr))):
+        predc = mc_chroma(refc, cx, cy, mv[0], mv[1])
+        if cbp_chroma:
+            rec = _recon_chroma(predc, dc_c[c], ac_c[c], qpc)
+        else:
+            rec = np.clip(predc, 0, 255)
+        plane[cy : cy + 8, cx : cx + 8] = rec
+    st.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+    st.mv[my][mx] = (mv[0], mv[1])
+
+
+def _decode_p16_mb(r, st, mx: int, my: int, ref, counts):
+    """Parse + reconstruct one P_L0_16x16 macroblock (single active
+    reference, so ref_idx_l0 is absent; mvd then CBP via the Table
+    9-4 Inter mapping, then the shared CAVLC residual)."""
+    from .h264_inter import CBP_INTER_FROM_CODENUM, predict_mv
+
+    _bump(counts, "p16")
+    mvp = predict_mv(st.mv, mx, my, st.mbw)
+    mv = (mvp[0] + r.se(), mvp[1] + r.se())
+    cbp_code = r.ue()
+    if cbp_code >= len(CBP_INTER_FROM_CODENUM):
+        raise ValueError("invalid coded_block_pattern code")
+    cbp = CBP_INTER_FROM_CODENUM[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        st.qp = (st.qp + r.se() + 52) % 52
+    lv_luma = [[0] * 16 for _ in range(16)]
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        gx, gy = mx * 4 + bx, my * 4 + by
+        if cbp_luma & (1 << (blk >> 2)):
+            n_c = _nc_from_grid(st.tc_y, gx, gy)
+            lv_luma[blk], tc = decode_residual_block(r, n_c, 16)
+            st.tc_y[gy, gx] = tc
+        else:
+            st.tc_y[gy, gx] = 0
+    dc_c, ac_c = _read_chroma_residual(r, st.tc_c, mx, my, cbp_chroma)
+    _recon_inter_mb(
+        st, mx, my, ref, mv, lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma
+    )
+
+
+def _recon_pskip(st, mx: int, my: int, ref, counts):
+    """P_Skip: motion-compensated copy at the skip-predicted MV, no
+    residual, no TotalCoeff contribution (8.4.1.1)."""
+    from .h264_inter import skip_mv
+
+    _bump(counts, "pskip")
+    mv = skip_mv(st.mv, mx, my, st.mbw)
+    st.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+    for c in range(2):
+        st.tc_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    _recon_inter_mb(st, mx, my, ref, mv, None, 0, None, None, 0)
+
+
+def decode_slice(
+    r,
+    sps: dict,
+    pps: dict,
+    qp: int,
+    deblock_disabled: bool,
+    slice_kind: str = "I",
+    ref=None,
+    counts: dict | None = None,
+):
+    """Decode all macroblocks of a single-slice picture; `r` is
+    positioned at the first slice_data element.  Returns (y, cb, cr)
+    uint8 planes at macroblock-aligned (uncropped) size.
+
+    I slices handle mb_type 25 (I_PCM), 0 (I_4x4) and 1..24 (I_16x16)
+    in any mix.  P slices (slice_kind="P", `ref` = previous frame's
+    uncropped planes) additionally handle mb_skip_run / P_Skip and
+    P_L0_16x16 over the single reference; partitioned inter shapes
+    (P_16x8/8x16/8x8) raise NotImplementedError naming the PyAV tier.
+
+    Entropy-coded macroblocks in a stream whose deblocking filter is
+    not explicitly disabled raise NotImplementedError (exact-or-
+    refuse; an undeblocked approximation would silently differ from a
+    conformant decoder — I_PCM-only pictures are exempt because their
+    deblock QP is 0, making the filter a no-op at every I_PCM/I_PCM
+    edge, spec 8.7).  When `counts` is a dict, the keys
+    "i4"/"i16"/"ipcm"/"p16"/"pskip" are incremented per macroblock
+    (probe/coverage instrumentation)."""
+    st = _SliceState(sps, pps, qp)
+    is_p = slice_kind == "P"
+    if is_p and ref is None:
+        raise ValueError("P slice without a decoded reference frame")
+    n_mbs = st.mbw * st.mbh
+    mb = 0
+    while mb < n_mbs:
+        if is_p:
+            run = r.ue()  # mb_skip_run (7.3.4)
+            if mb + run > n_mbs:
+                raise ValueError("mb_skip_run overruns the picture")
+            if run and not deblock_disabled:
+                raise NotImplementedError(
+                    "deblocking-filtered P slices need the PyAV tier"
+                )
+            for _ in range(run):
+                my, mx = divmod(mb, st.mbw)
+                _recon_pskip(st, mx, my, ref, counts)
+                mb += 1
+            if mb >= n_mbs:
+                break
+        my, mx = divmod(mb, st.mbw)
+        mb_type = r.ue()
+        if is_p:
+            if mb_type in P_PARTITIONED_TYPES:
+                raise NotImplementedError(
+                    "partitioned P macroblocks (16x8/8x16/8x8) need"
+                    " the PyAV tier; the pure tier decodes 16x16"
+                    " partitions"
+                )
+            if mb_type == 0:  # P_L0_16x16
+                if not deblock_disabled:
+                    raise NotImplementedError(
+                        "deblocking-filtered P slices need the PyAV"
+                        " tier"
+                    )
+                _decode_p16_mb(r, st, mx, my, ref, counts)
+                mb += 1
+                continue
+            mb_type -= 5  # intra mb_type offset in P slices (7.4.5)
+        _decode_intra_mb(r, st, mx, my, mb_type, deblock_disabled, counts)
+        mb += 1
+    return st.planes_u8()
+
+
+#: P mb_types the pure tier refuses (sub-16x16 partitions)
+P_PARTITIONED_TYPES = {1, 2, 3, 4}
+
+
 def decode_islice(
     r,
     sps: dict,
@@ -999,185 +1344,11 @@ def decode_islice(
     deblock_disabled: bool,
     counts: dict | None = None,
 ):
-    """Decode all macroblocks of a single-slice CAVLC/I_PCM intra
-    picture; `r` is positioned at the first mb_type.  Returns
-    (y, cb, cr) uint8 planes at macroblock-aligned (uncropped) size.
-
-    Handles mb_type 25 (I_PCM), 0 (I_4x4) and 1..24 (I_16x16) in any
-    mix.  Entropy-coded macroblocks in a stream whose deblocking
-    filter is not explicitly disabled raise NotImplementedError (the
-    pure tier is exact-or-refuse; an undeblocked approximation would
-    silently differ from a conformant decoder — I_PCM-only pictures
-    are exempt because their deblock QP is 0, making the filter a
-    no-op at every I_PCM/I_PCM edge, spec 8.7).  When `counts` is a
-    dict, the keys "i4"/"i16"/"ipcm" are incremented per macroblock
-    (probe/coverage instrumentation)."""
-    np = _np()
-    mbw = sps["pic_width_in_mbs"]
-    mbh = sps["pic_height_in_map_units"]
-    w, h = mbw * 16, mbh * 16
-    y = np.zeros((h, w), dtype=np.int64)
-    cb = np.zeros((h // 2, w // 2), dtype=np.int64)
-    cr = np.zeros((h // 2, w // 2), dtype=np.int64)
-    tc_y = np.zeros((mbh * 4, mbw * 4), dtype=np.int64)
-    tc_c = [
-        np.zeros((mbh * 2, mbw * 2), dtype=np.int64) for _ in range(2)
-    ]
-    #: per-4x4-block Intra_4x4 pred modes; 2 (DC) for non-I_4x4 MBs is
-    #: exactly the spec's neighbour inference (8.3.1.1)
-    mode4 = np.full((mbh * 4, mbw * 4), 2, dtype=np.int64)
-    dec4 = np.zeros((mbh * 4, mbw * 4), dtype=bool)
-    cq_off = pps.get("chroma_qp_index_offset", 0)
-
-    for mb in range(mbw * mbh):
-        my, mx = divmod(mb, mbw)
-        mb_type = r.ue()
-        if mb_type == 25:  # I_PCM — raw samples; slice QP carries
-            # over (I_PCM affects only the deblock QP, unused here)
-            if counts is not None:
-                counts["ipcm"] = counts.get("ipcm", 0) + 1
-            r.byte_align()
-            yb = np.frombuffer(r.bytes_at(256), dtype=np.uint8)
-            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = yb.reshape(
-                16, 16
-            )
-            cbb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
-            crb = np.frombuffer(r.bytes_at(64), dtype=np.uint8)
-            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cbb.reshape(8, 8)
-            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = crb.reshape(8, 8)
-            tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
-            for c in range(2):
-                tc_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
-            dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-            continue
-        if mb_type > 25:
-            raise ValueError(f"invalid I-slice mb_type {mb_type}")
-        if not deblock_disabled:
-            raise NotImplementedError(
-                "deblocking-filtered CAVLC H.264 needs the PyAV tier;"
-                " the pure tier decodes deblock-disabled intra streams"
-            )
-
-        if mb_type == 0:  # I_4x4 (I_NxN; baseline has no 8x8 transform)
-            if counts is not None:
-                counts["i4"] = counts.get("i4", 0) + 1
-            modes = []
-            for blk in range(16):
-                bx, by = _blk_xy(blk)
-                gx, gy = mx * 4 + bx, my * 4 + by
-                pm = _pred_mode_4x4(mode4, gx, gy)
-                if r.u(1):  # prev_intra4x4_pred_mode_flag
-                    mode = pm
-                else:
-                    rem = r.u(3)
-                    mode = rem if rem < pm else rem + 1
-                mode4[gy, gx] = mode
-                modes.append(mode)
-            chroma_mode = r.ue()
-            cbp_code = r.ue()
-            if cbp_code >= len(CBP_INTRA_FROM_CODENUM):
-                raise ValueError("invalid coded_block_pattern code")
-            cbp = CBP_INTRA_FROM_CODENUM[cbp_code]
-            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-            if cbp:
-                qp = (qp + r.se() + 52) % 52
-            lv_luma = [[0] * 16 for _ in range(16)]
-            for blk in range(16):
-                bx, by = _blk_xy(blk)
-                gx, gy = mx * 4 + bx, my * 4 + by
-                if cbp_luma & (1 << (blk >> 2)):
-                    n_c = _nc_from_grid(tc_y, gx, gy)
-                    lv_luma[blk], tc = decode_residual_block(r, n_c, 16)
-                    tc_y[gy, gx] = tc
-                else:
-                    tc_y[gy, gx] = 0
-            dc_c, ac_c = _read_chroma_residual(
-                r, tc_c, mx, my, cbp_chroma
-            )
-            # reconstruct luma sequentially (later blocks predict from
-            # earlier reconstructions)
-            for blk in range(16):
-                bx, by = _blk_xy(blk)
-                gx, gy = mx * 4 + bx, my * 4 + by
-                px, py = mx * 16 + bx * 4, my * 16 + by * 4
-                t, l, tl, have_t, have_l, have_tr = _gather4(
-                    y, dec4, px, py, w
-                )
-                pred = predict_4x4(
-                    modes[blk], t, l, tl, have_t, have_l, have_tr
-                )
-                if cbp_luma & (1 << (blk >> 2)):
-                    res = inverse_transform_4x4(
-                        dequant_4x4(lv_luma[blk], qp)
-                    )
-                else:
-                    res = 0
-                y[py : py + 4, px : px + 4] = np.clip(pred + res, 0, 255)
-                dec4[gy, gx] = True
-        else:  # I_16x16: prediction mode and CBP from mb_type (7.4.5)
-            if counts is not None:
-                counts["i16"] = counts.get("i16", 0) + 1
-            k = mb_type - 1
-            pm16 = k % 4
-            luma_flag = k >= 12
-            cbp_chroma = (k - (12 if luma_flag else 0)) // 4
-            chroma_mode = r.ue()
-            qp = (qp + r.se() + 52) % 52  # mb_qp_delta always present
-            gx0, gy0 = mx * 4, my * 4
-            n_c = _nc_from_grid(tc_y, gx0, gy0)
-            dc_levels, _dc_tc = decode_residual_block(r, n_c, 16)
-            ac_blocks = [[0] * 15 for _ in range(16)]
-            for blk in range(16):
-                bx, by = _blk_xy(blk)
-                gx, gy = mx * 4 + bx, my * 4 + by
-                if luma_flag:
-                    n_c = _nc_from_grid(tc_y, gx, gy)
-                    ac_blocks[blk], tc = decode_residual_block(r, n_c, 15)
-                    tc_y[gy, gx] = tc
-                else:
-                    tc_y[gy, gx] = 0
-            dc_c, ac_c = _read_chroma_residual(
-                r, tc_c, mx, my, cbp_chroma
-            )
-            px, py = mx * 16, my * 16
-            have_t, have_l = my > 0, mx > 0
-            t = y[py - 1, px : px + 16] if have_t else np.zeros(16, np.int64)
-            l = y[py : py + 16, px - 1] if have_l else np.zeros(16, np.int64)
-            tl = int(y[py - 1, px - 1]) if have_t and have_l else 0
-            pred = predict_16x16(pm16, t, l, tl, have_t, have_l)
-            y[py : py + 16, px : px + 16] = _recon_luma16_dc_ac(
-                pred, dc_levels, ac_blocks, qp
-            )
-            dec4[gy0 : gy0 + 4, gx0 : gx0 + 4] = True
-
-        # chroma reconstruction (shared by I_4x4 and I_16x16)
-        qpc = chroma_qp(qp, cq_off)
-        cx, cy = mx * 8, my * 8
-        have_t, have_l = my > 0, mx > 0
-        for c, plane in ((0, cb), (1, cr)):
-            t = (
-                plane[cy - 1, cx : cx + 8]
-                if have_t
-                else np.zeros(8, np.int64)
-            )
-            l = (
-                plane[cy : cy + 8, cx - 1]
-                if have_l
-                else np.zeros(8, np.int64)
-            )
-            tl = int(plane[cy - 1, cx - 1]) if have_t and have_l else 0
-            pred = predict_chroma(chroma_mode, t, l, tl, have_t, have_l)
-            if cbp_chroma:
-                rec = _recon_chroma(pred, dc_c[c], ac_c[c], qpc)
-            else:
-                rec = np.clip(pred, 0, 255)
-            plane[cy : cy + 8, cx : cx + 8] = rec
-
-    return (
-        y.astype(np.uint8),
-        cb.astype(np.uint8),
-        cr.astype(np.uint8),
+    """Back-compat wrapper: decode an I slice (see decode_slice)."""
+    return decode_slice(
+        r, sps, pps, qp, deblock_disabled, "I", None, counts
     )
+
 
 
 def _read_chroma_residual(r, tc_c, mx: int, my: int, cbp_chroma: int):
@@ -1330,8 +1501,44 @@ def _try_i16(y, src, mx: int, my: int, qp: int):
     return ssd, mode, dc_levels, ac_blocks, recon, luma_flag
 
 
+def _quant_chroma_resid(preds, src_cb, src_cr, qpc: int):
+    """Quantise the chroma residual for one macroblock given the two
+    8x8 prediction blocks (intra prediction or motion compensation —
+    the caller chooses).  Returns (cbp_chroma, dc[2][4], ac[2][4][15],
+    recons[2]) with the reconstruction run through the decoder's own
+    dequant path (closed loop), and with non-coded parts zeroed so the
+    recon matches what a decoder reconstructs from the bits."""
+    np = _np()
+    dc = [[0] * 4, [0] * 4]
+    ac = [[[0] * 15 for _ in range(4)] for _ in range(2)]
+    for c, (pred, src) in enumerate(zip(preds, (src_cb, src_cr))):
+        resid = src.astype(np.int64) - pred
+        dc4 = []
+        for blk in range(4):
+            bx, by = (blk & 1) * 4, (blk >> 1) * 4
+            wt = forward_transform_4x4(resid[by : by + 4, bx : bx + 4])
+            dc4.append(int(wt[0, 0]))
+            ac[c][blk] = quant_4x4(wt, qpc, skip_dc=True)[1:]
+        dc[c] = _quant_dc_chroma(dc4, qpc)
+    any_ac = any(any(b) for comp in ac for b in comp)
+    any_dc = any(any(d) for d in dc)
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    if cbp_chroma < 2:  # AC not coded → decoder reconstructs with 0s
+        ac = [[[0] * 15 for _ in range(4)] for _ in range(2)]
+    if cbp_chroma == 0:
+        dc = [[0] * 4, [0] * 4]
+    recons = []
+    for c, pred in enumerate(preds):
+        if cbp_chroma:
+            recons.append(_recon_chroma(pred, dc[c], ac[c], qpc))
+        else:
+            recons.append(np.clip(pred, 0, 255))
+    return cbp_chroma, dc, ac, recons
+
+
 def _encode_chroma(cb, cr, src_cb, src_cr, mx: int, my: int, qpc: int):
-    """Chroma mode decision + quantisation for one macroblock.
+    """Intra chroma for one macroblock: best-SAD prediction mode over
+    the available subset, then the shared residual quantisation.
     Returns (mode, cbp_chroma, dc[2][4], ac[2][4][15], recon[2])."""
     np = _np()
     cx, cy = mx * 8, my * 8
@@ -1365,32 +1572,9 @@ def _encode_chroma(cb, cr, src_cb, src_cr, mx: int, my: int, qpc: int):
         if best is None or sad < best[0]:
             best = (sad, mode, preds)
     _sad, mode, preds = best
-    dc = [[0] * 4, [0] * 4]
-    ac = [[[0] * 15 for _ in range(4)] for _ in range(2)]
-    for c, (pred, src) in enumerate(
-        zip(preds, (src_cb, src_cr))
-    ):
-        resid = src.astype(np.int64) - pred
-        dc4 = []
-        for blk in range(4):
-            bx, by = (blk & 1) * 4, (blk >> 1) * 4
-            wt = forward_transform_4x4(resid[by : by + 4, bx : bx + 4])
-            dc4.append(int(wt[0, 0]))
-            ac[c][blk] = quant_4x4(wt, qpc, skip_dc=True)[1:]
-        dc[c] = _quant_dc_chroma(dc4, qpc)
-    any_ac = any(any(b) for comp in ac for b in comp)
-    any_dc = any(any(d) for d in dc)
-    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
-    if cbp_chroma < 2:  # AC not coded → decoder reconstructs with 0s
-        ac = [[[0] * 15 for _ in range(4)] for _ in range(2)]
-    if cbp_chroma == 0:
-        dc = [[0] * 4, [0] * 4]
-    recons = []
-    for c, pred in enumerate(preds):
-        if cbp_chroma:
-            recons.append(_recon_chroma(pred, dc[c], ac[c], qpc))
-        else:
-            recons.append(np.clip(pred, 0, 255))
+    cbp_chroma, dc, ac, recons = _quant_chroma_resid(
+        preds, src_cb, src_cr, qpc
+    )
     return mode, cbp_chroma, dc, ac, recons
 
 
@@ -1411,6 +1595,150 @@ def _write_chroma_residual(
                 )
             else:
                 tc_c[c][cgy, cgx] = 0
+
+
+class _EncState:
+    """Per-frame encoder state mirroring _SliceState: reconstruction
+    planes + the neighbour grids both syntax writing (nC, pred-mode
+    inference, MV prediction) and closed-loop reconstruction need."""
+
+    def __init__(self, mbw: int, mbh: int):
+        np = _np()
+        h, w = mbh * 16, mbw * 16
+        self.mbw, self.mbh = mbw, mbh
+        self.y = np.zeros((h, w), dtype=np.int64)
+        self.cb = np.zeros((h // 2, w // 2), dtype=np.int64)
+        self.cr = np.zeros((h // 2, w // 2), dtype=np.int64)
+        self.tc_y = np.zeros((mbh * 4, mbw * 4), dtype=np.int64)
+        self.tc_c = [
+            np.zeros((mbh * 2, mbw * 2), dtype=np.int64)
+            for _ in range(2)
+        ]
+        self.mode4 = np.full((mbh * 4, mbw * 4), 2, dtype=np.int64)
+        self.dec4 = np.zeros((mbh * 4, mbw * 4), dtype=bool)
+        self.mv: list[list] = [[None] * mbw for _ in range(mbh)]
+
+    def planes_u8(self):
+        np = _np()
+        return (
+            self.y.astype(np.uint8),
+            self.cb.astype(np.uint8),
+            self.cr.astype(np.uint8),
+        )
+
+
+def _encode_intra_mb(
+    s,
+    est: _EncState,
+    mx: int,
+    my: int,
+    src_y_mb,
+    src_cb_mb,
+    src_cr_mb,
+    qp: int,
+    qpc: int,
+    mb_type_offset: int = 0,
+):
+    """Closed-loop intra encode + syntax write for one macroblock
+    (shared by the I-frame encoder and intra fallbacks inside P
+    slices, which pass mb_type_offset=5 per Table 7-13)."""
+    np = _np()
+    mbw = est.mbw
+    ssd4, modes, lv4, rec4 = _try_i4(
+        est.y, est.dec4, src_y_mb, mx, my, qp
+    )
+    ssd16, pm16, dc_lv, ac_lv, rec16, luma_flag = _try_i16(
+        est.y, src_y_mb, mx, my, qp
+    )
+    cmode, cbp_chroma, cdc, cac, crec = _encode_chroma(
+        est.cb, est.cr, src_cb_mb, src_cr_mb, mx, my, qpc
+    )
+    if ssd4 < ssd16:  # ties → I_16x16 (fewer bits)
+        s.ue(0 + mb_type_offset)  # mb_type I_4x4
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            gx, gy = mx * 4 + bx, my * 4 + by
+            pm = _pred_mode_4x4(est.mode4, gx, gy)
+            mode = modes[blk]
+            if mode == pm:
+                s.u(1, 1)
+            else:
+                s.u(0, 1)
+                s.u(mode if mode < pm else mode - 1, 3)
+            est.mode4[gy, gx] = mode
+        cbp_luma = 0
+        for q in range(4):
+            if any(any(lv4[b]) for b in range(q * 4, q * 4 + 4)):
+                cbp_luma |= 1 << q
+        s.ue(cmode)
+        cbp = cbp_luma | (cbp_chroma << 4)
+        s.ue(CODENUM_FROM_CBP_INTRA[cbp])
+        if cbp:
+            s.se(0)  # mb_qp_delta
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if cbp_luma & (1 << (blk >> 2)):
+                n_c = _nc_from_grid(est.tc_y, gx, gy)
+                est.tc_y[gy, gx] = encode_residual_block(
+                    s, lv4[blk], n_c
+                )
+            else:
+                est.tc_y[gy, gx] = 0
+        _write_chroma_residual(
+            s, est.tc_c, mx, my, cbp_chroma, cdc, cac
+        )
+        # commit the tentative pass's reconstruction (identical state)
+        est.y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = rec4
+    else:
+        mb_type = 1 + pm16 + 4 * cbp_chroma + (12 if luma_flag else 0)
+        s.ue(mb_type + mb_type_offset)
+        s.ue(cmode)
+        s.se(0)  # mb_qp_delta
+        n_c = _nc_from_grid(est.tc_y, mx * 4, my * 4)
+        encode_residual_block(s, dc_lv, n_c)
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if luma_flag:
+                n_c = _nc_from_grid(est.tc_y, gx, gy)
+                est.tc_y[gy, gx] = encode_residual_block(
+                    s, ac_lv[blk], n_c
+                )
+            else:
+                est.tc_y[gy, gx] = 0
+        _write_chroma_residual(
+            s, est.tc_c, mx, my, cbp_chroma, cdc, cac
+        )
+        est.y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = rec16
+    est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+    est.mv[my][mx] = None  # intra: no MV context for neighbours
+    cx, cy = mx * 8, my * 8
+    est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
+    est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
+
+
+def _frames_to_planes(frames, yuv: bool):
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import _rgb_to_yuv420
+
+    frames = list(frames)
+    if not frames:
+        raise ValueError("need at least one frame")
+    if yuv:
+        planes = [
+            tuple(np.asarray(p, dtype=np.uint8) for p in f)
+            for f in frames
+        ]
+        h, w = planes[0][0].shape
+    else:
+        arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+        h, w = arrs[0].shape[:2]
+        planes = [_rgb_to_yuv420(a) for a in arrs]
+    if h % 16 or w % 16:
+        raise ValueError("intra encoder needs multiple-of-16 dimensions")
+    return planes, h, w
 
 
 def encode_h264_intra(
@@ -1439,26 +1767,12 @@ def encode_h264_intra(
         NAL_SPS,
         _BitWriter,
         _nal,
-        _rgb_to_yuv420,
         write_sps_pps,
     )
 
     if not 0 <= qp <= 51:
         raise ValueError("qp must be in [0, 51]")
-    frames = list(frames)
-    if not frames:
-        raise ValueError("need at least one frame")
-    if yuv:
-        planes = [
-            tuple(np.asarray(p, dtype=np.uint8) for p in f) for f in frames
-        ]
-        h, w = planes[0][0].shape
-    else:
-        arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
-        h, w = arrs[0].shape[:2]
-        planes = [_rgb_to_yuv420(a) for a in arrs]
-    if h % 16 or w % 16:
-        raise ValueError("intra encoder needs multiple-of-16 dimensions")
+    planes, h, w = _frames_to_planes(frames, yuv)
     mbw, mbh = w // 16, h // 16
     qpc = chroma_qp(qp, 0)
 
@@ -1473,15 +1787,7 @@ def encode_h264_intra(
         src_y = src_y8.astype(np.int64)
         src_cb = src_cb8.astype(np.int64)
         src_cr = src_cr8.astype(np.int64)
-        y = np.zeros((h, w), dtype=np.int64)
-        cb = np.zeros((h // 2, w // 2), dtype=np.int64)
-        cr = np.zeros((h // 2, w // 2), dtype=np.int64)
-        tc_y = np.zeros((mbh * 4, mbw * 4), dtype=np.int64)
-        tc_c = [
-            np.zeros((mbh * 2, mbw * 2), dtype=np.int64) for _ in range(2)
-        ]
-        mode4 = np.full((mbh * 4, mbw * 4), 2, dtype=np.int64)
-        dec4 = np.zeros((mbh * 4, mbw * 4), dtype=bool)
+        est = _EncState(mbw, mbh)
 
         s = _BitWriter()
         s.ue(0)        # first_mb_in_slice
@@ -1496,92 +1802,15 @@ def encode_h264_intra(
 
         for mb in range(mbw * mbh):
             my, mx = divmod(mb, mbw)
-            src_mb = src_y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
-            ssd4, modes, lv4, rec4 = _try_i4(
-                y, dec4, src_mb, mx, my, qp
-            )
-            ssd16, pm16, dc_lv, ac_lv, rec16, luma_flag = _try_i16(
-                y, src_mb, mx, my, qp
-            )
-            cmode, cbp_chroma, cdc, cac, crec = _encode_chroma(
-                cb, cr,
+            _encode_intra_mb(
+                s, est, mx, my,
+                src_y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
                 src_cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
                 src_cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                mx, my, qpc,
+                qp, qpc,
             )
-            if ssd4 < ssd16:  # ties → I_16x16 (fewer bits)
-                s.ue(0)  # mb_type I_4x4
-                for blk in range(16):
-                    bx, by = _blk_xy(blk)
-                    gx, gy = mx * 4 + bx, my * 4 + by
-                    pm = _pred_mode_4x4(mode4, gx, gy)
-                    mode = modes[blk]
-                    if mode == pm:
-                        s.u(1, 1)
-                    else:
-                        s.u(0, 1)
-                        s.u(mode if mode < pm else mode - 1, 3)
-                    mode4[gy, gx] = mode
-                cbp_luma = 0
-                for q in range(4):
-                    if any(any(lv4[b]) for b in range(q * 4, q * 4 + 4)):
-                        cbp_luma |= 1 << q
-                s.ue(cmode)
-                cbp = cbp_luma | (cbp_chroma << 4)
-                s.ue(CODENUM_FROM_CBP_INTRA[cbp])
-                if cbp:
-                    s.se(0)  # mb_qp_delta
-                for blk in range(16):
-                    bx, by = _blk_xy(blk)
-                    gx, gy = mx * 4 + bx, my * 4 + by
-                    if cbp_luma & (1 << (blk >> 2)):
-                        n_c = _nc_from_grid(tc_y, gx, gy)
-                        tc_y[gy, gx] = encode_residual_block(
-                            s, lv4[blk], n_c
-                        )
-                    else:
-                        tc_y[gy, gx] = 0
-                _write_chroma_residual(
-                    s, tc_c, mx, my, cbp_chroma, cdc, cac
-                )
-                # re-run the committed reconstruction: the tentative
-                # pass used identical state, so this is a pure commit
-                y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = rec4
-            else:
-                mb_type = 1 + pm16 + 4 * cbp_chroma + (
-                    12 if luma_flag else 0
-                )
-                s.ue(mb_type)
-                s.ue(cmode)
-                s.se(0)  # mb_qp_delta
-                n_c = _nc_from_grid(tc_y, mx * 4, my * 4)
-                encode_residual_block(s, dc_lv, n_c)
-                for blk in range(16):
-                    bx, by = _blk_xy(blk)
-                    gx, gy = mx * 4 + bx, my * 4 + by
-                    if luma_flag:
-                        n_c = _nc_from_grid(tc_y, gx, gy)
-                        tc_y[gy, gx] = encode_residual_block(
-                            s, ac_lv[blk], n_c
-                        )
-                    else:
-                        tc_y[gy, gx] = 0
-                _write_chroma_residual(
-                    s, tc_c, mx, my, cbp_chroma, cdc, cac
-                )
-                y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = rec16
-            dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-            cx, cy = mx * 8, my * 8
-            cb[cy : cy + 8, cx : cx + 8] = crec[0]
-            cr[cy : cy + 8, cx : cx + 8] = crec[1]
         s.rbsp_trailing()
         out += _nal(NAL_IDR, 3, bytes(s.out))
         if recon_out is not None:
-            recon_out.append(
-                (
-                    y.astype(np.uint8),
-                    cb.astype(np.uint8),
-                    cr.astype(np.uint8),
-                )
-            )
+            recon_out.append(est.planes_u8())
     return bytes(out)

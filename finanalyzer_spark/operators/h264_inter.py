@@ -1,0 +1,556 @@
+"""Pure-python H.264 inter-prediction core: motion compensation + MV
+prediction for P slices.
+
+Round 7's second codec step: with operators/h264_cavlc providing the
+entropy layer and intra reconstruction, this module adds what
+motion-compensated video needs — quarter-pel luma interpolation (the
+6-tap [1,-5,20,20,-5,1] half-pel filter + quarter-pel averaging, spec
+8.4.2.2), eighth-pel bilinear chroma interpolation, median motion
+vector prediction incl. the P_Skip rule (8.4.1), and the INTER column
+of the coded_block_pattern me(v) mapping (Table 9-4).  The slice
+layer that consumes these lives in h264_cavlc.decode_slice (P
+macroblock parse/reconstruct) and the GOP encoder twin
+`encode_h264_video` below.
+
+Tier contract (exact-or-refuse, same as the intra tier): the decoder
+handles P_L0_16x16 partitions + P_Skip + intra macroblocks in P
+slices over a single reference picture — exactly what the encoder
+twin emits, and the simplest shape real low-latency encoders produce.
+Sub-partitioned macroblocks (P_16x8/P_8x16/P_8x8), multiple reference
+frames, reference list modification, weighted prediction, and B
+slices raise NotImplementedError naming the PyAV tier.
+
+Validation strategy (tests/test_h264_inter.py):
+* the 6-tap half-pel filter is pinned against hand-computed vectors;
+* quarter-pel positions are pinned against their defining averages
+  computed independently in the test;
+* decode == encoder-reconstruction bit-for-bit across QPs / motion
+  patterns (closed loop through the same MC path);
+* a translating scene must code dramatically smaller as P than as
+  intra, and a static scene must collapse to P_Skip runs.
+
+Spec grounding: ITU-T H.264 (08/2021) §7.3.5 / §7.4.5 (P macroblock
+types), §8.4.1 (MV prediction), §8.4.2.2 (fractional sample
+interpolation), Table 9-4 (me(v) inter column).  Reference context:
+the reference repo has no media surface — extended tier.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Table 9-4: codeNum → coded_block_pattern, Inter column, codeNum order.
+# ---------------------------------------------------------------------------
+CBP_INTER_FROM_CODENUM = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+CODENUM_FROM_CBP_INTER = {
+    cbp: n for n, cbp in enumerate(CBP_INTER_FROM_CODENUM)
+}
+
+#: P-slice mb_type values (Table 7-13); >= 5 means intra (subtract 5)
+P_L0_16x16 = 0
+P_INTRA_OFFSET = 5
+#: P partition shapes the pure tier refuses (need the PyAV tier)
+P_PARTITIONED = {1, 2, 3, 4}  # 16x8 / 8x16 / 8x8 / 8x8ref0
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+# ---------------------------------------------------------------------------
+# Fractional-sample interpolation (8.4.2.2)
+# ---------------------------------------------------------------------------
+def _six_tap(a, b, c, d, e, f):
+    """The half-sample FIR (8.4.2.2.1): 1 -5 20 20 -5 1, unnormalised."""
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def mc_luma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 16,
+            bw: int = 16):
+    """Motion-compensated luma block: `ref` is the full reference
+    plane; (px, py) the block's top-left in the current picture;
+    (mvx, mvy) the motion vector in QUARTER-pel units.  Out-of-bounds
+    reference samples are edge-clamped (the spec's coordinate Clip3).
+    Returns an int64 (bh, bw) block of clipped [0, 255] samples."""
+    np = _np()
+    h, w = ref.shape
+    x0, y0 = px + (mvx >> 2), py + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    # padded full-pel window: rows y0-2 .. y0+bh+3, cols x0-2 ..
+    # x0+bw+3 — two taps left/above, three taps plus one half-pel
+    # shift right/below (the dy/dx = 1 variants s and m)
+    ys = np.clip(np.arange(y0 - 2, y0 + bh + 4), 0, h - 1)
+    xs = np.clip(np.arange(x0 - 2, x0 + bw + 4), 0, w - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (bh+6, bw+6)
+
+    def full(dy, dx):  # full-pel grid shifted by (dy, dx) in {0, 1}
+        return win[2 + dy : 2 + dy + bh, 2 + dx : 2 + dx + bw]
+
+    if fx == 0 and fy == 0:
+        return full(0, 0)
+
+    # horizontal half-pel intermediates b1 at every row of the padded
+    # window (kept unnormalised — j needs them raw); b1[r, c]
+    # interpolates between padded-window columns c+2 and c+3
+    b1 = _six_tap(
+        win[:, 0 : bw + 1], win[:, 1 : bw + 2], win[:, 2 : bw + 3],
+        win[:, 3 : bw + 4], win[:, 4 : bw + 5], win[:, 5 : bw + 6],
+    )  # (bh+6, bw+1)
+    # vertical half-pel intermediates h1 at every column
+    h1 = _six_tap(
+        win[0 : bh + 1, :], win[1 : bh + 2, :], win[2 : bh + 3, :],
+        win[3 : bh + 4, :], win[4 : bh + 5, :], win[5 : bh + 6, :],
+    )  # (bh+1, bw+6)
+
+    def clip8(x):
+        return np.clip(x, 0, 255)
+
+    def b_half(dy, dx):  # clipped horizontal half-pel at row shift dy,
+        # between full-pel columns (dx, dx+1)
+        return clip8((b1[2 + dy : 2 + dy + bh, dx : dx + bw] + 16) >> 5)
+
+    def h_half(dy, dx):  # clipped vertical half-pel at column shift dx
+        return clip8((h1[dy : dy + bh, 2 + dx : 2 + dx + bw] + 16) >> 5)
+
+    if fy == 0:  # row of full-pel: G a b c
+        b = b_half(0, 0)
+        if fx == 1:
+            return (full(0, 0) + b + 1) >> 1
+        if fx == 2:
+            return b
+        return (full(0, 1) + b + 1) >> 1
+    if fx == 0:  # column: G d h n
+        hh = h_half(0, 0)
+        if fy == 1:
+            return (full(0, 0) + hh + 1) >> 1
+        if fy == 2:
+            return hh
+        return (full(1, 0) + hh + 1) >> 1
+
+    # centre family needs j: vertical 6-tap over the UNNORMALISED b1
+    # intermediates (8.4.2.2.1's two-stage path), then (j1+512)>>10
+    def j_half(dx):  # centre half-pel between columns (dx, dx+1)
+        j1 = _six_tap(
+            b1[0 : bh, dx : dx + bw], b1[1 : bh + 1, dx : dx + bw],
+            b1[2 : bh + 2, dx : dx + bw], b1[3 : bh + 3, dx : dx + bw],
+            b1[4 : bh + 4, dx : dx + bw], b1[5 : bh + 5, dx : dx + bw],
+        )
+        return clip8((j1 + 512) >> 10)
+
+    j = j_half(0)
+    if fx == 2 and fy == 2:
+        return j
+    if fx == 2:  # f (fy=1) / q (fy=3): average j with b above/below
+        b = b_half(0, 0) if fy == 1 else b_half(1, 0)
+        return (b + j + 1) >> 1
+    if fy == 2:  # i (fx=1) / k (fx=3): average j with h left/right
+        hh = h_half(0, 0) if fx == 1 else h_half(0, 1)
+        return (hh + j + 1) >> 1
+    # corner quarter-pels e/g/p/r: average the adjacent b and h
+    b = b_half(0, 0) if fy == 1 else b_half(1, 0)
+    hh = h_half(0, 0) if fx == 1 else h_half(0, 1)
+    return (b + hh + 1) >> 1
+
+
+def mc_chroma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 8,
+              bw: int = 8):
+    """Motion-compensated chroma block (8.4.2.2.2): `ref` is the
+    chroma reference plane, (px, py) the block's top-left in CHROMA
+    coordinates, (mvx, mvy) the LUMA motion vector in quarter-pel
+    units (eighth-pel in chroma).  Bilinear interpolation with
+    edge-clamped sampling."""
+    np = _np()
+    h, w = ref.shape
+    x0, y0 = px + (mvx >> 3), py + (mvy >> 3)
+    dx, dy = mvx & 7, mvy & 7
+    ys = np.clip(np.arange(y0, y0 + bh + 1), 0, h - 1)
+    xs = np.clip(np.arange(x0, x0 + bw + 1), 0, w - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    a = win[0:bh, 0:bw]
+    b = win[0:bh, 1 : bw + 1]
+    c = win[1 : bh + 1, 0:bw]
+    d = win[1 : bh + 1, 1 : bw + 1]
+    return (
+        (8 - dx) * (8 - dy) * a
+        + dx * (8 - dy) * b
+        + (8 - dx) * dy * c
+        + dx * dy * d
+        + 32
+    ) >> 6
+
+
+# ---------------------------------------------------------------------------
+# Motion vector prediction (8.4.1.3) at whole-macroblock granularity
+# (the only partition shape this tier codes is 16x16)
+# ---------------------------------------------------------------------------
+def predict_mv(mv_grid, mx: int, my: int, mbw: int):
+    """Median MV predictor for a 16x16 partition.  `mv_grid[my][mx]`
+    is (mvx, mvy) for inter macroblocks, None for intra ones, and
+    out-of-range means unavailable.  Returns (mvx, mvy)."""
+
+    def fetch(x, y):
+        if x < 0 or y < 0 or x >= mbw or y >= len(mv_grid):
+            return None  # unavailable
+        return mv_grid[y][x]  # None when intra
+
+    a = fetch(mx - 1, my)
+    b = fetch(mx, my - 1)
+    c = fetch(mx + 1, my - 1)
+    if mx + 1 >= mbw or my == 0:
+        c = fetch(mx - 1, my - 1)  # substitute D (8.4.1.3.2)
+    # spec special case: B and C both unavailable (not merely intra)
+    # and A available → predictor is A
+    b_unavail = my == 0
+    c_unavail = my == 0  # C (or its D substitute) exists iff a row above
+    if b_unavail and c_unavail and mx > 0:
+        mva = a if a is not None else (0, 0)
+        return mva
+    # general: intra/unavailable neighbours contribute (0, 0); if
+    # exactly one neighbour is inter with the (only) reference, take it
+    cands = [a, b, c]
+    inter = [m for m in cands if m is not None]
+    if len(inter) == 1:
+        return inter[0]
+    vals = [m if m is not None else (0, 0) for m in cands]
+    xs = sorted(v[0] for v in vals)
+    ys = sorted(v[1] for v in vals)
+    return xs[1], ys[1]
+
+
+def skip_mv(mv_grid, mx: int, my: int, mbw: int):
+    """P_Skip motion vector (8.4.1.1): zero when the left or above
+    macroblock is unavailable, or when either is inter with a zero MV
+    (on the only reference); otherwise the median predictor."""
+    if mx == 0 or my == 0:
+        return 0, 0
+    a = mv_grid[my][mx - 1]
+    b = mv_grid[my - 1][mx]
+    if a == (0, 0) or b == (0, 0):
+        return 0, 0
+    return predict_mv(mv_grid, mx, my, mbw)
+
+
+# ---------------------------------------------------------------------------
+# GOP encoder twin (IDR + P frames)
+# ---------------------------------------------------------------------------
+def _motion_search(ref_y, src_mb, px: int, py: int, mvp,
+                   search_range: int):
+    """Best-SAD motion estimation for one 16x16 block: full-pel
+    search in a ±search_range window around the predictor, then two
+    sub-pel refinement rounds (half, then quarter) through the exact
+    interpolation path the decoder runs.  Cost = SAD + |mvd| (a tiny
+    rate term that also makes ties deterministic toward the
+    predictor).  Returns (mvx, mvy) in quarter-pel units."""
+    np = _np()
+
+    def cost(mvx, mvy):
+        pred = mc_luma(ref_y, px, py, mvx, mvy)
+        return int(np.abs(pred - src_mb).sum()) + abs(mvx - mvp[0]) + abs(
+            mvy - mvp[1]
+        )
+
+    # full-pel raster search around the rounded predictor
+    cx, cy = (mvp[0] + 2) >> 2 << 2, (mvp[1] + 2) >> 2 << 2
+    best = (cost(cx, cy), cx, cy)
+    for dy in range(-search_range, search_range + 1):
+        for dx in range(-search_range, search_range + 1):
+            if dx == 0 and dy == 0:
+                continue
+            mvx, mvy = cx + 4 * dx, cy + 4 * dy
+            c = cost(mvx, mvy)
+            if c < best[0]:
+                best = (c, mvx, mvy)
+    # sub-pel refinement: half then quarter
+    for step in (2, 1):
+        _c, bx, by = best
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dx == 0 and dy == 0:
+                    continue
+                c = cost(bx + dx, by + dy)
+                if c < best[0]:
+                    best = (c, bx + dx, by + dy)
+    return best[1], best[2]
+
+
+def encode_h264_video(
+    frames,
+    qp: int = 28,
+    gop: int = 8,
+    yuv: bool = False,
+    search_range: int = 4,
+    recon_out: list | None = None,
+) -> bytes:
+    """Encoder twin for the motion-compensated tier: an Annex-B
+    baseline stream of IDR pictures every `gop` frames with P
+    pictures between — P macroblocks are P_Skip, P_L0_16x16 (motion
+    search through the decoder's exact quarter-pel interpolation), or
+    intra fallback (I_4x4/I_16x16, mb_type offset 5), whichever
+    reconstructs with the least SSD.  Closed loop throughout: every
+    candidate is reconstructed through the decoder's own MC + dequant
+    path, so decode(encode(x)) equals the encoder's reconstruction
+    bit-for-bit (recon_out collects it per frame, as in
+    encode_h264_intra).  Deblocking is explicitly disabled; `gop`
+    must be >= 2 (consecutive IDRs would need distinct idr_pic_id
+    handling this twin doesn't model)."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        NAL_PPS,
+        NAL_SLICE,
+        NAL_SPS,
+        _BitWriter,
+        _nal,
+        write_sps_pps,
+    )
+    from finanalyzer_spark.operators.h264_cavlc import (
+        _blk_xy,
+        _EncState,
+        _encode_intra_mb,
+        _frames_to_planes,
+        _nc_from_grid,
+        _quant_chroma_resid,
+        _recon_chroma,
+        _write_chroma_residual,
+        chroma_qp,
+        dequant_4x4,
+        encode_h264_intra,
+        encode_residual_block,
+        forward_transform_4x4,
+        inverse_transform_4x4,
+        quant_4x4,
+    )
+
+    if not 0 <= qp <= 51:
+        raise ValueError("qp must be in [0, 51]")
+    if gop < 2:
+        raise ValueError("gop must be >= 2")
+    planes, h, w = _frames_to_planes(frames, yuv)
+    mbw, mbh = w // 16, h // 16
+    qpc = chroma_qp(qp, 0)
+
+    sps_rbsp, pps_rbsp = write_sps_pps(
+        mbw, mbh, pic_init_qp=qp, deblocking_control=True
+    )
+    out = bytearray()
+    out += _nal(NAL_SPS, 3, sps_rbsp)
+    out += _nal(NAL_PPS, 3, pps_rbsp)
+    ref = None  # (y, cb, cr) int64 reconstruction of the previous frame
+
+    def quant_luma_mb(src_mb, pred):
+        """16 per-4x4 quantised level lists + cbp_luma."""
+        resid = src_mb - pred
+        lv = []
+        cbp = 0
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            wt = forward_transform_4x4(
+                resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+            )
+            lv.append(quant_4x4(wt, qp))
+        for q in range(4):
+            if any(any(lv[b]) for b in range(q * 4, q * 4 + 4)):
+                cbp |= 1 << q
+        return lv, cbp
+
+    def recon_luma_mb(pred, lv, cbp_luma):
+        outb = np.zeros((16, 16), dtype=np.int64)
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            ps = pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+            if cbp_luma & (1 << (blk >> 2)):
+                res = inverse_transform_4x4(dequant_4x4(lv[blk], qp))
+            else:
+                res = 0
+            outb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = np.clip(
+                ps + res, 0, 255
+            )
+        return outb
+
+    for fi, (src_y8, src_cb8, src_cr8) in enumerate(planes):
+        if fi % gop == 0 or ref is None:  # IDR
+            rec: list = []
+            stream = encode_h264_intra(
+                [(src_y8, src_cb8, src_cr8)], qp=qp, yuv=True,
+                recon_out=rec,
+            )
+            # keep only the IDR NAL — SPS/PPS are already out front
+            # (identical bytes: same write_sps_pps parameters)
+            nals = [n for n in stream.split(b"\x00\x00\x00\x01") if n]
+            out += b"\x00\x00\x00\x01" + nals[-1]
+            ry, rcb, rcr = rec[0]
+            ref = (
+                ry.astype(np.int64),
+                rcb.astype(np.int64),
+                rcr.astype(np.int64),
+            )
+            if recon_out is not None:
+                recon_out.append(rec[0])
+            continue
+
+        src_y = src_y8.astype(np.int64)
+        src_cb = src_cb8.astype(np.int64)
+        src_cr = src_cr8.astype(np.int64)
+        est = _EncState(mbw, mbh)
+
+        s = _BitWriter()
+        s.ue(0)                 # first_mb_in_slice
+        s.ue(5)                 # slice_type: P (all slices in pic)
+        s.ue(0)                 # pps_id
+        s.u(fi % gop, 8)        # frame_num (increments from the IDR)
+        s.u(0, 1)               # num_ref_idx_active_override_flag
+        s.u(0, 1)               # ref_pic_list_modification_flag_l0
+        s.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
+        s.se(0)                 # slice_qp_delta
+        s.ue(1)                 # disable_deblocking_filter_idc
+
+        #: JM-style rate-distortion lambda for the SSD + lam*bits cost
+        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+
+        def clone_est():
+            n = _EncState.__new__(_EncState)
+            n.mbw, n.mbh = est.mbw, est.mbh
+            n.y, n.cb, n.cr = est.y.copy(), est.cb.copy(), est.cr.copy()
+            n.tc_y = est.tc_y.copy()
+            n.tc_c = [g.copy() for g in est.tc_c]
+            n.mode4 = est.mode4.copy()
+            n.dec4 = est.dec4.copy()
+            n.mv = [row[:] for row in est.mv]
+            return n
+
+        def bits_of(wr):
+            return 8 * len(wr.out) + wr.nbits
+
+        skip_run = 0
+        for mb in range(mbw * mbh):
+            my, mx = divmod(mb, mbw)
+            px, py = mx * 16, my * 16
+            cx, cy = mx * 8, my * 8
+            src_mb = src_y[py : py + 16, px : px + 16]
+            src_cb_mb = src_cb[cy : cy + 8, cx : cx + 8]
+            src_cr_mb = src_cr[cy : cy + 8, cx : cx + 8]
+
+            # --- P candidate: motion search + residual ---
+            mvp = predict_mv(est.mv, mx, my, mbw)
+            mv = _motion_search(
+                ref[0], src_mb, px, py, mvp, search_range
+            )
+            pred_y = mc_luma(ref[0], px, py, mv[0], mv[1])
+            lv, cbp_luma = quant_luma_mb(src_mb, pred_y)
+            pred_cb = mc_chroma(ref[1], cx, cy, mv[0], mv[1])
+            pred_cr = mc_chroma(ref[2], cx, cy, mv[0], mv[1])
+            cbp_chroma, cdc, cac, crec = _quant_chroma_resid(
+                (pred_cb, pred_cr), src_cb_mb, src_cr_mb, qpc
+            )
+            rec_y = recon_luma_mb(pred_y, lv, cbp_luma)
+            ssd_p = int(((rec_y - src_mb) ** 2).sum())
+            ssd_p += int(((crec[0] - src_cb_mb) ** 2).sum())
+            ssd_p += int(((crec[1] - src_cr_mb) ** 2).sum())
+
+            def write_p16(wr, tc_y, tc_c):
+                wr.ue(0)  # mb_type P_L0_16x16
+                wr.se(mv[0] - mvp[0])
+                wr.se(mv[1] - mvp[1])
+                cbp = cbp_luma | (cbp_chroma << 4)
+                wr.ue(CODENUM_FROM_CBP_INTER[cbp])
+                if cbp:
+                    wr.se(0)  # mb_qp_delta
+                for blk in range(16):
+                    bx, by = _blk_xy(blk)
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    if cbp_luma & (1 << (blk >> 2)):
+                        n_c = _nc_from_grid(tc_y, gx, gy)
+                        tc_y[gy, gx] = encode_residual_block(
+                            wr, lv[blk], n_c
+                        )
+                    else:
+                        tc_y[gy, gx] = 0
+                _write_chroma_residual(
+                    wr, tc_c, mx, my, cbp_chroma, cdc, cac
+                )
+
+            probe = _BitWriter()
+            write_p16(probe, est.tc_y.copy(), [g.copy() for g in est.tc_c])
+            cost_p = ssd_p + lam * bits_of(probe)
+
+            # --- P_Skip candidate: skip MV, no residual, ~free bits ---
+            mv_sk = skip_mv(est.mv, mx, my, mbw)
+            skip_y = mc_luma(ref[0], px, py, mv_sk[0], mv_sk[1])
+            skip_cb = np.clip(
+                mc_chroma(ref[1], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
+            )
+            skip_cr = np.clip(
+                mc_chroma(ref[2], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
+            )
+            ssd_skip = int(((skip_y - src_mb) ** 2).sum())
+            ssd_skip += int(((skip_cb - src_cb_mb) ** 2).sum())
+            ssd_skip += int(((skip_cr - src_cr_mb) ** 2).sum())
+            cost_skip = float(ssd_skip)
+
+            # --- intra candidate: full probe on cloned state ---
+            probe_est = clone_est()
+            probe_w = _BitWriter()
+            _encode_intra_mb(
+                probe_w, probe_est, mx, my, src_mb, src_cb_mb,
+                src_cr_mb, qp, qpc, mb_type_offset=5,
+            )
+            ssd_i = int(
+                (
+                    (probe_est.y[py : py + 16, px : px + 16] - src_mb)
+                    ** 2
+                ).sum()
+            )
+            ssd_i += int(
+                ((probe_est.cb[cy : cy + 8, cx : cx + 8] - src_cb_mb) ** 2)
+                .sum()
+            )
+            ssd_i += int(
+                ((probe_est.cr[cy : cy + 8, cx : cx + 8] - src_cr_mb) ** 2)
+                .sum()
+            )
+            cost_i = ssd_i + lam * bits_of(probe_w)
+
+            if cost_skip <= cost_p and cost_skip <= cost_i:
+                skip_run += 1
+                est.y[py : py + 16, px : px + 16] = skip_y
+                est.cb[cy : cy + 8, cx : cx + 8] = skip_cb
+                est.cr[cy : cy + 8, cx : cx + 8] = skip_cr
+                est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+                for c in range(2):
+                    est.tc_c[c][
+                        my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2
+                    ] = 0
+                est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+                est.mv[my][mx] = mv_sk
+                continue
+
+            s.ue(skip_run)  # mb_skip_run before every coded MB
+            skip_run = 0
+            if cost_i < cost_p:  # intra fallback (scene change etc.)
+                _encode_intra_mb(
+                    s, est, mx, my, src_mb, src_cb_mb, src_cr_mb,
+                    qp, qpc, mb_type_offset=5,
+                )
+                continue
+
+            # --- emit P_L0_16x16 ---
+            write_p16(s, est.tc_y, est.tc_c)
+            est.y[py : py + 16, px : px + 16] = rec_y
+            est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
+            est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
+            est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+            est.mv[my][mx] = mv
+
+        if skip_run:  # trailing skips close the slice (7.3.4)
+            s.ue(skip_run)
+        s.rbsp_trailing()
+        out += _nal(NAL_SLICE, 2, bytes(s.out))
+        ref = (est.y.copy(), est.cb.copy(), est.cr.copy())
+        if recon_out is not None:
+            recon_out.append(est.planes_u8())
+    return bytes(out)

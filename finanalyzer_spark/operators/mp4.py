@@ -15,10 +15,10 @@ anything carrying the FFD8 magic) decode through the pure JPEG
 decoder; avc1 tracks expose their avcC parameter sets
 (`parse_avcc` / `avc_track_info` — resolution/profile/keyframe
 metadata for ANY H.264-in-MP4) and re-frame to Annex-B
-(`mp4_avc_to_annexb`), so the intra tier of operators/h264.py
-(+h264_cavlc) decodes I_PCM and CAVLC-intra tracks fully;
-inter-frame DECODE routes to the PyAV tier — motion compensation
-genuinely needs a codec library.
+(`mp4_avc_to_annexb`), so the pure tier of operators/h264.py
+(+h264_cavlc/h264_inter) decodes I_PCM, CAVLC-intra and
+16x16-partition P tracks fully; other inter shapes (partitioned
+MBs, multi-ref, weighted, B, CABAC) route to the PyAV tier.
 
 `mux_mp4_mjpeg` is the encoder twin (fixture builder): a minimal
 ftyp + mdat + moov file with a 'jpeg' VisualSampleEntry (the
@@ -438,11 +438,14 @@ def mux_mp4_avc(
     are encoded with operators/h264.encode_h264_ipcm (codec="ipcm",
     spec-valid IDR-only I_PCM baseline, lossless) or
     operators/h264_cavlc.encode_h264_intra (codec="intra",
-    CAVLC-entropy spatial-prediction intra at `qp`); parameter sets
-    land out-of-band in the avcC record, and each sample is the
-    length-prefixed IDR NAL.  Unlike the MJPEG twin this writes an
-    EXPLICIT stss listing every sample, so the sync-table parse path
-    is exercised too."""
+    CAVLC-entropy spatial-prediction intra at `qp`) or
+    operators/h264_inter.encode_h264_video (codec="video",
+    IDR + motion-compensated P frames); parameter sets land
+    out-of-band in the avcC record, and each sample is one
+    length-prefixed coded picture.  Unlike the MJPEG twin this writes
+    an EXPLICIT stss (sync samples = IDR pictures — every sample for
+    the all-intra codecs, one per GOP for "video"), so the sync-table
+    parse path is exercised too."""
     from .h264 import build_avcc, encode_h264_ipcm
 
     import numpy as np
@@ -455,9 +458,18 @@ def mux_mp4_avc(
         from .h264_cavlc import encode_h264_intra
 
         annexb = encode_h264_intra(frames, qp=qp)
+    elif codec == "video":  # IDR + motion-compensated P frames
+        from .h264_inter import encode_h264_video
+
+        annexb = encode_h264_video(frames, qp=qp)
     else:
         raise ValueError(f"unknown avc fixture codec {codec!r}")
     avcc, samples = build_avcc(annexb)
+    # sync samples = those whose first NAL is an IDR (every sample for
+    # the all-intra codecs; one per GOP for codec="video")
+    sync_idx = [
+        i + 1 for i, s in enumerate(samples) if (s[4] & 0x1F) == 5
+    ]
 
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + btype + payload
@@ -533,8 +545,8 @@ def mux_mp4_avc(
     )
     stss = full(
         b"stss",
-        struct.pack(">I", n)
-        + b"".join(struct.pack(">I", i + 1) for i in range(n)),
+        struct.pack(">I", len(sync_idx))
+        + b"".join(struct.pack(">I", i) for i in sync_idx),
     )
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
     minf = box(b"minf", vmhd + dinf + stbl)

@@ -708,7 +708,8 @@ def demux_video_compressed(buf: bytes):
             return
     if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
         # raw H.264 Annex-B elementary stream: the pure tier decodes
-        # intra streams (I_PCM + deblock-disabled CAVLC); CABAC/inter/
+        # intra streams (I_PCM + deblock-disabled CAVLC) and
+        # 16x16-partition P slices; CABAC / partitioned-inter /
         # deblocked streams fall through to the PyAV tier.
         # Decode fully BEFORE yielding so a mid-stream entropy-coded
         # macroblock can't truncate the consumer's sequence.
@@ -751,9 +752,9 @@ def demux_video_compressed(buf: bytes):
                 for no, frame_bytes in enumerate(decoded):
                     yield no, frame_bytes
                 return
-        # avc1 track? intra baseline (I_PCM / deblock-disabled CAVLC)
-        # decodes in the pure tier via the Annex-B bridge; CABAC and
-        # inter-coded streams raise inside and fall through to PyAV
+        # avc1 track? baseline intra and 16x16-partition P decode in
+        # the pure tier via the Annex-B bridge; CABAC and partitioned
+        # inter streams raise inside and fall through to PyAV
         try:
             from .h264 import decode_h264_annexb
             from .mp4 import mp4_avc_to_annexb
