@@ -123,8 +123,10 @@ DRIVER_SAMPLED = frozenset({
 #: Names changed or added THIS round (round 7) — priority-queued for a
 #: fresh driver row (same discipline as the round-5/6 re-queues).
 ROUND_CHANGED = frozenset({
-    # brand-new this round (CAVLC intra H.264 tier) — needs a first row
+    # brand-new this round (CAVLC intra + motion-compensated H.264
+    # tiers) — need first rows
     "media_h264_intra_decode",
+    "media_h264_gop_decode",
 })
 
 

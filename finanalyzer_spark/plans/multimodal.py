@@ -737,6 +737,108 @@ def media_h264_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_h264_gop_decode",
+    # The Spark side runs the MOTION-COMPENSATED H.264 pipeline per
+    # sampled document: a 3-frame translating scene (deterministic
+    # gradient, +2 px/frame), encoded as IDR + 2 P frames
+    # (operators/h264_inter.encode_h264_video: quarter-pel motion
+    # search, P_Skip/P_L0_16x16/intra-fallback RD decision) and
+    # decoded with the pure decoder.  The oracle pins the invariants
+    # arithmetically: 3 frames out, exactly 1 IDR + 2 P NALs, decode
+    # bit-identical to the encoder's closed-loop reconstruction, and
+    # the P-GOP stream smaller than the same frames coded all-intra
+    # (worst measured ratio 0.646 over the fixture offset range).
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_keyframes,
+           CAST(2 AS BIGINT) AS n_p_frames,
+           TRUE AS exact_recon,
+           TRUE AS p_beats_intra
+    FROM documents
+    WHERE doc_id % 23 = 3
+    """,
+    tags=("multimodal", "video", "codec"),
+)
+def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-compensated decode certification pass — the sampled
+    check a video-corpus pipeline runs before trusting the inter
+    tier for bulk work (doc_id % 23 keeps the heavy Python codec on
+    ~4% of documents).
+
+    Scale shape: one Arrow mapInPandas over a pushdown-filtered
+    projection — per-document Python codec cost, no shuffle; payload
+    bytes never enter an exchange."""
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") % 23 == 3).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.h264 import decode_h264_annexb, split_annexb
+        from ..operators.h264_cavlc import encode_h264_intra
+        from ..operators.h264_inter import encode_h264_video
+
+        ys, xs = np.mgrid[0:32, 0:48]
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                off = int(n_chars)
+                base = ((ys * 3 + xs * 5 + off) % 256).astype(np.uint8)
+                frames = []
+                for i in range(3):
+                    frames.append(
+                        (
+                            np.roll(base, i * 2, axis=1)[:, :32].copy(),
+                            np.full((16, 16), (off * 2 + i) % 256,
+                                    np.uint8),
+                            np.full((16, 16), (off * 3 - i) % 256,
+                                    np.uint8),
+                        )
+                    )
+                recon: list = []
+                stream = encode_h264_video(
+                    frames, qp=26, gop=4, yuv=True, search_range=2,
+                    recon_out=recon,
+                )
+                decoded = list(decode_h264_annexb(stream, yuv=True))
+                exact = all(
+                    np.array_equal(g, x)
+                    for (_fn, got), want in zip(decoded, recon)
+                    for g, x in zip(got, want)
+                )
+                kinds = [t for t, _r, _ in split_annexb(stream)]
+                intra = encode_h264_intra(frames, qp=26, yuv=True)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(decoded),
+                        kinds.count(5),
+                        kinds.count(1),
+                        bool(exact),
+                        len(stream) < len(intra),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_keyframes", "n_p_frames",
+                    "exact_recon", "p_beats_intra",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, n_frames long, n_keyframes long,"
+        " n_p_frames long, exact_recon boolean,"
+        " p_beats_intra boolean",
+    )
+
+
+@query(
     "media_probe_summary",
     # Per-document payloads cycle through five REAL formats (built by
     # the pure encoder twins: baseline JPEG, binary PPM, PCM-16 WAV,

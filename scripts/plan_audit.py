@@ -456,6 +456,12 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["MapInPandas"],
         "must_not": ["Join", "Exchange", "BatchEvalPython"],
     },
+    "media_h264_gop_decode": {
+        # same shape as the intra twin: one Arrow kernel over the
+        # doc_id % 23 sampled projection, metadata-only output
+        "must": ["MapInPandas"],
+        "must_not": ["Join", "Exchange", "BatchEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a
