@@ -136,7 +136,7 @@ def _ordered_names() -> list[str]:
     received a driver row in any of r1-r6 (curation, sampling, retrieval,
     graph, sketches, stats — see CORRECTNESS_r*.json union), then the
     already-verified rest (registry order within each tier).  With ~50
-    slots this round should close the union to 232/232."""
+    slots this round should close the union toward 234/234 (two round-7 media queries are new)."""
     names = list(REGISTRY)
     sampled = DRIVER_SAMPLED - ROUND_CHANGED
 
