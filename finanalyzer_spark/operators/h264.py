@@ -263,7 +263,7 @@ def parse_pps(rbsp: bytes) -> dict:
     }
     if r.ue() != 0:  # num_slice_groups_minus1
         raise NotImplementedError("slice groups (FMO)")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    pps["num_ref_idx_l0_default"] = r.ue() + 1
     r.ue()  # num_ref_idx_l1_default_active_minus1
     pps["weighted_pred"] = r.u(1)
     r.u(2)  # weighted_bipred_idc
@@ -271,7 +271,7 @@ def parse_pps(rbsp: bytes) -> dict:
     r.se()  # pic_init_qs
     pps["chroma_qp_index_offset"] = r.se()
     pps["deblocking_filter_control_present"] = r.u(1)
-    r.u(1)  # constrained_intra_pred
+    pps["constrained_intra_pred"] = r.u(1)
     r.u(1)  # redundant_pic_cnt_present
     return pps
 
@@ -362,6 +362,8 @@ def write_sps_pps(
     mbh: int,
     pic_init_qp: int = 26,
     deblocking_control: bool = False,
+    num_ref_l0_default: int = 1,
+    constrained_intra_pred: bool = False,
 ) -> tuple[bytes, bytes]:
     """Baseline-profile SPS + PPS RBSP pair shared by the encoder
     twins (I_PCM and CAVLC intra): level 3.0, poc_type 2, CAVLC,
@@ -369,7 +371,9 @@ def write_sps_pps(
     deblocking_filter_control_present so the slice header can carry
     disable_deblocking_filter_idc (the CAVLC twin disables the filter
     explicitly; the I_PCM twin doesn't need to — its deblock QP is 0,
-    spec 8.7, so the default-on filter is a no-op)."""
+    spec 8.7, so the default-on filter is a no-op).
+    `num_ref_l0_default` / `constrained_intra_pred` exist for the
+    refusal-path tests: the encoder twins always use 1 / False."""
     sps = _BitWriter()
     sps.u(66, 8)   # profile_idc: baseline
     sps.u(0xC0, 8)  # constraint_set0/1
@@ -393,7 +397,7 @@ def write_sps_pps(
     pps.u(0, 1)    # entropy_coding_mode: CAVLC
     pps.u(0, 1)    # bottom_field_pic_order
     pps.ue(0)      # num_slice_groups_minus1
-    pps.ue(0)      # num_ref_idx_l0
+    pps.ue(num_ref_l0_default - 1)  # num_ref_idx_l0_default
     pps.ue(0)      # num_ref_idx_l1
     pps.u(0, 1)    # weighted_pred
     pps.u(0, 2)    # weighted_bipred
@@ -401,7 +405,7 @@ def write_sps_pps(
     pps.se(0)      # pic_init_qs_minus26
     pps.se(0)      # chroma_qp_index_offset
     pps.u(1 if deblocking_control else 0, 1)
-    pps.u(0, 1)    # constrained_intra_pred
+    pps.u(1 if constrained_intra_pred else 0, 1)
     pps.u(0, 1)    # redundant_pic_cnt_present
     pps.rbsp_trailing()
     return bytes(sps.out), bytes(pps.out)
@@ -494,6 +498,14 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                 )
             if sps["chroma_format_idc"] != 1:
                 raise NotImplementedError("only 4:2:0 H.264 streams")
+            if not sps["frame_mbs_only"]:
+                # field_pic_flag would follow frame_num (7.3.3) and
+                # the whole field/MBAFF machinery behind it — refuse
+                # cleanly instead of misparsing the header
+                raise NotImplementedError(
+                    "interlaced (frame_mbs_only=0) H.264 needs the"
+                    " PyAV tier"
+                )
             r = _BitReader(rbsp)
             if r.ue() != 0:
                 raise NotImplementedError("multi-slice H.264 pictures")
@@ -521,12 +533,28 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                     raise NotImplementedError(
                         "weighted prediction needs the PyAV tier"
                     )
+                if pps["constrained_intra_pred"]:
+                    # CIP changes intra prediction inside P slices
+                    # (inter neighbours become unavailable, 8.3.1.2);
+                    # our intra reconstruction assumes CIP=0
+                    raise NotImplementedError(
+                        "constrained_intra_pred P slices need the"
+                        " PyAV tier"
+                    )
                 if r.u(1):  # num_ref_idx_active_override_flag
                     if r.ue() != 0:  # num_ref_idx_l0_active_minus1
                         raise NotImplementedError(
                             "multiple reference frames need the PyAV"
                             " tier"
                         )
+                elif pps["num_ref_idx_l0_default"] != 1:
+                    # no override → the PPS default applies; >1 active
+                    # refs put a ref_idx_l0 te(v) in every mb_pred our
+                    # P parser doesn't read
+                    raise NotImplementedError(
+                        "multiple reference frames (PPS default) need"
+                        " the PyAV tier"
+                    )
                 if r.u(1):  # ref_pic_list_modification_flag_l0
                     raise NotImplementedError(
                         "reference list modification needs the PyAV"
@@ -556,13 +584,15 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
             y, cb, cr = decode_slice(
                 r, sps, pps, qp, deblock_disabled, kind, ref_planes
             )
-            # the just-decoded picture is the (single) reference for
-            # the next P slice — uncropped, full sample precision
-            ref_planes = (
-                y.astype(np.int64),
-                cb.astype(np.int64),
-                cr.astype(np.int64),
-            )
+            if nal_ref_idc != 0:
+                # only REFERENCE pictures enter the DPB (8.2.5): a
+                # non-reference picture (nal_ref_idc=0) is displayed
+                # but must not become the next P slice's predictor
+                ref_planes = (
+                    y.astype(np.int64),
+                    cb.astype(np.int64),
+                    cr.astype(np.int64),
+                )
             hh, ww = sps["height"], sps["width"]
             y, cb, cr = y[:hh, :ww], cb[: hh // 2, : ww // 2], cr[: hh // 2, : ww // 2]
             if yuv:

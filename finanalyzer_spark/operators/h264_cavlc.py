@@ -449,6 +449,12 @@ def decode_residual_block(r, nC: int, max_coeffs: int) -> list[int]:
         levels[pos] = level
         if i < total_coeff - 1:
             run = _read_run_before(r, zeros_left) if zeros_left > 0 else 0
+            if run > zeros_left:
+                # spec 9.2.3: run_before shall not exceed zerosLeft —
+                # only the zl>6 unary escape can even encode such a
+                # value; without this check the scan index would go
+                # negative and silently wrap into the wrong slot
+                raise ValueError("run_before exceeds zerosLeft")
             zeros_left -= run
             pos -= 1 + run
     return levels, total_coeff
@@ -1311,7 +1317,9 @@ def decode_slice(
         my, mx = divmod(mb, st.mbw)
         mb_type = r.ue()
         if is_p:
-            if mb_type in P_PARTITIONED_TYPES:
+            from .h264_inter import P_INTRA_OFFSET, P_PARTITIONED
+
+            if mb_type in P_PARTITIONED:
                 raise NotImplementedError(
                     "partitioned P macroblocks (16x8/8x16/8x8) need"
                     " the PyAV tier; the pure tier decodes 16x16"
@@ -1326,14 +1334,11 @@ def decode_slice(
                 _decode_p16_mb(r, st, mx, my, ref, counts)
                 mb += 1
                 continue
-            mb_type -= 5  # intra mb_type offset in P slices (7.4.5)
+            # intra mb_type offset in P slices (7.4.5)
+            mb_type -= P_INTRA_OFFSET
         _decode_intra_mb(r, st, mx, my, mb_type, deblock_disabled, counts)
         mb += 1
     return st.planes_u8()
-
-
-#: P mb_types the pure tier refuses (sub-16x16 partitions)
-P_PARTITIONED_TYPES = {1, 2, 3, 4}
 
 
 def decode_islice(

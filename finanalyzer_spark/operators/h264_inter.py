@@ -412,19 +412,17 @@ def encode_h264_video(
         #: JM-style rate-distortion lambda for the SSD + lam*bits cost
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
 
-        def clone_est():
-            n = _EncState.__new__(_EncState)
-            n.mbw, n.mbh = est.mbw, est.mbh
-            n.y, n.cb, n.cr = est.y.copy(), est.cb.copy(), est.cr.copy()
-            n.tc_y = est.tc_y.copy()
-            n.tc_c = [g.copy() for g in est.tc_c]
-            n.mode4 = est.mode4.copy()
-            n.dec4 = est.dec4.copy()
-            n.mv = [row[:] for row in est.mv]
-            return n
-
         def bits_of(wr):
             return 8 * len(wr.out) + wr.nbits
+
+        def append_bits(dst, src_w):
+            """Replay one writer's bits into another (probe commit)."""
+            for byte in src_w.out:
+                dst.u(byte, 8)
+            if src_w.nbits:
+                dst.u(
+                    src_w.acc & ((1 << src_w.nbits) - 1), src_w.nbits
+                )
 
         skip_run = 0
         for mb in range(mbw * mbh):
@@ -492,30 +490,63 @@ def encode_h264_video(
             ssd_skip += int(((skip_cr - src_cr_mb) ** 2).sum())
             cost_skip = float(ssd_skip)
 
-            # --- intra candidate: full probe on cloned state ---
-            probe_est = clone_est()
+            # --- intra candidate: probe on the REAL state, with the
+            # macroblock-confined region saved for restore (every
+            # write of _encode_intra_mb stays inside this MB's plane/
+            # grid slices; neighbour reads are outside and untouched)
+            saved = (
+                est.y[py : py + 16, px : px + 16].copy(),
+                est.cb[cy : cy + 8, cx : cx + 8].copy(),
+                est.cr[cy : cy + 8, cx : cx + 8].copy(),
+                est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4].copy(),
+                [
+                    g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2].copy()
+                    for g in est.tc_c
+                ],
+                est.mode4[
+                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                ].copy(),
+                est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4].copy(),
+                est.mv[my][mx],
+            )
+
+            def restore_mb():
+                est.y[py : py + 16, px : px + 16] = saved[0]
+                est.cb[cy : cy + 8, cx : cx + 8] = saved[1]
+                est.cr[cy : cy + 8, cx : cx + 8] = saved[2]
+                est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
+                    saved[3]
+                )
+                for g, sg in zip(est.tc_c, saved[4]):
+                    g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = sg
+                est.mode4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
+                    saved[5]
+                )
+                est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
+                    saved[6]
+                )
+                est.mv[my][mx] = saved[7]
+
             probe_w = _BitWriter()
             _encode_intra_mb(
-                probe_w, probe_est, mx, my, src_mb, src_cb_mb,
+                probe_w, est, mx, my, src_mb, src_cb_mb,
                 src_cr_mb, qp, qpc, mb_type_offset=5,
             )
             ssd_i = int(
-                (
-                    (probe_est.y[py : py + 16, px : px + 16] - src_mb)
-                    ** 2
-                ).sum()
+                ((est.y[py : py + 16, px : px + 16] - src_mb) ** 2).sum()
             )
             ssd_i += int(
-                ((probe_est.cb[cy : cy + 8, cx : cx + 8] - src_cb_mb) ** 2)
+                ((est.cb[cy : cy + 8, cx : cx + 8] - src_cb_mb) ** 2)
                 .sum()
             )
             ssd_i += int(
-                ((probe_est.cr[cy : cy + 8, cx : cx + 8] - src_cr_mb) ** 2)
+                ((est.cr[cy : cy + 8, cx : cx + 8] - src_cr_mb) ** 2)
                 .sum()
             )
             cost_i = ssd_i + lam * bits_of(probe_w)
 
             if cost_skip <= cost_p and cost_skip <= cost_i:
+                restore_mb()
                 skip_run += 1
                 est.y[py : py + 16, px : px + 16] = skip_y
                 est.cb[cy : cy + 8, cx : cx + 8] = skip_cb
@@ -532,13 +563,13 @@ def encode_h264_video(
             s.ue(skip_run)  # mb_skip_run before every coded MB
             skip_run = 0
             if cost_i < cost_p:  # intra fallback (scene change etc.)
-                _encode_intra_mb(
-                    s, est, mx, my, src_mb, src_cb_mb, src_cr_mb,
-                    qp, qpc, mb_type_offset=5,
-                )
+                # the probe already committed its reconstruction and
+                # grid updates to est — just replay its bits
+                append_bits(s, probe_w)
                 continue
 
             # --- emit P_L0_16x16 ---
+            restore_mb()
             write_p16(s, est.tc_y, est.tc_c)
             est.y[py : py + 16, px : px + 16] = rec_y
             est.cb[cy : cy + 8, cx : cx + 8] = crec[0]

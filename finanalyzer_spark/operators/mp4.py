@@ -432,7 +432,11 @@ def split_length_prefixed_nals(sample: bytes, nal_length_size: int = 4):
 
 
 def mux_mp4_avc(
-    frames, fps: int = 25, codec: str = "ipcm", qp: int = 28
+    frames,
+    fps: int = 25,
+    codec: str = "ipcm",
+    qp: int = 28,
+    annexb: bytes | None = None,
 ) -> bytes:
     """H.264-in-MP4 writer (fixture twin for the avc1 path): frames
     are encoded with operators/h264.encode_h264_ipcm (codec="ipcm",
@@ -445,25 +449,37 @@ def mux_mp4_avc(
     length-prefixed coded picture.  Unlike the MJPEG twin this writes
     an EXPLICIT stss (sync samples = IDR pictures — every sample for
     the all-intra codecs, one per GOP for "video"), so the sync-table
-    parse path is exercised too."""
+    parse path is exercised too.  Pass `annexb` to mux an EXISTING
+    Annex-B stream instead (frames is then ignored; dimensions come
+    from the stream's own SPS)."""
     from .h264 import build_avcc, encode_h264_ipcm
 
     import numpy as np
 
-    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
-    h, w, _ = frames[0].shape
-    if codec == "ipcm":
-        annexb = encode_h264_ipcm(frames)
-    elif codec == "intra":
-        from .h264_cavlc import encode_h264_intra
+    if annexb is not None:
+        from .h264 import parse_sps, split_annexb
 
-        annexb = encode_h264_intra(frames, qp=qp)
-    elif codec == "video":  # IDR + motion-compensated P frames
-        from .h264_inter import encode_h264_video
-
-        annexb = encode_h264_video(frames, qp=qp)
+        sps = next(
+            parse_sps(rbsp)
+            for t, _r, rbsp in split_annexb(annexb)
+            if t == 7
+        )
+        h, w = sps["height"], sps["width"]
     else:
-        raise ValueError(f"unknown avc fixture codec {codec!r}")
+        frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+        h, w, _ = frames[0].shape
+        if codec == "ipcm":
+            annexb = encode_h264_ipcm(frames)
+        elif codec == "intra":
+            from .h264_cavlc import encode_h264_intra
+
+            annexb = encode_h264_intra(frames, qp=qp)
+        elif codec == "video":  # IDR + motion-compensated P frames
+            from .h264_inter import encode_h264_video
+
+            annexb = encode_h264_video(frames, qp=qp)
+        else:
+            raise ValueError(f"unknown avc fixture codec {codec!r}")
     avcc, samples = build_avcc(annexb)
     # sync samples = those whose first NAL is an IDR (every sample for
     # the all-intra codecs; one per GOP for codec="video")

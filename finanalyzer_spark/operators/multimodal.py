@@ -760,8 +760,17 @@ def demux_video_compressed(buf: bytes):
             from .mp4 import mp4_avc_to_annexb
 
             annexb = mp4_avc_to_annexb(buf)
-            for no, frame in decode_h264_annexb(annexb):
-                yield no, frame.tobytes()
+            # decode fully BEFORE yielding (same discipline as the
+            # raw Annex-B branch): a mid-stream refusal — e.g. a
+            # partitioned P frame after decodable intra frames — must
+            # fall through to PyAV cleanly, not leave the consumer
+            # with a partial sequence followed by re-decoded frames
+            frames = [
+                frame.tobytes()
+                for _no, frame in decode_h264_annexb(annexb)
+            ]
+            for no, frame_bytes in enumerate(frames):
+                yield no, frame_bytes
             return
         except (ValueError, NotImplementedError, IndexError, struct.error):
             pass

@@ -396,3 +396,189 @@ def test_mp4_video_bridge_keyframe_index_and_decode():
     assert len(via_mp4) == 6
     for a, b in zip(via_mp4, direct):
         assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# round-7 review regressions: conformant-input refusals and reference
+# management (exact-or-refuse holes found by code review)
+# ---------------------------------------------------------------------------
+from finanalyzer_spark.operators.h264 import (  # noqa: E402
+    NAL_IDR,
+    NAL_PPS,
+    NAL_SLICE,
+    NAL_SPS,
+    _BitWriter,
+    _nal,
+    write_sps_pps,
+)
+
+
+def _sc_nals(stream):
+    sc = b"\x00\x00\x00\x01"
+    return [sc + n for n in stream.split(sc) if n]
+
+
+def test_pps_default_multi_ref_refused():
+    """A stream whose PPS sets num_ref_idx_l0_default_active_minus1
+    >= 1 and whose P slice does NOT override it carries ref_idx_l0
+    te(v) elements our P parser never reads — must refuse, not
+    misparse (spec 7.3.3 / 7.4.3)."""
+    frames = _translating(2)
+    stream = encode_h264_video(frames, qp=30, gop=2, yuv=True)
+    _sps_rbsp, pps2 = write_sps_pps(
+        4, 3, pic_init_qp=30, deblocking_control=True,
+        num_ref_l0_default=2,
+    )
+    nals = _sc_nals(stream)
+    patched = b"".join(
+        [nals[0], _nal(NAL_PPS, 3, pps2)] + nals[2:]
+    )
+    with pytest.raises(NotImplementedError, match="PPS default"):
+        list(decode_h264_annexb(patched, yuv=True))
+
+
+def test_non_reference_picture_not_stored_as_reference():
+    """Spec 8.2.5: only reference pictures (nal_ref_idc != 0) enter
+    the DPB.  Stream: IDR, then a DISPOSABLE P1 (nal_ref_idc=0,
+    shifted MC), then a P2 that is all P_Skip with a zero skip MV —
+    P2 must reproduce the IDR, not P1."""
+    rng = np.random.default_rng(13)
+    y = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    cb = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    cr = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    idr_stream = encode_h264_intra([(y, cb, cr)], qp=20, yuv=True)
+    nals = _sc_nals(idr_stream)
+
+    def p_slice(ref_idc, body_fn):
+        s = _BitWriter()
+        s.ue(0)   # first_mb_in_slice
+        s.ue(5)   # slice_type P
+        s.ue(0)   # pps_id
+        s.u(1, 8)  # frame_num
+        s.u(0, 1)  # num_ref_idx_active_override
+        s.u(0, 1)  # ref_pic_list_modification_l0
+        if ref_idc:  # dec_ref_pic_marking only for reference slices
+            s.u(0, 1)
+        s.se(0)   # slice_qp_delta
+        s.ue(1)   # disable_deblocking_filter_idc
+        body_fn(s)
+        s.rbsp_trailing()
+        return _nal(NAL_SLICE, ref_idc, bytes(s.out))
+
+    def moving_body(s):
+        s.ue(0)   # skip_run
+        s.ue(0)   # P_L0_16x16, MB0
+        s.se(8)
+        s.se(0)   # mv = (8, 0)
+        s.ue(0)   # CBP 0
+        s.ue(1)   # trailing skip run covers MB1 (skip mv = pred = A)
+
+    def all_skip_body(s):
+        s.ue(2)   # both MBs skipped; MB0 skip MV = (0,0) (edge rule)
+
+    stream = b"".join(
+        nals
+        + [p_slice(0, moving_body), p_slice(2, all_skip_body)]
+    )
+    decoded = list(decode_h264_annexb(stream, yuv=True))
+    assert len(decoded) == 3
+    f0, f1, f2 = (d[1] for d in decoded)
+    # the disposable P1 really is shifted (differs from the IDR)
+    assert not np.array_equal(f1[0], f0[0])
+    # and P2, predicting with zero MVs, must equal the IDR — P1 was
+    # never stored as a reference
+    for a, b in zip(f2, f0):
+        assert np.array_equal(a, b)
+
+
+def test_interlaced_stream_refused():
+    """frame_mbs_only=0 puts field_pic_flag in the slice header —
+    the pure tier must refuse instead of misparsing (7.3.3)."""
+    sps = _BitWriter()
+    sps.u(66, 8)
+    sps.u(0xC0, 8)
+    sps.u(30, 8)
+    sps.ue(0)
+    sps.ue(4)
+    sps.ue(2)
+    sps.ue(1)
+    sps.u(0, 1)
+    sps.ue(1)   # pic_width_in_mbs_minus1
+    sps.ue(0)   # pic_height_in_map_units_minus1
+    sps.u(0, 1)  # frame_mbs_only = 0 (interlaced)
+    sps.u(0, 1)  # mb_adaptive_frame_field
+    sps.u(1, 1)  # direct_8x8_inference
+    sps.u(0, 1)  # frame_cropping
+    sps.u(0, 1)  # vui
+    sps.rbsp_trailing()
+    _sps_d, pps_rbsp = write_sps_pps(2, 1, deblocking_control=True)
+    s = _BitWriter()
+    s.ue(0)
+    s.ue(7)
+    s.ue(0)
+    s.rbsp_trailing()  # header would misparse from here on
+    stream = (
+        _nal(NAL_SPS, 3, bytes(sps.out))
+        + _nal(NAL_PPS, 3, pps_rbsp)
+        + _nal(NAL_IDR, 3, bytes(s.out))
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        list(decode_h264_annexb(stream, yuv=True))
+
+
+def test_constrained_intra_pred_p_refused_i_allowed():
+    """CIP=1 changes intra prediction inside P slices (inter
+    neighbours become unavailable, 8.3.1.2) — refuse P, but CIP has
+    no effect on all-intra pictures, which must still decode."""
+    frames = _translating(2, h=16, w=32)
+    stream = encode_h264_video(frames, qp=30, gop=2, yuv=True)
+    _s2, pps_cip = write_sps_pps(
+        2, 1, pic_init_qp=30, deblocking_control=True,
+        constrained_intra_pred=True,
+    )
+    nals = _sc_nals(stream)
+    patched = b"".join([nals[0], _nal(NAL_PPS, 3, pps_cip)] + nals[2:])
+    with pytest.raises(NotImplementedError, match="constrained_intra"):
+        list(decode_h264_annexb(patched, yuv=True))
+    # I-only stream with the same CIP PPS decodes fine
+    intra = encode_h264_intra([frames[0]], qp=30, yuv=True)
+    inals = _sc_nals(intra)
+    ipatched = b"".join(
+        [inals[0], _nal(NAL_PPS, 3, pps_cip)] + inals[2:]
+    )
+    assert len(list(decode_h264_annexb(ipatched, yuv=True))) == 1
+
+
+def test_avc1_mid_stream_refusal_no_partial_frames():
+    """An MP4 whose avc1 track starts decodable but hits a
+    partitioned P frame mid-stream must NOT emit a partial pure-tier
+    sequence before falling to PyAV (which is absent here → a clean
+    NotImplementedError with zero frames, not duplicates)."""
+    from finanalyzer_spark.operators.mp4 import mux_mp4_avc
+    from finanalyzer_spark.operators.multimodal import (
+        demux_video_compressed,
+    )
+
+    frames = _translating(2, h=16, w=32)
+    good = encode_h264_video(frames, qp=30, gop=2, yuv=True)
+    bad_p = _BitWriter()
+    bad_p.ue(0)   # first_mb
+    bad_p.ue(5)   # slice_type P
+    bad_p.ue(0)   # pps_id
+    bad_p.u(2, 8)  # frame_num
+    bad_p.u(0, 1)
+    bad_p.u(0, 1)
+    bad_p.u(0, 1)  # dec_ref_pic_marking
+    bad_p.se(0)
+    bad_p.ue(1)   # disable_deblocking
+    bad_p.ue(0)   # mb_skip_run
+    bad_p.ue(3)   # P_8x8 — refused by the pure tier
+    bad_p.rbsp_trailing()
+    stream = good + _nal(NAL_SLICE, 2, bytes(bad_p.out))
+    mp4 = mux_mp4_avc([], annexb=stream)
+    gen = demux_video_compressed(mp4)
+    emitted = []
+    with pytest.raises(NotImplementedError):
+        for item in gen:
+            emitted.append(item)
+    assert emitted == []  # no partial sequence before the refusal
