@@ -676,8 +676,15 @@ def media_h264_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document Python codec cost, no shuffle until the metadata
     rollup; payload bytes never enter an exchange."""
     t = load(spark, sf_dir)
-    docs = t.documents.where(F.col("doc_id") % 7 == 2).select(
-        "doc_id", F.length("text").alias("n_chars")
+    # the kernel's cost is Python codec time, not scan bytes: spread
+    # the sampled (doc_id, n_chars) projection — two ints per row —
+    # across the executor cores.  A real corpus gets this parallelism
+    # from its many input splits; the single-file fixture needs the
+    # explicit (and nearly free) repartition.
+    docs = (
+        t.documents.where(F.col("doc_id") % 7 == 2)
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
     def kernel(batches):
@@ -770,8 +777,12 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — per-document Python codec cost, no shuffle; payload
     bytes never enter an exchange."""
     t = load(spark, sf_dir)
-    docs = t.documents.where(F.col("doc_id") % 23 == 3).select(
-        "doc_id", F.length("text").alias("n_chars")
+    # same parallelism note as media_h264_intra_decode: repartition
+    # the two-int projection so the codec kernel uses every core
+    docs = (
+        t.documents.where(F.col("doc_id") % 23 == 3)
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
     def kernel(batches):

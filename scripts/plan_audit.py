@@ -451,16 +451,19 @@ EXPECTATIONS: dict[str, dict] = {
     "media_h264_intra_decode": {
         # the CAVLC codec round-trip is one Arrow kernel over a
         # pushdown-filtered projection (doc_id % 7 sampling reaches
-        # the scan); metadata-only rows leave the kernel — no
-        # shuffle, no join, no row-at-a-time Python
-        "must": ["MapInPandas"],
-        "must_not": ["Join", "Exchange", "BatchEvalPython"],
+        # the scan); the one Exchange is the deliberate two-int
+        # repartition that spreads codec work across cores (payload
+        # is synthesized inside the kernel, so nothing heavy
+        # shuffles); no join, no row-at-a-time Python
+        "must": ["MapInPandas", "Exchange"],
+        "must_not": ["Join", "BatchEvalPython"],
     },
     "media_h264_gop_decode": {
         # same shape as the intra twin: one Arrow kernel over the
-        # doc_id % 23 sampled projection, metadata-only output
-        "must": ["MapInPandas"],
-        "must_not": ["Join", "Exchange", "BatchEvalPython"],
+        # doc_id % 23 sampled two-int projection (repartitioned for
+        # codec parallelism), metadata-only output
+        "must": ["MapInPandas", "Exchange"],
+        "must_not": ["Join", "BatchEvalPython"],
     },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
