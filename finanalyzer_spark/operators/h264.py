@@ -54,6 +54,10 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def u(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.data):
+            # fail CLOSED on truncated/corrupt payloads: callers
+            # route ValueError (malformed) to the PyAV tier
+            raise ValueError("truncated RBSP")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]
@@ -79,6 +83,8 @@ class _BitReader:
     def bytes_at(self, n: int) -> bytes:
         assert self.pos % 8 == 0
         lo = self.pos >> 3
+        if lo + n > len(self.data):
+            raise ValueError("truncated RBSP")
         self.pos += 8 * n
         return self.data[lo : lo + n]
 

@@ -441,6 +441,12 @@ def decode_residual_block(r, nC: int, max_coeffs: int) -> list[int]:
             )
     else:
         total_zeros = 0
+    if total_coeff + total_zeros > max_coeffs:
+        # Table 9-7 rows are shared between 16- and 15-coefficient
+        # blocks, so a corrupt stream can code a total_zeros the AC
+        # block cannot hold (spec 7.4.5.3.3 bounds it to
+        # maxNumCoeff - TotalCoeff) — fail closed
+        raise ValueError("total_zeros exceeds block capacity")
     # run_before per coefficient, highest frequency first; the last
     # (lowest-frequency) coefficient takes whatever zeros remain
     zeros_left = total_zeros
