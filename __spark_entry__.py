@@ -127,6 +127,7 @@ ROUND_CHANGED = frozenset({
     # tiers) — need first rows
     "media_h264_intra_decode",
     "media_h264_gop_decode",
+    "media_flac_audio_stats",
 })
 
 

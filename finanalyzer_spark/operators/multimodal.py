@@ -11,7 +11,9 @@ All transport/partitioning/batching is real Spark. Two codec tiers:
   reconstruction), baseline JPEG (Huffman + IDCT, 4:4:4/4:2:2/4:2:0,
   restart markers — operators/jpeg.py), GIF87a/89a (variable-width
   LZW, interlace, animation/disposal — operators/gif.py), BMP,
-  PCM-16 + G.711 mu-law WAV, Y4M frames, MJPEG-in-AVI demux (RIFF
+  PCM-16 + G.711 mu-law WAV, FLAC (operators/flac.py — lossless
+  fixed-prediction + Rice tier, CRC/MD5-verified), Y4M frames,
+  MJPEG-in-AVI demux (RIFF
   walk), Matroska/WebM EBML demux (operators/mkv.py: track/codec/
   keyframe indexing; V_MJPEG + avcC-H.264 blocks decode fully),
   MP4/ISO-BMFF sample-table demux (operators/mp4.py:
@@ -152,6 +154,23 @@ def decode_wav(buf: bytes):
     n = (len(data) // (2 * channels)) * 2 * channels
     samples = np.frombuffer(data[:n], dtype="<i2").reshape(-1, channels)
     return rate, samples
+
+
+def decode_audio(buf: bytes):
+    """Container-dispatching audio decode: RIFF/WAVE (PCM-16 +
+    G.711 mu-law) via decode_wav, or FLAC via the pure lossless tier
+    (operators/flac.decode_flac, 16-bit).  Returns (sample_rate,
+    samples) with samples (n_frames, n_channels) in int16 range —
+    the one entry point decode_audio_features routes through, so a
+    mixed WAV/FLAC corpus needs no per-format plumbing."""
+    import numpy as np
+
+    if buf[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        info, samples = decode_flac(buf)
+        return info["sample_rate"], samples.astype(np.int16)
+    return decode_wav(buf)
 
 
 def _mulaw_expand(u):
@@ -858,9 +877,10 @@ def decode_audio_features(
 ) -> DataFrame:
     """Audio → scalar features (sample_rate, n_frames, rms, peak).
 
-    `fake=False` REALLY decodes PCM-16 WAV payloads (decode_wav, pure
-    numpy). `fake=True` reinterprets the raw payload as little-endian
-    int16 mono at a nominal 8 kHz — deterministic, oracle-expressible.
+    `fake=False` REALLY decodes audio payloads — RIFF/WAVE (PCM-16 +
+    mu-law) or FLAC, dispatched by magic via decode_audio.  `fake=True`
+    reinterprets the raw payload as little-endian int16 mono at a
+    nominal 8 kHz — deterministic, oracle-expressible.
 
     RMS/peak are computed over all channels; both paths share the
     arithmetic so the real codec drops in without changing any plan."""
@@ -879,7 +899,7 @@ def decode_audio_features(
                     n = (len(b) // 2) * 2
                     samples = np.frombuffer(b[:n], dtype="<i2").reshape(-1, 1)
                 else:
-                    rate, samples = decode_wav(b)
+                    rate, samples = decode_audio(b)
                 s = samples.astype(np.float64)
                 out[id_col].append(mid)
                 out["sample_rate"].append(rate)

@@ -291,6 +291,94 @@ def media_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_flac_audio_stats",
+    # The Spark side interprets each document's (even-truncated) text
+    # bytes as little-endian int16 samples, compresses them into a
+    # REAL FLAC stream (operators/flac.encode_flac: fixed predictors,
+    # partitioned Rice, CRC-8/16 + MD5), and decodes it back through
+    # decode_audio_features' container dispatch.  FLAC is lossless,
+    # so the oracle recomputes rms/peak arithmetically from the same
+    # byte pairs — any codec defect (prediction, Rice coding, CRC,
+    # channel math) breaks exact sample recovery and hash-diverges.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, 2 * (length(text) // 2)), ''),
+                   c -> ascii(c)) AS bs
+        FROM documents
+        WHERE doc_id % 5 = 1
+    ),
+    s AS (
+        SELECT doc_id, list_transform(range(len(bs) // 2), i ->
+            CASE WHEN bs[2*i+2] * 256 + bs[2*i+1] >= 32768
+                 THEN bs[2*i+2] * 256 + bs[2*i+1] - 65536
+                 ELSE bs[2*i+2] * 256 + bs[2*i+1] END) AS smp
+        FROM b
+    )
+    SELECT doc_id AS media_id,
+           16000 AS sample_rate,
+           CAST(len(smp) AS BIGINT) AS n_frames,
+           coalesce(round(sqrt(list_sum(list_transform(smp,
+               x -> CAST(x AS DOUBLE) * x)) / len(smp)), 6), 0.0) AS rms,
+           CAST(coalesce(list_max(list_transform(smp, x -> abs(x))), 0)
+                AS INT) AS peak
+    FROM s
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def media_flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-audio round trip: text bytes → int16 PCM → FLAC
+    encode → FLAC decode (container-dispatched) → sample stats.  The
+    sampled filter (doc_id % 5) bounds the Python codec cost the way
+    a real corpus certification pass would."""
+    t = load(spark, sf_dir)
+    # repartition for codec parallelism (single-file fixture = one
+    # input split; see media_h264_intra_decode)
+    pcm = (
+        t.documents.where(F.col("doc_id") % 5 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(
+                F.expr("substr(text, 1, 2 * (length(text) div 2))"),
+                "UTF-8",
+            ).alias("content"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "media_id")
+    )
+
+    def wrap(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.flac import encode_flac
+
+        for pdf in batches:
+            out = []
+            for b in pdf["content"]:
+                samples = np.frombuffer(bytes(b), dtype="<i2")
+                out.append(
+                    encode_flac(samples, sample_rate=16000, blocksize=64)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": out}
+            )
+
+    flac = pcm.mapInPandas(wrap, schema="media_id long, content binary")
+    feats = decode_audio_features(
+        flac, content_col="content", id_col="media_id", fake=False
+    )
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_frames",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
+
+
+@query(
     "media_content_dedup",
     oracle="""
     WITH g AS (

@@ -458,6 +458,13 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["MapInPandas", "Exchange"],
         "must_not": ["Join", "BatchEvalPython"],
     },
+    "media_flac_audio_stats": {
+        # FLAC encode + decode are two chained Arrow kernels over the
+        # repartitioned two-column projection; no join, no
+        # row-at-a-time Python
+        "must": ["MapInPandas", "Exchange"],
+        "must_not": ["Join", "BatchEvalPython"],
+    },
     "media_h264_gop_decode": {
         # same shape as the intra twin: one Arrow kernel over the
         # doc_id % 23 sampled two-int projection (repartitioned for

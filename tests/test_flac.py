@@ -1,0 +1,185 @@
+"""FLAC codec tests (operators/flac.py).
+
+Losslessness makes this the strongest-oracle codec in the repo:
+decode(encode(x)) must equal x EXACTLY for every input, and the
+container's own integrity machinery (CRC-8, CRC-16, MD5) is verified
+both ways — computed on encode, checked on decode, and shown to
+actually fire by tamper tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from finanalyzer_spark.operators.flac import (
+    _Bits,
+    crc8,
+    crc16,
+    decode_flac,
+    encode_flac,
+    parse_streaminfo,
+)
+
+
+def _roundtrip(sig, **kw):
+    sig = np.asarray(sig)
+    buf = encode_flac(sig, **kw)
+    info, got = decode_flac(buf)
+    want = sig.reshape(-1, 1) if sig.ndim == 1 else sig
+    assert np.array_equal(got.astype(np.int64), want), "not lossless"
+    return buf, info
+
+
+def test_crc_known_vectors():
+    # CRC-8 poly 0x07 and CRC-16 poly 0x8005 against the widely
+    # published check values for the ASCII string "123456789"
+    assert crc8(b"123456789") == 0xF4
+    assert crc16(b"123456789") == 0xFEE8
+    assert crc8(b"") == 0 and crc16(b"") == 0
+
+
+def test_roundtrip_content_matrix():
+    rng = np.random.default_rng(1)
+    sine = (
+        3000 * np.sin(np.arange(5000) / 20)
+        + rng.normal(0, 80, 5000)
+    )
+    cases = [
+        np.clip(sine, -32768, 32767).astype(np.int64),
+        rng.integers(-32768, 32768, (3000, 2)),   # stereo noise
+        np.full(2500, 1234),                       # CONSTANT subframes
+        np.array([5, -5, 100]),                    # shorter than a block
+        np.array([32767, -32768] * 600),           # full-scale toggling
+        np.zeros(100, dtype=np.int64),             # silence
+        np.arange(-500, 500),                      # pure ramp (order 1)
+    ]
+    l = (2000 * np.sin(np.arange(4000) / 15)).astype(np.int64)
+    cases.append(np.stack([l, l + rng.integers(-30, 30, 4000)], 1))
+    for sig in cases:
+        _roundtrip(sig, sample_rate=16000, blocksize=1024)
+        _roundtrip(sig, sample_rate=44100, blocksize=192)
+
+
+def test_roundtrip_random_sweep():
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n = int(rng.integers(1, 3000))
+        ch = int(rng.integers(1, 3))
+        scale = int(rng.choice([3, 300, 30000]))
+        sig = rng.integers(-scale, scale + 1, (n, ch) if ch == 2 else n)
+        bs = int(rng.choice([64, 256, 1024, 4096]))
+        _roundtrip(sig, sample_rate=8000, blocksize=bs)
+
+
+def test_correlated_stereo_uses_mid_side_and_beats_independent():
+    rng = np.random.default_rng(3)
+    l = (8000 * np.sin(np.arange(8000) / 9)).astype(np.int64)
+    sig = np.stack([l, l + rng.integers(-20, 20, 8000)], 1)
+    buf, _info = _roundtrip(sig, blocksize=1024)
+    # first frame's channel-assignment bits must be mid/side (1010)
+    info = parse_streaminfo(buf)
+    r = _Bits(buf, info["frames_offset"])
+    assert r.u(14) == 0b11111111111110
+    r.u(2)
+    r.u(4)  # blocksize code
+    r.u(4)  # sample rate code
+    assert r.u(4) == 0b1010  # mid/side
+    # and the stereo decorrelation must actually pay
+    ind = encode_flac(
+        np.stack([l, rng.integers(-32768, 32768, 8000)], 1),
+        blocksize=1024,
+    )
+    assert len(buf) < len(ind) * 0.75
+
+
+def test_compression_on_smooth_content():
+    sig = (12000 * np.sin(np.arange(20000) / 40)).astype(np.int64)
+    buf, info = _roundtrip(sig, blocksize=4096)
+    assert len(buf) < sig.size * 2 * 0.5  # beats raw PCM 2x+
+    assert info["sample_rate"] == 16000
+    assert info["total_samples"] == 20000
+    assert info["channels"] == 1
+
+
+def test_streaminfo_fields_and_md5_checked():
+    sig = np.arange(0, 1000) % 251
+    buf = encode_flac(sig, sample_rate=48000, blocksize=256)
+    info = parse_streaminfo(buf)
+    assert info["bits_per_sample"] == 16
+    assert info["min_blocksize"] == info["max_blocksize"] == 256
+    # corrupt the stored MD5 → decode must refuse
+    bad = bytearray(buf)
+    md5_off = buf.index(info["md5"])
+    bad[md5_off] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(bad))
+
+
+def test_frame_crc_tamper_detected():
+    rng = np.random.default_rng(5)
+    sig = rng.integers(-2000, 2000, 4000)
+    buf = bytearray(encode_flac(sig, blocksize=512))
+    info = parse_streaminfo(bytes(buf))
+    # flip one bit somewhere in the frame payload region
+    detected = 0
+    for pos in range(info["frames_offset"] + 8, len(buf), 97):
+        bad = bytearray(buf)
+        bad[pos] ^= 0x10
+        try:
+            decode_flac(bytes(bad))
+        except (ValueError, NotImplementedError):
+            detected += 1
+    assert detected > 0
+
+
+def test_truncated_stream_fails_closed():
+    sig = np.arange(2000) % 1000
+    buf = encode_flac(sig, blocksize=512)
+    for cut in (5, len(buf) // 2, len(buf) - 3):
+        with pytest.raises(ValueError):
+            decode_flac(buf[:cut])
+
+
+def test_non_flac_and_refusals():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        parse_streaminfo(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_flac(np.array([70000]))
+    with pytest.raises(ValueError, match="mono or stereo"):
+        encode_flac(np.zeros((10, 3)))
+    with pytest.raises(ValueError, match="at least one"):
+        encode_flac(np.zeros(0))
+
+
+def test_encoder_deterministic():
+    rng = np.random.default_rng(11)
+    sig = rng.integers(-9000, 9000, (2500, 2))
+    assert encode_flac(sig) == encode_flac(sig)
+
+
+def test_decode_audio_dispatch():
+    from finanalyzer_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    sig = (5000 * np.sin(np.arange(3000) / 12)).astype(np.int64)
+    rate, got = decode_audio(encode_flac(sig, sample_rate=22050))
+    assert rate == 22050
+    assert np.array_equal(got.reshape(-1).astype(np.int64), sig)
+    wav = encode_wav_pcm16(
+        sig.astype("<i2").tobytes(), rate=8000, channels=1
+    )
+    rate2, got2 = decode_audio(wav)
+    assert rate2 == 8000
+    assert np.array_equal(got2.reshape(-1).astype(np.int64), sig)
+
+
+def test_probe_media_identifies_flac():
+    from finanalyzer_spark.operators.multimodal import probe_media
+
+    sig = np.arange(500) % 300
+    p = probe_media(encode_flac(sig, sample_rate=44100))
+    assert p["kind"] == "audio"
+    assert p["container"] == "flac"
