@@ -24,7 +24,9 @@ NotImplementedError naming the sample size — exact-or-refuse, same
 discipline as the H.264 tiers.
 
 Encoder twin `encode_flac`: 16-bit mono/stereo, fixed predictors
-(best order 0-4 by residual magnitude), per-partition Rice parameter
+(best order 0-4 by residual magnitude) plus quantised-LPC subframes
+(Levinson-Durbin, order <= max_lpc_order, taken when they clearly
+beat the fixed predictors; 0 disables), per-partition Rice parameter
 estimation with partition order chosen per frame, mid/side vs
 independent stereo decision per frame, CRC-8/CRC-16/MD5 all real.
 The twin exists to prove the decoder against bit-exact round trips —
@@ -494,8 +496,79 @@ def _write_residual(w: _BitsW, resid, blocksize: int, order: int):
                     w.u(z & ((1 << param) - 1), param)
 
 
-def _encode_subframe(w: _BitsW, sig, bps: int):
-    """FIXED subframe with best order (CONSTANT when flat)."""
+def _lpc_candidate(sig, max_order: int = 8, precision: int = 12):
+    """Quantised-LPC candidate: autocorrelation → Levinson-Durbin →
+    coefficient quantisation matching the decoder's integer predictor
+    exactly.  Returns (order, shift, qlp, residual) or None when LPC
+    is degenerate (flat/short signals)."""
+    np = _np()
+    n = len(sig)
+    if n < max_order * 2 + 1:
+        return None
+    x = sig.astype(np.float64)
+    autoc = [float(np.dot(x[: n - lag], x[lag:])) for lag in
+             range(max_order + 1)]
+    if autoc[0] == 0.0:
+        return None
+    # Levinson-Durbin recursion, keeping every order's coefficients —
+    # high orders amplify coefficient-quantisation noise, so the best
+    # ORDER is an empirical per-block choice, exactly as in libFLAC
+    err = autoc[0]
+    lpc = [0.0] * max_order
+    per_order = []
+    for i in range(max_order):
+        acc = autoc[i + 1]
+        for j in range(i):
+            acc -= lpc[j] * autoc[i - j]
+        k = acc / err
+        new = lpc[:]
+        new[i] = k
+        for j in range(i):
+            new[j] = lpc[j] - k * lpc[i - 1 - j]
+        err *= 1.0 - k * k
+        lpc = new
+        per_order.append(lpc[: i + 1])
+        if err <= 0:
+            break
+
+    si = np.asarray(sig, dtype=np.int64)
+    best = None
+    for coefs in per_order:
+        order = len(coefs)
+        cmax = max(abs(c) for c in coefs)
+        if cmax == 0.0 or not np.isfinite(cmax):
+            continue
+        shift = precision - 1 - max(
+            0, int(np.floor(np.log2(cmax))) + 1
+        )
+        shift = max(0, min(31, shift))
+        qlp = [
+            int(np.clip(round(c * (1 << shift)),
+                        -(1 << (precision - 1)),
+                        (1 << (precision - 1)) - 1))
+            for c in coefs
+        ]
+        if all(q == 0 for q in qlp):
+            continue
+        # integer residual through the decoder's exact predictor,
+        # vectorised: acc[i] = sum_j qlp[j] * x[i-1-j]
+        acc = np.zeros(n - order, dtype=np.int64)
+        for j, q in enumerate(qlp):
+            acc += q * si[order - 1 - j : n - 1 - j]
+        resid = si[order:] - (acc >> shift)
+        cost = int(np.abs(resid).sum())
+        if best is None or cost < best[0]:
+            best = (cost, order, shift, qlp, [int(v) for v in resid])
+    if best is None:
+        return None
+    _cost, order, shift, qlp, resid = best
+    return order, shift, qlp, resid
+
+
+def _encode_subframe(w: _BitsW, sig, bps: int, max_lpc_order: int = 8):
+    """Best of CONSTANT / FIXED(0-4) / quantised-LPC by residual
+    magnitude (CONSTANT when flat), through the decoder's exact
+    integer prediction either way."""
     np = _np()
     sig = np.asarray(sig, dtype=np.int64)
     if len(sig) and (sig == sig[0]).all():
@@ -506,19 +579,45 @@ def _encode_subframe(w: _BitsW, sig, bps: int):
         return
     order = _best_fixed_order(sig)
     order = min(order, len(sig))
+    d = sig
+    for _ in range(order):
+        d = np.diff(d)
+    fixed_cost = int(np.abs(d).sum())
+    lpc = (
+        _lpc_candidate(sig, max_order=max_lpc_order)
+        if max_lpc_order > 0
+        else None
+    )
+    if lpc is not None:
+        lorder, shift, qlp, lresid = lpc
+        lpc_cost = int(np.abs(np.asarray(lresid, dtype=np.int64)).sum())
+        # LPC pays ~ (order * precision + 9) header bits more; demand
+        # a real win before taking it
+        if lpc_cost + lpc_cost // 8 < fixed_cost:
+            w.u(0, 1)
+            w.u(0b100000 | (lorder - 1), 6)
+            w.u(0, 1)  # no wasted bits
+            for v in sig[:lorder]:
+                w.s(int(v), bps)
+            w.u(12 - 1, 4)   # qlp precision
+            w.s(shift, 5)
+            for q in qlp:
+                w.s(q, 12)
+            _write_residual(w, lresid, len(sig), lorder)
+            return
     w.u(0, 1)
     w.u(0b001000 | order, 6)
     w.u(0, 1)  # no wasted bits
     for v in sig[:order]:
         w.s(int(v), bps)
-    d = sig
-    for _ in range(order):
-        d = np.diff(d)
     _write_residual(w, d, len(sig), order)
 
 
 def encode_flac(
-    samples, sample_rate: int = 16000, blocksize: int = 1024
+    samples,
+    sample_rate: int = 16000,
+    blocksize: int = 1024,
+    max_lpc_order: int = 8,
 ) -> bytes:
     """Encoder twin: 16-bit PCM (n,) mono or (n, 2) stereo →
     spec-valid FLAC (fixed blocksize, FIXED/CONSTANT subframes,
@@ -593,11 +692,11 @@ def encode_flac(
         if midside:
             mid = (block[:, 0] + block[:, 1]) >> 1
             side = block[:, 0] - block[:, 1]
-            _encode_subframe(w, mid, 16)
-            _encode_subframe(w, side, 17)
+            _encode_subframe(w, mid, 16, max_lpc_order)
+            _encode_subframe(w, side, 17, max_lpc_order)
         else:
             for c in range(n_ch):
-                _encode_subframe(w, block[:, c], 16)
+                _encode_subframe(w, block[:, c], 16, max_lpc_order)
         w.align()
         frame = bytes(w.out)
         w.u(crc16(frame), 16)

@@ -183,3 +183,87 @@ def test_probe_media_identifies_flac():
     p = probe_media(encode_flac(sig, sample_rate=44100))
     assert p["kind"] == "audio"
     assert p["container"] == "flac"
+
+
+def _first_subframe_type(buf: bytes) -> int:
+    """Parse to the first subframe's 6 type bits (mono stream)."""
+    info = parse_streaminfo(buf)
+    r = _Bits(buf, info["frames_offset"])
+    assert r.u(14) == 0b11111111111110
+    r.u(2)
+    bs_code = r.u(4)
+    sr_code = r.u(4)
+    r.u(4)  # channel assignment
+    r.u(3)
+    r.u(1)
+    b0 = r.u(8)  # coded number first byte
+    if b0 >= 0x80:
+        nb = 0
+        m = 0x80
+        while b0 & m:
+            nb += 1
+            m >>= 1
+        for _ in range(nb - 1):
+            r.u(8)
+    if bs_code == 0b0110:
+        r.u(8)
+    elif bs_code == 0b0111:
+        r.u(16)
+    if sr_code == 0b1100:
+        r.u(8)
+    elif sr_code in (0b1101, 0b1110):
+        r.u(16)
+    r.u(8)  # crc-8
+    assert r.u(1) == 0
+    return r.u(6)
+
+
+def test_lpc_subframes_emitted_and_lossless():
+    """Tonal content must route through the quantised-LPC path (the
+    decoder's LPC branch is then exercised by the twin, not just by
+    hand-built streams) and still round-trip exactly."""
+    # HIGH-frequency tones: successive differencing amplifies them
+    # (|1 - e^jw| > 1 past w = pi/3) so the fixed predictors lose
+    # badly, while LPC models them with small optimal coefficients —
+    # slow tones are a near-tie and would make this test flaky
+    rng = np.random.default_rng(2)
+    t = np.arange(30000)
+    sig = np.clip(
+        9000 * np.sin(2.2 * t)
+        + 4000 * np.sin(1.3 * t)
+        + rng.normal(0, 15, len(t)),
+        -32768, 32767,
+    ).astype(np.int64)
+    buf, _ = _roundtrip(sig, blocksize=4096)
+    stype = _first_subframe_type(buf)
+    assert stype & 0b100000, f"expected an LPC subframe, got {stype:06b}"
+    # and LPC must actually pay on this content
+    fixed_only = encode_flac(sig, blocksize=4096, max_lpc_order=0)
+    info, got = decode_flac(fixed_only)  # fixed-only still lossless
+    assert np.array_equal(got.reshape(-1).astype(np.int64), sig)
+    assert len(buf) < len(fixed_only) * 0.9
+
+
+def test_non_16_bit_stream_refused():
+    """Hand-build a 24-bit STREAMINFO: parse fine, decode refuses."""
+    import struct as _s
+
+    from finanalyzer_spark.operators.flac import _BitsW
+
+    si = _BitsW()
+    si.u(1024, 16)
+    si.u(1024, 16)
+    si.u(0, 24)
+    si.u(0, 24)
+    si.u(48000, 20)
+    si.u(0, 3)      # mono
+    si.u(23, 5)     # bits_per_sample - 1 = 23 → 24-bit
+    si.u(0, 36)
+    buf = (
+        b"fLaC" + bytes([0x80]) + _s.pack(">I", 34)[1:]
+        + bytes(si.out) + b"\x00" * 16
+    )
+    info = parse_streaminfo(buf)
+    assert info["bits_per_sample"] == 24
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_flac(buf)
