@@ -234,6 +234,7 @@ _SAMPLE_RATE_FROM_CODE = {
 _BPS_FROM_CODE = {
     0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32,
 }
+_CODE_FROM_SAMPLE_RATE = {v: k for k, v in _SAMPLE_RATE_FROM_CODE.items()}
 
 
 def _decode_residual(r: _Bits, blocksize: int, order: int) -> list[int]:
@@ -661,10 +662,7 @@ def encode_flac(
         # always use the end-of-header 16-bit blocksize form — it is
         # always legal and exercises that decode path
         w.u(0b0111, 4)
-        sr_code = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
-                   22050: 6, 24000: 7, 32000: 8, 44100: 9, 48000: 10,
-                   96000: 11}.get(sample_rate, 0)
-        w.u(sr_code, 4)
+        w.u(_CODE_FROM_SAMPLE_RATE.get(sample_rate, 0), 4)
         # channel assignment: mono/independent stereo or mid/side,
         # whichever codes the smaller total magnitude this frame
         midside = False
