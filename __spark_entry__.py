@@ -128,6 +128,11 @@ ROUND_CHANGED = frozenset({
     "media_h264_intra_decode",
     "media_h264_gop_decode",
     "media_flac_audio_stats",
+    # round-7 stats/eval battery — need first rows
+    "survival_km_curve",
+    "cuped_adjusted_ab",
+    "quality_roc_auc",
+    "quality_calibration_bins",
 })
 
 

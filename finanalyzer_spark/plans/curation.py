@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.rank import ordered_scan
 from ..operators.text import tokens_col
 from .registry import query
 
@@ -830,4 +831,201 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("p") > _QCUT, 1).otherwise(0)).alias("n_kept"),
         F.round(F.avg("p"), 6).alias("avg_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — classifier evaluation: the measurement half of the quality-
+# filter loop. A corpus team never ships `quality_classifier_filter`
+# without (a) a ranking metric (ROC AUC) against held-out labels and
+# (b) a calibration table showing whether the scores mean what they
+# say. Ground-truth proxy: `lang = 'en'` (the same langid-derived
+# labeling a fasttext-style English-quality filter trains on).
+# --------------------------------------------------------------------------
+
+#: integer-weight twin of `_QW` for the ranking metric: AUC is
+#: invariant under monotone transforms, so ranking by an ALL-INTEGER
+#: score (tokens, milli-type-token-ratio via integer division, length
+#: gate) keeps the whole computation exact across engines — no
+#: sigmoid/exp ULP exposure feeding the rank statistic.
+_AUC_W = (40, 21, 15000)
+
+
+@query(
+    "quality_roc_auc",
+    oracle=f"""
+    WITH f AS (
+        SELECT CAST({_AUC_W[0]} AS BIGINT)
+                   * len(string_split_regex(trim(text), '\\s+'))
+               + {_AUC_W[1]} * ((1000 * len(list_distinct(
+                     string_split_regex(trim(text), '\\s+'))))
+                   // len(string_split_regex(trim(text), '\\s+')))
+               + {_AUC_W[2]} * (CASE WHEN len(string_split_regex(
+                     trim(text), '\\s+')) >= 20 THEN 1 ELSE 0 END)
+                   AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS in_b
+        FROM documents WHERE trim(text) != ''
+    ),
+    v AS (
+        SELECT score, sum(in_a) AS a, sum(in_b) AS b
+        FROM f GROUP BY score
+    ),
+    r AS (
+        SELECT a, b,
+               2 * (sum(a + b) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (a + b)) + (a + b + 1) AS dr,
+               sum(a) OVER () AS na,
+               sum(b) OVER () AS nb
+        FROM v
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_pos,
+           CAST(max(nb) AS BIGINT) AS n_neg,
+           CAST(sum(a * dr) - max(na) * (max(na) + 1) AS BIGINT) AS u_x2,
+           CAST((sum(a * dr) - max(na) * (max(na) + 1)) * 1000000
+                // (2 * max(na) * max(nb)) AS BIGINT) AS auc_ppm
+    FROM r
+    """,
+    tags=("curation", "quality", "ml", "stats", "scale-path"),
+)
+def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC AUC of the quality score against the
+    English-language label, integer-exact end to end.
+
+    AUC equals the Mann-Whitney U statistic normalized by
+    `n_pos * n_neg` (Hanley & McNeil 1982), so this reuses the exact
+    rank machinery from `mann_whitney_u_returned_vs_kept`: collapse
+    to distinct scores with per-class counts, doubled average ranks
+    (`2*rank` stays integer under ties), one integer ppm division at
+    the end. The score is an integer monotone twin of the classifier's
+    linear logit (tokens, milli-TTR by integer division, length gate)
+    — AUC is invariant under monotone transforms, so ranking by the
+    integer score sidesteps sigmoid ULP divergence entirely while
+    measuring the same ranking quality.
+
+    Scale shape: one scan → distinct-score groupBy (cardinality ≪
+    docs) → operators/rank.ordered_scan for the cumulative pooled
+    counts (range repartition + partition offsets, never a
+    single-task global window) → scalar aggregate. The ppm division
+    widens to DECIMAL(38,0) (DuckDB promotes to HUGEINT silently)."""
+    t = load(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    f = t.documents.where(F.trim(F.col("text")) != "").select(
+        (
+            F.lit(_AUC_W[0]) * F.size(toks).cast("long")
+            + F.lit(_AUC_W[1])
+            * F.expr(
+                "(1000 * size(array_distinct(split(trim(text), '\\\\s+'))))"
+                " div size(split(trim(text), '\\\\s+'))"
+            )
+            + F.lit(_AUC_W[2])
+            * F.when(F.size(toks) >= 20, F.lit(1)).otherwise(F.lit(0))
+        ).alias("score"),
+        (F.col("lang") == "en").cast("long").alias("in_a"),
+        (F.col("lang") != "en").cast("long").alias("in_b"),
+    )
+    v = (
+        f.groupBy("score")
+        .agg(F.sum("in_a").alias("a"), F.sum("in_b").alias("b"))
+        .withColumn("run", F.col("a") + F.col("b"))
+    )
+    scanned = ordered_scan(
+        v, ["score"], running={"crun": "run"}, totals={"na": "a", "nb": "b"}
+    )
+    run = F.col("run")
+    r = scanned.select(
+        "a", "b", (2 * (F.col("crun") - run) + run + 1).alias("dr"), "na", "nb"
+    )
+    return r.agg(
+        F.max("na").alias("n_pos"),
+        F.max("nb").alias("n_neg"),
+        (F.sum(F.col("a") * F.col("dr")) - F.max("na") * (F.max("na") + 1))
+        .cast("long")
+        .alias("u_x2"),
+        F.expr(
+            "CAST(CAST(sum(a * dr) - max(na) * (max(na) + 1)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div (2 * CAST(max(na) AS DECIMAL(38,0)) * max(nb))"
+            " AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "quality_calibration_bins",
+    oracle=f"""
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS n_uniq
+        FROM documents WHERE trim(text) != ''
+    ),
+    s AS (
+        SELECT y,
+               1.0 / (1.0 + exp(-({_QW[0]} + {_QW[1]} * n_tok
+                   + {_QW[2]} * (n_uniq * 1.0 / n_tok)
+                   + {_QW[3]} * (CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0
+                       END)))) AS p
+        FROM f
+    )
+    SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+           round(avg(p), 6) AS avg_p,
+           round(avg((p - y) * (p - y)), 6) AS brier
+    FROM s
+    GROUP BY bin
+    """,
+    tags=("curation", "quality", "ml", "stats"),
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the quality classifier: ten equal-width
+    probability bins with observed positive rate (integer ppm) and
+    per-bin Brier contribution — the diagram a corpus team reads
+    before trusting `quality_classifier_filter`'s keep-threshold.
+
+    The sigmoid score is shared with the filter query (same `_QW`
+    literals); bin edges are decade boundaries of p, where a 1-ULP
+    sigmoid divergence could only matter if a score landed within one
+    ULP of an edge (measure-zero over real text features — and the
+    same exposure `n_kept`'s `p > cutoff` comparison already carries).
+    Observed rate is an exact integer division; avg/Brier are rounded
+    on both engines.
+
+    Scale shape: zero joins; featurize+score fuse into the scan; one
+    hash aggregate onto ≤10 groups. Trivially 100 TB-safe."""
+    t = load(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    f = t.documents.where(F.trim(F.col("text")) != "").select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    z = (
+        F.lit(_QW[0])
+        + F.lit(_QW[1]) * F.col("n_tok")
+        + F.lit(_QW[2]) * (F.col("n_uniq") * 1.0 / F.col("n_tok"))
+        + F.lit(_QW[3]) * F.when(F.col("n_tok") >= 20, 1.0).otherwise(0.0)
+    )
+    s = f.select("y", (1.0 / (1.0 + F.exp(-z))).alias("p"))
+    return (
+        s.groupBy(
+            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.expr(
+                "CAST(sum(y) * 1000000 div count(*) AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+            F.round(F.avg("p"), 6).alias("avg_p"),
+            F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6).alias(
+                "brier"
+            ),
+        )
     )

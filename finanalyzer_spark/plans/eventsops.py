@@ -1556,3 +1556,241 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — survival analysis: time-to-next-order with right censoring.
+# The churn/retention statistic product teams actually report
+# (Kaplan-Meier 1958); the repo's cohort_retention gives the calendar
+# view, this gives the duration view with censoring handled correctly.
+# --------------------------------------------------------------------------
+@query(
+    "survival_km_curve",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+        FROM orders GROUP BY 1, 2
+    ),
+    nx AS (
+        SELECT o_custkey, d,
+               lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS nxt
+        FROM per
+    ),
+    mx AS (SELECT max(d) AS maxd FROM per),
+    obs AS (
+        SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', d, nxt)
+                    ELSE date_diff('day', d, maxd) END AS dur,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM nx CROSS JOIN mx
+    ),
+    g AS (
+        SELECT dur, sum(ev) AS de, sum(1 - ev) AS ce
+        FROM obs GROUP BY dur
+    ),
+    k AS (
+        SELECT dur, de, ce,
+               sum(de + ce) OVER () AS n_total,
+               sum(de + ce) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM g
+    ),
+    r AS (
+        SELECT dur, de, ce, n_total - cum + de + ce AS n_risk FROM k
+    ),
+    s AS (
+        SELECT dur, de, ce, n_risk,
+               CASE WHEN de < n_risk
+                    THEN ln(1 - de * 1.0 / n_risk) END AS lt,
+               max(CASE WHEN de >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS dead
+        FROM r
+    )
+    SELECT CAST(dur AS BIGINT) AS gap_days,
+           CAST(de AS BIGINT) AS n_events,
+           CAST(ce AS BIGINT) AS n_censored,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(sum(lt) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                    + 0.0 END AS survival
+    FROM s
+    """,
+    tags=("events", "stats", "survival", "bounded-window"),
+)
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of the time-to-next-order
+    distribution: per customer, gaps between consecutive distinct
+    order days are events; the tail gap from the last order to the
+    dataset's last day is right-censored. Output is the full KM table
+    (risk set, events, censorings, survival) at every observed gap
+    length.
+
+    S(t) = prod_{s<=t} (1 - d_s/n_s); computed as exp of the running
+    sum of ln factors (identical expression both engines, rounded to
+    6dp). When the final risk set is exhausted by events
+    (d = n_risk → a zero factor), the row is flagged through a running
+    max instead of feeding ln(0) into the sum — that case can only
+    occur at the largest duration, where no later rows exist.
+
+    Scale shape: the per-customer lead() windows partition by
+    customer key (bounded per-key row counts); gaps then collapse to
+    ≤ (calendar-span-in-days) distinct durations, so the final
+    cumulative windows run over a frame bounded BY CONSTRUCTION
+    (~2.4k rows for the 1995-2001 span regardless of fact size) —
+    `bounded-window` tier, same convention as the decile/KS
+    queries. The dataset-max-date scalar rides a 1-row broadcast."""
+    t = load(spark, sf_dir)
+    per = t.orders.select(
+        "o_custkey", F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
+    ).distinct()
+    w = W.partitionBy("o_custkey").orderBy("d")
+    nx = per.select("o_custkey", "d", F.lead("d").over(w).alias("nxt"))
+    mx = per.agg(F.max("d").alias("maxd"))
+    obs = nx.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "d")
+        ).otherwise(F.datediff("maxd", "d")).alias("dur"),
+        F.col("nxt").isNotNull().cast("long").alias("ev"),
+    )
+    g = obs.groupBy("dur").agg(
+        F.sum("ev").alias("de"), F.sum(1 - F.col("ev")).alias("ce")
+    )
+    tot = g.agg(F.sum(F.col("de") + F.col("ce")).alias("n_total"))
+    wc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    atrisk = (
+        F.col("n_total")
+        - F.sum(F.col("de") + F.col("ce")).over(wc)
+        + F.col("de")
+        + F.col("ce")
+    )
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "dur", "de", "ce", atrisk.alias("n_risk")
+    )
+    lt = F.when(
+        F.col("de") < F.col("n_risk"),
+        F.log(F.lit(1) - F.col("de") * 1.0 / F.col("n_risk")),
+    )
+    dead = F.max(
+        (F.col("de") >= F.col("n_risk")).cast("int")
+    ).over(wc)
+    s = r.select(
+        "dur", "de", "ce", "n_risk", lt.alias("lt"), dead.alias("dead")
+    )
+    return s.select(
+        F.col("dur").cast("long").alias("gap_days"),
+        F.col("de").cast("long").alias("n_events"),
+        F.col("ce").cast("long").alias("n_censored"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("lt").over(wc)), 6) + 0.0)
+        .alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — CUPED variance reduction (Deng et al. 2013, "Improving the
+# Sensitivity of Online Controlled Experiments"): adjust the post-
+# period metric by the pre-period covariate before comparing variants.
+# The standard trick every experimentation platform applies.
+# --------------------------------------------------------------------------
+#: experiment split date: pre-period covariate window is everything
+#: before it, the measured period everything from it on
+CUPED_SPLIT = "2024-01-16"
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 AS variant,
+               sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                        THEN value ELSE 0 END) AS pre,
+               sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                        THEN value ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(pre) AS sx, sum(post) AS sy,
+               sum(pre * pre) AS sxx, sum(pre * post) AS sxy
+        FROM per_user
+    ),
+    a AS (
+        SELECT variant, pre, post,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+               sx / n AS mean_pre
+        FROM per_user CROSS JOIN s
+    )
+    SELECT CAST(variant AS BIGINT) AS variant,
+           count(*) AS n_users,
+           round(avg(post), 6) + 0.0 AS mean_post,
+           round(avg(post - theta * (pre - mean_pre)), 6) + 0.0
+               AS mean_adjusted,
+           round(max(theta), 6) + 0.0 AS theta
+    FROM a
+    GROUP BY variant
+    """,
+    tags=("events", "stats", "experiment"),
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B comparison: per-user pre-period activity
+    (before the split date) is the covariate; the post-period metric
+    is adjusted by theta = cov(pre, post)/var(pre) before the
+    per-variant means are compared. Theta is pooled across variants
+    (the standard estimator — under randomization the covariate is
+    independent of assignment). Variant assignment is the
+    deterministic user-id parity used by the media/grp queries.
+
+    Theta is computed from raw power sums with the identical
+    expression on both engines, so the only cross-engine exposure is
+    summation-order ULP noise, cushioned by the 6dp rounding on
+    averaged outputs (same posture as value_stats / theil).
+
+    Scale shape: one hash aggregate to a per-user frame (conditional
+    sums — no self-join between periods), a 1-row broadcast of the
+    pooled power sums, one per-variant aggregate. No windows, no
+    sorts."""
+    t = load(spark, sf_dir)
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = t.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0))
+        .alias("pre"),
+        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0))
+        .alias("post"),
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "pre", "post"
+    )
+    s = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_pre = F.col("sx") / F.col("n")
+    a = per_user.crossJoin(F.broadcast(s)).select(
+        "variant",
+        "pre",
+        "post",
+        theta.alias("theta"),
+        mean_pre.alias("mean_pre"),
+    )
+    return a.groupBy(F.col("variant").cast("long").alias("variant")).agg(
+        F.count("*").alias("n_users"),
+        (F.round(F.avg("post"), 6) + 0.0).alias("mean_post"),
+        (
+            F.round(
+                F.avg(
+                    F.col("post")
+                    - F.col("theta") * (F.col("pre") - F.col("mean_pre"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("mean_adjusted"),
+        (F.round(F.max("theta"), 6) + 0.0).alias("theta"),
+    )
