@@ -11,7 +11,7 @@ All transport/partitioning/batching is real Spark. Two codec tiers:
   reconstruction), baseline JPEG (Huffman + IDCT, 4:4:4/4:2:2/4:2:0,
   restart markers — operators/jpeg.py), GIF87a/89a (variable-width
   LZW, interlace, animation/disposal — operators/gif.py), BMP,
-  PCM-16 + G.711 mu-law WAV, FLAC (operators/flac.py — lossless
+  PCM-16 + G.711 mu-law + IMA/DVI ADPCM WAV, FLAC (operators/flac.py — lossless
   fixed-prediction + Rice tier, CRC/MD5-verified), Y4M frames,
   MJPEG-in-AVI demux (RIFF
   walk), Matroska/WebM EBML demux (operators/mkv.py: track/codec/
@@ -112,7 +112,9 @@ def decode_wav(buf: bytes):
     Returns (sample_rate, samples) with samples shaped
     (n_frames, n_channels) int16. Also decodes G.711 mu-law (WAVE
     format 7, 8-bit — the telephony codec; expansion per ITU-T G.711)
-    to the same int16 range. ValueError on non-WAV payloads;
+    and IMA/DVI ADPCM (format 0x11, 4-bit adaptive delta blocks;
+    output trimmed to the fact-chunk frame count when present) to the
+    same int16 range. ValueError on non-WAV payloads;
     NotImplementedError for other compressed encodings."""
     import struct
 
@@ -121,6 +123,7 @@ def decode_wav(buf: bytes):
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, channels, data, fmt = 12, None, None, None, None
+    block_align, fact_frames = None, None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
@@ -129,16 +132,20 @@ def decode_wav(buf: bytes):
             if len(body) < 16:
                 raise ValueError(f"fmt chunk too short ({len(body)} < 16 bytes)")
             audio_format, channels, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             if not (
                 (audio_format == 1 and bits == 16)
                 or (audio_format == 7 and bits == 8)
+                or (audio_format == 0x11 and bits == 4)
             ):
                 raise NotImplementedError(
-                    f"only PCM-16 and mu-law supported"
+                    f"only PCM-16, mu-law and IMA-ADPCM supported"
                     f" (format={audio_format}, bits={bits})"
                 )
             fmt = audio_format
+        elif cid == b"fact" and len(body) >= 4:
+            fact_frames = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -146,6 +153,13 @@ def decode_wav(buf: bytes):
         raise ValueError("missing fmt/data chunk")
     if channels == 0:
         raise ValueError("fmt chunk declares 0 channels")
+    if fmt == 0x11:
+        if not block_align or block_align < 4 * channels:
+            raise ValueError("ADPCM fmt declares unusable block align")
+        samples = _ima_adpcm_decode_blocks(data, channels, block_align)
+        if fact_frames is not None:
+            samples = samples[:fact_frames]
+        return rate, samples
     if fmt == 7:
         u = np.frombuffer(data, dtype=np.uint8)
         n = (len(u) // channels) * channels
@@ -157,8 +171,8 @@ def decode_wav(buf: bytes):
 
 
 def decode_audio(buf: bytes):
-    """Container-dispatching audio decode: RIFF/WAVE (PCM-16 +
-    G.711 mu-law) via decode_wav, or FLAC via the pure lossless tier
+    """Container-dispatching audio decode: RIFF/WAVE (PCM-16,
+    G.711 mu-law, IMA ADPCM) via decode_wav, or FLAC via the pure lossless tier
     (operators/flac.decode_flac, 16-bit).  Returns (sample_rate,
     samples) with samples (n_frames, n_channels) in int16 range —
     the one entry point decode_audio_features routes through, so a
@@ -184,6 +198,193 @@ def _mulaw_expand(u):
     mantissa = u & 0x0F
     mag = (((mantissa.astype(np.int32) << 3) + 0x84) << exponent) - 0x84
     return np.where(sign, -mag, mag).astype(np.int16)
+
+
+#: IMA/DVI ADPCM step-size table (89 entries; IMA Digital Audio
+#: Focus/Technical Working Groups "Recommended Practices for
+#: Enhancing Digital Audio Compatibility", 1992 — the table every
+#: WAVE format-0x11 implementation shares). Structural invariants
+#: (length, endpoints, ~1.1x growth) are pinned in
+#: tests/test_multimodal.py; a mistranscribed entry breaks the
+#: closed-loop encoder/decoder agreement only if both sides read
+#: different tables, so the test checks the published endpoints and
+#: growth law directly.
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+#: step-index adjustment per 3-bit nibble magnitude (sign bit ignored)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(predictor: int, index: int, nibble: int):
+    """One IMA-ADPCM reconstruction step (shared by decoder and the
+    closed-loop encoder): returns (new_predictor, new_index). The
+    delta expansion is the spec's shift-add form — exactly
+    `(2*mag+1) * step / 8` truncated per term."""
+    step = _IMA_STEP_TABLE[index]
+    delta = step >> 3
+    if nibble & 4:
+        delta += step
+    if nibble & 2:
+        delta += step >> 1
+    if nibble & 1:
+        delta += step >> 2
+    if nibble & 8:
+        predictor -= delta
+    else:
+        predictor += delta
+    if predictor > 32767:
+        predictor = 32767
+    elif predictor < -32768:
+        predictor = -32768
+    index += _IMA_INDEX_TABLE[nibble & 7]
+    if index < 0:
+        index = 0
+    elif index > 88:
+        index = 88
+    return predictor, index
+
+
+def _ima_adpcm_decode_blocks(data: bytes, channels: int, block_align: int):
+    """Decode WAVE format-0x11 (IMA ADPCM) sample data: a sequence of
+    `block_align`-byte blocks, each starting with a 4-byte per-channel
+    state header (predictor int16 LE, step index uint8, reserved) —
+    the header predictor IS the block's first output frame — followed
+    by 4-byte nibble groups interleaved per channel (low nibble
+    first). Trailing partial blocks decode as far as their bytes
+    reach; arbitrary bytes cannot crash the stepper (nibbles are
+    masked, index/predictor clamped)."""
+    import numpy as np
+
+    out = []
+    for base in range(0, len(data), block_align):
+        block = data[base : base + block_align]
+        if len(block) < 4 * channels:
+            break
+        preds, idxs = [], []
+        for ch in range(channels):
+            p = int.from_bytes(
+                block[4 * ch : 4 * ch + 2], "little", signed=True
+            )
+            i = block[4 * ch + 2]
+            preds.append(p)
+            idxs.append(min(i, 88))
+        frames = [list(preds)]
+        body = block[4 * channels :]
+        # per-channel nibble streams: 4-byte groups round-robin
+        pos = 0
+        group = [bytearray() for _ in range(channels)]
+        while pos + 4 <= len(body):
+            group[(pos // 4) % channels] += body[pos : pos + 4]
+            pos += 4
+        streams = []
+        for ch in range(channels):
+            nib = []
+            for b in group[ch]:
+                nib.append(b & 0x0F)
+                nib.append(b >> 4)
+            streams.append(nib)
+        n = min(len(s) for s in streams) if streams else 0
+        for k in range(n):
+            frame = []
+            for ch in range(channels):
+                preds[ch], idxs[ch] = _ima_step(
+                    preds[ch], idxs[ch], streams[ch][k]
+                )
+                frame.append(preds[ch])
+            frames.append(frame)
+        out.extend(frames)
+    return np.asarray(out, dtype=np.int16).reshape(-1, channels)
+
+
+def encode_wav_ima_adpcm(
+    pcm16, rate: int = 8000, channels: int = 1, samples_per_block: int = 505
+) -> bytes:
+    """RIFF/WAVE container around IMA-ADPCM (format 0x11) blocks — the
+    closed-loop encoder twin of decode_wav's ADPCM branch: the
+    encoder quantizes each delta, then updates its predictor through
+    the SAME `_ima_step` the decoder runs, so decode(encode(x))
+    reproduces the encoder's reconstruction bit-for-bit (the lossy
+    error is priced once, at quantization). Step index carries across
+    blocks (stored per block header, as the spec's streaming encoders
+    do). `samples_per_block` must be ≡ 1 (mod 8) so nibble groups
+    fill whole 4-byte units per channel."""
+    import struct
+
+    import numpy as np
+
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 mod 8")
+    arr = np.asarray(pcm16, dtype=np.int16).reshape(-1, channels)
+    n_frames = arr.shape[0]
+    block_align = 4 * channels + (samples_per_block - 1) * channels // 2
+    idxs = [0] * channels
+    blocks = []
+    for base in range(0, n_frames, samples_per_block):
+        chunk = arr[base : base + samples_per_block]
+        preds = [int(chunk[0, ch]) for ch in range(channels)]
+        head = b"".join(
+            struct.pack("<hBB", preds[ch], idxs[ch], 0)
+            for ch in range(channels)
+        )
+        nibs = [[] for _ in range(channels)]
+        for k in range(1, samples_per_block):
+            for ch in range(channels):
+                target = int(chunk[k, ch]) if k < len(chunk) else preds[ch]
+                step = _IMA_STEP_TABLE[idxs[ch]]
+                diff = target - preds[ch]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[ch], idxs[ch] = _ima_step(preds[ch], idxs[ch], nib)
+                nibs[ch].append(nib)
+        body = bytearray()
+        for g in range(0, samples_per_block - 1, 8):
+            for ch in range(channels):
+                eight = nibs[ch][g : g + 8]
+                for j in range(0, 8, 2):
+                    body.append(eight[j] | (eight[j + 1] << 4))
+        blocks.append(head + bytes(body))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        channels,
+        rate,
+        rate * block_align // samples_per_block,
+        block_align,
+        4,
+        2,
+        samples_per_block,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, n_frames)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 def _mulaw_compress(pcm):
@@ -877,8 +1078,9 @@ def decode_audio_features(
 ) -> DataFrame:
     """Audio → scalar features (sample_rate, n_frames, rms, peak).
 
-    `fake=False` REALLY decodes audio payloads — RIFF/WAVE (PCM-16 +
-    mu-law) or FLAC, dispatched by magic via decode_audio.  `fake=True`
+    `fake=False` REALLY decodes audio payloads — RIFF/WAVE (PCM-16,
+    G.711 mu-law, IMA ADPCM) or FLAC, dispatched by magic via
+    decode_audio.  `fake=True`
     reinterprets the raw payload as little-endian int16 mono at a
     nominal 8 kHz — deterministic, oracle-expressible.
 
@@ -1258,14 +1460,27 @@ def probe_media(buf: bytes) -> dict:
             return out
     # ---- audio
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        # name the codec from the fmt tag (decode_wav validates the
+        # rest); tags per RFC 2361 / mmreg.h registry
+        codec = None
+        p = 12
+        while p + 8 <= len(buf):
+            size = int.from_bytes(buf[p + 4 : p + 8], "little")
+            if buf[p : p + 4] == b"fmt " and size >= 2:
+                tag = int.from_bytes(buf[p + 8 : p + 10], "little")
+                codec = {1: "pcm", 7: "g711-mulaw",
+                         0x11: "ima-adpcm"}.get(tag, f"wav-0x{tag:x}")
+                break
+            p += 8 + size + (size & 1)
         try:
             rate, samples = decode_wav(buf)
             return {**out, "kind": "audio", "container": "wav",
-                    "codec": "pcm", "sample_rate": rate,
+                    "codec": codec, "sample_rate": rate,
                     "n_samples": int(samples.shape[0]),
                     "channels": int(samples.shape[1])}
         except (ValueError, NotImplementedError):
-            return {**out, "kind": "audio", "container": "wav"}
+            return {**out, "kind": "audio", "container": "wav",
+                    "codec": codec}
     if buf[:4] == b"fLaC":
         # STREAMINFO is the mandatory first metadata block (FLAC
         # format spec, xiph.org): 34-byte body; sample rate 20 bits,

@@ -1079,3 +1079,92 @@ def test_malformed_mp4_missing_boxes_raises_value_error():
     # (absent in this container) → NotImplementedError naming it
     with pytest.raises(NotImplementedError, match="PyAV|ffmpeg"):
         list(demux_video_compressed(buf))
+
+
+def test_ima_adpcm_tables_and_roundtrip():
+    """IMA/DVI ADPCM tier: published step-table invariants (89
+    entries, endpoints 7..32767, ~1.1x growth law), index-adjust
+    table, mono+stereo round trip at the codec's nominal quality,
+    fact-chunk trimming for non-block-multiple lengths, and
+    header-sample passthrough (each block's first frame is stored
+    verbatim in the block header — bit-exact by construction)."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    assert len(_IMA_STEP_TABLE) == 89
+    assert _IMA_STEP_TABLE[0] == 7 and _IMA_STEP_TABLE[-1] == 32767
+    assert list(_IMA_STEP_TABLE) == sorted(set(_IMA_STEP_TABLE))
+    ratios = [
+        _IMA_STEP_TABLE[i + 1] / _IMA_STEP_TABLE[i] for i in range(88)
+    ]
+    assert all(1.06 <= r <= 1.15 for r in ratios)
+    assert _IMA_INDEX_TABLE == (-1, -1, -1, -1, 2, 4, 6, 8)
+
+    rng = np.random.default_rng(11)
+    t = np.arange(5000)
+    x = (3000 * np.sin(t / 20) + rng.normal(0, 200, 5000)).astype(np.int16)
+    buf = encode_wav_ima_adpcm(x, rate=8000, channels=1)
+    rate, s = decode_wav(buf)
+    assert rate == 8000 and s.shape == (5000, 1)  # fact-trimmed
+    err = s[:, 0].astype(float) - x
+    snr = 10 * np.log10((x.astype(float) ** 2).mean() / (err**2).mean())
+    assert snr > 25.0, snr
+    # block-header passthrough: first frame of every block bit-exact
+    assert all(s[k, 0] == x[k] for k in range(0, 5000, 505))
+
+    x2 = np.stack([x, x[::-1]], axis=1).astype(np.int16)
+    buf2 = encode_wav_ima_adpcm(x2.reshape(-1), rate=16000, channels=2)
+    rate2, s2 = decode_wav(buf2)
+    assert rate2 == 16000 and s2.shape == x2.shape
+    err2 = s2.astype(float) - x2
+    snr2 = 10 * np.log10(
+        (x2.astype(float) ** 2).mean() / (err2**2).mean()
+    )
+    assert snr2 > 25.0, snr2
+
+
+def test_ima_adpcm_probe_dispatch_and_fuzz():
+    """probe_media names the WAV codec from the fmt tag (pcm /
+    g711-mulaw / ima-adpcm); decode_audio dispatches ADPCM WAVs
+    through the same entry point the feature kernels use; and
+    bit-flip fuzz over a valid stream fails closed (decodes or raises
+    ValueError/NotImplementedError — never crashes, output always
+    int16-bounded)."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+        encode_wav_ima_adpcm,
+        encode_wav_mulaw,
+        probe_media,
+    )
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(-2000, 2000, 1013).astype(np.int16)
+    buf = encode_wav_ima_adpcm(x, rate=11025, channels=1)
+    p = probe_media(buf)
+    assert (p["kind"], p["container"], p["codec"]) == (
+        "audio", "wav", "ima-adpcm",
+    )
+    assert p["sample_rate"] == 11025 and p["n_samples"] == 1013
+    assert probe_media(encode_wav_mulaw(x))["codec"] == "g711-mulaw"
+
+    rate, s = decode_audio(bytes(buf))
+    assert rate == 11025 and s.shape == (1013, 1)
+
+    ba = bytearray(buf)
+    for _ in range(120):
+        i = int(rng.integers(0, len(ba)))
+        ba[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            _, out = decode_wav(bytes(ba))
+            assert out.dtype == np.int16
+        except (ValueError, NotImplementedError):
+            pass
