@@ -24,8 +24,10 @@ operators/multimodal.py:
   the sibling-bug defences).  P slices decode too — P_Skip and
   P_L0_16x16 motion compensation with exact quarter-pel
   interpolation over a single reference (operators/h264_inter, twin
-  `encode_h264_video`).  CABAC, partitioned/multi-ref/weighted/B
-  inter shapes, and deblocking-filtered CAVLC streams raise
+  `encode_h264_video`) — and the §8.7 in-loop deblocking filter
+  (operators/h264_deblock) runs whenever the stream does not disable
+  it, so DEFAULT-flag baseline streams decode exactly.  CABAC and
+  partitioned/multi-ref/weighted/B inter shapes raise
   NotImplementedError naming the PyAV tier: exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
@@ -477,14 +479,15 @@ def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
 
 def decode_h264_annexb(buf: bytes, yuv: bool = False):
     """Decode an Annex-B H.264 stream whose coded macroblocks are all
-    intra-coded (I_PCM, or CAVLC I_4x4/I_16x16 with the deblocking
-    filter disabled — any mix) or P slices restricted to
-    P_Skip/P_L0_16x16 over a single reference.  Yields (frame_no,
-    (h, w, 3) uint8 RGB) — or (frame_no, (y, cb, cr)) planes with
-    `yuv=True`.  CABAC, partitioned/multi-ref/weighted/B inter
-    shapes, and deblocking-filtered CAVLC streams raise
-    NotImplementedError naming the PyAV tier (exact-or-refuse; see
-    the module docstrings here, in h264_cavlc and h264_inter)."""
+    intra-coded (I_PCM, CAVLC I_4x4/I_16x16 — any mix) or P slices
+    restricted to P_Skip/P_L0_16x16 over a single reference, with the
+    §8.7 in-loop deblocking filter applied per picture unless the
+    slice header disables it (alpha/beta offsets honoured).  Yields
+    (frame_no, (h, w, 3) uint8 RGB) — or (frame_no, (y, cb, cr))
+    planes with `yuv=True`.  CABAC and partitioned/multi-ref/
+    weighted/B inter shapes raise NotImplementedError naming the PyAV
+    tier (exact-or-refuse; see the module docstrings here, in
+    h264_cavlc, h264_inter and h264_deblock)."""
     import numpy as np
 
     sps = pps = None
@@ -577,18 +580,22 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                         raise NotImplementedError("ref pic marking ops")
             qp = pps["pic_init_qp"] + r.se()  # slice_qp_delta
             deblock_disabled = False
+            alpha_off = beta_off = 0
             if pps["deblocking_filter_control_present"]:
                 idc = r.ue()  # disable_deblocking_filter_idc
                 deblock_disabled = idc == 1
                 if idc != 1:
-                    r.se()
-                    r.se()
+                    # idc 2 only exempts slice boundaries — identical
+                    # to 0 for the single-slice pictures we decode
+                    alpha_off = r.se()  # slice_alpha_c0_offset_div2
+                    beta_off = r.se()   # slice_beta_offset_div2
             from finanalyzer_spark.operators.h264_cavlc import (
                 decode_slice,
             )
 
             y, cb, cr = decode_slice(
-                r, sps, pps, qp, deblock_disabled, kind, ref_planes
+                r, sps, pps, qp, deblock_disabled, kind, ref_planes,
+                alpha_off=alpha_off, beta_off=beta_off,
             )
             if nal_ref_idc != 0:
                 # only REFERENCE pictures enter the DPB (8.2.5): a

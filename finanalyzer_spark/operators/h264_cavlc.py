@@ -1030,6 +1030,10 @@ class _SliceState:
         self.mv: list[list] = [
             [None] * self.mbw for _ in range(self.mbh)
         ]
+        #: per-MB luma QP at decode time + intra flags — exactly the
+        #: §8.7 deblocking inputs (I_PCM records QP 0 per the spec)
+        self.qp_mb = np.zeros((self.mbh, self.mbw), dtype=np.int64)
+        self.intra_mb = np.zeros((self.mbh, self.mbw), dtype=bool)
         self.qp = qp
         self.cq_off = pps.get("chroma_qp_index_offset", 0)
 
@@ -1047,16 +1051,18 @@ def _bump(counts, key):
         counts[key] = counts.get(key, 0) + 1
 
 
-def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int,
-                     deblock_disabled: bool, counts):
+def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int, counts):
     """One intra macroblock (I_PCM / I_4x4 / I_16x16) — shared by I
     slices and intra MBs inside P slices (mb_type offset 5 already
     removed by the caller)."""
     np = _np()
     y, cb, cr = st.y, st.cb, st.cr
     w = st.mbw * 16
+    st.intra_mb[my, mx] = True
     if mb_type == 25:  # I_PCM — raw samples; slice QP carries over
         _bump(counts, "ipcm")
+        # deblocking sees I_PCM at QPY 0 (§8.7) — filter-neutral edges
+        st.qp_mb[my, mx] = 0
         r.byte_align()
         yb = np.frombuffer(r.bytes_at(256), dtype=np.uint8)
         y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = yb.reshape(
@@ -1073,11 +1079,6 @@ def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int,
         return
     if mb_type > 25:
         raise ValueError(f"invalid intra mb_type {mb_type}")
-    if not deblock_disabled:
-        raise NotImplementedError(
-            "deblocking-filtered CAVLC H.264 needs the PyAV tier;"
-            " the pure tier decodes deblock-disabled intra streams"
-        )
 
     if mb_type == 0:  # I_4x4 (I_NxN; baseline has no 8x8 transform)
         _bump(counts, "i4")
@@ -1170,6 +1171,7 @@ def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int,
         st.dec4[gy0 : gy0 + 4, gx0 : gx0 + 4] = True
 
     # intra chroma reconstruction (shared by I_4x4 and I_16x16)
+    st.qp_mb[my, mx] = st.qp
     qpc = chroma_qp(st.qp, st.cq_off)
     cx, cy = mx * 8, my * 8
     have_t, have_l = my > 0, mx > 0
@@ -1224,6 +1226,7 @@ def _recon_inter_mb(st, mx: int, my: int, ref, mv, lv_luma, cbp_luma,
         plane[cy : cy + 8, cx : cx + 8] = rec
     st.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
     st.mv[my][mx] = (mv[0], mv[1])
+    st.qp_mb[my, mx] = st.qp
 
 
 def _decode_p16_mb(r, st, mx: int, my: int, ref, counts):
@@ -1280,6 +1283,8 @@ def decode_slice(
     slice_kind: str = "I",
     ref=None,
     counts: dict | None = None,
+    alpha_off: int = 0,
+    beta_off: int = 0,
 ):
     """Decode all macroblocks of a single-slice picture; `r` is
     positioned at the first slice_data element.  Returns (y, cb, cr)
@@ -1291,12 +1296,11 @@ def decode_slice(
     P_L0_16x16 over the single reference; partitioned inter shapes
     (P_16x8/8x16/8x8) raise NotImplementedError naming the PyAV tier.
 
-    Entropy-coded macroblocks in a stream whose deblocking filter is
-    not explicitly disabled raise NotImplementedError (exact-or-
-    refuse; an undeblocked approximation would silently differ from a
-    conformant decoder — I_PCM-only pictures are exempt because their
-    deblock QP is 0, making the filter a no-op at every I_PCM/I_PCM
-    edge, spec 8.7).  When `counts` is a dict, the keys
+    Unless `deblock_disabled`, the §8.7 in-loop deblocking filter runs
+    over the reconstructed picture before it is returned (and hence
+    before the caller stores it as a reference), with the slice
+    header's alpha/beta offsets applied — default-flag baseline
+    streams decode exactly.  When `counts` is a dict, the keys
     "i4"/"i16"/"ipcm"/"p16"/"pskip" are incremented per macroblock
     (probe/coverage instrumentation)."""
     st = _SliceState(sps, pps, qp)
@@ -1310,10 +1314,6 @@ def decode_slice(
             run = r.ue()  # mb_skip_run (7.3.4)
             if mb + run > n_mbs:
                 raise ValueError("mb_skip_run overruns the picture")
-            if run and not deblock_disabled:
-                raise NotImplementedError(
-                    "deblocking-filtered P slices need the PyAV tier"
-                )
             for _ in range(run):
                 my, mx = divmod(mb, st.mbw)
                 _recon_pskip(st, mx, my, ref, counts)
@@ -1332,18 +1332,20 @@ def decode_slice(
                     " partitions"
                 )
             if mb_type == 0:  # P_L0_16x16
-                if not deblock_disabled:
-                    raise NotImplementedError(
-                        "deblocking-filtered P slices need the PyAV"
-                        " tier"
-                    )
                 _decode_p16_mb(r, st, mx, my, ref, counts)
                 mb += 1
                 continue
             # intra mb_type offset in P slices (7.4.5)
             mb_type -= P_INTRA_OFFSET
-        _decode_intra_mb(r, st, mx, my, mb_type, deblock_disabled, counts)
+        _decode_intra_mb(r, st, mx, my, mb_type, counts)
         mb += 1
+    if not deblock_disabled:
+        from .h264_deblock import deblock_picture
+
+        deblock_picture(
+            st.y, st.cb, st.cr, st.qp_mb, st.intra_mb, st.tc_y,
+            st.mv, st.cq_off, alpha_off, beta_off,
+        )
     return st.planes_u8()
 
 
@@ -1753,14 +1755,17 @@ def _frames_to_planes(frames, yuv: bool):
 
 
 def encode_h264_intra(
-    frames, qp: int = 28, yuv: bool = False, recon_out: list | None = None
+    frames, qp: int = 28, yuv: bool = False, recon_out: list | None = None,
+    deblock: bool = False,
 ) -> bytes:
     """Encoder twin for the CAVLC intra tier: an Annex-B baseline
     stream of IDR-only pictures coded with I_4x4 / I_16x16 spatial
     prediction, the 4x4 integer transform and CAVLC entropy — the
-    shape of real intra-only H.264 — with the deblocking filter
-    explicitly disabled so `decode_h264_annexb` (exact-or-refuse pure
-    tier) accepts it.  Per-macroblock mode decision is closed-loop:
+    shape of real intra-only H.264.  With `deblock=False` the filter
+    is explicitly disabled in the slice header; with `deblock=True`
+    the stream is a DEFAULT baseline stream (no deblocking-control
+    syntax at all) and the encoder runs the §8.7 filter over each
+    reconstruction, exactly as the decoder does.  Per-macroblock mode decision is closed-loop:
     both candidates are fully reconstructed through the decoder's own
     dequant + inverse-transform path and the lower-SSD one is kept, so
     decode(encode(x)) equals the encoder's reconstruction bit-for-bit
@@ -1788,7 +1793,7 @@ def encode_h264_intra(
     qpc = chroma_qp(qp, 0)
 
     sps_rbsp, pps_rbsp = write_sps_pps(
-        mbw, mbh, pic_init_qp=qp, deblocking_control=True
+        mbw, mbh, pic_init_qp=qp, deblocking_control=not deblock
     )
     out = bytearray()
     out += _nal(NAL_SPS, 3, sps_rbsp)
@@ -1809,7 +1814,8 @@ def encode_h264_intra(
         s.u(0, 1)      # no_output_of_prior_pics
         s.u(0, 1)      # long_term_reference
         s.se(0)        # slice_qp_delta (pic_init_qp == qp)
-        s.ue(1)        # disable_deblocking_filter_idc: filter off
+        if not deblock:
+            s.ue(1)    # disable_deblocking_filter_idc: filter off
 
         for mb in range(mbw * mbh):
             my, mx = divmod(mb, mbw)
@@ -1822,6 +1828,17 @@ def encode_h264_intra(
             )
         s.rbsp_trailing()
         out += _nal(NAL_IDR, 3, bytes(s.out))
+        if deblock:
+            # in-loop: the encoder's reference/recon is the FILTERED
+            # picture, mirroring decode_slice exactly (§8.7)
+            from .h264_deblock import deblock_picture
+
+            deblock_picture(
+                est.y, est.cb, est.cr,
+                np.full((mbh, mbw), qp, dtype=np.int64),
+                np.ones((mbh, mbw), dtype=bool),
+                est.tc_y, est.mv, 0,
+            )
         if recon_out is not None:
             recon_out.append(est.planes_u8())
     return bytes(out)

@@ -285,6 +285,7 @@ def encode_h264_video(
     yuv: bool = False,
     search_range: int = 4,
     recon_out: list | None = None,
+    deblock: bool = False,
 ) -> bytes:
     """Encoder twin for the motion-compensated tier: an Annex-B
     baseline stream of IDR pictures every `gop` frames with P
@@ -295,9 +296,14 @@ def encode_h264_video(
     candidate is reconstructed through the decoder's own MC + dequant
     path, so decode(encode(x)) equals the encoder's reconstruction
     bit-for-bit (recon_out collects it per frame, as in
-    encode_h264_intra).  Deblocking is explicitly disabled; `gop`
-    must be >= 2 (consecutive IDRs would need distinct idr_pic_id
-    handling this twin doesn't model)."""
+    encode_h264_intra).  With `deblock=False` the filter is
+    explicitly disabled per slice; with `deblock=True` the stream is
+    a DEFAULT baseline stream (no deblocking-control syntax) and the
+    encoder runs the §8.7 filter over every reconstruction BEFORE it
+    becomes the next frame's reference — true in-loop filtering, the
+    same order decode_slice applies.  `gop` must be >= 2 (consecutive
+    IDRs would need distinct idr_pic_id handling this twin doesn't
+    model)."""
     import numpy as np
 
     from finanalyzer_spark.operators.h264 import (
@@ -335,7 +341,7 @@ def encode_h264_video(
     qpc = chroma_qp(qp, 0)
 
     sps_rbsp, pps_rbsp = write_sps_pps(
-        mbw, mbh, pic_init_qp=qp, deblocking_control=True
+        mbw, mbh, pic_init_qp=qp, deblocking_control=not deblock
     )
     out = bytearray()
     out += _nal(NAL_SPS, 3, sps_rbsp)
@@ -377,7 +383,7 @@ def encode_h264_video(
             rec: list = []
             stream = encode_h264_intra(
                 [(src_y8, src_cb8, src_cr8)], qp=qp, yuv=True,
-                recon_out=rec,
+                recon_out=rec, deblock=deblock,
             )
             # keep only the IDR NAL — SPS/PPS are already out front
             # (identical bytes: same write_sps_pps parameters)
@@ -407,7 +413,8 @@ def encode_h264_video(
         s.u(0, 1)               # ref_pic_list_modification_flag_l0
         s.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
         s.se(0)                 # slice_qp_delta
-        s.ue(1)                 # disable_deblocking_filter_idc
+        if not deblock:
+            s.ue(1)             # disable_deblocking_filter_idc
 
         #: JM-style rate-distortion lambda for the SSD + lam*bits cost
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
@@ -581,6 +588,21 @@ def encode_h264_video(
             s.ue(skip_run)
         s.rbsp_trailing()
         out += _nal(NAL_SLICE, 2, bytes(s.out))
+        if deblock:
+            # in-loop: filter the reconstruction BEFORE it becomes the
+            # reference, mirroring decode_slice (constant slice QP, no
+            # I_PCM in the encoder, intra MBs are the mv=None ones)
+            from .h264_deblock import deblock_picture
+
+            intra_flags = [
+                [est.mv[r_][c_] is None for c_ in range(mbw)]
+                for r_ in range(mbh)
+            ]
+            deblock_picture(
+                est.y, est.cb, est.cr,
+                np.full((mbh, mbw), qp, dtype=np.int64),
+                intra_flags, est.tc_y, est.mv, 0,
+            )
         ref = (est.y.copy(), est.cb.copy(), est.cr.copy())
         if recon_out is not None:
             recon_out.append(est.planes_u8())

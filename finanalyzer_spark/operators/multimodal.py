@@ -928,9 +928,9 @@ def demux_video_compressed(buf: bytes):
             return
     if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
         # raw H.264 Annex-B elementary stream: the pure tier decodes
-        # intra streams (I_PCM + deblock-disabled CAVLC) and
-        # 16x16-partition P slices; CABAC / partitioned-inter /
-        # deblocked streams fall through to the PyAV tier.
+        # intra streams (I_PCM + CAVLC) and 16x16-partition P slices,
+        # deblocking in-loop per §8.7; CABAC / partitioned-inter
+        # streams fall through to the PyAV tier.
         # Decode fully BEFORE yielding so a mid-stream entropy-coded
         # macroblock can't truncate the consumer's sequence.
         from .h264 import decode_h264_annexb

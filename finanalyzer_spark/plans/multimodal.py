@@ -837,10 +837,12 @@ def media_h264_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampled document: a 3-frame translating scene (deterministic
     # gradient, +2 px/frame), encoded as IDR + 2 P frames
     # (operators/h264_inter.encode_h264_video: quarter-pel motion
-    # search, P_Skip/P_L0_16x16/intra-fallback RD decision) and
+    # search, P_Skip/P_L0_16x16/intra-fallback RD decision, §8.7
+    # in-loop deblocking — a DEFAULT-flag baseline stream) and
     # decoded with the pure decoder.  The oracle pins the invariants
     # arithmetically: 3 frames out, exactly 1 IDR + 2 P NALs, decode
-    # bit-identical to the encoder's closed-loop reconstruction, and
+    # bit-identical to the encoder's closed-loop FILTERED
+    # reconstruction (references deblocked in-loop on both sides), and
     # the P-GOP stream smaller than the same frames coded all-intra
     # (worst measured ratio 0.646 over the fixture offset range).
     oracle="""
@@ -859,7 +861,9 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motion-compensated decode certification pass — the sampled
     check a video-corpus pipeline runs before trusting the inter
     tier for bulk work (doc_id % 23 keeps the heavy Python codec on
-    ~4% of documents).
+    ~4% of documents).  Round 7: the stream is a DEFAULT baseline
+    stream (deblocking active), so the certification covers the §8.7
+    in-loop filter and filtered-reference motion compensation.
 
     Scale shape: one Arrow mapInPandas over a pushdown-filtered
     projection — per-document Python codec cost, no shuffle; payload
@@ -901,7 +905,7 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recon: list = []
                 stream = encode_h264_video(
                     frames, qp=26, gop=4, yuv=True, search_range=2,
-                    recon_out=recon,
+                    recon_out=recon, deblock=True,
                 )
                 decoded = list(decode_h264_annexb(stream, yuv=True))
                 exact = all(

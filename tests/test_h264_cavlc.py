@@ -387,31 +387,27 @@ def test_mixed_ipcm_and_cavlc_macroblocks():
     assert np.array_equal(gcr[:, 8:], np.tile(cr0[:, 7:8], (1, 8)))
 
 
-def test_deblocking_enabled_cavlc_refused():
-    """A CAVLC macroblock in a stream whose deblocking filter is not
-    disabled must refuse (exact-or-refuse tier); the same reader
-    state with deblock_disabled=True decodes fine."""
+def test_deblocking_enabled_cavlc_decodes_and_filters():
+    """Round 7: deblocking-filtered CAVLC no longer refuses — a
+    default-flag stream (deblock=True twin: no deblocking-control
+    syntax at all) decodes bit-for-bit equal to the encoder's
+    FILTERED reconstruction, and differs from the deblock-disabled
+    decode of the same content (the filter really ran)."""
     rng = np.random.default_rng(2)
-    planes = _fixture_planes("noise", 16, 16, rng)
-    stream = encode_h264_intra([planes], qp=30, yuv=True)
-    sps = pps = None
-    for nal_type, _ref, rbsp in split_annexb(stream):
-        if nal_type == 7:
-            sps = parse_sps(rbsp)
-        elif nal_type == 8:
-            pps = parse_pps(rbsp)
-        elif nal_type == 5:
-            r = _BitReader(rbsp)
-            for _ in range(3):
-                r.ue()
-            r.u(8)
-            r.ue()
-            r.u(1)
-            r.u(1)
-            qp = pps["pic_init_qp"] + r.se()
-            r.ue()  # idc
-            with pytest.raises(NotImplementedError, match="deblocking"):
-                decode_islice(r, sps, pps, qp, False)
+    planes = _fixture_planes("blocks", 48, 64, rng)
+    rec: list = []
+    on = encode_h264_intra(
+        [planes], qp=32, yuv=True, recon_out=rec, deblock=True
+    )
+    ((_, dec_on),) = list(decode_h264_annexb(on, yuv=True))
+    assert all(
+        np.array_equal(d, e) for d, e in zip(dec_on, rec[0])
+    )  # closed loop THROUGH the filter
+    off = encode_h264_intra([planes], qp=32, yuv=True, deblock=False)
+    ((_, dec_off),) = list(decode_h264_annexb(off, yuv=True))
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(dec_on, dec_off)
+    )  # the filter changed samples
 
 
 def test_encoder_input_validation():
