@@ -133,16 +133,20 @@ ROUND_CHANGED = frozenset({
     "cuped_adjusted_ab",
     "quality_roc_auc",
     "quality_calibration_bins",
+    "hits_trade_graph",
+    "survival_logrank",
 })
 
 
 def _ordered_names() -> list[str]:
     """Sampling-priority order for the driver's ~50-query prefix sampler:
-    round-7-changed/new names first, then the 38 names that have never
-    received a driver row in any of r1-r6 (curation, sampling, retrieval,
-    graph, sketches, stats — see CORRECTNESS_r*.json union), then the
-    already-verified rest (registry order within each tier).  With ~50
-    slots this round should close the union toward 234/234 (two round-7 media queries are new)."""
+    round-7-changed/new names first (media codec + stats/eval/graph
+    batteries), then the 38 names that have never received a driver
+    row in any of r1-r6 (curation, sampling, retrieval, graph,
+    sketches, stats — see CORRECTNESS_r*.json union), then the
+    already-verified rest (registry order within each tier).  With
+    ~50 slots this round covers all 9 new + all 38 never-sampled
+    names and the union closes toward the full registry."""
     names = list(REGISTRY)
     sampled = DRIVER_SAMPLED - ROUND_CHANGED
 

@@ -190,3 +190,51 @@ def kcore(
         stacklevel=2,
     )
     return keep
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    round_digits: int = ITER_ROUND,
+):
+    """HITS (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
+    Environment") after `iters` rounds on a DIRECTED edge list:
+    authority(v) = sum of hub scores pointing at v, then hub(u) = sum
+    of authority scores u points at, L1-normalized and rounded per
+    step so the fixed-round result is reproducible across engines and
+    partitionings (same discipline as pagerank_fixed).
+
+    Returns (hubs, authorities) DataFrames of (node, score).
+
+    Scale shape per round: two equi-joins on node ids + two
+    map-side-combined groupBys; the edge frame is persisted once; the
+    L1 norms ride 1-row broadcasts. Same join/agg skeleton that holds
+    pagerank at fact-table edge counts."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.persist()
+    hubs = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    auth = None
+    for _ in range(iters):
+        a = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        an = a.agg(F.sum("s").alias("tot"))
+        auth = a.crossJoin(F.broadcast(an)).select(
+            "node", F.round(F.col("s") / F.col("tot"), round_digits).alias("score")
+        )
+        h = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        hn = h.agg(F.sum("s").alias("tot"))
+        hubs = h.crossJoin(F.broadcast(hn)).select(
+            "node", F.round(F.col("s") / F.col("tot"), round_digits).alias("score")
+        )
+    return hubs, auth

@@ -1794,3 +1794,148 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_adjusted"),
         (F.round(F.max("theta"), 6) + 0.0).alias("theta"),
     )
+
+
+@query(
+    "survival_logrank",
+    oracle="""
+    WITH per AS (
+        SELECT o.o_custkey,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS grp,
+               CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    nx AS (
+        SELECT o_custkey, grp, d,
+               lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS nxt
+        FROM per
+    ),
+    mx AS (SELECT max(d) AS maxd FROM per),
+    obs AS (
+        SELECT grp,
+               CASE WHEN nxt IS NOT NULL THEN date_diff('day', d, nxt)
+                    ELSE date_diff('day', d, maxd) END AS dur,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM nx CROSS JOIN mx
+    ),
+    g AS (
+        SELECT dur,
+               sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d1,
+               sum(CASE WHEN grp = 1 THEN 1 - ev ELSE 0 END) AS c1,
+               sum(ev) AS d_all,
+               count(*) AS m_all
+        FROM obs GROUP BY dur
+    ),
+    k AS (
+        SELECT dur, d1, d_all,
+               sum(d1 + c1) OVER () - sum(d1 + c1) OVER w + d1 + c1
+                   AS n1,
+               sum(m_all) OVER () - sum(m_all) OVER w + m_all AS n
+        FROM g
+        WINDOW w AS (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(sum(d1) AS BIGINT) AS o1,
+           round(sum(d_all * n1 * 1.0 / n), 6) + 0.0 AS e1,
+           round(sum(CASE WHEN n > 1 THEN
+               d_all * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n)
+                   * (n - d_all) / (n - 1) ELSE 0 END), 6) + 0.0 AS v,
+           round(
+               (sum(d1) - sum(d_all * n1 * 1.0 / n))
+               * (sum(d1) - sum(d_all * n1 * 1.0 / n))
+               / sum(CASE WHEN n > 1 THEN
+                   d_all * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n)
+                       * (n - d_all) / (n - 1) ELSE 0 END), 6) + 0.0
+               AS chi2
+    FROM k
+    """,
+    tags=("events", "stats", "survival", "bounded-window"),
+)
+def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: does the BUILDING market segment
+    reorder on a different time-to-next-order distribution than the
+    rest?  Observed vs expected events under the null at every
+    distinct gap length, with the standard hypergeometric variance —
+    the censoring-correct companion to `survival_km_curve` (a naive
+    mean-gap comparison is biased by the censored tail gaps).
+
+    Scale shape: same as the KM curve — per-customer lead() windows
+    partitioned by key, then everything collapses to the
+    calendar-bounded distinct-duration frame (`bounded-window` tier);
+    the final sums are one scalar aggregate.  The observed count is
+    integer-exact; expected/variance are rational sums rounded at
+    6dp on both engines."""
+    t = load(spark, sf_dir)
+    per = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .select(
+            "o_custkey",
+            (F.col("c_mktsegment") == "BUILDING")
+            .cast("long")
+            .alias("grp"),
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("o_custkey").orderBy("d")
+    nx = per.select(
+        "o_custkey", "grp", "d", F.lead("d").over(w).alias("nxt")
+    )
+    mx = per.agg(F.max("d").alias("maxd"))
+    obs = nx.crossJoin(F.broadcast(mx)).select(
+        "grp",
+        F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "d"))
+        .otherwise(F.datediff("maxd", "d"))
+        .alias("dur"),
+        F.col("nxt").isNotNull().cast("long").alias("ev"),
+    )
+    g = obs.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0)).alias(
+            "d1"
+        ),
+        F.sum(
+            F.when(F.col("grp") == 1, 1 - F.col("ev")).otherwise(0)
+        ).alias("c1"),
+        F.sum("ev").alias("d_all"),
+        F.count("*").alias("m_all"),
+    )
+    tot = g.agg(
+        F.sum(F.col("d1") + F.col("c1")).alias("t1"),
+        F.sum("m_all").alias("tn"),
+    )
+    wc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    k = g.crossJoin(F.broadcast(tot)).select(
+        "d1",
+        "d_all",
+        (
+            F.col("t1")
+            - F.sum(F.col("d1") + F.col("c1")).over(wc)
+            + F.col("d1")
+            + F.col("c1")
+        ).alias("n1"),
+        (
+            F.col("tn") - F.sum("m_all").over(wc) + F.col("m_all")
+        ).alias("n"),
+    )
+    frac = F.col("n1") * 1.0 / F.col("n")
+    vterm = F.when(
+        F.col("n") > 1,
+        F.col("d_all")
+        * frac
+        * (1 - frac)
+        * (F.col("n") - F.col("d_all"))
+        / (F.col("n") - 1),
+    ).otherwise(0.0)
+    o1 = F.sum("d1")
+    e1 = F.sum(F.col("d_all") * frac)
+    v = F.sum(vterm)
+    return k.agg(
+        o1.cast("long").alias("o1"),
+        (F.round(e1, 6) + 0.0).alias("e1"),
+        (F.round(v, 6) + 0.0).alias("v"),
+        (F.round((o1 - e1) * (o1 - e1) / v, 6) + 0.0).alias("chi2"),
+    )

@@ -21,6 +21,7 @@ from ..operators.graph import (
     ITER_ROUND,
     TELEPORT,
     count_triangles,
+    hits_fixed,
     pagerank_fixed,
 )
 from .registry import query
@@ -310,3 +311,87 @@ def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return in_core.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("core_deg")
     )
+
+
+def _hits_oracle(iters: int = 2) -> str:
+    """Chained-CTE unroll of operators/graph.hits_fixed — identical
+    per-step L1 normalization and rounding, so the check is exact."""
+    steps = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""a{k}r AS (
+        SELECT e.dst AS node, sum(h.score) AS s
+        FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst
+    ),
+    a{k}n AS (SELECT sum(s) AS tot FROM a{k}r),
+    a{k} AS (SELECT node, round(s / tot, {ITER_ROUND}) AS score
+             FROM a{k}r, a{k}n),
+    h{k}r AS (
+        SELECT e.src AS node, sum(a.score) AS s
+        FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+    ),
+    h{k}n AS (SELECT sum(s) AS tot FROM h{k}r),
+    h{k} AS (SELECT node, round(s / tot, {ITER_ROUND}) AS score
+             FROM h{k}r, h{k}n)"""
+        )
+        prev_h = f"h{k}"
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS node, 1.0 AS score FROM edges),
+    {chained}
+    SELECT node, 'hub' AS kind, round(score, {_OUT_ROUND}) + 0.0 AS score
+    FROM h{iters}
+    UNION ALL
+    SELECT node, 'authority' AS kind,
+           round(score, {_OUT_ROUND}) + 0.0 AS score
+    FROM a{iters}
+    """
+
+
+@query(
+    "hits_trade_graph",
+    oracle=_hits_oracle(),
+    tags=("graph", "iterative", "hits"),
+)
+def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 rounds, L1-normalized) on the DIRECTED
+    customer→supplier purchase graph — 'which buyers concentrate
+    purchasing power (hubs) and which suppliers attract it
+    (authorities)'.  The complement to PageRank's undirected
+    centrality: HITS keeps the bipartite direction, so the two score
+    families answer different questions and the oracle's chained-CTE
+    unroll pins both.
+
+    Scale shape: per round two equi-joins + two map-side-combined
+    groupBys over the persisted edge frame; L1 norms are 1-row
+    broadcasts (operators/graph.hits_fixed). Same skeleton that holds
+    pagerank at fact-table edge counts — no windows, no sorts."""
+    t = load(spark, sf_dir)
+    edges = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    hubs, auth = hits_fixed(edges, iters=2)
+    out = hubs.select(
+        "node",
+        F.lit("hub").alias("kind"),
+        (F.round(F.col("score"), _OUT_ROUND) + 0.0).alias("score"),
+    ).unionByName(
+        auth.select(
+            "node",
+            F.lit("authority").alias("kind"),
+            (F.round(F.col("score"), _OUT_ROUND) + 0.0).alias("score"),
+        )
+    )
+    return out

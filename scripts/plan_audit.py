@@ -962,6 +962,55 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "quality_roc_auc": {
+        # integer-score AUC rides the Mann-Whitney machinery: distinct
+        # scores → ordered_scan cumulative counts → scalar aggregate
+        "must": ["Scan ExistingRDD", "Window", "BroadcastHashJoin",
+                 "HashAggregate"],
+        "must_not": ["Generate", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "quality_calibration_bins": {
+        # featurize+score fused into the scan; one hash aggregate onto
+        # ≤10 bins — no joins, no windows, no sorts
+        "must": ["HashAggregate", "ReadSchema"],
+        "must_not": ["Join", "Window", "Generate"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "survival_km_curve": {
+        # per-customer lead() windows (key-partitioned), then the KM
+        # table rides a calendar-bounded frame: global cumulative
+        # window is the acknowledged bounded-window tier; the max-date
+        # and grand-total scalars are 1-row broadcasts
+        "must": ["Window", "HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "hits_trade_graph": {
+        # per-round equi-joins + map-side-combined groupBys over the
+        # persisted edge frame; L1 norms are 1-row broadcasts — the
+        # pagerank skeleton, no windows, no sorts
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "Union"],
+        "must_not": ["Window", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "survival_logrank": {
+        # KM-shaped: key-partitioned lead windows, calendar-bounded
+        # cumulative frame (bounded-window tier), broadcast scalars,
+        # one final aggregate
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "cuped_adjusted_ab": {
+        # one per-user hash aggregate, 1-row broadcast of the pooled
+        # power sums, per-variant aggregate — no windows, no sorts
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["Window", "SortMergeJoin", "Generate"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
 }
 
 
