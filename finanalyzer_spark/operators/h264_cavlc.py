@@ -1026,10 +1026,10 @@ class _SliceState:
         #: the spec's neighbour inference (8.3.1.1)
         self.mode4 = np.full((self.mbh * 4, self.mbw * 4), 2, np.int64)
         self.dec4 = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
-        #: (mvx, mvy) per inter MB, None for intra (8.4.1.3 context)
-        self.mv: list[list] = [
-            [None] * self.mbw for _ in range(self.mbh)
-        ]
+        #: 4x4-granularity motion state (8.4.1.3 contexts + §8.7 bS)
+        from .h264_inter import MvField
+
+        self.mvf = MvField(self.mbw, self.mbh)
         #: per-MB luma QP at decode time + intra flags — exactly the
         #: §8.7 deblocking inputs (I_PCM records QP 0 per the spec)
         self.qp_mb = np.zeros((self.mbh, self.mbw), dtype=np.int64)
@@ -1059,6 +1059,7 @@ def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int, counts):
     y, cb, cr = st.y, st.cb, st.cr
     w = st.mbw * 16
     st.intra_mb[my, mx] = True
+    st.mvf.put_intra(my * 4, mx * 4, 4, 4)
     if mb_type == 25:  # I_PCM — raw samples; slice QP carries over
         _bump(counts, "ipcm")
         # deblocking sees I_PCM at QPY 0 (§8.7) — filter-neutral edges
@@ -1195,16 +1196,14 @@ def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int, counts):
         plane[cy : cy + 8, cx : cx + 8] = rec
 
 
-def _recon_inter_mb(st, mx: int, my: int, ref, mv, lv_luma, cbp_luma,
-                    dc_c, ac_c, cbp_chroma):
-    """Reconstruct one P_L0_16x16 (or P_Skip: all-zero residual)
-    macroblock from the reference planes + motion vector."""
+def _recon_inter_mb(st, mx: int, my: int, pred, pred_cb, pred_cr,
+                    lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma):
+    """Reconstruct one inter macroblock from its (already
+    motion-compensated, partition-assembled) 16x16 luma + 8x8 chroma
+    predictions and the shared CAVLC residual."""
     np = _np()
-    from .h264_inter import mc_chroma, mc_luma
 
-    ry, rcb, rcr = ref
     px, py = mx * 16, my * 16
-    pred = mc_luma(ry, px, py, mv[0], mv[1])
     for blk in range(16):
         bx, by = _blk_xy(blk)
         sl = np.s_[py + by * 4 : py + by * 4 + 4,
@@ -1217,27 +1216,21 @@ def _recon_inter_mb(st, mx: int, my: int, ref, mv, lv_luma, cbp_luma,
         st.y[sl] = np.clip(ps + res, 0, 255)
     qpc = chroma_qp(st.qp, st.cq_off)
     cx, cy = mx * 8, my * 8
-    for c, (plane, refc) in ((0, (st.cb, rcb)), (1, (st.cr, rcr))):
-        predc = mc_chroma(refc, cx, cy, mv[0], mv[1])
+    for c, (plane, predc) in ((0, (st.cb, pred_cb)), (1, (st.cr, pred_cr))):
         if cbp_chroma:
             rec = _recon_chroma(predc, dc_c[c], ac_c[c], qpc)
         else:
             rec = np.clip(predc, 0, 255)
         plane[cy : cy + 8, cx : cx + 8] = rec
     st.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-    st.mv[my][mx] = (mv[0], mv[1])
     st.qp_mb[my, mx] = st.qp
 
 
-def _decode_p16_mb(r, st, mx: int, my: int, ref, counts):
-    """Parse + reconstruct one P_L0_16x16 macroblock (single active
-    reference, so ref_idx_l0 is absent; mvd then CBP via the Table
-    9-4 Inter mapping, then the shared CAVLC residual)."""
-    from .h264_inter import CBP_INTER_FROM_CODENUM, predict_mv
+def _read_inter_residual(r, st, mx: int, my: int):
+    """CBP + optional mb_qp_delta + luma/chroma CAVLC residual —
+    identical syntax for every inter macroblock shape (7.3.5)."""
+    from .h264_inter import CBP_INTER_FROM_CODENUM
 
-    _bump(counts, "p16")
-    mvp = predict_mv(st.mv, mx, my, st.mbw)
-    mv = (mvp[0] + r.se(), mvp[1] + r.se())
     cbp_code = r.ue()
     if cbp_code >= len(CBP_INTER_FROM_CODENUM):
         raise ValueError("invalid coded_block_pattern code")
@@ -1256,22 +1249,109 @@ def _decode_p16_mb(r, st, mx: int, my: int, ref, counts):
         else:
             st.tc_y[gy, gx] = 0
     dc_c, ac_c = _read_chroma_residual(r, st.tc_c, mx, my, cbp_chroma)
+    return lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma
+
+
+def _decode_p16_mb(r, st, mx: int, my: int, ref, counts):
+    """Parse + reconstruct one P_L0_16x16 macroblock (single active
+    reference, so ref_idx_l0 is absent; mvd then CBP via the Table
+    9-4 Inter mapping, then the shared CAVLC residual)."""
+    from .h264_inter import mc_chroma, mc_luma, predict_mv
+
+    _bump(counts, "p16")
+    mvp = predict_mv(st.mvf, mx, my)
+    mv = (mvp[0] + r.se(), mvp[1] + r.se())
+    st.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
+    lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma = _read_inter_residual(
+        r, st, mx, my
+    )
+    ry, rcb, rcr = ref
+    px, py = mx * 16, my * 16
     _recon_inter_mb(
-        st, mx, my, ref, mv, lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma
+        st, mx, my,
+        mc_luma(ry, px, py, mv[0], mv[1]),
+        mc_chroma(rcb, mx * 8, my * 8, mv[0], mv[1]),
+        mc_chroma(rcr, mx * 8, my * 8, mv[0], mv[1]),
+        lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma,
+    )
+
+
+def _decode_p_part_mb(r, st, mx: int, my: int, ref, mb_type: int,
+                      counts):
+    """Parse + reconstruct one partitioned inter macroblock —
+    P_L0_L0_16x8 (mb_type 1) or P_L0_L0_8x16 (mb_type 2).  Both mvds
+    are parsed first (7.3.5.1), each partition's predictor derived
+    sequentially per 8.4.1.3 (partition 1 sees partition 0's decided
+    MV), then the shared residual and a partition-assembled
+    reconstruction."""
+    import numpy as np
+
+    from .h264_inter import mc_chroma, mc_luma, predict_mv_part
+
+    _bump(counts, "p16x8" if mb_type == 1 else "p8x16")
+    mvds = [(r.se(), r.se()), (r.se(), r.se())]
+    gx0, gy0 = mx * 4, my * 4
+    pred = np.zeros((16, 16), dtype=np.int64)
+    pred_cb = np.zeros((8, 8), dtype=np.int64)
+    pred_cr = np.zeros((8, 8), dtype=np.int64)
+    ry, rcb, rcr = ref
+    if mb_type == 1:  # 16x8: top then bottom
+        parts = (
+            (gx0, gy0, 4, 2, "B"),
+            (gx0, gy0 + 2, 4, 2, "A"),
+        )
+    else:  # 8x16: left then right
+        parts = (
+            (gx0, gy0, 2, 4, "A"),
+            (gx0 + 2, gy0, 2, 4, "C"),
+        )
+    for (gx, gy, w4, h4, direction), mvd in zip(parts, mvds):
+        mvp = predict_mv_part(st.mvf, gx, gy, w4, direction)
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        st.mvf.put_inter(gy, gx, h4, w4, mv)
+        px, py = gx * 4, gy * 4
+        lx, ly = px - mx * 16, py - my * 16
+        bw, bh = w4 * 4, h4 * 4
+        pred[ly : ly + bh, lx : lx + bw] = mc_luma(
+            ry, px, py, mv[0], mv[1], bh=bh, bw=bw
+        )
+        pred_cb[ly // 2 : ly // 2 + bh // 2,
+                lx // 2 : lx // 2 + bw // 2] = mc_chroma(
+            rcb, px // 2, py // 2, mv[0], mv[1], bh=bh // 2, bw=bw // 2
+        )
+        pred_cr[ly // 2 : ly // 2 + bh // 2,
+                lx // 2 : lx // 2 + bw // 2] = mc_chroma(
+            rcr, px // 2, py // 2, mv[0], mv[1], bh=bh // 2, bw=bw // 2
+        )
+    lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma = _read_inter_residual(
+        r, st, mx, my
+    )
+    _recon_inter_mb(
+        st, mx, my, pred, pred_cb, pred_cr,
+        lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma,
     )
 
 
 def _recon_pskip(st, mx: int, my: int, ref, counts):
     """P_Skip: motion-compensated copy at the skip-predicted MV, no
     residual, no TotalCoeff contribution (8.4.1.1)."""
-    from .h264_inter import skip_mv
+    from .h264_inter import mc_chroma, mc_luma, skip_mv
 
     _bump(counts, "pskip")
-    mv = skip_mv(st.mv, mx, my, st.mbw)
+    mv = skip_mv(st.mvf, mx, my)
+    st.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
     st.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
     for c in range(2):
         st.tc_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
-    _recon_inter_mb(st, mx, my, ref, mv, None, 0, None, None, 0)
+    ry, rcb, rcr = ref
+    px, py = mx * 16, my * 16
+    _recon_inter_mb(
+        st, mx, my,
+        mc_luma(ry, px, py, mv[0], mv[1]),
+        mc_chroma(rcb, mx * 8, my * 8, mv[0], mv[1]),
+        mc_chroma(rcr, mx * 8, my * 8, mv[0], mv[1]),
+        None, 0, None, None, 0,
+    )
 
 
 def decode_slice(
@@ -1292,9 +1372,10 @@ def decode_slice(
 
     I slices handle mb_type 25 (I_PCM), 0 (I_4x4) and 1..24 (I_16x16)
     in any mix.  P slices (slice_kind="P", `ref` = previous frame's
-    uncropped planes) additionally handle mb_skip_run / P_Skip and
-    P_L0_16x16 over the single reference; partitioned inter shapes
-    (P_16x8/8x16/8x8) raise NotImplementedError naming the PyAV tier.
+    uncropped planes) additionally handle mb_skip_run / P_Skip,
+    P_L0_16x16, and the two-partition shapes P_L0_L0_16x8 / 8x16 over
+    the single reference; P_8x8 sub-partitions raise
+    NotImplementedError naming the PyAV tier.
 
     Unless `deblock_disabled`, the §8.7 in-loop deblocking filter runs
     over the reconstructed picture before it is returned (and hence
@@ -1327,12 +1408,16 @@ def decode_slice(
 
             if mb_type in P_PARTITIONED:
                 raise NotImplementedError(
-                    "partitioned P macroblocks (16x8/8x16/8x8) need"
-                    " the PyAV tier; the pure tier decodes 16x16"
+                    "P_8x8 sub-partitioned macroblocks need the PyAV"
+                    " tier; the pure tier decodes 16x16/16x8/8x16"
                     " partitions"
                 )
             if mb_type == 0:  # P_L0_16x16
                 _decode_p16_mb(r, st, mx, my, ref, counts)
+                mb += 1
+                continue
+            if mb_type in (1, 2):  # P_L0_L0_16x8 / P_L0_L0_8x16
+                _decode_p_part_mb(r, st, mx, my, ref, mb_type, counts)
                 mb += 1
                 continue
             # intra mb_type offset in P slices (7.4.5)
@@ -1344,7 +1429,7 @@ def decode_slice(
 
         deblock_picture(
             st.y, st.cb, st.cr, st.qp_mb, st.intra_mb, st.tc_y,
-            st.mv, st.cq_off, alpha_off, beta_off,
+            st.mvf.mvx, st.mvf.mvy, st.cq_off, alpha_off, beta_off,
         )
     return st.planes_u8()
 
@@ -1629,7 +1714,9 @@ class _EncState:
         ]
         self.mode4 = np.full((mbh * 4, mbw * 4), 2, dtype=np.int64)
         self.dec4 = np.zeros((mbh * 4, mbw * 4), dtype=bool)
-        self.mv: list[list] = [[None] * mbw for _ in range(mbh)]
+        from .h264_inter import MvField
+
+        self.mvf = MvField(mbw, mbh)
 
     def planes_u8(self):
         np = _np()
@@ -1725,7 +1812,7 @@ def _encode_intra_mb(
         )
         est.y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = rec16
     est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-    est.mv[my][mx] = None  # intra: no MV context for neighbours
+    est.mvf.put_intra(my * 4, mx * 4, 4, 4)  # intra MV context
     cx, cy = mx * 8, my * 8
     est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
     est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
@@ -1837,7 +1924,7 @@ def encode_h264_intra(
                 est.y, est.cb, est.cr,
                 np.full((mbh, mbw), qp, dtype=np.int64),
                 np.ones((mbh, mbw), dtype=bool),
-                est.tc_y, est.mv, 0,
+                est.tc_y, est.mvf.mvx, est.mvf.mvy, 0,
             )
         if recon_out is not None:
             recon_out.append(est.planes_u8())

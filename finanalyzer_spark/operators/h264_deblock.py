@@ -21,8 +21,10 @@ Reference behavior being reproduced (public spec + public sources):
   edges with an intra side, 3 on internal edges with an intra side,
   2 when either 4x4 luma block has coded coefficients, 1 on a
   motion mismatch (|mv delta| ≥ 4 quarter-sample units — one integer
-  sample), else 0 (no filtering).  Single-reference 16x16 partitions
-  (what the pure P tier emits) need no finer-grained cases.
+  sample), else 0 (no filtering).  The motion test runs on the
+  4x4-granularity MV field, so 16x8/8x16 partition boundaries inside
+  one macroblock are strength-1 candidates exactly as the spec
+  requires; single reference, as the pure P tier produces.
 * I_PCM macroblocks carry QPY = 0 for the filter (§8.7 note) — at
   qPav below 16 both alpha and beta are 0, so I_PCM/I_PCM edges are
   identity; that is why the I_PCM-only twin never needed the filter.
@@ -161,7 +163,8 @@ def deblock_picture(
     qp_mb,
     intra_mb,
     nz4,
-    mv_mb,
+    mvx4,
+    mvy4,
     cq_off: int = 0,
     alpha_off: int = 0,
     beta_off: int = 0,
@@ -177,8 +180,11 @@ def deblock_picture(
       nz4       (mbh*4, mbw*4) truthy where the 4x4 luma block has
                 coded coefficients (the TotalCoeff grid works
                 verbatim)
-      mv_mb     per-MB (mvx, mvy) or None (intra) — 16x16 partitions,
-                single reference, as the pure P tier produces
+      mvx4/mvy4 (mbh*4, mbw*4) quarter-pel MV component grids at 4x4
+                granularity (operators/h264_inter.MvField) — partition
+                edges inside one macroblock get their bS-1 motion test
+                per block pair; single reference, as the pure P tier
+                produces
       cq_off    PPS chroma_qp_index_offset
       alpha_off / beta_off   slice_alpha_c0_offset_div2 /
                 slice_beta_offset_div2 (slice header, §7.4.3)
@@ -191,10 +197,8 @@ def deblock_picture(
     nz = np.asarray(nz4) != 0
     mbh, mbw = qp_mb.shape
     fa, fb = alpha_off * 2, beta_off * 2
-
-    def mv_of(my, mx):
-        v = mv_mb[my][mx]
-        return (0, 0) if v is None else (int(v[0]), int(v[1]))
+    mvx4 = np.asarray(mvx4)
+    mvy4 = np.asarray(mvy4)
 
     def edge_bs(pmy, pmx, qmy, qmx, pb, qb, mb_edge):
         """Boundary strength for one 4x4 block pair; pb/qb index the
@@ -203,9 +207,10 @@ def deblock_picture(
             return 4 if mb_edge else 3
         if nz[pb] or nz[qb]:
             return 2
-        pvx, pvy = mv_of(pmy, pmx)
-        qvx, qvy = mv_of(qmy, qmx)
-        if abs(pvx - qvx) >= 4 or abs(pvy - qvy) >= 4:
+        if (
+            abs(int(mvx4[pb]) - int(mvx4[qb])) >= 4
+            or abs(int(mvy4[pb]) - int(mvy4[qb])) >= 4
+        ):
             return 1
         return 0
 

@@ -13,12 +13,13 @@ macroblock parse/reconstruct) and the GOP encoder twin
 `encode_h264_video` below.
 
 Tier contract (exact-or-refuse, same as the intra tier): the decoder
-handles P_L0_16x16 partitions + P_Skip + intra macroblocks in P
-slices over a single reference picture — exactly what the encoder
-twin emits, and the simplest shape real low-latency encoders produce.
-Sub-partitioned macroblocks (P_16x8/P_8x16/P_8x8), multiple reference
-frames, reference list modification, weighted prediction, and B
-slices raise NotImplementedError naming the PyAV tier.
+handles P_L0_16x16, the two-partition shapes P_L0_L0_16x8 / 8x16
+(directional MV prediction per 8.4.1.3 over the 4x4-granularity
+MvField), P_Skip, and intra macroblocks in P slices over a single
+reference picture — what real low-latency encoders produce.
+P_8x8 sub-partitioned macroblocks, multiple reference frames,
+reference list modification, weighted prediction, and B slices raise
+NotImplementedError naming the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
 * the 6-tap half-pel filter is pinned against hand-computed vectors;
@@ -52,8 +53,9 @@ CODENUM_FROM_CBP_INTER = {
 #: P-slice mb_type values (Table 7-13); >= 5 means intra (subtract 5)
 P_L0_16x16 = 0
 P_INTRA_OFFSET = 5
-#: P partition shapes the pure tier refuses (need the PyAV tier)
-P_PARTITIONED = {1, 2, 3, 4}  # 16x8 / 8x16 / 8x8 / 8x8ref0
+#: P shapes the pure tier still refuses (need the PyAV tier) —
+#: 16x8 (1) and 8x16 (2) decode natively since round 7
+P_PARTITIONED = {3, 4}  # P_8x8 / P_8x8ref0 sub-partitions
 
 
 def _np():
@@ -185,36 +187,96 @@ def mc_chroma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 8,
 
 
 # ---------------------------------------------------------------------------
-# Motion vector prediction (8.4.1.3) at whole-macroblock granularity
-# (the only partition shape this tier codes is 16x16)
+# Motion vector prediction (8.4.1.3) at 4x4-block granularity — the
+# spec's neighbour contexts A/B/C/D are 4x4 luma blocks, which is what
+# makes the 16x8 / 8x16 partition predictors well-defined
 # ---------------------------------------------------------------------------
-def predict_mv(mv_grid, mx: int, my: int, mbw: int):
-    """Median MV predictor for a 16x16 partition.  `mv_grid[my][mx]`
-    is (mvx, mvy) for inter macroblocks, None for intra ones, and
-    out-of-range means unavailable.  Returns (mvx, mvy)."""
+class MvField:
+    """4x4-granularity motion state for one picture: per-block state
+    (0 = unset/not-yet-decoded, 1 = intra, 2 = inter) plus quarter-pel
+    motion vectors for inter blocks.  Availability in the 8.4.1.3.2
+    sense (inside the picture AND already decoded) is `state != 0` —
+    blocks of macroblocks after the current one in decode order are
+    still 0 when neighbours are probed.
 
-    def fetch(x, y):
-        if x < 0 or y < 0 or x >= mbw or y >= len(mv_grid):
-            return None  # unavailable
-        return mv_grid[y][x]  # None when intra
+    `override` (a {(gx, gy): (mvx, mvy)} dict) lets an encoder probe
+    a candidate partitioning before committing it — partition 1's
+    predictor depends on partition 0's decided MV."""
 
-    a = fetch(mx - 1, my)
-    b = fetch(mx, my - 1)
-    c = fetch(mx + 1, my - 1)
-    if mx + 1 >= mbw or my == 0:
-        c = fetch(mx - 1, my - 1)  # substitute D (8.4.1.3.2)
-    # spec special case: B and C both unavailable (not merely intra)
-    # and A available → predictor is A
-    b_unavail = my == 0
-    c_unavail = my == 0  # C (or its D substitute) exists iff a row above
-    if b_unavail and c_unavail and mx > 0:
-        mva = a if a is not None else (0, 0)
-        return mva
-    # general: intra/unavailable neighbours contribute (0, 0); if
-    # exactly one neighbour is inter with the (only) reference, take it
+    UNSET, INTRA, INTER = 0, 1, 2
+
+    def __init__(self, mbw: int, mbh: int):
+        np = _np()
+        self.w, self.h = mbw * 4, mbh * 4
+        self.state = np.zeros((self.h, self.w), dtype=np.uint8)
+        self.mvx = np.zeros((self.h, self.w), dtype=np.int64)
+        self.mvy = np.zeros((self.h, self.w), dtype=np.int64)
+
+    def put_inter(self, gy: int, gx: int, h4: int, w4: int, mv) -> None:
+        self.state[gy : gy + h4, gx : gx + w4] = self.INTER
+        self.mvx[gy : gy + h4, gx : gx + w4] = mv[0]
+        self.mvy[gy : gy + h4, gx : gx + w4] = mv[1]
+
+    def put_intra(self, gy: int, gx: int, h4: int, w4: int) -> None:
+        self.state[gy : gy + h4, gx : gx + w4] = self.INTRA
+        self.mvx[gy : gy + h4, gx : gx + w4] = 0
+        self.mvy[gy : gy + h4, gx : gx + w4] = 0
+
+    def avail(self, gx: int, gy: int, override=None) -> bool:
+        if gx < 0 or gy < 0 or gx >= self.w or gy >= self.h:
+            return False
+        if override and (gx, gy) in override:
+            return True
+        return self.state[gy, gx] != self.UNSET
+
+    def inter_mv(self, gx: int, gy: int, override=None):
+        """(mvx, mvy) when the block is available AND inter, else
+        None (unavailable and intra both contribute (0, 0) to the
+        median and never satisfy the same-reference tests)."""
+        if gx < 0 or gy < 0 or gx >= self.w or gy >= self.h:
+            return None
+        if override and (gx, gy) in override:
+            return override[(gx, gy)]
+        if self.state[gy, gx] != self.INTER:
+            return None
+        return int(self.mvx[gy, gx]), int(self.mvy[gy, gx])
+
+
+def predict_mv_part(
+    field: MvField,
+    gx: int,
+    gy: int,
+    w4: int,
+    directional: str | None = None,
+    override=None,
+):
+    """MV predictor for a partition with top-left 4x4 block (gx, gy)
+    and width `w4` blocks (8.4.1.3).  `directional` names the
+    single-neighbour rule of the non-square partitions — 'B' (16x8
+    top), 'A' (16x8 bottom / 8x16 left), 'C' (8x16 right) — applied
+    when that neighbour is inter on the (single) reference, else the
+    median process of 8.4.1.3.1 with C→D substitution."""
+    a_av = field.avail(gx - 1, gy, override)
+    a = field.inter_mv(gx - 1, gy, override)
+    b_av = field.avail(gx, gy - 1, override)
+    b = field.inter_mv(gx, gy - 1, override)
+    c_av = field.avail(gx + w4, gy - 1, override)
+    c = field.inter_mv(gx + w4, gy - 1, override)
+    if not c_av:
+        c_av = field.avail(gx - 1, gy - 1, override)
+        c = field.inter_mv(gx - 1, gy - 1, override)
+    if directional == "A" and a is not None:
+        return a
+    if directional == "B" and b is not None:
+        return b
+    if directional == "C" and c is not None:
+        return c
+    # 8.4.1.3.1: B, C (and D) all unavailable → predictor is A
+    if not b_av and not c_av and a_av:
+        return a if a is not None else (0, 0)
     cands = [a, b, c]
     inter = [m for m in cands if m is not None]
-    if len(inter) == 1:
+    if len(inter) == 1:  # exactly one same-reference neighbour
         return inter[0]
     vals = [m if m is not None else (0, 0) for m in cands]
     xs = sorted(v[0] for v in vals)
@@ -222,25 +284,32 @@ def predict_mv(mv_grid, mx: int, my: int, mbw: int):
     return xs[1], ys[1]
 
 
-def skip_mv(mv_grid, mx: int, my: int, mbw: int):
+def predict_mv(field: MvField, mx: int, my: int):
+    """Median MV predictor for a whole-macroblock 16x16 partition."""
+    return predict_mv_part(field, mx * 4, my * 4, 4)
+
+
+def skip_mv(field: MvField, mx: int, my: int):
     """P_Skip motion vector (8.4.1.1): zero when the left or above
-    macroblock is unavailable, or when either is inter with a zero MV
-    (on the only reference); otherwise the median predictor."""
-    if mx == 0 or my == 0:
+    neighbour block is unavailable, or when either is inter with a
+    zero MV (on the only reference); otherwise the median
+    predictor."""
+    gx, gy = mx * 4, my * 4
+    if not field.avail(gx - 1, gy) or not field.avail(gx, gy - 1):
         return 0, 0
-    a = mv_grid[my][mx - 1]
-    b = mv_grid[my - 1][mx]
+    a = field.inter_mv(gx - 1, gy)
+    b = field.inter_mv(gx, gy - 1)
     if a == (0, 0) or b == (0, 0):
         return 0, 0
-    return predict_mv(mv_grid, mx, my, mbw)
+    return predict_mv(field, mx, my)
 
 
 # ---------------------------------------------------------------------------
 # GOP encoder twin (IDR + P frames)
 # ---------------------------------------------------------------------------
 def _motion_search(ref_y, src_mb, px: int, py: int, mvp,
-                   search_range: int):
-    """Best-SAD motion estimation for one 16x16 block: full-pel
+                   search_range: int, bh: int = 16, bw: int = 16):
+    """Best-SAD motion estimation for one (bh, bw) block: full-pel
     search in a ±search_range window around the predictor, then two
     sub-pel refinement rounds (half, then quarter) through the exact
     interpolation path the decoder runs.  Cost = SAD + |mvd| (a tiny
@@ -249,7 +318,7 @@ def _motion_search(ref_y, src_mb, px: int, py: int, mvp,
     np = _np()
 
     def cost(mvx, mvy):
-        pred = mc_luma(ref_y, px, py, mvx, mvy)
+        pred = mc_luma(ref_y, px, py, mvx, mvy, bh=bh, bw=bw)
         return int(np.abs(pred - src_mb).sum()) + abs(mvx - mvp[0]) + abs(
             mvy - mvp[1]
         )
@@ -440,8 +509,34 @@ def encode_h264_video(
             src_cb_mb = src_cb[cy : cy + 8, cx : cx + 8]
             src_cr_mb = src_cr[cy : cy + 8, cx : cx + 8]
 
-            # --- P candidate: motion search + residual ---
-            mvp = predict_mv(est.mv, mx, my, mbw)
+            def write_inter(wr, mbt, mvpairs, lv_, cbpl, cbpc,
+                            cdc_, cac_, tc_y, tc_c):
+                """mb_type + per-partition mvds + CBP + shared CAVLC
+                residual (7.3.5) — one writer for 16x16/16x8/8x16."""
+                wr.ue(mbt)
+                for pmvp, pmv in mvpairs:
+                    wr.se(pmv[0] - pmvp[0])
+                    wr.se(pmv[1] - pmvp[1])
+                cbp = cbpl | (cbpc << 4)
+                wr.ue(CODENUM_FROM_CBP_INTER[cbp])
+                if cbp:
+                    wr.se(0)  # mb_qp_delta
+                for blk in range(16):
+                    bx, by = _blk_xy(blk)
+                    gx, gy = mx * 4 + bx, my * 4 + by
+                    if cbpl & (1 << (blk >> 2)):
+                        n_c = _nc_from_grid(tc_y, gx, gy)
+                        tc_y[gy, gx] = encode_residual_block(
+                            wr, lv_[blk], n_c
+                        )
+                    else:
+                        tc_y[gy, gx] = 0
+                _write_chroma_residual(
+                    wr, tc_c, mx, my, cbpc, cdc_, cac_
+                )
+
+            # --- P_L0_16x16 candidate: motion search + residual ---
+            mvp = predict_mv(est.mvf, mx, my)
             mv = _motion_search(
                 ref[0], src_mb, px, py, mvp, search_range
             )
@@ -457,34 +552,83 @@ def encode_h264_video(
             ssd_p += int(((crec[0] - src_cb_mb) ** 2).sum())
             ssd_p += int(((crec[1] - src_cr_mb) ** 2).sum())
 
-            def write_p16(wr, tc_y, tc_c):
-                wr.ue(0)  # mb_type P_L0_16x16
-                wr.se(mv[0] - mvp[0])
-                wr.se(mv[1] - mvp[1])
-                cbp = cbp_luma | (cbp_chroma << 4)
-                wr.ue(CODENUM_FROM_CBP_INTER[cbp])
-                if cbp:
-                    wr.se(0)  # mb_qp_delta
-                for blk in range(16):
-                    bx, by = _blk_xy(blk)
-                    gx, gy = mx * 4 + bx, my * 4 + by
-                    if cbp_luma & (1 << (blk >> 2)):
-                        n_c = _nc_from_grid(tc_y, gx, gy)
-                        tc_y[gy, gx] = encode_residual_block(
-                            wr, lv[blk], n_c
-                        )
-                    else:
-                        tc_y[gy, gx] = 0
-                _write_chroma_residual(
-                    wr, tc_c, mx, my, cbp_chroma, cdc, cac
-                )
-
             probe = _BitWriter()
-            write_p16(probe, est.tc_y.copy(), [g.copy() for g in est.tc_c])
+            write_inter(probe, 0, [(mvp, mv)], lv, cbp_luma,
+                        cbp_chroma, cdc, cac, est.tc_y.copy(),
+                        [g.copy() for g in est.tc_c])
             cost_p = ssd_p + lam * bits_of(probe)
 
+            # --- two-partition candidates: P_L0_L0_16x8 / 8x16 ---
+            # partition 1's predictor depends on partition 0's decided
+            # MV, probed through MvField's override before committing
+            part = None  # (cost, mbt, mvpairs, geo, lv, cbpl, cbpc,
+            #              cdc, cac, rec_y, crec)
+            for mbt, geo in (
+                (1, ((mx * 4, my * 4, 4, 2, "B"),
+                     (mx * 4, my * 4 + 2, 4, 2, "A"))),
+                (2, ((mx * 4, my * 4, 2, 4, "A"),
+                     (mx * 4 + 2, my * 4, 2, 4, "C"))),
+            ):
+                ov: dict = {}
+                mvpairs = []
+                pred2 = np.zeros((16, 16), dtype=np.int64)
+                pcb2 = np.zeros((8, 8), dtype=np.int64)
+                pcr2 = np.zeros((8, 8), dtype=np.int64)
+                for gx, gy, w4, h4, dirn in geo:
+                    pmvp = predict_mv_part(
+                        est.mvf, gx, gy, w4, dirn, override=ov
+                    )
+                    bw_, bh_ = w4 * 4, h4 * 4
+                    px_, py_ = gx * 4, gy * 4
+                    pmv = _motion_search(
+                        ref[0],
+                        src_y[py_ : py_ + bh_, px_ : px_ + bw_],
+                        px_, py_, pmvp, search_range,
+                        bh=bh_, bw=bw_,
+                    )
+                    for yy in range(gy, gy + h4):
+                        for xx in range(gx, gx + w4):
+                            ov[(xx, yy)] = pmv
+                    mvpairs.append((pmvp, pmv))
+                    lx, ly = px_ - px, py_ - py
+                    pred2[ly : ly + bh_, lx : lx + bw_] = mc_luma(
+                        ref[0], px_, py_, pmv[0], pmv[1],
+                        bh=bh_, bw=bw_,
+                    )
+                    pcb2[
+                        ly // 2 : ly // 2 + bh_ // 2,
+                        lx // 2 : lx // 2 + bw_ // 2,
+                    ] = mc_chroma(
+                        ref[1], px_ // 2, py_ // 2, pmv[0], pmv[1],
+                        bh=bh_ // 2, bw=bw_ // 2,
+                    )
+                    pcr2[
+                        ly // 2 : ly // 2 + bh_ // 2,
+                        lx // 2 : lx // 2 + bw_ // 2,
+                    ] = mc_chroma(
+                        ref[2], px_ // 2, py_ // 2, pmv[0], pmv[1],
+                        bh=bh_ // 2, bw=bw_ // 2,
+                    )
+                lv2, cbpl2 = quant_luma_mb(src_mb, pred2)
+                cbpc2, cdc2, cac2, crec2 = _quant_chroma_resid(
+                    (pcb2, pcr2), src_cb_mb, src_cr_mb, qpc
+                )
+                rec2 = recon_luma_mb(pred2, lv2, cbpl2)
+                ssd2 = int(((rec2 - src_mb) ** 2).sum())
+                ssd2 += int(((crec2[0] - src_cb_mb) ** 2).sum())
+                ssd2 += int(((crec2[1] - src_cr_mb) ** 2).sum())
+                probe2 = _BitWriter()
+                write_inter(probe2, mbt, mvpairs, lv2, cbpl2, cbpc2,
+                            cdc2, cac2, est.tc_y.copy(),
+                            [g.copy() for g in est.tc_c])
+                c2 = ssd2 + lam * bits_of(probe2)
+                if part is None or c2 < part[0]:
+                    part = (c2, mbt, mvpairs, geo, lv2, cbpl2, cbpc2,
+                            cdc2, cac2, rec2, crec2)
+            cost_part = part[0]
+
             # --- P_Skip candidate: skip MV, no residual, ~free bits ---
-            mv_sk = skip_mv(est.mv, mx, my, mbw)
+            mv_sk = skip_mv(est.mvf, mx, my)
             skip_y = mc_luma(ref[0], px, py, mv_sk[0], mv_sk[1])
             skip_cb = np.clip(
                 mc_chroma(ref[1], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
@@ -514,7 +658,17 @@ def encode_h264_video(
                     my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
                 ].copy(),
                 est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4].copy(),
-                est.mv[my][mx],
+                (
+                    est.mvf.state[
+                        my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                    ].copy(),
+                    est.mvf.mvx[
+                        my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                    ].copy(),
+                    est.mvf.mvy[
+                        my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                    ].copy(),
+                ),
             )
 
             def restore_mb():
@@ -532,7 +686,10 @@ def encode_h264_video(
                 est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
                     saved[6]
                 )
-                est.mv[my][mx] = saved[7]
+                blk4 = np.s_[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4]
+                est.mvf.state[blk4] = saved[7][0]
+                est.mvf.mvx[blk4] = saved[7][1]
+                est.mvf.mvy[blk4] = saved[7][2]
 
             probe_w = _BitWriter()
             _encode_intra_mb(
@@ -552,7 +709,8 @@ def encode_h264_video(
             )
             cost_i = ssd_i + lam * bits_of(probe_w)
 
-            if cost_skip <= cost_p and cost_skip <= cost_i:
+            best_inter = min(cost_p, cost_part)
+            if cost_skip <= best_inter and cost_skip <= cost_i:
                 restore_mb()
                 skip_run += 1
                 est.y[py : py + 16, px : px + 16] = skip_y
@@ -564,25 +722,44 @@ def encode_h264_video(
                         my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2
                     ] = 0
                 est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-                est.mv[my][mx] = mv_sk
+                est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv_sk)
                 continue
 
             s.ue(skip_run)  # mb_skip_run before every coded MB
             skip_run = 0
-            if cost_i < cost_p:  # intra fallback (scene change etc.)
+            if cost_i < best_inter:  # intra fallback (scene change etc.)
                 # the probe already committed its reconstruction and
                 # grid updates to est — just replay its bits
                 append_bits(s, probe_w)
                 continue
 
-            # --- emit P_L0_16x16 ---
             restore_mb()
-            write_p16(s, est.tc_y, est.tc_c)
+            if cost_part < cost_p:
+                # --- emit P_L0_L0_16x8 / 8x16 ---
+                (_c, mbt, mvpairs, geo, lv2, cbpl2, cbpc2, cdc2,
+                 cac2, rec2, crec2) = part
+                write_inter(s, mbt, mvpairs, lv2, cbpl2, cbpc2,
+                            cdc2, cac2, est.tc_y, est.tc_c)
+                est.y[py : py + 16, px : px + 16] = rec2
+                est.cb[cy : cy + 8, cx : cx + 8] = crec2[0]
+                est.cr[cy : cy + 8, cx : cx + 8] = crec2[1]
+                est.dec4[
+                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                ] = True
+                for (gx, gy, w4, h4, _d), (_pmvp, pmv) in zip(
+                    geo, mvpairs
+                ):
+                    est.mvf.put_inter(gy, gx, h4, w4, pmv)
+                continue
+
+            # --- emit P_L0_16x16 ---
+            write_inter(s, 0, [(mvp, mv)], lv, cbp_luma, cbp_chroma,
+                        cdc, cac, est.tc_y, est.tc_c)
             est.y[py : py + 16, px : px + 16] = rec_y
             est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
             est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
             est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-            est.mv[my][mx] = mv
+            est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
 
         if skip_run:  # trailing skips close the slice (7.3.4)
             s.ue(skip_run)
@@ -594,14 +771,13 @@ def encode_h264_video(
             # I_PCM in the encoder, intra MBs are the mv=None ones)
             from .h264_deblock import deblock_picture
 
-            intra_flags = [
-                [est.mv[r_][c_] is None for c_ in range(mbw)]
-                for r_ in range(mbh)
-            ]
+            intra_flags = (
+                est.mvf.state[::4, ::4] == MvField.INTRA
+            )
             deblock_picture(
                 est.y, est.cb, est.cr,
                 np.full((mbh, mbw), qp, dtype=np.int64),
-                intra_flags, est.tc_y, est.mv, 0,
+                intra_flags, est.tc_y, est.mvf.mvx, est.mvf.mvy, 0,
             )
         ref = (est.y.copy(), est.cb.copy(), est.cr.copy())
         if recon_out is not None:

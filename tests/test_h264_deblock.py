@@ -75,9 +75,10 @@ def _run(qp, alpha_off=0, beta_off=0, lo=60, hi=90, intra=True):
     qp_mb = np.full((1, 2), qp, dtype=np.int64)
     intra_mb = np.full((1, 2), intra, dtype=bool)
     nz4 = np.zeros((4, 8), dtype=np.int64)
-    mv = [[None if intra else (0, 0)] * 2]
+    mvx4 = np.zeros((4, 8), dtype=np.int64)
+    mvy4 = np.zeros((4, 8), dtype=np.int64)
     deblock_picture(
-        y, cb, cr, qp_mb, intra_mb, nz4, mv,
+        y, cb, cr, qp_mb, intra_mb, nz4, mvx4, mvy4,
         alpha_off=alpha_off, beta_off=beta_off,
     )
     return y, cb, cr

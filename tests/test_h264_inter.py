@@ -152,25 +152,75 @@ def test_cbp_inter_table_is_permutation_with_known_anchors():
     assert CBP_INTER_FROM_CODENUM[2] == 1   # then single luma 8x8
 
 
+def _field(mbw, mbh, mb_rows):
+    """Build an MvField from MB-granularity rows: tuple = inter MV,
+    'i' = decoded intra, None = not yet decoded."""
+    from finanalyzer_spark.operators.h264_inter import MvField
+
+    f = MvField(mbw, mbh)
+    for my, row in enumerate(mb_rows):
+        for mx, v in enumerate(row):
+            if v == "i":
+                f.put_intra(my * 4, mx * 4, 4, 4)
+            elif v is not None:
+                f.put_inter(my * 4, mx * 4, 4, 4, v)
+    return f
+
+
 def test_mv_prediction_rules():
-    grid = [[None, None, None], [None, None, None]]
     # nothing decoded → zero
-    assert predict_mv(grid, 0, 0, 3) == (0, 0)
+    f = _field(3, 2, [[None] * 3, [None] * 3])
+    assert predict_mv(f, 0, 0) == (0, 0)
     # top row with left inter neighbour → A (8.4.1.3.2 special case)
-    grid[0][0] = (12, -4)
-    assert predict_mv(grid, 1, 0, 3) == (12, -4)
+    f = _field(3, 2, [[(12, -4), None, None], [None] * 3])
+    assert predict_mv(f, 1, 0) == (12, -4)
     # exactly one inter neighbour among A/B/C → that one
-    grid2 = [[None, (8, 2), None], [None, None, None]]
-    assert predict_mv(grid2, 1, 1, 3) == (8, 2)
+    f = _field(3, 2, [["i", (8, 2), "i"], ["i", None, None]])
+    assert predict_mv(f, 1, 1) == (8, 2)
     # three inter neighbours → component-wise median
-    grid3 = [[(0, 0), (4, 8), (16, -4)], [(8, 2), None, None]]
-    assert predict_mv(grid3, 1, 1, 3) == (8, 2)  # med(8,4,16), med(2,8,-4)
+    f3 = _field(3, 2, [[(0, 0), (4, 8), (16, -4)], [(8, 2), None, None]])
+    assert predict_mv(f3, 1, 1) == (8, 2)  # med(8,4,16), med(2,8,-4)
     # skip: zero when left/above missing or zero-MV
-    assert skip_mv(grid3, 0, 1, 3) == (0, 0)  # left edge
+    assert skip_mv(f3, 0, 1) == (0, 0)  # left edge
     # above neighbour has a zero MV → skip MV forced to zero
-    assert skip_mv([[None, (0, 0)], [(4, 4), None]], 1, 1, 2) == (0, 0)
-    g = [[(4, 4), (4, 4)], [(4, 4), None]]
-    assert skip_mv(g, 1, 1, 2) == (4, 4)
+    f = _field(2, 2, [["i", (0, 0)], [(4, 4), None]])
+    assert skip_mv(f, 1, 1) == (0, 0)
+    f = _field(2, 2, [[(4, 4), (4, 4)], [(4, 4), None]])
+    assert skip_mv(f, 1, 1) == (4, 4)
+
+
+def test_mv_prediction_partition_rules():
+    """8.4.1.3 directional rules for the two-partition shapes, at 4x4
+    block granularity, including partition 1 seeing partition 0's MV
+    through the override."""
+    from finanalyzer_spark.operators.h264_inter import predict_mv_part
+
+    # current MB at (1,1) of a 3x2 grid; neighbours all inter
+    f = _field(3, 2, [[(0, 0), (4, 8), (16, -4)], [(8, 2), None, None]])
+    gx, gy = 4, 4
+    # 16x8 top partition → B (above MB) directly
+    assert predict_mv_part(f, gx, gy, 4, "B") == (4, 8)
+    # 8x16 left partition → A (left MB) directly
+    assert predict_mv_part(f, gx, gy, 2, "A") == (8, 2)
+    # 8x16 right partition → C (above-right MB)
+    assert predict_mv_part(f, gx + 2, gy, 2, "C") == (16, -4)
+    # 16x8 bottom partition → A, reading partition 0 via override is
+    # NOT involved (A is the left MB's lower half)
+    assert predict_mv_part(f, gx, gy + 2, 4, "A") == (8, 2)
+    # directional neighbour intra → falls back to the median process
+    fi = _field(3, 2, [[(0, 0), "i", (16, -4)], [(8, 2), None, None]])
+    assert predict_mv_part(fi, gx, gy, 4, "B") == predict_mv_part(
+        fi, gx, gy, 4, None
+    )
+    # override: partition 1 of an 8x16 whose C is unavailable (D
+    # substituted from the left MB's top-right block); partition 0's
+    # committed MV flows through the override as neighbour A
+    f2 = _field(2, 1, [[(8, 2), None]])
+    ov = {(xx, yy): (40, 0) for xx in (4, 5) for yy in range(4)}
+    got = predict_mv_part(f2, 6, 0, 2, "C", override=ov)
+    # C=(8,-1) out of range → D=(5,-1) out of range → median path:
+    # A=(40,0) from override, B/C unavailable → rule → A
+    assert got == (40, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -582,3 +632,59 @@ def test_avc1_mid_stream_refusal_no_partial_frames():
         for item in gen:
             emitted.append(item)
     assert emitted == []  # no partial sequence before the refusal
+
+
+def test_partitioned_p_macroblocks_roundtrip():
+    """Round 7: P_L0_L0_16x8 / 8x16 decode natively.  Content whose
+    motion boundary cuts THROUGH macroblocks (top half pans, bottom
+    static; then left/right) makes the RD loop pick the partitioned
+    shapes, and decode must equal the encoder reconstruction
+    bit-for-bit — including through the deblocking filter, whose
+    boundary-strength motion test now runs per 4x4 block pair."""
+    rng = np.random.default_rng(17)
+    h, w = 48, 64
+    base = (
+        (np.add.outer(np.arange(h) * 5, np.arange(w) * 3)) % 256
+        + rng.integers(-9, 10, (h, w))
+    ).clip(0, 255).astype(np.uint8)
+    cbp = np.full((h // 2, w // 2), 115, np.uint8)
+    crp = np.full((h // 2, w // 2), 140, np.uint8)
+
+    def shifted(horiz_split):
+        out = base.copy()
+        if horiz_split:  # top half pans right by 4 px → 16x8 shapes
+            out[: h // 2] = np.roll(base[: h // 2], 4, axis=1)
+        else:  # left half pans down by 4 px → 8x16 shapes
+            out[:, : w // 2] = np.roll(base[:, : w // 2], 4, axis=0)
+        return out
+
+    frames = [
+        (base, cbp, crp),
+        (shifted(True), cbp, crp),
+        (shifted(False), cbp, crp),
+    ]
+    rec: list = []
+    stream = encode_h264_video(
+        frames, qp=28, gop=4, yuv=True, search_range=5, recon_out=rec
+    )
+    census = _mb_census(stream)
+    n_16x8 = sum(c.get("p16x8", 0) for c in census)
+    n_8x16 = sum(c.get("p8x16", 0) for c in census)
+    assert n_16x8 > 0, census
+    assert n_8x16 > 0, census
+    decoded = list(decode_h264_annexb(stream, yuv=True))
+    assert len(decoded) == 3
+    for (_fno, got), want in zip(decoded, rec):
+        for g, x in zip(got, want):
+            assert np.array_equal(g, x)
+    # same content THROUGH the in-loop filter (default-flag stream)
+    rec2: list = []
+    s2 = encode_h264_video(
+        frames, qp=28, gop=4, yuv=True, search_range=5,
+        recon_out=rec2, deblock=True,
+    )
+    for (_fno, got), want in zip(
+        decode_h264_annexb(s2, yuv=True), rec2
+    ):
+        for g, x in zip(got, want):
+            assert np.array_equal(g, x)
