@@ -27,9 +27,10 @@ operators/multimodal.py:
   `encode_h264_video`) — and the §8.7 in-loop deblocking filter
   (operators/h264_deblock) runs whenever the stream does not disable
   it, so DEFAULT-flag baseline streams decode exactly.  P
-  macroblocks cover 16x16 and the two-partition 16x8 / 8x16 shapes
-  (4x4-granularity MV field, directional predictors); CABAC and
-  P_8x8/multi-ref/weighted/B inter shapes raise NotImplementedError
+  macroblocks cover every partition shape — 16x16, 16x8 / 8x16
+  (directional predictors over the 4x4-granularity MV field), and
+  P_8x8 sub-partitions down to 4x4; CABAC and
+  multi-ref/weighted/B inter shapes raise NotImplementedError
   naming the PyAV tier: exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
@@ -482,14 +483,15 @@ def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
 def decode_h264_annexb(buf: bytes, yuv: bool = False):
     """Decode an Annex-B H.264 stream whose coded macroblocks are all
     intra-coded (I_PCM, CAVLC I_4x4/I_16x16 — any mix) or P slices
-    restricted to P_Skip / P_L0_16x16 / P_L0_L0_16x8 / 8x16 over a
-    single reference, with the §8.7 in-loop deblocking filter applied
-    per picture unless the slice header disables it (alpha/beta
-    offsets honoured).  Yields (frame_no, (h, w, 3) uint8 RGB) — or
-    (frame_no, (y, cb, cr)) planes with `yuv=True`.  CABAC and
-    P_8x8/multi-ref/weighted/B inter shapes raise NotImplementedError
-    naming the PyAV tier (exact-or-refuse; see the module docstrings
-    here, in h264_cavlc, h264_inter and h264_deblock)."""
+    with any partition shape (P_Skip / 16x16 / 16x8 / 8x16 / P_8x8
+    sub-partitions down to 4x4) over a single reference, with the
+    §8.7 in-loop deblocking filter applied per picture unless the
+    slice header disables it (alpha/beta offsets honoured).  Yields
+    (frame_no, (h, w, 3) uint8 RGB) — or (frame_no, (y, cb, cr))
+    planes with `yuv=True`.  CABAC and multi-ref/weighted/B inter
+    shapes raise NotImplementedError naming the PyAV tier
+    (exact-or-refuse; see the module docstrings here, in h264_cavlc,
+    h264_inter and h264_deblock)."""
     import numpy as np
 
     sps = pps = None

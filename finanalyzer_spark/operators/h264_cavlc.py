@@ -1332,6 +1332,72 @@ def _decode_p_part_mb(r, st, mx: int, my: int, ref, mb_type: int,
     )
 
 
+#: sub_mb_type (Table 7-17, P slices) → (sub-partition width4, height4)
+_SUB_SHAPES = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
+
+
+def _decode_p8x8_mb(r, st, mx: int, my: int, ref, counts):
+    """Parse + reconstruct one P_8x8 / P_8x8ref0 macroblock: four
+    sub_mb_type codes (Table 7-17: 8x8, 8x4, 4x8, 4x4), then all
+    mvd pairs in sub-partition raster order (7.3.5.2), each
+    sub-partition predicted by the 8.4.1.3.1 median process at its
+    own block geometry (no directional rules below the macroblock
+    level), then the shared residual.  Single active reference, so
+    ref_idx_l0 is absent for both mb_types."""
+    import numpy as np
+
+    from .h264_inter import mc_chroma, mc_luma, predict_mv_part
+
+    _bump(counts, "p8x8")
+    subs = []
+    for _ in range(4):
+        smt = r.ue()
+        if smt > 3:
+            raise ValueError(f"invalid P sub_mb_type {smt}")
+        subs.append(smt)
+    gx0, gy0 = mx * 4, my * 4
+    pred = np.zeros((16, 16), dtype=np.int64)
+    pred_cb = np.zeros((8, 8), dtype=np.int64)
+    pred_cr = np.zeros((8, 8), dtype=np.int64)
+    ry, rcb, rcr = ref
+    for part in range(4):
+        qx, qy = gx0 + (part & 1) * 2, gy0 + (part >> 1) * 2
+        w4, h4 = _SUB_SHAPES[subs[part]]
+        for sy in range(0, 2, h4):
+            for sx in range(0, 2, w4):
+                gx, gy = qx + sx, qy + sy
+                mvp = predict_mv_part(st.mvf, gx, gy, w4)
+                mv = (mvp[0] + r.se(), mvp[1] + r.se())
+                st.mvf.put_inter(gy, gx, h4, w4, mv)
+                px, py = gx * 4, gy * 4
+                lx, ly = px - mx * 16, py - my * 16
+                bw, bh = w4 * 4, h4 * 4
+                pred[ly : ly + bh, lx : lx + bw] = mc_luma(
+                    ry, px, py, mv[0], mv[1], bh=bh, bw=bw
+                )
+                pred_cb[
+                    ly // 2 : ly // 2 + bh // 2,
+                    lx // 2 : lx // 2 + bw // 2,
+                ] = mc_chroma(
+                    rcb, px // 2, py // 2, mv[0], mv[1],
+                    bh=bh // 2, bw=bw // 2,
+                )
+                pred_cr[
+                    ly // 2 : ly // 2 + bh // 2,
+                    lx // 2 : lx // 2 + bw // 2,
+                ] = mc_chroma(
+                    rcr, px // 2, py // 2, mv[0], mv[1],
+                    bh=bh // 2, bw=bw // 2,
+                )
+    lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma = _read_inter_residual(
+        r, st, mx, my
+    )
+    _recon_inter_mb(
+        st, mx, my, pred, pred_cb, pred_cr,
+        lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma,
+    )
+
+
 def _recon_pskip(st, mx: int, my: int, ref, counts):
     """P_Skip: motion-compensated copy at the skip-predicted MV, no
     residual, no TotalCoeff contribution (8.4.1.1)."""
@@ -1372,10 +1438,10 @@ def decode_slice(
 
     I slices handle mb_type 25 (I_PCM), 0 (I_4x4) and 1..24 (I_16x16)
     in any mix.  P slices (slice_kind="P", `ref` = previous frame's
-    uncropped planes) additionally handle mb_skip_run / P_Skip,
-    P_L0_16x16, and the two-partition shapes P_L0_L0_16x8 / 8x16 over
-    the single reference; P_8x8 sub-partitions raise
-    NotImplementedError naming the PyAV tier.
+    uncropped planes) additionally handle every P partition shape
+    over the single reference: mb_skip_run / P_Skip, P_L0_16x16, the
+    two-partition shapes P_L0_L0_16x8 / 8x16, and P_8x8 /
+    P_8x8ref0 sub-partitions down to 4x4.
 
     Unless `deblock_disabled`, the §8.7 in-loop deblocking filter runs
     over the reconstructed picture before it is returned (and hence
@@ -1404,20 +1470,18 @@ def decode_slice(
         my, mx = divmod(mb, st.mbw)
         mb_type = r.ue()
         if is_p:
-            from .h264_inter import P_INTRA_OFFSET, P_PARTITIONED
+            from .h264_inter import P_INTRA_OFFSET
 
-            if mb_type in P_PARTITIONED:
-                raise NotImplementedError(
-                    "P_8x8 sub-partitioned macroblocks need the PyAV"
-                    " tier; the pure tier decodes 16x16/16x8/8x16"
-                    " partitions"
-                )
             if mb_type == 0:  # P_L0_16x16
                 _decode_p16_mb(r, st, mx, my, ref, counts)
                 mb += 1
                 continue
             if mb_type in (1, 2):  # P_L0_L0_16x8 / P_L0_L0_8x16
                 _decode_p_part_mb(r, st, mx, my, ref, mb_type, counts)
+                mb += 1
+                continue
+            if mb_type in (3, 4):  # P_8x8 / P_8x8ref0
+                _decode_p8x8_mb(r, st, mx, my, ref, counts)
                 mb += 1
                 continue
             # intra mb_type offset in P slices (7.4.5)

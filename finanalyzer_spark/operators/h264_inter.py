@@ -13,13 +13,13 @@ macroblock parse/reconstruct) and the GOP encoder twin
 `encode_h264_video` below.
 
 Tier contract (exact-or-refuse, same as the intra tier): the decoder
-handles P_L0_16x16, the two-partition shapes P_L0_L0_16x8 / 8x16
+handles EVERY P macroblock partition shape over a single reference —
+P_L0_16x16, the two-partition shapes P_L0_L0_16x8 / 8x16
 (directional MV prediction per 8.4.1.3 over the 4x4-granularity
-MvField), P_Skip, and intra macroblocks in P slices over a single
-reference picture — what real low-latency encoders produce.
-P_8x8 sub-partitioned macroblocks, multiple reference frames,
-reference list modification, weighted prediction, and B slices raise
-NotImplementedError naming the PyAV tier.
+MvField), P_8x8 sub-partitions down to 4x4 (median prediction per
+sub-partition), P_Skip, and intra macroblocks.  Multiple reference
+frames, reference list modification, weighted prediction, and B
+slices raise NotImplementedError naming the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
 * the 6-tap half-pel filter is pinned against hand-computed vectors;
@@ -53,9 +53,10 @@ CODENUM_FROM_CBP_INTER = {
 #: P-slice mb_type values (Table 7-13); >= 5 means intra (subtract 5)
 P_L0_16x16 = 0
 P_INTRA_OFFSET = 5
-#: P shapes the pure tier still refuses (need the PyAV tier) —
-#: 16x8 (1) and 8x16 (2) decode natively since round 7
-P_PARTITIONED = {3, 4}  # P_8x8 / P_8x8ref0 sub-partitions
+#: every P partition shape of Table 7-13/7-17 decodes natively since
+#: round 7 (16x16, 16x8, 8x16, and the P_8x8 sub-partitions down to
+#: 4x4); the remaining inter refusals are stream-level (CABAC,
+#: multi-ref, weighted prediction, B slices)
 
 
 def _np():
@@ -511,9 +512,13 @@ def encode_h264_video(
 
             def write_inter(wr, mbt, mvpairs, lv_, cbpl, cbpc,
                             cdc_, cac_, tc_y, tc_c):
-                """mb_type + per-partition mvds + CBP + shared CAVLC
-                residual (7.3.5) — one writer for 16x16/16x8/8x16."""
+                """mb_type (+ sub_mb_types for P_8x8) + per-partition
+                mvds + CBP + shared CAVLC residual (7.3.5) — one
+                writer for 16x16/16x8/8x16/8x8."""
                 wr.ue(mbt)
+                if mbt == 3:  # P_8x8: four sub_mb_type codes first
+                    for _ in range(4):
+                        wr.ue(0)  # P_L0_8x8 sub-blocks
                 for pmvp, pmv in mvpairs:
                     wr.se(pmv[0] - pmvp[0])
                     wr.se(pmv[1] - pmvp[1])
@@ -558,9 +563,9 @@ def encode_h264_video(
                         [g.copy() for g in est.tc_c])
             cost_p = ssd_p + lam * bits_of(probe)
 
-            # --- two-partition candidates: P_L0_L0_16x8 / 8x16 ---
-            # partition 1's predictor depends on partition 0's decided
-            # MV, probed through MvField's override before committing
+            # --- partitioned candidates: 16x8 / 8x16 / P_8x8 ---
+            # later partitions' predictors depend on earlier decided
+            # MVs, probed through MvField's override before committing
             part = None  # (cost, mbt, mvpairs, geo, lv, cbpl, cbpc,
             #              cdc, cac, rec_y, crec)
             for mbt, geo in (
@@ -568,6 +573,12 @@ def encode_h264_video(
                      (mx * 4, my * 4 + 2, 4, 2, "A"))),
                 (2, ((mx * 4, my * 4, 2, 4, "A"),
                      (mx * 4 + 2, my * 4, 2, 4, "C"))),
+                # P_8x8 with four 8x8 sub-blocks (sub_mb_type 0 each;
+                # median prediction per quadrant, no directional rule)
+                (3, ((mx * 4, my * 4, 2, 2, None),
+                     (mx * 4 + 2, my * 4, 2, 2, None),
+                     (mx * 4, my * 4 + 2, 2, 2, None),
+                     (mx * 4 + 2, my * 4 + 2, 2, 2, None))),
             ):
                 ov: dict = {}
                 mvpairs = []

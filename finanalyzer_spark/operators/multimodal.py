@@ -928,9 +928,9 @@ def demux_video_compressed(buf: bytes):
             return
     if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
         # raw H.264 Annex-B elementary stream: the pure tier decodes
-        # intra streams (I_PCM + CAVLC) and 16x16/16x8/8x16-partition
-        # P slices, deblocking in-loop per §8.7; CABAC / P_8x8
-        # streams fall through to the PyAV tier.
+        # intra streams (I_PCM + CAVLC) and P slices of every
+        # partition shape, deblocking in-loop per §8.7; CABAC /
+        # multi-ref / B streams fall through to the PyAV tier.
         # Decode fully BEFORE yielding so a mid-stream entropy-coded
         # macroblock can't truncate the consumer's sequence.
         from .h264 import decode_h264_annexb
@@ -972,9 +972,9 @@ def demux_video_compressed(buf: bytes):
                 for no, frame_bytes in enumerate(decoded):
                     yield no, frame_bytes
                 return
-        # avc1 track? baseline intra and 16x16/16x8/8x16-partition P
+        # avc1 track? baseline intra and all-partition-shape P
         # decode in the pure tier via the Annex-B bridge; CABAC and
-        # P_8x8 streams raise inside and fall through to PyAV
+        # multi-ref/B streams raise inside and fall through to PyAV
         try:
             from .h264 import decode_h264_annexb
             from .mp4 import mp4_avc_to_annexb
@@ -982,7 +982,7 @@ def demux_video_compressed(buf: bytes):
             annexb = mp4_avc_to_annexb(buf)
             # decode fully BEFORE yielding (same discipline as the
             # raw Annex-B branch): a mid-stream refusal — e.g. a
-            # P_8x8 frame after decodable intra frames — must
+            # multi-ref P frame after decodable intra frames — must
             # fall through to PyAV cleanly, not leave the consumer
             # with a partial sequence followed by re-decoded frames
             frames = [

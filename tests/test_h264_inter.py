@@ -374,7 +374,24 @@ def test_p_slice_before_reference_refused():
         list(decode_h264_annexb(broken, yuv=True))
 
 
-def test_partitioned_p_macroblock_refused():
+def test_p8x8_handcrafted_stream_decodes():
+    """Round 7: P_8x8 decodes natively.  One hand-written macroblock
+    exercises ALL FOUR sub_mb_type shapes (8x8, 8x4, 4x8, 4x4) with
+    the spec parse order (four sub types first, then mvd pairs in
+    sub-partition raster order, 7.3.5.2) and per-sub-partition median
+    prediction; the decoded picture is verified against a test-side
+    reconstruction assembled from the unit-tested MC / prediction
+    primitives, and the rest of the picture rides a trailing
+    P_Skip run over the evolving MV field."""
+    from finanalyzer_spark.operators.h264 import _BitWriter
+    from finanalyzer_spark.operators.h264_inter import (
+        MvField,
+        mc_chroma,
+        mc_luma,
+        predict_mv_part,
+        skip_mv,
+    )
+
     frames = _translating(2)
     stream = encode_h264_video(frames, qp=30, gop=2, yuv=True)
     sps = pps = None
@@ -396,17 +413,67 @@ def test_partitioned_p_macroblock_refused():
             assert r.ue() == 1
             planes = decode_slice(r, sps, pps, qp, True, "I", None)
             ref = tuple(p.astype(np.int64) for p in planes)
-    # hand-build a P slice whose first MB is P_8x8 (mb_type 3):
-    # mb_skip_run=0 then mb_type=3
-    from finanalyzer_spark.operators.h264 import _BitWriter
-
+    mbw = sps["pic_width_in_mbs"]
+    mbh = sps["pic_height_in_map_units"]
+    subs = [0, 1, 2, 3]  # 8x8, 8x4, 4x8, 4x4 — one of each
+    mvds = [(4, 0), (0, 4), (-4, 0), (2, 2), (6, -2), (0, 0),
+            (4, 4), (-2, 6), (8, 0)]  # 1 + 2 + 2 + 4 sub-partitions
     s = _BitWriter()
     s.ue(0)  # mb_skip_run
-    s.ue(3)  # P_8x8
+    s.ue(3)  # mb_type P_8x8
+    for smt in subs:
+        s.ue(smt)
+    for dx, dy in mvds:
+        s.se(dx)
+        s.se(dy)
+    s.ue(0)  # coded_block_pattern 0 (codeNum 0 → cbp 0)
+    s.ue(mbw * mbh - 1)  # trailing skip run
     s.rbsp_trailing()
-    r = _BitReader(bytes(s.out))
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        decode_slice(r, sps, pps, 30, True, "P", ref)
+    got = decode_slice(
+        _BitReader(bytes(s.out)), sps, pps, 30, True, "P", ref
+    )
+    # --- test-side expected reconstruction
+    shapes = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
+    f = MvField(mbw, mbh)
+    exp_y = np.zeros((mbh * 16, mbw * 16), np.int64)
+    exp_cb = np.zeros((mbh * 8, mbw * 8), np.int64)
+    exp_cr = np.zeros((mbh * 8, mbw * 8), np.int64)
+
+    def paint(gx, gy, w4, h4, mv):
+        bw, bh = w4 * 4, h4 * 4
+        px, py = gx * 4, gy * 4
+        exp_y[py : py + bh, px : px + bw] = np.clip(
+            mc_luma(ref[0], px, py, mv[0], mv[1], bh=bh, bw=bw), 0, 255
+        )
+        for plane, rc in ((exp_cb, ref[1]), (exp_cr, ref[2])):
+            plane[
+                py // 2 : py // 2 + bh // 2, px // 2 : px // 2 + bw // 2
+            ] = np.clip(
+                mc_chroma(rc, px // 2, py // 2, mv[0], mv[1],
+                          bh=bh // 2, bw=bw // 2), 0, 255
+            )
+
+    k = 0
+    for part in range(4):
+        qx, qy = (part & 1) * 2, (part >> 1) * 2
+        w4, h4 = shapes[subs[part]]
+        for sy in range(0, 2, h4):
+            for sx in range(0, 2, w4):
+                gx, gy = qx + sx, qy + sy
+                mvp = predict_mv_part(f, gx, gy, w4)
+                mv = (mvp[0] + mvds[k][0], mvp[1] + mvds[k][1])
+                k += 1
+                f.put_inter(gy, gx, h4, w4, mv)
+                paint(gx, gy, w4, h4, mv)
+    assert k == len(mvds)
+    for mb in range(1, mbw * mbh):
+        my, mx = divmod(mb, mbw)
+        mv = skip_mv(f, mx, my)
+        f.put_inter(my * 4, mx * 4, 4, 4, mv)
+        paint(mx * 4, my * 4, 4, 4, mv)
+    assert np.array_equal(got[0], exp_y.astype(np.uint8))
+    assert np.array_equal(got[1], exp_cb.astype(np.uint8))
+    assert np.array_equal(got[2], exp_cr.astype(np.uint8))
 
 
 def test_encoder_input_validation():
@@ -601,9 +668,9 @@ def test_constrained_intra_pred_p_refused_i_allowed():
 
 def test_avc1_mid_stream_refusal_no_partial_frames():
     """An MP4 whose avc1 track starts decodable but hits a
-    partitioned P frame mid-stream must NOT emit a partial pure-tier
-    sequence before falling to PyAV (which is absent here → a clean
-    NotImplementedError with zero frames, not duplicates)."""
+    multi-reference P frame mid-stream must NOT emit a partial
+    pure-tier sequence before falling to PyAV (which is absent here →
+    a clean NotImplementedError with zero frames, not duplicates)."""
     from finanalyzer_spark.operators.mp4 import mux_mp4_avc
     from finanalyzer_spark.operators.multimodal import (
         demux_video_compressed,
@@ -616,13 +683,9 @@ def test_avc1_mid_stream_refusal_no_partial_frames():
     bad_p.ue(5)   # slice_type P
     bad_p.ue(0)   # pps_id
     bad_p.u(2, 8)  # frame_num
-    bad_p.u(0, 1)
-    bad_p.u(0, 1)
-    bad_p.u(0, 1)  # dec_ref_pic_marking
-    bad_p.se(0)
-    bad_p.ue(1)   # disable_deblocking
-    bad_p.ue(0)   # mb_skip_run
-    bad_p.ue(3)   # P_8x8 — refused by the pure tier
+    bad_p.u(1, 1)  # num_ref_idx_active_override_flag
+    bad_p.ue(1)   # num_ref_idx_l0_active_minus1 = 1 → multi-ref,
+    #               refused by the pure tier
     bad_p.rbsp_trailing()
     stream = good + _nal(NAL_SLICE, 2, bytes(bad_p.out))
     mp4 = mux_mp4_avc([], annexb=stream)
@@ -643,14 +706,19 @@ def test_partitioned_p_macroblocks_roundtrip():
     boundary-strength motion test now runs per 4x4 block pair."""
     rng = np.random.default_rng(17)
     h, w = 48, 64
-    base = (
+    noisy = (
         (np.add.outer(np.arange(h) * 5, np.arange(w) * 3)) % 256
         + rng.integers(-9, 10, (h, w))
     ).clip(0, 255).astype(np.uint8)
+    # noise-free twin: with a perfect two-half pan both 8x16 and P_8x8
+    # reach zero SSD, so the cheaper-bits 8x16 must win the RD tie
+    clean = (
+        np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256
+    ).astype(np.uint8)
     cbp = np.full((h // 2, w // 2), 115, np.uint8)
     crp = np.full((h // 2, w // 2), 140, np.uint8)
 
-    def shifted(horiz_split):
+    def shifted(base, horiz_split):
         out = base.copy()
         if horiz_split:  # top half pans right by 4 px → 16x8 shapes
             out[: h // 2] = np.roll(base[: h // 2], 4, axis=1)
@@ -659,28 +727,31 @@ def test_partitioned_p_macroblocks_roundtrip():
         return out
 
     frames = [
-        (base, cbp, crp),
-        (shifted(True), cbp, crp),
-        (shifted(False), cbp, crp),
+        (noisy, cbp, crp),
+        (shifted(noisy, True), cbp, crp),
+        (clean, cbp, crp),
+        (shifted(clean, False), cbp, crp),
     ]
     rec: list = []
     stream = encode_h264_video(
-        frames, qp=28, gop=4, yuv=True, search_range=5, recon_out=rec
+        frames, qp=28, gop=6, yuv=True, search_range=5, recon_out=rec
     )
     census = _mb_census(stream)
     n_16x8 = sum(c.get("p16x8", 0) for c in census)
     n_8x16 = sum(c.get("p8x16", 0) for c in census)
+    n_p8x8 = sum(c.get("p8x8", 0) for c in census)
     assert n_16x8 > 0, census
     assert n_8x16 > 0, census
+    assert n_p8x8 > 0, census
     decoded = list(decode_h264_annexb(stream, yuv=True))
-    assert len(decoded) == 3
+    assert len(decoded) == 4
     for (_fno, got), want in zip(decoded, rec):
         for g, x in zip(got, want):
             assert np.array_equal(g, x)
     # same content THROUGH the in-loop filter (default-flag stream)
     rec2: list = []
     s2 = encode_h264_video(
-        frames, qp=28, gop=4, yuv=True, search_range=5,
+        frames, qp=28, gop=6, yuv=True, search_range=5,
         recon_out=rec2, deblock=True,
     )
     for (_fno, got), want in zip(
