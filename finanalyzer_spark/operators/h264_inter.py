@@ -324,17 +324,41 @@ def _motion_search(ref_y, src_mb, px: int, py: int, mvp,
             mvy - mvp[1]
         )
 
-    # full-pel raster search around the rounded predictor
+    # full-pel raster search around the rounded predictor — one
+    # vectorised SAD scan over a sliding window (edge-clamped gather,
+    # identical samples to mc_luma's integer path); ties resolve to
+    # the centre first, then raster order, exactly like the scalar
+    # loop this replaces
     cx, cy = (mvp[0] + 2) >> 2 << 2, (mvp[1] + 2) >> 2 << 2
-    best = (cost(cx, cy), cx, cy)
-    for dy in range(-search_range, search_range + 1):
-        for dx in range(-search_range, search_range + 1):
-            if dx == 0 and dy == 0:
-                continue
-            mvx, mvy = cx + 4 * dx, cy + 4 * dy
-            c = cost(mvx, mvy)
-            if c < best[0]:
-                best = (c, mvx, mvy)
+    R = search_range
+    h, w = ref_y.shape
+    y0, x0 = py + (cy >> 2) - R, px + (cx >> 2) - R
+    ys = np.clip(np.arange(y0, y0 + bh + 2 * R), 0, h - 1)
+    xs = np.clip(np.arange(x0, x0 + bw + 2 * R), 0, w - 1)
+    win = ref_y[np.ix_(ys, xs)]
+    sw = np.lib.stride_tricks.sliding_window_view(win, (bh, bw))
+    sad = np.abs(
+        sw.astype(np.int64) - src_mb[None, None]
+    ).sum(axis=(2, 3))
+    dxs = cx + 4 * (np.arange(2 * R + 1) - R)
+    dys = cy + 4 * (np.arange(2 * R + 1) - R)
+    costs = (
+        sad
+        + np.abs(dxs - mvp[0])[None, :]
+        + np.abs(dys - mvp[1])[:, None]
+    )
+    order = [(R, R)] + [
+        (j, i)
+        for j in range(2 * R + 1)
+        for i in range(2 * R + 1)
+        if (j, i) != (R, R)
+    ]
+    bj, bi = min(order, key=lambda ji: int(costs[ji[0], ji[1]]))
+    best = (int(costs[bj, bi]), int(dxs[bi]), int(dys[bj]))
+    if int(sad[bj, bi]) == 0:
+        # perfect full-pel match: sub-pel positions can only add
+        # distortion (early exit, the standard encoder shortcut)
+        return best[1], best[2]
     # sub-pel refinement: half then quarter
     for step in (2, 1):
         _c, bx, by = best
@@ -565,10 +589,14 @@ def encode_h264_video(
 
             # --- partitioned candidates: 16x8 / 8x16 / P_8x8 ---
             # later partitions' predictors depend on earlier decided
-            # MVs, probed through MvField's override before committing
+            # MVs, probed through MvField's override before committing.
+            # Early termination (the standard encoder speedup): when
+            # the 16x16 candidate already reconstructs with SSD below
+            # the rate cost of even one extra mvd pair, no partition
+            # split can win the RD comparison — skip the probes.
             part = None  # (cost, mbt, mvpairs, geo, lv, cbpl, cbpc,
             #              cdc, cac, rec_y, crec)
-            for mbt, geo in (
+            shapes = () if ssd_p <= lam * 8 else (
                 (1, ((mx * 4, my * 4, 4, 2, "B"),
                      (mx * 4, my * 4 + 2, 4, 2, "A"))),
                 (2, ((mx * 4, my * 4, 2, 4, "A"),
@@ -579,7 +607,8 @@ def encode_h264_video(
                      (mx * 4 + 2, my * 4, 2, 2, None),
                      (mx * 4, my * 4 + 2, 2, 2, None),
                      (mx * 4 + 2, my * 4 + 2, 2, 2, None))),
-            ):
+            )
+            for mbt, geo in shapes:
                 ov: dict = {}
                 mvpairs = []
                 pred2 = np.zeros((16, 16), dtype=np.int64)
@@ -636,7 +665,7 @@ def encode_h264_video(
                 if part is None or c2 < part[0]:
                     part = (c2, mbt, mvpairs, geo, lv2, cbpl2, cbpc2,
                             cdc2, cac2, rec2, crec2)
-            cost_part = part[0]
+            cost_part = part[0] if part is not None else float("inf")
 
             # --- P_Skip candidate: skip MV, no residual, ~free bits ---
             mv_sk = skip_mv(est.mvf, mx, my)
@@ -702,23 +731,32 @@ def encode_h264_video(
                 est.mvf.mvx[blk4] = saved[7][1]
                 est.mvf.mvy[blk4] = saved[7][2]
 
-            probe_w = _BitWriter()
-            _encode_intra_mb(
-                probe_w, est, mx, my, src_mb, src_cb_mb,
-                src_cr_mb, qp, qpc, mb_type_offset=5,
-            )
-            ssd_i = int(
-                ((est.y[py : py + 16, px : px + 16] - src_mb) ** 2).sum()
-            )
-            ssd_i += int(
-                ((est.cb[cy : cy + 8, cx : cx + 8] - src_cb_mb) ** 2)
-                .sum()
-            )
-            ssd_i += int(
-                ((est.cr[cy : cy + 8, cx : cx + 8] - src_cr_mb) ** 2)
-                .sum()
-            )
-            cost_i = ssd_i + lam * bits_of(probe_w)
+            # intra probe early exit: an intra macroblock costs at
+            # least its mode/CBP syntax (~10 bits); when an inter
+            # candidate is already cheaper than that floor, skip the
+            # (expensive) full intra reconstruction probe
+            if min(cost_skip, cost_p, cost_part) <= lam * 10:
+                probe_w = None
+                cost_i = float("inf")
+            else:
+                probe_w = _BitWriter()
+                _encode_intra_mb(
+                    probe_w, est, mx, my, src_mb, src_cb_mb,
+                    src_cr_mb, qp, qpc, mb_type_offset=5,
+                )
+                ssd_i = int(
+                    ((est.y[py : py + 16, px : px + 16] - src_mb) ** 2)
+                    .sum()
+                )
+                ssd_i += int(
+                    ((est.cb[cy : cy + 8, cx : cx + 8] - src_cb_mb)
+                     ** 2).sum()
+                )
+                ssd_i += int(
+                    ((est.cr[cy : cy + 8, cx : cx + 8] - src_cr_mb)
+                     ** 2).sum()
+                )
+                cost_i = ssd_i + lam * bits_of(probe_w)
 
             best_inter = min(cost_p, cost_part)
             if cost_skip <= best_inter and cost_skip <= cost_i:

@@ -345,7 +345,7 @@ def media_flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "UTF-8",
             ).alias("content"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "media_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def wrap(batches):
@@ -768,11 +768,14 @@ def media_h264_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sampled (doc_id, n_chars) projection — two ints per row —
     # across the executor cores.  A real corpus gets this parallelism
     # from its many input splits; the single-file fixture needs the
-    # explicit (and nearly free) repartition.
+    # explicit (and nearly free) repartition.  Keyless → round-robin:
+    # per-row Python codec cost makes even counts matter, and nothing
+    # downstream joins on the key (hash-by-key left ~2x skew on a
+    # few-hundred-row projection).
     docs = (
         t.documents.where(F.col("doc_id") % 7 == 2)
         .select("doc_id", F.length("text").alias("n_chars"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def kernel(batches):
@@ -874,7 +877,7 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t.documents.where(F.col("doc_id") % 23 == 3)
         .select("doc_id", F.length("text").alias("n_chars"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def kernel(batches):
