@@ -135,6 +135,11 @@ ROUND_CHANGED = frozenset({
     "quality_calibration_bins",
     "hits_trade_graph",
     "survival_logrank",
+    "conformal_interval_coverage",
+    "seasonal_decompose_weekday",
+    "acf_ljung_box",
+    "containment_near_superset",
+    "mrl_truncation_recall",
 })
 
 

@@ -410,3 +410,48 @@ def simhash_col(text: Column, bits: int = 32) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def ngram_overlap(
+    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Exact shingle-set overlap COUNTS for candidate pairs —
+    (id_a, id_b, na, nb, inter) — the integer core both resemblance
+    (Jaccard) and the asymmetric containment coefficients
+    |A∩B|/|A| and |A∩B|/|B| (Broder 1997's two measures) divide out
+    of.  Same bounded candidate-only join shape as ngram_jaccard."""
+    sh = (
+        shingle_rows(docs, text_col, id_col, k)
+        .distinct()
+        .select(F.col(id_col).alias("_id"), F.col("sh").alias("_sh"))
+        .persist()
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")),
+            "id_b",
+        )
+        .where(F.col("_sh") == F.col("_shb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.coalesce(F.col("_inter"), F.lit(0)).alias("inter"),
+        )
+    )

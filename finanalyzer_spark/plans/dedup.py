@@ -24,6 +24,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     minhash_params,
     ngram_jaccard,
+    ngram_overlap,
     simhash_fingerprints,
 )
 from .registry import query
@@ -561,4 +562,77 @@ def semantic_dedup_report(
         F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
         (F.col("n_members") > cluster_cap).cast("int").alias("capped"),
+    )
+
+
+@query(
+    "containment_near_superset",
+    # Same LSH candidate pipeline as near_dup_jaccard, but scored with
+    # Broder's ASYMMETRIC containment coefficients: a short document
+    # fully embedded in a long one has high max-containment while its
+    # Jaccard resemblance stays low — the quote/excerpt duplication
+    # resemblance-only dedup misses.
+    oracle=f"""
+    WITH {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE},
+    cand AS ({_CAND_SQL}),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM ex),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    sc AS (
+        SELECT c.id_a, c.id_b,
+               sa.n AS na, sb.n AS nb, coalesce(i.i, 0) AS iv
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           round(iv * 1.0 / greatest(na + nb - iv, 1), 6) AS jaccard,
+           round(greatest(iv * 1.0 / greatest(na, 1),
+                          iv * 1.0 / greatest(nb, 1)), 6)
+               AS containment_max,
+           CAST(CASE WHEN greatest(iv * 1.0 / greatest(na, 1),
+                                   iv * 1.0 / greatest(nb, 1)) >= 0.99
+                      AND iv * 1.0 / greatest(na + nb - iv, 1) < 0.95
+                     THEN 1 ELSE 0 END AS INT) AS superset_only
+    FROM sc
+    """,
+    tags=("dedup", "containment", "jaccard"),
+)
+def containment_near_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring over the MinHash-LSH candidate
+    pairs: C(A,B) = |A∩B|/|A| and its mirror, with the
+    `superset_only` flag marking pairs a 0.95-resemblance threshold
+    would keep but a 0.99-containment threshold would dedup
+    (short-doc-inside-long-doc duplication — Broder 1997's
+    'containment' measure).
+
+    Scale shape: identical to near_dup_jaccard — candidate-only
+    explode-joins on shingle hashes, integer counts, one division at
+    the end. Bounded by the banding BUCKET_CAP upstream."""
+    t = load(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3
+    ).persist()
+    ov = ngram_overlap(pairs, t.documents, "text", "doc_id", 3)
+    iv = F.col("inter")
+    jac = iv * 1.0 / F.greatest(F.col("na") + F.col("nb") - iv, F.lit(1))
+    cmax = F.greatest(
+        iv * 1.0 / F.greatest(F.col("na"), F.lit(1)),
+        iv * 1.0 / F.greatest(F.col("nb"), F.lit(1)),
+    )
+    return ov.select(
+        "id_a",
+        "id_b",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(cmax, 6).alias("containment_max"),
+        ((cmax >= 0.99) & (jac < 0.95)).cast("int").alias(
+            "superset_only"
+        ),
     )

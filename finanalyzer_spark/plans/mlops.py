@@ -625,3 +625,129 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(enc_ucents) div count(*) AS BIGINT)"
         ).alias("avg_enc_ucents"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext — split-conformal prediction intervals (Vovk et al.; Lei et al.
+# 2018 "Distribution-Free Predictive Inference for Regression"): the
+# finite-sample-valid uncertainty wrapper production ML systems put
+# around point regressors.  Fold 0 fits, fold 1 calibrates the
+# residual quantile, fold 2 measures empirical coverage.
+# --------------------------------------------------------------------------
+#: target coverage level (1 - alpha)
+CONFORMAL_LEVEL = 0.9
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_orderkey % 3 AS fold, l_quantity AS x,
+               l_extendedprice AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT covar_pop(y, x) / var_pop(x) AS w,
+               avg(y) - covar_pop(y, x) / var_pop(x) * avg(x) AS b,
+               count(*) AS n_train
+        FROM base WHERE fold = 0
+    ),
+    cal AS (
+        SELECT CAST(round(abs(y - (m.w * x + m.b)) * 100, 0) AS BIGINT)
+                   AS rc
+        FROM base, m WHERE fold = 1
+    ),
+    k AS (
+        SELECT count(*) AS n_cal,
+               CAST(ceil({CONFORMAL_LEVEL} * (count(*) + 1)) AS BIGINT)
+                   AS rank_k
+        FROM cal
+    ),
+    q AS (
+        SELECT min(rc) AS q_cents FROM (
+            SELECT rc,
+                   sum(cnt) OVER (ORDER BY rc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM (SELECT rc, count(*) AS cnt FROM cal GROUP BY rc)
+        ), k WHERE cum >= k.rank_k
+    )
+    SELECT m.n_train,
+           k.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           q.q_cents,
+           CAST(sum(CASE WHEN CAST(round(abs(y - (m.w * x + m.b)) * 100,
+                    0) AS BIGINT) <= q.q_cents THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+    FROM base, m, k, q
+    WHERE fold = 2
+    GROUP BY m.n_train, k.n_cal, q.q_cents
+    """,
+    tags=("ml", "uncertainty", "conformal", "scale-path"),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval around the OLS price-on-quantity
+    regressor: fit on fold 0 (closed-form power sums), take the
+    ceil((1-alpha)(n+1))-th smallest absolute calibration residual as
+    the interval half-width (the finite-sample-valid split-conformal
+    quantile), and report empirical coverage on the held-out fold —
+    guaranteed >= 90% in expectation regardless of the price
+    distribution.  Residuals quantize to integer cents before rank
+    selection, so the order statistic and the coverage count are
+    integer-exact across engines (the MWU/KS discipline).
+
+    Scale shape: folds are modulo predicates fused into one scan; the
+    fit is one aggregate broadcast back as literals; the calibration
+    quantile collapses to distinct cents counts + an ordered_scan
+    running sum (range repartition, never a single-task sort); the
+    coverage pass is one more aggregate. No windows over raw facts."""
+    from ..operators.rank import ordered_scan
+
+    t = load(spark, sf_dir)
+    base = t.lineitem.select(
+        (F.col("l_orderkey") % 3).alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    m = base.where(F.col("fold") == 0).agg(
+        (F.covar_pop("y", "x") / F.var_pop("x")).alias("w"),
+        (
+            F.avg("y")
+            - F.covar_pop("y", "x") / F.var_pop("x") * F.avg("x")
+        ).alias("b"),
+        F.count("*").alias("n_train"),
+    )
+    resid = F.round(
+        F.abs(F.col("y") - (F.col("w") * F.col("x") + F.col("b"))) * 100, 0
+    ).cast("long")
+    cal = (
+        base.where(F.col("fold") == 1)
+        .crossJoin(F.broadcast(m))
+        .select(resid.alias("rc"))
+    )
+    counts = cal.groupBy("rc").agg(F.count("*").alias("cnt"))
+    scanned = ordered_scan(
+        counts, ["rc"], running={"cum": "cnt"}, totals={"n_cal": "cnt"}
+    )
+    kq = scanned.withColumn(
+        "rank_k",
+        F.ceil(F.lit(CONFORMAL_LEVEL) * (F.col("n_cal") + 1)).cast("long"),
+    )
+    q = kq.where(F.col("cum") >= F.col("rank_k")).agg(
+        F.min("rc").alias("q_cents"), F.max("n_cal").alias("n_cal")
+    )
+    test = (
+        base.where(F.col("fold") == 2)
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(q))
+    )
+    return test.groupBy("n_train", "n_cal", "q_cents").agg(
+        F.count("*").alias("n_test"),
+        F.expr(
+            "CAST(sum(CASE WHEN CAST(round(abs(y - (w * x + b)) * 100, 0)"
+            " AS BIGINT) <= q_cents THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    ).select(
+        "n_train", "n_cal", "n_test", "q_cents", "coverage_ppm"
+    )

@@ -1212,3 +1212,200 @@ def theil_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_l"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — classical time-series decomposition + autocorrelation
+# diagnostics over the daily revenue series.  The series is bounded
+# by the calendar (~2.4k days for the 1995-2001 span at ANY fact
+# scale), so the ordered windows ride the acknowledged
+# bounded-window tier.
+# --------------------------------------------------------------------------
+@query(
+    "seasonal_decompose_weekday",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, rev,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(rev) OVER w / 7.0 END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        -- DuckDB dayofweek is 0=Sun..6; Spark's is 1=Sun..7
+        SELECT CAST(dayofweek(d) + 1 AS INT) AS dow, rev - trend AS dt
+        FROM tr WHERE trend IS NOT NULL
+    ),
+    s AS (
+        SELECT dow, count(*) AS n_days, avg(dt) AS raw_seasonal
+        FROM det GROUP BY dow
+    ),
+    c AS (SELECT avg(raw_seasonal) AS grand FROM s)
+    SELECT dow, n_days,
+           round((raw_seasonal - grand) / 100.0, 4) + 0.0
+               AS seasonal_dollars
+    FROM s, c
+    """,
+    tags=("profile", "timeseries", "seasonality", "bounded-window"),
+)
+def seasonal_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition of daily
+    revenue, weekday component: trend = centered 7-day moving average
+    (full windows only), seasonal = per-weekday mean of the detrended
+    series re-centered to sum to zero — the additive-decomposition
+    recipe of every forecasting textbook, and the day-of-week effect a
+    revenue dashboard reports.
+
+    Integer-cents daily sums keep the trend a deterministic rational
+    (sum of integers / 7.0); the per-weekday means are rounded on
+    both engines.  Scale shape: facts collapse to one integer row per
+    day; the centered window runs over the calendar-bounded daily
+    frame (bounded-window tier); two scalar aggregates finish."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "rev",
+        F.when(
+            F.count("*").over(w) == 7, F.sum("rev").over(w) / 7.0
+        ).alias("trend"),
+    )
+    det = tr.where(F.col("trend").isNotNull()).select(
+        F.dayofweek("d").cast("int").alias("dow"),
+        (F.col("rev") - F.col("trend")).alias("dt"),
+    )
+    s = det.groupBy("dow").agg(
+        F.count("*").alias("n_days"), F.avg("dt").alias("raw_seasonal")
+    )
+    c = s.agg(F.avg("raw_seasonal").alias("grand"))
+    return s.crossJoin(F.broadcast(c)).select(
+        "dow",
+        "n_days",
+        (
+            F.round((F.col("raw_seasonal") - F.col("grand")) / 100.0, 4)
+            + 0.0
+        ).alias("seasonal_dollars"),
+    )
+
+
+#: autocorrelation diagnostic depth
+ACF_MAX_LAG = 7
+
+
+@query(
+    "acf_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT avg(rev) AS mu, count(*) AS n FROM daily),
+    dev AS (
+        SELECT row_number() OVER (ORDER BY d) AS t, rev - mu AS e, n
+        FROM daily, m
+    ),
+    rho AS (
+        SELECT k.lag,
+               sum(a.e * b.e) / max(den.s2) AS r,
+               max(a.n) AS n
+        FROM (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag) k
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.t = a.t - k.lag
+        CROSS JOIN (SELECT sum(e * e) AS s2 FROM dev) den
+        GROUP BY k.lag
+    ),
+    q AS (
+        SELECT sum(r * r / (n - lag)) * max(n) * (max(n) + 2) AS lb
+        FROM rho
+    )
+    SELECT CAST(rho.lag AS INT) AS lag,
+           round(rho.r, 6) + 0.0 AS rho,
+           round(q.lb, 4) + 0.0 AS ljung_box_q
+    FROM rho, q
+    """,
+    tags=("profile", "timeseries", "stats", "bounded-window"),
+)
+def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1..7 plus the
+    Ljung-Box portmanteau statistic Q = n(n+2) * sum(rho_k^2/(n-k)) —
+    the is-this-white-noise diagnostic run before fitting any
+    forecasting model.  rho_k uses the standard biased estimator
+    (denominator = total sum of squares), lags taken over the
+    observed day sequence.
+
+    Scale shape: facts collapse to the calendar-bounded daily frame;
+    the lagged products come from lag() windows over that bounded
+    frame (bounded-window tier); one aggregate per output.  The
+    deviations are integer-cents minus a rational mean — identical
+    expressions both engines, rounded outputs."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    m = daily.agg(F.avg("rev").alias("mu"), F.count("*").alias("n"))
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d", (F.col("rev") - F.col("mu")).alias("e"), "n"
+    )
+    wo = W.orderBy("d")
+    lagged = dev.select(
+        "e",
+        "n",
+        *[
+            (F.col("e") * F.lag("e", k).over(wo)).alias(f"p{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("s2"),
+        *[F.sum(f"p{k}").alias(f"sp{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    rows = agg.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col(f"sp{k}") / F.col("s2")).alias("r"),
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("kr"),
+    ).select("n", F.col("kr.lag").alias("lag"), F.col("kr.r").alias("r"))
+    q = rows.agg(
+        (
+            F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag")))
+            * F.max("n")
+            * (F.max("n") + 2)
+        ).alias("lb")
+    )
+    return rows.crossJoin(F.broadcast(q)).select(
+        F.col("lag").cast("int").alias("lag"),
+        (F.round("r", 6) + 0.0).alias("rho"),
+        (F.round("lb", 4) + 0.0).alias("ljung_box_q"),
+    )

@@ -1143,3 +1143,108 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= _PQ_TOPK)
         .drop("_rn")
     )
+
+
+# --------------------------------------------------------------------------
+# ext — Matryoshka truncation evaluation (Kusupati et al. 2022,
+# "Matryoshka Representation Learning"): MRL-style deployments serve
+# a PREFIX of each embedding to cut memory/latency; before switching,
+# you measure how much of the full-dimension neighborhood the
+# truncated prefix preserves.
+# --------------------------------------------------------------------------
+MRL_TRUNC_DIM = 16
+MRL_K = 5
+MRL_QUERIES = 8
+
+
+@query(
+    "mrl_truncation_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    fullk AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.v),
+                                      5) DESC, c.vec_id
+                   ) AS rn
+            FROM e q JOIN e c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {MRL_QUERIES}
+        ) WHERE rn <= {MRL_K}
+    ),
+    trunck AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           q.v[1:{MRL_TRUNC_DIM}], c.v[1:{MRL_TRUNC_DIM}]),
+                           5) DESC, c.vec_id
+                   ) AS rn
+            FROM e q JOIN e c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {MRL_QUERIES}
+        ) WHERE rn <= {MRL_K}
+    )
+    SELECT f.query_id,
+           CAST({MRL_K} AS BIGINT) AS k,
+           CAST(count(t.match_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.match_id) * 1000000 // {MRL_K} AS BIGINT)
+               AS recall_ppm
+    FROM fullk f
+    LEFT JOIN trunck t
+      ON t.query_id = f.query_id AND t.match_id = f.match_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "ann", "embeddings", "eval"),
+)
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of prefix-truncated embeddings against the
+    full-dimension neighborhood: brute-force cosine top-5 with all 64
+    dims vs the first 16 dims, overlap counted per query — the
+    go/no-go number for serving Matryoshka-style truncated vectors.
+    Both rankings use the rounded-score + id tiebreak discipline, so
+    the selected sets are deterministic on both engines and the
+    overlap is integer-exact.
+
+    Scale shape: two broadcast-query corpus scans (the cosine_topk
+    operator's one-pass shape) + one bounded k-row join per query.
+    The truncated pass reads the same column and slices JVM-side —
+    at serving scale the prefix would be materialized, which only
+    shrinks the scan."""
+    t = load(spark, sf_dir)
+    queries = t.embeddings.where(F.col("vec_id") < MRL_QUERIES)
+    full = cosine_topk(
+        corpus=t.embeddings, queries=queries, id_col="vec_id",
+        vec_col="embedding", k=MRL_K,
+    )
+    tr_corpus = t.embeddings.select(
+        "vec_id", F.slice("embedding", 1, MRL_TRUNC_DIM).alias("embedding")
+    )
+    trunc = cosine_topk(
+        corpus=tr_corpus,
+        queries=tr_corpus.where(F.col("vec_id") < MRL_QUERIES),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=MRL_K,
+    )
+    tr = trunc.select(
+        F.col("query_id").alias("tq"), F.col("match_id").alias("tmatch")
+    )
+    return (
+        full.select("query_id", "match_id")
+        .join(
+            tr,
+            on=(F.col("query_id") == F.col("tq"))
+            & (F.col("match_id") == F.col("tmatch")),
+            how="left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(MRL_K).cast("long").alias("k"),
+            F.count("tmatch").alias("n_overlap"),
+            F.expr(
+                f"CAST(count(tmatch) * 1000000 div {MRL_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

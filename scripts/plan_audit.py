@@ -996,6 +996,42 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "conformal_interval_coverage": {
+        # fold predicates fused into scans; fit + quantile + coverage
+        # ride 1-row broadcasts and the ordered_scan range shuffle —
+        # never a single-task sort over residuals
+        "must": ["Scan ExistingRDD", "HashAggregate",
+                 "BroadcastNestedLoopJoin"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "seasonal_decompose_weekday": {
+        # daily integer frame + calendar-bounded centered window
+        # (bounded-window tier) + two scalar aggregates
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Generate"],
+    },
+    "acf_ljung_box": {
+        # lag() products over the calendar-bounded daily frame; one
+        # aggregate row exploded into the 7 lag rows (Generate is the
+        # unpivot, not a shingle blowup)
+        "must": ["Window", "HashAggregate", "Generate"],
+        "must_not": ["SortMergeJoin"],
+    },
+    "containment_near_superset": {
+        # candidate-only explode-joins on shingle hashes, like
+        # near_dup_jaccard: equi-joins only, nothing all-pairs
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "mrl_truncation_recall": {
+        # two broadcast-query corpus scans (cosine_topk shape) + a
+        # bounded k-row overlap join
+        "must": ["BroadcastNestedLoopJoin", "Window"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+    },
     "survival_logrank": {
         # KM-shaped: key-partitioned lead windows, calendar-bounded
         # cumulative frame (bounded-window tier), broadcast scalars,
