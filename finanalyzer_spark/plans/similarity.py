@@ -1234,7 +1234,7 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         full.select("query_id", "match_id")
         .join(
-            tr,
+            F.broadcast(tr),  # k rows per query — always broadcastable
             on=(F.col("query_id") == F.col("tq"))
             & (F.col("match_id") == F.col("tmatch")),
             how="left",
