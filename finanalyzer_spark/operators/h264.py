@@ -29,9 +29,10 @@ operators/multimodal.py:
   it, so DEFAULT-flag baseline streams decode exactly.  P
   macroblocks cover every partition shape — 16x16, 16x8 / 8x16
   (directional predictors over the 4x4-granularity MV field), and
-  P_8x8 sub-partitions down to 4x4; CABAC and
-  multi-ref/weighted/B inter shapes raise NotImplementedError
-  naming the PyAV tier: exact-or-refuse.
+  P_8x8 sub-partitions down to 4x4 — plus explicit weighted
+  prediction (8.4.2.3, the fade tool); CABAC and multi-ref/B inter
+  shapes raise NotImplementedError naming the PyAV tier:
+  exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
 emulation prevention (7.4.1.1).  Reference context: the reference
@@ -375,6 +376,7 @@ def write_sps_pps(
     deblocking_control: bool = False,
     num_ref_l0_default: int = 1,
     constrained_intra_pred: bool = False,
+    weighted_pred: bool = False,
 ) -> tuple[bytes, bytes]:
     """Baseline-profile SPS + PPS RBSP pair shared by the encoder
     twins (I_PCM and CAVLC intra): level 3.0, poc_type 2, CAVLC,
@@ -410,7 +412,7 @@ def write_sps_pps(
     pps.ue(0)      # num_slice_groups_minus1
     pps.ue(num_ref_l0_default - 1)  # num_ref_idx_l0_default
     pps.ue(0)      # num_ref_idx_l1
-    pps.u(0, 1)    # weighted_pred
+    pps.u(1 if weighted_pred else 0, 1)  # weighted_pred
     pps.u(0, 2)    # weighted_bipred
     pps.se(pic_init_qp - 26)  # pic_init_qp_minus26
     pps.se(0)      # pic_init_qs_minus26
@@ -486,9 +488,10 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
     with any partition shape (P_Skip / 16x16 / 16x8 / 8x16 / P_8x8
     sub-partitions down to 4x4) over a single reference, with the
     §8.7 in-loop deblocking filter applied per picture unless the
-    slice header disables it (alpha/beta offsets honoured).  Yields
+    slice header disables it (alpha/beta offsets honoured) and
+    explicit weighted prediction when the PPS enables it.  Yields
     (frame_no, (h, w, 3) uint8 RGB) — or (frame_no, (y, cb, cr))
-    planes with `yuv=True`.  CABAC and multi-ref/weighted/B inter
+    planes with `yuv=True`.  CABAC and multi-ref/B inter
     shapes raise NotImplementedError naming the PyAV tier
     (exact-or-refuse; see the module docstrings here, in h264_cavlc,
     h264_inter and h264_deblock)."""
@@ -542,10 +545,6 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
             if sps["poc_type"] == 0:
                 r.u(sps["log2_max_poc_lsb"])
             if kind == "P":
-                if pps["weighted_pred"]:
-                    raise NotImplementedError(
-                        "weighted prediction needs the PyAV tier"
-                    )
                 if pps["constrained_intra_pred"]:
                     # CIP changes intra prediction inside P slices
                     # (inter neighbours become unavailable, 8.3.1.2);
@@ -573,6 +572,28 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                         "reference list modification needs the PyAV"
                         " tier"
                     )
+            wp = None
+            if kind == "P" and pps["weighted_pred"]:
+                # pred_weight_table (7.3.3.2), single active reference:
+                # explicit per-slice luma/chroma weight + offset pairs
+                lwd = r.ue()   # luma_log2_weight_denom
+                cwd = r.ue()   # chroma_log2_weight_denom
+                wl, ol = 1 << lwd, 0
+                if r.u(1):     # luma_weight_l0_flag
+                    wl = r.se()
+                    ol = r.se()
+                wcb, ocb = 1 << cwd, 0
+                wcr, ocr = 1 << cwd, 0
+                if r.u(1):     # chroma_weight_l0_flag
+                    wcb = r.se()
+                    ocb = r.se()
+                    wcr = r.se()
+                    ocr = r.se()
+                wp = {
+                    "lwd": lwd, "wl": wl, "ol": ol,
+                    "cwd": cwd, "wcb": wcb, "ocb": ocb,
+                    "wcr": wcr, "ocr": ocr,
+                }
             if nal_ref_idc != 0:  # dec_ref_pic_marking gated on
                 # nal_ref_idc (spec 7.3.3) — a non-reference slice
                 # (nal_ref_idc=0) carries no marking bits at all
@@ -599,7 +620,7 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
 
             y, cb, cr = decode_slice(
                 r, sps, pps, qp, deblock_disabled, kind, ref_planes,
-                alpha_off=alpha_off, beta_off=beta_off,
+                alpha_off=alpha_off, beta_off=beta_off, wp=wp,
             )
             if nal_ref_idc != 0:
                 # only REFERENCE pictures enter the DPB (8.2.5): a

@@ -1036,6 +1036,8 @@ class _SliceState:
         self.intra_mb = np.zeros((self.mbh, self.mbw), dtype=bool)
         self.qp = qp
         self.cq_off = pps.get("chroma_qp_index_offset", 0)
+        #: explicit weighted-prediction table (8.4.2.3) or None
+        self.wp: dict | None = None
 
     def planes_u8(self):
         np = _np()
@@ -1200,9 +1202,21 @@ def _recon_inter_mb(st, mx: int, my: int, pred, pred_cb, pred_cr,
                     lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma):
     """Reconstruct one inter macroblock from its (already
     motion-compensated, partition-assembled) 16x16 luma + 8x8 chroma
-    predictions and the shared CAVLC residual."""
+    predictions and the shared CAVLC residual.  Explicit weighted
+    prediction (st.wp, 8.4.2.3) applies here — the single funnel all
+    P shapes (16x16 / partitions / P_8x8 / P_Skip) route through, and
+    with one reference the per-partition weights are identical, so
+    weighting the assembled macroblock equals weighting each
+    partition."""
     np = _np()
 
+    if st.wp is not None:
+        from .h264_inter import wp_apply
+
+        w = st.wp
+        pred = wp_apply(pred, w["wl"], w["ol"], w["lwd"])
+        pred_cb = wp_apply(pred_cb, w["wcb"], w["ocb"], w["cwd"])
+        pred_cr = wp_apply(pred_cr, w["wcr"], w["ocr"], w["cwd"])
     px, py = mx * 16, my * 16
     for blk in range(16):
         bx, by = _blk_xy(blk)
@@ -1431,6 +1445,7 @@ def decode_slice(
     counts: dict | None = None,
     alpha_off: int = 0,
     beta_off: int = 0,
+    wp: dict | None = None,
 ):
     """Decode all macroblocks of a single-slice picture; `r` is
     positioned at the first slice_data element.  Returns (y, cb, cr)
@@ -1451,6 +1466,7 @@ def decode_slice(
     "i4"/"i16"/"ipcm"/"p16"/"pskip" are incremented per macroblock
     (probe/coverage instrumentation)."""
     st = _SliceState(sps, pps, qp)
+    st.wp = wp
     is_p = slice_kind == "P"
     if is_p and ref is None:
         raise ValueError("P slice without a decoded reference frame")

@@ -17,9 +17,10 @@ handles EVERY P macroblock partition shape over a single reference —
 P_L0_16x16, the two-partition shapes P_L0_L0_16x8 / 8x16
 (directional MV prediction per 8.4.1.3 over the 4x4-granularity
 MvField), P_8x8 sub-partitions down to 4x4 (median prediction per
-sub-partition), P_Skip, and intra macroblocks.  Multiple reference
-frames, reference list modification, weighted prediction, and B
-slices raise NotImplementedError naming the PyAV tier.
+sub-partition), P_Skip, and intra macroblocks — with explicit
+weighted prediction (8.4.2.3) when the PPS enables it.  Multiple
+reference frames, reference list modification, and B slices raise
+NotImplementedError naming the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
 * the 6-tap half-pel filter is pinned against hand-computed vectors;
@@ -185,6 +186,18 @@ def mc_chroma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 8,
         + dx * dy * d
         + 32
     ) >> 6
+
+
+def wp_apply(pred, w: int, o: int, lwd: int):
+    """Explicit weighted prediction (8.4.2.3.2, unidirectional):
+    pred' = Clip1(((pred * w + 2^(lwd-1)) >> lwd) + o) for lwd >= 1,
+    Clip1(pred * w + o) for lwd == 0.  numpy's int64 >> is the spec's
+    arithmetic shift, so negative weights behave per the standard."""
+    np = _np()
+    p = pred * w
+    if lwd >= 1:
+        p = (p + (1 << (lwd - 1))) >> lwd
+    return np.clip(p + o, 0, 255)
 
 
 # ---------------------------------------------------------------------------
@@ -380,6 +393,7 @@ def encode_h264_video(
     search_range: int = 4,
     recon_out: list | None = None,
     deblock: bool = False,
+    wp: tuple | None = None,
 ) -> bytes:
     """Encoder twin for the motion-compensated tier: an Annex-B
     baseline stream of IDR pictures every `gop` frames with P
@@ -397,7 +411,11 @@ def encode_h264_video(
     becomes the next frame's reference — true in-loop filtering, the
     same order decode_slice applies.  `gop` must be >= 2 (consecutive
     IDRs would need distinct idr_pic_id handling this twin doesn't
-    model)."""
+    model).  `wp=(lwd, w, o)` enables explicit LUMA weighted
+    prediction (8.4.2.3) on every P slice — pred' =
+    ((pred*w + 2^(lwd-1)) >> lwd) + o — the fade tool; chroma keeps
+    identity weights.  The twin applies the same weighting in its
+    reconstruction loop, so the closed loop stays bit-exact."""
     import numpy as np
 
     from finanalyzer_spark.operators.h264 import (
@@ -435,7 +453,8 @@ def encode_h264_video(
     qpc = chroma_qp(qp, 0)
 
     sps_rbsp, pps_rbsp = write_sps_pps(
-        mbw, mbh, pic_init_qp=qp, deblocking_control=not deblock
+        mbw, mbh, pic_init_qp=qp, deblocking_control=not deblock,
+        weighted_pred=wp is not None,
     )
     out = bytearray()
     out += _nal(NAL_SPS, 3, sps_rbsp)
@@ -505,6 +524,13 @@ def encode_h264_video(
         s.u(fi % gop, 8)        # frame_num (increments from the IDR)
         s.u(0, 1)               # num_ref_idx_active_override_flag
         s.u(0, 1)               # ref_pic_list_modification_flag_l0
+        if wp is not None:      # pred_weight_table (7.3.3.2)
+            s.ue(wp[0])         # luma_log2_weight_denom
+            s.ue(0)             # chroma_log2_weight_denom (identity)
+            s.u(1, 1)           # luma_weight_l0_flag
+            s.se(wp[1])
+            s.se(wp[2])
+            s.u(0, 1)           # chroma_weight_l0_flag
         s.u(0, 1)               # adaptive_ref_pic_marking_mode_flag
         s.se(0)                 # slice_qp_delta
         if not deblock:
@@ -570,6 +596,8 @@ def encode_h264_video(
                 ref[0], src_mb, px, py, mvp, search_range
             )
             pred_y = mc_luma(ref[0], px, py, mv[0], mv[1])
+            if wp is not None:
+                pred_y = wp_apply(pred_y, wp[1], wp[2], wp[0])
             lv, cbp_luma = quant_luma_mb(src_mb, pred_y)
             pred_cb = mc_chroma(ref[1], cx, cy, mv[0], mv[1])
             pred_cr = mc_chroma(ref[2], cx, cy, mv[0], mv[1])
@@ -649,6 +677,8 @@ def encode_h264_video(
                         ref[2], px_ // 2, py_ // 2, pmv[0], pmv[1],
                         bh=bh_ // 2, bw=bw_ // 2,
                     )
+                if wp is not None:
+                    pred2 = wp_apply(pred2, wp[1], wp[2], wp[0])
                 lv2, cbpl2 = quant_luma_mb(src_mb, pred2)
                 cbpc2, cdc2, cac2, crec2 = _quant_chroma_resid(
                     (pcb2, pcr2), src_cb_mb, src_cr_mb, qpc
@@ -670,6 +700,8 @@ def encode_h264_video(
             # --- P_Skip candidate: skip MV, no residual, ~free bits ---
             mv_sk = skip_mv(est.mvf, mx, my)
             skip_y = mc_luma(ref[0], px, py, mv_sk[0], mv_sk[1])
+            if wp is not None:
+                skip_y = wp_apply(skip_y, wp[1], wp[2], wp[0])
             skip_cb = np.clip(
                 mc_chroma(ref[1], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
             )

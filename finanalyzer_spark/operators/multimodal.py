@@ -929,8 +929,9 @@ def demux_video_compressed(buf: bytes):
     if buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
         # raw H.264 Annex-B elementary stream: the pure tier decodes
         # intra streams (I_PCM + CAVLC) and P slices of every
-        # partition shape, deblocking in-loop per §8.7; CABAC /
-        # multi-ref / B streams fall through to the PyAV tier.
+        # partition shape (incl. weighted prediction), deblocking
+        # in-loop per §8.7; CABAC / multi-ref / B streams fall
+        # through to the PyAV tier.
         # Decode fully BEFORE yielding so a mid-stream entropy-coded
         # macroblock can't truncate the consumer's sequence.
         from .h264 import decode_h264_annexb

@@ -759,3 +759,44 @@ def test_partitioned_p_macroblocks_roundtrip():
     ):
         for g, x in zip(got, want):
             assert np.array_equal(g, x)
+
+
+def test_weighted_prediction_fade():
+    """Explicit weighted prediction (8.4.2.3): a fade-to-half scene
+    coded with luma weights (lwd=5, w=16 → x0.5) must stay bit-exact
+    through the closed loop (with and without the in-loop filter) and
+    code substantially smaller than the unweighted stream — the tool's
+    whole purpose.  Also pins the wp_apply arithmetic on hand vectors
+    including a negative weight and the lwd=0 path."""
+    from finanalyzer_spark.operators.h264_inter import wp_apply
+
+    assert wp_apply(np.array([100]), 16, 0, 5)[0] == 50
+    assert wp_apply(np.array([100]), 32, 10, 5)[0] == 110
+    assert wp_apply(np.array([100]), 1, -20, 0)[0] == 80
+    assert wp_apply(np.array([200]), -16, 200, 5)[0] == 100
+    assert wp_apply(np.array([255]), 40, 100, 5)[0] == 255  # Clip1
+
+    rng = np.random.default_rng(23)
+    h, w = 48, 64
+    base = (
+        (np.add.outer(np.arange(h) * 4, np.arange(w) * 2)) % 256
+        + rng.integers(-5, 6, (h, w))
+    ).clip(0, 255).astype(np.uint8)
+    cbp = np.full((h // 2, w // 2), 120, np.uint8)
+    crp = np.full((h // 2, w // 2), 130, np.uint8)
+    fade = (base.astype(np.int64) // 2).astype(np.uint8)
+    frames = [(base, cbp, crp), (fade, cbp, crp)]
+    for deblock in (False, True):
+        rec: list = []
+        bits = encode_h264_video(
+            frames, qp=24, gop=2, yuv=True, recon_out=rec,
+            wp=(5, 16, 0), deblock=deblock,
+        )
+        outs = list(decode_h264_annexb(bits, yuv=True))
+        for (_f, dec), exp in zip(outs, rec):
+            for d, e in zip(dec, exp):
+                assert np.array_equal(d, e)
+        nowp = encode_h264_video(
+            frames, qp=24, gop=2, yuv=True, deblock=deblock
+        )
+        assert len(bits) < len(nowp)
