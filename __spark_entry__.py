@@ -140,6 +140,11 @@ ROUND_CHANGED = frozenset({
     "acf_ljung_box",
     "containment_near_superset",
     "mrl_truncation_recall",
+    # round-7 stats/sketch/graph additions — need first rows
+    "spearman_price_discount",
+    "kendall_tau_qty_discount",
+    "bloom_filter_membership",
+    "bfs_hops_trade_graph",
 })
 
 

@@ -238,3 +238,48 @@ def hits_fixed(
             "node", F.round(F.col("s") / F.col("tot"), round_digits).alias("score")
         )
     return hubs, auth
+
+
+def bfs_hops(
+    edges_sym: DataFrame,
+    source: str,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source unweighted shortest-path hops by frontier BFS.
+
+    Per round: the frontier (nodes first reached last round) joins the
+    symmetric edge frame once (hash join on node id), and the newly
+    reached set is one left-anti join against the visited set — both
+    shuffles are on node ids, no driver-side state beyond the loop
+    counter. `visited` and `frontier` are `localCheckpoint`ed per
+    round (the components/kcore lineage-truncation discipline) so the
+    plan depth stays constant across hops.
+
+    Early exit: one scalar `count()` per round stops the loop as soon
+    as the frontier drains — at most `max_hops` rounds, fewer on small
+    diameters. Returns (node, hop) with hop = min #edges from
+    `source`, covering exactly the nodes within `max_hops`.
+    """
+    e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    spark = edges_sym.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], schema="node string, hop int"
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        frontier = reached.localCheckpoint()
+        # scalar driver round-trip: ONE count for the drain test
+        if frontier.count() == 0:
+            break
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(hop).alias("hop"))
+        ).localCheckpoint()
+    return visited

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..operators.graph import (
     DAMPING,
+    bfs_hops,
     ITER_ROUND,
     TELEPORT,
     count_triangles,
@@ -395,3 +396,71 @@ def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_BFS_SOURCE = "s1"
+_BFS_MAX_HOPS = 6
+
+
+@query(
+    "bfs_hops_trade_graph",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    walk(node, hop) AS (
+        SELECT '{_BFS_SOURCE}', 0
+        UNION
+        SELECT s.dst, w.hop + 1
+        FROM walk w JOIN sym s ON s.src = w.node
+        WHERE w.hop < {_BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+    SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hop
+    """,
+    tags=("graph", "iterative", "bfs"),
+)
+def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop histogram over the symmetrized
+    customer–supplier trade graph: how many counterparties are 1, 2,
+    3... hops from supplier s1 — the reachability profile that prices
+    blast radius (a recalled part, a sanctioned entity) on a business
+    graph. Completes the iterative-graph family next to PageRank
+    (fixed-round power iteration), label propagation (components),
+    peeling (k-core) and HITS: frontier expansion with min-hop
+    semantics.
+
+    Scale shape: operators/graph.bfs_hops — per hop, one hash join of
+    the (localCheckpoint-ed) frontier against the edge frame and one
+    anti-join against the visited set; the frontier drains by a
+    1-scalar count per round. The DuckDB twin is a recursive CTE whose
+    UNION dedups (node, hop) pairs, with min(hop) collapsing to the
+    identical BFS distances — full value-hash parity for an iterative
+    operator."""
+    t = load(spark, sf_dir)
+    edges = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    dist = bfs_hops(sym, _BFS_SOURCE, _BFS_MAX_HOPS)
+    return dist.groupBy("hop").agg(F.count("*").alias("n_nodes")).select(
+        F.col("hop").cast("int").alias("hop"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+    )

@@ -1409,3 +1409,202 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("r", 6) + 0.0).alias("rho"),
         (F.round("lb", 4) + 0.0).alias("ljung_box_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, integer-exact moments)
+# --------------------------------------------------------------------------
+@query(
+    "spearman_price_discount",
+    oracle="""
+    WITH x AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS xv,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS yv
+        FROM lineitem
+    ),
+    rx AS (
+        SELECT xv, 2 * min(mr) + count(*) - 1 AS dx
+        FROM (SELECT xv, rank() OVER (ORDER BY xv) AS mr FROM x)
+        GROUP BY xv
+    ),
+    ry AS (
+        SELECT yv, 2 * min(mr) + count(*) - 1 AS dy
+        FROM (SELECT yv, rank() OVER (ORDER BY yv) AS mr FROM x)
+        GROUP BY yv
+    ),
+    m AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(dx::HUGEINT) AS sx, sum(dy::HUGEINT) AS sy,
+               sum(dx::HUGEINT * dx) AS sxx,
+               sum(dy::HUGEINT * dy) AS syy,
+               sum(dx::HUGEINT * dy) AS sxy
+        FROM x JOIN rx USING (xv) JOIN ry USING (yv)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0)
+                 / sqrt((n * syy - sy * sy) * 1.0), 6) + 0.0 AS rho
+    FROM m
+    """,
+    tags=("profile", "stats", "rank-correlation"),
+)
+def spearman_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between extended price
+    and discount — the robust monotone-association check a feature
+    audit runs where Pearson is distorted by heavy tails. Ranks are
+    tie-midpoint average ranks, carried DOUBLED (2*minrank + ties - 1)
+    so every rank is an exact integer; all five moment sums accumulate
+    in DECIMAL(38,0) (DuckDB silently promotes to HUGEINT), so both
+    engines feed bit-identical integers into the single final
+    float division — round(.,6) is then deterministic, not a hope.
+
+    Scale shape: each rank table collapses the facts to distinct
+    values (groupBy) and gets its global min-rank from
+    operators/rank.ordered_scan (range repartition + partition
+    offsets — never a single-task global window over raw facts); the
+    fact frame then equi-joins the two rank tables (shuffle joins on
+    value; the discount side is a handful of rows and broadcasts).
+    One final HashAggregate builds the moments."""
+    t = load(spark, sf_dir)
+    x = t.lineitem.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xv"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("yv"),
+    )
+    dec = "decimal(38,0)"
+
+    def ranks(col: str, out: str) -> DataFrame:
+        v = x.groupBy(col).agg(F.count("*").alias("cnt"))
+        r = ordered_scan(v, [col], running={"cum": "cnt"})
+        # min rank of the tie block = cum - cnt + 1;
+        # doubled average rank = 2*minrank + cnt - 1 = 2*cum - cnt + 1
+        return r.select(
+            col, (2 * F.col("cum") - F.col("cnt") + 1).alias(out)
+        )
+
+    j = x.join(ranks("xv", "dx"), "xv").join(
+        F.broadcast(ranks("yv", "dy")), "yv"
+    )
+    m = j.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast(dec) * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dy")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                6,
+            )
+            + 0.0
+        ).alias("rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b via the contingency grid (integer-exact pair counts)
+# --------------------------------------------------------------------------
+@query(
+    "kendall_tau_qty_discount",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+               count(*)::HUGEINT AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT sum(CASE WHEN b.d > a.d THEN a.n * b.n ELSE 0 END) AS c,
+               sum(CASE WHEN b.d < a.d THEN a.n * b.n ELSE 0 END) AS d
+        FROM g a JOIN g b ON b.q > a.q
+    ),
+    marg AS (
+        SELECT (SELECT sum(n) FROM g) AS nn,
+               (SELECT sum(n * (n - 1) / 2) FROM
+                   (SELECT sum(n) AS n FROM g GROUP BY q)) AS tq,
+               (SELECT sum(n * (n - 1) / 2) FROM
+                   (SELECT sum(n) AS n FROM g GROUP BY d)) AS td
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           round((c - d) / sqrt((nn * (nn - 1) / 2 - tq) * 1.0)
+                         / sqrt((nn * (nn - 1) / 2 - td) * 1.0), 6) + 0.0
+               AS tau_b
+    FROM pairs, marg
+    """,
+    tags=("profile", "stats", "rank-correlation"),
+)
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and discount, computed on the
+    CONTINGENCY GRID rather than raw pairs: concordant/discordant
+    counts are a self-join over the aggregated (quantity, discount)
+    cell frame — |cells| is bounded by the value-domain product
+    (~50x11 here), so the O(n^2) pair space collapses to an O(cells^2)
+    broadcast join no matter how many fact rows flow in. Tie
+    corrections (tau-b) come from the grid marginals. Every count is
+    an exact integer accumulated in DECIMAL(38,0); the only float op
+    is the final normalization, rounded identically in both engines.
+
+    Scale shape: one map-side-combined groupBy builds the grid; the
+    grid self-join is broadcast (cells tiny); marginals reduce the
+    same grid twice. Raw facts are touched exactly once."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = (
+        t.lineitem.groupBy(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast(dec).alias("n"))
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("b.q") > F.col("a.q")).agg(
+        F.sum(
+            F.when(F.col("b.d") > F.col("a.d"), F.col("a.n") * F.col("b.n")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("c"),
+        F.sum(
+            F.when(F.col("b.d") < F.col("a.d"), F.col("a.n") * F.col("b.n")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("d"),
+    )
+    tq = (
+        g.groupBy("q")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast(dec).alias("tq"))
+    )
+    td = (
+        g.groupBy("d")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast(dec).alias("td"))
+    )
+    nn = g.agg(F.sum("n").cast(dec).alias("nn"))
+    n0 = F.col("nn") * (F.col("nn") - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(td))
+        .select(
+            F.col("nn").cast("long").alias("n"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            (
+                F.round(
+                    (F.col("c") - F.col("d"))
+                    / F.sqrt((n0 - F.col("tq")).cast("double"))
+                    / F.sqrt((n0 - F.col("td")).cast("double")),
+                    6,
+                )
+                + 0.0
+            ).alias("tau_b"),
+        )
+    )

@@ -287,3 +287,151 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_40pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter membership + measured false-positive rate
+# --------------------------------------------------------------------------
+#: filter geometry: m bits, k hash functions. m = 2048 on a ~1000-member
+#: fixture drives a measurable (but small) FPR so the false-positive
+#: path is exercised; at production scale m grows with the member set
+#: (bits ~ 1.44 * k * n for target FPR 2^-k) and the bit set stays a
+#: groupBy-distinct frame mergeable by union.
+_BF_M = 2048
+_BF_K = 3
+
+
+def _bf_pos_spark(key_col, i: int):
+    key = F.concat(F.lit(f"bf{i}|"), key_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BF_M
+
+
+def _bf_pos_sql(key_sql: str, i: int) -> str:
+    return (
+        f"('0x' || substr(md5('bf{i}|' || {key_sql}), 1, 8))"
+        f"::BIGINT % {_BF_M}"
+    )
+
+
+_BF_SEEDS = ", ".join(f"({i})" for i in range(_BF_K))
+_BF_BUILD_CASE = (
+    "CASE s.i "
+    + " ".join(
+        f"WHEN {i} THEN {_bf_pos_sql('o_custkey::VARCHAR', i)}"
+        for i in range(_BF_K)
+    )
+    + " END"
+)
+_BF_PROBE_CASE = (
+    "CASE s.i "
+    + " ".join(
+        f"WHEN {i} THEN {_bf_pos_sql('c_custkey::VARCHAR', i)}"
+        for i in range(_BF_K)
+    )
+    + " END"
+)
+
+
+@query(
+    "bloom_filter_membership",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT o_custkey FROM orders),
+    bits AS (
+        SELECT DISTINCT {_BF_BUILD_CASE} AS b
+        FROM members CROSS JOIN (VALUES {_BF_SEEDS}) AS s(i)
+    ),
+    probes AS (
+        SELECT c.c_custkey, {_BF_PROBE_CASE} AS b,
+               CASE WHEN m.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM customer c
+        LEFT JOIN members m ON m.o_custkey = c.c_custkey
+        CROSS JOIN (VALUES {_BF_SEEDS}) AS s(i)
+    ),
+    verdicts AS (
+        SELECT c_custkey, max(is_member) AS is_member,
+               CASE WHEN count(*) FILTER (WHERE bits.b IS NOT NULL) = {_BF_K}
+                    THEN 1 ELSE 0 END AS bloom_positive
+        FROM probes LEFT JOIN bits ON bits.b = probes.b
+        GROUP BY c_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(is_member) AS BIGINT) AS n_members,
+           CAST(sum(bloom_positive) AS BIGINT) AS n_positive,
+           CAST(sum(CASE WHEN bloom_positive = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN bloom_positive = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) * 1000000
+                // sum(CASE WHEN is_member = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fpr_ppm
+    FROM verdicts
+    """,
+    tags=("sketch", "membership", "bloom"),
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built over the customers that actually placed
+    orders (m=2048 bits, k=3 md5-derived positions), probed
+    with EVERY customer — the pre-join existence filter a 100 TB
+    pipeline ships to the fact-table side to skip rows whose key
+    cannot match (the DataFrame twin of Spark's own runtime bloom
+    pushdown, but portable: DuckDB rebuilds the identical bit set so
+    the check is exact equality of every verdict, zero undercounts by
+    construction — a Bloom filter never yields false negatives).
+
+    Scale shape: the bit set is a distinct-groupBy of at most m rows
+    regardless of member count — mergeable by union, broadcastable to
+    every probe task; probes explode each key into k positions
+    (posexplode of a literal array, stays in codegen) and one groupBy
+    per key demands all k bits present. The measured FPR closes the
+    loop: the truth flag rides a left-semi-style join computed in the
+    same pass."""
+    t = load(spark, sf_dir)
+    members = t.orders.select(F.col("o_custkey").alias("ck")).distinct()
+    bits = members.select(
+        F.explode(
+            F.array(*[_bf_pos_spark(F.col("ck"), i) for i in range(_BF_K)])
+        ).alias("b")
+    ).distinct()
+    probes = (
+        t.customer.select("c_custkey")
+        .join(
+            members.withColumnRenamed("ck", "c_custkey").withColumn(
+                "is_member", F.lit(1)
+            ),
+            "c_custkey",
+            "left",
+        )
+        .na.fill({"is_member": 0})
+        .select(
+            "c_custkey",
+            "is_member",
+            F.explode(
+                F.array(
+                    *[_bf_pos_spark(F.col("c_custkey"), i) for i in range(_BF_K)]
+                )
+            ).alias("b"),
+        )
+    )
+    verdicts = (
+        probes.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "b", "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.max("is_member").alias("is_member"),
+            (F.count(F.col("hit")) == _BF_K).cast("int").alias("bloom_positive"),
+        )
+    )
+    fp = F.when(
+        (F.col("bloom_positive") == 1) & (F.col("is_member") == 0), 1
+    ).otherwise(0)
+    return verdicts.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("bloom_positive").cast("long").alias("n_positive"),
+        F.sum(fp).cast("long").alias("n_false_pos"),
+        F.expr(
+            "CAST(sum(CASE WHEN bloom_positive = 1 AND is_member = 0 THEN 1 "
+            "ELSE 0 END) * 1000000 div sum(CASE WHEN is_member = 0 THEN 1 "
+            "ELSE 0 END) AS BIGINT)"
+        ).alias("fpr_ppm"),
+    )

@@ -1047,6 +1047,39 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "spearman_price_discount": {
+        # rank tables from ordered_scan (range repartition + LOCAL
+        # window); facts join the price ranks hash-partitioned, the
+        # 11-row discount ranks broadcast; moments in one aggregate
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "kendall_tau_qty_discount": {
+        # O(cells^2) broadcast theta-join over the aggregated grid —
+        # never a fact-side pair join; no windows or sorts anywhere
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["Window", "SortMergeJoin", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "bloom_filter_membership": {
+        # k-position explode stays a Generate; the <=m-row bit set
+        # broadcasts to the probe side; verdicts in one hash aggregate
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["Window", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "bfs_hops_trade_graph": {
+        # frontier BFS: checkpointed frontier/visited frames, hash
+        # joins on node ids only; final hop histogram is one aggregate
+        "must": ["HashAggregate"],
+        "must_not": ["Window", "CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
 }
 
 
