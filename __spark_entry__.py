@@ -145,6 +145,8 @@ ROUND_CHANGED = frozenset({
     "kendall_tau_qty_discount",
     "bloom_filter_membership",
     "bfs_hops_trade_graph",
+    # round-7 B-slice tier — needs a first row
+    "media_h264_bframe_decode",
 })
 
 

@@ -30,8 +30,12 @@ operators/multimodal.py:
   macroblocks cover every partition shape — 16x16, 16x8 / 8x16
   (directional predictors over the 4x4-granularity MV field), and
   P_8x8 sub-partitions down to 4x4 — plus explicit weighted
-  prediction (8.4.2.3, the fade tool); CABAC and multi-ref/B inter
-  shapes raise NotImplementedError naming the PyAV tier:
+  prediction (8.4.2.3, the fade tool).  B slices decode in their
+  16x16 tier (B_Skip / B_Direct_16x16 spatial direct / B_L0 / B_L1
+  / B_Bi with default bi-prediction) over one reference per list,
+  with POC type 0 output re-ordering to display order; CABAC,
+  multi-ref, temporal direct, B partition shapes and B-slice
+  deblocking raise NotImplementedError naming the PyAV tier:
   exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
@@ -222,14 +226,14 @@ def parse_sps(rbsp: bytes) -> dict:
         log2_max_poc_lsb = 0
     else:
         log2_max_poc_lsb = 0
-    r.ue()  # max_num_ref_frames
+    num_ref_frames = r.ue()  # max_num_ref_frames
     r.u(1)  # gaps_in_frame_num_value_allowed
     pic_width_in_mbs = r.ue() + 1
     pic_height_in_map_units = r.ue() + 1
     frame_mbs_only = r.u(1)
     if not frame_mbs_only:
         r.u(1)  # mb_adaptive_frame_field
-    r.u(1)  # direct_8x8_inference
+    direct_8x8_inference = r.u(1)
     crop = (0, 0, 0, 0)
     if r.u(1):  # frame_cropping_flag
         crop = (r.ue(), r.ue(), r.ue(), r.ue())
@@ -253,6 +257,8 @@ def parse_sps(rbsp: bytes) -> dict:
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
+        "num_ref_frames": num_ref_frames,
+        "direct_8x8_inference": direct_8x8_inference,
         "pic_width_in_mbs": pic_width_in_mbs,
         "pic_height_in_map_units": pic_height_in_map_units,
         "frame_mbs_only": frame_mbs_only,
@@ -276,9 +282,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if r.ue() != 0:  # num_slice_groups_minus1
         raise NotImplementedError("slice groups (FMO)")
     pps["num_ref_idx_l0_default"] = r.ue() + 1
-    r.ue()  # num_ref_idx_l1_default_active_minus1
+    pps["num_ref_idx_l1_default"] = r.ue() + 1
     pps["weighted_pred"] = r.u(1)
-    r.u(2)  # weighted_bipred_idc
+    pps["weighted_bipred_idc"] = r.u(2)
     pps["pic_init_qp"] = r.se() + 26
     r.se()  # pic_init_qs
     pps["chroma_qp_index_offset"] = r.se()
@@ -377,6 +383,8 @@ def write_sps_pps(
     num_ref_l0_default: int = 1,
     constrained_intra_pred: bool = False,
     weighted_pred: bool = False,
+    poc_type: int = 2,
+    num_ref_frames: int = 1,
 ) -> tuple[bytes, bytes]:
     """Baseline-profile SPS + PPS RBSP pair shared by the encoder
     twins (I_PCM and CAVLC intra): level 3.0, poc_type 2, CAVLC,
@@ -386,15 +394,27 @@ def write_sps_pps(
     explicitly; the I_PCM twin doesn't need to — its deblock QP is 0,
     spec 8.7, so the default-on filter is a no-op).
     `num_ref_l0_default` / `constrained_intra_pred` exist for the
-    refusal-path tests: the encoder twins always use 1 / False."""
+    refusal-path tests: the encoder twins always use 1 / False.
+
+    The B-GOP twin (encode_h264_video with b_frames > 0) passes
+    `poc_type=0` (explicit pic_order_cnt_lsb, 8 bits — decode order
+    differs from display order) and `num_ref_frames=2` (the previous
+    and next reference around each B picture); profile becomes Main
+    (77), since B slices are outside baseline."""
     sps = _BitWriter()
-    sps.u(66, 8)   # profile_idc: baseline
-    sps.u(0xC0, 8)  # constraint_set0/1
+    if poc_type == 0:
+        sps.u(77, 8)   # profile_idc: main (B slices)
+        sps.u(0x40, 8)  # constraint_set1 (main-conforming)
+    else:
+        sps.u(66, 8)   # profile_idc: baseline
+        sps.u(0xC0, 8)  # constraint_set0/1
     sps.u(30, 8)   # level 3.0
     sps.ue(0)      # sps_id
     sps.ue(4)      # log2_max_frame_num_minus4 → 8 bits
-    sps.ue(2)      # pic_order_cnt_type 2 (display order = decode order)
-    sps.ue(1)      # max_num_ref_frames
+    sps.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        sps.ue(4)  # log2_max_pic_order_cnt_lsb_minus4 → 8 bits
+    sps.ue(num_ref_frames)  # max_num_ref_frames
     sps.u(0, 1)    # gaps_in_frame_num
     sps.ue(mbw - 1)
     sps.ue(mbh - 1)
@@ -482,24 +502,49 @@ def encode_h264_ipcm(frames, yuv: bool = False) -> bytes:
     return bytes(out)
 
 
-def decode_h264_annexb(buf: bytes, yuv: bool = False):
+def decode_h264_annexb(buf: bytes, yuv: bool = False,
+                       counts_out: list | None = None):
     """Decode an Annex-B H.264 stream whose coded macroblocks are all
-    intra-coded (I_PCM, CAVLC I_4x4/I_16x16 — any mix) or P slices
+    intra-coded (I_PCM, CAVLC I_4x4/I_16x16 — any mix), P slices
     with any partition shape (P_Skip / 16x16 / 16x8 / 8x16 / P_8x8
-    sub-partitions down to 4x4) over a single reference, with the
-    §8.7 in-loop deblocking filter applied per picture unless the
-    slice header disables it (alpha/beta offsets honoured) and
-    explicit weighted prediction when the PPS enables it.  Yields
-    (frame_no, (h, w, 3) uint8 RGB) — or (frame_no, (y, cb, cr))
-    planes with `yuv=True`.  CABAC and multi-ref/B inter
-    shapes raise NotImplementedError naming the PyAV tier
-    (exact-or-refuse; see the module docstrings here, in h264_cavlc,
-    h264_inter and h264_deblock)."""
+    sub-partitions down to 4x4) over a single reference, or B slices
+    (B_Skip / B_Direct_16x16 / B_L0/L1/Bi 16x16, spatial direct mode)
+    over one reference per list — with the §8.7 in-loop deblocking
+    filter applied per picture unless the slice header disables it
+    (alpha/beta offsets honoured) and explicit weighted prediction
+    when the PPS enables it.  Yields (frame_no, (h, w, 3) uint8 RGB)
+    — or (frame_no, (y, cb, cr)) planes with `yuv=True` — in DISPLAY
+    (pic-order-count) order: streams with B pictures carry POC type 0
+    and the decoder re-orders output through a bounded pending buffer
+    (bumping depth 1 — one B layer, the GOP shapes the twin emits and
+    the common IBP web-encode shape).  CABAC, multi-ref, temporal
+    direct, B partition shapes and B-slice deblocking raise
+    NotImplementedError naming the PyAV tier (exact-or-refuse; see
+    the module docstrings here, in h264_cavlc, h264_inter and
+    h264_deblock)."""
     import numpy as np
 
     sps = pps = None
-    ref_planes = None  # previous decoded picture (P reference)
+    #: decoded-picture buffer of REFERENCE pictures in decode order:
+    #: (poc, planes int64, motion dict) — motion (4x4 mvx/mvy/state)
+    #: is kept for the spatial-direct colocated test (8.4.1.2.2)
+    dpb: list[tuple] = []
+    #: decoded pictures awaiting display, (poc, output) — with POC
+    #: type 0 output is bumped when more than one picture pends
+    pend: list[tuple] = []
+    prev_poc_msb = prev_poc_lsb = 0
+    decode_no = 0
     frame_no = 0
+
+    def _bump_ready(all_of_them: bool):
+        nonlocal frame_no
+        depth = 0 if all_of_them else (1 if sps["poc_type"] == 0 else 0)
+        while len(pend) > depth:
+            pend.sort(key=lambda t: t[0])
+            _poc, out = pend.pop(0)
+            yield frame_no, out
+            frame_no += 1
+
     for nal_type, nal_ref_idc, rbsp in split_annexb(buf):
         if nal_type == NAL_SPS:
             sps = parse_sps(rbsp)
@@ -522,6 +567,12 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                     "interlaced (frame_mbs_only=0) H.264 needs the"
                     " PyAV tier"
                 )
+            if nal_type == NAL_IDR:
+                # prior pictures all precede the new GOP in output
+                # order (C.4.4): flush, then reset POC state and DPB
+                yield from _bump_ready(True)
+                dpb.clear()
+                prev_poc_msb = prev_poc_lsb = 0
             r = _BitReader(rbsp)
             if r.ue() != 0:
                 raise NotImplementedError("multi-slice H.264 pictures")
@@ -530,21 +581,93 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                 kind = "I"
             elif slice_type % 5 == 0:
                 kind = "P"
-                if ref_planes is None:
+                if not dpb:
                     raise ValueError(
                         "P slice before any decoded reference frame"
                     )
+            elif slice_type % 5 == 1:
+                kind = "B"
+                if sps["poc_type"] != 0:
+                    # without explicit POC there is no display order
+                    # to place a B picture's references on
+                    raise NotImplementedError(
+                        "B slices with POC type != 0 need the PyAV"
+                        " tier"
+                    )
+                if pps["weighted_bipred_idc"] != 0:
+                    raise NotImplementedError(
+                        "weighted bi-prediction needs the PyAV tier"
+                    )
+                if pps["constrained_intra_pred"]:
+                    raise NotImplementedError(
+                        "constrained_intra_pred B slices need the"
+                        " PyAV tier"
+                    )
             else:
                 raise NotImplementedError(
-                    "B/SP/SI H.264 slices need the PyAV tier"
+                    "SP/SI H.264 slices need the PyAV tier"
                 )
             r.ue()  # pps_id
             r.u(sps["log2_max_frame_num"])  # frame_num
             if nal_type == NAL_IDR:
                 r.ue()  # idr_pic_id
+            poc = decode_no
             if sps["poc_type"] == 0:
-                r.u(sps["log2_max_poc_lsb"])
+                # PicOrderCnt derivation 8.2.1.1 (frame coding only)
+                max_lsb = 1 << sps["log2_max_poc_lsb"]
+                lsb = r.u(sps["log2_max_poc_lsb"])
+                if (lsb < prev_poc_lsb
+                        and prev_poc_lsb - lsb >= max_lsb // 2):
+                    msb = prev_poc_msb + max_lsb
+                elif (lsb > prev_poc_lsb
+                        and lsb - prev_poc_lsb > max_lsb // 2):
+                    msb = prev_poc_msb - max_lsb
+                else:
+                    msb = prev_poc_msb
+                poc = msb + lsb
+                if nal_ref_idc != 0:
+                    prev_poc_msb, prev_poc_lsb = msb, lsb
+                if pps["bottom_field_pic_order"]:
+                    r.se()  # delta_pic_order_cnt_bottom
+            decode_no += 1
+            ref_planes = ref_l1 = col_motion = None
+            if kind == "B":
+                before = [d for d in dpb if d[0] < poc]
+                after = [d for d in dpb if d[0] > poc]
+                if not before or not after:
+                    raise ValueError(
+                        "B slice without both temporal references"
+                    )
+                ref_b0 = max(before, key=lambda d: d[0])
+                ref_b1 = min(after, key=lambda d: d[0])
+                ref_planes = ref_b0[1]
+                ref_l1 = ref_b1[1]
+                col_motion = ref_b1[2]
+                if not r.u(1):  # direct_spatial_mv_pred_flag
+                    raise NotImplementedError(
+                        "temporal direct mode needs the PyAV tier"
+                    )
+                if r.u(1):  # num_ref_idx_active_override_flag
+                    if r.ue() != 0 or r.ue() != 0:
+                        raise NotImplementedError(
+                            "multiple reference frames need the PyAV"
+                            " tier"
+                        )
+                elif (pps["num_ref_idx_l0_default"] != 1
+                        or pps["num_ref_idx_l1_default"] != 1):
+                    raise NotImplementedError(
+                        "multiple reference frames (PPS default) need"
+                        " the PyAV tier"
+                    )
+                if r.u(1) or r.u(1):  # ref_pic_list_modification l0/l1
+                    raise NotImplementedError(
+                        "reference list modification needs the PyAV"
+                        " tier"
+                    )
             if kind == "P":
+                # most recently decoded reference (8.2.4.2.1 with one
+                # active reference)
+                ref_planes = dpb[-1][1]
                 if pps["constrained_intra_pred"]:
                     # CIP changes intra prediction inside P slices
                     # (inter neighbours become unavailable, 8.3.1.2);
@@ -614,30 +737,58 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False):
                     # to 0 for the single-slice pictures we decode
                     alpha_off = r.se()  # slice_alpha_c0_offset_div2
                     beta_off = r.se()   # slice_beta_offset_div2
+            if kind == "B" and not deblock_disabled:
+                # §8.7 bS derivation across a bi-predicted edge
+                # compares per-list references and MV pairs — the
+                # single-list filter here would mis-filter B edges, so
+                # refuse rather than approximate (the B twin disables
+                # the filter on its B slices explicitly)
+                raise NotImplementedError(
+                    "deblocking inside B slices needs the PyAV tier"
+                )
             from finanalyzer_spark.operators.h264_cavlc import (
                 decode_slice,
             )
 
+            motion_out: dict = {}
+            counts: dict | None = None
+            if counts_out is not None:
+                # per-picture macroblock-kind census in DECODE order
+                # (instrumentation for the census tests + the media
+                # certification queries)
+                counts = {"kind": kind}
+                counts_out.append(counts)
             y, cb, cr = decode_slice(
                 r, sps, pps, qp, deblock_disabled, kind, ref_planes,
                 alpha_off=alpha_off, beta_off=beta_off, wp=wp,
+                ref1=ref_l1, col=col_motion,
+                motion_out=motion_out, counts=counts,
             )
             if nal_ref_idc != 0:
                 # only REFERENCE pictures enter the DPB (8.2.5): a
                 # non-reference picture (nal_ref_idc=0) is displayed
-                # but must not become the next P slice's predictor
-                ref_planes = (
-                    y.astype(np.int64),
-                    cb.astype(np.int64),
-                    cr.astype(np.int64),
-                )
+                # but must not become a later slice's predictor
+                dpb.append((
+                    poc,
+                    (
+                        y.astype(np.int64),
+                        cb.astype(np.int64),
+                        cr.astype(np.int64),
+                    ),
+                    motion_out,
+                ))
+                # sliding-window marking (8.2.5.3): oldest decoded
+                # reference leaves when the DPB exceeds the SPS cap
+                while len(dpb) > max(1, sps["num_ref_frames"]):
+                    dpb.pop(0)
             hh, ww = sps["height"], sps["width"]
             y, cb, cr = y[:hh, :ww], cb[: hh // 2, : ww // 2], cr[: hh // 2, : ww // 2]
             if yuv:
-                yield frame_no, (y, cb, cr)
+                pend.append((poc, (y, cb, cr)))
             else:
-                yield frame_no, _yuv420_to_rgb(y, cb, cr)
-            frame_no += 1
+                pend.append((poc, _yuv420_to_rgb(y, cb, cr)))
+            yield from _bump_ready(False)
+    yield from _bump_ready(True)
 
 
 def build_avcc(annexb: bytes):

@@ -1026,10 +1026,15 @@ class _SliceState:
         #: the spec's neighbour inference (8.3.1.1)
         self.mode4 = np.full((self.mbh * 4, self.mbw * 4), 2, np.int64)
         self.dec4 = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
-        #: 4x4-granularity motion state (8.4.1.3 contexts + §8.7 bS)
+        #: 4x4-granularity motion state (8.4.1.3 contexts + §8.7 bS);
+        #: mvf covers list 0, mvf1 list 1 (B slices) — a block that
+        #: does not predict from a list is marked INTRA there ("does
+        #: not use this list": contributes (0,0) to medians and never
+        #: satisfies a same-reference test, exactly 8.4.1.3's rule)
         from .h264_inter import MvField
 
         self.mvf = MvField(self.mbw, self.mbh)
+        self.mvf1 = MvField(self.mbw, self.mbh)
         #: per-MB luma QP at decode time + intra flags — exactly the
         #: §8.7 deblocking inputs (I_PCM records QP 0 per the spec)
         self.qp_mb = np.zeros((self.mbh, self.mbw), dtype=np.int64)
@@ -1038,6 +1043,9 @@ class _SliceState:
         self.cq_off = pps.get("chroma_qp_index_offset", 0)
         #: explicit weighted-prediction table (8.4.2.3) or None
         self.wp: dict | None = None
+        #: SPS direct_8x8_inference_flag (spatial direct colocated
+        #: motion sampled per 8x8 quadrant corner vs per 4x4)
+        self.inference8x8 = bool(sps.get("direct_8x8_inference", 1))
 
     def planes_u8(self):
         np = _np()
@@ -1062,6 +1070,7 @@ def _decode_intra_mb(r, st, mx: int, my: int, mb_type: int, counts):
     w = st.mbw * 16
     st.intra_mb[my, mx] = True
     st.mvf.put_intra(my * 4, mx * 4, 4, 4)
+    st.mvf1.put_intra(my * 4, mx * 4, 4, 4)
     if mb_type == 25:  # I_PCM — raw samples; slice QP carries over
         _bump(counts, "ipcm")
         # deblocking sees I_PCM at QPY 0 (§8.7) — filter-neutral edges
@@ -1434,6 +1443,176 @@ def _recon_pskip(st, mx: int, my: int, ref, counts):
     )
 
 
+def _b_pred_16x16(mx: int, my: int, ref0, ref1, mv0, mv1):
+    """Assemble the 16x16 luma + 8x8 chroma prediction of a B
+    macroblock from per-list MVs (either may be None = list unused);
+    both present → default bi-prediction average (8.4.2.3.1)."""
+    from .h264_inter import bi_average, mc_chroma, mc_luma
+
+    px, py = mx * 16, my * 16
+    cx, cy = mx * 8, my * 8
+    parts = []
+    for mv, ref in ((mv0, ref0), (mv1, ref1)):
+        if mv is None:
+            continue
+        parts.append((
+            mc_luma(ref[0], px, py, mv[0], mv[1]),
+            mc_chroma(ref[1], cx, cy, mv[0], mv[1]),
+            mc_chroma(ref[2], cx, cy, mv[0], mv[1]),
+        ))
+    if len(parts) == 2:
+        return tuple(
+            bi_average(a, b) for a, b in zip(parts[0], parts[1])
+        )
+    return parts[0]
+
+
+def _b_direct_predict(f0, f1, col, inference8x8: bool,
+                      mx: int, my: int, ref0, ref1):
+    """Spatial-direct derivation + motion compensation WITHOUT state
+    commitment (shared by the decoder and the encoder twin's RD
+    probes).  Returns (use0, use1, mv0s, mv1s, (y, cb, cr) pred)."""
+    import numpy as np
+
+    from .h264_inter import bi_average, mc_chroma, mc_luma, spatial_direct
+
+    use0, use1, mv0s, mv1s = spatial_direct(
+        f0, f1, col, mx, my, inference8x8
+    )
+    uniform0 = all(mv == mv0s[0][0] for row in mv0s for mv in row)
+    uniform1 = all(mv == mv1s[0][0] for row in mv1s for mv in row)
+    if uniform0 and uniform1:
+        pred = _b_pred_16x16(
+            mx, my, ref0, ref1,
+            mv0s[0][0] if use0 else None,
+            mv1s[0][0] if use1 else None,
+        )
+    else:
+        # colZeroFlag varies inside the MB: compensate per 4x4 luma /
+        # 2x2 chroma block with that block's derived MVs
+        py_ = np.zeros((16, 16), dtype=np.int64)
+        pcb = np.zeros((8, 8), dtype=np.int64)
+        pcr = np.zeros((8, 8), dtype=np.int64)
+        for by in range(4):
+            for bx in range(4):
+                lx, ly = bx * 4, by * 4
+                px, py0 = mx * 16 + lx, my * 16 + ly
+                cxx, cyy = mx * 8 + lx // 2, my * 8 + ly // 2
+                blocks = []
+                for use, mvs, ref in (
+                    (use0, mv0s, ref0), (use1, mv1s, ref1)
+                ):
+                    if not use:
+                        continue
+                    mv = mvs[by][bx]
+                    blocks.append((
+                        mc_luma(ref[0], px, py0, mv[0], mv[1],
+                                bh=4, bw=4),
+                        mc_chroma(ref[1], cxx, cyy, mv[0], mv[1],
+                                  bh=2, bw=2),
+                        mc_chroma(ref[2], cxx, cyy, mv[0], mv[1],
+                                  bh=2, bw=2),
+                    ))
+                if len(blocks) == 2:
+                    blk = tuple(
+                        bi_average(a, b)
+                        for a, b in zip(blocks[0], blocks[1])
+                    )
+                else:
+                    blk = blocks[0]
+                py_[ly : ly + 4, lx : lx + 4] = blk[0]
+                pcb[ly // 2 : ly // 2 + 2, lx // 2 : lx // 2 + 2] = blk[1]
+                pcr[ly // 2 : ly // 2 + 2, lx // 2 : lx // 2 + 2] = blk[2]
+        pred = (py_, pcb, pcr)
+    return use0, use1, mv0s, mv1s, pred
+
+
+def _commit_b_motion(f0, f1, mx: int, my: int,
+                     use0, use1, mv0s, mv1s) -> None:
+    """Write a B macroblock's per-list 4x4 motion into the slice (or
+    encoder) motion fields — an unused list is marked 'decoded, not
+    using this list' (put_intra) so later medians treat it right."""
+    gx, gy = mx * 4, my * 4
+    for by in range(4):
+        for bx in range(4):
+            if use0:
+                f0.put_inter(gy + by, gx + bx, 1, 1, mv0s[by][bx])
+            else:
+                f0.put_intra(gy + by, gx + bx, 1, 1)
+            if use1:
+                f1.put_inter(gy + by, gx + bx, 1, 1, mv1s[by][bx])
+            else:
+                f1.put_intra(gy + by, gx + bx, 1, 1)
+
+
+def _b_direct_pred(st, mx: int, my: int, refs):
+    """Spatial-direct prediction for one B macroblock (B_Skip /
+    B_Direct_16x16): derive, motion-compensate, commit motion state.
+    Returns the (pred_y, pred_cb, pred_cr) triple."""
+    ref0, ref1, col = refs
+    use0, use1, mv0s, mv1s, pred = _b_direct_predict(
+        st.mvf, st.mvf1, col, st.inference8x8, mx, my, ref0, ref1
+    )
+    _commit_b_motion(st.mvf, st.mvf1, mx, my, use0, use1, mv0s, mv1s)
+    return pred
+
+
+def _recon_bskip(st, mx: int, my: int, refs, counts):
+    """B_Skip: spatial-direct prediction, no residual (8.4.1.2)."""
+    _bump(counts, "bskip")
+    pred_y, pred_cb, pred_cr = _b_direct_pred(st, mx, my, refs)
+    st.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+    for c in range(2):
+        st.tc_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    _recon_inter_mb(
+        st, mx, my, pred_y, pred_cb, pred_cr, None, 0, None, None, 0
+    )
+
+
+def _decode_b_mb(r, st, mx: int, my: int, refs, mb_type: int, counts):
+    """Parse + reconstruct one 16x16-partition B macroblock:
+    B_Direct_16x16 (mb_type 0, spatial direct + residual) or
+    B_L0/L1/Bi_16x16 (1/2/3: per-list median MV prediction + mvd,
+    list-0 mvd first for Bi per 7.3.5.1, default bi-prediction
+    average).  Single active reference per list, so no ref_idx
+    syntax; residual is the shared inter CBP + CAVLC layer."""
+    ref0, ref1, _col = refs
+    if mb_type == 0:
+        _bump(counts, "bdirect")
+        pred_y, pred_cb, pred_cr = _b_direct_pred(st, mx, my, refs)
+    else:
+        from .h264_inter import predict_mv
+
+        _bump(counts, "bbi" if mb_type == 3 else "b16")
+        use0 = mb_type in (1, 3)
+        use1 = mb_type in (2, 3)
+        mv0 = mv1 = None
+        if use0:
+            mvp = predict_mv(st.mvf, mx, my)
+            mv0 = (mvp[0] + r.se(), mvp[1] + r.se())
+        if use1:
+            mvp = predict_mv(st.mvf1, mx, my)
+            mv1 = (mvp[0] + r.se(), mvp[1] + r.se())
+        if use0:
+            st.mvf.put_inter(my * 4, mx * 4, 4, 4, mv0)
+        else:
+            st.mvf.put_intra(my * 4, mx * 4, 4, 4)
+        if use1:
+            st.mvf1.put_inter(my * 4, mx * 4, 4, 4, mv1)
+        else:
+            st.mvf1.put_intra(my * 4, mx * 4, 4, 4)
+        pred_y, pred_cb, pred_cr = _b_pred_16x16(
+            mx, my, ref0, ref1, mv0, mv1
+        )
+    lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma = _read_inter_residual(
+        r, st, mx, my
+    )
+    _recon_inter_mb(
+        st, mx, my, pred_y, pred_cb, pred_cr,
+        lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma,
+    )
+
+
 def decode_slice(
     r,
     sps: dict,
@@ -1446,6 +1625,9 @@ def decode_slice(
     alpha_off: int = 0,
     beta_off: int = 0,
     wp: dict | None = None,
+    ref1=None,
+    col: dict | None = None,
+    motion_out: dict | None = None,
 ):
     """Decode all macroblocks of a single-slice picture; `r` is
     positioned at the first slice_data element.  Returns (y, cb, cr)
@@ -1468,18 +1650,28 @@ def decode_slice(
     st = _SliceState(sps, pps, qp)
     st.wp = wp
     is_p = slice_kind == "P"
+    is_b = slice_kind == "B"
     if is_p and ref is None:
         raise ValueError("P slice without a decoded reference frame")
+    if is_b and (ref is None or ref1 is None or col is None):
+        raise ValueError(
+            "B slice needs both temporal references and the"
+            " colocated motion field"
+        )
+    refs_b = (ref, ref1, col)
     n_mbs = st.mbw * st.mbh
     mb = 0
     while mb < n_mbs:
-        if is_p:
+        if is_p or is_b:
             run = r.ue()  # mb_skip_run (7.3.4)
             if mb + run > n_mbs:
                 raise ValueError("mb_skip_run overruns the picture")
             for _ in range(run):
                 my, mx = divmod(mb, st.mbw)
-                _recon_pskip(st, mx, my, ref, counts)
+                if is_b:
+                    _recon_bskip(st, mx, my, refs_b, counts)
+                else:
+                    _recon_pskip(st, mx, my, ref, counts)
                 mb += 1
             if mb >= n_mbs:
                 break
@@ -1502,6 +1694,21 @@ def decode_slice(
                 continue
             # intra mb_type offset in P slices (7.4.5)
             mb_type -= P_INTRA_OFFSET
+        elif is_b:
+            from .h264_inter import B_INTRA_OFFSET
+
+            if mb_type <= 3:  # Direct / L0 / L1 / Bi, all 16x16
+                _decode_b_mb(r, st, mx, my, refs_b, mb_type, counts)
+                mb += 1
+                continue
+            if mb_type < B_INTRA_OFFSET:
+                # Table 7-14 partition shapes (16x8/8x16 list combos,
+                # B_8x8 sub-partitions)
+                raise NotImplementedError(
+                    "B macroblock partition shapes need the PyAV tier"
+                )
+            # intra mb_type offset in B slices (7.4.5)
+            mb_type -= B_INTRA_OFFSET
         _decode_intra_mb(r, st, mx, my, mb_type, counts)
         mb += 1
     if not deblock_disabled:
@@ -1511,6 +1718,13 @@ def decode_slice(
             st.y, st.cb, st.cr, st.qp_mb, st.intra_mb, st.tc_y,
             st.mvf.mvx, st.mvf.mvy, st.cq_off, alpha_off, beta_off,
         )
+    if motion_out is not None:
+        # the caller keeps this alongside reference pictures: the
+        # spatial-direct colocated test (8.4.1.2.2) reads the list-0
+        # motion of RefPicList1[0]
+        motion_out["state"] = st.mvf.state.copy()
+        motion_out["mvx"] = st.mvf.mvx.copy()
+        motion_out["mvy"] = st.mvf.mvy.copy()
     return st.planes_u8()
 
 
@@ -1797,6 +2011,7 @@ class _EncState:
         from .h264_inter import MvField
 
         self.mvf = MvField(mbw, mbh)
+        self.mvf1 = MvField(mbw, mbh)
 
     def planes_u8(self):
         np = _np()
@@ -1893,6 +2108,7 @@ def _encode_intra_mb(
         est.y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = rec16
     est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
     est.mvf.put_intra(my * 4, mx * 4, 4, 4)  # intra MV context
+    est.mvf1.put_intra(my * 4, mx * 4, 4, 4)
     cx, cy = mx * 8, my * 8
     est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
     est.cr[cy : cy + 8, cx : cx + 8] = crec[1]

@@ -18,8 +18,14 @@ P_L0_16x16, the two-partition shapes P_L0_L0_16x8 / 8x16
 (directional MV prediction per 8.4.1.3 over the 4x4-granularity
 MvField), P_8x8 sub-partitions down to 4x4 (median prediction per
 sub-partition), P_Skip, and intra macroblocks — with explicit
-weighted prediction (8.4.2.3) when the PPS enables it.  Multiple
-reference frames, reference list modification, and B slices raise
+weighted prediction (8.4.2.3) when the PPS enables it.  B slices
+decode in their 16x16 tier: B_Skip and B_Direct_16x16 through
+spatial direct mode (8.4.1.2.2, incl. the colocated-motion zero
+rule over the stored list-1 reference motion field), B_L0/L1/Bi
+16x16 with per-list median prediction and default bi-prediction
+averaging (8.4.2.3.1), POC-ordered display output.  Multiple
+reference frames, reference list modification, temporal direct,
+B partition shapes and B-slice deblocking raise
 NotImplementedError naming the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
@@ -319,6 +325,84 @@ def skip_mv(field: MvField, mx: int, my: int):
 
 
 # ---------------------------------------------------------------------------
+# B slices: default bi-prediction + spatial direct mode
+# ---------------------------------------------------------------------------
+#: B-slice intra mb_type offset (Table 7-14: mb_type >= 23 is intra)
+B_INTRA_OFFSET = 23
+
+
+def bi_average(p0, p1):
+    """Default (weighted_bipred_idc == 0) bi-prediction, 8.4.2.3.1:
+    the rounded average of the two interpolated prediction signals."""
+    return (p0 + p1 + 1) >> 1
+
+
+def _direct_uses_list(field: MvField, gx: int, gy: int) -> bool:
+    """refIdxLX = MinPositive over neighbours A/B/C (C→D fallback,
+    8.4.1.3.2) — with one reference per list this collapses to 'does
+    ANY neighbour predict from list X' (8.4.1.2.2 step 1)."""
+    a = field.inter_mv(gx - 1, gy)
+    b = field.inter_mv(gx, gy - 1)
+    if field.avail(gx + 4, gy - 1):
+        c = field.inter_mv(gx + 4, gy - 1)
+    else:
+        c = field.inter_mv(gx - 1, gy - 1)
+    return a is not None or b is not None or c is not None
+
+
+def spatial_direct(f0: MvField, f1: MvField, col: dict,
+                   mx: int, my: int, inference8x8: bool):
+    """Spatial direct motion derivation (8.4.1.2.2) for one B
+    macroblock — B_Skip and B_Direct_16x16 both route through here.
+
+    `col` is the colocated picture's stored 4x4 motion (RefPicList1[0]
+    — always short-term in this tier): dict with "state"/"mvx"/"mvy"
+    arrays as decode_h264_annexb retains per reference picture.
+
+    Returns (use0, use1, mv0, mv1): per-list participation flags and
+    4x4 lists of quarter-pel MVs per 4x4 block.  Derivation: each
+    list's refIdx is the MinPositive over the MB neighbours (single
+    reference → a used/unused flag); both unused → zero prediction on
+    BOTH lists (directZeroPredictionFlag); otherwise the list MV is
+    the 8.4.1.3 median predictor, zeroed per 4x4 block where the
+    colocated block is inter on reference 0 with |mv| <= 1 quarter-pel
+    in both components (the colZeroFlag still-background rule).  With
+    `inference8x8` (SPS direct_8x8_inference_flag) colocated motion is
+    sampled at the 8x8 quadrant's outer-corner 4x4 block, so MVs are
+    constant per quadrant."""
+    gx, gy = mx * 4, my * 4
+    use0 = _direct_uses_list(f0, gx, gy)
+    use1 = _direct_uses_list(f1, gx, gy)
+    zero = [[(0, 0)] * 4 for _ in range(4)]
+    if not use0 and not use1:
+        # directZeroPredictionFlag: both lists, all-zero motion
+        return True, True, zero, zero
+    mvp0 = predict_mv(f0, mx, my) if use0 else (0, 0)
+    mvp1 = predict_mv(f1, mx, my) if use1 else (0, 0)
+    mv0 = [[mvp0] * 4 for _ in range(4)]
+    mv1 = [[mvp1] * 4 for _ in range(4)]
+    for by in range(4):
+        for bx in range(4):
+            if inference8x8:
+                # corner 4x4 of the 8x8 quadrant (8.4.1.2.2 via
+                # direct_8x8_inference): outermost block of the MB
+                cx, cy = (0 if bx < 2 else 3), (0 if by < 2 else 3)
+            else:
+                cx, cy = bx, by
+            col_zero = (
+                col["state"][gy + cy, gx + cx] == MvField.INTER
+                and abs(int(col["mvx"][gy + cy, gx + cx])) <= 1
+                and abs(int(col["mvy"][gy + cy, gx + cx])) <= 1
+            )
+            if col_zero:
+                if use0:
+                    mv0[by][bx] = (0, 0)
+                if use1:
+                    mv1[by][bx] = (0, 0)
+    return use0, use1, mv0, mv1
+
+
+# ---------------------------------------------------------------------------
 # GOP encoder twin (IDR + P frames)
 # ---------------------------------------------------------------------------
 def _motion_search(ref_y, src_mb, px: int, py: int, mvp,
@@ -385,6 +469,781 @@ def _motion_search(ref_y, src_mb, px: int, py: int, mvp,
     return best[1], best[2]
 
 
+
+
+def _bits_of(wr) -> int:
+    return 8 * len(wr.out) + wr.nbits
+
+
+def _append_bits(dst, src_w) -> None:
+    """Replay one writer's bits into another (probe commit)."""
+    for byte in src_w.out:
+        dst.u(byte, 8)
+    if src_w.nbits:
+        dst.u(src_w.acc & ((1 << src_w.nbits) - 1), src_w.nbits)
+
+
+def _quant_luma_mb(src_mb, pred, qp: int):
+    """16 per-4x4 quantised level lists + cbp_luma."""
+    from finanalyzer_spark.operators.h264_cavlc import (
+        _blk_xy,
+        forward_transform_4x4,
+        quant_4x4,
+    )
+
+    resid = src_mb - pred
+    lv = []
+    cbp = 0
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        wt = forward_transform_4x4(
+            resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+        )
+        lv.append(quant_4x4(wt, qp))
+    for q in range(4):
+        if any(any(lv[b]) for b in range(q * 4, q * 4 + 4)):
+            cbp |= 1 << q
+    return lv, cbp
+
+
+def _recon_luma_mb(pred, lv, cbp_luma: int, qp: int):
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264_cavlc import (
+        _blk_xy,
+        dequant_4x4,
+        inverse_transform_4x4,
+    )
+
+    outb = np.zeros((16, 16), dtype=np.int64)
+    for blk in range(16):
+        bx, by = _blk_xy(blk)
+        ps = pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+        if cbp_luma & (1 << (blk >> 2)):
+            res = inverse_transform_4x4(dequant_4x4(lv[blk], qp))
+        else:
+            res = 0
+        outb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = np.clip(
+            ps + res, 0, 255
+        )
+    return outb
+
+
+def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
+                        search_range, wp):
+    """RD macroblock loop of one P slice: for every macroblock,
+    probe P_Skip / P_L0_16x16 / the partition shapes / intra
+    fallback through the decoder's exact reconstruction path and
+    emit the cheapest (SSD + lambda*bits).  Extracted from
+    encode_h264_video so the B-GOP twin encodes its P reference
+    frames through the identical closed loop.  Writes slice-data
+    bits into `s` and the reconstruction + motion state into
+    `est`; the caller owns the slice header and NAL wrapping."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import _BitWriter
+    from finanalyzer_spark.operators.h264_cavlc import (
+        _blk_xy,
+        _encode_intra_mb,
+        _nc_from_grid,
+        _quant_chroma_resid,
+        _write_chroma_residual,
+        dequant_4x4,
+        encode_residual_block,
+        forward_transform_4x4,
+        inverse_transform_4x4,
+        quant_4x4,
+    )
+
+    src_y, src_cb, src_cr = src
+
+    #: JM-style rate-distortion lambda for the SSD + lam*bits cost
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+
+    skip_run = 0
+    for mb in range(mbw * mbh):
+        my, mx = divmod(mb, mbw)
+        px, py = mx * 16, my * 16
+        cx, cy = mx * 8, my * 8
+        src_mb = src_y[py : py + 16, px : px + 16]
+        src_cb_mb = src_cb[cy : cy + 8, cx : cx + 8]
+        src_cr_mb = src_cr[cy : cy + 8, cx : cx + 8]
+
+        def write_inter(wr, mbt, mvpairs, lv_, cbpl, cbpc,
+                        cdc_, cac_, tc_y, tc_c):
+            """mb_type (+ sub_mb_types for P_8x8) + per-partition
+            mvds + CBP + shared CAVLC residual (7.3.5) — one
+            writer for 16x16/16x8/8x16/8x8."""
+            wr.ue(mbt)
+            if mbt == 3:  # P_8x8: four sub_mb_type codes first
+                for _ in range(4):
+                    wr.ue(0)  # P_L0_8x8 sub-blocks
+            for pmvp, pmv in mvpairs:
+                wr.se(pmv[0] - pmvp[0])
+                wr.se(pmv[1] - pmvp[1])
+            cbp = cbpl | (cbpc << 4)
+            wr.ue(CODENUM_FROM_CBP_INTER[cbp])
+            if cbp:
+                wr.se(0)  # mb_qp_delta
+            for blk in range(16):
+                bx, by = _blk_xy(blk)
+                gx, gy = mx * 4 + bx, my * 4 + by
+                if cbpl & (1 << (blk >> 2)):
+                    n_c = _nc_from_grid(tc_y, gx, gy)
+                    tc_y[gy, gx] = encode_residual_block(
+                        wr, lv_[blk], n_c
+                    )
+                else:
+                    tc_y[gy, gx] = 0
+            _write_chroma_residual(
+                wr, tc_c, mx, my, cbpc, cdc_, cac_
+            )
+
+        # --- P_L0_16x16 candidate: motion search + residual ---
+        mvp = predict_mv(est.mvf, mx, my)
+        mv = _motion_search(
+            ref[0], src_mb, px, py, mvp, search_range
+        )
+        pred_y = mc_luma(ref[0], px, py, mv[0], mv[1])
+        if wp is not None:
+            pred_y = wp_apply(pred_y, wp[1], wp[2], wp[0])
+        lv, cbp_luma = _quant_luma_mb(src_mb, pred_y, qp)
+        pred_cb = mc_chroma(ref[1], cx, cy, mv[0], mv[1])
+        pred_cr = mc_chroma(ref[2], cx, cy, mv[0], mv[1])
+        cbp_chroma, cdc, cac, crec = _quant_chroma_resid(
+            (pred_cb, pred_cr), src_cb_mb, src_cr_mb, qpc
+        )
+        rec_y = _recon_luma_mb(pred_y, lv, cbp_luma, qp)
+        ssd_p = int(((rec_y - src_mb) ** 2).sum())
+        ssd_p += int(((crec[0] - src_cb_mb) ** 2).sum())
+        ssd_p += int(((crec[1] - src_cr_mb) ** 2).sum())
+
+        probe = _BitWriter()
+        write_inter(probe, 0, [(mvp, mv)], lv, cbp_luma,
+                    cbp_chroma, cdc, cac, est.tc_y.copy(),
+                    [g.copy() for g in est.tc_c])
+        cost_p = ssd_p + lam * _bits_of(probe)
+
+        # --- partitioned candidates: 16x8 / 8x16 / P_8x8 ---
+        # later partitions' predictors depend on earlier decided
+        # MVs, probed through MvField's override before committing.
+        # Early termination (the standard encoder speedup): when
+        # the 16x16 candidate already reconstructs with SSD below
+        # the rate cost of even one extra mvd pair, no partition
+        # split can win the RD comparison — skip the probes.
+        part = None  # (cost, mbt, mvpairs, geo, lv, cbpl, cbpc,
+        #              cdc, cac, rec_y, crec)
+        shapes = () if ssd_p <= lam * 8 else (
+            (1, ((mx * 4, my * 4, 4, 2, "B"),
+                 (mx * 4, my * 4 + 2, 4, 2, "A"))),
+            (2, ((mx * 4, my * 4, 2, 4, "A"),
+                 (mx * 4 + 2, my * 4, 2, 4, "C"))),
+            # P_8x8 with four 8x8 sub-blocks (sub_mb_type 0 each;
+            # median prediction per quadrant, no directional rule)
+            (3, ((mx * 4, my * 4, 2, 2, None),
+                 (mx * 4 + 2, my * 4, 2, 2, None),
+                 (mx * 4, my * 4 + 2, 2, 2, None),
+                 (mx * 4 + 2, my * 4 + 2, 2, 2, None))),
+        )
+        for mbt, geo in shapes:
+            ov: dict = {}
+            mvpairs = []
+            pred2 = np.zeros((16, 16), dtype=np.int64)
+            pcb2 = np.zeros((8, 8), dtype=np.int64)
+            pcr2 = np.zeros((8, 8), dtype=np.int64)
+            for gx, gy, w4, h4, dirn in geo:
+                pmvp = predict_mv_part(
+                    est.mvf, gx, gy, w4, dirn, override=ov
+                )
+                bw_, bh_ = w4 * 4, h4 * 4
+                px_, py_ = gx * 4, gy * 4
+                pmv = _motion_search(
+                    ref[0],
+                    src_y[py_ : py_ + bh_, px_ : px_ + bw_],
+                    px_, py_, pmvp, search_range,
+                    bh=bh_, bw=bw_,
+                )
+                for yy in range(gy, gy + h4):
+                    for xx in range(gx, gx + w4):
+                        ov[(xx, yy)] = pmv
+                mvpairs.append((pmvp, pmv))
+                lx, ly = px_ - px, py_ - py
+                pred2[ly : ly + bh_, lx : lx + bw_] = mc_luma(
+                    ref[0], px_, py_, pmv[0], pmv[1],
+                    bh=bh_, bw=bw_,
+                )
+                pcb2[
+                    ly // 2 : ly // 2 + bh_ // 2,
+                    lx // 2 : lx // 2 + bw_ // 2,
+                ] = mc_chroma(
+                    ref[1], px_ // 2, py_ // 2, pmv[0], pmv[1],
+                    bh=bh_ // 2, bw=bw_ // 2,
+                )
+                pcr2[
+                    ly // 2 : ly // 2 + bh_ // 2,
+                    lx // 2 : lx // 2 + bw_ // 2,
+                ] = mc_chroma(
+                    ref[2], px_ // 2, py_ // 2, pmv[0], pmv[1],
+                    bh=bh_ // 2, bw=bw_ // 2,
+                )
+            if wp is not None:
+                pred2 = wp_apply(pred2, wp[1], wp[2], wp[0])
+            lv2, cbpl2 = _quant_luma_mb(src_mb, pred2, qp)
+            cbpc2, cdc2, cac2, crec2 = _quant_chroma_resid(
+                (pcb2, pcr2), src_cb_mb, src_cr_mb, qpc
+            )
+            rec2 = _recon_luma_mb(pred2, lv2, cbpl2, qp)
+            ssd2 = int(((rec2 - src_mb) ** 2).sum())
+            ssd2 += int(((crec2[0] - src_cb_mb) ** 2).sum())
+            ssd2 += int(((crec2[1] - src_cr_mb) ** 2).sum())
+            probe2 = _BitWriter()
+            write_inter(probe2, mbt, mvpairs, lv2, cbpl2, cbpc2,
+                        cdc2, cac2, est.tc_y.copy(),
+                        [g.copy() for g in est.tc_c])
+            c2 = ssd2 + lam * _bits_of(probe2)
+            if part is None or c2 < part[0]:
+                part = (c2, mbt, mvpairs, geo, lv2, cbpl2, cbpc2,
+                        cdc2, cac2, rec2, crec2)
+        cost_part = part[0] if part is not None else float("inf")
+
+        # --- P_Skip candidate: skip MV, no residual, ~free bits ---
+        mv_sk = skip_mv(est.mvf, mx, my)
+        skip_y = mc_luma(ref[0], px, py, mv_sk[0], mv_sk[1])
+        if wp is not None:
+            skip_y = wp_apply(skip_y, wp[1], wp[2], wp[0])
+        skip_cb = np.clip(
+            mc_chroma(ref[1], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
+        )
+        skip_cr = np.clip(
+            mc_chroma(ref[2], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
+        )
+        ssd_skip = int(((skip_y - src_mb) ** 2).sum())
+        ssd_skip += int(((skip_cb - src_cb_mb) ** 2).sum())
+        ssd_skip += int(((skip_cr - src_cr_mb) ** 2).sum())
+        cost_skip = float(ssd_skip)
+
+        # --- intra candidate: probe on the REAL state, with the
+        # macroblock-confined region saved for restore (every
+        # write of _encode_intra_mb stays inside this MB's plane/
+        # grid slices; neighbour reads are outside and untouched)
+        saved = (
+            est.y[py : py + 16, px : px + 16].copy(),
+            est.cb[cy : cy + 8, cx : cx + 8].copy(),
+            est.cr[cy : cy + 8, cx : cx + 8].copy(),
+            est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4].copy(),
+            [
+                g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2].copy()
+                for g in est.tc_c
+            ],
+            est.mode4[
+                my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+            ].copy(),
+            est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4].copy(),
+            (
+                est.mvf.state[
+                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                ].copy(),
+                est.mvf.mvx[
+                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                ].copy(),
+                est.mvf.mvy[
+                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                ].copy(),
+            ),
+        )
+
+        def restore_mb():
+            est.y[py : py + 16, px : px + 16] = saved[0]
+            est.cb[cy : cy + 8, cx : cx + 8] = saved[1]
+            est.cr[cy : cy + 8, cx : cx + 8] = saved[2]
+            est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
+                saved[3]
+            )
+            for g, sg in zip(est.tc_c, saved[4]):
+                g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = sg
+            est.mode4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
+                saved[5]
+            )
+            est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
+                saved[6]
+            )
+            blk4 = np.s_[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4]
+            est.mvf.state[blk4] = saved[7][0]
+            est.mvf.mvx[blk4] = saved[7][1]
+            est.mvf.mvy[blk4] = saved[7][2]
+
+        # intra probe early exit: an intra macroblock costs at
+        # least its mode/CBP syntax (~10 bits); when an inter
+        # candidate is already cheaper than that floor, skip the
+        # (expensive) full intra reconstruction probe
+        if min(cost_skip, cost_p, cost_part) <= lam * 10:
+            probe_w = None
+            cost_i = float("inf")
+        else:
+            probe_w = _BitWriter()
+            _encode_intra_mb(
+                probe_w, est, mx, my, src_mb, src_cb_mb,
+                src_cr_mb, qp, qpc, mb_type_offset=5,
+            )
+            ssd_i = int(
+                ((est.y[py : py + 16, px : px + 16] - src_mb) ** 2)
+                .sum()
+            )
+            ssd_i += int(
+                ((est.cb[cy : cy + 8, cx : cx + 8] - src_cb_mb)
+                 ** 2).sum()
+            )
+            ssd_i += int(
+                ((est.cr[cy : cy + 8, cx : cx + 8] - src_cr_mb)
+                 ** 2).sum()
+            )
+            cost_i = ssd_i + lam * _bits_of(probe_w)
+
+        best_inter = min(cost_p, cost_part)
+        if cost_skip <= best_inter and cost_skip <= cost_i:
+            restore_mb()
+            skip_run += 1
+            est.y[py : py + 16, px : px + 16] = skip_y
+            est.cb[cy : cy + 8, cx : cx + 8] = skip_cb
+            est.cr[cy : cy + 8, cx : cx + 8] = skip_cr
+            est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+            for c in range(2):
+                est.tc_c[c][
+                    my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2
+                ] = 0
+            est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+            est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv_sk)
+            continue
+
+        s.ue(skip_run)  # mb_skip_run before every coded MB
+        skip_run = 0
+        if cost_i < best_inter:  # intra fallback (scene change etc.)
+            # the probe already committed its reconstruction and
+            # grid updates to est — just replay its bits
+            _append_bits(s, probe_w)
+            continue
+
+        restore_mb()
+        if cost_part < cost_p:
+            # --- emit P_L0_L0_16x8 / 8x16 ---
+            (_c, mbt, mvpairs, geo, lv2, cbpl2, cbpc2, cdc2,
+             cac2, rec2, crec2) = part
+            write_inter(s, mbt, mvpairs, lv2, cbpl2, cbpc2,
+                        cdc2, cac2, est.tc_y, est.tc_c)
+            est.y[py : py + 16, px : px + 16] = rec2
+            est.cb[cy : cy + 8, cx : cx + 8] = crec2[0]
+            est.cr[cy : cy + 8, cx : cx + 8] = crec2[1]
+            est.dec4[
+                my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+            ] = True
+            for (gx, gy, w4, h4, _d), (_pmvp, pmv) in zip(
+                geo, mvpairs
+            ):
+                est.mvf.put_inter(gy, gx, h4, w4, pmv)
+            continue
+
+        # --- emit P_L0_16x16 ---
+        write_inter(s, 0, [(mvp, mv)], lv, cbp_luma, cbp_chroma,
+                    cdc, cac, est.tc_y, est.tc_c)
+        est.y[py : py + 16, px : px + 16] = rec_y
+        est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
+        est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
+        est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+        est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
+
+    if skip_run:  # trailing skips close the slice (7.3.4)
+        s.ue(skip_run)
+
+
+
+
+def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
+                        mbw, mbh, search_range):
+    """RD macroblock loop of one B slice (the 16x16 tier the pure
+    decoder accepts): per macroblock, probe B_Skip and
+    B_Direct_16x16 (spatial direct, 8.4.1.2.2), B_L0/L1_16x16
+    (per-list motion search) and B_Bi_16x16 (default bi-prediction
+    average of the two searched signals), plus the intra fallback
+    (mb_type offset 23) — every candidate reconstructed through the
+    decoder's exact MC + dequant path, cheapest SSD + lambda*bits
+    wins.  `col` is the colocated (list-1 reference) motion dict the
+    spatial-direct colZeroFlag rule reads."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import _BitWriter
+    from finanalyzer_spark.operators.h264_cavlc import (
+        _b_direct_predict,
+        _blk_xy,
+        _commit_b_motion,
+        _encode_intra_mb,
+        _nc_from_grid,
+        _quant_chroma_resid,
+        _write_chroma_residual,
+        encode_residual_block,
+    )
+
+    src_y, src_cb, src_cr = src
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    skip_run = 0
+    for mb in range(mbw * mbh):
+        my, mx = divmod(mb, mbw)
+        px, py = mx * 16, my * 16
+        cx, cy = mx * 8, my * 8
+        src_mb = src_y[py : py + 16, px : px + 16]
+        src_cb_mb = src_cb[cy : cy + 8, cx : cx + 8]
+        src_cr_mb = src_cr[cy : cy + 8, cx : cx + 8]
+
+        def write_b(wr, mbt, mvpairs, lv_, cbpl, cbpc, cdc_, cac_,
+                    tc_y, tc_c):
+            """B mb_type + list-ordered mvds + CBP + shared CAVLC
+            residual (7.3.5; single reference per list → no ref_idx
+            syntax; B_Direct_16x16 carries no mvd at all)."""
+            wr.ue(mbt)
+            for pmvp, pmv in mvpairs:
+                wr.se(pmv[0] - pmvp[0])
+                wr.se(pmv[1] - pmvp[1])
+            cbp = cbpl | (cbpc << 4)
+            wr.ue(CODENUM_FROM_CBP_INTER[cbp])
+            if cbp:
+                wr.se(0)  # mb_qp_delta
+            for blk in range(16):
+                bx, by = _blk_xy(blk)
+                gx, gy = mx * 4 + bx, my * 4 + by
+                if cbpl & (1 << (blk >> 2)):
+                    n_c = _nc_from_grid(tc_y, gx, gy)
+                    tc_y[gy, gx] = encode_residual_block(
+                        wr, lv_[blk], n_c
+                    )
+                else:
+                    tc_y[gy, gx] = 0
+            _write_chroma_residual(wr, tc_c, mx, my, cbpc, cdc_, cac_)
+
+        def ssd3(ry, rcb, rcr):
+            return (
+                int(((ry - src_mb) ** 2).sum())
+                + int(((rcb - src_cb_mb) ** 2).sum())
+                + int(((rcr - src_cr_mb) ** 2).sum())
+            )
+
+        # --- spatial direct derivation (B_Skip + B_Direct share it) ---
+        use0, use1, mv0s, mv1s, dpred = _b_direct_predict(
+            est.mvf, est.mvf1, col, True, mx, my, ref0, ref1
+        )
+        dp_y, dp_cb, dp_cr = dpred
+        skip_y = np.clip(dp_y, 0, 255)
+        skip_cb = np.clip(dp_cb, 0, 255)
+        skip_cr = np.clip(dp_cr, 0, 255)
+        cost_skip = float(ssd3(skip_y, skip_cb, skip_cr))
+
+        # --- B_Direct_16x16 with residual ---
+        lv_d, cbpl_d = _quant_luma_mb(src_mb, dp_y, qp)
+        cbpc_d, cdc_d, cac_d, crec_d = _quant_chroma_resid(
+            (dp_cb, dp_cr), src_cb_mb, src_cr_mb, qpc
+        )
+        rec_d = _recon_luma_mb(dp_y, lv_d, cbpl_d, qp)
+        probe_d = _BitWriter()
+        write_b(probe_d, 0, [], lv_d, cbpl_d, cbpc_d, cdc_d, cac_d,
+                est.tc_y.copy(), [g.copy() for g in est.tc_c])
+        cost_d = (
+            ssd3(rec_d, crec_d[0], crec_d[1]) + lam * _bits_of(probe_d)
+        )
+
+        # --- uni- and bi-predictive 16x16 candidates ---
+        mvp0 = predict_mv(est.mvf, mx, my)
+        mv0 = _motion_search(ref0[0], src_mb, px, py, mvp0, search_range)
+        p0 = (
+            mc_luma(ref0[0], px, py, mv0[0], mv0[1]),
+            mc_chroma(ref0[1], cx, cy, mv0[0], mv0[1]),
+            mc_chroma(ref0[2], cx, cy, mv0[0], mv0[1]),
+        )
+        mvp1 = predict_mv(est.mvf1, mx, my)
+        mv1 = _motion_search(ref1[0], src_mb, px, py, mvp1, search_range)
+        p1 = (
+            mc_luma(ref1[0], px, py, mv1[0], mv1[1]),
+            mc_chroma(ref1[1], cx, cy, mv1[0], mv1[1]),
+            mc_chroma(ref1[2], cx, cy, mv1[0], mv1[1]),
+        )
+        cands = []
+        for mbt, preds, mvpairs in (
+            (1, p0, [(mvp0, mv0)]),
+            (2, p1, [(mvp1, mv1)]),
+            (
+                3,
+                tuple(bi_average(a, b) for a, b in zip(p0, p1)),
+                [(mvp0, mv0), (mvp1, mv1)],
+            ),
+        ):
+            lv_, cbpl = _quant_luma_mb(src_mb, preds[0], qp)
+            cbpc, cdc, cac, crec = _quant_chroma_resid(
+                (preds[1], preds[2]), src_cb_mb, src_cr_mb, qpc
+            )
+            rec = _recon_luma_mb(preds[0], lv_, cbpl, qp)
+            probe = _BitWriter()
+            write_b(probe, mbt, mvpairs, lv_, cbpl, cbpc, cdc, cac,
+                    est.tc_y.copy(), [g.copy() for g in est.tc_c])
+            cands.append((
+                ssd3(rec, crec[0], crec[1]) + lam * _bits_of(probe),
+                mbt, mvpairs, lv_, cbpl, cbpc, cdc, cac, rec, crec,
+            ))
+        best = min(cands, key=lambda t: t[0])
+
+        # --- intra probe on the real state, MB-confined save/restore
+        # (the B variant must also save both motion fields) ---
+        blk4 = np.s_[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4]
+        saved = (
+            est.y[py : py + 16, px : px + 16].copy(),
+            est.cb[cy : cy + 8, cx : cx + 8].copy(),
+            est.cr[cy : cy + 8, cx : cx + 8].copy(),
+            est.tc_y[blk4].copy(),
+            [
+                g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2].copy()
+                for g in est.tc_c
+            ],
+            est.mode4[blk4].copy(),
+            est.dec4[blk4].copy(),
+            (
+                est.mvf.state[blk4].copy(),
+                est.mvf.mvx[blk4].copy(),
+                est.mvf.mvy[blk4].copy(),
+            ),
+            (
+                est.mvf1.state[blk4].copy(),
+                est.mvf1.mvx[blk4].copy(),
+                est.mvf1.mvy[blk4].copy(),
+            ),
+        )
+
+        def restore_mb():
+            est.y[py : py + 16, px : px + 16] = saved[0]
+            est.cb[cy : cy + 8, cx : cx + 8] = saved[1]
+            est.cr[cy : cy + 8, cx : cx + 8] = saved[2]
+            est.tc_y[blk4] = saved[3]
+            for g, sg in zip(est.tc_c, saved[4]):
+                g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = sg
+            est.mode4[blk4] = saved[5]
+            est.dec4[blk4] = saved[6]
+            est.mvf.state[blk4] = saved[7][0]
+            est.mvf.mvx[blk4] = saved[7][1]
+            est.mvf.mvy[blk4] = saved[7][2]
+            est.mvf1.state[blk4] = saved[8][0]
+            est.mvf1.mvx[blk4] = saved[8][1]
+            est.mvf1.mvy[blk4] = saved[8][2]
+
+        if min(cost_skip, cost_d, best[0]) <= lam * 10:
+            probe_w = None
+            cost_i = float("inf")
+        else:
+            probe_w = _BitWriter()
+            _encode_intra_mb(
+                probe_w, est, mx, my, src_mb, src_cb_mb, src_cr_mb,
+                qp, qpc, mb_type_offset=B_INTRA_OFFSET,
+            )
+            cost_i = ssd3(
+                est.y[py : py + 16, px : px + 16],
+                est.cb[cy : cy + 8, cx : cx + 8],
+                est.cr[cy : cy + 8, cx : cx + 8],
+            ) + lam * _bits_of(probe_w)
+
+        best_coded = min(cost_d, best[0])
+        if cost_skip <= best_coded and cost_skip <= cost_i:
+            restore_mb()
+            skip_run += 1
+            est.y[py : py + 16, px : px + 16] = skip_y
+            est.cb[cy : cy + 8, cx : cx + 8] = skip_cb
+            est.cr[cy : cy + 8, cx : cx + 8] = skip_cr
+            est.tc_y[blk4] = 0
+            for c in range(2):
+                est.tc_c[c][
+                    my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2
+                ] = 0
+            est.dec4[blk4] = True
+            _commit_b_motion(
+                est.mvf, est.mvf1, mx, my, use0, use1, mv0s, mv1s
+            )
+            continue
+
+        s.ue(skip_run)  # mb_skip_run before every coded MB
+        skip_run = 0
+        if cost_i < best_coded:  # intra fallback
+            _append_bits(s, probe_w)  # probe already committed state
+            continue
+
+        restore_mb()
+        if cost_d <= best[0]:
+            # --- emit B_Direct_16x16 ---
+            write_b(s, 0, [], lv_d, cbpl_d, cbpc_d, cdc_d, cac_d,
+                    est.tc_y, est.tc_c)
+            est.y[py : py + 16, px : px + 16] = rec_d
+            est.cb[cy : cy + 8, cx : cx + 8] = crec_d[0]
+            est.cr[cy : cy + 8, cx : cx + 8] = crec_d[1]
+            est.dec4[blk4] = True
+            _commit_b_motion(
+                est.mvf, est.mvf1, mx, my, use0, use1, mv0s, mv1s
+            )
+            continue
+
+        # --- emit B_L0 / B_L1 / B_Bi 16x16 ---
+        (_c, mbt, mvpairs, lv_, cbpl, cbpc, cdc, cac, rec, crec) = best
+        write_b(s, mbt, mvpairs, lv_, cbpl, cbpc, cdc, cac,
+                est.tc_y, est.tc_c)
+        est.y[py : py + 16, px : px + 16] = rec
+        est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
+        est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
+        est.dec4[blk4] = True
+        if mbt in (1, 3):
+            est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv0)
+        else:
+            est.mvf.put_intra(my * 4, mx * 4, 4, 4)
+        if mbt in (2, 3):
+            est.mvf1.put_inter(my * 4, mx * 4, 4, 4, mv1)
+        else:
+            est.mvf1.put_intra(my * 4, mx * 4, 4, 4)
+    if skip_run:  # trailing skips close the slice (7.3.4)
+        s.ue(skip_run)
+
+
+def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out):
+    """B-GOP driver: closed GOPs of `gop` display frames — an IDR,
+    P references every b_frames+1 display positions (plus a trailing
+    P when the GOP length isn't aligned), and B pictures between
+    consecutive references, emitted in decode order (future reference
+    first, POC type 0 carries display order).  B pictures are
+    non-reference NALs (nal_ref_idc 0) with the deblocking filter
+    explicitly disabled (the pure decode tier refuses filtered B
+    slices); reference frames run the shared P/intra closed loops.
+    `recon_out` collects reconstructions in DISPLAY order — the same
+    order decode_h264_annexb emits."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        NAL_IDR,
+        NAL_PPS,
+        NAL_SLICE,
+        NAL_SPS,
+        _BitWriter,
+        _nal,
+        write_sps_pps,
+    )
+    from finanalyzer_spark.operators.h264_cavlc import (
+        _EncState,
+        _encode_intra_mb,
+        chroma_qp,
+    )
+
+    h, w = planes[0][0].shape
+    mbw, mbh = w // 16, h // 16
+    qpc = chroma_qp(qp, 0)
+    sps_rbsp, pps_rbsp = write_sps_pps(
+        mbw, mbh, pic_init_qp=qp, deblocking_control=True,
+        poc_type=0, num_ref_frames=2,
+    )
+    out = bytearray()
+    out += _nal(NAL_SPS, 3, sps_rbsp)
+    out += _nal(NAL_PPS, 3, pps_rbsp)
+    n = len(planes)
+    step = b_frames + 1
+
+    def src64(disp):
+        y8, cb8, cr8 = planes[disp]
+        return (
+            y8.astype(np.int64),
+            cb8.astype(np.int64),
+            cr8.astype(np.int64),
+        )
+
+    def header(kind, frame_num, poc_lsb, idr_id=0):
+        s = _BitWriter()
+        s.ue(0)                     # first_mb_in_slice
+        s.ue({"I": 7, "P": 5, "B": 6}[kind])  # slice_type (all slices)
+        s.ue(0)                     # pps_id
+        s.u(frame_num % 256, 8)     # frame_num
+        if kind == "I":
+            s.ue(idr_id)            # idr_pic_id
+        s.u(poc_lsb % 256, 8)       # pic_order_cnt_lsb (poc_type 0)
+        if kind == "B":
+            s.u(1, 1)               # direct_spatial_mv_pred_flag
+        if kind in ("P", "B"):
+            s.u(0, 1)               # num_ref_idx_active_override_flag
+            s.u(0, 1)               # ref_pic_list_modification_flag_l0
+            if kind == "B":
+                s.u(0, 1)           # ref_pic_list_modification_flag_l1
+        if kind == "I":
+            s.u(0, 1)               # no_output_of_prior_pics
+            s.u(0, 1)               # long_term_reference
+        elif kind == "P":
+            s.u(0, 1)               # adaptive_ref_pic_marking_mode
+        # (B is non-reference: no dec_ref_pic_marking at all, 7.3.3)
+        s.se(0)                     # slice_qp_delta
+        s.ue(1)                     # disable_deblocking_filter_idc
+        return s
+
+    for gi, g0 in enumerate(range(0, n, gop)):
+        gend = min(g0 + gop, n)
+        refs = list(range(g0, gend, step))
+        if refs[-1] != gend - 1:
+            refs.append(gend - 1)
+        ref_state: dict = {}  # disp → (int64 planes, motion dict)
+        recons: dict = {}     # disp → u8 planes
+        for ri, disp in enumerate(refs):
+            est = _EncState(mbw, mbh)
+            src = src64(disp)
+            if ri == 0:  # IDR opens the (closed) GOP
+                s = header("I", 0, 0, idr_id=gi % 16)
+                for mb in range(mbw * mbh):
+                    my, mx = divmod(mb, mbw)
+                    _encode_intra_mb(
+                        s, est, mx, my,
+                        src[0][my * 16 : my * 16 + 16,
+                               mx * 16 : mx * 16 + 16],
+                        src[1][my * 8 : my * 8 + 8,
+                               mx * 8 : mx * 8 + 8],
+                        src[2][my * 8 : my * 8 + 8,
+                               mx * 8 : mx * 8 + 8],
+                        qp, qpc,
+                    )
+                s.rbsp_trailing()
+                out += _nal(NAL_IDR, 3, bytes(s.out))
+            else:
+                prev_recon = ref_state[refs[ri - 1]][0]
+                s = header("P", ri, 2 * (disp - g0))
+                _encode_p_slice_mbs(
+                    s, est, src, prev_recon, qp, qpc, mbw, mbh,
+                    search_range, None,
+                )
+                s.rbsp_trailing()
+                out += _nal(NAL_SLICE, 2, bytes(s.out))
+            ref_state[disp] = (
+                (est.y.copy(), est.cb.copy(), est.cr.copy()),
+                {
+                    "state": est.mvf.state.copy(),
+                    "mvx": est.mvf.mvx.copy(),
+                    "mvy": est.mvf.mvy.copy(),
+                },
+            )
+            recons[disp] = est.planes_u8()
+            if ri == 0:
+                continue
+            # B pictures between the previous and this reference,
+            # decode order AFTER the future reference
+            l0_disp, l1_disp = refs[ri - 1], disp
+            for bd in range(l0_disp + 1, l1_disp):
+                est = _EncState(mbw, mbh)
+                s = header("B", ri + 1, 2 * (bd - g0))
+                _encode_b_slice_mbs(
+                    s, est, src64(bd),
+                    ref_state[l0_disp][0], ref_state[l1_disp][0],
+                    ref_state[l1_disp][1],
+                    qp, qpc, mbw, mbh, search_range,
+                )
+                s.rbsp_trailing()
+                out += _nal(NAL_SLICE, 0, bytes(s.out))
+                recons[bd] = est.planes_u8()
+        if recon_out is not None:
+            for d in range(g0, gend):
+                recon_out.append(recons[d])
+    return bytes(out)
+
+
 def encode_h264_video(
     frames,
     qp: int = 28,
@@ -394,6 +1253,7 @@ def encode_h264_video(
     recon_out: list | None = None,
     deblock: bool = False,
     wp: tuple | None = None,
+    b_frames: int = 0,
 ) -> bytes:
     """Encoder twin for the motion-compensated tier: an Annex-B
     baseline stream of IDR pictures every `gop` frames with P
@@ -415,7 +1275,17 @@ def encode_h264_video(
     prediction (8.4.2.3) on every P slice — pred' =
     ((pred*w + 2^(lwd-1)) >> lwd) + o — the fade tool; chroma keeps
     identity weights.  The twin applies the same weighting in its
-    reconstruction loop, so the closed loop stays bit-exact."""
+    reconstruction loop, so the closed loop stays bit-exact.
+
+    `b_frames=n` switches to the B-GOP driver (_encode_bgop): closed
+    GOPs of IDR + P references every n+1 display positions with
+    non-reference B pictures between, POC type 0 / Main profile /
+    2-reference DPB, B macroblocks RD-chosen among B_Skip /
+    B_Direct_16x16 (spatial direct) / B_L0 / B_L1 / B_Bi / intra
+    fallback (_encode_b_slice_mbs).  `recon_out` then collects
+    reconstructions in DISPLAY order, matching the decoder's POC
+    re-ordered output; deblock/wp are rejected (the pure decode tier
+    refuses filtered B slices; weighting is unmodelled there)."""
     import numpy as np
 
     from finanalyzer_spark.operators.h264 import (
@@ -449,6 +1319,27 @@ def encode_h264_video(
     if gop < 2:
         raise ValueError("gop must be >= 2")
     planes, h, w = _frames_to_planes(frames, yuv)
+    if b_frames:
+        if b_frames < 0:
+            raise ValueError("b_frames must be >= 0")
+        if gop > 128:
+            raise ValueError(
+                "b_frames GOPs carry 8-bit pic_order_cnt_lsb: gop"
+                " must be <= 128"
+            )
+        if deblock:
+            raise ValueError(
+                "the pure decode tier refuses deblocking inside B"
+                " slices; b_frames streams must use deblock=False"
+            )
+        if wp is not None:
+            raise ValueError(
+                "weighted prediction is not modelled for b_frames"
+                " streams"
+            )
+        return _encode_bgop(
+            planes, qp, gop, b_frames, search_range, recon_out
+        )
     mbw, mbh = w // 16, h // 16
     qpc = chroma_qp(qp, 0)
 
@@ -460,36 +1351,6 @@ def encode_h264_video(
     out += _nal(NAL_SPS, 3, sps_rbsp)
     out += _nal(NAL_PPS, 3, pps_rbsp)
     ref = None  # (y, cb, cr) int64 reconstruction of the previous frame
-
-    def quant_luma_mb(src_mb, pred):
-        """16 per-4x4 quantised level lists + cbp_luma."""
-        resid = src_mb - pred
-        lv = []
-        cbp = 0
-        for blk in range(16):
-            bx, by = _blk_xy(blk)
-            wt = forward_transform_4x4(
-                resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-            )
-            lv.append(quant_4x4(wt, qp))
-        for q in range(4):
-            if any(any(lv[b]) for b in range(q * 4, q * 4 + 4)):
-                cbp |= 1 << q
-        return lv, cbp
-
-    def recon_luma_mb(pred, lv, cbp_luma):
-        outb = np.zeros((16, 16), dtype=np.int64)
-        for blk in range(16):
-            bx, by = _blk_xy(blk)
-            ps = pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-            if cbp_luma & (1 << (blk >> 2)):
-                res = inverse_transform_4x4(dequant_4x4(lv[blk], qp))
-            else:
-                res = 0
-            outb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = np.clip(
-                ps + res, 0, 255
-            )
-        return outb
 
     for fi, (src_y8, src_cb8, src_cr8) in enumerate(planes):
         if fi % gop == 0 or ref is None:  # IDR
@@ -536,314 +1397,10 @@ def encode_h264_video(
         if not deblock:
             s.ue(1)             # disable_deblocking_filter_idc
 
-        #: JM-style rate-distortion lambda for the SSD + lam*bits cost
-        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
-
-        def bits_of(wr):
-            return 8 * len(wr.out) + wr.nbits
-
-        def append_bits(dst, src_w):
-            """Replay one writer's bits into another (probe commit)."""
-            for byte in src_w.out:
-                dst.u(byte, 8)
-            if src_w.nbits:
-                dst.u(
-                    src_w.acc & ((1 << src_w.nbits) - 1), src_w.nbits
-                )
-
-        skip_run = 0
-        for mb in range(mbw * mbh):
-            my, mx = divmod(mb, mbw)
-            px, py = mx * 16, my * 16
-            cx, cy = mx * 8, my * 8
-            src_mb = src_y[py : py + 16, px : px + 16]
-            src_cb_mb = src_cb[cy : cy + 8, cx : cx + 8]
-            src_cr_mb = src_cr[cy : cy + 8, cx : cx + 8]
-
-            def write_inter(wr, mbt, mvpairs, lv_, cbpl, cbpc,
-                            cdc_, cac_, tc_y, tc_c):
-                """mb_type (+ sub_mb_types for P_8x8) + per-partition
-                mvds + CBP + shared CAVLC residual (7.3.5) — one
-                writer for 16x16/16x8/8x16/8x8."""
-                wr.ue(mbt)
-                if mbt == 3:  # P_8x8: four sub_mb_type codes first
-                    for _ in range(4):
-                        wr.ue(0)  # P_L0_8x8 sub-blocks
-                for pmvp, pmv in mvpairs:
-                    wr.se(pmv[0] - pmvp[0])
-                    wr.se(pmv[1] - pmvp[1])
-                cbp = cbpl | (cbpc << 4)
-                wr.ue(CODENUM_FROM_CBP_INTER[cbp])
-                if cbp:
-                    wr.se(0)  # mb_qp_delta
-                for blk in range(16):
-                    bx, by = _blk_xy(blk)
-                    gx, gy = mx * 4 + bx, my * 4 + by
-                    if cbpl & (1 << (blk >> 2)):
-                        n_c = _nc_from_grid(tc_y, gx, gy)
-                        tc_y[gy, gx] = encode_residual_block(
-                            wr, lv_[blk], n_c
-                        )
-                    else:
-                        tc_y[gy, gx] = 0
-                _write_chroma_residual(
-                    wr, tc_c, mx, my, cbpc, cdc_, cac_
-                )
-
-            # --- P_L0_16x16 candidate: motion search + residual ---
-            mvp = predict_mv(est.mvf, mx, my)
-            mv = _motion_search(
-                ref[0], src_mb, px, py, mvp, search_range
-            )
-            pred_y = mc_luma(ref[0], px, py, mv[0], mv[1])
-            if wp is not None:
-                pred_y = wp_apply(pred_y, wp[1], wp[2], wp[0])
-            lv, cbp_luma = quant_luma_mb(src_mb, pred_y)
-            pred_cb = mc_chroma(ref[1], cx, cy, mv[0], mv[1])
-            pred_cr = mc_chroma(ref[2], cx, cy, mv[0], mv[1])
-            cbp_chroma, cdc, cac, crec = _quant_chroma_resid(
-                (pred_cb, pred_cr), src_cb_mb, src_cr_mb, qpc
-            )
-            rec_y = recon_luma_mb(pred_y, lv, cbp_luma)
-            ssd_p = int(((rec_y - src_mb) ** 2).sum())
-            ssd_p += int(((crec[0] - src_cb_mb) ** 2).sum())
-            ssd_p += int(((crec[1] - src_cr_mb) ** 2).sum())
-
-            probe = _BitWriter()
-            write_inter(probe, 0, [(mvp, mv)], lv, cbp_luma,
-                        cbp_chroma, cdc, cac, est.tc_y.copy(),
-                        [g.copy() for g in est.tc_c])
-            cost_p = ssd_p + lam * bits_of(probe)
-
-            # --- partitioned candidates: 16x8 / 8x16 / P_8x8 ---
-            # later partitions' predictors depend on earlier decided
-            # MVs, probed through MvField's override before committing.
-            # Early termination (the standard encoder speedup): when
-            # the 16x16 candidate already reconstructs with SSD below
-            # the rate cost of even one extra mvd pair, no partition
-            # split can win the RD comparison — skip the probes.
-            part = None  # (cost, mbt, mvpairs, geo, lv, cbpl, cbpc,
-            #              cdc, cac, rec_y, crec)
-            shapes = () if ssd_p <= lam * 8 else (
-                (1, ((mx * 4, my * 4, 4, 2, "B"),
-                     (mx * 4, my * 4 + 2, 4, 2, "A"))),
-                (2, ((mx * 4, my * 4, 2, 4, "A"),
-                     (mx * 4 + 2, my * 4, 2, 4, "C"))),
-                # P_8x8 with four 8x8 sub-blocks (sub_mb_type 0 each;
-                # median prediction per quadrant, no directional rule)
-                (3, ((mx * 4, my * 4, 2, 2, None),
-                     (mx * 4 + 2, my * 4, 2, 2, None),
-                     (mx * 4, my * 4 + 2, 2, 2, None),
-                     (mx * 4 + 2, my * 4 + 2, 2, 2, None))),
-            )
-            for mbt, geo in shapes:
-                ov: dict = {}
-                mvpairs = []
-                pred2 = np.zeros((16, 16), dtype=np.int64)
-                pcb2 = np.zeros((8, 8), dtype=np.int64)
-                pcr2 = np.zeros((8, 8), dtype=np.int64)
-                for gx, gy, w4, h4, dirn in geo:
-                    pmvp = predict_mv_part(
-                        est.mvf, gx, gy, w4, dirn, override=ov
-                    )
-                    bw_, bh_ = w4 * 4, h4 * 4
-                    px_, py_ = gx * 4, gy * 4
-                    pmv = _motion_search(
-                        ref[0],
-                        src_y[py_ : py_ + bh_, px_ : px_ + bw_],
-                        px_, py_, pmvp, search_range,
-                        bh=bh_, bw=bw_,
-                    )
-                    for yy in range(gy, gy + h4):
-                        for xx in range(gx, gx + w4):
-                            ov[(xx, yy)] = pmv
-                    mvpairs.append((pmvp, pmv))
-                    lx, ly = px_ - px, py_ - py
-                    pred2[ly : ly + bh_, lx : lx + bw_] = mc_luma(
-                        ref[0], px_, py_, pmv[0], pmv[1],
-                        bh=bh_, bw=bw_,
-                    )
-                    pcb2[
-                        ly // 2 : ly // 2 + bh_ // 2,
-                        lx // 2 : lx // 2 + bw_ // 2,
-                    ] = mc_chroma(
-                        ref[1], px_ // 2, py_ // 2, pmv[0], pmv[1],
-                        bh=bh_ // 2, bw=bw_ // 2,
-                    )
-                    pcr2[
-                        ly // 2 : ly // 2 + bh_ // 2,
-                        lx // 2 : lx // 2 + bw_ // 2,
-                    ] = mc_chroma(
-                        ref[2], px_ // 2, py_ // 2, pmv[0], pmv[1],
-                        bh=bh_ // 2, bw=bw_ // 2,
-                    )
-                if wp is not None:
-                    pred2 = wp_apply(pred2, wp[1], wp[2], wp[0])
-                lv2, cbpl2 = quant_luma_mb(src_mb, pred2)
-                cbpc2, cdc2, cac2, crec2 = _quant_chroma_resid(
-                    (pcb2, pcr2), src_cb_mb, src_cr_mb, qpc
-                )
-                rec2 = recon_luma_mb(pred2, lv2, cbpl2)
-                ssd2 = int(((rec2 - src_mb) ** 2).sum())
-                ssd2 += int(((crec2[0] - src_cb_mb) ** 2).sum())
-                ssd2 += int(((crec2[1] - src_cr_mb) ** 2).sum())
-                probe2 = _BitWriter()
-                write_inter(probe2, mbt, mvpairs, lv2, cbpl2, cbpc2,
-                            cdc2, cac2, est.tc_y.copy(),
-                            [g.copy() for g in est.tc_c])
-                c2 = ssd2 + lam * bits_of(probe2)
-                if part is None or c2 < part[0]:
-                    part = (c2, mbt, mvpairs, geo, lv2, cbpl2, cbpc2,
-                            cdc2, cac2, rec2, crec2)
-            cost_part = part[0] if part is not None else float("inf")
-
-            # --- P_Skip candidate: skip MV, no residual, ~free bits ---
-            mv_sk = skip_mv(est.mvf, mx, my)
-            skip_y = mc_luma(ref[0], px, py, mv_sk[0], mv_sk[1])
-            if wp is not None:
-                skip_y = wp_apply(skip_y, wp[1], wp[2], wp[0])
-            skip_cb = np.clip(
-                mc_chroma(ref[1], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
-            )
-            skip_cr = np.clip(
-                mc_chroma(ref[2], cx, cy, mv_sk[0], mv_sk[1]), 0, 255
-            )
-            ssd_skip = int(((skip_y - src_mb) ** 2).sum())
-            ssd_skip += int(((skip_cb - src_cb_mb) ** 2).sum())
-            ssd_skip += int(((skip_cr - src_cr_mb) ** 2).sum())
-            cost_skip = float(ssd_skip)
-
-            # --- intra candidate: probe on the REAL state, with the
-            # macroblock-confined region saved for restore (every
-            # write of _encode_intra_mb stays inside this MB's plane/
-            # grid slices; neighbour reads are outside and untouched)
-            saved = (
-                est.y[py : py + 16, px : px + 16].copy(),
-                est.cb[cy : cy + 8, cx : cx + 8].copy(),
-                est.cr[cy : cy + 8, cx : cx + 8].copy(),
-                est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4].copy(),
-                [
-                    g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2].copy()
-                    for g in est.tc_c
-                ],
-                est.mode4[
-                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
-                ].copy(),
-                est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4].copy(),
-                (
-                    est.mvf.state[
-                        my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
-                    ].copy(),
-                    est.mvf.mvx[
-                        my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
-                    ].copy(),
-                    est.mvf.mvy[
-                        my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
-                    ].copy(),
-                ),
-            )
-
-            def restore_mb():
-                est.y[py : py + 16, px : px + 16] = saved[0]
-                est.cb[cy : cy + 8, cx : cx + 8] = saved[1]
-                est.cr[cy : cy + 8, cx : cx + 8] = saved[2]
-                est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
-                    saved[3]
-                )
-                for g, sg in zip(est.tc_c, saved[4]):
-                    g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = sg
-                est.mode4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
-                    saved[5]
-                )
-                est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = (
-                    saved[6]
-                )
-                blk4 = np.s_[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4]
-                est.mvf.state[blk4] = saved[7][0]
-                est.mvf.mvx[blk4] = saved[7][1]
-                est.mvf.mvy[blk4] = saved[7][2]
-
-            # intra probe early exit: an intra macroblock costs at
-            # least its mode/CBP syntax (~10 bits); when an inter
-            # candidate is already cheaper than that floor, skip the
-            # (expensive) full intra reconstruction probe
-            if min(cost_skip, cost_p, cost_part) <= lam * 10:
-                probe_w = None
-                cost_i = float("inf")
-            else:
-                probe_w = _BitWriter()
-                _encode_intra_mb(
-                    probe_w, est, mx, my, src_mb, src_cb_mb,
-                    src_cr_mb, qp, qpc, mb_type_offset=5,
-                )
-                ssd_i = int(
-                    ((est.y[py : py + 16, px : px + 16] - src_mb) ** 2)
-                    .sum()
-                )
-                ssd_i += int(
-                    ((est.cb[cy : cy + 8, cx : cx + 8] - src_cb_mb)
-                     ** 2).sum()
-                )
-                ssd_i += int(
-                    ((est.cr[cy : cy + 8, cx : cx + 8] - src_cr_mb)
-                     ** 2).sum()
-                )
-                cost_i = ssd_i + lam * bits_of(probe_w)
-
-            best_inter = min(cost_p, cost_part)
-            if cost_skip <= best_inter and cost_skip <= cost_i:
-                restore_mb()
-                skip_run += 1
-                est.y[py : py + 16, px : px + 16] = skip_y
-                est.cb[cy : cy + 8, cx : cx + 8] = skip_cb
-                est.cr[cy : cy + 8, cx : cx + 8] = skip_cr
-                est.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
-                for c in range(2):
-                    est.tc_c[c][
-                        my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2
-                    ] = 0
-                est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-                est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv_sk)
-                continue
-
-            s.ue(skip_run)  # mb_skip_run before every coded MB
-            skip_run = 0
-            if cost_i < best_inter:  # intra fallback (scene change etc.)
-                # the probe already committed its reconstruction and
-                # grid updates to est — just replay its bits
-                append_bits(s, probe_w)
-                continue
-
-            restore_mb()
-            if cost_part < cost_p:
-                # --- emit P_L0_L0_16x8 / 8x16 ---
-                (_c, mbt, mvpairs, geo, lv2, cbpl2, cbpc2, cdc2,
-                 cac2, rec2, crec2) = part
-                write_inter(s, mbt, mvpairs, lv2, cbpl2, cbpc2,
-                            cdc2, cac2, est.tc_y, est.tc_c)
-                est.y[py : py + 16, px : px + 16] = rec2
-                est.cb[cy : cy + 8, cx : cx + 8] = crec2[0]
-                est.cr[cy : cy + 8, cx : cx + 8] = crec2[1]
-                est.dec4[
-                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
-                ] = True
-                for (gx, gy, w4, h4, _d), (_pmvp, pmv) in zip(
-                    geo, mvpairs
-                ):
-                    est.mvf.put_inter(gy, gx, h4, w4, pmv)
-                continue
-
-            # --- emit P_L0_16x16 ---
-            write_inter(s, 0, [(mvp, mv)], lv, cbp_luma, cbp_chroma,
-                        cdc, cac, est.tc_y, est.tc_c)
-            est.y[py : py + 16, px : px + 16] = rec_y
-            est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
-            est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
-            est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-            est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
-
-        if skip_run:  # trailing skips close the slice (7.3.4)
-            s.ue(skip_run)
+        _encode_p_slice_mbs(
+            s, est, (src_y, src_cb, src_cr), ref, qp, qpc, mbw,
+            mbh, search_range, wp,
+        )
         s.rbsp_trailing()
         out += _nal(NAL_SLICE, 2, bytes(s.out))
         if deblock:

@@ -1031,3 +1031,121 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.groupBy("kind", "container", "codec").agg(
         F.count("*").alias("n_media")
     )
+
+
+@query(
+    "media_h264_bframe_decode",
+    # The Spark side runs the BI-PREDICTIVE H.264 pipeline per sampled
+    # document: a 6-frame translating scene encoded as a closed B-GOP
+    # (operators/h264_inter.encode_h264_video b_frames=1: IDR + P
+    # references with non-reference B pictures between, POC type 0,
+    # spatial direct mode) and decoded with the pure decoder, which
+    # must re-order output to display order through its POC pending
+    # buffer.  The oracle pins the invariants arithmetically: 6 frames
+    # out, exactly 2 non-reference NALs (the census also proves they
+    # decoded as B slices), decode bit-identical to the encoder's
+    # closed-loop reconstruction IN DISPLAY ORDER, and every decoded
+    # frame within the quantisation error budget of its own source
+    # frame (wrong reordering would blow the per-frame budget).
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(6 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_b_pictures,
+           TRUE AS exact_recon,
+           TRUE AS display_order_ok
+    FROM documents
+    WHERE doc_id % 29 = 5
+    """,
+    tags=("multimodal", "video", "codec"),
+)
+def media_h264_bframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-slice decode certification pass — the sampled check a
+    video-corpus pipeline runs before trusting the bi-predictive tier
+    (doc_id % 29 keeps the heavy Python codec on ~3% of documents).
+    Exercises the full round-7 B stack end-to-end: POC type 0 parse +
+    display re-ordering, the two-list DPB, spatial direct derivation
+    with the colocated-motion zero rule, B_Skip/B_Direct_16x16/
+    B_L0/L1/Bi macroblocks with default bi-prediction averaging.
+
+    Scale shape: one Arrow mapInPandas over a pushdown-filtered
+    two-column projection, repartitioned so the per-document codec
+    kernel uses every core; payload bytes never enter a shuffle."""
+    t = load(spark, sf_dir)
+    docs = (
+        t.documents.where(F.col("doc_id") % 29 == 5)
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.h264 import decode_h264_annexb, split_annexb
+        from ..operators.h264_inter import encode_h264_video
+
+        ys, xs = np.mgrid[0:32, 0:48]
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                off = int(n_chars)
+                base = ((ys * 3 + xs * 5 + off) % 256).astype(np.uint8)
+                frames = []
+                for i in range(6):
+                    frames.append(
+                        (
+                            np.roll(base, i * 2, axis=1)[:, :32].copy(),
+                            np.full((16, 16), (off * 2 + i) % 256,
+                                    np.uint8),
+                            np.full((16, 16), (off * 3 - i) % 256,
+                                    np.uint8),
+                        )
+                    )
+                recon: list = []
+                stream = encode_h264_video(
+                    frames, qp=26, gop=6, yuv=True, search_range=2,
+                    recon_out=recon, b_frames=1,
+                )
+                counts: list = []
+                decoded = list(
+                    decode_h264_annexb(stream, yuv=True,
+                                       counts_out=counts)
+                )
+                exact = all(
+                    np.array_equal(g, x)
+                    for (_fn, got), want in zip(decoded, recon)
+                    for g, x in zip(got, want)
+                )
+                n_nonref = sum(
+                    1 for t_, r_, _ in split_annexb(stream)
+                    if t_ == 1 and r_ == 0
+                )
+                n_b = sum(1 for c in counts if c["kind"] == "B")
+                order_ok = len(decoded) == 6 and all(
+                    float(np.abs(got[0].astype(int)
+                                 - frames[i][0].astype(int)).mean())
+                    <= 4.0
+                    for i, (_fn, got) in enumerate(decoded)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(decoded),
+                        min(n_b, n_nonref),
+                        bool(exact),
+                        bool(order_ok),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_b_pictures",
+                    "exact_recon", "display_order_ok",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="media_id long, n_frames long, n_b_pictures long,"
+        " exact_recon boolean, display_order_ok boolean",
+    )

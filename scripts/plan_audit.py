@@ -472,6 +472,13 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["MapInPandas", "Exchange"],
         "must_not": ["Join", "BatchEvalPython"],
     },
+    "media_h264_bframe_decode": {
+        # bi-predictive certification: same Arrow-kernel shape over
+        # the doc_id % 29 sample; codec cost lives in the kernel,
+        # never in a shuffle
+        "must": ["MapInPandas", "Exchange"],
+        "must_not": ["Join", "BatchEvalPython"],
+    },
     "tfidf_top_terms": {
         # codegen'd explode (Generate), bounded top-k; the corpus-size
         # scalar rides a 1-row broadcast NL join (the right plan for a

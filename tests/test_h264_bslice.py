@@ -1,0 +1,293 @@
+"""B-slice tier tests: spatial direct derivation, bi-prediction,
+POC-ordered output, closed-loop encode/decode equality, macroblock
+census behaviour, and the exact-or-refuse boundaries.
+
+Mirrors the validation strategy of tests/test_h264_inter.py (the P
+tier): decode == encoder reconstruction bit-for-bit through the same
+MC path; scene-shaped censuses (static → B_Skip, translation →
+motion-compensated types); hand-written streams for the refusal
+paths the twin never emits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from finanalyzer_spark.operators.h264 import (
+    _BitWriter,
+    _nal,
+    decode_h264_annexb,
+    split_annexb,
+    write_sps_pps,
+)
+from finanalyzer_spark.operators.h264_inter import (
+    MvField,
+    bi_average,
+    encode_h264_video,
+    spatial_direct,
+)
+
+YS, XS = np.mgrid[0:32, 0:48]
+BASE = ((YS * 3 + XS * 5) % 256).astype(np.uint8)
+
+
+def _frame(i: int, roll: int):
+    return (
+        np.roll(BASE, roll, axis=1)[:, :32].copy(),
+        np.full((16, 16), (40 + i) % 256, np.uint8),
+        np.full((16, 16), (90 - i) % 256, np.uint8),
+    )
+
+
+def _closed_loop(frames, **kw):
+    recon: list = []
+    stream = encode_h264_video(
+        frames, yuv=True, recon_out=recon, **kw
+    )
+    counts: list = []
+    decoded = list(decode_h264_annexb(stream, yuv=True, counts_out=counts))
+    assert len(decoded) == len(frames) == len(recon)
+    for (_fn, got), want in zip(decoded, recon):
+        for g, x in zip(got, want):
+            assert np.array_equal(g, x)
+    return stream, decoded, counts
+
+
+@pytest.mark.parametrize("qp", [20, 26, 32])
+def test_bgop_decode_equals_encoder_reconstruction(qp):
+    frames = [_frame(i, i * 2) for i in range(6)]
+    stream, _dec, counts = _closed_loop(
+        frames, qp=qp, gop=6, search_range=2, b_frames=1
+    )
+    kinds = [c["kind"] for c in counts]
+    assert kinds == ["I", "P", "B", "P", "B", "P"]
+    # B NALs are non-reference (nal_ref_idc 0)
+    idcs = [r for t, r, _ in split_annexb(stream) if t == 1]
+    assert 0 in idcs and 2 in idcs
+
+
+def test_two_b_frames_between_references():
+    frames = [_frame(i, i) for i in range(7)]
+    _stream, _dec, counts = _closed_loop(
+        frames, qp=30, gop=7, search_range=2, b_frames=2
+    )
+    assert [c["kind"] for c in counts] == ["I", "P", "B", "B", "P", "B", "B"]
+
+
+def test_static_scene_collapses_to_b_skip():
+    frames = [_frame(0, 0) for _ in range(6)]
+    stream, _dec, counts = _closed_loop(
+        frames, qp=26, gop=6, search_range=2, b_frames=1
+    )
+    for c in counts:
+        if c["kind"] == "B":
+            assert c.get("bskip", 0) == 4, c  # every MB skipped
+    # a static 2-MB B picture is a skip run: a handful of bytes
+    assert len(stream) < 600
+
+
+def test_display_order_reconstruction_tracks_sources():
+    # distinct per-frame content: if POC reordering were wrong the
+    # decoded sequence would mismatch the source sequence badly
+    frames = [_frame(i, i * 4) for i in range(6)]
+    _stream, decoded, _counts = _closed_loop(
+        frames, qp=20, gop=6, search_range=4, b_frames=1
+    )
+    for i, (_fn, (y, _cb, _cr)) in enumerate(decoded):
+        err = float(np.abs(y.astype(int) - frames[i][0].astype(int)).mean())
+        assert err < 4.0, (i, err)
+    assert [fn for fn, _ in decoded] == list(range(6))
+
+
+def test_multiple_gops_with_b_frames():
+    frames = [_frame(i, i * 2) for i in range(8)]
+    _stream, _dec, counts = _closed_loop(
+        frames, qp=26, gop=4, search_range=2, b_frames=1
+    )
+    assert [c["kind"] for c in counts] == [
+        "I", "P", "B", "P", "I", "P", "B", "P",
+    ]
+
+
+def test_mixed_scene_uses_direct_and_varied_types():
+    # left half static, right half translating: direct-mode MVs and
+    # colZeroFlag vary across the picture, exercising per-block
+    # spatial-direct prediction alongside searched B types
+    frames = []
+    for i in range(6):
+        y = BASE[:, :32].copy()
+        y[:, 16:] = np.roll(BASE, i * 3, axis=1)[:, 16:32]
+        frames.append((
+            y,
+            np.full((16, 16), 60, np.uint8),
+            np.full((16, 16), 70, np.uint8),
+        ))
+    _stream, _dec, counts = _closed_loop(
+        frames, qp=28, gop=6, search_range=3, b_frames=1
+    )
+    btypes: dict = {}
+    for c in counts:
+        if c["kind"] == "B":
+            for k, v in c.items():
+                if k != "kind":
+                    btypes[k] = btypes.get(k, 0) + v
+    # the skip/direct family must carry the static half
+    assert btypes.get("bskip", 0) + btypes.get("bdirect", 0) > 0, btypes
+
+
+def test_bi_average_is_spec_rounding():
+    a = np.array([[0, 1], [254, 255]], dtype=np.int64)
+    b = np.array([[1, 2], [255, 255]], dtype=np.int64)
+    assert np.array_equal(
+        bi_average(a, b), np.array([[1, 2], [255, 255]], dtype=np.int64)
+    )
+
+
+def test_spatial_direct_zero_prediction_and_colzero():
+    f0, f1 = MvField(2, 2), MvField(2, 2)
+    col = {
+        "state": np.full((8, 8), MvField.INTER, np.uint8),
+        "mvx": np.zeros((8, 8), np.int64),
+        "mvy": np.zeros((8, 8), np.int64),
+    }
+    # no neighbours decoded at all → directZeroPrediction: both lists,
+    # zero MVs everywhere
+    use0, use1, mv0, mv1 = spatial_direct(f0, f1, col, 0, 0, True)
+    assert use0 and use1
+    assert all(mv == (0, 0) for row in mv0 for mv in row)
+    assert all(mv == (0, 0) for row in mv1 for mv in row)
+
+    # left neighbour uses L0 with a large MV; colocated still (|mv|<=1)
+    # → list 0 participates and every block zeroes via colZeroFlag
+    f0b, f1b = MvField(2, 2), MvField(2, 2)
+    f0b.put_inter(4, 0, 4, 4, (12, -8))   # MB (0,1)'s row: below? no —
+    f1b.put_intra(4, 0, 4, 4)
+    use0, use1, mv0, mv1 = spatial_direct(f0b, f1b, col, 1, 1, True)
+    assert use0 and not use1
+    assert all(mv == (0, 0) for row in mv0 for mv in row)
+
+    # colocated MOVING (|mv|>1) → blocks keep the median predictor
+    colm = {
+        "state": np.full((8, 8), MvField.INTER, np.uint8),
+        "mvx": np.full((8, 8), 8, np.int64),
+        "mvy": np.zeros((8, 8), np.int64),
+    }
+    use0, use1, mv0, _mv1 = spatial_direct(f0b, f1b, colm, 1, 1, True)
+    assert use0 and not use1
+    assert all(mv == (12, -8) for row in mv0 for mv in row)
+
+
+def _bstream_prefix(n_static: int = 3):
+    """SPS/PPS/IDR/P prefix of a poc-type-0 B-capable stream, plus the
+    (mbw, mbh) geometry — refusal tests append a doctored B NAL."""
+    frames = [_frame(0, 0) for _ in range(n_static)]
+    stream = encode_h264_video(
+        frames, qp=26, gop=n_static, yuv=True, b_frames=1
+    )
+    nals = stream.split(b"\x00\x00\x00\x01")
+    # keep SPS, PPS, IDR, first P (drop the trailing B NAL)
+    kept = [n for n in nals if n][:4]
+    return b"".join(b"\x00\x00\x00\x01" + n for n in kept)
+
+
+def _b_header(direct: int = 1, idc: int = 1):
+    s = _BitWriter()
+    s.ue(0)        # first_mb_in_slice
+    s.ue(6)        # slice_type: B
+    s.ue(0)        # pps_id
+    s.u(2, 8)      # frame_num
+    s.u(2, 8)      # pic_order_cnt_lsb (between the two references)
+    s.u(direct, 1)  # direct_spatial_mv_pred_flag
+    s.u(0, 1)      # num_ref_idx_active_override_flag
+    s.u(0, 1)      # ref_pic_list_modification_flag_l0
+    s.u(0, 1)      # ref_pic_list_modification_flag_l1
+    s.se(0)        # slice_qp_delta
+    s.ue(idc)      # disable_deblocking_filter_idc
+    if idc != 1:
+        s.se(0)    # slice_alpha_c0_offset_div2
+        s.se(0)    # slice_beta_offset_div2
+    return s
+
+
+def test_temporal_direct_refused():
+    s = _b_header(direct=0)
+    s.rbsp_trailing()
+    stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
+    with pytest.raises(NotImplementedError, match="temporal direct"):
+        list(decode_h264_annexb(stream, yuv=True))
+
+
+def test_b_slice_deblocking_refused():
+    s = _b_header(idc=0)
+    s.rbsp_trailing()
+    stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
+    with pytest.raises(NotImplementedError, match="deblocking inside B"):
+        list(decode_h264_annexb(stream, yuv=True))
+
+
+def test_b_partition_shapes_refused():
+    s = _b_header()
+    s.ue(0)   # mb_skip_run
+    s.ue(4)   # mb_type: B_L0_L0_16x8 — outside the 16x16 tier
+    s.rbsp_trailing()
+    stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
+    with pytest.raises(NotImplementedError, match="B macroblock partition"):
+        list(decode_h264_annexb(stream, yuv=True))
+
+
+def test_b_without_future_reference_refused():
+    # B whose POC lies AFTER every reference: no backward reference
+    s = _BitWriter()
+    s.ue(0)
+    s.ue(6)
+    s.ue(0)
+    s.u(2, 8)
+    s.u(200, 8)   # poc beyond both references
+    s.rbsp_trailing()
+    stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
+    with pytest.raises(ValueError, match="both temporal references"):
+        list(decode_h264_annexb(stream, yuv=True))
+
+
+def test_b_stream_is_main_profile_with_poc0():
+    from finanalyzer_spark.operators.h264 import parse_sps
+
+    frames = [_frame(i, i) for i in range(4)]
+    stream = encode_h264_video(frames, qp=26, gop=4, yuv=True, b_frames=1)
+    for t, _r, rbsp in split_annexb(stream):
+        if t == 7:
+            sps = parse_sps(rbsp)
+            assert sps["profile_idc"] == 77
+            assert sps["poc_type"] == 0
+            assert sps["num_ref_frames"] == 2
+            break
+    else:
+        pytest.fail("no SPS")
+
+
+def test_encoder_b_frames_validation():
+    frames = [_frame(i, 0) for i in range(4)]
+    with pytest.raises(ValueError, match="deblock=False"):
+        encode_h264_video(frames, yuv=True, b_frames=1, deblock=True)
+    with pytest.raises(ValueError, match="weighted prediction"):
+        encode_h264_video(frames, yuv=True, b_frames=1, wp=(1, 3, 2))
+    with pytest.raises(ValueError, match="gop"):
+        encode_h264_video(frames, yuv=True, b_frames=1, gop=256)
+
+
+def test_poc_type0_p_only_stream_still_decodes_in_order():
+    # the reorder buffer must be a no-op for streams without B frames
+    # even under POC type 0 (poc == decode order)
+    frames = [_frame(i, i) for i in range(4)]
+    recon: list = []
+    stream = encode_h264_video(
+        frames, qp=26, gop=2, yuv=True, recon_out=recon, b_frames=1
+    )
+    # gop=2 with b_frames=1 yields ref pairs only (no room for a B):
+    counts: list = []
+    decoded = list(decode_h264_annexb(stream, yuv=True, counts_out=counts))
+    assert [c["kind"] for c in counts] == ["I", "P", "I", "P"]
+    for (_fn, got), want in zip(decoded, recon):
+        for g, x in zip(got, want):
+            assert np.array_equal(g, x)
