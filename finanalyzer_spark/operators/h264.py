@@ -30,11 +30,13 @@ operators/multimodal.py:
   macroblocks cover every partition shape — 16x16, 16x8 / 8x16
   (directional predictors over the 4x4-granularity MV field), and
   P_8x8 sub-partitions down to 4x4 — plus explicit weighted
-  prediction (8.4.2.3, the fade tool).  B slices decode in their
-  16x16 tier (B_Skip / B_Direct_16x16 spatial direct / B_L0 / B_L1
-  / B_Bi with default bi-prediction) over one reference per list,
-  with POC type 0 output re-ordering to display order; CABAC,
-  multi-ref, temporal direct, B partition shapes and B-slice
+  prediction (8.4.2.3, the fade tool).  B slices decode with EVERY
+  Table 7-14/7-18 macroblock shape — B_Skip / B_Direct_16x16
+  (spatial direct), B_L0/L1/Bi 16x16, all two-partition 16x8 / 8x16
+  list combinations, and B_8x8 sub-partitions down to 4x4 incl.
+  B_Direct_8x8 — over one reference per list with default
+  bi-prediction averaging and POC type 0 output re-ordering to
+  display order; CABAC, multi-ref, temporal direct and B-slice
   deblocking raise NotImplementedError naming the PyAV tier:
   exact-or-refuse.
 
@@ -508,8 +510,9 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     intra-coded (I_PCM, CAVLC I_4x4/I_16x16 — any mix), P slices
     with any partition shape (P_Skip / 16x16 / 16x8 / 8x16 / P_8x8
     sub-partitions down to 4x4) over a single reference, or B slices
-    (B_Skip / B_Direct_16x16 / B_L0/L1/Bi 16x16, spatial direct mode)
-    over one reference per list — with the §8.7 in-loop deblocking
+    with every Table 7-14/7-18 macroblock shape (B_Skip / direct via
+    spatial direct mode, 16x16 / 16x8 / 8x16 / B_8x8 sub-partitions
+    in every L0/L1/Bi combination) over one reference per list — with the §8.7 in-loop deblocking
     filter applied per picture unless the slice header disables it
     (alpha/beta offsets honoured) and explicit weighted prediction
     when the PPS enables it.  Yields (frame_no, (h, w, 3) uint8 RGB)
@@ -518,10 +521,9 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     and the decoder re-orders output through a bounded pending buffer
     (bumping depth 1 — one B layer, the GOP shapes the twin emits and
     the common IBP web-encode shape).  CABAC, multi-ref, temporal
-    direct, B partition shapes and B-slice deblocking raise
-    NotImplementedError naming the PyAV tier (exact-or-refuse; see
-    the module docstrings here, in h264_cavlc, h264_inter and
-    h264_deblock)."""
+    direct and B-slice deblocking raise NotImplementedError naming
+    the PyAV tier (exact-or-refuse; see the module docstrings here,
+    in h264_cavlc, h264_inter and h264_deblock)."""
     import numpy as np
 
     sps = pps = None

@@ -1613,6 +1613,215 @@ def _decode_b_mb(r, st, mx: int, my: int, refs, mb_type: int, counts):
     )
 
 
+#: Table 7-14 two-partition B macroblocks: mb_type → (pred mode of
+#: partition 0, of partition 1, geometry: 1 = 16x8, 2 = 8x16)
+_B_PART_MODES = {
+    4: ("L0", "L0", 1), 5: ("L0", "L0", 2),
+    6: ("L1", "L1", 1), 7: ("L1", "L1", 2),
+    8: ("L0", "L1", 1), 9: ("L0", "L1", 2),
+    10: ("L1", "L0", 1), 11: ("L1", "L0", 2),
+    12: ("L0", "Bi", 1), 13: ("L0", "Bi", 2),
+    14: ("L1", "Bi", 1), 15: ("L1", "Bi", 2),
+    16: ("Bi", "L0", 1), 17: ("Bi", "L0", 2),
+    18: ("Bi", "L1", 1), 19: ("Bi", "L1", 2),
+    20: ("Bi", "Bi", 1), 21: ("Bi", "Bi", 2),
+}
+
+#: Table 7-18 B sub_mb_type → (pred mode, sub-partition width4, height4)
+_B_SUB_MODES = {
+    0: ("direct", 2, 2),
+    1: ("L0", 2, 2), 2: ("L1", 2, 2), 3: ("Bi", 2, 2),
+    4: ("L0", 2, 1), 5: ("L0", 1, 2),
+    6: ("L1", 2, 1), 7: ("L1", 1, 2),
+    8: ("Bi", 2, 1), 9: ("Bi", 1, 2),
+    10: ("L0", 1, 1), 11: ("L1", 1, 1), 12: ("Bi", 1, 1),
+}
+
+
+def _b_paint_part(pred, refs2, gx, gy, w4, h4, mx, my, mv0, mv1):
+    """Motion-compensate one B partition at arbitrary geometry from
+    either or both lists (bi → default average) and paste it into
+    the macroblock-local prediction planes."""
+    from .h264_inter import bi_average, mc_chroma, mc_luma
+
+    ref0, ref1 = refs2
+    px, py = gx * 4, gy * 4
+    lx, ly = px - mx * 16, py - my * 16
+    bw, bh = w4 * 4, h4 * 4
+    parts = []
+    for mv, ref in ((mv0, ref0), (mv1, ref1)):
+        if mv is None:
+            continue
+        parts.append((
+            mc_luma(ref[0], px, py, mv[0], mv[1], bh=bh, bw=bw),
+            mc_chroma(ref[1], px // 2, py // 2, mv[0], mv[1],
+                      bh=bh // 2, bw=bw // 2),
+            mc_chroma(ref[2], px // 2, py // 2, mv[0], mv[1],
+                      bh=bh // 2, bw=bw // 2),
+        ))
+    if len(parts) == 2:
+        blk = tuple(bi_average(a, b) for a, b in zip(parts[0], parts[1]))
+    else:
+        blk = parts[0]
+    pred[0][ly : ly + bh, lx : lx + bw] = blk[0]
+    pred[1][ly // 2 : ly // 2 + bh // 2,
+            lx // 2 : lx // 2 + bw // 2] = blk[1]
+    pred[2][ly // 2 : ly // 2 + bh // 2,
+            lx // 2 : lx // 2 + bw // 2] = blk[2]
+
+
+def _decode_b_part_mb(r, st, mx: int, my: int, refs, mb_type: int,
+                      counts):
+    """Parse + reconstruct one two-partition B macroblock (Table 7-14
+    mb_type 4..21: 16x8 / 8x16 with every L0/L1/Bi combination).
+    Parse order per 7.3.5.1: all mvd_l0 pairs (partition order) first,
+    then all mvd_l1 pairs; derivation is partition-sequential per list
+    with the 8.4.1.3 directional rules at this geometry."""
+    import numpy as np
+
+    from .h264_inter import predict_mv_part
+
+    ref0, ref1, _col = refs
+    m0, m1, geo = _B_PART_MODES[mb_type]
+    modes = (m0, m1)
+    _bump(counts, "bpart")
+    gx0, gy0 = mx * 4, my * 4
+    if geo == 1:  # 16x8: top then bottom
+        parts = ((gx0, gy0, 4, 2, "B"), (gx0, gy0 + 2, 4, 2, "A"))
+    else:  # 8x16: left then right
+        parts = ((gx0, gy0, 2, 4, "A"), (gx0 + 2, gy0, 2, 4, "C"))
+    mvd0 = {
+        i: (r.se(), r.se())
+        for i in range(2) if modes[i] in ("L0", "Bi")
+    }
+    mvd1 = {
+        i: (r.se(), r.se())
+        for i in range(2) if modes[i] in ("L1", "Bi")
+    }
+    pred = (
+        np.zeros((16, 16), dtype=np.int64),
+        np.zeros((8, 8), dtype=np.int64),
+        np.zeros((8, 8), dtype=np.int64),
+    )
+    for i, (gx, gy, w4, h4, dirn) in enumerate(parts):
+        mv0 = mv1 = None
+        if i in mvd0:
+            mvp = predict_mv_part(st.mvf, gx, gy, w4, dirn)
+            mv0 = (mvp[0] + mvd0[i][0], mvp[1] + mvd0[i][1])
+            st.mvf.put_inter(gy, gx, h4, w4, mv0)
+        else:
+            st.mvf.put_intra(gy, gx, h4, w4)
+        if i in mvd1:
+            mvp = predict_mv_part(st.mvf1, gx, gy, w4, dirn)
+            mv1 = (mvp[0] + mvd1[i][0], mvp[1] + mvd1[i][1])
+            st.mvf1.put_inter(gy, gx, h4, w4, mv1)
+        else:
+            st.mvf1.put_intra(gy, gx, h4, w4)
+        _b_paint_part(pred, (ref0, ref1), gx, gy, w4, h4, mx, my,
+                      mv0, mv1)
+    lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma = _read_inter_residual(
+        r, st, mx, my
+    )
+    _recon_inter_mb(
+        st, mx, my, pred[0], pred[1], pred[2],
+        lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma,
+    )
+
+
+def _decode_b8x8_mb(r, st, mx: int, my: int, refs, counts):
+    """Parse + reconstruct one B_8x8 macroblock (Table 7-18 sub
+    types: B_Direct_8x8 and L0/L1/Bi at 8x8 / 8x4 / 4x8 / 4x4).
+    Parse order per 7.3.5.2: four sub_mb_type codes, then all mvd_l0
+    pairs (sub-partition raster order across the quadrants), then all
+    mvd_l1 pairs.  Direct quadrants take the MACROBLOCK-level spatial
+    direct derivation (8.4.1.2.2 — its refIdx/median inputs are the
+    MB neighbours, all outside this MB, so deriving once up front is
+    exact); coded sub-partitions use the 8.4.1.3.1 median at their
+    own geometry, sequential within the MB."""
+    import numpy as np
+
+    from .h264_inter import predict_mv_part, spatial_direct
+
+    ref0, ref1, col = refs
+    _bump(counts, "b8x8")
+    subs = []
+    for _ in range(4):
+        smt = r.ue()
+        if smt > 12:
+            raise ValueError(f"invalid B sub_mb_type {smt}")
+        subs.append(smt)
+    gx0, gy0 = mx * 4, my * 4
+    direct = None
+    if any(s == 0 for s in subs):
+        direct = spatial_direct(
+            st.mvf, st.mvf1, col, mx, my, st.inference8x8
+        )
+    # sub-partition geometry in parse order
+    order = []
+    for part in range(4):
+        mode, w4, h4 = _B_SUB_MODES[subs[part]]
+        qx, qy = gx0 + (part & 1) * 2, gy0 + (part >> 1) * 2
+        for sy in range(0, 2, h4):
+            for sx in range(0, 2, w4):
+                order.append((qx + sx, qy + sy, w4, h4, mode))
+    mvd0 = {
+        i: (r.se(), r.se())
+        for i, (_gx, _gy, _w, _h, m) in enumerate(order)
+        if m in ("L0", "Bi")
+    }
+    mvd1 = {
+        i: (r.se(), r.se())
+        for i, (_gx, _gy, _w, _h, m) in enumerate(order)
+        if m in ("L1", "Bi")
+    }
+    pred = (
+        np.zeros((16, 16), dtype=np.int64),
+        np.zeros((8, 8), dtype=np.int64),
+        np.zeros((8, 8), dtype=np.int64),
+    )
+    for i, (gx, gy, w4, h4, mode) in enumerate(order):
+        if mode == "direct":
+            use0, use1, mv0s, mv1s = direct
+            for by in range(gy - gy0, gy - gy0 + h4):
+                for bx in range(gx - gx0, gx - gx0 + w4):
+                    bgx, bgy = gx0 + bx, gy0 + by
+                    mv0 = mv0s[by][bx] if use0 else None
+                    mv1 = mv1s[by][bx] if use1 else None
+                    if use0:
+                        st.mvf.put_inter(bgy, bgx, 1, 1, mv0)
+                    else:
+                        st.mvf.put_intra(bgy, bgx, 1, 1)
+                    if use1:
+                        st.mvf1.put_inter(bgy, bgx, 1, 1, mv1)
+                    else:
+                        st.mvf1.put_intra(bgy, bgx, 1, 1)
+                    _b_paint_part(pred, (ref0, ref1), bgx, bgy, 1, 1,
+                                  mx, my, mv0, mv1)
+            continue
+        mv0 = mv1 = None
+        if i in mvd0:
+            mvp = predict_mv_part(st.mvf, gx, gy, w4)
+            mv0 = (mvp[0] + mvd0[i][0], mvp[1] + mvd0[i][1])
+            st.mvf.put_inter(gy, gx, h4, w4, mv0)
+        else:
+            st.mvf.put_intra(gy, gx, h4, w4)
+        if i in mvd1:
+            mvp = predict_mv_part(st.mvf1, gx, gy, w4)
+            mv1 = (mvp[0] + mvd1[i][0], mvp[1] + mvd1[i][1])
+            st.mvf1.put_inter(gy, gx, h4, w4, mv1)
+        else:
+            st.mvf1.put_intra(gy, gx, h4, w4)
+        _b_paint_part(pred, (ref0, ref1), gx, gy, w4, h4, mx, my,
+                      mv0, mv1)
+    lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma = _read_inter_residual(
+        r, st, mx, my
+    )
+    _recon_inter_mb(
+        st, mx, my, pred[0], pred[1], pred[2],
+        lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma,
+    )
+
+
 def decode_slice(
     r,
     sps: dict,
@@ -1701,12 +1910,16 @@ def decode_slice(
                 _decode_b_mb(r, st, mx, my, refs_b, mb_type, counts)
                 mb += 1
                 continue
-            if mb_type < B_INTRA_OFFSET:
-                # Table 7-14 partition shapes (16x8/8x16 list combos,
-                # B_8x8 sub-partitions)
-                raise NotImplementedError(
-                    "B macroblock partition shapes need the PyAV tier"
+            if mb_type <= 21:  # two-partition shapes (Table 7-14)
+                _decode_b_part_mb(
+                    r, st, mx, my, refs_b, mb_type, counts
                 )
+                mb += 1
+                continue
+            if mb_type == 22:  # B_8x8 sub-partitions (Table 7-18)
+                _decode_b8x8_mb(r, st, mx, my, refs_b, counts)
+                mb += 1
+                continue
             # intra mb_type offset in B slices (7.4.5)
             mb_type -= B_INTRA_OFFSET
         _decode_intra_mb(r, st, mx, my, mb_type, counts)

@@ -19,14 +19,15 @@ P_L0_16x16, the two-partition shapes P_L0_L0_16x8 / 8x16
 MvField), P_8x8 sub-partitions down to 4x4 (median prediction per
 sub-partition), P_Skip, and intra macroblocks — with explicit
 weighted prediction (8.4.2.3) when the PPS enables it.  B slices
-decode in their 16x16 tier: B_Skip and B_Direct_16x16 through
-spatial direct mode (8.4.1.2.2, incl. the colocated-motion zero
-rule over the stored list-1 reference motion field), B_L0/L1/Bi
-16x16 with per-list median prediction and default bi-prediction
-averaging (8.4.2.3.1), POC-ordered display output.  Multiple
-reference frames, reference list modification, temporal direct,
-B partition shapes and B-slice deblocking raise
-NotImplementedError naming the PyAV tier.
+decode with EVERY Table 7-14/7-18 shape: B_Skip and B_Direct_16x16
+through spatial direct mode (8.4.1.2.2, incl. the colocated-motion
+zero rule over the stored list-1 reference motion field and
+B_Direct_8x8), B_L0/L1/Bi at 16x16, both two-partition geometries
+in every list combination, and B_8x8 sub-partitions down to 4x4 —
+per-list median prediction and default bi-prediction averaging
+(8.4.2.3.1), POC-ordered display output.  Multiple reference
+frames, reference list modification, temporal direct and B-slice
+deblocking raise NotImplementedError naming the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
 * the 6-tap half-pel filter is pinned against hand-computed vectors;

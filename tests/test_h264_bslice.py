@@ -191,13 +191,13 @@ def _bstream_prefix(n_static: int = 3):
     return b"".join(b"\x00\x00\x00\x01" + n for n in kept)
 
 
-def _b_header(direct: int = 1, idc: int = 1):
+def _b_header(direct: int = 1, idc: int = 1, poc: int = 2):
     s = _BitWriter()
     s.ue(0)        # first_mb_in_slice
     s.ue(6)        # slice_type: B
     s.ue(0)        # pps_id
     s.u(2, 8)      # frame_num
-    s.u(2, 8)      # pic_order_cnt_lsb (between the two references)
+    s.u(poc, 8)    # pic_order_cnt_lsb (between the two references)
     s.u(direct, 1)  # direct_spatial_mv_pred_flag
     s.u(0, 1)      # num_ref_idx_active_override_flag
     s.u(0, 1)      # ref_pic_list_modification_flag_l0
@@ -223,16 +223,6 @@ def test_b_slice_deblocking_refused():
     s.rbsp_trailing()
     stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
     with pytest.raises(NotImplementedError, match="deblocking inside B"):
-        list(decode_h264_annexb(stream, yuv=True))
-
-
-def test_b_partition_shapes_refused():
-    s = _b_header()
-    s.ue(0)   # mb_skip_run
-    s.ue(4)   # mb_type: B_L0_L0_16x8 — outside the 16x16 tier
-    s.rbsp_trailing()
-    stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
-    with pytest.raises(NotImplementedError, match="B macroblock partition"):
         list(decode_h264_annexb(stream, yuv=True))
 
 
@@ -291,3 +281,195 @@ def test_poc_type0_p_only_stream_still_decodes_in_order():
     for (_fn, got), want in zip(decoded, recon):
         for g, x in zip(got, want):
             assert np.array_equal(g, x)
+
+
+def test_b_partition_shapes_handcrafted_stream_decodes():
+    """Table 7-14/7-18 coverage: a hand-written B slice exercises a
+    two-partition 16x8 with mixed lists (B_L0_L1_16x8), a bi-bi 8x16
+    (B_Bi_Bi_8x16), a B_8x8 with direct / Bi_8x8 / Bi_8x4 / L1_4x4
+    quadrants, and a trailing B_Skip — parse order per 7.3.5.1/2
+    (all mvd_l0 pairs before all mvd_l1 pairs).  The decoded picture
+    is verified against a test-side reconstruction assembled from the
+    unit-tested MC / prediction / direct-mode primitives."""
+    from finanalyzer_spark.operators.h264_inter import (
+        mc_chroma,
+        mc_luma,
+        predict_mv_part,
+    )
+
+    # static 2-frame prefix: refs at POC 0 and 2; the P reference is
+    # all P_Skip, so the colocated motion is inter with zero MVs
+    frames = [_frame(0, 0), _frame(0, 0)]
+    prefix = encode_h264_video(frames, qp=26, gop=2, yuv=True, b_frames=1)
+    decoded_refs = list(decode_h264_annexb(prefix, yuv=True))
+    ref0 = tuple(p.astype(np.int64) for p in decoded_refs[0][1])
+    ref1 = tuple(p.astype(np.int64) for p in decoded_refs[1][1])
+    col = {
+        "state": np.full((8, 8), MvField.INTER, np.uint8),
+        "mvx": np.zeros((8, 8), np.int64),
+        "mvy": np.zeros((8, 8), np.int64),
+    }
+
+    s = _b_header(poc=1)
+    # --- MB 0: B_L0_L1_16x8 (top L0, bottom L1) ---
+    s.ue(0)   # mb_skip_run
+    s.ue(8)   # mb_type
+    mvd_mb0_l0, mvd_mb0_l1 = (6, -2), (-4, 2)
+    for dx, dy in (mvd_mb0_l0, mvd_mb0_l1):
+        s.se(dx)
+        s.se(dy)
+    s.ue(0)   # cbp 0
+    # --- MB 1: B_Bi_Bi_8x16 ---
+    s.ue(0)
+    s.ue(21)
+    mvd_mb1_l0 = [(2, 2), (0, -4)]
+    mvd_mb1_l1 = [(-2, 0), (4, 4)]
+    for dx, dy in mvd_mb1_l0 + mvd_mb1_l1:
+        s.se(dx)
+        s.se(dy)
+    s.ue(0)
+    # --- MB 2: B_8x8, quadrants direct / Bi_8x8 / Bi_8x4 / L1_4x4 ---
+    s.ue(0)
+    s.ue(22)
+    for smt in (0, 3, 8, 11):
+        s.ue(smt)
+    mvd_mb2_l0 = [(4, 0), (0, 2), (-2, 2)]           # Bi8x8, Bi8x4 x2
+    mvd_mb2_l1 = [(2, -2), (0, 4), (4, 2),           # Bi8x8, Bi8x4 x2
+                  (1, 1), (-1, 1), (1, -1), (2, 0)]  # L1_4x4 x4
+    for dx, dy in mvd_mb2_l0 + mvd_mb2_l1:
+        s.se(dx)
+        s.se(dy)
+    s.ue(0)
+    # --- MB 3: trailing B_Skip run ---
+    s.ue(1)
+    s.rbsp_trailing()
+    stream = _bstream_prefix(2) + _nal(1, 0, bytes(s.out))
+
+    counts: list = []
+    decoded = list(decode_h264_annexb(stream, yuv=True,
+                                      counts_out=counts))
+    assert [c["kind"] for c in counts] == ["I", "P", "B"]
+    bcounts = counts[-1]
+    assert bcounts.get("bpart") == 2
+    assert bcounts.get("b8x8") == 1
+    assert bcounts.get("bskip") == 1
+    got_y, got_cb, got_cr = decoded[1][1]  # POC 1 sits between the refs
+
+    # ---- test-side expected reconstruction ----
+    f0, f1 = MvField(2, 2), MvField(2, 2)
+    exp_y = np.zeros((32, 32), np.int64)
+    exp_cb = np.zeros((16, 16), np.int64)
+    exp_cr = np.zeros((16, 16), np.int64)
+
+    def paint(gx, gy, w4, h4, mv0, mv1):
+        bw, bh = w4 * 4, h4 * 4
+        px, py = gx * 4, gy * 4
+        parts = []
+        for mv, ref in ((mv0, ref0), (mv1, ref1)):
+            if mv is None:
+                continue
+            parts.append((
+                mc_luma(ref[0], px, py, mv[0], mv[1], bh=bh, bw=bw),
+                mc_chroma(ref[1], px // 2, py // 2, mv[0], mv[1],
+                          bh=bh // 2, bw=bw // 2),
+                mc_chroma(ref[2], px // 2, py // 2, mv[0], mv[1],
+                          bh=bh // 2, bw=bw // 2),
+            ))
+        blk = (
+            tuple(bi_average(a, b) for a, b in zip(parts[0], parts[1]))
+            if len(parts) == 2 else parts[0]
+        )
+        exp_y[py : py + bh, px : px + bw] = np.clip(blk[0], 0, 255)
+        exp_cb[py // 2 : py // 2 + bh // 2,
+               px // 2 : px // 2 + bw // 2] = np.clip(blk[1], 0, 255)
+        exp_cr[py // 2 : py // 2 + bh // 2,
+               px // 2 : px // 2 + bw // 2] = np.clip(blk[2], 0, 255)
+
+    def commit(gx, gy, w4, h4, mv0, mv1):
+        if mv0 is not None:
+            f0.put_inter(gy, gx, h4, w4, mv0)
+        else:
+            f0.put_intra(gy, gx, h4, w4)
+        if mv1 is not None:
+            f1.put_inter(gy, gx, h4, w4, mv1)
+        else:
+            f1.put_intra(gy, gx, h4, w4)
+
+    # MB 0 at (0,0): 16x8, top L0 (directional B), bottom L1 (A)
+    mvp = predict_mv_part(f0, 0, 0, 4, "B")
+    mv = (mvp[0] + mvd_mb0_l0[0], mvp[1] + mvd_mb0_l0[1])
+    commit(0, 0, 4, 2, mv, None)
+    paint(0, 0, 4, 2, mv, None)
+    mvp = predict_mv_part(f1, 0, 2, 4, "A")
+    mv = (mvp[0] + mvd_mb0_l1[0], mvp[1] + mvd_mb0_l1[1])
+    commit(0, 2, 4, 2, None, mv)
+    paint(0, 2, 4, 2, None, mv)
+    # MB 1 at (1,0): 8x16 bi/bi — left ("A") then right ("C")
+    for pi, (gx, dirn) in enumerate(((4, "A"), (6, "C"))):
+        mvp0 = predict_mv_part(f0, gx, 0, 2, dirn)
+        mv0 = (mvp0[0] + mvd_mb1_l0[pi][0], mvp0[1] + mvd_mb1_l0[pi][1])
+        mvp1 = predict_mv_part(f1, gx, 0, 2, dirn)
+        mv1 = (mvp1[0] + mvd_mb1_l1[pi][0], mvp1[1] + mvd_mb1_l1[pi][1])
+        commit(gx, 0, 2, 4, mv0, mv1)
+        paint(gx, 0, 2, 4, mv0, mv1)
+    # MB 2 at (0,1): B_8x8 — direct / Bi_8x8 / Bi_8x4 x2 / L1_4x4 x4
+    use0, use1, dmv0, dmv1 = spatial_direct(f0, f1, col, 0, 1, True)
+    for by in range(2):
+        for bx in range(2):
+            mv0 = dmv0[by][bx] if use0 else None
+            mv1 = dmv1[by][bx] if use1 else None
+            commit(bx, 4 + by, 1, 1, mv0, mv1)
+            paint(bx, 4 + by, 1, 1, mv0, mv1)
+    k0 = k1 = 0
+    # quadrant 1 (top-right): Bi_8x8
+    mvp0 = predict_mv_part(f0, 2, 4, 2)
+    mv0 = (mvp0[0] + mvd_mb2_l0[k0][0], mvp0[1] + mvd_mb2_l0[k0][1])
+    k0 += 1
+    mvp1 = predict_mv_part(f1, 2, 4, 2)
+    mv1 = (mvp1[0] + mvd_mb2_l1[k1][0], mvp1[1] + mvd_mb2_l1[k1][1])
+    k1 += 1
+    commit(2, 4, 2, 2, mv0, mv1)
+    paint(2, 4, 2, 2, mv0, mv1)
+    # quadrant 2 (bottom-left): Bi_8x4 — two 8x4 sub-partitions
+    for gy in (6, 7):
+        mvp0 = predict_mv_part(f0, 0, gy, 2)
+        mv0 = (mvp0[0] + mvd_mb2_l0[k0][0], mvp0[1] + mvd_mb2_l0[k0][1])
+        k0 += 1
+        mvp1 = predict_mv_part(f1, 0, gy, 2)
+        mv1 = (mvp1[0] + mvd_mb2_l1[k1][0], mvp1[1] + mvd_mb2_l1[k1][1])
+        k1 += 1
+        commit(0, gy, 2, 1, mv0, mv1)
+        paint(0, gy, 2, 1, mv0, mv1)
+    # quadrant 3 (bottom-right): L1_4x4 — four 4x4 sub-partitions
+    for gy in (6, 7):
+        for gx in (2, 3):
+            mvp1 = predict_mv_part(f1, gx, gy, 1)
+            mv1 = (mvp1[0] + mvd_mb2_l1[k1][0],
+                   mvp1[1] + mvd_mb2_l1[k1][1])
+            k1 += 1
+            commit(gx, gy, 1, 1, None, mv1)
+            paint(gx, gy, 1, 1, None, mv1)
+    assert k0 == len(mvd_mb2_l0) and k1 == len(mvd_mb2_l1)
+    # MB 3 at (1,1): B_Skip — spatial direct over the evolved fields
+    use0, use1, dmv0, dmv1 = spatial_direct(f0, f1, col, 1, 1, True)
+    for by in range(4):
+        for bx in range(4):
+            mv0 = dmv0[by][bx] if use0 else None
+            mv1 = dmv1[by][bx] if use1 else None
+            paint(4 + bx, 4 + by, 1, 1, mv0, mv1)
+
+    assert np.array_equal(got_y, exp_y.astype(np.uint8))
+    assert np.array_equal(got_cb, exp_cb.astype(np.uint8))
+    assert np.array_equal(got_cr, exp_cr.astype(np.uint8))
+
+
+def test_b_invalid_sub_mb_type_rejected():
+    s = _b_header(poc=1)
+    s.ue(0)
+    s.ue(22)
+    for _ in range(4):
+        s.ue(13)  # out of Table 7-18 range
+    s.rbsp_trailing()
+    stream = _bstream_prefix(2) + _nal(1, 0, bytes(s.out))
+    with pytest.raises(ValueError, match="sub_mb_type"):
+        list(decode_h264_annexb(stream, yuv=True))
