@@ -35,8 +35,9 @@ operators/multimodal.py:
   (spatial direct), B_L0/L1/Bi 16x16, all two-partition 16x8 / 8x16
   list combinations, and B_8x8 sub-partitions down to 4x4 incl.
   B_Direct_8x8 — over one reference per list with default
-  bi-prediction averaging and POC type 0 output re-ordering to
-  display order; CABAC, multi-ref, temporal direct and B-slice
+  bi-prediction averaging, both direct derivations (spatial
+  8.4.1.2.2 and POC-scaled temporal 8.4.1.2.3) and POC type 0
+  output re-ordering to display order; CABAC, multi-ref and B-slice
   deblocking raise NotImplementedError naming the PyAV tier:
   exact-or-refuse.
 
@@ -511,8 +512,9 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     with any partition shape (P_Skip / 16x16 / 16x8 / 8x16 / P_8x8
     sub-partitions down to 4x4) over a single reference, or B slices
     with every Table 7-14/7-18 macroblock shape (B_Skip / direct via
-    spatial direct mode, 16x16 / 16x8 / 8x16 / B_8x8 sub-partitions
-    in every L0/L1/Bi combination) over one reference per list — with the §8.7 in-loop deblocking
+    spatial OR temporal direct mode, 16x16 / 16x8 / 8x16 / B_8x8
+    sub-partitions in every L0/L1/Bi combination) over one reference
+    per list — with the §8.7 in-loop deblocking
     filter applied per picture unless the slice header disables it
     (alpha/beta offsets honoured) and explicit weighted prediction
     when the PPS enables it.  Yields (frame_no, (h, w, 3) uint8 RGB)
@@ -520,10 +522,10 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     (pic-order-count) order: streams with B pictures carry POC type 0
     and the decoder re-orders output through a bounded pending buffer
     (bumping depth 1 — one B layer, the GOP shapes the twin emits and
-    the common IBP web-encode shape).  CABAC, multi-ref, temporal
-    direct and B-slice deblocking raise NotImplementedError naming
-    the PyAV tier (exact-or-refuse; see the module docstrings here,
-    in h264_cavlc, h264_inter and h264_deblock)."""
+    the common IBP web-encode shape).  CABAC, multi-ref and B-slice
+    deblocking raise NotImplementedError naming the PyAV tier
+    (exact-or-refuse; see the module docstrings here, in h264_cavlc,
+    h264_inter and h264_deblock)."""
     import numpy as np
 
     sps = pps = None
@@ -632,7 +634,8 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                 if pps["bottom_field_pic_order"]:
                     r.se()  # delta_pic_order_cnt_bottom
             decode_no += 1
-            ref_planes = ref_l1 = col_motion = None
+            ref_planes = ref_l1 = col_motion = pocs = None
+            direct_temporal = False
             if kind == "B":
                 before = [d for d in dpb if d[0] < poc]
                 after = [d for d in dpb if d[0] > poc]
@@ -645,10 +648,11 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                 ref_planes = ref_b0[1]
                 ref_l1 = ref_b1[1]
                 col_motion = ref_b1[2]
-                if not r.u(1):  # direct_spatial_mv_pred_flag
-                    raise NotImplementedError(
-                        "temporal direct mode needs the PyAV tier"
-                    )
+                pocs = (poc, ref_b0[0], ref_b1[0])
+                # direct_spatial_mv_pred_flag: 1 → spatial direct
+                # (8.4.1.2.2), 0 → temporal direct (8.4.1.2.3,
+                # POC-scaled colocated motion) — both native
+                direct_temporal = r.u(1) == 0
                 if r.u(1):  # num_ref_idx_active_override_flag
                     if r.ue() != 0 or r.ue() != 0:
                         raise NotImplementedError(
@@ -765,6 +769,8 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                 alpha_off=alpha_off, beta_off=beta_off, wp=wp,
                 ref1=ref_l1, col=col_motion,
                 motion_out=motion_out, counts=counts,
+                direct_temporal=(kind == "B" and direct_temporal),
+                pocs=pocs if kind == "B" else None,
             )
             if nal_ref_idc != 0:
                 # only REFERENCE pictures enter the DPB (8.2.5): a

@@ -1046,6 +1046,9 @@ class _SliceState:
         #: SPS direct_8x8_inference_flag (spatial direct colocated
         #: motion sampled per 8x8 quadrant corner vs per 4x4)
         self.inference8x8 = bool(sps.get("direct_8x8_inference", 1))
+        #: direct-mode selection + POC triple (B slices; 8.4.1.2)
+        self.direct_temporal = False
+        self.pocs = None
 
     def planes_u8(self):
         np = _np()
@@ -1467,17 +1470,30 @@ def _b_pred_16x16(mx: int, my: int, ref0, ref1, mv0, mv1):
     return parts[0]
 
 
+def _derive_direct(f0, f1, col, inference8x8: bool, mx: int, my: int,
+                   temporal: bool = False, pocs=None):
+    """Direct-mode motion derivation: spatial (8.4.1.2.2, the
+    default) or temporal (8.4.1.2.3, POC-scaled colocated motion)
+    per the slice header's direct_spatial_mv_pred_flag."""
+    from .h264_inter import spatial_direct, temporal_direct
+
+    if temporal:
+        return temporal_direct(col, pocs, mx, my, inference8x8)
+    return spatial_direct(f0, f1, col, mx, my, inference8x8)
+
+
 def _b_direct_predict(f0, f1, col, inference8x8: bool,
-                      mx: int, my: int, ref0, ref1):
-    """Spatial-direct derivation + motion compensation WITHOUT state
+                      mx: int, my: int, ref0, ref1,
+                      temporal: bool = False, pocs=None):
+    """Direct-mode derivation + motion compensation WITHOUT state
     commitment (shared by the decoder and the encoder twin's RD
     probes).  Returns (use0, use1, mv0s, mv1s, (y, cb, cr) pred)."""
     import numpy as np
 
-    from .h264_inter import bi_average, mc_chroma, mc_luma, spatial_direct
+    from .h264_inter import bi_average, mc_chroma, mc_luma
 
-    use0, use1, mv0s, mv1s = spatial_direct(
-        f0, f1, col, mx, my, inference8x8
+    use0, use1, mv0s, mv1s = _derive_direct(
+        f0, f1, col, inference8x8, mx, my, temporal, pocs
     )
     uniform0 = all(mv == mv0s[0][0] for row in mv0s for mv in row)
     uniform1 = all(mv == mv1s[0][0] for row in mv1s for mv in row)
@@ -1551,7 +1567,8 @@ def _b_direct_pred(st, mx: int, my: int, refs):
     Returns the (pred_y, pred_cb, pred_cr) triple."""
     ref0, ref1, col = refs
     use0, use1, mv0s, mv1s, pred = _b_direct_predict(
-        st.mvf, st.mvf1, col, st.inference8x8, mx, my, ref0, ref1
+        st.mvf, st.mvf1, col, st.inference8x8, mx, my, ref0, ref1,
+        st.direct_temporal, st.pocs,
     )
     _commit_b_motion(st.mvf, st.mvf1, mx, my, use0, use1, mv0s, mv1s)
     return pred
@@ -1740,7 +1757,7 @@ def _decode_b8x8_mb(r, st, mx: int, my: int, refs, counts):
     own geometry, sequential within the MB."""
     import numpy as np
 
-    from .h264_inter import predict_mv_part, spatial_direct
+    from .h264_inter import predict_mv_part
 
     ref0, ref1, col = refs
     _bump(counts, "b8x8")
@@ -1753,8 +1770,9 @@ def _decode_b8x8_mb(r, st, mx: int, my: int, refs, counts):
     gx0, gy0 = mx * 4, my * 4
     direct = None
     if any(s == 0 for s in subs):
-        direct = spatial_direct(
-            st.mvf, st.mvf1, col, mx, my, st.inference8x8
+        direct = _derive_direct(
+            st.mvf, st.mvf1, col, st.inference8x8, mx, my,
+            st.direct_temporal, st.pocs,
         )
     # sub-partition geometry in parse order
     order = []
@@ -1837,6 +1855,8 @@ def decode_slice(
     ref1=None,
     col: dict | None = None,
     motion_out: dict | None = None,
+    direct_temporal: bool = False,
+    pocs=None,
 ):
     """Decode all macroblocks of a single-slice picture; `r` is
     positioned at the first slice_data element.  Returns (y, cb, cr)
@@ -1858,6 +1878,8 @@ def decode_slice(
     (probe/coverage instrumentation)."""
     st = _SliceState(sps, pps, qp)
     st.wp = wp
+    st.direct_temporal = direct_temporal
+    st.pocs = pocs
     is_p = slice_kind == "P"
     is_b = slice_kind == "B"
     if is_p and ref is None:

@@ -25,9 +25,10 @@ zero rule over the stored list-1 reference motion field and
 B_Direct_8x8), B_L0/L1/Bi at 16x16, both two-partition geometries
 in every list combination, and B_8x8 sub-partitions down to 4x4 —
 per-list median prediction and default bi-prediction averaging
-(8.4.2.3.1), POC-ordered display output.  Multiple reference
-frames, reference list modification, temporal direct and B-slice
-deblocking raise NotImplementedError naming the PyAV tier.
+(8.4.2.3.1), both direct derivations (spatial 8.4.1.2.2 / temporal
+8.4.1.2.3), POC-ordered display output.  Multiple reference
+frames, reference list modification and B-slice deblocking raise
+NotImplementedError naming the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
 * the 6-tap half-pel filter is pinned against hand-computed vectors;
@@ -401,6 +402,60 @@ def spatial_direct(f0: MvField, f1: MvField, col: dict,
                 if use1:
                     mv1[by][bx] = (0, 0)
     return use0, use1, mv0, mv1
+
+
+def temporal_direct(col: dict, pocs, mx: int, my: int,
+                    inference8x8: bool):
+    """Temporal direct motion derivation (8.4.1.2.3) for one B
+    macroblock: scale the colocated list-0 motion by the picture-
+    order-count distances.  `pocs` = (poc_cur, poc_l0, poc_l1).
+    Both lists always participate (refIdx 0 each); per 4x4 block,
+    mvL0 = (DistScaleFactor * mvCol + 128) >> 8 and
+    mvL1 = mvL0 - mvCol, with mvCol = 0 for intra colocated blocks.
+    Returns the same (use0, use1, mv0, mv1) shape as
+    spatial_direct."""
+    poc_cur, poc_l0, poc_l1 = pocs
+
+    def clip3(lo, hi, v):
+        return lo if v < lo else hi if v > hi else v
+
+    td = clip3(-128, 127, poc_l1 - poc_l0)
+    tb = clip3(-128, 127, poc_cur - poc_l0)
+    if td == 0:
+        dsf = None  # degenerate: mvL0 = mvCol, mvL1 = 0 (8.4.1.2.3)
+    else:
+        # integer division truncating toward zero (spec "/" on ints)
+        num = 16384 + abs(td) // 2
+        tx = num // td if td > 0 else -(num // -td)
+        dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    gx, gy = mx * 4, my * 4
+    mv0 = [[(0, 0)] * 4 for _ in range(4)]
+    mv1 = [[(0, 0)] * 4 for _ in range(4)]
+    for by in range(4):
+        for bx in range(4):
+            if inference8x8:
+                cx, cy = (0 if bx < 2 else 3), (0 if by < 2 else 3)
+            else:
+                cx, cy = bx, by
+            if col["state"][gy + cy, gx + cx] == MvField.INTER:
+                mvc = (
+                    int(col["mvx"][gy + cy, gx + cx]),
+                    int(col["mvy"][gy + cy, gx + cx]),
+                )
+            else:
+                mvc = (0, 0)  # intra colocated → zero motion
+            if dsf is None:
+                l0 = mvc
+                l1 = (0, 0)
+            else:
+                l0 = (
+                    (dsf * mvc[0] + 128) >> 8,
+                    (dsf * mvc[1] + 128) >> 8,
+                )
+                l1 = (l0[0] - mvc[0], l0[1] - mvc[1])
+            mv0[by][bx] = l0
+            mv1[by][bx] = l1
+    return True, True, mv0, mv1
 
 
 # ---------------------------------------------------------------------------
@@ -859,7 +914,8 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
 
 
 def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
-                        mbw, mbh, search_range):
+                        mbw, mbh, search_range,
+                        temporal: bool = False, pocs=None):
     """RD macroblock loop of one B slice (the 16x16 tier the pure
     decoder accepts): per macroblock, probe B_Skip and
     B_Direct_16x16 (spatial direct, 8.4.1.2.2), B_L0/L1_16x16
@@ -928,7 +984,8 @@ def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
 
         # --- spatial direct derivation (B_Skip + B_Direct share it) ---
         use0, use1, mv0s, mv1s, dpred = _b_direct_predict(
-            est.mvf, est.mvf1, col, True, mx, my, ref0, ref1
+            est.mvf, est.mvf1, col, True, mx, my, ref0, ref1,
+            temporal, pocs,
         )
         dp_y, dp_cb, dp_cr = dpred
         skip_y = np.clip(dp_y, 0, 255)
@@ -1103,7 +1160,8 @@ def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
         s.ue(skip_run)
 
 
-def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out):
+def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out,
+                 direct_mode: str = "spatial"):
     """B-GOP driver: closed GOPs of `gop` display frames — an IDR,
     P references every b_frames+1 display positions (plus a trailing
     P when the GOP length isn't aligned), and B pictures between
@@ -1162,7 +1220,8 @@ def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out):
             s.ue(idr_id)            # idr_pic_id
         s.u(poc_lsb % 256, 8)       # pic_order_cnt_lsb (poc_type 0)
         if kind == "B":
-            s.u(1, 1)               # direct_spatial_mv_pred_flag
+            # direct_spatial_mv_pred_flag: 1 spatial, 0 temporal
+            s.u(0 if direct_mode == "temporal" else 1, 1)
         if kind in ("P", "B"):
             s.u(0, 1)               # num_ref_idx_active_override_flag
             s.u(0, 1)               # ref_pic_list_modification_flag_l0
@@ -1235,6 +1294,12 @@ def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out):
                     ref_state[l0_disp][0], ref_state[l1_disp][0],
                     ref_state[l1_disp][1],
                     qp, qpc, mbw, mbh, search_range,
+                    temporal=direct_mode == "temporal",
+                    pocs=(
+                        2 * (bd - g0),
+                        2 * (l0_disp - g0),
+                        2 * (l1_disp - g0),
+                    ),
                 )
                 s.rbsp_trailing()
                 out += _nal(NAL_SLICE, 0, bytes(s.out))
@@ -1255,6 +1320,7 @@ def encode_h264_video(
     deblock: bool = False,
     wp: tuple | None = None,
     b_frames: int = 0,
+    b_direct: str = "spatial",
 ) -> bytes:
     """Encoder twin for the motion-compensated tier: an Annex-B
     baseline stream of IDR pictures every `gop` frames with P
@@ -1338,8 +1404,11 @@ def encode_h264_video(
                 "weighted prediction is not modelled for b_frames"
                 " streams"
             )
+        if b_direct not in ("spatial", "temporal"):
+            raise ValueError("b_direct must be 'spatial' or 'temporal'")
         return _encode_bgop(
-            planes, qp, gop, b_frames, search_range, recon_out
+            planes, qp, gop, b_frames, search_range, recon_out,
+            direct_mode=b_direct,
         )
     mbw, mbh = w // 16, h // 16
     qpc = chroma_qp(qp, 0)

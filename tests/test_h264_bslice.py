@@ -210,12 +210,49 @@ def _b_header(direct: int = 1, idc: int = 1, poc: int = 2):
     return s
 
 
-def test_temporal_direct_refused():
-    s = _b_header(direct=0)
-    s.rbsp_trailing()
-    stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
-    with pytest.raises(NotImplementedError, match="temporal direct"):
-        list(decode_h264_annexb(stream, yuv=True))
+def test_temporal_direct_closed_loop():
+    # temporal direct (8.4.1.2.3): POC-scaled colocated motion — the
+    # twin emits direct_spatial_mv_pred_flag=0 and the decoder scales
+    frames = [_frame(i, i * 2) for i in range(6)]
+    recon: list = []
+    stream = encode_h264_video(
+        frames, qp=26, gop=6, yuv=True, search_range=2,
+        recon_out=recon, b_frames=1, b_direct="temporal",
+    )
+    decoded = list(decode_h264_annexb(stream, yuv=True))
+    for (_fn, got), want in zip(decoded, recon):
+        for g, x in zip(got, want):
+            assert np.array_equal(g, x)
+    with pytest.raises(ValueError, match="b_direct"):
+        encode_h264_video(frames, yuv=True, b_frames=1, b_direct="x")
+
+
+def test_temporal_direct_scaling_hand_computed():
+    from finanalyzer_spark.operators.h264_inter import temporal_direct
+
+    col = {
+        "state": np.full((8, 8), MvField.INTER, np.uint8),
+        "mvx": np.full((8, 8), 8, np.int64),
+        "mvy": np.full((8, 8), -4, np.int64),
+    }
+    # mid-GOP B: tb=2, td=4 → tx=4096, DistScaleFactor=128 (half-way)
+    use0, use1, mv0, mv1 = temporal_direct(col, (2, 0, 4), 0, 0, True)
+    assert use0 and use1
+    # mvL0 = (128*mvCol + 128) >> 8, arithmetic (floor) shift
+    assert mv0[0][0] == (4, -2)
+    # mvL1 = mvL0 - mvCol
+    assert mv1[0][0] == (-4, 2)
+    # intra colocated → zero motion both lists
+    coli = {
+        "state": np.full((8, 8), MvField.INTRA, np.uint8),
+        "mvx": np.zeros((8, 8), np.int64),
+        "mvy": np.zeros((8, 8), np.int64),
+    }
+    _u0, _u1, mv0, mv1 = temporal_direct(coli, (2, 0, 4), 0, 0, True)
+    assert mv0[0][0] == (0, 0) and mv1[0][0] == (0, 0)
+    # td == 0 degenerate branch: mvL0 = mvCol, mvL1 = 0
+    _u0, _u1, mv0, mv1 = temporal_direct(col, (0, 0, 0), 0, 0, True)
+    assert mv0[0][0] == (8, -4) and mv1[0][0] == (0, 0)
 
 
 def test_b_slice_deblocking_refused():
