@@ -147,6 +147,9 @@ ROUND_CHANGED = frozenset({
     "bfs_hops_trade_graph",
     # round-7 B-slice tier — needs a first row
     "media_h264_bframe_decode",
+    # round-7 LLM-text additions — need first rows
+    "negative_sampling_unigram",
+    "chi2_token_selection",
 })
 
 

@@ -20,6 +20,7 @@ from ..operators.text import (
     fingerprint_col,
     stopword_ratio_col,
 )
+from ..operators.rank import ordered_scan
 from .registry import query
 
 
@@ -1143,4 +1144,239 @@ def doc_top_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term").alias("top_term"),
             (F.col("tfidf") + 0.0).alias("top_tfidf"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Frequency-weighted negative sampling (inverse-CDF categorical sampler)
+# --------------------------------------------------------------------------
+#: draw count and interval-join bucket count.  B=4096 draws make every
+#: frequent token's drawn share statistically visible at sf0.01; the
+#: bucket grid bounds the interval join at (vocab + buckets) rows.
+_NEG_B = 4096
+_NEG_BUCKETS = 1024
+
+
+@query(
+    "negative_sampling_unigram",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+    r AS (
+        SELECT token, cnt,
+               sum(cnt) OVER (ORDER BY token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(cnt) OVER () AS n
+        FROM c
+    ),
+    draws AS (
+        SELECT ('0x' || substr(md5('neg' || j), 1, 8))::BIGINT
+                   % (SELECT max(n) FROM r) AS u
+        FROM generate_series(0, {_NEG_B - 1}) AS g(j)
+    ),
+    hits AS (
+        SELECT r.token, r.cnt, r.n
+        FROM draws d JOIN r ON d.u >= r.cum - r.cnt AND d.u < r.cum
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_drawn,
+           CAST(max(cnt) AS BIGINT) AS freq,
+           CAST(max(cnt) * 1000000 // max(n) AS BIGINT) AS expected_ppm
+    FROM hits GROUP BY token
+    """,
+    tags=("text", "sampling", "llm"),
+)
+def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-proportional negative sampling over the corpus
+    vocabulary — the word2vec/contrastive-training negative sampler
+    as a DISTRIBUTED inverse-CDF categorical draw.  Every token owns
+    the integer interval [cum - cnt, cum) of the token-ordered
+    cumulative frequency line; each of the B portable md5-uniform
+    draws lands in exactly one interval.  (word2vec smooths with
+    count^0.75; the integer-exact count weighting here keeps the
+    whole sampler bit-identical in both engines — the smoothing
+    exponent would only perturb the interval widths.)
+
+    Scale shape: cumulative interval bounds come from
+    operators/rank.ordered_scan (range repartition + partition
+    offsets — never a single-partition window over the vocabulary);
+    the draw→interval lookup is the bucketed interval join (the
+    spatial-grid / range-join blocking trick): each vocab interval
+    explodes to the ~1 + width/step grid buckets it covers (SUM of
+    extra rows is bounded by buckets + vocab), draws hash to their
+    bucket, and an equi-join + exact span filter resolves the
+    inversion — no broadcast nested loop over the vocabulary. One
+    final groupBy aggregates drawn counts."""
+    t = load(spark, sf_dir)
+    tok = (
+        t.documents.where(F.trim("text") != "")
+        .select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        )
+    )
+    c = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    r = ordered_scan(
+        c, ["token"], running={"cum": "cnt"}, totals={"n": "cnt"}
+    )
+    # interval [lo, hi) per token over the cumulative frequency line
+    iv = r.select(
+        "token", "cnt", "n",
+        (F.col("cum") - F.col("cnt")).alias("lo"),
+        F.col("cum").alias("hi"),
+    )
+    step = F.greatest(F.lit(1), (F.col("n") / _NEG_BUCKETS).cast("long"))
+    iv_b = iv.select(
+        "token", "cnt", "n", "lo", "hi",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / step).cast("long"),
+                ((F.col("hi") - 1) / step).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    draws = spark.range(_NEG_B).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("neg"), F.col("id").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long")
+        ).alias("u32")
+    )
+    n_total = iv.select(F.max("n").alias("n"))
+    draws = draws.crossJoin(F.broadcast(n_total)).select(
+        (F.col("u32") % F.col("n")).alias("u"),
+        ((F.col("u32") % F.col("n")) / F.greatest(
+            F.lit(1), (F.col("n") / _NEG_BUCKETS).cast("long")
+        )).cast("long").alias("bucket"),
+    )
+    hits = draws.join(iv_b, "bucket").where(
+        (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi"))
+    )
+    return hits.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_drawn"),
+        F.max("cnt").cast("long").alias("freq"),
+        F.expr(
+            "CAST(max(cnt) * 1000000 div max(n) AS BIGINT)"
+        ).alias("expected_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square token feature selection (quality-classifier vocabulary)
+# --------------------------------------------------------------------------
+#: minimum document frequency for a token to be scored (bounds the
+#: output and kills the hapax tail before the per-token contingency)
+_CHI2_MIN_DF = 5
+
+
+@query(
+    "chi2_token_selection",
+    oracle=f"""
+    WITH lab AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    pres AS (
+        SELECT DISTINCT d.doc_id,
+               unnest(string_split_regex(trim(d.text), '\\s+')) AS token
+        FROM documents d WHERE trim(d.text) <> ''
+    ),
+    n AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(y)::HUGEINT AS n_pos
+        FROM lab
+    ),
+    cell AS (
+        SELECT p.token,
+               count(*)::HUGEINT AS df,
+               sum(l.y)::HUGEINT AS a
+        FROM pres p JOIN lab l ON p.doc_id = l.doc_id
+        GROUP BY p.token
+        HAVING count(*) >= {_CHI2_MIN_DF}
+    )
+    SELECT token,
+           CAST(df AS BIGINT) AS df,
+           CAST(a AS BIGINT) AS df_pos,
+           round(
+               n * (a * (n - n_pos - df + a) - (df - a) * (n_pos - a))
+                 * (a * (n - n_pos - df + a) - (df - a) * (n_pos - a))
+               / (df * (n - df) * n_pos * (n - n_pos) * 1.0), 4)
+               + 0.0 AS chi2
+    FROM cell, n
+    WHERE n_pos > 0 AND n_pos < n
+    """,
+    tags=("text", "stats", "feature-selection", "llm"),
+)
+def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token chi-square feature selection against a document
+    label (lang == 'en') — the vocabulary-selection pass a bag-of-
+    words quality classifier runs before training.  Document-level
+    presence (distinct doc-token pairs) builds one contingency table
+    per token from just two sums: a = labelled docs containing the
+    token, df = docs containing it; the remaining cells follow from
+    the label totals, so chi2 = N(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    is exact integer arithmetic in DECIMAL(38,0) (DuckDB HUGEINT —
+    at 1e8 documents (ad - bc)^2 alone overflows int64) with ONE
+    final rounded float division.
+
+    Scale shape: explode → distinct collapses to (doc, token) pairs,
+    the label join is per-document (broadcastable dimension at any
+    corpus size since labels ride the document table's key), one
+    map-side-combined groupBy builds every contingency, and the
+    min-df HAVING kills the hapax tail before output."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    lab = t.documents.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    pres = (
+        t.documents.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .distinct()
+    )
+    n = lab.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("y").cast(dec).alias("n_pos"),
+    )
+    cell = (
+        pres.join(lab, "doc_id")
+        .groupBy("token")
+        .agg(
+            F.count("*").cast(dec).alias("df"),
+            F.sum("y").cast(dec).alias("a"),
+        )
+        .where(F.col("df") >= _CHI2_MIN_DF)
+    )
+    j = cell.crossJoin(F.broadcast(n)).where(
+        (F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n"))
+    )
+    adbc = (
+        F.col("a") * (F.col("n") - F.col("n_pos") - F.col("df") + F.col("a"))
+        - (F.col("df") - F.col("a")) * (F.col("n_pos") - F.col("a"))
+    )
+    return j.select(
+        "token",
+        F.col("df").cast("long").alias("df"),
+        F.col("a").cast("long").alias("df_pos"),
+        (
+            F.round(
+                (F.col("n") * adbc * adbc).cast("double")
+                / (
+                    F.col("df") * (F.col("n") - F.col("df"))
+                    * F.col("n_pos") * (F.col("n") - F.col("n_pos"))
+                ).cast("double"),
+                4,
+            )
+            + 0.0
+        ).alias("chi2"),
     )

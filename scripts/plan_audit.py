@@ -1079,6 +1079,24 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "negative_sampling_unigram": {
+        # inverse-CDF draw resolved by the bucketed interval join:
+        # draws equi-join the bucket-exploded vocab intervals (hash
+        # join); the only BNLJ is the 1-row total broadcast; the
+        # Window is ordered_scan's LOCAL (range-partitioned) pass
+        "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "chi2_token_selection": {
+        # distinct (doc, token) presence + per-doc label join + ONE
+        # contingency groupBy; 1-row label-total broadcast only
+        "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "Window", "SortMergeJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "bfs_hops_trade_graph": {
         # frontier BFS: checkpointed frontier/visited frames, hash
         # joins on node ids only; final hop histogram is one aggregate
