@@ -37,8 +37,10 @@ operators/multimodal.py:
   B_Direct_8x8 — over one reference per list with default
   bi-prediction averaging, both direct derivations (spatial
   8.4.1.2.2 and POC-scaled temporal 8.4.1.2.3) and POC type 0
-  output re-ordering to display order; CABAC, multi-ref and B-slice
-  deblocking raise NotImplementedError naming the PyAV tier:
+  output re-ordering to display order — and the §8.7 filter runs
+  inside B slices too (two-list boundary-strength derivation), so
+  DEFAULT-flag IBP streams decode exactly; CABAC and multi-ref
+  raise NotImplementedError naming the PyAV tier:
   exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
@@ -522,10 +524,10 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     (pic-order-count) order: streams with B pictures carry POC type 0
     and the decoder re-orders output through a bounded pending buffer
     (bumping depth 1 — one B layer, the GOP shapes the twin emits and
-    the common IBP web-encode shape).  CABAC, multi-ref and B-slice
-    deblocking raise NotImplementedError naming the PyAV tier
-    (exact-or-refuse; see the module docstrings here, in h264_cavlc,
-    h264_inter and h264_deblock)."""
+    the common IBP web-encode shape).  CABAC and multi-ref raise
+    NotImplementedError naming the PyAV tier (exact-or-refuse; see
+    the module docstrings here, in h264_cavlc, h264_inter and
+    h264_deblock)."""
     import numpy as np
 
     sps = pps = None
@@ -743,15 +745,6 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                     # to 0 for the single-slice pictures we decode
                     alpha_off = r.se()  # slice_alpha_c0_offset_div2
                     beta_off = r.se()   # slice_beta_offset_div2
-            if kind == "B" and not deblock_disabled:
-                # §8.7 bS derivation across a bi-predicted edge
-                # compares per-list references and MV pairs — the
-                # single-list filter here would mis-filter B edges, so
-                # refuse rather than approximate (the B twin disables
-                # the filter on its B slices explicitly)
-                raise NotImplementedError(
-                    "deblocking inside B slices needs the PyAV tier"
-                )
             from finanalyzer_spark.operators.h264_cavlc import (
                 decode_slice,
             )

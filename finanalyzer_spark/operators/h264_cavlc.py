@@ -1948,10 +1948,22 @@ def decode_slice(
         mb += 1
     if not deblock_disabled:
         from .h264_deblock import deblock_picture
+        from .h264_inter import MvField
 
+        bkw = {}
+        if is_b:
+            # two-list bS derivation (8.7.2.1): list-1 motion plus
+            # per-block list-usage grids
+            bkw = {
+                "mvx4_l1": st.mvf1.mvx,
+                "mvy4_l1": st.mvf1.mvy,
+                "use0_4": st.mvf.state == MvField.INTER,
+                "use1_4": st.mvf1.state == MvField.INTER,
+            }
         deblock_picture(
             st.y, st.cb, st.cr, st.qp_mb, st.intra_mb, st.tc_y,
             st.mvf.mvx, st.mvf.mvy, st.cq_off, alpha_off, beta_off,
+            **bkw,
         )
     if motion_out is not None:
         # the caller keeps this alongside reference pictures: the

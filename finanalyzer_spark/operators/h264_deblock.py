@@ -24,7 +24,11 @@ Reference behavior being reproduced (public spec + public sources):
   sample), else 0 (no filtering).  The motion test runs on the
   4x4-granularity MV field, so 16x8/8x16 partition boundaries inside
   one macroblock are strength-1 candidates exactly as the spec
-  requires; single reference, as the pure P tier produces.
+  requires; single reference per list, as the pure tiers produce.
+  For B pictures the inter-inter rule compares reference SETS first
+  (a block predicting from list 0, list 1 or both against a block
+  using a different set → strength 1 — in this tier the two lists
+  are always distinct pictures), then per-list MV deltas.
 * I_PCM macroblocks carry QPY = 0 for the filter (§8.7 note) — at
   qPav below 16 both alpha and beta are 0, so I_PCM/I_PCM edges are
   identity; that is why the I_PCM-only twin never needed the filter.
@@ -168,6 +172,10 @@ def deblock_picture(
     cq_off: int = 0,
     alpha_off: int = 0,
     beta_off: int = 0,
+    mvx4_l1=None,
+    mvy4_l1=None,
+    use0_4=None,
+    use1_4=None,
 ):
     """Apply the §8.7 deblocking filter to a decoded picture in place.
 
@@ -180,14 +188,21 @@ def deblock_picture(
       nz4       (mbh*4, mbw*4) truthy where the 4x4 luma block has
                 coded coefficients (the TotalCoeff grid works
                 verbatim)
-      mvx4/mvy4 (mbh*4, mbw*4) quarter-pel MV component grids at 4x4
-                granularity (operators/h264_inter.MvField) — partition
-                edges inside one macroblock get their bS-1 motion test
-                per block pair; single reference, as the pure P tier
-                produces
+      mvx4/mvy4 (mbh*4, mbw*4) quarter-pel list-0 MV component grids
+                at 4x4 granularity (operators/h264_inter.MvField) —
+                partition edges inside one macroblock get their bS-1
+                motion test per block pair; single reference per list,
+                as the pure tiers produce
       cq_off    PPS chroma_qp_index_offset
       alpha_off / beta_off   slice_alpha_c0_offset_div2 /
                 slice_beta_offset_div2 (slice header, §7.4.3)
+      mvx4_l1/mvy4_l1/use0_4/use1_4   B slices only: list-1 MV grids
+                plus per-4x4 'predicts from list X' booleans.  The
+                §8.7.2.1 inter-inter rule then compares reference
+                SETS first (different lists used → bS 1 — in this
+                tier list 0 and list 1 are always distinct pictures),
+                and per-list MV deltas otherwise.  Omitted → the
+                single-list (P) behaviour.
     """
     np = _np()
     from .h264_cavlc import chroma_qp
@@ -199,6 +214,12 @@ def deblock_picture(
     fa, fb = alpha_off * 2, beta_off * 2
     mvx4 = np.asarray(mvx4)
     mvy4 = np.asarray(mvy4)
+    two_lists = use0_4 is not None
+    if two_lists:
+        mvx1 = np.asarray(mvx4_l1)
+        mvy1 = np.asarray(mvy4_l1)
+        u0 = np.asarray(use0_4, dtype=bool)
+        u1 = np.asarray(use1_4, dtype=bool)
 
     def edge_bs(pmy, pmx, qmy, qmx, pb, qb, mb_edge):
         """Boundary strength for one 4x4 block pair; pb/qb index the
@@ -207,6 +228,23 @@ def deblock_picture(
             return 4 if mb_edge else 3
         if nz[pb] or nz[qb]:
             return 2
+        if two_lists:
+            # 8.7.2.1 inter-inter: different reference pictures or a
+            # different number of MVs → 1 (lists here are distinct
+            # pictures); same set → per-list MV delta test
+            if (u0[pb], u1[pb]) != (u0[qb], u1[qb]):
+                return 1
+            if u0[pb] and (
+                abs(int(mvx4[pb]) - int(mvx4[qb])) >= 4
+                or abs(int(mvy4[pb]) - int(mvy4[qb])) >= 4
+            ):
+                return 1
+            if u1[pb] and (
+                abs(int(mvx1[pb]) - int(mvx1[qb])) >= 4
+                or abs(int(mvy1[pb]) - int(mvy1[qb])) >= 4
+            ):
+                return 1
+            return 0
         if (
             abs(int(mvx4[pb]) - int(mvx4[qb])) >= 4
             or abs(int(mvy4[pb]) - int(mvy4[qb])) >= 4

@@ -26,9 +26,10 @@ B_Direct_8x8), B_L0/L1/Bi at 16x16, both two-partition geometries
 in every list combination, and B_8x8 sub-partitions down to 4x4 —
 per-list median prediction and default bi-prediction averaging
 (8.4.2.3.1), both direct derivations (spatial 8.4.1.2.2 / temporal
-8.4.1.2.3), POC-ordered display output.  Multiple reference
-frames, reference list modification and B-slice deblocking raise
-NotImplementedError naming the PyAV tier.
+8.4.1.2.3), POC-ordered display output, and §8.7 deblocking with
+the two-list boundary-strength rule.  Multiple reference frames,
+reference list modification and CABAC raise NotImplementedError
+naming the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
 * the 6-tap half-pel filter is pinned against hand-computed vectors;
@@ -1160,8 +1161,41 @@ def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
         s.ue(skip_run)
 
 
+
+def _bgop_filter(est, qp: int, mbw: int, mbh: int, is_b: bool) -> None:
+    """Run the §8.7 filter over an encoder reconstruction, mirroring
+    decode_slice: single-list bS inputs for I/P pictures, two-list
+    (motion + usage grids) for B pictures.  Intra flags: I/P mark
+    `mvf` INTRA only for true intra macroblocks; in B pictures a
+    list-unused block is also marked INTRA in that list's field, so
+    a B macroblock is intra exactly when BOTH fields say INTRA."""
+    import numpy as np
+
+    from .h264_deblock import deblock_picture
+
+    s0 = est.mvf.state[::4, ::4]
+    if is_b:
+        s1 = est.mvf1.state[::4, ::4]
+        intra_flags = (s0 == MvField.INTRA) & (s1 == MvField.INTRA)
+        bkw = {
+            "mvx4_l1": est.mvf1.mvx,
+            "mvy4_l1": est.mvf1.mvy,
+            "use0_4": est.mvf.state == MvField.INTER,
+            "use1_4": est.mvf1.state == MvField.INTER,
+        }
+    else:
+        intra_flags = s0 == MvField.INTRA
+        bkw = {}
+    deblock_picture(
+        est.y, est.cb, est.cr,
+        np.full((mbh, mbw), qp, dtype=np.int64),
+        intra_flags, est.tc_y, est.mvf.mvx, est.mvf.mvy, 0,
+        **bkw,
+    )
+
+
 def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out,
-                 direct_mode: str = "spatial"):
+                 direct_mode: str = "spatial", deblock: bool = False):
     """B-GOP driver: closed GOPs of `gop` display frames — an IDR,
     P references every b_frames+1 display positions (plus a trailing
     P when the GOP length isn't aligned), and B pictures between
@@ -1234,7 +1268,12 @@ def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out,
             s.u(0, 1)               # adaptive_ref_pic_marking_mode
         # (B is non-reference: no dec_ref_pic_marking at all, 7.3.3)
         s.se(0)                     # slice_qp_delta
-        s.ue(1)                     # disable_deblocking_filter_idc
+        if deblock:
+            s.ue(0)                 # disable_deblocking_filter_idc: ON
+            s.se(0)                 # slice_alpha_c0_offset_div2
+            s.se(0)                 # slice_beta_offset_div2
+        else:
+            s.ue(1)                 # disable_deblocking_filter_idc
         return s
 
     for gi, g0 in enumerate(range(0, n, gop)):
@@ -1272,6 +1311,10 @@ def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out,
                 )
                 s.rbsp_trailing()
                 out += _nal(NAL_SLICE, 2, bytes(s.out))
+            if deblock:
+                # in-loop: filter BEFORE the reconstruction becomes a
+                # reference or output, mirroring decode_slice
+                _bgop_filter(est, qp, mbw, mbh, is_b=False)
             ref_state[disp] = (
                 (est.y.copy(), est.cb.copy(), est.cr.copy()),
                 {
@@ -1303,6 +1346,8 @@ def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out,
                 )
                 s.rbsp_trailing()
                 out += _nal(NAL_SLICE, 0, bytes(s.out))
+                if deblock:
+                    _bgop_filter(est, qp, mbw, mbh, is_b=True)
                 recons[bd] = est.planes_u8()
         if recon_out is not None:
             for d in range(g0, gend):
@@ -1351,8 +1396,9 @@ def encode_h264_video(
     B_Direct_16x16 (spatial direct) / B_L0 / B_L1 / B_Bi / intra
     fallback (_encode_b_slice_mbs).  `recon_out` then collects
     reconstructions in DISPLAY order, matching the decoder's POC
-    re-ordered output; deblock/wp are rejected (the pure decode tier
-    refuses filtered B slices; weighting is unmodelled there)."""
+    re-ordered output; `deblock=True` runs the §8.7 filter in-loop on
+    every picture (two-list bS inside B slices); wp is rejected
+    (weighting is unmodelled in the B tier)."""
     import numpy as np
 
     from finanalyzer_spark.operators.h264 import (
@@ -1394,11 +1440,6 @@ def encode_h264_video(
                 "b_frames GOPs carry 8-bit pic_order_cnt_lsb: gop"
                 " must be <= 128"
             )
-        if deblock:
-            raise ValueError(
-                "the pure decode tier refuses deblocking inside B"
-                " slices; b_frames streams must use deblock=False"
-            )
         if wp is not None:
             raise ValueError(
                 "weighted prediction is not modelled for b_frames"
@@ -1408,7 +1449,7 @@ def encode_h264_video(
             raise ValueError("b_direct must be 'spatial' or 'temporal'")
         return _encode_bgop(
             planes, qp, gop, b_frames, search_range, recon_out,
-            direct_mode=b_direct,
+            direct_mode=b_direct, deblock=deblock,
         )
     mbw, mbh = w // 16, h // 16
     qpc = chroma_qp(qp, 0)

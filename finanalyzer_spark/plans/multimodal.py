@@ -1039,7 +1039,9 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document: a 6-frame translating scene encoded as a closed B-GOP
     # (operators/h264_inter.encode_h264_video b_frames=1: IDR + P
     # references with non-reference B pictures between, POC type 0,
-    # spatial direct mode) and decoded with the pure decoder, which
+    # spatial direct mode, §8.7 deblocking ACTIVE on every slice —
+    # two-list boundary strengths inside the B pictures) and decoded
+    # with the pure decoder, which
     # must re-order output to display order through its POC pending
     # buffer.  The oracle pins the invariants arithmetically: 6 frames
     # out, exactly 2 non-reference NALs (the census also proves they
@@ -1065,7 +1067,9 @@ def media_h264_bframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the full round-7 B stack end-to-end: POC type 0 parse +
     display re-ordering, the two-list DPB, spatial direct derivation
     with the colocated-motion zero rule, B_Skip/B_Direct_16x16/
-    B_L0/L1/Bi macroblocks with default bi-prediction averaging.
+    B_L0/L1/Bi macroblocks with default bi-prediction averaging, and
+    in-loop §8.7 deblocking with the two-list boundary-strength rule
+    (filtered references propagate through the GOP on both sides).
 
     Scale shape: one Arrow mapInPandas over a pushdown-filtered
     two-column projection, repartitioned so the per-document codec
@@ -1104,7 +1108,7 @@ def media_h264_bframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recon: list = []
                 stream = encode_h264_video(
                     frames, qp=26, gop=6, yuv=True, search_range=2,
-                    recon_out=recon, b_frames=1,
+                    recon_out=recon, b_frames=1, deblock=True,
                 )
                 counts: list = []
                 decoded = list(

@@ -255,12 +255,21 @@ def test_temporal_direct_scaling_hand_computed():
     assert mv0[0][0] == (8, -4) and mv1[0][0] == (0, 0)
 
 
-def test_b_slice_deblocking_refused():
-    s = _b_header(idc=0)
-    s.rbsp_trailing()
-    stream = _bstream_prefix() + _nal(1, 0, bytes(s.out))
-    with pytest.raises(NotImplementedError, match="deblocking inside B"):
-        list(decode_h264_annexb(stream, yuv=True))
+def test_deblocked_bgop_closed_loop():
+    # §8.7 filtering inside B slices: two-list bS derivation
+    # (reference sets compared first, then per-list MV deltas);
+    # filtered references propagate through the GOP on both sides
+    frames = [_frame(i, i * 2) for i in range(6)]
+    for mode in ("spatial", "temporal"):
+        recon: list = []
+        stream = encode_h264_video(
+            frames, qp=30, gop=6, yuv=True, search_range=2,
+            recon_out=recon, b_frames=1, b_direct=mode, deblock=True,
+        )
+        decoded = list(decode_h264_annexb(stream, yuv=True))
+        for (_fn, got), want in zip(decoded, recon):
+            for g, x in zip(got, want):
+                assert np.array_equal(g, x)
 
 
 def test_b_without_future_reference_refused():
@@ -295,8 +304,6 @@ def test_b_stream_is_main_profile_with_poc0():
 
 def test_encoder_b_frames_validation():
     frames = [_frame(i, 0) for i in range(4)]
-    with pytest.raises(ValueError, match="deblock=False"):
-        encode_h264_video(frames, yuv=True, b_frames=1, deblock=True)
     with pytest.raises(ValueError, match="weighted prediction"):
         encode_h264_video(frames, yuv=True, b_frames=1, wp=(1, 3, 2))
     with pytest.raises(ValueError, match="gop"):
