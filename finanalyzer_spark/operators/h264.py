@@ -23,8 +23,10 @@ operators/multimodal.py:
   (tests/test_h264_cavlc.py — see h264_cavlc's module docstring for
   the sibling-bug defences).  P slices decode too — P_Skip and
   P_L0_16x16 motion compensation with exact quarter-pel
-  interpolation over a single reference (operators/h264_inter, twin
-  `encode_h264_video`) — and the §8.7 in-loop deblocking filter
+  interpolation over MULTIPLE reference frames (te(v) ref_idx per
+  partition, refIdx-aware 8.4.1.3 prediction, sliding-window DPB;
+  operators/h264_inter, twin `encode_h264_video`) — and the §8.7
+  in-loop deblocking filter
   (operators/h264_deblock) runs whenever the stream does not disable
   it, so DEFAULT-flag baseline streams decode exactly.  P
   macroblocks cover every partition shape — 16x16, 16x8 / 8x16
@@ -38,10 +40,12 @@ operators/multimodal.py:
   bi-prediction averaging, both direct derivations (spatial
   8.4.1.2.2 and POC-scaled temporal 8.4.1.2.3) and POC type 0
   output re-ordering to display order — and the §8.7 filter runs
-  inside B slices too (two-list boundary-strength derivation), so
-  DEFAULT-flag IBP streams decode exactly; CABAC and multi-ref
-  raise NotImplementedError naming the PyAV tier:
-  exact-or-refuse.
+  inside B slices too (two-list boundary-strength derivation plus
+  the different-reference rule for multi-ref P edges), so
+  DEFAULT-flag IBP streams decode exactly; CABAC, reference-list
+  modification, multi-ref B slices and weighted prediction over
+  several references raise NotImplementedError naming the PyAV
+  tier: exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
 emulation prevention (7.4.1.1).  Reference context: the reference
@@ -512,7 +516,8 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     """Decode an Annex-B H.264 stream whose coded macroblocks are all
     intra-coded (I_PCM, CAVLC I_4x4/I_16x16 — any mix), P slices
     with any partition shape (P_Skip / 16x16 / 16x8 / 8x16 / P_8x8
-    sub-partitions down to 4x4) over a single reference, or B slices
+    sub-partitions down to 4x4) over one or MORE references (te(v)
+    ref_idx per partition against the sliding-window DPB), or B slices
     with every Table 7-14/7-18 macroblock shape (B_Skip / direct via
     spatial OR temporal direct mode, 16x16 / 16x8 / 8x16 / B_8x8
     sub-partitions in every L0/L1/Bi combination) over one reference
@@ -524,10 +529,10 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     (pic-order-count) order: streams with B pictures carry POC type 0
     and the decoder re-orders output through a bounded pending buffer
     (bumping depth 1 — one B layer, the GOP shapes the twin emits and
-    the common IBP web-encode shape).  CABAC and multi-ref raise
-    NotImplementedError naming the PyAV tier (exact-or-refuse; see
-    the module docstrings here, in h264_cavlc, h264_inter and
-    h264_deblock)."""
+    the common IBP web-encode shape).  CABAC, reference-list
+    modification and multi-ref B slices raise NotImplementedError
+    naming the PyAV tier (exact-or-refuse; see the module docstrings
+    here, in h264_cavlc, h264_inter and h264_deblock)."""
     import numpy as np
 
     sps = pps = None
@@ -672,10 +677,8 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                         "reference list modification needs the PyAV"
                         " tier"
                     )
+            n_ref0 = 1
             if kind == "P":
-                # most recently decoded reference (8.2.4.2.1 with one
-                # active reference)
-                ref_planes = dpb[-1][1]
                 if pps["constrained_intra_pred"]:
                     # CIP changes intra prediction inside P slices
                     # (inter neighbours become unavailable, 8.3.1.2);
@@ -684,26 +687,28 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                         "constrained_intra_pred P slices need the"
                         " PyAV tier"
                     )
+                n_ref0 = pps["num_ref_idx_l0_default"]
                 if r.u(1):  # num_ref_idx_active_override_flag
-                    if r.ue() != 0:  # num_ref_idx_l0_active_minus1
-                        raise NotImplementedError(
-                            "multiple reference frames need the PyAV"
-                            " tier"
-                        )
-                elif pps["num_ref_idx_l0_default"] != 1:
-                    # no override → the PPS default applies; >1 active
-                    # refs put a ref_idx_l0 te(v) in every mb_pred our
-                    # P parser doesn't read
-                    raise NotImplementedError(
-                        "multiple reference frames (PPS default) need"
-                        " the PyAV tier"
+                    n_ref0 = r.ue() + 1  # num_ref_idx_l0_active_minus1
+                if n_ref0 > len(dpb):
+                    raise ValueError(
+                        "num_ref_idx_l0_active exceeds the decoded"
+                        " reference pictures"
                     )
+                # RefPicList0 initialisation for frames (8.2.4.2.1):
+                # descending PicNum = most recently decoded first
+                ref_planes = [d[1] for d in reversed(dpb)][:n_ref0]
                 if r.u(1):  # ref_pic_list_modification_flag_l0
                     raise NotImplementedError(
                         "reference list modification needs the PyAV"
                         " tier"
                     )
             wp = None
+            if kind == "P" and pps["weighted_pred"] and n_ref0 > 1:
+                raise NotImplementedError(
+                    "weighted prediction with multiple references"
+                    " needs the PyAV tier"
+                )
             if kind == "P" and pps["weighted_pred"]:
                 # pred_weight_table (7.3.3.2), single active reference:
                 # explicit per-slice luma/chroma weight + offset pairs
@@ -764,6 +769,7 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                 motion_out=motion_out, counts=counts,
                 direct_temporal=(kind == "B" and direct_temporal),
                 pocs=pocs if kind == "B" else None,
+                n_ref0=n_ref0,
             )
             if nal_ref_idc != 0:
                 # only REFERENCE pictures enter the DPB (8.2.5): a

@@ -1049,6 +1049,8 @@ class _SliceState:
         #: direct-mode selection + POC triple (B slices; 8.4.1.2)
         self.direct_temporal = False
         self.pocs = None
+        #: active list-0 references (P slices; te(v) ref_idx when > 1)
+        self.n_ref0 = 1
 
     def planes_u8(self):
         np = _np()
@@ -1278,20 +1280,36 @@ def _read_inter_residual(r, st, mx: int, my: int):
     return lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma
 
 
-def _decode_p16_mb(r, st, mx: int, my: int, ref, counts):
-    """Parse + reconstruct one P_L0_16x16 macroblock (single active
-    reference, so ref_idx_l0 is absent; mvd then CBP via the Table
-    9-4 Inter mapping, then the shared CAVLC residual)."""
-    from .h264_inter import mc_chroma, mc_luma, predict_mv
+
+def _te(r, cmax: int) -> int:
+    """Truncated exp-Golomb (9.1.1): single inverted bit when the
+    range is [0, 1], plain ue(v) otherwise."""
+    if cmax <= 0:
+        return 0
+    if cmax == 1:
+        return 1 - r.u(1)
+    v = r.ue()
+    if v > cmax:
+        raise ValueError(f"ref_idx {v} exceeds active references")
+    return v
+
+
+def _decode_p16_mb(r, st, mx: int, my: int, refs0, counts):
+    """Parse + reconstruct one P_L0_16x16 macroblock: ref_idx_l0
+    te(v) when more than one reference is active (absent otherwise),
+    mvd with the refIdx-aware 8.4.1.3 predictor, CBP via the Table
+    9-4 Inter mapping, then the shared CAVLC residual."""
+    from .h264_inter import mc_chroma, mc_luma, predict_mv_part
 
     _bump(counts, "p16")
-    mvp = predict_mv(st.mvf, mx, my)
+    ridx = _te(r, st.n_ref0 - 1)
+    mvp = predict_mv_part(st.mvf, mx * 4, my * 4, 4, ref_idx=ridx)
     mv = (mvp[0] + r.se(), mvp[1] + r.se())
-    st.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
+    st.mvf.put_inter(my * 4, mx * 4, 4, 4, mv, ref_idx=ridx)
     lv_luma, cbp_luma, dc_c, ac_c, cbp_chroma = _read_inter_residual(
         r, st, mx, my
     )
-    ry, rcb, rcr = ref
+    ry, rcb, rcr = refs0[ridx]
     px, py = mx * 16, my * 16
     _recon_inter_mb(
         st, mx, my,
@@ -1302,25 +1320,26 @@ def _decode_p16_mb(r, st, mx: int, my: int, ref, counts):
     )
 
 
-def _decode_p_part_mb(r, st, mx: int, my: int, ref, mb_type: int,
+def _decode_p_part_mb(r, st, mx: int, my: int, refs0, mb_type: int,
                       counts):
     """Parse + reconstruct one partitioned inter macroblock —
-    P_L0_L0_16x8 (mb_type 1) or P_L0_L0_8x16 (mb_type 2).  Both mvds
-    are parsed first (7.3.5.1), each partition's predictor derived
-    sequentially per 8.4.1.3 (partition 1 sees partition 0's decided
-    MV), then the shared residual and a partition-assembled
-    reconstruction."""
+    P_L0_L0_16x8 (mb_type 1) or P_L0_L0_8x16 (mb_type 2).  Syntax
+    order per 7.3.5.1: both ref_idx_l0 te(v) codes (when more than
+    one reference is active), then both mvds; each partition's
+    predictor derived sequentially per 8.4.1.3 (partition 1 sees
+    partition 0's decided MV and reference), then the shared residual
+    and a partition-assembled reconstruction."""
     import numpy as np
 
     from .h264_inter import mc_chroma, mc_luma, predict_mv_part
 
     _bump(counts, "p16x8" if mb_type == 1 else "p8x16")
+    ridxs = [_te(r, st.n_ref0 - 1), _te(r, st.n_ref0 - 1)]
     mvds = [(r.se(), r.se()), (r.se(), r.se())]
     gx0, gy0 = mx * 4, my * 4
     pred = np.zeros((16, 16), dtype=np.int64)
     pred_cb = np.zeros((8, 8), dtype=np.int64)
     pred_cr = np.zeros((8, 8), dtype=np.int64)
-    ry, rcb, rcr = ref
     if mb_type == 1:  # 16x8: top then bottom
         parts = (
             (gx0, gy0, 4, 2, "B"),
@@ -1331,10 +1350,14 @@ def _decode_p_part_mb(r, st, mx: int, my: int, ref, mb_type: int,
             (gx0, gy0, 2, 4, "A"),
             (gx0 + 2, gy0, 2, 4, "C"),
         )
-    for (gx, gy, w4, h4, direction), mvd in zip(parts, mvds):
-        mvp = predict_mv_part(st.mvf, gx, gy, w4, direction)
+    for (gx, gy, w4, h4, direction), mvd, ridx in zip(
+        parts, mvds, ridxs
+    ):
+        ry, rcb, rcr = refs0[ridx]
+        mvp = predict_mv_part(st.mvf, gx, gy, w4, direction,
+                              ref_idx=ridx)
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        st.mvf.put_inter(gy, gx, h4, w4, mv)
+        st.mvf.put_inter(gy, gx, h4, w4, mv, ref_idx=ridx)
         px, py = gx * 4, gy * 4
         lx, ly = px - mx * 16, py - my * 16
         bw, bh = w4 * 4, h4 * 4
@@ -1362,14 +1385,16 @@ def _decode_p_part_mb(r, st, mx: int, my: int, ref, mb_type: int,
 _SUB_SHAPES = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
 
 
-def _decode_p8x8_mb(r, st, mx: int, my: int, ref, counts):
+def _decode_p8x8_mb(r, st, mx: int, my: int, refs0, counts,
+                    mb_type: int = 3):
     """Parse + reconstruct one P_8x8 / P_8x8ref0 macroblock: four
-    sub_mb_type codes (Table 7-17: 8x8, 8x4, 4x8, 4x4), then all
-    mvd pairs in sub-partition raster order (7.3.5.2), each
-    sub-partition predicted by the 8.4.1.3.1 median process at its
-    own block geometry (no directional rules below the macroblock
-    level), then the shared residual.  Single active reference, so
-    ref_idx_l0 is absent for both mb_types."""
+    sub_mb_type codes (Table 7-17: 8x8, 8x4, 4x8, 4x4), then — for
+    P_8x8 with more than one active reference — a ref_idx_l0 te(v)
+    per 8x8 quadrant (P_8x8ref0, mb_type 4, pins every quadrant to
+    reference 0), then all mvd pairs in sub-partition raster order
+    (7.3.5.2), each sub-partition predicted by the 8.4.1.3.1 median
+    process at its own block geometry (no directional rules below
+    the macroblock level), then the shared residual."""
     import numpy as np
 
     from .h264_inter import mc_chroma, mc_luma, predict_mv_part
@@ -1381,20 +1406,26 @@ def _decode_p8x8_mb(r, st, mx: int, my: int, ref, counts):
         if smt > 3:
             raise ValueError(f"invalid P sub_mb_type {smt}")
         subs.append(smt)
+    if mb_type == 3 and st.n_ref0 > 1:
+        ridxs = [_te(r, st.n_ref0 - 1) for _ in range(4)]
+    else:
+        ridxs = [0, 0, 0, 0]
     gx0, gy0 = mx * 4, my * 4
     pred = np.zeros((16, 16), dtype=np.int64)
     pred_cb = np.zeros((8, 8), dtype=np.int64)
     pred_cr = np.zeros((8, 8), dtype=np.int64)
-    ry, rcb, rcr = ref
     for part in range(4):
         qx, qy = gx0 + (part & 1) * 2, gy0 + (part >> 1) * 2
         w4, h4 = _SUB_SHAPES[subs[part]]
+        ridx = ridxs[part]
+        ry, rcb, rcr = refs0[ridx]
         for sy in range(0, 2, h4):
             for sx in range(0, 2, w4):
                 gx, gy = qx + sx, qy + sy
-                mvp = predict_mv_part(st.mvf, gx, gy, w4)
+                mvp = predict_mv_part(st.mvf, gx, gy, w4,
+                                      ref_idx=ridx)
                 mv = (mvp[0] + r.se(), mvp[1] + r.se())
-                st.mvf.put_inter(gy, gx, h4, w4, mv)
+                st.mvf.put_inter(gy, gx, h4, w4, mv, ref_idx=ridx)
                 px, py = gx * 4, gy * 4
                 lx, ly = px - mx * 16, py - my * 16
                 bw, bh = w4 * 4, h4 * 4
@@ -1424,18 +1455,18 @@ def _decode_p8x8_mb(r, st, mx: int, my: int, ref, counts):
     )
 
 
-def _recon_pskip(st, mx: int, my: int, ref, counts):
-    """P_Skip: motion-compensated copy at the skip-predicted MV, no
-    residual, no TotalCoeff contribution (8.4.1.1)."""
+def _recon_pskip(st, mx: int, my: int, refs0, counts):
+    """P_Skip: motion-compensated copy at the skip-predicted MV on
+    reference 0, no residual, no TotalCoeff contribution (8.4.1.1)."""
     from .h264_inter import mc_chroma, mc_luma, skip_mv
 
     _bump(counts, "pskip")
     mv = skip_mv(st.mvf, mx, my)
-    st.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
+    st.mvf.put_inter(my * 4, mx * 4, 4, 4, mv, ref_idx=0)
     st.tc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
     for c in range(2):
         st.tc_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
-    ry, rcb, rcr = ref
+    ry, rcb, rcr = refs0[0]
     px, py = mx * 16, my * 16
     _recon_inter_mb(
         st, mx, my,
@@ -1857,6 +1888,7 @@ def decode_slice(
     motion_out: dict | None = None,
     direct_temporal: bool = False,
     pocs=None,
+    n_ref0: int = 1,
 ):
     """Decode all macroblocks of a single-slice picture; `r` is
     positioned at the first slice_data element.  Returns (y, cb, cr)
@@ -1884,6 +1916,17 @@ def decode_slice(
     is_b = slice_kind == "B"
     if is_p and ref is None:
         raise ValueError("P slice without a decoded reference frame")
+    # `ref` is the RefPicList0 (a list of (y, cb, cr) plane triples in
+    # PicNum order) or a single triple (one active reference)
+    refs0 = None
+    if is_p:
+        refs0 = ref if isinstance(ref, list) else [ref]
+        if n_ref0 > len(refs0):
+            raise ValueError(
+                "num_ref_idx_l0_active exceeds the decoded-reference"
+                " list"
+            )
+        st.n_ref0 = n_ref0
     if is_b and (ref is None or ref1 is None or col is None):
         raise ValueError(
             "B slice needs both temporal references and the"
@@ -1902,7 +1945,7 @@ def decode_slice(
                 if is_b:
                     _recon_bskip(st, mx, my, refs_b, counts)
                 else:
-                    _recon_pskip(st, mx, my, ref, counts)
+                    _recon_pskip(st, mx, my, refs0, counts)
                 mb += 1
             if mb >= n_mbs:
                 break
@@ -1912,15 +1955,17 @@ def decode_slice(
             from .h264_inter import P_INTRA_OFFSET
 
             if mb_type == 0:  # P_L0_16x16
-                _decode_p16_mb(r, st, mx, my, ref, counts)
+                _decode_p16_mb(r, st, mx, my, refs0, counts)
                 mb += 1
                 continue
             if mb_type in (1, 2):  # P_L0_L0_16x8 / P_L0_L0_8x16
-                _decode_p_part_mb(r, st, mx, my, ref, mb_type, counts)
+                _decode_p_part_mb(r, st, mx, my, refs0, mb_type,
+                                  counts)
                 mb += 1
                 continue
             if mb_type in (3, 4):  # P_8x8 / P_8x8ref0
-                _decode_p8x8_mb(r, st, mx, my, ref, counts)
+                _decode_p8x8_mb(r, st, mx, my, refs0, counts,
+                                mb_type=mb_type)
                 mb += 1
                 continue
             # intra mb_type offset in P slices (7.4.5)
@@ -1963,7 +2008,7 @@ def decode_slice(
         deblock_picture(
             st.y, st.cb, st.cr, st.qp_mb, st.intra_mb, st.tc_y,
             st.mvf.mvx, st.mvf.mvy, st.cq_off, alpha_off, beta_off,
-            **bkw,
+            ref4=st.mvf.ref, **bkw,
         )
     if motion_out is not None:
         # the caller keeps this alongside reference pictures: the
@@ -1972,6 +2017,7 @@ def decode_slice(
         motion_out["state"] = st.mvf.state.copy()
         motion_out["mvx"] = st.mvf.mvx.copy()
         motion_out["mvy"] = st.mvf.mvy.copy()
+        motion_out["ref"] = st.mvf.ref.copy()
     return st.planes_u8()
 
 

@@ -176,6 +176,7 @@ def deblock_picture(
     mvy4_l1=None,
     use0_4=None,
     use1_4=None,
+    ref4=None,
 ):
     """Apply the §8.7 deblocking filter to a decoded picture in place.
 
@@ -220,6 +221,7 @@ def deblock_picture(
         mvy1 = np.asarray(mvy4_l1)
         u0 = np.asarray(use0_4, dtype=bool)
         u1 = np.asarray(use1_4, dtype=bool)
+    refs = None if ref4 is None else np.asarray(ref4)
 
     def edge_bs(pmy, pmx, qmy, qmx, pb, qb, mb_edge):
         """Boundary strength for one 4x4 block pair; pb/qb index the
@@ -245,6 +247,9 @@ def deblock_picture(
             ):
                 return 1
             return 0
+        if refs is not None and int(refs[pb]) != int(refs[qb]):
+            # 8.7.2.1: different reference pictures (multi-ref P) → 1
+            return 1
         if (
             abs(int(mvx4[pb]) - int(mvx4[qb])) >= 4
             or abs(int(mvy4[pb]) - int(mvy4[qb])) >= 4

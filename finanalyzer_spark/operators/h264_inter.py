@@ -13,7 +13,9 @@ macroblock parse/reconstruct) and the GOP encoder twin
 `encode_h264_video` below.
 
 Tier contract (exact-or-refuse, same as the intra tier): the decoder
-handles EVERY P macroblock partition shape over a single reference —
+handles EVERY P macroblock partition shape over one or more
+references (per-partition te(v) ref_idx, refIdx-aware same-reference
+rules in the 8.4.1.3 predictors, P_8x8ref0) —
 P_L0_16x16, the two-partition shapes P_L0_L0_16x8 / 8x16
 (directional MV prediction per 8.4.1.3 over the 4x4-granularity
 MvField), P_8x8 sub-partitions down to 4x4 (median prediction per
@@ -27,9 +29,9 @@ in every list combination, and B_8x8 sub-partitions down to 4x4 —
 per-list median prediction and default bi-prediction averaging
 (8.4.2.3.1), both direct derivations (spatial 8.4.1.2.2 / temporal
 8.4.1.2.3), POC-ordered display output, and §8.7 deblocking with
-the two-list boundary-strength rule.  Multiple reference frames,
-reference list modification and CABAC raise NotImplementedError
-naming the PyAV tier.
+the two-list boundary-strength rule.  Reference list modification,
+multi-reference B slices and CABAC raise NotImplementedError naming
+the PyAV tier.
 
 Validation strategy (tests/test_h264_inter.py):
 * the 6-tap half-pel filter is pinned against hand-computed vectors;
@@ -234,16 +236,22 @@ class MvField:
         self.state = np.zeros((self.h, self.w), dtype=np.uint8)
         self.mvx = np.zeros((self.h, self.w), dtype=np.int64)
         self.mvy = np.zeros((self.h, self.w), dtype=np.int64)
+        #: reference index per block (-1 = intra/unset; multi-ref P
+        #: streams make the 8.4.1.3 same-reference tests real)
+        self.ref = np.full((self.h, self.w), -1, dtype=np.int64)
 
-    def put_inter(self, gy: int, gx: int, h4: int, w4: int, mv) -> None:
+    def put_inter(self, gy: int, gx: int, h4: int, w4: int, mv,
+                  ref_idx: int = 0) -> None:
         self.state[gy : gy + h4, gx : gx + w4] = self.INTER
         self.mvx[gy : gy + h4, gx : gx + w4] = mv[0]
         self.mvy[gy : gy + h4, gx : gx + w4] = mv[1]
+        self.ref[gy : gy + h4, gx : gx + w4] = ref_idx
 
     def put_intra(self, gy: int, gx: int, h4: int, w4: int) -> None:
         self.state[gy : gy + h4, gx : gx + w4] = self.INTRA
         self.mvx[gy : gy + h4, gx : gx + w4] = 0
         self.mvy[gy : gy + h4, gx : gx + w4] = 0
+        self.ref[gy : gy + h4, gx : gx + w4] = -1
 
     def avail(self, gx: int, gy: int, override=None) -> bool:
         if gx < 0 or gy < 0 or gx >= self.w or gy >= self.h:
@@ -252,6 +260,15 @@ class MvField:
             return True
         return self.state[gy, gx] != self.UNSET
 
+    def _override_entry(self, override, gx, gy):
+        """Normalize an override value to (mv, ref_idx): encoder
+        probes store either a bare (mvx, mvy) (ref 0) or
+        ((mvx, mvy), ref_idx)."""
+        v = override[(gx, gy)]
+        if isinstance(v[0], tuple):
+            return v
+        return v, 0
+
     def inter_mv(self, gx: int, gy: int, override=None):
         """(mvx, mvy) when the block is available AND inter, else
         None (unavailable and intra both contribute (0, 0) to the
@@ -259,10 +276,20 @@ class MvField:
         if gx < 0 or gy < 0 or gx >= self.w or gy >= self.h:
             return None
         if override and (gx, gy) in override:
-            return override[(gx, gy)]
+            return self._override_entry(override, gx, gy)[0]
         if self.state[gy, gx] != self.INTER:
             return None
         return int(self.mvx[gy, gx]), int(self.mvy[gy, gx])
+
+    def ref_of(self, gx: int, gy: int, override=None) -> int:
+        """The block's reference index, -1 when unavailable/intra."""
+        if gx < 0 or gy < 0 or gx >= self.w or gy >= self.h:
+            return -1
+        if override and (gx, gy) in override:
+            return self._override_entry(override, gx, gy)[1]
+        if self.state[gy, gx] != self.INTER:
+            return -1
+        return int(self.ref[gy, gx])
 
 
 def predict_mv_part(
@@ -272,36 +299,44 @@ def predict_mv_part(
     w4: int,
     directional: str | None = None,
     override=None,
+    ref_idx: int = 0,
 ):
     """MV predictor for a partition with top-left 4x4 block (gx, gy)
     and width `w4` blocks (8.4.1.3).  `directional` names the
     single-neighbour rule of the non-square partitions — 'B' (16x8
     top), 'A' (16x8 bottom / 8x16 left), 'C' (8x16 right) — applied
-    when that neighbour is inter on the (single) reference, else the
-    median process of 8.4.1.3.1 with C→D substitution."""
+    when that neighbour predicts from the SAME reference index, else
+    the median process of 8.4.1.3.1 with C→D substitution.  With one
+    active reference every inter neighbour matches `ref_idx` 0, which
+    reduces to the single-reference rules; multi-reference P streams
+    make the same-reference tests discriminate."""
     a_av = field.avail(gx - 1, gy, override)
     a = field.inter_mv(gx - 1, gy, override)
+    a_ref = field.ref_of(gx - 1, gy, override)
     b_av = field.avail(gx, gy - 1, override)
     b = field.inter_mv(gx, gy - 1, override)
+    b_ref = field.ref_of(gx, gy - 1, override)
     c_av = field.avail(gx + w4, gy - 1, override)
     c = field.inter_mv(gx + w4, gy - 1, override)
+    c_ref = field.ref_of(gx + w4, gy - 1, override)
     if not c_av:
         c_av = field.avail(gx - 1, gy - 1, override)
         c = field.inter_mv(gx - 1, gy - 1, override)
-    if directional == "A" and a is not None:
+        c_ref = field.ref_of(gx - 1, gy - 1, override)
+    if directional == "A" and a is not None and a_ref == ref_idx:
         return a
-    if directional == "B" and b is not None:
+    if directional == "B" and b is not None and b_ref == ref_idx:
         return b
-    if directional == "C" and c is not None:
+    if directional == "C" and c is not None and c_ref == ref_idx:
         return c
     # 8.4.1.3.1: B, C (and D) all unavailable → predictor is A
     if not b_av and not c_av and a_av:
         return a if a is not None else (0, 0)
-    cands = [a, b, c]
-    inter = [m for m in cands if m is not None]
-    if len(inter) == 1:  # exactly one same-reference neighbour
-        return inter[0]
-    vals = [m if m is not None else (0, 0) for m in cands]
+    cands = [(a, a_ref), (b, b_ref), (c, c_ref)]
+    same = [m for m, r in cands if m is not None and r == ref_idx]
+    if len(same) == 1:  # exactly one same-reference neighbour
+        return same[0]
+    vals = [m if m is not None else (0, 0) for m, _r in cands]
     xs = sorted(v[0] for v in vals)
     ys = sorted(v[1] for v in vals)
     return xs[1], ys[1]
@@ -314,15 +349,17 @@ def predict_mv(field: MvField, mx: int, my: int):
 
 def skip_mv(field: MvField, mx: int, my: int):
     """P_Skip motion vector (8.4.1.1): zero when the left or above
-    neighbour block is unavailable, or when either is inter with a
-    zero MV (on the only reference); otherwise the median
-    predictor."""
+    neighbour block is unavailable, or when either is inter on
+    reference 0 with a zero MV; otherwise the median predictor at
+    refIdxL0 = 0."""
     gx, gy = mx * 4, my * 4
     if not field.avail(gx - 1, gy) or not field.avail(gx, gy - 1):
         return 0, 0
     a = field.inter_mv(gx - 1, gy)
     b = field.inter_mv(gx, gy - 1)
-    if a == (0, 0) or b == (0, 0):
+    if (a == (0, 0) and field.ref_of(gx - 1, gy) == 0) or (
+        b == (0, 0) and field.ref_of(gx, gy - 1) == 0
+    ):
         return 0, 0
     return predict_mv(field, mx, my)
 
@@ -392,8 +429,11 @@ def spatial_direct(f0: MvField, f1: MvField, col: dict,
                 cx, cy = (0 if bx < 2 else 3), (0 if by < 2 else 3)
             else:
                 cx, cy = bx, by
+            col_ref = col.get("ref")
             col_zero = (
                 col["state"][gy + cy, gx + cx] == MvField.INTER
+                and (col_ref is None
+                     or int(col_ref[gy + cy, gx + cx]) == 0)
                 and abs(int(col["mvx"][gy + cy, gx + cx])) <= 1
                 and abs(int(col["mvy"][gy + cy, gx + cx])) <= 1
             )
@@ -439,6 +479,16 @@ def temporal_direct(col: dict, pocs, mx: int, my: int,
             else:
                 cx, cy = bx, by
             if col["state"][gy + cy, gx + cx] == MvField.INTER:
+                col_ref = col.get("ref")
+                if col_ref is not None and int(
+                    col_ref[gy + cy, gx + cx]
+                ) > 0:
+                    # MapColToList0 of a ref > 0 lands outside this
+                    # tier's single active list-0 reference
+                    raise NotImplementedError(
+                        "temporal direct over a multi-reference"
+                        " colocated picture needs the PyAV tier"
+                    )
                 mvc = (
                     int(col["mvx"][gy + cy, gx + cx]),
                     int(col["mvy"][gy + cy, gx + cx]),
@@ -587,7 +637,7 @@ def _recon_luma_mb(pred, lv, cbp_luma: int, qp: int):
 
 
 def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
-                        search_range, wp):
+                        search_range, wp, n_ref0: int = 1):
     """RD macroblock loop of one P slice: for every macroblock,
     probe P_Skip / P_L0_16x16 / the partition shapes / intra
     fallback through the decoder's exact reconstruction path and
@@ -595,7 +645,13 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
     encode_h264_video so the B-GOP twin encodes its P reference
     frames through the identical closed loop.  Writes slice-data
     bits into `s` and the reconstruction + motion state into
-    `est`; the caller owns the slice header and NAL wrapping."""
+    `est`; the caller owns the slice header and NAL wrapping.
+
+    `ref` is a (y, cb, cr) triple or the RefPicList0 list of them
+    (most recent first); with `n_ref0` > 1 the 16x16 candidate is
+    searched on EVERY active reference (ref_idx te(v) priced into
+    the RD bits), partition shapes stay on reference 0, and the
+    8x8 shape is emitted as P_8x8ref0."""
     import numpy as np
 
     from finanalyzer_spark.operators.h264 import _BitWriter
@@ -613,6 +669,8 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
     )
 
     src_y, src_cb, src_cr = src
+    refs0 = ref if isinstance(ref, list) else [ref]
+    ref = refs0[0]
 
     #: JM-style rate-distortion lambda for the SSD + lam*bits cost
     lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
@@ -627,14 +685,21 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
         src_cr_mb = src_cr[cy : cy + 8, cx : cx + 8]
 
         def write_inter(wr, mbt, mvpairs, lv_, cbpl, cbpc,
-                        cdc_, cac_, tc_y, tc_c):
-            """mb_type (+ sub_mb_types for P_8x8) + per-partition
+                        cdc_, cac_, tc_y, tc_c, ridxs=None):
+            """mb_type (+ sub_mb_types for P_8x8) + ref_idx te(v)
+            codes when several references are active + per-partition
             mvds + CBP + shared CAVLC residual (7.3.5) — one
             writer for 16x16/16x8/8x16/8x8."""
             wr.ue(mbt)
-            if mbt == 3:  # P_8x8: four sub_mb_type codes first
+            if mbt in (3, 4):  # P_8x8(ref0): four sub_mb_type codes
                 for _ in range(4):
                     wr.ue(0)  # P_L0_8x8 sub-blocks
+            if n_ref0 > 1 and mbt != 4:
+                for ri in ridxs or [0] * len(mvpairs):
+                    if n_ref0 == 2:
+                        wr.u(1 - ri, 1)  # te(v), cmax 1
+                    else:
+                        wr.ue(ri)
             for pmvp, pmv in mvpairs:
                 wr.se(pmv[0] - pmvp[0])
                 wr.se(pmv[1] - pmvp[1])
@@ -656,30 +721,41 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
                 wr, tc_c, mx, my, cbpc, cdc_, cac_
             )
 
-        # --- P_L0_16x16 candidate: motion search + residual ---
-        mvp = predict_mv(est.mvf, mx, my)
-        mv = _motion_search(
-            ref[0], src_mb, px, py, mvp, search_range
-        )
-        pred_y = mc_luma(ref[0], px, py, mv[0], mv[1])
-        if wp is not None:
-            pred_y = wp_apply(pred_y, wp[1], wp[2], wp[0])
-        lv, cbp_luma = _quant_luma_mb(src_mb, pred_y, qp)
-        pred_cb = mc_chroma(ref[1], cx, cy, mv[0], mv[1])
-        pred_cr = mc_chroma(ref[2], cx, cy, mv[0], mv[1])
-        cbp_chroma, cdc, cac, crec = _quant_chroma_resid(
-            (pred_cb, pred_cr), src_cb_mb, src_cr_mb, qpc
-        )
-        rec_y = _recon_luma_mb(pred_y, lv, cbp_luma, qp)
-        ssd_p = int(((rec_y - src_mb) ** 2).sum())
-        ssd_p += int(((crec[0] - src_cb_mb) ** 2).sum())
-        ssd_p += int(((crec[1] - src_cr_mb) ** 2).sum())
-
-        probe = _BitWriter()
-        write_inter(probe, 0, [(mvp, mv)], lv, cbp_luma,
-                    cbp_chroma, cdc, cac, est.tc_y.copy(),
-                    [g.copy() for g in est.tc_c])
-        cost_p = ssd_p + lam * _bits_of(probe)
+        # --- P_L0_16x16 candidate: motion search + residual,
+        # over EVERY active reference (ref_idx priced into the bits)
+        best16 = None
+        for ridx in range(n_ref0):
+            rr = refs0[ridx]
+            mvp_r = predict_mv_part(
+                est.mvf, mx * 4, my * 4, 4, ref_idx=ridx
+            )
+            mv_r = _motion_search(
+                rr[0], src_mb, px, py, mvp_r, search_range
+            )
+            pred_y_r = mc_luma(rr[0], px, py, mv_r[0], mv_r[1])
+            if wp is not None:
+                pred_y_r = wp_apply(pred_y_r, wp[1], wp[2], wp[0])
+            lv_r, cbpl_r = _quant_luma_mb(src_mb, pred_y_r, qp)
+            pcb_r = mc_chroma(rr[1], cx, cy, mv_r[0], mv_r[1])
+            pcr_r = mc_chroma(rr[2], cx, cy, mv_r[0], mv_r[1])
+            cbpc_r, cdc_r, cac_r, crec_r = _quant_chroma_resid(
+                (pcb_r, pcr_r), src_cb_mb, src_cr_mb, qpc
+            )
+            rec_r = _recon_luma_mb(pred_y_r, lv_r, cbpl_r, qp)
+            ssd_r = int(((rec_r - src_mb) ** 2).sum())
+            ssd_r += int(((crec_r[0] - src_cb_mb) ** 2).sum())
+            ssd_r += int(((crec_r[1] - src_cr_mb) ** 2).sum())
+            probe = _BitWriter()
+            write_inter(probe, 0, [(mvp_r, mv_r)], lv_r, cbpl_r,
+                        cbpc_r, cdc_r, cac_r, est.tc_y.copy(),
+                        [g.copy() for g in est.tc_c],
+                        ridxs=[ridx])
+            c_r = ssd_r + lam * _bits_of(probe)
+            if best16 is None or c_r < best16[0]:
+                best16 = (c_r, ridx, mvp_r, mv_r, lv_r, cbpl_r,
+                          cbpc_r, cdc_r, cac_r, rec_r, crec_r, ssd_r)
+        (cost_p, ridx16, mvp, mv, lv, cbp_luma, cbp_chroma, cdc,
+         cac, rec_y, crec, ssd_p) = best16
 
         # --- partitioned candidates: 16x8 / 8x16 / P_8x8 ---
         # later partitions' predictors depend on earlier decided
@@ -696,8 +772,11 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
             (2, ((mx * 4, my * 4, 2, 4, "A"),
                  (mx * 4 + 2, my * 4, 2, 4, "C"))),
             # P_8x8 with four 8x8 sub-blocks (sub_mb_type 0 each;
-            # median prediction per quadrant, no directional rule)
-            (3, ((mx * 4, my * 4, 2, 2, None),
+            # median prediction per quadrant, no directional rule);
+            # with several active references emit P_8x8ref0 (mb_type
+            # 4): quadrants pinned to reference 0, no ref_idx syntax
+            (3 if n_ref0 == 1 else 4,
+             ((mx * 4, my * 4, 2, 2, None),
                  (mx * 4 + 2, my * 4, 2, 2, None),
                  (mx * 4, my * 4 + 2, 2, 2, None),
                  (mx * 4 + 2, my * 4 + 2, 2, 2, None))),
@@ -806,6 +885,9 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
                 est.mvf.mvy[
                     my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
                 ].copy(),
+                est.mvf.ref[
+                    my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4
+                ].copy(),
             ),
         )
 
@@ -828,6 +910,7 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
             est.mvf.state[blk4] = saved[7][0]
             est.mvf.mvx[blk4] = saved[7][1]
             est.mvf.mvy[blk4] = saved[7][2]
+            est.mvf.ref[blk4] = saved[7][3]
 
         # intra probe early exit: an intra macroblock costs at
         # least its mode/CBP syntax (~10 bits); when an inter
@@ -901,12 +984,12 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
 
         # --- emit P_L0_16x16 ---
         write_inter(s, 0, [(mvp, mv)], lv, cbp_luma, cbp_chroma,
-                    cdc, cac, est.tc_y, est.tc_c)
+                    cdc, cac, est.tc_y, est.tc_c, ridxs=[ridx16])
         est.y[py : py + 16, px : px + 16] = rec_y
         est.cb[cy : cy + 8, cx : cx + 8] = crec[0]
         est.cr[cy : cy + 8, cx : cx + 8] = crec[1]
         est.dec4[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
-        est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv)
+        est.mvf.put_inter(my * 4, mx * 4, 4, 4, mv, ref_idx=ridx16)
 
     if skip_run:  # trailing skips close the slice (7.3.4)
         s.ue(skip_run)
@@ -1064,11 +1147,13 @@ def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
                 est.mvf.state[blk4].copy(),
                 est.mvf.mvx[blk4].copy(),
                 est.mvf.mvy[blk4].copy(),
+                est.mvf.ref[blk4].copy(),
             ),
             (
                 est.mvf1.state[blk4].copy(),
                 est.mvf1.mvx[blk4].copy(),
                 est.mvf1.mvy[blk4].copy(),
+                est.mvf1.ref[blk4].copy(),
             ),
         )
 
@@ -1084,9 +1169,11 @@ def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
             est.mvf.state[blk4] = saved[7][0]
             est.mvf.mvx[blk4] = saved[7][1]
             est.mvf.mvy[blk4] = saved[7][2]
+            est.mvf.ref[blk4] = saved[7][3]
             est.mvf1.state[blk4] = saved[8][0]
             est.mvf1.mvx[blk4] = saved[8][1]
             est.mvf1.mvy[blk4] = saved[8][2]
+            est.mvf1.ref[blk4] = saved[8][3]
 
         if min(cost_skip, cost_d, best[0]) <= lam * 10:
             probe_w = None
@@ -1190,7 +1277,7 @@ def _bgop_filter(est, qp: int, mbw: int, mbh: int, is_b: bool) -> None:
         est.y, est.cb, est.cr,
         np.full((mbh, mbw), qp, dtype=np.int64),
         intra_flags, est.tc_y, est.mvf.mvx, est.mvf.mvy, 0,
-        **bkw,
+        ref4=est.mvf.ref, **bkw,
     )
 
 
@@ -1321,6 +1408,7 @@ def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out,
                     "state": est.mvf.state.copy(),
                     "mvx": est.mvf.mvx.copy(),
                     "mvy": est.mvf.mvy.copy(),
+                    "ref": est.mvf.ref.copy(),
                 },
             )
             recons[disp] = est.planes_u8()
@@ -1366,6 +1454,7 @@ def encode_h264_video(
     wp: tuple | None = None,
     b_frames: int = 0,
     b_direct: str = "spatial",
+    refs: int = 1,
 ) -> bytes:
     """Encoder twin for the motion-compensated tier: an Annex-B
     baseline stream of IDR pictures every `gop` frames with P
@@ -1432,6 +1521,18 @@ def encode_h264_video(
     if gop < 2:
         raise ValueError("gop must be >= 2")
     planes, h, w = _frames_to_planes(frames, yuv)
+    if refs < 1:
+        raise ValueError("refs must be >= 1")
+    if refs > 1 and b_frames:
+        raise ValueError(
+            "multi-reference encoding is modelled for the P-GOP"
+            " path only (B slices keep one reference per list)"
+        )
+    if refs > 1 and wp is not None:
+        raise ValueError(
+            "weighted prediction with multiple references is not"
+            " modelled"
+        )
     if b_frames:
         if b_frames < 0:
             raise ValueError("b_frames must be >= 0")
@@ -1457,14 +1558,17 @@ def encode_h264_video(
     sps_rbsp, pps_rbsp = write_sps_pps(
         mbw, mbh, pic_init_qp=qp, deblocking_control=not deblock,
         weighted_pred=wp is not None,
+        num_ref_frames=refs, num_ref_l0_default=refs,
     )
     out = bytearray()
     out += _nal(NAL_SPS, 3, sps_rbsp)
     out += _nal(NAL_PPS, 3, pps_rbsp)
-    ref = None  # (y, cb, cr) int64 reconstruction of the previous frame
+    #: RefPicList0 of (y, cb, cr) int64 reconstructions, most recent
+    #: first, capped at `refs` (the SPS sliding window)
+    ref_list: list = []
 
     for fi, (src_y8, src_cb8, src_cr8) in enumerate(planes):
-        if fi % gop == 0 or ref is None:  # IDR
+        if fi % gop == 0 or not ref_list:  # IDR
             rec: list = []
             stream = encode_h264_intra(
                 [(src_y8, src_cb8, src_cr8)], qp=qp, yuv=True,
@@ -1475,11 +1579,11 @@ def encode_h264_video(
             nals = [n for n in stream.split(b"\x00\x00\x00\x01") if n]
             out += b"\x00\x00\x00\x01" + nals[-1]
             ry, rcb, rcr = rec[0]
-            ref = (
+            ref_list = [(
                 ry.astype(np.int64),
                 rcb.astype(np.int64),
                 rcr.astype(np.int64),
-            )
+            )]
             if recon_out is not None:
                 recon_out.append(rec[0])
             continue
@@ -1489,12 +1593,19 @@ def encode_h264_video(
         src_cr = src_cr8.astype(np.int64)
         est = _EncState(mbw, mbh)
 
+        n_act = min(refs, len(ref_list))
         s = _BitWriter()
         s.ue(0)                 # first_mb_in_slice
         s.ue(5)                 # slice_type: P (all slices in pic)
         s.ue(0)                 # pps_id
         s.u(fi % gop, 8)        # frame_num (increments from the IDR)
-        s.u(0, 1)               # num_ref_idx_active_override_flag
+        if n_act != refs:
+            # right after an IDR the DPB holds fewer references than
+            # the PPS default — override the active count down
+            s.u(1, 1)           # num_ref_idx_active_override_flag
+            s.ue(n_act - 1)     # num_ref_idx_l0_active_minus1
+        else:
+            s.u(0, 1)           # num_ref_idx_active_override_flag
         s.u(0, 1)               # ref_pic_list_modification_flag_l0
         if wp is not None:      # pred_weight_table (7.3.3.2)
             s.ue(wp[0])         # luma_log2_weight_denom
@@ -1509,8 +1620,8 @@ def encode_h264_video(
             s.ue(1)             # disable_deblocking_filter_idc
 
         _encode_p_slice_mbs(
-            s, est, (src_y, src_cb, src_cr), ref, qp, qpc, mbw,
-            mbh, search_range, wp,
+            s, est, (src_y, src_cb, src_cr), ref_list, qp, qpc, mbw,
+            mbh, search_range, wp, n_ref0=n_act,
         )
         s.rbsp_trailing()
         out += _nal(NAL_SLICE, 2, bytes(s.out))
@@ -1527,8 +1638,12 @@ def encode_h264_video(
                 est.y, est.cb, est.cr,
                 np.full((mbh, mbw), qp, dtype=np.int64),
                 intra_flags, est.tc_y, est.mvf.mvx, est.mvf.mvy, 0,
+                ref4=est.mvf.ref,
             )
-        ref = (est.y.copy(), est.cb.copy(), est.cr.copy())
+        ref_list.insert(
+            0, (est.y.copy(), est.cb.copy(), est.cr.copy())
+        )
+        del ref_list[refs:]
         if recon_out is not None:
             recon_out.append(est.planes_u8())
     return bytes(out)

@@ -535,11 +535,11 @@ def _sc_nals(stream):
     return [sc + n for n in stream.split(sc) if n]
 
 
-def test_pps_default_multi_ref_refused():
+def test_multi_ref_claim_beyond_dpb_fails_closed():
     """A stream whose PPS sets num_ref_idx_l0_default_active_minus1
-    >= 1 and whose P slice does NOT override it carries ref_idx_l0
-    te(v) elements our P parser never reads — must refuse, not
-    misparse (spec 7.3.3 / 7.4.3)."""
+    >= 1 while the DPB holds a single decoded reference is invalid —
+    multi-ref P decodes natively now, but an active-reference count
+    the DPB cannot satisfy must fail closed, not misparse."""
     frames = _translating(2)
     stream = encode_h264_video(frames, qp=30, gop=2, yuv=True)
     _sps_rbsp, pps2 = write_sps_pps(
@@ -550,7 +550,7 @@ def test_pps_default_multi_ref_refused():
     patched = b"".join(
         [nals[0], _nal(NAL_PPS, 3, pps2)] + nals[2:]
     )
-    with pytest.raises(NotImplementedError, match="PPS default"):
+    with pytest.raises(ValueError, match="exceeds the decoded"):
         list(decode_h264_annexb(patched, yuv=True))
 
 
