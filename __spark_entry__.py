@@ -150,6 +150,8 @@ ROUND_CHANGED = frozenset({
     # round-7 LLM-text additions — need first rows
     "negative_sampling_unigram",
     "chi2_token_selection",
+    "group_kfold_counts",
+    "kruskal_wallis_returnflag",
 })
 
 

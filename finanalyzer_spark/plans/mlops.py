@@ -751,3 +751,63 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_train", "n_cal", "n_test", "q_cents", "coverage_ppm"
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped K-fold assignment (leakage-safe cross-validation)
+# --------------------------------------------------------------------------
+#: fold count for the grouped split
+_GKF_K = 4
+
+
+@query(
+    "group_kfold_counts",
+    oracle=f"""
+    WITH folds AS (
+        SELECT doc_id, n_chars, source,
+               ('0x' || substr(md5('gkf|' || source), 1, 8))::BIGINT
+                   % {_GKF_K} AS fold
+        FROM documents
+    )
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM folds GROUP BY fold
+    """,
+    tags=("ml", "split", "sampling"),
+)
+def group_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped K-fold assignment: every document lands in the fold of
+    its SOURCE (content-hash of the group key), so all documents from
+    one crawl/domain share a fold — the leakage-safe cross-validation
+    split for corpus models, where a random per-document split lets
+    near-duplicates from one source straddle train and validation.
+    Complements `time_split_folds` (temporal leakage) with the
+    group-leakage guard.
+
+    Scale shape: the fold is a pure expression over the group key
+    (md5 bucket, the repo's portable-hash convention — reproducible
+    across engines, partitionings and reruns; no group table, no
+    join); one map-side-combined groupBy rolls up per-fold counts."""
+    t = load(spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gkf|"), F.col("source"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % _GKF_K
+    )
+    return (
+        t.documents.select(
+            fold.cast("int").alias("fold"), "source", "n_chars"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

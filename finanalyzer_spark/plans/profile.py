@@ -1608,3 +1608,107 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H test (k-group rank ANOVA)
+# --------------------------------------------------------------------------
+@query(
+    "kruskal_wallis_returnflag",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    rk AS (
+        SELECT v, count(*)::HUGEINT AS t,
+               2 * min(mr) + count(*) - 1 AS d
+        FROM (SELECT v, rank() OVER (ORDER BY v) AS mr FROM x)
+        GROUP BY v
+    ),
+    g AS (
+        SELECT grp, count(*)::HUGEINT AS n_g,
+               sum(rk.d::HUGEINT) AS r2
+        FROM x JOIN rk USING (v) GROUP BY grp
+    ),
+    tot AS (
+        SELECT (SELECT sum(n_g) FROM g) AS n,
+               (SELECT sum(t * t * t - t) FROM rk) AS ties
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((SELECT count(*) FROM g) AS BIGINT) AS n_groups,
+           round(12.0 / (n * (n + 1))
+                 * (SELECT sum(r2 * r2 / 4.0 / n_g) FROM g)
+                 - 3 * (n + 1), 4) + 0.0 AS h,
+           round((12.0 / (n * (n + 1))
+                  * (SELECT sum(r2 * r2 / 4.0 / n_g) FROM g)
+                  - 3 * (n + 1))
+                 / (1.0 - ties / (n * n * n - n)), 4) + 0.0
+               AS h_tie_corrected
+    FROM tot
+    """,
+    tags=("profile", "stats", "rank-test"),
+)
+def kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of the price distribution across the
+    three return-flag populations — the k-group extension of the
+    Mann-Whitney U already in the battery (rank ANOVA: did ANY group
+    shift?).  Ranks are tie-midpoint average ranks carried DOUBLED
+    (exact integers, the Spearman discipline); per-group rank sums,
+    the tie term sum(t^3 - t) and the totals all accumulate in
+    DECIMAL(38,0)/HUGEINT, so both engines feed identical integers
+    into the two final float expressions (H and its tie correction),
+    rounded identically.
+
+    Scale shape: ONE groupBy collapses the facts to distinct values
+    with tie counts; the global min-rank comes from
+    operators/rank.ordered_scan (range repartition + offsets — no
+    single-partition window); the facts join the (value → rank)
+    table once and ONE aggregate per group builds the rank sums."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = t.lineitem.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+    )
+    vk = x.groupBy("v").agg(F.count("*").alias("t"))
+    r = ordered_scan(vk, ["v"], running={"cum": "t"})
+    rk = r.select(
+        "v",
+        F.col("t").cast(dec).alias("t"),
+        (2 * F.col("cum") - F.col("t") + 1).alias("d"),
+    )
+    g = (
+        x.join(rk.select("v", "d"), "v")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast(dec).alias("n_g"),
+            F.sum(F.col("d").cast(dec)).alias("r2"),
+        )
+    )
+    tot = rk.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "ties"
+        )
+    )
+    agg = g.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(
+            # square in DECIMAL first (exact, like DuckDB's HUGEINT)
+            # so both engines round at the same single float step
+            (F.col("r2") * F.col("r2")).cast("double")
+            / 4.0 / F.col("n_g").cast("double")
+        ).alias("s"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1)) * F.col("s") - 3 * (nn + 1)
+    c = 1.0 - F.col("ties").cast("double") / (nn * nn * nn - nn)
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        "n_groups",
+        (F.round(h, 4) + 0.0).alias("h"),
+        (F.round(h / c, 4) + 0.0).alias("h_tie_corrected"),
+    )

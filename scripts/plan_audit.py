@@ -1079,6 +1079,23 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "group_kfold_counts": {
+        # fold = pure hash expression over the group key — no group
+        # table, no join, one map-side-combined rollup
+        "must": ["HashAggregate"],
+        "must_not": ["Join", "Window", "Generate"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "kruskal_wallis_returnflag": {
+        # distinct-value ranks from ordered_scan (range repartition +
+        # LOCAL window), one fact join, per-group rank sums in one
+        # aggregate; 1-row tie-term broadcast only
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "negative_sampling_unigram": {
         # inverse-CDF draw resolved by the bucketed interval join:
         # draws equi-join the bucket-exploded vocab intervals (hash
