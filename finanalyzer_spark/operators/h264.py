@@ -42,10 +42,11 @@ operators/multimodal.py:
   output re-ordering to display order — and the §8.7 filter runs
   inside B slices too (two-list boundary-strength derivation plus
   the different-reference rule for multi-ref P edges), so
-  DEFAULT-flag IBP streams decode exactly; CABAC, reference-list
-  modification, multi-ref B slices and weighted prediction over
-  several references raise NotImplementedError naming the PyAV
-  tier: exact-or-refuse.
+  DEFAULT-flag IBP streams decode exactly — and P slices honour
+  short-term reference-list re-ordering (8.2.4.3.1 PicNum ops);
+  CABAC, long-term references, multi-ref B slices and weighted
+  prediction over several references raise NotImplementedError
+  naming the PyAV tier: exact-or-refuse.
 
 Spec grounding: ITU-T H.264 syntax (7.3.x), exp-Golomb (9.1),
 emulation prevention (7.4.1.1).  Reference context: the reference
@@ -529,8 +530,9 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
     (pic-order-count) order: streams with B pictures carry POC type 0
     and the decoder re-orders output through a bounded pending buffer
     (bumping depth 1 — one B layer, the GOP shapes the twin emits and
-    the common IBP web-encode shape).  CABAC, reference-list
-    modification and multi-ref B slices raise NotImplementedError
+    the common IBP web-encode shape).  P reference lists honour
+    short-term re-ordering ops (8.2.4.3.1).  CABAC, long-term
+    references and multi-ref B slices raise NotImplementedError
     naming the PyAV tier (exact-or-refuse; see the module docstrings
     here, in h264_cavlc, h264_inter and h264_deblock)."""
     import numpy as np
@@ -619,7 +621,7 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                     "SP/SI H.264 slices need the PyAV tier"
                 )
             r.ue()  # pps_id
-            r.u(sps["log2_max_frame_num"])  # frame_num
+            frame_num = r.u(sps["log2_max_frame_num"])
             if nal_type == NAL_IDR:
                 r.ue()  # idr_pic_id
             poc = decode_no
@@ -697,12 +699,52 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                     )
                 # RefPicList0 initialisation for frames (8.2.4.2.1):
                 # descending PicNum = most recently decoded first
-                ref_planes = [d[1] for d in reversed(dpb)][:n_ref0]
+                entries = list(reversed(dpb))
                 if r.u(1):  # ref_pic_list_modification_flag_l0
-                    raise NotImplementedError(
-                        "reference list modification needs the PyAV"
-                        " tier"
-                    )
+                    # 8.2.4.3.1 — short-term re-ordering: each op
+                    # names a PicNum (abs_diff from a running
+                    # prediction, MaxFrameNum wrap) and moves that
+                    # picture to the next front slot
+                    max_fn = 1 << sps["log2_max_frame_num"]
+
+                    def pic_num(entry_fn: int) -> int:
+                        # FrameNumWrap (8.2.4.1): decoded earlier but
+                        # numerically larger frame_num wrapped down
+                        return (entry_fn - max_fn
+                                if entry_fn > frame_num else entry_fn)
+
+                    pred = frame_num  # picNumL0Pred starts at CurrPicNum
+                    slot = 0
+                    while True:
+                        idc = r.ue()
+                        if idc == 3:
+                            break
+                        if idc not in (0, 1):
+                            raise NotImplementedError(
+                                "long-term reference list modification"
+                                " needs the PyAV tier"
+                            )
+                        diff = r.ue() + 1
+                        no_wrap = (pred - diff) if idc == 0 else (
+                            pred + diff
+                        )
+                        if no_wrap < 0:
+                            no_wrap += max_fn
+                        elif no_wrap >= max_fn:
+                            no_wrap -= max_fn
+                        pred = no_wrap
+                        target = (no_wrap - max_fn
+                                  if no_wrap > frame_num else no_wrap)
+                        hit = [i for i, d in enumerate(entries)
+                               if pic_num(d[3]) == target]
+                        if not hit:
+                            raise ValueError(
+                                "reference list modification names a"
+                                " PicNum absent from the DPB"
+                            )
+                        entries.insert(slot, entries.pop(hit[0]))
+                        slot += 1
+                ref_planes = [d[1] for d in entries][:n_ref0]
             wp = None
             if kind == "P" and pps["weighted_pred"] and n_ref0 > 1:
                 raise NotImplementedError(
@@ -783,6 +825,7 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                         cr.astype(np.int64),
                     ),
                     motion_out,
+                    frame_num,
                 ))
                 # sliding-window marking (8.2.5.3): oldest decoded
                 # reference leaves when the DPB exceeds the SPS cap

@@ -29,7 +29,7 @@ in every list combination, and B_8x8 sub-partitions down to 4x4 —
 per-list median prediction and default bi-prediction averaging
 (8.4.2.3.1), both direct derivations (spatial 8.4.1.2.2 / temporal
 8.4.1.2.3), POC-ordered display output, and §8.7 deblocking with
-the two-list boundary-strength rule.  Reference list modification,
+the two-list boundary-strength rule.  Long-term references,
 multi-reference B slices and CABAC raise NotImplementedError naming
 the PyAV tier.
 

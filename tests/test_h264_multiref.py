@@ -286,3 +286,75 @@ def test_active_count_beyond_dpb_fails_closed():
     stream = prefix + _nal(1, 2, bytes(s.out))
     with pytest.raises(ValueError, match="exceeds the decoded"):
         list(decode_h264_annexb(stream, yuv=True))
+
+
+def test_ref_list_modification_reorders_list0():
+    """8.2.4.3.1 short-term re-ordering: an op moving the OLDER
+    reference (the IDR) to the front makes ref_idx 0 mean that
+    picture — a hand P slice predicting everything from list slot 0
+    at zero motion must reproduce the IDR frame, not the recent P."""
+    prefix, _ref0, _ref1 = _two_ref_prefix()
+    s = _BitWriter()
+    s.ue(0)        # first_mb_in_slice
+    s.ue(5)        # slice_type: P
+    s.ue(0)        # pps_id
+    s.u(2, 8)      # frame_num (CurrPicNum = 2)
+    s.u(0, 1)      # num_ref_idx_active_override (PPS default 2)
+    s.u(1, 1)      # ref_pic_list_modification_flag_l0
+    s.ue(0)        # idc 0: subtract
+    s.ue(1)        # abs_diff_pic_num_minus1 → picNum 0 (the IDR)
+    s.ue(3)        # idc 3: end of ops
+    s.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+    s.se(0)        # slice_qp_delta
+    s.ue(1)        # disable_deblocking_filter_idc
+    # all four MBs: P_L0_16x16 at list slot 0 (the re-ordered IDR),
+    # zero mvd, no residual
+    for _ in range(4):
+        s.ue(0)    # mb_skip_run — NOTE: skip also predicts from
+        s.ue(0)    # slot 0, but use explicit MBs for clarity
+        s.u(1, 1)  # ref_idx_l0 te(v) → 0
+        s.se(0)    # mvd x
+        s.se(0)    # mvd y
+        s.ue(0)    # cbp 0
+    s.rbsp_trailing()
+    stream = prefix + _nal(1, 2, bytes(s.out))
+    decoded = list(decode_h264_annexb(stream, yuv=True))
+    assert len(decoded) == 3
+    idr_planes = decoded[0][1]
+    got = decoded[2][1]
+    for g, x in zip(got, idr_planes):
+        assert np.array_equal(g, x)
+
+
+def test_ref_list_modification_absent_picnum_fails_closed():
+    prefix, _r0, _r1 = _two_ref_prefix()
+    s = _BitWriter()
+    s.ue(0)
+    s.ue(5)
+    s.ue(0)
+    s.u(2, 8)
+    s.u(0, 1)
+    s.u(1, 1)      # modification flag
+    s.ue(0)        # idc 0
+    s.ue(4)        # abs_diff 5 → picNum -3 mod 256 = 253: not in DPB
+    s.ue(3)
+    s.rbsp_trailing()
+    stream = prefix + _nal(1, 2, bytes(s.out))
+    with pytest.raises(ValueError, match="PicNum absent"):
+        list(decode_h264_annexb(stream, yuv=True))
+
+
+def test_long_term_modification_refused():
+    prefix, _r0, _r1 = _two_ref_prefix()
+    s = _BitWriter()
+    s.ue(0)
+    s.ue(5)
+    s.ue(0)
+    s.u(2, 8)
+    s.u(0, 1)
+    s.u(1, 1)      # modification flag
+    s.ue(2)        # idc 2: long-term pic num
+    s.rbsp_trailing()
+    stream = prefix + _nal(1, 2, bytes(s.out))
+    with pytest.raises(NotImplementedError, match="long-term"):
+        list(decode_h264_annexb(stream, yuv=True))
