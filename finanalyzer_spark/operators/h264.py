@@ -55,8 +55,6 @@ repo has no media surface — extended training-data-pipeline tier.
 
 from __future__ import annotations
 
-import struct
-
 #: NAL unit types (Table 7-1)
 NAL_SLICE = 1
 NAL_IDR = 5

@@ -19,7 +19,6 @@ from finanalyzer_spark.operators.h264 import (
     _nal,
     decode_h264_annexb,
     split_annexb,
-    write_sps_pps,
 )
 from finanalyzer_spark.operators.h264_inter import (
     MvField,

@@ -17,11 +17,9 @@ import numpy as np
 import pytest
 
 from finanalyzer_spark.operators.h264 import (
-    _BitReader,
     _BitWriter,
     _nal,
     decode_h264_annexb,
-    parse_pps,
     parse_sps,
     split_annexb,
 )
