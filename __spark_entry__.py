@@ -157,13 +157,14 @@ ROUND_CHANGED = frozenset({
 
 def _ordered_names() -> list[str]:
     """Sampling-priority order for the driver's ~50-query prefix sampler:
-    round-7-changed/new names first (media codec + stats/eval/graph
-    batteries), then the 38 names that have never received a driver
-    row in any of r1-r6 (curation, sampling, retrieval, graph,
-    sketches, stats — see CORRECTNESS_r*.json union), then the
+    the 23 round-7-changed/new names first (B-slice tier, stats/eval/
+    graph/text batteries), then the 38 names that have never received
+    a driver row in any of r1-r6 (curation, sampling, retrieval,
+    graph, sketches, stats — see CORRECTNESS_r*.json union), then the
     already-verified rest (registry order within each tier).  With
-    ~50 slots this round covers all 9 new + all 38 never-sampled
-    names and the union closes toward the full registry."""
+    ~50 slots this round covers all 23 new + most of the 38
+    never-sampled names and the union closes toward the full
+    registry (194/255 verified entering the round)."""
     names = list(REGISTRY)
     sampled = DRIVER_SAMPLED - ROUND_CHANGED
 

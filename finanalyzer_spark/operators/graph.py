@@ -211,7 +211,15 @@ def hits_fixed(
     Scale shape per round: two equi-joins on node ids + two
     map-side-combined groupBys; the edge frame is persisted once; the
     L1 norms ride 1-row broadcasts. Same join/agg skeleton that holds
-    pagerank at fact-table edge counts."""
+    pagerank at fact-table edge counts.
+
+    Lineage discipline: every score frame is consumed TWICE per round
+    (once by its L1 total, once by the normalization) and then feeds
+    the next round's join — without truncation the lazy plan re-embeds
+    each round's whole pipeline at every reference and the recompute
+    count grows geometrically with `iters` (measured 21 s vs 2 s at
+    sf0.1 for 2 rounds).  `localCheckpoint` per score frame keeps each
+    round one bounded job, the components/kcore/BFS discipline."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.persist()
     hubs = e.select(F.col("src").alias("node")).distinct().select(
@@ -223,20 +231,22 @@ def hits_fixed(
             e.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("score").alias("s"))
+            .localCheckpoint()
         )
         an = a.agg(F.sum("s").alias("tot"))
         auth = a.crossJoin(F.broadcast(an)).select(
             "node", F.round(F.col("s") / F.col("tot"), round_digits).alias("score")
-        )
+        ).localCheckpoint()
         h = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("score").alias("s"))
+            .localCheckpoint()
         )
         hn = h.agg(F.sum("s").alias("tot"))
         hubs = h.crossJoin(F.broadcast(hn)).select(
             "node", F.round(F.col("s") / F.col("tot"), round_digits).alias("score")
-        )
+        ).localCheckpoint()
     return hubs, auth
 
 
@@ -263,6 +273,9 @@ def bfs_hops(
     `source`, covering exactly the nodes within `max_hops`.
     """
     e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # every hop joins the frontier onto this frame — persist it, or
+    # the whole upstream edge build re-executes once per hop
+    e = e.persist()
     spark = edges_sym.sparkSession
     visited = spark.createDataFrame(
         [(source, 0)], schema="node string, hop int"

@@ -996,10 +996,12 @@ EXPECTATIONS: dict[str, dict] = {
     },
     "hits_trade_graph": {
         # per-round equi-joins + map-side-combined groupBys over the
-        # persisted edge frame; L1 norms are 1-row broadcasts — the
-        # pagerank skeleton, no windows, no sorts
-        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "Union"],
-        "must_not": ["Window", "CartesianProduct"],
+        # persisted edge frame, each round localCheckpoint-ed (the
+        # score frames are consumed twice per round — without the
+        # truncation the lazy plan recomputes geometrically), so the
+        # visible plan is the hubs/auth union over materialized RDDs
+        "must": ["Scan ExistingRDD", "Union"],
+        "must_not": ["Window", "CartesianProduct", "SortMergeJoin"],
         "no_global_window": True,
         "no_global_sort": True,
     },
