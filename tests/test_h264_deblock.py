@@ -231,3 +231,45 @@ def test_external_decoder_conformance_when_available():
         assert np.array_equal(y, exp[0])
         assert np.array_equal(cb, exp[1])
         assert np.array_equal(cr, exp[2])
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"b_frames": 1},
+        {"b_frames": 1, "deblock": True},
+        {"b_frames": 1, "b_direct": "temporal"},
+        {"refs": 2},
+        {"refs": 2, "deblock": True},
+    ],
+    ids=["bgop", "bgop-deblocked", "bgop-temporal", "multiref",
+         "multiref-deblocked"],
+)
+def test_external_decoder_conformance_b_and_multiref(kw):
+    """Env-gated: the round-7 tiers (B-GOPs in both direct modes,
+    with and without in-loop filtering; multi-reference P streams)
+    must decode identically in a third-party decoder.  PyAV emits
+    frames in display order, matching the twin's recon_out."""
+    av = pytest.importorskip("av")
+    frames = _content(6)
+    rec: list = []
+    bits = encode_h264_video(
+        frames, qp=28, gop=6, yuv=True, search_range=2,
+        recon_out=rec, **kw
+    )
+    import io
+
+    with av.open(io.BytesIO(bits), format="h264") as c:
+        decoded = [
+            f.to_ndarray(format="yuv420p")
+            for f in c.decode(video=0)
+        ]
+    assert len(decoded) == len(rec)
+    h, w = rec[0][0].shape
+    for flat, exp in zip(decoded, rec):
+        y = flat[:h]
+        cb = flat[h : h + h // 4].reshape(h // 2, w // 2)
+        cr = flat[h + h // 4 :].reshape(h // 2, w // 2)
+        assert np.array_equal(y, exp[0])
+        assert np.array_equal(cb, exp[1])
+        assert np.array_equal(cr, exp[2])
