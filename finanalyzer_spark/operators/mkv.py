@@ -271,6 +271,31 @@ def mux_mkv(frames_or_samples, codec: str = "mjpeg", fps: int = 25,
         codec_private, payloads = build_avcc(encode_h264_ipcm(frames))
     else:
         raise ValueError(f"unsupported muxer codec {codec!r}")
+    keyflags = [0x80] * len(payloads)
+    return _mux_mkv_payloads(codec_id, codec_private, payloads,
+                             keyflags, w, h, fps)
+
+
+def mux_mkv_avc_stream(annexb: bytes, width: int, height: int,
+                       fps: int = 25) -> bytes:
+    """Mux an EXISTING Annex-B H.264 stream (e.g. a B-GOP or
+    multi-reference stream from encode_h264_video) into Matroska:
+    samples stay in decode order, and each SimpleBlock's keyframe
+    flag reflects its NAL type (IDR → keyframe, others not) — the
+    honest census a keyframe index reads back."""
+    from .h264 import NAL_IDR, build_avcc, split_annexb
+
+    codec_private, payloads = build_avcc(annexb)
+    kinds = [t for t, _r, _ in split_annexb(annexb) if t in (1, NAL_IDR)]
+    keyflags = [0x80 if t == NAL_IDR else 0x00 for t in kinds]
+    return _mux_mkv_payloads(
+        b"V_MPEG4/ISO/AVC", codec_private, payloads, keyflags,
+        width, height, fps,
+    )
+
+
+def _mux_mkv_payloads(codec_id: bytes, codec_private: bytes, payloads,
+                      keyflags, w: int, h: int, fps: int) -> bytes:
 
     ebml = _el(
         0x1A45DFA3,
@@ -310,7 +335,7 @@ def mux_mkv(frames_or_samples, codec: str = "mjpeg", fps: int = 25,
             blocks += _el(
                 _SIMPLE_BLOCK,
                 _vint_size(1) + struct.pack(">h", i * ms_per_frame)
-                + bytes([0x80]) + p,
+                + bytes([keyflags[c0 + i]]) + p,
             )
         clusters += _el(_CLUSTER, _el_uint(_CLUSTER_TS, base) + blocks)
     segment = _el(_SEGMENT, info + tracks + clusters)

@@ -1168,3 +1168,66 @@ def test_ima_adpcm_probe_dispatch_and_fuzz():
             assert out.dtype == np.int16
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_containers_bridge_bgop_and_multiref_streams():
+    """Round-7 container bridge: B-GOP and multi-reference H.264
+    streams survive the MP4 and Matroska round trips — samples stay
+    in decode order, keyframe flags/sync tables reflect NAL types
+    (one IDR per GOP), and the re-framed Annex-B decodes to the
+    encoder reconstruction in DISPLAY order via the POC buffer."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import decode_h264_annexb
+    from finanalyzer_spark.operators.h264_inter import encode_h264_video
+    from finanalyzer_spark.operators.mkv import (
+        mkv_avc_to_annexb,
+        mkv_track_index,
+        mux_mkv_avc_stream,
+    )
+    from finanalyzer_spark.operators.mp4 import (
+        avc_track_info,
+        mp4_avc_to_annexb,
+        mux_mp4_avc,
+    )
+
+    ys, xs = np.mgrid[0:32, 0:48]
+    base = ((ys * 3 + xs * 5) % 256).astype(np.uint8)
+    frames = [
+        (
+            np.roll(base, i * 2, axis=1)[:, :32].copy(),
+            np.full((16, 16), 60 + i, np.uint8),
+            np.full((16, 16), 90 - i, np.uint8),
+        )
+        for i in range(6)
+    ]
+    for kw, n_idr in (
+        ({"b_frames": 1}, 1),
+        ({"refs": 2}, 1),
+    ):
+        rec: list = []
+        stream = encode_h264_video(
+            frames, qp=28, gop=6, yuv=True, search_range=2,
+            recon_out=rec, **kw,
+        )
+        # --- MP4 round trip ---
+        mp4 = mux_mp4_avc(None, fps=10, annexb=stream)
+        info = avc_track_info(mp4)
+        assert (info["width"], info["height"]) == (32, 32)
+        assert info["n_samples"] == 6
+        assert info["n_keyframes"] == n_idr
+        dec = list(decode_h264_annexb(mp4_avc_to_annexb(mp4), yuv=True))
+        assert len(dec) == 6
+        for (_fn, got), want in zip(dec, rec):
+            for g, x in zip(got, want):
+                assert np.array_equal(g, x)
+        # --- Matroska round trip ---
+        mkv = mux_mkv_avc_stream(stream, 32, 32, fps=10)
+        trk = mkv_track_index(mkv)["tracks"][1]
+        assert trk["n_blocks"] == 6
+        assert trk["n_keyframes"] == n_idr
+        dec = list(decode_h264_annexb(mkv_avc_to_annexb(mkv), yuv=True))
+        assert len(dec) == 6
+        for (_fn, got), want in zip(dec, rec):
+            for g, x in zip(got, want):
+                assert np.array_equal(g, x)
