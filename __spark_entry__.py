@@ -152,6 +152,7 @@ ROUND_CHANGED = frozenset({
     "chi2_token_selection",
     "group_kfold_counts",
     "kruskal_wallis_returnflag",
+    "wilcoxon_signed_rank_price",
 })
 
 

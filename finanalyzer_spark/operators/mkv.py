@@ -9,8 +9,9 @@ content-hash dedup are codec-agnostic; V_MJPEG blocks decode through
 the pure JPEG decoder; V_MPEG4/ISO/AVC tracks expose their avcC
 CodecPrivate (re-framed to Annex-B like mp4_avc_to_annexb), so the
 pure tier of operators/h264.py (+h264_cavlc/h264_inter) decodes
-I_PCM, CAVLC-intra and 16x16-partition P tracks fully; other inter
-shapes route to PyAV.
+I_PCM, CAVLC-intra, every P partition shape (multi-reference
+included) and the full B tier; CABAC / long-term-reference tracks
+route to PyAV.
 
 Spec grounding: RFC 8794 (EBML) + the public Matroska element
 registry (matroska.org/technical/elements): vint-coded ids keep the

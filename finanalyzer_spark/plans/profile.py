@@ -1712,3 +1712,134 @@ def kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(h, 4) + 0.0).alias("h"),
         (F.round(h / c, 4) + 0.0).alias("h_tie_corrected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired samples)
+# --------------------------------------------------------------------------
+@query(
+    "wilcoxon_signed_rank_price",
+    oracle="""
+    WITH pairs AS (
+        SELECT l.l_partkey,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                   - CAST(round(max(p.p_retailprice) * 100, 0) AS BIGINT)
+                     * sum(CAST(l.l_quantity AS BIGINT)) AS d
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY l.l_partkey
+    ),
+    nz AS (SELECT d, abs(d) AS a FROM pairs WHERE d <> 0),
+    rk AS (
+        SELECT a, count(*)::HUGEINT AS t,
+               2 * min(mr) + count(*) - 1 AS dr
+        FROM (SELECT a, rank() OVER (ORDER BY a) AS mr FROM nz)
+        GROUP BY a
+    ),
+    m AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(CASE WHEN nz.d > 0 THEN rk.dr::HUGEINT
+                        ELSE 0 END) AS w2p,
+               sum(CASE WHEN nz.d < 0 THEN rk.dr::HUGEINT
+                        ELSE 0 END) AS w2m,
+               (SELECT sum(t * t * t - t) FROM rk) AS ties
+        FROM nz JOIN rk USING (a)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(w2p AS BIGINT) AS w2_plus,
+           CAST(w2m AS BIGINT) AS w2_minus,
+           round((w2p / 2.0 - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1) * (2 * n + 1) / 24.0
+                        - ties / 48.0), 4) + 0.0 AS z
+    FROM m
+    """,
+    tags=("profile", "stats", "rank-test", "paired"),
+)
+def wilcoxon_signed_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-part observations —
+    realized revenue vs list-price revenue (sum of extended prices
+    against retail price x quantity, both exact integer cents): 'are
+    actual prices systematically shifted from list prices', the
+    paired companion to Mann-Whitney (independent two-sample) and
+    Kruskal-Wallis (k groups).  Zero differences drop per the
+    classic procedure; |d| ranks are tie-midpoint average ranks
+    carried DOUBLED (exact integers); the positive/negative rank sums
+    and the tie term accumulate in DECIMAL(38,0)/HUGEINT, leaving one
+    rounded float step for the normal-approximation z with the
+    textbook tie-corrected variance n(n+1)(2n+1)/24 - sum(t^3-t)/48
+    (tie counts t are raw group sizes — rank DOUBLING does not touch
+    them; only the W sums carry the factor 2).
+
+    Scale shape: one groupBy builds the per-part pair differences
+    (the part dimension broadcast-joins), distinct |d| values get
+    global min-ranks from operators/rank.ordered_scan, one join back
+    and ONE aggregate forms every sum."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    pairs = (
+        t.lineitem.join(
+            F.broadcast(
+                t.part.select(
+                    F.col("p_partkey").alias("l_partkey"),
+                    F.round(F.col("p_retailprice") * 100, 0)
+                    .cast("long")
+                    .alias("retail_cents"),
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                )
+                - F.max("retail_cents")
+                * F.sum(F.col("l_quantity").cast("long"))
+            ).alias("d")
+        )
+    )
+    nz = pairs.where(F.col("d") != 0).select(
+        "d", F.abs(F.col("d")).alias("a")
+    )
+    vk = nz.groupBy("a").agg(F.count("*").alias("t"))
+    r = ordered_scan(vk, ["a"], running={"cum": "t"})
+    rk = r.select(
+        "a",
+        F.col("t").cast(dec).alias("t"),
+        (2 * F.col("cum") - F.col("t") + 1).alias("dr"),
+    )
+    m = (
+        nz.join(rk.select("a", "dr"), "a")
+        .agg(
+            F.count("*").cast(dec).alias("n"),
+            F.sum(
+                F.when(F.col("d") > 0, F.col("dr").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("w2p"),
+            F.sum(
+                F.when(F.col("d") < 0, F.col("dr").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("w2m"),
+        )
+    )
+    ties = rk.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "ties"
+        )
+    )
+    j = m.crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    z = (
+        F.col("w2p").cast("double") / 2.0 - nn * (nn + 1) / 4.0
+    ) / F.sqrt(
+        nn * (nn + 1) * (2 * nn + 1) / 24.0
+        - F.col("ties").cast("double") / 48.0
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("w2p").cast("long").alias("w2_plus"),
+        F.col("w2m").cast("long").alias("w2_minus"),
+        (F.round(z, 4) + 0.0).alias("z"),
+    )

@@ -1081,6 +1081,16 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "wilcoxon_signed_rank_price": {
+        # per-part paired differences via a broadcast dim join + one
+        # groupBy; |d| ranks from ordered_scan (range repartition);
+        # the d↔rank equi-join runs over two pre-aggregated frames
+        # (SMJ or hash both fine); 1-row tie-term broadcast only
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "group_kfold_counts": {
         # fold = pure hash expression over the group key — no group
         # table, no join, one map-side-combined rollup
