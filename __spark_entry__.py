@@ -153,6 +153,7 @@ ROUND_CHANGED = frozenset({
     "group_kfold_counts",
     "kruskal_wallis_returnflag",
     "wilcoxon_signed_rank_price",
+    "cramers_v_segment_priority",
 })
 
 

@@ -1843,3 +1843,99 @@ def wilcoxon_signed_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w2m").cast("long").alias("w2_minus"),
         (F.round(z, 4) + 0.0).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V (association effect size over a cross-table join)
+# --------------------------------------------------------------------------
+@query(
+    "cramers_v_segment_priority",
+    oracle="""
+    WITH c AS (
+        SELECT cu.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               count(*)::HUGEINT AS c
+        FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (SELECT seg, sum(c) AS r FROM c GROUP BY seg),
+    k AS (SELECT pri, sum(c) AS k FROM c GROUP BY pri),
+    n AS (SELECT sum(c) AS n FROM c),
+    chi AS (
+        SELECT max(n.n) AS n,
+               (SELECT count(*) FROM r) AS nr,
+               (SELECT count(*) FROM k) AS nc,
+               max(n.n) * sum(c.c * c.c / (r.r * k.k * 1.0)) - max(n.n)
+                   AS chi2
+        FROM c JOIN r USING (seg) JOIN k USING (pri), n
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(chi2, 4) + 0.0 AS chi2,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) + 0.0
+               AS cramers_v
+    FROM chi
+    """,
+    tags=("profile", "stats", "association"),
+)
+def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between customer market segment and order priority
+    — the normalized effect size the chi-square family needs to be
+    comparable across table shapes (V in [0,1] regardless of
+    dimensions), here over a cross-TABLE association (orders joined
+    to the customer dimension, not a single-table cross-tab).  Uses
+    the identity chi2 = N * sum c_ij^2/(r_i k_j) - N on exact integer
+    counts; the float sum runs over |segments| x |priorities| cells
+    only, then V = sqrt(chi2 / (N * min(r-1, c-1))).
+
+    Scale shape: the customer dimension broadcast-joins the fact
+    scan; ONE map-side-combined groupBy builds the cells; marginals
+    reduce the tiny cell frame and broadcast back. Raw facts are
+    touched once."""
+    t = load(spark, sf_dir)
+    c = (
+        t.orders.join(
+            F.broadcast(
+                t.customer.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("seg"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("seg", F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    r = c.groupBy("seg").agg(F.sum("c").alias("r"))
+    k = c.groupBy("pri").agg(F.sum("c").alias("k"))
+    j = c.join(F.broadcast(r), "seg").join(F.broadcast(k), "pri")
+    chi = j.agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("seg").alias("nr"),
+        F.countDistinct("pri").alias("nc"),
+        (
+            F.sum("c").cast("double")
+            * F.sum(
+                (F.col("c") * F.col("c")).cast("double")
+                / (F.col("r") * F.col("k")).cast("double")
+            )
+            - F.sum("c").cast("double")
+        ).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        (F.round("chi2", 4) + 0.0).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                    )
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("cramers_v"),
+    )

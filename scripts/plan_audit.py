@@ -1081,6 +1081,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "cramers_v_segment_priority": {
+        # broadcast dim join onto the fact scan, one cell groupBy,
+        # broadcast marginals — no windows, no sorts, no NL joins
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "Window",
+                     "BroadcastNestedLoopJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "wilcoxon_signed_rank_price": {
         # per-part paired differences via a broadcast dim join + one
         # groupBy; |d| ranks from ordered_scan (range repartition);
