@@ -31,6 +31,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #: prefix/ordered sampler toward them so the verified union widens
 #: each round. Refresh per round from the CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r7 sample (all green, CORRECTNESS_r07.json) ---
+    "acf_ljung_box", "benchmark_decontamination", "bfs_hops_trade_graph",
+    "bloom_filter_membership", "bm25_topk", "boilerplate_span_stats",
+    "chi2_token_selection", "conformal_interval_coverage",
+    "containment_near_superset", "cramers_v_segment_priority",
+    "crossdoc_span_dup_share", "cuped_adjusted_ab", "curation_funnel",
+    "deterministic_sample_stats", "gopher_repetition_filter",
+    "group_kfold_counts", "heavy_hitters_exact", "hits_trade_graph",
+    "hybrid_rrf_topk", "k_anonymity_audit", "kendall_tau_qty_discount",
+    "kmeans_lloyd_step", "kruskal_wallis_returnflag", "loo_target_encoding",
+    "media_flac_audio_stats", "media_h264_bframe_decode",
+    "media_h264_gop_decode", "media_h264_intra_decode",
+    "mrl_truncation_recall", "negative_sampling_unigram",
+    "per_group_hash_sample", "pii_scrub_stats", "poisson_bootstrap_ci",
+    "quality_calibration_bins", "quality_classifier_filter",
+    "quality_roc_auc", "seasonal_decompose_weekday",
+    "source_mixture_sample", "source_quota_cap", "spearman_price_discount",
+    "stratified_sample_counts", "survival_km_curve", "survival_logrank",
+    "table_profile_checks", "term_doc_frequency",
+    "train_test_split_counts", "vocab_oov_rate", "weighted_sample_stats",
+    "weighted_sample_topk", "wilcoxon_signed_rank_price",
     # --- r6 sample (all green, CORRECTNESS_r06.json; overlaps with the
     # round-6 ROUND_CHANGED re-queues are harmless set-union) ---
     "abc_customer_classes", "binned_ks_drift", "contrastive_pairs",
@@ -120,53 +141,36 @@ DRIVER_SAMPLED = frozenset({
 })
 
 
-#: Names changed or added THIS round (round 7) — priority-queued for a
-#: fresh driver row (same discipline as the round-5/6 re-queues).
+#: Names changed or added THIS round (round 8) — priority-queued for a
+#: fresh driver row (same discipline as the round-5/6/7 re-queues).
+#: Leads with the 13 names that have NEVER received a driver
+#: CORRECTNESS row in r1-r7 (VERDICT r7 "What's missing" #3) — a green
+#: row for each closes the cross-round verified union to 257/257.
 ROUND_CHANGED = frozenset({
-    # brand-new this round (CAVLC intra + motion-compensated H.264
-    # tiers) — need first rows
-    "media_h264_intra_decode",
-    "media_h264_gop_decode",
-    "media_flac_audio_stats",
-    # round-7 stats/eval battery — need first rows
-    "survival_km_curve",
-    "cuped_adjusted_ab",
-    "quality_roc_auc",
-    "quality_calibration_bins",
-    "hits_trade_graph",
-    "survival_logrank",
-    "conformal_interval_coverage",
-    "seasonal_decompose_weekday",
-    "acf_ljung_box",
-    "containment_near_superset",
-    "mrl_truncation_recall",
-    # round-7 stats/sketch/graph additions — need first rows
-    "spearman_price_discount",
-    "kendall_tau_qty_discount",
-    "bloom_filter_membership",
-    "bfs_hops_trade_graph",
-    # round-7 B-slice tier — needs a first row
-    "media_h264_bframe_decode",
-    # round-7 LLM-text additions — need first rows
-    "negative_sampling_unigram",
-    "chi2_token_selection",
-    "group_kfold_counts",
-    "kruskal_wallis_returnflag",
-    "wilcoxon_signed_rank_price",
-    "cramers_v_segment_priority",
+    # never driver-sampled in r1-r7 — highest-value missing hard signal
+    "approx_topk_contract",
+    "binned_wasserstein_drift",
+    "chi2_status_priority",
+    "cms_frequency_estimates",
+    "iqr_outlier_fences",
+    "kcore_cosupply",
+    "kmv_distinct_estimate",
+    "pagerank_trade_graph",
+    "psi_drift",
+    "theil_index_revenue",
+    "triangle_count_cosupply",
+    "weekday_anomaly_days",
+    "weighted_median_price",
 })
 
 
 def _ordered_names() -> list[str]:
     """Sampling-priority order for the driver's ~50-query prefix sampler:
-    the 23 round-7-changed/new names first (B-slice tier, stats/eval/
-    graph/text batteries), then the 38 names that have never received
-    a driver row in any of r1-r6 (curation, sampling, retrieval,
-    graph, sketches, stats — see CORRECTNESS_r*.json union), then the
-    already-verified rest (registry order within each tier).  With
-    ~50 slots this round covers all 23 new + most of the 38
-    never-sampled names and the union closes toward the full
-    registry (194/255 verified entering the round)."""
+    the 13 never-driver-sampled names first (drift/sketch/graph/stats —
+    includes three of the five most expensive plans: pagerank, kcore,
+    triangle), then any round-8-new names, then the already-verified
+    rest (registry order within each tier).  With ~50 slots the union
+    closes to 257/257 this round (244/257 verified entering it)."""
     names = list(REGISTRY)
     sampled = DRIVER_SAMPLED - ROUND_CHANGED
 

@@ -598,6 +598,17 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                     )
             elif slice_type % 5 == 1:
                 kind = "B"
+                if nal_ref_idc != 0:
+                    # a reference B picture (B-pyramid) would enter
+                    # the DPB with a list-0-only motion dict — the
+                    # 8.4.1.2 list-1 colocated fallback would then be
+                    # missing when it serves as the colocated picture,
+                    # and the depth-1 POC bump emits a 2-layer pyramid
+                    # out of display order.  Exact-or-refuse: refuse.
+                    raise NotImplementedError(
+                        "reference B pictures (B-pyramid) need the"
+                        " PyAV tier"
+                    )
                 if sps["poc_type"] != 0:
                     # without explicit POC there is no display order
                     # to place a B picture's references on
@@ -740,6 +751,23 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                                 "reference list modification names a"
                                 " PicNum absent from the DPB"
                             )
+                        if hit[0] < slot:
+                            # 8.2.4.3.1 permits naming a PicNum that
+                            # is already placed in the modified prefix
+                            # — the spec then keeps BOTH copies (the
+                            # removal step only strips copies after
+                            # the insertion point), putting one
+                            # picture in two RefPicList0 slots.  Our
+                            # pop/insert keeps the list a permutation
+                            # (wrong list), and the deblock bS rule
+                            # compares ref_idx as a proxy for picture
+                            # identity (8.7.2.1) which a duplicated
+                            # picture would break.  Exact-or-refuse.
+                            raise NotImplementedError(
+                                "reference list modification that"
+                                " duplicates a PicNum in the active"
+                                " list needs the PyAV tier"
+                            )
                         entries.insert(slot, entries.pop(hit[0]))
                         slot += 1
                 ref_planes = [d[1] for d in entries][:n_ref0]
@@ -837,6 +865,61 @@ def decode_h264_annexb(buf: bytes, yuv: bool = False,
                 pend.append((poc, _yuv420_to_rgb(y, cb, cr)))
             yield from _bump_ready(False)
     yield from _bump_ready(True)
+
+
+def display_order_from_annexb(buf: bytes) -> list[int]:
+    """Display index for every coded picture of an Annex-B stream, in
+    DECODE order — a lightweight slice-header scan (SPS POC fields +
+    pic_order_cnt_lsb with the 8.2.1.1 MSB-wrap derivation), no pixel
+    decode.  Container muxers use this to stamp presentation times on
+    B-GOP streams whose samples sit in decode order (Matroska block
+    timestamps and MP4 ctts offsets are presentation, not decode,
+    times).  Closed-GOP semantics: an IDR flushes (C.4.4 with
+    no_output_of_prior_pics=0, the twin's behaviour), so every
+    picture of GOP g displays before GOP g+1 regardless of POC reset.
+    Streams without explicit POC (poc_type != 0) or with field coding
+    display in decode order (identity) — the pure decode tier refuses
+    B slices there anyway."""
+    sps = None
+    pics: list[tuple[int, int]] = []  # (gop_no, poc) in decode order
+    gop = 0
+    prev_msb = prev_lsb = 0
+    for nal_type, nal_ref_idc, rbsp in split_annexb(buf):
+        if nal_type == NAL_SPS:
+            sps = parse_sps(rbsp)
+        elif nal_type in (NAL_IDR, NAL_SLICE):
+            if sps is None:
+                raise ValueError("H.264 slice before SPS")
+            if sps["poc_type"] != 0 or not sps["frame_mbs_only"]:
+                # no explicit display order to recover — identity
+                pics.append((0, len(pics)))
+                continue
+            if nal_type == NAL_IDR:
+                gop += 1
+                prev_msb = prev_lsb = 0
+            r = _BitReader(rbsp)
+            r.ue()  # first_mb_in_slice
+            r.ue()  # slice_type
+            r.ue()  # pps_id
+            r.u(sps["log2_max_frame_num"])  # frame_num
+            if nal_type == NAL_IDR:
+                r.ue()  # idr_pic_id
+            max_lsb = 1 << sps["log2_max_poc_lsb"]
+            lsb = r.u(sps["log2_max_poc_lsb"])
+            if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            if nal_ref_idc != 0:
+                prev_msb, prev_lsb = msb, lsb
+            pics.append((gop, msb + lsb))
+    order = sorted(range(len(pics)), key=lambda i: pics[i])
+    disp = [0] * len(pics)
+    for rank, i in enumerate(order):
+        disp[i] = rank
+    return disp
 
 
 def build_avcc(annexb: bytes):

@@ -1288,9 +1288,10 @@ def _encode_bgop(planes, qp, gop, b_frames, search_range, recon_out,
     P when the GOP length isn't aligned), and B pictures between
     consecutive references, emitted in decode order (future reference
     first, POC type 0 carries display order).  B pictures are
-    non-reference NALs (nal_ref_idc 0) with the deblocking filter
-    explicitly disabled (the pure decode tier refuses filtered B
-    slices); reference frames run the shared P/intra closed loops.
+    non-reference NALs (nal_ref_idc 0); the deblocking filter runs
+    per the `deblock` flag — B slices deblock natively with the
+    two-list boundary-strength rule (h264_deblock), and reference
+    frames run the shared P/intra closed loops.
     `recon_out` collects reconstructions in DISPLAY order — the same
     order decode_h264_annexb emits."""
     import numpy as np

@@ -283,8 +283,17 @@ def mux_mkv_avc_stream(annexb: bytes, width: int, height: int,
     multi-reference stream from encode_h264_video) into Matroska:
     samples stay in decode order, and each SimpleBlock's keyframe
     flag reflects its NAL type (IDR → keyframe, others not) — the
-    honest census a keyframe index reads back."""
-    from .h264 import NAL_IDR, build_avcc, split_annexb
+    honest census a keyframe index reads back.  Block timestamps are
+    PRESENTATION times (Matroska semantics): for B-GOP streams whose
+    decode order differs from display order they are derived from POC
+    via h264.display_order_from_annexb, so external players render
+    the frames in the right order."""
+    from .h264 import (
+        NAL_IDR,
+        build_avcc,
+        display_order_from_annexb,
+        split_annexb,
+    )
 
     codec_private, payloads = build_avcc(annexb)
     kinds = [t for t, _r, _ in split_annexb(annexb) if t in (1, NAL_IDR)]
@@ -292,11 +301,13 @@ def mux_mkv_avc_stream(annexb: bytes, width: int, height: int,
     return _mux_mkv_payloads(
         b"V_MPEG4/ISO/AVC", codec_private, payloads, keyflags,
         width, height, fps,
+        display_order=display_order_from_annexb(annexb),
     )
 
 
 def _mux_mkv_payloads(codec_id: bytes, codec_private: bytes, payloads,
-                      keyflags, w: int, h: int, fps: int) -> bytes:
+                      keyflags, w: int, h: int, fps: int,
+                      display_order: list | None = None) -> bytes:
 
     ebml = _el(
         0x1A45DFA3,
@@ -328,14 +339,25 @@ def _mux_mkv_payloads(codec_id: bytes, codec_private: bytes, payloads,
     # exceeded; chunk well below the limit
     ms_per_frame = max(1, 1000 // fps) if fps else 40
     per_cluster = max(1, 30_000 // ms_per_frame)
+    # Matroska block timestamps are PRESENTATION times; samples stay
+    # in decode order, so a reordered (B-GOP) stream carries a
+    # per-sample display index.  The s16 block field is relative to
+    # the cluster base — base on the cluster's earliest PTS so the
+    # bounded reorder offset always fits.
+    pts_ms = [
+        (display_order[i] if display_order is not None else i)
+        * ms_per_frame
+        for i in range(len(payloads))
+    ]
     clusters = b""
     for c0 in range(0, len(payloads), per_cluster):
-        base = c0 * ms_per_frame
+        chunk = payloads[c0 : c0 + per_cluster]
+        base = min(pts_ms[c0 : c0 + len(chunk)])
         blocks = b""
-        for i, p in enumerate(payloads[c0 : c0 + per_cluster]):
+        for i, p in enumerate(chunk):
             blocks += _el(
                 _SIMPLE_BLOCK,
-                _vint_size(1) + struct.pack(">h", i * ms_per_frame)
+                _vint_size(1) + struct.pack(">h", pts_ms[c0 + i] - base)
                 + bytes([keyflags[c0 + i]]) + p,
             )
         clusters += _el(_CLUSTER, _el_uint(_CLUSTER_TS, base) + blocks)

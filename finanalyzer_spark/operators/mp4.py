@@ -549,6 +549,29 @@ def mux_mp4_avc(
     avc1 = box(b"avc1", vse_body + box(b"avcC", avcc))
     stsd = full(b"stsd", struct.pack(">I", 1) + avc1)
     stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    # ctts composition offsets (pts - dts) for reordered (B-GOP)
+    # streams: samples are stored in decode order, so presentation
+    # times come from POC display order; ctts v0 offsets are unsigned,
+    # so the whole track shifts by the max reorder depth (the standard
+    # v0 layout).  Streams without reordering skip the box entirely.
+    from .h264 import display_order_from_annexb
+
+    disp = display_order_from_annexb(annexb)
+    ctts = b""
+    if disp != list(range(n)):
+        shift = max(i - d for i, d in enumerate(disp))
+        offs = [(disp[i] - i + shift) * delta for i in range(n)]
+        entries = []  # run-length (count, offset) pairs
+        for o in offs:
+            if entries and entries[-1][1] == o:
+                entries[-1][0] += 1
+            else:
+                entries.append([1, o])
+        ctts = full(
+            b"ctts",
+            struct.pack(">I", len(entries))
+            + b"".join(struct.pack(">II", c, o) for c, o in entries),
+        )
     stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
     stsz = full(
         b"stsz",
@@ -564,7 +587,7 @@ def mux_mp4_avc(
         struct.pack(">I", len(sync_idx))
         + b"".join(struct.pack(">I", i) for i in sync_idx),
     )
-    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    stbl = box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
     minf = box(b"minf", vmhd + dinf + stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", tkhd + mdia)

@@ -271,6 +271,28 @@ def test_deblocked_bgop_closed_loop():
                 assert np.array_equal(g, x)
 
 
+def test_reference_b_picture_refused():
+    # B-pyramid: a B slice with nal_ref_idc != 0 would enter the DPB
+    # with a list-0-only motion dict (missing 8.4.1.2 list-1 colocated
+    # fallback) and bump output out of display order — the pure tier
+    # refuses instead of decoding it wrong.  The twin only ever emits
+    # non-reference B NALs, so rebuild its stream with the ref bits
+    # flipped on the first B slice.
+    frames = [_frame(i, i) for i in range(4)]
+    stream = encode_h264_video(frames, qp=26, gop=4, yuv=True, b_frames=1)
+    out = bytearray()
+    flipped = False
+    for t, ref, rbsp in split_annexb(stream):
+        if t == 1 and ref == 0 and not flipped:
+            out += _nal(1, 2, rbsp)
+            flipped = True
+        else:
+            out += _nal(t, ref, rbsp)
+    assert flipped
+    with pytest.raises(NotImplementedError, match="B-pyramid"):
+        list(decode_h264_annexb(bytes(out), yuv=True))
+
+
 def test_b_without_future_reference_refused():
     # B whose POC lies AFTER every reference: no backward reference
     s = _BitWriter()

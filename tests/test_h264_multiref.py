@@ -342,6 +342,31 @@ def test_ref_list_modification_absent_picnum_fails_closed():
         list(decode_h264_annexb(stream, yuv=True))
 
 
+def test_ref_list_modification_duplicate_picnum_refused():
+    """8.2.4.3.1 can legally place ONE picture in TWO RefPicList0
+    slots (the removal step only strips copies after the insertion
+    point).  Our permutation-based list build and the ref_idx-proxy
+    deblock bS rule (8.7.2.1) both assume distinct pictures per slot,
+    so the tier must refuse, not silently mis-order the list."""
+    prefix, _r0, _r1 = _two_ref_prefix()
+    s = _BitWriter()
+    s.ue(0)
+    s.ue(5)
+    s.ue(0)
+    s.u(2, 8)
+    s.u(0, 1)      # num_ref_idx_active_override (PPS default 2)
+    s.u(1, 1)      # modification flag
+    s.ue(0)        # idc 0: subtract
+    s.ue(1)        # abs_diff 2 → picNum 0 (the IDR) to slot 0
+    s.ue(1)        # idc 1: add
+    s.ue(255)      # abs_diff 256 wraps MaxFrameNum → picNum 0 AGAIN
+    s.ue(3)
+    s.rbsp_trailing()
+    stream = prefix + _nal(1, 2, bytes(s.out))
+    with pytest.raises(NotImplementedError, match="duplicates a PicNum"):
+        list(decode_h264_annexb(stream, yuv=True))
+
+
 def test_long_term_modification_refused():
     prefix, _r0, _r1 = _two_ref_prefix()
     s = _BitWriter()

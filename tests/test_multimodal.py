@@ -708,6 +708,74 @@ def test_mkv_mux_demux_both_codecs():
         parse_mkv_tracks(b"nope" * 8)
 
 
+def test_bgop_container_timestamps_are_presentation_times():
+    """Container timestamps for B-GOP streams: samples are stored in
+    decode order, but Matroska block timestamps and MP4 composition
+    times are PRESENTATION times — the muxers must derive them from
+    POC display order (h264.display_order_from_annexb), or external
+    players render the frames out of order."""
+    import struct
+
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        display_order_from_annexb,
+    )
+    from finanalyzer_spark.operators.h264_inter import encode_h264_video
+    from finanalyzer_spark.operators.mkv import (
+        demux_mkv,
+        mux_mkv_avc_stream,
+    )
+    from finanalyzer_spark.operators.mp4 import mux_mp4_avc
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    frames = [
+        (
+            np.roll(base, i, axis=1).copy(),
+            np.full((16, 16), 60 + i, np.uint8),
+            np.full((16, 16), 90 - i, np.uint8),
+        )
+        for i in range(8)
+    ]
+    stream = encode_h264_video(
+        frames, qp=26, yuv=True, gop=4, b_frames=1
+    )
+    # decode order per GOP of 4 is I P B P B → display I B P B P;
+    # two closed GOPs, the helper must keep GOP 2 after GOP 1
+    disp = display_order_from_annexb(stream)
+    assert sorted(disp) == list(range(8))
+    assert disp == [0, 2, 1, 3, 4, 6, 5, 7]
+
+    # MKV: block timestamps equal display_index * ms_per_frame, so
+    # sorting by timestamp recovers display order
+    mkv = mux_mkv_avc_stream(stream, 32, 32, fps=25)
+    ts = [t for _track, _no, t, _key, _f in demux_mkv(mkv)]
+    assert ts == [d * 40_000 for d in disp]  # µs at 25 fps
+
+    # MP4: a ctts box maps decode to presentation times; dts+offset
+    # is a uniform shift of the display timeline (v0 unsigned layout)
+    mp4 = mux_mp4_avc([], annexb=stream, fps=25)
+    pos = mp4.find(b"ctts")
+    assert pos != -1
+    (n_ent,) = struct.unpack(">I", mp4[pos + 8 : pos + 12])
+    offs: list[int] = []
+    for i in range(n_ent):
+        c, o = struct.unpack(
+            ">II", mp4[pos + 12 + 8 * i : pos + 20 + 8 * i]
+        )
+        offs += [o] * c
+    assert len(offs) == 8
+    delta = 1000
+    pts = [i * delta + o for i, o in enumerate(offs)]
+    shifted = [p - min(pts) for p in pts]
+    assert shifted == [d * delta for d in disp]
+
+    # a stream with no reordering (P-only) must NOT grow a ctts box
+    p_only = encode_h264_video(frames[:4], qp=26, yuv=True, gop=4)
+    assert mux_mp4_avc([], annexb=p_only).find(b"ctts") == -1
+
+
 def test_probe_media_identifies_every_pure_tier_format():
     """probe_media (ffprobe-lite) must identify modality / container /
     codec / dimensions from header bytes for every format the pure
