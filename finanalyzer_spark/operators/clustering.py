@@ -63,6 +63,59 @@ def assign_cluster_col(dists: list[Column]) -> Column:
     return expr
 
 
+def assign_clusters_gemm(
+    df,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "cluster",
+    round_digits: int = 5,
+):
+    """Nearest-centroid assignment as one Arrow-batched GEMM — the
+    LARGE-k scale path.  The literal-fold assignment (sq_dist_cols +
+    assign_cluster_col) is ideal for small codebooks (k ≤ ~64: fully
+    codegen, zero Python), but its codegen cost and task-binary size
+    grow with k×dim (measured: k=160, dim=64 → 6.9 MiB task binaries
+    and compile-dominated runtime, scripts/bench_growth_sf1.py).  An
+    IVF coarse quantizer at corpus scale (k ~ 10³-10⁵ lists) instead
+    broadcasts the centroid matrix once and computes all distances as
+    one (batch×dim)·(dim×k) matrix multiply per Arrow batch —
+    O(n·k·dim) FLOPs in BLAS, constant plan size.
+
+    Bit-parity with the literal-fold path: same double algebra
+    (v·v - 2 v·c + c·c), same round-then-argmin with ties to the
+    lower cluster id (np.argmin returns the first minimum, matching
+    assign_cluster_col's CASE chain) — asserted exactly in
+    tests/test_retrieval_clustering.py."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cc = (cmat * cmat).sum(axis=1)
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (
+                (v * v).sum(axis=1, keepdims=True)
+                - 2.0 * (v @ cmat.T)
+                + cc[None, :]
+            )
+            pdf[out_col] = np.round(d, round_digits).argmin(axis=1).astype(
+                np.int32
+            )
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def fit_kmeans(
     df,
     vec_col: str = "embedding",

@@ -105,6 +105,53 @@ def test_kmeans_assignment_matches_numpy_argmin(spark):
     assert got == {i: int(want[i]) for i in range(len(vecs))}
 
 
+def test_gemm_assignment_matches_literal_fold_path(spark):
+    """assign_clusters_gemm (the large-k Arrow GEMM path) must agree
+    EXACTLY with the codegen literal-fold path — same rounded-distance
+    algebra, same first-wins tie rule — including at k far beyond
+    what the fold path would be used for."""
+    from finanalyzer_spark.operators.clustering import (
+        assign_clusters_gemm,
+    )
+
+    dim, k = 16, 40
+    cents = kmeans_centroids(k=k, dim=dim, seed=9)
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 0.2, size=(400, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    fold = {
+        r.vec_id: r.cluster
+        for r in df.select(
+            "vec_id",
+            assign_cluster_col(sq_dist_cols("embedding", cents)).alias(
+                "cluster"
+            ),
+        ).collect()
+    }
+    gemm = {
+        r.vec_id: r.cluster
+        for r in assign_clusters_gemm(df, "embedding", cents)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert gemm == fold
+
+    # duplicate-centroid tie: first index wins in BOTH paths
+    tie_cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 5.0]]
+    tdf = spark.createDataFrame(
+        [(0, [1.0, 0.1])], "vec_id long, embedding array<float>"
+    )
+    assert (
+        assign_clusters_gemm(tdf, "embedding", tie_cents)
+        .collect()[0]
+        .cluster
+        == 0
+    )
+
+
 def test_kmeans_first_centroid_wins_exact_ties(spark):
     # two identical centroids: the argmin chain must pick index 0
     cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 5.0]]
