@@ -1613,6 +1613,57 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Kruskal-Wallis H test (k-group rank ANOVA)
 # --------------------------------------------------------------------------
+def kruskal_wallis_h(x: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H over a ``(grp, v)`` frame (v integer-valued).
+    Tie-midpoint ranks carried DOUBLED as exact integers; all sums in
+    DECIMAL(38,0); one rounded float step each for H and its tie
+    correction.  Extracted from kruskal_wallis_returnflag so the
+    statistic itself is property-testable on arbitrary samples
+    (tests/test_properties.py pins it against an independent numpy
+    implementation of the textbook formula)."""
+    dec = "decimal(38,0)"
+    vk = x.groupBy("v").agg(F.count("*").alias("t"))
+    r = ordered_scan(vk, ["v"], running={"cum": "t"})
+    rk = r.select(
+        "v",
+        F.col("t").cast(dec).alias("t"),
+        (2 * F.col("cum") - F.col("t") + 1).alias("d"),
+    )
+    g = (
+        x.join(rk.select("v", "d"), "v")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast(dec).alias("n_g"),
+            F.sum(F.col("d").cast(dec)).alias("r2"),
+        )
+    )
+    tot = rk.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "ties"
+        )
+    )
+    agg = g.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(
+            # square in DECIMAL first (exact, like DuckDB's HUGEINT)
+            # so both engines round at the same single float step
+            (F.col("r2") * F.col("r2")).cast("double")
+            / 4.0 / F.col("n_g").cast("double")
+        ).alias("s"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1)) * F.col("s") - 3 * (nn + 1)
+    c = 1.0 - F.col("ties").cast("double") / (nn * nn * nn - nn)
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        "n_groups",
+        (F.round(h, 4) + 0.0).alias("h"),
+        (F.round(h / c, 4) + 0.0).alias("h_tie_corrected"),
+    )
+
+
 @query(
     "kruskal_wallis_returnflag",
     oracle="""
@@ -1667,56 +1718,73 @@ def kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window); the facts join the (value → rank)
     table once and ONE aggregate per group builds the rank sums."""
     t = load(spark, sf_dir)
-    dec = "decimal(38,0)"
     x = t.lineitem.select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
     )
-    vk = x.groupBy("v").agg(F.count("*").alias("t"))
-    r = ordered_scan(vk, ["v"], running={"cum": "t"})
-    rk = r.select(
-        "v",
-        F.col("t").cast(dec).alias("t"),
-        (2 * F.col("cum") - F.col("t") + 1).alias("d"),
-    )
-    g = (
-        x.join(rk.select("v", "d"), "v")
-        .groupBy("grp")
-        .agg(
-            F.count("*").cast(dec).alias("n_g"),
-            F.sum(F.col("d").cast(dec)).alias("r2"),
-        )
-    )
-    tot = rk.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
-            "ties"
-        )
-    )
-    agg = g.agg(
-        F.sum("n_g").alias("n"),
-        F.count("*").cast("long").alias("n_groups"),
-        F.sum(
-            # square in DECIMAL first (exact, like DuckDB's HUGEINT)
-            # so both engines round at the same single float step
-            (F.col("r2") * F.col("r2")).cast("double")
-            / 4.0 / F.col("n_g").cast("double")
-        ).alias("s"),
-    )
-    j = agg.crossJoin(F.broadcast(tot))
-    nn = F.col("n").cast("double")
-    h = 12.0 / (nn * (nn + 1)) * F.col("s") - 3 * (nn + 1)
-    c = 1.0 - F.col("ties").cast("double") / (nn * nn * nn - nn)
-    return j.select(
-        F.col("n").cast("long").alias("n"),
-        "n_groups",
-        (F.round(h, 4) + 0.0).alias("h"),
-        (F.round(h / c, 4) + 0.0).alias("h_tie_corrected"),
-    )
+    return kruskal_wallis_h(x)
 
 
 # --------------------------------------------------------------------------
 # Wilcoxon signed-rank test (paired samples)
 # --------------------------------------------------------------------------
+
+def wilcoxon_signed_rank_z(pairs: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank z over a ``(d,)`` frame of integer paired
+    differences.  Zero differences drop per the classic procedure;
+    |d| ranks tie-midpoint DOUBLED; W sums and the tie term in
+    DECIMAL(38,0); one rounded float step for the tie-corrected
+    normal-approximation z.  Extracted from
+    wilcoxon_signed_rank_price for property testing against an
+    independent numpy implementation (tests/test_properties.py)."""
+    dec = "decimal(38,0)"
+    nz = pairs.where(F.col("d") != 0).select(
+        "d", F.abs(F.col("d")).alias("a")
+    )
+    vk = nz.groupBy("a").agg(F.count("*").alias("t"))
+    r = ordered_scan(vk, ["a"], running={"cum": "t"})
+    rk = r.select(
+        "a",
+        F.col("t").cast(dec).alias("t"),
+        (2 * F.col("cum") - F.col("t") + 1).alias("dr"),
+    )
+    m = (
+        nz.join(rk.select("a", "dr"), "a")
+        .agg(
+            F.count("*").cast(dec).alias("n"),
+            F.sum(
+                F.when(F.col("d") > 0, F.col("dr").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("w2p"),
+            F.sum(
+                F.when(F.col("d") < 0, F.col("dr").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias("w2m"),
+        )
+    )
+    ties = rk.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "ties"
+        )
+    )
+    j = m.crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    z = (
+        F.col("w2p").cast("double") / 2.0 - nn * (nn + 1) / 4.0
+    ) / F.sqrt(
+        nn * (nn + 1) * (2 * nn + 1) / 24.0
+        - F.col("ties").cast("double") / 48.0
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("w2p").cast("long").alias("w2_plus"),
+        F.col("w2m").cast("long").alias("w2_minus"),
+        (F.round(z, 4) + 0.0).alias("z"),
+    )
+
+
 @query(
     "wilcoxon_signed_rank_price",
     oracle="""
@@ -1774,7 +1842,6 @@ def wilcoxon_signed_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     global min-ranks from operators/rank.ordered_scan, one join back
     and ONE aggregate forms every sum."""
     t = load(spark, sf_dir)
-    dec = "decimal(38,0)"
     pairs = (
         t.lineitem.join(
             F.broadcast(
@@ -1798,51 +1865,7 @@ def wilcoxon_signed_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
-    nz = pairs.where(F.col("d") != 0).select(
-        "d", F.abs(F.col("d")).alias("a")
-    )
-    vk = nz.groupBy("a").agg(F.count("*").alias("t"))
-    r = ordered_scan(vk, ["a"], running={"cum": "t"})
-    rk = r.select(
-        "a",
-        F.col("t").cast(dec).alias("t"),
-        (2 * F.col("cum") - F.col("t") + 1).alias("dr"),
-    )
-    m = (
-        nz.join(rk.select("a", "dr"), "a")
-        .agg(
-            F.count("*").cast(dec).alias("n"),
-            F.sum(
-                F.when(F.col("d") > 0, F.col("dr").cast(dec)).otherwise(
-                    F.lit(0).cast(dec)
-                )
-            ).alias("w2p"),
-            F.sum(
-                F.when(F.col("d") < 0, F.col("dr").cast(dec)).otherwise(
-                    F.lit(0).cast(dec)
-                )
-            ).alias("w2m"),
-        )
-    )
-    ties = rk.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
-            "ties"
-        )
-    )
-    j = m.crossJoin(F.broadcast(ties))
-    nn = F.col("n").cast("double")
-    z = (
-        F.col("w2p").cast("double") / 2.0 - nn * (nn + 1) / 4.0
-    ) / F.sqrt(
-        nn * (nn + 1) * (2 * nn + 1) / 24.0
-        - F.col("ties").cast("double") / 48.0
-    )
-    return j.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("w2p").cast("long").alias("w2_plus"),
-        F.col("w2m").cast("long").alias("w2_minus"),
-        (F.round(z, 4) + 0.0).alias("z"),
-    )
+    return wilcoxon_signed_rank_z(pairs)
 
 
 # --------------------------------------------------------------------------

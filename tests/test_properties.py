@@ -705,3 +705,118 @@ def test_parse_sps_interlaced_crop_height():
     w.rbsp_trailing()
     sps = parse_sps(bytes(w.out))
     assert (sps["width"], sps["height"]) == (128, 128 - 4 * 4)
+
+
+# ---------------------------------------------------------------------------
+# Rank-test statistics vs independent textbook implementations
+# (VERDICT r7 #8; scipy is absent in this environment, so the reference
+# is a fresh numpy implementation of the published formulas — a second,
+# independent derivation rather than engine-vs-engine parity)
+# ---------------------------------------------------------------------------
+
+
+def _midranks(values):
+    """Tie-midpoint average ranks (1-based), plain Python."""
+    import numpy as np
+
+    a = np.asarray(values)
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a), dtype=float)
+    i = 0
+    s = a[order]
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and s[j + 1] == s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1  # average of 1-based
+        i = j + 1
+    return ranks
+
+
+def _kruskal_ref(groups):
+    """Textbook Kruskal-Wallis H with tie correction (e.g. Kruskal &
+    Wallis 1952, eq. 1.1-1.2): H = 12/(N(N+1)) * sum R_g^2/n_g
+    - 3(N+1); correction divisor 1 - sum(t^3-t)/(N^3-N)."""
+    import numpy as np
+    from collections import Counter
+
+    all_v = [v for g in groups for v in g]
+    n = len(all_v)
+    ranks = _midranks(all_v)
+    h = 0.0
+    pos = 0
+    for g in groups:
+        r = ranks[pos : pos + len(g)].sum()
+        h += r * r / len(g)
+        pos += len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    ties = sum(t**3 - t for t in Counter(all_v).values())
+    corr = 1.0 - ties / (n**3 - n)
+    return h, h / corr
+
+
+def _wilcoxon_ref(ds):
+    """Textbook Wilcoxon signed-rank normal approximation with tie
+    correction (e.g. Conover 1999 §5.7): rank |d| (zeros dropped),
+    W+ = sum of ranks of positive d, z = (W+ - n(n+1)/4) /
+    sqrt(n(n+1)(2n+1)/24 - sum(t^3-t)/48)."""
+    from collections import Counter
+
+    nz = [d for d in ds if d != 0]
+    n = len(nz)
+    a = [abs(d) for d in nz]
+    ranks = _midranks(a)
+    wp = sum(r for d, r in zip(nz, ranks) if d > 0)
+    ties = sum(t**3 - t for t in Counter(a).values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z = (wp - n * (n + 1) / 4.0) / var**0.5
+    return n, wp, z
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=-20, max_value=20), min_size=2, max_size=15
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+@SLOW
+def test_kruskal_wallis_matches_textbook_formula(spark, groups):
+    from finanalyzer_spark.plans.profile import kruskal_wallis_h
+
+    rows = [(f"g{i}", v) for i, g in enumerate(groups) for v in g]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = kruskal_wallis_h(df).collect()[0]
+    h_ref, hc_ref = _kruskal_ref(groups)
+    assert got["n"] == sum(len(g) for g in groups)
+    assert got["n_groups"] == len(groups)
+    assert got["h"] == pytest.approx(h_ref, abs=2e-4)
+    # all-tied samples make the correction divisor 0/0-adjacent; the
+    # engine emits inf/nan there exactly like the raw formula
+    import math
+
+    if math.isfinite(hc_ref):
+        assert got["h_tie_corrected"] == pytest.approx(hc_ref, abs=2e-4)
+
+
+@given(
+    ds=st.lists(
+        st.integers(min_value=-15, max_value=15), min_size=4, max_size=40
+    ).filter(lambda l: sum(1 for d in l if d != 0) >= 2)
+)
+@SLOW
+def test_wilcoxon_signed_rank_matches_textbook_formula(spark, ds):
+    from finanalyzer_spark.plans.profile import wilcoxon_signed_rank_z
+
+    df = spark.createDataFrame([(d,) for d in ds], "d long")
+    got = wilcoxon_signed_rank_z(df).collect()[0]
+    n_ref, wp_ref, z_ref = _wilcoxon_ref(ds)
+    assert got["n"] == n_ref
+    # engine carries DOUBLED ranks: w2_plus == 2 * W+
+    assert got["w2_plus"] == int(round(2 * wp_ref))
+    import math
+
+    if math.isfinite(z_ref):
+        assert got["z"] == pytest.approx(z_ref, abs=2e-4)
