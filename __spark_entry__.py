@@ -161,6 +161,9 @@ ROUND_CHANGED = frozenset({
     "triangle_count_cosupply",
     "weekday_anomaly_days",
     "weighted_median_price",
+    # brand-new round 8 (WARC/Common-Crawl ingest tier) — need first rows
+    "warc_html_extraction",
+    "warc_record_census",
 })
 
 

@@ -26,3 +26,4 @@ from . import clustering  # noqa: E402,F401
 from . import profile  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import warcops  # noqa: E402,F401

@@ -1143,6 +1143,22 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    # ---- round-8 WARC ingest tier: payloads built and consumed in
+    # ONE Arrow kernel (MapInPandas), only counts/sums shuffle
+    "warc_html_extraction": {
+        "must": ["MapInPandas", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "warc_record_census": {
+        "must": ["MapInPandas", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     # ---- round-8 bulk structural pins: every remaining registry
     # query gets at least the structural scale guards (no
     # SinglePartition-fed Window, no global Sort, no cartesian
