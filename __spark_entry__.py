@@ -164,6 +164,9 @@ ROUND_CHANGED = frozenset({
     # brand-new round 8 (WARC/Common-Crawl ingest tier) — need first rows
     "warc_html_extraction",
     "warc_record_census",
+    # round-8 crawl-hygiene + large-k assignment additions
+    "url_canonical_dedup",
+    "ivf_gemm_assignment_census",
 })
 
 

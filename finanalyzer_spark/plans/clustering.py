@@ -90,3 +90,66 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_NMEAN)
         ],
     )
+
+
+_GEMM_K = 32
+
+
+def _gemm_census_oracle(k: int = _GEMM_K, dim: int = _DIM) -> str:
+    """DuckDB twin of the GEMM assignment census: same centroid
+    literals and rounded-distance argmin as _kmeans_oracle, integer
+    outputs only (counts + vec_id sums), so a single assignment flip
+    anywhere breaks the hash."""
+    cents = kmeans_centroids(k, dim)
+    d_cols = ",\n               ".join(
+        f"round(vv - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]) + {sum(x * x for x in c)!r}, 5) AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    least = f"least({', '.join(f'd{i}' for i in range(k))})"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = {least} THEN {i}" for i in range(k - 1))
+        + f" ELSE {k - 1} END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    a AS (SELECT vec_id,
+               {d_cols}
+          FROM d),
+    m AS (SELECT vec_id, {case} AS cluster FROM a)
+    SELECT cluster,
+           count(*) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM m
+    GROUP BY cluster
+    """
+
+
+@query(
+    "ivf_gemm_assignment_census",
+    oracle=_gemm_census_oracle(),
+    tags=("clustering", "ann", "gemm"),
+)
+def ivf_gemm_assignment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-list census through the LARGE-k assignment path: k=32
+    centroids assigned via operators/clustering.assign_clusters_gemm
+    (one Arrow GEMM per batch — the architecture an IVF quantizer
+    with 10³-10⁵ lists needs, where literal-fold codegen would melt;
+    measured in scripts/bench_growth_sf1.py / SCALE.md).  Integer-only
+    outputs (member counts + vec_id sums) make the oracle comparison
+    flip-sensitive to a single differing assignment, certifying that
+    the BLAS-ordered double math lands on the same rounded distances
+    as DuckDB's sequential folds."""
+    from ..operators.clustering import assign_clusters_gemm
+
+    t = load(spark, sf_dir)
+    cents = kmeans_centroids(_GEMM_K, _DIM)
+    assigned = assign_clusters_gemm(
+        t.embeddings.select("vec_id", "embedding"), "embedding", cents
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    )

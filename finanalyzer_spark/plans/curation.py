@@ -1029,3 +1029,136 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-frontier hygiene)
+# --------------------------------------------------------------------------
+@query(
+    "url_canonical_dedup",
+    # The oracle does NOT re-run the normalizer: it builds the EXPECTED
+    # canonical string directly ('https://<source>.example.com/p/<id>'
+    # + sorted tracking-stripped query), so the Spark side's actual
+    # parse-and-normalize pipeline is checked against an independent
+    # expectation — one unstripped 'www.', unsorted param, kept utm_*
+    # or surviving fragment changes norm_chars and breaks the hash.
+    oracle="""
+    WITH exp AS (
+        SELECT source || '.example.com' AS host,
+               'https://' || source || '.example.com/p/' || doc_id
+                   || '?a=1&b=2' AS norm
+        FROM documents
+    )
+    SELECT host,
+           2 * count(*) AS n_urls,
+           count(*) AS n_distinct_norm,
+           count(*) AS n_tracking,
+           CAST(sum(length(norm)) AS BIGINT) AS norm_chars
+    FROM exp
+    GROUP BY host
+    """,
+    tags=("curation", "urls", "dedup"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-frontier dedup every web-scale
+    pipeline runs before fetch or text dedup.  Each document emits two
+    raw spellings of the same page (a clean one, and a messy one with
+    upper-cased scheme/host, a trailing slash, an injected utm_
+    tracking parameter, shuffled query order, and a fragment); the
+    normalizer lower-cases scheme+host, strips a leading 'www.',
+    drops the fragment, removes utm_* params, sorts the remaining
+    query and trims trailing slashes — entirely with JVM-side column
+    functions (split/substring_index/array_sort inside codegen, no
+    UDF, no shuffle until the final keyed aggregates).  Output per
+    canonical host: raw URL count, distinct canonical count (the
+    dedup), tracking-URL count, total canonical characters."""
+    t = load(spark, sf_dir)
+    base = t.documents.select("doc_id", "source")
+    clean = F.concat(
+        F.lit("https://www."), F.col("source"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1"),
+    )
+    messy = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"),
+        F.lit(".Example.COM/p/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&a=1&b=2#sec"),
+    )
+    raw = base.select(F.explode(F.array(clean, messy)).alias("url"))
+
+    per_url = (
+        raw.withColumn("no_frag", F.substring_index("url", "#", 1))
+        .withColumn(
+            "scheme", F.lower(F.substring_index("no_frag", "://", 1))
+        )
+        .withColumn("rest", F.substring_index("no_frag", "://", -1))
+        .withColumn(
+            "host",
+            F.regexp_replace(
+                F.lower(F.substring_index("rest", "/", 1)), "^www\\.", ""
+            ),
+        )
+        .withColumn("path_q", F.expr("substr(rest, instr(rest, '/'))"))
+        .withColumn(
+            "path",
+            F.regexp_replace(
+                F.when(
+                    F.instr("path_q", "?") > 0,
+                    F.expr("substr(path_q, 1, instr(path_q, '?') - 1)"),
+                ).otherwise(F.col("path_q")),
+                "/+$",
+                "",
+            ),
+        )
+        .withColumn(
+            "qstr",
+            F.when(
+                F.instr("path_q", "?") > 0,
+                F.expr("substr(path_q, instr(path_q, '?') + 1)"),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "qn",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split("qstr", "&"),
+                        lambda p: (p != "") & ~p.startswith("utm_"),
+                    )
+                ),
+                "&",
+            ),
+        )
+        .withColumn(
+            "norm",
+            F.concat(
+                F.col("scheme"),
+                F.lit("://"),
+                F.col("host"),
+                F.col("path"),
+                F.when(
+                    F.col("qn") != "", F.concat(F.lit("?"), F.col("qn"))
+                ).otherwise(F.lit("")),
+            ),
+        )
+        .withColumn(
+            "is_tracking", F.col("url").contains("utm_").cast("long")
+        )
+        .select("host", "norm", "is_tracking")
+    )
+    counts = per_url.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("is_tracking").alias("n_tracking"),
+    )
+    dedup = (
+        per_url.select("host", "norm")
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_distinct_norm"),
+            F.sum(F.length("norm")).cast("long").alias("norm_chars"),
+        )
+    )
+    return counts.join(dedup, "host").select(
+        "host", "n_urls", "n_distinct_norm", "n_tracking", "norm_chars"
+    )

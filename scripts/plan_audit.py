@@ -1159,6 +1159,25 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "ivf_gemm_assignment_census": {
+        # large-k coarse assignment: ONE Arrow GEMM kernel, then a
+        # combiner-friendly keyed aggregate — no join, no window
+        "must": ["MapInPandas", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "url_canonical_dedup": {
+        # codegen-only normalization; the two per-host aggregates meet
+        # in a broadcast join (host cardinality is tiny at any SF)
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "MapInPandas",
+                     "ArrowEvalPython", "BatchEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     # ---- round-8 bulk structural pins: every remaining registry
     # query gets at least the structural scale guards (no
     # SinglePartition-fed Window, no global Sort, no cartesian
