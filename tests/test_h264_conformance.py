@@ -37,6 +37,14 @@ Vectors:
   C — B-GOP (Main profile, POC type 0): I_PCM references, one B
       picture with Bi / L0 / L1 / spatial-direct macroblocks, POC
       display reordering checked on the emitted frame order.
+  D — explicit weighted prediction (7.3.3.2 pred_weight_table): luma
+      weighting saturates at the bright end, asymmetric chroma
+      weights/offsets — every output pixel is the 8.4.2.3.2 formula
+      on a hand-known reference pixel.
+  E — temporal direct mode (8.4.1.2.3): B motion derived purely from
+      POC distances against the colocated P motion (DistScaleFactor
+      128 → exact half forward / half backward), half-pel fetches on
+      both lists.
 """
 
 from __future__ import annotations
@@ -129,7 +137,7 @@ def _sps(profile: int, poc_type: int, num_ref: int) -> bytes:
     return w.bytes()
 
 
-def _pps(qp: int) -> bytes:
+def _pps(qp: int, weighted_pred: int = 0) -> bytes:
     w = _W()
     w.ue(0)         # pps_id
     w.ue(0)         # sps_id
@@ -138,7 +146,7 @@ def _pps(qp: int) -> bytes:
     w.ue(0)         # num_slice_groups_minus1
     w.ue(0)         # num_ref_idx_l0_default_active_minus1
     w.ue(0)         # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)       # weighted_pred_flag
+    w.u(weighted_pred, 1)  # weighted_pred_flag
     w.u(0, 2)       # weighted_bipred_idc
     w.se(qp - 26)   # pic_init_qp_minus26
     w.se(0)         # pic_init_qs_minus26
@@ -151,7 +159,8 @@ def _pps(qp: int) -> bytes:
 
 
 def _slice_header(w: _W, kind: str, frame_num: int, idr: bool,
-                  poc_lsb: int | None = None):
+                  poc_lsb: int | None = None,
+                  spatial_direct: bool = True):
     w.ue(0)                                  # first_mb_in_slice
     w.ue({"I": 7, "P": 5, "B": 6}[kind])     # slice_type
     w.ue(0)                                  # pps_id
@@ -161,7 +170,7 @@ def _slice_header(w: _W, kind: str, frame_num: int, idr: bool,
     if poc_lsb is not None:
         w.u(poc_lsb, 4)                      # pic_order_cnt_lsb
     if kind == "B":
-        w.u(1, 1)                            # direct_spatial_mv_pred
+        w.u(1 if spatial_direct else 0, 1)   # direct_spatial_mv_pred
     if kind in ("P", "B"):
         w.u(0, 1)                            # num_ref_idx_override
         w.u(0, 1)                            # ref_pic_list_mod l0
@@ -512,6 +521,136 @@ def build_vector_c():
     return stream, [flat(100, 60, 200), bfr, flat(180, 80, 120)]
 
 
+def _pcm_idr_slice(poc_lsb: int | None = None) -> bytes:
+    """IDR slice: 4 I_PCM macroblocks carrying REF_Y/CB/CR."""
+    s = _W()
+    _slice_header(s, "I", 0, idr=True, poc_lsb=poc_lsb)
+    _slice_tail(s, ref=True, idr=True)
+    for my in (0, 1):
+        for mx in (0, 1):
+            s.ue(25)
+            _pcm_mb(
+                s,
+                REF_Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
+                REF_CB[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                REF_CR[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+            )
+    s.trailing()
+    return s.bytes()
+
+
+def _wp(v, w, lwd, o):
+    """8.4.2.3.2 explicit unidirectional weighting, fresh numpy."""
+    p = v.astype(np.int64) * w
+    if lwd >= 1:
+        p = (p + (1 << (lwd - 1))) >> lwd
+    return np.clip(p + o, 0, 255)
+
+
+def build_vector_d():
+    """Explicit weighted prediction: PCM gradient reference, then a P
+    picture of zero-MV P_L0_16x16 macroblocks under a pred_weight_table
+    (luma w=3/lwd=1/o=+10 — saturates at the bright end; chroma
+    w=5,o=-8 and w=3,o=+4 at lwd=2), so every output pixel is the
+    weighting formula applied to a hand-known reference pixel."""
+    lwd, wl, ol = 1, 3, 10
+    cwd, wcb, ocb, wcr, ocr = 2, 5, -8, 3, 4
+    s1 = _W()
+    _slice_header(s1, "P", 1, idr=False)
+    # pred_weight_table (7.3.3.2), single active reference
+    s1.ue(lwd)
+    s1.ue(cwd)
+    s1.u(1, 1)      # luma_weight_l0_flag
+    s1.se(wl)
+    s1.se(ol)
+    s1.u(1, 1)      # chroma_weight_l0_flag
+    s1.se(wcb)
+    s1.se(ocb)
+    s1.se(wcr)
+    s1.se(ocr)
+    _slice_tail(s1, ref=True, idr=False)
+    for _ in range(4):
+        s1.ue(0)    # mb_skip_run
+        s1.ue(0)    # P_L0_16x16
+        s1.se(0)    # mvd x (mvp 0 everywhere at zero motion)
+        s1.se(0)    # mvd y
+        s1.ue(0)    # cbp
+    s1.trailing()
+    stream = (
+        _nal(7, 3, _sps(66, 2, 1))
+        + _nal(8, 3, _pps(26, weighted_pred=1))
+        + _nal(5, 3, _pcm_idr_slice())
+        + _nal(1, 2, s1.bytes())
+    )
+    wy = _wp(REF_Y, wl, lwd, ol)
+    assert int(wy.max()) == 255  # the luma weighting must saturate
+    return stream, [
+        (REF_Y, REF_CB, REF_CR),
+        (wy, _wp(REF_CB, wcb, cwd, ocb), _wp(REF_CR, wcr, cwd, ocr)),
+    ]
+
+
+def build_vector_e():
+    """Temporal direct mode (8.4.1.2.3): IDR (poc 0) → P (poc 4,
+    uniform mv (8,4) over the IDR) → B (poc 2, direct_spatial=0).
+    With tb=2, td=4: tx=4096, DistScaleFactor=128, so mvL0=(4,2) and
+    mvL1=(-4,-2) — the B picture averages a half-scaled forward fetch
+    from the IDR against a half-backward fetch from the P recon."""
+    s1 = _W()
+    _slice_header(s1, "P", 1, idr=False, poc_lsb=4)
+    _slice_tail(s1, ref=True, idr=False)
+    # mvp is (0,0) for MB0 then (8,4) for MB1-3 (median rules)
+    for mvd in ((8, 4), (0, 0), (0, 0), (0, 0)):
+        s1.ue(0)
+        s1.ue(0)    # P_L0_16x16
+        s1.se(mvd[0])
+        s1.se(mvd[1])
+        s1.ue(0)
+    s1.trailing()
+
+    b = _W()
+    _slice_header(b, "B", 2, idr=False, poc_lsb=2, spatial_direct=False)
+    b.se(0)
+    b.ue(1)         # deblocking disabled
+    for _ in range(4):
+        b.ue(0)     # mb_skip_run
+        b.ue(0)     # B_Direct_16x16
+        b.ue(0)     # cbp
+    b.trailing()
+
+    stream = (
+        _nal(7, 3, _sps(77, 0, 2))
+        + _nal(8, 3, _pps(26))
+        + _nal(5, 3, _pcm_idr_slice(poc_lsb=0))
+        + _nal(1, 2, s1.bytes())
+        + _nal(1, 0, b.bytes())
+    )
+
+    def mc_frame(ry, rcb, rcr, mvx, mvy):
+        y = np.zeros((32, 32), dtype=np.int64)
+        cb = np.zeros((16, 16), dtype=np.int64)
+        cr = np.zeros((16, 16), dtype=np.int64)
+        for my in (0, 1):
+            for mx in (0, 1):
+                y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    _mc_luma(ry, mx * 16, my * 16, mvx, mvy)
+                )
+                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _mc_chroma(
+                    rcb, mx * 8, my * 8, mvx, mvy
+                )
+                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _mc_chroma(
+                    rcr, mx * 8, my * 8, mvx, mvy
+                )
+        return y, cb, cr
+
+    p_fr = mc_frame(REF_Y, REF_CB, REF_CR, 8, 4)
+    f0 = mc_frame(REF_Y, REF_CB, REF_CR, 4, 2)       # list 0: IDR
+    f1 = mc_frame(*p_fr, -4, -2)                     # list 1: P recon
+    b_fr = tuple((a + c + 1) >> 1 for a, c in zip(f0, f1))
+    # display order: IDR (0), B (2), P (4)
+    return stream, [(REF_Y, REF_CB, REF_CR), b_fr, p_fr]
+
+
 # ---------------------------------------------------------------------------
 # pinned digests: the frozen fixture identity.  If an edit to the
 # assembler or the expectation code changes bytes or planes, these
@@ -530,6 +669,14 @@ PINNED = {
     "c": (
         "ee8b37404405365ac11befe98efef533",
         "ddb5ceb72d83fb9c0baa1469224a5946",
+    ),
+    "d": (
+        "067c3b7dee3cd1c98db719a90228f46d",
+        "2f841b3f646abdd92e13739ba78e5576",
+    ),
+    "e": (
+        "e810eb2cae295992d64190f895707bc7",
+        "64fb1c5c3b6bcfb287dc3d5642da312a",
     ),
 }
 
@@ -571,3 +718,11 @@ def test_conformance_vector_b_pgop_motion():
 
 def test_conformance_vector_c_bgop_poc():
     _run("c", build_vector_c)
+
+
+def test_conformance_vector_d_weighted_prediction():
+    _run("d", build_vector_d)
+
+
+def test_conformance_vector_e_temporal_direct():
+    _run("e", build_vector_e)
