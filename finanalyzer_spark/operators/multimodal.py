@@ -1612,4 +1612,22 @@ def probe_media(buf: bytes) -> dict:
                 "codec": "h264", "width": idx["width"],
                 "height": idx["height"], "n_frames": None,
                 "n_keyframes": idx["n_idr"]}
+    # ---- web archives (the crawl-ingest modality, operators/warc.py)
+    if buf[:5] == b"WARC/":
+        return {**out, "kind": "archive", "container": "warc",
+                "codec": "warc"}
+    if buf[:2] == b"\x1f\x8b":
+        # gzip: sniff the first member's head — tag as .warc.gz only
+        # when the inflated bytes say so (other gzip stays unknown)
+        import zlib
+
+        try:
+            head = zlib.decompressobj(wbits=31).decompress(
+                buf[:4096], 16
+            )
+        except zlib.error:
+            return out
+        if head[:5] == b"WARC/":
+            return {**out, "kind": "archive", "container": "warc.gz",
+                    "codec": "warc"}
     return out

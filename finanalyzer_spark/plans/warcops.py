@@ -127,6 +127,17 @@ def warc_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     around every document, run the full read path (gzip members →
     WARC headers → HTTP split → HTMLParser text extraction), and
     prove per host that every page round-trips loss-free."""
+    return html_extraction_report(
+        _page_rows(spark, sf_dir).repartition("source")
+    )
+
+
+def html_extraction_report(docs: DataFrame) -> DataFrame:
+    """The extraction pipeline over any ``(doc_id, source, text)``
+    frame — batch or streaming (the kernel is stateless per batch, so
+    the same graph runs under a complete-mode streaming aggregate;
+    parity with the batch answer is pinned in
+    tests/test_streaming.py)."""
 
     def kernel(batches):
         from urllib.parse import urlparse
@@ -153,9 +164,7 @@ def warc_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         yield from _build_and_parse(batches, emit)
 
-    rows = _page_rows(spark, sf_dir).repartition(
-        "source"
-    ).mapInPandas(
+    rows = docs.mapInPandas(
         kernel,
         schema="host string, n_docs long, n_extract_ok long, body_chars long",
     )
