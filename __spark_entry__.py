@@ -167,6 +167,9 @@ ROUND_CHANGED = frozenset({
     # round-8 crawl-hygiene + large-k assignment additions
     "url_canonical_dedup",
     "ivf_gemm_assignment_census",
+    # round-8 differential-privacy release family
+    "dp_noisy_source_counts",
+    "dp_noisy_clamped_sum",
 })
 
 

@@ -1962,3 +1962,120 @@ def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy release (deterministic Laplace mechanism)
+# --------------------------------------------------------------------------
+#: released noise scale b = sensitivity / epsilon
+_DP_EPS = 1.0
+#: k-threshold: groups smaller than this are suppressed entirely
+_DP_MIN_GROUP = 5
+#: per-record contribution clamp for the noisy SUM release
+_DP_CLAMP = 1000
+_HEX13 = float(16 ** 13)
+
+
+def _dp_uniform_spark(key) -> "F.Column":
+    """Deterministic uniform in (0,1) from the portable md5-prefix
+    hash (13 hex digits = 52 bits; +0.5 keeps it strictly interior so
+    the Laplace inverse-CDF below never hits ln(0))."""
+    h = F.conv(
+        F.substring(F.md5(key), 1, 13), 16, 10
+    ).cast("double")
+    return (h + 0.5) / F.lit(_HEX13)
+
+
+def _dp_laplace_spark(key, b: float) -> "F.Column":
+    u = _dp_uniform_spark(key) - 0.5
+    return (
+        -F.lit(b)
+        * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+
+
+def _dp_laplace_sql(key_sql: str, b: float) -> str:
+    u = (
+        f"((('0x' || substr(md5({key_sql}), 1, 13))::BIGINT + 0.5)"
+        f" / {_HEX13!r} - 0.5)"
+    )
+    return f"(-{b!r} * sign({u}) * ln(1.0 - 2.0 * abs({u})))"
+
+
+@query(
+    "dp_noisy_source_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    )
+    SELECT source,
+           round(n + {_dp_laplace_sql("'dpc|' || source", 1.0 / _DP_EPS)}, 4)
+               + 0.0 AS noisy_n
+    FROM g WHERE n >= {_DP_MIN_GROUP}
+    """,
+    tags=("privacy", "dp"),
+)
+def dp_noisy_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    sensitivity 1, b = 1/ε) over per-source document counts, with
+    k-threshold suppression of small groups — the privacy-preserving
+    stats-release step next to the k-anonymity audit.  The noise is
+    DETERMINISTIC (inverse-CDF of a portable md5-derived uniform
+    keyed on the group), the repo's reproducibility discipline: the
+    released table is stable across runs and engines, which is what
+    makes it oracle-checkable — a production release swaps the keyed
+    hash for a secret-seeded one without touching the plan.
+
+    Scale shape: one map-side-combinable count per group, then
+    codegen arithmetic on one row per group; no shuffle beyond the
+    keyed aggregate."""
+    t = load(spark, sf_dir)
+    g = t.documents.groupBy("source").agg(F.count("*").alias("n"))
+    noise = _dp_laplace_spark(
+        F.concat(F.lit("dpc|"), F.col("source")), 1.0 / _DP_EPS
+    )
+    return g.where(F.col("n") >= _DP_MIN_GROUP).select(
+        "source",
+        (F.round(F.col("n") + noise, 4) + 0.0).alias("noisy_n"),
+    )
+
+
+@query(
+    "dp_noisy_clamped_sum",
+    oracle=f"""
+    WITH g AS (
+        SELECT source,
+               count(*) AS n,
+               CAST(sum(least(n_chars, {_DP_CLAMP})) AS BIGINT) AS s
+        FROM documents GROUP BY source
+    )
+    SELECT source,
+           round(s + {_dp_laplace_sql("'dps|' || source",
+                                      float(_DP_CLAMP) / _DP_EPS)}, 4)
+               + 0.0 AS noisy_sum
+    FROM g WHERE n >= {_DP_MIN_GROUP}
+    """,
+    tags=("privacy", "dp"),
+)
+def dp_noisy_clamped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy SUM release with per-record contribution clamping:
+    each document contributes at most _DP_CLAMP characters (bounding
+    the sensitivity), so Laplace scale b = clamp/ε releases the
+    per-source character totals privately.  Clamp-then-sum is the
+    textbook bounded-contribution mechanism; the clamp happens inside
+    the partial aggregate, so the shuffle carries one long per
+    group/partition."""
+    t = load(spark, sf_dir)
+    g = t.documents.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.least(F.col("n_chars"), F.lit(_DP_CLAMP))).alias("s"),
+    )
+    noise = _dp_laplace_spark(
+        F.concat(F.lit("dps|"), F.col("source")),
+        float(_DP_CLAMP) / _DP_EPS,
+    )
+    return g.where(F.col("n") >= _DP_MIN_GROUP).select(
+        "source",
+        (F.round(F.col("s") + noise, 4) + 0.0).alias("noisy_sum"),
+    )

@@ -1178,6 +1178,24 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "dp_noisy_source_counts": {
+        # one keyed aggregate + codegen noise arithmetic; no join
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "MapInPandas", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "dp_noisy_clamped_sum": {
+        # clamp folds into the partial aggregate (map-side combine)
+        "must": ["HashAggregate", "least"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "MapInPandas", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     # ---- round-8 bulk structural pins: every remaining registry
     # query gets at least the structural scale guards (no
     # SinglePartition-fed Window, no global Sort, no cartesian

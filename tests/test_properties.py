@@ -820,3 +820,39 @@ def test_wilcoxon_signed_rank_matches_textbook_formula(spark, ds):
 
     if math.isfinite(z_ref):
         assert got["z"] == pytest.approx(z_ref, abs=2e-4)
+
+
+def test_dp_laplace_noise_is_deterministic_and_laplace_shaped(spark):
+    """The deterministic Laplace mechanism (plans/profile.py): the
+    md5-inverse-CDF noise must be (a) exactly reproducible, (b)
+    centred, and (c) Laplace(b)-shaped — median |noise| ≈ b·ln 2 and
+    ~39% mass beyond b (exp(-1)), which a uniform or gaussian would
+    fail."""
+    import math
+
+    from finanalyzer_spark.plans.profile import _dp_laplace_spark
+
+    n, b = 4000, 2.5
+    df = spark.range(n).select(
+        F.concat(F.lit("dptest|"), F.col("id").cast("string")).alias("k")
+    )
+    vals = [
+        r["x"]
+        for r in df.select(
+            _dp_laplace_spark(F.col("k"), b).alias("x")
+        ).collect()
+    ]
+    again = [
+        r["x"]
+        for r in df.select(
+            _dp_laplace_spark(F.col("k"), b).alias("x")
+        ).collect()
+    ]
+    assert vals == again  # bit-exact determinism
+    mean = sum(vals) / n
+    assert abs(mean) < 4 * b * math.sqrt(2.0 / n)  # ~4 sigma of the mean
+    absd = sorted(abs(v) for v in vals)
+    med = absd[n // 2]
+    assert abs(med - b * math.log(2)) < 0.15 * b
+    tail = sum(1 for v in absd if v > b) / n
+    assert abs(tail - math.exp(-1)) < 0.05
