@@ -1071,6 +1071,44 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def mann_whitney_u(c: "DataFrame") -> "DataFrame":
+    """Exact tie-corrected Mann-Whitney U over a ``(cents, in_a,
+    in_b)`` indicator frame — extracted from
+    mann_whitney_u_returned_vs_kept for property testing against an
+    independent numpy implementation (tests/test_properties.py).
+    Returns (n_a, n_b, u1_x2 = 2*U1, cles_ppm)."""
+    v = c.groupBy("cents").agg(
+        F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
+    ).withColumn("run", F.col("a") + F.col("b"))
+    scanned = ordered_scan(
+        v,
+        ["cents"],
+        running={"crun": "run"},
+        totals={"na": "a", "nb": "b"},
+    )
+    run = F.col("run")
+    r = scanned.select(
+        "a",
+        "b",
+        (2 * (F.col("crun") - run) + run + 1).alias("dr"),
+        "na",
+        "nb",
+    )
+    u1x2 = F.sum(F.col("a") * F.col("dr")) - F.max("na") * (F.max("na") + 1)
+    return r.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        u1x2.alias("u1_x2"),
+        F.expr(
+            "CAST(CAST(sum(a * dr) - max(na) * (max(na) + 1)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div (2 * CAST(max(na) AS DECIMAL(38,0)) * max(nb))"
+            " AS BIGINT)"
+        ).alias("cles_ppm"),
+    )
+
+
 @query(
     "mann_whitney_u_returned_vs_kept",
     oracle="""
@@ -1126,34 +1164,11 @@ def mann_whitney_u_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("l_returnflag") == "R").cast("long").alias("in_a"),
         (F.col("l_returnflag") == "N").cast("long").alias("in_b"),
     )
-    v = c.groupBy("cents").agg(
-        F.sum("in_a").alias("a"), F.sum("in_b").alias("b")
-    ).withColumn("run", F.col("a") + F.col("b"))
-    scanned = ordered_scan(
-        v,
-        ["cents"],
-        running={"crun": "run"},
-        totals={"na": "a", "nb": "b"},
-    )
-    run = F.col("run")
-    r = scanned.select(
-        "a",
-        "b",
-        (2 * (F.col("crun") - run) + run + 1).alias("dr"),
-        "na",
-        "nb",
-    )
-    u1x2 = F.sum(F.col("a") * F.col("dr")) - F.max("na") * (F.max("na") + 1)
-    return r.agg(
-        F.max("na").alias("n_returned"),
-        F.max("nb").alias("n_kept"),
-        u1x2.alias("u1_x2"),
-        F.expr(
-            "CAST(CAST(sum(a * dr) - max(na) * (max(na) + 1)"
-            " AS DECIMAL(38,0)) * 1000000"
-            " div (2 * CAST(max(na) AS DECIMAL(38,0)) * max(nb))"
-            " AS BIGINT)"
-        ).alias("cles_ppm"),
+    return mann_whitney_u(c).select(
+        F.col("n_a").alias("n_returned"),
+        F.col("n_b").alias("n_kept"),
+        "u1_x2",
+        "cles_ppm",
     )
 
 
@@ -1414,6 +1429,48 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Spearman rank correlation (tie-corrected, integer-exact moments)
 # --------------------------------------------------------------------------
+
+def spearman_rho(x: "DataFrame") -> "DataFrame":
+    """Tie-corrected Spearman rho over an ``(xv, yv)`` integer pair
+    frame — extracted from spearman_price_discount for property
+    testing against an independent numpy implementation
+    (tests/test_properties.py)."""
+    dec = "decimal(38,0)"
+
+    def ranks(col: str, out: str) -> DataFrame:
+        v = x.groupBy(col).agg(F.count("*").alias("cnt"))
+        r = ordered_scan(v, [col], running={"cum": "cnt"})
+        # min rank of the tie block = cum - cnt + 1;
+        # doubled average rank = 2*minrank + cnt - 1 = 2*cum - cnt + 1
+        return r.select(
+            col, (2 * F.col("cum") - F.col("cnt") + 1).alias(out)
+        )
+
+    j = x.join(ranks("xv", "dx"), "xv").join(
+        F.broadcast(ranks("yv", "dy")), "yv"
+    )
+    m = j.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast(dec) * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dy")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                6,
+            )
+            + 0.0
+        ).alias("rho"),
+    )
+
+
 @query(
     "spearman_price_discount",
     oracle="""
@@ -1471,45 +1528,76 @@ def spearman_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xv"),
         F.round(F.col("l_discount") * 100, 0).cast("long").alias("yv"),
     )
-    dec = "decimal(38,0)"
-
-    def ranks(col: str, out: str) -> DataFrame:
-        v = x.groupBy(col).agg(F.count("*").alias("cnt"))
-        r = ordered_scan(v, [col], running={"cum": "cnt"})
-        # min rank of the tie block = cum - cnt + 1;
-        # doubled average rank = 2*minrank + cnt - 1 = 2*cum - cnt + 1
-        return r.select(
-            col, (2 * F.col("cum") - F.col("cnt") + 1).alias(out)
-        )
-
-    j = x.join(ranks("xv", "dx"), "xv").join(
-        F.broadcast(ranks("yv", "dy")), "yv"
-    )
-    m = j.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("dx").cast(dec)).alias("sx"),
-        F.sum(F.col("dy").cast(dec)).alias("sy"),
-        F.sum(F.col("dx").cast(dec) * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy").cast(dec) * F.col("dy")).alias("syy"),
-        F.sum(F.col("dx").cast(dec) * F.col("dy")).alias("sxy"),
-    )
-    return m.select(
-        F.col("n").cast("long").alias("n"),
-        (
-            F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
-                6,
-            )
-            + 0.0
-        ).alias("rho"),
-    )
+    return spearman_rho(x)
 
 
 # --------------------------------------------------------------------------
 # Kendall tau-b via the contingency grid (integer-exact pair counts)
 # --------------------------------------------------------------------------
+
+def kendall_tau_b(facts: "DataFrame") -> "DataFrame":
+    """Kendall tau-b over a raw ``(q, d)`` integer pair frame via the
+    contingency-grid self-join — extracted from
+    kendall_tau_qty_discount for property testing against an
+    independent numpy implementation (tests/test_properties.py)."""
+    dec = "decimal(38,0)"
+    g = facts.groupBy("q", "d").agg(F.count("*").cast(dec).alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    # coalesce: a degenerate input where no cell pair has b.q > a.q
+    # (single distinct q) leaves the join empty and the sums NULL
+    pairs = a.join(F.broadcast(b), F.col("b.q") > F.col("a.q")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("b.d") > F.col("a.d"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0).cast(dec))
+            ),
+            F.lit(0).cast(dec),
+        ).alias("c"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("b.d") < F.col("a.d"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0).cast(dec))
+            ),
+            F.lit(0).cast(dec),
+        ).alias("d"),
+    )
+    tq = (
+        g.groupBy("q")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast(dec).alias("tq"))
+    )
+    td = (
+        g.groupBy("d")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast(dec).alias("td"))
+    )
+    nn = g.agg(F.sum("n").cast(dec).alias("nn"))
+    n0 = F.col("nn") * (F.col("nn") - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(td))
+        .select(
+            F.col("nn").cast("long").alias("n"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            (
+                F.round(
+                    (F.col("c") - F.col("d"))
+                    / F.sqrt((n0 - F.col("tq")).cast("double"))
+                    / F.sqrt((n0 - F.col("td")).cast("double")),
+                    6,
+                )
+                + 0.0
+            ).alias("tau_b"),
+        )
+    )
+
+
 @query(
     "kendall_tau_qty_discount",
     oracle="""
@@ -1556,58 +1644,11 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid self-join is broadcast (cells tiny); marginals reduce the
     same grid twice. Raw facts are touched exactly once."""
     t = load(spark, sf_dir)
-    dec = "decimal(38,0)"
-    g = (
-        t.lineitem.groupBy(
-            F.col("l_quantity").cast("long").alias("q"),
-            F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
-        )
-        .agg(F.count("*").cast(dec).alias("n"))
+    facts = t.lineitem.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    pairs = a.join(F.broadcast(b), F.col("b.q") > F.col("a.q")).agg(
-        F.sum(
-            F.when(F.col("b.d") > F.col("a.d"), F.col("a.n") * F.col("b.n")).otherwise(
-                F.lit(0).cast(dec)
-            )
-        ).alias("c"),
-        F.sum(
-            F.when(F.col("b.d") < F.col("a.d"), F.col("a.n") * F.col("b.n")).otherwise(
-                F.lit(0).cast(dec)
-            )
-        ).alias("d"),
-    )
-    tq = (
-        g.groupBy("q")
-        .agg(F.sum("n").alias("n"))
-        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast(dec).alias("tq"))
-    )
-    td = (
-        g.groupBy("d")
-        .agg(F.sum("n").alias("n"))
-        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast(dec).alias("td"))
-    )
-    nn = g.agg(F.sum("n").cast(dec).alias("nn"))
-    n0 = F.col("nn") * (F.col("nn") - 1) / 2
-    return (
-        pairs.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(tq))
-        .crossJoin(F.broadcast(td))
-        .select(
-            F.col("nn").cast("long").alias("n"),
-            F.col("c").cast("long").alias("concordant"),
-            F.col("d").cast("long").alias("discordant"),
-            (
-                F.round(
-                    (F.col("c") - F.col("d"))
-                    / F.sqrt((n0 - F.col("tq")).cast("double"))
-                    / F.sqrt((n0 - F.col("td")).cast("double")),
-                    6,
-                )
-                + 0.0
-            ).alias("tau_b"),
-        )
-    )
+    return kendall_tau_b(facts)
 
 
 # --------------------------------------------------------------------------

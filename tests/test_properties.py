@@ -856,3 +856,115 @@ def test_dp_laplace_noise_is_deterministic_and_laplace_shaped(spark):
     assert abs(med - b * math.log(2)) < 0.15 * b
     tail = sum(1 for v in absd if v > b) / n
     assert abs(tail - math.exp(-1)) < 0.05
+
+
+def _mw_ref(xs, ys):
+    """Textbook Mann-Whitney U1 with tie-midpoint ranks (e.g. Mann &
+    Whitney 1947): U1 = R1 - n1(n1+1)/2 over the pooled ranking."""
+    pooled = list(xs) + list(ys)
+    ranks = _midranks(pooled)
+    r1 = ranks[: len(xs)].sum()
+    return r1 - len(xs) * (len(xs) + 1) / 2.0
+
+
+@given(
+    xs=st.lists(st.integers(0, 12), min_size=2, max_size=25),
+    ys=st.lists(st.integers(0, 12), min_size=2, max_size=25),
+)
+@SLOW
+def test_mann_whitney_matches_textbook_formula(spark, xs, ys):
+    from finanalyzer_spark.plans.profile import mann_whitney_u
+
+    rows = [(v, 1, 0) for v in xs] + [(v, 0, 1) for v in ys]
+    df = spark.createDataFrame(rows, "cents long, in_a long, in_b long")
+    got = mann_whitney_u(df).collect()[0]
+    u1 = _mw_ref(xs, ys)
+    assert (got["n_a"], got["n_b"]) == (len(xs), len(ys))
+    assert got["u1_x2"] == int(round(2 * u1))
+    assert got["cles_ppm"] == int(
+        (int(round(2 * u1)) * 1_000_000) // (2 * len(xs) * len(ys))
+    )
+
+
+def _spearman_ref(pairs):
+    """Pearson correlation of midranks — the tie-corrected Spearman."""
+    import numpy as np
+
+    xs = _midranks([p[0] for p in pairs])
+    ys = _midranks([p[1] for p in pairs])
+    n = len(pairs)
+    sx, sy = xs.sum(), ys.sum()
+    sxx = (xs * xs).sum()
+    syy = (ys * ys).sum()
+    sxy = (xs * ys).sum()
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    return (n * sxy - sx * sy) / den if den else float("nan")
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=3,
+        max_size=40,
+    )
+)
+@SLOW
+def test_spearman_matches_textbook_formula(spark, pairs):
+    import math
+
+    from finanalyzer_spark.plans.profile import spearman_rho
+
+    df = spark.createDataFrame(pairs, "xv long, yv long")
+    got = spearman_rho(df).collect()[0]
+    ref = _spearman_ref(pairs)
+    assert got["n"] == len(pairs)
+    if math.isfinite(ref):
+        assert got["rho"] == pytest.approx(ref, abs=2e-6)
+    else:
+        assert got["rho"] is None or not math.isfinite(got["rho"])
+
+
+def _kendall_ref(pairs):
+    """Direct O(n^2) tau-b (Kendall 1945 tie correction)."""
+    import math
+
+    n = len(pairs)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (pairs[j][0] > pairs[i][0]) - (pairs[j][0] < pairs[i][0])
+            sy = (pairs[j][1] > pairs[i][1]) - (pairs[j][1] < pairs[i][1])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+    from collections import Counter
+
+    n0 = n * (n - 1) / 2
+    tq = sum(t * (t - 1) / 2 for t in Counter(p[0] for p in pairs).values())
+    td = sum(t * (t - 1) / 2 for t in Counter(p[1] for p in pairs).values())
+    den = math.sqrt(n0 - tq) * math.sqrt(n0 - td)
+    return c, d, (c - d) / den if den else float("nan")
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=3,
+        max_size=30,
+    )
+)
+@SLOW
+def test_kendall_tau_b_matches_textbook_formula(spark, pairs):
+    import math
+
+    from finanalyzer_spark.plans.profile import kendall_tau_b
+
+    df = spark.createDataFrame(pairs, "q long, d long")
+    got = kendall_tau_b(df).collect()[0]
+    c, d, tau = _kendall_ref(pairs)
+    assert (got["n"], got["concordant"], got["discordant"]) == (
+        len(pairs), c, d,
+    )
+    if math.isfinite(tau):
+        assert got["tau_b"] == pytest.approx(tau, abs=2e-6)
