@@ -181,6 +181,81 @@ def parse_warc(buf: bytes):
     yield from _iter_plain_records(buf)
 
 
+def iter_warc_members(buf: bytes):
+    """Yield ``(offset, compressed_length, plain_bytes)`` for every
+    gzip member of a .warc.gz (or one pseudo-member covering a plain
+    .warc).  The per-record member layout is what makes a 100 TB
+    archive random-access: a CDX index row stores (offset, length)
+    and a reader later fetches exactly that byte range and inflates
+    one member — no scan."""
+    if buf[:2] != b"\x1f\x8b":
+        yield 0, len(buf), bytes(buf)
+        return
+    pos = 0
+    rest = bytes(buf)
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        plain = d.decompress(rest) + d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        consumed = len(rest) - len(d.unused_data)
+        yield pos, consumed, plain
+        pos += consumed
+        rest = d.unused_data
+
+
+def surt(url: str) -> str:
+    """Sort-friendly URI Reordering Transform — the key Common Crawl
+    CDX indexes sort by: host labels reversed and comma-joined, a
+    leading 'www.' dropped, scheme discarded, path/query appended
+    after ')': https://www.a.example.com/p?x=1 ->
+    com,example,a)/p?x=1."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    host = (parts.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split("."))) if host else ""
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    return f"{key}){path}"
+
+
+def warc_cdx_records(buf: bytes):
+    """CDX-shaped index rows for an archive: one dict per WARC record
+    with ``(surt, url, rtype, status, mime, offset, length)`` —
+    offset/length are the gzip-member byte range (or the record range
+    in a plain .warc), so `buf[offset:offset+length]` round-trips the
+    record through iter_warc_members/parse_warc."""
+    for offset, clen, plain in iter_warc_members(buf):
+        inner = 0
+        for rec in _iter_plain_records(plain):
+            status = mime = None
+            if rec["type"] in ("response", "revisit") and rec[
+                "block"
+            ].startswith(b"HTTP/"):
+                try:
+                    status, headers, _body = split_http_response(
+                        rec["block"]
+                    )
+                    mime = headers.get("content-type")
+                except ValueError:
+                    pass
+            yield {
+                "surt": surt(rec["uri"]) if rec["uri"] else None,
+                "url": rec["uri"],
+                "rtype": rec["type"],
+                "status": status,
+                "mime": mime,
+                "offset": offset,
+                "length": clen,
+                "member_record": inner,
+            }
+            inner += 1
+
+
 # ---------------------------------------------------------------------------
 # HTML text extraction (stdlib html.parser — conformant tokenizer)
 # ---------------------------------------------------------------------------

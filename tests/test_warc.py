@@ -122,3 +122,52 @@ def test_html_extraction_tolerates_malformed_markup():
     # yields every text node (HTMLParser is forgiving by design)
     _, text = extract_html_text("<body><p>a & b<div>c</body></html></p>")
     assert "a & b" in text and "c" in text
+
+
+def test_surt_keys():
+    from finanalyzer_spark.operators.warc import surt
+
+    assert surt("https://www.a.example.com/p?x=1") == "com,example,a)/p?x=1"
+    assert surt("HTTP://Example.COM") == "com,example)/"
+    assert surt("https://example.org/a/b") == "org,example)/a/b"
+
+
+def test_cdx_records_offsets_round_trip():
+    """Every CDX row's (offset, length) must slice a self-contained
+    gzip member out of the archive whose single record matches the
+    indexed fields — the random-access contract a 100 TB reader
+    relies on."""
+    from finanalyzer_spark.operators.warc import (
+        parse_warc,
+        warc_cdx_records,
+    )
+
+    recs = []
+    for i in range(4):
+        uri = f"https://www.site{i}.example.com/page/{i}"
+        body = f"<html><body>doc {i}</body></html>".encode()
+        recs.append(
+            write_warc_record("response", build_http_response(body), uri=uri)
+        )
+    archive = write_warc(recs, gzip_members=True)
+    rows = list(warc_cdx_records(archive))
+    assert len(rows) == 4
+    assert [r["surt"] for r in rows] == [
+        f"com,example,site{i})/page/{i}" for i in range(4)
+    ]
+    assert all(r["status"] == 200 for r in rows)
+    assert all(r["mime"].startswith("text/html") for r in rows)
+    # offsets tile the archive exactly
+    assert rows[0]["offset"] == 0
+    assert sum(r["length"] for r in rows) == len(archive)
+    for r in rows:
+        member = archive[r["offset"] : r["offset"] + r["length"]]
+        (only,) = parse_warc(member)
+        assert only["uri"] == r["url"]
+
+    # plain (uncompressed) archives index as one pseudo-member
+    plain_rows = list(
+        warc_cdx_records(write_warc(recs, gzip_members=False))
+    )
+    assert len(plain_rows) == 4
+    assert [r["member_record"] for r in plain_rows] == [0, 1, 2, 3]
