@@ -67,6 +67,9 @@ FAMILIES: dict[str, list[str]] = {
     "media": [
         "media_image_features",
     ],
+    "ingest": [
+        "warc_html_extraction",
+    ],
 }
 
 LINKED = ["customer", "nation", "part", "region", "supplier", "events"]
