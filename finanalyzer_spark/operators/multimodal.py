@@ -1451,6 +1451,11 @@ def probe_media(buf: bytes) -> dict:
                     "n_frames": 1}
         except Exception:
             return {**out, "kind": "image", "container": "tiff"}
+    if buf[:4] == b"qoif":
+        w, h, ch, _cs = struct.unpack(">IIBB", buf[4:14])
+        return {**out, "kind": "image", "container": "qoi",
+                "codec": "qoi", "width": w, "height": h, "n_frames": 1,
+                "channels": ch}
     if buf[:2] == b"P6":
         try:
             px = decode_ppm(buf)  # header-cheap; raster is a view
