@@ -1153,3 +1153,90 @@ def media_h264_bframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, n_frames long, n_b_pictures long,"
         " exact_recon boolean, display_order_ok boolean",
     )
+
+
+@query(
+    "media_qoi_pixel_stats",
+    # the decoded-pixel stats must equal stats of the SOURCE bytes —
+    # QOI is lossless, so a single mis-decoded pixel anywhere in the
+    # op stream (diff bias, luma arithmetic, cache slot, run length)
+    # shifts px_sum and breaks the hash.  w = min(len//24, 64) with
+    # all fixture docs >= 47 chars, image = first w*24 bytes as
+    # (8, w, 3).
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, least(length(text) // 24, 64)) AS w
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, w * 24), ''),
+                   c -> ascii(c)) AS bs
+        FROM d JOIN documents USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           8 AS height,
+           CAST(w * 8 AS BIGINT) AS n_pixels,
+           CAST(list_sum(bs) AS BIGINT) AS px_sum,
+           CAST(list_max(bs) AS INT) AS px_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "qoi"),
+)
+def media_qoi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round trip through QOI (operators/qoi.py):
+    each document's leading bytes become an (8, w, 3) image, encode
+    to a genuine QOI byte stream, decode with the exact-or-refuse
+    decoder, and report pixel stats computed from the DECODED array —
+    the oracle recomputes them from the source characters, so the
+    hash certifies losslessness through the full op-code mix the
+    text-derived images produce (runs on repeated words, small diffs,
+    cache hits, raw RGB jumps)."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.qoi import decode_qoi, encode_qoi
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bs = text.encode("utf-8")
+                w = max(1, min(len(bs) // 24, 64))
+                img = (
+                    np.frombuffer(bs[: w * 24], dtype=np.uint8)
+                    .reshape(8, w, 3)
+                )
+                dec = decode_qoi(encode_qoi(img))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "width": w,
+                        "height": 8,
+                        "n_pixels": int(dec.shape[0] * dec.shape[1]),
+                        "px_sum": int(dec.astype(np.int64).sum()),
+                        "px_max": int(dec.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "px_sum", "px_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " px_sum long, px_max int"
+        ),
+    )
