@@ -45,6 +45,10 @@ Vectors:
       POC distances against the colocated P motion (DistScaleFactor
       128 → exact half forward / half backward), half-pel fetches on
       both lists.
+  F — multi-reference P with 8.2.4.3.1 list modification: two PCM
+      references, a modification command re-ordering RefPicList0,
+      te(v) ref_idx selection of both pictures, and the refIdx-aware
+      MV prediction shortcuts.
 """
 
 from __future__ import annotations
@@ -651,6 +655,101 @@ def build_vector_e():
     return stream, [(REF_Y, REF_CB, REF_CR), b_fr, p_fr]
 
 
+def build_vector_f():
+    """Multi-reference P with 8.2.4.3.1 list modification: IDR (PCM
+    gradient R0) → P1 (PCM-in-P-slice gradient R1, so the DPB holds
+    two references) → P2 with num_ref_idx override to 2 and a
+    modification command moving the IDR (picNum 0) to slot 0, so
+    ref_idx 0 = R0 and ref_idx 1 = R1.  The four macroblocks exercise
+    both references, te(v) ref_idx bits, and the refIdx-aware
+    8.4.1.3 prediction rules (B/C-unavailable shortcut, and the
+    exactly-one-matching-refIdx shortcut twice)."""
+    r1_y = 250 - 2 * _R32 - 4 * _C32
+    r1_cb = 200 - 3 * _R16g - 2 * _C16g
+    r1_cr = 30 + 4 * _R16g + 2 * _C16g
+
+    p1 = _W()
+    _slice_header(p1, "P", 1, idr=False)
+    _slice_tail(p1, ref=True, idr=False)
+    for my in (0, 1):
+        for mx in (0, 1):
+            p1.ue(0)     # mb_skip_run
+            p1.ue(30)    # P_INTRA_OFFSET(5) + I_PCM(25)
+            _pcm_mb(
+                p1,
+                r1_y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
+                r1_cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                r1_cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+            )
+    p1.trailing()
+
+    # (ref_idx, mv, mvd) per MB, prediction hand-derived:
+    # MB0: no neighbours -> mvp (0,0).  MB1: B/C unavailable -> mvp =
+    # mvA regardless of refIdx.  MB2: only B shares refIdx 0 -> mvp =
+    # mvB.  MB3: only B shares refIdx 1 -> mvp = mvB.
+    mbs = [
+        (0, (6, 0), (6, 0)),            # R0, h-half
+        (1, (0, 4), (-6, 4)),           # R1, integer
+        (0, (8, 0), (2, 0)),            # R0, integer
+        (1, (0, 8), (0, 4)),            # R1, integer
+    ]
+    p2 = _W()
+    p2.ue(0)        # first_mb_in_slice
+    p2.ue(5)        # slice_type P
+    p2.ue(0)        # pps_id
+    p2.u(2, 4)      # frame_num
+    p2.u(1, 1)      # num_ref_idx_active_override_flag
+    p2.ue(1)        # num_ref_idx_l0_active_minus1 -> 2 refs
+    p2.u(1, 1)      # ref_pic_list_modification_flag_l0
+    p2.ue(0)        # idc 0: subtract
+    p2.ue(1)        # abs_diff 2: picNum 0 (the IDR) to slot 0
+    p2.ue(3)        # end of modification ops
+    p2.u(0, 1)      # adaptive_ref_pic_marking_mode_flag
+    p2.se(0)        # slice_qp_delta
+    p2.ue(1)        # disable_deblocking_filter_idc
+    for ref_idx, _mv, mvd in mbs:
+        p2.ue(0)                    # mb_skip_run
+        p2.ue(0)                    # P_L0_16x16
+        p2.u(1 - ref_idx, 1)        # te(v), max 1: inverted bit
+        p2.se(mvd[0])
+        p2.se(mvd[1])
+        p2.ue(0)                    # cbp
+    p2.trailing()
+
+    stream = (
+        _nal(7, 3, _sps(66, 2, 2))
+        + _nal(8, 3, _pps(26))
+        + _nal(5, 3, _pcm_idr_slice())
+        + _nal(1, 2, p1.bytes())
+        + _nal(1, 2, p2.bytes())
+    )
+
+    refs = {
+        0: (REF_Y, REF_CB, REF_CR),
+        1: (r1_y, r1_cb, r1_cr),
+    }
+    y = np.zeros((32, 32), dtype=np.int64)
+    cb = np.zeros((16, 16), dtype=np.int64)
+    cr = np.zeros((16, 16), dtype=np.int64)
+    for i, (ref_idx, (mvx, mvy), _mvd) in enumerate(mbs):
+        my, mx = divmod(i, 2)
+        ry, rcb, rcr = refs[ref_idx]
+        y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _mc_luma(
+            ry, mx * 16, my * 16, mvx, mvy
+        )
+        cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _mc_chroma(
+            rcb, mx * 8, my * 8, mvx, mvy
+        )
+        cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _mc_chroma(
+            rcr, mx * 8, my * 8, mvx, mvy
+        )
+    return stream, [
+        (REF_Y, REF_CB, REF_CR),
+        (r1_y, r1_cb, r1_cr),
+        (y, cb, cr),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # pinned digests: the frozen fixture identity.  If an edit to the
 # assembler or the expectation code changes bytes or planes, these
@@ -677,6 +776,10 @@ PINNED = {
     "e": (
         "e810eb2cae295992d64190f895707bc7",
         "64fb1c5c3b6bcfb287dc3d5642da312a",
+    ),
+    "f": (
+        "04469e8800d3f84cb1a7c460088c373b",
+        "866015e254cea7be9090413ed742b5ab",
     ),
 }
 
@@ -726,3 +829,7 @@ def test_conformance_vector_d_weighted_prediction():
 
 def test_conformance_vector_e_temporal_direct():
     _run("e", build_vector_e)
+
+
+def test_conformance_vector_f_multiref_list_modification():
+    _run("f", build_vector_f)
