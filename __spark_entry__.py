@@ -170,8 +170,9 @@ ROUND_CHANGED = frozenset({
     # round-8 differential-privacy release family
     "dp_noisy_source_counts",
     "dp_noisy_clamped_sum",
-    # round-8 QOI codec round-trip certification
+    # round-8 QOI / TIFF codec round-trip certification
     "media_qoi_pixel_stats",
+    "media_tiff_pixel_stats",
 })
 
 

@@ -1196,6 +1196,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "media_tiff_pixel_stats": {
+        # one Arrow kernel over the scan; payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "media_qoi_pixel_stats": {
         # one Arrow kernel over the scan; payload bytes never shuffle
         "must": ["MapInPandas"],
