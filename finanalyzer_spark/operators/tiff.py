@@ -154,6 +154,16 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
                 raise ValueError("LZW code beyond table")
             out += entry
             prev = entry
+            if len(out) >= expected:
+                # done: like libtiff, decode is driven by the strip's
+                # declared byte count, NOT by reading EOI — the code
+                # after the final data code sits exactly on the
+                # width-bump boundary where encoder and decoder
+                # widths legitimately differ by one (the decoder's
+                # table catches up to next_code only once there is no
+                # following insertion), so the EOI read would be
+                # ambiguous; the byte count is not.
+                return bytes(out[:expected])
             # EarlyChange: bump one code before the table fills
             if len(table) + 1 >= (1 << width) and width < 12:
                 width += 1
@@ -185,7 +195,13 @@ def _lzw_encode(data: bytes) -> bytes:
         put(table[w], width)
         table[wc] = next_code
         next_code += 1
-        # EarlyChange: widen when the NEXT code would not fit
+        # EarlyChange width bump.  The decoder lags one table entry
+        # behind (its entry for the code just written lands only
+        # while PROCESSING it), so the write-side threshold is one
+        # above the read side's: decoder widens after appending entry
+        # 510 (table >= 511), encoder after inserting entry 511
+        # (next_code >= 512) — then every steady-state code is read
+        # at the width it was written with.
         if next_code + 1 > (1 << width) and width < 12:
             width += 1
         if next_code == 4094:  # table nearly full: emit Clear

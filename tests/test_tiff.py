@@ -157,3 +157,46 @@ def test_probe_media_reads_tiff_dimensions():
     assert got["kind"] == "image"
     assert got["container"] == "tiff"
     assert (got["width"], got["height"]) in ((11, 6), (None, None))
+
+
+def test_lzw_round_trips_across_every_width_boundary_length():
+    """Regression for the EarlyChange tail desync found by the sf0.1
+    oracle: the code following the final data insertion sits exactly
+    on the width-bump boundary, so byte-count-driven decode (libtiff
+    semantics) must round-trip every strip length around the 511
+    entry boundary, not just the sizes unit tests happen to pick."""
+    rng = np.random.default_rng(42)
+    for n in list(range(240, 280)) + [509, 510, 511, 512, 513, 1021,
+                                      1022, 1023, 1024, 1025]:
+        from finanalyzer_spark.operators.tiff import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(data), n) == data, n
+
+
+def test_foreign_file_from_python_stdlib_decodes():
+    """A genuinely third-party TIFF (CPython's test-suite fixture,
+    written by an external tool): 16x16 RGBA uncompressed — decode
+    must parse the real-world IFD (extra tags, RowsPerStrip 128)
+    and produce the right shape and a stable checksum."""
+    import os
+
+    path = (
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/test/"
+        "test_email/data/python.tiff"
+    )
+    if not os.path.exists(path):  # pragma: no cover
+        pytest.skip("stdlib fixture not present")
+    img = decode_tiff(open(path, "rb").read())
+    assert img.shape == (16, 16, 4)
+    assert int(img.astype(np.int64).sum()) > 0
+    # pinned: content must not drift with parser changes
+    import hashlib
+
+    assert (
+        hashlib.sha256(img.tobytes()).hexdigest()[:16]
+        == "8f307041b5cb184d"
+    )
