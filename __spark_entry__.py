@@ -173,6 +173,8 @@ ROUND_CHANGED = frozenset({
     # round-8 QOI / TIFF codec round-trip certification
     "media_qoi_pixel_stats",
     "media_tiff_pixel_stats",
+    # round-8 full-tier PNG codec certification
+    "media_png_pixel_stats",
 })
 
 

@@ -665,102 +665,35 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(buf: bytes):
-    """REAL PNG decode with no external codec: stdlib zlib inflates the
-    IDAT stream and numpy undoes the per-scanline filters — PNG is
-    exactly (chunk framing + DEFLATE + 5 byte-prediction filters), all
-    of which the standard library + numpy cover. Returns an (h, w, 3)
-    uint8 RGB array shape-compatible with decode_ppm.
-
-    Supported: bit depth 8, color types 0/2/3/4/6 (grey, RGB, palette,
-    grey+alpha, RGBA; alpha is dropped for the RGB contract),
-    non-interlaced — the overwhelmingly common encoder output. Honest
-    NotImplementedError for 1/2/4/16-bit depths and Adam7 interlace.
-
-    Filter reconstruction (spec §9): None/Up are pure vector ops, Sub
-    is a per-channel cumsum (recon[x] = filt[x] + recon[x-bpp] →
-    cumsum mod 256 over each byte-offset class), Average/Paeth carry a
-    true sequential dependency along the scanline and fall back to a
-    per-byte loop — correctness over micro-speed; the Arrow batch
-    around this amortizes per-image Python overhead."""
-    import struct
-    import zlib
-
+    """RGB8 projection of the full PNG tier (operators/png.py, which
+    handles the complete baseline matrix: colour types 0/2/3/4/6,
+    depths 1/2/4/8/16, Adam7 interlace, multi-IDAT, CRC-verified
+    chunks, palette tRNS).  This wrapper maps every decode onto the
+    (h, w, 3) uint8 RGB contract the feature kernels share with
+    decode_ppm: grey replicated, palette looked up, alpha dropped,
+    16-bit reduced to the high byte, sub-byte grey rescaled to full
+    range."""
     import numpy as np
 
-    if buf[:8] != _PNG_SIG:
-        raise ValueError("not a PNG byte stream")
-    pos, idat, ihdr, plte = 8, [], None, None
-    while pos + 8 <= len(buf):
-        (length,) = struct.unpack(">I", buf[pos : pos + 4])
-        ctype = buf[pos + 4 : pos + 8]
-        data = buf[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit_depth={depth} color_type={color} "
-            f"interlace={interlace} not supported by the pure decoder "
-            "(8-bit non-interlaced grey/RGB/palette/alpha only)"
-        )
-    ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
-    recon = np.zeros((h, stride), dtype=np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        f, row = int(ftypes[y]), rows[y]
-        if f == 0:
-            cur = row
-        elif f == 1:  # Sub: per-offset-class cumsum
-            cur = row.copy()
-            for o in range(ch):
-                cur[o::ch] = np.cumsum(cur[o::ch]) % 256
-        elif f == 2:  # Up
-            cur = (row + prev) % 256
-        elif f == 3:  # Average — sequential in x
-            cur = row.copy()
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                cur[x] = (cur[x] + (a + prev[x]) // 2) % 256
-        elif f == 4:  # Paeth — sequential in x
-            cur = row.copy()
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) % 256
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-        recon[y], prev = cur, cur
-    px = recon.astype(np.uint8).reshape(h, w, ch)
-    if color == 2:
-        return px
-    if color == 6:
-        return px[:, :, :3].copy()
-    if color == 0:
+    from .png import decode_png as _full
+
+    px = _full(buf)
+    depth = buf[24]
+    ctype = buf[25]
+    if px.dtype == np.uint16:
+        px = (px >> 8).astype(np.uint8)
+    elif ctype == 0 and depth < 8:
+        px = (
+            px.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+    ch = px.shape[2]
+    if ch == 1:
         return np.repeat(px, 3, axis=2)
-    if color == 4:
+    if ch == 2:
         return np.repeat(px[:, :, :1], 3, axis=2)
-    if plte is None:
-        raise ValueError("palette PNG without PLTE")
-    return plte[px[:, :, 0]]
+    if ch == 4:
+        return px[:, :, :3].copy()
+    return px
 
 
 def encode_png(arr, filter_type: int = 0) -> bytes:

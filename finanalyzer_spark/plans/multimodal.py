@@ -1326,3 +1326,90 @@ def media_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " px_sum long, px_max int"
         ),
     )
+
+
+@query(
+    "media_png_pixel_stats",
+    # identical oracle discipline to media_qoi/tiff_pixel_stats: the
+    # decoded pixels must equal the source characters, so the hash
+    # certifies the WHOLE PNG path (chunk CRCs, DEFLATE via stdlib
+    # zlib, the adaptive per-row filter choice and all five filter
+    # reconstructions) end-to-end losslessly.  The codec itself is
+    # additionally certified against genuinely foreign stdlib files
+    # and a cross-format TIFF check in tests/test_png.py.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, least(length(text) // 24, 64)) AS w
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, w * 24), ''),
+                   c -> ascii(c)) AS bs
+        FROM d JOIN documents USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           8 AS height,
+           CAST(w * 8 AS BIGINT) AS n_pixels,
+           CAST(list_sum(bs) AS BIGINT) AS px_sum,
+           CAST(list_max(bs) AS INT) AS px_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "png"),
+)
+def media_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-tier PNG round trip (operators/png.py): document bytes →
+    (8, w, 3) image → non-interlaced RGB8 PNG via the adaptive
+    minimum-residual filter chooser (text-derived images make it mix
+    None/Sub/Up/Average/Paeth rows) → exact-or-refuse decode with
+    CRC verification → pixel stats, with the oracle recomputing the
+    stats from the source characters — one wrong byte anywhere in
+    the filter algebra or chunk plumbing breaks the hash."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bs = text.encode("utf-8")
+                w = max(1, min(len(bs) // 24, 64))
+                img = (
+                    np.frombuffer(bs[: w * 24], dtype=np.uint8)
+                    .reshape(8, w, 3)
+                )
+                dec = decode_png(encode_png(img))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "width": w,
+                        "height": 8,
+                        "n_pixels": int(dec.shape[0] * dec.shape[1]),
+                        "px_sum": int(dec.astype(np.int64).sum()),
+                        "px_max": int(dec.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "px_sum", "px_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " px_sum long, px_max int"
+        ),
+    )

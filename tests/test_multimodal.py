@@ -158,14 +158,16 @@ def test_png_grey_palette_alpha_color_types():
     assert r.shape == (2, 1, 3)
     assert r[0, 0].tolist() == [1, 2, 3] and r[1, 0].tolist() == [5, 6, 7]
 
-    # 16-bit depth: honest NotImplementedError
-    deep = build(1, 1, 0, b"\x00\x00\x01")
-    deep = deep.replace(
-        struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0),
-        struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0),
+    # 16-bit grey (big-endian 0x0a14): full tier decodes it, the RGB8
+    # projection keeps the high byte
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    deep = (
+        sig + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x0a\x14"))
+        + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit_depth=16"):
-        decode_png(deep)
+    d = decode_png(deep)
+    assert d.shape == (1, 1, 3) and d[0, 0].tolist() == [10, 10, 10]
 
 
 def test_png_through_spark_kernel_matches_ppm(spark):
