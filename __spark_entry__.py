@@ -175,6 +175,9 @@ ROUND_CHANGED = frozenset({
     "media_tiff_pixel_stats",
     # round-8 full-tier PNG codec certification
     "media_png_pixel_stats",
+    # round-8 G.711 + AU/AIFF audio container tier
+    "media_g711_audio_stats",
+    "media_audio_container_parity",
 })
 
 

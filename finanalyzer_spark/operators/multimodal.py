@@ -184,20 +184,24 @@ def decode_audio(buf: bytes):
 
         info, samples = decode_flac(buf)
         return info["sample_rate"], samples.astype(np.int16)
+    if buf[:4] == b".snd":
+        from .aiffau import decode_au
+
+        return decode_au(buf)
+    if buf[:4] == b"FORM" and buf[8:12] in (b"AIFF", b"AIFC"):
+        from .aiffau import decode_aiff
+
+        return decode_aiff(buf)
     return decode_wav(buf)
 
 
 def _mulaw_expand(u):
     """ITU-T G.711 mu-law byte -> linear int16 expansion (vectorized).
-    Inverse of _mulaw_compress up to the codec's quantization."""
-    import numpy as np
+    Delegates to operators/g711.py, which is exhaustively conformance-
+    tested against the audioop C reference (tests/test_g711.py)."""
+    from .g711 import ulaw_decode
 
-    u = (~u) & 0xFF
-    sign = (u & 0x80) != 0
-    exponent = (u >> 4) & 0x07
-    mantissa = u & 0x0F
-    mag = (((mantissa.astype(np.int32) << 3) + 0x84) << exponent) - 0x84
-    return np.where(sign, -mag, mag).astype(np.int16)
+    return ulaw_decode(u)
 
 
 #: IMA/DVI ADPCM step-size table (89 entries; IMA Digital Audio
@@ -388,15 +392,12 @@ def encode_wav_ima_adpcm(
 
 
 def _mulaw_compress(pcm):
-    """Linear int16 -> mu-law byte (test-side encoder twin)."""
-    import numpy as np
+    """Linear int16 -> mu-law byte (encoder twin). Delegates to
+    operators/g711.py (audioop-exact; the earlier float-log2 twin
+    deviated from the C reference on 381 of 65 536 boundary values)."""
+    from .g711 import ulaw_encode
 
-    x = pcm.astype(np.int32)
-    sign = np.where(x < 0, 0x80, 0)
-    mag = np.minimum(np.abs(x), 32635) + 0x84
-    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int32)
-    mantissa = (mag >> (exponent + 3)) & 0x0F
-    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+    return ulaw_encode(pcm)
 
 
 def demux_y4m(buf: bytes):
@@ -1437,6 +1438,52 @@ def probe_media(buf: bytes) -> dict:
                     "channels": channels}
         return {**out, "kind": "audio", "container": "flac",
                 "codec": "flac"}
+    if buf[:4] == b".snd":
+        # Sun AU: fixed 24-byte BE header names the codec directly
+        try:
+            _off, _size, enc, rate, channels = struct.unpack(
+                ">IIIII", buf[4:24]
+            )
+            codec = {1: "g711-mulaw", 2: "pcm", 3: "pcm", 4: "pcm",
+                     5: "pcm", 27: "g711-alaw"}.get(enc, f"au-{enc}")
+            bps = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 27: 1}.get(enc)
+            n = None
+            if bps and channels and _size != 0xFFFFFFFF:
+                n = _size // (bps * channels)
+            return {**out, "kind": "audio", "container": "au",
+                    "codec": codec, "sample_rate": rate,
+                    "n_samples": n, "channels": channels or None}
+        except struct.error:
+            return {**out, "kind": "audio", "container": "au"}
+    if buf[:4] == b"FORM" and buf[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF/AIFC: COMM carries frames/channels/rate; AIFC names
+        # the compression type after the 18 fixed COMM bytes
+        container = "aifc" if buf[8:12] == b"AIFC" else "aiff"
+        p, codec, rate, n, channels = 12, "pcm", None, None, None
+        try:
+            from .aiffau import _x80_to_int
+
+            while p + 8 <= len(buf):
+                cid = buf[p : p + 4]
+                (size,) = struct.unpack(">I", buf[p + 4 : p + 8])
+                if cid == b"COMM":
+                    body = buf[p + 8 : p + 8 + size]
+                    channels, n, _bits = struct.unpack(">hIh", body[:8])
+                    rate = _x80_to_int(body[8:18])
+                    if container == "aifc" and len(body) >= 22:
+                        comp = body[18:22]
+                        codec = {b"NONE": "pcm", b"sowt": "pcm",
+                                 b"ulaw": "g711-mulaw",
+                                 b"alaw": "g711-alaw"}.get(
+                            comp, comp.decode("latin1").strip()
+                        )
+                    break
+                p += 8 + size + (size & 1)
+        except (struct.error, ValueError):
+            pass
+        return {**out, "kind": "audio", "container": container,
+                "codec": codec, "sample_rate": rate, "n_samples": n,
+                "channels": channels or None}
     if (
         buf[:3] == b"ID3"
         or (buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0)

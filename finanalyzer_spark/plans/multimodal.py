@@ -1413,3 +1413,198 @@ def media_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " px_sum long, px_max int"
         ),
     )
+
+
+def _sql_int_list(values) -> str:
+    return "[" + ",".join(str(int(v)) for v in values) + "]"
+
+
+def _g711_oracle() -> str:
+    """Oracle for media_g711_audio_stats: recomputes both laws' decodes
+    engine-independently from the PINNED 256-entry spec tables
+    (operators/g711.py, themselves exhaustively equal to the audioop C
+    reference — tests/test_g711.py), so the DuckDB side shares no code
+    with the Spark kernel's arithmetic decoder."""
+    from ..operators.g711 import ALAW_DECODE_TABLE, ULAW_DECODE_TABLE
+
+    return f"""
+    WITH px AS (
+        SELECT doc_id,
+               least(length(text), 512) AS n,
+               list_transform(
+                   string_split_regex(substr(text, 1, least(length(text), 512)), ''),
+                   c -> (ascii(c) * 131) % 256) AS cs
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(list_sum(list_transform(cs,
+                c -> ({_sql_int_list(ULAW_DECODE_TABLE)})[c + 1]))
+                AS BIGINT) AS ulaw_sum,
+           CAST(list_min(list_transform(cs,
+                c -> ({_sql_int_list(ULAW_DECODE_TABLE)})[c + 1]))
+                AS INT) AS ulaw_min,
+           CAST(list_sum(list_transform(cs,
+                c -> ({_sql_int_list(ALAW_DECODE_TABLE)})[c + 1]))
+                AS BIGINT) AS alaw_sum,
+           CAST(list_max(list_transform(cs,
+                c -> ({_sql_int_list(ALAW_DECODE_TABLE)})[c + 1]))
+                AS INT) AS alaw_max
+    FROM px
+    """
+
+
+@query(
+    "media_g711_audio_stats",
+    oracle=_g711_oracle(),
+    tags=("multimodal", "codec", "audio", "g711"),
+)
+def media_g711_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-codec certification over the corpus: document
+    bytes (spread across the code space by *131 mod 256) are treated
+    as mu-law AND A-law code streams and expanded by the vectorized
+    arithmetic decoders (operators/g711.py); the oracle re-derives
+    every sample from the pinned spec tables, so one wrong expansion
+    anywhere in either law breaks the value hash.  The codecs behind
+    this query are additionally exhaustively bit-equal to CPython's
+    audioop C reference and certified on foreign fixture files
+    (tests/test_g711.py, tests/test_aiffau.py)."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.g711 import alaw_decode, ulaw_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bs = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n = min(len(bs), 512)
+                codes = ((bs[:n].astype(np.int32) * 131) % 256).astype(
+                    np.uint8
+                )
+                u = ulaw_decode(codes).astype(np.int64)
+                a = alaw_decode(codes).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "n_samples": n,
+                        "ulaw_sum": int(u.sum()),
+                        "ulaw_min": int(u.min()),
+                        "alaw_sum": int(a.sum()),
+                        "alaw_max": int(a.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "ulaw_sum", "ulaw_min",
+                    "alaw_sum", "alaw_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, n_samples int, ulaw_sum long, ulaw_min int,"
+            " alaw_sum long, alaw_max int"
+        ),
+    )
+
+
+@query(
+    "media_audio_container_parity",
+    # pcm16 is lossless through all three containers, so the oracle
+    # recomputes the decoded-sample stats straight from the source
+    # characters and pins containers_agree TRUE: a byte-order, header,
+    # interleave, or offset bug in ANY of the WAV/AU/AIFF paths breaks
+    # either the parity flag or the value hash.
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               least(length(text), 256) AS n,
+               list_transform(
+                   string_split_regex(substr(text, 1, least(length(text), 256)), ''),
+                   c -> (ascii(c) * 523) % 65536 - 32768) AS ss
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS INT) AS n_samples,
+           TRUE AS containers_agree,
+           CAST(list_sum(ss) AS BIGINT) AS pcm_sum,
+           CAST(list_min(ss) AS INT) AS pcm_min,
+           CAST(list_max(ss) AS INT) AS pcm_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "audio", "container"),
+)
+def media_audio_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container audio certification: one int16 signal derived
+    from each document's bytes is muxed into RIFF/WAVE, Sun AU, and
+    AIFF by three independent encoders, demuxed by the three
+    independent decoders (decode_wav / decode_au / decode_aiff), and
+    the query emits stats only after asserting the three decodes are
+    sample-for-sample identical — the in-engine version of the
+    foreign pluck-fixture cross-container test (tests/test_aiffau.py)."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.aiffau import (
+            decode_aiff,
+            decode_au,
+            encode_aiff,
+            encode_au,
+        )
+        from ..operators.multimodal import decode_wav, encode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bs = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n = min(len(bs), 256)
+                pcm = (
+                    (bs[:n].astype(np.int64) * 523) % 65536 - 32768
+                ).astype(np.int16)
+                _, sw = decode_wav(
+                    encode_wav_pcm16(pcm.tobytes(), rate=16000)
+                )
+                _, sa = decode_au(encode_au(pcm, rate=16000))
+                _, sf_ = decode_aiff(encode_aiff(pcm, rate=16000))
+                agree = (
+                    np.array_equal(sw, sa)
+                    and np.array_equal(sw, sf_)
+                    and np.array_equal(sw.ravel(), pcm)
+                )
+                s = sw.ravel().astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "n_samples": n,
+                        "containers_agree": bool(agree),
+                        "pcm_sum": int(s.sum()),
+                        "pcm_min": int(s.min()),
+                        "pcm_max": int(s.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "containers_agree",
+                    "pcm_sum", "pcm_min", "pcm_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, n_samples int, containers_agree boolean,"
+            " pcm_sum long, pcm_min int, pcm_max int"
+        ),
+    )

@@ -1223,6 +1223,24 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "media_g711_audio_stats": {
+        # one Arrow kernel over the scan; payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_audio_container_parity": {
+        # one Arrow kernel over the scan; payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     # ---- round-8 bulk structural pins: every remaining registry
     # query gets at least the structural scale guards (no
     # SinglePartition-fed Window, no global Sort, no cartesian
