@@ -178,6 +178,8 @@ ROUND_CHANGED = frozenset({
     # round-8 G.711 + AU/AIFF audio container tier
     "media_g711_audio_stats",
     "media_audio_container_parity",
+    # round-8 legacy raster formats (Sun Raster / SGI / PNM / XBM)
+    "media_legacy_image_parity",
 })
 
 

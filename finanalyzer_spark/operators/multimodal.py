@@ -1398,6 +1398,37 @@ def probe_media(buf: bytes) -> dict:
                     "height": px.shape[0], "n_frames": 1}
         except (ValueError, NotImplementedError):
             return out
+    if buf[:1] == b"P" and buf[1:2] in b"12345":
+        try:
+            from .legacyimg import _pnm_tokens
+
+            kind = buf[1] - 0x30
+            toks, _ = _pnm_tokens(buf, 2)
+            return {**out, "kind": "image", "container": "pnm",
+                    "codec": f"p{kind}", "width": int(toks[0]),
+                    "height": int(toks[1]), "n_frames": 1}
+        except (ValueError, NotImplementedError):
+            return out
+    if buf[:4] == b"\x59\xa6\x6a\x95":
+        w, h, depth = struct.unpack(">iii", buf[4:16])
+        return {**out, "kind": "image", "container": "ras",
+                "codec": "sun-raster", "width": w, "height": h,
+                "n_frames": 1, "channels": max(depth // 8, 1)}
+    if buf[:2] == b"\x01\xda":
+        _stor, _bpc, _dim, w, h, z = struct.unpack(">BBHHHH", buf[2:12])
+        return {**out, "kind": "image", "container": "sgi",
+                "codec": "sgi-rgb", "width": w, "height": h,
+                "n_frames": 1, "channels": z or None}
+    if buf[:8].lstrip().startswith(b"#define"):
+        try:
+            from .legacyimg import decode_xbm
+
+            px = decode_xbm(buf)
+            return {**out, "kind": "image", "container": "xbm",
+                    "codec": "xbm", "width": px.shape[1],
+                    "height": px.shape[0], "n_frames": 1}
+        except (ValueError, NotImplementedError):
+            return out
     # ---- audio
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         # name the codec from the fmt tag (decode_wav validates the

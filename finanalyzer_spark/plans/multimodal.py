@@ -1608,3 +1608,107 @@ def media_audio_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pcm_sum long, pcm_min int, pcm_max int"
         ),
     )
+
+
+@query(
+    "media_legacy_image_parity",
+    # all three formats are lossless for 8-bit RGB, so the oracle
+    # recomputes pixel stats from the source characters and pins
+    # formats_agree TRUE: a bug in either RLE coder (Sun 0x80-marker
+    # runs, SGI per-scanline literal/run packets), the bottom-up SGI
+    # plane layout, row padding, or channel order breaks the hash.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, least(length(text) // 18, 64)) AS w
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w,
+               list_transform(
+                   string_split_regex(substr(text, 1, w * 18), ''),
+                   c -> ascii(c)) AS bs
+        FROM d JOIN documents USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           6 AS height,
+           TRUE AS formats_agree,
+           CAST(list_sum(bs) AS BIGINT) AS px_sum,
+           CAST(list_min(bs) AS INT) AS px_min,
+           CAST(list_max(bs) AS INT) AS px_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "image", "legacy"),
+)
+def media_legacy_image_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format legacy-image certification: each document's bytes
+    become a (6, w, 3) RGB image, encoded to Sun Raster
+    RT_BYTE_ENCODED (RLE), SGI RLE, and raw PPM P6 by three encoders
+    and decoded by three independent decoders
+    (operators/legacyimg.py); stats are emitted only after asserting
+    the three decodes equal the source pixels exactly — the in-engine
+    companion to the foreign-fixture cross-checks in
+    tests/test_legacyimg.py (where python.ras and python.sgi decode
+    bit-identical to the foreign-certified PNG)."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.legacyimg import (
+            decode_pnm,
+            decode_ras,
+            decode_sgi,
+            encode_pnm,
+            encode_ras,
+            encode_sgi,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bs = text.encode("utf-8")
+                w = max(1, min(len(bs) // 18, 64))
+                img = (
+                    np.frombuffer(bs[: w * 18], dtype=np.uint8)
+                    .reshape(6, w, 3)
+                )
+                r = decode_ras(encode_ras(img, rle=True))
+                s = decode_sgi(encode_sgi(img, rle=True))
+                p = decode_pnm(encode_pnm(img, 6))
+                agree = (
+                    np.array_equal(r, img)
+                    and np.array_equal(s, img)
+                    and np.array_equal(p, img)
+                )
+                flat = img.astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "width": w,
+                        "height": 6,
+                        "formats_agree": bool(agree),
+                        "px_sum": int(flat.sum()),
+                        "px_min": int(flat.min()),
+                        "px_max": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "formats_agree",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int,"
+            " formats_agree boolean, px_sum long, px_min int,"
+            " px_max int"
+        ),
+    )
