@@ -180,6 +180,8 @@ ROUND_CHANGED = frozenset({
     "media_audio_container_parity",
     # round-8 legacy raster formats (Sun Raster / SGI / PNM / XBM)
     "media_legacy_image_parity",
+    # round-8 interpolated Kneser-Ney trigram LM
+    "kneser_ney_trigram_score",
 })
 
 

@@ -1380,3 +1380,142 @@ def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# interpolated Kneser-Ney trigram scoring
+# --------------------------------------------------------------------------
+_KN_D = 0.75
+
+_KN_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, source,
+           string_split_regex(trim(text), '\s+') AS a
+    FROM documents WHERE trim(text) != ''
+),
+p AS (
+    SELECT doc_id, source,
+           a[i] AS w1, a[i + 1] AS w2, a[i + 2] AS w3
+    FROM (SELECT doc_id, source, a, unnest(range(1, len(a) - 1)) AS i
+          FROM t)
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM p GROUP BY w1, w2, w3),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2),
+n1ctx AS (SELECT w1, w2, count(*) AS n1_ctx FROM c3 GROUP BY w1, w2),
+n1mid AS (SELECT w2, w3, count(*) AS n1_mid FROM c3 GROUP BY w2, w3),
+n1den AS (SELECT w2, count(*) AS n1_den FROM c3 GROUP BY w2),
+bt AS (SELECT DISTINCT w2, w3 FROM c3),
+n1w2 AS (SELECT w2, count(*) AS n1_w2dot FROM bt GROUP BY w2),
+n1w3 AS (SELECT w3, count(*) AS n1_dotw3 FROM bt GROUP BY w3),
+nbb AS (SELECT count(*) AS n1_dotdot FROM bt),
+scored AS (
+    SELECT p.doc_id, p.source,
+           (greatest(c3.c3 - 0.75, 0.0) / c2.c2
+            + 0.75 * n1ctx.n1_ctx / c2.c2
+              * (greatest(n1mid.n1_mid - 0.75, 0.0) / n1den.n1_den
+                 + 0.75 * n1w2.n1_w2dot / n1den.n1_den
+                   * (CAST(n1w3.n1_dotw3 AS DOUBLE) / nbb.n1_dotdot)))
+               AS prob
+    FROM p
+    JOIN c3 USING (w1, w2, w3)
+    JOIN c2 USING (w1, w2)
+    JOIN n1ctx USING (w1, w2)
+    JOIN n1mid USING (w2, w3)
+    JOIN n1den USING (w2)
+    JOIN n1w2 USING (w2)
+    JOIN n1w3 USING (w3), nbb
+),
+per_doc AS (
+    SELECT doc_id, source, round(avg(ln(prob)), 6) AS lp
+    FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(lp), 6) AS avg_logprob,
+       min(lp) AS min_logprob,
+       max(lp) AS max_logprob
+FROM per_doc
+GROUP BY source
+"""
+
+
+@query("kneser_ney_trigram_score", oracle=_KN_ORACLE,
+       tags=("text", "lm", "quality"))
+def kneser_ney_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 interpolated form, fixed discount D=0.75) —
+    the standard n-gram quality model a corpus pipeline uses for
+    perplexity filtering, upgrading bigram_logprob_score's add-k
+    smoothing with absolute discounting + continuation probabilities:
+
+        P(w3|w1w2) = max(c(w123)-D,0)/c(w12)
+                     + D·N1+(w12·)/c(w12) · P(w3|w2)
+        P(w3|w2)   = max(N1+(·w23)-D,0)/N1+(·w2·)
+                     + D·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+        Pcont(w3)  = N1+(·w3)/N1+(··)
+
+    where every count is an integer aggregate of the trigram stream or
+    its type table, so both engines derive identical doubles (the one
+    float expression is written with the same association order in
+    both; per-doc averages round before the source rollup).
+
+    Scale shape: trigrams come off the split array with one codegen
+    transform+explode; the model tables are all vocabulary- or
+    type-scale and broadcast back onto the token stream; no windows,
+    no row-at-a-time UDFs.  Scoring on training data means every
+    denominator is >= 1 by construction.  At 100 TB the type tables
+    get a min-count threshold and the broadcast becomes a shuffled
+    hash join — the plan shape is otherwise unchanged."""
+    t = load(spark, sf_dir)
+    a = F.split(F.trim(F.col("text")), r"\s+")
+    tri_expr = (
+        "CASE WHEN size(a) < 3 THEN "
+        "cast(array() as array<struct<w1 string, w2 string, w3 string>>) "
+        "ELSE transform(sequence(1, size(a) - 2), "
+        "i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2, "
+        "element_at(a, i + 2) AS w3)) END"
+    )
+    p = (
+        t.documents.where(F.trim(F.col("text")) != "")
+        .select("doc_id", "source", a.alias("a"))
+        .select("doc_id", "source", F.explode(F.expr(tri_expr)).alias("g"))
+        .select("doc_id", "source", "g.w1", "g.w2", "g.w3")
+    )
+    c3 = p.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c2 = p.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    n1ctx = c3.groupBy("w1", "w2").agg(F.count("*").alias("n1_ctx"))
+    n1mid = c3.groupBy("w2", "w3").agg(F.count("*").alias("n1_mid"))
+    n1den = c3.groupBy("w2").agg(F.count("*").alias("n1_den"))
+    bt = c3.select("w2", "w3").distinct()
+    n1w2 = bt.groupBy("w2").agg(F.count("*").alias("n1_w2dot"))
+    n1w3 = bt.groupBy("w3").agg(F.count("*").alias("n1_dotw3"))
+    nbb = bt.agg(F.count("*").alias("n1_dotdot"))
+    pcont = F.col("n1_dotw3").cast("double") / F.col("n1_dotdot")
+    p2 = (
+        F.greatest(F.col("n1_mid") - 0.75, F.lit(0.0)) / F.col("n1_den")
+        + 0.75 * F.col("n1_w2dot") / F.col("n1_den") * pcont
+    )
+    p3 = (
+        F.greatest(F.col("c3") - 0.75, F.lit(0.0)) / F.col("c2")
+        + 0.75 * F.col("n1_ctx") / F.col("c2") * p2
+    )
+    scored = (
+        p.join(F.broadcast(c3), ["w1", "w2", "w3"])
+        .join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(n1ctx), ["w1", "w2"])
+        .join(F.broadcast(n1mid), ["w2", "w3"])
+        .join(F.broadcast(n1den), ["w2"])
+        .join(F.broadcast(n1w2), ["w2"])
+        .join(F.broadcast(n1w3), ["w3"])
+        .crossJoin(F.broadcast(nbb))
+        .select("doc_id", "source", p3.alias("prob"))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.round(F.avg(F.log("prob")), 6).alias("lp")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.min("lp").alias("min_logprob"),
+        F.max("lp").alias("max_logprob"),
+    )

@@ -558,6 +558,14 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "Window",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "kneser_ney_trigram_score": {
+        # trigram stream via codegen transform+explode; every model
+        # table (type/context counts) broadcast back; the bigram-type
+        # scalar rides a 1-row broadcast NL join — no SMJ, no Python
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "hybrid_rrf_topk": {
         # both rankings are depth-bounded TakeOrdered + WindowGroupLimit
         # results; the fusion joins k-row frames (its SMJ is over ~100

@@ -968,3 +968,120 @@ def test_kendall_tau_b_matches_textbook_formula(spark, pairs):
     )
     if math.isfinite(tau):
         assert got["tau_b"] == pytest.approx(tau, abs=2e-6)
+
+
+# --------------------------------------------------------------------------
+# interpolated Kneser-Ney trigram model: the query's formula must be a
+# PROPER distribution (sums to exactly 1 over the vocabulary for every
+# observed context) and must match a plain-Python textbook
+# implementation per document (plans/textops.py::kneser_ney_trigram_score)
+# --------------------------------------------------------------------------
+
+def _kn_model(docs_tokens, D=0.75):
+    """Textbook interpolated KN from raw token lists (Chen & Goodman
+    1999 eq. 18): returns P(w3|w1,w2) as a closure over count dicts."""
+    from collections import Counter, defaultdict
+
+    tris = [
+        (a[i], a[i + 1], a[i + 2])
+        for a in docs_tokens
+        for i in range(len(a) - 2)
+    ]
+    c3 = Counter(tris)
+    c2 = Counter((w1, w2) for w1, w2, _ in tris)
+    n1_ctx = defaultdict(set)
+    n1_mid = defaultdict(set)
+    n1_den = defaultdict(set)
+    bt = set()
+    for w1, w2, w3 in c3:
+        n1_ctx[(w1, w2)].add(w3)
+        n1_mid[(w2, w3)].add(w1)
+        n1_den[w2].add((w1, w3))
+        bt.add((w2, w3))
+    n1_w2dot = Counter(w2 for w2, _ in bt)
+    n1_dotw3 = Counter(w3 for _, w3 in bt)
+    nbb = len(bt)
+
+    def prob(w1, w2, w3):
+        pc = n1_dotw3.get(w3, 0) / nbb
+        den = len(n1_den[w2])
+        p2 = (
+            max(len(n1_mid.get((w2, w3), ())) - D, 0.0) / den
+            + D * n1_w2dot[w2] / den * pc
+        )
+        return (
+            max(c3.get((w1, w2, w3), 0) - D, 0.0) / c2[(w1, w2)]
+            + D * len(n1_ctx[(w1, w2)]) / c2[(w1, w2)] * p2
+        )
+
+    return prob, c2
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_kneser_ney_is_a_proper_distribution(docs):
+    """sum_{w in V} P(w|ctx) == 1 exactly for every observed trigram
+    context — the defining invariant of interpolated KN smoothing
+    (discount mass exactly funds the lower-order distribution)."""
+    prob, c2 = _kn_model(docs)
+    vocab = sorted({w for a in docs for w in a})
+    for (w1, w2) in c2:
+        total = sum(prob(w1, w2, w) for w in vocab)
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kneser_ney_query_matches_textbook_reference(spark):
+    import math
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.textops import kneser_ney_trigram_score
+
+    texts = [
+        ("s1", "the cat sat on the mat"),
+        ("s1", "the cat ran on the mat"),
+        ("s2", "a dog sat on a log and the dog ran"),
+        ("s2", "the mat sat on the cat"),
+    ]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+            for i, (s, t) in enumerate(texts)
+        ]
+    )
+    toks = [t.split() for _, t in texts]
+    prob, _ = _kn_model(toks)
+    per_doc = [
+        (
+            s,
+            sum(
+                math.log(prob(a[i], a[i + 1], a[i + 2]))
+                for i in range(len(a) - 2)
+            )
+            / (len(a) - 2),
+        )
+        for (s, _), a in zip(texts, toks)
+    ]
+    by_source = {}
+    for s, lp in per_doc:
+        by_source.setdefault(s, []).append(round(lp, 6))
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["source"]: r
+            for r in kneser_ney_trigram_score(spark, d).collect()
+        }
+    for s, lps in by_source.items():
+        assert rows[s]["n_docs"] == len(lps)
+        assert rows[s]["avg_logprob"] == pytest.approx(
+            sum(lps) / len(lps), abs=2e-6
+        )
+        assert rows[s]["min_logprob"] == pytest.approx(min(lps), abs=2e-6)
+        assert rows[s]["max_logprob"] == pytest.approx(max(lps), abs=2e-6)
