@@ -182,6 +182,8 @@ ROUND_CHANGED = frozenset({
     "media_legacy_image_parity",
     # round-8 interpolated Kneser-Ney trigram LM
     "kneser_ney_trigram_score",
+    # round-8 ADF unit-root stationarity test
+    "adf_unit_root_daily_revenue",
 })
 
 

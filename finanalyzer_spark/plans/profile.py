@@ -2120,3 +2120,162 @@ def dp_noisy_clamped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.round(F.col("s") + noise, 4) + 0.0).alias("noisy_sum"),
     )
+
+
+@query(
+    "adf_unit_root_daily_revenue",
+    # identical closed-form Cramer's-rule OLS on both engines: every
+    # moment is an exact DECIMAL(38,0) sum of integer-cents products,
+    # so both sides hand the SAME integers to the SAME double
+    # expression tree and the t-statistic matches bit-for-bit before
+    # rounding.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    l1 AS (
+        SELECT d, rev, lag(rev) OVER (ORDER BY d) AS y1 FROM daily
+    ),
+    l2 AS (
+        SELECT rev - y1 AS dy, y1,
+               lag(rev - y1) OVER (ORDER BY d) AS dy1
+        FROM l1 WHERE y1 IS NOT NULL
+    ),
+    obs AS (SELECT dy, y1, dy1 FROM l2 WHERE dy1 IS NOT NULL),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(y1 AS DECIMAL(38,0))) AS s1,
+               sum(CAST(dy1 AS DECIMAL(38,0))) AS s2,
+               sum(CAST(dy AS DECIMAL(38,0))) AS sy,
+               sum(CAST(y1 AS DECIMAL(38,0)) * CAST(y1 AS DECIMAL(38,0))) AS s11,
+               sum(CAST(y1 AS DECIMAL(38,0)) * CAST(dy1 AS DECIMAL(38,0))) AS s12,
+               sum(CAST(dy1 AS DECIMAL(38,0)) * CAST(dy1 AS DECIMAL(38,0))) AS s22,
+               sum(CAST(y1 AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))) AS s1y,
+               sum(CAST(dy1 AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))) AS s2y,
+               sum(CAST(dy AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))) AS syy
+        FROM obs
+    ),
+    f AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+               CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+               CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+               CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+               CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy
+        FROM mo
+    ),
+    sol AS (
+        SELECT n,
+               n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                 + s2*(s1*s12 - s11*s2) AS det,
+               sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                 + s2*(s1y*s12 - s11*s2y) AS det0,
+               n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                 + s2*(s1*s2y - s1y*s2) AS det1,
+               n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                 + sy*(s1*s12 - s11*s2) AS det2,
+               n*s22 - s2*s2 AS c11,
+               sy, s1y, s2y, syy
+        FROM f
+    )
+    SELECT CAST(n AS INT) AS n_obs,
+           round(det1 / det, 8) + 0.0 AS beta,
+           round((det1 / det)
+                 / sqrt(((syy - (det0 / det) * sy - (det1 / det) * s1y
+                          - (det2 / det) * s2y) / (n - 3))
+                        * c11 / det), 6) + 0.0 AS adf_t
+    FROM sol
+    """,
+    tags=("profile", "timeseries", "stats", "bounded-window"),
+)
+def adf_unit_root_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root test (lag order 1) on the
+    daily-revenue series: regress Δy_t on [1, y_{t-1}, Δy_{t-1}] and
+    report the t-statistic of the y_{t-1} coefficient — the standard
+    stationarity check run before ARIMA-style modeling or drift
+    monitoring of a metric series (Dickey & Fuller 1979; Said & Dickey
+    1984 for the augmented form).  The OLS solve is closed-form
+    Cramer's rule on the 3x3 normal equations; the t-stat is
+    β̂ / sqrt(s²·(X'X)⁻¹₁₁).
+
+    Scale shape + parity: the fact table collapses to one row per day
+    FIRST (map-side-combined groupBy), the two lag windows run over
+    that bounded ~2.4k-row frame (documented bounded-global-window
+    tier), and all ten regression moments accumulate as exact
+    DECIMAL(38,0) sums of integer cents, so both engines feed
+    identical integers into the identical double expression — the one
+    final float computation (plans/profile.py float-parity
+    discipline).  A hypothesis test pins the statistic itself against
+    a numpy lstsq reference (tests/test_properties.py)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = W.orderBy("d")
+    l1 = daily.select("d", "rev", F.lag("rev").over(w).alias("y1"))
+    l2 = l1.where(F.col("y1").isNotNull()).select(
+        "d",
+        (F.col("rev") - F.col("y1")).alias("dy"),
+        "y1",
+    )
+    l2 = l2.select(
+        "dy", "y1", F.lag("dy").over(W.orderBy("d")).alias("dy1")
+    )
+    obs = l2.where(F.col("dy1").isNotNull())
+    dec = "decimal(38,0)"
+    mo = obs.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("y1").cast(dec)).alias("s1"),
+        F.sum(F.col("dy1").cast(dec)).alias("s2"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum(F.col("y1").cast(dec) * F.col("y1").cast(dec)).alias("s11"),
+        F.sum(F.col("y1").cast(dec) * F.col("dy1").cast(dec)).alias("s12"),
+        F.sum(F.col("dy1").cast(dec) * F.col("dy1").cast(dec)).alias("s22"),
+        F.sum(F.col("y1").cast(dec) * F.col("dy").cast(dec)).alias("s1y"),
+        F.sum(F.col("dy1").cast(dec) * F.col("dy").cast(dec)).alias("s2y"),
+        F.sum(F.col("dy").cast(dec) * F.col("dy").cast(dec)).alias("syy"),
+    )
+    f = mo.select(*[F.col(c).cast("double").alias(c) for c in mo.columns])
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    sol = f.select(
+        n.alias("n"),
+        (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)).alias("det"),
+        (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         + s2 * (s1y * s12 - s11 * s2y)).alias("det0"),
+        (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2)).alias("det1"),
+        (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2)).alias("det2"),
+        (n * s22 - s2 * s2).alias("c11"),
+        sy.alias("sy"), s1y.alias("s1y"), s2y.alias("s2y"),
+        syy.alias("syy"),
+    )
+    det, det0 = F.col("det"), F.col("det0")
+    det1, det2, c11 = F.col("det1"), F.col("det2"), F.col("c11")
+    rss = (
+        F.col("syy") - (det0 / det) * F.col("sy")
+        - (det1 / det) * F.col("s1y") - (det2 / det) * F.col("s2y")
+    )
+    return sol.select(
+        F.col("n").cast("int").alias("n_obs"),
+        (F.round(det1 / det, 8) + 0.0).alias("beta"),
+        (
+            F.round(
+                (det1 / det)
+                / F.sqrt(rss / (F.col("n") - 3) * c11 / det),
+                6,
+            )
+            + 0.0
+        ).alias("adf_t"),
+    )

@@ -1036,6 +1036,13 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["Window", "HashAggregate", "Generate"],
         "must_not": ["SortMergeJoin"],
     },
+    "adf_unit_root_daily_revenue": {
+        # lag() windows over the calendar-bounded daily frame, exact
+        # DECIMAL(38,0) moment sums, one-row closed-form solve
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "containment_near_superset": {
         # candidate-only explode-joins on shingle hashes, like
         # near_dup_jaccard: equi-joins only, nothing all-pairs

@@ -1085,3 +1085,64 @@ def test_kneser_ney_query_matches_textbook_reference(spark):
         )
         assert rows[s]["min_logprob"] == pytest.approx(min(lps), abs=2e-6)
         assert rows[s]["max_logprob"] == pytest.approx(max(lps), abs=2e-6)
+
+
+# --------------------------------------------------------------------------
+# ADF unit-root statistic: the closed-form Cramer's-rule OLS inside
+# plans/profile.py::adf_unit_root_daily_revenue must match a numpy
+# least-squares reference on arbitrary integer series
+# --------------------------------------------------------------------------
+
+def _adf_ref(y):
+    """Textbook ADF(1): Delta y_t on [1, y_{t-1}, Delta y_{t-1}] via
+    numpy lstsq; returns (n_obs, beta, t_stat)."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    dy = np.diff(y)
+    resp = dy[1:]
+    X = np.column_stack([np.ones(len(resp)), y[1:-1], dy[:-1]])
+    b, *_ = np.linalg.lstsq(X, resp, rcond=None)
+    resid = resp - X @ b
+    s2 = resid @ resid / (len(resp) - 3)
+    cov = s2 * np.linalg.inv(X.T @ X)
+    return len(resp), b[1], b[1] / np.sqrt(cov[1, 1])
+
+
+@given(
+    series=st.lists(st.integers(0, 10_000), min_size=12, max_size=60),
+)
+@SLOW
+def test_adf_statistic_matches_numpy_reference(spark, series):
+    import math
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.profile import adf_unit_root_daily_revenue
+
+    # degenerate (constant / collinear) series have a singular design
+    if len(set(series)) < 4:
+        return
+    n_ref, beta_ref, t_ref = _adf_ref([v / 100 * 100 for v in series])
+    if not (math.isfinite(t_ref) and abs(t_ref) < 1e6):
+        return
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        Row(
+            o_orderkey=i,
+            o_orderdate=(base + pd.Timedelta(days=i)).date(),
+            o_totalprice=float(v) / 100.0,
+        )
+        for i, v in enumerate(series)
+    ]
+    orders = spark.createDataFrame(rows)
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = adf_unit_root_daily_revenue(spark, d).collect()[0]
+    assert got["n_obs"] == n_ref
+    assert got["beta"] == pytest.approx(beta_ref, abs=1e-6)
+    assert got["adf_t"] == pytest.approx(t_ref, rel=1e-4, abs=1e-4)
