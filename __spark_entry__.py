@@ -184,6 +184,8 @@ ROUND_CHANGED = frozenset({
     "kneser_ney_trigram_score",
     # round-8 ADF unit-root stationarity test
     "adf_unit_root_daily_revenue",
+    # round-8 label-propagation community detection
+    "label_propagation_communities",
 })
 
 

@@ -296,3 +296,50 @@ def bfs_hops(
             frontier.select("node", F.lit(hop).alias("hop"))
         ).localCheckpoint()
     return visited
+
+
+def label_propagation_fixed(
+    edges_sym: DataFrame,
+    iters: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with the
+    deterministic tie-break the oracle can replicate: every node
+    starts labeled with its own id; each round, a node adopts the
+    label carried by the most neighbors, ties resolved to the SMALLEST
+    label; all nodes update simultaneously for exactly `iters` rounds
+    (the fixed-step form — parameter-free community detection whose
+    result is a pure function of the edge set).
+
+    Scale shape: each round is two map-side-combined groupBys (label
+    counts per node, then max count per node) plus one hash join to
+    pick the argmax-with-min-tie label — all shuffles keyed on node
+    ids, no windows, no driver state.  The symmetric edge frame is
+    persisted once; the per-round count frame is consumed twice so it
+    is `localCheckpoint`ed (the components/kcore lineage discipline),
+    as is the loop-carried label frame.  Returns (node, label)."""
+    e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.persist()
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        cnt = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint()  # consumed twice below
+        )
+        mc = cnt.groupBy("node").agg(F.max("c").alias("mc"))
+        labels = (
+            cnt.join(mc, "node")
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").alias("label"))

@@ -464,3 +464,102 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hop").cast("int").alias("hop"),
         F.col("n_nodes").cast("long").alias("n_nodes"),
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
+    """Chained-CTE unroll of operators/graph.label_propagation_fixed —
+    identical per-round argmax-with-min-tie selection on exact integer
+    counts, so the check is exact.  The edge pipeline is MATERIALIZED
+    (the kcore_cosupply oracle lesson: correlated re-evaluation of the
+    pair join runs DuckDB out of memory one SF up from the gate)."""
+    steps = [
+        "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e)",
+    ]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"c{k} AS (SELECT e.u AS node, l.lab, count(*) AS c "
+            f"FROM e JOIN l{k - 1} l ON l.node = e.v GROUP BY 1, 2)"
+        )
+        steps.append(
+            f"m{k} AS (SELECT node, max(c) AS mc FROM c{k} GROUP BY node)"
+        )
+        steps.append(
+            f"l{k} AS (SELECT c{k}.node, min(c{k}.lab) AS lab "
+            f"FROM c{k} JOIN m{k} ON c{k}.node = m{k}.node "
+            f"AND c{k}.c = m{k}.mc GROUP BY c{k}.node)"
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    p AS MATERIALIZED (
+        SELECT a.s AS u, b.s AS v, count(*) AS shared
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    {chain}
+    SELECT lab AS community, count(*) AS n_members
+    FROM l{iters}
+    GROUP BY lab
+    """
+
+
+@query(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "community"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the supplier co-supply graph (the
+    kcore/triangle edge set: suppliers linked when their shared-
+    customer count beats 1.1x the mean pair overlap) by synchronous
+    label propagation — 3 fixed rounds, ties to the smallest label, so
+    the partition is a pure function of the edge set and the DuckDB
+    twin can replay it exactly (chained-CTE unroll).  Returns
+    (community, n_members): the trading blocs a risk analyst monitors,
+    parameter-free (no k to choose, unlike k-means).
+
+    Scale shape: operators/graph.label_propagation_fixed — per round
+    two map-side-combined groupBys + one node-keyed hash join, edge
+    frame persisted once, loop frames localCheckpointed; no windows,
+    no driver-side state.  At 1000 executors each round is a pair of
+    node-id shuffles, the same cost profile as one pagerank step."""
+    from ..operators.graph import label_propagation_fixed
+
+    t = load(spark, sf_dir)
+    cs = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("u"))
+    b = cs.select(F.col("c"), F.col("s").alias("v"))
+    pairs = (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .persist()
+    )
+    thr = pairs.agg((F.lit(_CORE_FACTOR) * F.avg("shared")).alias("t"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .where(F.col("shared") > F.col("t"))
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = label_propagation_fixed(sym, _LPA_ITERS, src="u", dst="v")
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )

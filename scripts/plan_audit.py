@@ -899,6 +899,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["BroadcastHashJoin", "HashAggregate"],
         "must_not": ["CartesianProduct"],
     },
+    "label_propagation_communities": {
+        # propagation already ran (localCheckpointed rounds); the
+        # final frame is one keyed community-size count over the
+        # checkpointed label frame
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "binned_ks_drift": {
         # the raw-fact-scale KS: narrow bucket map (the 1-row min/max
         # scalar rides a broadcast NL join — fine), KS_BINS-row agg,
