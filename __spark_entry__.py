@@ -186,6 +186,8 @@ ROUND_CHANGED = frozenset({
     "adf_unit_root_daily_revenue",
     # round-8 label-propagation community detection
     "label_propagation_communities",
+    # round-8 grid-blocked DBSCAN over the embedding projection
+    "grid_dbscan_embeddings",
 })
 
 

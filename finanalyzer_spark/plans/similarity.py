@@ -1248,3 +1248,203 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+#: grid-DBSCAN parameters: integer coordinate units are 1e-4 of the
+#: embedding scale, radius 0.02, density threshold 5 (incl. self)
+_DB_EPS = 200
+_DB_MINPTS = 5
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(round(CAST(embedding[1] AS DOUBLE) * 10000, 0) AS BIGINT) AS x,
+           CAST(round(CAST(embedding[2] AS DOUBLE) * 10000, 0) AS BIGINT) AS y
+    FROM embeddings
+),
+b AS MATERIALIZED (
+    SELECT vec_id, x, y,
+           (x + 10000) // {_DB_EPS} AS cx,
+           (y + 10000) // {_DB_EPS} AS cy
+    FROM pts
+),
+ex AS (
+    SELECT b.vec_id, b.x, b.y, b.cx + dx.v AS nx, b.cy + dy.v AS ny
+    FROM b
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+    CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+),
+pr AS MATERIALIZED (
+    SELECT e.vec_id AS a, b.vec_id AS nb
+    FROM ex e
+    JOIN b ON b.cx = e.nx AND b.cy = e.ny AND e.vec_id != b.vec_id
+    WHERE (e.x - b.x) * (e.x - b.x) + (e.y - b.y) * (e.y - b.y)
+          <= {_DB_EPS} * {_DB_EPS}
+),
+core AS MATERIALIZED (
+    SELECT a AS node FROM pr GROUP BY a
+    HAVING count(*) + 1 >= {_DB_MINPTS}
+),
+ce AS MATERIALIZED (
+    SELECT p.a, p.nb
+    FROM pr p
+    JOIN core ca ON ca.node = p.a
+    JOIN core cb ON cb.node = p.nb
+),
+cc AS (
+    SELECT node, node AS label FROM core
+    UNION
+    SELECT e.a AS node, c.label FROM ce e JOIN cc c ON c.node = e.nb
+),
+comp AS MATERIALIZED (
+    SELECT node, min(label) AS component FROM cc GROUP BY node
+),
+corec AS (
+    SELECT component AS cluster, count(*) AS n_core FROM comp GROUP BY 1
+),
+border AS MATERIALIZED (
+    SELECT p.a AS node, min(comp.component) AS cluster
+    FROM pr p
+    JOIN core cb ON cb.node = p.nb
+    JOIN comp ON comp.node = p.nb
+    WHERE p.a NOT IN (SELECT node FROM core)
+    GROUP BY p.a
+),
+borderc AS (
+    SELECT cluster, count(*) AS n_border FROM border GROUP BY 1
+)
+SELECT c.cluster, c.n_core, coalesce(bc.n_border, 0) AS n_border
+FROM corec c LEFT JOIN borderc bc USING (cluster)
+UNION ALL
+SELECT -1 AS cluster, 0 AS n_core, count(*) AS n_border
+FROM pts
+WHERE vec_id NOT IN (SELECT node FROM core)
+  AND vec_id NOT IN (SELECT node FROM border)
+"""
+
+
+@query(
+    "grid_dbscan_embeddings",
+    oracle=_DBSCAN_ORACLE,
+    tags=("similarity", "clustering", "dbscan", "blocking"),
+)
+def grid_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) on the
+    2-D embedding projection by GRID BLOCKING: coordinates quantize to
+    exact integers (1e-4 units, so the radius test is integer
+    arithmetic on both engines), points bin into eps-sized cells, the
+    eps-neighbor join expands each probe into its 3x3 cell
+    neighborhood (the spatial_neighbor_pairs discipline — bounded 9x
+    expansion, never n^2), core points are those with >= minPts
+    neighbors including self, clusters are connected components over
+    core-core edges (operators/components.py), border points attach
+    to the smallest core-neighbor component, everything else is the
+    noise row (cluster = -1).  Parameter-free cluster COUNT (unlike
+    k-means) — the curation-side density view of the embedding space.
+
+    Scale shape: one 9x cell-join for candidates (at 100 TB: bucket
+    the table by cell id to co-locate), map-side-combined degree
+    count, min-label components with localCheckpointed rounds, and
+    broadcast-sized core/component frames back onto the pair stream.
+    The DuckDB twin replays the exact pipeline with a recursive-CTE
+    closure, so this gets a full value-hash check."""
+    from ..operators.components import connected_components
+
+    t = load(spark, sf_dir)
+    pts = t.embeddings.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 10000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double") * 10000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    b = pts.select(
+        "vec_id", "x", "y",
+        F.expr(f"(x + 10000) div {_DB_EPS}").alias("cx"),
+        F.expr(f"(y + 10000) div {_DB_EPS}").alias("cy"),
+    )
+    offsets = F.array(*[F.lit(v) for v in (-1, 0, 1)])
+    ex = (
+        b.select(
+            F.col("vec_id").alias("a"), F.col("x").alias("ax"),
+            F.col("y").alias("ay"), "cx", "cy",
+            F.explode(offsets).alias("dx"),
+        )
+        .select(
+            "a", "ax", "ay", "cx", "cy", "dx",
+            F.explode(offsets).alias("dy"),
+        )
+        .select(
+            "a", "ax", "ay",
+            (F.col("cx") + F.col("dx")).alias("nx"),
+            (F.col("cy") + F.col("dy")).alias("ny"),
+        )
+    )
+    right = b.select(
+        F.col("vec_id").alias("nb"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    # candidate pairs feed the degree count, the core-edge build and
+    # the border attach — persist so the 9x join runs once
+    pr = (
+        ex.join(right, ["nx", "ny"])
+        .where((F.col("a") != F.col("nb")) & (d2 <= _DB_EPS * _DB_EPS))
+        .select("a", "nb")
+        .persist()
+    )
+    core = (
+        pr.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") + 1 >= _DB_MINPTS)
+        .select("node")
+    )
+    ce = pr.join(
+        F.broadcast(core.withColumnRenamed("node", "a")), "a"
+    ).join(F.broadcast(core.withColumnRenamed("node", "nb")), "nb")
+    # self-loops keep isolated core points as singleton clusters
+    edges = ce.select(F.col("a").alias("src"), F.col("nb").alias("dst"))
+    edges = edges.unionByName(
+        core.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    )
+    comp = connected_components(edges)
+    corec = comp.groupBy(F.col("component").alias("cluster")).agg(
+        F.count("*").alias("n_core")
+    )
+    border = (
+        pr.join(F.broadcast(core.withColumnRenamed("node", "nb")), "nb")
+        .join(
+            F.broadcast(comp.withColumnRenamed("node", "nb")), "nb"
+        )
+        .join(core.withColumnRenamed("node", "a"), "a", "left_anti")
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.min("component").alias("cluster"))
+    )
+    borderc = border.groupBy("cluster").agg(F.count("*").alias("n_border"))
+    clusters = corec.join(borderc, "cluster", "left").select(
+        "cluster",
+        "n_core",
+        F.coalesce(F.col("n_border"), F.lit(0)).alias("n_border"),
+    )
+    noise = (
+        pts.join(core.withColumnRenamed("node", "vec_id"), "vec_id",
+                 "left_anti")
+        .join(border.withColumnRenamed("node", "vec_id"), "vec_id",
+              "left_anti")
+        .agg(F.count("*").alias("n_border"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("n_core"),
+            F.col("n_border"),
+        )
+    )
+    return clusters.select(
+        F.col("cluster").cast("long"),
+        F.col("n_core").cast("long"),
+        F.col("n_border").cast("long"),
+    ).unionByName(noise)

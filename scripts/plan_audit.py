@@ -899,6 +899,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["BroadcastHashJoin", "HashAggregate"],
         "must_not": ["CartesianProduct"],
     },
+    "grid_dbscan_embeddings": {
+        # 9x cell expansion (Generate) + one equi-join on cell ids;
+        # components already ran (localCheckpointed); core/component
+        # frames broadcast back onto the persisted pair frame
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "label_propagation_communities": {
         # propagation already ran (localCheckpointed rounds); the
         # final frame is one keyed community-size count over the

@@ -260,3 +260,54 @@ def test_fit_pq_codebooks_shapes_and_quality(spark, sf_dir):
         sl = vecs[:, j * sub : (j + 1) * sub]
         seed_book = kmeans_centroids(k, sub, seed=11 + j)
         assert inertia(sl, book) < inertia(sl, seed_book)
+
+
+# --------------------------------------------------------------------------
+# grid-DBSCAN semantics on hand-built geometry
+# (plans/similarity.py::grid_dbscan_embeddings, eps=0.02, minPts=5)
+# --------------------------------------------------------------------------
+
+def test_grid_dbscan_known_configuration(spark):
+    """Five mutually-close points are all core (one cluster); a sixth
+    point within eps of the blob but without 5 neighbors of its own is
+    a border point; two far-away near-twins are noise; cell-boundary
+    neighbors are still found via the 3x3 expansion."""
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.similarity import grid_dbscan_embeddings
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    pts = [
+        # tight blob: ids 1-5 pairwise within 0.006 (eps = 0.02), all
+        # core with exactly 5 = minPts members; id 5 sits across the
+        # 0.02-cell boundary (cell index changes at x = 0.0200) so
+        # only the 3x3 neighborhood expansion can pair it with 1-4
+        (1, vec(0.0150, 0.0000)),
+        (2, vec(0.0160, 0.0000)),
+        (3, vec(0.0170, 0.0010)),
+        (4, vec(0.0180, 0.0000)),
+        (5, vec(0.0210, 0.0000)),
+        # border: within eps of cores 4 and 5 only -> 3 total < minPts
+        (6, vec(0.0350, 0.0100)),
+        # noise: a far-away pair, each with 2 total < minPts
+        (7, vec(0.3000, 0.3000)),
+        (8, vec(0.3010, 0.3000)),
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=e, label=0) for i, e in pts]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        rows = sorted(
+            grid_dbscan_embeddings(spark, d).collect(),
+            key=lambda r: r["cluster"],
+        )
+    by_cluster = {r["cluster"]: (r["n_core"], r["n_border"]) for r in rows}
+    assert by_cluster[-1] == (0, 2)  # ids 7, 8 are noise
+    assert by_cluster[1] == (5, 1)   # ids 1-5 core, id 6 border
+    assert set(by_cluster) == {-1, 1}
