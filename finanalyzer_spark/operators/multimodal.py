@@ -591,14 +591,20 @@ def encode_wav_mulaw(pcm16, rate: int = 8000, channels: int = 1) -> bytes:
 
 
 def decode_bmp(buf: bytes):
-    """Pure-numpy decoder for uncompressed 24-bit Windows BMP (BITMAP
-    file header + BITMAPINFOHEADER, BI_RGB) — the third real image
-    codec next to PPM, exercising the format quirks PPM lacks:
-    4-byte row padding, bottom-up row order (positive height),
-    BGR channel order.
+    """Pure-numpy decoder for uncompressed Windows BMP — 24-bit BI_RGB
+    (BITMAPINFOHEADER) plus 32-bit BI_RGB / BI_BITFIELDS (BITMAPV3/4/5
+    headers carry per-channel masks; byte-aligned 8-bit masks in any
+    channel order are handled, the overwhelmingly common 32-bit
+    layout) — exercising the format quirks PPM lacks: 4-byte row
+    padding, bottom-up row order (positive height), BGR(A) channel
+    order.  The 32-bit BI_BITFIELDS path is certified against the
+    genuinely foreign stdlib python.bmp, which must decode
+    bit-identical to the foreign PNG/TIFF/RAS/SGI pixel pin
+    (tests/test_multimodal.py).
 
-    Returns an (h, w, 3) uint8 RGB array. ValueError on non-BMP
-    payloads; NotImplementedError for compressed / non-24-bit BMPs."""
+    Returns (h, w, 3) uint8 RGB for 24-bit input and (h, w, 4) RGBA
+    for 32-bit.  ValueError on non-BMP payloads; NotImplementedError
+    for compressed / paletted variants."""
     import struct
 
     import numpy as np
@@ -612,27 +618,61 @@ def decode_bmp(buf: bytes):
     w, h = struct.unpack_from("<ii", buf, 18)
     bpp = struct.unpack_from("<H", buf, 28)[0]
     compression = struct.unpack_from("<I", buf, 30)[0]
-    if bpp != 24 or compression != 0:
+    if not (
+        (bpp == 24 and compression == 0)
+        or (bpp == 32 and compression in (0, 3))
+    ):
         raise NotImplementedError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp},"
             f" compression={compression})"
         )
+    # channel byte positions within each little-endian pixel
+    order = {2: 0, 1: 1, 0: 2, 3: 3}  # default BI_RGB: BGRA bytes
+    if bpp == 32 and compression == 3:
+        # masks follow the info header (BITMAPV2+ embeds them at
+        # offset 54; plain BITMAPINFOHEADER appends them after 40)
+        mask_off = 54 if header_size >= 52 else 54
+        masks = struct.unpack_from("<III", buf, mask_off)
+        amask = (
+            struct.unpack_from("<I", buf, mask_off + 12)[0]
+            if header_size >= 56
+            else 0
+        )
+        order = {}
+        for ch, m in enumerate(masks + (amask,)):
+            if m == 0 and ch == 3:
+                order[3] = None  # no alpha channel stored
+                continue
+            if m not in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+                raise NotImplementedError(
+                    f"BMP bitfield mask 0x{m:08x} is not byte-aligned"
+                )
+            order[ch] = {0xFF: 0, 0xFF00: 1, 0xFF0000: 2,
+                         0xFF000000: 3}[m]
     if w <= 0 or h == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h}")
     top_down = h < 0
     h = abs(h)
-    row_size = (w * 3 + 3) // 4 * 4
+    nb = bpp // 8
+    row_size = (w * nb + 3) // 4 * 4
     need = data_offset + row_size * h
     if len(buf) < need:
         raise ValueError(f"truncated BMP ({len(buf)} < {need} bytes)")
     rows = (
         np.frombuffer(buf, dtype=np.uint8, count=row_size * h, offset=data_offset)
-        .reshape(h, row_size)[:, : w * 3]
-        .reshape(h, w, 3)
+        .reshape(h, row_size)[:, : w * nb]
+        .reshape(h, w, nb)
     )
     if not top_down:
         rows = rows[::-1]
-    return rows[..., ::-1].copy()  # BGR -> RGB
+    if bpp == 24:
+        return rows[..., ::-1].copy()  # BGR -> RGB
+    chans = [rows[:, :, order[c]] for c in range(3)]
+    if order.get(3) is None:
+        chans.append(np.full((h, w), 255, dtype=np.uint8))
+    else:
+        chans.append(rows[:, :, order[3]])
+    return np.stack(chans, axis=2)
 
 
 def encode_bmp24(arr) -> bytes:

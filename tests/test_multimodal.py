@@ -1301,3 +1301,52 @@ def test_containers_bridge_bgop_and_multiref_streams():
         for (_fn, got), want in zip(dec, rec):
             for g, x in zip(got, want):
                 assert np.array_equal(g, x)
+
+
+def test_decode_bmp_32bit_bitfields_foreign_fixture():
+    """The CPython test suite's python.bmp (BITMAPV4, 32bpp,
+    BI_BITFIELDS — written by an external tool) must decode
+    bit-identical to the same logo's foreign-certified PNG/TIFF/RAS/
+    SGI decodes (the shared sha pin in tests/test_legacyimg.py) —
+    a fifth independent format converging on one pixel truth."""
+    import hashlib
+    import os
+
+    from finanalyzer_spark.operators.multimodal import decode_bmp
+
+    p = (
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/test/imghdrdata/"
+        "python.bmp"
+    )
+    if not os.path.exists(p):  # pragma: no cover
+        pytest.skip("stdlib bmp fixture not present")
+    px = decode_bmp(open(p, "rb").read())
+    assert px.shape == (16, 16, 4)
+    assert (
+        hashlib.sha256(px.tobytes()).hexdigest()[:16] == "8f307041b5cb184d"
+    )
+
+
+def test_decode_bmp_32bit_bi_rgb_roundtrip():
+    """Hand-built 32bpp BI_RGB (BGRA bytes, no masks): alpha carried
+    through, bottom-up rows, no padding (rows are 4-byte multiples)."""
+    import struct
+
+    import numpy as np
+
+    from finanalyzer_spark.operators.multimodal import decode_bmp
+
+    img = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    body = b"".join(
+        bytes([img[y, x, 2], img[y, x, 1], img[y, x, 0], img[y, x, 3]])
+        for y in (1, 0)
+        for x in range(3)
+    )
+    buf = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 32, 0, len(body),
+                      2835, 2835, 0, 0)
+        + body
+    )
+    assert np.array_equal(decode_bmp(buf), img)
