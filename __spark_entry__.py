@@ -188,6 +188,8 @@ ROUND_CHANGED = frozenset({
     "label_propagation_communities",
     # round-8 grid-blocked DBSCAN over the embedding projection
     "grid_dbscan_embeddings",
+    # round-8 graded ranking eval
+    "ndcg_retrieval_eval",
 })
 
 

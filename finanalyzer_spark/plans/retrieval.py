@@ -216,3 +216,139 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+# --------------------------------------------------------------------------
+# graded ranking quality: NDCG@k of the BM25 ranking
+# --------------------------------------------------------------------------
+_NDCG_K = 10
+
+
+@query(
+    "ndcg_retrieval_eval",
+    oracle=f"""
+    WITH d AS ({_TOKS}),
+    rel AS (
+        SELECT doc_id, count(DISTINCT term) AS rel FROM (
+            SELECT doc_id, unnest(toks) AS term FROM d
+        )
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
+        )
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {BM25_K1 + 1.0})
+                   / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))
+               ), 6) + 0.0 AS bm25
+        FROM tf JOIN dfreq USING (term), stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {_NDCG_K}
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+        FROM scored
+    ),
+    dcg AS (
+        SELECT sum((pow(2.0, coalesce(rel.rel, 0)) - 1.0)
+                   / log2(ranked.pos + 1.0)) AS dcg
+        FROM ranked LEFT JOIN rel USING (doc_id)
+    ),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+        FROM rel ORDER BY rel DESC, doc_id LIMIT {_NDCG_K}
+    ),
+    idcg AS (
+        SELECT sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg
+        FROM ideal
+    )
+    SELECT {_NDCG_K} AS k,
+           (SELECT count(*) FROM rel) AS n_rel_docs,
+           round(dcg.dcg, 6) + 0.0 AS dcg,
+           round(idcg.idcg, 6) + 0.0 AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) + 0.0 AS ndcg
+    FROM dcg, idcg
+    """,
+    tags=("retrieval", "eval", "ranking"),
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against term-coverage relevance
+    grades (rel = number of distinct query terms a document contains,
+    0-{len(QUERY_TERMS)}): DCG with the standard (2^rel - 1)/log2(pos+1)
+    gain over the BM25 top-10, normalized by the ideal ordering's DCG
+    — the graded companion to ann_recall_eval, pricing ranking quality
+    rather than set overlap (Järvelin & Kekäläinen 2002).
+
+    Scale shape: the ranking is the bm25_topk operator (filtered
+    explode, broadcast model frames, TakeOrdered top-k, scores rounded
+    to 6 digits before ranking on BOTH engines so positions agree);
+    relevance grades are one more filtered-explode aggregate; both
+    row_number windows run over <= 10-row frames.  The DCG sums are
+    <= 10 doubles rounded to 6."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    rel = (
+        term_frequencies(t.documents, QUERY_TERMS)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("rel"))
+        .persist()
+    )
+    ranked = bm25_topk(t.documents, QUERY_TERMS, k=_NDCG_K).select(
+        "doc_id",
+        "bm25",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("pos"),
+    )
+    dcg = (
+        ranked.join(rel, "doc_id", "left")
+        .select(
+            (
+                (F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0)))
+                 - 1.0)
+                / F.log2(F.col("pos") + 1.0)
+            ).alias("g")
+        )
+        .agg(F.sum("g").alias("dcg"))
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_NDCG_K)
+        .select(
+            "rel",
+            F.row_number()
+            .over(W.orderBy(F.col("rel").desc(), "doc_id"))
+            .alias("pos"),
+        )
+    )
+    idcg = ideal.select(
+        (
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / F.log2(F.col("pos") + 1.0)
+        ).alias("g")
+    ).agg(F.sum("g").alias("idcg"))
+    n_rel = rel.agg(F.count("*").alias("n_rel_docs"))
+    return (
+        dcg.crossJoin(idcg)
+        .crossJoin(n_rel)
+        .select(
+            F.lit(_NDCG_K).cast("int").alias("k"),
+            F.col("n_rel_docs"),
+            (F.round(F.col("dcg"), 6) + 0.0).alias("dcg"),
+            (F.round(F.col("idcg"), 6) + 0.0).alias("idcg"),
+            (F.round(F.col("dcg") / F.col("idcg"), 6) + 0.0).alias("ndcg"),
+        )
+    )

@@ -899,6 +899,13 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["BroadcastHashJoin", "HashAggregate"],
         "must_not": ["CartesianProduct"],
     },
+    "ndcg_retrieval_eval": {
+        # bm25_topk's filtered explode + broadcast model frames +
+        # bounded TakeOrdered; both rank windows run over <= 10 rows
+        "must": ["Generate", "BroadcastHashJoin", "TakeOrderedAndProject"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "grid_dbscan_embeddings": {
         # 9x cell expansion (Generate) + one equi-join on cell ids;
         # components already ran (localCheckpointed); core/component
