@@ -190,6 +190,8 @@ ROUND_CHANGED = frozenset({
     "grid_dbscan_embeddings",
     # round-8 graded ranking eval
     "ndcg_retrieval_eval",
+    # round-8 Engle-Granger cointegration
+    "engle_granger_cointegration",
 })
 
 

@@ -2279,3 +2279,170 @@ def adf_unit_root_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("adf_t"),
     )
+
+
+@query(
+    "engle_granger_cointegration",
+    # two-step Engle-Granger with the float-parity discipline: the
+    # hedge regression runs on exact DECIMAL(38,0) integer-cents
+    # moments (closed-form 2-var OLS), residuals are QUANTIZED back to
+    # integer cents (round of identical doubles is identical), and the
+    # Dickey-Fuller step reuses exact integer moments — so both
+    # engines run the same double expression on the same integers.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d,
+               sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                   THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS yb,
+               sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                   THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS xa
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(xa AS DECIMAL(38,0))) AS sx,
+               sum(CAST(yb AS DECIMAL(38,0))) AS sy,
+               sum(CAST(xa AS DECIMAL(38,0)) * CAST(xa AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(xa AS DECIMAL(38,0)) * CAST(yb AS DECIMAL(38,0))) AS sxy
+        FROM daily
+    ),
+    ab AS (
+        SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+               CAST(sy AS DOUBLE) AS syf, CAST(sx AS DOUBLE) AS sxf,
+               CAST(n AS DOUBLE) AS nf
+        FROM mo
+    ),
+    resid AS (
+        SELECT d,
+               CAST(round(yb - ((syf - b * sxf) / nf) - b * xa, 0)
+                    AS BIGINT) AS r
+        FROM daily, ab
+    ),
+    lagd AS (
+        SELECT r, lag(r) OVER (ORDER BY d) AS r1 FROM resid
+    ),
+    obs AS (SELECT r - r1 AS dr, r1 FROM lagd WHERE r1 IS NOT NULL),
+    dfmo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS m,
+               sum(CAST(r1 AS DECIMAL(38,0)) * CAST(r1 AS DECIMAL(38,0))) AS s11,
+               sum(CAST(r1 AS DECIMAL(38,0)) * CAST(dr AS DECIMAL(38,0))) AS s1d,
+               sum(CAST(dr AS DECIMAL(38,0)) * CAST(dr AS DECIMAL(38,0))) AS sdd
+        FROM obs
+    )
+    SELECT CAST(ab.nf AS INT) AS n_days,
+           round(ab.b, 8) + 0.0 AS hedge_ratio,
+           round((CAST(s1d AS DOUBLE) / CAST(s11 AS DOUBLE))
+                 / sqrt(((CAST(sdd AS DOUBLE)
+                          - (CAST(s1d AS DOUBLE) / CAST(s11 AS DOUBLE))
+                            * CAST(s1d AS DOUBLE))
+                         / (CAST(m AS DOUBLE) - 1.0))
+                        / CAST(s11 AS DOUBLE)), 6) + 0.0 AS eg_t
+    FROM ab, dfmo
+    """,
+    tags=("profile", "timeseries", "stats", "finance", "bounded-window"),
+)
+def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test (Engle & Granger
+    1987) between the BUILDING- and AUTOMOBILE-segment daily revenue
+    series: (1) the cointegrating (hedge) regression y = a + b·x by
+    closed-form OLS, (2) a Dickey-Fuller t-test (no constant, lag 0)
+    on the quantized residuals — the pairs-trading / long-run-
+    equilibrium diagnostic beside adf_unit_root_daily_revenue's
+    single-series test.
+
+    Parity discipline: both OLS steps run on exact DECIMAL(38,0)
+    moments of integer cents; residuals round back to integer cents
+    before the second step, so no order-dependent float sum exists
+    anywhere.  The one window (lag) runs over the bounded ~2.4k-row
+    daily frame.  A hypothesis test pins the statistic against a
+    numpy reference (tests/test_properties.py)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+            "c_mktsegment",
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING",
+                       F.col("cents")).otherwise(F.lit(0))
+            ).alias("yb"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "AUTOMOBILE",
+                       F.col("cents")).otherwise(F.lit(0))
+            ).alias("xa"),
+        )
+        .persist()  # feeds the moment pass AND the residual pass
+    )
+    dec = "decimal(38,0)"
+    mo = daily.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("xa").cast(dec)).alias("sx"),
+        F.sum(F.col("yb").cast(dec)).alias("sy"),
+        F.sum(F.col("xa").cast(dec) * F.col("xa").cast(dec)).alias("sxx"),
+        F.sum(F.col("xa").cast(dec) * F.col("yb").cast(dec)).alias("sxy"),
+    )
+    ab = mo.select(
+        (
+            (F.col("n").cast("double") * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (F.col("n").cast("double") * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("b"),
+        F.col("sy").cast("double").alias("syf"),
+        F.col("sx").cast("double").alias("sxf"),
+        F.col("n").cast("double").alias("nf"),
+    )
+    resid = daily.crossJoin(F.broadcast(ab)).select(
+        "d",
+        F.round(
+            F.col("yb")
+            - ((F.col("syf") - F.col("b") * F.col("sxf")) / F.col("nf"))
+            - F.col("b") * F.col("xa"),
+            0,
+        )
+        .cast("long")
+        .alias("r"),
+        "b",
+        "nf",
+    )
+    lagd = resid.select(
+        "r", "b", "nf", F.lag("r").over(W.orderBy("d")).alias("r1")
+    )
+    obs = lagd.where(F.col("r1").isNotNull()).select(
+        (F.col("r") - F.col("r1")).alias("dr"), "r1", "b", "nf"
+    )
+    dfmo = obs.agg(
+        F.count("*").cast(dec).alias("m"),
+        F.sum(F.col("r1").cast(dec) * F.col("r1").cast(dec)).alias("s11"),
+        F.sum(F.col("r1").cast(dec) * F.col("dr").cast(dec)).alias("s1d"),
+        F.sum(F.col("dr").cast(dec) * F.col("dr").cast(dec)).alias("sdd"),
+        F.max("b").alias("b"),
+        F.max("nf").alias("nf"),
+    )
+    phi = F.col("s1d").cast("double") / F.col("s11").cast("double")
+    s2 = (
+        F.col("sdd").cast("double") - phi * F.col("s1d").cast("double")
+    ) / (F.col("m").cast("double") - 1.0)
+    return dfmo.select(
+        F.col("nf").cast("int").alias("n_days"),
+        (F.round(F.col("b"), 8) + 0.0).alias("hedge_ratio"),
+        (
+            F.round(phi / F.sqrt(s2 / F.col("s11").cast("double")), 6)
+            + 0.0
+        ).alias("eg_t"),
+    )

@@ -906,6 +906,13 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "engle_granger_cointegration": {
+        # one fact-dim join + daily rollup, lag over the bounded daily
+        # frame, exact decimal moments, one-row closed-form solve
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "grid_dbscan_embeddings": {
         # 9x cell expansion (Generate) + one equi-join on cell ids;
         # components already ran (localCheckpointed); core/component

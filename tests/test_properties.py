@@ -1146,3 +1146,78 @@ def test_adf_statistic_matches_numpy_reference(spark, series):
     assert got["n_obs"] == n_ref
     assert got["beta"] == pytest.approx(beta_ref, abs=1e-6)
     assert got["adf_t"] == pytest.approx(t_ref, rel=1e-4, abs=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Engle-Granger two-step cointegration: the closed-form pipeline in
+# plans/profile.py::engle_granger_cointegration must match a numpy
+# reference (same two steps, same residual quantization)
+# --------------------------------------------------------------------------
+
+def _eg_ref(yb, xa):
+    import numpy as np
+
+    yb = np.asarray(yb, dtype=np.float64)
+    xa = np.asarray(xa, dtype=np.float64)
+    n = len(yb)
+    b = (n * (xa * yb).sum() - xa.sum() * yb.sum()) / (
+        n * (xa * xa).sum() - xa.sum() ** 2
+    )
+    a = (yb.sum() - b * xa.sum()) / n
+    r = np.round(yb - a - b * xa)
+    dr, r1 = np.diff(r), r[:-1]
+    phi = (r1 * dr).sum() / (r1 * r1).sum()
+    s2 = ((dr * dr).sum() - phi * (r1 * dr).sum()) / (len(dr) - 1)
+    return n, b, phi / (s2 / (r1 * r1).sum()) ** 0.5
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(100, 99_999), st.integers(100, 99_999)),
+        min_size=12,
+        max_size=50,
+    )
+)
+@SLOW
+def test_engle_granger_matches_numpy_reference(spark, pairs):
+    import math
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.profile import engle_granger_cointegration
+
+    xs = [x for x, _ in pairs]
+    ys = [y for _, y in pairs]
+    if len(set(xs)) < 3 or len(set(ys)) < 3:
+        return
+    n_ref, b_ref, t_ref = _eg_ref(ys, xs)
+    if not (math.isfinite(t_ref) and abs(t_ref) < 1e6):
+        return
+    base = pd.Timestamp("2024-01-01")
+    cust = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_mktsegment="BUILDING"),
+            Row(c_custkey=2, c_mktsegment="AUTOMOBILE"),
+        ]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=2 * i + c,
+                o_custkey=c + 1,
+                o_orderdate=(base + pd.Timedelta(days=i)).date(),
+                o_totalprice=float(v) / 100.0,
+            )
+            for i, (x, y) in enumerate(pairs)
+            for c, v in ((0, y), (1, x))
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = engle_granger_cointegration(spark, d).collect()[0]
+    assert got["n_days"] == n_ref
+    assert got["hedge_ratio"] == pytest.approx(b_ref, rel=1e-6, abs=1e-6)
+    assert got["eg_t"] == pytest.approx(t_ref, rel=1e-3, abs=1e-3)
