@@ -192,6 +192,8 @@ ROUND_CHANGED = frozenset({
     "ndcg_retrieval_eval",
     # round-8 Engle-Granger cointegration
     "engle_granger_cointegration",
+    # round-8 Theil-Sen robust trend
+    "theil_sen_trend_daily_revenue",
 })
 
 

@@ -2446,3 +2446,97 @@ def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("eg_t"),
     )
+
+
+@query(
+    "theil_sen_trend_daily_revenue",
+    # slope of every day pair is an exact-integer ratio evaluated as
+    # one double division on both engines; the estimator is the LOWER
+    # MEDIAN under the total order (slope, d1, d2), so the selection
+    # is deterministic — no interpolating percentile whose midpoint
+    # arithmetic could differ.  The pair count is calendar-bounded
+    # (~2.4k days -> ~2.9M pairs REGARDLESS of fact-table scale).
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    days AS (
+        SELECT CAST(d - DATE '1992-01-01' AS BIGINT) AS t, rev FROM daily
+    ),
+    slopes AS (
+        SELECT a.t AS d1, b.t AS d2,
+               CAST(b.rev - a.rev AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+                   AS slope
+        FROM days a JOIN days b ON b.t > a.t
+    ),
+    ranked AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, d1, d2) AS rnk,
+               count(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(slope / 100.0, 6) + 0.0 AS theil_slope_dollars_per_day
+    FROM ranked
+    WHERE rnk = (n + 1) // 2
+    """,
+    tags=("profile", "timeseries", "stats", "robust"),
+)
+def theil_sen_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Theil 1950; Sen 1968) of the daily-revenue
+    trend: the median slope over ALL day pairs — the robust
+    (29%-breakdown) alternative to the OLS trend, immune to the
+    outlier days that pull a least-squares line.
+
+    Scale shape: the fact table collapses to one row per day first, so
+    the pair join is calendar-bounded (~2.4k days -> ~2.9M pairs, a
+    constant regardless of fact-table scale — the operator's cost does
+    NOT grow at 100 TB).  The median is selected by exact global rank
+    via operators/rank.ordered_scan (range repartition + driver
+    offsets — no single-partition window over the 2.9M slopes); the
+    lower-median rule under the total order (slope, d1, d2) makes the
+    selection reproducible across engines and partitionings."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+        .select(
+            F.datediff("d", F.lit("1992-01-01")).cast("long").alias("t"),
+            "rev",
+        )
+    )
+    a = daily.select(F.col("t").alias("d1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("t").alias("d2"), F.col("rev").alias("r2"))
+    slopes = (
+        a.crossJoin(b)
+        .where(F.col("d2") > F.col("d1"))
+        .select(
+            "d1", "d2",
+            (
+                (F.col("r2") - F.col("r1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    ranked = ordered_scan(slopes, ["slope", "d1", "d2"], rank="rnk")
+    # ordered_scan attaches the grand total as a literal column when
+    # asked for a running count; derive n from the same driver pass
+    n_total = ranked.agg(F.max("rnk").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .where(F.col("rnk") == ((F.col("n") + 1) / 2).cast("long"))
+        .select(
+            F.col("n").cast("long").alias("n_pairs"),
+            (F.round(F.col("slope") / 100.0, 6) + 0.0).alias(
+                "theil_slope_dollars_per_day"
+            ),
+        )
+    )

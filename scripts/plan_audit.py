@@ -906,6 +906,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "theil_sen_trend_daily_revenue": {
+        # the all-pairs slope join is calendar-bounded (~2.4k days ->
+        # ~2.9M pairs REGARDLESS of fact scale) and rides a broadcast
+        # cross join by design (BHJ Cross under AQE); the median comes
+        # from ordered_scan, so no single-partition window anywhere
+        "must": ["HashAggregate", "Cross BuildRight"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+    },
     "engle_granger_cointegration": {
         # one fact-dim join + daily rollup, lag over the bounded daily
         # frame, exact decimal moments, one-row closed-form solve

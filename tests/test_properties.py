@@ -1221,3 +1221,48 @@ def test_engle_granger_matches_numpy_reference(spark, pairs):
     assert got["n_days"] == n_ref
     assert got["hedge_ratio"] == pytest.approx(b_ref, rel=1e-6, abs=1e-6)
     assert got["eg_t"] == pytest.approx(t_ref, rel=1e-3, abs=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen estimator: the pair-median pipeline must match the
+# textbook median-of-slopes on arbitrary integer series
+# --------------------------------------------------------------------------
+
+@given(
+    series=st.lists(st.integers(0, 100_000), min_size=4, max_size=25),
+)
+@SLOW
+def test_theil_sen_matches_textbook_median_of_slopes(spark, series):
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.profile import (
+        theil_sen_trend_daily_revenue,
+    )
+
+    slopes = sorted(
+        (series[j] - series[i]) / (j - i)
+        for i in range(len(series))
+        for j in range(i + 1, len(series))
+    )
+    ref = slopes[(len(slopes) + 1) // 2 - 1]  # lower median
+    base = pd.Timestamp("1992-01-01")
+    orders = spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=i,
+                o_orderdate=(base + pd.Timedelta(days=i)).date(),
+                o_totalprice=float(v) / 100.0,
+            )
+            for i, v in enumerate(series)
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = theil_sen_trend_daily_revenue(spark, d).collect()[0]
+    assert got["n_pairs"] == len(slopes)
+    assert got["theil_slope_dollars_per_day"] == pytest.approx(
+        ref / 100.0, abs=2e-6
+    )
