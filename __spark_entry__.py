@@ -194,6 +194,8 @@ ROUND_CHANGED = frozenset({
     "engle_granger_cointegration",
     # round-8 Theil-Sen robust trend
     "theil_sen_trend_daily_revenue",
+    # round-8 winnowing (MOSS) fingerprint candidates
+    "winnowing_candidate_pairs",
 })
 
 

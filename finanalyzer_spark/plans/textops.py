@@ -1519,3 +1519,114 @@ def kneser_ney_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lp").alias("min_logprob"),
         F.max("lp").alias("max_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing document fingerprints (MOSS)
+# --------------------------------------------------------------------------
+_WIN_K = 5    #: k-gram length (characters)
+_WIN_W = 4    #: winnowing window (hashes)
+_WIN_CAP = 50   #: drop fingerprints shared by more docs (stop-grams)
+_WIN_MIN_SHARED = 8  #: report pairs sharing at least this many prints
+
+
+@query(
+    "winnowing_candidate_pairs",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - {_WIN_K} + 2),
+                 i -> CAST(('0x' || substr(md5(substr(text, i, {_WIN_K})),
+                                           1, 8)) AS BIGINT)) AS h
+        FROM documents
+        WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+    ),
+    sel AS (
+        SELECT doc_id, h,
+               list_distinct(list_transform(
+                   range(1, len(h) - {_WIN_W} + 2),
+                   p -> p - 1 + list_max(list_transform(
+                       range(1, {_WIN_W + 1}),
+                       o -> CASE WHEN h[p + o - 1] =
+                                      list_min(h[p:p + {_WIN_W - 1}])
+                            THEN o ELSE 0 END)))) AS pos
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(pos, q -> h[q])) AS fp
+        FROM sel
+    ),
+    keep AS (
+        SELECT fp FROM fp GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {_WIN_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM fp a
+        JOIN keep USING (fp)
+        JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared FROM pairs WHERE shared >= {_WIN_MIN_SHARED}
+    """,
+    tags=("text", "fingerprint", "dedup", "blocking"),
+)
+def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): hash every {_WIN_K}-gram of the text, slide a
+    window of {_WIN_W} hashes, select each window's minimum (rightmost
+    on ties), and report document pairs sharing >= {_WIN_MIN_SHARED}
+    selected fingerprints — the guarantee-bearing local fingerprinting
+    scheme (any shared substring of length k+w-1 = {_WIN_K + _WIN_W - 1}
+    is always detected) beside the probabilistic MinHash family.
+
+    Scale shape: the whole gram-hash-select pipeline is ONE codegen
+    higher-order-function expression per document (nested transform
+    lambdas — no explode of raw gram streams, no Python); only the
+    ~2/(w+1)-density selected fingerprints explode into the join.
+    Fingerprints shared by > {_WIN_CAP} documents are dropped before
+    pair expansion (the LSH BUCKET_CAP stop-gram discipline, mirrored
+    in the oracle), so the candidate join is density-bounded at any
+    corpus size."""
+    t = load(spark, sf_dir)
+    h_expr = (
+        f"transform(sequence(1, length(text) - {_WIN_K} + 1), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {_WIN_K})), "
+        f"1, 8), 16, 10) AS BIGINT))"
+    )
+    sel_expr = (
+        f"array_distinct(transform(sequence(1, size(h) - {_WIN_W} + 1), "
+        f"p -> p - 1 + array_max(transform(sequence(1, {_WIN_W}), "
+        f"o -> IF(element_at(h, p + o - 1) = array_min(slice(h, p, "
+        f"{_WIN_W})), o, 0)))))"
+    )
+    g = (
+        t.documents.where(F.length("text") >= _WIN_K + _WIN_W - 1)
+        .select("doc_id", F.expr(h_expr).alias("h"))
+        .select("doc_id", "h", F.expr(sel_expr).alias("pos"))
+    )
+    fp = (
+        g.select(
+            "doc_id",
+            F.explode(F.expr("transform(pos, q -> element_at(h, q))")).alias(
+                "fp"
+            ),
+        )
+        .distinct()
+        .persist()  # feeds the cap aggregate AND both join sides
+    )
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= _WIN_CAP))
+        .select("fp")
+    )
+    a = fp.join(keep, "fp").select("fp", F.col("doc_id").alias("id_a"))
+    b = fp.select("fp", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= _WIN_MIN_SHARED)
+    )

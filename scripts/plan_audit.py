@@ -906,6 +906,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "winnowing_candidate_pairs": {
+        # gram-hash-select is ONE nested-HOF codegen expression per
+        # doc (no raw-gram explode); only selected fingerprints join,
+        # capped by the stop-gram filter
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "theil_sen_trend_daily_revenue": {
         # the all-pairs slope join is calendar-bounded (~2.4k days ->
         # ~2.9M pairs REGARDLESS of fact scale) and rides a broadcast

@@ -1266,3 +1266,87 @@ def test_theil_sen_matches_textbook_median_of_slopes(spark, series):
     assert got["theil_slope_dollars_per_day"] == pytest.approx(
         ref / 100.0, abs=2e-6
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing (MOSS): textbook reference + the detection guarantee —
+# any shared substring of length >= k + w - 1 always yields a shared
+# fingerprint (plans/textops.py::winnowing_candidate_pairs)
+# --------------------------------------------------------------------------
+
+def _winnow_ref(text, k=5, w=4):
+    """Plain-python winnowing: k-gram md5-prefix hashes, window of w,
+    rightmost-minimum selection; returns the fingerprint hash set."""
+    import hashlib
+
+    if len(text) < k + w - 1:
+        return set()
+    h = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    out = set()
+    for p in range(len(h) - w + 1):
+        win = h[p : p + w]
+        m = min(win)
+        j = max(o for o, v in enumerate(win) if v == m)
+        out.add(h[p + j])
+    return out
+
+
+@given(
+    a=st.text(alphabet="abcdef ", min_size=20, max_size=60),
+    b=st.text(alphabet="abcdef ", min_size=20, max_size=60),
+    shared=st.text(alphabet="xyzw", min_size=8, max_size=20),
+)
+def test_winnowing_detection_guarantee(a, b, shared):
+    """Planting a common substring of length >= k + w - 1 = 8 in two
+    otherwise different documents always produces a shared
+    fingerprint — the paper's correctness guarantee (Theorem:
+    winnowing detects all matches of length >= w + k - 1)."""
+    fa = _winnow_ref(a + shared + a)
+    fb = _winnow_ref(b + shared + b)
+    assert fa & fb
+
+
+def test_winnowing_query_matches_textbook_reference(spark):
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.textops import (
+        _WIN_MIN_SHARED,
+        winnowing_candidate_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog " * 2
+    texts = [
+        (1, "alpha beta gamma " + shared + " delta epsilon zeta"),
+        (2, "one two three four " + shared + " five six seven"),
+        (3, "completely unrelated content with nothing in common here"),
+    ]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in texts
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = winnowing_candidate_pairs(spark, d).collect()
+    fps = {i: _winnow_ref(t) for i, t in texts}
+    # reference pair counts under the same cap (every fp here is in
+    # <= 3 docs, far below the cap) and threshold
+    expect = {}
+    for i in (1, 2):
+        for j in range(i + 1, 4):
+            common = {
+                f
+                for f in fps[i] & fps[j]
+                if sum(f in fps[d_] for d_ in fps) >= 2
+            }
+            if len(common) >= _WIN_MIN_SHARED:
+                expect[(i, j)] = len(common)
+    got = {(r["id_a"], r["id_b"]): r["shared"] for r in rows}
+    assert got == expect and (1, 2) in got
