@@ -196,6 +196,8 @@ ROUND_CHANGED = frozenset({
     "theil_sen_trend_daily_revenue",
     # round-8 winnowing (MOSS) fingerprint candidates
     "winnowing_candidate_pairs",
+    # round-8 Mann-Kendall trend significance
+    "mann_kendall_trend",
 })
 
 

@@ -2540,3 +2540,115 @@ def theil_sen_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@query(
+    "mann_kendall_trend",
+    # S and the tie-corrected variance are exact integers (DECIMAL(38,0)
+    # where products can exceed int64); the z-statistic is one double
+    # expression evaluated identically on both engines.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS DECIMAL(38,0)) AS s
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    n AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM daily),
+    ties AS (
+        SELECT coalesce(sum(CAST(t AS DECIMAL(38,0))
+                            * CAST(t - 1 AS DECIMAL(38,0))
+                            * CAST(2 * t + 5 AS DECIMAL(38,0))), 0) AS tt
+        FROM (SELECT count(*) AS t FROM daily GROUP BY rev HAVING count(*) > 1)
+    )
+    SELECT CAST(n.n AS INT) AS n_days,
+           CAST(s.s AS BIGINT) AS s_stat,
+           round((CAST(s.s AS DOUBLE)
+                  - CASE WHEN s.s > 0 THEN 1.0
+                         WHEN s.s < 0 THEN -1.0 ELSE 0.0 END)
+                 / sqrt((CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)
+                         * (2.0 * CAST(n.n AS DOUBLE) + 5.0)
+                         - CAST(ties.tt AS DOUBLE)) / 18.0), 6) + 0.0 AS mk_z
+    FROM s, n, ties
+    """,
+    tags=("profile", "timeseries", "stats", "robust"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945; Kendall 1975) on the daily
+    revenue series: S = sum of sign(y_j - y_i) over all day pairs,
+    variance with the tie correction sum t(t-1)(2t+5), and the
+    continuity-corrected z statistic — the rank-based significance
+    companion to theil_sen_trend_daily_revenue's slope magnitude (the
+    two are standard together in hydrology/finance trend analysis).
+
+    Scale shape: identical to Theil-Sen — the fact table collapses to
+    the calendar-bounded daily frame first, the pair join is a
+    broadcast cross join over ~2.4k rows regardless of fact scale, S
+    accumulates as an exact integer, and the one float expression is
+    a single-row closed form."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+        .persist()  # feeds the pair join twice plus n and ties
+    )
+    dec = "decimal(38,0)"
+    a = daily.select(F.col("d").alias("d1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("rev").alias("r2"))
+    s = (
+        a.crossJoin(b)
+        .where(F.col("d2") > F.col("d1"))
+        .agg(
+            F.sum(
+                F.when(F.col("r2") > F.col("r1"), 1)
+                .when(F.col("r2") < F.col("r1"), -1)
+                .otherwise(0)
+            )
+            .cast(dec)
+            .alias("s")
+        )
+    )
+    n = daily.agg(F.count("*").cast(dec).alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast(dec)
+                    * (F.col("t") - 1).cast(dec)
+                    * (2 * F.col("t") + 5).cast(dec)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("tt")
+        )
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    cc = (
+        F.when(F.col("s") > 0, F.lit(1.0))
+        .when(F.col("s") < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    var = (nd * (nd - 1.0) * (2.0 * nd + 5.0)
+           - F.col("tt").cast("double")) / 18.0
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("int").alias("n_days"),
+            F.col("s").cast("long").alias("s_stat"),
+            (F.round((sd - cc) / F.sqrt(var), 6) + 0.0).alias("mk_z"),
+        )
+    )

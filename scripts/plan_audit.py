@@ -906,6 +906,13 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "mann_kendall_trend": {
+        # calendar-bounded pair cross join (BHJ Cross under AQE) with
+        # exact integer S; one-row closed-form z
+        "must": ["HashAggregate", "Cross BuildRight"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+    },
     "winnowing_candidate_pairs": {
         # gram-hash-select is ONE nested-HOF codegen expression per
         # doc (no raw-gram explode); only selected fingerprints join,

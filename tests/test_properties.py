@@ -1350,3 +1350,62 @@ def test_winnowing_query_matches_textbook_reference(spark):
                 expect[(i, j)] = len(common)
     got = {(r["id_a"], r["id_b"]): r["shared"] for r in rows}
     assert got == expect and (1, 2) in got
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test: exact S, tie-corrected variance, and the
+# continuity-corrected z against a textbook reference
+# --------------------------------------------------------------------------
+
+def _mk_ref(series):
+    import math
+
+    n = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tt = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(series).values()
+        if t > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    cc = 1.0 if s > 0 else (-1.0 if s < 0 else 0.0)
+    return n, s, (s - cc) / math.sqrt(var)
+
+
+@given(
+    series=st.lists(st.integers(0, 40), min_size=5, max_size=40),
+)
+@SLOW
+def test_mann_kendall_matches_textbook_formula(spark, series):
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.profile import mann_kendall_trend
+
+    if len(set(series)) < 2:
+        return  # all-tied series has zero variance (degenerate)
+    n_ref, s_ref, z_ref = _mk_ref([v * 100 for v in series])
+    base = pd.Timestamp("2024-01-01")
+    orders = spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=i,
+                o_orderdate=(base + pd.Timedelta(days=i)).date(),
+                o_totalprice=float(v),
+            )
+            for i, v in enumerate(series)
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = mann_kendall_trend(spark, d).collect()[0]
+    assert (got["n_days"], got["s_stat"]) == (n_ref, s_ref)
+    assert got["mk_z"] == pytest.approx(z_ref, abs=2e-6)
