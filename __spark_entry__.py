@@ -198,6 +198,8 @@ ROUND_CHANGED = frozenset({
     "winnowing_candidate_pairs",
     # round-8 Mann-Kendall trend significance
     "mann_kendall_trend",
+    # round-8 content-defined chunking dedup
+    "cdc_chunk_dup_share",
 })
 
 

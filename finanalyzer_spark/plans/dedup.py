@@ -636,3 +636,126 @@ def containment_near_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "superset_only"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (basic CDC) duplicate-byte share
+# --------------------------------------------------------------------------
+_CDC_W = 8    #: rolling-window width (chars)
+_CDC_D = 32   #: boundary divisor -> expected chunk length
+
+
+@query(
+    "cdc_chunk_dup_share",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source, text,
+               list_concat(list_concat([0],
+                 list_filter(range({_CDC_W}, length(text) + 1),
+                   i -> CAST(('0x' || substr(md5(substr(text, i - {_CDC_W - 1},
+                                                        {_CDC_W})), 1, 8))
+                             AS BIGINT) % {_CDC_D} = 0)),
+                 [length(text)]) AS bounds
+        FROM documents
+        WHERE length(text) >= {_CDC_W}
+    ),
+    c AS (
+        SELECT doc_id, source,
+               unnest(list_filter(
+                 list_transform(range(1, len(bounds)),
+                   k -> substr(text, bounds[k] + 1,
+                               bounds[k + 1] - bounds[k])),
+                 s -> length(s) > 0)) AS chunk
+        FROM b
+    ),
+    h AS (
+        SELECT doc_id, source, md5(chunk) AS ch,
+               length(chunk) AS clen
+        FROM c
+    ),
+    dup AS (
+        SELECT ch FROM h GROUP BY ch
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT source,
+           count(*) AS n_chunks,
+           count(*) FILTER (dup.ch IS NOT NULL) AS n_dup_chunks,
+           CAST(sum(clen) AS BIGINT) AS total_bytes,
+           round(sum(CASE WHEN dup.ch IS NOT NULL THEN clen ELSE 0 END)
+                 * 1.0 / sum(clen), 6) + 0.0 AS dup_byte_share
+    FROM h LEFT JOIN dup ON h.ch = dup.ch
+    GROUP BY source
+    """,
+    tags=("dedup", "cdc", "chunking"),
+)
+def cdc_chunk_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (basic CDC — the
+    rolling-hash-boundary scheme behind LBFS/restic/borg and
+    storage-level training-corpus dedup): a chunk boundary falls
+    wherever the hash of the trailing {_CDC_W}-char window is 0 mod
+    {_CDC_D}, so chunk boundaries move WITH the content — an insertion
+    shifts at most one chunk, unlike fixed-stride spans
+    (crossdoc_span_dup_share) whose grid a one-byte insert destroys.
+    Reports, per source, the share of bytes living in chunks whose
+    exact content appears in >= 2 documents.
+
+    Scale shape: boundary selection and chunk slicing are one
+    higher-order-function codegen expression per document (no per-
+    position explode); only whole chunks explode (expected length
+    {_CDC_D}, so the chunk stream is ~1/{_CDC_D} of the corpus rows);
+    the dup set is a map-side-combined distinct-doc count joined back
+    broadcast.  Simplification vs FastCDC: no min/max chunk clamps
+    (those make selection sequential); documented, mirrored in the
+    oracle."""
+    t = load(spark, sf_dir)
+    bounds_expr = (
+        f"concat(array(0), filter(sequence({_CDC_W}, length(text)), "
+        f"i -> cast(conv(substring(md5(substring(text, i - {_CDC_W - 1}, "
+        f"{_CDC_W})), 1, 8), 16, 10) AS BIGINT) % {_CDC_D} = 0), "
+        f"array(length(text)))"
+    )
+    chunks_expr = (
+        "filter(transform(sequence(1, size(bounds) - 1), "
+        "k -> substring(text, element_at(bounds, k) + 1, "
+        "element_at(bounds, k + 1) - element_at(bounds, k))), "
+        "s -> length(s) > 0)"
+    )
+    h = (
+        t.documents.where(F.length("text") >= _CDC_W)
+        .select("doc_id", "source", "text",
+                F.expr(bounds_expr).alias("bounds"))
+        .select("doc_id", "source",
+                F.explode(F.expr(chunks_expr)).alias("chunk"))
+        .select(
+            "doc_id", "source",
+            F.md5("chunk").alias("ch"),
+            F.length("chunk").alias("clen"),
+        )
+        .persist()  # feeds the dup aggregate and the rollup
+    )
+    dup = (
+        h.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("ch", F.lit(True).alias("is_dup"))
+    )
+    return (
+        h.join(F.broadcast(dup), "ch", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_chunks"),
+            F.sum("clen").cast("long").alias("total_bytes"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("is_dup"), F.col("clen")).otherwise(0)
+                    )
+                    * 1.0
+                    / F.sum("clen"),
+                    6,
+                )
+                + 0.0
+            ).alias("dup_byte_share"),
+        )
+    )

@@ -906,6 +906,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "cdc_chunk_dup_share": {
+        # boundary selection + chunk slicing are one HOF codegen
+        # expression per doc; only whole chunks explode; dup set is a
+        # broadcast join back
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "mann_kendall_trend": {
         # calendar-bounded pair cross join (BHJ Cross under AQE) with
         # exact integer S; one-row closed-form z

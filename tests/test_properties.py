@@ -1409,3 +1409,44 @@ def test_mann_kendall_matches_textbook_formula(spark, series):
         got = mann_kendall_trend(spark, d).collect()[0]
     assert (got["n_days"], got["s_stat"]) == (n_ref, s_ref)
     assert got["mk_z"] == pytest.approx(z_ref, abs=2e-6)
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking: shift robustness — a prefix insertion
+# perturbs at most the chunks touching the first boundary, unlike a
+# fixed-stride grid which loses every span
+# (plans/dedup.py::cdc_chunk_dup_share)
+# --------------------------------------------------------------------------
+
+def _cdc_ref(text, w=8, d=32):
+    import hashlib
+
+    if len(text) < w:
+        return [text] if text else []
+    bounds = [0]
+    for i in range(w, len(text) + 1):
+        win = text[i - w : i]
+        if int(hashlib.md5(win.encode()).hexdigest()[:8], 16) % d == 0:
+            bounds.append(i)
+    if bounds[-1] != len(text):
+        bounds.append(len(text))
+    return [
+        text[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+
+
+@given(text=st.text(alphabet="abcdefgh ", min_size=60, max_size=300))
+def test_cdc_chunking_is_shift_robust(text):
+    base = _cdc_ref(text)
+    shifted = _cdc_ref("X" + text)
+    from collections import Counter
+
+    common = Counter(base) & Counter(shifted)
+    # content windows right of the insertion are unchanged, so only
+    # the FIRST chunk can differ — and in the shifted document it can
+    # at most split in two (a new boundary inside the window that
+    # contains the inserted byte)
+    assert sum(common.values()) >= len(base) - 1
+    assert sum(common.values()) >= len(shifted) - 2
+    # chunks reassemble the document exactly (partition property)
+    assert "".join(base) == text and "".join(shifted) == "X" + text
