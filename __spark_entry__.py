@@ -200,6 +200,8 @@ ROUND_CHANGED = frozenset({
     "mann_kendall_trend",
     # round-8 content-defined chunking dedup
     "cdc_chunk_dup_share",
+    # round-8 external clustering evaluation
+    "ari_cell_vs_label",
 })
 
 

@@ -1448,3 +1448,133 @@ def grid_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_core").cast("long"),
         F.col("n_border").cast("long"),
     ).unionByName(noise)
+
+
+@query(
+    "ari_cell_vs_label",
+    # every pair count is an exact integer (DECIMAL(38,0) binomials);
+    # the one float expression is the final ARI ratio, identical on
+    # both engines.
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, label,
+               (CAST(round(CAST(embedding[1] AS DOUBLE) * 10000, 0)
+                     AS BIGINT) + 10000) // {_DB_EPS} AS cx,
+               (CAST(round(CAST(embedding[2] AS DOUBLE) * 10000, 0)
+                     AS BIGINT) + 10000) // {_DB_EPS} AS cy
+        FROM embeddings
+    ),
+    nij AS (
+        SELECT cx, cy, label, CAST(count(*) AS DECIMAL(38,0)) AS n
+        FROM pts GROUP BY cx, cy, label
+    ),
+    sij AS (SELECT sum(n * (n - 1) / 2) AS s FROM nij),
+    ai AS (
+        SELECT sum(n * (n - 1) / 2) AS s FROM (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS n
+            FROM pts GROUP BY cx, cy)
+    ),
+    bj AS (
+        SELECT sum(n * (n - 1) / 2) AS s FROM (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS n
+            FROM pts GROUP BY label)
+    ),
+    nn AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) * (CAST(count(*)
+               AS DECIMAL(38,0)) - 1) / 2 AS s,
+               count(*) AS n
+        FROM pts
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_points,
+           CASE WHEN (CAST(ai.s AS DOUBLE) + CAST(bj.s AS DOUBLE)) / 2.0
+                     - CAST(ai.s AS DOUBLE) * CAST(bj.s AS DOUBLE)
+                       / CAST(nn.s AS DOUBLE) = 0.0
+                THEN 1.0  -- identical trivial partitions (convention)
+                ELSE round((CAST(sij.s AS DOUBLE)
+                  - CAST(ai.s AS DOUBLE) * CAST(bj.s AS DOUBLE)
+                    / CAST(nn.s AS DOUBLE))
+                 / ((CAST(ai.s AS DOUBLE) + CAST(bj.s AS DOUBLE)) / 2.0
+                    - CAST(ai.s AS DOUBLE) * CAST(bj.s AS DOUBLE)
+                      / CAST(nn.s AS DOUBLE)), 6) + 0.0
+           END AS ari
+    FROM sij, ai, bj, nn
+    """,
+    tags=("similarity", "clustering", "eval"),
+)
+def ari_cell_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between the
+    embedding table's ground-truth labels and the eps-grid cell
+    partition the DBSCAN pipeline buckets by — the standard
+    chance-corrected external clustering evaluation (0 = chance
+    agreement, 1 = identical partitions), here quantifying how much
+    label structure the 2-D projection's cells capture (near zero for
+    this corpus: labels separate in higher dimensions — the measured
+    justification for why similarity search uses full vectors, not the
+    2-D cells).
+
+    Scale shape: three map-side-combined contingency groupBys (cells x
+    labels, cells, labels) and four one-row binomial sums — all pair
+    counts exact DECIMAL(38,0) integers, one final float ratio.  No
+    windows, no pair materialization (ARI's pair counts come from the
+    binomial identity, never from an O(n^2) join)."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    pts = t.embeddings.select(
+        "vec_id",
+        "label",
+        # NB: element_at is 1-based like DuckDB's embedding[i];
+        # Spark's bracket indexing would be 0-based
+        F.expr(
+            f"(cast(round(cast(element_at(embedding, 1) AS DOUBLE)"
+            f" * 10000, 0) AS BIGINT) + 10000) div {_DB_EPS}"
+        ).alias("cx"),
+        F.expr(
+            f"(cast(round(cast(element_at(embedding, 2) AS DOUBLE)"
+            f" * 10000, 0) AS BIGINT) + 10000) div {_DB_EPS}"
+        ).alias("cy"),
+    ).persist()
+    choose2 = lambda c: (c * (c - 1) / 2)  # noqa: E731
+    nij = pts.groupBy("cx", "cy", "label").agg(
+        F.count("*").cast(dec).alias("n")
+    )
+    sij = nij.agg(F.sum(choose2(F.col("n"))).alias("s"))
+    ai = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count("*").cast(dec).alias("n"))
+        .agg(F.sum(choose2(F.col("n"))).alias("s"))
+    )
+    bj = (
+        pts.groupBy("label")
+        .agg(F.count("*").cast(dec).alias("n"))
+        .agg(F.sum(choose2(F.col("n"))).alias("s"))
+    )
+    nn = pts.agg(
+        choose2(F.count("*").cast(dec)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    sd = lambda c: F.col(c).cast("double")  # noqa: E731
+    exp = sd("ai_s") * sd("bj_s") / sd("nn_s")
+    return (
+        sij.select(F.col("s").alias("sij_s"))
+        .crossJoin(F.broadcast(ai.select(F.col("s").alias("ai_s"))))
+        .crossJoin(F.broadcast(bj.select(F.col("s").alias("bj_s"))))
+        .crossJoin(
+            F.broadcast(nn.select(F.col("s").alias("nn_s"), "n"))
+        )
+        .select(
+            F.col("n").cast("long").alias("n_points"),
+            F.when(
+                (sd("ai_s") + sd("bj_s")) / 2.0 - exp == 0.0,
+                F.lit(1.0),  # identical trivial partitions (convention)
+            )
+            .otherwise(
+                F.round(
+                    (sd("sij_s") - exp)
+                    / ((sd("ai_s") + sd("bj_s")) / 2.0 - exp),
+                    6,
+                )
+                + 0.0
+            )
+            .alias("ari"),
+        )
+    )

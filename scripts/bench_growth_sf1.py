@@ -70,6 +70,23 @@ FAMILIES: dict[str, list[str]] = {
     "ingest": [
         "warc_html_extraction",
     ],
+    # round-8 second wave: LPA rides the 10x-disjoint trade graph;
+    # DBSCAN the 10x-jittered vectors; the text/dedup/LM additions the
+    # 10x-rotated documents; the trend stats are calendar-bounded BY
+    # DESIGN (daily frame size is constant), so their curve should be
+    # ~flat — the point being measured, not a bug
+    "graph2": ["label_propagation_communities"],
+    "density": ["grid_dbscan_embeddings"],
+    "text2": [
+        "winnowing_candidate_pairs",
+        "cdc_chunk_dup_share",
+        "kneser_ney_trigram_score",
+        "media_g711_audio_stats",
+    ],
+    "trend": [
+        "theil_sen_trend_daily_revenue",
+        "mann_kendall_trend",
+    ],
 }
 
 LINKED = ["customer", "nation", "part", "region", "supplier", "events"]

@@ -906,6 +906,14 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "ari_cell_vs_label": {
+        # three contingency groupBys + one-row binomial sums; no pair
+        # materialization (binomial identity), no windows
+        "must": ["HashAggregate"],
+        "must_not": ["Window", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "cdc_chunk_dup_share": {
         # boundary selection + chunk slicing are one HOF codegen
         # expression per doc; only whole chunks explode; dup set is a

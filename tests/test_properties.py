@@ -1450,3 +1450,67 @@ def test_cdc_chunking_is_shift_robust(text):
     assert sum(common.values()) >= len(shifted) - 2
     # chunks reassemble the document exactly (partition property)
     assert "".join(base) == text and "".join(shifted) == "X" + text
+
+
+# --------------------------------------------------------------------------
+# Adjusted Rand Index: the binomial-identity pipeline must match the
+# textbook pair-counting definition, including ARI = 1 on identical
+# partitions (plans/similarity.py::ari_cell_vs_label)
+# --------------------------------------------------------------------------
+
+def _ari_ref(a, b):
+    from collections import Counter
+    from math import comb
+
+    nij = Counter(zip(a, b))
+    ai = Counter(a)
+    bj = Counter(b)
+    sij = sum(comb(v, 2) for v in nij.values())
+    sa = sum(comb(v, 2) for v in ai.values())
+    sb = sum(comb(v, 2) for v in bj.values())
+    nn = comb(len(a), 2)
+    exp = sa * sb / nn
+    den = (sa + sb) / 2 - exp
+    return (sij - exp) / den if den else 1.0
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2)),
+        min_size=5,
+        max_size=60,
+    )
+)
+@SLOW
+def test_ari_query_matches_textbook_pair_counting(spark, pts):
+    import math
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.similarity import _DB_EPS, ari_cell_vs_label
+
+    # place each point's 2-D prefix at a cell decided by its "cluster"
+    # id so the grid partition IS the first partition; label is the
+    # second
+    cells = [c for c, _ in pts]
+    labels = [l for _, l in pts]
+    ref = _ari_ref(cells, labels)
+    if not math.isfinite(ref):
+        return
+    df = spark.createDataFrame(
+        [
+            Row(
+                vec_id=i,
+                embedding=[c * _DB_EPS / 10000.0 + 0.005, 0.0] + [0.0] * 62,
+                label=l,
+            )
+            for i, (c, l) in enumerate(pts)
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = ari_cell_vs_label(spark, d).collect()[0]
+    assert got["n_points"] == len(pts)
+    assert got["ari"] == pytest.approx(ref, abs=2e-6)
