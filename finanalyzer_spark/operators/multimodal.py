@@ -135,13 +135,15 @@ def decode_wav(buf: bytes):
             block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             if not (
-                (audio_format == 1 and bits == 16)
+                (audio_format == 1 and bits in (8, 16, 24, 32))
+                or (audio_format == 3 and bits == 32)
+                or (audio_format == 6 and bits == 8)
                 or (audio_format == 7 and bits == 8)
                 or (audio_format == 0x11 and bits == 4)
             ):
                 raise NotImplementedError(
-                    f"only PCM-16, mu-law and IMA-ADPCM supported"
-                    f" (format={audio_format}, bits={bits})"
+                    f"only PCM 8/16/24/32, float32, G.711 and IMA-ADPCM"
+                    f" supported (format={audio_format}, bits={bits})"
                 )
             fmt = audio_format
         elif cid == b"fact" and len(body) >= 4:
@@ -165,9 +167,31 @@ def decode_wav(buf: bytes):
         n = (len(u) // channels) * channels
         samples = _mulaw_expand(u[:n]).reshape(-1, channels)
         return rate, samples
-    n = (len(data) // (2 * channels)) * 2 * channels
-    samples = np.frombuffer(data[:n], dtype="<i2").reshape(-1, channels)
-    return rate, samples
+    if fmt == 6:  # G.711 A-law (RFC 2361 tag 6)
+        from .g711 import alaw_decode
+
+        u = np.frombuffer(data, dtype=np.uint8)
+        n = (len(u) // channels) * channels
+        return rate, alaw_decode(u[:n]).reshape(-1, channels)
+    if fmt == 3:  # IEEE float32, nominal [-1, 1] -> int16
+        n = (len(data) // (4 * channels)) * 4 * channels
+        f32 = np.frombuffer(data[:n], dtype="<f4").astype(np.float64)
+        samples = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+        return rate, samples.astype(np.int16).reshape(-1, channels)
+    nb = bits // 8
+    n = (len(data) // (nb * channels)) * nb * channels
+    data = data[:n]
+    if nb == 1:  # WAV 8-bit PCM is UNSIGNED
+        flat = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        ) << 8
+    elif nb == 2:
+        flat = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    else:  # 24/32-bit little-endian: keep the top 16 bits
+        a = np.frombuffer(data, dtype=np.uint8).reshape(-1, nb)
+        hi = a[:, -1].astype(np.int8).astype(np.int32) << 8
+        flat = (hi | a[:, -2]).astype(np.int16)
+    return rate, flat.reshape(-1, channels)
 
 
 def decode_audio(buf: bytes):
@@ -1479,7 +1503,8 @@ def probe_media(buf: bytes) -> dict:
             size = int.from_bytes(buf[p + 4 : p + 8], "little")
             if buf[p : p + 4] == b"fmt " and size >= 2:
                 tag = int.from_bytes(buf[p + 8 : p + 10], "little")
-                codec = {1: "pcm", 7: "g711-mulaw",
+                codec = {1: "pcm", 3: "pcm-float32", 6: "g711-alaw",
+                         7: "g711-mulaw",
                          0x11: "ima-adpcm"}.get(tag, f"wav-0x{tag:x}")
                 break
             p += 8 + size + (size & 1)

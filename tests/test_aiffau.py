@@ -185,3 +185,62 @@ def test_refusals_and_errors():
         encode_au(_PCM, encoding="adpcm")
     with pytest.raises(NotImplementedError):
         encode_aiff(_PCM, compression="sowt")
+
+
+# ------------------------------------------------- WAV depth ladder
+
+def test_foreign_wav_pcm_depth_ladder():
+    """pluck-pcm8/24/32.wav (foreign Audacity exports) decode through
+    the extended WAV path to the 16-bit top bits: 8-bit (unsigned in
+    WAV, unlike AU/AIFF) within quantization distance, 24/32-bit
+    within truncation+dither distance of the pcm16 master."""
+    from finanalyzer_spark.operators.multimodal import decode_wav
+
+    _, s16 = decode_wav(_foreign("pluck-pcm16.wav"))
+    for name, bound in (
+        ("pluck-pcm8.wav", 512),
+        ("pluck-pcm24.wav", 16),
+        ("pluck-pcm32.wav", 16),
+    ):
+        rate, s = decode_wav(_foreign(name))
+        assert rate == 11025 and s.shape == s16.shape
+        assert np.abs(s.astype(int) - s16.astype(int)).max() <= bound
+
+
+def test_wav_alaw_and_float32_roundtrip():
+    """Hand-built tag-6 (A-law) and tag-3 (float32) WAVs decode to the
+    C-reference expansion / the scaled-int16 of the payload."""
+    import struct
+
+    from finanalyzer_spark.operators.g711 import alaw_decode, alaw_encode
+    from finanalyzer_spark.operators.multimodal import decode_wav
+
+    def wav(fmt, bits, payload, channels=1, rate=8000):
+        ba = channels * max(bits // 8, 1)
+        fmtc = struct.pack(
+            "<HHIIHH", fmt, channels, rate, rate * ba, ba, bits
+        )
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmtc)) + fmtc
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+    codes = alaw_encode(_PCM)
+    rate, s = decode_wav(wav(6, 8, codes.tobytes()))
+    assert rate == 8000
+    assert np.array_equal(s.ravel(), alaw_decode(codes))
+
+    f32 = (_PCM.astype(np.float64) / 32767.0).astype("<f4")
+    rate, s = decode_wav(wav(3, 32, f32.tobytes()))
+    want = np.clip(
+        np.round(f32.astype(np.float64) * 32767.0), -32768, 32767
+    ).astype(np.int16)
+    assert np.array_equal(s.ravel(), want)
+
+    # 8-bit PCM is unsigned with a 128 bias
+    u8 = ((_PCM.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    rate, s = decode_wav(wav(1, 8, u8.tobytes()))
+    assert np.array_equal(
+        s.ravel(), ((u8.astype(np.int16) - 128) << 8)
+    )
