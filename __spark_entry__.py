@@ -202,6 +202,8 @@ ROUND_CHANGED = frozenset({
     "cdc_chunk_dup_share",
     # round-8 external clustering evaluation
     "ari_cell_vs_label",
+    # round-8 naive-baseline forecast backtest
+    "naive_forecast_backtest",
 })
 
 

@@ -2652,3 +2652,108 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round((sd - cc) / F.sqrt(var), 6) + 0.0).alias("mk_z"),
         )
     )
+
+
+_BT_HORIZONS = 7
+
+
+@query(
+    "naive_forecast_backtest",
+    # every error is an exact integer (cents); MAE/RMSE/sMAPE are one
+    # float expression over exact DECIMAL(38,0) error moments, so both
+    # engines aggregate identical integers and round once.
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    h AS (SELECT unnest(range(1, {_BT_HORIZONS + 1})) AS horizon),
+    j AS (
+        SELECT h.horizon, a.rev AS actual, b.rev AS pred
+        FROM h
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d - CAST(h.horizon AS INT)
+    ),
+    m AS (
+        SELECT horizon,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(abs(actual - pred) AS DECIMAL(38,0))) AS sae,
+               sum(CAST(actual - pred AS DECIMAL(38,0))
+                   * CAST(actual - pred AS DECIMAL(38,0))) AS sse,
+               sum(CAST(abs(actual - pred) AS DOUBLE)
+                   / (CAST(actual AS DOUBLE) + CAST(pred AS DOUBLE)))
+                   AS smape_sum
+        FROM j GROUP BY horizon
+    )
+    SELECT CAST(horizon AS INT) AS horizon,
+           CAST(n AS BIGINT) AS n_days,
+           round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+               + 0.0 AS mae_dollars,
+           round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 4)
+               + 0.0 AS rmse_dollars,
+           round(200.0 * smape_sum / CAST(n AS DOUBLE), 6) + 0.0 AS smape
+    FROM m
+    """,
+    tags=("profile", "timeseries", "eval", "forecast"),
+)
+def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the naive-h forecaster family
+    (yhat_t = y_(t-h), h = 1..{_BT_HORIZONS}) on daily revenue:
+    per-horizon MAE, RMSE and sMAPE — the baseline error curve every
+    forecasting effort must beat (Hyndman & Athanasopoulos, FPP:
+    'no forecasting method should do worse than naive'), and the
+    metric battery for forecast_revenue_change's Q6-style deltas.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    daily frame first; the horizon fan-out is a 7x broadcast explode
+    joined back on exact date arithmetic (an equi-join on day, not a
+    window); error moments accumulate as exact DECIMAL(38,0) integers
+    with sMAPE the only float sum (order-insensitive to 6 digits —
+    the same rounding discipline as the LM-score rollups)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+        .persist()  # both sides of the horizon join
+    )
+    h = spark.range(1, _BT_HORIZONS + 1).select(
+        F.col("id").cast("int").alias("horizon")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("actual"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("pred"))
+    j = (
+        a.crossJoin(F.broadcast(h))
+        .join(b, F.col("db") == F.date_sub(F.col("da"), F.col("horizon")))
+        .select("horizon", "actual", "pred")
+    )
+    dec = "decimal(38,0)"
+    err = F.col("actual") - F.col("pred")
+    m = j.groupBy("horizon").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.abs(err).cast(dec)).alias("sae"),
+        F.sum(err.cast(dec) * err.cast(dec)).alias("sse"),
+        F.sum(
+            F.abs(err).cast("double")
+            / (F.col("actual").cast("double") + F.col("pred").cast("double"))
+        ).alias("smape_sum"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("horizon").cast("int").alias("horizon"),
+        F.col("n").cast("long").alias("n_days"),
+        (F.round(F.col("sae").cast("double") / nd / 100.0, 4) + 0.0).alias(
+            "mae_dollars"
+        ),
+        (
+            F.round(F.sqrt(F.col("sse").cast("double") / nd) / 100.0, 4)
+            + 0.0
+        ).alias("rmse_dollars"),
+        (F.round(200.0 * F.col("smape_sum") / nd, 6) + 0.0).alias("smape"),
+    )

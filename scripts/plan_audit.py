@@ -906,6 +906,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "naive_forecast_backtest": {
+        # calendar-bounded daily frame, 7x broadcast horizon fan-out
+        # joined back on exact date arithmetic; exact decimal error
+        # moments — no windows at all
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["Window", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "ari_cell_vs_label": {
         # three contingency groupBys + one-row binomial sums; no pair
         # materialization (binomial identity), no windows
