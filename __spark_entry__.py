@@ -204,6 +204,8 @@ ROUND_CHANGED = frozenset({
     "ari_cell_vs_label",
     # round-8 naive-baseline forecast backtest
     "naive_forecast_backtest",
+    # round-8 OpenEXR HDR codec certification
+    "media_exr_pixel_stats",
 })
 
 

@@ -1449,6 +1449,22 @@ def probe_media(buf: bytes) -> dict:
                     "n_frames": 1}
         except Exception:
             return {**out, "kind": "image", "container": "tiff"}
+    if buf[:4] == b"\x76\x2f\x31\x01":
+        try:
+            from .exr import _parse_channels, _parse_header
+
+            attrs, _ = _parse_header(buf)
+            x0, y0, x1, y1 = struct.unpack(
+                "<iiii", attrs["dataWindow"][1]
+            )
+            chans = _parse_channels(attrs["channels"][1])
+            return {**out, "kind": "image", "container": "exr",
+                    "codec": "exr", "width": x1 - x0 + 1,
+                    "height": y1 - y0 + 1, "n_frames": 1,
+                    "channels": len(chans)}
+        except (ValueError, NotImplementedError, KeyError, IndexError,
+                struct.error):
+            return {**out, "kind": "image", "container": "exr"}
     if buf[:4] == b"qoif":
         w, h, ch, _cs = struct.unpack(">IIBB", buf[4:14])
         return {**out, "kind": "image", "container": "qoi",

@@ -1712,3 +1712,94 @@ def media_legacy_image_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " px_max int"
         ),
     )
+
+
+@query(
+    "media_exr_pixel_stats",
+    # k/256 is exactly representable in half (test_exr.py pins it), so
+    # the HDR round trip is lossless on these values and the oracle
+    # recomputes integer pixel stats straight from the source chars —
+    # one wrong byte in the chlist layout, the scanline offset table,
+    # the ZIP delta+interleave filter or the half conversion breaks
+    # the hash.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, least(length(text) // 12, 64)) AS w
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w,
+               list_transform(
+                   string_split_regex(substr(text, 1, w * 12), ''),
+                   c -> ascii(c)) AS bs
+        FROM d JOIN documents USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           4 AS height,
+           TRUE AS lossless,
+           CAST(list_sum(bs) AS BIGINT) AS px_sum,
+           CAST(list_max(bs) AS INT) AS px_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "exr", "hdr"),
+)
+def media_exr_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenEXR HDR round-trip certification (operators/exr.py):
+    document bytes become a (4, w, 3) linear-light half-float image
+    (values k/256 — exactly representable in half), encoded to a
+    ZIP-compressed scanline EXR and decoded back; stats are emitted
+    only after asserting the decode equals the source exactly.  The
+    codec is additionally certified against the genuinely foreign
+    stdlib python.exr, whose quantized decode equals the foreign PNG
+    bit-for-bit (tests/test_exr.py)."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.exr import decode_exr, encode_exr
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bs = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w = max(1, min(len(bs) // 12, 64))
+                img = (
+                    bs[: w * 12].reshape(4, w, 3).astype(np.float32)
+                    / 256.0
+                )
+                dec, nm = decode_exr(encode_exr(img, ["R", "G", "B"],
+                                                "zip"))
+                back = np.stack(
+                    [dec[:, :, nm.index(c)] for c in "RGB"], axis=2
+                )
+                ints = np.round(back * 256.0).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "width": w,
+                        "height": 4,
+                        "lossless": bool(np.array_equal(back, img)),
+                        "px_sum": int(ints.sum()),
+                        "px_max": int(ints.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "lossless",
+                    "px_sum", "px_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, lossless boolean,"
+            " px_sum long, px_max int"
+        ),
+    )

@@ -1339,6 +1339,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "media_exr_pixel_stats": {
+        # one Arrow kernel over the scan; payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "media_audio_container_parity": {
         # one Arrow kernel over the scan; payload bytes never shuffle
         "must": ["MapInPandas"],
