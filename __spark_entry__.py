@@ -206,6 +206,8 @@ ROUND_CHANGED = frozenset({
     "naive_forecast_backtest",
     # round-8 OpenEXR HDR codec certification
     "media_exr_pixel_stats",
+    # round-8 LSH recall benchmark
+    "minhash_recall_eval",
 })
 
 

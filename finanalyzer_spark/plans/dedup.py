@@ -759,3 +759,149 @@ def cdc_chunk_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_byte_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH recall evaluation against a blocked exact-Jaccard truth set
+# --------------------------------------------------------------------------
+_EVAL_RARE_DF = 20     #: rare-shingle blocking: shingles in <= this many docs
+_EVAL_J = 0.5          #: truth threshold: exact Jaccard >= this
+
+
+@query(
+    "minhash_recall_eval",
+    oracle=f"""
+    WITH {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE},
+    cand AS ({_CAND_SQL}),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM ex),
+    rare AS (
+        SELECT sh FROM dsh GROUP BY sh
+        HAVING count(*) BETWEEN 2 AND {_EVAL_RARE_DF}
+    ),
+    universe AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM dsh a
+        JOIN rare USING (sh)
+        JOIN dsh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT u.id_a, u.id_b, count(*) AS i
+        FROM universe u
+        JOIN dsh a ON a.doc_id = u.id_a
+        JOIN dsh b ON b.doc_id = u.id_b AND b.sh = a.sh
+        GROUP BY u.id_a, u.id_b
+    ),
+    truth AS (
+        SELECT u.id_a, u.id_b
+        FROM universe u
+        JOIN inter i ON i.id_a = u.id_a AND i.id_b = u.id_b
+        JOIN sizes sa ON sa.doc_id = u.id_a
+        JOIN sizes sb ON sb.doc_id = u.id_b
+        WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {_EVAL_J}
+    ),
+    caught AS (
+        SELECT t.id_a FROM truth t
+        JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM caught) AS n_caught,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM caught) * 1.0
+                           / (SELECT count(*) FROM truth), 6) + 0.0
+           END AS recall
+    """,
+    tags=("dedup", "eval", "minhash"),
+)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator against an
+    INDEPENDENTLY BLOCKED exact-Jaccard benchmark: truth pairs share a
+    rare shingle (document frequency <= {_EVAL_RARE_DF} — a different
+    blocking scheme than the LSH bands being evaluated) and have exact
+    3-shingle Jaccard >= {_EVAL_J}; recall is the fraction the
+    {NUM_HASHES}-hash/{BANDS}-band LSH candidates catch — the
+    dedup-side companion to ann_recall_eval, pricing the probabilistic
+    blocking's miss rate with a measured number instead of the
+    (1-(1-s^r)^b) curve.
+
+    Scale shape: both pipelines are the repo's existing bounded ones
+    (banded LSH with BUCKET_CAP; rare-shingle blocking is df-capped by
+    construction, so the truth join explodes at most {_EVAL_RARE_DF}x
+    per shingle); exact Jaccard runs only on the blocked universe via
+    explode-joins.  Counts are exact integers; recall is one rounded
+    float."""
+    from ..operators.dedup import minhash_lsh_pairs, shingle_rows
+
+    t = load(spark, sf_dir)
+    dsh = (
+        shingle_rows(t.documents, "text", "doc_id", 3)
+        .distinct()
+        .persist()  # feeds rare-blocking, sizes and the intersection
+    )
+    rare = (
+        dsh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _EVAL_RARE_DF))
+        .select("sh")
+    )
+    a = dsh.join(rare, "sh").select("sh", F.col("doc_id").alias("id_a"))
+    b = dsh.select("sh", F.col("doc_id").alias("id_b"))
+    universe = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        universe.join(
+            dsh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a"
+        )
+        .join(
+            dsh.select(F.col("doc_id").alias("id_b"), "sh"),
+            ["id_b", "sh"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "n", "na"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n", "nb"
+            ),
+            "id_b",
+        )
+        .where(
+            F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+            >= _EVAL_J
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    cand = minhash_lsh_pairs(
+        t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3
+    ).select("id_a", "id_b")
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_caught = caught.agg(F.count("*").alias("n_caught"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_caught))
+        .select(
+            "n_truth",
+            "n_caught",
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_caught") * 1.0 / F.col("n_truth"), 6
+                )
+                + 0.0
+            )
+            .alias("recall"),
+        )
+    )

@@ -906,6 +906,17 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "minhash_recall_eval": {
+        # two bounded blocking pipelines (banded LSH + df-capped rare
+        # shingles), exact Jaccard only on the blocked universe; the
+        # one Window is the LSH BUCKET_CAP row_number, partitioned by
+        # bucket (never global)
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "naive_forecast_backtest": {
         # calendar-bounded daily frame, 7x broadcast horizon fan-out
         # joined back on exact date arithmetic; exact decimal error
