@@ -485,3 +485,52 @@ def test_jsonl_sink_streaming_epochs_exactly_once(spark, tmp_path):
         doc2 = _json.load(fh)
     assert doc2["epochs"]["0"] == sorted(epoch0)
     assert read_manifest(spark, sink, schema="id long, s string").count() == 2
+
+
+# ---------------------------------------------------------------- Arrow IPC
+
+def test_arrow_ipc_roundtrip(spark, tmp_path):
+    """write_ipc -> read_ipc round-trips rows, schema and types; the
+    files are genuine Feather V2 files pyarrow (and pandas/duckdb)
+    open directly — the interchange contract, not a private format."""
+    import datetime
+
+    import pyarrow.ipc as ipc
+
+    from finanalyzer_spark.sources.arrowipc import read_ipc, write_ipc
+
+    df = spark.createDataFrame(
+        [
+            (i, float(i) / 7, f"s{i}", i % 2 == 0,
+             datetime.date(2024, 1, 1 + i % 28))
+            for i in range(257)
+        ],
+        "id long, x double, s string, flag boolean, d date",
+    ).repartition(5)
+    d = str(tmp_path / "ipc")
+    n_files = write_ipc(df, d)
+    assert 1 <= n_files <= 5
+
+    back = read_ipc(spark, d)
+    assert back.schema == df.schema
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+    # foreign-tool check: pyarrow itself opens the files
+    import glob
+
+    total = 0
+    for f in sorted(glob.glob(d + "/*.arrow")):
+        with ipc.open_file(f) as rd:
+            total += rd.read_all().num_rows
+    assert total == 257
+
+
+def test_arrow_ipc_reader_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from finanalyzer_spark.sources.arrowipc import read_ipc
+
+    with _pytest.raises(FileNotFoundError):
+        read_ipc(spark, str(tmp_path / "nope"))
