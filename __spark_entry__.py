@@ -208,6 +208,9 @@ ROUND_CHANGED = frozenset({
     "media_exr_pixel_stats",
     # round-8 LSH recall benchmark
     "minhash_recall_eval",
+    # round-8 lead-lag and Granger tests
+    "lead_lag_xcorr",
+    "granger_causality_f",
 })
 
 

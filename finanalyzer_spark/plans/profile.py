@@ -2757,3 +2757,298 @@ def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rmse_dollars"),
         (F.round(200.0 * F.col("smape_sum") / nd, 6) + 0.0).alias("smape"),
     )
+
+
+_XC_MAX_LAG = 7
+
+
+@query(
+    "lead_lag_xcorr",
+    # per-lag Pearson correlation from exact DECIMAL(38,0) moments of
+    # integer cents — one float expression per lag, identical on both
+    # engines.
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d,
+               sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                   THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS yb,
+               sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                   THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS xa
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-{_XC_MAX_LAG}, {_XC_MAX_LAG + 1})) AS lag),
+    j AS (
+        SELECT l.lag, a.yb AS y, b.xa AS x
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d - CAST(l.lag AS INT)
+    ),
+    mo AS (
+        SELECT lag,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+        FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) + 0.0 AS xcorr
+    FROM mo
+    """,
+    tags=("profile", "timeseries", "stats", "finance"),
+)
+def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the BUILDING and AUTOMOBILE
+    segment daily-revenue series at lags -{_XC_MAX_LAG}..{_XC_MAX_LAG}:
+    corr(y_t, x_(t-lag)) per lag — the standard lead-lag discovery
+    scan (which series moves first?) beside
+    engle_granger_cointegration's long-run-equilibrium view.
+
+    Scale shape: the calendar-bounded daily frame fans out 15x via a
+    broadcast lag join on exact date arithmetic (no windows); each
+    lag's Pearson moments accumulate as exact DECIMAL(38,0) integers
+    and the correlation is one rounded float expression per lag."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+            "c_mktsegment",
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING",
+                       F.col("cents")).otherwise(F.lit(0))
+            ).alias("yb"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "AUTOMOBILE",
+                       F.col("cents")).otherwise(F.lit(0))
+            ).alias("xa"),
+        )
+        .persist()
+    )
+    lags = spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("yb").alias("y"))
+    b = daily.select(F.col("d").alias("db"), F.col("xa").alias("x"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.date_sub(F.col("da"), F.col("lag")))
+        .select("lag", "x", "y")
+    )
+    dec = "decimal(38,0)"
+    mo = j.groupBy("lag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return mo.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        (
+            F.round(
+                (d("n") * d("sxy") - d("sx") * d("sy"))
+                / F.sqrt(
+                    (d("n") * d("sxx") - d("sx") * d("sx"))
+                    * (d("n") * d("syy") - d("sy") * d("sy"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("xcorr"),
+    )
+
+
+@query(
+    "granger_causality_f",
+    # both regressions solve closed-form from the SAME exact
+    # DECIMAL(38,0) moments, so the F statistic is one deterministic
+    # double expression on both engines.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o.o_orderdate) AS DATE) AS d,
+               sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                   THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS yb,
+               sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                   THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS xa
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    lagd AS (
+        SELECT yb AS r,
+               lag(yb) OVER (ORDER BY d) AS u,
+               lag(xa) OVER (ORDER BY d) AS v
+        FROM daily
+    ),
+    obs AS (SELECT r, u, v FROM lagd WHERE u IS NOT NULL),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(u AS DECIMAL(38,0))) AS s1,
+               sum(CAST(v AS DECIMAL(38,0))) AS s2,
+               sum(CAST(r AS DECIMAL(38,0))) AS sy,
+               sum(CAST(u AS DECIMAL(38,0)) * CAST(u AS DECIMAL(38,0))) AS s11,
+               sum(CAST(u AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s12,
+               sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s22,
+               sum(CAST(u AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))) AS s1y,
+               sum(CAST(v AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))) AS s2y,
+               sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))) AS syy
+        FROM obs
+    ),
+    f AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+               CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+               CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+               CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+               CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy
+        FROM mo
+    ),
+    sol AS (
+        SELECT n, sy, s1y, s2y, syy,
+               n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                 + s2*(s1*s12 - s11*s2) AS det,
+               sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                 + s2*(s1y*s12 - s11*s2y) AS det0,
+               n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                 + s2*(s1*s2y - s1y*s2) AS det1,
+               n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                 + sy*(s1*s12 - s11*s2) AS det2,
+               (n*s1y - s1*sy) / (n*s11 - s1*s1) AS beta_r,
+               s1, s11
+        FROM f
+    ),
+    rss AS (
+        SELECT n,
+               syy - (det0/det)*sy - (det1/det)*s1y - (det2/det)*s2y
+                   AS rss_u,
+               syy - ((sy - beta_r*s1)/n)*sy - beta_r*s1y AS rss_r
+        FROM sol
+    )
+    SELECT CAST(n AS INT) AS n_obs,
+           round((rss_r - rss_u) / (rss_u / (n - 3.0)), 4) + 0.0
+               AS granger_f
+    FROM rss
+    """,
+    tags=("profile", "timeseries", "stats", "finance", "bounded-window"),
+)
+def granger_causality_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality test, lag order 1 (Granger 1969): does
+    yesterday's AUTOMOBILE revenue improve the prediction of today's
+    BUILDING revenue beyond BUILDING's own lag?  F = ((RSS_r - RSS_u)
+    / 1) / (RSS_u / (n - 3)), with the unrestricted regression
+    y_t ~ [1, y_(t-1), x_(t-1)] solved by the same exact-moment
+    Cramer's rule as adf_unit_root_daily_revenue and the restricted
+    y_t ~ [1, y_(t-1)] in closed 2-var form — the predictive
+    companion to lead_lag_xcorr's symmetric correlation scan.
+
+    Scale shape: daily pre-aggregation first, one lag window over the
+    bounded calendar frame, ten exact DECIMAL(38,0) moments, one-row
+    float solve.  A hypothesis test pins the statistic against a
+    numpy two-regression reference (tests/test_properties.py)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+            "c_mktsegment",
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING",
+                       F.col("cents")).otherwise(F.lit(0))
+            ).alias("yb"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "AUTOMOBILE",
+                       F.col("cents")).otherwise(F.lit(0))
+            ).alias("xa"),
+        )
+    )
+    lagd = daily.select(
+        F.col("yb").alias("r"),
+        F.lag("yb").over(W.orderBy("d")).alias("u"),
+        F.lag("xa").over(W.orderBy("d")).alias("v"),
+    )
+    obs = lagd.where(F.col("u").isNotNull())
+    dec = "decimal(38,0)"
+    mo = obs.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("u").cast(dec)).alias("s1"),
+        F.sum(F.col("v").cast(dec)).alias("s2"),
+        F.sum(F.col("r").cast(dec)).alias("sy"),
+        F.sum(F.col("u").cast(dec) * F.col("u").cast(dec)).alias("s11"),
+        F.sum(F.col("u").cast(dec) * F.col("v").cast(dec)).alias("s12"),
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("s22"),
+        F.sum(F.col("u").cast(dec) * F.col("r").cast(dec)).alias("s1y"),
+        F.sum(F.col("v").cast(dec) * F.col("r").cast(dec)).alias("s2y"),
+        F.sum(F.col("r").cast(dec) * F.col("r").cast(dec)).alias("syy"),
+    )
+    f = mo.select(*[F.col(c).cast("double").alias(c) for c in mo.columns])
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    sol = f.select(
+        n.alias("n"), sy.alias("sy"), s1y.alias("s1y"),
+        s2y.alias("s2y"), syy.alias("syy"), s1.alias("s1"),
+        (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)).alias("det"),
+        (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         + s2 * (s1y * s12 - s11 * s2y)).alias("det0"),
+        (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2)).alias("det1"),
+        (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2)).alias("det2"),
+        ((n * s1y - s1 * sy) / (n * s11 - s1 * s1)).alias("beta_r"),
+    )
+    det, det0 = F.col("det"), F.col("det0")
+    det1, det2 = F.col("det1"), F.col("det2")
+    rss_u = (
+        F.col("syy") - (det0 / det) * F.col("sy")
+        - (det1 / det) * F.col("s1y") - (det2 / det) * F.col("s2y")
+    )
+    rss_r = (
+        F.col("syy")
+        - ((F.col("sy") - F.col("beta_r") * F.col("s1")) / F.col("n"))
+        * F.col("sy")
+        - F.col("beta_r") * F.col("s1y")
+    )
+    return sol.select(
+        F.col("n").cast("int").alias("n_obs"),
+        (
+            F.round(
+                (rss_r - rss_u) / (rss_u / (F.col("n") - 3.0)), 4
+            )
+            + 0.0
+        ).alias("granger_f"),
+    )

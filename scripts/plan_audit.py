@@ -906,6 +906,21 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "lead_lag_xcorr": {
+        # calendar-bounded daily frame, 15x broadcast lag fan-out on
+        # exact date arithmetic; exact decimal Pearson moments
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["Window", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "granger_causality_f": {
+        # one lag window over the bounded daily frame, exact decimal
+        # moments, one-row two-regression closed form
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
     "minhash_recall_eval": {
         # two bounded blocking pipelines (banded LSH + df-capped rare
         # shingles), exact Jaccard only on the blocked universe; the

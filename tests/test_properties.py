@@ -1514,3 +1514,74 @@ def test_ari_query_matches_textbook_pair_counting(spark, pts):
         got = ari_cell_vs_label(spark, d).collect()[0]
     assert got["n_points"] == len(pts)
     assert got["ari"] == pytest.approx(ref, abs=2e-6)
+
+
+# --------------------------------------------------------------------------
+# Granger causality F (lag 1): closed-form two-regression pipeline vs
+# a numpy lstsq reference (plans/profile.py::granger_causality_f)
+# --------------------------------------------------------------------------
+
+def _granger_ref(y, x):
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    r, u, v = y[1:], y[:-1], x[:-1]
+    Xu = np.column_stack([np.ones(len(r)), u, v])
+    Xr = np.column_stack([np.ones(len(r)), u])
+    bu, *_ = np.linalg.lstsq(Xu, r, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, r, rcond=None)
+    rss_u = ((r - Xu @ bu) ** 2).sum()
+    rss_r = ((r - Xr @ br) ** 2).sum()
+    return len(r), (rss_r - rss_u) / (rss_u / (len(r) - 3))
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(100, 99_999), st.integers(100, 99_999)),
+        min_size=12,
+        max_size=50,
+    )
+)
+@SLOW
+def test_granger_f_matches_numpy_reference(spark, pairs):
+    import math
+    import os
+    import tempfile
+
+    from pyspark import Row
+
+    from finanalyzer_spark.plans.profile import granger_causality_f
+
+    ys = [y for y, _ in pairs]
+    xs = [x for _, x in pairs]
+    if len(set(ys)) < 4 or len(set(xs)) < 4:
+        return
+    n_ref, f_ref = _granger_ref(ys, xs)
+    if not (math.isfinite(f_ref) and 0 <= f_ref < 1e6):
+        return
+    base = pd.Timestamp("2024-01-01")
+    cust = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_mktsegment="BUILDING"),
+            Row(c_custkey=2, c_mktsegment="AUTOMOBILE"),
+        ]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=2 * i + c,
+                o_custkey=c + 1,
+                o_orderdate=(base + pd.Timedelta(days=i)).date(),
+                o_totalprice=float(v) / 100.0,
+            )
+            for i, (y, x) in enumerate(pairs)
+            for c, v in ((0, y), (1, x))
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = granger_causality_f(spark, d).collect()[0]
+    assert got["n_obs"] == n_ref
+    assert got["granger_f"] == pytest.approx(f_ref, rel=1e-3, abs=1e-3)
