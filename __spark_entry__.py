@@ -146,6 +146,17 @@ DRIVER_SAMPLED = frozenset({
 #: Leads with the 13 names that have NEVER received a driver
 #: CORRECTNESS row in r1-r7 (VERDICT r7 "What's missing" #3) — a green
 #: row for each closes the cross-round verified union to 257/257.
+#: never driver-sampled across r1-r7 (VERDICT r7 "What's missing" #3)
+#: — 8 rounds waiting, so they outrank even the round-8-new names
+NEVER_SAMPLED_R7 = frozenset({
+    "approx_topk_contract", "binned_wasserstein_drift",
+    "chi2_status_priority", "cms_frequency_estimates",
+    "iqr_outlier_fences", "kcore_cosupply", "kmv_distinct_estimate",
+    "pagerank_trade_graph", "psi_drift", "theil_index_revenue",
+    "triangle_count_cosupply", "weekday_anomaly_days",
+    "weighted_median_price",
+})
+
 ROUND_CHANGED = frozenset({
     # never driver-sampled in r1-r7 — highest-value missing hard signal
     "approx_topk_contract",
@@ -225,9 +236,12 @@ def _ordered_names() -> list[str]:
     sampled = DRIVER_SAMPLED - ROUND_CHANGED
 
     def tier(n: str) -> int:
-        if n in ROUND_CHANGED:
+        # the 13 names never driver-sampled across r1-r7 (VERDICT r7
+        # #1) lead OUTRIGHT; the ~28 round-8-new names follow; with 41
+        # priority names total the whole block fits a ~50-slot sample
+        if n in NEVER_SAMPLED_R7:
             return 0
-        if n not in sampled:
+        if n in ROUND_CHANGED or n not in sampled:
             return 1
         return 2
 
