@@ -222,6 +222,8 @@ ROUND_CHANGED = frozenset({
     # round-8 lead-lag and Granger tests
     "lead_lag_xcorr",
     "granger_causality_f",
+    # round-8 LSH precision benchmark
+    "minhash_precision_eval",
 })
 
 

@@ -905,3 +905,69 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+@query(
+    "minhash_precision_eval",
+    oracle=f"""
+    WITH {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE},
+    cand AS ({_CAND_SQL}),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM ex),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT c.id_a,
+               coalesce(i.i, 0) * 1.0
+                   / greatest(sa.n + sb.n - coalesce(i.i, 0), 1) AS j
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+    )
+    SELECT count(*) AS n_candidates,
+           count(*) FILTER (j >= {_EVAL_J}) AS n_true,
+           CASE WHEN count(*) = 0 THEN 1.0
+                ELSE round(count(*) FILTER (j >= {_EVAL_J}) * 1.0
+                           / count(*), 6) + 0.0
+           END AS precision
+    FROM scored
+    """,
+    tags=("dedup", "eval", "minhash"),
+)
+def minhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the MinHash-LSH candidate generator: the fraction
+    of banded-LSH candidate pairs whose EXACT 3-shingle Jaccard
+    reaches {_EVAL_J} — the companion number to minhash_recall_eval
+    (recall prices the misses, precision prices the wasted verify
+    work; together they locate the operating point on the
+    (1-(1-s^r)^b) curve with measured data).
+
+    Scale shape: exact Jaccard runs only on the LSH candidates via the
+    same explode-joins as near_dup_jaccard; one count aggregation on
+    top.  Counts exact, precision one rounded float."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    t = load(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3
+    ).persist()
+    scored = ngram_jaccard(pairs, t.documents, "text", "doc_id", 3)
+    return scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.count(F.when(F.col("jaccard") >= _EVAL_J, 1)).alias("n_true"),
+    ).select(
+        "n_candidates",
+        "n_true",
+        F.when(F.col("n_candidates") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.col("n_true") * 1.0 / F.col("n_candidates"), 6)
+            + 0.0
+        )
+        .alias("precision"),
+    )

@@ -906,6 +906,16 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "minhash_precision_eval": {
+        # exact Jaccard only on the banded-LSH candidates (the
+        # near_dup_jaccard explode-join shape) + one count aggregate;
+        # the one Window is the bucket-cap row_number
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "lead_lag_xcorr": {
         # calendar-bounded daily frame, 15x broadcast lag fan-out on
         # exact date arithmetic; exact decimal Pearson moments
