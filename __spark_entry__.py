@@ -224,6 +224,8 @@ ROUND_CHANGED = frozenset({
     "granger_causality_f",
     # round-8 LSH precision benchmark
     "minhash_precision_eval",
+    # round-8 SimHash Hamming near-dup pairs
+    "simhash_hamming_pairs",
 })
 
 

@@ -971,3 +971,117 @@ def minhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash Hamming-distance near-dup pairs (Manku et al. 2007)
+# --------------------------------------------------------------------------
+_SH_BANDS = 4          #: 4 bands x 8 bits of the 32-bit fingerprint
+_SH_MAX_HAMMING = 3    #: <= 3 differing bits -> pigeonhole guarantees
+#: at least one identical band, so band-equality candidates are
+#: EXHAUSTIVE for this radius (the web-dedup table-split technique)
+_SH_BAND_CAP = 1000    #: drop degenerate band buckets (BUCKET_CAP twin)
+
+_SIMHASH_SQL = r"""
+    toks2 AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    hashed2 AS (
+        SELECT doc_id,
+               list_transform(t, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs
+        FROM toks2
+    ),
+    fp AS (
+        SELECT doc_id,
+               coalesce(list_sum(list_transform(range(32), b ->
+                   CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                             CASE WHEN (h // power(2, b)::BIGINT) % 2 = 1
+                                  THEN 1 ELSE -1 END)), 0) > 0
+                        THEN power(2, b)::BIGINT ELSE 0 END)), 0)::BIGINT
+                   AS sh
+        FROM hashed2
+    )
+"""
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    banded AS (
+        SELECT doc_id, sh, band.b AS band,
+               (sh // power(256, band.b)::BIGINT) % 256 AS key
+        FROM fp CROSS JOIN (SELECT unnest(range({_SH_BANDS})) AS b) band
+    ),
+    keep AS (
+        SELECT band, key FROM banded GROUP BY band, key
+        HAVING count(*) BETWEEN 2 AND {_SH_BAND_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh AS sha, b.sh AS shb
+        FROM banded a
+        JOIN keep USING (band, key)
+        JOIN banded b ON b.band = a.band AND b.key = a.key
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(sha, shb) AS BIGINT)) AS INT)
+               AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sha, shb) AS BIGINT)) <= {_SH_MAX_HAMMING}
+    """,
+    tags=("dedup", "simhash", "blocking"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the Manku,
+    Jain & Das Sarma (WWW 2007) web-dedup technique: split each 32-bit
+    fingerprint into {_SH_BANDS} bands of 8 bits; any pair within
+    Hamming distance {_SH_MAX_HAMMING} must agree on at least one band
+    (pigeonhole), so band-equality candidates are EXHAUSTIVE for the
+    radius and the popcount verify runs only on them.  Complements the
+    MinHash family: SimHash preserves cosine/frequency similarity
+    where MinHash preserves set resemblance.
+
+    Scale shape: fingerprints via the explode+agg simhash operator
+    (codegen sums), a 4x band explode, band-bucket equi-join capped at
+    {_SH_BAND_CAP} docs per bucket (the BUCKET_CAP twin, mirrored in
+    the oracle), xor+bit_count verify in codegen.  At 64-bit scale
+    the same plan splits 64 bits into more bands."""
+    from ..operators.dedup import simhash_fingerprints
+
+    t = load(spark, sf_dir)
+    fp = simhash_fingerprints(t.documents, "text", "doc_id", bits=32)
+    fp = fp.withColumnRenamed("simhash32", "sh").persist()
+    bands = spark.range(_SH_BANDS).select(F.col("id").cast("int").alias("band"))
+    banded = fp.crossJoin(F.broadcast(bands)).select(
+        "doc_id", "sh", "band",
+        F.expr(f"(sh div cast(pow(256, band) as bigint)) % 256").alias(
+            "key"
+        ),
+    )
+    keep = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= _SH_BAND_CAP))
+        .select("band", "key")
+    )
+    a = banded.join(keep, ["band", "key"]).select(
+        "band", "key", F.col("doc_id").alias("id_a"), F.col("sh").alias("sha")
+    )
+    b = banded.select(
+        "band", "key", F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sha", "shb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sha ^ shb)")
+    return cand.where(ham <= _SH_MAX_HAMMING).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

@@ -906,6 +906,14 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "simhash_hamming_pairs": {
+        # 4x band explode + capped band-bucket equi-join + codegen
+        # xor/bit_count verify; fingerprints via explode+agg
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "minhash_precision_eval": {
         # exact Jaccard only on the banded-LSH candidates (the
         # near_dup_jaccard explode-join shape) + one count aggregate;

@@ -1585,3 +1585,23 @@ def test_granger_f_matches_numpy_reference(spark, pairs):
         got = granger_causality_f(spark, d).collect()[0]
     assert got["n_obs"] == n_ref
     assert got["granger_f"] == pytest.approx(f_ref, rel=1e-3, abs=1e-3)
+
+
+# --------------------------------------------------------------------------
+# SimHash band-split exhaustiveness (Manku et al. 2007): any pair of
+# 32-bit values within Hamming distance 3 agrees on >= 1 of the 4
+# 8-bit bands — the pigeonhole guarantee simhash_hamming_pairs rides
+# --------------------------------------------------------------------------
+
+@given(
+    base=st.integers(0, 2**32 - 1),
+    flips=st.lists(st.integers(0, 31), min_size=0, max_size=3),
+)
+def test_simhash_band_split_is_exhaustive_for_radius_3(base, flips):
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    assert bin(base ^ other).count("1") <= 3
+    bands_a = [(base >> (8 * j)) & 0xFF for j in range(4)]
+    bands_b = [(other >> (8 * j)) & 0xFF for j in range(4)]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
