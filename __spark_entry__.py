@@ -226,6 +226,8 @@ ROUND_CHANGED = frozenset({
     "minhash_precision_eval",
     # round-8 SimHash Hamming near-dup pairs
     "simhash_hamming_pairs",
+    # round-8 network assortativity
+    "degree_assortativity",
 })
 
 

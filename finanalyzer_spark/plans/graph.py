@@ -563,3 +563,133 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
     )
+
+
+@query(
+    "degree_assortativity",
+    # Pearson over edge-endpoint degree pairs on the symmetrized edge
+    # list (Newman 2002 eq. 4 in its correlation form) — degrees and
+    # all moments are exact integers (DECIMAL(38,0) products), one
+    # rounded float at the end.
+    oracle=f"""
+    WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    p AS MATERIALIZED (
+        SELECT a.s AS u, b.s AS v, count(*) AS shared
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_edge_ends,
+           CASE WHEN coalesce(n, 0) = 0
+                     OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                     OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+                THEN 0.0  -- empty or degree-regular graph
+                ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) + 0.0
+           END AS assortativity
+    FROM mo
+    """,
+    tags=("graph", "stats"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the supplier
+    co-supply graph: the Pearson correlation of the degrees at the two
+    ends of every edge — positive means hubs trade with hubs (the
+    resilience/contagion question a risk analyst asks of a trading
+    network), negative means hub-and-spoke.
+
+    Scale shape: one degree groupBy, two node-keyed joins to attach
+    endpoint degrees (broadcast — the degree frame is node-sized),
+    exact DECIMAL(38,0) Pearson moments, one rounded float.  No
+    windows, no iteration."""
+    t = load(spark, sf_dir)
+    cs = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("u"))
+    b = cs.select(F.col("c"), F.col("s").alias("v"))
+    pairs = (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .persist()
+    )
+    thr = pairs.agg((F.lit(_CORE_FACTOR) * F.avg("shared")).alias("t"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .where(F.col("shared") > F.col("t"))
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    ep = (
+        sym.join(F.broadcast(deg.withColumnRenamed("node", "u")
+                             .withColumnRenamed("d", "x")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")
+                          .withColumnRenamed("d", "y")), "v")
+        .select("x", "y")
+    )
+    dec = "decimal(38,0)"
+    mo = ep.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    return mo.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_edge_ends"),
+        F.when(
+            F.coalesce(F.col("n"), F.lit(0)) == 0, F.lit(0.0)
+        )
+        .when((varx == 0.0) | (vary == 0.0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (d("n") * d("sxy") - d("sx") * d("sy"))
+                / F.sqrt(varx * vary),
+                6,
+            )
+            + 0.0
+        )
+        .alias("assortativity"),
+    )

@@ -906,6 +906,14 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin", "CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "degree_assortativity": {
+        # one degree groupBy + two broadcast endpoint-degree joins +
+        # exact decimal Pearson moments; no windows, no iteration
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["Window", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "simhash_hamming_pairs": {
         # 4x band explode + capped band-bucket equi-join + codegen
         # xor/bit_count verify; fingerprints via explode+agg
