@@ -26,11 +26,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: names that have already received a driver-side CORRECTNESS row
-#: (union of CORRECTNESS_r01-r05 samples). The driver samples ~50
-#: queries per round; listing never-sampled names FIRST steers a
-#: prefix/ordered sampler toward them so the verified union widens
-#: each round. Refresh per round from the CORRECTNESS_r*.json keys.
+#: (union of the CORRECTNESS_r01-r08 samples — 288/288 complete as of
+#: round 8). The driver samples ~50 queries per round; listing
+#: never-sampled names FIRST steers a prefix/ordered sampler toward
+#: them so the verified union widens each round. Refresh per round
+#: from the CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r8 sample (all green, CORRECTNESS_r08.json — closed the
+    # cross-round union at 288/288) ---
+    "adf_unit_root_daily_revenue", "approx_topk_contract",
+    "ari_cell_vs_label", "binned_wasserstein_drift",
+    "cdc_chunk_dup_share", "chi2_status_priority",
+    "cms_frequency_estimates", "conditional_replace",
+    "degree_assortativity", "dp_noisy_clamped_sum",
+    "dp_noisy_source_counts", "engle_granger_cointegration",
+    "filter_retention_window", "granger_causality_f",
+    "grid_dbscan_embeddings", "groupby_last_update",
+    "iqr_outlier_fences", "ivf_gemm_assignment_census",
+    "kcore_cosupply", "kmv_distinct_estimate",
+    "kneser_ney_trigram_score", "label_propagation_communities",
+    "lead_lag_xcorr", "mann_kendall_trend",
+    "media_audio_container_parity", "media_exr_pixel_stats",
+    "media_g711_audio_stats", "media_legacy_image_parity",
+    "media_png_pixel_stats", "media_qoi_pixel_stats",
+    "media_tiff_pixel_stats", "minhash_precision_eval",
+    "minhash_recall_eval", "naive_forecast_backtest",
+    "ndcg_retrieval_eval", "pagerank_trade_graph", "pricing_summary",
+    "psi_drift", "select_project_filter", "simhash_hamming_pairs",
+    "theil_index_revenue", "theil_sen_trend_daily_revenue",
+    "triangle_count_cosupply", "url_canonical_dedup", "value_counts",
+    "warc_html_extraction", "warc_record_census",
+    "weekday_anomaly_days", "weighted_median_price",
+    "winnowing_candidate_pairs",
     # --- r7 sample (all green, CORRECTNESS_r07.json) ---
     "acf_ljung_box", "benchmark_decontamination", "bfs_hops_trade_graph",
     "bloom_filter_membership", "bm25_topk", "boilerplate_span_stats",
@@ -141,111 +168,31 @@ DRIVER_SAMPLED = frozenset({
 })
 
 
-#: Names changed or added THIS round (round 8) — priority-queued for a
-#: fresh driver row (same discipline as the round-5/6/7 re-queues).
-#: Leads with the 13 names that have NEVER received a driver
-#: CORRECTNESS row in r1-r7 (VERDICT r7 "What's missing" #3) — a green
-#: row for each closes the cross-round verified union to 257/257.
-#: never driver-sampled across r1-r7 (VERDICT r7 "What's missing" #3)
-#: — 8 rounds waiting, so they outrank even the round-8-new names
-NEVER_SAMPLED_R7 = frozenset({
-    "approx_topk_contract", "binned_wasserstein_drift",
-    "chi2_status_priority", "cms_frequency_estimates",
-    "iqr_outlier_fences", "kcore_cosupply", "kmv_distinct_estimate",
-    "pagerank_trade_graph", "psi_drift", "theil_index_revenue",
-    "triangle_count_cosupply", "weekday_anomaly_days",
-    "weighted_median_price",
-})
+#: Names that have never received a driver-side CORRECTNESS row.
+#: Empty as of round 8: the cross-round verified union closed at
+#: 288/288 (every query ever declared has a green driver row).  Keep
+#: the tier so any future name that somehow misses its debut round is
+#: fronted outright the round after.
+NEVER_SAMPLED = frozenset()
 
 ROUND_CHANGED = frozenset({
-    # never driver-sampled in r1-r7 — highest-value missing hard signal
-    "approx_topk_contract",
-    "binned_wasserstein_drift",
-    "chi2_status_priority",
-    "cms_frequency_estimates",
-    "iqr_outlier_fences",
-    "kcore_cosupply",
-    "kmv_distinct_estimate",
-    "pagerank_trade_graph",
-    "psi_drift",
-    "theil_index_revenue",
-    "triangle_count_cosupply",
-    "weekday_anomaly_days",
-    "weighted_median_price",
-    # brand-new round 8 (WARC/Common-Crawl ingest tier) — need first rows
-    "warc_html_extraction",
-    "warc_record_census",
-    # round-8 crawl-hygiene + large-k assignment additions
-    "url_canonical_dedup",
-    "ivf_gemm_assignment_census",
-    # round-8 differential-privacy release family
-    "dp_noisy_source_counts",
-    "dp_noisy_clamped_sum",
-    # round-8 QOI / TIFF codec round-trip certification
-    "media_qoi_pixel_stats",
-    "media_tiff_pixel_stats",
-    # round-8 full-tier PNG codec certification
-    "media_png_pixel_stats",
-    # round-8 G.711 + AU/AIFF audio container tier
-    "media_g711_audio_stats",
-    "media_audio_container_parity",
-    # round-8 legacy raster formats (Sun Raster / SGI / PNM / XBM)
-    "media_legacy_image_parity",
-    # round-8 interpolated Kneser-Ney trigram LM
-    "kneser_ney_trigram_score",
-    # round-8 ADF unit-root stationarity test
-    "adf_unit_root_daily_revenue",
-    # round-8 label-propagation community detection
-    "label_propagation_communities",
-    # round-8 grid-blocked DBSCAN over the embedding projection
-    "grid_dbscan_embeddings",
-    # round-8 graded ranking eval
-    "ndcg_retrieval_eval",
-    # round-8 Engle-Granger cointegration
-    "engle_granger_cointegration",
-    # round-8 Theil-Sen robust trend
-    "theil_sen_trend_daily_revenue",
-    # round-8 winnowing (MOSS) fingerprint candidates
-    "winnowing_candidate_pairs",
-    # round-8 Mann-Kendall trend significance
-    "mann_kendall_trend",
-    # round-8 content-defined chunking dedup
-    "cdc_chunk_dup_share",
-    # round-8 external clustering evaluation
-    "ari_cell_vs_label",
-    # round-8 naive-baseline forecast backtest
-    "naive_forecast_backtest",
-    # round-8 OpenEXR HDR codec certification
-    "media_exr_pixel_stats",
-    # round-8 LSH recall benchmark
-    "minhash_recall_eval",
-    # round-8 lead-lag and Granger tests
-    "lead_lag_xcorr",
-    "granger_causality_f",
-    # round-8 LSH precision benchmark
-    "minhash_precision_eval",
-    # round-8 SimHash Hamming near-dup pairs
-    "simhash_hamming_pairs",
-    # round-8 network assortativity
-    "degree_assortativity",
+    # --- round 9 additions — need their debut driver CORRECTNESS row ---
 })
 
 
 def _ordered_names() -> list[str]:
     """Sampling-priority order for the driver's ~50-query prefix sampler:
-    the 13 never-driver-sampled names first (drift/sketch/graph/stats —
-    includes three of the five most expensive plans: pagerank, kcore,
-    triangle), then any round-8-new names, then the already-verified
-    rest (registry order within each tier).  With ~50 slots the union
-    closes to 257/257 this round (244/257 verified entering it)."""
+    any never-driver-sampled name first (none entering round 9 — the
+    union closed at 288/288 in round 8), then the round-9 new/changed
+    names, then the already-verified rest (registry order within each
+    tier)."""
     names = list(REGISTRY)
     sampled = DRIVER_SAMPLED - ROUND_CHANGED
 
     def tier(n: str) -> int:
-        # the 13 names never driver-sampled across r1-r7 (VERDICT r7
-        # #1) lead OUTRIGHT; the ~28 round-8-new names follow; with 41
-        # priority names total the whole block fits a ~50-slot sample
-        if n in NEVER_SAMPLED_R7:
+        # a name with no driver row ever leads outright; round-9
+        # new/changed names follow; the verified 288 fill the tail
+        if n in NEVER_SAMPLED:
             return 0
         if n in ROUND_CHANGED or n not in sampled:
             return 1
