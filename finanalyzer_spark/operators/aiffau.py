@@ -81,6 +81,11 @@ def decode_au(buf: bytes):
     sample_bytes, kind = _AU_ENCODINGS[enc]
     data = buf[offset:]
     if size != 0xFFFFFFFF:  # ~0 means "unknown, read to EOF"
+        if len(data) < size:
+            raise ValueError(
+                f"AU payload truncated: header declares {size} bytes,"
+                f" {len(data)} available"
+            )
         data = data[:size]
     if kind == "ulaw":
         flat = ulaw_decode(np.frombuffer(data, dtype=np.uint8))

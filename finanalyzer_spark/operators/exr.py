@@ -112,6 +112,8 @@ def decode_exr(buf: bytes):
     attrs, pos = _parse_header(buf)
     if "channels" not in attrs or "dataWindow" not in attrs:
         raise ValueError("EXR missing channels/dataWindow")
+    if "compression" not in attrs:
+        raise ValueError("EXR missing compression")
     comp = attrs["compression"][1][0]
     if comp not in (0, 2, 3):  # NONE, ZIPS, ZIP
         raise NotImplementedError(

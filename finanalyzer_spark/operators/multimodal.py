@@ -653,9 +653,10 @@ def decode_bmp(buf: bytes):
     # channel byte positions within each little-endian pixel
     order = {2: 0, 1: 1, 0: 2, 3: 3}  # default BI_RGB: BGRA bytes
     if bpp == 32 and compression == 3:
-        # masks follow the info header (BITMAPV2+ embeds them at
-        # offset 54; plain BITMAPINFOHEADER appends them after 40)
-        mask_off = 54 if header_size >= 52 else 54
+        # both layouts place the RGB masks at file offset 54 = 14 + 40:
+        # BITMAPV2+ embeds them inside the header right after the first
+        # 40 bytes, and plain BITMAPINFOHEADER appends them after it
+        mask_off = 54
         masks = struct.unpack_from("<III", buf, mask_off)
         amask = (
             struct.unpack_from("<I", buf, mask_off + 12)[0]

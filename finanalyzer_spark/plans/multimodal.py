@@ -38,6 +38,35 @@ PPM_RASTER_BYTES = PPM_DIM * PPM_DIM * 3
 PPM_HEADER = f"P6\n{PPM_DIM} {PPM_DIM}\n255\n"
 
 
+def _doc_image(text: str):
+    """Document text -> (w, (8, w, 3) uint8 image) for the codec
+    round-trip queries (media_qoi/tiff/png_pixel_stats).
+
+    The DuckDB oracle twins compute w and pixel sums from CHARACTER
+    counts while this kernel uses utf-8 BYTES, and the reshape needs at
+    least w*24 bytes — both only hold for ASCII docs of >= 24 chars.
+    Enforce that invariant loudly (exact-or-refuse) instead of letting
+    a future fixture crash the reshape or silently break oracle parity."""
+    import numpy as np
+
+    bs = text.encode("utf-8")
+    if len(bs) != len(text):
+        raise ValueError(
+            "codec round-trip fixture doc contains non-ASCII text:"
+            " byte/char counts diverge, so the DuckDB oracle (character"
+            " ascii() sums) would no longer match the kernel (utf-8"
+            " bytes)"
+        )
+    w = max(1, min(len(bs) // 24, 64))
+    if len(bs) < w * 24:
+        raise ValueError(
+            f"codec round-trip fixture doc too short ({len(bs)} bytes;"
+            f" need >= 24 for an (8, w, 3) image)"
+        )
+    img = np.frombuffer(bs[: w * 24], dtype=np.uint8).reshape(8, w, 3)
+    return w, img
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media: opaque binary content + alternating mime."""
     t = load(spark, sf_dir)
@@ -1208,12 +1237,7 @@ def media_qoi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                bs = text.encode("utf-8")
-                w = max(1, min(len(bs) // 24, 64))
-                img = (
-                    np.frombuffer(bs[: w * 24], dtype=np.uint8)
-                    .reshape(8, w, 3)
-                )
+                w, img = _doc_image(text)
                 dec = decode_qoi(encode_qoi(img))
                 rows.append(
                     {
@@ -1292,12 +1316,7 @@ def media_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                bs = text.encode("utf-8")
-                w = max(1, min(len(bs) // 24, 64))
-                img = (
-                    np.frombuffer(bs[: w * 24], dtype=np.uint8)
-                    .reshape(8, w, 3)
-                )
+                w, img = _doc_image(text)
                 dec = decode_tiff(
                     encode_tiff(img, compression=5, predictor=2)
                 )
@@ -1381,12 +1400,7 @@ def media_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                bs = text.encode("utf-8")
-                w = max(1, min(len(bs) // 24, 64))
-                img = (
-                    np.frombuffer(bs[: w * 24], dtype=np.uint8)
-                    .reshape(8, w, 3)
-                )
+                w, img = _doc_image(text)
                 dec = decode_png(encode_png(img))
                 rows.append(
                     {
