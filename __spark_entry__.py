@@ -177,6 +177,13 @@ NEVER_SAMPLED = frozenset()
 
 ROUND_CHANGED = frozenset({
     # --- round 9 additions — need their debut driver CORRECTNESS row ---
+    # round-9 changed: co-supply pair build now drops over-cap
+    # mega-customers (both engines share _COSUPPLY_CAP) — re-queue for
+    # fresh rows under the new shared semantics
+    "triangle_count_cosupply",
+    "kcore_cosupply",
+    "label_propagation_communities",
+    "degree_assortativity",
 })
 
 

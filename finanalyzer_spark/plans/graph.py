@@ -30,6 +30,76 @@ from .registry import query
 _ITERS = 3
 _OUT_ROUND = 9
 
+#: Cap on distinct suppliers per customer in the co-supply pair build.
+#: The cs ⋈ cs self-join emits C(k,2) pair rows for a customer with k
+#: suppliers — quadratic in k, so one power-law mega-customer could
+#: dominate the whole stage at 100 TB. Customers above the cap are
+#: dropped outright (they contribute near-clique noise, the same
+#: degenerate-bucket economics as the dedup family's BUCKET_CAP); the
+#: cap is shared verbatim by every DuckDB oracle so the twins stay
+#: exact. Never binds on the TPC-H fixtures (max distinct suppliers
+#: per customer is in the tens at every test SF).
+_COSUPPLY_CAP = 500
+
+#: Shared oracle CTE fragment: capped co-supply pair counts. Twins
+#: _cosupply_pairs below — keep the two in lockstep.
+_COSUPPLY_CTE = f"""cs0 AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    hot AS (SELECT c FROM cs0 GROUP BY c HAVING count(*) > {_COSUPPLY_CAP}),
+    cs AS MATERIALIZED (
+        SELECT c, s FROM cs0 WHERE c NOT IN (SELECT c FROM hot)),
+    p AS MATERIALIZED (
+        SELECT a.s AS u, b.s AS v, count(*) AS shared
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2)"""
+
+
+def _cosupply_pairs(t) -> DataFrame:
+    """Capped co-supply pair frame: (u, v, shared) with u < v, shared =
+    number of distinct customers supplier u and v both serve.
+
+    Scale shape: one distinct on (customer, supplier), one keyed count
+    to find over-cap customers (a tiny frame by construction —
+    broadcast), a broadcast LEFT ANTI to drop them, then the customer-
+    keyed self-join with a map-side-combined pair count. The anti-join
+    bounds the self-join's per-key expansion at C(cap, 2) regardless of
+    degree skew. (A collect_set + combination-explode variant was
+    measured SLOWER here — same C(k,2) rows, heavier per-row work.)"""
+    cs = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    hot = (
+        cs.groupBy("c")
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") > _COSUPPLY_CAP)
+        .select("c")
+    )
+    cs = cs.join(F.broadcast(hot), "c", "left_anti")
+    a = cs.select("c", F.col("s").alias("u"))
+    b = cs.select("c", F.col("s").alias("v"))
+    return (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+    )
+
+
+def _cosupply_threshold_edges(pairs: DataFrame, factor: float) -> DataFrame:
+    """Edges of the co-supply graph: pairs whose shared-customer count
+    beats factor x the mean pair overlap (scalar broadcast filter)."""
+    thr = pairs.agg((F.lit(factor) * F.avg("shared")).alias("t"))
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .where(F.col("shared") > F.col("t"))
+        .select("u", "v")
+    )
+
 
 def _pagerank_oracle(iters: int = _ITERS) -> str:
     prev = "pr0"
@@ -112,15 +182,7 @@ _TRI_FACTOR = 1.2  # edge threshold: shared customers > factor * mean
     # scalar (mean shared-customer count) both engines derive from the
     # same exact integer pair counts.
     oracle=f"""
-    WITH cs AS (
-        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ),
-    p AS (
-        SELECT a.s AS u, b.s AS v, count(*) AS shared
-        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-        GROUP BY 1, 2
-    ),
+    WITH {_COSUPPLY_CTE},
     thr AS (SELECT {_TRI_FACTOR} * avg(shared) AS t FROM p),
     e AS (SELECT u, v FROM p, thr WHERE shared > t),
     nodes AS (
@@ -145,36 +207,10 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes on hub nodes. The oracle counts the same triangles with
     the canonical a<b<c three-way join."""
     t = load(spark, sf_dir)
-    cs = (
-        t.orders.join(
-            t.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    # pair generation: self-join on the customer key. (A collect_set +
-    # combination-explode variant was measured SLOWER here — it emits
-    # the same C(k,2) pair rows with heavier per-row expression work;
-    # the hash join + map-side-combined count is the better plan.)
-    a = cs.select(F.col("c"), F.col("s").alias("u"))
-    b = cs.select(F.col("c"), F.col("s").alias("v"))
-    pairs = (
-        a.join(b, "c")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("shared"))
-    )
     # both the threshold scalar and the edge filter read the expensive
     # pair projection — persist it
-    pairs = pairs.persist()
-    thr = pairs.agg((F.lit(_TRI_FACTOR) * F.avg("shared")).alias("t"))
-    edges = (
-        pairs.crossJoin(F.broadcast(thr))
-        .where(F.col("shared") > F.col("t"))
-        .select("u", "v")
-        .persist()
-    )
+    pairs = _cosupply_pairs(t).persist()
+    edges = _cosupply_threshold_edges(pairs, _TRI_FACTOR).persist()
     n_nodes = (
         edges.select(F.col("u").alias("x"))
         .union(edges.select(F.col("v").alias("x")))
@@ -211,12 +247,7 @@ _CORE_K = 3
     # ran DuckDB out of memory one SF up from the gate (sf0.1 sweep).
     oracle=f"""
     WITH RECURSIVE
-    cs AS MATERIALIZED (
-        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-    p AS MATERIALIZED (
-        SELECT a.s AS u, b.s AS v, count(*) AS shared
-        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    {_COSUPPLY_CTE},
     thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
     und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
     e AS MATERIALIZED (
@@ -279,29 +310,8 @@ def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
 
     t = load(spark, sf_dir)
-    cs = (
-        t.orders.join(
-            t.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a = cs.select(F.col("c"), F.col("s").alias("u"))
-    b = cs.select(F.col("c"), F.col("s").alias("v"))
-    pairs = (
-        a.join(b, "c")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("shared"))
-        .persist()
-    )
-    thr = pairs.agg((F.lit(_CORE_FACTOR) * F.avg("shared")).alias("t"))
-    edges = (
-        pairs.crossJoin(F.broadcast(thr))
-        .where(F.col("shared") > F.col("t"))
-        .select("u", "v")
-    )
+    pairs = _cosupply_pairs(t).persist()
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -493,12 +503,7 @@ def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
         )
     chain = ",\n    ".join(steps)
     return f"""
-    WITH cs AS MATERIALIZED (
-        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-    p AS MATERIALIZED (
-        SELECT a.s AS u, b.s AS v, count(*) AS shared
-        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    WITH {_COSUPPLY_CTE},
     thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
     und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
     e AS MATERIALIZED (
@@ -533,29 +538,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.graph import label_propagation_fixed
 
     t = load(spark, sf_dir)
-    cs = (
-        t.orders.join(
-            t.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a = cs.select(F.col("c"), F.col("s").alias("u"))
-    b = cs.select(F.col("c"), F.col("s").alias("v"))
-    pairs = (
-        a.join(b, "c")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("shared"))
-        .persist()
-    )
-    thr = pairs.agg((F.lit(_CORE_FACTOR) * F.avg("shared")).alias("t"))
-    edges = (
-        pairs.crossJoin(F.broadcast(thr))
-        .where(F.col("shared") > F.col("t"))
-        .select("u", "v")
-    )
+    pairs = _cosupply_pairs(t).persist()
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -572,12 +556,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     # all moments are exact integers (DECIMAL(38,0) products), one
     # rounded float at the end.
     oracle=f"""
-    WITH cs AS MATERIALIZED (
-        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-    p AS MATERIALIZED (
-        SELECT a.s AS u, b.s AS v, count(*) AS shared
-        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    WITH {_COSUPPLY_CTE},
     thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
     und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
     e AS MATERIALIZED (
@@ -629,29 +608,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL(38,0) Pearson moments, one rounded float.  No
     windows, no iteration."""
     t = load(spark, sf_dir)
-    cs = (
-        t.orders.join(
-            t.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a = cs.select(F.col("c"), F.col("s").alias("u"))
-    b = cs.select(F.col("c"), F.col("s").alias("v"))
-    pairs = (
-        a.join(b, "c")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("shared"))
-        .persist()
-    )
-    thr = pairs.agg((F.lit(_CORE_FACTOR) * F.avg("shared")).alias("t"))
-    edges = (
-        pairs.crossJoin(F.broadcast(thr))
-        .where(F.col("shared") > F.col("t"))
-        .select("u", "v")
-    )
+    pairs = _cosupply_pairs(t).persist()
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()

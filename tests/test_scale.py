@@ -193,3 +193,52 @@ def test_minhash_bucket_cap_bounds_pair_expansion(spark):
         assert (1000 + 2 * j, 1001 + 2 * j) in ids
     # total expansion bounded far below the degenerate n²
     assert len(ids) <= cap * cap
+
+
+def test_cosupply_cap_drops_mega_customer_pairs(spark, monkeypatch):
+    """A power-law mega-customer with k suppliers would emit C(k,2)
+    pair rows from the co-supply cs ⋈ cs self-join — quadratic in k,
+    enough for one key to dominate the stage at 100 TB. _cosupply_pairs
+    must drop over-cap customers BEFORE the self-join (broadcast
+    anti-join against the tiny hot list) so the pair expansion stays
+    bounded at C(cap, 2) per customer, while normal customers still
+    contribute their pairs."""
+    import pandas as pd
+
+    from finanalyzer_spark.plans import graph as g
+
+    monkeypatch.setattr(g, "_COSUPPLY_CAP", 10)
+    hot_k, normal_k = 40, 3
+    rows = []
+    # mega-customer 1 orders from 40 suppliers (over the patched cap)
+    orders = [(i, 1) for i in range(hot_k)]           # o_orderkey, o_custkey
+    lines = [(i, 5000 + i) for i in range(hot_k)]     # l_orderkey, l_suppkey
+    # normal customers 2..6 each share the same 3 suppliers
+    oid = 100
+    for c in range(2, 7):
+        for s in range(3):
+            orders.append((oid, c))
+            lines.append((oid, 9000 + s))
+            oid += 1
+
+    class T:
+        pass
+
+    t = T()
+    t.orders = spark.createDataFrame(
+        pd.DataFrame(orders, columns=["o_orderkey", "o_custkey"])
+    )
+    t.lineitem = spark.createDataFrame(
+        pd.DataFrame(lines, columns=["l_orderkey", "l_suppkey"])
+    )
+    pairs = g._cosupply_pairs(t).collect()
+    got = {(r["u"], r["v"]): r["shared"] for r in pairs}
+    # none of the mega-customer's C(40,2) = 780 pairs appear
+    assert not any(u >= 5000 and u < 9000 for u, _v in got), got
+    # the normal co-supply pairs survive with exact shared counts
+    assert got == {
+        (9000, 9001): 5, (9000, 9002): 5, (9001, 9002): 5,
+    }
+    # and the hot-list filter is a broadcast anti-join, not a shuffle
+    plan = g._cosupply_pairs(t)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
