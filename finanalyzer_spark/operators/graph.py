@@ -103,6 +103,10 @@ def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(ka < kb, kb).otherwise(ka).alias("dst_key"),
     )
+    # oriented feeds three consumers (both wedge legs + the closing
+    # edge set) — checkpoint it so the deg-join pipeline runs once,
+    # not three times
+    oriented = oriented.localCheckpoint(eager=False)
     # wedges u->v, u->w with ord(v) < ord(w); triangle iff v->w oriented
     o1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),
@@ -112,13 +116,27 @@ def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         F.col("src").alias("u"), F.col("dst").alias("w"),
         F.col("dst_key").alias("kw"),
     )
-    wedges = o1.join(o2, "u").where(F.col("kv") < F.col("kw"))
+    # compact the O(m^1.5) wedge stream to (v, w, count) with a
+    # map-side-combined aggregate BEFORE the closure join: the shuffle
+    # then carries at most one row per candidate pair instead of every
+    # wedge — the volume that matters when edges are too big to
+    # broadcast at 100 TB
+    wedge_counts = (
+        o1.join(o2, "u")
+        .where(F.col("kv") < F.col("kw"))
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("n_wedges"))
+    )
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
     return (
-        wedges.join(closing, ["v", "w"], "left_semi")
-        .agg(F.count("*").alias("n_triangles"))
+        wedge_counts.join(closing, ["v", "w"], "left_semi")
+        .agg(
+            F.coalesce(F.sum("n_wedges"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
 
 
