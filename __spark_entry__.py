@@ -184,6 +184,10 @@ ROUND_CHANGED = frozenset({
     "kcore_cosupply",
     "label_propagation_communities",
     "degree_assortativity",
+    # round-9 new: exact-substring (suffix-group) dedup — detection
+    # spans + the removal transform
+    "substring_dup_spans",
+    "exact_substring_dedup",
 })
 
 

@@ -455,3 +455,123 @@ def ngram_overlap(
             F.coalesce(F.col("_inter"), F.lit(0)).alias("inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (suffix-group formulation)
+# ---------------------------------------------------------------------------
+
+def substring_pos_grams(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Every k-token gram occurrence as (id, pos, gh): pos 1-based, gh
+    the md5 digest of the space-joined gram. Grouping downstream on the
+    digest keeps shuffle keys 32 bytes regardless of gram length (the
+    exact-dedup discipline: shuffle digests, never payloads) with
+    2^-128-scale collision odds. One codegen zip-of-slices pass per
+    document, then posexplode — no UDFs."""
+    from .text import tokens_col, word_ngrams_col
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    return (
+        toks.where(F.size("t") >= k)
+        .select("_id", F.posexplode(word_ngrams_col(F.col("t"), k)).alias("p0", "g"))
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("p0") + 1).alias("pos"),
+            F.md5("g").alias("gh"),
+        )
+    )
+
+
+def exact_substring_transform(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    pos_pack: int = 1 << 20,
+) -> DataFrame:
+    """Exact-substring dedup transform (the suffix-array family of the
+    public training-data dedup literature, as distributed suffix
+    GROUPS): every occurrence of a repeated >= k-token span is removed
+    except the globally-first one (min (id, pos), packed into one
+    orderable BIGINT — ids must stay below 2^63/pos_pack and documents
+    below pos_pack tokens).
+
+    Returns (id_col, n_tokens, n_removed_tokens, n_removed_spans,
+    clean_text) — clean_text is the kept tokens re-joined with single
+    spaces. Coverage intervals [q, q+k-1] merge when they touch
+    (position gap <= k).
+
+    Scale: two digest-keyed shuffles (gram count/argmin + join-back),
+    doc-bounded windows for the coverage merge, one doc-keyed
+    anti-join for the token rebuild — linear in corpus tokens; no
+    suffix array is ever materialized."""
+    from pyspark.sql import Window as W
+
+    from .text import tokens_col
+
+    grams = substring_pos_grams(docs, text_col, id_col, k)
+    packed = F.col(id_col) * pos_pack + F.col("pos")
+    agg = grams.groupBy("gh").agg(
+        F.count("*").alias("n"), F.min(packed).alias("first_k")
+    )
+    removed = (
+        grams.join(agg, "gh")
+        .where((F.col("n") > 1) & (packed > F.col("first_k")))
+        .select(id_col, "pos")
+    )
+    wo = W.partitionBy(id_col).orderBy("pos")
+    brk = removed.withColumn(
+        "b",
+        F.when(
+            F.col("pos") - F.lag("pos").over(wo) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    isl = brk.withColumn(
+        "grp",
+        F.sum("b").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans = isl.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    tok_pos = toks.select(
+        "_id", F.posexplode("t").alias("p0", "w")
+    ).select("_id", (F.col("p0") + 1).alias("pos"), "w")
+    kept = tok_pos.join(
+        spans,
+        (tok_pos._id == spans[id_col])
+        & (tok_pos.pos >= spans.s)
+        & (tok_pos.pos <= spans.e),
+        "left_anti",
+    )
+    clean = kept.groupBy("_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, w))),"
+            " x -> x.w), ' ')"
+        ).alias("clean_text")
+    )
+    stats = spans.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed_tokens"),
+        F.count("*").alias("n_removed_spans"),
+    )
+    return (
+        toks.join(stats, toks._id == stats[id_col], "left")
+        .drop(id_col)
+        .join(clean, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0))
+            .cast("long").alias("n_removed_tokens"),
+            F.coalesce(F.col("n_removed_spans"), F.lit(0))
+            .cast("long").alias("n_removed_spans"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

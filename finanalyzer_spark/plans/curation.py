@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.rank import ordered_scan
-from ..operators.text import tokens_col
+from ..operators.text import tokens_col, word_ngrams_col
 from .registry import query
 
 #: a span is "boilerplate" when it appears in ≥ this many distinct docs
@@ -59,25 +59,9 @@ SOURCE_QUOTA = 15
 MIXTURE_TARGET_DOCS = 200.0
 
 
-def _ngrams(toks: Column, k: int) -> Column:
-    """Word k-gram strings as a zip of k shifted slices — whole-stage
-    codegen, no UDF.
-
-    Deliberately NOT `transform(sequence(...), i -> element_at(toks,
-    i+j))`: a lambda that captures `toks` re-evaluates the captured
-    expression tree PER ELEMENT (higher-order functions block
-    subexpression elimination), which turns an upstream tokenizer
-    split into O(k·n²) work per doc — measured 12× slower on the
-    harness corpus. The zip form evaluates `toks` O(k) times per ROW:
-    the k slices materialize once, and the transform lambda touches
-    only its own element. Docs shorter than k yield an empty array
-    (slice length `greatest(n-k+1, 0)` — no when-guard needed)."""
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
-    return F.transform(
-        zipped,
-        lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(k)]),
-    )
+#: canonical home is operators/text.py (word_ngrams_col); alias kept
+#: for this module's many call sites and the plans/dedup lazy import
+_ngrams = word_ngrams_col
 
 
 def _ngram_sql(k: int) -> str:

@@ -1085,3 +1085,209 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(ham <= _SH_MAX_HAMMING).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup (distributed suffix-group formulation)
+# --------------------------------------------------------------------------
+#: span length for exact-substring dedup, in tokens. The published
+#: training-data dedup uses 50-token spans on web documents; the
+#: fixture docs are ~50 tokens total, so 8 keeps the same
+#: "long-enough-to-be-non-accidental" role at fixture scale.
+_SUBSTR_K = 8
+#: packs (doc_id, pos) into one orderable BIGINT for first-occurrence
+#: argmin; supports documents up to 2^20 tokens.
+_POS_PACK = 1 << 20
+
+#: shared oracle CTE: every k-gram occurrence as (doc_id, pos, 32-char
+#: md5 digest). Grouping on the digest keeps the shuffle key 32 bytes
+#: regardless of gram text length (the exact-dedup discipline: shuffle
+#: digests, never payloads) with a 2^-128-scale collision risk — the
+#: "exact" in the name stays honest.
+def _substr_gram_cte(k: int = _SUBSTR_K) -> str:
+    parts = " || ' ' || ".join(f"t[i + {j + 1}]" for j in range(k))
+    return rf"""toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    pos_grams AS (
+        SELECT doc_id, i + 1 AS pos, md5({parts}) AS gh
+        FROM (SELECT doc_id, t, unnest(range(len(t) - {k - 1})) AS i
+              FROM toks WHERE len(t) >= {k})
+    )"""
+
+
+def _pos_grams(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """(doc_id, pos, gh) gram-occurrence stream — thin alias over the
+    operator (operators/dedup.substring_pos_grams)."""
+    from ..operators.dedup import substring_pos_grams
+
+    return substring_pos_grams(docs, "text", "doc_id", k)
+
+
+@query(
+    "substring_dup_spans",
+    # maximal repeated spans: runs of CONSECUTIVE positions whose
+    # k-gram also occurs elsewhere in the corpus (same doc or another
+    # doc) — the detection half of exact-substring dedup. The islands
+    # trick (pos - row_number) turns each run into one group.
+    oracle=f"""
+    WITH {_substr_gram_cte()},
+    cnt AS (SELECT gh, count(*) AS n FROM pos_grams GROUP BY gh),
+    dup AS (
+        SELECT p.doc_id, p.pos
+        FROM pos_grams p JOIN cnt c ON p.gh = c.gh
+        WHERE c.n > 1
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_SUBSTR_K - 1} AS span_end,
+           count(*) AS n_dup_grams,
+           max(pos) - min(pos) + {_SUBSTR_K} AS span_tokens
+    FROM isl
+    GROUP BY doc_id, grp
+    """,
+    tags=("dedup", "substring", "llm-data"),
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated >= k-token spans per document — the detection
+    half of exact-substring training-data dedup (the suffix-array
+    family of the public dedup literature, re-expressed as distributed
+    suffix GROUPS: every k-gram occurrence keyed by its md5 digest, so
+    a corpus-wide suffix array is never materialized).
+
+    A position is duplicated when its k-gram occurs anywhere else in
+    the corpus (another doc or another offset of the same doc); runs of
+    consecutive duplicated positions merge into one maximal span via
+    the gaps-and-islands row_number trick. Scale shape: the gram
+    stream is one row per corpus token carrying a 32-byte digest; one
+    digest-keyed count + join-back (the crossdoc two-shuffle shape),
+    then one doc-keyed window bounded by document length. Linear in
+    scan; no global windows, no UDFs.
+
+    The reference engine has no substring dedup (extended surface,
+    SURVEY.md LLM-pipeline families)."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    grams = _pos_grams(t.documents.select("doc_id", "text"))
+    cnt = grams.groupBy("gh").agg(F.count("*").alias("n"))
+    dup = (
+        grams.join(cnt.where(F.col("n") > 1), "gh")
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(_SUBSTR_K - 1)).alias("span_end"),
+        F.count("*").alias("n_dup_grams"),
+        (F.max("pos") - F.min("pos") + F.lit(_SUBSTR_K)).alias("span_tokens"),
+    ).drop("grp")
+
+
+@query(
+    "exact_substring_dedup",
+    # the removal TRANSFORM: every duplicated k-gram occurrence except
+    # the globally-first (min packed (doc_id, pos)) is cut; coverage
+    # intervals [q, q+k-1] merge when they touch (gap <= k), and the
+    # cleaned text is the kept tokens re-joined — md5-checked so both
+    # engines must reconstruct byte-identical survivors.
+    oracle=f"""
+    WITH {_substr_gram_cte()},
+    agg AS (
+        SELECT gh, count(*) AS n,
+               min(doc_id * {_POS_PACK} + pos) AS first_k
+        FROM pos_grams GROUP BY gh
+    ),
+    removed AS (
+        SELECT p.doc_id, p.pos
+        FROM pos_grams p JOIN agg a ON p.gh = a.gh
+        WHERE a.n > 1 AND p.doc_id * {_POS_PACK} + p.pos > a.first_k
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= {_SUBSTR_K}
+                    THEN 0 ELSE 1 END AS b
+        FROM removed
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+        FROM brk
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + {_SUBSTR_K - 1} AS e
+        FROM isl GROUP BY doc_id, grp
+    ),
+    tok_pos AS (
+        SELECT doc_id, i + 1 AS pos, t[i + 1] AS w
+        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.pos, tp.w
+        FROM tok_pos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e)
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS ct
+        FROM kept GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id,
+               sum(e - s + 1) AS n_removed_tokens,
+               count(*) AS n_removed_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.t) AS n_tokens,
+           coalesce(st.n_removed_tokens, 0)::BIGINT AS n_removed_tokens,
+           coalesce(st.n_removed_spans, 0)::BIGINT AS n_removed_spans,
+           md5(coalesce(c.ct, '')) AS clean_md5
+    FROM toks t
+    LEFT JOIN stats st ON t.doc_id = st.doc_id
+    LEFT JOIN clean c ON t.doc_id = c.doc_id
+    """,
+    tags=("dedup", "substring", "transform", "llm-data"),
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup TRANSFORM (the removal half): every
+    occurrence of a repeated >= k-token span is cut except the
+    globally-first one (min (doc_id, pos), packed into one orderable
+    BIGINT), and each document's cleaned text is rebuilt from the kept
+    tokens. Returns per-doc (n_tokens, n_removed_tokens,
+    n_removed_spans, clean_md5) — the md5 forces both engines to agree
+    on the exact surviving byte sequence, so the transform itself is
+    value-checked, not just its row counts.
+
+    Scale shape: the gram stream shuffles 32-byte digests once to find
+    (count, first-occurrence) per gram and once to join back; removal
+    coverage merges with one doc-keyed window (bounded by doc length);
+    the kept-token rebuild is a doc-keyed anti-join against the merged
+    span list. Every stage is linear in corpus tokens — no suffix
+    array is ever materialized, which is what lets the published
+    suffix-array semantics run on a 1000-executor cluster."""
+    from ..operators.dedup import exact_substring_transform
+
+    t = load(spark, sf_dir)
+    out = exact_substring_transform(
+        t.documents.select("doc_id", "text"),
+        text_col="text", id_col="doc_id",
+        k=_SUBSTR_K, pos_pack=_POS_PACK,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_removed_tokens", "n_removed_spans",
+        F.md5("clean_text").alias("clean_md5"),
+    )

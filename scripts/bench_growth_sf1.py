@@ -83,6 +83,14 @@ FAMILIES: dict[str, list[str]] = {
         "kneser_ney_trigram_score",
         "media_g711_audio_stats",
     ],
+    # round-9: exact-substring dedup rides the 10x-rotated documents —
+    # rotation rewrites the k-grams, so the digest-keyed count/join
+    # stream grows 10x with ~no extra cross-replica dup mass; the
+    # family claims ~linear-in-scan and this measures it
+    "substr": [
+        "substring_dup_spans",
+        "exact_substring_dedup",
+    ],
     "trend": [
         "theil_sen_trend_daily_revenue",
         "mann_kendall_trend",

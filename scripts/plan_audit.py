@@ -270,6 +270,26 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "substring_dup_spans": {
+        # gram digest stream (posexplode) + digest-keyed count +
+        # join-back, then a doc-bounded islands window; keyed hash
+        # shuffles only
+        "must": ["Generate", "HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "exact_substring_dedup": {
+        # gram digest stream + (count, first-occurrence) agg +
+        # join-back, doc-bounded coverage-merge windows, doc-keyed
+        # anti-join token rebuild; keyed hash shuffles only
+        "must": ["Generate", "HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "source_quota_cap": {
         # one window shuffle keyed by source; the rollup groups on the
         # same key — no join anywhere

@@ -1605,3 +1605,111 @@ def test_simhash_band_split_is_exhaustive_for_radius_3(base, flips):
     bands_a = [(base >> (8 * j)) & 0xFF for j in range(4)]
     bands_b = [(other >> (8 * j)) & 0xFF for j in range(4)]
     assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+def _brute_exact_substring(docs: list[tuple[int, str]], k: int):
+    """Reference implementation of exact_substring_transform: find all
+    k-gram occurrences, keep the globally-first per gram, remove the
+    coverage of every other duplicated occurrence (intervals merged),
+    rebuild kept tokens."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    toks = {d: t.split() for d, t in docs}
+    for d, t in sorted(toks.items()):
+        for p in range(len(t) - k + 1):
+            occ.setdefault(tuple(t[p : p + k]), []).append((d, p + 1))
+    removed: dict[int, set[int]] = {d: set() for d in toks}
+    for g, places in occ.items():
+        if len(places) < 2:
+            continue
+        first = min(places)
+        for d, p in places:
+            if (d, p) != first:
+                removed[d].update(range(p, p + k))
+    out = {}
+    for d, t in toks.items():
+        rem = sorted(removed[d])
+        # merge coverage into islands (they're exact position sets, so
+        # islands are maximal runs of consecutive removed positions)
+        spans = []
+        for p in rem:
+            if spans and p == spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        kept = [w for i, w in enumerate(t, start=1) if i not in removed[d]]
+        out[d] = (
+            len(t),
+            sum(e - s + 1 for s, e in spans),
+            len(spans),
+            " ".join(kept),
+        )
+    return out
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=0,
+        max_size=18,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=corpus_strategy)
+@SLOW
+def test_exact_substring_transform_matches_bruteforce(spark, texts):
+    """With a 5-word vocabulary and k=3, repeated 3-grams are common,
+    so the property exercises real removals: per-doc token counts,
+    removed-token counts, span counts and the exact surviving text all
+    match an independent brute-force reference."""
+    from finanalyzer_spark.operators.dedup import exact_substring_transform
+
+    k = 3
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_removed_tokens"],
+            r["n_removed_spans"], r["clean_text"],
+        )
+        for r in exact_substring_transform(df, k=k).collect()
+    }
+    want = _brute_exact_substring(docs, k)
+    assert got == want
+
+
+def test_exact_substring_first_occurrence_survives(spark):
+    """Deterministic fixture: the same 8-token phrase in three docs —
+    only the lowest (doc_id, pos) copy survives; a doc shorter than k
+    is untouched; merged overlapping coverage is one span."""
+    from finanalyzer_spark.operators.dedup import exact_substring_transform
+
+    phrase = "one two three four five six seven eight"
+    docs = [
+        (1, f"lead {phrase} tail"),                  # first occurrence: kept
+        (2, f"{phrase} trailing words here"),        # removed (doc 2 > 1)
+        (3, f"pre pad {phrase}"),                    # removed
+        (4, "tiny doc"),                             # shorter than k
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r.asDict() for r in
+           exact_substring_transform(df, k=8).collect()}
+    assert got[1]["n_removed_tokens"] == 0
+    assert got[1]["clean_text"] == f"lead {phrase} tail"
+    assert got[2]["n_removed_tokens"] == 8
+    assert got[2]["n_removed_spans"] == 1
+    assert got[2]["clean_text"] == "trailing words here"
+    assert got[3]["n_removed_tokens"] == 8
+    assert got[3]["clean_text"] == "pre pad"
+    assert got[4] == {
+        "doc_id": 4, "n_tokens": 2, "n_removed_tokens": 0,
+        "n_removed_spans": 0, "clean_text": "tiny doc",
+    }
