@@ -188,6 +188,9 @@ ROUND_CHANGED = frozenset({
     # spans + the removal transform
     "substring_dup_spans",
     "exact_substring_dedup",
+    # round-9 changed: probe census grew MP3-with-Xing and
+    # CABAC-named buckets (5-way -> 7-way cycle)
+    "media_probe_summary",
 })
 
 

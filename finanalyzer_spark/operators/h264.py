@@ -309,6 +309,7 @@ def h264_stream_index(buf: bytes) -> dict:
     scheduling any decode."""
     n_by_type: dict[int, int] = {}
     sps = None
+    pps = None
     n_idr = 0
     n_nals = 0
     for nal_type, _ref, rbsp in split_annexb(buf):
@@ -316,6 +317,8 @@ def h264_stream_index(buf: bytes) -> dict:
         n_by_type[nal_type] = n_by_type.get(nal_type, 0) + 1
         if nal_type == NAL_SPS and sps is None:
             sps = parse_sps(rbsp)
+        elif nal_type == NAL_PPS and pps is None:
+            pps = parse_pps(rbsp)
         elif nal_type == NAL_IDR:
             n_idr += 1
     return {
@@ -326,6 +329,12 @@ def h264_stream_index(buf: bytes) -> dict:
         "height": sps["height"] if sps else None,
         "profile_idc": sps["profile_idc"] if sps else None,
         "level_idc": sps["level_idc"] if sps else None,
+        # name the entropy mode up front: CABAC streams refuse in the
+        # pure decode tier, and the probe must say WHY
+        "entropy": (
+            None if pps is None
+            else ("cabac" if pps["entropy_coding_mode"] else "cavlc")
+        ),
     }
 
 
@@ -393,6 +402,7 @@ def write_sps_pps(
     weighted_pred: bool = False,
     poc_type: int = 2,
     num_ref_frames: int = 1,
+    cabac: bool = False,
 ) -> tuple[bytes, bytes]:
     """Baseline-profile SPS + PPS RBSP pair shared by the encoder
     twins (I_PCM and CAVLC intra): level 3.0, poc_type 2, CAVLC,
@@ -435,7 +445,11 @@ def write_sps_pps(
     pps = _BitWriter()
     pps.ue(0)      # pps_id
     pps.ue(0)      # sps_id
-    pps.u(0, 1)    # entropy_coding_mode: CAVLC
+    # cabac=True exists ONLY for probe/refusal fixtures — the pure
+    # tier refuses to DECODE CABAC (no external conformance vector in
+    # this environment; SCALE.md §media), but probing must still NAME
+    # the entropy mode so a user sees why their stream refuses
+    pps.u(1 if cabac else 0, 1)  # entropy_coding_mode
     pps.u(0, 1)    # bottom_field_pic_order
     pps.ue(0)      # num_slice_groups_minus1
     pps.ue(num_ref_l0_default - 1)  # num_ref_idx_l0_default

@@ -200,6 +200,25 @@ def mkv_track_index(buf: bytes) -> dict:
     for track, _no, _ts, is_key, _frame in demux_mkv(buf):
         n_blocks[track] = n_blocks.get(track, 0) + 1
         n_key[track] = n_key.get(track, 0) + int(is_key)
+
+    def _entropy(t: dict):
+        # AVC tracks: name the entropy mode from the avcC PPS so a
+        # CABAC track's pure-tier decode refusal is explicable at
+        # probe time
+        if t["codec_id"] != "V_MPEG4/ISO/AVC" or not t["codec_private"]:
+            return None
+        try:
+            from .h264 import parse_pps
+            from .mp4 import _annexb_unescape, parse_avcc
+
+            cfg = parse_avcc(t["codec_private"])
+            if not cfg["pps"]:
+                return None
+            pps = parse_pps(_annexb_unescape(cfg["pps"][0]))
+            return "cabac" if pps["entropy_coding_mode"] else "cavlc"
+        except (ValueError, IndexError):
+            return None
+
     return {
         "timestamp_scale_ns": meta["timestamp_scale_ns"],
         "tracks": {
@@ -209,6 +228,7 @@ def mkv_track_index(buf: bytes) -> dict:
                 "height": t["height"],
                 "n_blocks": n_blocks.get(num, 0),
                 "n_keyframes": n_key.get(num, 0),
+                "entropy": _entropy(t),
             }
             for num, t in meta["tracks"].items()
         },

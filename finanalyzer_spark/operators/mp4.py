@@ -382,6 +382,17 @@ def avc_track_info(buf: bytes) -> dict | None:
             return None
         cfg = parse_avcc(buf[avcc[0] : avcc[1]])
         sps = parse_sps(_annexb_unescape(cfg["sps"][0]))
+        entropy = None
+        if cfg["pps"]:
+            from .h264 import parse_pps
+
+            try:
+                pps = parse_pps(_annexb_unescape(cfg["pps"][0]))
+                entropy = (
+                    "cabac" if pps["entropy_coding_mode"] else "cavlc"
+                )
+            except (ValueError, IndexError):
+                entropy = None
         # sample/keyframe counts come from two integers in the
         # already-parsed table headers — a metadata probe must never
         # slice every sample's payload out of the buffer
@@ -404,6 +415,9 @@ def avc_track_info(buf: bytes) -> dict | None:
             "nal_length_size": cfg["nal_length_size"],
             "n_samples": n_samples,
             "n_keyframes": n_sync,
+            # CABAC tracks refuse in the pure decode tier; the probe
+            # names the entropy mode so the refusal is explicable
+            "entropy": entropy,
         }
     return None
 

@@ -1304,6 +1304,180 @@ def extract_patches(
     return df.select(id_col, content_col).mapInPandas(kernel, schema=schema)
 
 
+#: MPEG-audio tables (ISO 11172-3 / 13818-3): bitrates in kbps by
+#: (version-group, layer); sample rates by version; samples/frame.
+_MPA_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+           0: (11025, 12000, 8000)}
+_MPA_BITRATE = {
+    # MPEG1: layer 3 (L1), 2 (L2), 1 (L3)
+    (1, 3): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 1): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    # MPEG2 / 2.5 share one table for L2+L3 and one for L1
+    (2, 3): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (2, 1): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+#: ADTS sampling_frequency_index table (ISO 14496-3 §1.6.3.4)
+_ADTS_SR = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+            16000, 12000, 11025, 8000, 7350)
+
+
+def _mpa_header(buf: bytes, pos: int):
+    """Parse one MPEG-audio frame header -> (version_bits, layer_bits,
+    kbps, rate, padding, channels, frame_len, samples_per_frame) or
+    None when any field is reserved/invalid."""
+    b1, b2, b3 = buf[pos + 1], buf[pos + 2], buf[pos + 3]
+    version = (b1 >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x3            # 3=LayerI, 2=II, 1=III
+    br_idx = b2 >> 4
+    sr_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 0x1
+    mode = b3 >> 6
+    if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgrp = 1 if version == 3 else 2
+    kbps = _MPA_BITRATE[(vgrp, layer)][br_idx]
+    rate = _MPA_SR[version][sr_idx]
+    channels = 1 if mode == 3 else 2
+    if layer == 3:      # Layer I: slots are 4 bytes
+        flen = (12 * kbps * 1000 // rate + padding) * 4
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or vgrp == 1) else 576
+        flen = spf // 8 * kbps * 1000 // rate + padding
+    return version, layer, kbps, rate, padding, channels, flen, spf
+
+
+def _probe_mpeg_audio(buf: bytes, pos: int, out: dict) -> dict:
+    """MP1/MP2/MP3 metadata WITHOUT entropy decode: frame-header walk
+    (CBR/VBR) with the Xing/Info frame count taking precedence when
+    the stream carries one — fully spec-checkable arithmetic."""
+    hdr = _mpa_header(buf, pos)
+    if hdr is None:
+        return {**out, "kind": "audio", "container": "mpeg"}
+    version, layer, kbps, rate, _pad, channels, _flen, spf = hdr
+    codec = f"mp{4 - layer}"
+    base = {**out, "kind": "audio", "container": "mpeg",
+            "codec": codec, "sample_rate": rate, "channels": channels}
+    # Xing/Info header (the de-facto VBR standard): after the side
+    # info — MPEG1: 17 bytes mono / 32 stereo; MPEG2(.5): 9 / 17
+    if layer == 1:
+        side = (17 if channels == 1 else 32) if version == 3 else (
+            9 if channels == 1 else 17
+        )
+        xoff = pos + 4 + side
+        if buf[xoff : xoff + 4] in (b"Xing", b"Info") and (
+            len(buf) >= xoff + 12
+        ):
+            flags = int.from_bytes(buf[xoff + 4 : xoff + 8], "big")
+            if flags & 0x1:
+                n = int.from_bytes(buf[xoff + 8 : xoff + 12], "big")
+                return {**base, "n_frames": n, "n_samples": n * spf}
+    # CBR/VBR walk: recompute the length per frame so VBR-without-Xing
+    # still counts correctly; stop at the first lost sync
+    n = 0
+    p = pos
+    while p + 4 <= len(buf) and buf[p] == 0xFF and (
+        buf[p + 1] & 0xE0
+    ) == 0xE0:
+        h = _mpa_header(buf, p)
+        if h is None or h[6] <= 4:
+            break
+        n += 1
+        p += h[6]
+    return {**base, "n_frames": n or None,
+            "n_samples": n * spf if n else None}
+
+
+def _probe_adts(buf: bytes, pos: int, out: dict) -> dict:
+    """ADTS (AAC) metadata without decode: profile / sample rate /
+    channel configuration from the fixed header, frame count from the
+    13-bit aac_frame_length walk; 1024 samples per frame."""
+    b2, b3 = buf[pos + 2], buf[pos + 3]
+    profile = (b2 >> 6) & 0x3
+    sf_idx = (b2 >> 2) & 0xF
+    channels = ((b2 & 0x1) << 2) | (b3 >> 6)
+    rate = _ADTS_SR[sf_idx] if sf_idx < len(_ADTS_SR) else None
+    codec = "aac-" + {0: "main", 1: "lc", 2: "ssr", 3: "ltp"}[profile]
+    n = 0
+    p = pos
+    while p + 7 <= len(buf) and buf[p] == 0xFF and (
+        buf[p + 1] & 0xF6
+    ) == 0xF0:
+        flen = ((buf[p + 3] & 0x3) << 11) | (buf[p + 4] << 3) | (
+            buf[p + 5] >> 5
+        )
+        if flen < 7:
+            break
+        n += 1
+        p += flen
+    return {**out, "kind": "audio", "container": "adts",
+            "codec": codec, "sample_rate": rate,
+            "channels": channels or None, "n_frames": n or None,
+            "n_samples": n * 1024 if n else None}
+
+
+def encode_mpeg_audio_stub(
+    n_frames: int = 10,
+    rate: int = 44100,
+    kbps: int = 128,
+    channels: int = 2,
+    xing: bool = False,
+) -> bytes:
+    """Spec-valid MPEG1 Layer III frame-header sequence with zeroed
+    audio payload — a PROBE fixture, not a decoder twin (the decode
+    tier refuses perceptual codecs; this exists so probe_media's
+    header/Xing arithmetic is testable against known counts)."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    br_idx = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320).index(kbps)
+    mode = 3 if channels == 1 else 0
+    flen = 144 * kbps * 1000 // rate
+    hdr = bytes([
+        0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6,
+    ])
+    frame = bytearray(hdr) + bytes(flen - 4)
+    frames = [bytes(frame) for _ in range(n_frames)]
+    if xing:
+        first = bytearray(frames[0])
+        side = 17 if channels == 1 else 32
+        xoff = 4 + side
+        first[xoff : xoff + 4] = b"Xing"
+        first[xoff + 4 : xoff + 8] = (1).to_bytes(4, "big")   # frames flag
+        first[xoff + 8 : xoff + 12] = n_frames.to_bytes(4, "big")
+        frames[0] = bytes(first)
+    return b"".join(frames)
+
+
+def encode_adts_stub(
+    n_frames: int = 10, rate: int = 44100, channels: int = 2,
+    body_bytes: int = 64,
+) -> bytes:
+    """Spec-valid ADTS (AAC-LC) frame-header sequence with zeroed
+    payload — probe fixture only (see encode_mpeg_audio_stub)."""
+    sf_idx = _ADTS_SR.index(rate)
+    flen = 7 + body_bytes
+    frames = []
+    for _ in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                      # MPEG-4, layer 00, no CRC
+        h[2] = (1 << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0x7) << 5) | 0x1F
+        h[6] = 0xFC
+        frames.append(bytes(h) + bytes(body_bytes))
+    return b"".join(frames)
+
+
 def probe_media(buf: bytes) -> dict:
     """ffprobe-lite: identify a media payload from its header bytes
     and return uniform metadata — {kind, container, codec, width,
@@ -1601,8 +1775,12 @@ def probe_media(buf: bytes) -> dict:
         buf[:3] == b"ID3"
         or (buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0)
     ):
-        # MPEG audio: skip an ID3v2 tag (syncsafe size), then read the
-        # first frame header's version/layer/samplerate (ISO 11172-3)
+        # MPEG audio (metadata-only; the decode tier refuses these
+        # perceptual codecs — exact-or-refuse, SCALE.md §media — but
+        # the probe still reports duration/bitrate metadata the way it
+        # names WAV codecs): skip an ID3v2 tag (syncsafe size), find
+        # the first frame header (ISO 11172-3 / 13818-7), then either
+        # read the Xing/Info VBR frame count or walk CBR frame lengths
         pos = 0
         if buf[:3] == b"ID3" and len(buf) >= 10:
             pos = 10 + (
@@ -1610,19 +1788,11 @@ def probe_media(buf: bytes) -> dict:
             )
         while pos + 4 <= len(buf):
             if buf[pos] == 0xFF and (buf[pos + 1] & 0xE0) == 0xE0:
-                version = (buf[pos + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2
-                layer = (buf[pos + 1] >> 1) & 0x3    # 1=III, 2=II, 3=I
-                sr_idx = (buf[pos + 2] >> 2) & 0x3
-                sr_tab = {
-                    3: (44100, 48000, 32000),
-                    2: (22050, 24000, 16000),
-                    0: (11025, 12000, 8000),
-                }.get(version)
-                if layer != 0 and sr_tab and sr_idx < 3:
-                    return {**out, "kind": "audio", "container": "mpeg",
-                            "codec": f"mp{4 - layer}",
-                            "sample_rate": sr_tab[sr_idx]}
-                break
+                if (buf[pos + 1] & 0x06) == 0 and (
+                    buf[pos + 1] & 0xF0
+                ) == 0xF0:
+                    return _probe_adts(buf, pos, out)
+                return _probe_mpeg_audio(buf, pos, out)
             pos += 1
         return {**out, "kind": "audio", "container": "mpeg"}
     # ---- video containers
@@ -1666,8 +1836,15 @@ def probe_media(buf: bytes) -> dict:
         except Exception:
             return {**out, "kind": "video", "container": "mp4"}
         if info is not None:
+            # "h264-cabac" names WHY the pure decode tier refuses the
+            # track (exact-or-refuse: no external CABAC conformance
+            # vector exists in this environment, SCALE.md §media)
+            codec = (
+                "h264-cabac" if info.get("entropy") == "cabac"
+                else "h264"
+            )
             return {**out, "kind": "video", "container": "mp4",
-                    "codec": "h264", "width": info["width"],
+                    "codec": codec, "width": info["width"],
                     "height": info["height"],
                     "n_frames": info["n_samples"],
                     "n_keyframes": info["n_keyframes"]}
@@ -1694,6 +1871,8 @@ def probe_media(buf: bytes) -> dict:
             codec = {
                 "V_MJPEG": "mjpeg", "V_MPEG4/ISO/AVC": "h264",
             }.get(t["codec_id"], t["codec_id"])
+            if codec == "h264" and t.get("entropy") == "cabac":
+                codec = "h264-cabac"  # pure-tier refusal, named
             return {**out, "kind": "video", "container": "mkv",
                     "codec": codec, "width": t["width"],
                     "height": t["height"], "n_frames": t["n_blocks"],
@@ -1706,8 +1885,11 @@ def probe_media(buf: bytes) -> dict:
             idx = h264_stream_index(buf)
         except Exception:
             return out
+        codec = (
+            "h264-cabac" if idx.get("entropy") == "cabac" else "h264"
+        )
         return {**out, "kind": "video", "container": "annexb",
-                "codec": "h264", "width": idx["width"],
+                "codec": codec, "width": idx["width"],
                 "height": idx["height"], "n_frames": None,
                 "n_keyframes": idx["n_idr"]}
     # ---- web archives (the crawl-ingest modality, operators/warc.py)

@@ -975,27 +975,35 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_probe_summary",
-    # Per-document payloads cycle through five REAL formats (built by
+    # Per-document payloads cycle through seven REAL formats (built by
     # the pure encoder twins: baseline JPEG, binary PPM, PCM-16 WAV,
-    # MJPEG-in-MP4, I_PCM-H.264-in-MKV); the Spark side PROBES each
-    # payload with operators/multimodal.probe_media (header/box/EBML
-    # parsing, no pixel decode) and rolls up by identified
+    # MJPEG-in-MP4, I_PCM-H.264-in-MKV, MP3-with-Xing, CABAC-flagged
+    # Annex-B H.264); the Spark side PROBES each payload with
+    # operators/multimodal.probe_media (header/box/EBML parsing, no
+    # pixel/sample decode) and rolls up by identified
     # kind/container/codec.  The oracle recomputes the rollup
     # arithmetically from the construction rule — probing must
-    # correctly identify every payload or the counts diverge.
+    # correctly identify every payload or the counts diverge.  The
+    # last two buckets pin the EXACT-OR-REFUSE surfacing: perceptual
+    # audio probes with metadata (codec 'mp3') even though decode
+    # refuses it, and a CABAC stream is NAMED 'h264-cabac' so a user
+    # sees why the pure decode tier refuses it (SCALE.md §media).
     oracle="""
     WITH probed AS (
-        SELECT CASE doc_id % 5
+        SELECT CASE doc_id % 7
                  WHEN 0 THEN 'image' WHEN 1 THEN 'image'
-                 WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
-               CASE doc_id % 5
+                 WHEN 2 THEN 'audio' WHEN 5 THEN 'audio'
+                 ELSE 'video' END AS kind,
+               CASE doc_id % 7
                  WHEN 0 THEN 'jfif' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
-                 ELSE 'mkv' END AS container,
-               CASE doc_id % 5
+                 WHEN 4 THEN 'mkv' WHEN 5 THEN 'mpeg'
+                 ELSE 'annexb' END AS container,
+               CASE doc_id % 7
                  WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'pcm' WHEN 3 THEN 'mjpeg'
-                 ELSE 'h264' END AS codec
+                 WHEN 4 THEN 'h264' WHEN 5 THEN 'mp3'
+                 ELSE 'h264-cabac' END AS codec
         FROM documents
     )
     SELECT kind, container, codec, count(*) AS n_media
@@ -1020,11 +1028,18 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..operators.h264 import encode_h264_ipcm  # noqa: F401
+        from ..operators.h264 import (
+            NAL_PPS,
+            NAL_SPS,
+            _nal,
+            encode_h264_ipcm,  # noqa: F401
+            write_sps_pps,
+        )
         from ..operators.jpeg import encode_jpeg
         from ..operators.mkv import mux_mkv
         from ..operators.mp4 import mux_mp4_mjpeg
         from ..operators.multimodal import (
+            encode_mpeg_audio_stub,
             encode_wav_pcm16,
             probe_media,
         )
@@ -1035,19 +1050,30 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fill = int(n_chars) % 256
                 img = np.full((8, 8, 3), fill, dtype=np.uint8)
                 vid = np.full((16, 16, 3), fill, dtype=np.uint8)
-                kind5 = int(doc_id) % 5
-                if kind5 == 0:
+                kind7 = int(doc_id) % 7
+                if kind7 == 0:
                     payload = encode_jpeg(img, quality=80)
-                elif kind5 == 1:
+                elif kind7 == 1:
                     payload = b"P6\n8 8\n255\n" + img.tobytes()
-                elif kind5 == 2:
+                elif kind7 == 2:
                     payload = encode_wav_pcm16(
                         bytes([fill]) * 64, rate=8000, channels=1
                     )
-                elif kind5 == 3:
+                elif kind7 == 3:
                     payload = mux_mp4_mjpeg([vid], fps=10, quality=80)
-                else:
+                elif kind7 == 4:
                     payload = mux_mkv([vid], codec="avc", fps=10)
+                elif kind7 == 5:
+                    # perceptual audio: decode refuses, probe reports
+                    payload = encode_mpeg_audio_stub(
+                        n_frames=1 + fill % 5, xing=True
+                    )
+                else:
+                    # CABAC-flagged stream: probe NAMES the refusal
+                    sps, pps = write_sps_pps(4, 4, cabac=True)
+                    payload = _nal(NAL_SPS, 3, sps) + _nal(
+                        NAL_PPS, 3, pps
+                    )
                 p = probe_media(bytes(payload))
                 rows.append((p["kind"], p["container"], p["codec"]))
             yield pd.DataFrame(

@@ -1350,3 +1350,72 @@ def test_decode_bmp_32bit_bi_rgb_roundtrip():
         + body
     )
     assert np.array_equal(decode_bmp(buf), img)
+
+
+def test_probe_media_mpeg_audio_full_metadata():
+    """Round-9 probe tier: MP3 Xing frame counts, CBR frame walks,
+    ADTS (AAC) frame walks — duration/bitrate metadata WITHOUT any
+    entropy decode (the decode tier refuses perceptual codecs; the
+    probe still buckets them, VERDICT r8 #7)."""
+    from finanalyzer_spark.operators.multimodal import (
+        encode_adts_stub,
+        encode_mpeg_audio_stub,
+        probe_media,
+    )
+
+    # Xing (VBR header) takes precedence and its count is authoritative
+    p = probe_media(encode_mpeg_audio_stub(n_frames=25, xing=True))
+    assert (p["kind"], p["container"], p["codec"]) == (
+        "audio", "mpeg", "mp3")
+    assert (p["sample_rate"], p["channels"]) == (44100, 2)
+    assert (p["n_frames"], p["n_samples"]) == (25, 25 * 1152)
+    # CBR: frame-length walk, mono side-info offset
+    p = probe_media(encode_mpeg_audio_stub(n_frames=7, channels=1,
+                                           xing=False))
+    assert (p["n_frames"], p["n_samples"], p["channels"]) == (
+        7, 7 * 1152, 1)
+    # 48 kHz / 192 kbps variant exercises the table lookups
+    p = probe_media(encode_mpeg_audio_stub(n_frames=4, rate=48000,
+                                           kbps=192, xing=False))
+    assert (p["sample_rate"], p["n_frames"]) == (48000, 4)
+    # ID3v2 prefix skipped via the syncsafe size
+    id3 = (b"ID3\x03\x00\x00\x00\x00\x00\x0a" + bytes(10)
+           + encode_mpeg_audio_stub(n_frames=3, xing=False))
+    assert probe_media(id3)["n_frames"] == 3
+    # ADTS AAC: profile/rate/channels from the fixed header, count
+    # from the 13-bit frame-length walk, 1024 samples per frame
+    p = probe_media(encode_adts_stub(n_frames=9, rate=48000))
+    assert (p["kind"], p["container"], p["codec"]) == (
+        "audio", "adts", "aac-lc")
+    assert (p["sample_rate"], p["channels"]) == (48000, 2)
+    assert (p["n_frames"], p["n_samples"]) == (9, 9 * 1024)
+
+
+def test_probe_media_names_cabac_refusal():
+    """Round-9 probe tier: a CABAC-flagged H.264 stream probes as
+    codec 'h264-cabac' in every container (Annex-B, MP4, MKV) — the
+    pure decode tier refuses CABAC (exact-or-refuse, SCALE.md §media)
+    and the probe must NAME the reason (VERDICT r8 #5)."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.h264 import (
+        NAL_PPS,
+        NAL_SPS,
+        _nal,
+        write_sps_pps,
+    )
+    from finanalyzer_spark.operators.mkv import mux_mkv
+    from finanalyzer_spark.operators.multimodal import probe_media
+
+    sps, pps = write_sps_pps(4, 4, cabac=True)
+    annexb = _nal(NAL_SPS, 3, sps) + _nal(NAL_PPS, 3, pps)
+    p = probe_media(annexb)
+    assert (p["container"], p["codec"]) == ("annexb", "h264-cabac")
+    assert (p["width"], p["height"]) == (64, 64)
+    # CAVLC control: plain h264
+    sps, pps = write_sps_pps(4, 4, cabac=False)
+    cavlc = _nal(NAL_SPS, 3, sps) + _nal(NAL_PPS, 3, pps)
+    assert probe_media(cavlc)["codec"] == "h264"
+    # the I_PCM MKV fixture (CAVLC-free baseline) stays plain h264
+    vid = np.full((16, 16, 3), 7, dtype=np.uint8)
+    assert probe_media(bytes(mux_mkv([vid], codec="avc")))["codec"] == "h264"
