@@ -8,6 +8,7 @@ scale linearly with a 100 TB corpus.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1613,7 +1614,14 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
-        .persist()  # feeds the cap aggregate AND both join sides
+        # feeds the cap aggregate AND both join sides — the repo's
+        # largest cached intermediate, so the level is a MEASURED
+        # choice (SCALE.md 'Winnowing persist economics'): persisting
+        # beats recompute by ~8% wall at sf0.1 and MEMORY_AND_DISK
+        # ties MEMORY_ONLY while spilling instead of evict-recompute
+        # when the ~2/(w+1)-density fingerprint frame outgrows
+        # executor memory at corpus scale
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keep = (
         fp.groupBy("fp")
