@@ -342,3 +342,84 @@ def test_zorder_key_locality_bit_interleave(spark):
         return z
 
     assert all(out[(x, y)] == morton(x, y) for x, y in rows)
+
+
+def test_delta_merge_parity_when_available(spark, tmp_path):
+    """Env-gated Delta seam proof (VERDICT r8 #8): when `delta-spark`
+    is importable, run the update through a real `MERGE INTO` and
+    assert row-identical results to the stage-and-swap parquet merge
+    (pipeline/merge.merge_into promises the semantics are a drop-in;
+    this test proves it wherever the package exists — it SKIPS, not
+    passes, in environments without delta)."""
+    import pytest
+
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        pytest.skip("delta-spark not installed in this environment")
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from finanalyzer_spark.pipeline.merge import merge_into
+
+    # delta needs its SQL extensions — build a derived session
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension")
+        .config("spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+    )
+    from delta import configure_spark_with_delta_pip
+
+    dspark = configure_spark_with_delta_pip(builder).getOrCreate()
+
+    base = pd.DataFrame(
+        {"k": [1, 2, 3], "v": ["a", "b", "c"], "ts": [10, 20, 30]}
+    )
+    incoming = pd.DataFrame(
+        {"k": [2, 3, 3, 4], "v": ["B", "X", "C", "d"],
+         "ts": [21, 29, 31, 40]}
+    )
+    order_by = [F.col("ts").desc()]
+
+    # stage-and-swap path
+    pq_path = str(tmp_path / "pq")
+    dspark.createDataFrame(base).write.parquet(pq_path)
+    swap = merge_into(
+        dspark, pq_path, dspark.createDataFrame(incoming), ["k"],
+        order_by=order_by,
+    )
+
+    # real Delta MERGE INTO path, same dedup-first discipline
+    from finanalyzer_spark.operators.dedup import dedup_by_key
+
+    d_path = str(tmp_path / "delta")
+    dspark.createDataFrame(base).write.format("delta").save(d_path)
+    src = dedup_by_key(dspark.createDataFrame(incoming), ["k"], order_by)
+    tgt = DeltaTable.forPath(dspark, d_path)
+    (
+        tgt.alias("t")
+        .merge(src.alias("s"), "t.k = s.k")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    delta_rows = sorted(
+        map(tuple, dspark.read.format("delta").load(d_path).collect())
+    )
+    swap_rows = sorted(map(tuple, swap.collect()))
+    assert delta_rows == swap_rows
+    # replay idempotence on BOTH paths
+    merge_into(dspark, pq_path, dspark.createDataFrame(incoming), ["k"],
+               order_by=order_by)
+    (
+        tgt.alias("t").merge(src.alias("s"), "t.k = s.k")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    )
+    assert sorted(
+        map(tuple, dspark.read.format("delta").load(d_path).collect())
+    ) == swap_rows
+    assert sorted(
+        map(tuple, dspark.read.parquet(pq_path).collect())
+    ) == swap_rows
