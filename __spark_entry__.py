@@ -191,6 +191,12 @@ ROUND_CHANGED = frozenset({
     # round-9 changed: probe census grew MP3-with-Xing and
     # CABAC-named buckets (5-way -> 7-way cycle)
     "media_probe_summary",
+    # round-9 new: incremental-crawl n-gram novelty
+    "ngram_novelty_rate",
+    # round-9 new: graph neighborhood analytics on the capped
+    # co-supply graph
+    "local_clustering_coefficient",
+    "common_neighbor_link_prediction",
 })
 
 

@@ -72,24 +72,22 @@ def pagerank_fixed(
     return pr
 
 
-def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
-    """Exact triangle count via degree-ordered orientation — the
-    standard scale-safe formulation (each edge is directed from its
-    lower-(degree, id) endpoint to the higher one, making the graph a
-    DAG whose max out-degree is O(sqrt(m)); the wedge join therefore
-    generates O(m^1.5) candidates instead of the O(sum deg^2) a naive
-    neighbor join produces on skewed graphs).
+def _oriented_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Degree-ordered orientation of an undirected (u < v) edge list:
+    each edge directed from its lower-(degree, id) endpoint to the
+    higher one, making the graph a DAG whose max out-degree is
+    O(sqrt(m)) — the property that bounds wedge generation at
+    O(m^1.5) regardless of degree skew.
 
-    Input: undirected edge list with u < v, one row per edge.
-    Returns a 1-row DataFrame (n_triangles long). All joins are
-    equi-joins on node ids — hash-partitionable, no cartesian."""
+    Returns (src, dst, dst_key) lazily localCheckpointed (the frame
+    always feeds several consumers).  The orientation key is a
+    (degree, id) STRUCT — struct comparison is lexicographic and rides
+    codegen, and unlike the packed-long alternative it cannot collide
+    for ids >= 1e9 (ids are distinct, so the pair is a total order
+    with no ties)."""
     e = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
-    # orientation key: a (degree, id) STRUCT — struct comparison is
-    # lexicographic and rides codegen, and unlike the packed-long
-    # alternative it cannot collide for ids >= 1e9 (ids are distinct,
-    # so the pair is a total order with no ties)
     withdeg = (
         e.join(deg.withColumnRenamed("a", "_n1"), F.col("a") == F.col("_n1"))
         .withColumnRenamed("deg", "deg_a")
@@ -103,10 +101,18 @@ def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(ka < kb, kb).otherwise(ka).alias("dst_key"),
     )
-    # oriented feeds three consumers (both wedge legs + the closing
-    # edge set) — checkpoint it so the deg-join pipeline runs once,
-    # not three times
-    oriented = oriented.localCheckpoint(eager=False)
+    return oriented.localCheckpoint(eager=False)
+
+
+def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Exact triangle count via degree-ordered orientation
+    (_oriented_edges; wedge generation bounded at O(m^1.5) instead of
+    the O(sum deg^2) a naive neighbor join produces on skewed graphs).
+
+    Input: undirected edge list with u < v, one row per edge.
+    Returns a 1-row DataFrame (n_triangles long). All joins are
+    equi-joins on node ids — hash-partitionable, no cartesian."""
+    oriented = _oriented_edges(edges, u, v)
     # wedges u->v, u->w with ord(v) < ord(w); triangle iff v->w oriented
     o1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),
@@ -137,6 +143,44 @@ def count_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             .cast("long")
             .alias("n_triangles")
         )
+    )
+
+
+def triangles_per_node(
+    edges: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Exact per-node triangle counts via the same degree-ordered
+    orientation as count_triangles, but the closure semi-join keeps
+    the wedge's node identities instead of pre-aggregating: each
+    surviving triangle (u, v, w) credits all three corners via one
+    explode, then a node-keyed count. Nodes in no triangle are absent
+    (callers coalesce with 0 after their degree join).
+
+    Input: undirected edge list with u < v. Returns (node, n_tri)."""
+    oriented = _oriented_edges(edges, u, v)
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("dst_key").alias("kv"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("dst_key").alias("kw"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = (
+        o1.join(o2, "u")
+        .where(F.col("kv") < F.col("kw"))
+        .join(closing, ["v", "w"], "left_semi")
+        .select("u", "v", "w")
+    )
+    return (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
     )
 
 

@@ -1291,3 +1291,68 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_removed_tokens", "n_removed_spans",
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@query(
+    "ngram_novelty_rate",
+    # per-source novelty of the gram stream in doc_id (crawl) order:
+    # an occurrence is a cross-doc REPEAT when the gram's globally
+    # first occurrence (min packed (doc_id, pos)) sits in an EARLIER
+    # document; same-doc repetition does not count against novelty.
+    oracle=f"""
+    WITH {_substr_gram_cte()},
+    agg AS (
+        SELECT gh, min(doc_id * {_POS_PACK} + pos) AS first_k
+        FROM pos_grams GROUP BY gh
+    ),
+    occ AS (
+        SELECT p.doc_id,
+               CASE WHEN a.first_k // {_POS_PACK} < p.doc_id
+                    THEN 1 ELSE 0 END AS is_repeat
+        FROM pos_grams p JOIN agg a ON p.gh = a.gh
+    )
+    SELECT d.source,
+           count(*) AS n_grams,
+           sum(o.is_repeat)::BIGINT AS n_repeat,
+           round(1.0 - sum(o.is_repeat) * 1.0 / count(*), 6) + 0.0
+               AS novelty_rate
+    FROM occ o JOIN documents d ON o.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("dedup", "substring", "curation", "llm-data"),
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl value metric: treating doc_id order as crawl
+    order, what share of each source's {_SUBSTR_K}-gram occurrences is
+    NEW text (first seen in this or a later document) vs a repeat of an
+    earlier document — the number a data-acquisition team watches to
+    decide when another crawl increment stops adding training value.
+
+    Scale shape: same digest-keyed count/argmin + join-back as the
+    exact-substring family, then one doc-keyed join to attach source
+    and a small rollup — linear in corpus tokens."""
+    t = load(spark, sf_dir)
+    grams = _pos_grams(t.documents.select("doc_id", "text"))
+    packed = F.col("doc_id") * _POS_PACK + F.col("pos")
+    agg = grams.groupBy("gh").agg(F.min(packed).alias("first_k"))
+    occ = grams.join(agg, "gh").select(
+        "doc_id",
+        F.when(
+            F.floor(F.col("first_k") / _POS_PACK) < F.col("doc_id"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_repeat"),
+    )
+    src = t.documents.select("doc_id", "source")
+    return (
+        occ.join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("is_repeat").cast("long").alias("n_repeat"),
+            (
+                F.round(
+                    1.0 - F.sum("is_repeat") / F.count("*"), 6
+                ) + 0.0
+            ).alias("novelty_rate"),
+        )
+    )

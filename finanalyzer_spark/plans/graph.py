@@ -651,3 +651,176 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity"),
     )
+
+
+@query(
+    "local_clustering_coefficient",
+    # ground truth: canonical a<b<c three-way edge join enumerates
+    # every triangle once; unnesting the corner list credits all three
+    # nodes, and the coefficient is one division over exact integers
+    # (2*t / d*(d-1)), rounded once.
+    oracle=f"""
+    WITH {_COSUPPLY_CTE},
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+    tri AS (
+        SELECT unnest([e1.u, e1.v, e2.v]) AS node
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcnt AS (SELECT node, count(*) AS n_tri FROM tri GROUP BY node)
+    SELECT d.node,
+           d.d AS degree,
+           coalesce(t.n_tri, 0)::BIGINT AS n_triangles,
+           round(2.0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1)), 6)
+               + 0.0 AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+    WHERE d.d >= 2
+    """,
+    tags=("graph", "triangles", "stats"),
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the co-supply graph
+    (Watts-Strogatz): the share of a supplier's co-supplier pairs that
+    also co-supply with each other — 2*triangles/(d*(d-1)) — the
+    standard 'how clique-ish is this node's neighborhood' measure a
+    risk analyst reads next to k-core membership.
+
+    Scale shape: operators/graph.triangles_per_node (degree-ordered
+    orientation, O(m^1.5) wedge bound, per-corner explode + node-keyed
+    count) joined onto the degree frame; one division over exact
+    integers, rounded once."""
+    from ..operators.graph import triangles_per_node
+
+    t = load(spark, sf_dir)
+    pairs = _cosupply_pairs(t).persist()
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR).persist()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    tcnt = triangles_per_node(edges)
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tcnt, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            .cast("long").alias("n_triangles"),
+            (
+                F.round(
+                    2.0 * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ) + 0.0
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+_LP_TOP = 20  #: link-prediction candidates reported
+
+
+@query(
+    "common_neighbor_link_prediction",
+    # wedges through each node give candidate (v, w) pairs with their
+    # common-neighbor count; existing edges anti-join away; Jaccard =
+    # cn / (dv + dw - cn) is one division over exact integers. Top-20
+    # under a total order (cn desc, jaccard desc implied by cn/deg,
+    # then v, w) so the cut is deterministic in both engines.
+    oracle=f"""
+    WITH {_COSUPPLY_CTE},
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+    wedge AS (
+        SELECT a.v AS x, b.v AS y
+        FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+    ),
+    cn AS (SELECT x, y, count(*) AS n_common FROM wedge GROUP BY x, y),
+    cand AS (
+        SELECT c.x, c.y, c.n_common
+        FROM cn c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM und WHERE und.u = c.x AND und.v = c.y)
+    )
+    SELECT c.x AS u, c.y AS v, c.n_common,
+           round(c.n_common * 1.0
+                 / (dx.d + dy.d - c.n_common), 6) + 0.0 AS jaccard
+    FROM cand c
+    JOIN deg dx ON dx.node = c.x
+    JOIN deg dy ON dy.node = c.y
+    ORDER BY c.n_common DESC, jaccard DESC, c.x, c.y
+    LIMIT {_LP_TOP}
+    """,
+    tags=("graph", "link-prediction"),
+)
+def common_neighbor_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-supply graph: the top {_LP_TOP}
+    NON-adjacent supplier pairs by common-neighbor count (with the
+    neighborhood-Jaccard tiebreak) — 'which two suppliers that don't
+    yet co-supply are most likely to' (Liben-Nowell & Kleinberg's
+    common-neighbors baseline, the score every production link
+    predictor is benchmarked against).
+
+    Scale shape: one wedge self-join on the shared-neighbor key (the
+    same C(d,2)-per-node expansion as triangle counting — bounded
+    upstream by the threshold + _COSUPPLY_CAP), a map-side-combined
+    pair count, a broadcast anti-join against existing edges, two
+    broadcast degree joins, and a TakeOrdered top-k (never a global
+    sort). The score is exact integers; Jaccard is one rounded
+    division."""
+    t = load(spark, sf_dir)
+    pairs = _cosupply_pairs(t).persist()
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR).persist()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    a = sym.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    b = sym.select(F.col("u").alias("c"), F.col("v").alias("y"))
+    cn = (
+        a.join(b, "c")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cand = cn.join(
+        edges,
+        (cn.x == edges.u) & (cn.y == edges.v),
+        "left_anti",
+    )
+    dx = F.broadcast(deg.withColumnRenamed("node", "x")
+                     .withColumnRenamed("d", "dx"))
+    dy = F.broadcast(deg.withColumnRenamed("node", "y")
+                     .withColumnRenamed("d", "dy"))
+    scored = (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            "n_common",
+            (
+                F.round(
+                    F.col("n_common")
+                    / (F.col("dx") + F.col("dy") - F.col("n_common")),
+                    6,
+                ) + 0.0
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_common").desc(), F.col("jaccard").desc(), "u", "v"
+    ).limit(_LP_TOP)

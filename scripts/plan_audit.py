@@ -270,6 +270,35 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
                      "BatchEvalPython", "ArrowEvalPython"],
     },
+    "local_clustering_coefficient": {
+        # oriented wedge join + per-corner explode + node-keyed count,
+        # joined onto the degree frame; one rounded division. (The one
+        # nested loop is the 1-row scalar threshold broadcast — the
+        # registry-tagged bounded pattern shared by the whole
+        # co-supply family.)
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "common_neighbor_link_prediction": {
+        # wedge self-join + map-side pair count + anti-join existing
+        # edges + broadcast degree joins; top-k via TakeOrdered, never
+        # a global sort. (Scalar-threshold broadcast NL as above.)
+        "must": ["HashAggregate", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+    },
+    "ngram_novelty_rate": {
+        # gram digest stream + digest-keyed argmin + join-back + tiny
+        # source rollup; keyed hash shuffles only
+        "must": ["Generate", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_sort": True,
+    },
     "substring_dup_spans": {
         # gram digest stream (posexplode) + digest-keyed count +
         # join-back, then a doc-bounded islands window; keyed hash
