@@ -197,6 +197,9 @@ ROUND_CHANGED = frozenset({
     # co-supply graph
     "local_clustering_coefficient",
     "common_neighbor_link_prediction",
+    # round-9 new: shrinkage-aware ranking + empirical-Bayes rates
+    "wilson_lower_bound_ranking",
+    "eb_shrunk_return_rates",
 })
 
 

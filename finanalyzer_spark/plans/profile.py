@@ -3052,3 +3052,185 @@ def granger_causality_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("granger_f"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson lower-bound ranking (round 9)
+# --------------------------------------------------------------------------
+_WILSON_Z = 1.96     #: 95% two-sided normal quantile, shared literal
+_WILSON_TOP = 20
+
+
+@query(
+    "wilson_lower_bound_ranking",
+    # the bound is one fixed-shape float expression over the exact
+    # integer (n, x) pair — no float aggregation, so engine summation
+    # order cannot perturb it; the top-k cut is under a total order
+    # (bound desc, suppkey).
+    oracle=f"""
+    WITH s AS (
+        SELECT l_suppkey,
+               count(*) AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   ::BIGINT AS x
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n, x,
+           round((x * 1.0 / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+                  - {_WILSON_Z} * sqrt((x * 1.0 / n * (1.0 - x * 1.0 / n)
+                    + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n)) / n))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) + 0.0
+               AS wilson_lb
+    FROM s
+    ORDER BY wilson_lb DESC, l_suppkey
+    LIMIT {_WILSON_TOP}
+    """,
+    tags=("stats", "ranking"),
+)
+def wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by the Wilson score interval's LOWER bound on
+    their return rate (z={_WILSON_Z}) — the shrinkage-aware 'worst
+    reliably-bad suppliers' ranking (the Reddit/Evan Miller best-rated
+    formulation, inverted): a supplier with 3/3 returns ranks below
+    one with 80/100, because the bound prices the sample size.
+
+    Scale shape: one map-side-combined groupBy over lineitem, the
+    closed-form bound as a codegen expression over exact integers, and
+    a TakeOrdered top-{_WILSON_TOP} — no window, no global sort."""
+    t = load(spark, sf_dir)
+    z = F.lit(_WILSON_Z)
+    s = t.lineitem.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+    p = F.col("x") * 1.0 / F.col("n")
+    lb = (
+        p + z * z / (2.0 * F.col("n"))
+        - z * F.sqrt(
+            (p * (1.0 - p) + z * z / (4.0 * F.col("n"))) / F.col("n")
+        )
+    ) / (1.0 + z * z / F.col("n"))
+    return (
+        s.select(
+            "l_suppkey", "n", "x",
+            (F.round(lb, 6) + 0.0).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), "l_suppkey")
+        .limit(_WILSON_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# empirical-Bayes beta-binomial shrinkage (round 9)
+# --------------------------------------------------------------------------
+#: fixed-point scale for per-supplier rates: integer division keeps
+#: the prior's method-of-moments inputs EXACT in both engines (float
+#: sums over groups would differ by summation order)
+_EB_SCALE = 1_000_000_000
+
+
+@query(
+    "eb_shrunk_return_rates",
+    # prior moments from integer-exact fixed-point rates (DECIMAL
+    # sums), ONE float expression for (alpha, beta), then a per-row
+    # closed form over exact integers — the repo's integer-moments
+    # float discipline end to end.
+    oracle=f"""
+    WITH s AS (
+        SELECT l_suppkey,
+               count(*) AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   ::BIGINT AS x
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    r AS (SELECT l_suppkey, n, x,
+                 x * {_EB_SCALE} // n AS ri FROM s),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS k,
+               sum(CAST(ri AS DECIMAL(19,0))) AS s1,
+               -- 19+19=38: the product stays inside DuckDB's widest
+               -- decimal; ri <= 1e9 so ri^2 <= 1e18 and the sum is
+               -- exact in the DECIMAL(38) accumulator
+               sum(CAST(ri AS DECIMAL(19,0)) * CAST(ri AS DECIMAL(19,0)))
+                   AS s2
+        FROM r
+    ),
+    prior AS (
+        SELECT greatest(
+                   CAST(m AS DOUBLE) * (1.0 - CAST(m AS DOUBLE))
+                   / CAST(v AS DOUBLE) - 1.0, 0.0) AS ab,
+               CAST(m AS DOUBLE) AS mf
+        FROM (
+            -- CAST the scale to DOUBLE: a bare 1e9.0 literal parses
+            -- as DECIMAL in DuckDB and its folded square overflows
+            SELECT CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+                       / CAST({_EB_SCALE} AS DOUBLE) AS m,
+                   (CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)))
+                   / (CAST({_EB_SCALE} AS DOUBLE)
+                      * CAST({_EB_SCALE} AS DOUBLE)) AS v
+            FROM mo
+        )
+    )
+    SELECT r.l_suppkey, r.n, r.x,
+           round(r.x * 1.0 / r.n, 6) + 0.0 AS raw_rate,
+           round((r.x + p.mf * p.ab) * 1.0 / (r.n + p.ab), 6) + 0.0
+               AS shrunk_rate
+    FROM r, prior p
+    """,
+    tags=("stats", "empirical-bayes"),
+)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier return rates shrunk toward an empirical-Bayes
+    beta-binomial prior fit by method of moments on the corpus itself
+    (Robbins' classic; the estimator behind every 'adjusted rating'
+    leaderboard): small-sample suppliers pull hard toward the global
+    mean, high-volume suppliers keep their own rate.
+
+    Float-parity discipline: per-supplier rates enter the prior fit as
+    EXACT fixed-point integers (x * SCALE // n — integer division, so
+    both engines see identical values), the two prior moments
+    accumulate in DECIMAL(38,0), and (alpha, beta) come out of one
+    fixed-shape float expression; the per-row shrunk rate is a closed
+    form over exact integers and those two scalars. Negative
+    method-of-moments mass (underdispersion) clamps to zero
+    shrinkage."""
+    t = load(spark, sf_dir)
+    s = t.lineitem.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+    r = s.withColumn(
+        "ri",
+        F.floor(F.col("x") * F.lit(_EB_SCALE) / F.col("n")).cast("long"),
+    )
+    dec = "decimal(38,0)"
+    mo = r.agg(
+        F.count("*").cast(dec).alias("k"),
+        F.sum(F.col("ri").cast(dec)).alias("s1"),
+        F.sum(F.col("ri").cast(dec) * F.col("ri").cast(dec)).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = d("s1") / d("k") / F.lit(float(_EB_SCALE))
+    v = (
+        d("s2") / d("k") - (d("s1") / d("k")) * (d("s1") / d("k"))
+    ) / F.lit(float(_EB_SCALE) * float(_EB_SCALE))
+    prior = mo.select(
+        F.greatest(m * (1.0 - m) / v - 1.0, F.lit(0.0)).alias("ab"),
+        m.alias("mf"),
+    )
+    return r.crossJoin(F.broadcast(prior)).select(
+        "l_suppkey", "n", "x",
+        (F.round(F.col("x") * 1.0 / F.col("n"), 6) + 0.0)
+        .alias("raw_rate"),
+        (
+            F.round(
+                (F.col("x") + F.col("mf") * F.col("ab")) * 1.0
+                / (F.col("n") + F.col("ab")),
+                6,
+            ) + 0.0
+        ).alias("shrunk_rate"),
+    )

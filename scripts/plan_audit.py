@@ -291,6 +291,23 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "wilson_lower_bound_ranking": {
+        # one map-side groupBy + closed-form bound expression +
+        # TakeOrdered top-k
+        "must": ["HashAggregate", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "SortMergeJoin", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "eb_shrunk_return_rates": {
+        # per-supplier groupBy + exact decimal prior moments (1-row
+        # scalar broadcast) + per-row closed form; the nested loop is
+        # the 1-row prior broadcast
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "ngram_novelty_rate": {
         # gram digest stream + digest-keyed argmin + join-back + tiny
         # source rollup; keyed hash shuffles only
