@@ -200,6 +200,8 @@ ROUND_CHANGED = frozenset({
     # round-9 new: shrinkage-aware ranking + empirical-Bayes rates
     "wilson_lower_bound_ranking",
     "eb_shrunk_return_rates",
+    # round-9 new: Holt linear-trend backtest (recursive-CTE twin)
+    "holt_forecast_backtest",
 })
 
 

@@ -3234,3 +3234,150 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("shrunk_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast backtest (round 9)
+# --------------------------------------------------------------------------
+#: exact binary fractions — 0.5/0.25 have finite base-2 expansions, so
+#: the recurrence arithmetic is the same IEEE sequence in both engines
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+_HOLT_ROUND = 6  #: per-step state rounding (HALF_UP, both engines)
+
+
+@query(
+    "holt_forecast_backtest",
+    # per-step state rounding is HALF_UP in BOTH engines (DuckDB
+    # round() is half-away-from-zero; the Spark kernel reimplements it
+    # — numpy's default is half-to-even and would diverge on exact
+    # boundaries); errors quantize to integer cents so the backtest
+    # moments accumulate as exact DECIMAL integers.
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY d) AS t, rev FROM daily
+    ),
+    holt(t, l, b, sae, sse, cnt) AS (
+        SELECT 1::BIGINT,
+               CAST(i1.rev AS DOUBLE),
+               CAST(i2.rev - i1.rev AS DOUBLE),
+               CAST(0 AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)),
+               0::BIGINT
+        FROM (SELECT rev FROM idx WHERE t = 1) i1,
+             (SELECT rev FROM idx WHERE t = 2) i2
+        UNION ALL
+        SELECT h.t + 1,
+               round({_HOLT_ALPHA} * CAST(i.rev AS DOUBLE)
+                     + (1.0 - {_HOLT_ALPHA}) * (h.l + h.b),
+                     {_HOLT_ROUND}),
+               round({_HOLT_BETA}
+                     * (round({_HOLT_ALPHA} * CAST(i.rev AS DOUBLE)
+                              + (1.0 - {_HOLT_ALPHA}) * (h.l + h.b),
+                              {_HOLT_ROUND}) - h.l)
+                     + (1.0 - {_HOLT_BETA}) * h.b, {_HOLT_ROUND}),
+               h.sae + CAST(abs(CAST(round(
+                   CAST(i.rev AS DOUBLE) - (h.l + h.b), 0) AS BIGINT))
+                   AS DECIMAL(38,0)),
+               h.sse + CAST(CAST(round(
+                   CAST(i.rev AS DOUBLE) - (h.l + h.b), 0) AS BIGINT)
+                   AS DECIMAL(38,0))
+                   * CAST(CAST(round(
+                   CAST(i.rev AS DOUBLE) - (h.l + h.b), 0) AS BIGINT)
+                   AS DECIMAL(38,0)),
+               h.cnt + 1
+        FROM holt h JOIN idx i ON i.t = h.t + 1
+    )
+    SELECT cnt AS n_forecasts,
+           round(CAST(sae AS DOUBLE) / cnt / 100.0, 4) + 0.0
+               AS mae_dollars,
+           round(sqrt(CAST(sse AS DOUBLE) / cnt) / 100.0, 4) + 0.0
+               AS rmse_dollars,
+           round(l / 100.0, 2) + 0.0 AS final_level_dollars,
+           round(b / 100.0, 2) + 0.0 AS final_trend_dollars
+    FROM holt
+    WHERE t = (SELECT max(t) FROM idx)
+    """,
+    tags=("profile", "timeseries", "eval", "forecast"),
+)
+def holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of Holt's linear-trend exponential
+    smoothing (alpha={_HOLT_ALPHA}, beta={_HOLT_BETA}; Hyndman &
+    Athanasopoulos FPP §8.2) on daily revenue: level/trend recurrence
+    in strict day order, forecast yhat_t = l_(t-1) + b_(t-1), and
+    MAE/RMSE over the whole series — the first model every forecaster
+    fits after the naive baseline (naive_forecast_backtest is the
+    curve this one must beat on trending series).
+
+    Scale shape: the fact table collapses to the CALENDAR-BOUNDED
+    daily frame first (TPC-H dates span ~2,500 days at every SF), and
+    only that bounded frame enters a single-group applyInPandas for
+    the inherently sequential recurrence — the same
+    bounded-by-construction contract as the ADF/Engle-Granger family.
+    The DuckDB twin replays the identical recurrence as a recursive
+    CTE; per-step HALF_UP rounding and integer-cent errors keep the
+    two engines bit-aligned."""
+    import pandas as pd
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    alpha, beta, rnd = _HOLT_ALPHA, _HOLT_BETA, _HOLT_ROUND
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        def r_half_up(x: float, k: int) -> float:
+            s = 10.0 ** k
+            return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+        pdf = pdf.sort_values("d")
+        y = pdf["rev"].to_numpy()
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["n_forecasts", "mae_dollars", "rmse_dollars",
+                         "final_level_dollars", "final_trend_dollars"]
+            )
+        lvl = float(y[0])
+        trd = float(y[1] - y[0])
+        sae = sse = cnt = 0
+        for yt in y[1:]:
+            e = int(r_half_up(float(yt) - (lvl + trd), 0))
+            sae += abs(e)
+            sse += e * e
+            cnt += 1
+            new_l = r_half_up(alpha * float(yt) + (1.0 - alpha)
+                              * (lvl + trd), rnd)
+            trd = r_half_up(beta * (new_l - lvl) + (1.0 - beta) * trd,
+                            rnd)
+            lvl = new_l
+        return pd.DataFrame(
+            [{
+                "n_forecasts": cnt,
+                "mae_dollars": r_half_up(sae / cnt / 100.0, 4) + 0.0,
+                "rmse_dollars": r_half_up(
+                    math.sqrt(sse / cnt) / 100.0, 4) + 0.0,
+                "final_level_dollars": r_half_up(lvl / 100.0, 2) + 0.0,
+                "final_trend_dollars": r_half_up(trd / 100.0, 2) + 0.0,
+            }]
+        )
+
+    return daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        kernel,
+        schema=(
+            "n_forecasts long, mae_dollars double, rmse_dollars double,"
+            " final_level_dollars double, final_trend_dollars double"
+        ),
+    ).drop("_g")

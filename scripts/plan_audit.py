@@ -291,6 +291,16 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "holt_forecast_backtest": {
+        # fact table collapses to the calendar-bounded daily frame,
+        # then ONE Arrow grouped-map carries the sequential recurrence
+        # (bounded by construction: TPC-H dates span ~2,500 days at
+        # every SF); no row-at-a-time Python
+        "must": ["HashAggregate", "FlatMapGroupsInPandas"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython"],
+        "no_global_sort": True,
+    },
     "wilson_lower_bound_ranking": {
         # one map-side groupBy + closed-form bound expression +
         # TakeOrdered top-k
