@@ -202,6 +202,8 @@ ROUND_CHANGED = frozenset({
     "eb_shrunk_return_rates",
     # round-9 new: Holt linear-trend backtest (recursive-CTE twin)
     "holt_forecast_backtest",
+    # round-9 new: checksum-validated PAN detection
+    "luhn_pii_audit",
 })
 
 

@@ -1146,3 +1146,118 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(dedup, "host").select(
         "host", "n_urls", "n_distinct_norm", "n_tracking", "norm_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Luhn-validated PAN detection (round 9)
+# --------------------------------------------------------------------------
+#: deterministic 15-digit PAN bases synthesized from doc_id (the
+#: fixture corpus carries no digits, so the payloads are constructed
+#: the way the media queries construct theirs); multiplier is prime so
+#: consecutive ids give unrelated digit patterns
+_LUHN_MULT = 7919
+
+
+@query(
+    "luhn_pii_audit",
+    # the oracle SHARES the generator arithmetic (same literals: the
+    # 15-digit base and its Luhn check digit) but predicts validity
+    # PURELY from the construction rule (even doc_id => correct check
+    # digit). The Spark side must both generate identically AND run a
+    # genuine Luhn detector over the digit string — a broken detector
+    # (wrong parity, missing the >9 fold, wrong direction) flips
+    # luhn_valid on some rows and breaks the hash.
+    oracle=f"""
+    WITH pan15 AS (
+        SELECT doc_id,
+               lpad(CAST((doc_id * {_LUHN_MULT} + 123456789)
+                         % 1000000000000000 AS VARCHAR), 15, '0') AS p
+        FROM documents
+    ),
+    gen AS (
+        SELECT doc_id, p,
+               -- Luhn sum of the 15-digit base as seen from the check
+               -- digit's right: position i (1-based from left) sits
+               -- 16-i from the right, so odd 16-i (i.e. even i+1...)
+               -- doubles; fold >9 by subtracting 9
+               list_sum(list_transform(range(1, 16), i ->
+                   CASE WHEN (16 - i) % 2 = 1
+                        THEN CASE WHEN substr(p, i, 1)::INT * 2 > 9
+                                  THEN substr(p, i, 1)::INT * 2 - 9
+                                  ELSE substr(p, i, 1)::INT * 2 END
+                        ELSE substr(p, i, 1)::INT END)) AS s
+        FROM pan15
+    ),
+    pans AS (
+        SELECT doc_id,
+               p || CAST(CASE WHEN doc_id % 2 = 0
+                              THEN (10 - s % 10) % 10
+                              ELSE ((10 - s % 10) % 10 + 1) % 10
+                         END AS VARCHAR) AS pan
+        FROM gen
+    )
+    SELECT doc_id,
+           substr(pan, 13, 4) AS last4,
+           doc_id % 2 = 0 AS luhn_valid
+    FROM pans
+    """,
+    tags=("curation", "pii"),
+)
+def luhn_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-VALIDATED payment-card detection — the precision layer
+    every production PII scrubber adds on top of the 16-digit regex
+    (pii_scrub_stats): a candidate only counts as a card number when
+    its Luhn (ISO/IEC 7812) check digit verifies, which kills the
+    overwhelmingly-common false positives (order ids, timestamps,
+    phone numbers with country codes).
+
+    Per document a deterministic 16-digit candidate is synthesized
+    (even doc_ids carry the correct check digit, odd ones a corrupted
+    one) and the detector recomputes the checksum from the digit
+    string with one codegen aggregate — doubling every second digit
+    from the right and folding >9 down by 9. No UDFs; the whole
+    detector is a higher-order-function expression a 100 TB scrub
+    pass runs at scan speed."""
+    t = load(spark, sf_dir)
+    pan15 = t.documents.select(
+        "doc_id",
+        F.lpad(
+            ((F.col("doc_id") * _LUHN_MULT + 123456789)
+             % F.lit(10 ** 15)).cast("string"),
+            15, "0",
+        ).alias("p"),
+    )
+    base_sum = (
+        "aggregate(sequence(1, 15), 0, (acc, i) -> acc + "
+        "CASE WHEN (16 - i) % 2 = 1 "
+        "THEN CASE WHEN cast(substring(p, i, 1) AS INT) * 2 > 9 "
+        "     THEN cast(substring(p, i, 1) AS INT) * 2 - 9 "
+        "     ELSE cast(substring(p, i, 1) AS INT) * 2 END "
+        "ELSE cast(substring(p, i, 1) AS INT) END)"
+    )
+    gen = pan15.withColumn("s", F.expr(base_sum))
+    check = (10 - F.col("s") % 10) % 10
+    pans = gen.select(
+        "doc_id",
+        F.concat(
+            F.col("p"),
+            F.when(F.col("doc_id") % 2 == 0, check)
+            .otherwise((check + 1) % 10)
+            .cast("int").cast("string"),
+        ).alias("pan"),
+    )
+    # the DETECTOR: full 16-digit Luhn verification, independent of
+    # the generator's parity shortcut
+    luhn_total = (
+        "aggregate(sequence(1, 16), 0, (acc, i) -> acc + "
+        "CASE WHEN (17 - i) % 2 = 0 "
+        "THEN CASE WHEN cast(substring(pan, i, 1) AS INT) * 2 > 9 "
+        "     THEN cast(substring(pan, i, 1) AS INT) * 2 - 9 "
+        "     ELSE cast(substring(pan, i, 1) AS INT) * 2 END "
+        "ELSE cast(substring(pan, i, 1) AS INT) END)"
+    )
+    return pans.select(
+        "doc_id",
+        F.substring("pan", 13, 4).alias("last4"),
+        (F.expr(luhn_total) % 10 == 0).alias("luhn_valid"),
+    )

@@ -291,6 +291,16 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "luhn_pii_audit": {
+        # generator + detector are single codegen HOF expressions over
+        # the digit string — pure per-row arithmetic, no joins, no
+        # Python
+        "must": ["Project"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "SortMergeJoin", "Window", "HashAggregate",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "holt_forecast_backtest": {
         # fact table collapses to the calendar-bounded daily frame,
         # then ONE Arrow grouped-map carries the sequential recurrence

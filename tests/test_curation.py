@@ -141,3 +141,39 @@ def test_ngrams_matches_python_reference(spark, text, k):
         " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
     ]
     assert _grams_of(spark, text, k) == expect
+
+
+def test_luhn_detector_against_known_numbers(spark):
+    """The Luhn detector expression inside luhn_pii_audit verified
+    against externally-known valid card test numbers (the standard
+    ISO/IEC 7812 examples published for payment-gateway sandboxes) and
+    single-digit corruptions of each — ground truth independent of the
+    query's own generator."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    valid = [
+        "4532015112830366",  # Visa test number
+        "4539578763621486",  # Visa
+        "5425233430109903",  # Mastercard
+        "2223000048410010",  # Mastercard 2-series
+        "6011000991300009",  # Discover
+    ]
+    corrupt = [v[:-1] + str((int(v[-1]) + 5) % 10) for v in valid]
+    df = spark.createDataFrame(
+        pd.DataFrame({"pan": valid + corrupt})
+    )
+    expr = (
+        "aggregate(sequence(1, 16), 0, (acc, i) -> acc + "
+        "CASE WHEN (17 - i) % 2 = 0 "
+        "THEN CASE WHEN cast(substring(pan, i, 1) AS INT) * 2 > 9 "
+        "     THEN cast(substring(pan, i, 1) AS INT) * 2 - 9 "
+        "     ELSE cast(substring(pan, i, 1) AS INT) * 2 END "
+        "ELSE cast(substring(pan, i, 1) AS INT) END) % 10 = 0"
+    )
+    got = {r["pan"]: r["ok"] for r in
+           df.select("pan", F.expr(expr).alias("ok")).collect()}
+    for v in valid:
+        assert got[v] is True, v
+    for c in corrupt:
+        assert got[c] is False, c
