@@ -204,6 +204,9 @@ ROUND_CHANGED = frozenset({
     "holt_forecast_backtest",
     # round-9 new: checksum-validated PAN detection
     "luhn_pii_audit",
+    # round-9 new: multiprobe LSH ANN + its measured recall trade
+    "ann_multiprobe_topk",
+    "ann_multiprobe_recall_eval",
 })
 
 

@@ -1578,3 +1578,305 @@ def ari_cell_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ari"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# multiprobe LSH ANN (round 9) — probe the query's own sign-bit bucket
+# plus every Hamming-1 neighbor (one plane bit flipped): the standard
+# recall-vs-memory trade (Lv et al. 2007) that buys back most of the
+# recall lost to bucketing WITHOUT adding planes or replicas.
+# --------------------------------------------------------------------------
+_MP_PLANES = 8
+_MP_K = 5
+_MP_QCUT = 8
+
+
+def _multiprobe_topk_oracle(k: int = _MP_K, q_cut: int = _MP_QCUT) -> str:
+    probes = ", ".join(
+        ["q.bucket"] + [f"xor(q.bucket, {2 ** i})"
+                        for i in range(_MP_PLANES)]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+           {_bucket_bits_sql(_MP_PLANES, 64)} AS bucket
+        FROM e
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.v AS qv,
+               unnest([{probes}]) AS pb
+        FROM b q WHERE q.vec_id < {q_cut}
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(p.qv, c.v), 5) + 0.0
+                   AS cosine
+        FROM probes p JOIN b c ON c.bucket = p.pb
+        WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, match_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=_multiprobe_topk_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH top-{_MP_K} (Lv et al. 2007): each query probes
+    its own sign-bit bucket plus all {_MP_PLANES} Hamming-1 neighbors
+    (one plane bit flipped — the buckets a borderline projection most
+    likely fell into), then exact cosine re-ranks the union. Candidate
+    set grows ~9x vs single-probe while staying a bucket-keyed
+    equi-join — the standard way to buy recall without more planes,
+    more memory, or all-pairs.
+
+    Scale shape: the probe fan-out is a 9-element explode on the TINY
+    query side only; candidates join on the bucket key exactly like
+    ann_lsh_topk. Each corpus vector lives in ONE bucket, so the
+    probe union needs no dedup."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    b = hyperplane_lsh_buckets(
+        t.embeddings, "embedding", num_planes=_MP_PLANES, dim=64
+    )
+    probe_arr = F.array(
+        F.col("lsh_bucket"),
+        *[
+            F.expr(f"lsh_bucket ^ {2 ** i}")
+            for i in range(_MP_PLANES)
+        ],
+    )
+    q = (
+        b.where(F.col("vec_id") < _MP_QCUT)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qvec"),
+            F.explode(probe_arr).alias("pb"),
+        )
+    )
+    c = b.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("lsh_bucket").alias("pb"),
+        F.col("embedding").alias("_cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "pb")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5)
+             + 0.0).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _MP_K)
+        .drop("_rn")
+    )
+
+
+def _multiprobe_recall_oracle(k: int = _MP_K, q_cut: int = _MP_QCUT) -> str:
+    probes = ", ".join(
+        ["q.bucket"] + [f"xor(q.bucket, {2 ** i})"
+                        for i in range(_MP_PLANES)]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {q_cut}
+    ),
+    exact_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, match_id
+            ) AS rn FROM exact_scored
+        ) WHERE rn <= {k}
+    ),
+    b AS (
+        SELECT vec_id, v,
+           {_bucket_bits_sql(_MP_PLANES, 64)} AS bucket
+        FROM e
+    ),
+    single AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
+        FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {q_cut}
+    ),
+    single_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, match_id
+            ) AS rn FROM single
+        ) WHERE rn <= {k}
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.v AS qv,
+               unnest([{probes}]) AS pb
+        FROM b q WHERE q.vec_id < {q_cut}
+    ),
+    multi AS (
+        SELECT p.query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(p.qv, c.v), 5) + 0.0 AS cosine
+        FROM probes p JOIN b c ON c.bucket = p.pb
+        WHERE c.vec_id != p.query_id
+    ),
+    multi_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, match_id
+            ) AS rn FROM multi
+        ) WHERE rn <= {k}
+    ),
+    per_q AS (
+        SELECT x.query_id,
+               count(s.match_id) AS hit_s,
+               count(m.match_id) AS hit_m
+        FROM exact_topk x
+        LEFT JOIN single_topk s
+          ON s.query_id = x.query_id AND s.match_id = x.match_id
+        LEFT JOIN multi_topk m
+          ON m.query_id = x.query_id AND m.match_id = x.match_id
+        GROUP BY x.query_id
+    ),
+    cand AS (
+        SELECT (SELECT count(*) FROM single) AS n_cand_single,
+               (SELECT count(*) FROM multi) AS n_cand_multi
+    )
+    SELECT (SELECT count(*) FROM per_q) AS n_queries,
+           round((SELECT sum(hit_s) FROM per_q) * 1.0
+                 / ((SELECT count(*) FROM per_q) * {k}), 6) + 0.0
+               AS recall_single,
+           round((SELECT sum(hit_m) FROM per_q) * 1.0
+                 / ((SELECT count(*) FROM per_q) * {k}), 6) + 0.0
+               AS recall_multiprobe,
+           (SELECT n_cand_single FROM cand) AS n_cand_single,
+           (SELECT n_cand_multi FROM cand) AS n_cand_multi
+    """
+
+
+@query(
+    "ann_multiprobe_recall_eval",
+    oracle=_multiprobe_recall_oracle(),
+    tags=("similarity", "ann", "eval"),
+)
+def ann_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiprobe trade MEASURED, not narrated: recall@{_MP_K}
+    of single-probe vs Hamming-1 multiprobe LSH against the exact
+    brute-force truth, plus the total candidates each scanned — the
+    two numbers (recall bought, candidates paid) that decide whether
+    multiprobe or more planes wins for a given corpus.
+
+    All integer hit counts; two rounded divisions at the end."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    k, q_cut = _MP_K, _MP_QCUT
+    queries_df = t.embeddings.where(F.col("vec_id") < q_cut)
+    exact = cosine_topk(
+        corpus=t.embeddings, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=k,
+    ).select("query_id", "match_id")
+
+    b = hyperplane_lsh_buckets(
+        t.embeddings, "embedding", num_planes=_MP_PLANES, dim=64
+    ).persist()
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+
+    qs = b.where(F.col("vec_id") < q_cut).select(
+        F.col("vec_id").alias("query_id"), "lsh_bucket",
+        F.col("embedding").alias("_qvec"),
+    )
+    cs = b.select(
+        F.col("vec_id").alias("match_id"), "lsh_bucket",
+        F.col("embedding").alias("_cvec"),
+    )
+    single = (
+        cs.join(F.broadcast(qs), "lsh_bucket")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5)
+             + 0.0).alias("cosine"),
+        )
+        .persist()
+    )
+    probe_arr = F.array(
+        F.col("lsh_bucket"),
+        *[F.expr(f"lsh_bucket ^ {2 ** i}") for i in range(_MP_PLANES)],
+    )
+    qm = (
+        b.where(F.col("vec_id") < q_cut)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qvec"),
+            F.explode(probe_arr).alias("pb"),
+        )
+    )
+    cm = b.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("lsh_bucket").alias("pb"),
+        F.col("embedding").alias("_cvec"),
+    )
+    multi = (
+        cm.join(F.broadcast(qm), "pb")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5)
+             + 0.0).alias("cosine"),
+        )
+        .persist()
+    )
+
+    def topk(scored):
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("query_id", "match_id", F.lit(1).alias("_hit"))
+        )
+
+    per_q = (
+        exact.join(F.broadcast(topk(single).withColumnRenamed("_hit", "_s")),
+                   ["query_id", "match_id"], "left")
+        .join(F.broadcast(topk(multi).withColumnRenamed("_hit", "_m")),
+              ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_s").alias("hit_s"), F.count("_m").alias("hit_m"))
+    )
+    tot = per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("hit_s").alias("hs"),
+        F.sum("hit_m").alias("hm"),
+    )
+    nc_s = single.agg(F.count("*").alias("n_cand_single"))
+    nc_m = multi.agg(F.count("*").alias("n_cand_multi"))
+    return (
+        tot.crossJoin(F.broadcast(nc_s))
+        .crossJoin(F.broadcast(nc_m))
+        .select(
+            "n_queries",
+            (F.round(F.col("hs") / (F.col("n_queries") * k), 6) + 0.0)
+            .alias("recall_single"),
+            (F.round(F.col("hm") / (F.col("n_queries") * k), 6) + 0.0)
+            .alias("recall_multiprobe"),
+            "n_cand_single",
+            "n_cand_multi",
+        )
+    )

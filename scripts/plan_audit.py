@@ -291,6 +291,25 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "ann_multiprobe_topk": {
+        # 9-element probe explode on the tiny query side only; the
+        # candidate side joins on the bucket key; bounded per-query
+        # rank window
+        "must": ["Generate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "ann_multiprobe_recall_eval": {
+        # three candidate pipelines (exact / single / multiprobe) over
+        # one persisted bucket frame; integer hit counts, two rounded
+        # divisions; the nested loop is the brute-force truth's tiny
+        # query broadcast
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "luhn_pii_audit": {
         # generator + detector are single codegen HOF expressions over
         # the digit string — pure per-row arithmetic, no joins, no
