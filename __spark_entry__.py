@@ -207,6 +207,8 @@ ROUND_CHANGED = frozenset({
     # round-9 new: multiprobe LSH ANN + its measured recall trade
     "ann_multiprobe_topk",
     "ann_multiprobe_recall_eval",
+    # round-9 new: TGA codec certification
+    "media_tga_pixel_stats",
 })
 
 

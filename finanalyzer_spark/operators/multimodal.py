@@ -1684,6 +1684,19 @@ def probe_media(buf: bytes) -> dict:
                     "height": px.shape[0], "n_frames": 1}
         except (ValueError, NotImplementedError):
             return out
+    if buf[-18:] == b"TRUEVISION-XFILE.\x00":
+        # TGA v2: the header has no magic — the footer signature is
+        # the format's only reliable mark (spec §"TGA File Footer")
+        try:
+            (_idl, _cm, img_type, _a, _b, _c, _x, _y, w, h, depth,
+             _d) = struct.unpack("<BBBHHBHHHHBB", buf[:18])
+            codec = {2: "tga", 3: "tga-gray", 10: "tga-rle",
+                     11: "tga-rle-gray"}.get(img_type, f"tga-{img_type}")
+            return {**out, "kind": "image", "container": "tga",
+                    "codec": codec, "width": w, "height": h,
+                    "n_frames": 1, "channels": max(depth // 8, 1)}
+        except struct.error:
+            return {**out, "kind": "image", "container": "tga"}
     # ---- audio
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         # name the codec from the fmt tag (decode_wav validates the

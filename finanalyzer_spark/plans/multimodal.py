@@ -1843,3 +1843,84 @@ def media_exr_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " px_sum long, px_max int"
         ),
     )
+
+
+@query(
+    "media_tga_pixel_stats",
+    # identical oracle discipline to media_qoi_pixel_stats: the
+    # decoded-pixel stats must equal stats of the SOURCE characters —
+    # TGA RLE is lossless, so one wrong run length, packet boundary or
+    # BGR swap anywhere shifts px_sum and breaks the hash.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, least(length(text) // 24, 64)) AS w
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, w * 24), ''),
+                   c -> ascii(c)) AS bs
+        FROM d JOIN documents USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           8 AS height,
+           CAST(w * 8 AS BIGINT) AS n_pixels,
+           CAST(list_sum(bs) AS BIGINT) AS px_sum,
+           CAST(list_max(bs) AS INT) AS px_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "tga"),
+)
+def media_tga_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round trip through Truevision TGA
+    (operators/tga.py): each document's leading bytes become an
+    (8, w, 3) image, encode to a genuine type-10 RLE TGA byte stream
+    (bottom-up storage handled by the top-origin flag, BGR channel
+    order on disk), decode with the exact-or-refuse decoder, and
+    report pixel stats computed from the DECODED array — the oracle
+    recomputes them from the source characters, so the hash certifies
+    losslessness through the run/raw packet mix the text-derived
+    images produce."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.tga import decode_tga, encode_tga
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, img = _doc_image(text)
+                dec = decode_tga(encode_tga(img, rle=True))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "width": w,
+                        "height": 8,
+                        "n_pixels": int(dec.shape[0] * dec.shape[1]),
+                        "px_sum": int(dec.astype(np.int64).sum()),
+                        "px_max": int(dec.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "px_sum", "px_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " px_sum long, px_max int"
+        ),
+    )

@@ -291,6 +291,15 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "media_tga_pixel_stats": {
+        # one Arrow kernel over the scan; payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "ann_multiprobe_topk": {
         # 9-element probe explode on the tiny query side only; the
         # candidate side joins on the bucket key; bounded per-query
