@@ -209,6 +209,8 @@ ROUND_CHANGED = frozenset({
     "ann_multiprobe_recall_eval",
     # round-9 new: TGA codec certification
     "media_tga_pixel_stats",
+    # round-9 new: Z-order layout locality audit
+    "zorder_locality_audit",
 })
 
 

@@ -3381,3 +3381,155 @@ def holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " final_level_dollars double, final_trend_dollars double"
         ),
     ).drop("_g")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout locality audit (round 9)
+# --------------------------------------------------------------------------
+_ZO_GRID_BITS = 4     #: 16x16 coordinate grid
+_ZO_FILES = 64        #: equal-row "files" per layout
+#: the 2-D probe predicate whose file-pruning cost the audit reports
+_ZO_BOX = (4, 7, 4, 7)
+#: tie-break multiplier packing the sort key into one BIGINT; supports
+#: order keys below 2^40 (6e11 — beyond the 100 TB TPC-H range)
+_ZO_PACK = 1 << 40
+
+
+def _zo_key_sql() -> str:
+    """Shared coordinate + Morton-code arithmetic over orders — all
+    integer ops, so both engines derive identical codes."""
+    b = _ZO_GRID_BITS
+    interleave = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i + 1}) + (((y >> {i}) & 1) << {2 * i})"
+        for i in range(b)
+    )
+    # integer division (// / div) on BOTH sides: DuckDB CAST(double
+    # AS BIGINT) rounds half-away while Spark's cast truncates, so a
+    # float quotient would put boundary rows in different grid cells
+    return f"""coords AS (
+        SELECT o_orderkey,
+               (o_custkey * {1 << b}) // (SELECT max(o_custkey) + 1
+                                          FROM orders) AS x,
+               (datediff('day', (SELECT min(o_orderdate) FROM orders),
+                         o_orderdate) * {1 << b})
+                   // (SELECT datediff('day', min(o_orderdate),
+                                       max(o_orderdate)) + 1
+                       FROM orders) AS y
+        FROM orders
+    ),
+    keyed AS (
+        SELECT o_orderkey, x, y,
+               ({interleave}) * {_ZO_PACK} + o_orderkey AS zkey,
+               y * {_ZO_PACK} + o_orderkey AS tkey
+        FROM coords
+    )"""
+
+
+@query(
+    "zorder_locality_audit",
+    oracle=f"""
+    WITH {_zo_key_sql()},
+    zfiles AS (
+        SELECT x, y, ntile({_ZO_FILES}) OVER (ORDER BY zkey) AS f
+        FROM keyed
+    ),
+    tfiles AS (
+        SELECT x, y, ntile({_ZO_FILES}) OVER (ORDER BY tkey) AS f
+        FROM keyed
+    ),
+    stats AS (
+        SELECT 'zorder' AS layout, f, min(x) AS x0, max(x) AS x1,
+               min(y) AS y0, max(y) AS y1
+        FROM zfiles GROUP BY f
+        UNION ALL
+        SELECT 'timesort', f, min(x), max(x), min(y), max(y)
+        FROM tfiles GROUP BY f
+    )
+    SELECT layout,
+           count(*) AS n_files,
+           round(avg(x1 - x0), 4) + 0.0 AS avg_x_span,
+           round(avg(y1 - y0), 4) + 0.0 AS avg_y_span,
+           sum(CASE WHEN x1 >= {_ZO_BOX[0]} AND x0 <= {_ZO_BOX[1]}
+                     AND y1 >= {_ZO_BOX[2]} AND y0 <= {_ZO_BOX[3]}
+                    THEN 1 ELSE 0 END)::BIGINT AS files_touched
+    FROM stats
+    GROUP BY layout
+    """,
+    tags=("profile", "layout", "scale-infra"),
+)
+def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-layout decision MEASURED: lay orders out in {_ZO_FILES}
+    equal-row files either Z-ordered (Morton-interleaved customer x
+    order-date grid coordinates — the Delta/Iceberg OPTIMIZE ZORDER
+    strategy) or time-sorted, compute each file's per-dimension min/max
+    envelope (exactly the column stats engines prune files with), and
+    report the average envelope spans plus how many files a fixed 2-D
+    box predicate (customer range x date range) would touch under each
+    layout. Z-order keeps BOTH spans small, so the box touches few
+    files; time-sort makes the customer span full-width and the same
+    predicate touches nearly everything — the number that justifies
+    re-clustering a 100 TB table.
+
+    Scale shape: all-integer coordinate/Morton arithmetic in codegen;
+    the two file assignments use operators/rank.global_ntile (the
+    ordered_scan formulation — NO single-partition window even though
+    the semantics are a global ntile); file envelopes are map-side
+    min/max aggregates on the file key."""
+    from ..operators.rank import global_ntile
+
+    t = load(spark, sf_dir)
+    b = _ZO_GRID_BITS
+    lim = t.orders.agg(
+        (F.max("o_custkey") + 1).alias("ckmax"),
+        F.min("o_orderdate").alias("d0"),
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1)
+        .alias("dspan"),
+    )
+    coords = t.orders.crossJoin(F.broadcast(lim)).select(
+        "o_orderkey",
+        F.expr(f"(o_custkey * {1 << b}) div ckmax").alias("x"),
+        F.expr(
+            f"(datediff(o_orderdate, d0) * {1 << b}) div dspan"
+        ).alias("y"),
+    )
+    z = None
+    for i in range(b):
+        term = (
+            F.shiftleft(F.shiftright("x", i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright("y", i).bitwiseAND(1), 2 * i)
+        )
+        z = term if z is None else z + term
+    keyed = coords.select(
+        "x", "y",
+        (z * _ZO_PACK + F.col("o_orderkey")).alias("zkey"),
+        (F.col("y") * _ZO_PACK + F.col("o_orderkey")).alias("tkey"),
+    )
+
+    def layout_stats(key: str, name: str):
+        files = global_ntile(keyed, [key], _ZO_FILES, out="f")
+        return (
+            files.groupBy("f")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .select(F.lit(name).alias("layout"), "x0", "x1", "y0", "y1")
+        )
+
+    stats = layout_stats("zkey", "zorder").unionByName(
+        layout_stats("tkey", "timesort")
+    )
+    xa, xb, ya, yb = _ZO_BOX
+    touched = (
+        (F.col("x1") >= xa) & (F.col("x0") <= xb)
+        & (F.col("y1") >= ya) & (F.col("y0") <= yb)
+    )
+    return stats.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        (F.round(F.avg(F.col("x1") - F.col("x0")), 4) + 0.0)
+        .alias("avg_x_span"),
+        (F.round(F.avg(F.col("y1") - F.col("y0")), 4) + 0.0)
+        .alias("avg_y_span"),
+        F.sum(F.when(touched, 1).otherwise(0)).cast("long")
+        .alias("files_touched"),
+    )

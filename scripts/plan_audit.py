@@ -291,6 +291,16 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "zorder_locality_audit": {
+        # all-integer Morton arithmetic in codegen; the two file
+        # assignments ride global_ntile's ordered_scan (no
+        # single-partition window/sort); envelopes are map-side
+        # min/max on the file key
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+    },
     "media_tga_pixel_stats": {
         # one Arrow kernel over the scan; payload bytes never shuffle
         "must": ["MapInPandas"],
