@@ -211,6 +211,8 @@ ROUND_CHANGED = frozenset({
     "media_tga_pixel_stats",
     # round-9 new: Z-order layout locality audit
     "zorder_locality_audit",
+    # round-9 new: item-item collaborative-filtering scores
+    "item_item_cosine_topk",
 })
 
 

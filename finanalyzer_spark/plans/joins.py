@@ -1061,3 +1061,101 @@ def spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("a"), F.lit(-1)).alias("min_a"),
         F.coalesce(F.max("b"), F.lit(-1)).alias("max_b"),
     )
+
+
+_IIC_TOP = 20
+_IIC_SCALE = 1_000_000_000_000  #: cos^2 fixed-point (integer-exact)
+
+
+@query(
+    "item_item_cosine_topk",
+    # ordering key is the INTEGER-exact scaled cosine^2
+    # (pair_cnt^2 * SCALE // (cnt_a * cnt_b)) so the top-k cut is
+    # deterministic in both engines; the float cosine is one rounded
+    # sqrt over the same exact integers, derived per-row.
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_cnt AS (
+        SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    scored AS (
+        SELECT p.part_a, p.part_b, p.pair_cnt,
+               p.pair_cnt * p.pair_cnt * {_IIC_SCALE}
+                   // (ca.cnt * cb.cnt) AS cos2_scaled
+        FROM pairs p
+        JOIN item_cnt ca ON ca.l_partkey = p.part_a
+        JOIN item_cnt cb ON cb.l_partkey = p.part_b
+    )
+    SELECT part_a, part_b, pair_cnt,
+           round(sqrt(CAST(cos2_scaled AS DOUBLE) / {_IIC_SCALE}), 6)
+               + 0.0 AS cosine
+    FROM scored
+    ORDER BY cos2_scaled DESC, part_a, part_b
+    LIMIT {_IIC_TOP}
+    """,
+    tags=("join", "analytics", "recsys"),
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering scores (the classic
+    Sarwar et al. 2001 item-kNN recommender): cosine over basket
+    co-occurrence vectors — pair_cnt / sqrt(cnt_a * cnt_b) — which,
+    unlike raw pair counts, doesn't let two merely-popular items crowd
+    out genuinely-associated ones; top {_IIC_TOP} pairs.
+
+    Scale shape: identical to basket_pair_lift (basket dedup, one
+    co-partitioned self-join bounded by C(basket_size, 2), broadcast
+    item counts onto surviving pairs) plus a TakeOrdered cut keyed on
+    the INTEGER-exact scaled cosine^2, so the boundary is never
+    decided by a float ulp."""
+    t = load(spark, sf_dir)
+    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_cnt = baskets.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 2)
+    )
+    ca = F.broadcast(item_cnt.withColumnRenamed("l_partkey", "part_a")
+                     .withColumnRenamed("cnt", "ca"))
+    cb = F.broadcast(item_cnt.withColumnRenamed("l_partkey", "part_b")
+                     .withColumnRenamed("cnt", "cb"))
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a", "part_b", "pair_cnt",
+            F.expr(
+                f"pair_cnt * pair_cnt * {_IIC_SCALE}"
+                f" div (ca * cb)"
+            ).alias("cos2_scaled"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("cos2_scaled").desc(), "part_a", "part_b"
+        )
+        .limit(_IIC_TOP)
+        .select(
+            "part_a", "part_b", "pair_cnt",
+            (
+                F.round(
+                    F.sqrt(F.col("cos2_scaled") / F.lit(float(_IIC_SCALE))),
+                    6,
+                ) + 0.0
+            ).alias("cosine"),
+        )
+    )

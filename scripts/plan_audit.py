@@ -291,6 +291,14 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "item_item_cosine_topk": {
+        # basket dedup + co-partitioned self-join + broadcast item
+        # counts + TakeOrdered on the integer-exact scaled cosine^2
+        "must": ["HashAggregate", "TakeOrderedAndProject",
+                 "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "Window", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "zorder_locality_audit": {
         # all-integer Morton arithmetic in codegen; the two file
         # assignments ride global_ntile's ordered_scan (no
