@@ -213,6 +213,8 @@ ROUND_CHANGED = frozenset({
     "zorder_locality_audit",
     # round-9 new: item-item collaborative-filtering scores
     "item_item_cosine_topk",
+    # round-9 new: cross-implementation Unicode NFC conformance
+    "unicode_nfc_audit",
 })
 
 

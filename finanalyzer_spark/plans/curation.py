@@ -1261,3 +1261,99 @@ def luhn_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("pan", 13, 4).alias("last4"),
         (F.expr(luhn_total) % 10 == 0).alias("luhn_valid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC normalization audit (round 9)
+# --------------------------------------------------------------------------
+#: per-doc synthesized suffixes exercising the NFC cases a crawl hits:
+#: combining sequences that compose, precomposed text that is already
+#: NFC, and compatibility characters NFC must LEAVE ALONE
+_NFC_CASES_SQL = """CASE doc_id % 4
+        WHEN 0 THEN 'e' || chr(769)            -- e + combining acute
+        WHEN 1 THEN 'A' || chr(778)            -- A + combining ring
+        WHEN 2 THEN chr(233)                   -- precomposed e-acute
+        ELSE chr(64257)                        -- fi ligature (NFC-stable)
+    END"""
+
+
+@query(
+    "unicode_nfc_audit",
+    # the oracle runs DuckDB's ICU-backed nfc_normalize; the Spark
+    # kernel runs Python's unicodedata — two INDEPENDENT Unicode
+    # implementations must agree on composition behavior and code
+    # point deltas, so a green hash is a real conformance check, not
+    # a closed loop.
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               substr(text, 1, 8) || {_NFC_CASES_SQL} AS s
+        FROM documents
+    ),
+    n AS (
+        SELECT source,
+               CASE WHEN nfc_normalize(s) != s THEN 1 ELSE 0 END AS ch,
+               length(nfc_normalize(s)) - length(s) AS delta
+        FROM synth
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(ch)::BIGINT AS n_changed,
+           sum(delta)::BIGINT AS delta_codepoints
+    FROM n
+    GROUP BY source
+    """,
+    tags=("curation", "unicode", "text"),
+)
+def unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization accounting — the first text-cleaning
+    pass a multilingual crawl needs (unnormalized combining sequences
+    break dedup hashes, tokenizers and equality joins). Each document
+    gets a deterministic suffix from the four NFC equivalence classes
+    (composable combining sequence, precomposed char, NFC-stable
+    compatibility ligature); the audit counts docs whose NFC form
+    differs and the net code-point delta per source.
+
+    Cross-implementation conformance: the Spark kernel normalizes with
+    Python's unicodedata (UCD tables) while the oracle uses DuckDB's
+    ICU nfc_normalize — agreement certifies the transform against an
+    independent Unicode implementation. Scale shape: one Arrow
+    mapInPandas over (doc_id, source, 9-char prefix) — the normalizer
+    never sees full documents' payload beyond the audited slice here;
+    a production pass would run the same kernel over the whole text
+    column at scan speed."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", F.substring("text", 1, 8).alias("prefix")
+    )
+
+    def kernel(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        suffix = {
+            0: "é", 1: "Å", 2: "é", 3: "ﬁ",
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id, source, prefix in zip(
+                pdf["doc_id"], pdf["source"], pdf["prefix"]
+            ):
+                s = prefix + suffix[int(doc_id) % 4]
+                n = unicodedata.normalize("NFC", s)
+                rows.append(
+                    (source, int(n != s), len(n) - len(s))
+                )
+            yield pd.DataFrame(
+                rows, columns=["source", "ch", "delta"]
+            )
+
+    per_doc = docs.mapInPandas(
+        kernel, schema="source string, ch int, delta int"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ch").cast("long").alias("n_changed"),
+        F.sum("delta").cast("long").alias("delta_codepoints"),
+    )

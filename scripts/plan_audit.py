@@ -291,6 +291,14 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "unicode_nfc_audit": {
+        # one Arrow mapInPandas over (id, source, 8-char prefix) +
+        # tiny source rollup
+        "must": ["MapInPandas", "HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "Window", "SortMergeJoin", "BatchEvalPython"],
+        "no_global_sort": True,
+    },
     "item_item_cosine_topk": {
         # basket dedup + co-partitioned self-join + broadcast item
         # counts + TakeOrdered on the integer-exact scaled cosine^2
