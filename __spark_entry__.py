@@ -215,6 +215,8 @@ ROUND_CHANGED = frozenset({
     "item_item_cosine_topk",
     # round-9 new: cross-implementation Unicode NFC conformance
     "unicode_nfc_audit",
+    # round-9 new: isotonic calibration via the exact minimax form
+    "isotonic_calibration_bins",
 })
 
 

@@ -811,3 +811,139 @@ def group_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# isotonic regression calibration (round 9)
+# --------------------------------------------------------------------------
+_ISO_BINS = 100
+
+
+@query(
+    "isotonic_calibration_bins",
+    # exact minimax characterization of weighted isotonic regression:
+    # iso(i) = max_{j<=i} min_{k>=i} wavg(y[j..k]), computed over
+    # integer prefix sums on the BINNED (100-row) frame — the grid is
+    # bounded at 100x100 regardless of data size, every join is an
+    # equi-join (the j fan-out is a sequence explode), and the interval
+    # averages are fixed-shape doubles from exact integers.
+    oracle=f"""
+    WITH binned AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+               ntile({_ISO_BINS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS bin
+        FROM lineitem
+    ),
+    per AS (
+        SELECT bin, count(*) AS n, sum(r)::BIGINT AS ret
+        FROM binned GROUP BY bin
+    ),
+    pre AS (
+        SELECT bin, n, ret,
+               sum(n) OVER (ORDER BY bin) AS cn,
+               sum(ret) OVER (ORDER BY bin) AS cr
+        FROM per
+    ),
+    grid AS (
+        SELECT k.bin AS k, k.cn AS nk, k.cr AS rk,
+               unnest(range(1, k.bin + 1)) AS j
+        FROM pre k
+    ),
+    a AS (
+        SELECT g.j, g.k,
+               (CAST(g.rk AS DOUBLE) - CAST(p.cr - p.ret AS DOUBLE))
+               / (CAST(g.nk AS DOUBLE) - CAST(p.cn - p.n AS DOUBLE))
+                   AS wavg
+        FROM grid g JOIN pre p ON p.bin = g.j
+    ),
+    m AS (
+        SELECT j, k AS i,
+               min(wavg) OVER (
+                   PARTITION BY j ORDER BY k DESC
+                   ROWS UNBOUNDED PRECEDING) AS mn
+        FROM a
+    ),
+    iso AS (SELECT i, max(mn) AS iso_rate FROM m GROUP BY i)
+    SELECT p.bin, p.n, p.ret AS n_returned,
+           round(CAST(p.ret AS DOUBLE) / p.n, 6) + 0.0 AS raw_rate,
+           round(iso.iso_rate, 6) + 0.0 AS iso_rate
+    FROM per p JOIN iso ON iso.i = p.bin
+    """,
+    tags=("ml", "calibration", "isotonic", "bounded-window"),
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration (the PAVA fit every production
+    probability calibrator offers next to Platt scaling), via the
+    EXACT minimax characterization instead of the sequential
+    pool-adjacent-violators loop: with per-bin integer (count, positive)
+    prefix sums, iso(i) = max over j<=i of min over k>=i of the
+    weighted average on [j..k] — a closed form a distributed engine
+    evaluates with bounded joins, no iteration, no driver state.
+
+    The curve: return rate as a function of the line's price percentile
+    ({_ISO_BINS} global_ntile bins), monotone-increasing fit. Scale
+    shape: one ordered_scan ntile over the fact table, then EVERYTHING
+    runs on the {_ISO_BINS}-row binned frame (grid 100x100 via a
+    sequence explode + equi-joins; windows partitioned by j or over
+    the 100-row prefix — bounded by construction, registry-tagged)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.rank import global_ntile
+
+    t = load(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    binned = global_ntile(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        _ISO_BINS, out="bin",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("r").cast("long").alias("ret"),
+    )
+    wp = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = per.select(
+        "bin", "n", "ret",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("ret").over(wp).alias("cr"),
+    ).persist()  # bounded 100-row frame, feeds the grid twice
+    grid = pre.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("nk"),
+        F.col("cr").alias("rk"),
+        F.explode(F.expr("sequence(1, bin)")).alias("j"),
+    )
+    a = grid.join(
+        F.broadcast(
+            pre.select(
+                F.col("bin").alias("j"),
+                (F.col("cn") - F.col("n")).alias("nj0"),
+                (F.col("cr") - F.col("ret")).alias("rj0"),
+            )
+        ),
+        "j",
+    ).select(
+        "j", "k",
+        (
+            (F.col("rk").cast("double") - F.col("rj0").cast("double"))
+            / (F.col("nk").cast("double") - F.col("nj0").cast("double"))
+        ).alias("wavg"),
+    )
+    wm = W.partitionBy("j").orderBy(F.col("k").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    m = a.select("j", F.col("k").alias("i"), F.min("wavg").over(wm).alias("mn"))
+    iso = m.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return (
+        per.join(iso, per.bin == iso.i)
+        .select(
+            "bin", "n",
+            F.col("ret").alias("n_returned"),
+            (F.round(F.col("ret").cast("double") / F.col("n"), 6) + 0.0)
+            .alias("raw_rate"),
+            (F.round(F.col("iso_rate"), 6) + 0.0).alias("iso_rate"),
+        )
+    )

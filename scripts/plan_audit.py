@@ -291,6 +291,16 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "isotonic_calibration_bins": {
+        # one ordered_scan ntile over the fact table, then everything
+        # on the 100-row binned frame (sequence-explode grid,
+        # equi-joins, j-partitioned + bounded-prefix windows,
+        # registry-tagged bounded-window)
+        "must": ["HashAggregate", "Generate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "unicode_nfc_audit": {
         # one Arrow mapInPandas over (id, source, 8-char prefix) +
         # tiny source rollup

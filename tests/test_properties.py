@@ -1713,3 +1713,86 @@ def test_exact_substring_first_occurrence_survives(spark):
         "doc_id": 4, "n_tokens": 2, "n_removed_tokens": 0,
         "n_removed_spans": 0, "clean_text": "tiny doc",
     }
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 9), st.integers(0, 9)),
+        min_size=2, max_size=12,
+    ).filter(lambda d: all(r <= n for n, r in d)),
+)
+@SLOW
+def test_isotonic_minimax_matches_pava(spark, data):
+    """The minimax closed form used by isotonic_calibration_bins
+    (iso(i) = max_{j<=i} min_{k>=i} weighted avg on [j..k]) must equal
+    the sequential pool-adjacent-violators algorithm — an independent
+    formulation of the same optimum (robust regression textbooks prove
+    their equivalence; this pins the DataFrame implementation against
+    a from-scratch PAVA)."""
+    from pyspark.sql import Window as W
+
+    ns = [n for n, _ in data]
+    rs = [r for _, r in data]
+
+    # reference: classic weighted PAVA
+    blocks = [[ns[i], rs[i]] for i in range(len(data))]
+    out_blocks = []
+    for b in blocks:
+        out_blocks.append(list(b))
+        while len(out_blocks) >= 2 and (
+            out_blocks[-2][1] * out_blocks[-1][0]
+            >= out_blocks[-1][1] * out_blocks[-2][0]
+        ):
+            n2, r2 = out_blocks.pop()
+            out_blocks[-1][0] += n2
+            out_blocks[-1][1] += r2
+    want = []
+    pos = 0
+    for n_b, r_b in out_blocks:
+        cnt = 0
+        while cnt < n_b:
+            cnt += ns[pos]
+            want.append(r_b / n_b)
+            pos += 1
+
+    # DataFrame minimax (the query's shape on a tiny frame)
+    pdf = pd.DataFrame(
+        {"bin": range(1, len(data) + 1), "n": ns, "ret": rs}
+    )
+    per = spark.createDataFrame(pdf)
+    wp = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = per.select(
+        "bin", "n", "ret",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("ret").over(wp).alias("cr"),
+    )
+    grid = pre.select(
+        F.col("bin").alias("k"), F.col("cn").alias("nk"),
+        F.col("cr").alias("rk"),
+        F.explode(F.expr("sequence(1, bin)")).alias("j"),
+    )
+    a = grid.join(
+        pre.select(
+            F.col("bin").alias("j"),
+            (F.col("cn") - F.col("n")).alias("nj0"),
+            (F.col("cr") - F.col("ret")).alias("rj0"),
+        ),
+        "j",
+    ).select(
+        "j", "k",
+        (
+            (F.col("rk").cast("double") - F.col("rj0").cast("double"))
+            / (F.col("nk").cast("double") - F.col("nj0").cast("double"))
+        ).alias("wavg"),
+    )
+    wm = W.partitionBy("j").orderBy(F.col("k").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    m = a.select("j", F.col("k").alias("i"),
+                 F.min("wavg").over(wm).alias("mn"))
+    got = {
+        r["i"]: r["iso"]
+        for r in m.groupBy("i").agg(F.max("mn").alias("iso")).collect()
+    }
+    for i, w_val in enumerate(want, start=1):
+        assert abs(got[i] - w_val) < 1e-9, (i, got[i], w_val)
