@@ -76,6 +76,12 @@ FAMILIES: dict[str, list[str]] = {
     # DESIGN (daily frame size is constant), so their curve should be
     # ~flat — the point being measured, not a bug
     "graph2": ["label_propagation_communities"],
+    # round-9: per-node triangle analytics + wedge-based link
+    # prediction ride the same 10x-disjoint trade graph
+    "graph3": [
+        "local_clustering_coefficient",
+        "common_neighbor_link_prediction",
+    ],
     "density": ["grid_dbscan_embeddings"],
     "text2": [
         "winnowing_candidate_pairs",
