@@ -1905,6 +1905,51 @@ def probe_media(buf: bytes) -> dict:
                 "codec": codec, "width": idx["width"],
                 "height": idx["height"], "n_frames": None,
                 "n_keyframes": idx["n_idr"]}
+    if buf[:4] == b"OggS":
+        # Ogg container (RFC 3533): walk page headers (metadata-only —
+        # perceptual decode refuses, but like MP3/ADTS the probe still
+        # names codec/rate/channels and the last granule position);
+        # codec from the BOS page's id packet (Vorbis I §4.2.2 /
+        # RFC 7845 §5.1 OpusHead / Ogg-FLAC mapping)
+        pos = 0
+        codec = rate = channels = None
+        n_pages = 0
+        last_granule = None
+        while pos + 27 <= len(buf) and buf[pos : pos + 4] == b"OggS":
+            htype = buf[pos + 5]
+            granule = int.from_bytes(
+                buf[pos + 6 : pos + 14], "little", signed=True
+            )
+            nsegs = buf[pos + 26]
+            seg_tab = buf[pos + 27 : pos + 27 + nsegs]
+            if len(seg_tab) != nsegs:
+                break
+            body_len = sum(seg_tab)
+            body = buf[pos + 27 + nsegs : pos + 27 + nsegs + body_len]
+            if htype & 0x02 and codec is None:   # BOS page: id packet
+                if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                    codec = "vorbis"
+                    channels = body[11]
+                    rate = int.from_bytes(body[12:16], "little")
+                elif body[:8] == b"OpusHead" and len(body) >= 14:
+                    codec = "opus"
+                    channels = body[9]
+                    # Opus granules tick at 48 kHz regardless of the
+                    # stored input rate (RFC 7845 §4)
+                    rate = 48000
+                elif body[:5] == b"\x7fFLAC":
+                    codec = "flac"
+                elif body[:7] == b"\x80theora":
+                    codec = "theora"
+            n_pages += 1
+            if granule >= 0:
+                last_granule = granule
+            pos += 27 + nsegs + body_len
+        kind = "video" if codec == "theora" else "audio"
+        return {**out, "kind": kind, "container": "ogg",
+                "codec": codec, "sample_rate": rate,
+                "channels": channels or None, "n_frames": n_pages or None,
+                "n_samples": last_granule}
     # ---- web archives (the crawl-ingest modality, operators/warc.py)
     if buf[:5] == b"WARC/":
         return {**out, "kind": "archive", "container": "warc",

@@ -1419,3 +1419,52 @@ def test_probe_media_names_cabac_refusal():
     # the I_PCM MKV fixture (CAVLC-free baseline) stays plain h264
     vid = np.full((16, 16, 3), 7, dtype=np.uint8)
     assert probe_media(bytes(mux_mkv([vid], codec="avc")))["codec"] == "h264"
+
+
+def _ogg_page(serial, seq, body, htype=0, granule=0):
+    import struct as _s
+    import zlib
+
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    head = (b"OggS" + bytes([0, htype])
+            + _s.pack("<q", granule) + _s.pack("<II", serial, seq)
+            + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs))
+    page = bytearray(head + body)
+    # real CRC not needed: probe_media never validates it (metadata
+    # pass), but keep the field zeroed consistently
+    return bytes(page)
+
+
+def test_probe_media_ogg_vorbis_and_opus():
+    """Round-9 probe tier: Ogg pages walk without decode — Vorbis id
+    header yields channels/rate, OpusHead pins the 48 kHz granule
+    clock, page count and final granule position reported."""
+    import struct as _s
+
+    from finanalyzer_spark.operators.multimodal import probe_media
+
+    vorbis_id = (b"\x01vorbis" + _s.pack("<I", 0) + bytes([2])
+                 + _s.pack("<I", 44100) + bytes(16))
+    stream = (
+        _ogg_page(7, 0, vorbis_id, htype=0x02, granule=0)
+        + _ogg_page(7, 1, b"\x05vorbisdata", granule=1024)
+        + _ogg_page(7, 2, b"\x05more", granule=4096)
+    )
+    p = probe_media(stream)
+    assert (p["kind"], p["container"], p["codec"]) == (
+        "audio", "ogg", "vorbis")
+    assert (p["sample_rate"], p["channels"]) == (44100, 2)
+    assert (p["n_frames"], p["n_samples"]) == (3, 4096)
+
+    opus_id = (b"OpusHead" + bytes([1, 2]) + _s.pack("<H", 312)
+               + _s.pack("<I", 16000) + bytes(3))
+    p = probe_media(_ogg_page(9, 0, opus_id, htype=0x02)
+                    + _ogg_page(9, 1, b"payload", granule=960))
+    assert (p["codec"], p["sample_rate"], p["channels"]) == (
+        "opus", 48000, 2)
+    assert p["n_samples"] == 960
