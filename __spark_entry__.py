@@ -217,6 +217,8 @@ ROUND_CHANGED = frozenset({
     "unicode_nfc_audit",
     # round-9 new: isotonic calibration via the exact minimax form
     "isotonic_calibration_bins",
+    # round-9 new: multiple-testing control (shared closed-form Phi)
+    "bh_fdr_supplier_rates",
 })
 
 

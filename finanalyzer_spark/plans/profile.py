@@ -3533,3 +3533,152 @@ def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(touched, 1).otherwise(0)).cast("long")
         .alias("files_touched"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-supplier binomial tests (round 9)
+# --------------------------------------------------------------------------
+_BH_ALPHA = 0.1
+#: Abramowitz & Stegun 26.2.17 tail polynomial — the SAME literals fold
+#: in both engines, so the two compute bit-identical p-values (the
+#: approximation's |error| < 7.5e-8 is fine for a threshold procedure;
+#: what matters for parity is that both sides share ONE formula)
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_tail_sql(z: str) -> str:
+    """Upper-tail 1-Phi(|z|) via A&S 26.2.17 over the SQL expression
+    `z` (assumed >= 0)."""
+    t = f"(1.0 / (1.0 + {_AS_T} * {z}))"
+    poly = " + ".join(
+        f"{b} * " + " * ".join([t] * (i + 1))
+        for i, b in enumerate(_AS_B)
+    )
+    return f"({_INV_SQRT_2PI} * exp(-0.5 * {z} * {z}) * ({poly}))"
+
+
+@query(
+    "bh_fdr_supplier_rates",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_suppkey, count(*) AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   ::BIGINT AS x
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    g AS (
+        SELECT CAST(sum(x) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS p0
+        FROM s
+    ),
+    z AS (
+        SELECT l_suppkey,
+               abs((x - n * p0) / sqrt(n * p0 * (1.0 - p0))) AS az
+        FROM s, g
+    ),
+    p AS (
+        SELECT l_suppkey,
+               least(1.0, 2.0 * {_phi_tail_sql('az')}) AS pval
+        FROM z
+    ),
+    ranked AS (
+        SELECT pval,
+               row_number() OVER (ORDER BY pval, l_suppkey) AS i,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    kstar AS (
+        SELECT coalesce(max(CASE WHEN pval <= i * {_BH_ALPHA} / m
+                                 THEN i END), 0) AS k
+        FROM ranked
+    )
+    SELECT (SELECT max(m) FROM ranked) AS n_tests,
+           (SELECT count(*) FROM ranked
+            WHERE pval <= {_BH_ALPHA}) AS n_uncorrected,
+           (SELECT k FROM kstar) AS n_rejected,
+           round(coalesce((SELECT max(pval) FROM ranked, kstar
+                           WHERE i <= k), 0.0), 6) + 0.0
+               AS bh_threshold_p
+    """,
+    tags=("stats", "multiple-testing", "bounded-window"),
+)
+def bh_fdr_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over one binomial test per
+    supplier ('is this supplier's return rate different from the
+    corpus rate?') — the multiple-testing correction any per-entity
+    anomaly screen needs before paging anyone: with thousands of
+    suppliers, uncorrected alpha=0.1 flags hundreds of false alarms.
+    Reports the UNCORRECTED alpha={_BH_ALPHA} alarm count next to the
+    BH-surviving count and the adaptive p threshold — on TPC-H's
+    uniform rates the contrast IS the result: ~alpha of suppliers
+    false-alarm uncorrected while BH correctly rejects none.
+
+    Engine parity: p-values come from ONE shared closed-form normal
+    tail (A&S 26.2.17 literals folded identically in both engines —
+    no scipy in either), so ranks, the step-up comparison and the
+    rejection count are bit-aligned. Scale shape: per-supplier exact
+    integer (n, x), a scalar global-rate broadcast, and the global
+    p-value ranking via operators/rank.ordered_scan — NO
+    single-partition window over the supplier frame."""
+    t = load(spark, sf_dir)
+    s = t.lineitem.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+    g = s.agg(
+        (F.sum("x").cast("double") / F.sum("n").cast("double"))
+        .alias("p0")
+    )
+    az = F.abs(
+        (F.col("x") - F.col("n") * F.col("p0"))
+        / F.sqrt(F.col("n") * F.col("p0") * (1.0 - F.col("p0")))
+    )
+    zdf = s.crossJoin(F.broadcast(g)).select(
+        "l_suppkey", az.alias("az")
+    )
+    tt = 1.0 / (1.0 + _AS_T * F.col("az"))
+    poly = None
+    for i, b in enumerate(_AS_B):
+        term = F.lit(b)
+        for _ in range(i + 1):
+            term = term * tt
+        poly = term if poly is None else poly + term
+    tail = _INV_SQRT_2PI * F.exp(-0.5 * F.col("az") * F.col("az")) * poly
+    p = zdf.select(
+        "l_suppkey", F.least(F.lit(1.0), 2.0 * tail).alias("pval")
+    )
+    ranked = ordered_scan(
+        p, ["pval", "l_suppkey"], rank="i", totals={"m": "*"}
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval")
+                    <= F.col("i") * _BH_ALPHA / F.col("m"),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("k")
+    )
+    withk = ranked.crossJoin(F.broadcast(kstar))
+    return withk.agg(
+        F.max("m").cast("long").alias("n_tests"),
+        F.sum(F.when(F.col("pval") <= _BH_ALPHA, 1).otherwise(0))
+        .cast("long").alias("n_uncorrected"),
+        F.max("k").cast("long").alias("n_rejected"),
+        (
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("i") <= F.col("k"),
+                                 F.col("pval"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ) + 0.0
+        ).alias("bh_threshold_p"),
+    )

@@ -291,6 +291,15 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "bh_fdr_supplier_rates": {
+        # per-supplier integer (n, x), scalar pooled-rate broadcast,
+        # shared closed-form normal tail, global p ranking via
+        # ordered_scan — no single-partition window over suppliers
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "isotonic_calibration_bins": {
         # one ordered_scan ntile over the fact table, then everything
         # on the 100-row binned frame (sequence-explode grid,

@@ -1796,3 +1796,56 @@ def test_isotonic_minimax_matches_pava(spark, data):
     }
     for i, w_val in enumerate(want, start=1):
         assert abs(got[i] - w_val) < 1e-9, (i, got[i], w_val)
+
+
+def test_bh_fdr_machinery_fires_on_planted_signal(spark):
+    """bh_fdr_supplier_rates correctly rejects NOTHING on TPC-H's
+    uniform rates; this test proves the step-up machinery itself fires
+    when signal exists — the same pipeline over a planted frame (5
+    true-effect groups among 50 null groups) must reject the planted
+    ones and (here) none of the nulls, and the rejected p's must obey
+    the step-up rule p_(i) <= i*alpha/m."""
+    from finanalyzer_spark.operators.rank import ordered_scan
+    from finanalyzer_spark.plans.profile import (
+        _AS_B,
+        _AS_T,
+        _BH_ALPHA,
+        _INV_SQRT_2PI,
+    )
+
+    rows = []
+    for g in range(50):          # nulls: rate 0.25 ~= pooled p0
+        rows.append((g, 4000, 1000))
+    for g in range(50, 55):      # planted: rate 0.60 on SMALL groups,
+        rows.append((g, 400, 240))  # so p0 contamination stays ~0.004
+        # (a strong planted effect on big groups would drag the pooled
+        # rate enough to push the nulls themselves past the step-up
+        # line — the test plants signal without corrupting the null)
+    pdf = pd.DataFrame(rows, columns=["grp", "n", "x"])
+    s = spark.createDataFrame(pdf)
+    g = s.agg((F.sum("x").cast("double")
+               / F.sum("n").cast("double")).alias("p0"))
+    az = F.abs(
+        (F.col("x") - F.col("n") * F.col("p0"))
+        / F.sqrt(F.col("n") * F.col("p0") * (1.0 - F.col("p0")))
+    )
+    zdf = s.crossJoin(F.broadcast(g)).select("grp", az.alias("az"))
+    tt = 1.0 / (1.0 + _AS_T * F.col("az"))
+    poly = None
+    for i, b in enumerate(_AS_B):
+        term = F.lit(b)
+        for _ in range(i + 1):
+            term = term * tt
+        poly = term if poly is None else poly + term
+    tail = _INV_SQRT_2PI * F.exp(-0.5 * F.col("az") * F.col("az")) * poly
+    p = zdf.select("grp", F.least(F.lit(1.0), 2.0 * tail).alias("pval"))
+    ranked = ordered_scan(p, ["pval", "grp"], rank="i", totals={"m": "*"})
+    got = ranked.collect()
+    m = got[0]["m"]
+    k = max(
+        (r["i"] for r in got
+         if r["pval"] <= r["i"] * _BH_ALPHA / m),
+        default=0,
+    )
+    rejected = {r["grp"] for r in got if r["i"] <= k}
+    assert rejected == {50, 51, 52, 53, 54}, rejected
