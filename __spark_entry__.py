@@ -219,6 +219,8 @@ ROUND_CHANGED = frozenset({
     "isotonic_calibration_bins",
     # round-9 new: multiple-testing control (shared closed-form Phi)
     "bh_fdr_supplier_rates",
+    # round-9 new: LSH-vs-SimHash candidate agreement, measured
+    "dedup_method_agreement",
 })
 
 

@@ -1356,3 +1356,95 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+@query(
+    "dedup_method_agreement",
+    # both candidate generators' oracle fragments already exist and
+    # use disjoint CTE names; the agreement metrics are exact integer
+    # counts with three rounded divisions at the end.
+    oracle=f"""
+    WITH {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE},
+    lsh AS ({_CAND_SQL}),
+    {_SIMHASH_SQL},
+    sbanded AS (
+        SELECT doc_id, sh, band.b AS band,
+               (sh // power(256, band.b)::BIGINT) % 256 AS key
+        FROM fp CROSS JOIN (SELECT unnest(range({_SH_BANDS})) AS b) band
+    ),
+    skeep AS (
+        SELECT band, key FROM sbanded GROUP BY band, key
+        HAVING count(*) BETWEEN 2 AND {_SH_BAND_CAP}
+    ),
+    sim AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sbanded a
+        JOIN skeep USING (band, key)
+        JOIN sbanded b ON b.band = a.band AND b.key = a.key
+                      AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.sh, b.sh) AS BIGINT))
+                  <= {_SH_MAX_HAMMING}
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM lsh) AS n_lsh,
+               (SELECT count(*) FROM sim) AS n_simhash,
+               (SELECT count(*) FROM lsh JOIN sim USING (id_a, id_b))
+                   AS n_both
+    )
+    SELECT n_lsh, n_simhash, n_both,
+           round(n_both * 1.0
+                 / greatest(n_lsh + n_simhash - n_both, 1), 6) + 0.0
+               AS agreement_jaccard,
+           round(n_both * 1.0 / greatest(n_lsh, 1), 6) + 0.0
+               AS lsh_covered_share,
+           round(n_both * 1.0 / greatest(n_simhash, 1), 6) + 0.0
+               AS simhash_covered_share
+    FROM c
+    """,
+    tags=("dedup", "eval", "agreement"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the two probabilistic near-dup candidate generators
+    AGREE? MinHash-LSH (set-resemblance blocking) and SimHash
+    (cosine/frequency blocking) answer different similarity questions,
+    and a production pipeline choosing between them — or unioning them
+    — needs the overlap measured, not assumed: pair-set Jaccard plus
+    each method's covered share of the other.
+
+    Scale shape: both pipelines are the registered bounded ones
+    (BUCKET_CAP banding, SimHash band caps); the intersection is one
+    equi-join of two candidate-pair frames keyed on the pair ids.
+    Counts are exact integers; the three shares are rounded
+    divisions."""
+    lsh = minhash_lsh_candidates(spark, sf_dir).select("id_a", "id_b")
+    sim = simhash_hamming_pairs(spark, sf_dir).select("id_a", "id_b")
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_sim = sim.agg(F.count("*").alias("n_simhash"))
+    n_both = lsh.join(sim, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_both")
+    )
+    c = n_lsh.crossJoin(F.broadcast(n_sim)).crossJoin(F.broadcast(n_both))
+    return c.select(
+        "n_lsh", "n_simhash", "n_both",
+        (
+            F.round(
+                F.col("n_both")
+                / F.greatest(
+                    F.col("n_lsh") + F.col("n_simhash") - F.col("n_both"),
+                    F.lit(1),
+                ),
+                6,
+            ) + 0.0
+        ).alias("agreement_jaccard"),
+        (
+            F.round(
+                F.col("n_both") / F.greatest(F.col("n_lsh"), F.lit(1)), 6
+            ) + 0.0
+        ).alias("lsh_covered_share"),
+        (
+            F.round(
+                F.col("n_both") / F.greatest(F.col("n_simhash"), F.lit(1)),
+                6,
+            ) + 0.0
+        ).alias("simhash_covered_share"),
+    )

@@ -291,6 +291,14 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "dedup_method_agreement": {
+        # two registered bounded candidate pipelines + one pair-keyed
+        # equi-join intersection + scalar rollups
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "bh_fdr_supplier_rates": {
         # per-supplier integer (n, x), scalar pooled-rate broadcast,
         # shared closed-form normal tail, global p ranking via
