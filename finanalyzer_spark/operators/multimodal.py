@@ -1478,6 +1478,32 @@ def encode_adts_stub(
     return b"".join(frames)
 
 
+def _exif_orientation(tiff: bytes):
+    """Orientation (EXIF/TIFF tag 274) from an APP1 Exif body: TIFF
+    byte-order mark, IFD0 walk, SHORT value 1..8 — None when absent or
+    malformed (a probe never raises on metadata)."""
+    import struct as _s
+
+    try:
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            return None
+        (ifd_off,) = _s.unpack(bo + "I", tiff[4:8])
+        (n_entries,) = _s.unpack(bo + "H", tiff[ifd_off : ifd_off + 2])
+        for i in range(n_entries):
+            e = ifd_off + 2 + 12 * i
+            tag, typ = _s.unpack(bo + "HH", tiff[e : e + 4])
+            if tag == 274 and typ == 3:
+                (v,) = _s.unpack(bo + "H", tiff[e + 8 : e + 10])
+                return v if 1 <= v <= 8 else None
+        return None
+    except (IndexError, _s.error):
+        return None
+
+
 def probe_media(buf: bytes) -> dict:
     """ffprobe-lite: identify a media payload from its header bytes
     and return uniform metadata — {kind, container, codec, width,
@@ -1494,7 +1520,7 @@ def probe_media(buf: bytes) -> dict:
         "kind": "unknown", "container": None, "codec": None,
         "width": None, "height": None, "n_frames": None,
         "n_keyframes": None, "sample_rate": None, "n_samples": None,
-        "channels": None,
+        "channels": None, "exif_orientation": None,
     }
     if len(buf) < 12:
         return out
@@ -1504,8 +1530,10 @@ def probe_media(buf: bytes) -> dict:
         return {**out, "kind": "image", "container": "png",
                 "codec": "png", "width": w, "height": h, "n_frames": 1}
     if buf[:2] == b"\xff\xd8":
-        # scan markers for the first SOFn (dimensions live there)
-        pos, codec = 2, "jpeg"
+        # scan markers: SOFn carries dimensions; APP1/Exif carries the
+        # orientation a decode pipeline MUST apply before any resize
+        # or patch extraction (tag 274, TIFF IFD0 inside the APP1 body)
+        pos, codec, orient = 2, "jpeg", None
         while pos + 4 <= len(buf):
             if buf[pos] != 0xFF:
                 pos += 1
@@ -1518,6 +1546,11 @@ def probe_media(buf: bytes) -> dict:
                 pos += 2
                 continue
             (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            if (marker == 0xE1 and orient is None
+                    and buf[pos + 4 : pos + 10] == b"Exif\x00\x00"):
+                orient = _exif_orientation(
+                    buf[pos + 10 : pos + 2 + seglen]
+                )
             if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 _prec, h, w = struct.unpack(
@@ -1526,10 +1559,10 @@ def probe_media(buf: bytes) -> dict:
                 codec = "jpeg-progressive" if marker == 0xC2 else "jpeg"
                 return {**out, "kind": "image", "container": "jfif",
                         "codec": codec, "width": w, "height": h,
-                        "n_frames": 1}
+                        "n_frames": 1, "exif_orientation": orient}
             pos += 2 + seglen
         return {**out, "kind": "image", "container": "jfif",
-                "codec": codec}
+                "codec": codec, "exif_orientation": orient}
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", buf[6:10])
         # count image descriptors by WALKING the block structure (a

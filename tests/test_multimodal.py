@@ -1468,3 +1468,44 @@ def test_probe_media_ogg_vorbis_and_opus():
     assert (p["codec"], p["sample_rate"], p["channels"]) == (
         "opus", 48000, 2)
     assert p["n_samples"] == 960
+
+
+def test_probe_media_exif_orientation():
+    """JPEG probing reads EXIF orientation (tag 274, both byte orders)
+    from the APP1 segment — the flag a decode pipeline must apply
+    before any resize/patch step; absent or malformed EXIF yields
+    None, never an exception."""
+    import struct
+
+    import numpy as np
+
+    from finanalyzer_spark.operators.jpeg import encode_jpeg
+    from finanalyzer_spark.operators.multimodal import probe_media
+
+    plain = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8),
+                        quality=80)
+    assert probe_media(plain)["exif_orientation"] is None
+
+    def with_exif(tiff):
+        body = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        return plain[:2] + app1 + plain[2:]
+
+    tiff_be = (b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+               + struct.pack(">H", 1)
+               + struct.pack(">HHI", 274, 3, 1)
+               + struct.pack(">HH", 6, 0) + struct.pack(">I", 0))
+    p = probe_media(with_exif(tiff_be))
+    assert (p["exif_orientation"], p["width"], p["height"]) == (6, 8, 8)
+    tiff_le = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+               + struct.pack("<H", 1)
+               + struct.pack("<HHI", 274, 3, 1)
+               + struct.pack("<HH", 3, 0) + struct.pack("<I", 0))
+    assert probe_media(with_exif(tiff_le))["exif_orientation"] == 3
+    # out-of-range and truncated EXIF degrade to None
+    tiff_bad = (b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+                + struct.pack(">H", 1)
+                + struct.pack(">HHI", 274, 3, 1)
+                + struct.pack(">HH", 9, 0) + struct.pack(">I", 0))
+    assert probe_media(with_exif(tiff_bad))["exif_orientation"] is None
+    assert probe_media(with_exif(b"MM\x00"))["exif_orientation"] is None
