@@ -221,6 +221,8 @@ ROUND_CHANGED = frozenset({
     "bh_fdr_supplier_rates",
     # round-9 new: LSH-vs-SimHash candidate agreement, measured
     "dedup_method_agreement",
+    # round-9 new: PCX codec certification
+    "media_pcx_pixel_stats",
 })
 
 

@@ -1717,6 +1717,17 @@ def probe_media(buf: bytes) -> dict:
                     "height": px.shape[0], "n_frames": 1}
         except (ValueError, NotImplementedError):
             return out
+    if (
+        buf[0] == 0x0A and buf[1] in (0, 2, 3, 4, 5)
+        and buf[2] == 1 and buf[3] in (1, 2, 4, 8) and len(buf) >= 128
+    ):
+        # ZSoft PCX: no real magic beyond 0x0A — the standard sniff is
+        # manufacturer + plausible version/encoding/bpp fields
+        x0, y0, x1, y1 = struct.unpack("<HHHH", buf[4:12])
+        return {**out, "kind": "image", "container": "pcx",
+                "codec": f"pcx-rle-{buf[3]}bit-{buf[65]}plane",
+                "width": x1 - x0 + 1, "height": y1 - y0 + 1,
+                "n_frames": 1, "channels": buf[65]}
     if buf[-18:] == b"TRUEVISION-XFILE.\x00":
         # TGA v2: the header has no magic — the footer signature is
         # the format's only reliable mark (spec §"TGA File Footer")

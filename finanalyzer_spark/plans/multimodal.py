@@ -1924,3 +1924,83 @@ def media_tga_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " px_sum long, px_max int"
         ),
     )
+
+
+@query(
+    "media_pcx_pixel_stats",
+    # identical oracle discipline to the QOI/TIFF/PNG/TGA round trips:
+    # decoded pixels must equal the source characters — one wrong RLE
+    # run, plane interleave or pad byte shifts px_sum and breaks the
+    # hash.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, least(length(text) // 24, 64)) AS w
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, w * 24), ''),
+                   c -> ascii(c)) AS bs
+        FROM d JOIN documents USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           8 AS height,
+           CAST(w * 8 AS BIGINT) AS n_pixels,
+           CAST(list_sum(bs) AS BIGINT) AS px_sum,
+           CAST(list_max(bs) AS INT) AS px_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "pcx"),
+)
+def media_pcx_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round trip through ZSoft PCX
+    (operators/pcx.py): each document's leading bytes become an
+    (8, w, 3) image, encode to a genuine version-5 truecolor PCX
+    (8-bit, 3 planes, per-row RLE with even bytes_per_line padding),
+    decode with the exact-or-refuse decoder, and report pixel stats
+    from the DECODED array — the oracle recomputes them from the
+    source characters, so the hash certifies losslessness through the
+    per-plane RLE and the pad-byte handling."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.pcx import decode_pcx, encode_pcx
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, img = _doc_image(text)
+                dec = decode_pcx(encode_pcx(img))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "width": w,
+                        "height": 8,
+                        "n_pixels": int(dec.shape[0] * dec.shape[1]),
+                        "px_sum": int(dec.astype(np.int64).sum()),
+                        "px_max": int(dec.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "px_sum", "px_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " px_sum long, px_max int"
+        ),
+    )

@@ -344,6 +344,15 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "media_pcx_pixel_stats": {
+        # one Arrow kernel over the scan; payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "media_tga_pixel_stats": {
         # one Arrow kernel over the scan; payload bytes never shuffle
         "must": ["MapInPandas"],
