@@ -223,6 +223,8 @@ ROUND_CHANGED = frozenset({
     "dedup_method_agreement",
     # round-9 new: PCX codec certification
     "media_pcx_pixel_stats",
+    # round-9 new: vocabulary-growth (Heaps) planning fit
+    "heaps_law_fit",
 })
 
 

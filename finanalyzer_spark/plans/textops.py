@@ -1638,3 +1638,115 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= _WIN_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit (round 9)
+# --------------------------------------------------------------------------
+_HEAPS_CKPTS = 128
+
+
+@query(
+    "heaps_law_fit",
+    # checkpoints = docs whose id is a multiple of a shared
+    # data-derived stride (integer arithmetic, <= ~129 rows), so the
+    # OLS runs on a bounded frame; ln/regression noise is absorbed by
+    # the 4-digit rounding (the zipf_slope_fit discipline).
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    per AS (SELECT doc_id, len(t) AS ntok FROM toks),
+    firsts AS (
+        SELECT min(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY tok
+    ),
+    news AS (SELECT fd AS doc_id, count(*) AS nnew FROM firsts GROUP BY fd),
+    curve AS (
+        SELECT p.doc_id,
+               sum(p.ntok) OVER (ORDER BY p.doc_id) AS big_n,
+               sum(coalesce(n.nnew, 0)) OVER (ORDER BY p.doc_id) AS v
+        FROM per p LEFT JOIN news n ON n.doc_id = p.doc_id
+    ),
+    stride AS (
+        SELECT greatest(1, (max(doc_id) + 1) // {_HEAPS_CKPTS}) AS s
+        FROM per
+    ),
+    ck AS (
+        SELECT big_n, v FROM curve, stride
+        WHERE doc_id % s = 0 AND big_n > 0 AND v > 0
+    )
+    SELECT count(*) AS n_checkpoints,
+           round(regr_slope(ln(v), ln(big_n)), 4) + 0.0 AS heaps_beta,
+           round(exp(regr_intercept(ln(v), ln(big_n))), 4) + 0.0
+               AS heaps_k,
+           round(corr(ln(v), ln(big_n)) * corr(ln(v), ln(big_n)), 4)
+               + 0.0 AS r2
+    FROM ck
+    """,
+    tags=("text", "vocab", "profile", "bounded-window"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K * n^beta of vocabulary growth in crawl
+    (doc_id) order — the number that predicts how much NEW vocabulary
+    the next 10x of corpus will bring (natural text sits near beta
+    0.4-0.6; beta near 0 means the vocabulary has saturated and more
+    crawl buys little lexical novelty; the planning companion to
+    ngram_novelty_rate's repeat shares).
+
+    Scale shape: per-doc token counts and first-occurrence-doc per
+    type collapse the corpus in two keyed aggregations; the running
+    (tokens, vocab) curve rides operators/rank.ordered_scan (no
+    single-partition window over documents), checkpoints thin it to
+    <= {_HEAPS_CKPTS} rows with a shared integer stride, and the
+    log-log OLS runs on that bounded frame via the built-in bivariate
+    aggregates."""
+    from ..operators.rank import ordered_scan
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", tokens_col(F.col("text")).alias("t")
+    )
+    per = toks.select("doc_id", F.size("t").alias("ntok"))
+    firsts = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    news = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("nnew")
+    )
+    joined = per.join(news, "doc_id", "left").select(
+        "doc_id", "ntok",
+        F.coalesce(F.col("nnew"), F.lit(0)).alias("nnew"),
+    )
+    curve = ordered_scan(
+        joined, ["doc_id"], running={"big_n": "ntok", "v": "nnew"}
+    )
+    stride = per.agg(
+        F.greatest(
+            F.lit(1),
+            F.floor((F.max("doc_id") + 1) / _HEAPS_CKPTS).cast("long"),
+        ).alias("s")
+    )
+    ck = (
+        curve.crossJoin(F.broadcast(stride))
+        .where(
+            (F.col("doc_id") % F.col("s") == 0)
+            & (F.col("big_n") > 0) & (F.col("v") > 0)
+        )
+    )
+    lv, ln_ = F.log(F.col("v")), F.log(F.col("big_n"))
+    return ck.agg(
+        F.count("*").alias("n_checkpoints"),
+        (F.round(F.regr_slope(lv, ln_), 4) + 0.0).alias("heaps_beta"),
+        (F.round(F.exp(F.regr_intercept(lv, ln_)), 4) + 0.0)
+        .alias("heaps_k"),
+        (F.round(F.corr(lv, ln_) * F.corr(lv, ln_), 4) + 0.0)
+        .alias("r2"),
+    )

@@ -291,6 +291,15 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
     },
+    "heaps_law_fit": {
+        # two keyed aggregations collapse the corpus; the running
+        # curve rides ordered_scan; stride checkpoints bound the OLS
+        # frame; bivariate aggregates built-in
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "dedup_method_agreement": {
         # two registered bounded candidate pipelines + one pair-keyed
         # equi-join intersection + scalar rollups
