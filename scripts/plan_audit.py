@@ -292,10 +292,11 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
     },
     "heaps_law_fit": {
-        # two keyed aggregations collapse the corpus; the running
-        # curve rides ordered_scan; stride checkpoints bound the OLS
-        # frame; bivariate aggregates built-in
-        "must": ["HashAggregate", "Generate"],
+        # the corpus-collapsing explode+aggregations run INSIDE the
+        # eager ordered_scan (localCheckpoint), so the pinned plan is
+        # the post-scan shape: stride scalar + checkpoint filter +
+        # bivariate aggregates
+        "must": ["HashAggregate"],
         "must_not": ["CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_sort": True,
