@@ -225,6 +225,33 @@ ROUND_CHANGED = frozenset({
     "media_pcx_pixel_stats",
     # round-9 new: vocabulary-growth (Heaps) planning fit
     "heaps_law_fit",
+    # round-9 new: residual serial-correlation diagnostic
+    "durbin_watson_ols",
+    # round-9 new: Lo-MacKinlay random-walk variance ratio
+    "variance_ratio_test",
+    # round-9 new: Friedman rank test (priority | weekday blocks)
+    "friedman_priority_weekday",
+    # round-9 new: Lane stochastic oscillator %K/%D
+    "stochastic_oscillator",
+    # round-9 new: Garman-Klass OHLC range volatility
+    "garman_klass_volatility",
+    # round-9 new: Amihud price-impact illiquidity ratio
+    "amihud_illiquidity",
+    # round-9 new: Adamic-Adar weighted link prediction
+    "adamic_adar_link_prediction",
+    # round-9 new: Hill power-law degree-tail exponent
+    "degree_powerlaw_hill",
+    # round-9 new: per-language tokenizer fertility budgeting rates
+    "tokenizer_fertility",
+    # round-9 new: TTR / Yule-K / Simpson lexical panel
+    "lexical_diversity_by_source",
+    # round-9 new: ordered LISTAGG parity
+    "string_agg_ordered",
+    # round-9 new: deterministic per-group mode
+    "mode_per_group",
+    # round-9 new: Windows ICO container certification (also widened
+    # media_probe_summary's census 7-way -> 8-way, re-queued above)
+    "media_ico_pixel_stats",
 })
 
 

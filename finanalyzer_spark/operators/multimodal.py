@@ -1604,6 +1604,22 @@ def probe_media(buf: bytes) -> dict:
         return {**out, "kind": "image", "container": "bmp",
                 "codec": "bmp", "width": w, "height": abs(h),
                 "n_frames": 1}
+    if buf[:4] == b"\x00\x00\x01\x00" and len(buf) >= 22:
+        # ICO: the 6-byte magic is weak (reserved=0, type=1), so
+        # validate the directory before claiming it (probe_ico raises
+        # on inconsistency and we fall through to 'unknown' below via
+        # the generic walkers)
+        try:
+            from .ico import probe_ico
+
+            p = probe_ico(buf)
+            first = p["entries"][0]
+            return {**out, "kind": "image", "container": "ico",
+                    "codec": first["kind"], "width": first["width"],
+                    "height": first["height"],
+                    "n_frames": p["n_images"]}
+        except (ValueError, NotImplementedError):
+            pass
     if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         # WebP chunk layouts (Google container + VP8/VP8L bitstream
         # specs): VP8 key frame has a 9D 01 2A sync then 14-bit dims;

@@ -1249,3 +1249,114 @@ def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t.lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
     f = t.lineitem.where(F.col("l_linestatus") == "F").select("l_orderkey")
     return r.intersectAll(f)
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "string_agg_ordered",
+    # deterministic ordered concatenation: DuckDB's ORDER BY inside
+    # string_agg twins Spark's array_sort(collect_list(...)) — the
+    # collect order is nondeterministic on BOTH engines, the explicit
+    # sort is what makes the result well-defined.
+    oracle="""
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           min(n.n_name) AS first_nation,
+           max(n.n_name) AS last_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("core", "sql-surface", "agg"),
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg WITHIN GROUP):
+    the CSV of nation names per region under an explicit ORDER BY —
+    the report-building aggregate every SQL surface carries and the
+    canonical trap for engines that collect in partition order
+    (collect_list is nondeterministic; array_sort makes it a function).
+
+    Scale shape: broadcast dimension join + one keyed aggregate; the
+    sort runs inside each group's collected array (bounded by the
+    dimension's fan-out), never as a global sort."""
+    t = load(spark, sf_dir)
+    j = t.nation.join(
+        F.broadcast(t.region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return j.groupBy("r_name").agg(
+        F.count("*").alias("n_nations"),
+        F.array_join(
+            F.array_sort(F.collect_list("n_name")), ","
+        ).alias("nations_csv"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group mode (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "mode_per_group",
+    # native mode() tie-breaking is engine-defined, so the mode is
+    # computed the portable way on both sides: count per value, then
+    # the (count DESC, value ASC) total order picks one deterministic
+    # winner.
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               sum(n) OVER (PARTITION BY o_orderstatus) AS n_total,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY n DESC, o_orderpriority
+               ) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS modal_priority,
+           CAST(n AS BIGINT) AS n_modal,
+           CAST(n_total AS BIGINT) AS n_total,
+           round(CAST(n AS DOUBLE) / n_total, 6) + 0.0 AS modal_share
+    FROM r WHERE rn = 1
+    """,
+    tags=("core", "sql-surface", "agg"),
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break: the most frequent
+    order priority within each order status, ties resolved toward the
+    lexicographically smallest value — the portable form of SQL's
+    mode() (whose tie behavior is engine-defined, so the naive
+    native-function twin would be flaky by construction).
+
+    Scale shape: one map-side-combined (status, priority) count — the
+    fact table collapses to a <=15-row frame — then a rank window and
+    share arithmetic on that bounded frame."""
+    t = load(spark, sf_dir)
+    c = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("o_orderstatus")
+    r = c.select(
+        "o_orderstatus", "o_orderpriority", "n",
+        F.sum("n").over(w).alias("n_total"),
+        F.row_number().over(
+            w.orderBy(F.col("n").desc(), "o_orderpriority")
+        ).alias("rn"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("modal_priority"),
+        F.col("n").cast("long").alias("n_modal"),
+        F.col("n_total").cast("long").alias("n_total"),
+        (
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6)
+            + 0.0
+        ).alias("modal_share"),
+    )

@@ -1020,3 +1020,383 @@ def time_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sum(w_days), 0) AS BIGINT)"
         ).alias("twap_ucents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stochastic oscillator %K / %D (round 9)
+# --------------------------------------------------------------------------
+_STOCH_N = 14
+_STOCH_D = 3
+
+
+@query(
+    "stochastic_oscillator",
+    # %K is quantized to integer 1e-4 percent units the moment it is
+    # computed (both engines round the IDENTICAL double — close and the
+    # channel extremes are exact 1e-4 price-unit integers), so the %D
+    # smoothing and every per-ticker aggregate run on exact integers
+    # (the atr_14 integer-exact discipline).
+    oracle=f"""
+    WITH b AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS px_u,
+               CAST(round(l_extendedprice * (1 + l_tax) * 10000, 0)
+                    AS BIGINT) AS hi_u,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                    AS BIGINT) AS lo_u,
+               l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+    ),
+    ch AS (
+        SELECT l_partkey, px_u,
+               max(hi_u) OVER w AS hmax,
+               min(lo_u) OVER w AS lmin,
+               row_number() OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+               ) AS rn,
+               l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        FROM b
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY {_ORD}
+                     ROWS BETWEEN {_STOCH_N - 1} PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT l_partkey,
+               CAST(round(1000000.0 * (px_u - lmin) / (hmax - lmin), 0)
+                    AS BIGINT) AS k_u,
+               l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        FROM ch WHERE rn >= {_STOCH_N} AND hmax > lmin
+    ),
+    d AS (
+        SELECT l_partkey, k_u,
+               avg(CAST(k_u AS DOUBLE)) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+                   ROWS BETWEEN {_STOCH_D - 1} PRECEDING AND CURRENT ROW
+               ) AS d_u,
+               row_number() OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+               ) AS rn2
+        FROM k
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(k_u) // count(*) AS DOUBLE) / 10000.0 + 0.0
+               AS avg_pct_k,
+           CAST(sum(CASE WHEN rn2 >= {_STOCH_D} AND d_u > 800000.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overbought,
+           CAST(sum(CASE WHEN rn2 >= {_STOCH_D} AND d_u < 200000.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oversold
+    FROM d
+    GROUP BY l_partkey
+    HAVING count(*) >= 1
+    """,
+    tags=("finance", "window", "indicator"),
+)
+def stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − low_n)/(high_n − low_n)
+    over the {_STOCH_N}-bar channel (high/low from the fixture's
+    tax/discount envelope, the atr_14 convention), %D = {_STOCH_D}-bar
+    SMA of %K; per ticker the average %K plus %D>80 / %D<20
+    overbought/oversold counts — the momentum channel indicator
+    alongside RSI (Lane's %K/%D).
+
+    Parity: %K is rounded to integer 1e-4 percent units immediately
+    (identical doubles both sides — inputs are exact integers), so all
+    smoothing/aggregation is integer-exact; degenerate flat channels
+    (hmax == lmin) drop identically on both engines.
+
+    Scale shape: one (ticker, time) window sort shared by the channel
+    extremes and row_number, a second over the derived %K frame, then
+    one keyed aggregate. Two shuffles on the same key."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
+    px = F.col("l_extendedprice")
+    u = lambda c: F.round(c * 10000, 0).cast("long")  # noqa: E731
+    b = t.lineitem.select(
+        "l_partkey",
+        u(px).alias("px_u"),
+        u(px * (1 + F.col("l_tax"))).alias("hi_u"),
+        u(px * (1 - F.col("l_discount"))).alias("lo_u"),
+        *order,
+    )
+    wch = (
+        W.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(-(_STOCH_N - 1), W.currentRow)
+    )
+    wrn = W.partitionBy("l_partkey").orderBy(*order)
+    ch = b.select(
+        "l_partkey", "px_u",
+        F.max("hi_u").over(wch).alias("hmax"),
+        F.min("lo_u").over(wch).alias("lmin"),
+        F.row_number().over(wrn).alias("rn"),
+        *order,
+    )
+    k = ch.where(
+        (F.col("rn") >= _STOCH_N) & (F.col("hmax") > F.col("lmin"))
+    ).select(
+        "l_partkey",
+        F.round(
+            1000000.0 * (F.col("px_u") - F.col("lmin"))
+            / (F.col("hmax") - F.col("lmin")),
+            0,
+        ).cast("long").alias("k_u"),
+        *order,
+    )
+    wd = (
+        W.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(-(_STOCH_D - 1), W.currentRow)
+    )
+    d = k.select(
+        "l_partkey", "k_u",
+        F.avg(F.col("k_u").cast("double")).over(wd).alias("d_u"),
+        F.row_number().over(
+            W.partitionBy("l_partkey").orderBy(*order)
+        ).alias("rn2"),
+    )
+    full_d = F.col("rn2") >= _STOCH_D
+    return d.groupBy("l_partkey").agg(
+        F.count("*").alias("n_obs"),
+        (
+            (
+                (F.sum("k_u") - F.sum("k_u") % F.count("*"))
+                / F.count("*")
+            ).cast("long").cast("double") / 10000.0 + 0.0
+        ).alias("avg_pct_k"),
+        F.sum(
+            (full_d & (F.col("d_u") > 800000.0)).cast("long")
+        ).alias("n_overbought"),
+        F.sum(
+            (full_d & (F.col("d_u") < 200000.0)).cast("long")
+        ).alias("n_oversold"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Garman-Klass range-based volatility (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "garman_klass_volatility",
+    # per-day OHLC come out of arg_min/arg_max/min/max over exact 1e-4
+    # price-unit integers (total order via the _ORD tuple), the
+    # per-day GK term is the identical double on both engines and is
+    # quantized to integer 1e-8 units before the per-ticker average
+    # (atr_14 discipline: no float accumulation crosses an engine).
+    oracle=f"""
+    WITH b AS (
+        SELECT l_partkey,
+               CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+               CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS px_u,
+               CAST(round(l_extendedprice * (1 + l_tax) * 10000, 0)
+                    AS BIGINT) AS hi_u,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                    AS BIGINT) AS lo_u,
+               l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+    ),
+    oc AS (
+        SELECT l_partkey, d, hi_u, lo_u,
+               first_value(px_u) OVER w AS o,
+               last_value(px_u) OVER w AS c
+        FROM b
+        WINDOW w AS (PARTITION BY l_partkey, d
+                     ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    ),
+    ohlc AS (
+        SELECT l_partkey, d, any_value(o) AS o, any_value(c) AS c,
+               max(hi_u) AS h, min(lo_u) AS l
+        FROM oc GROUP BY 1, 2
+    ),
+    gk AS (
+        SELECT l_partkey,
+               CAST(round(1e8 * (
+                   0.5 * ln(CAST(h AS DOUBLE) / l)
+                       * ln(CAST(h AS DOUBLE) / l)
+                   - (2.0 * ln(2.0) - 1.0)
+                       * ln(CAST(c AS DOUBLE) / o)
+                       * ln(CAST(c AS DOUBLE) / o)), 0) AS BIGINT) AS gk_u
+        FROM ohlc WHERE l > 0 AND o > 0
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(sqrt(greatest(CAST(sum(gk_u) AS DOUBLE)
+                               / count(*) / 1e8, 0.0)), 6) + 0.0
+               AS gk_vol_daily,
+           round(sqrt(greatest(252.0 * CAST(sum(gk_u) AS DOUBLE)
+                               / count(*) / 1e8, 0.0)), 6) + 0.0
+               AS gk_vol_annual
+    FROM gk
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "volatility", "indicator"),
+)
+def garman_klass_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass range-based volatility estimator per ticker:
+    σ²_GK = 0.5·ln(H/L)² − (2ln2−1)·ln(C/O)² per day, averaged and
+    annualized (×252) — the OHLC estimator that is ~7x more efficient
+    than close-to-close realized_volatility (Garman & Klass 1980),
+    using the fixture's tax/discount high/low envelope and
+    first/last-by-_ORD open/close (the ohlc_downsample convention).
+
+    Parity: OHLC are exact 1e-4 price-unit integers selected under the
+    _ORD total order (arg_min/arg_max on both engines); the per-day GK
+    term is one identical double expression quantized to integer 1e-8
+    units before any cross-row accumulation.
+
+    Scale shape: one (ticker, day) map-side-combined groupBy, then one
+    keyed per-ticker aggregate — two shuffles, no windows."""
+    t = load(spark, sf_dir)
+    px = F.col("l_extendedprice")
+    u = lambda c: F.round(c * 10000, 0).cast("long")  # noqa: E731
+    tb = F.struct("l_orderkey", "l_linenumber", "l_extendedprice")
+    b = t.lineitem.select(
+        "l_partkey",
+        F.to_date(F.date_trunc("day", "l_shipdate")).alias("d"),
+        u(px).alias("px_u"),
+        u(px * (1 + F.col("l_tax"))).alias("hi_u"),
+        u(px * (1 - F.col("l_discount"))).alias("lo_u"),
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+    )
+    ohlc = b.groupBy("l_partkey", "d").agg(
+        F.min_by("px_u", tb).alias("o"),
+        F.max_by("px_u", tb).alias("c"),
+        F.max("hi_u").alias("h"),
+        F.min("lo_u").alias("l"),
+    )
+    lnhl = F.log(F.col("h").cast("double") / F.col("l"))
+    lnco = F.log(F.col("c").cast("double") / F.col("o"))
+    import math
+    gk = ohlc.where((F.col("l") > 0) & (F.col("o") > 0)).select(
+        "l_partkey",
+        F.round(
+            1e8 * (0.5 * lnhl * lnhl
+                   - (2.0 * math.log(2.0) - 1.0) * lnco * lnco),
+            0,
+        ).cast("long").alias("gk_u"),
+    )
+    mean_gk = F.sum("gk_u").cast("double") / F.count("*") / 1e8
+    return gk.groupBy("l_partkey").agg(
+        F.count("*").alias("n_days"),
+        (
+            F.round(F.sqrt(F.greatest(mean_gk, F.lit(0.0))), 6) + 0.0
+        ).alias("gk_vol_daily"),
+        (
+            F.round(
+                F.sqrt(F.greatest(252.0 * mean_gk, F.lit(0.0))), 6
+            ) + 0.0
+        ).alias("gk_vol_annual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Amihud illiquidity ratio (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "amihud_illiquidity",
+    # daily close is an exact integer under the _ORD total order,
+    # daily dollar volume is an exact integer-cents x integer-quantity
+    # sum, the |return|/volume ratio is one identical double quantized
+    # to integer units before the per-ticker average (atr_14
+    # discipline).
+    oracle="""
+    WITH b AS (
+        SELECT l_partkey,
+               CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+               CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS px_u,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round(l_quantity, 0) AS BIGINT) AS dv_cents,
+               l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+    ),
+    lc AS (
+        SELECT l_partkey, d, dv_cents,
+               last_value(px_u) OVER (
+                   PARTITION BY l_partkey, d
+                   ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+               ) AS c
+        FROM b
+    ),
+    daily AS (
+        SELECT l_partkey, d, any_value(c) AS c, sum(dv_cents) AS dv
+        FROM lc GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT l_partkey, d, c, dv,
+               lag(c) OVER (PARTITION BY l_partkey ORDER BY d) AS c1
+        FROM daily
+    ),
+    il AS (
+        SELECT l_partkey,
+               CAST(round(1e9 * abs(CAST(c AS DOUBLE) / c1 - 1.0)
+                          / dv * 1e4, 0) AS BIGINT) AS illiq_u
+        FROM r WHERE c1 IS NOT NULL AND dv > 0
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(illiq_u) // count(*) AS DOUBLE) / 1e4 + 0.0
+               AS amihud_illiq
+    FROM il
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "liquidity", "indicator"),
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity ratio per ticker: the average of
+    |daily return| / daily dollar volume (scaled x1e9) — the standard
+    price-impact-per-traded-dollar proxy used in asset-pricing and
+    execution-cost screens; the liquidity companion to vwap_premium.
+
+    Parity: daily close is the last observation under the _ORD total
+    order (arg_max over exact integer price units), dollar volume is
+    an exact integer (cents x integral quantity), and the per-day
+    ratio is one identical double quantized to integer 1e-4 units
+    before the per-ticker average.
+
+    Scale shape: one (ticker, day) map-side-combined groupBy, one lag
+    window on the per-ticker daily frame (same key — sort reused),
+    one keyed aggregate."""
+    t = load(spark, sf_dir)
+    px = F.col("l_extendedprice")
+    tb = F.struct("l_orderkey", "l_linenumber", "l_extendedprice")
+    b = t.lineitem.select(
+        "l_partkey",
+        F.to_date(F.date_trunc("day", "l_shipdate")).alias("d"),
+        F.round(px * 10000, 0).cast("long").alias("px_u"),
+        (
+            F.round(px * 100, 0).cast("long")
+            * F.round(F.col("l_quantity"), 0).cast("long")
+        ).alias("dv_cents"),
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+    )
+    daily = b.groupBy("l_partkey", "d").agg(
+        F.max_by("px_u", tb).alias("c"),
+        F.sum("dv_cents").alias("dv"),
+    )
+    r = daily.select(
+        "l_partkey", "c", "dv",
+        F.lag("c").over(
+            W.partitionBy("l_partkey").orderBy("d")
+        ).alias("c1"),
+    )
+    il = r.where(F.col("c1").isNotNull() & (F.col("dv") > 0)).select(
+        "l_partkey",
+        F.round(
+            1e9
+            * F.abs(F.col("c").cast("double") / F.col("c1") - 1.0)
+            / F.col("dv") * 1e4,
+            0,
+        ).cast("long").alias("illiq_u"),
+    )
+    return il.groupBy("l_partkey").agg(
+        F.count("*").alias("n_days"),
+        (
+            (
+                (F.sum("illiq_u") - F.sum("illiq_u") % F.count("*"))
+                / F.count("*")
+            ).cast("long").cast("double") / 1e4 + 0.0
+        ).alias("amihud_illiq"),
+    )

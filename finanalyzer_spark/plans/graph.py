@@ -824,3 +824,188 @@ def common_neighbor_link_prediction(spark: SparkSession, sf_dir: str) -> DataFra
     return scored.orderBy(
         F.col("n_common").desc(), F.col("jaccard").desc(), "u", "v"
     ).limit(_LP_TOP)
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "adamic_adar_link_prediction",
+    # same wedge expansion as common_neighbor_link_prediction, but each
+    # wedge carries its hub's 1/ln(degree) weight QUANTIZED to integer
+    # 1e-9 units before the per-pair sum (hub degree >= 2 whenever a
+    # wedge exists, so ln(d) > 0), making the score — and therefore the
+    # top-k cut — exact integer arithmetic on both engines.
+    oracle=f"""
+    WITH {_COSUPPLY_CTE},
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+    wedge AS (
+        SELECT a.v AS x, b.v AS y,
+               CAST(round(1e9 / ln(CAST(dh.d AS DOUBLE)), 0) AS BIGINT)
+                   AS w_u
+        FROM e a
+        JOIN e b ON a.u = b.u AND a.v < b.v
+        JOIN deg dh ON dh.node = a.u
+    ),
+    aa AS (
+        SELECT x, y, count(*) AS n_common, sum(w_u) AS w_sum
+        FROM wedge GROUP BY x, y
+    ),
+    cand AS (
+        SELECT c.x, c.y, c.n_common, c.w_sum
+        FROM aa c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM und WHERE und.u = c.x AND und.v = c.y)
+    )
+    SELECT x AS u, y AS v, n_common,
+           CAST(w_sum AS DOUBLE) / 1e9 + 0.0 AS aa_score
+    FROM cand
+    ORDER BY w_sum DESC, x, y
+    LIMIT {_LP_TOP}
+    """,
+    tags=("graph", "link-prediction"),
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-supply graph: the top
+    {_LP_TOP} non-adjacent supplier pairs by sum of 1/ln(degree) over
+    their common neighbors — the frequency-weighted refinement of
+    common_neighbor_link_prediction (a shared rare hub says more than
+    a shared mega-hub; Adamic & Adar 2003, the second baseline of
+    Liben-Nowell & Kleinberg's benchmark).
+
+    Scale shape: the same threshold-and-cap-bounded wedge self-join as
+    triangle counting, with the hub degree attached by a broadcast
+    join BEFORE the pair aggregation so the weight rides the wedge
+    stream; per-pair sums are exact integers (1e-9-quantized weights),
+    the anti-join drops existing edges, and the top-k cut is a
+    TakeOrdered under a total integer order — never a global sort."""
+    t = load(spark, sf_dir)
+    pairs = _cosupply_pairs(t).persist()
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR).persist()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    dh = F.broadcast(
+        deg.select(
+            F.col("node").alias("hub"),
+            F.round(1e9 / F.log(F.col("d").cast("double")), 0)
+            .cast("long").alias("w_u"),
+        )
+    )
+    a = sym.select(F.col("u").alias("hub"), F.col("v").alias("x"))
+    b = sym.select(F.col("u").alias("hub"), F.col("v").alias("y"))
+    aa = (
+        a.join(b, "hub")
+        .where(F.col("x") < F.col("y"))
+        .join(dh, "hub")
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("w_u").alias("w_sum"),
+        )
+    )
+    cand = aa.join(
+        edges,
+        (aa.x == edges.u) & (aa.y == edges.v),
+        "left_anti",
+    )
+    return (
+        cand.orderBy(F.col("w_sum").desc(), "x", "y")
+        .limit(_LP_TOP)
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            "n_common",
+            (F.col("w_sum").cast("double") / 1e9 + 0.0).alias("aa_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill power-law tail estimator on the degree distribution (round 9)
+# --------------------------------------------------------------------------
+_HILL_DMIN = 5
+
+
+@query(
+    "degree_powerlaw_hill",
+    # per-node ln(d/dmin) is quantized to integer 1e-9 units (identical
+    # doubles both engines — degrees are exact integers), so the tail
+    # sum is exact and alpha is one identical final double expression.
+    oracle=f"""
+    WITH {_COSUPPLY_CTE},
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+    tail AS (
+        SELECT d,
+               CAST(round(1e9 * ln(CAST(d AS DOUBLE) / {_HILL_DMIN}), 0)
+                    AS BIGINT) AS lnr_u
+        FROM deg WHERE d >= {_HILL_DMIN}
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           CAST({_HILL_DMIN} AS BIGINT) AS d_min,
+           CAST(max(d) AS BIGINT) AS d_max,
+           round(1.0 + count(*)
+                 / (CAST(sum(lnr_u) AS DOUBLE) / 1e9), 6) + 0.0
+               AS alpha_hill
+    FROM tail
+    """,
+    tags=("graph", "stats"),
+)
+def degree_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill maximum-likelihood estimate of the power-law tail exponent
+    of the co-supply degree distribution: alpha = 1 + n / Σ ln(d/dmin)
+    over nodes with degree >= dmin (Hill 1975; the discrete-tail form
+    popularized by Clauset-Shalizi-Newman 2009) — the scale-planning
+    number behind _COSUPPLY_CAP and the skew-salting thresholds: alpha
+    near 2 means hub degrees grow linearly with graph size and every
+    uncapped quadratic pair build eventually melts.
+
+    Scale shape: degrees come from one keyed count over the bounded
+    edge list; the tail is a filter + one aggregate with exact
+    integer-quantized log terms — nothing beyond the shared capped
+    pair build shuffles."""
+    t = load(spark, sf_dir)
+    pairs = _cosupply_pairs(t)
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    ).persist()
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    tail = deg.where(F.col("d") >= _HILL_DMIN).select(
+        "d",
+        F.round(
+            1e9 * F.log(F.col("d").cast("double") / _HILL_DMIN), 0
+        ).cast("long").alias("lnr_u"),
+    )
+    agg = tail.agg(
+        F.count("*").alias("n_tail"),
+        F.max("d").alias("d_max"),
+        F.sum("lnr_u").alias("s_u"),
+    )
+    return agg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.lit(_HILL_DMIN).cast("long").alias("d_min"),
+        F.col("d_max").cast("long").alias("d_max"),
+        (
+            F.round(
+                1.0 + F.col("n_tail")
+                / (F.col("s_u").cast("double") / 1e9),
+                6,
+            ) + 0.0
+        ).alias("alpha_hill"),
+    )

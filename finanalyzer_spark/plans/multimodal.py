@@ -975,10 +975,10 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_probe_summary",
-    # Per-document payloads cycle through seven REAL formats (built by
+    # Per-document payloads cycle through eight REAL formats (built by
     # the pure encoder twins: baseline JPEG, binary PPM, PCM-16 WAV,
     # MJPEG-in-MP4, I_PCM-H.264-in-MKV, MP3-with-Xing, CABAC-flagged
-    # Annex-B H.264); the Spark side PROBES each payload with
+    # Annex-B H.264, classic-DIB ICO); the Spark side PROBES each payload with
     # operators/multimodal.probe_media (header/box/EBML parsing, no
     # pixel/sample decode) and rolls up by identified
     # kind/container/codec.  The oracle recomputes the rollup
@@ -990,19 +990,22 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sees why the pure decode tier refuses it (SCALE.md §media).
     oracle="""
     WITH probed AS (
-        SELECT CASE doc_id % 7
+        SELECT CASE doc_id % 8
                  WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                 WHEN 7 THEN 'image'
                  WHEN 2 THEN 'audio' WHEN 5 THEN 'audio'
                  ELSE 'video' END AS kind,
-               CASE doc_id % 7
+               CASE doc_id % 8
                  WHEN 0 THEN 'jfif' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
                  WHEN 4 THEN 'mkv' WHEN 5 THEN 'mpeg'
+                 WHEN 7 THEN 'ico'
                  ELSE 'annexb' END AS container,
-               CASE doc_id % 7
+               CASE doc_id % 8
                  WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'pcm' WHEN 3 THEN 'mjpeg'
                  WHEN 4 THEN 'h264' WHEN 5 THEN 'mp3'
+                 WHEN 7 THEN 'dib'
                  ELSE 'h264-cabac' END AS codec
         FROM documents
     )
@@ -1035,6 +1038,7 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_h264_ipcm,  # noqa: F401
             write_sps_pps,
         )
+        from ..operators.ico import encode_ico
         from ..operators.jpeg import encode_jpeg
         from ..operators.mkv import mux_mkv
         from ..operators.mp4 import mux_mp4_mjpeg
@@ -1050,24 +1054,26 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fill = int(n_chars) % 256
                 img = np.full((8, 8, 3), fill, dtype=np.uint8)
                 vid = np.full((16, 16, 3), fill, dtype=np.uint8)
-                kind7 = int(doc_id) % 7
-                if kind7 == 0:
+                kind8 = int(doc_id) % 8
+                if kind8 == 0:
                     payload = encode_jpeg(img, quality=80)
-                elif kind7 == 1:
+                elif kind8 == 1:
                     payload = b"P6\n8 8\n255\n" + img.tobytes()
-                elif kind7 == 2:
+                elif kind8 == 2:
                     payload = encode_wav_pcm16(
                         bytes([fill]) * 64, rate=8000, channels=1
                     )
-                elif kind7 == 3:
+                elif kind8 == 3:
                     payload = mux_mp4_mjpeg([vid], fps=10, quality=80)
-                elif kind7 == 4:
+                elif kind8 == 4:
                     payload = mux_mkv([vid], codec="avc", fps=10)
-                elif kind7 == 5:
+                elif kind8 == 5:
                     # perceptual audio: decode refuses, probe reports
                     payload = encode_mpeg_audio_stub(
                         n_frames=1 + fill % 5, xing=True
                     )
+                elif kind8 == 7:
+                    payload = encode_ico(img)
                 else:
                     # CABAC-flagged stream: probe NAMES the refusal
                     sps, pps = write_sps_pps(4, 4, cabac=True)
@@ -1979,6 +1985,88 @@ def media_pcx_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 w, img = _doc_image(text)
                 dec = decode_pcx(encode_pcx(img))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "width": w,
+                        "height": 8,
+                        "n_pixels": int(dec.shape[0] * dec.shape[1]),
+                        "px_sum": int(dec.astype(np.int64).sum()),
+                        "px_max": int(dec.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "px_sum", "px_max",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " px_sum long, px_max int"
+        ),
+    )
+
+
+@query(
+    "media_ico_pixel_stats",
+    # identical oracle discipline to the QOI/TIFF/PNG/TGA/PCX round
+    # trips: decoded pixels must equal the source characters — a wrong
+    # AND-mask stride, bottom-up flip or BGRA swap shifts px_sum and
+    # breaks the hash.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               greatest(1, least(length(text) // 24, 64)) AS w
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, w * 24), ''),
+                   c -> ascii(c)) AS bs
+        FROM d JOIN documents USING (doc_id)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           8 AS height,
+           CAST(w * 8 AS BIGINT) AS n_pixels,
+           CAST(list_sum(bs) AS BIGINT) AS px_sum,
+           CAST(list_max(bs) AS INT) AS px_max
+    FROM px
+    """,
+    tags=("multimodal", "codec", "ico"),
+)
+def media_ico_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round trip through the Windows ICO container
+    (operators/ico.py): each document's leading bytes become an
+    (8, w, 3) image, encode to a genuine single-entry classic-DIB ICO
+    (32-bit BGRA XOR bitmap, doubled-height header, 32-bit-padded
+    all-opaque AND mask, bottom-up rows), decode with the
+    exact-or-refuse decoder (which also applies the AND-mask
+    transparency rule and delegates PNG entries to the certified PNG
+    tier), and report pixel stats from the DECODED array — the oracle
+    recomputes them from the source characters, certifying
+    losslessness through the container round trip."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.ico import decode_ico, encode_ico
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, img = _doc_image(text)
+                dec = decode_ico(encode_ico(img))[:, :, :3]
                 rows.append(
                     {
                         "media_id": int(doc_id),

@@ -3682,3 +3682,344 @@ def bh_fdr_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("bh_threshold_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson serial-correlation diagnostic (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "durbin_watson_ols",
+    # the trend OLS runs on exact DECIMAL(38,0) moments of integer
+    # (day-index, cents) pairs, so slope/intercept — and therefore
+    # every per-row residual — are the SAME double on both engines;
+    # only the final two residual sums are float accumulations, and
+    # the 6-digit rounding absorbs their association-order noise (the
+    # adf_unit_root_daily_revenue float-parity discipline).
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y, CAST(d - DATE '1992-01-01' AS BIGINT) AS t FROM daily
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(t AS DECIMAL(38,0))) AS st,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS stt,
+               sum(CAST(t AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sty
+        FROM idx
+    ),
+    ab AS (
+        SELECT (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+               CAST(n AS DOUBLE) AS n, CAST(st AS DOUBLE) AS st,
+               CAST(sy AS DOUBLE) AS sy
+        FROM mo
+    ),
+    res AS (
+        SELECT d,
+               CAST(y AS DOUBLE)
+                   - (sy - b * st) / n
+                   - b * CAST(t AS DOUBLE) AS e
+        FROM idx, ab
+    ),
+    lagd AS (
+        SELECT e, lag(e) OVER (ORDER BY d) AS e1 FROM res
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_obs,
+           round(sum(CASE WHEN e1 IS NULL THEN 0.0
+                          ELSE (e - e1) * (e - e1) END)
+                 / sum(e * e), 6) + 0.0 AS dw_stat,
+           round(1.0 - (sum(CASE WHEN e1 IS NULL THEN 0.0
+                                 ELSE (e - e1) * (e - e1) END)
+                        / sum(e * e)) / 2.0, 6) + 0.0 AS rho1_approx
+    FROM lagd
+    """,
+    tags=("profile", "timeseries", "stats", "bounded-window"),
+)
+def durbin_watson_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from the daily-revenue
+    linear-trend OLS — the classical first check that a fitted trend
+    left serially-correlated errors behind (DW near 2 = none; toward 0
+    = positive autocorrelation, toward 4 = negative), i.e. whether
+    forecast_revenue_change / theil_sen_trend_daily_revenue's linear
+    view of this series is even admissible (Durbin & Watson 1950).
+
+    Scale shape + parity: the fact table collapses to one row per day
+    first (map-side-combined groupBy); the 2x2 normal equations solve
+    from exact DECIMAL(38,0) moments of integer (day-index, cents)
+    pairs so every per-row residual is the identical double on both
+    engines; the single lag window runs over the bounded ~2.4k-row
+    daily frame (documented bounded-global-window tier)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    idx = daily.select(
+        "d", "y",
+        F.datediff("d", F.lit("1992-01-01")).cast("long").alias("t"),
+    )
+    dec = "decimal(38,0)"
+    mo = idx.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("t").cast(dec) * F.col("t").cast(dec)).alias("stt"),
+        F.sum(F.col("t").cast(dec) * F.col("y").cast(dec)).alias("sty"),
+    )
+    ab = mo.select(
+        (
+            (F.col("n").cast("double") * F.col("sty").cast("double")
+             - F.col("st").cast("double") * F.col("sy").cast("double"))
+            / (F.col("n").cast("double") * F.col("stt").cast("double")
+               - F.col("st").cast("double") * F.col("st").cast("double"))
+        ).alias("b"),
+        F.col("n").cast("double").alias("n"),
+        F.col("st").cast("double").alias("st"),
+        F.col("sy").cast("double").alias("sy"),
+    )
+    res = idx.crossJoin(F.broadcast(ab)).select(
+        "d",
+        (
+            F.col("y").cast("double")
+            - (F.col("sy") - F.col("b") * F.col("st")) / F.col("n")
+            - F.col("b") * F.col("t").cast("double")
+        ).alias("e"),
+    )
+    lagd = res.select("e", F.lag("e").over(W.orderBy("d")).alias("e1"))
+    num = F.sum(
+        F.when(F.col("e1").isNull(), F.lit(0.0)).otherwise(
+            (F.col("e") - F.col("e1")) * (F.col("e") - F.col("e1"))
+        )
+    )
+    den = F.sum(F.col("e") * F.col("e"))
+    return lagd.agg(
+        F.count("*").alias("n_obs"),
+        (F.round(num / den, 6) + 0.0).alias("dw_stat"),
+        (F.round(F.lit(1.0) - (num / den) / 2.0, 6) + 0.0).alias(
+            "rho1_approx"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio random-walk test (round 9)
+# --------------------------------------------------------------------------
+_VR_Q = 5
+
+
+@query(
+    "variance_ratio_test",
+    # per-row log returns are ln() of exact integer cents (identical
+    # doubles both engines); the mean return telescopes to the exact
+    # closed form (ln y_last - ln y_first)/n so no float mean is
+    # accumulated; the two squared-deviation sums are the only float
+    # accumulations and the 5-digit rounding absorbs their
+    # association-order noise.
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    lr AS (
+        SELECT d, ln(CAST(y AS DOUBLE)) AS ly,
+               lag(ln(CAST(y AS DOUBLE)), 1) OVER (ORDER BY d) AS ly1,
+               lag(ln(CAST(y AS DOUBLE)), {_VR_Q}) OVER (ORDER BY d) AS lyq
+        FROM daily
+    ),
+    mu AS (
+        SELECT (arg_max(ly, d) - arg_min(ly, d))
+                   / CAST(count(*) - 1 AS DOUBLE) AS mu
+        FROM lr
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(
+               (sum(CASE WHEN lyq IS NULL THEN 0.0
+                         ELSE (ly - lyq - {_VR_Q} * mu)
+                              * (ly - lyq - {_VR_Q} * mu) END)
+                / ({_VR_Q} * sum(CASE WHEN lyq IS NULL THEN 0 ELSE 1 END)))
+               / (sum(CASE WHEN ly1 IS NULL THEN 0.0
+                           ELSE (ly - ly1 - mu) * (ly - ly1 - mu) END)
+                  / sum(CASE WHEN ly1 IS NULL THEN 0 ELSE 1 END)),
+               5) + 0.0 AS vr_q,
+           round(
+               ((sum(CASE WHEN lyq IS NULL THEN 0.0
+                          ELSE (ly - lyq - {_VR_Q} * mu)
+                               * (ly - lyq - {_VR_Q} * mu) END)
+                 / ({_VR_Q} * sum(CASE WHEN lyq IS NULL THEN 0 ELSE 1 END)))
+                / (sum(CASE WHEN ly1 IS NULL THEN 0.0
+                            ELSE (ly - ly1 - mu) * (ly - ly1 - mu) END)
+                   / sum(CASE WHEN ly1 IS NULL THEN 0 ELSE 1 END))
+                - 1.0)
+               / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                      / (3.0 * {_VR_Q}
+                         * sum(CASE WHEN ly1 IS NULL THEN 0 ELSE 1 END))),
+               5) + 0.0 AS z_stat
+    FROM lr, mu
+    """,
+    tags=("profile", "timeseries", "stats", "bounded-window"),
+)
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q=5, homoscedastic form) on
+    log daily revenue: under a random walk the variance of q-period
+    log returns is q times the 1-period variance, so VR(q) far from 1
+    flags mean reversion (<1) or trending/momentum (>1) — the
+    market-efficiency companion to adf_unit_root_daily_revenue's
+    unit-root view (Lo & MacKinlay 1988; overlapping q-period returns,
+    simple n_q normalization, documented convention).
+
+    Scale shape + parity: one row per day first, both lag windows over
+    the bounded daily frame; the mean log return telescopes to the
+    exact closed form (last-first)/n via arg_max/arg_min so the only
+    float accumulations are the two squared-deviation sums, absorbed
+    by the 5-digit rounding."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = W.orderBy("d")
+    lr = daily.select(
+        "d",
+        F.log(F.col("y").cast("double")).alias("ly"),
+        F.lag(F.log(F.col("y").cast("double")), 1).over(w).alias("ly1"),
+        F.lag(F.log(F.col("y").cast("double")), _VR_Q).over(w).alias("lyq"),
+    )
+    mu = lr.agg(
+        (
+            (F.max_by("ly", "d") - F.min_by("ly", "d"))
+            / (F.count("*") - 1).cast("double")
+        ).alias("mu")
+    )
+    j = lr.crossJoin(F.broadcast(mu))
+    dq = F.col("ly") - F.col("lyq") - _VR_Q * F.col("mu")
+    d1 = F.col("ly") - F.col("ly1") - F.col("mu")
+    sq = F.sum(F.when(F.col("lyq").isNull(), F.lit(0.0)).otherwise(dq * dq))
+    s1 = F.sum(F.when(F.col("ly1").isNull(), F.lit(0.0)).otherwise(d1 * d1))
+    nq = F.sum(F.when(F.col("lyq").isNull(), 0).otherwise(1))
+    n1 = F.sum(F.when(F.col("ly1").isNull(), 0).otherwise(1))
+    vr = (sq / (_VR_Q * nq)) / (s1 / n1)
+    z = (vr - 1.0) / F.sqrt(
+        2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3.0 * _VR_Q * n1)
+    )
+    return j.agg(
+        F.count("*").alias("n_days"),
+        (F.round(vr, 5) + 0.0).alias("vr_q"),
+        (F.round(z, 5) + 0.0).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Friedman rank test: priority effect controlling for weekday (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "friedman_priority_weekday",
+    # cell means are exact DECIMAL-sum / count ratios (identical
+    # doubles both engines), so the within-block ranks agree exactly;
+    # everything after the ranks is small-integer arithmetic. Ranks
+    # order by (mean, priority) so a hypothetical exact tie still
+    # ranks identically on both engines.
+    oracle="""
+    WITH cells AS (
+        SELECT dayofweek(CAST(o_orderdate AS DATE)) AS blk,
+               o_orderpriority AS trt,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS DOUBLE) / count(*) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT blk, trt,
+               rank() OVER (PARTITION BY blk ORDER BY v, trt) AS r
+        FROM cells
+    ),
+    rj AS (
+        SELECT trt, CAST(sum(r) AS DOUBLE) AS rsum FROM ranked GROUP BY trt
+    ),
+    dims AS (
+        SELECT CAST(count(DISTINCT blk) AS DOUBLE) AS b,
+               CAST(count(DISTINCT trt) AS DOUBLE) AS k
+        FROM cells
+    )
+    SELECT CAST(b AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS k_treatments,
+           round(12.0 / (b * k * (k + 1)) * sum(rsum * rsum)
+                 - 3.0 * b * (k + 1), 6) + 0.0 AS friedman_chi2
+    FROM rj, dims
+    GROUP BY b, k
+    """,
+    tags=("profile", "stats", "bounded-window"),
+)
+def friedman_priority_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for an order-priority effect on mean order
+    value, blocking by weekday: within each weekday block the five
+    priorities are ranked by mean order value, and the chi-square
+    statistic asks whether the rank profile is consistent across
+    blocks — the nonparametric two-way companion to
+    kruskal_wallis_returnflag (one-way) and chi2_status_priority
+    (independence), per Friedman 1937.
+
+    Scale shape + parity: the fact table collapses to a 7x5 cell-mean
+    frame in one map-side-combined groupBy (means are exact
+    DECIMAL-sum/count ratios, identical doubles both engines); the
+    rank window and every later step run on that bounded frame."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    cells = (
+        t.orders.select(
+            F.dayofweek(F.to_date("o_orderdate")).alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                F.sum(F.col("cents").cast(dec)).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    ranked = cells.select(
+        "blk", "trt",
+        F.rank().over(W.partitionBy("blk").orderBy("v", "trt")).alias("r"),
+    )
+    rj = ranked.groupBy("trt").agg(
+        F.sum("r").cast("double").alias("rsum")
+    )
+    dims = cells.agg(
+        F.countDistinct("blk").cast("double").alias("b"),
+        F.countDistinct("trt").cast("double").alias("k"),
+    )
+    j = rj.crossJoin(F.broadcast(dims))
+    return j.groupBy("b", "k").agg(
+        F.round(
+            12.0 / (F.col("b") * F.col("k") * (F.col("k") + 1))
+            * F.sum(F.col("rsum") * F.col("rsum"))
+            - 3.0 * F.col("b") * (F.col("k") + 1),
+            6,
+        ).alias("chi2_tmp"),
+    ).select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        (F.col("chi2_tmp") + 0.0).alias("friedman_chi2"),
+    )

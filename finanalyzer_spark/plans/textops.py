@@ -1750,3 +1750,170 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.corr(lv, ln_) * F.corr(lv, ln_), 4) + 0.0)
         .alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility",
+    # everything is exact integer sums (token counts, character
+    # lengths) per language; the three ratios are single divisions of
+    # exact integers — identical doubles on both engines.
+    oracle=r"""
+    WITH per AS (
+        SELECT lang,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+               END AS n_tok,
+               len(trim(text)) AS n_chr
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) + 0.0
+               AS tokens_per_doc,
+           round(CAST(sum(n_chr) AS DOUBLE) / sum(n_tok), 6) + 0.0
+               AS chars_per_token,
+           round(CAST(sum(n_chr) - sum(n_tok) + count(*) AS DOUBLE)
+                 / sum(n_tok), 6) + 0.0 AS word_chars_per_token
+    FROM per
+    GROUP BY lang
+    HAVING sum(n_tok) > 0
+    """,
+    tags=("text", "tokenizer", "profile"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens per document and
+    characters per token under the whitespace tokenizer — the
+    budgeting numbers a training-data pipeline needs to convert a raw
+    character census into a token budget per language (fertility
+    varies 2-4x across languages for any fixed tokenizer, so per-lang
+    rates — not one global average — drive the mixture math).
+    word_chars_per_token removes the single inter-token separator per
+    token (chars - (n_tok - 1) per doc) for the whitespace-free rate.
+
+    Scale shape: one map-side-combined groupBy over per-doc integer
+    counts; payload text never shuffles (counts are computed in the
+    scan stage)."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    per = t.documents.select(
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chr"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chr").alias("s_chr"),
+    )
+    return g.where(F.col("n_tokens") > 0).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+            ) + 0.0
+        ).alias("tokens_per_doc"),
+        (
+            F.round(
+                F.col("s_chr").cast("double") / F.col("n_tokens"), 6
+            ) + 0.0
+        ).alias("chars_per_token"),
+        (
+            F.round(
+                (
+                    F.col("s_chr") - F.col("n_tokens") + F.col("n_docs")
+                ).cast("double") / F.col("n_tokens"),
+                6,
+            ) + 0.0
+        ).alias("word_chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity per source (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "lexical_diversity_by_source",
+    # V, N and the type-frequency second moment are exact integers per
+    # source; TTR / root-TTR / Yule's K / Simpson are single closed
+    # expressions over them — identical doubles both engines.
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT source, w, count(*) AS f FROM tok GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(f) AS BIGINT) AS n,
+               CAST(sum(f * f) AS BIGINT) AS s2
+        FROM tf GROUP BY source
+    )
+    SELECT source, v AS n_types, n AS n_tokens,
+           round(CAST(v AS DOUBLE) / n, 6) + 0.0 AS ttr,
+           round(CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE)), 6) + 0.0
+               AS root_ttr,
+           round(1e4 * (CAST(s2 AS DOUBLE) - n)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0
+               AS yule_k,
+           round((CAST(s2 AS DOUBLE) - n)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6)
+               + 0.0 AS simpson_d
+    FROM m
+    """,
+    tags=("text", "vocab", "profile"),
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio, Guiraud's root
+    TTR (length-robust), Yule's characteristic K and Simpson's
+    repeat-rate D — the vocabulary-richness panel that separates
+    template/boilerplate-heavy sources (high K, low TTR) from
+    lexically rich ones before mixing (the per-source companion to
+    heaps_law_fit's whole-corpus growth curve; Yule 1944, Simpson
+    1949, Guiraud 1954).
+
+    Scale shape: explode to (source, token) then two keyed map-side-
+    combined aggregations (term frequency, then the per-source
+    moments); every statistic is a closed expression over three exact
+    integers — no float crosses a shuffle."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    tok = (
+        t.documents.where(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(tokens_col(F.col("text"))).alias("w"),
+        )
+    )
+    tf = tok.groupBy("source", "w").agg(F.count("*").alias("f"))
+    m = tf.groupBy("source").agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("s2"),
+    )
+    vd = F.col("v").cast("double")
+    nd = F.col("n").cast("double")
+    s2d = F.col("s2").cast("double")
+    return m.select(
+        "source",
+        F.col("v").alias("n_types"),
+        F.col("n").alias("n_tokens"),
+        (F.round(vd / F.col("n"), 6) + 0.0).alias("ttr"),
+        (F.round(vd / F.sqrt(nd), 6) + 0.0).alias("root_ttr"),
+        (F.round(1e4 * (s2d - F.col("n")) / (nd * nd), 6) + 0.0).alias(
+            "yule_k"
+        ),
+        (
+            F.round((s2d - F.col("n")) / (nd * (nd - 1)), 6) + 0.0
+        ).alias("simpson_d"),
+    )

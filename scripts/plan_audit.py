@@ -2173,6 +2173,120 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "media_ico_pixel_stats": {
+        # one Arrow kernel over the scan; payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "tokenizer_fertility": {
+        # per-doc integer counts in the scan stage, one keyed aggregate
+        # — text bytes never shuffle
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "lexical_diversity_by_source": {
+        # explode + two keyed map-side-combined aggregations; closed
+        # integer expressions only
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "string_agg_ordered": {
+        # broadcast dim join + one keyed aggregate with in-group sort
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "mode_per_group": {
+        # fact collapses to a bounded (status, priority) frame before
+        # the rank window
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "adamic_adar_link_prediction": {
+        # capped wedge self-join with broadcast hub-weight join, exact
+        # integer pair sums, anti-join existing edges, TakeOrdered cut
+        "must": ["HashAggregate", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+    },
+    "degree_powerlaw_hill": {
+        # shared capped pair build + threshold edges, one keyed degree
+        # count, filter + exact-integer tail aggregate, 1-row scalar NL
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "durbin_watson_ols": {
+        # day-collapsed frame, exact DECIMAL trend moments, scalar
+        # (a,b) broadcast back (1-row broadcast NL is the approved
+        # scalar pattern), one lag window over the bounded daily frame
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "variance_ratio_test": {
+        # day-collapsed frame, two lag windows over the bounded daily
+        # frame, telescoped exact mean broadcast as a 1-row scalar
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "stochastic_oscillator": {
+        # two (ticker, time) window passes (channel extremes + %D) and
+        # one keyed aggregate — all partitioned by ticker, no global
+        # window, no Python
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "garman_klass_volatility": {
+        # (ticker, day) OHLC collapse then per-ticker aggregate — two
+        # keyed shuffles, windows only partitioned by (ticker, day)
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "amihud_illiquidity": {
+        # (ticker, day) close+volume collapse, per-ticker lag window on
+        # the daily frame, one keyed aggregate
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "friedman_priority_weekday": {
+        # 7x5 cell-mean collapse (map-side combine), rank window
+        # partitioned by block over the bounded cell frame, tiny
+        # per-treatment rollup + 1-row dims broadcast
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
 }
 
 
