@@ -252,6 +252,14 @@ ROUND_CHANGED = frozenset({
     # round-9 new: Windows ICO container certification (also widened
     # media_probe_summary's census 7-way -> 8-way, re-queued above)
     "media_ico_pixel_stats",
+    # round-9 new: 1-bit binary-quantized ANN + its measured recall
+    "ann_bq_topk",
+    "ann_bq_recall_eval",
+    # round-9 new: parametric two-sample / k-sample panel
+    "welch_t_returned_vs_kept",
+    "anova_levene_returnflag",
+    # round-9 new: on-balance volume
+    "obv_trend",
 })
 
 

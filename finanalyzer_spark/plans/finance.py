@@ -1400,3 +1400,90 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").cast("double") / 1e4 + 0.0
         ).alias("amihud_illiq"),
     )
+
+
+# --------------------------------------------------------------------------
+# On-balance volume (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "obv_trend",
+    # OBV is pure integer arithmetic end to end: integral quantities
+    # signed by an exact integer price comparison, summed by a
+    # per-ticker running window — nothing to round.
+    oracle=f"""
+    WITH b AS (
+        SELECT l_partkey,
+               CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS px_u,
+               lag(CAST(round(l_extendedprice * 10000, 0) AS BIGINT))
+                   OVER (PARTITION BY l_partkey ORDER BY {_ORD})
+                   AS prev_u,
+               l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_partkey,
+               CASE WHEN px_u > prev_u THEN qty
+                    WHEN px_u < prev_u THEN -qty
+                    ELSE 0 END AS signed_qty,
+               sum(CASE WHEN px_u > prev_u THEN qty
+                        WHEN px_u < prev_u THEN -qty
+                        ELSE 0 END) OVER (
+                   PARTITION BY l_partkey ORDER BY {_ORD}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS obv_run
+        FROM b WHERE prev_u IS NOT NULL
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(signed_qty) AS BIGINT) AS obv_final,
+           CAST(max(obv_run) AS BIGINT) AS obv_peak,
+           CAST(min(obv_run) AS BIGINT) AS obv_trough
+    FROM s
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "window", "indicator"),
+)
+def obv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per ticker (Granville 1963): quantity flows
+    signed by the direction of each price change, accumulated along
+    the series — final OBV plus its running peak/trough, the
+    volume-confirms-price indicator beside the price-only channel
+    family (RSI/MACD/Bollinger/stochastic).
+
+    Parity + scale shape: one (ticker, time) window sort shared by the
+    lag and the running sum, then a keyed aggregate; every value is an
+    exact integer (integral quantities, exact integer price compare),
+    so no float parity surface exists at all."""
+    t = load(spark, sf_dir)
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
+    u = F.round(F.col("l_extendedprice") * 10000, 0).cast("long")
+    wl = W.partitionBy("l_partkey").orderBy(*order)
+    b = t.lineitem.select(
+        "l_partkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+        u.alias("px_u"),
+        F.lag(u).over(wl).alias("prev_u"),
+        *order,
+    ).where(F.col("prev_u").isNotNull())
+    signed = (
+        F.when(F.col("px_u") > F.col("prev_u"), F.col("qty"))
+        .when(F.col("px_u") < F.col("prev_u"), -F.col("qty"))
+        .otherwise(F.lit(0))
+    )
+    wrun = (
+        W.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = b.select(
+        "l_partkey",
+        signed.alias("signed_qty"),
+        F.sum(signed).over(wrun).alias("obv_run"),
+    )
+    return s.groupBy("l_partkey").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("signed_qty").cast("long").alias("obv_final"),
+        F.max("obv_run").cast("long").alias("obv_peak"),
+        F.min("obv_run").cast("long").alias("obv_trough"),
+    )

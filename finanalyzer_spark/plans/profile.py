@@ -4023,3 +4023,298 @@ def friedman_priority_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k_treatments"),
         (F.col("chi2_tmp") + 0.0).alias("friedman_chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test + Cohen's d: returned vs kept (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "welch_t_returned_vs_kept",
+    # every moment is an exact DECIMAL(38,0) sum of integer cents (and
+    # squared cents), so means/variances — and the t, df and d built
+    # from them — are identical double expressions on both engines.
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+                    ELSE 'kept' END AS grp,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    mo AS (
+        SELECT grp,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(c AS DECIMAL(38,0))) AS s,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS ss
+        FROM g GROUP BY grp
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN grp = 'returned'
+                THEN CAST(n AS DOUBLE) END) AS n1,
+            max(CASE WHEN grp = 'returned'
+                THEN CAST(s AS DOUBLE) END) AS s1,
+            max(CASE WHEN grp = 'returned'
+                THEN CAST(ss AS DOUBLE) END) AS ss1,
+            max(CASE WHEN grp = 'kept'
+                THEN CAST(n AS DOUBLE) END) AS n2,
+            max(CASE WHEN grp = 'kept'
+                THEN CAST(s AS DOUBLE) END) AS s2,
+            max(CASE WHEN grp = 'kept'
+                THEN CAST(ss AS DOUBLE) END) AS ss2
+        FROM mo
+    ),
+    d AS (
+        SELECT n1, n2,
+               s1 / n1 / 100.0 AS m1, s2 / n2 / 100.0 AS m2,
+               (ss1 - s1 * s1 / n1) / (n1 - 1) / 10000.0 AS v1,
+               (ss2 - s2 * s2 / n2) / (n2 - 1) / 10000.0 AS v2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_returned,
+           CAST(n2 AS BIGINT) AS n_kept,
+           round(m1 - m2, 6) + 0.0 AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) + 0.0
+               AS welch_t,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) + 0.0
+               AS welch_df,
+           round((m1 - m2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                        / (n1 + n2 - 2)), 6) + 0.0 AS cohens_d
+    FROM d
+    """,
+    tags=("profile", "stats"),
+)
+def welch_t_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of extended price, returned
+    (l_returnflag = 'R') vs kept lineitems, with the Welch-
+    Satterthwaite degrees of freedom and Cohen's d effect size — the
+    parametric companion to mann_whitney_u_returned_vs_kept (rank) and
+    ks_statistic_returned_vs_kept (distribution): the three views a
+    metrics review actually wants on one comparison (Welch 1947).
+
+    Scale shape + parity: one conditional two-group aggregate with
+    map-side partials; all moments are exact DECIMAL(38,0) sums of
+    integer cents, so every derived statistic is one identical double
+    expression on both engines."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = t.lineitem.select(
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .otherwise("kept").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "c"
+        ),
+    )
+    mo = g.groupBy("grp").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    pick = lambda grp, col: F.max(  # noqa: E731
+        F.when(F.col("grp") == grp, F.col(col).cast("double"))
+    )
+    w = mo.agg(
+        pick("returned", "n").alias("n1"),
+        pick("returned", "s").alias("s1"),
+        pick("returned", "ss").alias("ss1"),
+        pick("kept", "n").alias("n2"),
+        pick("kept", "s").alias("s2"),
+        pick("kept", "ss").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = w.select(
+        n1.alias("n1"), n2.alias("n2"),
+        (F.col("s1") / n1 / 100.0).alias("m1"),
+        (F.col("s2") / n2 / 100.0).alias("m2"),
+        (
+            (F.col("ss1") - F.col("s1") * F.col("s1") / n1)
+            / (n1 - 1) / 10000.0
+        ).alias("v1"),
+        (
+            (F.col("ss2") - F.col("s2") * F.col("s2") / n2)
+            / (n2 - 1) / 10000.0
+        ).alias("v2"),
+    )
+    m1, m2, v1, v2 = F.col("m1"), F.col("m2"), F.col("v1"), F.col("v2")
+    se1, se2 = v1 / F.col("n1"), v2 / F.col("n2")
+    return d.select(
+        F.col("n1").cast("long").alias("n_returned"),
+        F.col("n2").cast("long").alias("n_kept"),
+        (F.round(m1 - m2, 6) + 0.0).alias("mean_diff"),
+        (F.round((m1 - m2) / F.sqrt(se1 + se2), 6) + 0.0).alias(
+            "welch_t"
+        ),
+        (
+            F.round(
+                (se1 + se2) * (se1 + se2)
+                / (se1 * se1 / (F.col("n1") - 1)
+                   + se2 * se2 / (F.col("n2") - 1)),
+                4,
+            ) + 0.0
+        ).alias("welch_df"),
+        (
+            F.round(
+                (m1 - m2)
+                / F.sqrt(
+                    ((F.col("n1") - 1) * v1 + (F.col("n2") - 1) * v2)
+                    / (F.col("n1") + F.col("n2") - 2)
+                ),
+                6,
+            ) + 0.0
+        ).alias("cohens_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F + Levene variance-homogeneity check (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "anova_levene_returnflag",
+    # ANOVA runs entirely on exact DECIMAL(38,0) cents moments; Levene's
+    # per-row |x - group mean| deviations are kept EXACT by scaling to
+    # |n_j*c - S_j| integers (one decimal product per row), so both
+    # F statistics are identical final double expressions. The only
+    # cross-engine float accumulations are 3-term group-level sums,
+    # absorbed by the 6-digit rounding.
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    mo AS (
+        SELECT grp,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(c AS DECIMAL(38,0))) AS s,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS ss
+        FROM g GROUP BY grp
+    ),
+    lv AS (
+        SELECT gg.grp,
+               CAST(m.n AS DOUBLE) AS n,
+               sum(CAST(abs(m.n * CAST(gg.c AS DECIMAL(38,0)) - m.s)
+                        AS DOUBLE)) / CAST(m.n AS DOUBLE) AS a,
+               sum(CAST(abs(m.n * CAST(gg.c AS DECIMAL(38,0)) - m.s)
+                        AS DOUBLE)
+                   * CAST(abs(m.n * CAST(gg.c AS DECIMAL(38,0)) - m.s)
+                          AS DOUBLE))
+                   / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS b
+        FROM g gg JOIN mo m ON m.grp = gg.grp
+        GROUP BY gg.grp, m.n
+    ),
+    anova AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+               sum(CAST(n AS DOUBLE)) AS nt,
+               sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS sb,
+               sum(CAST(s AS DOUBLE)) AS st,
+               sum(CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) AS ssw
+        FROM mo
+    ),
+    lev AS (
+        SELECT sum(a) AS sa, sum(a * a / n) AS sb2,
+               sum(b - a * a / n) AS ssw2, sum(n) AS nt2,
+               CAST(count(*) AS DOUBLE) AS k2
+        FROM lv
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nt AS BIGINT) AS n_total,
+           round(((sb - st * st / nt) / (k - 1))
+                 / (ssw / (nt - k)), 6) + 0.0 AS anova_f,
+           round(((sb2 - sa * sa / nt2) / (k2 - 1))
+                 / (ssw2 / (nt2 - k2)), 6) + 0.0 AS levene_f
+    FROM anova, lev
+    """,
+    tags=("profile", "stats"),
+)
+def anova_levene_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F for an extended-price effect across the three
+    return flags, PLUS Levene's mean-centered variance-homogeneity F —
+    the check that tells you whether the ANOVA's equal-variance
+    assumption even holds (report both or report neither; Levene 1960)
+    — the parametric companions to kruskal_wallis_returnflag on the
+    same split.
+
+    Scale shape + parity: two passes with map-side partials (group
+    moments, then Levene deviations against the broadcast group
+    moments); the per-row |n_j*c - S_j| trick keeps Levene's absolute
+    deviations exact integers scaled by 1/n_j, so only 3-row group-
+    level sums are float — absorbed by the rounding."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = t.lineitem.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "c"
+        ),
+    )
+    mo = g.groupBy("grp").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    dev = F.abs(
+        F.col("n") * F.col("c").cast(dec) - F.col("s")
+    ).cast("double")
+    lv = (
+        g.join(F.broadcast(mo.select("grp", "n", "s")), "grp")
+        .groupBy("grp", "n")
+        .agg(
+            (F.sum(dev) / F.col("n").cast("double")).alias("a"),
+            (
+                F.sum(dev * dev)
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("b"),
+        )
+        .select(
+            "grp", F.col("n").cast("double").alias("nd"), "a", "b"
+        )
+    )
+    nd, sd_, ssd = (
+        F.col("n").cast("double"),
+        F.col("s").cast("double"),
+        F.col("ss").cast("double"),
+    )
+    anova = mo.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(nd).alias("nt"),
+        F.sum(sd_ * sd_ / nd).alias("sb"),
+        F.sum(sd_).alias("st"),
+        F.sum(ssd - sd_ * sd_ / nd).alias("ssw"),
+    )
+    lev = lv.agg(
+        F.sum("a").alias("sa"),
+        F.sum(F.col("a") * F.col("a") / F.col("nd")).alias("sb2"),
+        F.sum(F.col("b") - F.col("a") * F.col("a") / F.col("nd")).alias(
+            "ssw2"
+        ),
+        F.sum("nd").alias("nt2"),
+        F.count("*").cast("double").alias("k2"),
+    )
+    j = anova.crossJoin(F.broadcast(lev))
+    k, nt, sb, st, ssw = (
+        F.col("k"), F.col("nt"), F.col("sb"), F.col("st"), F.col("ssw")
+    )
+    return j.select(
+        k.cast("long").alias("k_groups"),
+        nt.cast("long").alias("n_total"),
+        (
+            F.round(
+                ((sb - st * st / nt) / (k - 1)) / (ssw / (nt - k)), 6
+            ) + 0.0
+        ).alias("anova_f"),
+        (
+            F.round(
+                ((F.col("sb2") - F.col("sa") * F.col("sa") / F.col("nt2"))
+                 / (F.col("k2") - 1))
+                / (F.col("ssw2") / (F.col("nt2") - F.col("k2"))),
+                6,
+            ) + 0.0
+        ).alias("levene_f"),
+    )

@@ -1880,3 +1880,239 @@ def ann_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cand_multi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — binary-quantized (BQ) ANN: the 1-bit-per-dimension compression
+# leg of large-scale similarity search (sign quantization + Hamming
+# scan + exact re-rank — the RaBitQ/BQ recipe production vector stores
+# ship). A 64-dim float vector stores as TWO 32-bit sign packs (16x
+# smaller than float64); the scan ranks by Hamming distance in pure
+# integer codegen (xor + bit_count), then the top-C candidates re-rank
+# by exact cosine. Packing is sign(v[i]) — exactly SQL-expressible, so
+# the oracle replicates the codec bit-for-bit.
+# --------------------------------------------------------------------------
+_BQ_K = 5          #: final neighbors returned
+_BQ_CAND = 20      #: Hamming candidates kept for exact re-rank
+_BQ_QCUT = 8       #: query vectors: vec_id < _BQ_QCUT
+
+
+def _bq_pack_spark(vec):
+    """(lo, hi) 32-bit sign packs of a 64-dim double array column."""
+    lo = F.expr(
+        "aggregate(transform(slice({v}, 1, 32), (x, i) ->"
+        " IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+        .format(v=vec)
+    )
+    hi = F.expr(
+        "aggregate(transform(slice({v}, 33, 32), (x, i) ->"
+        " IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+        .format(v=vec)
+    )
+    return lo, hi
+
+
+_BQ_PACK_SQL = """
+    b AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(v[1:32], (x, i) ->
+                   CASE WHEN x > 0 THEN (1::BIGINT << (i - 1))
+                        ELSE 0 END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(v[33:64], (x, i) ->
+                   CASE WHEN x > 0 THEN (1::BIGINT << (i - 1))
+                        ELSE 0 END)) AS BIGINT) AS hi
+        FROM e
+    )"""
+
+
+@query(
+    "ann_bq_topk",
+    # identical sign packs on both engines (x > 0 over the same
+    # doubles), Hamming is exact integer xor+popcount, the candidate
+    # cut and the final cut are both total orders — the whole pipeline
+    # is deterministic end to end.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_BQ_PACK_SQL},
+    q AS (SELECT * FROM b WHERE vec_id < {_BQ_QCUT}),
+    ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               bit_count(xor(q.lo, c.lo))
+                   + bit_count(xor(q.hi, c.hi)) AS hamming,
+               q.v AS qv, c.v AS cv
+        FROM q JOIN b c ON c.vec_id != q.vec_id
+    ),
+    cand AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, match_id
+        ) AS rn
+        FROM ham
+    ),
+    rr AS (
+        SELECT query_id, match_id, hamming,
+               round(list_cosine_similarity(qv, cv), 5) + 0.0 AS cosine
+        FROM cand WHERE rn <= {_BQ_CAND}
+    )
+    SELECT query_id, match_id, CAST(hamming AS INT) AS hamming, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id
+        ) AS rn2
+        FROM rr
+    )
+    WHERE rn2 <= {_BQ_K}
+    """,
+    tags=("similarity", "ann", "scale-path"),
+)
+def ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN top-{_BQ_K}: corpus vectors compress to two
+    32-bit sign packs, the scan ranks every candidate by Hamming
+    distance (xor + bit_count — pure integer whole-stage codegen, 16x
+    less memory traffic than float dot products), and the top-{_BQ_CAND}
+    Hamming candidates re-rank by exact cosine — the asymmetric
+    BQ-then-rerank recipe of production vector stores (RaBitQ-family
+    1-bit quantization).
+
+    Scale shape: the packed corpus is the only thing the scan touches
+    (float vectors load only for the {_BQ_CAND}-per-query re-rank);
+    queries broadcast, so the corpus never shuffles; both cuts are
+    per-query row_number windows under total orders."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    lo, hi = _bq_pack_spark("v")
+    b = e.select("vec_id", "v", lo.alias("lo"), hi.alias("hi"))
+    q = b.where(F.col("vec_id") < _BQ_QCUT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+            "qv",
+            F.col("v").alias("cv"),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy("hamming", "match_id")
+    cand = ham.withColumn("rn", F.row_number().over(wc)).where(
+        F.col("rn") <= _BQ_CAND
+    )
+    rr = cand.select(
+        "query_id", "match_id", "hamming",
+        (F.round(cosine_col(F.col("qv"), F.col("cv")), 5) + 0.0).alias(
+            "cosine"
+        ),
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "match_id"
+    )
+    return (
+        rr.withColumn("rn2", F.row_number().over(wf))
+        .where(F.col("rn2") <= _BQ_K)
+        .select(
+            "query_id", "match_id",
+            F.col("hamming").cast("int").alias("hamming"), "cosine",
+        )
+    )
+
+
+@query(
+    "ann_bq_recall_eval",
+    # the eval twins both pipelines (exact brute force + BQ-rerank)
+    # with shared deterministic cuts, so recall@k is a pure integer
+    # intersection count — measured, not narrated.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_BQ_PACK_SQL},
+    q AS (SELECT * FROM b WHERE vec_id < {_BQ_QCUT}),
+    exact AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 5)
+                                    DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM q JOIN e c ON c.vec_id != q.vec_id
+        ) WHERE rn <= {_BQ_K}
+    ),
+    ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               bit_count(xor(q.lo, c.lo))
+                   + bit_count(xor(q.hi, c.hi)) AS hamming,
+               q.v AS qv, c.v AS cv
+        FROM q JOIN b c ON c.vec_id != q.vec_id
+    ),
+    cand AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, match_id
+        ) AS rn
+        FROM ham
+    ),
+    bq AS (
+        SELECT query_id, match_id FROM (
+            SELECT query_id, match_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(qv, cv), 5)
+                                    DESC,
+                                match_id
+                   ) AS rn2
+            FROM cand WHERE rn <= {_BQ_CAND}
+        ) WHERE rn2 <= {_BQ_K}
+    )
+    SELECT ex.query_id,
+           CAST(count(bq.match_id) AS BIGINT) AS n_hits,
+           round(count(bq.match_id) * 1.0 / {_BQ_K}, 6)
+               AS recall_at_{_BQ_K}
+    FROM exact ex
+    LEFT JOIN bq ON bq.query_id = ex.query_id
+                AND bq.match_id = ex.match_id
+    GROUP BY ex.query_id
+    """,
+    tags=("similarity", "ann", "eval"),
+)
+def ann_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_BQ_K} of the binary-quantized re-rank pipeline against
+    exact brute-force cosine for the same queries — the measured
+    compression-vs-recall trade of 1-bit quantization (the number a
+    production deployment checks before swapping floats for sign
+    packs; companion to ann_sq8_recall_eval / ann_pq_recall_eval on
+    the same query set).
+
+    Scale shape: both pipelines reuse the ann_bq_topk shape (broadcast
+    queries, integer Hamming scan, bounded re-rank); the eval adds one
+    tiny per-query left join of two k-row frames."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    queries_df = t.embeddings.where(F.col("vec_id") < _BQ_QCUT)
+    exact = cosine_topk(
+        corpus=t.embeddings, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=_BQ_K,
+    ).select("query_id", "match_id")
+    bq = ann_bq_topk(spark, sf_dir).select(
+        "query_id", "match_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(F.broadcast(bq), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") * 1.0 / _BQ_K, 6).alias(
+                f"recall_at_{_BQ_K}"
+            ),
+        )
+    )

@@ -2173,6 +2173,51 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "ann_bq_topk": {
+        # the Hamming scan is the deliberate broadcast-queries × corpus
+        # NL join over the integer sign packs (16x less traffic than
+        # floats); per-query window cuts; never a repartition join
+        "must": ["BroadcastNestedLoopJoin", "Window"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_bq_recall_eval": {
+        # two broadcast-query scans + one tiny keyed intersection join
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "welch_t_returned_vs_kept": {
+        # one conditional two-group aggregate, exact DECIMAL moments,
+        # scalar-frame algebra only
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "anova_levene_returnflag": {
+        # group moments + broadcast-join deviation pass + 3-row frame
+        # algebra; the 1-row cross of the two scalar frames is the
+        # approved scalar broadcast NL
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "obv_trend": {
+        # one (ticker, time) window sort shared by lag + running sum,
+        # one keyed aggregate — all integer arithmetic
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "media_ico_pixel_stats": {
         # one Arrow kernel over the scan; payload bytes never shuffle
         "must": ["MapInPandas"],
