@@ -260,6 +260,14 @@ ROUND_CHANGED = frozenset({
     "anova_levene_returnflag",
     # round-9 new: on-balance volume
     "obv_trend",
+    # round-9 new: session-opening path mining
+    "top_session_paths",
+    # round-9 new: residual-diagnostics panel additions
+    "grubbs_outlier_test",
+    "pacf_daily_revenue",
+    "breusch_pagan_daily_trend",
+    # round-9 new: rescaled-range long-memory exponent
+    "hurst_rs_daily_revenue",
 })
 
 

@@ -1939,3 +1939,131 @@ def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(v, 6) + 0.0).alias("v"),
         (F.round((o1 - e1) * (o1 - e1) / v, 6) + 0.0).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Top session-opening paths (round 9)
+# --------------------------------------------------------------------------
+_PATH_TOP = 10
+
+
+@query(
+    "top_session_paths",
+    # sessions assigned by the shared 30-minute-gap rule (the
+    # sessionize_events window pair), the opening 3-step path is a
+    # conditional pivot on the within-session row_number (total order:
+    # ts then event_id), and the top-k cut is deterministic under
+    # (count DESC, path ASC). Everything after sessionization is
+    # integer counts over short strings.
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               (sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::BIGINT AS session_seq
+        FROM g
+    ),
+    r AS (
+        SELECT user_id, session_seq, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_seq
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM s
+    ),
+    p AS (
+        SELECT user_id, session_seq,
+               max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+               max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+               max(CASE WHEN rn = 3 THEN event_type END) AS e3,
+               max(rn) AS n_events
+        FROM r WHERE rn <= 3
+        GROUP BY user_id, session_seq
+    ),
+    paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               count(*) AS n_sessions
+        FROM p WHERE e3 IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_sessions) AS t FROM paths)
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+           round(n_sessions * 1.0 / t, 6) + 0.0 AS share
+    FROM paths, tot
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+    tags=("events", "sessionize", "paths"),
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_PATH_TOP} most common session-opening paths (first three
+    event types of each >=3-event session, joined with '>') with their
+    share of all 3+-event sessions — the entry-flow mining every
+    product-analytics surface ships (the path-level companion to
+    event_transition_matrix's single-step Markov view and
+    conversion_funnel's fixed-order check).
+
+    Scale shape: the sessionize window pair (one (user, time) sort
+    reused by lag + running sum), a within-session row_number on the
+    same sort, an rn<=3 filter BEFORE the pivot so only three short
+    strings per session reach the path aggregate, then a tiny
+    path-count frame with a TakeOrdered cut."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
+    g = t.events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1).alias(
+            "new_session"
+        ),
+    )
+    s = g.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum("new_session").over(wrun).cast("long").alias(
+            "session_seq"
+        ),
+    )
+    r = s.select(
+        "user_id", "session_seq", "event_type",
+        F.row_number().over(
+            W.partitionBy("user_id", "session_seq").orderBy(
+                "ts", "event_id"
+            )
+        ).alias("rn"),
+    ).where(F.col("rn") <= 3)
+    p = r.groupBy("user_id", "session_seq").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+    )
+    paths = (
+        p.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    tot = paths.agg(F.sum("n_sessions").alias("t"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            (
+                F.round(F.col("n_sessions") * 1.0 / F.col("t"), 6) + 0.0
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOP)
+    )

@@ -4318,3 +4318,521 @@ def anova_levene_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("levene_f"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grubbs outlier test (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "grubbs_outlier_test",
+    # mean and stddev come from exact DECIMAL(38,0) cents moments; the
+    # per-row |x - mean| is one identical double whose MAX (not sum)
+    # crosses rows, so the statistic is deterministic on both engines.
+    oracle="""
+    WITH g AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(c AS DECIMAL(38,0))) AS s,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS ss
+        FROM g
+    ),
+    d AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1)) AS sd
+        FROM mo
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(max(abs(c - mu)) / sd, 6) + 0.0 AS g_stat,
+           round(max(CASE WHEN c - mu >= 0 THEN (c - mu) / sd
+                          ELSE 0.0 END), 6) + 0.0 AS g_high,
+           round(max(CASE WHEN mu - c >= 0 THEN (mu - c) / sd
+                          ELSE 0.0 END), 6) + 0.0 AS g_low
+    FROM g, d
+    GROUP BY n, sd
+    """,
+    tags=("profile", "stats", "anomaly"),
+)
+def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviation test on order totals:
+    G = max|x - mean| / sd, split into the one-sided high/low variants
+    (Grubbs 1950) — the single-most-extreme-point screen that runs
+    BEFORE the fence-based screens (iqr_outlier_fences /
+    mad_outlier_flags) when the question is 'is the worst point a
+    recording error'.
+
+    Scale shape + parity: one exact-DECIMAL moments pass, one
+    broadcast-scalar max pass (a MAX of identical doubles is
+    deterministic — no float accumulation crosses an engine)."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = t.orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    )
+    mo = g.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    d = mo.select(
+        F.col("n").cast("double").alias("n"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mu"
+        ),
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / (F.col("n").cast("double") - 1)
+        ).alias("sd"),
+    )
+    j = g.crossJoin(F.broadcast(d))
+    dev = F.col("c") - F.col("mu")
+    return j.groupBy("n", "sd").agg(
+        (F.round(F.max(F.abs(dev)) / F.col("sd"), 6) + 0.0).alias(
+            "_g"
+        ),
+        (
+            F.round(
+                F.max(
+                    F.when(dev >= 0, dev / F.col("sd")).otherwise(0.0)
+                ),
+                6,
+            ) + 0.0
+        ).alias("_gh"),
+        (
+            F.round(
+                F.max(
+                    F.when(-dev >= 0, -dev / F.col("sd")).otherwise(0.0)
+                ),
+                6,
+            ) + 0.0
+        ).alias("_gl"),
+    ).select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("_g").alias("g_stat"),
+        F.col("_gh").alias("g_high"),
+        F.col("_gl").alias("g_low"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation via Durbin-Levinson (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "pacf_daily_revenue",
+    # the acf_ljung_box discipline: deviations are integer cents minus
+    # the exact rational mean (identical doubles), the lagged-product
+    # sums are the only float accumulations (absorbed by rounding),
+    # and the Durbin-Levinson recursion is closed-form scalar algebra
+    # over the three autocorrelations.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT avg(rev) AS mu FROM daily),
+    dev AS (
+        SELECT d, rev - mu AS e,
+               lag(rev - mu, 1) OVER (ORDER BY d) AS e1,
+               lag(rev - mu, 2) OVER (ORDER BY d) AS e2,
+               lag(rev - mu, 3) OVER (ORDER BY d) AS e3
+        FROM daily, m
+    ),
+    r AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN e1 IS NULL THEN 0.0 ELSE e * e1 END)
+                   / sum(e * e) AS r1,
+               sum(CASE WHEN e2 IS NULL THEN 0.0 ELSE e * e2 END)
+                   / sum(e * e) AS r2,
+               sum(CASE WHEN e3 IS NULL THEN 0.0 ELSE e * e3 END)
+                   / sum(e * e) AS r3
+        FROM dev
+    ),
+    dl AS (
+        SELECT n, r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(r1, 6) + 0.0 AS pacf_1,
+           round(p2, 6) + 0.0 AS pacf_2,
+           round((r3 - r1 * (1.0 - p2) * r2 - p2 * r1)
+                 / (1.0 - r1 * (1.0 - p2) * r1 - p2 * r2), 6) + 0.0
+               AS pacf_3
+    FROM dl
+    """,
+    tags=("profile", "timeseries", "stats", "bounded-window"),
+)
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion — the AR-order-selection companion to
+    acf_ljung_box (the ACF says WHETHER structure exists; the PACF
+    cutoff says which AR(p) captures it; Box & Jenkins' identification
+    step).
+
+    Scale shape + parity: one row per day first, three lag windows
+    over the bounded daily frame (bounded-window tier), one aggregate
+    for the three autocorrelations, then closed-form scalar algebra —
+    the acf_ljung_box float discipline throughout."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    m = daily.agg(F.avg("rev").alias("mu"))
+    w = W.orderBy("d")
+    e = F.col("rev") - F.col("mu")
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        e.alias("e"),
+        F.lag(e, 1).over(w).alias("e1"),
+        F.lag(e, 2).over(w).alias("e2"),
+        F.lag(e, 3).over(w).alias("e3"),
+    )
+    den = F.sum(F.col("e") * F.col("e"))
+    rk = lambda c: (  # noqa: E731
+        F.sum(
+            F.when(F.col(c).isNull(), F.lit(0.0)).otherwise(
+                F.col("e") * F.col(c)
+            )
+        )
+        / den
+    )
+    r = dev.agg(
+        F.count("*").alias("n"),
+        rk("e1").alias("r1"),
+        rk("e2").alias("r2"),
+        rk("e3").alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = r.select(
+        "n", "r1", "r2", "r3",
+        ((r2 - r1 * r1) / (1.0 - r1 * r1)).alias("p2"),
+    )
+    p2 = F.col("p2")
+    return dl.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.round(r1, 6) + 0.0).alias("pacf_1"),
+        (F.round(p2, 6) + 0.0).alias("pacf_2"),
+        (
+            F.round(
+                (r3 - r1 * (1.0 - p2) * r2 - p2 * r1)
+                / (1.0 - r1 * (1.0 - p2) * r1 - p2 * r2),
+                6,
+            ) + 0.0
+        ).alias("pacf_3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Breusch-Pagan heteroscedasticity test (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "breusch_pagan_daily_trend",
+    # residuals are the durbin_watson_ols identical doubles (exact
+    # DECIMAL trend moments -> same (a, b) on both engines); the
+    # auxiliary regression of e^2 on t uses the same closed form with
+    # float moment sums absorbed by the rounding.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y, CAST(d - DATE '1992-01-01' AS BIGINT) AS t FROM daily
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(t AS DECIMAL(38,0))) AS st,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS stt,
+               sum(CAST(t AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sty
+        FROM idx
+    ),
+    ab AS (
+        SELECT (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+               CAST(n AS DOUBLE) AS n, CAST(st AS DOUBLE) AS st,
+               CAST(sy AS DOUBLE) AS sy
+        FROM mo
+    ),
+    res AS (
+        SELECT CAST(t AS DOUBLE) AS t,
+               (CAST(y AS DOUBLE)
+                - (sy - b * st) / n
+                - b * CAST(t AS DOUBLE))
+               * (CAST(y AS DOUBLE)
+                  - (sy - b * st) / n
+                  - b * CAST(t AS DOUBLE)) AS u
+        FROM idx, ab
+    ),
+    aux AS (
+        SELECT count(*) AS n,
+               sum(t) AS st, sum(u) AS su,
+               sum(t * t) AS stt, sum(t * u) AS stu,
+               sum(u * u) AS suu
+        FROM res
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(n * (n * stu - st * su) * (n * stu - st * su)
+                 / ((n * stt - st * st) * (n * suu - su * su)),
+                 5) + 0.0 AS bp_lm_stat
+    FROM aux
+    """,
+    tags=("profile", "timeseries", "stats"),
+)
+def breusch_pagan_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan LM test for heteroscedasticity of the daily-
+    revenue trend residuals: regress squared residuals on the time
+    index and report LM = n*R² (Breusch & Pagan 1979, Koenker's
+    studentized form's numerator) — whether the variance itself trends,
+    the third leg of the residual-diagnostics panel beside
+    durbin_watson_ols (serial correlation) and grubbs_outlier_test
+    (single extreme point).
+
+    Scale shape + parity: the trend solve reuses durbin_watson_ols'
+    exact DECIMAL moments (identical residual doubles on both
+    engines); the auxiliary regression is one aggregate of per-row
+    identical doubles with the R² in closed form — no second pass, no
+    window at all."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    idx = daily.select(
+        "y", F.datediff("d", F.lit("1992-01-01")).cast("long").alias("t")
+    )
+    dec = "decimal(38,0)"
+    mo = idx.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("t").cast(dec) * F.col("t").cast(dec)).alias("stt"),
+        F.sum(F.col("t").cast(dec) * F.col("y").cast(dec)).alias("sty"),
+    )
+    ab = mo.select(
+        (
+            (F.col("n").cast("double") * F.col("sty").cast("double")
+             - F.col("st").cast("double") * F.col("sy").cast("double"))
+            / (F.col("n").cast("double") * F.col("stt").cast("double")
+               - F.col("st").cast("double") * F.col("st").cast("double"))
+        ).alias("b"),
+        F.col("n").cast("double").alias("n"),
+        F.col("st").cast("double").alias("st"),
+        F.col("sy").cast("double").alias("sy"),
+    )
+    eexpr = (
+        F.col("y").cast("double")
+        - (F.col("sy") - F.col("b") * F.col("st")) / F.col("n")
+        - F.col("b") * F.col("t").cast("double")
+    )
+    res = idx.crossJoin(F.broadcast(ab)).select(
+        F.col("t").cast("double").alias("t"),
+        (eexpr * eexpr).alias("u"),
+    )
+    aux = res.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("u")).alias("stu"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    n, st, su = F.col("n"), F.col("st"), F.col("su")
+    stt, stu, suu = F.col("stt"), F.col("stu"), F.col("suu")
+    return aux.select(
+        n.cast("long").alias("n_obs"),
+        (
+            F.round(
+                n * (n * stu - st * su) * (n * stu - st * su)
+                / ((n * stt - st * st) * (n * suu - su * su)),
+                5,
+            ) + 0.0
+        ).alias("bp_lm_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range analysis (round 9)
+# --------------------------------------------------------------------------
+_HURST_SCALES = (16, 32, 64, 128)
+
+
+@query(
+    "hurst_rs_daily_revenue",
+    # per-block means/stddevs come from exact DECIMAL cents moments
+    # (block size is a literal), cumulative deviations are identical
+    # doubles, each block's R/S is quantized to integer 1e-9 units, so
+    # the per-scale averages are exact integer ratios; only the final
+    # 4-point log-log regression sums floats (absorbed by rounding).
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY d) - 1 AS i FROM daily
+    ),
+    sc AS (SELECT unnest([{', '.join(str(s) for s in _HURST_SCALES)}]) AS n),
+    blk AS (
+        SELECT sc.n, idx.i // sc.n AS b, idx.i % sc.n AS pos, idx.y
+        FROM idx, sc
+    ),
+    mo AS (
+        SELECT n, b,
+               count(*) AS cnt,
+               sum(CAST(y AS DECIMAL(38,0))) AS s,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS ss
+        FROM blk GROUP BY n, b
+    ),
+    cum AS (
+        SELECT blk.n, blk.b, blk.pos,
+               sum(CAST(blk.y AS DOUBLE)) OVER (
+                   PARTITION BY blk.n, blk.b ORDER BY blk.pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )
+               - (blk.pos + 1)
+                 * (CAST(mo.s AS DOUBLE) / mo.n) AS cumdev,
+               CAST(mo.s AS DOUBLE) AS s, CAST(mo.ss AS DOUBLE) AS ss
+        FROM blk JOIN mo ON mo.n = blk.n AND mo.b = blk.b
+        WHERE mo.cnt = blk.n
+    ),
+    rs AS (
+        SELECT n, b,
+               CAST(round(1e9 *
+                   (max(cumdev) - min(cumdev))
+                   / sqrt((max(ss) - max(s) * max(s) / n) / n),
+               0) AS BIGINT) AS rs_u
+        FROM cum GROUP BY n, b
+    ),
+    pt AS (
+        SELECT ln(CAST(n AS DOUBLE)) AS x,
+               ln(CAST(sum(rs_u) AS DOUBLE) / count(*) / 1e9) AS yv
+        FROM rs GROUP BY n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_scales,
+           round(regr_slope(yv, x), 4) + 0.0 AS hurst_h,
+           round(corr(yv, x) * corr(yv, x), 4) + 0.0 AS r2
+    FROM pt
+    """,
+    tags=("profile", "timeseries", "stats", "bounded-window"),
+)
+def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by classical rescaled-range
+    analysis: for block sizes {_HURST_SCALES}, each full block's range
+    of cumulative mean-deviations over its own standard deviation
+    averages into one R/S point per scale, and H is the slope of
+    log(R/S) on log(n) (Hurst 1951; Mandelbrot & Wallis 1969) — H near
+    0.5 is a random walk, H > 0.5 long-range persistence — the
+    memory-structure companion to variance_ratio_test (which tests a
+    single aggregation ratio) and adf_unit_root_daily_revenue.
+
+    Scale shape + parity: one row per day first; block means/stddevs
+    from exact DECIMAL moments; the cumulative-deviation window is
+    partitioned by (scale, block) — never global over the facts; each
+    block's R/S quantizes to integer 1e-9 units so per-scale averages
+    are exact; the only cross-engine float accumulation is the final
+    4-point regression (rounded)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    idx = daily.select(
+        "y", (F.row_number().over(W.orderBy("d")) - 1).alias("i")
+    )
+    sc = F.explode(
+        F.array(*[F.lit(s) for s in _HURST_SCALES])
+    ).alias("n")
+    blk = idx.select("y", "i", sc).select(
+        "n",
+        (F.col("i") / F.col("n")).cast("long").alias("b"),
+        (F.col("i") % F.col("n")).alias("pos"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    mo = blk.groupBy("n", "b").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("y").cast(dec)).alias("s"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("ss"),
+    )
+    j = blk.join(mo, ["n", "b"]).where(F.col("cnt") == F.col("n"))
+    wc = (
+        W.partitionBy("n", "b")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = j.select(
+        "n", "b",
+        (
+            F.sum(F.col("y").cast("double")).over(wc)
+            - (F.col("pos") + 1)
+            * (F.col("s").cast("double") / F.col("n"))
+        ).alias("cumdev"),
+        F.col("s").cast("double").alias("sd_"),
+        F.col("ss").cast("double").alias("ssd"),
+    )
+    rs = cum.groupBy("n", "b").agg(
+        F.round(
+            1e9
+            * (F.max("cumdev") - F.min("cumdev"))
+            / F.sqrt(
+                (F.max("ssd") - F.max("sd_") * F.max("sd_") / F.col("n"))
+                / F.col("n")
+            ),
+            0,
+        ).cast("long").alias("rs_u")
+    )
+    pt = rs.groupBy("n").agg(
+        F.log(
+            F.sum("rs_u").cast("double") / F.count("*") / 1e9
+        ).alias("yv")
+    ).select(F.log(F.col("n").cast("double")).alias("x"), "yv")
+    return pt.agg(
+        F.count("*").alias("n_scales"),
+        (F.round(F.regr_slope(F.col("yv"), F.col("x")), 4) + 0.0).alias(
+            "hurst_h"
+        ),
+        (
+            F.round(
+                F.corr(F.col("yv"), F.col("x"))
+                * F.corr(F.col("yv"), F.col("x")),
+                4,
+            ) + 0.0
+        ).alias("r2"),
+    )

@@ -2173,6 +2173,52 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "top_session_paths": {
+        # one (user, time) sort reused by the sessionize window pair +
+        # within-session row_number, rn<=3 filter before the pivot,
+        # tiny path-count frame, TakeOrdered cut (1-row total is the
+        # approved scalar broadcast NL)
+        "must": ["Window", "HashAggregate", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "grubbs_outlier_test": {
+        # exact-DECIMAL moments pass + broadcast-scalar max pass (1-row
+        # scalar broadcast NL is the approved pattern)
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "pacf_daily_revenue": {
+        # day-collapsed frame, three lag windows over the bounded daily
+        # frame, one aggregate + scalar Durbin-Levinson algebra
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "breusch_pagan_daily_trend": {
+        # exact DECIMAL trend moments, scalar (a,b) broadcast back, one
+        # windowless auxiliary aggregate
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "hurst_rs_daily_revenue": {
+        # day collapse, scale explode, (scale, block)-partitioned
+        # cumulative window (never global over facts), integer R/S
+        # quantization, 4-point regression
+        "must": ["HashAggregate", "Generate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "ann_bq_topk": {
         # the Hamming scan is the deliberate broadcast-queries × corpus
         # NL join over the integer sign packs (16x less traffic than
