@@ -268,6 +268,10 @@ ROUND_CHANGED = frozenset({
     "breusch_pagan_daily_trend",
     # round-9 new: rescaled-range long-memory exponent
     "hurst_rs_daily_revenue",
+    # round-9 new: temperature-scaled mixture budgeting plan
+    "mixture_temperature_sampling",
+    # round-9 new: IVF with a k-means-TRAINED coarse quantizer
+    "ann_ivf_trained_topk",
 })
 
 

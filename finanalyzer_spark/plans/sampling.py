@@ -305,3 +305,89 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         rnk.alias("rnk"), "doc_id", "source", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture sampling plan (round 9)
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.7           #: temperature exponent (multilingual standard)
+_MIX_BUDGET = 1_000_000_000  #: planned token budget
+
+
+@query(
+    "mixture_temperature_sampling",
+    # token counts per source are exact integers; raw shares are exact
+    # ratios; the alpha-power and its 3-6-row normalizing sum are the
+    # only float steps (identical pow inputs both engines, tiny-frame
+    # sum absorbed by the rounding).
+    oracle=rf"""
+    WITH per AS (
+        SELECT source,
+               sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END) AS n_tok
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tok) AS t FROM per),
+    p AS (
+        SELECT source, n_tok,
+               CAST(n_tok AS DOUBLE) / t AS raw_share,
+               pow(CAST(n_tok AS DOUBLE) / t, {_MIX_ALPHA}) AS w
+        FROM per, tot
+    ),
+    z AS (SELECT sum(w) AS z FROM p)
+    SELECT source,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(raw_share, 6) + 0.0 AS raw_share,
+           round(w / z, 6) + 0.0 AS temp_share,
+           CAST(round({_MIX_BUDGET} * w / z, 0) AS BIGINT)
+               AS planned_tokens,
+           round((w / z) / raw_share, 6) + 0.0 AS oversample_factor
+    FROM p, z
+    """,
+    tags=("sampling", "curation", "mixture"),
+)
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan per source: sampling shares
+    proportional to (raw token share)^alpha with alpha={_MIX_ALPHA} —
+    the standard recipe for flattening a skewed corpus mixture without
+    discarding the head (the multilingual-sampling exponent of the
+    public large-LM recipes), emitted as planned tokens against a
+    {_MIX_BUDGET:,}-token budget plus the per-source oversample factor
+    (>1 = this source is repeated, <1 = downsampled). The budgeting
+    companion to tokenizer_fertility (chars->tokens) and
+    source_quota_cap (hard caps).
+
+    Scale shape + parity: one map-side-combined token-count aggregate
+    (text never shuffles), then scalar algebra on the tiny per-source
+    frame; the alpha-power runs on identical exact-ratio doubles."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    per = t.documents.groupBy("source").agg(
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias(
+            "n_tok"
+        )
+    )
+    tot = per.agg(F.sum("n_tok").alias("t"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tok",
+        (F.col("n_tok").cast("double") / F.col("t")).alias("raw_share"),
+        F.pow(
+            F.col("n_tok").cast("double") / F.col("t"), _MIX_ALPHA
+        ).alias("w"),
+    )
+    z = p.agg(F.sum("w").alias("z"))
+    j = p.crossJoin(F.broadcast(z))
+    return j.select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        (F.round(F.col("raw_share"), 6) + 0.0).alias("raw_share"),
+        (F.round(F.col("w") / F.col("z"), 6) + 0.0).alias("temp_share"),
+        F.round(_MIX_BUDGET * F.col("w") / F.col("z"), 0)
+        .cast("long").alias("planned_tokens"),
+        (
+            F.round((F.col("w") / F.col("z")) / F.col("raw_share"), 6)
+            + 0.0
+        ).alias("oversample_factor"),
+    )

@@ -2116,3 +2116,173 @@ def ann_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — IVF with a TRAINED coarse quantizer (round 9): one Lloyd update
+# from deterministic seed centroids replaces ann_ivf_topk's label
+# stand-in — the "k-means-trained IVF codebook" upgrade SCALE.md's
+# what-I-would-change list names, landed at test scale with an exact
+# oracle (assignment argmin + update means + probe + re-rank all twin).
+# --------------------------------------------------------------------------
+_IVFT_K = 8        #: codebook size
+_IVFT_NPROBE = 2   #: probed inverted lists per query
+_IVFT_TOPK = 5
+_IVFT_QCUT = 8
+
+
+def _ivf_trained_oracle(
+    k: int = _IVFT_K, dim: int = 64, nprobe: int = _IVFT_NPROBE,
+    topk: int = _IVFT_TOPK, q_cut: int = _IVFT_QCUT,
+) -> str:
+    """DuckDB twin: identical seed-centroid literals and rounded
+    distance argmin (the _kmeans_oracle discipline), identical rounded
+    update means, identical probe and re-rank cuts."""
+    from ..operators.clustering import kmeans_centroids
+
+    cents = kmeans_centroids(k, dim)
+    d_cols = ",\n               ".join(
+        f"round(vv - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]) + {sum(x * x for x in c)!r}, 5)"
+        f" AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    least = f"least({', '.join(f'd{i}' for i in range(k))})"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = dm THEN {i}" for i in range(k - 1))
+        + f" ELSE {k - 1} END"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    a0 AS (SELECT vec_id, v,
+               {d_cols}
+           FROM d),
+    asg AS (
+        SELECT vec_id, v, {case} AS cluster
+        FROM (SELECT *, {least} AS dm FROM a0)
+    ),
+    dims AS (
+        SELECT asg.cluster, u.i AS i, round(avg(asg.v[u.i]), 6) AS m
+        FROM asg, (SELECT unnest(range(1, {dim + 1})) AS i) u
+        GROUP BY asg.cluster, u.i
+    ),
+    cent AS (
+        SELECT cluster, list(m ORDER BY i) AS cvec
+        FROM dims GROUP BY cluster
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM asg
+        WHERE vec_id < {q_cut}
+    ),
+    pr AS (
+        SELECT query_id, cluster, qv, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(list_cosine_similarity(qv, cvec), 5) DESC,
+                     cluster
+        ) AS rn
+        FROM q, cent
+    ),
+    probe AS (SELECT query_id, cluster, qv FROM pr WHERE rn <= {nprobe}),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(p.qv, c.v), 5) + 0.0
+                   AS cosine
+        FROM probe p
+        JOIN asg c ON c.cluster = p.cluster
+                  AND c.vec_id != p.query_id
+    )
+    SELECT query_id, match_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {topk}
+    """
+
+
+@query(
+    "ann_ivf_trained_topk",
+    oracle=_ivf_trained_oracle(),
+    tags=("similarity", "ann", "scale-path"),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: one Lloyd update from
+    the deterministic seed codebook (assignment = codegen argmin over
+    centroid literals; update = one map-side-combined groupBy of
+    rounded per-dim means) replaces ann_ivf_topk's label stand-in,
+    then the standard IVF flow — probe the top-{_IVFT_NPROBE} trained
+    centroids per query, exact re-rank inside probed lists only.
+
+    Scale shape: training touches the corpus once (narrow scan-fused
+    assignment + one keyed aggregate to a {_IVFT_K}-row codebook);
+    at 100 TB more Lloyd rounds feed the means back as next-step
+    literals (kmeans_lloyd_step's loop rule) with the SAME plan shape.
+    Probing is a broadcast of the tiny codebook; the candidate join is
+    an equality join on cluster id — only probed inverted lists are
+    scanned, never the full corpus."""
+    from pyspark.sql import Window as W
+
+    from ..operators.clustering import (
+        assign_cluster_col,
+        kmeans_centroids,
+        sq_dist_cols,
+    )
+
+    dim = 64
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents0 = kmeans_centroids(_IVFT_K, dim)
+    dists = sq_dist_cols("v", cents0)
+    asg = e.select(
+        "vec_id", "v", assign_cluster_col(dists).alias("cluster")
+    )
+    cent = asg.groupBy("cluster").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.col("v")[i]), 6)
+                for i in range(dim)
+            ]
+        ).alias("cvec")
+    )
+    q = asg.where(F.col("vec_id") < _IVFT_QCUT).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pr = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "cluster", "qv",
+        F.round(cosine_col(F.col("qv"), F.col("cvec")), 5).alias("ccos"),
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), "cluster"
+    )
+    probe = (
+        pr.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= _IVFT_NPROBE)
+        .select("query_id", "cluster", "qv")
+    )
+    scored = (
+        asg.join(F.broadcast(probe), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (
+                F.round(cosine_col(F.col("qv"), F.col("v")), 5) + 0.0
+            ).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "match_id"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= _IVFT_TOPK)
+        .drop("_rn")
+    )

@@ -2173,6 +2173,25 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "mixture_temperature_sampling": {
+        # one map-side-combined token-count aggregate; scalar algebra
+        # on the tiny per-source frame (1-row scalar broadcast NLs)
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_ivf_trained_topk": {
+        # scan-fused literal-argmin assignment + one keyed codebook
+        # aggregate; probe via broadcast of the tiny codebook; the
+        # candidate join is an equality join on cluster id
+        "must": ["HashAggregate", "BroadcastHashJoin", "Window"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "top_session_paths": {
         # one (user, time) sort reused by the sessionize window pair +
         # within-session row_number, rn<=3 filter before the pivot,
