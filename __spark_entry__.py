@@ -272,6 +272,9 @@ ROUND_CHANGED = frozenset({
     "mixture_temperature_sampling",
     # round-9 new: IVF with a k-means-TRAINED coarse quantizer
     "ann_ivf_trained_topk",
+    # round-9 new: nonparametric changepoint + randomness tests
+    "pettitt_changepoint",
+    "runs_test_daily_revenue",
 })
 
 

@@ -4836,3 +4836,237 @@ def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pettitt changepoint test (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "pettitt_changepoint",
+    # tie-aware average ranks are exact half-integers (rank window +
+    # equal-value count window), the cumulative statistic is exact
+    # arithmetic over them, and the argmax day is chosen under a total
+    # (|U| DESC, day ASC) order — deterministic end to end; only the
+    # closed-form p-value is a float expression (identical inputs).
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    rk AS (
+        SELECT d,
+               rank() OVER (ORDER BY y)
+                   + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS r,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    u AS (
+        SELECT d, n,
+               2.0 * sum(r) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )
+               - (row_number() OVER (ORDER BY d)) * (n + 1.0) AS ut,
+               row_number() OVER (ORDER BY d) AS t
+        FROM rk
+    ),
+    best AS (
+        SELECT n, abs(ut) AS k_stat, d AS cp, t
+        FROM u WHERE t < n
+        ORDER BY abs(ut) DESC, d
+        LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(k_stat, 1) + 0.0 AS k_stat,
+           strftime(cp, '%Y-%m-%d') AS changepoint_day,
+           round(least(1.0, 2.0 * exp(
+               -6.0 * k_stat * k_stat
+               / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)
+           )), 6) + 0.0 AS p_approx
+    FROM best
+    """,
+    tags=("profile", "timeseries", "changepoint", "bounded-window"),
+)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on daily revenue: the
+    rank-based Mann-Whitney-style statistic U_t = 2*Σranks(1..t) -
+    t(n+1), its maximizing day (the most likely single changepoint)
+    and the closed-form significance approximation (Pettitt 1979) —
+    the distribution-free complement to cusum_changepoint's
+    mean-shift CUSUM on the same series.
+
+    Scale shape + parity: one row per day first; tie-aware average
+    ranks from a rank window + equal-value count window over the
+    bounded daily frame (exact half-integers); the running statistic
+    is exact arithmetic whose max is picked under a total order."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    rk = daily.select(
+        "d",
+        (
+            F.rank().over(W.orderBy("y"))
+            + (F.count("*").over(W.partitionBy("y")) - 1) / 2.0
+        ).alias("r"),
+        F.count("*").over(
+            W.partitionBy()
+        ).alias("n"),
+    )
+    wrun = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    u = rk.select(
+        "d", "n",
+        (
+            2.0 * F.sum("r").over(wrun)
+            - F.row_number().over(W.orderBy("d")) * (F.col("n") + 1.0)
+        ).alias("ut"),
+        F.row_number().over(W.orderBy("d")).alias("t"),
+    )
+    best = (
+        u.where(F.col("t") < F.col("n"))
+        .orderBy(F.abs(F.col("ut")).desc(), "d")
+        .limit(1)
+    )
+    nD = F.col("n").cast("double")
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.round(F.abs(F.col("ut")), 1) + 0.0).alias("k_stat"),
+        F.date_format("d", "yyyy-MM-dd").alias("changepoint_day"),
+        (
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    2.0
+                    * F.exp(
+                        -6.0 * F.abs(F.col("ut")) * F.abs(F.col("ut"))
+                        / (nD * nD * nD + nD * nD)
+                    ),
+                ),
+                6,
+            ) + 0.0
+        ).alias("p_approx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "runs_test_daily_revenue",
+    # the above/below-mean signs compare exact integer cents against
+    # the exact rational mean (identical booleans both engines), the
+    # run count and group sizes are exact integers, and the z-score is
+    # one closed-form double expression.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+               / count(*) AS mu
+        FROM daily
+    ),
+    s AS (
+        SELECT d, CASE WHEN y > mu THEN 1 ELSE 0 END AS above,
+               lag(CASE WHEN y > mu THEN 1 ELSE 0 END)
+                   OVER (ORDER BY d) AS prev
+        FROM daily, m
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(above) AS n1,
+               count(*) - sum(above) AS n0,
+               1 + sum(CASE WHEN prev IS NOT NULL AND above != prev
+                            THEN 1 ELSE 0 END) AS runs
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(runs AS BIGINT) AS n_runs,
+           round((runs - (1.0 + 2.0 * n1 * n0 / n))
+                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1.0))),
+                 6) + 0.0 AS z_stat
+    FROM agg
+    """,
+    tags=("profile", "timeseries", "stats", "bounded-window"),
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its mean: the number of above/below-mean runs against its null
+    expectation 1 + 2*n1*n0/n with the normal z approximation (Wald &
+    Wolfowitz 1940) — too few runs means clustering/persistence, too
+    many means oscillation; the sign-only companion to
+    variance_ratio_test and hurst_rs_daily_revenue on the same series
+    (days at exactly the mean — impossible for integer cents vs a
+    non-integer rational mean — would count as 'below', documented).
+
+    Scale shape + parity: one row per day, one lag window over the
+    bounded daily frame, one aggregate of exact integers; the z-score
+    is a single closed-form double expression."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    m = daily.agg(
+        (
+            F.sum(F.col("y").cast(dec)).cast("double") / F.count("*")
+        ).alias("mu")
+    )
+    above = F.when(F.col("y") > F.col("mu"), 1).otherwise(0)
+    s = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        above.alias("above"),
+        F.lag(above).over(W.orderBy("d")).alias("prev"),
+    )
+    agg = s.agg(
+        F.count("*").alias("n"),
+        F.sum("above").alias("n1"),
+        (F.count("*") - F.sum("above")).alias("n0"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n, n1, n0, runs = (
+        F.col("n"), F.col("n1"), F.col("n0"), F.col("runs")
+    )
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        n1.cast("long").alias("n_above"),
+        runs.cast("long").alias("n_runs"),
+        (
+            F.round(
+                (runs - (1.0 + 2.0 * n1 * n0 / n))
+                / F.sqrt(
+                    2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                    / (n.cast("double") * n * (n - 1.0))
+                ),
+                6,
+            ) + 0.0
+        ).alias("z_stat"),
+    )

@@ -2173,6 +2173,22 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "pettitt_changepoint": {
+        # day collapse, tie-aware rank windows + running statistic over
+        # the bounded daily frame, TakeOrdered argmax cut
+        "must": ["HashAggregate", "Window", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "runs_test_daily_revenue": {
+        # day collapse, exact-mean scalar broadcast, one lag window on
+        # the bounded daily frame, closed-form z
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "mixture_temperature_sampling": {
         # one map-side-combined token-count aggregate; scalar algebra
         # on the tiny per-source frame (1-row scalar broadcast NLs)
