@@ -275,6 +275,11 @@ ROUND_CHANGED = frozenset({
     # round-9 new: nonparametric changepoint + randomness tests
     "pettitt_changepoint",
     "runs_test_daily_revenue",
+    # round-9 new: experimentation guardrail + causal contrast
+    "srm_check",
+    "diff_in_diff_urgent",
+    # round-9 new: log-log demand elasticity
+    "price_elasticity_by_brand",
 })
 
 

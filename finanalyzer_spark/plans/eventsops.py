@@ -2067,3 +2067,69 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "srm_check",
+    # variant assignment is the deterministic user-id parity shared by
+    # the A/B family; counts are exact integers and the chi-square /
+    # z statistics are single closed-form double expressions.
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ),
+    c AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round((na - n / 2.0) * (na - n / 2.0) / (n / 2.0)
+                 + (nb - n / 2.0) * (nb - n / 2.0) / (n / 2.0), 6)
+               + 0.0 AS chi2_stat,
+           round((na - nb) / sqrt(CAST(n AS DOUBLE)), 6) + 0.0 AS z_stat
+    FROM c
+    """,
+    tags=("events", "variant", "guardrail"),
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B family: the
+    one-degree chi-square (and equivalent z) of the observed variant
+    split against the designed 50/50 — THE pre-analysis gate every
+    experimentation platform runs before reading any metric (an SRM
+    means the randomization itself broke, invalidating
+    cuped_adjusted_ab / props_variant_stats downstream).
+
+    Scale shape + parity: one distinct on (user, parity-variant), one
+    counting aggregate, closed-form statistics over exact integers."""
+    t = load(spark, sf_dir)
+    u = t.events.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    c = u.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    n, na, nb = F.col("n"), F.col("na"), F.col("nb")
+    return c.select(
+        n.cast("long").alias("n_users"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (
+            F.round(
+                (na - n / 2.0) * (na - n / 2.0) / (n / 2.0)
+                + (nb - n / 2.0) * (nb - n / 2.0) / (n / 2.0),
+                6,
+            ) + 0.0
+        ).alias("chi2_stat"),
+        (
+            F.round((na - nb) / F.sqrt(n.cast("double")), 6) + 0.0
+        ).alias("z_stat"),
+    )

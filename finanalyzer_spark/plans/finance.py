@@ -1487,3 +1487,65 @@ def obv_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("obv_run").cast("long").alias("obv_peak"),
         F.min("obv_run").cast("long").alias("obv_trough"),
     )
+
+
+# --------------------------------------------------------------------------
+# Log-log price elasticity by brand (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "price_elasticity_by_brand",
+    # per-row logs are identical doubles (exact integer cents /
+    # integral quantities in); the bivariate regression aggregates are
+    # the only float accumulations, absorbed by the 4-digit rounding
+    # (the acf/heaps float discipline).
+    oracle="""
+    WITH b AS (
+        SELECT p.p_brand,
+               ln(CAST(round(l.l_extendedprice * 100, 0) AS DOUBLE))
+                   AS lp,
+               ln(CAST(round(l.l_quantity, 0) AS DOUBLE)) AS lq
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(regr_slope(lq, lp), 4) + 0.0 AS elasticity,
+           round(regr_intercept(lq, lp), 4) + 0.0 AS log_intercept,
+           round(corr(lq, lp) * corr(lq, lp), 4) + 0.0 AS r2
+    FROM b
+    GROUP BY p_brand
+    """,
+    tags=("finance", "regression"),
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per brand: the log-log OLS slope
+    of quantity on price (d ln q / d ln p — THE elasticity estimator
+    of empirical pricing work), with intercept and fit quality — the
+    pricing-decision companion to ols_price_on_qty's level-space
+    regression, grouped by the brand dimension.
+
+    Scale shape + parity: one broadcast dimension join (part is tiny),
+    one keyed bivariate-aggregate pass with map-side partials; logs
+    run on exact integers so only the regression sums are float
+    (rounded at 4 digits, the acf discipline)."""
+    t = load(spark, sf_dir)
+    b = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "p_brand",
+        F.log(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("double")
+        ).alias("lp"),
+        F.log(F.round(F.col("l_quantity"), 0).cast("double")).alias(
+            "lq"
+        ),
+    )
+    lq, lp = F.col("lq"), F.col("lp")
+    return b.groupBy("p_brand").agg(
+        F.count("*").alias("n_obs"),
+        (F.round(F.regr_slope(lq, lp), 4) + 0.0).alias("elasticity"),
+        (F.round(F.regr_intercept(lq, lp), 4) + 0.0).alias(
+            "log_intercept"
+        ),
+        (F.round(F.corr(lq, lp) * F.corr(lq, lp), 4) + 0.0).alias("r2"),
+    )

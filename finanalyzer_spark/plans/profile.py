@@ -5070,3 +5070,133 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (round 9)
+# --------------------------------------------------------------------------
+_DID_SPLIT = "1995-06-17"  #: pre/post boundary (fixture midpoint)
+
+
+@query(
+    "diff_in_diff_urgent",
+    # all four cell moments are exact DECIMAL(38,0) sums of integer
+    # cents, so the cell means, the DiD contrast, its pooled standard
+    # error and the t statistic are identical double expressions.
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN o_orderdate >= TIMESTAMP '{_DID_SPLIT} 00:00:00'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    mo AS (
+        SELECT treated, post,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(c AS DECIMAL(38,0))) AS s,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS ss
+        FROM g GROUP BY treated, post
+    ),
+    cells AS (
+        SELECT treated, post,
+               CAST(n AS DOUBLE) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m,
+               (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1) / 10000.0 AS v
+        FROM mo
+    ),
+    p AS (
+        SELECT
+          max(CASE WHEN treated = 1 AND post = 1 THEN m END) AS m11,
+          max(CASE WHEN treated = 1 AND post = 0 THEN m END) AS m10,
+          max(CASE WHEN treated = 0 AND post = 1 THEN m END) AS m01,
+          max(CASE WHEN treated = 0 AND post = 0 THEN m END) AS m00,
+          max(CASE WHEN treated = 1 AND post = 1 THEN v / n END) AS e11,
+          max(CASE WHEN treated = 1 AND post = 0 THEN v / n END) AS e10,
+          max(CASE WHEN treated = 0 AND post = 1 THEN v / n END) AS e01,
+          max(CASE WHEN treated = 0 AND post = 0 THEN v / n END) AS e00,
+          CAST(sum(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT n_total,
+           round((m11 - m10) - (m01 - m00), 6) + 0.0 AS did_estimate,
+           round(sqrt(e11 + e10 + e01 + e00), 6) + 0.0 AS did_se,
+           round(((m11 - m10) - (m01 - m00))
+                 / sqrt(e11 + e10 + e01 + e00), 6) + 0.0 AS t_stat
+    FROM p
+    """,
+    tags=("profile", "stats", "causal"),
+)
+def diff_in_diff_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences of mean order value: urgent-priority
+    orders (treated) vs the rest, before vs after the fixture-midpoint
+    date — the 2x2 causal contrast (did the urgent premium CHANGE when
+    the period changed, net of the common shift), with the pooled
+    four-cell standard error and t statistic (Card & Krueger's
+    canonical estimator shape).
+
+    Scale shape + parity: ONE conditional four-cell aggregate with
+    map-side partials; all moments are exact DECIMAL cents sums, so
+    every derived statistic is one identical double expression."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = t.orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0).alias("treated"),
+        F.when(
+            F.col("o_orderdate")
+            >= F.lit(_DID_SPLIT).cast("timestamp"),
+            1,
+        ).otherwise(0).alias("post"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    mo = g.groupBy("treated", "post").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    cells = mo.select(
+        "treated", "post",
+        nD.alias("n"),
+        (F.col("s").cast("double") / nD / 100.0).alias("m"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / nD
+            )
+            / (nD - 1) / 10000.0
+        ).alias("v"),
+    )
+    pick = lambda tr, po, c: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == tr) & (F.col("post") == po), c
+        )
+    )
+    p = cells.agg(
+        pick(1, 1, F.col("m")).alias("m11"),
+        pick(1, 0, F.col("m")).alias("m10"),
+        pick(0, 1, F.col("m")).alias("m01"),
+        pick(0, 0, F.col("m")).alias("m00"),
+        pick(1, 1, F.col("v") / F.col("n")).alias("e11"),
+        pick(1, 0, F.col("v") / F.col("n")).alias("e10"),
+        pick(0, 1, F.col("v") / F.col("n")).alias("e01"),
+        pick(0, 0, F.col("v") / F.col("n")).alias("e00"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    se = F.sqrt(
+        F.col("e11") + F.col("e10") + F.col("e01") + F.col("e00")
+    )
+    return p.select(
+        "n_total",
+        (F.round(did, 6) + 0.0).alias("did_estimate"),
+        (F.round(se, 6) + 0.0).alias("did_se"),
+        (F.round(did / se, 6) + 0.0).alias("t_stat"),
+    )

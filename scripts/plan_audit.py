@@ -2173,6 +2173,31 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "srm_check": {
+        # one distinct + one counting aggregate; closed-form statistics
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "diff_in_diff_urgent": {
+        # ONE conditional 2x2 aggregate, exact DECIMAL moments, scalar
+        # contrast algebra
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "price_elasticity_by_brand": {
+        # broadcast dim join + one keyed bivariate-aggregate pass
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "pettitt_changepoint": {
         # day collapse, tie-aware rank windows + running statistic over
         # the bounded daily frame, TakeOrdered argmax cut
