@@ -280,6 +280,10 @@ ROUND_CHANGED = frozenset({
     "diff_in_diff_urgent",
     # round-9 new: log-log demand elasticity
     "price_elasticity_by_brand",
+    # round-9 new: scorecard / information-theory / concentration
+    "woe_iv_price_returned",
+    "mutual_information_priority_flag",
+    "hhi_supplier_concentration",
 })
 
 

@@ -1549,3 +1549,87 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(F.corr(lq, lp) * F.corr(lq, lp), 4) + 0.0).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "hhi_supplier_concentration",
+    # per-supplier revenues are exact integer cents; shares are exact
+    # ratios of DECIMAL sums, HHI is one squared-share sum per nation
+    # over the bounded supplier frame (absorbed by rounding).
+    oracle="""
+    WITH r AS (
+        SELECT s.s_nationkey,
+               l.l_suppkey,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                   AS cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT r.s_nationkey, r.l_suppkey, r.cents,
+               sum(r.cents) OVER (PARTITION BY r.s_nationkey) AS tot,
+               count(*) OVER (PARTITION BY r.s_nationkey) AS n_sup
+        FROM r
+    )
+    SELECT nat.n_name,
+           CAST(max(n_sup) AS BIGINT) AS n_suppliers,
+           round(sum((CAST(cents AS DOUBLE) / tot)
+                     * (CAST(cents AS DOUBLE) / tot)) * 10000.0, 4)
+               + 0.0 AS hhi,
+           round(1.0 / max(n_sup) * 10000.0, 4) + 0.0 AS hhi_floor
+    FROM n JOIN nation nat ON nat.n_nationkey = n.s_nationkey
+    GROUP BY nat.n_name
+    """,
+    tags=("finance", "concentration"),
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per nation (on the DOJ's 0-10,000 scale; > 2,500 = highly
+    concentrated), with the 1/n perfect-competition floor — the
+    antitrust-standard concentration measure beside
+    gini_revenue_concentration's inequality view and
+    revenue_share_by_nation's raw shares.
+
+    Scale shape + parity: facts collapse to one integer-cents row per
+    (nation, supplier) in a map-side-combined groupBy (the supplier
+    dim joins broadcast); shares are exact ratios over the
+    nation-partitioned window; one keyed rollup."""
+    t = load(spark, sf_dir)
+    r = (
+        t.lineitem.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    wn = W.partitionBy("s_nationkey")
+    n = r.select(
+        "s_nationkey", "cents",
+        F.sum("cents").over(wn).alias("tot"),
+        F.count("*").over(wn).alias("n_sup"),
+    )
+    share = F.col("cents").cast("double") / F.col("tot")
+    return (
+        n.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max("n_sup").cast("long").alias("n_suppliers"),
+            (F.round(F.sum(share * share) * 10000.0, 4) + 0.0).alias(
+                "hhi"
+            ),
+            (
+                F.round(1.0 / F.max("n_sup") * 10000.0, 4) + 0.0
+            ).alias("hhi_floor"),
+        )
+    )

@@ -5200,3 +5200,215 @@ def diff_in_diff_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(se, 6) + 0.0).alias("did_se"),
         (F.round(did / se, 6) + 0.0).alias("t_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information value (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "woe_iv_price_returned",
+    # deciles are the deterministic SQL-standard ntile over (price,
+    # tiebreak) via operators/rank.global_ntile; WOE/IV are closed
+    # expressions over exact per-bin integer counts — identical
+    # doubles both engines.
+    oracle="""
+    WITH b AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+               l_orderkey, l_linenumber,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        FROM lineitem
+    ),
+    d AS (
+        SELECT bad,
+               ntile(10) OVER (
+                   ORDER BY c, l_orderkey, l_linenumber, bad
+               ) AS bin
+        FROM b
+    ),
+    cnt AS (
+        SELECT bin,
+               sum(CASE WHEN bad = 0 THEN 1 ELSE 0 END) AS g,
+               sum(bad) AS bd
+        FROM d GROUP BY bin
+    ),
+    tot AS (SELECT sum(g) AS gt, sum(bd) AS bt FROM cnt)
+    SELECT bin,
+           CAST(g AS BIGINT) AS n_good,
+           CAST(bd AS BIGINT) AS n_bad,
+           round(ln((CAST(g AS DOUBLE) / gt)
+                    / (CAST(bd AS DOUBLE) / bt)), 6) + 0.0 AS woe,
+           round((CAST(g AS DOUBLE) / gt - CAST(bd AS DOUBLE) / bt)
+                 * ln((CAST(g AS DOUBLE) / gt)
+                      / (CAST(bd AS DOUBLE) / bt)), 6) + 0.0
+               AS iv_contrib
+    FROM cnt, tot
+    """,
+    tags=("profile", "scoring", "bounded-window"),
+)
+def woe_iv_price_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of price deciles against the
+    returned flag, with per-bin information-value contributions — the
+    credit-scoring standard for binned predictive strength (IV < 0.02
+    useless, > 0.3 strong; Siddiqi's scorecard recipe) and the
+    interpretable companion to loo_target_encoding / chi2 on the same
+    kind of question.
+
+    Scale shape + parity: the decile cut is operators/rank.global_ntile
+    (range-partitioned rank + SQL-standard bucket formula — never a
+    single-task ntile sort) under a total order; per-bin good/bad
+    counts are exact integers and WOE/IV are closed expressions over
+    them."""
+    from ..operators.rank import global_ntile
+
+    t = load(spark, sf_dir)
+    b = t.lineitem.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "c"
+        ),
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+            "bad"
+        ),
+    )
+    d = global_ntile(
+        b, ["c", "l_orderkey", "l_linenumber", "bad"], 10, "bin"
+    )
+    cnt = d.groupBy("bin").agg(
+        F.sum(F.when(F.col("bad") == 0, 1).otherwise(0)).alias("g"),
+        F.sum("bad").alias("bd"),
+    )
+    tot = cnt.agg(F.sum("g").alias("gt"), F.sum("bd").alias("bt"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    gr = F.col("g").cast("double") / F.col("gt")
+    br = F.col("bd").cast("double") / F.col("bt")
+    return j.select(
+        "bin",
+        F.col("g").cast("long").alias("n_good"),
+        F.col("bd").cast("long").alias("n_bad"),
+        (F.round(F.log(gr / br), 6) + 0.0).alias("woe"),
+        (F.round((gr - br) * F.log(gr / br), 6) + 0.0).alias(
+            "iv_contrib"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information: priority x return flag (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "mutual_information_priority_flag",
+    # joint and marginal counts are exact integers from ONE aggregate;
+    # MI terms are closed expressions over exact ratios. The 15-row
+    # final sum is the only float accumulation (absorbed by rounding).
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority AS a, l.l_returnflag AS b,
+               count(*) AS n
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT a, b, n,
+               sum(n) OVER (PARTITION BY a) AS na,
+               sum(n) OVER (PARTITION BY b) AS nb,
+               sum(n) OVER () AS nt
+        FROM j
+    ),
+    mi AS (
+        SELECT max(nt) AS nt, count(*) AS n_cells,
+               sum((CAST(n AS DOUBLE) / nt)
+                   * ln(CAST(n AS DOUBLE) * nt
+                        / (CAST(na AS DOUBLE) * nb))) AS mi
+        FROM m
+    ),
+    ma AS (SELECT a, sum(n) AS na FROM j GROUP BY a),
+    mb AS (SELECT b, sum(n) AS nb FROM j GROUP BY b),
+    ha AS (
+        SELECT -sum((CAST(na AS DOUBLE) / mi.nt)
+                    * ln(CAST(na AS DOUBLE) / mi.nt)) AS h
+        FROM ma, mi
+    ),
+    hb AS (
+        SELECT -sum((CAST(nb AS DOUBLE) / mi.nt)
+                    * ln(CAST(nb AS DOUBLE) / mi.nt)) AS h
+        FROM mb, mi
+    )
+    SELECT CAST(mi.nt AS BIGINT) AS n_total,
+           CAST(mi.n_cells AS BIGINT) AS n_cells,
+           round(mi.mi, 6) + 0.0 AS mutual_info_nats,
+           round(mi.mi / sqrt(ha.h * hb.h), 6) + 0.0 AS nmi
+    FROM mi, ha, hb
+    """,
+    tags=("profile", "stats", "bounded-window"),
+)
+def mutual_information_priority_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information (and entropy-normalized NMI) between order
+    priority and return flag over the joined facts — the
+    information-theoretic dependence measure next to
+    chi2_status_priority / cramers_v_segment_priority (chi-square sees
+    any deviation; MI prices it in nats and NMI makes it comparable
+    across tables).
+
+    Scale shape + parity: one keyed joint-count aggregate (the join is
+    the orders-lineitem FK equi-join), marginals via windows over the
+    bounded 15-cell frame, closed-form terms over exact integer
+    ratios; marginal entropies come from their own tiny keyed
+    aggregates (a DISTINCT-over-ratios shortcut would silently drop a
+    term whenever two marginal counts tie)."""
+    t = load(spark, sf_dir)
+    j = (
+        t.orders.join(
+            t.lineitem.select("l_orderkey", "l_returnflag"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("l_returnflag").alias("b"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    m = j.select(
+        "a", "b", "n",
+        F.sum("n").over(W.partitionBy("a")).alias("na"),
+        F.sum("n").over(W.partitionBy("b")).alias("nb"),
+        F.sum("n").over(W.partitionBy()).alias("nt"),
+    )
+    nD = F.col("n").cast("double")
+    naD = F.col("na").cast("double")
+    nbD = F.col("nb").cast("double")
+    ntc = F.col("nt")
+    term = (nD / ntc) * F.log(nD * ntc / (naD * nbD))
+    mi = m.agg(
+        F.max("nt").alias("nt"),
+        F.count("*").alias("n_cells"),
+        F.sum(term).alias("mi"),
+    )
+    ent = lambda marg, cnt: (  # noqa: E731
+        marg.crossJoin(F.broadcast(mi.select("nt")))
+        .agg(
+            (
+                -F.sum(
+                    (F.col(cnt).cast("double") / F.col("nt"))
+                    * F.log(F.col(cnt).cast("double") / F.col("nt"))
+                )
+            ).alias("h")
+        )
+    )
+    ha = ent(j.groupBy("a").agg(F.sum("n").alias("na")), "na")
+    hb = ent(j.groupBy("b").agg(F.sum("n").alias("nb")), "nb")
+    return (
+        mi.crossJoin(F.broadcast(ha.select(F.col("h").alias("ha"))))
+        .crossJoin(F.broadcast(hb.select(F.col("h").alias("hb"))))
+        .select(
+            F.col("nt").cast("long").alias("n_total"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            (F.round(F.col("mi"), 6) + 0.0).alias("mutual_info_nats"),
+            (
+                F.round(
+                    F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")), 6
+                ) + 0.0
+            ).alias("nmi"),
+        )
+    )

@@ -2173,6 +2173,32 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "woe_iv_price_returned": {
+        # global_ntile decile cut (range-partitioned rank, no
+        # single-task ntile sort), exact per-bin counts, scalar WOE/IV
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "mutual_information_priority_flag": {
+        # FK equi-join collapses to a 15-cell frame; marginals/windows
+        # on that bounded frame; scalar entropy frames broadcast back
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "hhi_supplier_concentration": {
+        # broadcast supplier/nation dims, one (nation, supplier)
+        # map-side-combined collapse, nation-partitioned share window
+        "must": ["BroadcastHashJoin", "HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "srm_check": {
         # one distinct + one counting aggregate; closed-form statistics
         "must": ["HashAggregate"],
