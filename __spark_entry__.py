@@ -284,6 +284,9 @@ ROUND_CHANGED = frozenset({
     "woe_iv_price_returned",
     "mutual_information_priority_flag",
     "hhi_supplier_concentration",
+    # round-9 new: chance-corrected langid agreement + A/B sizing
+    "cohens_kappa_langid",
+    "ab_power_mde",
 })
 
 

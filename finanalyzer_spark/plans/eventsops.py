@@ -2133,3 +2133,85 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((na - nb) / F.sqrt(n.cast("double")), 6) + 0.0
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "ab_power_mde",
+    # the per-user metric aggregate and the pooled variance follow the
+    # cuped float posture (identical expressions, 6dp rounding); the
+    # z quantiles are shared literals (alpha=0.05 two-sided, 80% power).
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant, sum(value) AS metric
+        FROM events GROUP BY user_id
+    ),
+    mo AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+               avg(metric) AS mu,
+               (sum(metric * metric)
+                - sum(metric) * sum(metric) / count(*))
+               / (count(*) - 1) AS var_pooled
+        FROM per_user
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(sqrt(var_pooled), 6) + 0.0 AS metric_sd,
+           round((1.959964 + 0.841621)
+                 * sqrt(var_pooled * (1.0 / na + 1.0 / nb)), 6) + 0.0
+               AS mde_abs,
+           round((1.959964 + 0.841621)
+                 * sqrt(var_pooled * (1.0 / na + 1.0 / nb)) / mu, 6)
+               + 0.0 AS mde_rel
+    FROM mo
+    """,
+    tags=("events", "variant", "power"),
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the A/B setup at alpha=0.05
+    (two-sided) and 80% power: MDE = (z_{0.975} + z_{0.80}) * SE of
+    the difference in per-user metric means under the current split —
+    the sizing number every experiment review asks for BEFORE launch
+    (and the reason underpowered tests get caught); completes the
+    experimentation panel srm_check (validity) -> cuped_adjusted_ab
+    (variance reduction) -> MDE (sensitivity).
+
+    Scale shape + parity: one per-user metric aggregate, one pooled-
+    moment aggregate, closed-form algebra with shared z literals (the
+    cuped float posture: identical expressions, rounded outputs)."""
+    t = load(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.sum("value").alias("metric")
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "metric"
+    )
+    mo = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+        F.avg("metric").alias("mu"),
+        (
+            (
+                F.sum(F.col("metric") * F.col("metric"))
+                - F.sum("metric") * F.sum("metric") / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("var_pooled"),
+    )
+    zsum = 1.959964 + 0.841621
+    se = F.sqrt(
+        F.col("var_pooled") * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return mo.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (F.round(F.sqrt(F.col("var_pooled")), 6) + 0.0).alias(
+            "metric_sd"
+        ),
+        (F.round(zsum * se, 6) + 0.0).alias("mde_abs"),
+        (F.round(zsum * se / F.col("mu"), 6) + 0.0).alias("mde_rel"),
+    )

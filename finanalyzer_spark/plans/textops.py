@@ -1917,3 +1917,118 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((s2d - F.col("n")) / (nd * (nd - 1)), 6) + 0.0
         ).alias("simpson_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa for the langid classifier (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "cohens_kappa_langid",
+    # the confusion counts are the langid_confusion exact integers
+    # (shared codegen classifier both engines); po/pe/kappa are closed
+    # expressions over them — the marginal-product sum runs over a
+    # bounded label frame.
+    oracle=rf"""
+    WITH toks AS (
+        SELECT lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+               {_langid_score_sql(_LANGID_PROFILES["en"])} AS s_en,
+               {_langid_score_sql(_LANGID_PROFILES["es"])} AS s_es,
+               {_langid_score_sql(_LANGID_PROFILES["fr"])} AS s_fr,
+               {_langid_score_sql(_LANGID_PROFILES["de"])} AS s_de
+        FROM toks
+    ),
+    conf AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+                        THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS predicted,
+               count(*) AS n
+        FROM scored GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS nt FROM conf),
+    rows_ AS (SELECT lang AS lab, sum(n) AS nr FROM conf GROUP BY lang),
+    cols_ AS (
+        SELECT predicted AS lab, sum(n) AS nc FROM conf GROUP BY predicted
+    ),
+    po AS (
+        SELECT sum(CASE WHEN lang = predicted THEN n ELSE 0 END) AS agree
+        FROM conf
+    ),
+    pe AS (
+        SELECT sum(CAST(r.nr AS DOUBLE) * c.nc) AS cross_sum
+        FROM rows_ r JOIN cols_ c ON c.lab = r.lab
+    )
+    SELECT CAST(tot.nt AS BIGINT) AS n_docs,
+           round(CAST(po.agree AS DOUBLE) / tot.nt, 6) + 0.0 AS p_observed,
+           round(pe.cross_sum / (CAST(tot.nt AS DOUBLE) * tot.nt), 6)
+               + 0.0 AS p_expected,
+           round((CAST(po.agree AS DOUBLE) / tot.nt
+                  - pe.cross_sum / (CAST(tot.nt AS DOUBLE) * tot.nt))
+                 / (1.0 - pe.cross_sum
+                          / (CAST(tot.nt AS DOUBLE) * tot.nt)), 6)
+               + 0.0 AS kappa
+    FROM tot, po, pe
+    """,
+    tags=("text", "langid", "eval"),
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between declared language and the n-gram langid
+    classifier's prediction — chance-corrected agreement (Cohen 1960),
+    the single-number summary of langid_confusion's matrix that stays
+    honest when the label distribution is skewed (raw accuracy
+    wouldn't).
+
+    Scale shape + parity: the shared codegen classifier collapses the
+    corpus to a bounded confusion frame in one aggregate; marginals,
+    the diagonal, and the kappa algebra all run on that tiny frame
+    over exact integers."""
+    from ..operators.text import language_id_col
+
+    t = load(spark, sf_dir)
+    conf = (
+        t.documents.select(
+            "lang", language_id_col(F.col("text")).alias("predicted")
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = conf.agg(F.sum("n").alias("nt"))
+    rows_ = conf.groupBy(F.col("lang").alias("lab")).agg(
+        F.sum("n").alias("nr")
+    )
+    cols_ = conf.groupBy(F.col("predicted").alias("lab")).agg(
+        F.sum("n").alias("nc")
+    )
+    po = conf.agg(
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted"), F.col("n"))
+            .otherwise(0)
+        ).alias("agree")
+    )
+    pe = rows_.join(cols_, "lab").agg(
+        F.sum(F.col("nr").cast("double") * F.col("nc")).alias(
+            "cross_sum"
+        )
+    )
+    j = (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+    )
+    ntd = F.col("nt").cast("double")
+    pod = F.col("agree").cast("double") / ntd
+    ped = F.col("cross_sum") / (ntd * ntd)
+    return j.select(
+        F.col("nt").cast("long").alias("n_docs"),
+        (F.round(pod, 6) + 0.0).alias("p_observed"),
+        (F.round(ped, 6) + 0.0).alias("p_expected"),
+        (F.round((pod - ped) / (1.0 - ped), 6) + 0.0).alias("kappa"),
+    )

@@ -2173,6 +2173,24 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "cohens_kappa_langid": {
+        # shared codegen classifier -> bounded confusion frame; kappa
+        # algebra on tiny keyed aggregates + scalar broadcasts
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ab_power_mde": {
+        # per-user metric aggregate + pooled-moment aggregate + scalar
+        # closed form
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "woe_iv_price_returned": {
         # global_ntile decile cut (range-partitioned rank, no
         # single-task ntile sort), exact per-bin counts, scalar WOE/IV
