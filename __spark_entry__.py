@@ -291,22 +291,23 @@ ROUND_CHANGED = frozenset({
 
 
 def _ordered_names() -> list[str]:
-    """Sampling-priority order for the driver's ~50-query prefix sampler:
-    any never-driver-sampled name first (none entering round 9 — the
-    union closed at 288/288 in round 8), then the round-9 new/changed
-    names, then the already-verified rest (registry order within each
-    tier)."""
+    """Sampling-priority order for the driver's ~50-query prefix
+    sampler. Round 9 declares more new/changed names than one ~50
+    sample holds, so tier 1 splits: a name with NO driver row ever
+    (round-9 new — a hard signal gap) outranks a round-9-CHANGED name
+    that already has an old green row (the re-queued graph/probe
+    names); the verified rest fills the tail (registry order within
+    each tier)."""
     names = list(REGISTRY)
-    sampled = DRIVER_SAMPLED - ROUND_CHANGED
 
     def tier(n: str) -> int:
-        # a name with no driver row ever leads outright; round-9
-        # new/changed names follow; the verified 288 fill the tail
         if n in NEVER_SAMPLED:
             return 0
-        if n in ROUND_CHANGED or n not in sampled:
-            return 1
-        return 2
+        if n not in DRIVER_SAMPLED:
+            return 1  # no driver row ever — front outright
+        if n in ROUND_CHANGED:
+            return 2  # changed semantics — re-queue behind the new
+        return 3
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
