@@ -287,6 +287,8 @@ ROUND_CHANGED = frozenset({
     # round-9 new: chance-corrected langid agreement + A/B sizing
     "cohens_kappa_langid",
     "ab_power_mde",
+    # round-9 new: decile-level distribution-shift profile
+    "qq_shift_returned_vs_kept",
 })
 
 

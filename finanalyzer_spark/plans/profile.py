@@ -5412,3 +5412,104 @@ def mutual_information_priority_flag(
             ).alias("nmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile-quantile shift: returned vs kept (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "qq_shift_returned_vs_kept",
+    # each group's decile boundaries are exact integer cents selected
+    # by the SQL-standard ntile rule under a total order; the per-bin
+    # gaps and ratios are single expressions over exact integers.
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+                    ELSE 'kept' END AS grp,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    d AS (
+        SELECT grp, c,
+               ntile(10) OVER (
+                   PARTITION BY grp
+                   ORDER BY c, l_orderkey, l_linenumber
+               ) AS bin
+        FROM b
+    ),
+    q AS (
+        SELECT grp, bin, max(c) AS q_cents, count(*) AS n
+        FROM d GROUP BY grp, bin
+    ),
+    p AS (
+        SELECT bin,
+               max(CASE WHEN grp = 'returned' THEN q_cents END) AS qr,
+               max(CASE WHEN grp = 'kept' THEN q_cents END) AS qk,
+               sum(n) AS n_bin
+        FROM q GROUP BY bin
+    )
+    SELECT bin,
+           CAST(n_bin AS BIGINT) AS n_rows,
+           round(qr / 100.0, 2) + 0.0 AS q_returned,
+           round(qk / 100.0, 2) + 0.0 AS q_kept,
+           round((qr - qk) / 100.0, 2) + 0.0 AS gap,
+           round(CAST(qr AS DOUBLE) / qk, 6) + 0.0 AS ratio
+    FROM p
+    """,
+    tags=("profile", "stats", "drift", "bounded-window"),
+)
+def qq_shift_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile shift profile: each decile boundary of the
+    returned price distribution against the same decile of the kept
+    distribution, as gaps and ratios — WHERE the two distributions
+    diverge (a location shift moves every decile equally; a tail
+    effect moves only the top bins), the diagnostic layer beneath
+    ks_statistic_returned_vs_kept's single max-gap number.
+
+    Scale shape + parity: one group-partitioned ntile under a total
+    order (two partitions — never a single global sort of the facts),
+    per-(group, bin) max/count collapse, then a 10-row pivot; every
+    boundary is an exact integer selected identically on both
+    engines."""
+    t = load(spark, sf_dir)
+    b = t.lineitem.select(
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .otherwise("kept").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "c"
+        ),
+        "l_orderkey", "l_linenumber",
+    )
+    d = b.select(
+        "grp", "c",
+        F.ntile(10).over(
+            W.partitionBy("grp").orderBy(
+                "c", "l_orderkey", "l_linenumber"
+            )
+        ).alias("bin"),
+    )
+    q = d.groupBy("grp", "bin").agg(
+        F.max("c").alias("q_cents"), F.count("*").alias("n")
+    )
+    p = q.groupBy("bin").agg(
+        F.max(
+            F.when(F.col("grp") == "returned", F.col("q_cents"))
+        ).alias("qr"),
+        F.max(
+            F.when(F.col("grp") == "kept", F.col("q_cents"))
+        ).alias("qk"),
+        F.sum("n").alias("n_bin"),
+    )
+    return p.select(
+        "bin",
+        F.col("n_bin").cast("long").alias("n_rows"),
+        (F.round(F.col("qr") / 100.0, 2) + 0.0).alias("q_returned"),
+        (F.round(F.col("qk") / 100.0, 2) + 0.0).alias("q_kept"),
+        (
+            F.round((F.col("qr") - F.col("qk")) / 100.0, 2) + 0.0
+        ).alias("gap"),
+        (
+            F.round(F.col("qr").cast("double") / F.col("qk"), 6) + 0.0
+        ).alias("ratio"),
+    )

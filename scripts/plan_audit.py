@@ -2173,6 +2173,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "qq_shift_returned_vs_kept": {
+        # group-partitioned ntile (two partitions, never a global
+        # sort of the facts), per-(group,bin) collapse, 10-row pivot
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "cohens_kappa_langid": {
         # shared codegen classifier -> bounded confusion frame; kappa
         # algebra on tiny keyed aggregates + scalar broadcasts
