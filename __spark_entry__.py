@@ -289,6 +289,10 @@ ROUND_CHANGED = frozenset({
     "ab_power_mde",
     # round-9 new: decile-level distribution-shift profile
     "qq_shift_returned_vs_kept",
+    # round-9 new: U-shaped multi-touch attribution
+    "attribution_position_based",
+    # round-9 new: whole-warehouse key audit
+    "multi_table_key_profile",
 })
 
 

@@ -2215,3 +2215,122 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(zsum * se, 6) + 0.0).alias("mde_abs"),
         (F.round(zsum * se / F.col("mu"), 6) + 0.0).alias("mde_rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) attribution (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "attribution_position_based",
+    # per-touch weights quantize to integer ppm the moment they are
+    # computed (identical doubles in: exact positions/counts), so the
+    # per-channel credit sums are exact integers; the join expansion
+    # is the same per-user bounded as-of pattern as last-touch.
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS ch
+        FROM events WHERE event_type != 'purchase'
+    ),
+    m AS (
+        SELECT p.pid, t.ch, t.tid,
+               row_number() OVER (
+                   PARTITION BY p.pid ORDER BY t.tts, t.tid
+               ) AS pos,
+               count(*) OVER (PARTITION BY p.pid) AS k
+        FROM p JOIN t
+          ON t.user_id = p.user_id
+         AND t.tts <= p.pts
+         AND epoch_us(p.pts) - epoch_us(t.tts)
+             <= {_ATTR_WINDOW_MIN * 60_000_000}
+    ),
+    w AS (
+        SELECT ch,
+               CAST(round(CASE
+                   WHEN k = 1 THEN 1000000.0
+                   WHEN k = 2 THEN 500000.0
+                   WHEN pos = 1 OR pos = k THEN 400000.0
+                   ELSE 200000.0 / (k - 2) END, 0) AS BIGINT) AS w_ppm
+        FROM m
+    ),
+    agg AS (
+        SELECT ch, count(*) AS n_touches, sum(w_ppm) AS credit_ppm
+        FROM w GROUP BY ch
+    ),
+    tot AS (SELECT sum(credit_ppm) AS t FROM agg)
+    SELECT ch AS channel,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           round(credit_ppm / 1000000.0, 4) + 0.0 AS credit,
+           round(CAST(credit_ppm AS DOUBLE) / t, 6) + 0.0 AS share
+    FROM agg, tot
+    """,
+    tags=("events", "attribution"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    every purchase distributes one unit of credit over its preceding
+    touchpoints in the 7-day lookback — 40% to the first touch, 40%
+    to the last, 20% split over the middle (1 touch takes all; 2 split
+    evenly) — rolled up per channel; the multi-touch refinement of
+    attribution_last_touch's winner-takes-all rule on the same as-of
+    join.
+
+    Scale shape + parity: the purchase-touch join is the per-user
+    bounded as-of pattern (same as last-touch); positions/counts come
+    from windows partitioned by purchase id; weights quantize to
+    integer ppm immediately so the channel rollup is exact integer
+    arithmetic."""
+    t_ = load(spark, sf_dir)
+    p = t_.events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+    )
+    tch = t_.events.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tuser"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ch"),
+    )
+    pus = F.unix_micros(F.col("pts").cast("timestamp_ltz"))
+    tus = F.unix_micros(F.col("tts").cast("timestamp_ltz"))
+    m = p.join(
+        tch,
+        (F.col("tuser") == F.col("puser"))
+        & (F.col("tts") <= F.col("pts"))
+        & (pus - tus <= _ATTR_WINDOW_MIN * 60_000_000),
+    ).select(
+        "pid", "ch", "tid",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy("tts", "tid")
+        ).alias("pos"),
+        F.count("*").over(W.partitionBy("pid")).alias("k"),
+    )
+    k, pos = F.col("k"), F.col("pos")
+    w_ppm = F.round(
+        F.when(k == 1, F.lit(1000000.0))
+        .when(k == 2, F.lit(500000.0))
+        .when((pos == 1) | (pos == k), F.lit(400000.0))
+        .otherwise(200000.0 / (k - 2)),
+        0,
+    ).cast("long")
+    agg = m.select("ch", w_ppm.alias("w_ppm")).groupBy("ch").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("w_ppm").alias("credit_ppm"),
+    )
+    tot = agg.agg(F.sum("credit_ppm").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("ch").alias("channel"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        (F.round(F.col("credit_ppm") / 1000000.0, 4) + 0.0).alias(
+            "credit"
+        ),
+        (
+            F.round(
+                F.col("credit_ppm").cast("double") / F.col("t"), 6
+            ) + 0.0
+        ).alias("share"),
+    )

@@ -5513,3 +5513,77 @@ def qq_shift_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("qr").cast("double") / F.col("qk"), 6) + 0.0
         ).alias("ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-table key profile (round 9)
+# --------------------------------------------------------------------------
+#: (table, key column) pairs profiled — the whole-warehouse version of
+#: table_profile_checks' single-table expectations
+_PROFILE_KEYS = (
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+)
+
+
+@query(
+    "multi_table_key_profile",
+    # one aggregate per table unioned — the plan is GENERATED from the
+    # shared (table, key) spec on both engines, so adding a table to
+    # _PROFILE_KEYS extends both sides identically; all outputs are
+    # exact integers.
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name,
+           '{key}' AS key_column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {key} IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_keys,
+           CAST(count(DISTINCT {key}) AS BIGINT) AS n_distinct_keys,
+           CAST(count(*) - count(DISTINCT {key}) AS BIGINT)
+               AS n_dup_rows
+    FROM {tbl}"""
+        for tbl, key in _PROFILE_KEYS
+    ),
+    tags=("profile", "integrity"),
+)
+def multi_table_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-warehouse key profile: for every (table, key) pair in the
+    shared spec — row count, null keys, distinct keys, duplicate rows
+    — the first audit a migration runs across ALL tables at once (the
+    cross-table generalization of table_profile_checks, which goes
+    deep on one table; lineitem's l_orderkey legitimately duplicates,
+    which is exactly why the dup column is reported rather than
+    asserted).
+
+    Scale shape: the plan is GENERATED from the spec — one map-side-
+    combined aggregate per table, unioned; each table is scanned once
+    projecting only its key column (pushdown-pruned), and tables can
+    profile in parallel because the union imposes no ordering."""
+    t = load(spark, sf_dir)
+    parts = []
+    for tbl, key in _PROFILE_KEYS:
+        df = getattr(t, tbl)
+        parts.append(
+            df.agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit(key).alias("key_column"),
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(F.col(key).isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_null_keys"),
+                F.countDistinct(key).alias("n_distinct_keys"),
+                (F.count("*") - F.countDistinct(key)).alias(
+                    "n_dup_rows"
+                ),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out

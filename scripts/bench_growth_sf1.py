@@ -101,6 +101,18 @@ FAMILIES: dict[str, list[str]] = {
         "theil_sen_trend_daily_revenue",
         "mann_kendall_trend",
     ],
+    # round-9 second wave: the BQ Hamming scan and the trained-IVF
+    # probe ride the 10x-jittered vectors (both claim scan-linear:
+    # broadcast queries, integer popcount / probed-list-only rerank);
+    # Adamic-Adar rides the 10x-disjoint trade graph (same capped
+    # wedge stream as the CN predictor, plus a broadcast weight join)
+    "ann2": [
+        "ann_bq_topk",
+        "ann_ivf_trained_topk",
+    ],
+    "graph4": [
+        "adamic_adar_link_prediction",
+    ],
 }
 
 LINKED = ["customer", "nation", "part", "region", "supplier", "events"]
@@ -236,6 +248,9 @@ def semantic_dedup_scaled_k(spark, sf_dir: str, k: int):
 
 
 def main() -> int:
+    # optional family filter: bench_growth_sf1.py [base_sf_dir] [fam,fam2]
+    # — re-measure one new family without re-timing the whole matrix
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("bench_growth_sf1")
     synthesize(spark)
     n1 = spark.read.parquet(os.path.join(BASE, "lineitem.parquet")).count()
@@ -244,7 +259,11 @@ def main() -> int:
     print()
     print("| family | query | 1x sec | 10x sec | ratio |")
     print("|---|---|---|---|---|")
-    for family, names in FAMILIES.items():
+    families = (
+        {f: q for f, q in FAMILIES.items() if f in only}
+        if only else FAMILIES
+    )
+    for family, names in families.items():
         for name in names:
             timed(spark, name, WARM)  # JIT/codegen warm-up, tiny SF
             t_base = timed(spark, name, BASE)
@@ -255,6 +274,8 @@ def main() -> int:
             )
     # scaled-k SemDeDup: k grows with the corpus (16 -> 16*REPLICAS),
     # the production shape that keeps per-cluster pair blocks constant
+    if only is not None and "dedup" not in only:
+        return 0
     import time as _t
 
     spark.catalog.clearCache()

@@ -2173,6 +2173,25 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "attribution_position_based": {
+        # per-user bounded as-of join, purchase-partitioned position
+        # windows, integer-ppm weights, tiny channel rollup
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "multi_table_key_profile": {
+        # one pushdown-pruned aggregate per table, unioned; no joins,
+        # no windows
+        "must": ["HashAggregate", "Union"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "SortMergeJoin", "BroadcastHashJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "qq_shift_returned_vs_kept": {
         # group-partitioned ntile (two partitions, never a global
         # sort of the facts), per-(group,bin) collapse, 10-row pivot
