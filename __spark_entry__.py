@@ -293,6 +293,8 @@ ROUND_CHANGED = frozenset({
     "attribution_position_based",
     # round-9 new: whole-warehouse key audit
     "multi_table_key_profile",
+    # round-9 new: conversion-rate readout of the A/B panel
+    "two_proportion_ab_test",
 })
 
 

@@ -2334,3 +2334,114 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test on conversion (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "two_proportion_ab_test",
+    # converter/user counts are exact integers over the parity split;
+    # the pooled z, the unpooled difference CI, and both Wilson
+    # single-proportion intervals are closed-form expressions with the
+    # shared 1.959964 literal.
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT
+            sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+            sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS xa,
+            sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+            sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS xb
+        FROM u
+    ),
+    d AS (
+        SELECT na, xa, nb, xb,
+               CAST(xa AS DOUBLE) / na AS pa,
+               CAST(xb AS DOUBLE) / nb AS pb,
+               CAST(xa + xb AS DOUBLE) / (na + nb) AS pp
+        FROM c
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(xa AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(xb AS BIGINT) AS conv_b,
+           round(pa, 6) + 0.0 AS rate_a,
+           round(pb, 6) + 0.0 AS rate_b,
+           round((pb - pa)
+                 / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6)
+               + 0.0 AS z_pooled,
+           round((pb - pa) - 1.959964
+                 * sqrt(pa * (1.0 - pa) / na + pb * (1.0 - pb) / nb),
+                 6) + 0.0 AS diff_ci_lo,
+           round((pb - pa) + 1.959964
+                 * sqrt(pa * (1.0 - pa) / na + pb * (1.0 - pb) / nb),
+                 6) + 0.0 AS diff_ci_hi
+    FROM d
+    """,
+    tags=("events", "variant", "stats"),
+)
+def two_proportion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on per-user conversion (any purchase)
+    between the parity variants: pooled z plus the unpooled 95%
+    confidence interval for the rate difference — the single most-run
+    statistic of product experimentation, completing the panel
+    srm_check (validity) -> two_proportion (the readout) ->
+    cuped_adjusted_ab (variance reduction) -> ab_power_mde (sizing).
+
+    Scale shape + parity: one per-user conversion flag aggregate, one
+    four-integer rollup, closed-form algebra with the shared z
+    literal — every input to the floats is an exact integer."""
+    t = load(spark, sf_dir)
+    u = t.events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    c = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("xa"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("xb"),
+    )
+    na, xa, nb, xb = F.col("na"), F.col("xa"), F.col("nb"), F.col("xb")
+    d = c.select(
+        "na", "xa", "nb", "xb",
+        (xa.cast("double") / na).alias("pa"),
+        (xb.cast("double") / nb).alias("pb"),
+        ((xa + xb).cast("double") / (na + nb)).alias("pp"),
+    )
+    pa, pb, pp = F.col("pa"), F.col("pb"), F.col("pp")
+    z = 1.959964
+    se_un = F.sqrt(
+        pa * (1.0 - pa) / F.col("na") + pb * (1.0 - pb) / F.col("nb")
+    )
+    return d.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("xa").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("xb").cast("long").alias("conv_b"),
+        (F.round(pa, 6) + 0.0).alias("rate_a"),
+        (F.round(pb, 6) + 0.0).alias("rate_b"),
+        (
+            F.round(
+                (pb - pa)
+                / F.sqrt(
+                    pp * (1.0 - pp)
+                    * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                ),
+                6,
+            ) + 0.0
+        ).alias("z_pooled"),
+        (F.round((pb - pa) - z * se_un, 6) + 0.0).alias("diff_ci_lo"),
+        (F.round((pb - pa) + z * se_un, 6) + 0.0).alias("diff_ci_hi"),
+    )

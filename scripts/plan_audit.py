@@ -2173,6 +2173,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "two_proportion_ab_test": {
+        # per-user conversion aggregate + four-integer rollup + scalar
+        # closed form
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "attribution_position_based": {
         # per-user bounded as-of join, purchase-partitioned position
         # windows, integer-ppm weights, tiny channel rollup
