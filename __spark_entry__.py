@@ -295,6 +295,9 @@ ROUND_CHANGED = frozenset({
     "multi_table_key_profile",
     # round-9 new: conversion-rate readout of the A/B panel
     "two_proportion_ab_test",
+    # round-9 new: corpus burstiness + arrival dispersion diagnostics
+    "term_burstiness_top",
+    "poisson_dispersion_daily_events",
 })
 
 

@@ -2445,3 +2445,80 @@ def two_proportion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((pb - pa) - z * se_un, 6) + 0.0).alias("diff_ci_lo"),
         (F.round((pb - pa) + z * se_un, 6) + 0.0).alias("diff_ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson dispersion check on daily arrivals (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "poisson_dispersion_daily_events",
+    # daily counts and their moments are exact integers; the
+    # variance-to-mean dispersion index and its chi-square are closed
+    # expressions over them.
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    mo AS (
+        SELECT event_type,
+               count(*) AS k,
+               sum(n) AS s,
+               sum(n * n) AS ss
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS n_events,
+           round(CAST(s AS DOUBLE) / k, 6) + 0.0 AS mean_per_day,
+           round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                  / (k - 1))
+                 / (CAST(s AS DOUBLE) / k), 6) + 0.0 AS dispersion_vmr,
+           round((k - 1)
+                 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                    / (k - 1))
+                 / (CAST(s AS DOUBLE) / k), 4) + 0.0 AS chi2_stat
+    FROM mo
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def poisson_dispersion_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson dispersion (variance-to-mean) index of daily arrival
+    counts per event type, with the (n-1)*VMR chi-square — the
+    is-this-a-Poisson-process check behind every arrival-rate alarm
+    (VMR >> 1 = overdispersed/bursty traffic where a Poisson
+    threshold would false-alarm; the arrivals companion to
+    weekday_anomaly_days' seasonal baselines).
+
+    Scale shape + parity: facts collapse to one (type, day) integer
+    count in a map-side-combined groupBy, then one keyed moment
+    rollup; both statistics are closed expressions over exact
+    integers."""
+    t = load(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    mo = d.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    k, s, ss = F.col("k"), F.col("s"), F.col("ss")
+    var_ = (ss.cast("double") - s.cast("double") * s / k) / (k - 1)
+    mean_ = s.cast("double") / k
+    return mo.select(
+        "event_type",
+        k.cast("long").alias("n_days"),
+        s.cast("long").alias("n_events"),
+        (F.round(mean_, 6) + 0.0).alias("mean_per_day"),
+        (F.round(var_ / mean_, 6) + 0.0).alias("dispersion_vmr"),
+        (F.round((k - 1) * var_ / mean_, 4) + 0.0).alias("chi2_stat"),
+    )

@@ -2032,3 +2032,98 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(ped, 6) + 0.0).alias("p_expected"),
         (F.round((pod - ped) / (1.0 - ped), 6) + 0.0).alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (round 9)
+# --------------------------------------------------------------------------
+_BURST_TOP = 20
+
+
+@query(
+    "term_burstiness_top",
+    # per-doc term counts, document frequency and the count moments
+    # are exact integers; burstiness = var/mean is a closed expression
+    # over them; the top cut is deterministic under (df DESC, term).
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    tf AS (
+        SELECT w, doc_id, count(*) AS c FROM tok GROUP BY w, doc_id
+    ),
+    mo AS (
+        SELECT w,
+               count(*) AS df,
+               sum(c) AS cf,
+               sum(c * c) AS cf2
+        FROM tf GROUP BY w
+    ),
+    top AS (
+        SELECT w, df, cf, cf2 FROM mo
+        ORDER BY df DESC, w LIMIT {_BURST_TOP}
+    )
+    SELECT w AS term,
+           CAST(df AS BIGINT) AS doc_freq,
+           CAST(cf AS BIGINT) AS coll_freq,
+           round(CAST(cf AS DOUBLE) / df, 6) + 0.0
+               AS mean_count_when_present,
+           round((CAST(cf2 AS DOUBLE)
+                  - CAST(cf AS DOUBLE) * cf / n_docs)
+                 / (n_docs - 1)
+                 / (CAST(cf AS DOUBLE) / n_docs), 6) + 0.0
+               AS burstiness_vmr
+    FROM top, nd
+    """,
+    tags=("text", "profile", "bounded-window"),
+)
+def term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of the {_BURST_TOP} highest-document-frequency terms:
+    the variance-to-mean ratio of per-document counts (zeros included
+    via the moment identity — absent docs contribute only to n) — the
+    Church-Gale diagnostic separating function words (VMR near 1,
+    Poisson-like) from bursty content words (VMR >> 1), which is what
+    decides whether a term is a stopword candidate or a topic carrier
+    in curation.
+
+    Scale shape + parity: explode + two keyed map-side-combined
+    aggregations collapse the corpus to per-term integer moments; the
+    variance-over-all-docs comes from the moment identity (no
+    zero-filled doc-term matrix is ever materialized); the top cut is
+    a TakeOrdered under a total order."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    tok = (
+        t.documents.where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+    )
+    nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = tok.groupBy("w", "doc_id").agg(F.count("*").alias("c"))
+    mo = tf.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("cf2"),
+    )
+    top = mo.orderBy(F.col("df").desc(), "w").limit(_BURST_TOP)
+    j = top.crossJoin(F.broadcast(nd))
+    cfd = F.col("cf").cast("double")
+    ndd = F.col("n_docs")
+    return j.select(
+        F.col("w").alias("term"),
+        F.col("df").cast("long").alias("doc_freq"),
+        F.col("cf").cast("long").alias("coll_freq"),
+        (F.round(cfd / F.col("df"), 6) + 0.0).alias(
+            "mean_count_when_present"
+        ),
+        (
+            F.round(
+                (F.col("cf2").cast("double") - cfd * F.col("cf") / ndd)
+                / (ndd - 1)
+                / (cfd / ndd),
+                6,
+            ) + 0.0
+        ).alias("burstiness_vmr"),
+    )

@@ -2173,6 +2173,24 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "term_burstiness_top": {
+        # explode + two keyed aggregations to per-term integer moments;
+        # variance via the moment identity (no zero-filled matrix);
+        # TakeOrdered top cut
+        "must": ["HashAggregate", "Generate", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "poisson_dispersion_daily_events": {
+        # (type, day) integer collapse + keyed moment rollup
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "two_proportion_ab_test": {
         # per-user conversion aggregate + four-integer rollup + scalar
         # closed form
