@@ -298,6 +298,8 @@ ROUND_CHANGED = frozenset({
     # round-9 new: corpus burstiness + arrival dispersion diagnostics
     "term_burstiness_top",
     "poisson_dispersion_daily_events",
+    # round-9 new: activation-speed funnel metric
+    "signup_to_purchase_latency",
 })
 
 

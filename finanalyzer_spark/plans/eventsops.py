@@ -2522,3 +2522,97 @@ def poisson_dispersion_daily_events(
         (F.round(var_ / mean_, 6) + 0.0).alias("dispersion_vmr"),
         (F.round((k - 1) * var_ / mean_, 4) + 0.0).alias("chi2_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Signup-to-first-purchase latency (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "signup_to_purchase_latency",
+    # first-signup / first-purchase timestamps are exact microsecond
+    # integers from one conditional aggregate; the latency percentiles
+    # use the proven quantile_cont / percentile() interpolation parity
+    # (session_duration_percentiles discipline).
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                   AS first_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id,
+               date_diff('microsecond', first_signup, first_purchase)
+                   AS lat_us
+        FROM u
+        WHERE first_signup IS NOT NULL
+          AND first_purchase IS NOT NULL
+          AND first_purchase >= first_signup
+    ),
+    base AS (
+        SELECT count(*) AS n_signed
+        FROM u WHERE first_signup IS NOT NULL
+    )
+    SELECT CAST(base.n_signed AS BIGINT) AS n_signed_up,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(count(*) * 1.0 / base.n_signed, 6) + 0.0
+               AS conversion_rate,
+           round(quantile_cont(lat_us / 3.6e9, 0.5), 4) + 0.0
+               AS p50_hours,
+           round(quantile_cont(lat_us / 3.6e9, 0.9), 4) + 0.0
+               AS p90_hours,
+           round(max(lat_us) / 3.6e9, 4) + 0.0 AS max_hours
+    FROM lat, base
+    GROUP BY base.n_signed
+    """,
+    tags=("events", "funnel", "percentile"),
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency from first signup to first purchase per user (users
+    whose first purchase precedes their signup are excluded — they
+    converted through another door), with the signup-based conversion
+    rate and p50/p90/max hours — the activation-speed number growth
+    teams track beside funnel_conversion_lag's per-step timings.
+
+    Scale shape + parity: ONE conditional min-aggregate per user (no
+    self-join between event types), a filter, and one global
+    percentile aggregate over exact microsecond integers using the
+    proven quantile_cont/percentile interpolation parity."""
+    t = load(spark, sf_dir)
+    u = t.events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    lat = u.where(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        (us("first_purchase") - us("first_signup")).alias("lat_us")
+    )
+    base = u.where(F.col("first_signup").isNotNull()).agg(
+        F.count("*").alias("n_signed")
+    )
+    j = lat.crossJoin(F.broadcast(base))
+    return j.groupBy("n_signed").agg(
+        F.count("*").alias("_n_conv"),
+        (F.round(F.expr("percentile(lat_us / 3.6e9, 0.5)"), 4) + 0.0)
+        .alias("p50_hours"),
+        (F.round(F.expr("percentile(lat_us / 3.6e9, 0.9)"), 4) + 0.0)
+        .alias("p90_hours"),
+        (F.round(F.max("lat_us") / 3.6e9, 4) + 0.0).alias("max_hours"),
+    ).select(
+        F.col("n_signed").cast("long").alias("n_signed_up"),
+        F.col("_n_conv").cast("long").alias("n_converted"),
+        (
+            F.round(F.col("_n_conv") * 1.0 / F.col("n_signed"), 6) + 0.0
+        ).alias("conversion_rate"),
+        "p50_hours", "p90_hours", "max_hours",
+    )

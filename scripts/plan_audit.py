@@ -2173,6 +2173,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "signup_to_purchase_latency": {
+        # one conditional per-user min-aggregate (no self-join between
+        # event types), filter, one percentile aggregate
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "term_burstiness_top": {
         # explode + two keyed aggregations to per-term integer moments;
         # variance via the moment identity (no zero-filled matrix);
