@@ -300,6 +300,8 @@ ROUND_CHANGED = frozenset({
     "poisson_dispersion_daily_events",
     # round-9 new: activation-speed funnel metric
     "signup_to_purchase_latency",
+    # round-9 new: Ogg-FLAC encapsulation through the certified tier
+    "media_ogg_flac_audio_stats",
 })
 
 

@@ -208,6 +208,14 @@ def decode_audio(buf: bytes):
 
         info, samples = decode_flac(buf)
         return info["sample_rate"], samples.astype(np.int16)
+    if buf[:4] == b"OggS":
+        # Ogg-FLAC remuxes to the native stream and rides the
+        # certified FLAC tier; other Ogg codecs refuse by name there
+        from .flac import decode_flac
+        from .oggflac import demux_ogg_flac
+
+        info, samples = decode_flac(demux_ogg_flac(buf))
+        return info["sample_rate"], samples.astype(np.int16)
     if buf[:4] == b".snd":
         from .aiffau import decode_au
 

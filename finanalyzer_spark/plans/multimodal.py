@@ -2092,3 +2092,96 @@ def media_ico_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " px_sum long, px_max int"
         ),
     )
+
+
+@query(
+    "media_ogg_flac_audio_stats",
+    # the media_flac_audio_stats oracle discipline, routed through the
+    # Ogg container: text bytes -> int16 PCM -> native FLAC -> Ogg-FLAC
+    # mux -> page/packet demux (CRC-verified) -> certified FLAC decode.
+    # Losslessness end-to-end means the oracle recomputes rms/peak
+    # arithmetically from the same byte pairs — one wrong lacing
+    # boundary, page CRC, or header-flag rewrite breaks the hash.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split_regex(
+                       substr(text, 1, 2 * (length(text) // 2)), ''),
+                   c -> ascii(c)) AS bs
+        FROM documents
+        WHERE doc_id % 7 = 3
+    ),
+    s AS (
+        SELECT doc_id, list_transform(range(len(bs) // 2), i ->
+            CASE WHEN bs[2*i+2] * 256 + bs[2*i+1] >= 32768
+                 THEN bs[2*i+2] * 256 + bs[2*i+1] - 65536
+                 ELSE bs[2*i+2] * 256 + bs[2*i+1] END) AS smp
+        FROM b
+    )
+    SELECT doc_id AS media_id,
+           16000 AS sample_rate,
+           CAST(len(smp) AS BIGINT) AS n_frames,
+           coalesce(round(sqrt(list_sum(list_transform(smp,
+               x -> CAST(x AS DOUBLE) * x)) / len(smp)), 6), 0.0) AS rms,
+           CAST(coalesce(list_max(list_transform(smp, x -> abs(x))), 0)
+                AS INT) AS peak
+    FROM s
+    """,
+    tags=("multimodal", "codec", "audio", "ogg"),
+)
+def media_ogg_flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg-FLAC round trip (operators/oggflac.py): the
+    media_flac_audio_stats pipeline with the Ogg encapsulation layer
+    in the loop — native FLAC muxes into RFC 3533 pages (BOS id
+    packet, CRC-32 per page, 255-lacing packet segmentation, EOS
+    granule = total samples), and decode_audio's container dispatch
+    demuxes back to the native stream for the certified FLAC tier.
+    Exercises exactly what a crawl's .oga/.ogg FLAC files need; the
+    sampled filter (doc_id % 7) bounds the Python codec cost."""
+    t = load(spark, sf_dir)
+    pcm = (
+        t.documents.where(F.col("doc_id") % 7 == 3)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(
+                F.expr("substr(text, 1, 2 * (length(text) div 2))"),
+                "UTF-8",
+            ).alias("content"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def wrap(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.flac import encode_flac
+        from ..operators.oggflac import mux_ogg_flac
+
+        for pdf in batches:
+            out = []
+            for b in pdf["content"]:
+                samples = np.frombuffer(bytes(b), dtype="<i2")
+                out.append(
+                    mux_ogg_flac(
+                        encode_flac(
+                            samples, sample_rate=16000, blocksize=64
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": out}
+            )
+
+    ogg = pcm.mapInPandas(wrap, schema="media_id long, content binary")
+    feats = decode_audio_features(
+        ogg, content_col="content", id_col="media_id", fake=False
+    )
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_frames",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )

@@ -2173,6 +2173,16 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "media_ogg_flac_audio_stats": {
+        # two Arrow kernels over the sampled scan (mux, then the
+        # dispatching decode); payload bytes never shuffle
+        "must": ["MapInPandas"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+                     "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "signup_to_purchase_latency": {
         # one conditional per-user min-aggregate (no self-join between
         # event types), filter, one percentile aggregate
