@@ -647,3 +647,107 @@ def mp4_avc_to_annexb(buf: bytes) -> bytes:
             if fourcc == "avc1"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ISO-BMFF still images: AVIF / HEIF probing (round 9)
+# --------------------------------------------------------------------------
+_BMFF_IMAGE_BRANDS = {
+    b"avif": "av1", b"avis": "av1",
+    b"heic": "hevc", b"heix": "hevc", b"mif1": None,
+}
+
+
+def probe_isobmff_image(buf: bytes):
+    """AVIF/HEIF metadata probe (no pixel decode — AV1/HEVC entropy
+    decode is out of the pure tier's scope, like CABAC): ftyp brand ->
+    codec, meta/iprp/ipco/ispe -> dimensions, iinf/infe item types
+    refine the codec and count image items. Returns None when the
+    ftyp brand is not a still-image brand; raises ValueError on a
+    malformed meta tree (probe_media degrades that to container-only).
+
+    Layout per ISO/IEC 23008-12 (HEIF) and the AV1-ISOBMFF (AVIF)
+    bindings: `meta` is a FullBox (4-byte version/flags prefix before
+    its children); `ispe` is a FullBox carrying 32-bit width/height.
+    """
+    if len(buf) < 16 or buf[4:8] != b"ftyp":
+        return None
+    (ftyp_size,) = struct.unpack(">I", buf[:4])
+    major = buf[8:12]
+    compat = [
+        buf[i:i + 4] for i in range(16, min(ftyp_size, len(buf)), 4)
+    ]
+    brand = None
+    for b in [major, *compat]:
+        if b in _BMFF_IMAGE_BRANDS:
+            brand = b
+            break
+    if brand is None:
+        return None
+    codec = _BMFF_IMAGE_BRANDS[brand]
+    container = "avif" if brand in (b"avif", b"avis") else "heif"
+    meta = _find(buf, 0, len(buf), b"meta")
+    if meta is None:
+        raise ValueError(f"{container} without a meta box")
+    mlo, mhi = meta
+    mlo += 4  # meta is a FullBox: skip version/flags
+    width = height = None
+    iprp = _find(buf, mlo, mhi, b"iprp")
+    if iprp is not None:
+        ipco = _find(buf, iprp[0], iprp[1], b"ipco")
+        if ipco is not None:
+            for t, blo, bhi in _boxes(buf, ipco[0], ipco[1]):
+                if t == b"ispe" and bhi - blo >= 12:
+                    width, height = struct.unpack_from(">II", buf, blo + 4)
+                    break
+    n_items = 0
+    iinf = _find(buf, mlo, mhi, b"iinf")
+    if iinf is not None:
+        # iinf is a FullBox; entry_count is 16-bit in version 0 and
+        # 32-bit otherwise
+        ver = buf[iinf[0]]
+        skip = 4 + (2 if ver == 0 else 4)
+        for t, blo, bhi in _boxes(buf, iinf[0] + skip, iinf[1]):
+            if t == b"infe" and bhi - blo >= 12:
+                item_type = buf[blo + 8:blo + 12]
+                if item_type in (b"av01", b"hvc1"):
+                    n_items += 1
+                    codec = {b"av01": "av1", b"hvc1": "hevc"}[item_type]
+    return {
+        "container": container, "codec": codec,
+        "width": width, "height": height,
+        "n_items": n_items or None,
+    }
+
+
+def encode_avif_stub(width: int, height: int, codec: str = "av1") -> bytes:
+    """Spec-shaped AVIF/HEIF header structure (ftyp + meta{hdlr, pitm,
+    iinf/infe, iprp{ipco{ispe}, ipma}} + empty mdat) — a PROBE fixture
+    like encode_mpeg_audio_stub: the decode tier refuses AV1/HEVC
+    payloads, this exists so probe_isobmff_image's box walk is
+    testable against known dimensions/brands."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    if codec == "av1":
+        major, item = b"avif", b"av01"
+    elif codec == "hevc":
+        major, item = b"heic", b"hvc1"
+    else:
+        raise ValueError(f"unknown still-image codec {codec!r}")
+    ftyp = box(b"ftyp", major + struct.pack(">I", 0) + major + b"mif1")
+    hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"pict"
+               + b"\x00" * 12 + b"\x00")
+    pitm = box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+    infe = box(b"infe", b"\x02\x00\x00\x00" + struct.pack(">HH", 1, 0)
+               + item + b"\x00")
+    iinf = box(b"iinf", b"\x00\x00\x00\x00" + struct.pack(">H", 1) + infe)
+    ispe = box(b"ispe", b"\x00\x00\x00\x00"
+               + struct.pack(">II", width, height))
+    ipco = box(b"ipco", ispe)
+    ipma = box(b"ipma", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+               + struct.pack(">H", 1) + b"\x01\x81")
+    iprp = box(b"iprp", ipco + ipma)
+    meta = box(b"meta", b"\x00\x00\x00\x00" + hdlr + pitm + iinf + iprp)
+    mdat = box(b"mdat", b"")
+    return ftyp + meta + mdat

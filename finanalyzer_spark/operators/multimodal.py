@@ -1907,8 +1907,27 @@ def probe_media(buf: bytes) -> dict:
         return {**out, "kind": "video", "container": "y4m",
                 "codec": "rawvideo", "n_frames": n, "n_keyframes": n}
     if buf[4:8] == b"ftyp":
-        from .mp4 import avc_track_info, demux_mp4
+        from .mp4 import avc_track_info, demux_mp4, probe_isobmff_image
 
+        # AVIF/HEIF still images first: ftyp brand decides, and the
+        # codec is NAMED (av1/hevc) even though the pure decode tier
+        # refuses those payloads — the MP3/CABAC surfacing rule
+        try:
+            img = probe_isobmff_image(buf)
+        except Exception:
+            img = None
+            brand = buf[8:12]
+            if brand in (b"avif", b"avis", b"heic", b"heix", b"mif1"):
+                return {
+                    **out, "kind": "image",
+                    "container": "avif" if brand[:3] == b"avi" else "heif",
+                }
+        if img is not None:
+            return {**out, "kind": "image",
+                    "container": img["container"],
+                    "codec": img["codec"], "width": img["width"],
+                    "height": img["height"],
+                    "n_frames": img["n_items"]}
         # never-raise contract: parse_sps raises NotImplementedError
         # for scaling-matrix SPS, truncated tables raise struct/index
         # errors — any of these degrade to container-only metadata

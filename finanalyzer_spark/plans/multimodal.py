@@ -975,10 +975,11 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_probe_summary",
-    # Per-document payloads cycle through eight REAL formats (built by
+    # Per-document payloads cycle through nine REAL formats (built by
     # the pure encoder twins: baseline JPEG, binary PPM, PCM-16 WAV,
     # MJPEG-in-MP4, I_PCM-H.264-in-MKV, MP3-with-Xing, CABAC-flagged
-    # Annex-B H.264, classic-DIB ICO); the Spark side PROBES each payload with
+    # Annex-B H.264, classic-DIB ICO, AVIF-with-av01-item); the Spark
+    # side PROBES each payload with
     # operators/multimodal.probe_media (header/box/EBML parsing, no
     # pixel/sample decode) and rolls up by identified
     # kind/container/codec.  The oracle recomputes the rollup
@@ -990,22 +991,22 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sees why the pure decode tier refuses it (SCALE.md §media).
     oracle="""
     WITH probed AS (
-        SELECT CASE doc_id % 8
+        SELECT CASE doc_id % 9
                  WHEN 0 THEN 'image' WHEN 1 THEN 'image'
-                 WHEN 7 THEN 'image'
+                 WHEN 7 THEN 'image' WHEN 8 THEN 'image'
                  WHEN 2 THEN 'audio' WHEN 5 THEN 'audio'
                  ELSE 'video' END AS kind,
-               CASE doc_id % 8
+               CASE doc_id % 9
                  WHEN 0 THEN 'jfif' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
                  WHEN 4 THEN 'mkv' WHEN 5 THEN 'mpeg'
-                 WHEN 7 THEN 'ico'
+                 WHEN 7 THEN 'ico' WHEN 8 THEN 'avif'
                  ELSE 'annexb' END AS container,
-               CASE doc_id % 8
+               CASE doc_id % 9
                  WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'pcm' WHEN 3 THEN 'mjpeg'
                  WHEN 4 THEN 'h264' WHEN 5 THEN 'mp3'
-                 WHEN 7 THEN 'dib'
+                 WHEN 7 THEN 'dib' WHEN 8 THEN 'av1'
                  ELSE 'h264-cabac' END AS codec
         FROM documents
     )
@@ -1041,7 +1042,7 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.ico import encode_ico
         from ..operators.jpeg import encode_jpeg
         from ..operators.mkv import mux_mkv
-        from ..operators.mp4 import mux_mp4_mjpeg
+        from ..operators.mp4 import encode_avif_stub, mux_mp4_mjpeg
         from ..operators.multimodal import (
             encode_mpeg_audio_stub,
             encode_wav_pcm16,
@@ -1054,26 +1055,29 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fill = int(n_chars) % 256
                 img = np.full((8, 8, 3), fill, dtype=np.uint8)
                 vid = np.full((16, 16, 3), fill, dtype=np.uint8)
-                kind8 = int(doc_id) % 8
-                if kind8 == 0:
+                kind9 = int(doc_id) % 9
+                if kind9 == 0:
                     payload = encode_jpeg(img, quality=80)
-                elif kind8 == 1:
+                elif kind9 == 1:
                     payload = b"P6\n8 8\n255\n" + img.tobytes()
-                elif kind8 == 2:
+                elif kind9 == 2:
                     payload = encode_wav_pcm16(
                         bytes([fill]) * 64, rate=8000, channels=1
                     )
-                elif kind8 == 3:
+                elif kind9 == 3:
                     payload = mux_mp4_mjpeg([vid], fps=10, quality=80)
-                elif kind8 == 4:
+                elif kind9 == 4:
                     payload = mux_mkv([vid], codec="avc", fps=10)
-                elif kind8 == 5:
+                elif kind9 == 5:
                     # perceptual audio: decode refuses, probe reports
                     payload = encode_mpeg_audio_stub(
                         n_frames=1 + fill % 5, xing=True
                     )
-                elif kind8 == 7:
+                elif kind9 == 7:
                     payload = encode_ico(img)
+                elif kind9 == 8:
+                    # AV1 still image: decode refuses, probe NAMES it
+                    payload = encode_avif_stub(8, 8, "av1")
                 else:
                     # CABAC-flagged stream: probe NAMES the refusal
                     sps, pps = write_sps_pps(4, 4, cabac=True)

@@ -36,3 +36,41 @@ def test_probe_does_not_mistake_other_gzip_for_warc():
     assert got["kind"] == "unknown"
     # truncated/corrupt gzip head also degrades to unknown, no raise
     assert probe_media(b"\x1f\x8b\x08\x00junk")["kind"] == "unknown"
+
+
+def test_probe_avif_heif_still_images():
+    """AVIF/HEIF ftyp brands route to the still-image probe: brand ->
+    container, infe item type -> NAMED codec (decode refuses AV1/HEVC;
+    the probe still names them, the MP3/CABAC surfacing rule), ispe ->
+    dimensions. MP4 video ftyps are untouched."""
+    import numpy as np
+
+    from finanalyzer_spark.operators.mp4 import (
+        encode_avif_stub,
+        mux_mp4_mjpeg,
+    )
+
+    p = probe_media(encode_avif_stub(320, 200, "av1"))
+    assert (p["kind"], p["container"], p["codec"]) == (
+        "image", "avif", "av1",
+    )
+    assert (p["width"], p["height"], p["n_frames"]) == (320, 200, 1)
+    p = probe_media(encode_avif_stub(64, 48, "hevc"))
+    assert (p["container"], p["codec"]) == ("heif", "hevc")
+    vid = np.zeros((16, 16, 3), np.uint8)
+    p = probe_media(mux_mp4_mjpeg([vid], fps=10, quality=80))
+    assert (p["kind"], p["container"]) == ("video", "mp4")
+
+
+def test_probe_avif_malformed_meta_degrades_to_container():
+    from finanalyzer_spark.operators.mp4 import encode_avif_stub
+
+    buf = bytearray(encode_avif_stub(8, 8, "av1"))
+    # corrupt the meta box size so the box walk raises
+    import struct
+
+    meta_off = bytes(buf).find(b"meta") - 4
+    struct.pack_into(">I", buf, meta_off, 7)  # size < 8 → malformed
+    p = probe_media(bytes(buf))
+    assert p["kind"] == "image" and p["container"] == "avif"
+    assert p["codec"] is None
