@@ -302,6 +302,8 @@ ROUND_CHANGED = frozenset({
     "signup_to_purchase_latency",
     # round-9 new: Ogg-FLAC encapsulation through the certified tier
     "media_ogg_flac_audio_stats",
+    # round-9 new: scorecard gains/lift/KS panel
+    "classifier_ks_gains",
 })
 
 

@@ -1357,3 +1357,152 @@ def unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ch").cast("long").alias("n_changed"),
         F.sum("delta").cast("long").alias("delta_codepoints"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scorecard KS / gains table for the quality classifier (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "classifier_ks_gains",
+    # the integer score and label are the quality_roc_auc pair; the
+    # decile cut is the SQL-standard ntile under a total order; every
+    # cumulative quantity is an exact integer, so capture/lift/KS are
+    # single divisions (decile-resolution KS — the scorecard-standard
+    # 10-bin gains-table form).
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST({_AUC_W[0]} AS BIGINT)
+                   * len(string_split_regex(trim(text), '\\s+'))
+               + {_AUC_W[1]} * ((1000 * len(list_distinct(
+                     string_split_regex(trim(text), '\\s+'))))
+                   // len(string_split_regex(trim(text), '\\s+')))
+               + {_AUC_W[2]} * (CASE WHEN len(string_split_regex(
+                     trim(text), '\\s+')) >= 20 THEN 1 ELSE 0 END)
+                   AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE trim(text) != ''
+    ),
+    d AS (
+        SELECT pos,
+               ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+        FROM f
+    ),
+    g AS (
+        SELECT decile, count(*) AS n, sum(pos) AS npos
+        FROM d GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, n, npos,
+               sum(n) OVER w AS cum_n,
+               sum(npos) OVER w AS cum_pos,
+               sum(n) OVER () AS tot_n,
+               sum(npos) OVER () AS tot_pos
+        FROM g
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT max(abs(cum_pos * (tot_n - tot_pos)
+                       - (cum_n - cum_pos) * tot_pos)) AS ks_num,
+               max(tot_pos * (tot_n - tot_pos)) AS ks_den
+        FROM c
+    )
+    SELECT decile,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(npos AS BIGINT) AS n_pos,
+           round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) + 0.0
+               AS cum_capture,
+           round((CAST(cum_pos AS DOUBLE) / cum_n)
+                 / (CAST(tot_pos AS DOUBLE) / tot_n), 6) + 0.0
+               AS cum_lift,
+           round(CAST(k.ks_num AS DOUBLE) / k.ks_den, 6) + 0.0
+               AS ks_stat
+    FROM c, k
+    """,
+    tags=("curation", "quality", "ml", "stats", "bounded-window"),
+)
+def classifier_ks_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorecard evaluation panel for the quality classifier: the
+    10-bin gains table (per-decile positives, cumulative capture and
+    lift when reading from the best-scored decile down) plus the
+    decile-resolution Kolmogorov-Smirnov separation statistic — the
+    credit-scoring trio (gains/lift/KS) beside quality_roc_auc's
+    single ranking number and quality_calibration_bins' probability
+    view (Siddiqi's scorecard validation set).
+
+    Scale shape + parity: the integer score/label pair is shared with
+    quality_roc_auc; the decile cut is operators/rank.global_ntile
+    under a total (score DESC, doc_id) order; all cumulative math is
+    exact integers over the bounded 10-row frame, with KS maximized
+    as an integer cross-product before the one division."""
+    from pyspark.sql import Window as W
+
+    from ..operators.rank import global_ntile
+
+    t = load(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    f = t.documents.where(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        (
+            F.lit(_AUC_W[0]) * F.size(toks).cast("long")
+            + F.lit(_AUC_W[1])
+            * F.expr(
+                "(1000 * size(array_distinct(split(trim(text), '\\\\s+'))))"
+                " div size(split(trim(text), '\\\\s+'))"
+            )
+            + F.lit(_AUC_W[2])
+            * F.when(F.size(toks) >= 20, 1).otherwise(0)
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    d = global_ntile(
+        f, [F.col("score").desc(), F.col("doc_id")], 10, "decile"
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("npos")
+    )
+    wc = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy()
+    c = g.select(
+        "decile", "n", "npos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("npos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("npos").over(wall).alias("tot_pos"),
+    )
+    tot_neg = F.col("tot_n") - F.col("tot_pos")
+    cum_neg = F.col("cum_n") - F.col("cum_pos")
+    k = c.agg(
+        F.max(
+            F.abs(
+                F.col("cum_pos") * tot_neg - cum_neg * F.col("tot_pos")
+            )
+        ).alias("ks_num"),
+        F.max(F.col("tot_pos") * tot_neg).alias("ks_den"),
+    )
+    j = c.crossJoin(F.broadcast(k))
+    return j.select(
+        "decile",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("npos").cast("long").alias("n_pos"),
+        (
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("tot_pos"), 6
+            ) + 0.0
+        ).alias("cum_capture"),
+        (
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("cum_n"))
+                / (F.col("tot_pos").cast("double") / F.col("tot_n")),
+                6,
+            ) + 0.0
+        ).alias("cum_lift"),
+        (
+            F.round(
+                F.col("ks_num").cast("double") / F.col("ks_den"), 6
+            ) + 0.0
+        ).alias("ks_stat"),
+    )

@@ -2173,6 +2173,14 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "classifier_ks_gains": {
+        # shared integer score, global_ntile decile cut, exact
+        # cumulative integers over the bounded 10-row frame
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "media_ogg_flac_audio_stats": {
         # two Arrow kernels over the sampled scan (mux, then the
         # dispatching decode); payload bytes never shuffle
