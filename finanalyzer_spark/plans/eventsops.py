@@ -1983,8 +1983,7 @@ _PATH_TOP = 10
         SELECT user_id, session_seq,
                max(CASE WHEN rn = 1 THEN event_type END) AS e1,
                max(CASE WHEN rn = 2 THEN event_type END) AS e2,
-               max(CASE WHEN rn = 3 THEN event_type END) AS e3,
-               max(rn) AS n_events
+               max(CASE WHEN rn = 3 THEN event_type END) AS e3
         FROM r WHERE rn <= 3
         GROUP BY user_id, session_seq
     ),

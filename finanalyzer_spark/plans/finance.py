@@ -1087,7 +1087,6 @@ _STOCH_D = 3
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oversold
     FROM d
     GROUP BY l_partkey
-    HAVING count(*) >= 1
     """,
     tags=("finance", "window", "indicator"),
 )
