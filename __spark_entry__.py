@@ -304,6 +304,9 @@ ROUND_CHANGED = frozenset({
     "media_ogg_flac_audio_stats",
     # round-9 new: scorecard gains/lift/KS panel
     "classifier_ks_gains",
+    # round-9 new: price-index + LTV economics
+    "fisher_price_index",
+    "ltv_cohort_curve",
 })
 
 

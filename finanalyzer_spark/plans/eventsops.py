@@ -2615,3 +2615,129 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conversion_rate"),
         "p50_hours", "p90_hours", "max_hours",
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve (round 9)
+# --------------------------------------------------------------------------
+_LTV_MAX_AGE = 8  #: weeks of lifetime tracked
+
+
+@query(
+    "ltv_cohort_curve",
+    # cohort labels and ages are exact integer week arithmetic on
+    # microsecond timestamps; per-(cohort, age) purchase-value sums
+    # are quantized to integer cents the moment they are read, so the
+    # cumulative curve is exact integers with single divisions at the
+    # edge (the cuped/two-proportion posture with zero float sums).
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               epoch_us(min(ts)) // (7 * 86400 * 1000000::BIGINT)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    spend AS (
+        SELECT e.user_id,
+               epoch_us(e.ts) // (7 * 86400 * 1000000::BIGINT)
+                   - f.cohort_week AS age_weeks,
+               f.cohort_week,
+               CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+        FROM events e
+        JOIN firsts f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_users
+        FROM firsts GROUP BY cohort_week
+    ),
+    cell AS (
+        SELECT cohort_week, age_weeks, sum(cents) AS cents
+        FROM spend
+        WHERE age_weeks < {_LTV_MAX_AGE}
+        GROUP BY cohort_week, age_weeks
+    ),
+    cum AS (
+        SELECT cohort_week, age_weeks,
+               sum(cents) OVER (
+                   PARTITION BY cohort_week ORDER BY age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents
+        FROM cell
+    )
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(c.age_weeks AS BIGINT) AS age_weeks,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           round(c.cum_cents / 100.0, 2) + 0.0 AS cum_revenue,
+           round(c.cum_cents / 100.0 / s.cohort_users, 6) + 0.0
+               AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort_week = c.cohort_week
+    """,
+    tags=("events", "cohort", "ltv", "bounded-window"),
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by the week of
+    their first event, cumulative purchase revenue per cohort by
+    weeks-since-first-touch (ages 0..{_LTV_MAX_AGE}), normalized per
+    cohort user — the LTV triangle every growth model is calibrated
+    against (the revenue companion to cohort_retention's activity
+    view).
+
+    Scale shape + parity: one per-user first-touch aggregate, one
+    broadcast-joined purchase pass quantized to integer cents at the
+    scan, a (cohort, age) collapse, and the cumulative window over
+    each cohort's bounded {_LTV_MAX_AGE}-row curve — no float ever
+    accumulates across rows."""
+    t = load(spark, sf_dir)
+    wk = lambda c: (  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp_ltz"))
+        / (7 * 86400 * 1000000)
+    ).cast("long")
+    firsts = t.events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts")
+    ).select(
+        "user_id",
+        (
+            F.unix_micros(F.col("first_ts").cast("timestamp_ltz"))
+            / F.lit(7 * 86400 * 1000000)
+        ).cast("long").alias("cohort_week"),
+    )
+    spend = (
+        t.events.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort_week",
+            (wk("ts") - F.col("cohort_week")).alias("age_weeks"),
+            F.round(F.col("value") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .where(F.col("age_weeks") < _LTV_MAX_AGE)
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    cell = spend.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").alias("cents")
+    )
+    cum = cell.select(
+        "cohort_week", "age_weeks",
+        F.sum("cents").over(
+            W.partitionBy("cohort_week")
+            .orderBy("age_weeks")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        F.col("cohort_users").cast("long").alias("cohort_users"),
+        (F.round(F.col("cum_cents") / 100.0, 2) + 0.0).alias(
+            "cum_revenue"
+        ),
+        (
+            F.round(
+                F.col("cum_cents") / 100.0 / F.col("cohort_users"), 6
+            ) + 0.0
+        ).alias("ltv_per_user"),
+    )

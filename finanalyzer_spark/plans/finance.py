@@ -1632,3 +1632,116 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi_floor"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indexes (round 9)
+# --------------------------------------------------------------------------
+_IDX_BASE = ("1994-01-01", "1995-01-01")   #: base period [lo, hi)
+_IDX_CURR = ("1996-01-01", "1997-01-01")   #: current period [lo, hi)
+
+
+@query(
+    "fisher_price_index",
+    # per-part period aggregates are exact integers (cents sums,
+    # integral quantity sums); the four basket cross-sums use exact
+    # average prices (integer ratios) times integer base/current
+    # quantities — identical doubles both engines, with only the
+    # final part-level sums floating (absorbed by the rounding).
+    oracle=f"""
+    WITH base AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS cents0,
+               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS q0,
+               count(*) AS n0
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_IDX_BASE[0]} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{_IDX_BASE[1]} 00:00:00'
+        GROUP BY l_partkey
+    ),
+    curr AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS cents1,
+               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS q1,
+               count(*) AS n1
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_IDX_CURR[0]} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{_IDX_CURR[1]} 00:00:00'
+        GROUP BY l_partkey
+    ),
+    j AS (
+        SELECT b.l_partkey,
+               CAST(b.cents0 AS DOUBLE) / b.n0 AS p0,
+               CAST(c.cents1 AS DOUBLE) / c.n1 AS p1,
+               b.q0, c.q1
+        FROM base b JOIN curr c ON c.l_partkey = b.l_partkey
+    ),
+    s AS (
+        SELECT count(*) AS n_parts,
+               sum(p1 * q0) AS p1q0, sum(p0 * q0) AS p0q0,
+               sum(p1 * q1) AS p1q1, sum(p0 * q1) AS p0q1
+        FROM j
+    )
+    SELECT CAST(n_parts AS BIGINT) AS n_parts,
+           round(p1q0 / p0q0, 6) + 0.0 AS laspeyres,
+           round(p1q1 / p0q1, 6) + 0.0 AS paasche,
+           round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 6) + 0.0
+               AS fisher
+    FROM s
+    """,
+    tags=("finance", "index"),
+)
+def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres (base-period basket), Paasche (current basket) and
+    Fisher ideal price indexes between two fixed years, over the parts
+    traded in BOTH periods — the national-accounts standard for
+    aggregate price change (Fisher's geometric mean is the
+    superlative index CPI methodology prefers), and the level-shift
+    companion to mom_revenue_growth's revenue deltas.
+
+    Scale shape + parity: two pushdown-filtered per-part aggregates
+    (map-side combined), one part-keyed equi-join, one basket rollup;
+    per-part average prices are exact integer ratios, so only the
+    final four basket sums are float accumulations (rounded)."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+
+    def period(lo: str, hi: str, tagn: str):
+        return (
+            t.lineitem.where(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(cents).alias(f"cents{tagn}"),
+                F.sum(qty).alias(f"q{tagn}"),
+                F.count("*").alias(f"n{tagn}"),
+            )
+        )
+
+    base = period(*_IDX_BASE, "0")
+    curr = period(*_IDX_CURR, "1")
+    j = base.join(curr, "l_partkey").select(
+        (F.col("cents0").cast("double") / F.col("n0")).alias("p0"),
+        (F.col("cents1").cast("double") / F.col("n1")).alias("p1"),
+        "q0", "q1",
+    )
+    s = j.agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("p1q0"),
+        F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p1q1"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p0q1"),
+    )
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    return s.select(
+        F.col("n_parts").cast("long").alias("n_parts"),
+        (F.round(lasp, 6) + 0.0).alias("laspeyres"),
+        (F.round(paas, 6) + 0.0).alias("paasche"),
+        (F.round(F.sqrt(lasp * paas), 6) + 0.0).alias("fisher"),
+    )

@@ -2173,6 +2173,25 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "fisher_price_index": {
+        # two pushdown-filtered per-part aggregates, one part-keyed
+        # equi-join, one basket rollup
+        "must": ["HashAggregate", "PushedFilters"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ltv_cohort_curve": {
+        # per-user first-touch aggregate broadcast into the purchase
+        # scan, (cohort, age) collapse, cohort-partitioned cumulative
+        # window over bounded 8-row curves
+        "must": ["HashAggregate", "BroadcastHashJoin", "Window"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "classifier_ks_gains": {
         # shared integer score, global_ntile decile cut, exact
         # cumulative integers over the bounded 10-row frame
