@@ -307,6 +307,8 @@ ROUND_CHANGED = frozenset({
     # round-9 new: price-index + LTV economics
     "fisher_price_index",
     "ltv_cohort_curve",
+    # round-9 new: the dedup verdict as a per-source report
+    "near_dup_survivorship_by_source",
 })
 
 

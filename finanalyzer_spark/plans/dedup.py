@@ -1448,3 +1448,99 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("simhash_covered_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup survivorship accounting by source (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "near_dup_survivorship_by_source",
+    # composes the dedup_components closure (same recursive-CTE twin)
+    # with the corpus metadata: docs in no candidate pair survive by
+    # definition; within a component only the min doc_id survives.
+    # All outputs are exact integers and single ratios.
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTES}, {_SIG_CTE}, {_BANDED_CTE},
+    cand AS ({_CAND_SQL}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        UNION
+        SELECT id_b AS a, id_a AS b FROM cand
+    ),
+    cc AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.a AS node, c.label FROM edges e JOIN cc c ON c.node = e.b
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(label) AS component
+        FROM cc GROUP BY node
+    ),
+    verdict AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN comp.doc_id IS NULL THEN 1
+                    WHEN comp.doc_id = comp.component THEN 1
+                    ELSE 0 END AS kept
+        FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+           round(sum(kept) * 1.0 / count(*), 6) + 0.0 AS keep_rate
+    FROM verdict
+    GROUP BY source
+    """,
+    tags=("dedup", "connected-components", "curation"),
+)
+def near_dup_survivorship_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup decision as a per-source report: MinHash-LSH
+    candidate pairs close into components, the min-doc-id canonical
+    survives each cluster, every unpaired doc survives trivially —
+    kept/dropped counts and keep rates per source, which is the number
+    a curation review actually reads ('how much of source X is
+    near-duplicate mass?'), composing dedup_components' exact closure
+    with the corpus metadata (the transform-side twin of
+    cdc_chunk_dup_share's byte accounting).
+
+    Scale shape: the bounded LSH candidate pipeline + min-label
+    closure (localCheckpointed rounds), one LEFT broadcast join of the
+    component verdicts onto the corpus scan, one keyed rollup — the
+    corpus text never shuffles (only ids and short source strings)."""
+    from ..operators.components import connected_components
+
+    t = load(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t.documents, "text", "doc_id", NUM_HASHES, BANDS, 3
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    verdict = (
+        t.documents.select("doc_id", "source")
+        .join(
+            F.broadcast(
+                cc.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("component"),
+                )
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "source",
+            F.when(F.col("component").isNull(), 1)
+            .when(F.col("doc_id") == F.col("component"), 1)
+            .otherwise(0)
+            .alias("kept"),
+        )
+    )
+    return verdict.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).cast("long").alias("n_dropped"),
+        (
+            F.round(F.sum("kept") * 1.0 / F.count("*"), 6) + 0.0
+        ).alias("keep_rate"),
+    )

@@ -2173,6 +2173,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "near_dup_survivorship_by_source": {
+        # bounded LSH candidates + checkpointed min-label closure +
+        # one LEFT broadcast verdict join + keyed rollup; text never
+        # shuffles
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "fisher_price_index": {
         # two pushdown-filtered per-part aggregates, one part-keyed
         # equi-join, one basket rollup
