@@ -309,6 +309,8 @@ ROUND_CHANGED = frozenset({
     "ltv_cohort_curve",
     # round-9 new: the dedup verdict as a per-source report
     "near_dup_survivorship_by_source",
+    # round-9 new: scale-free forecast-error metrics
+    "mase_pinball_naive",
 })
 
 

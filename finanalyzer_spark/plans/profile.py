@@ -5587,3 +5587,119 @@ def multi_table_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in parts[1:]:
         out = out.unionByName(q)
     return out
+
+
+# --------------------------------------------------------------------------
+# MASE and pinball loss for the naive forecasters (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "mase_pinball_naive",
+    # absolute/pinball errors are exact integer cents (lag values are
+    # integers), so every numerator/denominator is an exact integer
+    # sum and the three ratios are single divisions.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT d, y,
+               lag(y, 1) OVER (ORDER BY d) AS f1,
+               lag(y, 7) OVER (ORDER BY d) AS f7
+        FROM daily
+    ),
+    e AS (
+        SELECT abs(y - f1) AS ae1, abs(y - f7) AS ae7,
+               CASE WHEN y >= f1 THEN 5 * (y - f1)
+                    ELSE 5 * (f1 - y) END AS pin50_x10,
+               CASE WHEN y >= f1 THEN 9 * (y - f1)
+                    ELSE 1 * (f1 - y) END AS pin90_x10
+        FROM l WHERE f1 IS NOT NULL AND f7 IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(ae1) AS DOUBLE) / count(*) / 100.0, 4) + 0.0
+               AS mae_naive1,
+           round(CAST(sum(ae7) AS DOUBLE) / count(*) / 100.0, 4) + 0.0
+               AS mae_snaive7,
+           round(CAST(sum(ae1) AS DOUBLE) / sum(ae7), 6) + 0.0 AS mase,
+           round(CAST(sum(pin50_x10) AS DOUBLE)
+                 / count(*) / 1000.0, 4) + 0.0 AS pinball_q50,
+           round(CAST(sum(pin90_x10) AS DOUBLE)
+                 / count(*) / 1000.0, 4) + 0.0 AS pinball_q90
+    FROM e
+    """,
+    tags=("profile", "timeseries", "forecast", "bounded-window"),
+)
+def mase_pinball_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation metrics for the naive-1 forecaster on daily
+    revenue: MASE (its MAE scaled by the seasonal-naive m=7 MAE — the
+    scale-free error Hyndman & Koehler 2006 recommend over MAPE) and
+    the pinball losses at q=0.5/0.9 (the quantile-forecast loss; at
+    0.5 it is half the MAE) — the metrics layer that makes
+    naive_forecast_backtest / holt_forecast_backtest comparable across
+    series. MASE < 1 means naive-1 beats the weekly-seasonal naive on
+    this series.
+
+    Scale shape + parity: one row per day first, two lag windows over
+    the bounded daily frame, one aggregate; every error is an exact
+    integer (pinball weights scaled x10 to stay integral), so each
+    output is one exact-integer ratio."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = W.orderBy("d")
+    l_ = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("f1"),
+        F.lag("y", 7).over(w).alias("f7"),
+    ).where(F.col("f1").isNotNull() & F.col("f7").isNotNull())
+    y, f1, f7 = F.col("y"), F.col("f1"), F.col("f7")
+    e = l_.select(
+        F.abs(y - f1).alias("ae1"),
+        F.abs(y - f7).alias("ae7"),
+        F.when(y >= f1, 5 * (y - f1)).otherwise(5 * (f1 - y)).alias(
+            "pin50_x10"
+        ),
+        F.when(y >= f1, 9 * (y - f1)).otherwise(1 * (f1 - y)).alias(
+            "pin90_x10"
+        ),
+    )
+    return e.agg(
+        F.count("*").alias("n_obs"),
+        (
+            F.round(
+                F.sum("ae1").cast("double") / F.count("*") / 100.0, 4
+            ) + 0.0
+        ).alias("mae_naive1"),
+        (
+            F.round(
+                F.sum("ae7").cast("double") / F.count("*") / 100.0, 4
+            ) + 0.0
+        ).alias("mae_snaive7"),
+        (
+            F.round(F.sum("ae1").cast("double") / F.sum("ae7"), 6) + 0.0
+        ).alias("mase"),
+        (
+            F.round(
+                F.sum("pin50_x10").cast("double")
+                / F.count("*") / 1000.0,
+                4,
+            ) + 0.0
+        ).alias("pinball_q50"),
+        (
+            F.round(
+                F.sum("pin90_x10").cast("double")
+                / F.count("*") / 1000.0,
+                4,
+            ) + 0.0
+        ).alias("pinball_q90"),
+    )

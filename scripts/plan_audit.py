@@ -2173,6 +2173,14 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "mase_pinball_naive": {
+        # day collapse, two lag windows over the bounded daily frame,
+        # exact-integer error aggregate
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "near_dup_survivorship_by_source": {
         # bounded LSH candidates + checkpointed min-label closure +
         # one LEFT broadcast verdict join + keyed rollup; text never
