@@ -311,6 +311,8 @@ ROUND_CHANGED = frozenset({
     "near_dup_survivorship_by_source",
     # round-9 new: scale-free forecast-error metrics
     "mase_pinball_naive",
+    # round-9 new: decomposition trend/seasonal strength
+    "decomposition_strength",
 })
 
 

@@ -5703,3 +5703,116 @@ def mase_pinball_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("pinball_q90"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trend / seasonal strength of the decomposition (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "decomposition_strength",
+    # reuses seasonal_decompose_weekday's deterministic trend (exact
+    # sum-of-integers / 7 rationals); the per-weekday seasonal means
+    # and the three variances are the only float accumulations, all
+    # feeding ratios rounded at 6 (the cuped float posture).
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, rev,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(rev) OVER w / 7.0 END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT d, dayofweek(d) AS dow, rev, trend, rev - trend AS dt
+        FROM tr WHERE trend IS NOT NULL
+    ),
+    smean AS (
+        SELECT dow, avg(dt) AS s_raw FROM det GROUP BY dow
+    ),
+    grand AS (SELECT avg(s_raw) AS g FROM smean),
+    comp AS (
+        SELECT det.dt - (smean.s_raw - grand.g) AS r,
+               (smean.s_raw - grand.g) AS s,
+               det.trend AS t
+        FROM det
+        JOIN smean ON smean.dow = det.dow
+        CROSS JOIN grand
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(var_samp(r) / 10000.0, 2) + 0.0 AS var_resid,
+           round(greatest(0.0,
+               1.0 - var_samp(r) / var_samp(t + r)), 6) + 0.0
+               AS f_trend,
+           round(greatest(0.0,
+               1.0 - var_samp(r) / var_samp(s + r)), 6) + 0.0
+               AS f_seasonal
+    FROM comp
+    """,
+    tags=("profile", "timeseries", "seasonality", "bounded-window"),
+)
+def decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH of the classical decomposition
+    (Hyndman's FPP measures: F = max(0, 1 - Var(remainder)/
+    Var(component + remainder))) — the two numbers that say whether
+    the series even HAS structure worth modeling (near 0 = noise,
+    near 1 = strongly trended/seasonal), summarizing
+    seasonal_decompose_weekday's component table into a decision.
+
+    Scale shape + parity: one row per day, the centered 7-day window
+    over the bounded daily frame (exact rational trend), per-weekday
+    seasonal means joined back broadcast, one variance aggregate —
+    float sums only inside rounded ratios."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "rev",
+        F.when(
+            F.count("*").over(w) == 7, F.sum("rev").over(w) / 7.0
+        ).alias("trend"),
+    )
+    det = tr.where(F.col("trend").isNotNull()).select(
+        F.dayofweek("d").alias("dow"),
+        "trend",
+        (F.col("rev") - F.col("trend")).alias("dt"),
+    )
+    smean = det.groupBy("dow").agg(F.avg("dt").alias("s_raw"))
+    grand = smean.agg(F.avg("s_raw").alias("g"))
+    comp = (
+        det.join(F.broadcast(smean), "dow")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            (
+                F.col("dt") - (F.col("s_raw") - F.col("g"))
+            ).alias("r"),
+            (F.col("s_raw") - F.col("g")).alias("s"),
+            F.col("trend").alias("t"),
+        )
+    )
+    vr = F.var_samp("r")
+    vtr = F.var_samp(F.col("t") + F.col("r"))
+    vsr = F.var_samp(F.col("s") + F.col("r"))
+    return comp.agg(
+        F.count("*").alias("n_days"),
+        (F.round(vr / 10000.0, 2) + 0.0).alias("var_resid"),
+        (
+            F.round(F.greatest(F.lit(0.0), 1.0 - vr / vtr), 6) + 0.0
+        ).alias("f_trend"),
+        (
+            F.round(F.greatest(F.lit(0.0), 1.0 - vr / vsr), 6) + 0.0
+        ).alias("f_seasonal"),
+    )

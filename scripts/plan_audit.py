@@ -2173,6 +2173,14 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "decomposition_strength": {
+        # day collapse, centered window over the bounded daily frame,
+        # broadcast seasonal-mean join, one variance aggregate
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "mase_pinball_naive": {
         # day collapse, two lag windows over the bounded daily frame,
         # exact-integer error aggregate
