@@ -313,6 +313,9 @@ ROUND_CHANGED = frozenset({
     "mase_pinball_naive",
     # round-9 new: decomposition trend/seasonal strength
     "decomposition_strength",
+    # round-9 new: hub interconnection + chain equilibrium
+    "rich_club_coefficient",
+    "event_markov_stationary",
 })
 
 

@@ -2741,3 +2741,121 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("ltv_per_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution of the event chain (round 9)
+# --------------------------------------------------------------------------
+_MKV_ITERS = 8
+_MKV_ROUND = 9  #: per-iteration rounding (the pagerank ITER_ROUND rule)
+
+
+def _markov_stationary_oracle(iters: int = _MKV_ITERS) -> str:
+    prev = "pi0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""pi{k} AS (
+        SELECT m.nxt AS state, round(sum(p.pi * m.prob), {_MKV_ROUND})
+                   AS pi
+        FROM m JOIN {prev} p ON p.state = m.cur
+        GROUP BY m.nxt
+    )"""
+        )
+        prev = f"pi{k}"
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rn AS (SELECT cur, sum(n) AS row_n FROM c GROUP BY cur),
+    m AS (
+        SELECT c.cur, c.nxt, round(c.n * 1.0 / r.row_n, {_MKV_ROUND})
+                   AS prob
+        FROM c JOIN rn r USING (cur)
+    ),
+    states AS (SELECT cur AS state FROM rn),
+    ns AS (SELECT count(*) AS k FROM states),
+    pi0 AS (
+        SELECT state, round(1.0 / k, {_MKV_ROUND}) AS pi
+        FROM states, ns
+    ),
+    {chained}
+    SELECT state, round(pi, 6) + 0.0 AS stationary_prob
+    FROM {prev}
+    """
+
+
+@query(
+    "event_markov_stationary",
+    # the transition matrix collapses to a |types|^2 frame of exact
+    # integer ratios rounded per the pagerank ITER_ROUND rule; the
+    # power iteration unrolls as chained CTEs with identical
+    # per-iteration rounding, so the fixpoint is exact on both engines.
+    oracle=_markov_stationary_oracle(),
+    tags=("events", "sequence", "markov", "iterative", "bounded-window"),
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain ({_MKV_ITERS} power iterations from uniform, per-iteration
+    rounding) — where a user's session walk spends its time in the
+    long run, the equilibrium summary of event_transition_matrix (and
+    the same fixed-round power-iteration shape as PageRank, on a
+    5-state chain instead of a 16k-node graph).
+
+    Scale shape + parity: one lead() window over the (user, time) sort
+    builds the transition counts; everything after lives on the
+    bounded |types|^2 matrix — the iteration is driver-side-free
+    (chained joins on a broadcast-sized frame), and each round rounds
+    at {_MKV_ROUND} digits so the trajectories match bit-for-bit
+    across engines (the pagerank ITER_ROUND discipline)."""
+    t = load(spark, sf_dir)
+    o = t.events.select(
+        "event_type",
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("next_type"),
+    )
+    c = (
+        o.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("cur"),
+            F.col("next_type").alias("nxt"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rn = c.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    m = c.join(rn, "cur").select(
+        "cur", "nxt",
+        F.round(F.col("n") * 1.0 / F.col("row_n"), _MKV_ROUND).alias(
+            "prob"
+        ),
+    ).persist()
+    states = rn.select(F.col("cur").alias("state"))
+    k = states.count()  # bounded: |event types|
+    pi = states.select(
+        "state", F.round(F.lit(1.0 / k), _MKV_ROUND).alias("pi")
+    )
+    for _ in range(_MKV_ITERS):
+        pi = (
+            m.join(pi, pi.state == m.cur)
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(
+                F.round(
+                    F.sum(F.col("pi") * F.col("prob")), _MKV_ROUND
+                ).alias("pi")
+            )
+        )
+        pi = pi.localCheckpoint(eager=True)
+    return pi.select(
+        "state", (F.round(F.col("pi"), 6) + 0.0).alias("stationary_prob")
+    )

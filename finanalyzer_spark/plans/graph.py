@@ -1015,3 +1015,102 @@ def degree_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("alpha_hill"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient (round 9)
+# --------------------------------------------------------------------------
+_RICH_KS = (2, 4, 8)
+
+
+@query(
+    "rich_club_coefficient",
+    # node degrees, the >k subsets and the edges-within counts are all
+    # exact integers over the shared capped co-supply graph; phi is
+    # one division per k.
+    oracle=f"""
+    WITH {_COSUPPLY_CTE},
+    thr AS (SELECT {_CORE_FACTOR} * avg(shared) AS t FROM p),
+    und AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+    ks AS (SELECT unnest([{', '.join(str(k) for k in _RICH_KS)}]) AS k),
+    nk AS (
+        SELECT ks.k, count(*) AS n_k
+        FROM ks JOIN deg ON deg.d > ks.k
+        GROUP BY ks.k
+    ),
+    ek AS (
+        SELECT ks.k, count(*) AS e_k
+        FROM ks
+        JOIN und ON TRUE
+        JOIN deg da ON da.node = und.u AND da.d > ks.k
+        JOIN deg db ON db.node = und.v AND db.d > ks.k
+        GROUP BY ks.k
+    )
+    SELECT nk.k,
+           CAST(nk.n_k AS BIGINT) AS n_nodes,
+           CAST(coalesce(ek.e_k, 0) AS BIGINT) AS n_edges,
+           round(CASE WHEN nk.n_k >= 2
+                 THEN 2.0 * coalesce(ek.e_k, 0)
+                      / (nk.n_k * (nk.n_k - 1.0))
+                 ELSE 0.0 END, 6) + 0.0 AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+    tags=("graph", "stats"),
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-supply graph at degree cuts
+    {_RICH_KS}: phi(k) = 2*E_k / (N_k*(N_k-1)) — how densely the
+    hubs interconnect relative to a clique (Colizza et al. 2006), the
+    hubs-talk-to-hubs diagnostic beside degree_assortativity's global
+    correlation (a network can be disassortative overall yet carry a
+    tight rich club).
+
+    Scale shape: degrees from one keyed count; for each k (a 3-row
+    literal frame) the >k node subset filters via broadcast degree
+    joins onto the bounded edge list — no pair expansion beyond the
+    existing capped edges."""
+    t = load(spark, sf_dir)
+    pairs = _cosupply_pairs(t)
+    edges = _cosupply_threshold_edges(pairs, _CORE_FACTOR).persist()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    ).persist()
+    ks = spark.createDataFrame([(k,) for k in _RICH_KS], "k int")
+    nk = ks.join(
+        F.broadcast(deg), F.col("d") > F.col("k")
+    ).groupBy("k").agg(F.count("*").alias("n_k"))
+    da = F.broadcast(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    )
+    db = F.broadcast(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    )
+    ek = (
+        ks.crossJoin(edges.join(da, "u").join(db, "v"))
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_k"))
+    )
+    j = nk.join(ek, "k", "left").select(
+        "k",
+        F.col("n_k").cast("long").alias("n_nodes"),
+        F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias(
+            "n_edges"
+        ),
+        (
+            F.round(
+                F.when(
+                    F.col("n_k") >= 2,
+                    2.0 * F.coalesce(F.col("e_k"), F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ) + 0.0
+        ).alias("phi"),
+    )
+    return j

@@ -2173,6 +2173,23 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "rich_club_coefficient": {
+        # shared capped pair build; >k subsets via broadcast degree
+        # joins on the bounded edge list; 3-row literal k frame
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "event_markov_stationary": {
+        # one lead() window keyed by user, then chained joins on the
+        # bounded |types|^2 matrix with per-iteration rounding and
+        # localCheckpointed rounds (the pagerank loop rule)
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "decomposition_strength": {
         # day collapse, centered window over the bounded daily frame,
         # broadcast seasonal-mean join, one variance aggregate
