@@ -1091,12 +1091,13 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     )
     ek = (
-        ks.crossJoin(edges.join(da, "u").join(db, "v"))
+        edges.join(da, "u").join(db, "v")
+        .crossJoin(F.broadcast(ks))
         .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
         .groupBy("k")
         .agg(F.count("*").alias("e_k"))
     )
-    j = nk.join(ek, "k", "left").select(
+    j = nk.join(F.broadcast(ek), "k", "left").select(
         "k",
         F.col("n_k").cast("long").alias("n_nodes"),
         F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias(

@@ -2174,20 +2174,23 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_sort": True,
     },
     "rich_club_coefficient": {
-        # shared capped pair build; >k subsets via broadcast degree
-        # joins on the bounded edge list; 3-row literal k frame
+        # shared capped pair build (its customer-keyed SMJ self-join is
+        # the intended scale shape); >k subsets via broadcast degree
+        # joins on the bounded edge list; the 3-row literal k frame
+        # broadcasts (bounded-literal-frame NL, the approved pattern)
         "must": ["HashAggregate", "BroadcastHashJoin"],
-        "must_not": ["CartesianProduct", "SortMergeJoin",
+        "must_not": ["CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_sort": True,
     },
     "event_markov_stationary": {
-        # one lead() window keyed by user, then chained joins on the
-        # bounded |types|^2 matrix with per-iteration rounding and
-        # localCheckpointed rounds (the pagerank loop rule)
-        "must": ["HashAggregate", "Window"],
+        # the window/matrix stages run INSIDE the eager
+        # localCheckpointed iteration (the heaps_law_fit pin rule), so
+        # the pinned plan is the post-checkpoint scan + final project
+        "must": [],
         "must_not": ["CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
         "no_global_sort": True,
     },
     "decomposition_strength": {
