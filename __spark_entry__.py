@@ -316,6 +316,9 @@ ROUND_CHANGED = frozenset({
     # round-9 new: hub interconnection + chain equilibrium
     "rich_club_coefficient",
     "event_markov_stationary",
+    # round-9 new: truss support histogram + trained-IVF recall
+    "edge_triangle_support",
+    "ann_ivf_trained_recall_eval",
 })
 
 

@@ -1115,3 +1115,78 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phi"),
     )
     return j
+
+
+# --------------------------------------------------------------------------
+# Edge triangle support (k-truss layer zero) (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "edge_triangle_support",
+    # support counts come from the same canonical a<b<c closure as
+    # triangle_count_cosupply (exact integers); the histogram is one
+    # keyed rollup over the bounded edge list.
+    oracle=f"""
+    WITH {_COSUPPLY_CTE},
+    thr AS (SELECT {_TRI_FACTOR} * avg(shared) AS t FROM p),
+    e AS MATERIALIZED (SELECT u, v FROM p, thr WHERE shared > t),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sup AS (
+        SELECT u, v, count(*) AS s FROM (
+            SELECT a AS u, b AS v FROM tri
+            UNION ALL SELECT b AS u, c AS v FROM tri
+            UNION ALL SELECT a AS u, c AS v FROM tri
+        ) GROUP BY u, v
+    ),
+    alle AS (
+        SELECT e.u, e.v, coalesce(sup.s, 0) AS support
+        FROM e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+    )
+    SELECT support,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(support + 2 AS BIGINT) AS max_truss
+    FROM alle
+    GROUP BY support
+    """,
+    tags=("graph", "triangles"),
+)
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support histogram: how many triangles each
+    co-supply edge participates in (support s means the edge could
+    survive up to a (s+2)-truss — the community-strength layer under
+    triangle_count_cosupply's global census and the direct input to
+    truss peeling; Cohen 2008).
+
+    Scale shape: the same canonical closure as the triangle census
+    (bounded by the threshold + _COSUPPLY_CAP), each triangle charged
+    to its three edges map-side, one keyed count, one LEFT join back
+    to the edge list so zero-support edges are counted too."""
+    t = load(spark, sf_dir)
+    pairs = _cosupply_pairs(t)
+    edges = _cosupply_threshold_edges(pairs, _TRI_FACTOR).persist()
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    sup = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+    )
+    alle = edges.join(F.broadcast(sup), ["u", "v"], "left").select(
+        F.coalesce(F.col("s"), F.lit(0)).alias("support")
+    )
+    return alle.groupBy("support").agg(
+        F.count("*").alias("n_edges"),
+        (F.col("support") + 2).cast("long").alias("max_truss"),
+    ).select(
+        "support",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "max_truss",
+    )

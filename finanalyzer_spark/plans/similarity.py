@@ -2286,3 +2286,134 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= _IVFT_TOPK)
         .drop("_rn")
     )
+
+
+def _ivf_trained_recall_oracle(
+    k: int = _IVFT_K, dim: int = 64, nprobe: int = _IVFT_NPROBE,
+    topk: int = _IVFT_TOPK, q_cut: int = _IVFT_QCUT,
+) -> str:
+    """Eval twin: the _ivf_trained_oracle pipeline beside the exact
+    brute-force top-k, intersected per query."""
+    from ..operators.clustering import kmeans_centroids
+
+    cents = kmeans_centroids(k, dim)
+    d_cols = ",\n               ".join(
+        f"round(vv - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]) + {sum(x * x for x in c)!r}, 5)"
+        f" AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    least = f"least({', '.join(f'd{i}' for i in range(k))})"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = dm THEN {i}" for i in range(k - 1))
+        + f" ELSE {k - 1} END"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    d AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    a0 AS (SELECT vec_id, v,
+               {d_cols}
+           FROM d),
+    asg AS (
+        SELECT vec_id, v, {case} AS cluster
+        FROM (SELECT *, {least} AS dm FROM a0)
+    ),
+    dims AS (
+        SELECT asg.cluster, u.i AS i, round(avg(asg.v[u.i]), 6) AS m
+        FROM asg, (SELECT unnest(range(1, {dim + 1})) AS i) u
+        GROUP BY asg.cluster, u.i
+    ),
+    cent AS (
+        SELECT cluster, list(m ORDER BY i) AS cvec
+        FROM dims GROUP BY cluster
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM asg
+        WHERE vec_id < {q_cut}
+    ),
+    exact AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, c.v),
+                                      5) DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM q JOIN e c ON c.vec_id != q.query_id
+        ) WHERE rn <= {topk}
+    ),
+    pr AS (
+        SELECT query_id, cluster, qv, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(list_cosine_similarity(qv, cvec), 5) DESC,
+                     cluster
+        ) AS rn
+        FROM q, cent
+    ),
+    probe AS (SELECT query_id, cluster, qv FROM pr WHERE rn <= {nprobe}),
+    ivf AS (
+        SELECT query_id, match_id FROM (
+            SELECT p.query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round(list_cosine_similarity(p.qv, c.v),
+                                      5) DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM probe p
+            JOIN asg c ON c.cluster = p.cluster
+                      AND c.vec_id != p.query_id
+        ) WHERE rn <= {topk}
+    )
+    SELECT ex.query_id,
+           CAST(count(ivf.match_id) AS BIGINT) AS n_hits,
+           round(count(ivf.match_id) * 1.0 / {topk}, 6)
+               AS recall_at_{topk}
+    FROM exact ex
+    LEFT JOIN ivf ON ivf.query_id = ex.query_id
+                 AND ivf.match_id = ex.match_id
+    GROUP BY ex.query_id
+    """
+
+
+@query(
+    "ann_ivf_trained_recall_eval",
+    oracle=_ivf_trained_recall_oracle(),
+    tags=("similarity", "ann", "eval"),
+)
+def ann_ivf_trained_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@{_IVFT_TOPK} of the TRAINED-codebook IVF against exact
+    brute force on the same queries — the measured probe-budget trade
+    for the one-Lloyd-step quantizer (compare with ann_recall_eval's
+    label-codebook IVF to see what training buys); evals are measured,
+    not narrated.
+
+    Scale shape: both pipelines reuse their component shapes; the eval
+    adds one tiny per-query intersection join."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    queries_df = t.embeddings.where(F.col("vec_id") < _IVFT_QCUT)
+    exact = cosine_topk(
+        corpus=t.embeddings, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=_IVFT_TOPK,
+    ).select("query_id", "match_id")
+    ivf = ann_ivf_trained_topk(spark, sf_dir).select(
+        "query_id", "match_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(F.broadcast(ivf), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.round(F.count("_hit") * 1.0 / _IVFT_TOPK, 6).alias(
+                f"recall_at_{_IVFT_TOPK}"
+            ),
+        )
+    )

@@ -2173,6 +2173,22 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "edge_triangle_support": {
+        # canonical bounded closure, map-side per-edge charge, keyed
+        # count, LEFT broadcast join back to the edge list
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
+    "ann_ivf_trained_recall_eval": {
+        # both pipelines reuse their component shapes; tiny keyed
+        # intersection join
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "rich_club_coefficient": {
         # shared capped pair build (its customer-keyed SMJ self-join is
         # the intended scale shape); >k subsets via broadcast degree
