@@ -54,6 +54,15 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 # Queries whose cost is quadratic in fixture size by design (all-pairs
 # verification demos) are excluded from the headline wall-clock only if
 # they dominate; keep everything for now and revisit per BENCH data.
+
+# BENCH NOTE (r9): the localCheckpoint-loop queries (components, kcore,
+# BFS, grid-DBSCAN, minhash_recall) are latency-bound — many small
+# stages — and on a noisy host their readings swing up to 2.5x in BOTH
+# directions between consecutive isolated runs (kcore measured 6.5s in
+# one session and 10.8s in a fresh one minutes later, with triangle /
+# winnowing / pagerank steady within 10% of r8 in the same sessions).
+# Treat a big swing on exactly this family as scheduler jitter unless
+# the scan-shaped queries moved too; plans are pinned in PLANS.md.
 BENCH_QUERIES = sorted(REGISTRY)
 
 
