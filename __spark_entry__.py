@@ -319,6 +319,9 @@ ROUND_CHANGED = frozenset({
     # round-9 new: truss support histogram + trained-IVF recall
     "edge_triangle_support",
     "ann_ivf_trained_recall_eval",
+    # round-9 new: survey-design allocation + species-richness estimate
+    "neyman_allocation",
+    "vocab_capture_recapture",
 })
 
 

@@ -391,3 +391,113 @@ def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("oversample_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman optimal stratified allocation (round 9)
+# --------------------------------------------------------------------------
+_NEYMAN_BUDGET = 1000  #: total sample size to allocate
+
+
+@query(
+    "neyman_allocation",
+    # strata moments are exact DECIMAL cents sums; each stratum's
+    # N_h*S_h weight is one identical double, the normalizer is a
+    # 3-term sum, and the allocations round half-up identically from
+    # identical doubles.
+    oracle=f"""
+    WITH g AS (
+        SELECT l_returnflag AS stratum,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    mo AS (
+        SELECT stratum,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(c AS DECIMAL(38,0))) AS s,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS ss
+        FROM g GROUP BY stratum
+    ),
+    w AS (
+        SELECT stratum,
+               CAST(n AS DOUBLE) AS n,
+               CAST(n AS DOUBLE) * sqrt(
+                   (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1)) / 100.0 AS nh_sh
+        FROM mo
+    ),
+    z AS (SELECT sum(nh_sh) AS tot FROM w)
+    SELECT stratum,
+           CAST(n AS BIGINT) AS stratum_size,
+           round(nh_sh / tot, 6) + 0.0 AS alloc_share,
+           CAST(round({_NEYMAN_BUDGET} * nh_sh / tot, 0) AS BIGINT)
+               AS alloc_n,
+           round({_NEYMAN_BUDGET} * n
+                 / (SELECT sum(n) FROM w), 1) + 0.0
+               AS proportional_n
+    FROM w, z
+    """,
+    tags=("sampling", "stats"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a {_NEYMAN_BUDGET}-unit sample
+    across the return-flag strata: n_h proportional to N_h * S_h
+    (stratum size times stratum standard deviation — the allocation
+    minimizing the variance of the stratified mean; Neyman 1934),
+    reported beside the naive proportional allocation so the query
+    SHOWS what exploiting variance heterogeneity buys — the survey-
+    sampling design layer above stratified_sample_counts' execution.
+
+    Scale shape + parity: one exact-DECIMAL moments pass per stratum;
+    each weight is one identical double expression, and only the
+    3-term normalizing sum is a float accumulation (rounded)."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = t.lineitem.select(
+        F.col("l_returnflag").alias("stratum"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias(
+            "c"
+        ),
+    )
+    mo = g.groupBy("stratum").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    w = mo.select(
+        "stratum",
+        nD.alias("n"),
+        (
+            nD
+            * F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double") / nD
+                )
+                / (nD - 1)
+            )
+            / 100.0
+        ).alias("nh_sh"),
+    )
+    z = w.agg(F.sum("nh_sh").alias("tot"), F.sum("n").alias("n_all"))
+    j = w.crossJoin(F.broadcast(z))
+    return j.select(
+        "stratum",
+        F.col("n").cast("long").alias("stratum_size"),
+        (F.round(F.col("nh_sh") / F.col("tot"), 6) + 0.0).alias(
+            "alloc_share"
+        ),
+        F.round(
+            _NEYMAN_BUDGET * F.col("nh_sh") / F.col("tot"), 0
+        ).cast("long").alias("alloc_n"),
+        (
+            F.round(
+                _NEYMAN_BUDGET * F.col("n") / F.col("n_all"), 1
+            ) + 0.0
+        ).alias("proportional_n"),
+    )

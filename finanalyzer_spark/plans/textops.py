@@ -2127,3 +2127,107 @@ def term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("burstiness_vmr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capture-recapture vocabulary estimate (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "vocab_capture_recapture",
+    # the two "captures" are deterministic md5 doc-halves (the
+    # deterministic_sample_stats hashing rule), so both engines draw
+    # identical samples; type counts and the overlap are exact
+    # integers and the Chapman estimator is one closed expression.
+    oracle=r"""
+    WITH halves AS (
+        SELECT CASE WHEN (CAST(('0x' || substr(md5(
+                   'vcr|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2) = 0 THEN 0 ELSE 1 END AS grp,
+               text
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (
+        SELECT grp, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM halves
+    ),
+    pres AS (
+        SELECT w,
+               max(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS in_b
+        FROM tok GROUP BY w
+    ),
+    c AS (
+        SELECT sum(in_a) AS n1, sum(in_b) AS n2,
+               sum(in_a * in_b) AS m, count(*) AS v_true
+        FROM pres
+    )
+    SELECT CAST(n1 AS BIGINT) AS types_sample_a,
+           CAST(n2 AS BIGINT) AS types_sample_b,
+           CAST(m AS BIGINT) AS types_in_both,
+           CAST(v_true AS BIGINT) AS vocab_true,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0,
+                 2) + 0.0 AS vocab_chapman,
+           round(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0)
+                 / v_true, 6) + 0.0 AS estimate_ratio
+    FROM c
+    """,
+    tags=("text", "vocab", "stats"),
+)
+def vocab_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of vocabulary size: split
+    the corpus into two deterministic content-hash halves, treat each
+    half's type set as a 'capture', and estimate total vocabulary from
+    the overlap (N-hat = (n1+1)(n2+1)/(m+1) - 1, the bias-corrected
+    Lincoln-Petersen of ecology's species-richness toolkit) — REPORTED
+    AGAINST the true count, so the query measures how far
+    capture-recapture is from truth on a Zipf-skewed population (the
+    rare-type tail makes it a known underestimate; companion to
+    heaps_law_fit's growth view and kmv_distinct_estimate's sketch).
+
+    Scale shape + parity: the halves come from the shared md5 rule (no
+    RNG), types collapse in one explode + presence aggregate, and the
+    estimator is a closed expression over four exact integers."""
+    from ..operators.text import tokens_col
+
+    t = load(spark, sf_dir)
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("vcr|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    halves = t.documents.where(F.trim(F.col("text")) != "").select(
+        grp.alias("grp"), "text"
+    )
+    tok = halves.select(
+        "grp", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    pres = tok.groupBy("w").agg(
+        F.max(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    c = pres.agg(
+        F.sum("in_a").alias("n1"),
+        F.sum("in_b").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("m"),
+        F.count("*").alias("v_true"),
+    )
+    n1, n2, m, vt = F.col("n1"), F.col("n2"), F.col("m"), F.col("v_true")
+    chapman = (
+        (n1 + 1).cast("double") * (n2 + 1) / (m + 1) - 1.0
+    )
+    return c.select(
+        n1.cast("long").alias("types_sample_a"),
+        n2.cast("long").alias("types_sample_b"),
+        m.cast("long").alias("types_in_both"),
+        vt.cast("long").alias("vocab_true"),
+        (F.round(chapman, 2) + 0.0).alias("vocab_chapman"),
+        (F.round(chapman / vt, 6) + 0.0).alias("estimate_ratio"),
+    )

@@ -2173,6 +2173,24 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "neyman_allocation": {
+        # one exact-DECIMAL strata-moments pass + scalar allocation
+        # algebra
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "vocab_capture_recapture": {
+        # md5-halved corpus, explode + presence aggregate, closed-form
+        # Chapman estimator over four exact integers
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "edge_triangle_support": {
         # canonical bounded closure, map-side per-edge charge, keyed
         # count, LEFT broadcast join back to the edge list
