@@ -322,6 +322,8 @@ ROUND_CHANGED = frozenset({
     # round-9 new: survey-design allocation + species-richness estimate
     "neyman_allocation",
     "vocab_capture_recapture",
+    # round-9 new: ANSI LATERAL correlated-subquery surface
+    "lateral_topk_per_group",
 })
 
 

@@ -1360,3 +1360,55 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("modal_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery surface (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "lateral_topk_per_group",
+    # identical SQL text on both engines (the ANSI LATERAL form of
+    # top-k-per-group); the inner ORDER BY carries a full tie-break so
+    # the per-group cut is deterministic.
+    oracle="""
+    SELECT n.n_name,
+           s.s_name, s.s_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name
+        LIMIT 3
+    ) s
+    """,
+    tags=("sql", "sql-surface", "lateral"),
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by account balance per nation via an ANSI
+    LATERAL correlated subquery — the second SQL spelling of
+    top-k-per-group beside topk_per_group's window form, proving the
+    engine's correlated-subquery front door end to end (Catalyst
+    decorrelates the LATERAL into a ranked join rather than executing
+    it per outer row — the optimization that makes this spelling
+    viable at all at scale).
+
+    Scale shape: after decorrelation this is the same
+    partition-ranked shape as the window form — no per-row subquery
+    execution, no cartesian expansion."""
+    cat = load(spark, sf_dir)
+    cat.register_views(("nation", "supplier"))
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               s.s_name, s.s_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            WHERE s_nationkey = n.n_nationkey
+            ORDER BY s_acctbal DESC, s_name
+            LIMIT 3
+        ) s
+        """
+    )

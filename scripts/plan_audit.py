@@ -2173,6 +2173,14 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "lateral_topk_per_group": {
+        # Catalyst decorrelates the LATERAL into a ranked join — never
+        # per-outer-row execution, never a cartesian expansion
+        "must": [],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_sort": True,
+    },
     "neyman_allocation": {
         # one exact-DECIMAL strata-moments pass + scalar allocation
         # algebra
