@@ -324,6 +324,9 @@ ROUND_CHANGED = frozenset({
     "vocab_capture_recapture",
     # round-9 new: ANSI LATERAL correlated-subquery surface
     "lateral_topk_per_group",
+    # round-9 new: joint-tail risk + embedding separability reads
+    "tail_dependence_segments",
+    "label_centroid_similarity",
 })
 
 

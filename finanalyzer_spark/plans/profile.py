@@ -5816,3 +5816,93 @@ def decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.greatest(F.lit(0.0), 1.0 - vr / vsr), 6) + 0.0
         ).alias("f_seasonal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tail dependence between segment revenue series (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "tail_dependence_segments",
+    # the two daily series are exact integer cents; each series'
+    # q90 threshold uses the proven quantile_cont/percentile parity,
+    # and every exceedance count is an exact integer comparison
+    # against that shared threshold.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+               sum(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS ra,
+               sum(CASE WHEN l_returnflag = 'N'
+                   THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   ELSE 0 END) AS rb
+        FROM lineitem GROUP BY 1
+    ),
+    thr AS (
+        SELECT quantile_cont(ra, 0.9) AS ta,
+               quantile_cont(rb, 0.9) AS tb
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN ra > ta THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exceed_a,
+           CAST(sum(CASE WHEN rb > tb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exceed_b,
+           CAST(sum(CASE WHEN ra > ta AND rb > tb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_joint,
+           round(sum(CASE WHEN ra > ta AND rb > tb THEN 1 ELSE 0 END)
+                 * 1.0
+                 / nullif(sum(CASE WHEN ra > ta THEN 1 ELSE 0 END), 0),
+                 6) + 0.0 AS tail_dependence
+    FROM daily, thr
+    """,
+    tags=("profile", "timeseries", "risk", "bounded-window"),
+)
+def tail_dependence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-tail dependence between the returned- and kept-segment
+    daily revenue series: of the days when segment A exceeds its own
+    90th percentile, what share also sees segment B above ITS 90th —
+    the empirical tail-dependence coefficient of risk management
+    (correlations describe the middle; portfolios break in the joint
+    tail; companion to rolling_corr_price_qty's central view). Under
+    independence the share is ~0.1; near 1 means the tails move
+    together.
+
+    Scale shape + parity: facts collapse to two exact integer series
+    on one daily frame in a single conditional aggregate; thresholds
+    are one percentile aggregate (proven interpolation parity); the
+    exceedance counts are exact integer comparisons broadcast against
+    the 1-row threshold frame."""
+    t = load(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    daily = (
+        t.lineitem.select(
+            F.to_date(F.date_trunc("day", "l_shipdate")).alias("d"),
+            F.when(F.col("l_returnflag") == "R", cents)
+            .otherwise(0).alias("ca"),
+            F.when(F.col("l_returnflag") == "N", cents)
+            .otherwise(0).alias("cb"),
+        )
+        .groupBy("d")
+        .agg(F.sum("ca").alias("ra"), F.sum("cb").alias("rb"))
+    )
+    thr = daily.agg(
+        F.expr("percentile(ra, 0.9)").alias("ta"),
+        F.expr("percentile(rb, 0.9)").alias("tb"),
+    )
+    j = daily.crossJoin(F.broadcast(thr))
+    ea = (F.col("ra") > F.col("ta")).cast("long")
+    eb = (F.col("rb") > F.col("tb")).cast("long")
+    return j.agg(
+        F.count("*").alias("n_days"),
+        F.sum(ea).alias("n_exceed_a"),
+        F.sum(eb).alias("n_exceed_b"),
+        F.sum(ea * eb).alias("n_joint"),
+        (
+            F.round(
+                F.sum(ea * eb) * 1.0
+                / F.nullif(F.sum(ea), F.lit(0)),
+                6,
+            ) + 0.0
+        ).alias("tail_dependence"),
+    )

@@ -2417,3 +2417,83 @@ def ann_ivf_trained_recall_eval(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Label-centroid separability matrix (round 9)
+# --------------------------------------------------------------------------
+@query(
+    "label_centroid_similarity",
+    # per-label per-dim means use the proven round-6 centroid parity
+    # (the ann_ivf discipline); the 5x5 cosine matrix and the
+    # separability margin are closed expressions on that tiny frame.
+    oracle="""
+    WITH e AS (
+        SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT e.label, u.i AS i, round(avg(e.v[u.i]), 6) AS m
+        FROM e, (SELECT unnest(range(1, 65)) AS i) u
+        GROUP BY e.label, u.i
+    ),
+    cent AS (
+        SELECT label, list(m ORDER BY i) AS cvec
+        FROM dims GROUP BY label
+    ),
+    sz AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(list_cosine_similarity(a.cvec, b.cvec), 6) + 0.0
+               AS centroid_cosine
+    FROM cent a
+    JOIN cent b ON a.label < b.label
+    JOIN sz sa ON sa.label = a.label
+    JOIN sz sb ON sb.label = b.label
+    """,
+    tags=("similarity", "clustering", "eval"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between the label centroids of the
+    embedding space — the cheapest separability read on a labeled
+    vector corpus (centroids near cosine 1 mean the labels are not
+    linearly separable and any centroid-routed ANN or SemDeDup
+    clustering will mix them; the summary view over
+    ari_cell_vs_label's full pair-counting evaluation).
+
+    Scale shape + parity: one scan collapses to a labels x dims mean
+    frame (round-6 centroid parity, the ann_ivf discipline); the
+    pairwise matrix lives on a bounded |labels|-row frame joined to
+    itself with a < guard."""
+    t = load(spark, sf_dir)
+    dim = 64
+    e = t.embeddings.select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.groupBy("label").agg(
+        F.array(
+            *[F.round(F.avg(F.col("v")[i]), 6) for i in range(dim)]
+        ).alias("cvec"),
+        F.count("*").alias("n"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("cvec").alias("va"),
+        F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("cvec").alias("vb"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.round(cosine_col(F.col("va"), F.col("vb")), 6) + 0.0
+            ).alias("centroid_cosine"),
+        )
+    )

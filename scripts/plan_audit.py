@@ -2173,6 +2173,24 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "tail_dependence_segments": {
+        # one conditional daily collapse, one percentile aggregate,
+        # 1-row threshold broadcast, exact exceedance counts
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "label_centroid_similarity": {
+        # labels x dims centroid collapse, bounded matrix self-join
+        # under a < guard (broadcast NL on the 5-row frame)
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython", "Window"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "lateral_topk_per_group": {
         # Catalyst decorrelates the LATERAL into a ranked join — never
         # per-outer-row execution, never a cartesian expansion
