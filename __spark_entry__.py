@@ -26,12 +26,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: names that have already received a driver-side CORRECTNESS row
-#: (union of the CORRECTNESS_r01-r08 samples — 288/288 complete as of
-#: round 8). The driver samples ~50 queries per round; listing
-#: never-sampled names FIRST steers a prefix/ordered sampler toward
-#: them so the verified union widens each round. Refresh per round
-#: from the CORRECTNESS_r*.json keys.
+#: (union of the CORRECTNESS_r01-r09 samples — 338/366 as of round 9;
+#: the 28 round-9 names the ~50-query sample could not reach live in
+#: NEVER_SAMPLED below and are fronted outright). Listing never-sampled
+#: names FIRST steers a prefix/ordered sampler toward them so the
+#: verified union widens each round. Refresh per round from the
+#: CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r9 sample (all green, CORRECTNESS_r09.json — 50/50) ---
+    "ab_power_mde", "amihud_illiquidity", "ann_bq_recall_eval",
+    "ann_bq_topk", "ann_ivf_trained_recall_eval", "ann_ivf_trained_topk",
+    "ann_multiprobe_recall_eval", "ann_multiprobe_topk",
+    "attribution_position_based", "classifier_ks_gains",
+    "cohens_kappa_langid", "dedup_method_agreement",
+    "eb_shrunk_return_rates", "event_markov_stationary",
+    "exact_substring_dedup", "fisher_price_index",
+    "garman_klass_volatility", "heaps_law_fit",
+    "hhi_supplier_concentration", "isotonic_calibration_bins",
+    "item_item_cosine_topk", "label_centroid_similarity",
+    "lateral_topk_per_group", "lexical_diversity_by_source",
+    "ltv_cohort_curve", "luhn_pii_audit", "media_ico_pixel_stats",
+    "media_ogg_flac_audio_stats", "media_pcx_pixel_stats",
+    "media_tga_pixel_stats", "mixture_temperature_sampling",
+    "mode_per_group", "near_dup_survivorship_by_source",
+    "neyman_allocation", "ngram_novelty_rate", "obv_trend",
+    "poisson_dispersion_daily_events", "price_elasticity_by_brand",
+    "signup_to_purchase_latency", "srm_check", "stochastic_oscillator",
+    "string_agg_ordered", "substring_dup_spans", "term_burstiness_top",
+    "tokenizer_fertility", "top_session_paths", "two_proportion_ab_test",
+    "unicode_nfc_audit", "vocab_capture_recapture",
+    "wilson_lower_bound_ranking",
     # --- r8 sample (all green, CORRECTNESS_r08.json — closed the
     # cross-round union at 288/288) ---
     "adf_unit_root_daily_revenue", "approx_topk_contract",
@@ -168,165 +192,32 @@ DRIVER_SAMPLED = frozenset({
 })
 
 
-#: Names that have never received a driver-side CORRECTNESS row.
-#: Empty as of round 8: the cross-round verified union closed at
-#: 288/288 (every query ever declared has a green driver row).  Keep
-#: the tier so any future name that somehow misses its debut round is
-#: fronted outright the round after.
-NEVER_SAMPLED = frozenset()
 
-ROUND_CHANGED = frozenset({
-    # --- round 9 additions — need their debut driver CORRECTNESS row ---
-    # round-9 changed: co-supply pair build now drops over-cap
-    # mega-customers (both engines share _COSUPPLY_CAP) — re-queue for
-    # fresh rows under the new shared semantics
-    "triangle_count_cosupply",
-    "kcore_cosupply",
-    "label_propagation_communities",
-    "degree_assortativity",
-    # round-9 new: exact-substring (suffix-group) dedup — detection
-    # spans + the removal transform
-    "substring_dup_spans",
-    "exact_substring_dedup",
-    # round-9 changed: probe census grew MP3-with-Xing and
-    # CABAC-named buckets (5-way -> 7-way cycle)
-    "media_probe_summary",
-    # round-9 new: incremental-crawl n-gram novelty
-    "ngram_novelty_rate",
-    # round-9 new: graph neighborhood analytics on the capped
-    # co-supply graph
-    "local_clustering_coefficient",
-    "common_neighbor_link_prediction",
-    # round-9 new: shrinkage-aware ranking + empirical-Bayes rates
-    "wilson_lower_bound_ranking",
-    "eb_shrunk_return_rates",
-    # round-9 new: Holt linear-trend backtest (recursive-CTE twin)
-    "holt_forecast_backtest",
-    # round-9 new: checksum-validated PAN detection
-    "luhn_pii_audit",
-    # round-9 new: multiprobe LSH ANN + its measured recall trade
-    "ann_multiprobe_topk",
-    "ann_multiprobe_recall_eval",
-    # round-9 new: TGA codec certification
-    "media_tga_pixel_stats",
-    # round-9 new: Z-order layout locality audit
+#: Names that have never received a driver-side CORRECTNESS row.
+#: Round 9 declared 78 new queries against a ~50-query sample, so these
+#: 28 (the late stats/graph wave) have only local oracle verification.
+#: Tier 0: fronted outright so round 10 closes the union at 366/366.
+NEVER_SAMPLED = frozenset({
+    "adamic_adar_link_prediction", "anova_levene_returnflag",
+    "bh_fdr_supplier_rates", "breusch_pagan_daily_trend",
+    "common_neighbor_link_prediction", "decomposition_strength",
+    "degree_powerlaw_hill", "diff_in_diff_urgent", "durbin_watson_ols",
+    "edge_triangle_support", "friedman_priority_weekday",
+    "grubbs_outlier_test", "holt_forecast_backtest",
+    "hurst_rs_daily_revenue", "local_clustering_coefficient",
+    "mase_pinball_naive", "multi_table_key_profile",
+    "mutual_information_priority_flag", "pacf_daily_revenue",
+    "pettitt_changepoint", "qq_shift_returned_vs_kept",
+    "rich_club_coefficient", "runs_test_daily_revenue",
+    "tail_dependence_segments", "variance_ratio_test",
+    "welch_t_returned_vs_kept", "woe_iv_price_returned",
     "zorder_locality_audit",
-    # round-9 new: item-item collaborative-filtering scores
-    "item_item_cosine_topk",
-    # round-9 new: cross-implementation Unicode NFC conformance
-    "unicode_nfc_audit",
-    # round-9 new: isotonic calibration via the exact minimax form
-    "isotonic_calibration_bins",
-    # round-9 new: multiple-testing control (shared closed-form Phi)
-    "bh_fdr_supplier_rates",
-    # round-9 new: LSH-vs-SimHash candidate agreement, measured
-    "dedup_method_agreement",
-    # round-9 new: PCX codec certification
-    "media_pcx_pixel_stats",
-    # round-9 new: vocabulary-growth (Heaps) planning fit
-    "heaps_law_fit",
-    # round-9 new: residual serial-correlation diagnostic
-    "durbin_watson_ols",
-    # round-9 new: Lo-MacKinlay random-walk variance ratio
-    "variance_ratio_test",
-    # round-9 new: Friedman rank test (priority | weekday blocks)
-    "friedman_priority_weekday",
-    # round-9 new: Lane stochastic oscillator %K/%D
-    "stochastic_oscillator",
-    # round-9 new: Garman-Klass OHLC range volatility
-    "garman_klass_volatility",
-    # round-9 new: Amihud price-impact illiquidity ratio
-    "amihud_illiquidity",
-    # round-9 new: Adamic-Adar weighted link prediction
-    "adamic_adar_link_prediction",
-    # round-9 new: Hill power-law degree-tail exponent
-    "degree_powerlaw_hill",
-    # round-9 new: per-language tokenizer fertility budgeting rates
-    "tokenizer_fertility",
-    # round-9 new: TTR / Yule-K / Simpson lexical panel
-    "lexical_diversity_by_source",
-    # round-9 new: ordered LISTAGG parity
-    "string_agg_ordered",
-    # round-9 new: deterministic per-group mode
-    "mode_per_group",
-    # round-9 new: Windows ICO container certification (also widened
-    # media_probe_summary's census 7-way -> 8-way, re-queued above)
-    "media_ico_pixel_stats",
-    # round-9 new: 1-bit binary-quantized ANN + its measured recall
-    "ann_bq_topk",
-    "ann_bq_recall_eval",
-    # round-9 new: parametric two-sample / k-sample panel
-    "welch_t_returned_vs_kept",
-    "anova_levene_returnflag",
-    # round-9 new: on-balance volume
-    "obv_trend",
-    # round-9 new: session-opening path mining
-    "top_session_paths",
-    # round-9 new: residual-diagnostics panel additions
-    "grubbs_outlier_test",
-    "pacf_daily_revenue",
-    "breusch_pagan_daily_trend",
-    # round-9 new: rescaled-range long-memory exponent
-    "hurst_rs_daily_revenue",
-    # round-9 new: temperature-scaled mixture budgeting plan
-    "mixture_temperature_sampling",
-    # round-9 new: IVF with a k-means-TRAINED coarse quantizer
-    "ann_ivf_trained_topk",
-    # round-9 new: nonparametric changepoint + randomness tests
-    "pettitt_changepoint",
-    "runs_test_daily_revenue",
-    # round-9 new: experimentation guardrail + causal contrast
-    "srm_check",
-    "diff_in_diff_urgent",
-    # round-9 new: log-log demand elasticity
-    "price_elasticity_by_brand",
-    # round-9 new: scorecard / information-theory / concentration
-    "woe_iv_price_returned",
-    "mutual_information_priority_flag",
-    "hhi_supplier_concentration",
-    # round-9 new: chance-corrected langid agreement + A/B sizing
-    "cohens_kappa_langid",
-    "ab_power_mde",
-    # round-9 new: decile-level distribution-shift profile
-    "qq_shift_returned_vs_kept",
-    # round-9 new: U-shaped multi-touch attribution
-    "attribution_position_based",
-    # round-9 new: whole-warehouse key audit
-    "multi_table_key_profile",
-    # round-9 new: conversion-rate readout of the A/B panel
-    "two_proportion_ab_test",
-    # round-9 new: corpus burstiness + arrival dispersion diagnostics
-    "term_burstiness_top",
-    "poisson_dispersion_daily_events",
-    # round-9 new: activation-speed funnel metric
-    "signup_to_purchase_latency",
-    # round-9 new: Ogg-FLAC encapsulation through the certified tier
-    "media_ogg_flac_audio_stats",
-    # round-9 new: scorecard gains/lift/KS panel
-    "classifier_ks_gains",
-    # round-9 new: price-index + LTV economics
-    "fisher_price_index",
-    "ltv_cohort_curve",
-    # round-9 new: the dedup verdict as a per-source report
-    "near_dup_survivorship_by_source",
-    # round-9 new: scale-free forecast-error metrics
-    "mase_pinball_naive",
-    # round-9 new: decomposition trend/seasonal strength
-    "decomposition_strength",
-    # round-9 new: hub interconnection + chain equilibrium
-    "rich_club_coefficient",
-    "event_markov_stationary",
-    # round-9 new: truss support histogram + trained-IVF recall
-    "edge_triangle_support",
-    "ann_ivf_trained_recall_eval",
-    # round-9 new: survey-design allocation + species-richness estimate
-    "neyman_allocation",
-    "vocab_capture_recapture",
-    # round-9 new: ANSI LATERAL correlated-subquery surface
-    "lateral_topk_per_group",
-    # round-9 new: joint-tail risk + embedding separability reads
-    "tail_dependence_segments",
-    "label_centroid_similarity",
+})
+
+#: Round-10 new or semantics-changed names needing a (fresh) driver row.
+#: Kept small this round (cap ~20 per VERDICT r9 #1) so the sampler can
+#: cover NEVER_SAMPLED + these in one ~50-query pass.
+ROUND_CHANGED = frozenset({
 })
 
 

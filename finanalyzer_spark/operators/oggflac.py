@@ -158,15 +158,22 @@ def demux_ogg_flac(buf: bytes) -> bytes:
 
 
 def _page(flags: int, granule: int, serial: int, seq: int,
-          packet_chunks: list[bytes]) -> bytes:
+          packet_chunks: list[bytes], open_tail: bool = False) -> bytes:
     lacing = bytearray()
     body = bytearray()
-    for chunk in packet_chunks:
+    for i, chunk in enumerate(packet_chunks):
         # RFC 3533 lacing: len//255 full segments + one final segment
         # of len%255 (a multiple-of-255 packet ends with a 0 segment)
         q, r = divmod(len(chunk), 255)
         lacing += b"\xff" * q
-        lacing.append(r)
+        if open_tail and i == len(packet_chunks) - 1:
+            # last packet continues on the next page: emit only full
+            # 255-segments (caller guarantees len % 255 == 0), so no
+            # packet ends on this page and granule -1 is conformant
+            if r:
+                raise ValueError("open-tail chunk must be 255-aligned")
+        else:
+            lacing.append(r)
         body += chunk
     hdr = bytearray(b"OggS")
     hdr += bytes([0, flags])
@@ -219,16 +226,26 @@ def mux_ogg_flac(native: bytes, serial: int = 0x464C4143) -> bytes:
             hb[0] |= 0x80
         pages.append(_page(0, 0, serial, seq, [bytes(hb)]))
         seq += 1
-    chunks = [frames[i:i + 4096] for i in range(0, len(frames), 4096)]
+    # The frame section rides as ONE logical packet continued across
+    # ~4 KiB pages (FLAC frames are self-delimiting, so any RFC 3533
+    # packet reassembler recovers the byte stream intact).  Chunk size
+    # is 255-aligned so intermediate pages carry only full lacing
+    # segments: no packet ends on them, which is exactly the RFC 3533
+    # condition under which granule_position -1 is conformant.  The
+    # final page terminates the packet, carries total_samples as its
+    # granule, and sets EOS.
+    chunk_sz = 4080  # 16 * 255
+    chunks = [frames[i:i + chunk_sz] for i in range(0, len(frames), chunk_sz)]
     if not chunks:
         chunks = [b""]
     for i, ch in enumerate(chunks):
         eos = i == len(chunks) - 1
+        cont = 0x01 if i > 0 else 0
         pages.append(
             _page(
-                0x04 if eos else 0,
+                (0x04 | cont) if eos else cont,
                 total_samples if eos else -1,
-                serial, seq, [ch],
+                serial, seq, [ch], open_tail=not eos,
             )
         )
         seq += 1
