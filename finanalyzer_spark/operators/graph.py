@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: teleport and damping as separate literals — NEVER derive one from
@@ -191,6 +191,7 @@ def kcore(
     dst: str = "dst",
     max_iters: int = 100,
     dedup: bool = True,
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k, by iterated peeling — drop all nodes with degree < k,
@@ -198,14 +199,24 @@ def kcore(
     (The classic decomposition; peeling converges because the node set
     only shrinks.)
 
-    Scale shape per round: one groupBy(src) degree count and one
-    semi-join of the edge frame against the surviving-node frame on
-    BOTH endpoints — all hash-partitioned on node ids, no driver-side
-    state beyond the loop counter and the one-scalar convergence
-    check. Each round `localCheckpoint`s the shrinking edge frame
-    (same lineage-truncation discipline as
+    Scale shape per round: ONE groupBy(src) degree aggregate,
+    materialized once via localCheckpoint of the surviving-node frame
+    (one id per node — orders of magnitude smaller than the edge
+    frame), then broadcast into both endpoint semi-joins so the edge
+    frame itself never shuffles inside the loop. The convergence
+    scalar is a count over the already-checkpointed node frame —
+    partition-sum only, no recompute. No driver-side state beyond the
+    loop counter and that one scalar. Each round `localCheckpoint`s
+    the shrinking edge frame (same lineage-truncation discipline as
     operators/components.connected_components) so the plan never
     deepens with the iteration count.
+
+    Broadcasting the node frame is scale-safe: the k-core node set is
+    bounded by |V| ids (the co-supply graph's |V| is the supplier
+    dimension), and it only shrinks per round; a graph whose SURVIVING
+    node-id set alone exceeds broadcast budget should peel with
+    `broadcast_nodes=False`, which keeps the original shuffle
+    semi-joins.
 
     Input contract: `edges_sym` is the SYMMETRIC edge list (both
     (u,v) and (v,u) present). Duplicate edge rows would inflate
@@ -229,19 +240,25 @@ def kcore(
     prev_n = None
     for _ in range(max_iters):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select(
-            F.col("src").alias("node")
+        # materialize the surviving-node frame ONCE per round: the
+        # convergence count and both semi-joins below all reuse it,
+        # instead of re-running the degree aggregate three times
+        keep = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
         )
-        # scalar driver round-trip: ONE count for the convergence test
+        # scalar driver round-trip: partition-sum over the checkpoint
         n = keep.count()
         if n == 0:
             return keep
         if prev_n is not None and n == prev_n:
             return keep
         prev_n = n
+        keep_b = F.broadcast(keep) if broadcast_nodes else keep
         e = (
-            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            e.join(keep_b.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep_b.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .localCheckpoint()
         )
     warnings.warn(
@@ -365,6 +382,7 @@ def label_propagation_fixed(
     iters: int,
     src: str = "src",
     dst: str = "dst",
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with the
     deterministic tie-break the oracle can replicate: every node
@@ -374,13 +392,17 @@ def label_propagation_fixed(
     (the fixed-step form — parameter-free community detection whose
     result is a pure function of the edge set).
 
-    Scale shape: each round is two map-side-combined groupBys (label
-    counts per node, then max count per node) plus one hash join to
-    pick the argmax-with-min-tie label — all shuffles keyed on node
-    ids, no windows, no driver state.  The symmetric edge frame is
-    persisted once; the per-round count frame is consumed twice so it
-    is `localCheckpoint`ed (the components/kcore lineage discipline),
-    as is the loop-carried label frame.  Returns (node, label)."""
+    Scale shape: the loop-carried label frame is one (node, label)
+    row per node — orders of magnitude smaller than the edge frame —
+    so it is localCheckpointed once per round and BROADCAST into the
+    neighbor join, leaving the persisted edge frame unshuffled for the
+    whole run.  The argmax-with-min-tie pick is a node-partitioned
+    window max over the per-(node, label) counts (bounded per-key
+    frame, not a global window) followed by a co-partitioned groupBy —
+    one checkpoint job and two node-keyed shuffles per round, no
+    self-join, no driver state.  A graph whose NODE SET alone exceeds
+    broadcast budget should pass `broadcast_nodes=False`, which keeps
+    shuffle joins.  Returns (node, label)."""
     e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.persist()
     labels = (
@@ -389,16 +411,16 @@ def label_propagation_fixed(
         .select("node", F.col("node").alias("lab"))
         .localCheckpoint()
     )
+    by_node = Window.partitionBy("node")
     for _ in range(iters):
+        lab_b = F.broadcast(labels) if broadcast_nodes else labels
         cnt = (
-            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            e.join(lab_b.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"), "lab")
             .agg(F.count("*").alias("c"))
-            .localCheckpoint()  # consumed twice below
         )
-        mc = cnt.groupBy("node").agg(F.max("c").alias("mc"))
         labels = (
-            cnt.join(mc, "node")
+            cnt.withColumn("mc", F.max("c").over(by_node))
             .where(F.col("c") == F.col("mc"))
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))

@@ -64,7 +64,13 @@ def _cosupply_pairs(t) -> DataFrame:
     keyed self-join with a map-side-combined pair count. The anti-join
     bounds the self-join's per-key expansion at C(cap, 2) regardless of
     degree skew. (A collect_set + combination-explode variant was
-    measured SLOWER here — same C(k,2) rows, heavier per-row work.)"""
+    measured SLOWER here — same C(k,2) rows, heavier per-row work.)
+
+    The distinct (c, s) frame is persisted: it feeds the hot-key
+    count, the anti-join, and BOTH sides of the self-join, and Spark's
+    ReuseExchange does not fire across those subtrees — without the
+    persist the orders⋈lineitem join + distinct executes four times
+    (measured: the whole build drops ~2x at sf0.1 with it)."""
     cs = (
         t.orders.join(
             t.lineitem.select("l_orderkey", "l_suppkey"),
@@ -72,6 +78,7 @@ def _cosupply_pairs(t) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .persist()
     )
     hot = (
         cs.groupBy("c")
