@@ -218,6 +218,12 @@ NEVER_SAMPLED = frozenset({
 #: Kept small this round (cap ~20 per VERDICT r9 #1) so the sampler can
 #: cover NEVER_SAMPLED + these in one ~50-query pass.
 ROUND_CHANGED = frozenset({
+    # round-10 new: ADTS/AAC probe certification (duration/bit_rate
+    # from the aac_frame_length walk)
+    "media_adts_probe_stats",
+    # round-10 changed: probe census widened 9-way -> 10-way with the
+    # ADTS/AAC-LC bucket
+    "media_probe_summary",
 })
 
 

@@ -1387,7 +1387,12 @@ def _probe_mpeg_audio(buf: bytes, pos: int, out: dict) -> dict:
             flags = int.from_bytes(buf[xoff + 4 : xoff + 8], "big")
             if flags & 0x1:
                 n = int.from_bytes(buf[xoff + 8 : xoff + 12], "big")
-                return {**base, "n_frames": n, "n_samples": n * spf}
+                dur = n * spf / rate
+                return {**base, "n_frames": n, "n_samples": n * spf,
+                        "duration_s": round(dur, 6),
+                        # VBR: average over the whole stream tail
+                        "bit_rate": round(8 * (len(buf) - pos) / dur)
+                        if dur else None}
     # CBR/VBR walk: recompute the length per frame so VBR-without-Xing
     # still counts correctly; stop at the first lost sync
     n = 0
@@ -1396,18 +1401,24 @@ def _probe_mpeg_audio(buf: bytes, pos: int, out: dict) -> dict:
         buf[p + 1] & 0xE0
     ) == 0xE0:
         h = _mpa_header(buf, p)
-        if h is None or h[6] <= 4:
-            break
+        if h is None or h[6] <= 4 or p + h[6] > len(buf):
+            break  # incomplete final frame: report complete ones only
         n += 1
         p += h[6]
+    dur = n * spf / rate if n else None
     return {**base, "n_frames": n or None,
-            "n_samples": n * spf if n else None}
+            "n_samples": n * spf if n else None,
+            "duration_s": round(dur, 6) if dur else None,
+            # CBR-walk average over the walked bytes (== the header
+            # kbps for a true-CBR stream, stream-accurate for VBR)
+            "bit_rate": round(8 * (p - pos) / dur) if dur else None}
 
 
 def _probe_adts(buf: bytes, pos: int, out: dict) -> dict:
     """ADTS (AAC) metadata without decode: profile / sample rate /
-    channel configuration from the fixed header, frame count from the
-    13-bit aac_frame_length walk; 1024 samples per frame."""
+    channel configuration from the fixed header, frame count plus
+    duration and average bit rate from the 13-bit aac_frame_length
+    walk; 1024 samples per frame (ISO 14496-3)."""
     b2, b3 = buf[pos + 2], buf[pos + 3]
     profile = (b2 >> 6) & 0x3
     sf_idx = (b2 >> 2) & 0xF
@@ -1422,14 +1433,17 @@ def _probe_adts(buf: bytes, pos: int, out: dict) -> dict:
         flen = ((buf[p + 3] & 0x3) << 11) | (buf[p + 4] << 3) | (
             buf[p + 5] >> 5
         )
-        if flen < 7:
-            break
+        if flen < 7 or p + flen > len(buf):
+            break  # incomplete final frame: report complete ones only
         n += 1
         p += flen
+    dur = n * 1024 / rate if n and rate else None
     return {**out, "kind": "audio", "container": "adts",
             "codec": codec, "sample_rate": rate,
             "channels": channels or None, "n_frames": n or None,
-            "n_samples": n * 1024 if n else None}
+            "n_samples": n * 1024 if n else None,
+            "duration_s": round(dur, 6) if dur else None,
+            "bit_rate": round(8 * (p - pos) / dur) if dur else None}
 
 
 def encode_mpeg_audio_stub(
@@ -1529,6 +1543,7 @@ def probe_media(buf: bytes) -> dict:
         "width": None, "height": None, "n_frames": None,
         "n_keyframes": None, "sample_rate": None, "n_samples": None,
         "channels": None, "exif_orientation": None,
+        "duration_s": None, "bit_rate": None,
     }
     if len(buf) < 12:
         return out

@@ -975,11 +975,11 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_probe_summary",
-    # Per-document payloads cycle through nine REAL formats (built by
+    # Per-document payloads cycle through TEN real formats (built by
     # the pure encoder twins: baseline JPEG, binary PPM, PCM-16 WAV,
     # MJPEG-in-MP4, I_PCM-H.264-in-MKV, MP3-with-Xing, CABAC-flagged
-    # Annex-B H.264, classic-DIB ICO, AVIF-with-av01-item); the Spark
-    # side PROBES each payload with
+    # Annex-B H.264, classic-DIB ICO, AVIF-with-av01-item, ADTS/AAC-LC
+    # — the last widened r10); the Spark side PROBES each payload with
     # operators/multimodal.probe_media (header/box/EBML parsing, no
     # pixel/sample decode) and rolls up by identified
     # kind/container/codec.  The oracle recomputes the rollup
@@ -991,22 +991,25 @@ def media_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sees why the pure decode tier refuses it (SCALE.md §media).
     oracle="""
     WITH probed AS (
-        SELECT CASE doc_id % 9
+        SELECT CASE doc_id % 10
                  WHEN 0 THEN 'image' WHEN 1 THEN 'image'
                  WHEN 7 THEN 'image' WHEN 8 THEN 'image'
                  WHEN 2 THEN 'audio' WHEN 5 THEN 'audio'
+                 WHEN 9 THEN 'audio'
                  ELSE 'video' END AS kind,
-               CASE doc_id % 9
+               CASE doc_id % 10
                  WHEN 0 THEN 'jfif' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
                  WHEN 4 THEN 'mkv' WHEN 5 THEN 'mpeg'
                  WHEN 7 THEN 'ico' WHEN 8 THEN 'avif'
+                 WHEN 9 THEN 'adts'
                  ELSE 'annexb' END AS container,
-               CASE doc_id % 9
+               CASE doc_id % 10
                  WHEN 0 THEN 'jpeg' WHEN 1 THEN 'ppm'
                  WHEN 2 THEN 'pcm' WHEN 3 THEN 'mjpeg'
                  WHEN 4 THEN 'h264' WHEN 5 THEN 'mp3'
                  WHEN 7 THEN 'dib' WHEN 8 THEN 'av1'
+                 WHEN 9 THEN 'aac-lc'
                  ELSE 'h264-cabac' END AS codec
         FROM documents
     )
@@ -1044,6 +1047,7 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.mkv import mux_mkv
         from ..operators.mp4 import encode_avif_stub, mux_mp4_mjpeg
         from ..operators.multimodal import (
+            encode_adts_stub,
             encode_mpeg_audio_stub,
             encode_wav_pcm16,
             probe_media,
@@ -1055,29 +1059,35 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fill = int(n_chars) % 256
                 img = np.full((8, 8, 3), fill, dtype=np.uint8)
                 vid = np.full((16, 16, 3), fill, dtype=np.uint8)
-                kind9 = int(doc_id) % 9
-                if kind9 == 0:
+                kind10 = int(doc_id) % 10
+                if kind10 == 0:
                     payload = encode_jpeg(img, quality=80)
-                elif kind9 == 1:
+                elif kind10 == 1:
                     payload = b"P6\n8 8\n255\n" + img.tobytes()
-                elif kind9 == 2:
+                elif kind10 == 2:
                     payload = encode_wav_pcm16(
                         bytes([fill]) * 64, rate=8000, channels=1
                     )
-                elif kind9 == 3:
+                elif kind10 == 3:
                     payload = mux_mp4_mjpeg([vid], fps=10, quality=80)
-                elif kind9 == 4:
+                elif kind10 == 4:
                     payload = mux_mkv([vid], codec="avc", fps=10)
-                elif kind9 == 5:
+                elif kind10 == 5:
                     # perceptual audio: decode refuses, probe reports
                     payload = encode_mpeg_audio_stub(
                         n_frames=1 + fill % 5, xing=True
                     )
-                elif kind9 == 7:
+                elif kind10 == 7:
                     payload = encode_ico(img)
-                elif kind9 == 8:
+                elif kind10 == 8:
                     # AV1 still image: decode refuses, probe NAMES it
                     payload = encode_avif_stub(8, 8, "av1")
+                elif kind10 == 9:
+                    # ADTS/AAC: decode refuses (perceptual), probe
+                    # reports profile/rate/duration/bit_rate (r10)
+                    payload = encode_adts_stub(
+                        n_frames=1 + fill % 5, rate=44100, channels=2
+                    )
                 else:
                     # CABAC-flagged stream: probe NAMES the refusal
                     sps, pps = write_sps_pps(4, 4, cabac=True)
@@ -1095,6 +1105,92 @@ def media_probe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return probed.groupBy("kind", "container", "codec").agg(
         F.count("*").alias("n_media")
+    )
+
+
+@query(
+    "media_adts_probe_stats",
+    # The Spark side builds a spec-valid ADTS (AAC-LC) frame sequence
+    # per sampled document (encode_adts_stub — headers real, payload
+    # zeroed: the decode tier refuses perceptual AAC, so this is a
+    # PROBE fixture) and runs probe_media's 13-bit aac_frame_length
+    # walk; the oracle recomputes every reported field closed-form
+    # from the construction rule.  bit_rate is exact integer
+    # arithmetic (8 bytes/s per stream byte at 48 kHz/1024-sample
+    # frames = 375 x frame_length), duration is one non-tie round.
+    oracle="""
+    SELECT doc_id AS media_id,
+           'aac-lc' AS codec,
+           CAST(48000 AS BIGINT) AS sample_rate,
+           CAST(2 AS INT) AS channels,
+           CAST(1 + (length(text) % 256) % 7 AS BIGINT) AS n_frames,
+           round((1 + (length(text) % 256) % 7) * 1024.0 / 48000, 6)
+               AS duration_s,
+           CAST(375 * (39 + (length(text) % 256) % 64) AS BIGINT)
+               AS bit_rate
+    FROM documents WHERE doc_id % 23 = 7
+    """,
+    tags=("multimodal", "probe", "audio"),
+)
+def media_adts_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADTS/AAC probe certification (round 10, VERDICT r9 #5 — the
+    ADTS mirror of the r9 MP3-Xing work): per sampled document
+    (doc_id % 23 — the probe is cheap but the fixture build is
+    per-row Python), build an ADTS stream whose frame count and frame
+    length derive from the text, then report what probe_media's
+    frame-header walk measures: profile (in codec), sample rate,
+    channel configuration, frame count, DURATION and average BIT
+    RATE — the metadata tier a crawl pipeline uses to budget a
+    perceptual-audio corpus it cannot pure-decode.
+
+    Scale shape: one Arrow mapInPandas over the sampled rows; the
+    rollup columns are scalars, no payload ever shuffles."""
+    t = load(spark, sf_dir)
+    docs = (
+        t.documents.where(F.col("doc_id") % 23 == 7)
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..operators.multimodal import encode_adts_stub, probe_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                fill = int(n_chars) % 256
+                payload = encode_adts_stub(
+                    n_frames=1 + fill % 7, rate=48000, channels=2,
+                    body_bytes=32 + fill % 64,
+                )
+                p = probe_media(payload)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "codec": p["codec"],
+                        "sample_rate": p["sample_rate"],
+                        "channels": p["channels"],
+                        "n_frames": p["n_frames"],
+                        "duration_s": p["duration_s"],
+                        "bit_rate": p["bit_rate"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "sample_rate", "channels",
+                    "n_frames", "duration_s", "bit_rate",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, codec string, sample_rate long,"
+            " channels int, n_frames long, duration_s double,"
+            " bit_rate long"
+        ),
     )
 
 

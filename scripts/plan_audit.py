@@ -1891,6 +1891,13 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "media_adts_probe_stats": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin',
+                     'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "minmax_scale": {
         "must": [],
         "must_not": ['CartesianProduct'],

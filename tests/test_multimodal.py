@@ -863,6 +863,59 @@ def test_probe_media_audio_metadata_branches():
     assert probe_media(id3)["codec"] == "mp3"
 
 
+def test_probe_media_adts_duration_bitrate():
+    """ADTS/AAC frame-header walk (r10): profile / rate / channels /
+    frame count plus DURATION and average BIT RATE from the 13-bit
+    aac_frame_length walk — closed-form checkable from the stub's
+    construction (ISO 14496-3 fixed header, 1024 samples/frame)."""
+    from finanalyzer_spark.operators.multimodal import (
+        encode_adts_stub,
+        probe_media,
+    )
+
+    # 5 frames of 7+57=64 bytes at 48 kHz stereo
+    buf = encode_adts_stub(n_frames=5, rate=48000, channels=2,
+                           body_bytes=57)
+    p = probe_media(buf)
+    assert (p["kind"], p["container"], p["codec"]) == (
+        "audio", "adts", "aac-lc",
+    )
+    assert (p["sample_rate"], p["channels"], p["n_frames"],
+            p["n_samples"]) == (48000, 2, 5, 5120)
+    # duration = 5*1024/48000 s; bit_rate = 8*320 bytes / duration
+    #          = 375 * 64 = 24000 bps exactly
+    assert p["duration_s"] == round(5 * 1024 / 48000, 6)
+    assert p["bit_rate"] == 24000
+
+    # mono 44.1 kHz: channel config 1, rate from the SR index table
+    buf = encode_adts_stub(n_frames=3, rate=44100, channels=1,
+                           body_bytes=25)
+    p = probe_media(buf)
+    assert (p["sample_rate"], p["channels"], p["n_frames"]) == (
+        44100, 1, 3,
+    )
+    assert p["duration_s"] == round(3 * 1024 / 44100, 6)
+    assert p["bit_rate"] == round(8 * 3 * 32 / (3 * 1024 / 44100))
+
+    # truncated mid-frame: the walk stops at the lost sync, fields
+    # reflect only the complete frames
+    p = probe_media(buf[: 32 + 16])
+    assert p["n_frames"] == 1 and p["n_samples"] == 1024
+
+    # MP3 duration/bit_rate from the same walk discipline (Xing path:
+    # frame count from the header, rate-exact duration)
+    from finanalyzer_spark.operators.multimodal import (
+        encode_mpeg_audio_stub,
+    )
+
+    mp3 = encode_mpeg_audio_stub(n_frames=4, rate=44100, kbps=128,
+                                 xing=True)
+    p = probe_media(mp3)
+    assert p["n_frames"] == 4
+    assert p["duration_s"] == round(4 * 1152 / 44100, 6)
+    assert p["bit_rate"] == round(8 * len(mp3) / (4 * 1152 / 44100))
+
+
 def test_video_tier_review_fixes():
     """Round-6 review regressions: (a) an MKV with an extra audio
     track must decode ONLY the video track's frames (no mid-stream
