@@ -462,24 +462,33 @@ def ngram_overlap(
 # ---------------------------------------------------------------------------
 
 def substring_pos_grams(
-    docs: DataFrame, text_col: str, id_col: str, k: int
+    docs: DataFrame, text_col: str, id_col: str, k: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Every k-token gram occurrence as (id, pos, gh): pos 1-based, gh
     the md5 digest of the space-joined gram. Grouping downstream on the
     digest keeps shuffle keys 32 bytes regardless of gram length (the
     exact-dedup discipline: shuffle digests, never payloads) with
     2^-128-scale collision odds. One codegen zip-of-slices pass per
-    document, then posexplode — no UDFs."""
+    document, then posexplode — no UDFs.  `carry` names extra columns
+    to pass through unchanged (e.g. `source` for the streaming novelty
+    twin — cheaper than a join-back, and streaming-legal where a
+    stream-stream join would not be)."""
     from .text import tokens_col, word_ngrams_col
 
     toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("t")
+        F.col(id_col).alias("_id"), *carry,
+        tokens_col(F.col(text_col)).alias("t"),
     )
     return (
         toks.where(F.size("t") >= k)
-        .select("_id", F.posexplode(word_ngrams_col(F.col("t"), k)).alias("p0", "g"))
+        .select(
+            "_id", *carry,
+            F.posexplode(word_ngrams_col(F.col("t"), k)).alias("p0", "g"),
+        )
         .select(
             F.col("_id").alias(id_col),
+            *carry,
             (F.col("p0") + 1).alias("pos"),
             F.md5("g").alias("gh"),
         )

@@ -261,3 +261,80 @@ def running_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of the exact-substring family's crawl-increment read
+# (plans/dedup.ngram_novelty_rate): per-gram first-seen state.
+# --------------------------------------------------------------------------
+
+NOVELTY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_grams", T.LongType()),
+        T.StructField("n_repeat", T.LongType()),
+    ]
+)
+
+NOVELTY_STATE_SCHEMA = T.StructType(
+    [T.StructField("first_doc", T.LongType())]
+)
+
+
+def _update_novelty(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (first_doc,) = state.get if state.exists else (None,)
+    batch = pd.concat(list(pdfs))
+    # crawl order within the micro-batch: the same (doc, pos) order the
+    # batch query's min(doc*PACK + pos) argmin imposes
+    batch = batch.sort_values(["doc_id", "pos"])
+    n: dict[str, int] = {}
+    rep: dict[str, int] = {}
+    for doc_id, src in zip(batch["doc_id"], batch["source"]):
+        d = int(doc_id)
+        if first_doc is None:
+            first_doc = d
+        n[src] = n.get(src, 0) + 1
+        if first_doc < d:
+            rep[src] = rep.get(src, 0) + 1
+    state.update((int(first_doc),))
+    yield pd.DataFrame(
+        {
+            "source": list(n),
+            "n_grams": [n[s] for s in n],
+            "n_repeat": [rep.get(s, 0) for s in n],
+        }
+    )
+
+
+def novel_gram_increments(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Incremental n-gram novelty over a document stream — the online
+    form of plans/dedup.ngram_novelty_rate (crawl order = arrival
+    order): each k-token gram occurrence is a REPEAT iff the gram's
+    digest was first seen in an EARLIER document; state per digest is
+    that one first-seen doc id.  Each trigger appends per-(digest x
+    source) partial counts; summing them per source after any prefix
+    of increments gives exactly the batch query's (n_grams, n_repeat)
+    on that prefix — the number an acquisition team tails to see a
+    crawl increment's marginal value WITHOUT re-scanning the corpus.
+
+    Scale notes: the shuffle key is the 32-byte digest (payloads never
+    shuffle — the exact-dedup discipline); state is ONE long per
+    distinct gram, the same cardinality the batch query's groupBy(gh)
+    materializes per run, but carried incrementally. The transient
+    buffer is one digest's occurrences within one micro-batch (corpus
+    duplication bounded)."""
+    from ..operators.dedup import substring_pos_grams
+
+    grams = substring_pos_grams(
+        docs.select("doc_id", "source", "text"),
+        "text", "doc_id", k, carry=("source",),
+    )
+    return grams.groupBy("gh").applyInPandasWithState(
+        _update_novelty,
+        outputStructType=NOVELTY_OUTPUT_SCHEMA,
+        stateStructType=NOVELTY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
