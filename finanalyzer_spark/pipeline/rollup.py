@@ -136,3 +136,41 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def recluster(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str],
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE ZORDER BY on plain parquet (stage and swap): rewrite a
+    directory clustered on the Morton curve of `zorder_by`, so every
+    output file covers a compact z-range and its per-column min/max
+    footers prune on EVERY z-ordered dimension — the maintenance pass
+    that turns zorder_locality_audit's before/after numbers into an
+    actual layout. Returns the new file count.
+
+    Sibling of `compact`: compact fixes file COUNT after streaming
+    appends; recluster fixes file CONTENT after enough out-of-order
+    ingest that the envelope spans have drifted wide. Same
+    transactional story at 100 TB (this stage-swap becomes Delta/
+    Iceberg OPTIMIZE ZORDER BY), same one-range-shuffle cost as a
+    sorted write (operators/zorder.zorder_write)."""
+    from ..operators.zorder import zorder_write
+
+    if n_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = f"{path}.recluster-tmp"
+    zorder_write(df, tmp, zorder_by, n_files=n_files)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -423,3 +423,78 @@ def test_delta_merge_parity_when_available(spark, tmp_path):
     assert sorted(
         map(tuple, dspark.read.parquet(pq_path).collect())
     ) == swap_rows
+
+
+def test_recluster_improves_audit_locality(spark, tmp_path):
+    """pipeline.rollup.recluster (OPTIMIZE ZORDER BY on plain parquet,
+    stage-and-swap) must turn zorder_locality_audit's simulated
+    before/after numbers into a REAL layout: rewrite a time-sorted
+    orders table in place, recompute the audit's own metrics (per-file
+    min/max envelopes from the actual parquet footers, files touched
+    by a fixed 2-D box) and see the box touch strictly fewer files
+    with a collapsed customer-dimension span (VERDICT r9 #8)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from finanalyzer_spark.pipeline.rollup import recluster
+
+    orders = load(spark, SF_DIR).orders
+    d0 = orders.agg(F.min("o_orderdate")).collect()[0][0]
+    tbl = orders.select(
+        "o_orderkey", "o_custkey",
+        F.datediff("o_orderdate", F.lit(d0)).alias("d"),
+    )
+    n_files = 16
+    path = str(tmp_path / "orders_ingested")
+    # ingest order = time order: perfect d-envelopes, full-width
+    # o_custkey envelopes in every file
+    (
+        tbl.repartitionByRange(n_files, "d", "o_orderkey")
+        .sortWithinPartitions("d", "o_orderkey")
+        .write.parquet(path)
+    )
+
+    hi_c = int(tbl.agg(F.max("o_custkey")).collect()[0][0])
+    hi_d = int(tbl.agg(F.max("d")).collect()[0][0])
+    # the secondary-dimension query a time-sorted layout cannot prune:
+    # selective on customer, unconstrained on date
+    box = (0, hi_c // 8, 0, hi_d)
+
+    def audit(p):
+        touched, spans_c = 0, []
+        files = glob.glob(f"{p}/*.parquet")
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            c0 = min(md.row_group(g).column(idx["o_custkey"])
+                     .statistics.min for g in range(md.num_row_groups))
+            c1 = max(md.row_group(g).column(idx["o_custkey"])
+                     .statistics.max for g in range(md.num_row_groups))
+            dd0 = min(md.row_group(g).column(idx["d"])
+                      .statistics.min for g in range(md.num_row_groups))
+            dd1 = max(md.row_group(g).column(idx["d"])
+                      .statistics.max for g in range(md.num_row_groups))
+            spans_c.append(c1 - c0)
+            if (c0 <= box[1] and c1 >= box[0]
+                    and dd0 <= box[3] and dd1 >= box[2]):
+                touched += 1
+        return touched, sum(spans_c) / len(spans_c), len(files)
+
+    before_touched, before_cspan, before_nf = audit(path)
+    n_rows = spark.read.parquet(path).count()
+
+    got_files = recluster(spark, path, ["o_custkey", "d"],
+                          n_files=n_files)
+    after_touched, after_cspan, after_nf = audit(path)
+
+    assert got_files == n_files and after_nf == before_nf == n_files
+    # time-sorted ingest: every file spans ~the full customer range,
+    # so the customer-selective box touches ALL of them; the
+    # reclustered layout prunes on the customer dimension too
+    assert before_touched == n_files
+    assert after_touched < before_touched
+    assert after_cspan < before_cspan
+    # stage-and-swap must not change the data
+    assert spark.read.parquet(path).count() == n_rows
