@@ -224,6 +224,14 @@ ROUND_CHANGED = frozenset({
     # round-10 changed: probe census widened 9-way -> 10-way with the
     # ADTS/AAC-LC bucket
     "media_probe_summary",
+    # round-10 new: range (radius) vector search via multiprobe LSH
+    # with exact verification + its measured recall
+    "ann_radius_search",
+    "ann_radius_recall_eval",
+    # round-10 new: filtered vector search — exact pre-filter top-k
+    # baseline + the post-filter strategy's measured recall loss
+    "ann_filtered_topk",
+    "ann_postfilter_recall_eval",
 })
 
 

@@ -2497,3 +2497,390 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r10 — range (radius) search and filtered vector search: the two ANN
+# query shapes production retrieval systems need beyond top-k.
+# --------------------------------------------------------------------------
+
+_RADIUS_TAU = 0.3      #: cosine threshold for the range query
+_RADIUS_PLANES = 4     #: fewer planes than top-k LSH: range queries
+#: want bigger buckets (recall over precision — every candidate is
+#: exact-verified against tau anyway, so false positives only cost
+#: compute, while a missed bucket loses a true neighbor outright)
+_RADIUS_QCUT = 8
+
+
+def _radius_probes_sql() -> str:
+    return ", ".join(
+        ["q.bucket"]
+        + [f"xor(q.bucket, {2 ** i})" for i in range(_RADIUS_PLANES)]
+    )
+
+
+def _radius_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+           {_bucket_bits_sql(_RADIUS_PLANES, 64)} AS bucket
+        FROM e
+    ),
+    pr AS (
+        SELECT q.vec_id AS query_id, q.v AS qv,
+               unnest([{_radius_probes_sql()}]) AS pb
+        FROM b q WHERE q.vec_id < {_RADIUS_QCUT}
+    )
+    SELECT p.query_id, c.vec_id AS match_id,
+           round(list_cosine_similarity(p.qv, c.v), 5) + 0.0 AS cosine
+    FROM pr p JOIN b c ON c.bucket = p.pb
+    WHERE c.vec_id != p.query_id
+      AND round(list_cosine_similarity(p.qv, c.v), 5) >= {_RADIUS_TAU}
+    """
+
+
+@query(
+    "ann_radius_search",
+    oracle=_radius_oracle(),
+    tags=("similarity", "ann", "lsh", "scale-path"),
+)
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query (radius search): ALL corpus vectors with cosine >=
+    tau of each query — the dedup/recommendation shape where the
+    answer set size is data-dependent, not a fixed k. Scale path:
+    multiprobe hyperplane-LSH (own sign-bit bucket + every Hamming-1
+    neighbor) bounds the candidate set to (planes+1)/2^planes of the
+    corpus per query — no all-pairs — then exact cosine verifies every
+    candidate against the threshold, so false bucket-mates cost
+    compute but never wrong results; missed buckets are the measured
+    recall trade (ann_radius_recall_eval). Fewer planes than the
+    top-k path: range queries favor bigger buckets because
+    verification is exact, and for a near-orthogonal radius (tau=0.3
+    is ~72 degrees) per-plane agreement is only ~0.6, so single-probe
+    recall would collapse as 0.6^planes.
+
+    Scale shape: the probe fan-out explodes only the tiny broadcast
+    query side; candidates join on the bucket key; each corpus vector
+    lives in ONE bucket so the probe union needs no dedup; threshold
+    filter inside codegen; output is the (sparse) neighbor list."""
+    t = load(spark, sf_dir)
+    b = hyperplane_lsh_buckets(
+        t.embeddings, "embedding", num_planes=_RADIUS_PLANES, dim=64
+    )
+    probe_arr = F.array(
+        F.col("lsh_bucket"),
+        *[F.expr(f"lsh_bucket ^ {2 ** i}") for i in range(_RADIUS_PLANES)],
+    )
+    q = b.where(F.col("vec_id") < _RADIUS_QCUT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.explode(probe_arr).alias("pb"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("lsh_bucket").alias("pb"),
+        F.col("embedding").alias("_cvec"),
+    )
+    return (
+        c.join(F.broadcast(q), "pb")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5) + 0.0)
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= _RADIUS_TAU)
+    )
+
+
+def _radius_recall_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_RADIUS_QCUT}
+          AND round(list_cosine_similarity(q.v, c.v), 5) >= {_RADIUS_TAU}
+    ),
+    b AS (
+        SELECT vec_id, v,
+           {_bucket_bits_sql(_RADIUS_PLANES, 64)} AS bucket
+        FROM e
+    ),
+    pr AS (
+        SELECT q.vec_id AS query_id, q.v AS qv,
+               unnest([{_radius_probes_sql()}]) AS pb
+        FROM b q WHERE q.vec_id < {_RADIUS_QCUT}
+    ),
+    caught AS (
+        SELECT p.query_id, c.vec_id AS match_id
+        FROM pr p JOIN b c ON c.bucket = p.pb
+        WHERE c.vec_id != p.query_id
+          AND round(list_cosine_similarity(p.qv, c.v), 5) >= {_RADIUS_TAU}
+    )
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT count(*) FROM caught)::BIGINT AS n_caught,
+           round((SELECT count(*) FROM caught) * 1.0
+                 / (SELECT count(*) FROM truth), 6) + 0.0 AS recall
+    """
+
+
+@query(
+    "ann_radius_recall_eval",
+    oracle=_radius_recall_oracle(),
+    tags=("similarity", "ann", "eval"),
+)
+def ann_radius_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the LSH-bucketed radius search against the
+    brute-force >= tau truth set — the number that says whether
+    {planes} planes keep enough of the (data-dependent-size) answer.
+    Every caught pair is exact-verified, so precision is 1 by
+    construction; recall is the only free variable, and it is measured,
+    not read off the (1 - (1 - s^r)^b) curve."""
+    t = load(spark, sf_dir)
+    qs = t.embeddings.where(F.col("vec_id") < _RADIUS_QCUT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+    )
+    cs = t.embeddings.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    truth = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.col("match_id") != F.col("query_id"))
+        .where(
+            F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5)
+            >= _RADIUS_TAU
+        )
+        .select("query_id", "match_id")
+    )
+    caught = ann_radius_search(spark, sf_dir).select(
+        "query_id", "match_id", F.lit(1).alias("_hit")
+    )
+    n_truth = truth.join(
+        F.broadcast(caught), ["query_id", "match_id"], "left"
+    ).agg(
+        F.count("*").alias("n_truth"),
+        F.count("_hit").alias("n_caught"),
+    )
+    return n_truth.select(
+        "n_truth", "n_caught",
+        (F.round(F.col("n_caught") * 1.0 / F.col("n_truth"), 6) + 0.0)
+        .alias("recall"),
+    )
+
+
+_FILTER_QCUT = 8
+_FILTER_K = 5
+_FILTER_PREFETCH = 20  #: unfiltered candidates fetched by post-filter
+
+
+def _filtered_topk_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               round(list_cosine_similarity(q.v, c.v), 5) + 0.0 AS cosine
+        FROM e q
+        JOIN e c ON c.label = q.label AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {_FILTER_QCUT}
+    )
+    SELECT query_id, match_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_FILTER_K}
+    """
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=_filtered_topk_oracle(),
+    tags=("similarity", "ann", "filtered", "scale-path"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, PRE-FILTER strategy: top-k restricted
+    to corpus vectors satisfying a per-query metadata predicate (here
+    label == query label — the tenant/language/category case). The
+    filter attribute is the join key, so the predicate prunes the
+    candidate set BEFORE any distance arithmetic and the search within
+    the filter is EXACT — the right strategy whenever the filter is
+    selective, and the baseline a post-filter ANN must beat
+    (ann_postfilter_recall_eval measures what post-filtering loses).
+
+    Scale shape: candidates co-partitioned by the filter key (at
+    100 TB the corpus is bucketed/partitioned by exactly that key);
+    queries broadcast; per-query top-k via a bounded keyed window."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    q = t.embeddings.where(F.col("vec_id") < _FILTER_QCUT).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("embedding").alias("_qvec"),
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("match_id"), "label",
+        F.col("embedding").alias("_cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "label")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5) + 0.0)
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _FILTER_K)
+        .drop("_rn")
+    )
+
+
+def _postfilter_recall_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 5)
+                                DESC, c.vec_id
+                   ) AS rn
+            FROM e q
+            JOIN e c ON c.label = q.label AND c.vec_id != q.vec_id
+            WHERE q.vec_id < {_FILTER_QCUT}
+        ) WHERE rn <= {_FILTER_K}
+    ),
+    b AS (
+        SELECT vec_id, label, v,
+           {_bucket_bits_sql(8, 64)} AS bucket
+        FROM e
+    ),
+    pr AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel, q.v AS qv,
+               unnest([q.bucket,
+                       {", ".join(f"xor(q.bucket, {2 ** i})"
+                                  for i in range(8))}]) AS pb
+        FROM b q WHERE q.vec_id < {_FILTER_QCUT}
+    ),
+    prefetch AS (
+        SELECT query_id, match_id, mlabel, qlabel, cosine FROM (
+            SELECT p.query_id, c.vec_id AS match_id,
+                   c.label AS mlabel, p.qlabel,
+                   round(list_cosine_similarity(p.qv, c.v), 5) + 0.0
+                       AS cosine,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round(list_cosine_similarity(p.qv, c.v), 5)
+                                DESC, c.vec_id
+                   ) AS rn
+            FROM pr p JOIN b c ON c.bucket = p.pb
+            WHERE c.vec_id != p.query_id
+        ) WHERE rn <= {_FILTER_PREFETCH}
+    ),
+    post AS (
+        SELECT query_id, match_id FROM (
+            SELECT query_id, match_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, match_id
+                   ) AS rn
+            FROM prefetch WHERE mlabel = qlabel
+        ) WHERE rn <= {_FILTER_K}
+    )
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT count(*) FROM post)::BIGINT AS n_post,
+           (SELECT count(*) FROM truth t
+             JOIN post p USING (query_id, match_id))::BIGINT AS n_caught,
+           round((SELECT count(*) FROM truth t
+                   JOIN post p USING (query_id, match_id)) * 1.0
+                 / (SELECT count(*) FROM truth), 6) + 0.0 AS recall
+    """
+
+
+@query(
+    "ann_postfilter_recall_eval",
+    oracle=_postfilter_recall_oracle(),
+    tags=("similarity", "ann", "filtered", "eval"),
+)
+def ann_postfilter_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-filter pitfall MEASURED: fetch unfiltered multiprobe-
+    LSH candidates per query (own bucket + Hamming-1 probes, the
+    ann_multiprobe_topk machinery), apply the metadata filter
+    afterwards, keep the best k — then report recall against the true
+    filtered top-k (ann_filtered_topk's answer). Post-filtering loses
+    neighbors twice (bucket misses AND filter-eligible vectors crowded
+    out of the prefetch by ineligible ones); this eval prices that
+    against the pre-filter baseline, the standard over-fetch sizing
+    loop for filtered ANN."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir)
+    # true filtered top-k (the pre-filter answer)
+    truth = ann_filtered_topk(spark, sf_dir).select("query_id", "match_id")
+
+    b = hyperplane_lsh_buckets(t.embeddings, "embedding", num_planes=8, dim=64)
+    probe_arr = F.array(
+        F.col("lsh_bucket"),
+        *[F.expr(f"lsh_bucket ^ {2 ** i}") for i in range(8)],
+    )
+    q = b.where(F.col("vec_id") < _FILTER_QCUT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_qlabel"),
+        F.col("embedding").alias("_qvec"),
+        F.explode(probe_arr).alias("pb"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("label").alias("_mlabel"),
+        F.col("lsh_bucket").alias("pb"),
+        F.col("embedding").alias("_cvec"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    prefetch = (
+        c.join(F.broadcast(q), "pb")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id", "_qlabel", "_mlabel",
+            (F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), 5) + 0.0)
+            .alias("cosine"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _FILTER_PREFETCH)
+    )
+    post = (
+        prefetch.where(F.col("_mlabel") == F.col("_qlabel"))
+        .withColumn("_rn2", F.row_number().over(w))
+        .where(F.col("_rn2") <= _FILTER_K)
+        .select("query_id", "match_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        truth.join(F.broadcast(post), ["query_id", "match_id"], "left")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_caught"),
+        )
+        .crossJoin(F.broadcast(post.agg(F.count("*").alias("n_post"))))
+        .select(
+            "n_truth", "n_post", "n_caught",
+            (F.round(F.col("n_caught") * 1.0 / F.col("n_truth"), 6) + 0.0)
+            .alias("recall"),
+        )
+    )

@@ -372,6 +372,45 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "ann_radius_search": {
+        # multiprobe fan-out explodes the broadcast query side only;
+        # candidates equi-join on the bucket key; the tau filter is a
+        # plain codegen Filter — no window, no rank, no all-pairs
+        "must": ["Generate", "BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "SortMergeJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_radius_recall_eval": {
+        # caught side = the multiprobe bucket equi-join; the truth
+        # side's query×corpus scan is the deliberate broadcast NL join
+        # (same as cosine_topk / ann_recall_eval)
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_filtered_topk": {
+        # the metadata filter IS the join key (pre-filter strategy):
+        # candidates equi-join on label with the query side broadcast;
+        # bounded per-query rank window
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "SortMergeJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_postfilter_recall_eval": {
+        # truth = ann_filtered_topk (label equi-join); prefetch = the
+        # multiprobe bucket equi-join; intersections are tiny keyed
+        # joins. (The one nested loop is the deliberate 1-row n_post
+        # scalar crossJoin — linter WARN tier.)
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "ann_multiprobe_topk": {
         # 9-element probe explode on the tiny query side only; the
         # candidate side joins on the bucket key; bounded per-query
