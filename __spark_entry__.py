@@ -232,6 +232,13 @@ ROUND_CHANGED = frozenset({
     # baseline + the post-filter strategy's measured recall loss
     "ann_filtered_topk",
     "ann_postfilter_recall_eval",
+    # round-10 new: normality screen from exact power sums
+    "jarque_bera_order_value",
+    # round-10 new: parametric trend-regime break test
+    "chow_break_daily_revenue",
+    # round-10 new: historical tail-risk pair (VaR + expected
+    # shortfall) on daily revenue changes
+    "var_cvar_daily_revenue",
 })
 
 

@@ -1745,3 +1745,94 @@ def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(paas, 6) + 0.0).alias("paasche"),
         (F.round(F.sqrt(lasp * paas), 6) + 0.0).alias("fisher"),
     )
+
+
+# --------------------------------------------------------------------------
+# Historical VaR / CVaR on daily revenue changes (round 10)
+# --------------------------------------------------------------------------
+@query(
+    "var_cvar_daily_revenue",
+    # day-over-day revenue changes are exact integer cents; VaR is the
+    # interpolated 5% quantile (quantile_cont — the same definition
+    # grouped_exact_percentiles computes distributed), CVaR the exact
+    # integer mean of the changes at or below it. The d <= var
+    # comparison is integer-vs-identical-double, so membership in the
+    # tail is deterministic on both engines.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    diffs AS (
+        SELECT y - lag(y) OVER (ORDER BY d) AS dy FROM daily
+        QUALIFY dy IS NOT NULL
+    ),
+    v AS (SELECT quantile_cont(dy, 0.05) AS var95 FROM diffs)
+    SELECT (SELECT count(*) FROM diffs)::BIGINT AS n_days,
+           round(v.var95, 4) + 0.0 AS var95_cents,
+           round((SELECT avg(dy) FROM diffs WHERE dy <= v.var95), 4)
+               + 0.0 AS cvar95_cents,
+           (SELECT count(*) FROM diffs WHERE dy <= v.var95)::BIGINT
+               AS n_tail
+    FROM v
+    """,
+    tags=("finance", "risk", "percentile", "bounded-window"),
+)
+def var_cvar_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk and Conditional VaR (expected
+    shortfall) of day-over-day revenue changes: VaR is the empirical
+    5% quantile of the change distribution, CVaR the mean change at or
+    below it — the regulatory-style tail-risk pair that complements
+    max_drawdown (path risk) and garman_klass_volatility (dispersion)
+    with explicit tail numbers.
+
+    Scale shape + parity: one row per day first (calendar-bounded);
+    the lag is a window over that daily frame only (bounded-window
+    tag); the exact quantile comes from
+    operators/percentiles.grouped_exact_percentiles — range-partitioned
+    order statistics, NO holistic single-task percentile — and the
+    tail mean is one broadcast-scalar filter + exact integer mean."""
+    from ..operators.percentiles import grouped_exact_percentiles
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    diffs = (
+        daily.select(
+            (F.col("y") - F.lag("y").over(W.orderBy("d"))).alias("dy")
+        )
+        .where(F.col("dy").isNotNull())
+        .withColumn("_g", F.lit(1))
+    )
+    v = grouped_exact_percentiles(
+        diffs, ["_g"], "dy", [0.05], names=["var95"]
+    ).select("var95")
+    return (
+        diffs.crossJoin(F.broadcast(v))
+        .groupBy("var95")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.avg(F.when(F.col("dy") <= F.col("var95"), F.col("dy"))),
+                4,
+            ).alias("_cvar"),
+            F.sum(
+                F.when(F.col("dy") <= F.col("var95"), 1).otherwise(0)
+            ).cast("long").alias("n_tail"),
+        )
+        .select(
+            "n_days",
+            (F.round(F.col("var95"), 4) + 0.0).alias("var95_cents"),
+            (F.col("_cvar") + 0.0).alias("cvar95_cents"),
+            "n_tail",
+        )
+    )

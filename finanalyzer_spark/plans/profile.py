@@ -5906,3 +5906,265 @@ def tail_dependence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("tail_dependence"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality (round 10)
+# --------------------------------------------------------------------------
+@query(
+    "jarque_bera_order_value",
+    # all four raw power sums are exact DECIMAL(38,0) integers (cents
+    # to the 4th power stays under 1e38 at every test SF); the central
+    # moments, skewness, excess kurtosis and the JB statistic are one
+    # identical double expression per engine, then rounded.
+    oracle="""
+    WITH g AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(c AS DECIMAL(38,0))) AS s1,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS s2,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+                   * CAST(c AS DECIMAL(38,0))) AS s3,
+               sum((CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   * (CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))))
+                   AS s4
+        FROM g
+    ),
+    d AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+               CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+               CAST(s4 AS DOUBLE) AS s4
+        FROM mo
+    ),
+    m AS (
+        SELECT n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(m3 / pow(m2, 1.5), 6) + 0.0 AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) + 0.0 AS ex_kurtosis,
+           round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3, 2) / 4.0), 4) + 0.0 AS jb_stat
+    FROM m
+    """,
+    tags=("profile", "stats", "distribution"),
+)
+def jarque_bera_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order values: skewness and excess
+    kurtosis from exact integer power sums, JB = n/6 (S^2 + K^2/4)
+    (Jarque & Bera 1980) — the one-number screen run before any
+    Gaussian-assuming monitor (z-score anomaly flags, three-sigma
+    control bands) is trusted on a revenue series.
+
+    Scale shape + parity: ONE map-side-combined aggregate pass for the
+    four power sums (exact DECIMAL — cents^4 stays under 1e38 at every
+    test SF; at true 100 TB scale the c^4 sum would switch to per-
+    partition doubles with a documented tolerance), then scalar
+    arithmetic on a one-row frame."""
+    t = load(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = t.orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    )
+    c = F.col("c").cast(dec)
+    mo = g.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * c * c).alias("s3"),
+        F.sum((c * c) * (c * c)).alias("s4"),
+    )
+    d = mo.select(
+        *[F.col(x).cast("double").alias(x)
+          for x in ("n", "s1", "s2", "s3", "s4")]
+    )
+    mu = F.col("s1") / F.col("n")
+    m = d.select(
+        "n",
+        (F.col("s2") / F.col("n") - mu * mu).alias("m2"),
+        (
+            F.col("s3") / F.col("n")
+            - 3 * mu * (F.col("s2") / F.col("n"))
+            + 2 * mu * mu * mu
+        ).alias("m3"),
+        (
+            F.col("s4") / F.col("n")
+            - 4 * mu * (F.col("s3") / F.col("n"))
+            + 6 * mu * mu * (F.col("s2") / F.col("n"))
+            - 3 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    exk = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    return m.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (F.round(skew, 6) + 0.0).alias("skewness"),
+        (F.round(exk, 6) + 0.0).alias("ex_kurtosis"),
+        (
+            F.round(
+                F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(exk, 2) / 4.0),
+                4,
+            ) + 0.0
+        ).alias("jb_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chow structural-break test (round 10)
+# --------------------------------------------------------------------------
+@query(
+    "chow_break_daily_revenue",
+    # daily revenue cents are exact integers; per-regime OLS sums are
+    # exact DECIMAL moments; each regime's SSR and the F statistic are
+    # identical double expressions. The break point is the calendar
+    # midpoint (floor(n/2)) — a literal once n is known, so both
+    # engines split identically.
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY d) - 1 AS i FROM daily
+    ),
+    tot AS (SELECT count(*) AS n FROM idx),
+    lab AS (
+        SELECT i, y, CASE WHEN i < n // 2 THEN 0 ELSE 1 END AS r
+        FROM idx, tot
+    ),
+    mo AS (
+        SELECT r,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(i AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(i AS DECIMAL(38,0))
+                        * CAST(i AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(i AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(y AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM lab GROUP BY r
+    ),
+    ssr AS (
+        SELECT r, n,
+               (syy - sy * sy / n)
+               - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / (sxx - sx * sx / n) AS ssr
+        FROM mo
+    ),
+    pooled AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS n,
+               CAST(sum(sx) AS DOUBLE) AS sx,
+               CAST(sum(sy) AS DOUBLE) AS sy,
+               CAST(sum(sxx) AS DOUBLE) AS sxx,
+               CAST(sum(sxy) AS DOUBLE) AS sxy,
+               CAST(sum(syy) AS DOUBLE) AS syy
+        FROM mo
+    ),
+    pssr AS (
+        SELECT n,
+               (syy - sy * sy / n)
+               - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / (sxx - sx * sx / n) AS ssr
+        FROM pooled
+    )
+    SELECT CAST(p.n AS BIGINT) AS n_days,
+           CAST(p.n AS BIGINT) // 2 AS break_at,
+           round(p.ssr, 2) + 0.0 AS ssr_pooled,
+           round((SELECT sum(ssr) FROM ssr), 2) + 0.0 AS ssr_split,
+           round(((p.ssr - (SELECT sum(ssr) FROM ssr)) / 2)
+                 / ((SELECT sum(ssr) FROM ssr) / (p.n - 4)), 6) + 0.0
+               AS f_stat
+    FROM pssr p
+    """,
+    tags=("profile", "stats", "timeseries", "bounded-window"),
+)
+def chow_break_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue trend at
+    the calendar midpoint: fit y ~ i pooled and separately on each
+    half, F = ((SSR_p - SSR_1 - SSR_2)/k) / ((SSR_1 + SSR_2)/(n - 2k))
+    with k = 2 (Chow 1960) — the regime-change question behind
+    cusum_changepoint and pettitt_changepoint asked parametrically of
+    the TREND, not the level.
+
+    Scale shape + parity: one row per day first (calendar-bounded);
+    the day index is a window over that daily frame only
+    (bounded-window tag); per-regime OLS moments are exact DECIMAL
+    sums; SSRs and F are scalar double arithmetic on a 2-row frame."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    idx = daily.select(
+        "y", (F.row_number().over(W.orderBy("d")) - 1).alias("i")
+    )
+    tot = idx.agg(F.count("*").alias("n"))
+    lab = idx.crossJoin(F.broadcast(tot)).select(
+        "i", "y",
+        F.when(F.col("i") < F.floor(F.col("n") / 2), 0)
+        .otherwise(1).alias("r"),
+    )
+    dec = "decimal(38,0)"
+    xi, yi = F.col("i").cast(dec), F.col("y").cast(dec)
+    mo = lab.groupBy("r").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xi).cast("double").alias("sx"),
+        F.sum(yi).cast("double").alias("sy"),
+        F.sum(xi * xi).cast("double").alias("sxx"),
+        F.sum(xi * yi).cast("double").alias("sxy"),
+        F.sum(yi * yi).cast("double").alias("syy"),
+    )
+
+    def ssr_col():
+        return (
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            - (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        )
+
+    split = mo.select(ssr_col().alias("ssr")).agg(
+        F.sum("ssr").alias("ssr_split")
+    )
+    pooled = mo.agg(
+        F.sum("n").cast("double").alias("n"),
+        F.sum("sx").cast("double").alias("sx"),
+        F.sum("sy").cast("double").alias("sy"),
+        F.sum("sxx").cast("double").alias("sxx"),
+        F.sum("sxy").cast("double").alias("sxy"),
+        F.sum("syy").cast("double").alias("syy"),
+    ).select("n", ssr_col().alias("ssr_pooled"))
+    return (
+        pooled.crossJoin(F.broadcast(split))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            (F.col("n").cast("long") / 2).cast("long").alias("break_at"),
+            (F.round(F.col("ssr_pooled"), 2) + 0.0).alias("ssr_pooled"),
+            (F.round(F.col("ssr_split"), 2) + 0.0).alias("ssr_split"),
+            (
+                F.round(
+                    ((F.col("ssr_pooled") - F.col("ssr_split")) / 2)
+                    / (F.col("ssr_split") / (F.col("n") - 4)),
+                    6,
+                ) + 0.0
+            ).alias("f_stat"),
+        )
+    )

@@ -147,6 +147,33 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["HashAggregate"],
         "must_not": ["Window", "SortMergeJoin", "BroadcastHashJoin"],
     },
+    "jarque_bera_order_value": {
+        # one map-side-combined exact-DECIMAL power-sum pass, then
+        # scalar arithmetic on a one-row frame — no joins, no windows
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin", "Window",
+                     "BroadcastNestedLoopJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "chow_break_daily_revenue": {
+        # day collapse first; the index window rides the calendar-
+        # bounded daily frame (bounded-window tag); regime OLS moments
+        # in one keyed aggregate; the 1-row pooled/split combine is
+        # the deliberate scalar crossJoin (linter WARN tier)
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+        "no_global_sort": True,
+    },
+    "var_cvar_daily_revenue": {
+        # daily collapse; lag over the calendar-bounded daily frame;
+        # the exact quantile is grouped_exact_percentiles' range-
+        # partitioned order statistics (no holistic percentile); the
+        # VaR scalar broadcasts into the tail mean
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin"],
+        "no_global_sort": True,
+    },
     "price_percentiles": {
         # distributed order statistics: the range shuffle happens
         # BEFORE a localCheckpoint (pinning the sampled boundaries —
