@@ -239,6 +239,9 @@ ROUND_CHANGED = frozenset({
     # round-10 new: historical tail-risk pair (VaR + expected
     # shortfall) on daily revenue changes
     "var_cvar_daily_revenue",
+    # round-10 new: ID3v2 tag extraction coexisting with the audio
+    # probe behind the tag
+    "media_id3_tags",
 })
 
 

@@ -2071,3 +2071,76 @@ def probe_media(buf: bytes) -> dict:
             return {**out, "kind": "archive", "container": "warc.gz",
                     "codec": "warc"}
     return out
+
+
+# --------------------------------------------------------------------------
+# ID3v2.3 tag read/write (round 10) — the metadata layer of an audio
+# crawl; probe_media already SKIPS the tag, this parses it.
+# --------------------------------------------------------------------------
+
+def encode_id3v2_stub(fields: dict[str, str]) -> bytes:
+    """ID3v2.3 tag bytes from {frame_id: text}: each frame is
+    [4-byte id][4-byte size BE][2 flag bytes][0x00 latin-1 enc][text];
+    the header size field is syncsafe (7 bits per byte) per the
+    informal id3.org v2.3.0 spec. Latin-1 only — fixture writer for
+    the parse path, not a general tagger."""
+    body = bytearray()
+    for fid, text in fields.items():
+        if len(fid) != 4:
+            raise ValueError(f"ID3 frame id must be 4 chars: {fid!r}")
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode("ascii")
+        body += len(payload).to_bytes(4, "big")
+        body += b"\x00\x00"
+        body += payload
+    size = len(body)
+    if size >= 1 << 28:
+        raise ValueError("ID3 tag too large for a syncsafe size")
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"ID3\x03\x00\x00" + ss + bytes(body)
+
+
+def parse_id3v2(buf: bytes) -> dict[str, str]:
+    """Text frames of a leading ID3v2.3/2.4 tag as {frame_id: text}
+    (latin-1 and UTF-16-with-BOM encodings; other encodings and
+    non-text frames are skipped, not errors — tags in the wild are
+    dirty and a metadata pass must not abort the corpus scan).
+    Returns {} when the payload carries no ID3v2 tag."""
+    if buf[:3] != b"ID3" or len(buf) < 10:
+        return {}
+    ver = buf[3]
+    size = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+    end = min(10 + size, len(buf))
+    pos = 10
+    out: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = buf[pos:pos + 4]
+        if not fid.strip(b"\x00"):
+            break  # padding reached
+        raw = buf[pos + 4:pos + 8]
+        if ver >= 4:  # v2.4 frame sizes are syncsafe
+            flen = ((raw[0] & 0x7F) << 21) | ((raw[1] & 0x7F) << 14) \
+                | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
+        else:
+            flen = int.from_bytes(raw, "big")
+        payload = buf[pos + 10:pos + 10 + flen]
+        pos += 10 + flen
+        if len(payload) < 1 or not fid.startswith(b"T"):
+            continue
+        enc, text = payload[0], payload[1:]
+        try:
+            if enc == 0:
+                val = text.decode("latin-1")
+            elif enc == 1:
+                val = text.decode("utf-16")
+            elif enc == 3:
+                val = text.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        out[fid.decode("ascii")] = val.rstrip("\x00")
+    return out

@@ -2285,3 +2285,97 @@ def media_ogg_flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     )
+
+
+@query(
+    "media_id3_tags",
+    # tag fields are constructed closed-form from document columns
+    # (title = first 12 chars, artist = source, album = 'lang-'+lang,
+    # track = doc_id % 30 + 1), so the round trip through the ID3v2.3
+    # byte layout is certified by recomputing them in SQL: one wrong
+    # frame size, syncsafe byte or encoding marker anywhere shifts a
+    # parsed value and breaks the hash. The MP3 stream after the tag
+    # also pins that tag parsing and audio probing COEXIST (the probe
+    # must skip exactly the tag the parser reads).
+    oracle="""
+    SELECT doc_id AS media_id,
+           substr(text, 1, 12) AS title,
+           source AS artist,
+           'lang-' || lang AS album,
+           CAST(doc_id % 30 + 1 AS BIGINT) AS track,
+           'mp3' AS codec,
+           CAST(3 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id % 19 = 3
+    """,
+    tags=("multimodal", "probe", "audio", "metadata"),
+)
+def media_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 metadata extraction over an audio corpus (round 10): per
+    sampled document, build an ID3v2.3-tagged MP3 (tag fields derived
+    from the document, spec-valid MPEG frames after it — the decode
+    tier refuses perceptual audio, the METADATA tier must still read
+    it), parse the tag back (operators/multimodal.parse_id3v2) and
+    probe the audio stream behind it — the title/artist/album/track
+    census a crawl pipeline runs to catalogue a podcast/music corpus
+    it never decodes.
+
+    Scale shape: one Arrow mapInPandas over the sampled rows; parsed
+    fields are short strings, payloads never shuffle."""
+    t = load(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") % 19 == 3).select(
+        "doc_id", "lang", "source",
+        F.substring("text", 1, 12).alias("title"),
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..operators.multimodal import (
+            encode_id3v2_stub,
+            encode_mpeg_audio_stub,
+            parse_id3v2,
+            probe_media,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, source, title in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"], pdf["title"]
+            ):
+                tag = encode_id3v2_stub(
+                    {
+                        "TIT2": str(title),
+                        "TPE1": str(source),
+                        "TALB": f"lang-{lang}",
+                        "TRCK": str(int(doc_id) % 30 + 1),
+                    }
+                )
+                buf = tag + encode_mpeg_audio_stub(n_frames=3, xing=True)
+                got = parse_id3v2(buf)
+                p = probe_media(buf)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "title": got.get("TIT2"),
+                        "artist": got.get("TPE1"),
+                        "album": got.get("TALB"),
+                        "track": int(got.get("TRCK", "0")),
+                        "codec": p["codec"],
+                        "n_frames": p["n_frames"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "title", "artist", "album", "track",
+                    "codec", "n_frames",
+                ],
+            )
+
+    return docs.repartition(8).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, title string, artist string, album string,"
+            " track long, codec string, n_frames long"
+        ),
+    )

@@ -113,6 +113,17 @@ FAMILIES: dict[str, list[str]] = {
     "graph4": [
         "adamic_adar_link_prediction",
     ],
+    # round-10: range and filtered vector search ride the 10x-jittered
+    # vectors — the radius query's candidate bound is
+    # (planes+1)/2^planes of the corpus PER QUERY (query count fixed),
+    # and the filtered path joins on the label key, so both claim
+    # ~linear-in-corpus
+    "ann3": [
+        "ann_radius_search",
+        "ann_radius_recall_eval",
+        "ann_filtered_topk",
+        "ann_postfilter_recall_eval",
+    ],
 }
 
 LINKED = ["customer", "nation", "part", "region", "supplier", "events"]

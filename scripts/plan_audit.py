@@ -1964,6 +1964,13 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "media_id3_tags": {
+        "must": [],
+        "must_not": ['CartesianProduct', 'BroadcastNestedLoopJoin',
+                     'SortMergeJoin'],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "minmax_scale": {
         "must": [],
         "must_not": ['CartesianProduct'],

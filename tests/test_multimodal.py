@@ -1562,3 +1562,50 @@ def test_probe_media_exif_orientation():
                 + struct.pack(">HH", 9, 0) + struct.pack(">I", 0))
     assert probe_media(with_exif(tiff_bad))["exif_orientation"] is None
     assert probe_media(with_exif(b"MM\x00"))["exif_orientation"] is None
+
+
+def test_id3v2_roundtrip_and_dirty_tags():
+    """ID3v2.3 write/parse round trip plus the dirty-tag contract: a
+    metadata pass must skip unknown encodings, non-text frames and
+    padding rather than abort (r10)."""
+    from finanalyzer_spark.operators.multimodal import (
+        encode_id3v2_stub,
+        encode_mpeg_audio_stub,
+        parse_id3v2,
+        probe_media,
+    )
+
+    fields = {"TIT2": "A Title", "TPE1": "An Artist", "TALB": "Album!",
+              "TRCK": "12"}
+    tag = encode_id3v2_stub(fields)
+    assert parse_id3v2(tag) == fields
+    # tag + audio: parser reads the tag, probe skips it to the frames
+    buf = tag + encode_mpeg_audio_stub(n_frames=4, xing=True)
+    assert parse_id3v2(buf) == fields
+    p = probe_media(buf)
+    assert (p["codec"], p["n_frames"]) == ("mp3", 4)
+
+    # UTF-16 text frame (encoding byte 1, BOM) parses too
+    payload = b"\x01" + "Grüße".encode("utf-16")
+    frame = b"TIT2" + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+    size = len(frame)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    assert parse_id3v2(b"ID3\x03\x00\x00" + ss + frame) == {
+        "TIT2": "Grüße"}
+
+    # dirty tags: unknown encoding byte, binary APIC frame, padding —
+    # all skipped, the good frame still comes back
+    good = b"\x00Good"
+    gframe = b"TALB" + len(good).to_bytes(4, "big") + b"\x00\x00" + good
+    bad = b"\x09????"
+    bframe = b"TIT2" + len(bad).to_bytes(4, "big") + b"\x00\x00" + bad
+    apic = b"APIC" + (4).to_bytes(4, "big") + b"\x00\x00" + b"\xff\xd8\xff\xe0"
+    body = bframe + apic + gframe + b"\x00" * 16
+    size = len(body)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    assert parse_id3v2(b"ID3\x03\x00\x00" + ss + body) == {"TALB": "Good"}
+
+    # no tag at all -> {}
+    assert parse_id3v2(b"\xff\xfb\x90\x00" + bytes(32)) == {}
