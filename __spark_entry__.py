@@ -242,6 +242,8 @@ ROUND_CHANGED = frozenset({
     # round-10 new: ID3v2 tag extraction coexisting with the audio
     # probe behind the tag
     "media_id3_tags",
+    # round-10 new: Gumbel block-maxima fit + annual return level
+    "gumbel_weekly_max_revenue",
 })
 
 

@@ -1836,3 +1836,127 @@ def var_cvar_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tail",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gumbel extreme-value fit on weekly block maxima (round 10)
+# --------------------------------------------------------------------------
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_T = 52  #: return period in blocks (weeks) — one trading year
+
+
+@query(
+    "gumbel_weekly_max_revenue",
+    # weekly block maxima are exact integer cents (max of exact daily
+    # sums); their first two moments come from exact DECIMAL sums; the
+    # method-of-moments Gumbel parameters and the T-block return level
+    # are one identical double expression per engine (the Euler-
+    # Mascheroni literal is interpolated into both from the same
+    # Python float, so the IEEE arithmetic matches bit for bit).
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    blocks AS (
+        SELECT date_trunc('week', d) AS w, max(y) AS m
+        FROM daily GROUP BY 1
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(m AS DECIMAL(38,0))) AS s,
+               sum(CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0)))
+                   AS ss
+        FROM blocks
+    ),
+    d AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1)) AS sd
+        FROM mo
+    ),
+    p AS (
+        SELECT n, mean, sd,
+               sd * sqrt(6.0) / pi() AS beta
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round(mean - {_EULER_GAMMA!r} * beta, 4) + 0.0 AS gumbel_loc,
+           round(beta, 4) + 0.0 AS gumbel_scale,
+           round((mean - {_EULER_GAMMA!r} * beta)
+                 - beta * ln(-ln(1.0 - 1.0 / {_GUMBEL_T})), 4) + 0.0
+               AS return_level_{_GUMBEL_T}w
+    FROM p
+    """,
+    tags=("finance", "risk", "stats"),
+)
+def gumbel_weekly_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of weekly peak revenue: fit a Gumbel
+    (EV-I) distribution to weekly block maxima by method of moments
+    (scale = s sqrt(6)/pi, loc = mean - gamma*scale — the classical
+    Fisher-Tippett block-maxima recipe) and report the {T}-week return
+    level, the 'once-a-year peak' a capacity planner provisions for —
+    the extreme-tail complement to var_cvar_daily_revenue (which
+    prices the 5% tail, not the annual maximum).
+
+    Scale shape + parity: daily collapse, weekly max (both keyed
+    aggregates — no windows at all), one exact-DECIMAL moment pass
+    over the ~n_weeks-row block frame, scalar double arithmetic."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    blocks = daily.groupBy(F.date_trunc("week", "d").alias("w")).agg(
+        F.max("y").alias("m")
+    )
+    dec = "decimal(38,0)"
+    mo = blocks.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("m").cast(dec)).alias("s"),
+        F.sum(F.col("m").cast(dec) * F.col("m").cast(dec)).alias("ss"),
+    )
+    d = mo.select(
+        F.col("n").cast("double").alias("n"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mean"
+        ),
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / (F.col("n").cast("double") - 1)
+        ).alias("sd"),
+    )
+    import math
+
+    p = d.select(
+        "n", "mean",
+        (F.col("sd") * math.sqrt(6.0) / math.pi).alias("beta"),
+    )
+    loc = F.col("mean") - _EULER_GAMMA * F.col("beta")
+    return p.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        (F.round(loc, 4) + 0.0).alias("gumbel_loc"),
+        (F.round(F.col("beta"), 4) + 0.0).alias("gumbel_scale"),
+        (
+            F.round(
+                loc
+                - F.col("beta")
+                * F.log(-F.log(F.lit(1.0) - 1.0 / _GUMBEL_T)),
+                4,
+            ) + 0.0
+        ).alias(f"return_level_{_GUMBEL_T}w"),
+    )

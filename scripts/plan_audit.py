@@ -165,6 +165,15 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["CartesianProduct", "SortMergeJoin"],
         "no_global_sort": True,
     },
+    "gumbel_weekly_max_revenue": {
+        # daily collapse -> weekly max -> one-row moment frame: keyed
+        # aggregates only, no windows, no joins beyond the scalar
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin", "Window",
+                     "BroadcastNestedLoopJoin"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "var_cvar_daily_revenue": {
         # daily collapse; lag over the calendar-bounded daily frame;
         # the exact quantile is grouped_exact_percentiles' range-
