@@ -244,6 +244,8 @@ ROUND_CHANGED = frozenset({
     "media_id3_tags",
     # round-10 new: Gumbel block-maxima fit + annual return level
     "gumbel_weekly_max_revenue",
+    # round-10 new: additive Holt-Winters weekly-seasonal backtest
+    "holt_winters_weekly_backtest",
 })
 
 

@@ -6168,3 +6168,180 @@ def chow_break_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal backtest (round 10)
+# --------------------------------------------------------------------------
+_HW_ALPHA = 0.5    #: exact binary fractions (see _HOLT_ALPHA note)
+_HW_BETA = 0.25
+_HW_GAMMA = 0.25
+_HW_M = 7          #: weekly season on the daily frame
+_HW_ROUND = 6
+
+
+def _hw_oracle() -> str:
+    a, b, g, rnd, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_ROUND, _HW_M
+    # the new level, inlined wherever the step needs it (SQL cannot
+    # reference a sibling select-list alias)
+    lp = (
+        f"round({a} * (CAST(i.rev AS DOUBLE) - h.s1)"
+        f" + (1.0 - {a}) * (h.l + h.b), {rnd})"
+    )
+    err = (
+        "CAST(round(CAST(i.rev AS DOUBLE)"
+        " - (h.l + h.b + h.s1), 0) AS BIGINT)"
+    )
+    s_init = ", ".join(
+        f"round(CAST((SELECT rev FROM idx WHERE t = {m + 1 + i})"
+        f" AS DOUBLE) - m2.v, {rnd})"
+        for i in range(m)
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY d) AS t, rev FROM daily
+    ),
+    m1 AS (SELECT sum(rev) / {m}.0 AS v FROM idx WHERE t <= {m}),
+    m2 AS (SELECT sum(rev) / {m}.0 AS v FROM idx
+           WHERE t BETWEEN {m + 1} AND {2 * m}),
+    hw(t, l, b, s1, s2, s3, s4, s5, s6, s7, sae, sse, cnt) AS (
+        SELECT {2 * m}::BIGINT,
+               round(m2.v, {rnd}),
+               round((m2.v - m1.v) / {m}.0, {rnd}),
+               {s_init},
+               CAST(0 AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)),
+               0::BIGINT
+        FROM m1, m2
+        UNION ALL
+        SELECT h.t + 1,
+               {lp},
+               round({b} * ({lp} - h.l) + (1.0 - {b}) * h.b, {rnd}),
+               h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+               round({g} * (CAST(i.rev AS DOUBLE) - {lp})
+                     + (1.0 - {g}) * h.s1, {rnd}),
+               h.sae + CAST(abs({err}) AS DECIMAL(38,0)),
+               h.sse + CAST({err} AS DECIMAL(38,0))
+                     * CAST({err} AS DECIMAL(38,0)),
+               h.cnt + 1
+        FROM hw h JOIN idx i ON i.t = h.t + 1
+    )
+    SELECT cnt AS n_forecasts,
+           round(CAST(sae AS DOUBLE) / cnt / 100.0, 4) + 0.0
+               AS mae_dollars,
+           round(sqrt(CAST(sse AS DOUBLE) / cnt) / 100.0, 4) + 0.0
+               AS rmse_dollars,
+           round(l / 100.0, 2) + 0.0 AS final_level_dollars,
+           round(b / 100.0, 2) + 0.0 AS final_trend_dollars,
+           round(greatest(s1, s2, s3, s4, s5, s6, s7) / 100.0, 2) + 0.0
+               AS max_seasonal_dollars,
+           round(least(s1, s2, s3, s4, s5, s6, s7) / 100.0, 2) + 0.0
+               AS min_seasonal_dollars
+    FROM hw
+    WHERE t = (SELECT max(t) FROM idx)
+    """
+
+
+@query(
+    "holt_winters_weekly_backtest",
+    oracle=_hw_oracle(),
+    tags=("profile", "timeseries", "eval", "forecast"),
+)
+def holt_winters_weekly_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-step-ahead backtest of additive Holt-Winters with a weekly
+    season on daily revenue (alpha={_HW_ALPHA}, beta={_HW_BETA},
+    gamma={_HW_GAMMA}; Winters 1960, FPP §8.3): level/trend plus a
+    rotating {_HW_M}-slot seasonal state, forecast yhat_t = l + b +
+    s_(t-m), initialized from the first two weeks (level = week-2
+    mean, trend = week-over-week mean change / m, seasonals = week-2
+    deviations) — the model that must beat holt_forecast_backtest
+    wherever seasonal_decompose_weekday shows weekday structure.
+
+    Scale shape + parity: identical to holt_forecast_backtest — the
+    facts collapse to the calendar-bounded daily frame; only that
+    frame enters the single-group applyInPandas carrying the 9-number
+    state; the oracle replays the recurrence as a recursive CTE whose
+    seasonal vector rides 7 rotating columns; per-step HALF_UP
+    rounding + integer-cent errors keep both engines bit-aligned."""
+    import pandas as pd
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    a, b_, g, rnd, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_ROUND, _HW_M
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        def r_half_up(x: float, k: int) -> float:
+            s = 10.0 ** k
+            return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+        cols = [
+            "n_forecasts", "mae_dollars", "rmse_dollars",
+            "final_level_dollars", "final_trend_dollars",
+            "max_seasonal_dollars", "min_seasonal_dollars",
+        ]
+        pdf = pdf.sort_values("d")
+        y = pdf["rev"].to_numpy()
+        if len(y) < 2 * m + 1:
+            return pd.DataFrame(columns=cols)
+        m1 = float(y[:m].sum()) / m
+        m2 = float(y[m:2 * m].sum()) / m
+        lvl = r_half_up(m2, rnd)
+        trd = r_half_up((m2 - m1) / m, rnd)
+        s = [r_half_up(float(y[m + i]) - m2, rnd) for i in range(m)]
+        sae = sse = cnt = 0
+        for yt in y[2 * m:]:
+            e = int(r_half_up(float(yt) - (lvl + trd + s[0]), 0))
+            sae += abs(e)
+            sse += e * e
+            cnt += 1
+            new_l = r_half_up(
+                a * (float(yt) - s[0]) + (1.0 - a) * (lvl + trd), rnd
+            )
+            new_b = r_half_up(
+                b_ * (new_l - lvl) + (1.0 - b_) * trd, rnd
+            )
+            new_s = r_half_up(
+                g * (float(yt) - new_l) + (1.0 - g) * s[0], rnd
+            )
+            s = s[1:] + [new_s]
+            lvl, trd = new_l, new_b
+        return pd.DataFrame(
+            [{
+                "n_forecasts": cnt,
+                "mae_dollars": r_half_up(sae / cnt / 100.0, 4) + 0.0,
+                "rmse_dollars": r_half_up(
+                    math.sqrt(sse / cnt) / 100.0, 4) + 0.0,
+                "final_level_dollars": r_half_up(lvl / 100.0, 2) + 0.0,
+                "final_trend_dollars": r_half_up(trd / 100.0, 2) + 0.0,
+                "max_seasonal_dollars": r_half_up(
+                    max(s) / 100.0, 2) + 0.0,
+                "min_seasonal_dollars": r_half_up(
+                    min(s) / 100.0, 2) + 0.0,
+            }]
+        )
+
+    return daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        kernel,
+        schema=(
+            "n_forecasts long, mae_dollars double, rmse_dollars double,"
+            " final_level_dollars double, final_trend_dollars double,"
+            " max_seasonal_dollars double, min_seasonal_dollars double"
+        ),
+    ).drop("_g")

@@ -476,6 +476,14 @@ EXPECTATIONS: dict[str, dict] = {
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_sort": True,
     },
+    "holt_winters_weekly_backtest": {
+        # same contract as holt_forecast_backtest: daily collapse,
+        # then one Arrow grouped-map carrying the (l, b, s[7]) state
+        "must": ["HashAggregate", "FlatMapGroupsInPandas"],
+        "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                     "BatchEvalPython"],
+        "no_global_sort": True,
+    },
     "holt_forecast_backtest": {
         # fact table collapses to the calendar-bounded daily frame,
         # then ONE Arrow grouped-map carries the sequential recurrence
