@@ -46,13 +46,23 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`;
     `component` is the minimum node id of the connected component.
 
     Exact (runs to fixpoint; `max_iter` is a safety bound — with
     pointer jumping 25 rounds covers graphs of diameter ~2^25).
-    """
+
+    Per round (the kcore/label-prop discipline, r10): the label frame
+    — one row per node, shrinking in label cardinality — is
+    localCheckpointed once and BROADCAST into the neighbor join, so
+    the persisted symmetric edge frame never re-shuffles inside the
+    loop; the min-label frame is materialized BEFORE the pointer-jump
+    self-join (both join sides derive from it — without the
+    checkpoint the union+groupBy subtree executes twice per round).
+    `broadcast_nodes=False` keeps shuffle joins for graphs whose node
+    set alone exceeds broadcast budget."""
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -69,21 +79,26 @@ def connected_components(
     )
 
     for i in range(max_iter):
+        lab_b = F.broadcast(labels) if broadcast_nodes else labels
         nbr = sym.join(
-            labels.withColumnRenamed("node", "b"), "b"
+            lab_b.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
+        # materialize the min-label frame once: the pointer-jump
+        # self-join consumes it on BOTH sides
         new = (
             labels.select("node", "label")
             .union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         # pointer jumping: follow the label one hop (label is always a
         # live node id, so the join is inner)
         hop = new.select(
             F.col("node").alias("label"), F.col("label").alias("_label2")
         )
-        new = new.join(hop, "label").select(
+        hop_b = F.broadcast(hop) if broadcast_nodes else hop
+        new = new.join(hop_b, "label").select(
             "node", F.least("label", "_label2").alias("label")
         )
         new = new.localCheckpoint()
