@@ -26,13 +26,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: names that have already received a driver-side CORRECTNESS row
-#: (union of the CORRECTNESS_r01-r09 samples — 338/366 as of round 9;
-#: the 28 round-9 names the ~50-query sample could not reach live in
-#: NEVER_SAMPLED below and are fronted outright). Listing never-sampled
-#: names FIRST steers a prefix/ordered sampler toward them so the
-#: verified union widens each round. Refresh per round from the
+#: (union of the CORRECTNESS_r01-r10 samples — 377/377 as of round 10:
+#: the driver-verified union is CLOSED). Listing never-sampled names
+#: FIRST steers a prefix/ordered sampler toward them so the verified
+#: union widens each round. Refresh per round from the
 #: CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r10 sample (all green, CORRECTNESS_r10.json — 50/50; closed
+    # the union: all 28 never-sampled r9 names + all 12 r10 names) ---
+    "adamic_adar_link_prediction", "ann_filtered_topk",
+    "ann_postfilter_recall_eval", "ann_radius_recall_eval",
+    "ann_radius_search", "anova_levene_returnflag",
+    "bh_fdr_supplier_rates", "breusch_pagan_daily_trend",
+    "chow_break_daily_revenue", "common_neighbor_link_prediction",
+    "decomposition_strength", "degree_powerlaw_hill",
+    "diff_in_diff_urgent", "durbin_watson_ols", "edge_triangle_support",
+    "friedman_priority_weekday", "grubbs_outlier_test",
+    "gumbel_weekly_max_revenue", "holt_forecast_backtest",
+    "holt_winters_weekly_backtest", "hurst_rs_daily_revenue",
+    "jarque_bera_order_value", "local_clustering_coefficient",
+    "mase_pinball_naive", "media_adts_probe_stats", "media_id3_tags",
+    "media_probe_summary", "multi_table_key_profile",
+    "mutual_information_priority_flag", "pacf_daily_revenue",
+    "pettitt_changepoint", "qq_shift_returned_vs_kept",
+    "rich_club_coefficient", "runs_test_daily_revenue",
+    "tail_dependence_segments", "var_cvar_daily_revenue",
+    "variance_ratio_test", "welch_t_returned_vs_kept",
+    "woe_iv_price_returned", "zorder_locality_audit",
     # --- r9 sample (all green, CORRECTNESS_r09.json — 50/50) ---
     "ab_power_mde", "amihud_illiquidity", "ann_bq_recall_eval",
     "ann_bq_topk", "ann_ivf_trained_recall_eval", "ann_ivf_trained_topk",
@@ -194,58 +214,31 @@ DRIVER_SAMPLED = frozenset({
 
 
 #: Names that have never received a driver-side CORRECTNESS row.
-#: Round 9 declared 78 new queries against a ~50-query sample, so these
-#: 28 (the late stats/graph wave) have only local oracle verification.
-#: Tier 0: fronted outright so round 10 closes the union at 366/366.
-NEVER_SAMPLED = frozenset({
-    "adamic_adar_link_prediction", "anova_levene_returnflag",
-    "bh_fdr_supplier_rates", "breusch_pagan_daily_trend",
-    "common_neighbor_link_prediction", "decomposition_strength",
-    "degree_powerlaw_hill", "diff_in_diff_urgent", "durbin_watson_ols",
-    "edge_triangle_support", "friedman_priority_weekday",
-    "grubbs_outlier_test", "holt_forecast_backtest",
-    "hurst_rs_daily_revenue", "local_clustering_coefficient",
-    "mase_pinball_naive", "multi_table_key_profile",
-    "mutual_information_priority_flag", "pacf_daily_revenue",
-    "pettitt_changepoint", "qq_shift_returned_vs_kept",
-    "rich_club_coefficient", "runs_test_daily_revenue",
-    "tail_dependence_segments", "variance_ratio_test",
-    "welch_t_returned_vs_kept", "woe_iv_price_returned",
-    "zorder_locality_audit",
-})
+#: Empty as of round 11: the CORRECTNESS_r10 sample covered all 28
+#: previously-never-sampled names, closing the union at 377/377.
+NEVER_SAMPLED = frozenset()
 
-#: Round-10 new or semantics-changed names needing a (fresh) driver row.
-#: Kept small this round (cap ~20 per VERDICT r9 #1) so the sampler can
-#: cover NEVER_SAMPLED + these in one ~50-query pass.
+#: Round-11 new or semantics-changed names needing a (fresh) driver row.
+#: Capped at ~35 per VERDICT r10 #1 so one ~50-query sample covers every
+#: new/changed name plus rotation.
 ROUND_CHANGED = frozenset({
-    # round-10 new: ADTS/AAC probe certification (duration/bit_rate
-    # from the aac_frame_length walk)
-    "media_adts_probe_stats",
-    # round-10 changed: probe census widened 9-way -> 10-way with the
-    # ADTS/AAC-LC bucket
-    "media_probe_summary",
-    # round-10 new: range (radius) vector search via multiprobe LSH
-    # with exact verification + its measured recall
-    "ann_radius_search",
-    "ann_radius_recall_eval",
-    # round-10 new: filtered vector search — exact pre-filter top-k
-    # baseline + the post-filter strategy's measured recall loss
-    "ann_filtered_topk",
-    "ann_postfilter_recall_eval",
-    # round-10 new: normality screen from exact power sums
-    "jarque_bera_order_value",
-    # round-10 new: parametric trend-regime break test
-    "chow_break_daily_revenue",
-    # round-10 new: historical tail-risk pair (VaR + expected
-    # shortfall) on daily revenue changes
-    "var_cvar_daily_revenue",
-    # round-10 new: ID3v2 tag extraction coexisting with the audio
-    # probe behind the tag
+    # round-11 changed: winnowing fingerprints moved from per-position
+    # md5 to a 64-bit polynomial rolling k-gram hash (oracle mirrored)
+    "winnowing_candidate_pairs",
+    "crossdoc_span_dup_share",
+    # round-11 changed: minhash recall eval restructured to a single
+    # persisted candidate lineage
+    "minhash_recall_eval",
+    # round-11 new: graph-ANN (bounded-degree neighbor graph + fixed-
+    # round beam search) + its measured recall
+    "ann_graph_topk",
+    "ann_graph_recall_eval",
+    # round-11 new: IVF index maintenance — incremental centroid
+    # re-train + re-assignment drift census
+    "ann_ivf_retrain_drift",
+    # round-11 changed: id3 tag fixture encoding hardened (latin-1
+    # replace) — same results on ASCII fixtures, re-queued for safety
     "media_id3_tags",
-    # round-10 new: Gumbel block-maxima fit + annual return level
-    "gumbel_weekly_max_revenue",
-    # round-10 new: additive Holt-Winters weekly-seasonal backtest
-    "holt_winters_weekly_backtest",
 })
 
 
