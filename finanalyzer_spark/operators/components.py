@@ -40,13 +40,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Largest per-node frame (rows) the loop operators will hard-hint
+#: F.broadcast on when `broadcast_nodes` is left as None (auto). A
+#: (long, long) row costs ~50 bytes in the driver-built hash relation,
+#: so 2M rows ≈ 100 MB — safely inside a 4-8 GiB executor while far
+#: above the dimension-sized graphs these plans run on. F.broadcast
+#: bypasses autoBroadcastJoinThreshold, so auto mode gates it on a
+#: MEASURED node count instead of hinting unconditionally: a web-scale
+#: node set falls back to shuffle joins rather than OOMing the driver.
+BROADCAST_NODE_CAP = 2_000_000
+
+
+def resolve_broadcast_nodes(
+    broadcast_nodes: bool | None, n_nodes: int
+) -> bool:
+    """Auto-gate for the per-round node-frame broadcast hint: an
+    explicit True/False wins; None broadcasts iff the measured node
+    count fits BROADCAST_NODE_CAP."""
+    if broadcast_nodes is None:
+        return n_nodes <= BROADCAST_NODE_CAP
+    return broadcast_nodes
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    broadcast_nodes: bool = True,
+    broadcast_nodes: bool | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`;
     `component` is the minimum node id of the connected component.
@@ -61,8 +82,8 @@ def connected_components(
     loop; the min-label frame is materialized BEFORE the pointer-jump
     self-join (both join sides derive from it — without the
     checkpoint the union+groupBy subtree executes twice per round).
-    `broadcast_nodes=False` keeps shuffle joins for graphs whose node
-    set alone exceeds broadcast budget."""
+    `broadcast_nodes=None` (default) measures the node count once and
+    broadcasts only under BROADCAST_NODE_CAP; True/False force it."""
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -77,6 +98,9 @@ def connected_components(
         .agg(F.least(F.first("a"), F.min("b")).alias("label"))
         .localCheckpoint()
     )
+    # one count over the materialized checkpoint (node cardinality is
+    # loop-invariant) decides the per-round broadcast hint in auto mode
+    broadcast_nodes = resolve_broadcast_nodes(broadcast_nodes, labels.count())
 
     for i in range(max_iter):
         lab_b = F.broadcast(labels) if broadcast_nodes else labels

@@ -23,6 +23,8 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .components import resolve_broadcast_nodes
+
 #: teleport and damping as separate literals — NEVER derive one from
 #: the other at runtime (1 - 0.85 != 0.15 in IEEE doubles; both engines
 #: must consume identical constants)
@@ -191,7 +193,7 @@ def kcore(
     dst: str = "dst",
     max_iters: int = 100,
     dedup: bool = True,
-    broadcast_nodes: bool = True,
+    broadcast_nodes: bool | None = None,
 ) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k, by iterated peeling — drop all nodes with degree < k,
@@ -213,10 +215,10 @@ def kcore(
 
     Broadcasting the node frame is scale-safe: the k-core node set is
     bounded by |V| ids (the co-supply graph's |V| is the supplier
-    dimension), and it only shrinks per round; a graph whose SURVIVING
-    node-id set alone exceeds broadcast budget should peel with
-    `broadcast_nodes=False`, which keeps the original shuffle
-    semi-joins.
+    dimension), and it only shrinks per round; `broadcast_nodes=None`
+    (default) gates the hint per round on the measured surviving node
+    count vs components.BROADCAST_NODE_CAP — a node set over budget
+    peels with the original shuffle semi-joins (True/False force it).
 
     Input contract: `edges_sym` is the SYMMETRIC edge list (both
     (u,v) and (v,u) present). Duplicate edge rows would inflate
@@ -255,7 +257,10 @@ def kcore(
         if prev_n is not None and n == prev_n:
             return keep
         prev_n = n
-        keep_b = F.broadcast(keep) if broadcast_nodes else keep
+        # kcore already has the per-round node count in hand — gate the
+        # broadcast hint on it round by round (the set only shrinks)
+        bcast = resolve_broadcast_nodes(broadcast_nodes, n)
+        keep_b = F.broadcast(keep) if bcast else keep
         e = (
             e.join(keep_b.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep_b.withColumnRenamed("node", "dst"), "dst", "left_semi")
@@ -382,7 +387,7 @@ def label_propagation_fixed(
     iters: int,
     src: str = "src",
     dst: str = "dst",
-    broadcast_nodes: bool = True,
+    broadcast_nodes: bool | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with the
     deterministic tie-break the oracle can replicate: every node
@@ -400,9 +405,10 @@ def label_propagation_fixed(
     window max over the per-(node, label) counts (bounded per-key
     frame, not a global window) followed by a co-partitioned groupBy —
     one checkpoint job and two node-keyed shuffles per round, no
-    self-join, no driver state.  A graph whose NODE SET alone exceeds
-    broadcast budget should pass `broadcast_nodes=False`, which keeps
-    shuffle joins.  Returns (node, label)."""
+    self-join, no driver state.  `broadcast_nodes=None` (default)
+    measures the node count once and broadcasts only under
+    components.BROADCAST_NODE_CAP (True/False force it).
+    Returns (node, label)."""
     e = edges_sym.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.persist()
     labels = (
@@ -411,6 +417,9 @@ def label_propagation_fixed(
         .select("node", F.col("node").alias("lab"))
         .localCheckpoint()
     )
+    # node cardinality is loop-invariant: one count over the
+    # materialized checkpoint decides the broadcast hint in auto mode
+    broadcast_nodes = resolve_broadcast_nodes(broadcast_nodes, labels.count())
     by_node = Window.partitionBy("node")
     for _ in range(iters):
         lab_b = F.broadcast(labels) if broadcast_nodes else labels

@@ -2080,15 +2080,20 @@ def probe_media(buf: bytes) -> dict:
 
 def encode_id3v2_stub(fields: dict[str, str]) -> bytes:
     """ID3v2.3 tag bytes from {frame_id: text}: each frame is
-    [4-byte id][4-byte size BE][2 flag bytes][0x00 latin-1 enc][text];
+    [4-byte id][4-byte size BE][2 flag bytes][enc byte][text];
     the header size field is syncsafe (7 bits per byte) per the
-    informal id3.org v2.3.0 spec. Latin-1 only — fixture writer for
-    the parse path, not a general tagger."""
+    informal id3.org v2.3.0 spec. Latin-1-safe text gets encoding
+    0x00; anything else falls back to 0x01 UTF-16-with-BOM (both
+    spec-valid in v2.3 and both read back losslessly by parse_id3v2)
+    so arbitrary corpus text never aborts the tag write."""
     body = bytearray()
     for fid, text in fields.items():
         if len(fid) != 4:
             raise ValueError(f"ID3 frame id must be 4 chars: {fid!r}")
-        payload = b"\x00" + text.encode("latin-1")
+        try:
+            payload = b"\x00" + text.encode("latin-1")
+        except UnicodeEncodeError:
+            payload = b"\x01" + text.encode("utf-16")
         body += fid.encode("ascii")
         body += len(payload).to_bytes(4, "big")
         body += b"\x00\x00"

@@ -6243,6 +6243,7 @@ def _hw_oracle() -> str:
                AS min_seasonal_dollars
     FROM hw
     WHERE t = (SELECT max(t) FROM idx)
+      AND cnt > 0
     """
 
 

@@ -31,11 +31,17 @@ def main() -> int:
     with open(args.new) as fh:
         new_doc = json.load(fh)
     old, new = old_doc["queries"], new_doc["queries"]
-    # per-rep spreads for the scheduler-latency-bound loop family
-    # (recorded by bench.py since r10) — a swing whose old reading
-    # still falls inside the new run's rep spread is host noise, not
-    # a plan change, and is annotated instead of flagged
-    spread = new_doc.get("loop_family_spread", {})
+    # per-rep spreads (recorded by bench.py: loop family since r10,
+    # every multi-rep query since r11) — when the new run's OWN reps
+    # disagree by more than the flag factor, the host was demonstrably
+    # noisy during the measurement, so a same-magnitude old-vs-new
+    # swing is annotated instead of flagged. (The r10 form of this
+    # test compared t_old against reps[0]; reps[0] IS min(samples) =
+    # t_new, so the guard could never fire once the flag condition
+    # held — dead code, caught by review.)
+    spread = new_doc.get("rep_spread") or new_doc.get(
+        "loop_family_spread", {}
+    )
 
     flagged = []
     for name, t_new in sorted(new.items()):
@@ -47,11 +53,11 @@ def main() -> int:
             continue
         if t_new >= args.min_sec and t_new > args.factor * t_old:
             reps = spread.get(name)
-            if reps and len(reps) > 1 and t_old >= reps[0] * 0.8:
+            if reps and len(reps) > 1 and reps[-1] > args.factor * reps[0]:
                 print(
-                    f"NOTE {name}: {t_old:.3f}s -> {t_new:.3f}s but rep "
-                    f"spread {reps} brackets the old reading — "
-                    "loop-family host jitter, not flagged"
+                    f"NOTE {name}: {t_old:.3f}s -> {t_new:.3f}s but the "
+                    f"new run's own rep spread {reps} exceeds the flag "
+                    f"factor {args.factor}x — host jitter, not flagged"
                 )
                 continue
             why = f"{t_new / t_old:.2f}x slower"

@@ -121,3 +121,34 @@ def test_cli_lint_strict_flags_cartesian(spark, capsys):
     assert any(
         f.rule in ("cartesian-product", "nested-loop-join") for f in findings
     )
+
+
+def test_bench_diff_jitter_suppression(tmp_path):
+    """bench_diff must suppress a slowdown flag when the new run's own
+    rep spread exceeds the flag factor (host jitter), and keep flagging
+    tight-spread (plan-shaped) slowdowns. The r10 form of the guard
+    was unreachable (compared t_old to reps[0] == t_new) — this pins
+    the fixed semantics (r11, ADVICE)."""
+    import json as _json
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(_json.dumps({"queries": {
+        "jittery": 1.0, "regressed": 1.0, "steady": 1.0,
+    }}))
+    new.write_text(_json.dumps({
+        "queries": {"jittery": 3.0, "regressed": 3.0, "steady": 1.05},
+        # jittery: reps disagree by >2x -> suppressed as host noise
+        # regressed: tight reps -> a real plan-shaped slowdown, flagged
+        "rep_spread": {"jittery": [3.0, 9.0], "regressed": [3.0, 3.2]},
+    }))
+    res = subprocess.run(
+        [sys.executable, "scripts/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert res.returncode == 1  # regressed still gates
+    assert "NOTE jittery" in res.stdout and "not flagged" in res.stdout
+    assert "FLAG regressed" in res.stdout
+    assert "FLAG jittery" not in res.stdout
+    assert "steady" not in res.stdout
+    assert "1 flagged" in res.stdout

@@ -76,3 +76,46 @@ def test_kcore_warns_when_max_iters_exhausted(spark):
         warnings.simplefilter("always")
         kcore(e, 2, max_iters=1).collect()
     assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
+def test_broadcast_nodes_auto_gate(spark):
+    """broadcast_nodes=None (default) gates the per-round broadcast
+    hint on a measured node count instead of hinting unconditionally
+    (r11, ADVICE): small graphs broadcast, over-cap counts fall back
+    to shuffle joins, explicit True/False always win."""
+    from finanalyzer_spark.operators.components import (
+        BROADCAST_NODE_CAP,
+        connected_components,
+        resolve_broadcast_nodes,
+    )
+
+    assert resolve_broadcast_nodes(None, 10) is True
+    assert resolve_broadcast_nodes(None, BROADCAST_NODE_CAP) is True
+    assert resolve_broadcast_nodes(None, BROADCAST_NODE_CAP + 1) is False
+    assert resolve_broadcast_nodes(True, BROADCAST_NODE_CAP + 1) is True
+    assert resolve_broadcast_nodes(False, 10) is False
+
+    # default (auto) path still converges on a small graph, for every
+    # loop operator that now auto-gates
+    from finanalyzer_spark.operators.graph import (
+        kcore,
+        label_propagation_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["src", "dst"]
+    )
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    comp = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    tsym = tri.union(tri.selectExpr("dst as src", "src as dst"))
+    core2 = {r["node"] for r in kcore(tsym, 2).collect()}
+    assert core2 == {1, 2, 3}
+    labs = label_propagation_fixed(sym, 2)
+    assert labs.count() == 5

@@ -1585,6 +1585,15 @@ def test_id3v2_roundtrip_and_dirty_tags():
     p = probe_media(buf)
     assert (p["codec"], p["n_frames"]) == ("mp3", 4)
 
+    # non-latin-1 corpus text must not abort the tag write: the
+    # encoder falls back to UTF-16-with-BOM and the round trip is
+    # still lossless (r11, ADVICE)
+    exotic = {"TIT2": "héllo 世界 🎵", "TPE1": "ascii ok"}
+    round2 = parse_id3v2(encode_id3v2_stub(exotic))
+    assert round2 == exotic
+    tag2 = encode_id3v2_stub(exotic)
+    assert tag2[10:14] == b"TIT2" and tag2[20:21] == b"\x01"  # enc byte
+
     # UTF-16 text frame (encoding byte 1, BOM) parses too
     payload = b"\x01" + "Grüße".encode("utf-16")
     frame = b"TIT2" + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload

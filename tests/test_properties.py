@@ -1849,3 +1849,33 @@ def test_bh_fdr_machinery_fires_on_planted_signal(spark):
     )
     rejected = {r["grp"] for r in got if r["i"] <= k}
     assert rejected == {50, 51, 52, 53, 54}, rejected
+
+
+def test_hw_oracle_empty_on_degenerate_short_series():
+    """The Holt-Winters oracle must agree with the Spark kernel on a
+    series too short to backtest (n == 2m): the kernel returns an
+    empty frame, so the recursive-CTE oracle must not emit its cnt=0
+    anchor row (it used to, dividing by zero — r11, ADVICE)."""
+    import duckdb
+
+    from finanalyzer_spark.plans.profile import _HW_M, _hw_oracle
+
+    con = duckdb.connect()
+    n = 2 * _HW_M  # exactly the anchor length: 0 forecast steps
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS "
+        "SELECT DATE '2024-01-01' + INTERVAL (i) DAY AS o_orderdate, "
+        "       100.0 + i AS o_totalprice "
+        f"FROM range({n}) t(i)"
+    )
+    assert len(con.sql(_hw_oracle()).df()) == 0
+    # one extra day = one forecast step: exactly one row, finite errors
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS "
+        "SELECT DATE '2024-01-01' + INTERVAL (i) DAY AS o_orderdate, "
+        "       100.0 + i AS o_totalprice "
+        f"FROM range({n + 1}) t(i)"
+    )
+    out = con.sql(_hw_oracle()).df()
+    assert len(out) == 1 and out["n_forecasts"][0] == 1
+    con.close()
