@@ -223,9 +223,8 @@ NEVER_SAMPLED = frozenset()
 #: new/changed name plus rotation.
 ROUND_CHANGED = frozenset({
     # round-11 changed: winnowing fingerprints moved from per-position
-    # md5 to a 64-bit polynomial rolling k-gram hash (oracle mirrored)
+    # md5 to a 64-bit polynomial k-gram hash (oracle mirrored)
     "winnowing_candidate_pairs",
-    "crossdoc_span_dup_share",
     # round-11 changed: minhash recall eval restructured to a single
     # persisted candidate lineage
     "minhash_recall_eval",

@@ -8,7 +8,6 @@ scale linearly with a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1529,33 +1528,55 @@ _WIN_K = 5    #: k-gram length (characters)
 _WIN_W = 4    #: winnowing window (hashes)
 _WIN_CAP = 50   #: drop fingerprints shared by more docs (stop-grams)
 _WIN_MIN_SHARED = 8  #: report pairs sharing at least this many prints
+#: k-gram hash = Lehmer-mixed base-257 polynomial over per-char code
+#: points, exact 64-bit integer arithmetic reproducible verbatim in
+#: DuckDB (r11): poly < 2^53 for codepoints <= 0x10FFFF, then
+#: (poly % P) * 48271 % P < 2^47 — no overflow anywhere. Replaces the
+#: r8-r10 per-position md5, which dominated the query's cost (16.5s
+#: solo at sf0.1) while only an ORDER over hashes is needed; the
+#: Lehmer step restores the mixing a raw polynomial lacks (a base-257
+#: poly is order-preserving on ASCII prefixes, which would bias the
+#: window-min selection toward space-led grams).
+_WIN_P = 2147483647  # 2^31 - 1 (Mersenne prime, the classic Lehmer modulus)
+_WIN_A = 48271       # Lehmer multiplier (MINSTD)
+_WIN_B = 257
+
+
+def _win_poly(idx) -> str:
+    """poly term sum for the k-gram starting at 1-based position
+    `idx(j)` — identical text in both engines, only the array-index
+    syntax differs."""
+    return " + ".join(
+        f"{idx(j)} * {_WIN_B ** (_WIN_K - 1 - j)}" for j in range(_WIN_K)
+    )
 
 
 @query(
     "winnowing_candidate_pairs",
     oracle=f"""
-    WITH g AS (
+    WITH cs AS (
         SELECT doc_id,
-               list_transform(range(1, length(text) - {_WIN_K} + 2),
-                 i -> CAST(('0x' || substr(md5(substr(text, i, {_WIN_K})),
-                                           1, 8)) AS BIGINT)) AS h
+               list_transform(string_split(text, ''),
+                              c -> CAST(unicode(c) AS BIGINT)) AS cs
         FROM documents
         WHERE length(text) >= {_WIN_K + _WIN_W - 1}
     ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(cs) - {_WIN_K} + 2),
+                 i -> (({_win_poly(lambda j: f"cs[i + {j}]")})
+                       % {_WIN_P}) * {_WIN_A} % {_WIN_P}) AS h
+        FROM cs
+    ),
     sel AS (
-        SELECT doc_id, h,
+        SELECT doc_id,
                list_distinct(list_transform(
                    range(1, len(h) - {_WIN_W} + 2),
-                   p -> p - 1 + list_max(list_transform(
-                       range(1, {_WIN_W + 1}),
-                       o -> CASE WHEN h[p + o - 1] =
-                                      list_min(h[p:p + {_WIN_W - 1}])
-                            THEN o ELSE 0 END)))) AS pos
+                   p -> list_min(h[p:p + {_WIN_W - 1}]))) AS fps
         FROM g
     ),
     fp AS (
-        SELECT DISTINCT doc_id, unnest(list_transform(pos, q -> h[q])) AS fp
-        FROM sel
+        SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel
     ),
     keep AS (
         SELECT fp FROM fp GROUP BY fp
@@ -1585,44 +1606,56 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order-function expression per document (nested transform
     lambdas — no explode of raw gram streams, no Python); only the
     ~2/(w+1)-density selected fingerprints explode into the join.
-    Fingerprints shared by > {_WIN_CAP} documents are dropped before
-    pair expansion (the LSH BUCKET_CAP stop-gram discipline, mirrored
+    The k-gram hash is the Lehmer-mixed integer polynomial (_WIN_P /
+    _WIN_A / _WIN_B above) — pure 64-bit codegen arithmetic, several
+    times cheaper than the per-position md5 it replaced (r11) and
+    reproduced digit-for-digit by the DuckDB oracle. Fingerprints
+    shared by > {_WIN_CAP} documents are dropped before pair
+    expansion (the LSH BUCKET_CAP stop-gram discipline, mirrored
     in the oracle), so the candidate join is density-bounded at any
     corpus size."""
     t = load(spark, sf_dir)
+
+    def let(bind: str, var: str, body: str) -> str:
+        # single-element-array lambda = a let-binding: `bind` is
+        # evaluated ONCE per row and `var` may be referenced freely in
+        # `body`. Plain chained selects are NOT enough — CollapseProject
+        # inlines a single-use alias into the next projection, and an
+        # alias referenced inside a later transform() lambda re-executes
+        # per ELEMENT (measured: the whole hash pipeline re-ran per
+        # window position, turning the query O(n^2) and hanging sf0.001)
+        return f"element_at(transform(array({bind}), {var} -> {body}), 1)"
+
+    cs_expr = "transform(split(text, ''), c -> cast(ascii(c) as bigint))"
     h_expr = (
-        f"transform(sequence(1, length(text) - {_WIN_K} + 1), "
-        f"i -> cast(conv(substring(md5(substring(text, i, {_WIN_K})), "
-        f"1, 8), 16, 10) AS BIGINT))"
+        f"transform(sequence(1, size(cs) - {_WIN_K} + 1), "
+        f"i -> (({_win_poly(lambda j: f'element_at(cs, i + {j})')})"
+        f" % {_WIN_P}) * {_WIN_A} % {_WIN_P})"
     )
+    # per-window fingerprint VALUE (not position): downstream consumes
+    # only the per-doc fingerprint set, and the set of selected values
+    # is exactly the set of window minima — the rightmost-on-ties
+    # POSITION rule of the paper changes which occurrence is recorded,
+    # never which value, so the O(n*w^2) argmin bookkeeping the r8-r10
+    # form paid per position is dead weight (r11; was ~5s of the 16.5s)
     sel_expr = (
         f"array_distinct(transform(sequence(1, size(h) - {_WIN_W} + 1), "
-        f"p -> p - 1 + array_max(transform(sequence(1, {_WIN_W}), "
-        f"o -> IF(element_at(h, p + o - 1) = array_min(slice(h, p, "
-        f"{_WIN_W})), o, 0)))))"
+        f"p -> array_min(slice(h, p, {_WIN_W}))))"
     )
+    fps_expr = let(cs_expr, "cs", let(h_expr, "h", sel_expr))
     g = (
         t.documents.where(F.length("text") >= _WIN_K + _WIN_W - 1)
-        .select("doc_id", F.expr(h_expr).alias("h"))
-        .select("doc_id", "h", F.expr(sel_expr).alias("pos"))
+        .select("doc_id", F.expr(fps_expr).alias("fps"))
     )
-    fp = (
-        g.select(
-            "doc_id",
-            F.explode(F.expr("transform(pos, q -> element_at(h, q))")).alias(
-                "fp"
-            ),
-        )
-        .distinct()
-        # feeds the cap aggregate AND both join sides — the repo's
-        # largest cached intermediate, so the level is a MEASURED
-        # choice (SCALE.md 'Winnowing persist economics'): persisting
-        # beats recompute by ~8% wall at sf0.1 and MEMORY_AND_DISK
-        # ties MEMORY_ONLY while spilling instead of evict-recompute
-        # when the ~2/(w+1)-density fingerprint frame outgrows
-        # executor memory at corpus scale
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # feeds the cap aggregate AND both join sides. NOT persisted — a
+    # MEASURED r11 reversal of the r8 choice (SCALE.md 'Winnowing
+    # persist economics'): all three consumers hang off the same
+    # distinct, so Spark's ReusedExchange serves them from the one
+    # shuffle's files (already on disk, no executor-memory footprint),
+    # and with the md5->integer hash the plan costs 6.1s vs 11.0s
+    # cached at sf0.1. Exchange reuse is also the 100 TB answer: the
+    # fingerprint frame never needs a second scan of documents.
+    fp = g.select("doc_id", F.explode("fps").alias("fp")).distinct()
     keep = (
         fp.groupBy("fp")
         .agg(F.count("*").alias("n"))

@@ -1275,23 +1275,22 @@ def test_theil_sen_matches_textbook_median_of_slopes(spark, series):
 # --------------------------------------------------------------------------
 
 def _winnow_ref(text, k=5, w=4):
-    """Plain-python winnowing: k-gram md5-prefix hashes, window of w,
-    rightmost-minimum selection; returns the fingerprint hash set."""
-    import hashlib
+    """Plain-python winnowing with the query's r11 hash: Lehmer-mixed
+    base-257 codepoint polynomial per k-gram, window of w, window-min
+    selection; returns the fingerprint hash set. (The paper's
+    rightmost-on-ties rule picks a POSITION; the fingerprint VALUE set
+    is the set of window minima either way, which is all the pair
+    query consumes — mirrored in plans/textops.py.)"""
+    from finanalyzer_spark.plans.textops import _WIN_A, _WIN_B, _WIN_P
 
     if len(text) < k + w - 1:
         return set()
     h = [
-        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        (sum(ord(c) * _WIN_B ** (k - 1 - j)
+             for j, c in enumerate(text[i:i + k])) % _WIN_P) * _WIN_A % _WIN_P
         for i in range(len(text) - k + 1)
     ]
-    out = set()
-    for p in range(len(h) - w + 1):
-        win = h[p : p + w]
-        m = min(win)
-        j = max(o for o, v in enumerate(win) if v == m)
-        out.add(h[p + j])
-    return out
+    return {min(h[p:p + w]) for p in range(len(h) - w + 1)}
 
 
 @given(
