@@ -196,15 +196,25 @@ def minhash_signature(
     with `num_hashes` codegen'd min() aggregates (the lead-window and
     the groupBy hash-partition on the same key, so AQE reuses the
     exchange). Docs with no shingles (empty text) drop out."""
-    params = minhash_params(num_hashes)
-    exploded = shingle_rows(df, text_col, id_col, k).select(
-        F.col(id_col), F.col("sh").alias("_sh")
+    return minhash_signature_from_shingles(
+        shingle_rows(df, text_col, id_col, k), id_col, num_hashes
     )
+
+
+def minhash_signature_from_shingles(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Signatures from a pre-built (id, sh) shingle stream — the seam
+    that lets an eval pipeline compute the shingle frame ONCE and hang
+    both its exact-Jaccard truth side and the LSH candidate side off
+    the same persisted lineage (r11). min() is multiplicity-insensitive,
+    so a distinct()-ed stream yields identical signatures."""
+    params = minhash_params(num_hashes)
     aggs = [
-        F.min((F.lit(a) * F.col("_sh") + F.lit(b)) % P).alias(f"m{i}")
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % P).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return shingles.groupBy(id_col).agg(*aggs)
 
 
 def band_hash_cols(num_hashes: int, bands: int) -> list[Column]:
@@ -249,6 +259,20 @@ def minhash_lsh_pairs(
     anyway, and exact_dedup_groups is the right (linear) tool for them.
     The DuckDB oracle twin applies the identical cap."""
     sig = minhash_signature(df, text_col, id_col, num_hashes, k)
+    return lsh_pairs_from_signature(sig, id_col, num_hashes, bands, bucket_cap)
+
+
+def lsh_pairs_from_signature(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Banding + bucket expansion over a prebuilt signature frame —
+    split out (r11) so eval pipelines can feed signatures derived from
+    an already-persisted shingle stream. Semantics identical to
+    minhash_lsh_pairs."""
     bhs = band_hash_cols(num_hashes, bands)
     banded = sig.select(
         F.col(id_col),
