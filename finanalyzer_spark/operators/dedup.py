@@ -131,6 +131,74 @@ def shingle_hashes_col(text: Column, k: int = 3) -> Column:
     )
 
 
+def minhash_sig_array_expr(
+    text_col: str = "text", num_hashes: int = 16, k: int = 3
+) -> str:
+    """SQL expression: array<long> of `num_hashes` minhash values per
+    ROW — the streaming-safe signature path (shingle_rows' lead()
+    window is not allowed on a stream). Bit-identical to
+    minhash_signature: same token md5, same polynomial shingle, same
+    (a·sh + b) mod P universal hashes. Stages are bound with
+    single-element-array transform lambdas so the token-hash array is
+    evaluated once per row, not once per element_at reference (the
+    CollapseProject/O(len²) trap shingle_hashes_col's docstring
+    warns about). Empty/short docs yield NULL minhashes (array_min of
+    an empty array) — filter on `element_at(ms, 1) IS NOT NULL`."""
+    if k != 3:
+        raise ValueError("portable oracle parity is generated for k=3")
+    params = minhash_params(num_hashes)
+
+    def let(bind: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({bind}), {var} -> {body}), 1)"
+
+    toks = (
+        f"if(trim({text_col}) = '', array(), "
+        f"split(trim({text_col}), '\\\\s+'))"
+    )
+    th = (
+        f"transform({toks}, w -> "
+        f"cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {P})"
+    )
+    sh = (
+        f"case when size(th) >= {k} then "
+        f"transform(sequence(1, size(th) - {k} + 1), i -> "
+        f"((element_at(th, i) * {B2}) % {P}"
+        f" + (element_at(th, i + 1) * {B}) % {P}"
+        f" + element_at(th, i + 2)) % {P}) "
+        f"when size(th) = 2 then array(((element_at(th, 1) * {B}) % {P}"
+        f" + element_at(th, 2)) % {P}) "
+        f"when size(th) = 1 then array(element_at(th, 1)) "
+        f"else array() end"
+    )
+    pstructs = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in params
+    )
+    ms = (
+        f"transform(array({pstructs}), p -> "
+        f"array_min(transform(sh, s -> (p.a * s + p.b) % {P})))"
+    )
+    return let(th, "th", let(sh, "sh", ms))
+
+
+def band_hash_exprs(num_hashes: int, bands: int) -> list:
+    """Band-hash Columns over an `ms` array column (the per-row twin
+    of band_hash_cols, which expects m0..m{n-1} columns)."""
+    r = num_hashes // bands
+    out = []
+    for j in range(bands):
+        cols = [F.element_at("ms", j * r + t + 1) for t in range(r)]
+        if r <= 2:
+            bh = cols[0]
+            for c in cols[1:]:
+                bh = bh * PACK + c
+        else:
+            bh = F.lit(0).cast("long")
+            for c in cols:
+                bh = ((bh * B2) % P + c) % P
+        out.append(bh)
+    return out
+
+
 # --------------------------------------------------------------------------
 # row-based shingle stream (the hot-path kernel)
 # --------------------------------------------------------------------------

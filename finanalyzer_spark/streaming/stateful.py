@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -335,6 +336,121 @@ def novel_gram_increments(docs: DataFrame, k: int = 8) -> DataFrame:
         _update_novelty,
         outputStructType=NOVELTY_OUTPUT_SCHEMA,
         stateStructType=NOVELTY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming MinHash-LSH near-dup candidates (r11): the banded-LSH twin
+# of the crawl-increment story — as documents arrive, emit (earlier,
+# later) candidate pairs the moment a new document lands in an LSH
+# band bucket an earlier document occupies. Online form of
+# operators/dedup.minhash_lsh_pairs.
+# --------------------------------------------------------------------------
+
+LSH_PAIRS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+)
+
+LSH_PAIRS_STATE_SCHEMA = T.StructType(
+    [T.StructField("ids", T.ArrayType(T.LongType()))]
+)
+
+
+def _update_lsh_bucket(bucket_cap: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(ids)
+        # crawl order within a micro-batch = doc_id order (the batch
+        # twin's array_sort gives the same deterministic pairing)
+        new = sorted(
+            {int(d) for pdf in pdfs for d in pdf["doc_id"]} - seen
+        )
+        out_a: list[int] = []
+        out_b: list[int] = []
+        overflow = len(ids) > bucket_cap
+        for d in new:
+            if len(ids) + 1 > bucket_cap:
+                overflow = True
+            if not overflow:
+                for o in ids:
+                    out_a.append(min(o, d))
+                    out_b.append(max(o, d))
+            if len(ids) <= bucket_cap:  # cap+1 rows mark overflow
+                ids.append(d)
+        state.update((ids,))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return update
+
+
+def lsh_candidate_increments(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH candidate pairs over a document stream:
+    per-row signatures (minhash_sig_array_expr — bit-identical to the
+    batch minhash_signature, but windowless so it runs on a stream),
+    banded into (band, bhash) keys; per-bucket state is the id list of
+    documents seen so far, and each arrival emits one (earlier, later)
+    pair per co-bucketed predecessor. The distinct-ed union of all
+    appended pairs over any prefix of the crawl equals
+    minhash_lsh_pairs on that prefix (tests/test_streaming_lsh.py),
+    with ONE divergence by construction: a bucket that outgrows
+    `bucket_cap` stops emitting (append mode cannot retract the pairs
+    emitted while it was small), whereas the batch query drops the
+    whole bucket — the parity test pins the agreement on uncapped
+    buckets.
+
+    Scale notes: shuffle key is the (band, bhash) long pair; state per
+    bucket is its member ids, capped at bucket_cap + 1 rows (the +1 is
+    the overflow marker), so state is O(corpus × bands) longs worst
+    case and bounded per key. Payloads never shuffle — the signature
+    collapses each document to num_hashes longs before the state
+    exchange."""
+    from ..operators.dedup import (
+        BUCKET_CAP,
+        band_hash_exprs,
+        minhash_sig_array_expr,
+    )
+
+    cap = BUCKET_CAP if bucket_cap is None else bucket_cap
+    sig = docs.select(
+        "doc_id",
+        F.expr(minhash_sig_array_expr("text", num_hashes, k)).alias("ms"),
+    ).where(F.expr("element_at(ms, 1) IS NOT NULL"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), bh.alias("bhash")
+                    )
+                    for j, bh in enumerate(
+                        band_hash_exprs(num_hashes, bands)
+                    )
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhash").alias("bhash"),
+    )
+    return banded.groupBy("band", "bhash").applyInPandasWithState(
+        _update_lsh_bucket(cap),
+        outputStructType=LSH_PAIRS_OUTPUT_SCHEMA,
+        stateStructType=LSH_PAIRS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
