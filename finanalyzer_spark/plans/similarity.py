@@ -3305,3 +3305,222 @@ def ann_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — IVF index maintenance (r11 stretch): the vector-index analog of
+# pipeline.rollup.recluster. An IVF codebook trained BEFORE a crawl
+# increment goes stale as the increment shifts the distribution; the
+# maintenance decision (retrain now vs keep serving) is priced by a
+# drift census: re-train on the full corpus and report, per cluster,
+# how many vectors the stale index mis-files relative to the fresh one
+# and how far each centroid moved. Reference n/a (extended surface).
+# --------------------------------------------------------------------------
+_DRIFT_K = 8          #: codebook size (shared with the trained-IVF family)
+_DRIFT_NEWMOD = 4     #: vec_id % this == _DRIFT_NEWREM is the increment
+_DRIFT_NEWREM = 3
+
+
+def _drift_assign_cte(tag: str, corpus_pred: str) -> str:
+    """CTEs: one Lloyd update from the seed literals over rows
+    matching `corpus_pred`, then assignment of the FULL corpus to the
+    updated centroids (rounded-distance argmin, cluster tiebreak)."""
+    from ..operators.clustering import kmeans_centroids
+
+    cents = kmeans_centroids(_DRIFT_K, 64)
+    d_cols = ",\n               ".join(
+        f"round(vv - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]) + {sum(x * x for x in c)!r}, 5)"
+        f" AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    least = f"least({', '.join(f'd{i}' for i in range(_DRIFT_K))})"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = dm THEN {i}" for i in range(_DRIFT_K - 1))
+        + f" ELSE {_DRIFT_K - 1} END"
+    )
+    return f"""
+    seed_{tag} AS (
+        SELECT vec_id, v, {case} AS cluster
+        FROM (SELECT *, {least} AS dm
+              FROM (SELECT vec_id, v, vv, {d_cols} FROM d
+                    WHERE {corpus_pred}))
+    ),
+    dims_{tag} AS (
+        SELECT s.cluster, u.i AS i, round(avg(s.v[u.i]), 6) AS m
+        FROM seed_{tag} s, (SELECT unnest(range(1, 65)) AS i) u
+        GROUP BY s.cluster, u.i
+    ),
+    cent_{tag} AS MATERIALIZED (
+        SELECT cluster, list(m ORDER BY i) AS cvec
+        FROM dims_{tag} GROUP BY cluster
+    ),
+    asg_{tag} AS MATERIALIZED (
+        SELECT vec_id, cluster FROM (
+            SELECT d.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY round(d.vv
+                                - 2.0 * list_dot_product(d.v, c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 5),
+                               c.cluster
+                   ) AS rn
+            FROM d, cent_{tag} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _drift_oracle() -> str:
+    new_pred = f"vec_id % {_DRIFT_NEWMOD} = {_DRIFT_NEWREM}"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS MATERIALIZED (
+        SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
+    ),
+    {_drift_assign_cte("stale", f"NOT ({new_pred})")},
+    {_drift_assign_cte("fresh", "TRUE")},
+    moved AS (
+        SELECT a.cluster AS cluster,
+               count(*) AS n_stale,
+               sum(CASE WHEN b.cluster != a.cluster THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_moved
+        FROM asg_stale a JOIN asg_fresh b USING (vec_id)
+        GROUP BY a.cluster
+    ),
+    fresh_n AS (
+        SELECT cluster, count(*) AS n_fresh FROM asg_fresh GROUP BY cluster
+    )
+    SELECT m.cluster,
+           m.n_stale,
+           coalesce(f.n_fresh, 0) AS n_fresh,
+           m.n_moved,
+           round(sqrt(list_dot_product(
+                    list_transform(range(1, 65),
+                        i -> cs.cvec[i] - cf.cvec[i]),
+                    list_transform(range(1, 65),
+                        i -> cs.cvec[i] - cf.cvec[i]))), 6) + 0.0
+               AS centroid_shift
+    FROM moved m
+    LEFT JOIN fresh_n f ON f.cluster = m.cluster
+    JOIN cent_stale cs ON cs.cluster = m.cluster
+    JOIN cent_fresh cf ON cf.cluster = m.cluster
+    """
+
+
+@query(
+    "ann_ivf_retrain_drift",
+    oracle=_drift_oracle(),
+    tags=("similarity", "ann", "maintenance", "eval"),
+)
+def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance census: codebook STALE is one Lloyd update
+    (from the deterministic seed literals) over the pre-increment
+    corpus (vec_id % {_DRIFT_NEWMOD} != {_DRIFT_NEWREM}); codebook
+    FRESH is the same update over the full corpus. Both then assign
+    every vector (rounded-distance argmin, cluster tiebreak), and the
+    report prices the retrain per cluster: how many vectors the stale
+    index files there, how many the fresh one would, how many MOVE,
+    and how far the centroid itself drifted — the numbers an index
+    maintenance job thresholds before paying for a re-train +
+    re-assignment pass (FAISS's add-with-stale-quantizer trade).
+
+    Scale shape: two scan-fused literal-argmin assignments + two
+    {_DRIFT_K}-row codebook aggregates + two broadcast re-assignment
+    joins (corpus × {_DRIFT_K} rows, per-key bounded argmin window) —
+    every stage linear in the corpus, no pair expansion anywhere."""
+    from pyspark.sql import Window as W
+
+    from ..operators.clustering import (
+        assign_cluster_col,
+        kmeans_centroids,
+        sq_dist_cols,
+    )
+    from ..operators.similarity import dot_col
+
+    dim = 64
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents0 = kmeans_centroids(_DRIFT_K, dim)
+    is_new = (F.col("vec_id") % _DRIFT_NEWMOD) == _DRIFT_NEWREM
+
+    # ONE literal-argmin pass: the seed assignment is per-row, so both
+    # codebooks (stale = means over the pre-increment rows, fresh =
+    # means over all rows) aggregate the same materialized frame — the
+    # ~512-literal distance tree compiles and scans once, not twice
+    seed_asg = e.select(
+        "v", is_new.alias("_new"),
+        assign_cluster_col(sq_dist_cols("v", cents0)).alias("cluster"),
+    ).localCheckpoint()
+
+    def trained_centroids(corpus: DataFrame) -> DataFrame:
+        return corpus.groupBy("cluster").agg(
+            F.array(
+                *[F.round(F.avg(F.col("v")[i]), 6) for i in range(dim)]
+            ).alias("cvec")
+        )
+
+    def assign_to(cent: DataFrame, tag: str) -> DataFrame:
+        d = F.round(
+            dot_col(F.col("v"), F.col("v"))
+            - 2.0 * dot_col(F.col("v"), F.col("cvec"))
+            + dot_col(F.col("cvec"), F.col("cvec")),
+            5,
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cluster"))
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cluster", d.alias("_d"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", F.col("cluster").alias(tag))
+        )
+
+    cent_stale = trained_centroids(seed_asg.where(~F.col("_new"))).persist()
+    cent_fresh = trained_centroids(seed_asg).persist()
+    a = assign_to(cent_stale, "stale_c")
+    b = assign_to(cent_fresh, "fresh_c")
+    both = a.join(b, "vec_id")
+    moved = both.groupBy(F.col("stale_c").alias("cluster")).agg(
+        F.count("*").alias("n_stale"),
+        F.sum(
+            F.when(F.col("fresh_c") != F.col("stale_c"), 1).otherwise(0)
+        ).cast("long").alias("n_moved"),
+    )
+    fresh_n = both.groupBy(F.col("fresh_c").alias("cluster")).agg(
+        F.count("*").alias("n_fresh")
+    )
+    shift = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_cs"), F.col("_cf"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    ) + 0.0
+    return (
+        moved.join(fresh_n, "cluster", "left")
+        .withColumn("n_fresh", F.coalesce("n_fresh", F.lit(0)))
+        .join(
+            F.broadcast(
+                cent_stale.select("cluster", F.col("cvec").alias("_cs"))
+            ),
+            "cluster",
+        )
+        .join(
+            F.broadcast(
+                cent_fresh.select("cluster", F.col("cvec").alias("_cf"))
+            ),
+            "cluster",
+        )
+        .select(
+            "cluster", "n_stale", "n_fresh", "n_moved",
+            shift.alias("centroid_shift"),
+        )
+    )
