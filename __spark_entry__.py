@@ -235,6 +235,9 @@ ROUND_CHANGED = frozenset({
     # round-11 new: IVF index maintenance — incremental centroid
     # re-train + re-assignment drift census
     "ann_ivf_retrain_drift",
+    # round-11 new: DSIR hashed-feature importance selection (Xie et
+    # al. 2023) over the documents corpus
+    "dsir_importance_selection",
     # round-11 changed: id3 tag fixture encoding hardened (latin-1
     # replace) — same results on ASCII fixtures, re-queued for safety
     "media_id3_tags",

@@ -1506,3 +1506,139 @@ def classifier_ks_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0
         ).alias("ks_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (r11): Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — score raw
+# documents by the log-likelihood ratio of hashed-token features under
+# a target-corpus unigram model vs the raw-pool model, then keep the
+# top of the raw pool. The method behind domain-matched pretraining
+# mixes; here the "target" is a fixed deterministic seed slice so both
+# engines (and reruns) agree exactly.
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 256   #: hashed-feature dimensionality
+_DSIR_SEEDMOD = 10    #: doc_id % this < _DSIR_SEEDCUT = the target slice
+_DSIR_SEEDCUT = 2
+_DSIR_TOPK = 20       #: raw documents kept
+
+
+@query(
+    "dsir_importance_selection",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               doc_id % {_DSIR_SEEDMOD} < {_DSIR_SEEDCUT} AS is_target,
+               CAST(('0x' || substr(md5(unnest(
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\s+') END)),
+                   1, 15)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    tcnt AS (
+        SELECT b, count(*) AS ct FROM toks WHERE is_target GROUP BY b
+    ),
+    rcnt AS (
+        SELECT b, count(*) AS cr FROM toks WHERE NOT is_target GROUP BY b
+    ),
+    tot AS (
+        SELECT (SELECT sum(ct) FROM tcnt) AS nt,
+               (SELECT sum(cr) FROM rcnt) AS nr
+    ),
+    lr AS (
+        SELECT u.b,
+               ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+             - ln((coalesce(r.cr, 0) + 1.0) / (tot.nr + {_DSIR_BUCKETS}))
+                   AS lt
+        FROM (SELECT unnest(range({_DSIR_BUCKETS})) AS b) u
+        LEFT JOIN tcnt t ON t.b = u.b
+        LEFT JOIN rcnt r ON r.b = u.b, tot
+    ),
+    scored AS (
+        SELECT k.doc_id, k.source, round(sum(lr.lt), 6) AS log_weight
+        FROM toks k JOIN lr ON lr.b = k.b
+        WHERE NOT k.is_target
+        GROUP BY k.doc_id, k.source
+    )
+    SELECT doc_id, source, log_weight + 0.0 AS log_weight
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY log_weight DESC, doc_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {_DSIR_TOPK}
+    """,
+    tags=("curation", "selection", "lm"),
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram features
+    (md5 mod {_DSIR_BUCKETS}), add-1-smoothed bucket distributions for
+    the target slice (doc_id % {_DSIR_SEEDMOD} < {_DSIR_SEEDCUT}) and
+    the raw pool, per-raw-doc importance log-weight = Σ_tokens
+    ln(p_target(b)/p_raw(b)), keep the top {_DSIR_TOPK} raw documents
+    — the importance-resampling selection step that builds
+    domain-matched pretraining mixtures. (The paper samples with
+    Gumbel noise; the registered form keeps the deterministic top-k so
+    the oracle pins exact values.)
+
+    Scale shape: the feature table is {_DSIR_BUCKETS} rows however big
+    the corpus is (one map-side-combined groupBy to train each model,
+    broadcast back to the token stream); per-doc weights are one more
+    keyed aggregate; top-k is TakeOrdered, never a global sort. Every
+    stage linear in corpus tokens."""
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") % _DSIR_SEEDMOD) < _DSIR_SEEDCUT).alias(
+            "is_target"
+        ),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    tcnt = toks.where("is_target").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    rcnt = toks.where(~F.col("is_target")).groupBy("b").agg(
+        F.count("*").alias("cr")
+    )
+    buckets = spark.range(_DSIR_BUCKETS).select(F.col("id").alias("b"))
+    lr = (
+        buckets.join(F.broadcast(tcnt), "b", "left")
+        .join(F.broadcast(rcnt), "b", "left")
+        .crossJoin(
+            F.broadcast(
+                tcnt.agg(F.sum("ct").alias("nt")).crossJoin(
+                    rcnt.agg(F.sum("cr").alias("nr"))
+                )
+            )
+        )
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1.0)
+                    / (F.col("nt") + _DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + 1.0)
+                    / (F.col("nr") + _DSIR_BUCKETS)
+                )
+            ).alias("lt"),
+        )
+    )
+    scored = (
+        toks.where(~F.col("is_target"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg((F.round(F.sum("lt"), 6) + 0.0).alias("log_weight"))
+    )
+    return scored.orderBy(
+        F.col("log_weight").desc(), "doc_id"
+    ).limit(_DSIR_TOPK)
