@@ -2580,6 +2580,38 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "ann_graph_topk": {
+        # graph build = capped-bucket candidates + per-src argmin
+        # windows over materialized (localCheckpointed) rounds; beam
+        # rounds broadcast the tiny frontier into the edge join; the
+        # only NL join is the bounded (queries x entries) seed
+        "must": ["BroadcastHashJoin", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_ivf_retrain_drift": {
+        # one literal-argmin seed pass feeds both codebook aggregates;
+        # re-assignment = broadcast of the 8-row codebooks + per-vec_id
+        # bounded argmin window; the stale-vs-fresh census join is two
+        # corpus-sized frames co-keyed on vec_id — a shuffle join (SMJ)
+        # is the CORRECT plan there at any scale, so it is not banned
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "dsir_importance_selection": {
+        # two 256-row feature-model aggregates broadcast back to the
+        # token stream; per-doc keyed aggregate; top-k via TakeOrdered
+        "must": ["HashAggregate", "TakeOrderedAndProject"],
+        "must_not": ["CartesianProduct", "SortMergeJoin", "Window",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "top_session_paths": {
         # one (user, time) sort reused by the sessionize window pair +
         # within-session row_number, rn<=3 filter before the pivot,
