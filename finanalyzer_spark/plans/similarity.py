@@ -3093,10 +3093,20 @@ def _graph_edges(t) -> DataFrame:
             .select("src", "dst")
         )
         pairs = p if pairs is None else pairs.union(p)
-    ev = emb.select(F.col("vec_id").alias("src"),
-                    F.col("embedding").alias("_sv"))
-    dv = emb.select(F.col("vec_id").alias("dst"),
-                    F.col("embedding").alias("_dv"))
+    # per-vector norm computed ONCE (bit-identical to the fold inside
+    # cosine_col — same ops on the same values), so each scored pair
+    # pays one dot product instead of dot + two norm folds
+    from ..operators.similarity import dot_col, norm_col
+
+    nemb = emb.select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("_n")
+    ).localCheckpoint()
+    ev = nemb.select(F.col("vec_id").alias("src"),
+                     F.col("embedding").alias("_sv"),
+                     F.col("_n").alias("_sn"))
+    dv = nemb.select(F.col("vec_id").alias("dst"),
+                     F.col("embedding").alias("_dv"),
+                     F.col("_n").alias("_dn"))
     w = W.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
 
     def topm(cands: DataFrame) -> DataFrame:
@@ -3105,9 +3115,11 @@ def _graph_edges(t) -> DataFrame:
             .join(dv, "dst")
             .select(
                 "src", "dst",
-                F.round(cosine_col(F.col("_sv"), F.col("_dv")), 5).alias(
-                    "_cos"
-                ),
+                F.round(
+                    dot_col(F.col("_sv"), F.col("_dv"))
+                    / (F.col("_sn") * F.col("_dn")),
+                    5,
+                ).alias("_cos"),
             )
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= _GR_M)
