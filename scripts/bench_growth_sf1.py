@@ -124,6 +124,19 @@ FAMILIES: dict[str, list[str]] = {
         "ann_filtered_topk",
         "ann_postfilter_recall_eval",
     ],
+    # round-11: the graph-ANN index build rides the 10x-jittered
+    # vectors (capped-bucket candidates -> |V|·M edges; NN-descent
+    # rounds score |V|·M² candidates — linear in corpus), the IVF
+    # drift census is one seed-argmin pass + two codebook aggregates +
+    # broadcast re-assignments (linear), and DSIR is token-linear with
+    # 256-row feature models riding the 10x-rotated documents
+    "ann4": [
+        "ann_graph_topk",
+        "ann_ivf_retrain_drift",
+    ],
+    "select": [
+        "dsir_importance_selection",
+    ],
 }
 
 LINKED = ["customer", "nation", "part", "region", "supplier", "events"]
