@@ -238,6 +238,9 @@ ROUND_CHANGED = frozenset({
     # round-11 new: DSIR hashed-feature importance selection (Xie et
     # al. 2023) over the documents corpus
     "dsir_importance_selection",
+    # round-11 new: k-center greedy (farthest-point) coreset selection
+    # over the embedding corpus
+    "kcenter_coreset_selection",
     # round-11 changed: id3 tag fixture encoding hardened (latin-1
     # replace) — same results on ASCII fixtures, re-queued for safety
     "media_id3_tags",

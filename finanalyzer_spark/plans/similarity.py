@@ -3536,3 +3536,137 @@ def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             shift.alias("centroid_shift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext — k-center greedy coreset selection (r11): the geometric data-
+# selection complement to DSIR's feature-based selection — pick k
+# maximally-spread representatives of the embedding corpus (Gonzalez
+# 1985 farthest-point traversal, the 2-approximation for the k-center
+# objective; the coreset construction behind diversity-balanced
+# training subsets). Deterministic: squared distances rounded to 5
+# digits per round, ties to the smallest vec_id, seed = min vec_id.
+# --------------------------------------------------------------------------
+_KC_K = 8  #: picks (seed + 7 farthest-point rounds)
+
+
+def _kcenter_oracle() -> str:
+    rounds = []
+    prev_m = "m1"
+    rounds.append(f"""
+    seed AS (SELECT min(vec_id) AS pid FROM e),
+    p1 AS MATERIALIZED (
+        SELECT 1 AS pick_order, d.vec_id, d.v, 0.0 AS d2_at_pick
+        FROM d JOIN seed ON d.vec_id = seed.pid
+    ),
+    m1 AS MATERIALIZED (
+        SELECT d.vec_id, d.v, d.vv,
+               round(d.vv - 2.0 * list_dot_product(d.v, p.v)
+                     + list_dot_product(p.v, p.v), 5) AS dmin
+        FROM d, p1 p
+    )""")
+    for r in range(2, _KC_K + 1):
+        rounds.append(f"""
+    p{r} AS MATERIALIZED (
+        SELECT {r} AS pick_order, vec_id, v, dmin AS d2_at_pick
+        FROM {prev_m} ORDER BY dmin DESC, vec_id LIMIT 1
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT m.vec_id, m.v, m.vv,
+               least(m.dmin,
+                     round(m.vv - 2.0 * list_dot_product(m.v, p.v)
+                           + list_dot_product(p.v, p.v), 5)) AS dmin
+        FROM {prev_m} m, p{r} p
+    )""")
+        prev_m = f"m{r}"
+    picks = " UNION ALL ".join(
+        f"SELECT pick_order, vec_id, d2_at_pick FROM p{r}"
+        for r in range(1, _KC_K + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS MATERIALIZED (
+        SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
+    ),
+    {",".join(rounds)}
+    SELECT pick_order, vec_id, d2_at_pick + 0.0 AS d2_at_pick
+    FROM ({picks})
+    """
+
+
+@query(
+    "kcenter_coreset_selection",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "selection", "coreset", "iterative"),
+)
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point traversal: seed at the smallest vec_id,
+    then {_KC_K - 1} rounds of "pick the point farthest from every
+    center so far" — the classic 2-approximation of the k-center
+    objective and the standard geometric coreset for diversity-
+    balanced subset selection. Returns (pick_order, vec_id,
+    d2_at_pick): d2_at_pick is the squared distance that made the pick
+    (monotonically non-increasing — reading the curve tells you when
+    added centers stop buying coverage).
+
+    Scale shape: the loop-carried state is ONE (vec_id, dmin) row per
+    corpus vector; each round updates it with a broadcast of the 1-row
+    pick (no driver collect — the pick frame stays distributed via
+    TakeOrdered(1)), localCheckpointed per round so the plan never
+    deepens. {_KC_K} linear passes total; the DuckDB twin unrolls the
+    rounds as MATERIALIZED CTEs."""
+    from ..operators.similarity import dot_col
+
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def d2(pv) -> F.Column:
+        return F.round(
+            dot_col(F.col("v"), F.col("v"))
+            - 2.0 * dot_col(F.col("v"), pv)
+            + dot_col(pv, pv),
+            5,
+        )
+
+    seed = e.orderBy("vec_id").limit(1).select(
+        F.lit(1).alias("pick_order"),
+        "vec_id",
+        F.col("v").alias("pv"),
+        F.lit(0.0).alias("d2_at_pick"),
+    ).localCheckpoint()
+    picks = [seed]
+    m = (
+        e.crossJoin(F.broadcast(seed.select("pv")))
+        .select("vec_id", "v", d2(F.col("pv")).alias("dmin"))
+        .localCheckpoint()
+    )
+    for r in range(2, _KC_K + 1):
+        pick = (
+            m.orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).alias("pick_order"),
+                "vec_id",
+                F.col("v").alias("pv"),
+                F.col("dmin").alias("d2_at_pick"),
+            )
+            .localCheckpoint()
+        )
+        picks.append(pick)
+        if r < _KC_K:
+            m = (
+                m.crossJoin(F.broadcast(pick.select("pv")))
+                .select(
+                    "vec_id", "v",
+                    F.least(F.col("dmin"), d2(F.col("pv"))).alias("dmin"),
+                )
+                .localCheckpoint()
+            )
+    out = picks[0].select("pick_order", "vec_id", "d2_at_pick")
+    for p in picks[1:]:
+        out = out.unionByName(
+            p.select("pick_order", "vec_id", "d2_at_pick")
+        )
+    return out
