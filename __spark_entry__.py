@@ -241,6 +241,9 @@ ROUND_CHANGED = frozenset({
     # round-11 new: k-center greedy (farthest-point) coreset selection
     # over the embedding corpus
     "kcenter_coreset_selection",
+    # round-11 new: perceptual (dHash) cross-format image dedup over
+    # real PNG/QOI/BMP encode->decode round trips
+    "media_dhash_cross_format_dedup",
     # round-11 changed: id3 tag fixture encoding hardened (latin-1
     # replace) — same results on ASCII fixtures, re-queued for safety
     "media_id3_tags",

@@ -2379,3 +2379,150 @@ def media_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             " track long, codec string, n_frames long"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual (difference-hash) cross-format image dedup (r11): the
+# image-side near-dup family. Byte-level dedup (media_content_dedup)
+# cannot see that a PNG, a QOI and a BMP of the SAME pixels are one
+# image; a perceptual hash over DECODED pixels can. The fixture
+# assigns each document a pixel pattern key and one of three real
+# encoders; the three different byte streams must collapse into one
+# dHash group, certified by a closed-form oracle that recomputes the
+# hash from the pattern arithmetic — one wrong pixel anywhere in any
+# of the three decode paths shifts a bit and breaks the hash.
+# --------------------------------------------------------------------------
+_DH_KEYS = 31     #: distinct pixel patterns: img_key = doc_id % 31
+_DH_SIDE = 8      #: image side (8x8 -> 56-bit row-difference hash)
+
+
+def _dhash_formula_sql() -> str:
+    """dhash(k) as integer arithmetic: bit(r,c) = [v(r,c+1) > v(r,c)]
+    with v(r,c) = (k*7 + r*16 + c*29) % 256 (the *29 column stride
+    wraps inside every row at k-dependent positions, so distinct
+    patterns get distinct hashes instead of all collapsing into the
+    monotone all-ones hash), packed little-endian by (r*7 + c)."""
+    n = _DH_SIDE
+    terms = " + ".join(
+        f"(CASE WHEN (k*7 + {r*16 + (c + 1)*29}) % 256 > "
+        f"(k*7 + {r*16 + c*29}) % 256 THEN {1 << (r * (n - 1) + c)} "
+        f"ELSE 0 END)"
+        for r in range(n)
+        for c in range(n - 1)
+    )
+    return f"({terms})"
+
+
+@query(
+    "media_dhash_cross_format_dedup",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, doc_id % {_DH_KEYS} AS k, doc_id % 3 AS fmt
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST({_dhash_formula_sql()} AS BIGINT) AS dhash,
+               count(*) AS n_media,
+               count(DISTINCT fmt) AS n_formats,
+               -- a blob is unique per (pattern, format): gradients
+               -- with no in-row 256-wrap share the all-ones hash, so
+               -- a dhash group can span several patterns
+               count(DISTINCT k * 3 + fmt) AS n_distinct_blobs,
+               min(doc_id) AS survivor
+        FROM m GROUP BY 1
+    )
+    SELECT dhash, n_media, CAST(n_formats AS BIGINT) AS n_formats,
+           CAST(n_distinct_blobs AS BIGINT) AS n_distinct_blobs,
+           survivor
+    FROM g
+    """,
+    tags=("multimodal", "dedup", "perceptual"),
+)
+def media_dhash_cross_format_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual image dedup across byte formats: every document gets
+    an {_DH_SIDE}x{_DH_SIDE} RGB pattern (key = doc_id % {_DH_KEYS})
+    REALLY ENCODED by one of three codecs (PNG / QOI / BMP24 by
+    doc_id % 3), then the pipeline decodes each blob with the matching
+    pure-numpy decoder and computes the 56-bit difference hash (dHash:
+    bit = right neighbor brighter) over the recovered pixels. Grouping
+    by dHash collapses all three encodings of a pattern into ONE
+    group — n_distinct_blobs (md5 of the bytes) stays 3 per group,
+    the number a byte-level dedup would be stuck at.
+
+    Scale shape: one Arrow mapInPandas over the corpus (payloads never
+    shuffle — only the 8-byte hash + format id exit the kernel), one
+    groupBy on the hash. The oracle recomputes every hash bit from the
+    pattern arithmetic, so all three decoder paths are certified
+    pixel-exact end to end."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _DH_KEYS).alias("k"),
+        (F.col("doc_id") % 3).alias("fmt"),
+    )
+    side = _DH_SIDE
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import (
+            decode_bmp,
+            decode_png,
+            encode_bmp24,
+            encode_png,
+        )
+        from ..operators.qoi import decode_qoi, encode_qoi
+
+        for pdf in batches:
+            rows = []
+            for media_id, k, fmt in zip(
+                pdf["media_id"], pdf["k"], pdf["fmt"]
+            ):
+                k = int(k)
+                r, c = np.meshgrid(
+                    np.arange(side), np.arange(side), indexing="ij"
+                )
+                v = ((k * 7 + r * 16 + c * 29) % 256).astype(np.uint8)
+                img = np.stack([v, v, v], axis=-1)
+                if fmt == 0:
+                    blob = encode_png(img)
+                    dec = decode_png(blob)
+                elif fmt == 1:
+                    blob = encode_qoi(img)
+                    dec = decode_qoi(blob)
+                else:
+                    blob = encode_bmp24(img)
+                    dec = decode_bmp(blob)
+                gray = np.asarray(dec)[:, :, 0].astype(np.int64)
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                weights = (
+                    1 << np.arange(side * (side - 1), dtype=np.int64)
+                ).reshape(side, side - 1)
+                dhash = int((bits * weights).sum())
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "fmt": int(fmt),
+                        "dhash": dhash,
+                        "blob_md5": hashlib.md5(blob).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fmt", "dhash", "blob_md5"]
+            )
+
+    hashed = docs.repartition(8).mapInPandas(
+        kernel,
+        schema="media_id long, fmt long, dhash long, blob_md5 string",
+    )
+    return hashed.groupBy("dhash").agg(
+        F.count("*").alias("n_media"),
+        F.countDistinct("fmt").alias("n_formats"),
+        F.countDistinct("blob_md5").alias("n_distinct_blobs"),
+        F.min("media_id").alias("survivor"),
+    )
