@@ -26,12 +26,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: names that have already received a driver-side CORRECTNESS row
-#: (union of the CORRECTNESS_r01-r10 samples — 377/377 as of round 10:
+#: (union of the CORRECTNESS_r01-r11 samples — 383/383 as of round 11:
 #: the driver-verified union is CLOSED). Listing never-sampled names
 #: FIRST steers a prefix/ordered sampler toward them so the verified
 #: union widens each round. Refresh per round from the
 #: CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r11 sample (all green, CORRECTNESS_r11.json — 50/50; covered
+    # all 6 new + 3 changed r11 names, union stays closed) ---
+    "ann_graph_recall_eval", "ann_graph_topk", "ann_ivf_retrain_drift",
+    "approx_distinct_users", "approx_quantiles_bounded",
+    "benford_first_digit", "corr_matrix_lineitem", "cube_qty",
+    "cyclical_features", "date_functions", "distinct_conditional_agg",
+    "dsir_importance_selection", "equidepth_histogram", "except_all",
+    "forecast_revenue_change", "kcenter_coreset_selection",
+    "media_dhash_cross_format_dedup", "price_percentiles",
     # --- r10 sample (all green, CORRECTNESS_r10.json — 50/50; closed
     # the union: all 28 never-sampled r9 names + all 12 r10 names) ---
     "adamic_adar_link_prediction", "ann_filtered_topk",
@@ -218,36 +227,11 @@ DRIVER_SAMPLED = frozenset({
 #: previously-never-sampled names, closing the union at 377/377.
 NEVER_SAMPLED = frozenset()
 
-#: Round-11 new or semantics-changed names needing a (fresh) driver row.
+#: Round-12 new or semantics-changed names needing a (fresh) driver row.
 #: Capped at ~35 per VERDICT r10 #1 so one ~50-query sample covers every
-#: new/changed name plus rotation.
-ROUND_CHANGED = frozenset({
-    # round-11 changed: winnowing fingerprints moved from per-position
-    # md5 to a 64-bit polynomial k-gram hash (oracle mirrored)
-    "winnowing_candidate_pairs",
-    # round-11 changed: minhash recall eval restructured to a single
-    # persisted candidate lineage
-    "minhash_recall_eval",
-    # round-11 new: graph-ANN (bounded-degree neighbor graph + fixed-
-    # round beam search) + its measured recall
-    "ann_graph_topk",
-    "ann_graph_recall_eval",
-    # round-11 new: IVF index maintenance — incremental centroid
-    # re-train + re-assignment drift census
-    "ann_ivf_retrain_drift",
-    # round-11 new: DSIR hashed-feature importance selection (Xie et
-    # al. 2023) over the documents corpus
-    "dsir_importance_selection",
-    # round-11 new: k-center greedy (farthest-point) coreset selection
-    # over the embedding corpus
-    "kcenter_coreset_selection",
-    # round-11 new: perceptual (dHash) cross-format image dedup over
-    # real PNG/QOI/BMP encode->decode round trips
-    "media_dhash_cross_format_dedup",
-    # round-11 changed: id3 tag fixture encoding hardened (latin-1
-    # replace) — same results on ASCII fixtures, re-queued for safety
-    "media_id3_tags",
-})
+#: new/changed name plus rotation. (All r11 new/changed names got green
+#: rows in CORRECTNESS_r11.json and moved into DRIVER_SAMPLED.)
+ROUND_CHANGED = frozenset()
 
 
 def _ordered_names() -> list[str]:
