@@ -231,7 +231,18 @@ NEVER_SAMPLED = frozenset()
 #: Capped at ~35 per VERDICT r10 #1 so one ~50-query sample covers every
 #: new/changed name plus rotation. (All r11 new/changed names got green
 #: rows in CORRECTNESS_r11.json and moved into DRIVER_SAMPLED.)
-ROUND_CHANGED = frozenset()
+#: r12: ann_graph_build / ann_graph_repair_recall are NEW (maintained
+#: graph-ANN index: build job + insert-and-repair census);
+#: ann_graph_topk / ann_graph_recall_eval / ann_lsh_topk /
+#: ann_recall_eval changed semantics at sf0.01 via the corpus-adaptive
+#: LSH plane count (p = smallest with 2^p >= n/32 — at sf0.01's
+#: 500-vector corpus that is 5 planes where the fixed constants were
+#: 6/8). (The r12 streaming dhash twin is pytest-only, like the r11
+#: streaming MinHash-LSH — no registry entry to sample.)
+ROUND_CHANGED = frozenset({
+    "ann_graph_build", "ann_graph_repair_recall", "ann_graph_topk",
+    "ann_graph_recall_eval", "ann_lsh_topk", "ann_recall_eval",
+})
 
 
 def _ordered_names() -> list[str]:

@@ -2149,3 +2149,67 @@ def parse_id3v2(buf: bytes) -> dict[str, str]:
             continue
         out[fid.decode("ascii")] = val.rstrip("\x00")
     return out
+
+
+# --------------------------------------------------------------------------
+# Perceptual dedup kernel (shared by the batch query
+# plans/multimodal.media_dhash_cross_format_dedup and the streaming
+# twin streaming/stateful.dhash_dedup_increments)
+# --------------------------------------------------------------------------
+def media_dhash_kernel(side: int):
+    """mapInPandas kernel factory: for each (media_id, k, fmt) row,
+    REALLY ENCODE the k-keyed side×side gradient pattern with the
+    fmt-selected codec (PNG / QOI / BMP24), decode it back with the
+    matching pure-numpy decoder, and compute the side*(side-1)-bit
+    difference hash over the recovered pixels. Only the 8-byte hash,
+    the format id and the blob's md5 exit the kernel — payload bytes
+    never shuffle. Works identically on batch and streaming frames
+    (no window, no state)."""
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .qoi import decode_qoi, encode_qoi
+
+        for pdf in batches:
+            rows = []
+            for media_id, k, fmt in zip(
+                pdf["media_id"], pdf["k"], pdf["fmt"]
+            ):
+                k = int(k)
+                r, c = np.meshgrid(
+                    np.arange(side), np.arange(side), indexing="ij"
+                )
+                v = ((k * 7 + r * 16 + c * 29) % 256).astype(np.uint8)
+                img = np.stack([v, v, v], axis=-1)
+                if fmt == 0:
+                    blob = encode_png(img)
+                    dec = decode_png(blob)
+                elif fmt == 1:
+                    blob = encode_qoi(img)
+                    dec = decode_qoi(blob)
+                else:
+                    blob = encode_bmp24(img)
+                    dec = decode_bmp(blob)
+                gray = np.asarray(dec)[:, :, 0].astype(np.int64)
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                weights = (
+                    1 << np.arange(side * (side - 1), dtype=np.int64)
+                ).reshape(side, side - 1)
+                dhash = int((bits * weights).sum())
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "fmt": int(fmt),
+                        "dhash": dhash,
+                        "blob_md5": hashlib.md5(blob).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fmt", "dhash", "blob_md5"]
+            )
+
+    return kernel

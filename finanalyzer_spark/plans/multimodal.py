@@ -2462,62 +2462,10 @@ def media_dhash_cross_format_dedup(
         (F.col("doc_id") % _DH_KEYS).alias("k"),
         (F.col("doc_id") % 3).alias("fmt"),
     )
-    side = _DH_SIDE
-
-    def kernel(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        from ..operators.multimodal import (
-            decode_bmp,
-            decode_png,
-            encode_bmp24,
-            encode_png,
-        )
-        from ..operators.qoi import decode_qoi, encode_qoi
-
-        for pdf in batches:
-            rows = []
-            for media_id, k, fmt in zip(
-                pdf["media_id"], pdf["k"], pdf["fmt"]
-            ):
-                k = int(k)
-                r, c = np.meshgrid(
-                    np.arange(side), np.arange(side), indexing="ij"
-                )
-                v = ((k * 7 + r * 16 + c * 29) % 256).astype(np.uint8)
-                img = np.stack([v, v, v], axis=-1)
-                if fmt == 0:
-                    blob = encode_png(img)
-                    dec = decode_png(blob)
-                elif fmt == 1:
-                    blob = encode_qoi(img)
-                    dec = decode_qoi(blob)
-                else:
-                    blob = encode_bmp24(img)
-                    dec = decode_bmp(blob)
-                gray = np.asarray(dec)[:, :, 0].astype(np.int64)
-                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
-                weights = (
-                    1 << np.arange(side * (side - 1), dtype=np.int64)
-                ).reshape(side, side - 1)
-                dhash = int((bits * weights).sum())
-                rows.append(
-                    {
-                        "media_id": int(media_id),
-                        "fmt": int(fmt),
-                        "dhash": dhash,
-                        "blob_md5": hashlib.md5(blob).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "fmt", "dhash", "blob_md5"]
-            )
+    from ..operators.multimodal import media_dhash_kernel
 
     hashed = docs.repartition(8).mapInPandas(
-        kernel,
+        media_dhash_kernel(_DH_SIDE),
         schema="media_id long, fmt long, dhash long, blob_md5 string",
     )
     return hashed.groupBy("dhash").agg(

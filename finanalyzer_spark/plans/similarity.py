@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .artifacts import materialized, source_fingerprint
 from ..catalog import load
 from ..operators.similarity import (
     cosine_bucketed_pairs,
@@ -31,6 +32,78 @@ def _bucket_bits_sql(num_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
         f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
         f"THEN {2**i} ELSE 0 END)"
         for i, p in enumerate(planes)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-adaptive LSH geometry (VERDICT r11 #6): a FIXED plane count is
+# the one knob that breaks sign-bit bucketing at scale — occupancy is
+# n / 2^p, so a constant p drifts toward over-cap buckets (all dropped)
+# as the corpus grows and toward empty buckets (no candidates) as it
+# shrinks. The plane count therefore derives from the measured corpus
+# count: the smallest p with 2^p >= n / target_occupancy, clamped to
+# [PMIN, PMAX]. Both engines compute p with exact integer threshold
+# tests (never float log2, whose rounding at powers of two differs
+# between runtimes), and both mask the SAME static PMAX-plane bucket
+# down to its low p bits. lsh_planes draws plane i before plane i+1
+# from one seeded stream, so the first p planes of the PMAX set ARE
+# the p-plane set — masking low bits is exactly "use p planes", and at
+# a corpus size where p equals the old fixed constant the buckets are
+# bit-identical to the fixed-geometry build.
+# --------------------------------------------------------------------------
+_ADAPT_PMIN = 5    #: floor — fewer bits is too coarse even for tiny corpora
+_ADAPT_PMAX = 12   #: static plane-set size (covers ~128k vectors at OCC=32)
+_ADAPT_OCC = 32    #: target mean bucket occupancy the plane count aims at
+
+
+def _plane_count_sql(corpus: str = "e") -> str:
+    """CTE body computing the adaptive plane count p over ``corpus``.
+    Use as: ``pcnt AS ({_plane_count_sql()})`` then
+    ``... % CAST(pow(2, p.p) AS BIGINT)`` with ``FROM ..., pcnt p``."""
+    terms = " + ".join(
+        f"(CASE WHEN count(*) > {_ADAPT_OCC * 2 ** (j - 1)} THEN 1 ELSE 0 END)"
+        for j in range(_ADAPT_PMIN + 1, _ADAPT_PMAX + 1)
+    )
+    return f"SELECT {_ADAPT_PMIN} + {terms} AS p FROM {corpus}"
+
+
+def _plane_count_col(n_col: F.Column) -> F.Column:
+    """Spark twin of _plane_count_sql: p from a count column."""
+    p = F.lit(_ADAPT_PMIN)
+    for j in range(_ADAPT_PMIN + 1, _ADAPT_PMAX + 1):
+        p = p + F.when(
+            n_col > _ADAPT_OCC * 2 ** (j - 1), F.lit(1)
+        ).otherwise(F.lit(0))
+    return p
+
+
+def _adaptive_mask_col(p_col: F.Column) -> F.Column:
+    """2^p as an exact long (pow is exact for p <= 52)."""
+    return F.pow(F.lit(2.0), p_col.cast("double")).cast("long")
+
+
+def adaptive_lsh_buckets(
+    df: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """``hyperplane_lsh_buckets`` with the plane count derived from the
+    corpus size: computes the static {_ADAPT_PMAX}-plane bucket, then
+    masks it to the low p bits where p = the adaptive plane count over
+    ``corpus``. Fully in-plan: the count is a 1-row aggregate broadcast
+    into the projection — no driver-side collect."""
+    b = hyperplane_lsh_buckets(
+        df, vec_col, num_planes=_ADAPT_PMAX, dim=64, seed=seed
+    )
+    pc = corpus.agg(_plane_count_col(F.count("*")).alias("_p"))
+    return (
+        b.crossJoin(F.broadcast(pc))
+        .withColumn(
+            "lsh_bucket",
+            F.pmod(F.col("lsh_bucket"), _adaptive_mask_col(F.col("_p"))),
+        )
+        .drop("_p")
     )
 
 
@@ -116,24 +189,21 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_oracle(
-    num_planes: int = 8, dim: int = 64, k: int = 5, q_cut: int = 8
-) -> str:
+def _ann_lsh_oracle(dim: int = 64, k: int = 5, q_cut: int = 8) -> str:
     """Generate the DuckDB twin of the LSH-bucketed ANN: the plane
     vectors are interpolated as double literals, so both engines compute
-    identical sign-bit buckets (same fold order, same IEEE doubles)."""
-    planes = lsh_planes(num_planes, dim)
-    bits = "\n         + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
-        f"THEN {2**i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    identical sign-bit buckets (same fold order, same IEEE doubles).
+    The bucket is the static {_ADAPT_PMAX}-plane id masked to the low p
+    bits, p computed from the corpus count by the same exact integer
+    threshold tests the Spark side folds (corpus-adaptive geometry)."""
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pcnt AS ({_plane_count_sql("e")}),
     b AS (
         SELECT vec_id, v,
-           {bits} AS bucket
-        FROM e
+           ({_bucket_bits_sql(_ADAPT_PMAX, dim)})
+               % CAST(pow(2, p.p) AS BIGINT) AS bucket
+        FROM e, pcnt p
     ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS match_id,
@@ -162,10 +232,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k — the 100 TB scale path for
     cosine_topk: candidates come from an equality join on the sign-bit
     bucket (hash-partitionable, no all-pairs blowup), then exact cosine
-    re-ranks within the bucket. Recall trades off against num_planes;
-    the oracle reproduces the same buckets so the check is exact."""
+    re-ranks within the bucket. The plane count is corpus-adaptive
+    (smallest p with 2^p >= n/{_ADAPT_OCC}, clamped to
+    [{_ADAPT_PMIN}, {_ADAPT_PMAX}]): a fixed p would drift toward
+    empty buckets as the corpus shrinks and over-cap buckets as it
+    grows — the one geometry knob SCALE.md r11 flagged as open. The
+    oracle folds the identical threshold tests, so the check stays
+    exact at every corpus size."""
     t = load(spark, sf_dir)
-    b = hyperplane_lsh_buckets(t.embeddings, "embedding", num_planes=8, dim=64)
+    b = adaptive_lsh_buckets(t.embeddings, t.embeddings, "embedding")
     q = b.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         "lsh_bucket",
@@ -394,10 +469,12 @@ def _ann_recall_oracle(k: int = 5, q_cut: int = 5) -> str:
             ) AS rn FROM exact_scored
         ) WHERE rn <= {k}
     ),
+    pcnt AS ({_plane_count_sql("e")}),
     b AS (
         SELECT vec_id, v,
-           {_bucket_bits_sql(8, 64)} AS bucket
-        FROM e
+           ({_bucket_bits_sql(_ADAPT_PMAX, 64)})
+               % CAST(pow(2, p.p) AS BIGINT) AS bucket
+        FROM e, pcnt p
     ),
     lsh_scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS match_id,
@@ -445,7 +522,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding", k=k,
     ).select("query_id", "match_id")
 
-    b = hyperplane_lsh_buckets(t.embeddings, "embedding", num_planes=8, dim=64)
+    b = adaptive_lsh_buckets(t.embeddings, t.embeddings, "embedding")
     q = b.where(F.col("vec_id") < q_cut).select(
         F.col("vec_id").alias("query_id"), "lsh_bucket",
         F.col("embedding").alias("_qvec"),
@@ -2897,7 +2974,9 @@ def ann_postfilter_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic rounded-cosine + id tie-break makes both engines pick
 # identical beams. Reference n/a (extended surface per BASELINE.json).
 # --------------------------------------------------------------------------
-_GR_PLANES = 6      #: per-bucketing sign bits (two independent seeds)
+#: Per-bucketing sign bits are corpus-adaptive since r12 (the
+#: _ADAPT_* geometry above; SCALE.md r11 named the fixed count as the
+#: one open scaling knob). Two independent seeds remain.
 _GR_SEED_B = 1337   #: second bucketing seed (first is the default 42)
 _GR_M = 10          #: graph out-degree (top-M by cosine per node)
 _GR_BUCKET_CAP = 200  #: candidate buckets larger than this are dropped
@@ -2909,41 +2988,46 @@ _GR_K = 5           #: neighbors returned
 _GR_QCUT = 8        #: query vectors: vec_id < this
 
 
-def _graph_cte() -> str:
-    """Shared CTE chain building the bounded-degree neighbor graph:
-    two independent sign-bit bucketings, capped buckets, in-bucket
+def _graph_build_ctes(g: str, corpus: str) -> str:
+    """CTE chain building the bounded-degree neighbor graph ``{g}``
+    over the corpus CTE ``{corpus}``: two independent sign-bit
+    bucketings (corpus-adaptive plane count from the shared ``pcnt``
+    CTE — the caller defines it over the FULL corpus ``e``, the
+    geometry an index is provisioned for), capped buckets, in-bucket
     candidate pairs, top-M by (rounded cosine, id) per source node,
-    then _GR_ND NN-descent refinement rounds (Dong, Moses &
-    Li 2011: re-rank each node's neighbors against its neighbors'
-    neighbors + reverse edges — the step that turns low-recall bucket
-    candidates into a real k-NN graph; measured edge recall 9.8% →
-    44% at sf0.01). The refined table is `graph` (the beam CTEs join
-    it). MATERIALIZED is load-bearing: each refinement references the
-    previous graph four times, and DuckDB's default CTE inlining
+    then _GR_ND NN-descent refinement rounds (Dong, Moses & Li 2011:
+    re-rank each node's neighbors against its neighbors' neighbors +
+    reverse edges — the step that turns low-recall bucket candidates
+    into a real k-NN graph; measured edge recall 9.8% → 44% at
+    sf0.01). MATERIALIZED is load-bearing: each refinement references
+    the previous graph four times, and DuckDB's default CTE inlining
     re-evaluates the whole upstream chain per reference (measured
-    118 s → 1.3 s for the full eval)."""
+    118 s → 1.3 s for the full eval). All sub-CTE names carry the
+    ``{g}`` tag so the repair twin can instantiate the chain twice in
+    one statement."""
     steps = f"""
-    e AS MATERIALIZED (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b1 AS (SELECT vec_id, v, {_bucket_bits_sql(_GR_PLANES, 64)} AS bucket
-           FROM e),
-    b2 AS (SELECT vec_id, v,
-                  {_bucket_bits_sql(_GR_PLANES, 64, _GR_SEED_B)} AS bucket
-           FROM e),
-    k1 AS (SELECT bucket FROM b1 GROUP BY bucket
+    b1_{g} AS (SELECT vec_id, v,
+                  ({_bucket_bits_sql(_ADAPT_PMAX, 64)})
+                      % CAST(pow(2, p.p) AS BIGINT) AS bucket
+           FROM {corpus}, pcnt p),
+    b2_{g} AS (SELECT vec_id, v,
+                  ({_bucket_bits_sql(_ADAPT_PMAX, 64, _GR_SEED_B)})
+                      % CAST(pow(2, p.p) AS BIGINT) AS bucket
+           FROM {corpus}, pcnt p),
+    k1_{g} AS (SELECT bucket FROM b1_{g} GROUP BY bucket
            HAVING count(*) <= {_GR_BUCKET_CAP}),
-    k2 AS (SELECT bucket FROM b2 GROUP BY bucket
+    k2_{g} AS (SELECT bucket FROM b2_{g} GROUP BY bucket
            HAVING count(*) <= {_GR_BUCKET_CAP}),
-    cand AS MATERIALIZED (
+    cand_{g} AS MATERIALIZED (
         SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM b1 a JOIN k1 USING (bucket)
-        JOIN b1 b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+        FROM b1_{g} a JOIN k1_{g} USING (bucket)
+        JOIN b1_{g} b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
         UNION
         SELECT a.vec_id, b.vec_id
-        FROM b2 a JOIN k2 USING (bucket)
-        JOIN b2 b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+        FROM b2_{g} a JOIN k2_{g} USING (bucket)
+        JOIN b2_{g} b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
     ),
-    g0 AS MATERIALIZED (
+    {g}0 AS MATERIALIZED (
         SELECT src, dst FROM (
             SELECT c.src, c.dst,
                    row_number() OVER (
@@ -2951,14 +3035,14 @@ def _graph_cte() -> str:
                        ORDER BY round(list_cosine_similarity(es.v, ed.v),
                                       5) DESC, c.dst
                    ) AS rn
-            FROM cand c
+            FROM cand_{g} c
             JOIN e es ON es.vec_id = c.src
             JOIN e ed ON ed.vec_id = c.dst
         ) WHERE rn <= {_GR_M}
     )"""
-    prev = "g0"
+    prev = f"{g}0"
     for r in range(1, _GR_ND + 1):
-        nxt = f"g{r}"
+        nxt = f"{g}{r}"
         steps += f""",
     c_{nxt} AS (
         SELECT src, dst FROM {prev}
@@ -2982,19 +3066,30 @@ def _graph_cte() -> str:
         ) WHERE rn <= {_GR_M}
     )"""
         prev = nxt
-    return steps + f""",
+    return steps
+
+
+def _graph_cte() -> str:
+    """Full-corpus graph build: corpus `e`, adaptive geometry `pcnt`,
+    refined edge table exposed as `graph`, query set as `qs`."""
+    return f"""
+    e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pcnt AS ({_plane_count_sql("e")}),
+    {_graph_build_ctes("g", "e")},
     graph AS (SELECT src, dst FROM g{_GR_ND}),
     qs AS (SELECT vec_id AS query_id, v AS qv FROM e
            WHERE vec_id < {_GR_QCUT})"""
 
 
-def _beam_ctes() -> str:
-    """Entry seeding + _GR_ROUNDS unrolled beam rounds; the final beam
-    lives in beam{_GR_ROUNDS}. Beams are MATERIALIZED — each round
-    references the previous beam twice (carry + expand), so inlining
-    would double the upstream chain per round."""
+def _beam_ctes(graph: str = "graph", tag: str = "") -> str:
+    """Entry seeding + _GR_ROUNDS unrolled beam rounds over the edge
+    CTE ``graph``; the final beam lives in beam{tag}{_GR_ROUNDS}.
+    Beams are MATERIALIZED — each round references the previous beam
+    twice (carry + expand), so inlining would double the upstream
+    chain per round."""
     parts = [f"""
-    beam0 AS MATERIALIZED (
+    beam{tag}0 AS MATERIALIZED (
         SELECT query_id, node, cosine FROM (
             SELECT q.query_id, en.vec_id AS node,
                    round(list_cosine_similarity(q.qv, en.v), 5) + 0.0
@@ -3009,13 +3104,13 @@ def _beam_ctes() -> str:
     )"""]
     for r in range(1, _GR_ROUNDS + 1):
         parts.append(f"""
-    c{r} AS (
-        SELECT query_id, node FROM beam{r - 1}
+    c{tag}{r} AS (
+        SELECT query_id, node FROM beam{tag}{r - 1}
         UNION
-        SELECT b.query_id, g.dst FROM beam{r - 1} b
-        JOIN graph g ON g.src = b.node
+        SELECT b.query_id, g.dst FROM beam{tag}{r - 1} b
+        JOIN {graph} g ON g.src = b.node
     ),
-    beam{r} AS MATERIALIZED (
+    beam{tag}{r} AS MATERIALIZED (
         SELECT query_id, node, cosine FROM (
             SELECT c.query_id, c.node,
                    round(list_cosine_similarity(q.qv, en.v), 5) + 0.0
@@ -3025,7 +3120,7 @@ def _beam_ctes() -> str:
                        ORDER BY round(list_cosine_similarity(q.qv, en.v),
                                       5) DESC, c.node
                    ) AS rn
-            FROM c{r} c
+            FROM c{tag}{r} c
             JOIN e en ON en.vec_id = c.node
             JOIN qs q ON q.query_id = c.query_id
         ) WHERE rn <= {_GR_BEAM}
@@ -3046,56 +3141,92 @@ def _graph_topk_oracle() -> str:
     """
 
 
-def _graph_edges(t) -> DataFrame:
-    """(src, dst) bounded-degree neighbor graph over the embeddings:
-    union of capped-bucket candidates from two independent sign-bit
-    bucketings, top-{_GR_M} by (rounded cosine, id) per node, refined
-    by {_GR_ND} NN-descent rounds (candidates = current edges ∪
-    reversed edges ∪ 2-hop neighbors ∪ co-neighbors, re-ranked top-M
-    — Dong, Moses & Li 2011). Each round's graph is persisted: the
-    next round references it four times, and an unmaterialized frame
-    would re-execute the whole build per reference (the same lineage
-    discipline as the kcore loop, but with a FIXED round count so the
-    oracle unrolls as CTEs)."""
+def _build_graph_edges(emb: DataFrame, geom: DataFrame | None = None) -> DataFrame:
+    """(src, dst) bounded-degree neighbor graph over the ``emb``
+    corpus: union of capped-bucket candidates from two independent
+    sign-bit bucketings (plane count corpus-adaptive from ``geom`` —
+    defaults to the indexed corpus; the repair twin passes the FULL
+    corpus so base build and insert share one geometry), top-{_GR_M}
+    by (rounded cosine, id) per node, refined by {_GR_ND} NN-descent
+    rounds (candidates = current edges ∪ reversed edges ∪ 2-hop
+    neighbors ∪ co-neighbors, re-ranked top-M — Dong, Moses & Li
+    2011). Each round's graph is persisted: the next round references
+    it four times, and an unmaterialized frame would re-execute the
+    whole build per reference (the same lineage discipline as the
+    kcore loop, but with a FIXED round count so the oracle unrolls as
+    CTEs)."""
     from pyspark.sql import Window as W
 
-    emb = t.embeddings.select("vec_id", "embedding")
-    # ONE materialized pass computes both seeds' bucket ids: the
-    # 6-plane projection is a ~400-literal expression tree per seed,
-    # and leaving it lazy inlines it into every downstream reference
-    # (cap aggregate + both join sides each) — multi-MiB task binaries
-    # whose COMPILE time, not the 2k-row data, dominated the g0 build
-    both = hyperplane_lsh_buckets(
-        hyperplane_lsh_buckets(
-            emb, "embedding", num_planes=_GR_PLANES, dim=64, seed=42
+    if geom is None:
+        geom = emb
+    both = _both_buckets(emb, geom)
+    pairs = None
+    for bcol in ("b1", "b2"):
+        p = _capped_bucket_pairs(both, bcol)
+        pairs = p if pairs is None else pairs.union(p)
+    topm = _topm_fn(emb)
+    # localCheckpoint per round: each refinement references the
+    # previous graph FOUR times (self-joins inside the candidate
+    # helper), and a lazy lineage would both re-execute the build per
+    # reference and deepen the plan tree past what explain/codegen can
+    # hold (the r11 first cut hit a driver OOM just STRINGIFYING the
+    # 3-round plan).
+    g = topm(pairs.distinct()).localCheckpoint()
+    for _ in range(_GR_ND):
+        g = topm(_nn_descent_cands(g)).localCheckpoint()
+    return g
+
+
+def _both_buckets(emb: DataFrame, geom: DataFrame) -> DataFrame:
+    """(vec_id, b1, b2): both seeds' adaptive bucket ids in ONE
+    materialized pass — the plane projection is a many-hundred-literal
+    expression tree per seed, and leaving it lazy inlines it into
+    every downstream reference (cap aggregate + both join sides each):
+    multi-MiB task binaries whose COMPILE time, not the 2k-row data,
+    dominated the g0 build."""
+    return adaptive_lsh_buckets(
+        adaptive_lsh_buckets(
+            emb, geom, "embedding", seed=42
         ).withColumnRenamed("lsh_bucket", "b1"),
-        "embedding", num_planes=_GR_PLANES, dim=64, seed=_GR_SEED_B,
+        geom, "embedding", seed=_GR_SEED_B,
     ).select(
         "vec_id", "b1", F.col("lsh_bucket").alias("b2")
     ).localCheckpoint()
-    pairs = None
-    for bcol in ("b1", "b2"):
-        b = both.select("vec_id", F.col(bcol).alias("lsh_bucket"))
-        keep = (
-            b.groupBy("lsh_bucket")
-            .agg(F.count("*").alias("n"))
-            .where(F.col("n") <= _GR_BUCKET_CAP)
-            .select("lsh_bucket")
+
+
+def _capped_bucket_pairs(both, bcol, src_pred=None) -> DataFrame:
+    """In-bucket candidate pairs for one bucketing: src side restricted
+    to kept (<= cap) buckets and optionally to src_pred rows (the
+    insert path restricts src to the increment's new nodes)."""
+    b = both.select("vec_id", F.col(bcol).alias("lsh_bucket"))
+    keep = (
+        b.groupBy("lsh_bucket")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= _GR_BUCKET_CAP)
+        .select("lsh_bucket")
+    )
+    kb = b.join(keep, "lsh_bucket")
+    if src_pred is not None:
+        kb = kb.where(src_pred)
+    return (
+        kb.select(F.col("vec_id").alias("src"), "lsh_bucket")
+        .join(
+            b.select(F.col("vec_id").alias("dst"), "lsh_bucket"),
+            "lsh_bucket",
         )
-        kb = b.join(keep, "lsh_bucket")
-        p = (
-            kb.select(F.col("vec_id").alias("src"), "lsh_bucket")
-            .join(
-                b.select(F.col("vec_id").alias("dst"), "lsh_bucket"),
-                "lsh_bucket",
-            )
-            .where(F.col("src") != F.col("dst"))
-            .select("src", "dst")
-        )
-        pairs = p if pairs is None else pairs.union(p)
-    # per-vector norm computed ONCE (bit-identical to the fold inside
-    # cosine_col — same ops on the same values), so each scored pair
-    # pays one dot product instead of dot + two norm folds
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def _topm_fn(emb: DataFrame):
+    """Closure ranking candidate (src, dst) pairs to the top-_GR_M by
+    (rounded cosine, dst) per src. The per-vector norm is computed
+    ONCE (bit-identical to the fold inside cosine_col — same ops on
+    the same values), so each scored pair pays one dot product instead
+    of dot + two norm folds."""
+    from pyspark.sql import Window as W
+
     from ..operators.similarity import dot_col, norm_col
 
     nemb = emb.select(
@@ -3126,39 +3257,55 @@ def _graph_edges(t) -> DataFrame:
             .select("src", "dst")
         )
 
-    # localCheckpoint per round: each refinement references the
-    # previous graph FOUR times (self-joins below), and a lazy lineage
-    # would both re-execute the build per reference and deepen the
-    # plan tree past what explain/codegen can hold (the r11 first cut
-    # hit a driver OOM just STRINGIFYING the 3-round plan). Renamed-
-    # column joins, not .alias() self-joins — aliasing two sides of
-    # the same cached plan mis-resolved the join condition and
-    # produced edges the oracle (correctly) doesn't have.
-    g = topm(pairs.distinct()).localCheckpoint()
-    for _ in range(_GR_ND):
-        rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        left_mid = g.select("src", F.col("dst").alias("_mid"))
-        hop = (
-            left_mid.join(
-                g.select(F.col("src").alias("_mid"),
-                         F.col("dst").alias("_dst2")),
-                "_mid",
-            )
-            .where(F.col("_dst2") != F.col("src"))
-            .select("src", F.col("_dst2").alias("dst"))
+    return topm
+
+
+def _nn_descent_cands(g: DataFrame, touched: DataFrame | None = None) -> DataFrame:
+    """One NN-descent round's candidate set over graph `g`: current
+    edges + reversed + 2-hop + co-neighbors, deduped; when `touched`
+    (a 1-column src frame) is given, only candidates whose resulting
+    src is touched survive — the repair round's restriction, applied
+    BEFORE the expansion joins (each class semi-joins its src-bearing
+    input against the tiny broadcast touched set, so repair work is
+    proportional to the touched neighborhoods, not the corpus).
+    Renamed-column joins, not .alias() self-joins — aliasing two sides
+    of the same cached plan mis-resolved the join condition and
+    produced edges the oracle (correctly) doesn't have."""
+    gs = g
+    if touched is not None:
+        # src-side classes (direct / 2-hop / co-neighbor) start from
+        # edges whose src is touched; the reversed class starts from
+        # edges whose DST is touched (its resulting src is g.dst)
+        gs = g.join(F.broadcast(touched), "src", "left_semi")
+        rev_in = g.join(
+            F.broadcast(touched.withColumnRenamed("src", "dst")),
+            "dst", "left_semi",
         )
-        codst = (
-            left_mid.join(
-                g.select(F.col("dst").alias("_mid"),
-                         F.col("src").alias("_src2")),
-                "_mid",
-            )
-            .where(F.col("_src2") != F.col("src"))
-            .select("src", F.col("_src2").alias("dst"))
+    else:
+        rev_in = g
+    rev = rev_in.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    left_mid = gs.select("src", F.col("dst").alias("_mid"))
+    hop = (
+        left_mid.join(
+            g.select(F.col("src").alias("_mid"),
+                     F.col("dst").alias("_dst2")),
+            "_mid",
         )
-        cands = g.union(rev).union(hop).union(codst).distinct()
-        g = topm(cands).localCheckpoint()
-    return g
+        .where(F.col("_dst2") != F.col("src"))
+        .select("src", F.col("_dst2").alias("dst"))
+    )
+    codst = (
+        left_mid.join(
+            g.select(F.col("dst").alias("_mid"),
+                     F.col("src").alias("_src2")),
+            "_mid",
+        )
+        .where(F.col("_src2") != F.col("src"))
+        .select("src", F.col("_src2").alias("dst"))
+    )
+    # all four classes are already src-restricted when touched is
+    # given (gs / rev_in carry the semi-join), so no post-filter
+    return gs.union(rev).union(hop).union(codst).distinct()
 
 
 def _graph_beam(t, edges: DataFrame) -> DataFrame:
@@ -3218,28 +3365,71 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
     return beam
 
 
+def _graph_edges_shared(spark: SparkSession, t, sf_dir: str) -> DataFrame:
+    """Maintained graph-ANN index (VERDICT r11 #5): the |V|·{_GR_M}
+    edge table, built once per (embeddings fingerprint, geometry) via
+    the plans.artifacts seam and scanned by every search thereafter —
+    the build job / search query split every production vector index
+    has (mirrors the co-supply edge artifact and the IVF codebook).
+    The DuckDB twins rebuild the graph from raw embeddings per query,
+    so artifact/build divergence would fail the parity gate."""
+    key = (
+        f"ann_graph_edges_v1_m{_GR_M}_nd{_GR_ND}_cap{_GR_BUCKET_CAP}"
+        f"_p{_ADAPT_PMIN}-{_ADAPT_PMAX}o{_ADAPT_OCC}"
+        f"_{source_fingerprint(sf_dir, ('embeddings',))}"
+    )
+    emb = t.embeddings.select("vec_id", "embedding")
+    return materialized(spark, key, lambda: _build_graph_edges(emb))
+
+
+@query(
+    "ann_graph_build",
+    # the build job's auditable summary: the out-degree histogram of
+    # the refined edge table (top-M bounds out_deg at M; the histogram
+    # shows how tightly the bound binds)
+    oracle=f"""
+    WITH {_graph_cte()}
+    SELECT out_deg, count(*) AS n_nodes FROM (
+        SELECT src, count(*) AS out_deg FROM graph GROUP BY src
+    ) GROUP BY out_deg
+    """,
+    tags=("similarity", "ann", "graph", "iterative"),
+)
+def ann_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN index BUILD job: materializes the bounded-degree
+    neighbor graph through the artifact seam (idempotent — a warm
+    artifact is just scanned) and returns the out-degree histogram of
+    the edge table as the build's auditable summary. This is the
+    ingest-time half of the build/search split: at 100 TB the
+    NN-descent build runs once per corpus snapshot and every search
+    (`ann_graph_topk`) reads the maintained edge table instead of
+    re-deriving it."""
+    t = load(spark, sf_dir)
+    edges = _graph_edges_shared(spark, t, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    return deg.groupBy("out_deg").agg(F.count("*").alias("n_nodes"))
+
+
 @query(
     "ann_graph_topk",
     oracle=_graph_topk_oracle(),
     tags=("similarity", "ann", "graph", "iterative"),
 )
 def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-traversal ANN (the HNSW/NSG/DiskANN family shape): build
-    a bounded-degree ({_GR_M}-out) neighbor graph from two independent
-    capped LSH bucketings refined by {_GR_ND} NN-descent rounds, then
-    answer each query with {_GR_ROUNDS} unrolled best-first beam
-    rounds (width {_GR_BEAM}) from fixed entry points — greedy routing
-    over a navigable graph instead of bucket probing.
+    """Graph-traversal ANN (the HNSW/NSG/DiskANN family shape): answer
+    each query with {_GR_ROUNDS} unrolled best-first beam rounds
+    (width {_GR_BEAM}) from fixed entry points — greedy routing over a
+    navigable bounded-degree ({_GR_M}-out) neighbor graph read from
+    the maintained index artifact (`ann_graph_build` is the build
+    job; a cold cache builds inline once).
 
-    Scale shape: the index build is the bucketed candidate machinery
-    (bucket caps bound the pair expansion; top-M per node bounds the
-    edge table at |V|·{_GR_M} rows); each search round broadcasts the
-    tiny (queries × beam) frontier into ONE equality join against the
-    edge table — no per-query scans, no recursion, loop discipline
-    identical to the kcore family but with a fixed round count so the
-    DuckDB twin unrolls as plain CTEs."""
+    Scale shape: each search round broadcasts the tiny (queries ×
+    beam) frontier into ONE equality join against the edge table — no
+    per-query scans, no recursion; steady-state search cost is
+    independent of the build. The DuckDB twin rebuilds graph + beams
+    as plain CTEs."""
     t = load(spark, sf_dir)
-    edges = _graph_edges(t)  # persisted inside (round discipline)
+    edges = _graph_edges_shared(spark, t, sf_dir)
     beam = _graph_beam(t, edges)
     from pyspark.sql import Window as W
 
@@ -3315,6 +3505,240 @@ def ann_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.count("_hit") * 1.0 / _GR_K, 6) + 0.0).alias(
                 f"recall_at_{_GR_K}"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ext — graph-ANN incremental maintenance (VERDICT r11 #5): the graph
+# analog of ann_ivf_retrain_drift. A crawl increment arrives after the
+# neighbor graph was built; new vectors are INSERTED cheaply (bucket
+# candidates against the full corpus, top-M out-edges for new nodes
+# only), then ONE NN-descent repair round runs over just the touched
+# neighborhoods (new nodes + the base nodes they point at) — repair
+# cost proportional to the increment, not the corpus. The query prices
+# the maintenance decision by measuring beam-search recall on the
+# stale (insert-only) graph vs the repaired graph against the exact
+# full-corpus top-k. Reference n/a (extended surface).
+# --------------------------------------------------------------------------
+_GRI_MOD = 4   #: vec_id % MOD == REM is the crawl increment (25%)
+_GRI_REM = 3
+
+
+def _graph_repair_oracle() -> str:
+    bits1 = _bucket_bits_sql(_ADAPT_PMAX, 64)
+    bits2 = _bucket_bits_sql(_ADAPT_PMAX, 64, _GR_SEED_B)
+    k = _GR_K
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pcnt AS ({_plane_count_sql("e")}),
+    base AS MATERIALIZED (
+        SELECT vec_id, v FROM e WHERE vec_id % {_GRI_MOD} != {_GRI_REM}),
+    {_graph_build_ctes("gb", "base")},
+    bi1 AS (SELECT vec_id, v,
+                ({bits1}) % CAST(pow(2, p.p) AS BIGINT) AS bucket
+            FROM e, pcnt p),
+    bi2 AS (SELECT vec_id, v,
+                ({bits2}) % CAST(pow(2, p.p) AS BIGINT) AS bucket
+            FROM e, pcnt p),
+    ki1 AS (SELECT bucket FROM bi1 GROUP BY bucket
+            HAVING count(*) <= {_GR_BUCKET_CAP}),
+    ki2 AS (SELECT bucket FROM bi2 GROUP BY bucket
+            HAVING count(*) <= {_GR_BUCKET_CAP}),
+    icand AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM bi1 a JOIN ki1 USING (bucket)
+        JOIN bi1 b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+        WHERE a.vec_id % {_GRI_MOD} = {_GRI_REM}
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM bi2 a JOIN ki2 USING (bucket)
+        JOIN bi2 b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+        WHERE a.vec_id % {_GRI_MOD} = {_GRI_REM}
+    ),
+    new_out AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT c.src, c.dst,
+                   row_number() OVER (
+                       PARTITION BY c.src
+                       ORDER BY round(list_cosine_similarity(es.v, ed.v),
+                                      5) DESC, c.dst
+                   ) AS rn
+            FROM icand c
+            JOIN e es ON es.vec_id = c.src
+            JOIN e ed ON ed.vec_id = c.dst
+        ) WHERE rn <= {_GR_M}
+    ),
+    stale AS MATERIALIZED (
+        SELECT src, dst FROM gb{_GR_ND}
+        UNION ALL SELECT src, dst FROM new_out),
+    touched AS MATERIALIZED (
+        SELECT DISTINCT src FROM new_out
+        UNION SELECT DISTINCT dst FROM new_out),
+    rc AS (
+        SELECT s.src, s.dst FROM stale s
+        WHERE s.src IN (SELECT src FROM touched)
+        UNION
+        SELECT s.dst AS src, s.src AS dst FROM stale s
+        WHERE s.dst IN (SELECT src FROM touched)
+        UNION
+        SELECT a.src, b.dst FROM stale a JOIN stale b
+            ON b.src = a.dst AND b.dst != a.src
+        WHERE a.src IN (SELECT src FROM touched)
+        UNION
+        SELECT a.src, b.src FROM stale a JOIN stale b
+            ON b.dst = a.dst AND b.src != a.src
+        WHERE a.src IN (SELECT src FROM touched)
+    ),
+    repaired AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT c.src, c.dst,
+                   row_number() OVER (
+                       PARTITION BY c.src
+                       ORDER BY round(list_cosine_similarity(es.v, ed.v),
+                                      5) DESC, c.dst
+                   ) AS rn
+            FROM rc c
+            JOIN e es ON es.vec_id = c.src
+            JOIN e ed ON ed.vec_id = c.dst
+        ) WHERE rn <= {_GR_M}
+    ),
+    final AS MATERIALIZED (
+        SELECT src, dst FROM stale
+        WHERE src NOT IN (SELECT src FROM touched)
+        UNION ALL SELECT src, dst FROM repaired),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id < {_GR_QCUT}),
+    {_beam_ctes(graph="stale", tag="s")},
+    {_beam_ctes(graph="final", tag="r")},
+    got_s AS (
+        SELECT query_id, match_id FROM (
+            SELECT query_id, node AS match_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, node
+                   ) AS rn
+            FROM beams{_GR_ROUNDS} WHERE node != query_id
+        ) WHERE rn <= {k}
+    ),
+    got_r AS (
+        SELECT query_id, match_id FROM (
+            SELECT query_id, node AS match_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, node
+                   ) AS rn
+            FROM beamr{_GR_ROUNDS} WHERE node != query_id
+        ) WHERE rn <= {k}
+    ),
+    exact_topk AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, c.v),
+                                      5) DESC, c.vec_id
+                   ) AS rn
+            FROM qs q JOIN e c ON c.vec_id != q.query_id
+        ) WHERE rn <= {k}
+    )
+    SELECT x.query_id,
+           count(gs.match_id) AS n_hits_stale,
+           round(count(gs.match_id) * 1.0 / {k}, 6) + 0.0 AS recall_stale,
+           count(gr.match_id) AS n_hits_repaired,
+           round(count(gr.match_id) * 1.0 / {k}, 6) + 0.0
+               AS recall_repaired
+    FROM exact_topk x
+    LEFT JOIN got_s gs
+      ON gs.query_id = x.query_id AND gs.match_id = x.match_id
+    LEFT JOIN got_r gr
+      ON gr.query_id = x.query_id AND gr.match_id = x.match_id
+    GROUP BY x.query_id
+    """
+
+
+def _beam_topk(beam: DataFrame) -> DataFrame:
+    """Final top-k cut of a beam frame: (query_id, match_id)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("node"))
+    return (
+        beam.where(F.col("node") != F.col("query_id"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _GR_K)
+        .select("query_id", F.col("node").alias("match_id"))
+    )
+
+
+@query(
+    "ann_graph_repair_recall",
+    oracle=_graph_repair_oracle(),
+    tags=("similarity", "ann", "graph", "maintenance", "iterative"),
+)
+def ann_graph_repair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph-ANN maintenance, priced: build the neighbor
+    graph on the pre-increment corpus (vec_id % {_GRI_MOD} !=
+    {_GRI_REM}), insert the increment's vectors by giving each new
+    node its top-{_GR_M} out-edges from capped-bucket candidates
+    (stale state: new nodes are searchable, but no base node points at
+    them), then run ONE NN-descent repair round over just the touched
+    neighborhoods (new srcs + the base dsts they point at). Reports
+    per-query beam-search recall@{_GR_K} against the exact full-corpus
+    top-{_GR_K} for BOTH graphs — the stale-vs-repaired delta is the
+    number that decides how often the repair job must run.
+
+    Scale shape: the insert prices candidate generation only for new
+    srcs (bucket join against the full corpus, caps bound expansion);
+    the repair round semi-joins every candidate class against the tiny
+    broadcast touched set BEFORE the expansion joins, so repair cost
+    is proportional to the increment's neighborhoods, not the corpus
+    — the property that makes periodic repair affordable at 100 TB
+    where full rebuilds are not."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % _GRI_MOD != _GRI_REM)
+    g_base = _build_graph_edges(base, geom=emb)
+    both = _both_buckets(emb, emb)
+    topm = _topm_fn(emb)
+    ipairs = None
+    for bcol in ("b1", "b2"):
+        p = _capped_bucket_pairs(
+            both, bcol,
+            src_pred=F.col("vec_id") % _GRI_MOD == _GRI_REM,
+        )
+        ipairs = p if ipairs is None else ipairs.union(p)
+    new_out = topm(ipairs.distinct()).localCheckpoint()
+    stale = g_base.unionByName(new_out).localCheckpoint()
+    touched = (
+        new_out.select("src")
+        .union(new_out.select(F.col("dst").alias("src")))
+        .distinct()
+        .localCheckpoint()
+    )
+    repaired = topm(_nn_descent_cands(stale, touched=touched))
+    final = (
+        stale.join(F.broadcast(touched), "src", "left_anti")
+        .unionByName(repaired)
+        .localCheckpoint()
+    )
+    got_s = _beam_topk(_graph_beam(t, stale)).withColumn("_hs", F.lit(1))
+    got_r = _beam_topk(_graph_beam(t, final)).withColumn("_hr", F.lit(1))
+    queries_df = t.embeddings.where(F.col("vec_id") < _GR_QCUT)
+    exact = cosine_topk(
+        corpus=t.embeddings, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=_GR_K,
+    ).select("query_id", "match_id")
+    return (
+        exact.join(F.broadcast(got_s), ["query_id", "match_id"], "left")
+        .join(F.broadcast(got_r), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hs").alias("n_hits_stale"),
+            (F.round(F.count("_hs") * 1.0 / _GR_K, 6) + 0.0)
+            .alias("recall_stale"),
+            F.count("_hr").alias("n_hits_repaired"),
+            (F.round(F.count("_hr") * 1.0 / _GR_K, 6) + 0.0)
+            .alias("recall_repaired"),
         )
     )
 

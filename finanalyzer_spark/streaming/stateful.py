@@ -454,3 +454,103 @@ def lsh_candidate_increments(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming perceptual media dedup (VERDICT r11 #7): the crawl-increment
+# form of plans/multimodal.media_dhash_cross_format_dedup — new blobs
+# arrive, each is decoded and difference-hashed by the SAME Arrow kernel
+# the batch query runs (operators/multimodal.media_dhash_kernel), and a
+# per-hash survivor state answers "perceptually new or dup?" at arrival
+# time. The media analog of incremental_ingest_dedup.
+# --------------------------------------------------------------------------
+
+DHASH_DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("blob_md5", T.StringType()),
+        T.StructField("survivor", T.LongType()),
+        T.StructField("is_new", T.BooleanType()),
+    ]
+)
+
+#: one long per distinct perceptual hash — state is O(#distinct
+#: images), independent of crawl length or blob sizes
+DHASH_DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("survivor", T.LongType())]
+)
+
+
+def _update_dhash_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    survivor = int(state.get[0]) if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # crawl order within a micro-batch = media_id order (matches the
+    # batch twin's min(media_id) survivor election)
+    rows = rows.sort_values("media_id", kind="mergesort")
+    out = []
+    for r in rows.itertuples(index=False):
+        is_new = survivor is None
+        if is_new:
+            survivor = int(r.media_id)
+        out.append(
+            {
+                "media_id": int(r.media_id),
+                "fmt": int(r.fmt),
+                "dhash": int(key[0]),
+                "blob_md5": r.blob_md5,
+                "survivor": survivor,
+                "is_new": is_new,
+            }
+        )
+    state.update((survivor,))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "media_id", "fmt", "dhash", "blob_md5", "survivor", "is_new",
+        ],
+    )
+
+
+def dhash_dedup_increments(
+    docs: DataFrame, side: int = 8, keys: int = 31
+) -> DataFrame:
+    """Incremental perceptual image dedup over a media stream: each
+    arriving document's blob (the k-keyed pattern really encoded by
+    the doc's codec, exactly the batch fixture) is decoded and
+    difference-hashed inside one Arrow mapInPandas kernel — payloads
+    never shuffle, only the 8-byte hash + format id + digest exit —
+    then a per-dhash survivor state emits an append-mode verdict row
+    per arrival: `is_new` on first sight of a hash, `survivor` = the
+    first media_id that carried it. Aggregating all appended rows by
+    dhash reproduces the batch query's (n_media, n_formats,
+    n_distinct_blobs, survivor) exactly on any crawl prefix
+    (tests/test_streaming_dhash.py).
+
+    Scale notes: shuffle key is the 8-byte hash; state per key is ONE
+    long, so total state is O(#distinct perceptual images) — bounded
+    and tiny next to the corpus. Append mode never retracts: a dup
+    verdict is final because a hash's survivor never changes once
+    elected (min-id within the first micro-batch that carries it,
+    earlier micro-batches always win)."""
+    from ..operators.multimodal import media_dhash_kernel
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % keys).alias("k"),
+        (F.col("doc_id") % 3).alias("fmt"),
+    )
+    hashed = media.mapInPandas(
+        media_dhash_kernel(side),
+        schema="media_id long, fmt long, dhash long, blob_md5 string",
+    )
+    return hashed.groupBy("dhash").applyInPandasWithState(
+        _update_dhash_group,
+        outputStructType=DHASH_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DHASH_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -66,8 +66,14 @@ EXPECTATIONS: dict[str, dict] = {
         "must_not": ["SortMergeJoin"],
     },
     "ann_lsh_topk": {
-        "must": ["BroadcastHashJoin"],  # the scale path replaces the NL join
-        "must_not": ["BroadcastNestedLoopJoin"],
+        # the scale path's candidate join is the bucket-keyed
+        # BroadcastHashJoin; the BNLJ-Cross nodes are the r12 adaptive-
+        # geometry 1-row plane-count scalar attaches (benign — build
+        # side is a single-row aggregate), so the old blanket BNLJ ban
+        # is replaced by the real invariant: the bucket hash join must
+        # exist, and no shuffle-partitioned sort-merge join sneaks in
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["SortMergeJoin"],
     },
     "ann_sq8_topk": {
         # quantizer stats = one HashAggregate broadcast; scoring is the
