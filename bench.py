@@ -42,6 +42,16 @@ WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
 #: sample per query is 6; REPS=3 here would push the driver's total
 #: bench wall-clock past any sane window on a 217-query suite.
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+# ARTIFACT NOTE (r12): the graph / graph-ANN families materialize
+# build artifacts through plans.artifacts (written once per source
+# fingerprint under .artifacts/). The suite is alphabetical, so the
+# first query of each family (adamic_adar_link_prediction for the
+# co-supply pairs, ann_graph_build for the ANN edge table,
+# bfs_hops_trade_graph for the bipartite trade edges) pays a cold
+# build only when the cache is empty; recorded numbers and the
+# committed baseline are WARM steady-state (the driver runs bench
+# n=3 per round and min() lands on the warm reps — a cold first run
+# self-heals the same way the contention rescue does).
 # BENCH NOTE (r4→r5): deterministic_sample_stats's r4 reading of 2.13s
 # (vs r3 0.60s) was reproduced as session noise, not a plan change: a
 # controlled best-of-3 rerun in an idle session lands at 0.71s with the
@@ -116,6 +126,18 @@ BASELINE_FILE = os.environ.get(
 #: bounded: only inflated queries pay, and only up to RESCUE_REPS.
 RESCUE_FACTOR = float(os.environ.get("SPARK_GRAFT_BENCH_RESCUE_FACTOR", "2.0"))
 RESCUE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_RESCUE_REPS", "2"))
+
+#: Methodology tag recorded in the artifact (VERDICT r11 #1: the r11
+#: committed baseline silently switched from solo best-of-N numbers to
+#: one in-suite run, and diffing across the two manufactured phantom
+#: per-query regressions — srm_check 0.33→3.49 s etc. — that were
+#: suite-contention inflation, not plan changes). The driver's
+#: per-round runs are "in-suite" (one sequential pass under whatever
+#: load the host has); a committed baseline should be produced with
+#: SPARK_GRAFT_BENCH_METHODOLOGY=solo-best-of-3 (idle host, REPS=3).
+#: scripts/bench_diff.py refuses to compare artifacts whose
+#: methodologies differ.
+METHODOLOGY = os.environ.get("SPARK_GRAFT_BENCH_METHODOLOGY", "in-suite")
 
 
 def load_baseline(sf_val) -> dict[str, float]:
@@ -208,6 +230,7 @@ def main() -> None:
         json.dump({"queries": timings, "sf": sf_val, "total_sec": total,
                    "rep_spread": spread, "rescued": sorted(rescued),
                    "suite_vs_baseline": vs_base,
+                   "methodology": METHODOLOGY,
                    "baseline_file": os.path.basename(BASELINE_FILE)}, fh,
                   indent=1, sort_keys=True)
     # stdout: ONE compact JSON doc. r1/r2 both recorded parsed:null

@@ -24,12 +24,32 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--factor", type=float, default=2.0)
     ap.add_argument("--min-sec", type=float, default=0.5)
+    ap.add_argument(
+        "--allow-cross-methodology", action="store_true",
+        help="compare artifacts with different methodology tags anyway",
+    )
     args = ap.parse_args()
 
     with open(args.old) as fh:
         old_doc = json.load(fh)
     with open(args.new) as fh:
         new_doc = json.load(fh)
+    # VERDICT r11 #1: a solo best-of-N baseline and an in-suite run are
+    # NOT comparable — suite contention inflates cheap queries by
+    # multiples (srm_check 0.33→3.49 s with an identical plan), so a
+    # cross-methodology diff manufactures phantom regressions. Refuse
+    # unless explicitly overridden. Artifacts written before the tag
+    # existed count as "unknown" and also refuse against a tagged one.
+    m_old = old_doc.get("methodology", "unknown")
+    m_new = new_doc.get("methodology", "unknown")
+    if m_old != m_new and not args.allow_cross_methodology:
+        print(
+            f"REFUSED: methodology mismatch ({m_old!r} vs {m_new!r}) — "
+            "per-query swings across methodologies are contention "
+            "artifacts, not plan deltas. Re-run with matching "
+            "methodology or pass --allow-cross-methodology."
+        )
+        return 2
     old, new = old_doc["queries"], new_doc["queries"]
     # per-rep spreads (recorded by bench.py: loop family since r10,
     # every multi-rep query since r11) — when the new run's OWN reps

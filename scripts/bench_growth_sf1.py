@@ -130,12 +130,33 @@ FAMILIES: dict[str, list[str]] = {
     # drift census is one seed-argmin pass + two codebook aggregates +
     # broadcast re-assignments (linear), and DSIR is token-linear with
     # 256-row feature models riding the 10x-rotated documents
+    # ann_graph_build FIRST: with the r12 artifact seam it pays the
+    # cold index build at each scale (the build-cost growth claim);
+    # ann_graph_topk then measures steady-state search on the warm
+    # artifact (the search-cost claim, now separable from the build)
     "ann4": [
+        "ann_graph_build",
         "ann_graph_topk",
         "ann_ivf_retrain_drift",
     ],
     "select": [
         "dsir_importance_selection",
+    ],
+    # round-12: kcenter is k linear corpus passes (flat per pass, loop
+    # state one (vec_id, dmin) row per vector); the perceptual dedup is
+    # one Arrow decode+hash map pass + a hash-keyed aggregate (linear
+    # in blob count); graph-ANN repair prices base build + increment
+    # insert + ONE touched-neighborhood repair round + two beam
+    # searches (the base build dominates, so the family claim is the
+    # build's linearity — the repair round itself is increment-bound)
+    "select2": [
+        "kcenter_coreset_selection",
+    ],
+    "media": [
+        "media_dhash_cross_format_dedup",
+    ],
+    "ann5": [
+        "ann_graph_repair_recall",
     ],
 }
 
@@ -275,6 +296,16 @@ def main() -> int:
     # optional family filter: bench_growth_sf1.py [base_sf_dir] [fam,fam2]
     # — re-measure one new family without re-timing the whole matrix
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    # r12: the graph / graph-ANN families materialize build artifacts
+    # through plans.artifacts; point the cache at a growth-local dir
+    # and wipe it so BOTH scales measure cold builds (first query of
+    # each artifact family pays the build at 1x and 10x alike — same
+    # placement, so the ratio stays a growth measurement)
+    import shutil
+
+    art = os.path.join(SYNTH, ".artifacts")
+    os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = art
+    shutil.rmtree(art, ignore_errors=True)
     spark = get_spark("bench_growth_sf1")
     synthesize(spark)
     n1 = spark.read.parquet(os.path.join(BASE, "lineitem.parquet")).count()

@@ -2597,6 +2597,30 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_window": True,
         "no_global_sort": True,
     },
+    "ann_graph_build": {
+        # the build itself executes eagerly through the artifact seam
+        # (plans.artifacts.materialized) before explain captures the
+        # plan, so the registered plan is the steady-state shape: a
+        # parquet scan of the maintained edge table feeding two keyed
+        # aggregates — no joins, no windows, no Python
+        "must": ["HashAggregate", "Scan parquet"],
+        "must_not": ["CartesianProduct", "SortMergeJoin", "Window",
+                     "BroadcastNestedLoopJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_graph_recall_eval": {
+        # beam search over the maintained edge artifact (broadcast
+        # frontier joins + per-query top-k windows); the exact side is
+        # the deliberate bounded (queries x corpus) brute-force NL —
+        # BNLJ is therefore allowed, a shuffled SMJ is not
+        "must": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
     "ann_ivf_retrain_drift": {
         # one literal-argmin seed pass feeds both codebook aggregates;
         # re-assignment = broadcast of the 8-row codebooks + per-vec_id
@@ -2606,6 +2630,40 @@ EXPECTATIONS: dict[str, dict] = {
         "must": ["HashAggregate", "Window"],
         "must_not": ["CartesianProduct",
                      "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "ann_graph_repair_recall": {
+        # base build + insert + repair all execute eagerly (artifact /
+        # localCheckpoint discipline); the captured plan is the double
+        # beam search + recall join: broadcast frontier hash joins,
+        # per-query top-k windows, the deliberate bounded brute-force
+        # NL for the exact side — never a shuffled SMJ
+        "must": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin",
+                     "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "kcenter_coreset_selection": {
+        # the Gonzalez greedy loop runs eagerly (per-pick
+        # localCheckpoint + TakeOrdered(1)); the registered plan is
+        # the shuffle-free union of the checkpointed pick rows — any
+        # Exchange here would mean the assembly started re-shuffling
+        "must": ["Union"],
+        "must_not": ["Exchange", "CartesianProduct", "SortMergeJoin",
+                     "Window", "BatchEvalPython", "ArrowEvalPython"],
+        "no_global_window": True,
+        "no_global_sort": True,
+    },
+    "media_dhash_cross_format_dedup": {
+        # one Arrow decode+hash kernel (payloads never leave it — only
+        # the 8-byte hash + format id + digest exit), then a
+        # hash-keyed aggregate (Expand = the countDistinct pair); no
+        # joins of any kind
+        "must": ["MapInPandas", "HashAggregate"],
+        "must_not": ["CartesianProduct", "SortMergeJoin", "Window",
+                     "BroadcastNestedLoopJoin", "BroadcastHashJoin"],
         "no_global_window": True,
         "no_global_sort": True,
     },
