@@ -43,15 +43,17 @@ WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
 #: bench wall-clock past any sane window on a 217-query suite.
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 # ARTIFACT NOTE (r12): the graph / graph-ANN families materialize
-# build artifacts through plans.artifacts (written once per source
-# fingerprint under .artifacts/). The suite is alphabetical, so the
-# first query of each family (adamic_adar_link_prediction for the
-# co-supply pairs, ann_graph_build for the ANN edge table,
-# bfs_hops_trade_graph for the bipartite trade edges) pays a cold
-# build only when the cache is empty; recorded numbers and the
-# committed baseline are WARM steady-state (the driver runs bench
-# n=3 per round and min() lands on the warm reps — a cold first run
-# self-heals the same way the contention rescue does).
+# build artifacts through plans.artifacts. The artifact root is a
+# PER-PROCESS temp dir deleted at exit, so every bench invocation
+# recomputes every frame from the parquet inputs — nothing carries
+# across runs. Within this process the suite is alphabetical, so the
+# first timed rep of each family's first query
+# (adamic_adar_link_prediction for the co-supply pairs,
+# ann_graph_build for the ANN edge table, bfs_hops_trade_graph for
+# the bipartite trade edges) pays the cold build INSIDE its timed
+# region; later reps/queries scan the parquet it wrote. min() over
+# reps therefore records the steady-state scan cost per query while
+# the suite wall-clock still contains each build exactly once.
 # BENCH NOTE (r4→r5): deterministic_sample_stats's r4 reading of 2.13s
 # (vs r3 0.60s) was reproduced as session noise, not a plan change: a
 # controlled best-of-3 rerun in an idle session lands at 0.71s with the

@@ -44,6 +44,31 @@ DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: (path, content-fingerprint) -> parquet schema. Schema inference
+#: costs ~65 ms per `read.parquet` call (driver-side footer read);
+#: with ~1-3 tables per query over a ~770-invocation bench suite that
+#: fixed cost is tens of seconds of pure metadata work. A production
+#: catalog keeps schemas in a metastore; this cache is that seam.
+#: Only METADATA is cached — every action still scans the parquet
+#: files — and the key carries (size, mtime_ns) of the data files, so
+#: a regenerated fixture can never serve a stale schema.
+_SCHEMA_CACHE: dict = {}
+
+
+def _path_fingerprint(p: str) -> tuple:
+    if os.path.isdir(p):
+        entries = []
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                if f.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(r, f))
+                entries.append((f, st.st_size, st.st_mtime_ns))
+        return tuple(sorted(entries))
+    st = os.stat(p)
+    return (st.st_size, st.st_mtime_ns)
+
+
 @dataclass
 class Catalog:
     """Lazy loader + view registrar for one scale-factor directory."""
@@ -59,7 +84,14 @@ class Catalog:
         if name not in self._cache:
             if name not in TABLE_NAMES:
                 raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
-            df = self.spark.read.parquet(self.path(name))
+            p = self.path(name)
+            key = (p, _path_fingerprint(p))
+            schema = _SCHEMA_CACHE.get(key)
+            if schema is None:
+                df = self.spark.read.parquet(p)
+                _SCHEMA_CACHE[key] = df.schema
+            else:
+                df = self.spark.read.schema(schema).parquet(p)
             self._cache[name] = _normalize(df)
         return self._cache[name]
 

@@ -8,14 +8,18 @@ each query in isolation. This module is the store seam those families
 materialize through: build into a pid-suffixed tmp dir, one atomic
 ``os.rename``, readers scan parquet thereafter.
 
-Staleness is structurally impossible rather than policed: the artifact
-path embeds a content fingerprint (size + mtime_ns of every source
-parquet file) plus a logic-version token the owning module bumps when
-its build changes. A regenerated fixture or an edited build lands on a
-NEW path and triggers a fresh build; the old directory is just dead
-bytes. DuckDB oracles keep recomputing the same frames from the raw
-tables, so the per-round parity gate would catch any artifact/build
-divergence.
+The default root is a per-process temp dir deleted at exit, so every
+bench/correctness invocation rebuilds from the parquet inputs — the
+seam shares builds across queries *within* one process, never across
+processes (a durable root is opt-in via $SPARK_GRAFT_ARTIFACT_DIR for
+production use). Staleness within a process is structurally
+impossible rather than policed: the artifact path embeds a content
+fingerprint (size + mtime_ns of every source parquet file) plus a
+logic-version token the owning module bumps when its build changes.
+A regenerated fixture or an edited build lands on a NEW path and
+triggers a fresh build. DuckDB oracles keep recomputing the same
+frames from the raw tables, so the per-round parity gate would catch
+any artifact/build divergence.
 
 At 100 TB this seam is how these families should run in production:
 the one shuffle-heavy build becomes an ingest-time job writing a
@@ -25,24 +29,38 @@ re-shuffling the raw data.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
+import tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_EPHEMERAL_ROOT: str | None = None
+
 
 def artifact_root() -> str:
-    """Cache root: $SPARK_GRAFT_ARTIFACT_DIR or <repo>/.artifacts."""
-    return os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            ".artifacts",
-        ),
-    )
+    """Cache root: $SPARK_GRAFT_ARTIFACT_DIR, else a PER-PROCESS temp
+    dir removed at interpreter exit.
+
+    The default is deliberately ephemeral: a bench or correctness
+    invocation must compute every frame from the parquet inputs, so
+    nothing an earlier process built may be visible to a later one.
+    Within one process the seam still shares each build across the
+    family (the first query that needs the frame pays for building it
+    from the raw tables; the rest scan it). Production deployments —
+    where the build genuinely is an ingest-time job writing a
+    maintained table — opt in to a durable root via the env var."""
+    root = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    if root:
+        return root
+    global _EPHEMERAL_ROOT
+    if _EPHEMERAL_ROOT is None:
+        _EPHEMERAL_ROOT = tempfile.mkdtemp(prefix="spark_graft_art_")
+        atexit.register(shutil.rmtree, _EPHEMERAL_ROOT, ignore_errors=True)
+    return _EPHEMERAL_ROOT
 
 
 def source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:

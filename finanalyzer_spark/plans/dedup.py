@@ -1439,9 +1439,18 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BUCKET_CAP banding, SimHash band caps); the intersection is one
     equi-join of two candidate-pair frames keyed on the pair ids.
     Counts are exact integers; the three shares are rounded
-    divisions."""
-    lsh = minhash_lsh_candidates(spark, sf_dir).select("id_a", "id_b")
-    sim = simhash_hamming_pairs(spark, sf_dir).select("id_a", "id_b")
+    divisions. Each candidate frame is persisted: it feeds its own
+    count AND the intersection join, and without the persist each
+    full generator pipeline executed twice more (11 parquet scans in
+    the r11 plan — the shingle/signature lineages re-ran per use)."""
+    lsh = (
+        minhash_lsh_candidates(spark, sf_dir)
+        .select("id_a", "id_b").persist()
+    )
+    sim = (
+        simhash_hamming_pairs(spark, sf_dir)
+        .select("id_a", "id_b").persist()
+    )
     n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
     n_sim = sim.agg(F.count("*").alias("n_simhash"))
     n_both = lsh.join(sim, ["id_a", "id_b"]).agg(

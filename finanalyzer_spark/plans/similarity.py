@@ -7,7 +7,7 @@ candidate generation instead of all-pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .artifacts import materialized, source_fingerprint
@@ -2318,9 +2318,15 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents0 = kmeans_centroids(_IVFT_K, dim)
     dists = sq_dist_cols("v", cents0)
+    # the assignment IS the inverted-list table of the index: persist
+    # it — it feeds the codebook aggregate, the query-side filter AND
+    # the candidate join, and without the persist the ~512-literal
+    # assignment scan executed three times (6 parquet scans in the
+    # r11 plan). At corpus scale this frame is the stored IVF list
+    # table a build job writes once.
     asg = e.select(
         "vec_id", "v", assign_cluster_col(dists).alias("cluster")
-    )
+    ).persist()
     cent = asg.groupBy("cluster").agg(
         F.array(
             *[
@@ -3862,11 +3868,14 @@ def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-assignment pass (FAISS's add-with-stale-quantizer trade).
 
     Scale shape: two scan-fused literal-argmin assignments + two
-    {_DRIFT_K}-row codebook aggregates + two broadcast re-assignment
-    joins (corpus × {_DRIFT_K} rows, per-key bounded argmin window) —
-    every stage linear in the corpus, no pair expansion anywhere."""
-    from pyspark.sql import Window as W
-
+    {_DRIFT_K}-row codebook aggregates, then ONE re-assignment pass:
+    both trained codebooks collapse to a single broadcast row of
+    (cluster, cvec) structs and every vector resolves both argmins in
+    one projection via an ordered array fold — no per-vector window,
+    no corpus×{_DRIFT_K} shuffle, no assignment self-join (the r11
+    form shuffled 8× the corpus through four Sort+WindowGroupLimit
+    pipelines and ran the a⋈b join subtree twice). Every stage is
+    linear in the corpus; no pair expansion anywhere."""
     from ..operators.clustering import (
         assign_cluster_col,
         kmeans_centroids,
@@ -3887,7 +3896,7 @@ def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # means over all rows) aggregate the same materialized frame — the
     # ~512-literal distance tree compiles and scans once, not twice
     seed_asg = e.select(
-        "v", is_new.alias("_new"),
+        "vec_id", "v", is_new.alias("_new"),
         assign_cluster_col(sq_dist_cols("v", cents0)).alias("cluster"),
     ).localCheckpoint()
 
@@ -3898,35 +3907,72 @@ def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
 
-    def assign_to(cent: DataFrame, tag: str) -> DataFrame:
-        d = F.round(
-            dot_col(F.col("v"), F.col("v"))
-            - 2.0 * dot_col(F.col("v"), F.col("cvec"))
-            + dot_col(F.col("cvec"), F.col("cvec")),
-            5,
+    def codebook_row(cent: DataFrame, col: str) -> DataFrame:
+        # the whole codebook as ONE broadcastable row, structs in
+        # ascending-cluster order (sort_array on struct sorts by the
+        # first field) — the fold below scans it in that order so the
+        # argmin tiebreak is "smallest cluster", identical to the
+        # window form's ORDER BY (_d, cluster)
+        return cent.agg(
+            F.sort_array(
+                F.collect_list(F.struct("cluster", "cvec"))
+            ).alias(col)
         )
-        w = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cluster"))
-        return (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "cluster", d.alias("_d"))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("vec_id", F.col("cluster").alias(tag))
+
+    def argmin_col(cb: str) -> Column:
+        # per-row argmin over the codebook array: same rounded
+        # distance as the r11 window form (round 5, dot_col folds in
+        # the same element order), strict < keeps the first minimum =
+        # smallest cluster on ties
+        def step(acc, c):
+            d = F.round(
+                F.col("_vv")
+                - 2.0 * dot_col(F.col("v"), c["cvec"])
+                + dot_col(c["cvec"], c["cvec"]),
+                5,
+            )
+            better = d < acc["d"]
+            return F.struct(
+                F.when(better, d).otherwise(acc["d"]).alias("d"),
+                F.when(better, c["cluster"])
+                .otherwise(acc["cluster"]).alias("cluster"),
+            )
+
+        init = F.struct(
+            F.lit(float("inf")).alias("d"),
+            F.lit(-1).alias("cluster"),
         )
+        return F.aggregate(F.col(cb), init, step)["cluster"]
 
     cent_stale = trained_centroids(seed_asg.where(~F.col("_new"))).persist()
     cent_fresh = trained_centroids(seed_asg).persist()
-    a = assign_to(cent_stale, "stale_c")
-    b = assign_to(cent_fresh, "fresh_c")
-    both = a.join(b, "vec_id")
-    moved = both.groupBy(F.col("stale_c").alias("cluster")).agg(
-        F.count("*").alias("n_stale"),
+    both = (
+        seed_asg.withColumn("_vv", dot_col(F.col("v"), F.col("v")))
+        .crossJoin(F.broadcast(codebook_row(cent_stale, "_cbs")))
+        .crossJoin(F.broadcast(codebook_row(cent_fresh, "_cbf")))
+        .select(
+            "vec_id",
+            argmin_col("_cbs").alias("stale_c"),
+            argmin_col("_cbf").alias("fresh_c"),
+        )
+    )
+    # (stale, fresh) contingency table: ≤ K² rows, computed in one
+    # pass over the corpus and persisted so the two marginal
+    # aggregates below don't re-run the assignment projection
+    pre = (
+        both.groupBy("stale_c", "fresh_c")
+        .agg(F.count("*").alias("_n"))
+        .persist()
+    )
+    moved = pre.groupBy(F.col("stale_c").alias("cluster")).agg(
+        F.sum("_n").alias("n_stale"),
         F.sum(
-            F.when(F.col("fresh_c") != F.col("stale_c"), 1).otherwise(0)
+            F.when(F.col("fresh_c") != F.col("stale_c"), F.col("_n"))
+            .otherwise(F.lit(0))
         ).cast("long").alias("n_moved"),
     )
-    fresh_n = both.groupBy(F.col("fresh_c").alias("cluster")).agg(
-        F.count("*").alias("n_fresh")
+    fresh_n = pre.groupBy(F.col("fresh_c").alias("cluster")).agg(
+        F.sum("_n").alias("n_fresh")
     )
     shift = F.round(
         F.sqrt(
@@ -3941,7 +3987,7 @@ def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     ) + 0.0
     return (
-        moved.join(fresh_n, "cluster", "left")
+        moved.join(F.broadcast(fresh_n), "cluster", "left")
         .withColumn("n_fresh", F.coalesce("n_fresh", F.lit(0)))
         .join(
             F.broadcast(

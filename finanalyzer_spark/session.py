@@ -54,14 +54,22 @@ def default_parallelism() -> int:
 
 
 def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    """Apply runtime confs to an existing session (driver-owned or ours).
+
+    Every query entry point calls ``load()`` -> ``tune()``; the ~10
+    conf.set py4j round trips are pure fixed overhead after the first
+    call on a session, so mark the session object and skip thereafter
+    (a fresh session lacks the marker and gets tuned)."""
+    n = shuffle_partitions or default_parallelism()
+    if getattr(spark, "_finanalyzer_tuned", None) == n:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on this build — builder-time only
-    n = shuffle_partitions or default_parallelism()
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark._finanalyzer_tuned = n
     return spark
 
 

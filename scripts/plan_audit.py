@@ -2622,13 +2622,15 @@ EXPECTATIONS: dict[str, dict] = {
         "no_global_sort": True,
     },
     "ann_ivf_retrain_drift": {
-        # one literal-argmin seed pass feeds both codebook aggregates;
-        # re-assignment = broadcast of the 8-row codebooks + per-vec_id
-        # bounded argmin window; the stale-vs-fresh census join is two
-        # corpus-sized frames co-keyed on vec_id — a shuffle join (SMJ)
-        # is the CORRECT plan there at any scale, so it is not banned
-        "must": ["HashAggregate", "Window"],
-        "must_not": ["CartesianProduct",
+        # one literal-argmin seed pass (localCheckpointed) feeds both
+        # codebook aggregates; re-assignment = the two codebooks
+        # collapsed to single broadcast rows (the bounded 1-row scalar
+        # NL pattern) + a per-row ordered array-fold argmin — NO
+        # per-vector window, no corpus×K shuffle, no census self-join
+        # (r12: the windowed form shuffled 8× the corpus four times);
+        # the K²-row contingency table is cached and rolled up twice
+        "must": ["HashAggregate", "InMemoryTableScan"],
+        "must_not": ["CartesianProduct", "Window", "SortMergeJoin",
                      "BatchEvalPython", "ArrowEvalPython"],
         "no_global_window": True,
         "no_global_sort": True,
