@@ -113,7 +113,6 @@ def fit_ridge_with_eval(df: DataFrame, x: str, y: str, reg_param: float) -> Data
     Scale: the normal-equation solver aggregates X'X / X'y moments in
     one mergeable pass; the evaluator is two aggregations over the
     prediction frame. Nothing driver-side."""
-    from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.regression import LinearRegression
 
     spark = df.sparkSession
@@ -128,20 +127,27 @@ def fit_ridge_with_eval(df: DataFrame, x: str, y: str, reg_param: float) -> Data
         solver="normal",
         standardization=False,
     ).fit(assembled)
-    preds = model.transform(assembled)
-    mae = RegressionEvaluator(
-        labelCol=y, predictionCol="prediction", metricName="mae"
-    ).evaluate(preds)
-    rmse = RegressionEvaluator(
-        labelCol=y, predictionCol="prediction", metricName="rmse"
-    ).evaluate(preds)
+    # MAE and RMSE in ONE pass over the prediction frame (mean absolute
+    # / root-mean-square residual, the exact quantities
+    # RegressionEvaluator computes) — evaluating two RegressionEvaluator
+    # metrics re-executed the scan+transform pipeline per metric (r12:
+    # two full passes -> one).
+    resid = F.col(y) - F.col("prediction")
+    ev = (
+        model.transform(assembled)
+        .agg(
+            F.avg(F.abs(resid)).alias("_mae"),
+            F.sqrt(F.avg(resid * resid)).alias("_rmse"),
+        )
+        .first()
+    )
     return spark.createDataFrame(
         [
             (
                 float(model.coefficients[0]),
                 float(model.intercept),
-                float(mae),
-                float(rmse),
+                float(ev["_mae"]),
+                float(ev["_rmse"]),
                 int(model.summary.numInstances),
             )
         ],

@@ -47,10 +47,21 @@ def grouped_exact_percentiles(
     quantiles: Sequence[float],
     names: Sequence[str] | None = None,
     num_partitions: int | None = None,
+    checkpoint_input: bool = False,
+    with_input: bool = False,
 ) -> DataFrame:
     """One row per group; one double column per quantile (linear
     interpolation at position 1 + q*(n-1), the `quantile_cont` /
-    numpy-'linear' definition Spark's `percentile` also uses)."""
+    numpy-'linear' definition Spark's `percentile` also uses).
+
+    ``checkpoint_input`` materializes ``df`` before the range
+    repartition (whose boundary-sampling pass otherwise executes the
+    input subtree a second time) — worth it when the input embeds a
+    shuffle/join, not for bare scans.  ``with_input=True`` returns
+    ``(result, d)`` where ``d`` is the checkpointed range-partitioned
+    ``(*keys, _v, _pid)`` frame — callers needing further passes over
+    the same values (e.g. deviations from the median just computed)
+    read the materialized blocks instead of re-scanning the source."""
     names = list(names or (f"q{int(q * 100)}" for q in quantiles))
     keys = list(keys)
     n_parts = int(
@@ -64,9 +75,11 @@ def grouped_exact_percentiles(
     # physical executions can pick different boundaries, desyncing the
     # offsets from the ranks (exactly the positional_ids bug caught by
     # the round-5 sf0.1 oracle sweep; operators/ids.py).
+    src = df.select(*keys, F.col(value).cast("double").alias("_v"))
+    if checkpoint_input:
+        src = src.localCheckpoint()
     d = (
-        df.select(*keys, F.col(value).cast("double").alias("_v"))
-        .repartitionByRange(n_parts, *keys, F.col("_v"))
+        src.repartitionByRange(n_parts, *keys, F.col("_v"))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -132,9 +145,12 @@ def grouped_exact_percentiles(
             "_pv", F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))
         )
     )
-    return interp.groupBy(*keys).agg(
+    result = interp.groupBy(*keys).agg(
         *[
             F.max(F.when(F.col("_qi") == i, F.col("_pv"))).alias(name)
             for i, name in enumerate(names)
         ]
     )
+    if with_input:
+        return result, d
+    return result

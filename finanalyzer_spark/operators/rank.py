@@ -60,6 +60,7 @@ def ordered_scan(
     running_max_prev: Mapping[str, str] | None = None,
     totals: Mapping[str, str] | None = None,
     num_partitions: int | None = None,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Attach global order statistics under a total order, distributed.
 
@@ -79,6 +80,15 @@ def ordered_scan(
     totals : {out_name: source_col or "*"} grand totals attached as
         literal columns ("*" → row count) — exact, computed on the
         driver from the per-partition totals.
+    checkpoint_input : materialize `df` (localCheckpoint) BEFORE the
+        range repartition.  `repartitionByRange` executes its input
+        subtree twice — once for boundary sampling, once for the
+        exchange itself — so a caller whose input contains a shuffle,
+        join or expensive generator pays that subtree double.  With
+        the flag on, the subtree runs once and both the sampler and
+        the exchange read the materialized blocks.  Leave off for
+        inputs that are bare scans/projections (the extra action costs
+        more than the re-scan saves).
 
     Returns `df`'s columns plus the requested outputs.  Eager: runs
     one bounded job (localCheckpoint + ≤num_partitions-row collect).
@@ -121,6 +131,8 @@ def ordered_scan(
             " explicitly)"
         )
 
+    if checkpoint_input:
+        df = df.localCheckpoint()
     d = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -224,6 +236,7 @@ def global_ntile(
     k: int,
     out: str,
     num_partitions: int | None = None,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """`ntile(k) OVER (ORDER BY order)` without the single-task sort.
 
@@ -239,7 +252,7 @@ def global_ntile(
     rn_c, n_c = f"_gnt_rn_{out}", f"_gnt_n_{out}"
     scanned = ordered_scan(
         df, order, rank=rn_c, totals={n_c: "*"},
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, checkpoint_input=checkpoint_input,
     )
     big = f"(({n_c} div {k}) + 1)"
     cut = f"(({n_c} % {k}) * {big})"

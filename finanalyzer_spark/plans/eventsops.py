@@ -837,13 +837,22 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 185 exchanges for this query — vs 4 scans checkpointed). The
     # frames are |groups| rows; at scale this is a metadata-sized
     # materialization, the same trade as fit_kmeans' k-row collects.
-    med = grouped_exact_percentiles(
+    # with_input=True hands back the operator's OWN checkpointed
+    # (event_type, _v) frame, so the deviation pass, the MAD pass and
+    # the final flagging aggregate all read the materialized blocks —
+    # the raw parquet is scanned exactly once (r12: was 5 scans).
+    med, vals = grouped_exact_percentiles(
         t.events, ["event_type"], "value", [0.5], names=["med"],
-        num_partitions=8,
-    ).localCheckpoint()
-    dev = t.events.join(F.broadcast(med), "event_type").select(
-        "event_type", "value", "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        num_partitions=8, with_input=True,
+    )
+    med = med.localCheckpoint()
+    dev = (
+        vals.select("event_type", F.col("_v").alias("value"))
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "value", "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
     )
     mad = grouped_exact_percentiles(
         dev, ["event_type"], "adev", [0.5], names=["mad"],
@@ -1296,7 +1305,8 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lag_us"),
     )
     r = ordered_scan(
-        lags, ["lag_us", "user_id"], rank="rn", totals={"n": "*"}
+        lags, ["lag_us", "user_id"], rank="rn", totals={"n": "*"},
+        checkpoint_input=True,
     )
     return r.agg(
         F.max("n").alias("n_converted"),

@@ -950,6 +950,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank="k",
         running={"cum": "x"},
         totals={"n": "*", "total": "x"},
+        checkpoint_input=True,
     )
     c = s.select(
         F.date_format("d", "yyyy-MM-dd").alias("cp_day"),

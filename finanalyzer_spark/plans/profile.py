@@ -252,7 +252,9 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("x").alias("x"))
     )
-    ranked = ordered_scan(rev, ["x", "o_custkey"], rank="i")
+    ranked = ordered_scan(
+        rev, ["x", "o_custkey"], rank="i", checkpoint_input=True
+    )
     return ranked.agg(
         F.count("*").alias("n_customers"),
         F.sum("x").alias("total_cents"),
@@ -3651,7 +3653,8 @@ def bh_fdr_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", F.least(F.lit(1.0), 2.0 * tail).alias("pval")
     )
     ranked = ordered_scan(
-        p, ["pval", "l_suppkey"], rank="i", totals={"m": "*"}
+        p, ["pval", "l_suppkey"], rank="i", totals={"m": "*"},
+        checkpoint_input=True
     )
     kstar = ranked.agg(
         F.coalesce(

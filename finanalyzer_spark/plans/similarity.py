@@ -3147,7 +3147,12 @@ def _graph_topk_oracle() -> str:
     """
 
 
-def _build_graph_edges(emb: DataFrame, geom: DataFrame | None = None) -> DataFrame:
+def _build_graph_edges(
+    emb: DataFrame,
+    geom: DataFrame | None = None,
+    both: DataFrame | None = None,
+    nemb: DataFrame | None = None,
+) -> DataFrame:
     """(src, dst) bounded-degree neighbor graph over the ``emb``
     corpus: union of capped-bucket candidates from two independent
     sign-bit bucketings (plane count corpus-adaptive from ``geom`` —
@@ -3165,19 +3170,27 @@ def _build_graph_edges(emb: DataFrame, geom: DataFrame | None = None) -> DataFra
 
     if geom is None:
         geom = emb
-    both = _both_buckets(emb, geom)
+    # `both` / `nemb` injection (r12): the repair twin builds buckets
+    # and norms for the FULL corpus anyway; both frames are pure
+    # per-row projections (bucket id and norm depend only on the
+    # vector + geometry literals), so the base build can reuse them
+    # filtered/as-is instead of re-materializing the many-literal
+    # projection a second time.
+    if both is None:
+        both = _both_buckets(emb, geom)
     pairs = None
     for bcol in ("b1", "b2"):
         p = _capped_bucket_pairs(both, bcol)
         pairs = p if pairs is None else pairs.union(p)
-    topm = _topm_fn(emb)
+    topm = _topm_fn(emb, nemb=nemb)
     # localCheckpoint per round: each refinement references the
     # previous graph FOUR times (self-joins inside the candidate
     # helper), and a lazy lineage would both re-execute the build per
     # reference and deepen the plan tree past what explain/codegen can
     # hold (the r11 first cut hit a driver OOM just STRINGIFYING the
     # 3-round plan).
-    g = topm(pairs.distinct()).localCheckpoint()
+    # no .distinct() before topm: the set-aggregate inside dedupes
+    g = topm(pairs).localCheckpoint()
     for _ in range(_GR_ND):
         g = topm(_nn_descent_cands(g)).localCheckpoint()
     return g
@@ -3225,29 +3238,36 @@ def _capped_bucket_pairs(both, bcol, src_pred=None) -> DataFrame:
     )
 
 
-def _topm_fn(emb: DataFrame):
+def _topm_fn(emb: DataFrame, nemb: DataFrame | None = None):
     """Closure ranking candidate (src, dst) pairs to the top-_GR_M by
     (rounded cosine, dst) per src. The per-vector norm is computed
     ONCE (bit-identical to the fold inside cosine_col — same ops on
     the same values), so each scored pair pays one dot product instead
-    of dot + two norm folds."""
-    from pyspark.sql import Window as W
+    of dot + two norm folds.  Pass ``nemb`` (a previously checkpointed
+    (vec_id, embedding, _n) frame — see :func:`_graph_norms`) to share
+    one norms materialization across several topm closures (r12: the
+    repair twin built it twice)."""
+    from ..operators.similarity import dot_col
 
-    from ..operators.similarity import dot_col, norm_col
-
-    nemb = emb.select(
-        "vec_id", "embedding", norm_col(F.col("embedding")).alias("_n")
-    ).localCheckpoint()
+    if nemb is None:
+        nemb = _graph_norms(emb)
     ev = nemb.select(F.col("vec_id").alias("src"),
                      F.col("embedding").alias("_sv"),
                      F.col("_n").alias("_sn"))
     dv = nemb.select(F.col("vec_id").alias("dst"),
                      F.col("embedding").alias("_dv"),
                      F.col("_n").alias("_dn"))
-    w = W.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
 
     def topm(cands: DataFrame) -> DataFrame:
-        return (
+        # top-M per src as ONE map-side-combined aggregation (r12):
+        # collect_set dedupes candidate (cos, dst) pairs (duplicate
+        # (src,dst) score identically, so set semantics == the old
+        # caller-side .distinct()), array_sort on struct(-cos, dst)
+        # reproduces the (cosine DESC, dst) window order exactly, and
+        # slice keeps M — replacing the distinct exchange + window
+        # exchange with a single partially-aggregated shuffle whose
+        # per-group state is bounded by the bucket caps.
+        scored = (
             cands.join(ev, "src")
             .join(dv, "dst")
             .select(
@@ -3258,12 +3278,37 @@ def _topm_fn(emb: DataFrame):
                     5,
                 ).alias("_cos"),
             )
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= _GR_M)
-            .select("src", "dst")
+        )
+        return (
+            scored.groupBy("src")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_set(
+                            F.struct(
+                                (-F.col("_cos")).alias("_nc"),
+                                F.col("dst").alias("dst"),
+                            )
+                        )
+                    ),
+                    1, _GR_M,
+                ).alias("_top")
+            )
+            .select("src", F.explode("_top").alias("_t"))
+            .select("src", F.col("_t.dst").alias("dst"))
         )
 
     return topm
+
+
+def _graph_norms(emb: DataFrame) -> DataFrame:
+    """Checkpointed (vec_id, embedding, _n) norms frame shared by topm
+    closures (norm identical to the fold inside cosine_col)."""
+    from ..operators.similarity import norm_col
+
+    return emb.select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("_n")
+    ).localCheckpoint()
 
 
 def _nn_descent_cands(g: DataFrame, touched: DataFrame | None = None) -> DataFrame:
@@ -3310,8 +3355,10 @@ def _nn_descent_cands(g: DataFrame, touched: DataFrame | None = None) -> DataFra
         .select("src", F.col("_src2").alias("dst"))
     )
     # all four classes are already src-restricted when touched is
-    # given (gs / rev_in carry the semi-join), so no post-filter
-    return gs.union(rev).union(hop).union(codst).distinct()
+    # given (gs / rev_in carry the semi-join), so no post-filter; no
+    # .distinct() either — the consumer is always topm, whose
+    # set-aggregate dedupes (r12: one fewer exchange per round)
+    return gs.union(rev).union(hop).union(codst)
 
 
 def _graph_beam(t, edges: DataFrame) -> DataFrame:
@@ -3319,8 +3366,6 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
     Per round the tiny beam frame broadcasts into the edge join; the
     candidate set re-scores against the query vector with the same
     rounded-cosine + id tie-break the oracle uses."""
-    from pyspark.sql import Window as W
-
     emb = t.embeddings.select("vec_id", "embedding")
     qs = emb.where(F.col("vec_id") < _GR_QCUT).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
@@ -3328,11 +3373,15 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
     en = emb.where(F.col("vec_id") < _GR_ENTRY).select(
         F.col("vec_id").alias("node")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                          F.col("node"))
 
     def rescore(cands: DataFrame) -> DataFrame:
-        return (
+        # top-BEAM per query as one map-side-combined aggregation
+        # (r12, same fusion as _topm_fn): collect_set dedupes repeated
+        # candidates (identical (cosine, node) structs), array_sort on
+        # struct(-cosine, node) is the (cosine DESC, node) beam order,
+        # slice keeps the width — one exchange where the old
+        # union().distinct() + row_number window paid two.
+        scored = (
             cands.join(
                 emb.select(F.col("vec_id").alias("node"),
                            F.col("embedding").alias("_nv")),
@@ -3344,9 +3393,28 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
                 (F.round(cosine_col(F.col("_qv"), F.col("_nv")), 5) + 0.0)
                 .alias("cosine"),
             )
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= _GR_BEAM)
-            .select("query_id", "node", "cosine")
+        )
+        return (
+            scored.groupBy("query_id")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_set(
+                            F.struct(
+                                (-F.col("cosine")).alias("_nc"),
+                                F.col("node").alias("node"),
+                            )
+                        )
+                    ),
+                    1, _GR_BEAM,
+                ).alias("_top")
+            )
+            .select("query_id", F.explode("_top").alias("_t"))
+            .select(
+                "query_id",
+                F.col("_t.node").alias("node"),
+                (-F.col("_t._nc")).alias("cosine"),
+            )
         )
 
     # per-round localCheckpoint: the beam is (queries × width) rows,
@@ -3364,7 +3432,7 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
             )
             .select("query_id", F.col("dst").alias("node"))
         )
-        cands = beam.select("query_id", "node").union(nbrs).distinct()
+        cands = beam.select("query_id", "node").union(nbrs)
         beam = rescore(cands)
         if r < _GR_ROUNDS - 1:  # the last beam flows straight into the
             beam = beam.localCheckpoint()  # caller's final top-k window
@@ -3703,9 +3771,19 @@ def ann_graph_repair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     base = emb.where(F.col("vec_id") % _GRI_MOD != _GRI_REM)
-    g_base = _build_graph_edges(base, geom=emb)
+    # one bucket frame and one norms frame for the whole query (r12):
+    # bucket id and norm are pure per-row projections of (vector,
+    # geometry), so the base build's frames are just the full-corpus
+    # frames filtered to base rows — previously the many-literal plane
+    # projection and the norms fold were each materialized twice.
+    # (_capped_bucket_pairs recomputes its bucket-size cap over the
+    # filtered frame, so base cap counts exclude increment rows exactly
+    # as before.)
     both = _both_buckets(emb, emb)
-    topm = _topm_fn(emb)
+    nemb = _graph_norms(emb)
+    both_base = both.where(F.col("vec_id") % _GRI_MOD != _GRI_REM)
+    g_base = _build_graph_edges(base, geom=emb, both=both_base, nemb=nemb)
+    topm = _topm_fn(emb, nemb=nemb)
     ipairs = None
     for bcol in ("b1", "b2"):
         p = _capped_bucket_pairs(
@@ -3713,7 +3791,7 @@ def ann_graph_repair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             src_pred=F.col("vec_id") % _GRI_MOD == _GRI_REM,
         )
         ipairs = p if ipairs is None else ipairs.union(p)
-    new_out = topm(ipairs.distinct()).localCheckpoint()
+    new_out = topm(ipairs).localCheckpoint()
     stale = g_base.unionByName(new_out).localCheckpoint()
     touched = (
         new_out.select("src")

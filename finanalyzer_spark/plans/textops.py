@@ -427,7 +427,10 @@ def curriculum_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = t.documents.select(
         "doc_id", token_count_col(F.col("text")).alias("n_tokens")
     )
-    binned = global_ntile(scored, ["n_tokens", "doc_id"], 4, "bin")
+    # checkpoint_input: scoring tokenizes every document; the range
+    # sampler would re-run the tokenizer over the corpus (r12)
+    binned = global_ntile(scored, ["n_tokens", "doc_id"], 4, "bin",
+                          checkpoint_input=True)
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1759,7 +1762,8 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("nnew"), F.lit(0)).alias("nnew"),
     )
     curve = ordered_scan(
-        joined, ["doc_id"], running={"big_n": "ntok", "v": "nnew"}
+        joined, ["doc_id"], running={"big_n": "ntok", "v": "nnew"},
+        checkpoint_input=True,
     )
     stride = per.agg(
         F.greatest(

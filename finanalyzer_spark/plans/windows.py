@@ -675,6 +675,7 @@ def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents").desc(), "o_custkey"],
         running={"cum": "cents"},
         totals={"total": "cents"},
+        checkpoint_input=True,
     )
     classed = ranked.select(
         "cents",
