@@ -102,13 +102,34 @@ def connected_components(
     # loop-invariant) decides the per-round broadcast hint in auto mode
     broadcast_nodes = resolve_broadcast_nodes(broadcast_nodes, labels.count())
 
-    for i in range(max_iter):
+    # fixpoint test via the label-sum invariant (r12): every update
+    # strictly DECREASES some node's label and never increases any, so
+    # the exact sum of labels is strictly monotone decreasing until the
+    # fixpoint — "no label changed this round" ⟺ "sum unchanged". The
+    # old test was a join of the new frame (hash-partitioned on
+    # `label` after the pointer jump) against the old (partitioned on
+    # `node`) — two exchanges + a limit job per round; the sum is one
+    # narrow aggregate over the just-materialized checkpoint blocks.
+    # decimal(38,0): ids may be 64-bit content hashes (dedup cluster
+    # graphs), whose long sum could wrap — the invariant must be exact.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = None
+    for _ in range(max_iter):
         lab_b = F.broadcast(labels) if broadcast_nodes else labels
         nbr = sym.join(
             lab_b.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
         # materialize the min-label frame once: the pointer-jump
-        # self-join consumes it on BOTH sides
+        # self-join consumes it on BOTH sides. (r12 tried skipping
+        # this checkpoint in broadcast mode and re-running the small
+        # groupBy on the broadcast side — paired A/B showed the
+        # re-executed exchange + broadcast build cost MORE than the
+        # checkpoint job it saved, consistently across the whole loop
+        # family. Checkpoint-per-consumed-frame stands.)
         new = (
             labels.select("node", "label")
             .union(nbr)
@@ -126,22 +147,15 @@ def connected_components(
             "node", F.least("label", "_label2").alias("label")
         )
         new = new.localCheckpoint()
-
-        if i == 0:
-            # a round-0 fixpoint only happens on graphs that converge
-            # in one hop anyway; skipping the check saves a job and at
-            # worst costs one extra (cheap) round
-            labels = new
-            continue
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "node")
-            .where(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
         labels = new
-        if changed == 0:
+
+        # the round-0 sum seeds the invariant (the old join-check
+        # skipped round 0 outright; the sum is cheap enough to run
+        # every round, keeping the earliest possible break at round 1)
+        s = _label_sum(new)
+        if prev_sum is not None and s == prev_sum:
             break
+        prev_sum = s
 
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))

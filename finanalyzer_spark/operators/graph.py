@@ -245,6 +245,9 @@ def kcore(
         # materialize the surviving-node frame ONCE per round: the
         # convergence count and both semi-joins below all reuse it,
         # instead of re-running the degree aggregate three times
+        # (r12 A/B re-confirmed: skipping this checkpoint in broadcast
+        # mode regressed the peel — re-executed aggregates cost more
+        # than the checkpoint job's scheduling round-trip)
         keep = (
             deg.where(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
@@ -303,7 +306,10 @@ def hits_fixed(
     each round's whole pipeline at every reference and the recompute
     count grows geometrically with `iters` (measured 21 s vs 2 s at
     sf0.1 for 2 rounds).  `localCheckpoint` per score frame keeps each
-    round one bounded job, the components/kcore/BFS discipline."""
+    round one bounded job, the components/kcore/BFS discipline.
+    (r12 A/B: eliding the two normalization checkpoints regressed the
+    query ~80% — the re-executed broadcast builds cost more than the
+    checkpoint jobs saved. Checkpoint-per-consumed-frame stands.)"""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.persist()
     hubs = e.select(F.col("src").alias("node")).distinct().select(
