@@ -252,25 +252,27 @@ def nystroem_constants(
 
 def nystroem_feature_cols(vec_col, L, W, gamma: float) -> list:
     """φ(x) = W · [exp(−γ‖x−l_1‖²), …, exp(−γ‖x−l_m‖²)] as pure Spark
-    expressions (zip_with + aggregate; no UDF)."""
+    expressions (zip_with + aggregate; no UDF). ``vec_col`` is a column
+    NAME: each feature is one parsed SQL string (operators/sqlexpr
+    discipline, r12 — the literal landmark arrays cost ~100 py4j round
+    trips per kernel column when built element-by-element)."""
+    from ..operators.sqlexpr import arr_dlit, dlit
+
     kx = []
     for l in L:
-        sq = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(v)) for v in l]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        sq = (
+            f"aggregate(zip_with({vec_col}, {arr_dlit(l)}, "
+            "(_lx, _ly) -> (CAST(_lx AS DOUBLE) - _ly)"
+            " * (CAST(_lx AS DOUBLE) - _ly)), "
+            "0.0D, (_lacc, _lv) -> _lacc + _lv)"
         )
-        kx.append(F.exp(-F.lit(gamma) * sq))
+        kx.append(f"exp(-{dlit(gamma)} * {sq})")
     feats = []
     for row in W:
-        acc = F.lit(0.0)
+        acc = "0.0D"
         for w, k in zip(row, kx):
-            acc = acc + F.lit(float(w)) * k
-        feats.append(acc)
+            acc = f"{acc} + {dlit(w)} * {k}"
+        feats.append(F.expr(acc))
     return feats
 
 

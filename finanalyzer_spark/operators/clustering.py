@@ -21,6 +21,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .similarity import dot_col
+from .sqlexpr import assign_case_sql, sq_dist_sql
 
 
 def kmeans_centroids(
@@ -42,8 +43,19 @@ def sq_dist_cols(
 ) -> list[Column]:
     """Rounded squared distance to each centroid. One v·v fold is
     shared; each centroid adds one dot-product fold against its literal
-    array (k×dim multiply-adds per row, all inside codegen)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    array (k×dim multiply-adds per row, all inside codegen).
+
+    Built as ONE parsed SQL string per centroid (operators/sqlexpr):
+    the element-by-element Column form cost k×(dim+~20) py4j round
+    trips per invocation — plan CONSTRUCTION, not execution, dominated
+    the k-means/PQ family bench times (r12, guide §4). The parsed tree
+    is node-for-node identical (double literals via repr+D, same fold
+    shape), verified by analyzed-plan comparison and oracle parity."""
+    if isinstance(vec_col, str):
+        return [
+            F.expr(sq_dist_sql(vec_col, c, round_digits)) for c in centroids
+        ]
+    v = vec_col
     vv = dot_col(v, v)
     out = []
     for c in centroids:
@@ -140,10 +152,10 @@ def fit_kmeans(
     prev_inertia = float("inf")
     inertia = prev_inertia
     for _ in range(iters):
-        dists = sq_dist_cols(vec_col, cents)
+        ds = [sq_dist_sql(vec_col, c) for c in cents]
         assigned = df.select(
-            assign_cluster_col(dists).alias("cluster"),
-            F.least(*dists).alias("dm"),
+            F.expr(assign_case_sql(ds)).alias("cluster"),
+            F.expr(f"least({', '.join(ds)})").alias("dm"),
             F.col(vec_col).alias("v"),
         )
         rows = (
@@ -152,7 +164,7 @@ def fit_kmeans(
                 F.count("*").alias("n"),
                 F.sum("dm").alias("inertia"),
                 *[
-                    F.sum(F.col("v")[j].cast("double")).alias(f"s{j}")
+                    F.expr(f"sum(CAST(v[{j}] AS DOUBLE))").alias(f"s{j}")
                     for j in range(dim)
                 ],
             )

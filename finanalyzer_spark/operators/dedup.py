@@ -180,23 +180,38 @@ def minhash_sig_array_expr(
     return let(th, "th", let(sh, "sh", ms))
 
 
-def band_hash_exprs(num_hashes: int, bands: int) -> list:
-    """Band-hash Columns over an `ms` array column (the per-row twin
-    of band_hash_cols, which expects m0..m{n-1} columns)."""
+def band_hash_sqls(
+    num_hashes: int, bands: int, col_fmt: str = "element_at(ms, {i1})"
+) -> list[str]:
+    """Band-hash SQL fragments: exact base-2^31 packing for r≤2 rows
+    per band, mod-P polynomial fold otherwise. ``col_fmt`` names the
+    t-th hash of band j ({i0} = flat 0-based index, {i1} = 1-based) —
+    `element_at(ms, {i1})` for the per-row array form, `m{i0}` for the
+    signature-column form. One parsed string per band replaces ~30 py4j
+    round trips per hash (operators/sqlexpr discipline, r12); trees are
+    node-for-node the Column-built ones."""
     r = num_hashes // bands
     out = []
     for j in range(bands):
-        cols = [F.element_at("ms", j * r + t + 1) for t in range(r)]
+        names = [
+            col_fmt.format(i0=j * r + t, i1=j * r + t + 1) for t in range(r)
+        ]
         if r <= 2:
-            bh = cols[0]
-            for c in cols[1:]:
-                bh = bh * PACK + c
+            bh = names[0]
+            for c in names[1:]:
+                bh = f"({bh} * {PACK} + {c})"
         else:
-            bh = F.lit(0).cast("long")
-            for c in cols:
-                bh = ((bh * B2) % P + c) % P
+            bh = "CAST(0 AS BIGINT)"
+            for c in names:
+                bh = f"((({bh} * {B2}) % {P} + {c}) % {P})"
         out.append(bh)
     return out
+
+
+def band_hash_exprs(num_hashes: int, bands: int) -> list:
+    """Band-hash Columns over an `ms` array column (the per-row twin
+    of band_hash_cols, which expects m0..m{n-1} columns)."""
+    return [F.expr(s) for s in band_hash_sqls(num_hashes, bands)]
 
 
 # --------------------------------------------------------------------------
@@ -278,8 +293,11 @@ def minhash_signature_from_shingles(
     the same persisted lineage (r11). min() is multiplicity-insensitive,
     so a distinct()-ed stream yields identical signatures."""
     params = minhash_params(num_hashes)
+    # one parsed SQL fragment per universal hash instead of ~34 py4j
+    # round trips each (operators/sqlexpr discipline, r12); int-range
+    # literals keep the parsed tree identical to the Column form
     aggs = [
-        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % P).alias(f"m{i}")
+        F.expr(f"min(({a} * sh + {b}) % {P})").alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -290,20 +308,9 @@ def band_hash_cols(num_hashes: int, bands: int) -> list[Column]:
     band (collision-free), mod-P polynomial fold otherwise (collisions
     ~n²/2P — harmless: both engines mirror them and the Jaccard verify
     stage rejects false positives)."""
-    r = num_hashes // bands
-    out = []
-    for j in range(bands):
-        cols = [F.col(f"m{j * r + t}") for t in range(r)]
-        if r <= 2:
-            bh = cols[0]
-            for c in cols[1:]:
-                bh = bh * PACK + c
-        else:
-            bh = F.lit(0).cast("long")
-            for c in cols:
-                bh = ((bh * B2) % P + c) % P
-        out.append(bh)
-    return out
+    return [
+        F.expr(s) for s in band_hash_sqls(num_hashes, bands, col_fmt="m{i0}")
+    ]
 
 
 def minhash_lsh_pairs(
@@ -341,15 +348,15 @@ def lsh_pairs_from_signature(
     split out (r11) so eval pipelines can feed signatures derived from
     an already-persisted shingle stream. Semantics identical to
     minhash_lsh_pairs."""
-    bhs = band_hash_cols(num_hashes, bands)
+    bsqls = band_hash_sqls(num_hashes, bands, col_fmt="m{i0}")
     banded = sig.select(
         F.col(id_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), bh.alias("bhash"))
-                    for j, bh in enumerate(bhs)
-                ]
+            F.expr(
+                "array(" + ", ".join(
+                    f"named_struct('band', {j}, 'bhash', {s})"
+                    for j, s in enumerate(bsqls)
+                ) + ")"
             )
         ).alias("bb"),
     ).select(
@@ -454,20 +461,28 @@ def simhash_fingerprints(
         ).alias("_h"),
     )
 
-    def vote(b: int) -> Column:
-        bit = F.floor(F.col("_h") / F.lit(float(2**b))).cast("long") % 2
-        return F.sum(
-            F.when(F.col("_h").isNull(), 0).when(bit == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-
-    votes = hashed.groupBy(id_col).agg(*[vote(b) for b in range(bits)])
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # one parsed SQL fragment per vote / one for the fingerprint fold
+    # instead of ~20 py4j round trips per bit (operators/sqlexpr, r12);
+    # trees are node-for-node the Column-built ones (floor-divide by an
+    # exact double power of two, int literals in the CASEs)
+    def vote_sql(b: int) -> str:
+        bit = f"CAST(FLOOR(_h / {float(2 ** b)!r}D) AS BIGINT) % 2"
+        return (
+            "sum(CASE WHEN _h IS NULL THEN 0 "
+            f"WHEN ({bit}) = 1 THEN 1 ELSE -1 END)"
         )
-        fp = term if fp is None else fp + term
-    return votes.select(F.col(id_col), fp.alias(f"simhash{bits}"))
+
+    votes = hashed.groupBy(id_col).agg(
+        *[F.expr(vote_sql(b)).alias(f"v{b}") for b in range(bits)]
+    )
+    fp_sql = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return votes.select(
+        F.col(id_col), F.expr(fp_sql).alias(f"simhash{bits}")
+    )
 
 
 def simhash_col(text: Column, bits: int = 32) -> Column:

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .sqlexpr import cosine_sql, lsh_bucket_sql
+
 
 def dot_col(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns, accumulated in double
@@ -95,8 +97,9 @@ def cosine_topk(
         .select(
             "query_id",
             "match_id",
-            (
-                F.round(cosine_col(F.col("_qvec"), F.col("_cvec")), round_digits) + 0.0
+            F.expr(
+                f"round({cosine_sql('_qvec', '_cvec')}, {round_digits})"
+                " + 0.0D"
             ).alias("cosine"),
         )
     )
@@ -160,7 +163,9 @@ def cosine_bucketed_pairs(
     right = b.select(
         F.col("lsh_bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), *lb
     )
-    cos = F.round(cosine_col(F.col("_va"), F.col("_vb")), round_digits) + 0.0
+    cos = F.expr(
+        f"round({cosine_sql('_va', '_vb')}, {round_digits}) + 0.0D"
+    )
     out_cols = [F.col("id_a"), F.col("id_b"), cos.alias("cosine")] + (
         [(F.col("_la") == F.col("_lb")).alias("same_label")] if label_col else []
     )
@@ -199,18 +204,6 @@ def hyperplane_lsh_buckets(
     """
     if planes is None:
         planes = lsh_planes(num_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(int(2**i)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.withColumn("lsh_bucket", bucket)
+    # one parsed SQL string instead of ~80 py4j round trips per plane —
+    # plan construction cost, not execution (operators/sqlexpr, r12)
+    return df.withColumn("lsh_bucket", F.expr(lsh_bucket_sql(vec_col, planes)))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.sqlexpr import assign_case_sql, sq_dist_sql
 from ..operators.clustering import (
     assign_cluster_col,
     kmeans_centroids,
@@ -76,10 +77,10 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals; the driver never materializes data rows."""
     t = load(spark, sf_dir)
     cents = kmeans_centroids(_K, _DIM)
-    dists = sq_dist_cols("embedding", cents)
+    ds = [sq_dist_sql("embedding", c) for c in cents]
     assigned = t.embeddings.select(
-        assign_cluster_col(dists).alias("cluster"),
-        F.least(*dists).alias("dm"),
+        F.expr(assign_case_sql(ds)).alias("cluster"),
+        F.expr(f"least({', '.join(ds)})").alias("dm"),
         "embedding",
     )
     return assigned.groupBy("cluster").agg(

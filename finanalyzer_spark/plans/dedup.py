@@ -486,12 +486,8 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE before the pair join, so each candidate pair costs a single
     dot-product fold instead of dot + two norms — at (n/k)^2 pairs per
     cluster that third is the dominant term."""
-    from ..operators.clustering import (
-        assign_cluster_col,
-        kmeans_centroids,
-        sq_dist_cols,
-    )
-    from ..operators.similarity import norm_col
+    from ..operators.clustering import kmeans_centroids, sq_dist_cols
+    from ..operators.sqlexpr import assign_case_sql, norm_sql
 
     t = load(spark, sf_dir)
     cents = kmeans_centroids(SEM_K, SEM_DIM)
@@ -499,19 +495,20 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each distance fold and the norm land in their OWN projection
     # before the argmin CASE references them: with k=16 the inlined form
     # would expand to k^2 = 256 folds per row and minutes of codegen
-    named = [F.col(f"_d{i}") for i in range(len(dists))]
     m = (
         t.embeddings.select(
             "vec_id",
             "embedding",
-            norm_col(F.col("embedding")).alias("nrm"),
+            F.expr(norm_sql("embedding")).alias("nrm"),
             *[d.alias(f"_d{i}") for i, d in enumerate(dists)],
         )
         .select(
             "vec_id",
             "embedding",
             "nrm",
-            assign_cluster_col(named).alias("cluster"),
+            F.expr(
+                assign_case_sql([f"_d{i}" for i in range(len(dists))])
+            ).alias("cluster"),
         )
         .select(
             "vec_id",
@@ -540,6 +537,12 @@ def semantic_dedup_report(
     (operators/dedup.py)."""
     from ..operators.similarity import dot_col
 
+    # the member frame feeds FOUR subtrees in the one final action
+    # (sizes twice — the eligibility filter and the report join — plus
+    # both sides of the pair join); without the persist each recomputes
+    # the k-way argmin projection stage (r12 paired A/B: wins all 3
+    # pairs, ~0.5-1 s at sf0.1)
+    m = m.persist()
     sizes = m.groupBy("cluster").agg(F.count("*").alias("n_members"))
     ok = sizes.where(F.col("n_members") <= cluster_cap).select("cluster")
     elig = m.join(F.broadcast(ok), "cluster")

@@ -361,22 +361,35 @@ def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle)."""
     t = load(spark, sf_dir)
     order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"]
-    w = W.partitionBy("l_partkey").orderBy(*order)
+    # one parsed SQL string per filter level instead of ~10 py4j round
+    # trips per lag term (61 terms — operators/sqlexpr discipline, r12);
+    # the inline OVER specs are textually identical, so Catalyst still
+    # plans one Window operator per level over one exchange
+    over = (
+        "OVER (PARTITION BY l_partkey "
+        f"ORDER BY {', '.join(order)})"
+    )
 
-    def filt(col, ws):
-        expr = F.lit(0.0)
+    def filt_sql(col, ws):
+        expr = "0.0D"
         for i, wt in enumerate(ws):
-            expr = expr + F.coalesce(F.lag(col, i).over(w), F.lit(0.0)) * F.lit(wt)
+            expr = (
+                f"{expr} + coalesce(lag({col}, {i}) {over}, 0.0D)"
+                f" * {wt!r}D"
+            )
         return expr
 
     m = t.lineitem.select(
         "l_partkey",
         *order,
-        (filt("l_extendedprice", _W12) - filt("l_extendedprice", _W26)).alias(
-            "macd"
-        ),
+        F.expr(
+            f"({filt_sql('l_extendedprice', _W12)})"
+            f" - ({filt_sql('l_extendedprice', _W26)})"
+        ).alias("macd"),
     )
-    sgn = m.select("l_partkey", "macd", filt("macd", _W9).alias("signal"))
+    sgn = m.select(
+        "l_partkey", "macd", F.expr(filt_sql("macd", _W9)).alias("signal")
+    )
     return sgn.groupBy("l_partkey").agg(
         F.count("*").alias("n_obs"),
         (F.round(F.avg("macd"), 4) + 0.0).alias("avg_macd"),
@@ -868,7 +881,7 @@ def vwap_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_obs"),
-            F.sum(F.col("cents") * F.col("qty")).alias("pv"),
+            F.expr("sum(cents * qty)").alias("pv"),
             F.sum("qty").alias("v"),
             F.sum("cents").alias("c"),
         )
@@ -1733,10 +1746,10 @@ def fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = j.agg(
         F.count("*").alias("n_parts"),
-        F.sum(F.col("p1") * F.col("q0")).alias("p1q0"),
-        F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
-        F.sum(F.col("p1") * F.col("q1")).alias("p1q1"),
-        F.sum(F.col("p0") * F.col("q1")).alias("p0q1"),
+        F.expr("sum(p1 * q0)").alias("p1q0"),
+        F.expr("sum(p0 * q0)").alias("p0q0"),
+        F.expr("sum(p1 * q1)").alias("p1q1"),
+        F.expr("sum(p0 * q1)").alias("p0q1"),
     )
     lasp = F.col("p1q0") / F.col("p0q0")
     paas = F.col("p1q1") / F.col("p0q1")
@@ -1923,9 +1936,9 @@ def gumbel_weekly_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     mo = blocks.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("m").cast(dec)).alias("s"),
-        F.sum(F.col("m").cast(dec) * F.col("m").cast(dec)).alias("ss"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(m AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0)))").alias("ss"),
     )
     d = mo.select(
         F.col("n").cast("double").alias("n"),

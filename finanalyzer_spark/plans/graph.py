@@ -659,12 +659,12 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     mo = ep.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
-        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
-        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))").alias("sxx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").alias("syy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     varx = d("n") * d("sxx") - d("sx") * d("sx")

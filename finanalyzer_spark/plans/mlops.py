@@ -272,7 +272,7 @@ def nystroem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     L, W = nystroem_constants()
     t = load(spark, sf_dir)
-    feats = nystroem_feature_cols(F.col("embedding"), L, W, gamma=0.5)
+    feats = nystroem_feature_cols("embedding", L, W, gamma=0.5)
     return t.embeddings.groupBy("label").agg(
         *[F.round(F.avg(p), 5).alias(f"phi_{i}") for i, p in enumerate(feats)]
     )

@@ -1097,7 +1097,7 @@ def mann_whitney_u(c: "DataFrame") -> "DataFrame":
         "na",
         "nb",
     )
-    u1x2 = F.sum(F.col("a") * F.col("dr")) - F.max("na") * (F.max("na") + 1)
+    u1x2 = F.expr("sum(a * dr)") - F.max("na") * (F.max("na") + 1)
     return r.agg(
         F.max("na").alias("n_a"),
         F.max("nb").alias("n_b"),
@@ -1397,7 +1397,7 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = lagged.agg(
         F.max("n").alias("n"),
-        F.sum(F.col("e") * F.col("e")).alias("s2"),
+        F.expr("sum(e * e)").alias("s2"),
         *[F.sum(f"p{k}").alias(f"sp{k}") for k in range(1, ACF_MAX_LAG + 1)],
     )
     rows = agg.select(
@@ -1452,12 +1452,12 @@ def spearman_rho(x: "DataFrame") -> "DataFrame":
         F.broadcast(ranks("yv", "dy")), "yv"
     )
     m = j.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("dx").cast(dec)).alias("sx"),
-        F.sum(F.col("dy").cast(dec)).alias("sy"),
-        F.sum(F.col("dx").cast(dec) * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy").cast(dec) * F.col("dy")).alias("syy"),
-        F.sum(F.col("dx").cast(dec) * F.col("dy")).alias("sxy"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(dx AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(dy AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(dx AS DECIMAL(38,0)) * dx)").alias("sxx"),
+        F.expr("sum(CAST(dy AS DECIMAL(38,0)) * dy)").alias("syy"),
+        F.expr("sum(CAST(dx AS DECIMAL(38,0)) * dy)").alias("sxy"),
     )
     return m.select(
         F.col("n").cast("long").alias("n"),
@@ -1543,7 +1543,7 @@ def kendall_tau_b(facts: "DataFrame") -> "DataFrame":
     kendall_tau_qty_discount for property testing against an
     independent numpy implementation (tests/test_properties.py)."""
     dec = "decimal(38,0)"
-    g = facts.groupBy("q", "d").agg(F.count("*").cast(dec).alias("n"))
+    g = facts.groupBy("q", "d").agg(F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"))
     a, b = g.alias("a"), g.alias("b")
     # coalesce: a degenerate input where no cell pair has b.q > a.q
     # (single distinct q) leaves the join empty and the sums NULL
@@ -1676,8 +1676,8 @@ def kruskal_wallis_h(x: DataFrame) -> DataFrame:
         x.join(rk.select("v", "d"), "v")
         .groupBy("grp")
         .agg(
-            F.count("*").cast(dec).alias("n_g"),
-            F.sum(F.col("d").cast(dec)).alias("r2"),
+            F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n_g"),
+            F.expr("sum(CAST(d AS DECIMAL(38,0)))").alias("r2"),
         )
     )
     tot = rk.agg(
@@ -1794,7 +1794,7 @@ def wilcoxon_signed_rank_z(pairs: DataFrame) -> DataFrame:
     m = (
         nz.join(rk.select("a", "dr"), "a")
         .agg(
-            F.count("*").cast(dec).alias("n"),
+            F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
             F.sum(
                 F.when(F.col("d") > 0, F.col("dr").cast(dec)).otherwise(
                     F.lit(0).cast(dec)
@@ -2234,16 +2234,16 @@ def adf_unit_root_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = l2.where(F.col("dy1").isNotNull())
     dec = "decimal(38,0)"
     mo = obs.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("y1").cast(dec)).alias("s1"),
-        F.sum(F.col("dy1").cast(dec)).alias("s2"),
-        F.sum(F.col("dy").cast(dec)).alias("sy"),
-        F.sum(F.col("y1").cast(dec) * F.col("y1").cast(dec)).alias("s11"),
-        F.sum(F.col("y1").cast(dec) * F.col("dy1").cast(dec)).alias("s12"),
-        F.sum(F.col("dy1").cast(dec) * F.col("dy1").cast(dec)).alias("s22"),
-        F.sum(F.col("y1").cast(dec) * F.col("dy").cast(dec)).alias("s1y"),
-        F.sum(F.col("dy1").cast(dec) * F.col("dy").cast(dec)).alias("s2y"),
-        F.sum(F.col("dy").cast(dec) * F.col("dy").cast(dec)).alias("syy"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(y1 AS DECIMAL(38,0)))").alias("s1"),
+        F.expr("sum(CAST(dy1 AS DECIMAL(38,0)))").alias("s2"),
+        F.expr("sum(CAST(dy AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(y1 AS DECIMAL(38,0)) * CAST(y1 AS DECIMAL(38,0)))").alias("s11"),
+        F.expr("sum(CAST(y1 AS DECIMAL(38,0)) * CAST(dy1 AS DECIMAL(38,0)))").alias("s12"),
+        F.expr("sum(CAST(dy1 AS DECIMAL(38,0)) * CAST(dy1 AS DECIMAL(38,0)))").alias("s22"),
+        F.expr("sum(CAST(y1 AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))").alias("s1y"),
+        F.expr("sum(CAST(dy1 AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))").alias("s2y"),
+        F.expr("sum(CAST(dy AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))").alias("syy"),
     )
     f = mo.select(*[F.col(c).cast("double").alias(c) for c in mo.columns])
     n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
@@ -2392,11 +2392,11 @@ def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     mo = daily.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("xa").cast(dec)).alias("sx"),
-        F.sum(F.col("yb").cast(dec)).alias("sy"),
-        F.sum(F.col("xa").cast(dec) * F.col("xa").cast(dec)).alias("sxx"),
-        F.sum(F.col("xa").cast(dec) * F.col("yb").cast(dec)).alias("sxy"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(xa AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(yb AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(xa AS DECIMAL(38,0)) * CAST(xa AS DECIMAL(38,0)))").alias("sxx"),
+        F.expr("sum(CAST(xa AS DECIMAL(38,0)) * CAST(yb AS DECIMAL(38,0)))").alias("sxy"),
     )
     ab = mo.select(
         (
@@ -2429,10 +2429,10 @@ def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r") - F.col("r1")).alias("dr"), "r1", "b", "nf"
     )
     dfmo = obs.agg(
-        F.count("*").cast(dec).alias("m"),
-        F.sum(F.col("r1").cast(dec) * F.col("r1").cast(dec)).alias("s11"),
-        F.sum(F.col("r1").cast(dec) * F.col("dr").cast(dec)).alias("s1d"),
-        F.sum(F.col("dr").cast(dec) * F.col("dr").cast(dec)).alias("sdd"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("m"),
+        F.expr("sum(CAST(r1 AS DECIMAL(38,0)) * CAST(r1 AS DECIMAL(38,0)))").alias("s11"),
+        F.expr("sum(CAST(r1 AS DECIMAL(38,0)) * CAST(dr AS DECIMAL(38,0)))").alias("s1d"),
+        F.expr("sum(CAST(dr AS DECIMAL(38,0)) * CAST(dr AS DECIMAL(38,0)))").alias("sdd"),
         F.max("b").alias("b"),
         F.max("nf").alias("nf"),
     )
@@ -2621,7 +2621,7 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
     )
-    n = daily.agg(F.count("*").cast(dec).alias("n"))
+    n = daily.agg(F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"))
     ties = (
         daily.groupBy("rev")
         .agg(F.count("*").alias("t"))
@@ -2738,7 +2738,7 @@ def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     err = F.col("actual") - F.col("pred")
     m = j.groupBy("horizon").agg(
-        F.count("*").cast(dec).alias("n"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
         F.sum(F.abs(err).cast(dec)).alias("sae"),
         F.sum(err.cast(dec) * err.cast(dec)).alias("sse"),
         F.sum(
@@ -2860,12 +2860,12 @@ def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     mo = j.groupBy("lag").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
-        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
-        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))").alias("sxx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").alias("syy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return mo.select(
@@ -3005,16 +3005,16 @@ def granger_causality_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = lagd.where(F.col("u").isNotNull())
     dec = "decimal(38,0)"
     mo = obs.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("u").cast(dec)).alias("s1"),
-        F.sum(F.col("v").cast(dec)).alias("s2"),
-        F.sum(F.col("r").cast(dec)).alias("sy"),
-        F.sum(F.col("u").cast(dec) * F.col("u").cast(dec)).alias("s11"),
-        F.sum(F.col("u").cast(dec) * F.col("v").cast(dec)).alias("s12"),
-        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("s22"),
-        F.sum(F.col("u").cast(dec) * F.col("r").cast(dec)).alias("s1y"),
-        F.sum(F.col("v").cast(dec) * F.col("r").cast(dec)).alias("s2y"),
-        F.sum(F.col("r").cast(dec) * F.col("r").cast(dec)).alias("syy"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(u AS DECIMAL(38,0)))").alias("s1"),
+        F.expr("sum(CAST(v AS DECIMAL(38,0)))").alias("s2"),
+        F.expr("sum(CAST(r AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(u AS DECIMAL(38,0)) * CAST(u AS DECIMAL(38,0)))").alias("s11"),
+        F.expr("sum(CAST(u AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))").alias("s12"),
+        F.expr("sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))").alias("s22"),
+        F.expr("sum(CAST(u AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))").alias("s1y"),
+        F.expr("sum(CAST(v AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))").alias("s2y"),
+        F.expr("sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))").alias("syy"),
     )
     f = mo.select(*[F.col(c).cast("double").alias(c) for c in mo.columns])
     n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
@@ -3211,9 +3211,9 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     mo = r.agg(
-        F.count("*").cast(dec).alias("k"),
-        F.sum(F.col("ri").cast(dec)).alias("s1"),
-        F.sum(F.col("ri").cast(dec) * F.col("ri").cast(dec)).alias("s2"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("k"),
+        F.expr("sum(CAST(ri AS DECIMAL(38,0)))").alias("s1"),
+        F.expr("sum(CAST(ri AS DECIMAL(38,0)) * CAST(ri AS DECIMAL(38,0)))").alias("s2"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     m = d("s1") / d("k") / F.lit(float(_EB_SCALE))
@@ -3776,11 +3776,11 @@ def durbin_watson_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     mo = idx.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("t").cast(dec)).alias("st"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum(F.col("t").cast(dec) * F.col("t").cast(dec)).alias("stt"),
-        F.sum(F.col("t").cast(dec) * F.col("y").cast(dec)).alias("sty"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(t AS DECIMAL(38,0)))").alias("st"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))").alias("stt"),
+        F.expr("sum(CAST(t AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").alias("sty"),
     )
     ab = mo.select(
         (
@@ -3807,7 +3807,7 @@ def durbin_watson_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e") - F.col("e1")) * (F.col("e") - F.col("e1"))
         )
     )
-    den = F.sum(F.col("e") * F.col("e"))
+    den = F.expr("sum(e * e)")
     return lagd.agg(
         F.count("*").alias("n_obs"),
         (F.round(num / den, 6) + 0.0).alias("dw_stat"),
@@ -3997,7 +3997,7 @@ def friedman_priority_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("blk", "trt")
         .agg(
             (
-                F.sum(F.col("cents").cast(dec)).cast("double")
+                F.expr("sum(CAST(cents AS DECIMAL(38,0)))").cast("double")
                 / F.count("*")
             ).alias("v")
         )
@@ -4017,7 +4017,7 @@ def friedman_priority_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("b", "k").agg(
         F.round(
             12.0 / (F.col("b") * F.col("k") * (F.col("k") + 1))
-            * F.sum(F.col("rsum") * F.col("rsum"))
+            * F.expr("sum(rsum * rsum)")
             - 3.0 * F.col("b") * (F.col("k") + 1),
             6,
         ).alias("chi2_tmp"),
@@ -4112,9 +4112,9 @@ def welch_t_returned_vs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     mo = g.groupBy("grp").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("s"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))").alias("ss"),
     )
     pick = lambda grp, col: F.max(  # noqa: E731
         F.when(F.col("grp") == grp, F.col(col).cast("double"))
@@ -4258,9 +4258,9 @@ def anova_levene_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     mo = g.groupBy("grp").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("s"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))").alias("ss"),
     )
     dev = F.abs(
         F.col("n") * F.col("c").cast(dec) - F.col("s")
@@ -4380,9 +4380,9 @@ def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
     )
     mo = g.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("s"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))").alias("ss"),
     )
     d = mo.select(
         F.col("n").cast("double").alias("n"),
@@ -4509,7 +4509,7 @@ def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag(e, 2).over(w).alias("e2"),
         F.lag(e, 3).over(w).alias("e3"),
     )
-    den = F.sum(F.col("e") * F.col("e"))
+    den = F.expr("sum(e * e)")
     rk = lambda c: (  # noqa: E731
         F.sum(
             F.when(F.col(c).isNull(), F.lit(0.0)).otherwise(
@@ -4634,11 +4634,11 @@ def breusch_pagan_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     mo = idx.agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("t").cast(dec)).alias("st"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum(F.col("t").cast(dec) * F.col("t").cast(dec)).alias("stt"),
-        F.sum(F.col("t").cast(dec) * F.col("y").cast(dec)).alias("sty"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(t AS DECIMAL(38,0)))").alias("st"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))").alias("stt"),
+        F.expr("sum(CAST(t AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").alias("sty"),
     )
     ab = mo.select(
         (
@@ -4664,9 +4664,9 @@ def breusch_pagan_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
         F.sum("t").alias("st"),
         F.sum("u").alias("su"),
-        F.sum(F.col("t") * F.col("t")).alias("stt"),
-        F.sum(F.col("t") * F.col("u")).alias("stu"),
-        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.expr("sum(t * t)").alias("stt"),
+        F.expr("sum(t * u)").alias("stu"),
+        F.expr("sum(u * u)").alias("suu"),
     )
     n, st, su = F.col("n"), F.col("st"), F.col("su")
     stt, stu, suu = F.col("stt"), F.col("stu"), F.col("suu")
@@ -4791,8 +4791,8 @@ def hurst_rs_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     mo = blk.groupBy("n", "b").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("y").cast(dec)).alias("s"),
-        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("ss"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").alias("ss"),
     )
     j = blk.join(mo, ["n", "b"]).where(F.col("cnt") == F.col("n"))
     wc = (
@@ -5031,7 +5031,7 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = daily.agg(
         (
-            F.sum(F.col("y").cast(dec)).cast("double") / F.count("*")
+            F.expr("sum(CAST(y AS DECIMAL(38,0)))").cast("double") / F.count("*")
         ).alias("mu")
     )
     above = F.when(F.col("y") > F.col("mu"), 1).otherwise(0)
@@ -5159,9 +5159,9 @@ def diff_in_diff_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
     )
     mo = g.groupBy("treated", "post").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("s"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))").alias("ss"),
     )
     nD = F.col("n").cast("double")
     cells = mo.select(
@@ -5981,7 +5981,7 @@ def jarque_bera_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = F.col("c").cast(dec)
     mo = g.agg(
-        F.count("*").cast(dec).alias("n"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
         F.sum(c).alias("s1"),
         F.sum(c * c).alias("s2"),
         F.sum(c * c * c).alias("s3"),

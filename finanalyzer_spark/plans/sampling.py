@@ -463,9 +463,9 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     mo = g.groupBy("stratum").agg(
-        F.count("*").cast(dec).alias("n"),
-        F.sum(F.col("c").cast(dec)).alias("s"),
-        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)))").alias("s"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))").alias("ss"),
     )
     nD = F.col("n").cast("double")
     w = mo.select(

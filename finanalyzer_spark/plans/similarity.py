@@ -12,6 +12,14 @@ from pyspark.sql import functions as F
 
 from .artifacts import materialized, source_fingerprint
 from ..catalog import load
+from ..operators.sqlexpr import (
+    arr_dlit,
+    assign_case_sql,
+    cosine_sql,
+    dlit,
+    dot_sql,
+    norm_sql,
+)
 from ..operators.similarity import (
     cosine_bucketed_pairs,
     cosine_col,
@@ -365,11 +373,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     e = t.embeddings
     cent = e.groupBy("label").agg(
-        F.array(
-            *[
-                F.round(F.avg(F.col("embedding")[i].cast("double")), 6)
+        F.expr(
+            "array(" + ", ".join(
+                f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6)"
                 for i in range(dim)
-            ]
+            ) + ")"
         ).alias("cvec")
     )
     q = e.where(F.col("vec_id") < 8).select(
@@ -641,12 +649,18 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, k, q_cut = 64, 5, 5
     t = load(spark, sf_dir)
     e = t.embeddings
+    # one parsed array-of-aggregates per stat (operators/sqlexpr, r12):
+    # the per-dim Column loop cost ~5 py4j round trips × 2 × dim
     st = e.agg(
-        F.array(
-            *[F.min(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        F.expr(
+            "array(" + ", ".join(
+                f"min(CAST(embedding[{i}] AS DOUBLE))" for i in range(dim)
+            ) + ")"
         ).alias("mns"),
-        F.array(
-            *[F.max(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        F.expr(
+            "array(" + ", ".join(
+                f"max(CAST(embedding[{i}] AS DOUBLE))" for i in range(dim)
+            ) + ")"
         ).alias("mxs"),
     )
     from ..operators.similarity import sq8_reconstruct_col
@@ -815,36 +829,23 @@ def random_projection_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the k x 64 doubles never leave the plan."""
     t = load(spark, sf_dir)
     rows = _jl_mat()
-
-    def dot_lit(r: list[float]):
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(float(x)) for x in r]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    vv = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # parsed-SQL projection columns (operators/sqlexpr, r12): the
+    # literal plane arrays cost ~80 py4j round trips per projection row
     p = t.embeddings.select(
         "label",
-        vv.alias("vv"),
-        *[dot_lit(r).alias(f"p{i}") for i, r in enumerate(rows)],
+        F.expr(dot_sql("embedding", "embedding")).alias("vv"),
+        *[
+            F.expr(dot_sql("embedding", arr_dlit(r), cast_b=False)).alias(
+                f"p{i}"
+            )
+            for i, r in enumerate(rows)
+        ],
     )
-    sq = sum(F.col(f"p{i}") * F.col(f"p{i}") for i in range(_JL_K))
+    # `0 + ...`: Python's sum() seeds with int 0 — kept for tree parity
+    sq = "0 + " + " + ".join(f"p{i} * p{i}" for i in range(_JL_K))
     return p.groupBy("label").agg(
         F.count("*").alias("n"),
-        (F.round(F.avg(sq / F.col("vv")), 4) + 0.0).alias("norm_ratio"),
+        F.expr(f"round(avg(({sq}) / vv), 4) + 0.0D").alias("norm_ratio"),
         (F.round(F.avg("p0"), 5) + 0.0).alias("mean_p0"),
         (F.round(F.avg("p1"), 5) + 0.0).alias("mean_p1"),
     )
@@ -868,24 +869,34 @@ def _pq_codebooks() -> list[list[list[float]]]:
     ]
 
 
-def _pq_dot_slice(vec, j: int, cent: list[float]):
-    return F.aggregate(
-        F.zip_with(
-            F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB),
-            F.array(*[F.lit(float(x)) for x in cent]),
-            lambda x, y: x.cast("double") * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+# PQ expression fragments are emitted as ONE parsed SQL string per
+# column (operators/sqlexpr discipline): the element-by-element Column
+# form cost ~2 s of py4j round trips per invocation — more than the
+# queries' execution (r12 measurement, guide §4 applied to the
+# plan-construction side). Trees are node-for-node what the Column
+# builders produced: only the query vector is CAST (the codebook side
+# is already a double literal array), `x * 2.0D` matches __rmul__,
+# literals are repr+D.
+
+
+def _pq_slice_sql(vec: str, j: int) -> str:
+    return f"slice({vec}, {j * _PQ_SUB + 1}, {_PQ_SUB})"
+
+
+def _pq_dot_slice_sql(vec: str, j: int, cent: list[float]) -> str:
+    return (
+        f"aggregate(zip_with({_pq_slice_sql(vec, j)}, {arr_dlit(cent)}, "
+        "(_lx, _ly) -> CAST(_lx AS DOUBLE) * _ly), "
+        "0.0D, (_lacc, _lv) -> _lacc + _lv)"
     )
 
 
-def _pq_self_dot_slice(vec, j: int):
-    s = F.slice(vec, j * _PQ_SUB + 1, _PQ_SUB)
-    return F.aggregate(
-        F.zip_with(s, s, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _pq_self_dot_slice_sql(vec: str, j: int) -> str:
+    s = _pq_slice_sql(vec, j)
+    return (
+        f"aggregate(zip_with({s}, {s}, "
+        "(_lx, _ly) -> CAST(_lx AS DOUBLE) * CAST(_ly AS DOUBLE)), "
+        "0.0D, (_lacc, _lv) -> _lacc + _lv)"
     )
 
 
@@ -897,45 +908,43 @@ def _pq_codes_df(emb: DataFrame, extra_cols: list[str] = []) -> DataFrame:
     for j, cents in enumerate(books):
         for c, cent in enumerate(cents):
             cc = sum(x * x for x in cent)
-            d = F.round(
-                _pq_self_dot_slice(F.col("embedding"), j)
-                - 2.0 * _pq_dot_slice(F.col("embedding"), j, cent)
-                + F.lit(cc),
-                5,
+            d = F.expr(
+                f"round({_pq_self_dot_slice_sql('embedding', j)} - "
+                f"{_pq_dot_slice_sql('embedding', j, cent)} * 2.0D + "
+                f"{dlit(cc)}, 5)"
             )
             dist_cols.append(d.alias(f"_d{j}_{c}"))
     with_d = emb.select("vec_id", *extra_cols, *dist_cols)
-    code_cols = []
-    for j in range(_PQ_M):
-        ds = [F.col(f"_d{j}_{c}") for c in range(_PQ_K)]
-        m = F.least(*ds)
-        expr = F.lit(_PQ_K - 1)
-        for c in range(_PQ_K - 2, -1, -1):
-            expr = F.when(ds[c] == m, F.lit(c)).otherwise(expr)
-        code_cols.append(expr.alias(f"code_{j}"))
+    code_cols = [
+        F.expr(
+            assign_case_sql([f"_d{j}_{c}" for c in range(_PQ_K)])
+        ).alias(f"code_{j}")
+        for j in range(_PQ_M)
+    ]
     return with_d.select("vec_id", *extra_cols, *code_cols)
 
 
 def _pq_lut_cols() -> list:
     """m×k ADC sub-dot-products for a query row's `embedding`."""
     return [
-        _pq_dot_slice(F.col("embedding"), j, cent).alias(f"lut_{j}_{c}")
+        F.expr(_pq_dot_slice_sql("embedding", j, cent)).alias(f"lut_{j}_{c}")
         for j, cents in enumerate(_pq_codebooks())
         for c, cent in enumerate(cents)
     ]
 
 
-def _pq_score_col():
+def _pq_score_sql() -> str:
     """ADC score: m integer CASE lookups into the query LUT."""
-    score = None
+    terms = []
     for j in range(_PQ_M):
-        expr = F.col(f"lut_{j}_{_PQ_K - 1}")
+        expr = f"lut_{j}_{_PQ_K - 1}"
         for c in range(_PQ_K - 2, -1, -1):
-            expr = F.when(
-                F.col(f"code_{j}") == c, F.col(f"lut_{j}_{c}")
-            ).otherwise(expr)
-        score = expr if score is None else score + expr
-    return score
+            expr = (
+                f"CASE WHEN code_{j} = {c} THEN lut_{j}_{c} "
+                f"ELSE {expr} END"
+            )
+        terms.append(expr)
+    return " + ".join(f"({t})" for t in terms)
 
 
 def _pq_sql_fragments() -> tuple[str, str, str]:
@@ -1032,7 +1041,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("match_id"),
-        (F.round(_pq_score_col(), 5) + 0.0).alias("score"),
+        F.expr(f"round({_pq_score_sql()}, 5) + 0.0D").alias("score"),
     )
     from pyspark.sql import Window as W
 
@@ -1178,11 +1187,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     e = t.embeddings
     cent = e.groupBy("label").agg(
-        F.array(
-            *[
-                F.round(F.avg(F.col("embedding")[i].cast("double")), 6)
+        F.expr(
+            "array(" + ", ".join(
+                f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6)"
                 for i in range(dim)
-            ]
+            ) + ")"
         ).alias("cvec")
     )
     lut = e.where(F.col("vec_id") < _PQ_QCUT).select(
@@ -1211,7 +1220,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("match_id"),
-            (F.round(_pq_score_col(), 5) + 0.0).alias("score"),
+            F.expr(f"round({_pq_score_sql()}, 5) + 0.0D").alias("score"),
         )
     )
     wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "match_id")
@@ -1481,6 +1490,11 @@ def grid_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("deg") + 1 >= _DB_MINPTS)
         .select("node")
     )
+    # NOT persisted (r12 paired A/B, 2 rounds): core feeds five
+    # subtrees, but caching it (and border) measured consistently
+    # SLOWER — the InMemoryRelation write + codegen boundary costs more
+    # than recomputing a tiny degree aggregate over the persisted pair
+    # stream. Same boundary as the loop-family checkpoint-elision result.
     ce = pr.join(
         F.broadcast(core.withColumnRenamed("node", "a")), "a"
     ).join(F.broadcast(core.withColumnRenamed("node", "nb")), "nb")
@@ -1612,21 +1626,21 @@ def ari_cell_vs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     choose2 = lambda c: (c * (c - 1) / 2)  # noqa: E731
     nij = pts.groupBy("cx", "cy", "label").agg(
-        F.count("*").cast(dec).alias("n")
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n")
     )
     sij = nij.agg(F.sum(choose2(F.col("n"))).alias("s"))
     ai = (
         pts.groupBy("cx", "cy")
-        .agg(F.count("*").cast(dec).alias("n"))
+        .agg(F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"))
         .agg(F.sum(choose2(F.col("n"))).alias("s"))
     )
     bj = (
         pts.groupBy("label")
-        .agg(F.count("*").cast(dec).alias("n"))
+        .agg(F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"))
         .agg(F.sum(choose2(F.col("n"))).alias("s"))
     )
     nn = pts.agg(
-        choose2(F.count("*").cast(dec)).alias("s"),
+        choose2(F.expr("CAST(count(*) AS DECIMAL(38,0))")).alias("s"),
         F.count("*").alias("n"),
     )
     sd = lambda c: F.col(c).cast("double")  # noqa: E731
@@ -2305,11 +2319,8 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned, never the full corpus."""
     from pyspark.sql import Window as W
 
-    from ..operators.clustering import (
-        assign_cluster_col,
-        kmeans_centroids,
-        sq_dist_cols,
-    )
+    from ..operators.clustering import kmeans_centroids
+    from ..operators.sqlexpr import assign_case_sql, sq_dist_sql
 
     dim = 64
     t = load(spark, sf_dir)
@@ -2317,7 +2328,6 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents0 = kmeans_centroids(_IVFT_K, dim)
-    dists = sq_dist_cols("v", cents0)
     # the assignment IS the inverted-list table of the index: persist
     # it — it feeds the codebook aggregate, the query-side filter AND
     # the candidate join, and without the persist the ~512-literal
@@ -2325,14 +2335,16 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 plan). At corpus scale this frame is the stored IVF list
     # table a build job writes once.
     asg = e.select(
-        "vec_id", "v", assign_cluster_col(dists).alias("cluster")
+        "vec_id", "v",
+        F.expr(
+            assign_case_sql([sq_dist_sql("v", c) for c in cents0])
+        ).alias("cluster"),
     ).persist()
     cent = asg.groupBy("cluster").agg(
-        F.array(
-            *[
-                F.round(F.avg(F.col("v")[i]), 6)
-                for i in range(dim)
-            ]
+        F.expr(
+            "array(" + ", ".join(
+                f"round(avg(v[{i}]), 6)" for i in range(dim)
+            ) + ")"
         ).alias("cvec")
     )
     q = asg.where(F.col("vec_id") < _IVFT_QCUT).select(
@@ -2554,8 +2566,10 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = e.groupBy("label").agg(
-        F.array(
-            *[F.round(F.avg(F.col("v")[i]), 6) for i in range(dim)]
+        F.expr(
+            "array(" + ", ".join(
+                f"round(avg(v[{i}]), 6)" for i in range(dim)
+            ) + ")"
         ).alias("cvec"),
         F.count("*").alias("n"),
     )
@@ -3247,8 +3261,6 @@ def _topm_fn(emb: DataFrame, nemb: DataFrame | None = None):
     (vec_id, embedding, _n) frame — see :func:`_graph_norms`) to share
     one norms materialization across several topm closures (r12: the
     repair twin built it twice)."""
-    from ..operators.similarity import dot_col
-
     if nemb is None:
         nemb = _graph_norms(emb)
     ev = nemb.select(F.col("vec_id").alias("src"),
@@ -3267,31 +3279,26 @@ def _topm_fn(emb: DataFrame, nemb: DataFrame | None = None):
         # slice keeps M — replacing the distinct exchange + window
         # exchange with a single partially-aggregated shuffle whose
         # per-group state is bounded by the bucket caps.
+        # parsed-SQL fragments (operators/sqlexpr, r12): this closure
+        # re-runs per NN-descent round, so its py4j construction cost
+        # multiplies by the round count
         scored = (
             cands.join(ev, "src")
             .join(dv, "dst")
             .select(
                 "src", "dst",
-                F.round(
-                    dot_col(F.col("_sv"), F.col("_dv"))
-                    / (F.col("_sn") * F.col("_dn")),
-                    5,
+                F.expr(
+                    f"round({dot_sql('_sv', '_dv')} / (_sn * _dn), 5)"
                 ).alias("_cos"),
             )
         )
         return (
             scored.groupBy("src")
             .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_set(
-                            F.struct(
-                                (-F.col("_cos")).alias("_nc"),
-                                F.col("dst").alias("dst"),
-                            )
-                        )
-                    ),
-                    1, _GR_M,
+                F.expr(
+                    "slice(array_sort(collect_set("
+                    "named_struct('_nc', -_cos, 'dst', dst)"
+                    f")), 1, {_GR_M})"
                 ).alias("_top")
             )
             .select("src", F.explode("_top").alias("_t"))
@@ -3304,10 +3311,8 @@ def _topm_fn(emb: DataFrame, nemb: DataFrame | None = None):
 def _graph_norms(emb: DataFrame) -> DataFrame:
     """Checkpointed (vec_id, embedding, _n) norms frame shared by topm
     closures (norm identical to the fold inside cosine_col)."""
-    from ..operators.similarity import norm_col
-
     return emb.select(
-        "vec_id", "embedding", norm_col(F.col("embedding")).alias("_n")
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("_n")
     ).localCheckpoint()
 
 
@@ -3390,23 +3395,18 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
             .join(F.broadcast(qs), "query_id")
             .select(
                 "query_id", "node",
-                (F.round(cosine_col(F.col("_qv"), F.col("_nv")), 5) + 0.0)
-                .alias("cosine"),
+                F.expr(
+                    f"round({cosine_sql('_qv', '_nv')}, 5) + 0.0D"
+                ).alias("cosine"),
             )
         )
         return (
             scored.groupBy("query_id")
             .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_set(
-                            F.struct(
-                                (-F.col("cosine")).alias("_nc"),
-                                F.col("node").alias("node"),
-                            )
-                        )
-                    ),
-                    1, _GR_BEAM,
+                F.expr(
+                    "slice(array_sort(collect_set("
+                    "named_struct('_nc', -cosine, 'node', node)"
+                    f")), 1, {_GR_BEAM})"
                 ).alias("_top")
             )
             .select("query_id", F.explode("_top").alias("_t"))
@@ -3954,12 +3954,9 @@ def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     form shuffled 8× the corpus through four Sort+WindowGroupLimit
     pipelines and ran the a⋈b join subtree twice). Every stage is
     linear in the corpus; no pair expansion anywhere."""
-    from ..operators.clustering import (
-        assign_cluster_col,
-        kmeans_centroids,
-        sq_dist_cols,
-    )
+    from ..operators.clustering import kmeans_centroids
     from ..operators.similarity import dot_col
+    from ..operators.sqlexpr import assign_case_sql, sq_dist_sql
 
     dim = 64
     t = load(spark, sf_dir)
@@ -3975,13 +3972,17 @@ def ann_ivf_retrain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~512-literal distance tree compiles and scans once, not twice
     seed_asg = e.select(
         "vec_id", "v", is_new.alias("_new"),
-        assign_cluster_col(sq_dist_cols("v", cents0)).alias("cluster"),
+        F.expr(
+            assign_case_sql([sq_dist_sql("v", c) for c in cents0])
+        ).alias("cluster"),
     ).localCheckpoint()
 
     def trained_centroids(corpus: DataFrame) -> DataFrame:
         return corpus.groupBy("cluster").agg(
-            F.array(
-                *[F.round(F.avg(F.col("v")[i]), 6) for i in range(dim)]
+            F.expr(
+                "array(" + ", ".join(
+                    f"round(avg(v[{i}]), 6)" for i in range(dim)
+                ) + ")"
             ).alias("cvec")
         )
 
@@ -4163,20 +4164,18 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered(1)), localCheckpointed per round so the plan never
     deepens. {_KC_K} linear passes total; the DuckDB twin unrolls the
     rounds as MATERIALIZED CTEs."""
-    from ..operators.similarity import dot_col
-
     t = load(spark, sf_dir)
     e = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    def d2(pv) -> F.Column:
-        return F.round(
-            dot_col(F.col("v"), F.col("v"))
-            - 2.0 * dot_col(F.col("v"), pv)
-            + dot_col(pv, pv),
-            5,
-        )
+    # one parsed SQL expression, built once and reused every round
+    # (operators/sqlexpr, r12): the three dot folds cost ~120 py4j
+    # round trips per round when built as Columns in the loop
+    d2 = F.expr(
+        f"round({dot_sql('v', 'v')} - {dot_sql('v', 'pv')} * 2.0D"
+        f" + {dot_sql('pv', 'pv')}, 5)"
+    )
 
     seed = e.orderBy("vec_id").limit(1).select(
         F.lit(1).alias("pick_order"),
@@ -4187,7 +4186,7 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = [seed]
     m = (
         e.crossJoin(F.broadcast(seed.select("pv")))
-        .select("vec_id", "v", d2(F.col("pv")).alias("dmin"))
+        .select("vec_id", "v", d2.alias("dmin"))
         .localCheckpoint()
     )
     for r in range(2, _KC_K + 1):
@@ -4208,7 +4207,7 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m.crossJoin(F.broadcast(pick.select("pv")))
                 .select(
                     "vec_id", "v",
-                    F.least(F.col("dmin"), d2(F.col("pv"))).alias("dmin"),
+                    F.least(F.col("dmin"), d2).alias("dmin"),
                 )
                 .localCheckpoint()
             )

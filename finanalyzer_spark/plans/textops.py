@@ -1348,14 +1348,14 @@ def chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n = lab.agg(
-        F.count("*").cast(dec).alias("n"),
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
         F.sum("y").cast(dec).alias("n_pos"),
     )
     cell = (
         pres.join(lab, "doc_id")
         .groupBy("token")
         .agg(
-            F.count("*").cast(dec).alias("df"),
+            F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("df"),
             F.sum("y").cast(dec).alias("a"),
         )
         .where(F.col("df") >= _CHI2_MIN_DF)
@@ -1936,7 +1936,7 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = tf.groupBy("source").agg(
         F.count("*").cast("long").alias("v"),
         F.sum("f").cast("long").alias("n"),
-        F.sum(F.col("f") * F.col("f")).cast("long").alias("s2"),
+        F.expr("sum(f * f)").cast("long").alias("s2"),
     )
     vd = F.col("v").cast("double")
     nd = F.col("n").cast("double")
@@ -2142,7 +2142,7 @@ def term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo = tf.groupBy("w").agg(
         F.count("*").alias("df"),
         F.sum("c").alias("cf"),
-        F.sum(F.col("c") * F.col("c")).alias("cf2"),
+        F.expr("sum(c * c)").alias("cf2"),
     )
     top = mo.orderBy(F.col("df").desc(), "w").limit(_BURST_TOP)
     j = top.crossJoin(F.broadcast(nd))
@@ -2253,7 +2253,7 @@ def vocab_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = pres.agg(
         F.sum("in_a").alias("n1"),
         F.sum("in_b").alias("n2"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("m"),
+        F.expr("sum(in_a * in_b)").alias("m"),
         F.count("*").alias("v_true"),
     )
     n1, n2, m, vt = F.col("n1"), F.col("n2"), F.col("m"), F.col("v_true")
