@@ -555,22 +555,59 @@ def _np():
     return np
 
 
+#: lazy module-level numpy constants for the hot transform/quant
+#: kernels (r13, guide §4.2: the per-call np.array construction and
+#: the 16-iteration scalar-indexing loops dominated the codec's
+#: per-macroblock cost; hoisting tables + whole-block vector ops is
+#: bit-identical integer math)
+_NPC = None
+
+
+def _npc():
+    global _NPC
+    if _NPC is None:
+        np = _np()
+        zz = np.array(ZIGZAG_4x4, dtype=np.intp)
+        cls_scan = [_POS_CLASS[p] for p in ZIGZAG_4x4]
+        _NPC = {
+            "zz": zz,
+            # per-(QP%6) multiplier vectors in SCAN order
+            "mf_scan": np.array(
+                [[QUANT_MF[m][c] for c in cls_scan] for m in range(6)],
+                dtype=np.int64,
+            ),
+            "v_scan": np.array(
+                [[DEQUANT_V[m][c] for c in cls_scan] for m in range(6)],
+                dtype=np.int64,
+            ),
+            "cf": np.array(
+                [[1, 1, 1, 1], [2, 1, -1, -2],
+                 [1, -1, -1, 1], [1, -2, 2, -1]],
+                dtype=np.int64,
+            ),
+            "h4": np.array(
+                [[1, 1, 1, 1], [1, 1, -1, -1],
+                 [1, -1, -1, 1], [1, -1, 1, -1]],
+                dtype=np.int64,
+            ),
+            "h2": np.array([[1, 1], [1, -1]], dtype=np.int64),
+        }
+    return _NPC
+
+
 def dequant_4x4(levels16, qp: int, skip_dc: bool = False):
     """Scan-ordered levels → raster 4x4 dequantised coefficients
     (JM form: c * V[qp%6][class] << qp//6)."""
     np = _np()
+    c = _npc()
     m, shift = qp % 6, qp // 6
-    d = np.zeros((4, 4), dtype=np.int64)
-    for k, lv in enumerate(levels16):
-        if lv == 0:
-            continue
-        pos = ZIGZAG_4x4[k]
-        if pos == 0 and skip_dc:
-            continue
-        d[pos >> 2, pos & 3] = (
-            lv * DEQUANT_V[m][_POS_CLASS[pos]]
-        ) << shift
-    return d
+    lv = np.asarray(levels16, dtype=np.int64)
+    vals = (lv * c["v_scan"][m]) << shift
+    if skip_dc:
+        vals[0] = 0  # scan position 0 is the raster DC
+    d = np.zeros(16, dtype=np.int64)
+    d[c["zz"]] = vals
+    return d.reshape(4, 4)
 
 
 def inverse_transform_4x4(d):
@@ -585,37 +622,148 @@ def inverse_transform_4x4(d):
     e1 = d[0] - d[2]
     e2 = (d[1] >> 1) - d[3]
     e3 = d[1] + (d[3] >> 1)
-    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+    f = np.empty((4, 4), dtype=np.int64)
+    f[0] = e0 + e3
+    f[1] = e1 + e2
+    f[2] = e1 - e2
+    f[3] = e0 - e3
     g0 = f[:, 0] + f[:, 2]
     g1 = f[:, 0] - f[:, 2]
     g2 = (f[:, 1] >> 1) - f[:, 3]
     g3 = f[:, 1] + (f[:, 3] >> 1)
-    h = np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=1)
+    h = np.empty((4, 4), dtype=np.int64)
+    h[:, 0] = g0 + g3
+    h[:, 1] = g1 + g2
+    h[:, 2] = g1 - g2
+    h[:, 3] = g0 - g3
     return (h + 32) >> 6
 
 
 def forward_transform_4x4(x):
     """Cf · X · CfT (8.5 forward core, encoder side)."""
     np = _np()
-    cf = np.array(
-        [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
-        dtype=np.int64,
-    )
+    cf = _npc()["cf"]
     return cf @ x.astype(np.int64) @ cf.T
+
+
+# ---------------------------------------------------------------------------
+# Batched whole-macroblock variants (r13, guide §4.2): identical
+# integer arithmetic applied to an (n, 4, 4) stack at once — one numpy
+# dispatch instead of n. Callers that loop 16 blocks per macroblock
+# (forward transform + quant on the encoder side, dequant + inverse on
+# the reconstruction side) spend most of their time in per-call numpy
+# overhead at this block size; stream parity is pinned by the
+# byte-identity tests against the scalar forms.
+# ---------------------------------------------------------------------------
+def forward_transform_4x4_batch(blocks):
+    """(n, 4, 4) residual blocks → (n, 4, 4) transform coefficients;
+    same math as forward_transform_4x4 per block."""
+    np = _np()
+    cf = _npc()["cf"]
+    return cf[None] @ blocks.astype(np.int64) @ cf.T[None]
+
+
+def quant_4x4_batch(wt, qp: int, skip_dc: bool = False):
+    """(n, 4, 4) coefficients → list of n scan-ordered level lists;
+    same math as quant_4x4 per block."""
+    np = _np()
+    tabs = _npc()
+    m, qbits = qp % 6, 15 + qp // 6
+    f = (1 << qbits) // 3
+    c = wt.reshape(-1, 16)[:, tabs["zz"]].astype(np.int64)
+    lv = np.minimum((np.abs(c) * tabs["mf_scan"][m][None] + f) >> qbits,
+                    _LEVEL_CLAMP)
+    np.negative(lv, where=c < 0, out=lv)
+    if skip_dc:
+        lv[:, 0] = 0
+    return lv.tolist()
+
+
+def dequant_4x4_batch(levels, qp: int, skip_dc: bool = False):
+    """(n, 16) scan-ordered levels → (n, 4, 4) dequantised
+    coefficients; same math as dequant_4x4 per block."""
+    np = _np()
+    tabs = _npc()
+    m, shift = qp % 6, qp // 6
+    lv = np.asarray(levels, dtype=np.int64)
+    vals = (lv * tabs["v_scan"][m][None]) << shift
+    if skip_dc:
+        vals[:, 0] = 0
+    d = np.zeros((lv.shape[0], 16), dtype=np.int64)
+    d[:, tabs["zz"]] = vals
+    return d.reshape(-1, 4, 4)
+
+
+def inverse_transform_4x4_batch(d):
+    """(n, 4, 4) dequantised coefficients → (n, 4, 4) residuals; same
+    butterfly as inverse_transform_4x4 per block."""
+    np = _np()
+    d = d.astype(np.int64)
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    f = np.empty_like(d)
+    f[:, 0] = e0 + e3
+    f[:, 1] = e1 + e2
+    f[:, 2] = e1 - e2
+    f[:, 3] = e0 - e3
+    g0 = f[:, :, 0] + f[:, :, 2]
+    g1 = f[:, :, 0] - f[:, :, 2]
+    g2 = (f[:, :, 1] >> 1) - f[:, :, 3]
+    g3 = f[:, :, 1] + (f[:, :, 3] >> 1)
+    h = np.empty_like(d)
+    h[:, :, 0] = g0 + g3
+    h[:, :, 1] = g1 + g2
+    h[:, :, 2] = g1 - g2
+    h[:, :, 3] = g0 - g3
+    return (h + 32) >> 6
+
+
+#: luma4x4BlkIdx (Z order) → raster block index by*4+bx, and the
+#: 16x16-pixel <-> (16, 4, 4) raster-block reshape helpers the batched
+#: macroblock paths share
+_BLK_Z2R = None
+
+
+def _blk_z2r():
+    global _BLK_Z2R
+    if _BLK_Z2R is None:
+        np = _np()
+        z2r = np.empty(16, dtype=np.intp)
+        for blk in range(16):
+            bx, by = _blk_xy(blk)
+            z2r[blk] = by * 4 + bx
+        _BLK_Z2R = (z2r, np.argsort(z2r))
+    return _BLK_Z2R
+
+
+def mb_to_blocks(mb):
+    """(16, 16) macroblock → (16, 4, 4) blocks in Z (luma4x4BlkIdx)
+    order."""
+    z2r, _ = _blk_z2r()
+    return mb.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(
+        16, 4, 4
+    )[z2r]
+
+
+def blocks_to_mb(blocks):
+    """(16, 4, 4) blocks in Z order → (16, 16) macroblock."""
+    _, r2z = _blk_z2r()
+    return blocks[r2z].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(
+        16, 16
+    )
 
 
 def hadamard_4x4(x):
     np = _np()
-    h = np.array(
-        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
-        dtype=np.int64,
-    )
+    h = _npc()["h4"]
     return h @ x.astype(np.int64) @ h.T
 
 
 def hadamard_2x2(x):
     np = _np()
-    h = np.array([[1, 1], [1, -1]], dtype=np.int64)
+    h = _npc()["h2"]
     return h @ x.astype(np.int64) @ h.T
 
 
@@ -659,31 +807,129 @@ def quant_4x4(w, qp: int, skip_dc: bool = False) -> list[int]:
     range (visible only at very low QP on saturated content; the
     decoder reconstructs from the transmitted level, so the twin
     round-trip stays exact)."""
+    np = _np()
+    tabs = _npc()
     m, qbits = qp % 6, 15 + qp // 6
     f = (1 << qbits) // 3
-    out = []
-    for k in range(16):
-        pos = ZIGZAG_4x4[k]
-        if pos == 0 and skip_dc:
-            out.append(0)
-            continue
-        c = int(w[pos >> 2, pos & 3])
-        mf = QUANT_MF[m][_POS_CLASS[pos]]
-        lv = min((abs(c) * mf + f) >> qbits, _LEVEL_CLAMP)
-        out.append(lv if c >= 0 else -lv)
-    return out
+    c = w.reshape(16)[tabs["zz"]].astype(np.int64)
+    lv = np.minimum((np.abs(c) * tabs["mf_scan"][m] + f) >> qbits,
+                    _LEVEL_CLAMP)
+    np.negative(lv, where=c < 0, out=lv)
+    if skip_dc:
+        lv[0] = 0  # scan position 0 is the raster DC
+    return lv.tolist()
 
 
 # ---------------------------------------------------------------------------
 # Intra prediction (8.3)
 # ---------------------------------------------------------------------------
+#: lazy per-mode gather tables for the directional Intra_4x4 modes
+#: (r13): each predicted sample is either a 2-tap (a+b+1)>>1 or a
+#: 3-tap (a+2b+c+2)>>2 filter over the 13-sample neighbour vector
+#: mvec = [l3,l2,l1,l0,tl,t0..t7] (so l[j] = 3-j, tl = 4, t[i] = 5+i);
+#: p[3,3] of DDL folds t6+3*t7 into the 3-tap form with a=c=t7, and
+#: HU's trailing l[3] copies fold into the 2-tap form with a=b=l3 —
+#: bit-identical integer arithmetic, one vector gather per block
+#: instead of a 16-iteration Python loop of numpy scalar ops.
+_PRED4_TABS = None
+
+
+def _pred4_tabs():
+    global _PRED4_TABS
+    if _PRED4_TABS is None:
+        np = _np()
+
+        # NOTE: the scalar reference indexes t/l with raw Python
+        # subscripts, so a -1 subscript WRAPS (t[-1] == t[7],
+        # l[-1] == l[3]); the tables reproduce that wrap exactly —
+        # encoder and decoder share this function, so the round-trip
+        # is self-consistent either way, and bit-parity with the
+        # committed streams is what matters here.
+        def _L(j):  # noqa: N802 - index of l[j] in mvec
+            return 3 - (j % 4)
+
+        def _T(i):  # noqa: N802 - index of t[i] in mvec
+            return 5 + (i % 8)
+
+        _TL = 4
+        tabs = {}
+        for mode in range(3, 9):
+            A = np.zeros((4, 4), dtype=np.intp)
+            B = np.zeros((4, 4), dtype=np.intp)
+            C = np.zeros((4, 4), dtype=np.intp)
+            two = np.zeros((4, 4), dtype=bool)
+            for y in range(4):
+                for x in range(4):
+                    if mode == 3:  # Diagonal-Down-Left
+                        if x == 3 and y == 3:
+                            a, b, c = _T(6), _T(7), _T(7)
+                        else:
+                            a, b, c = _T(x + y), _T(x + y + 1), _T(x + y + 2)
+                    elif mode == 4:  # Diagonal-Down-Right
+                        if x > y:
+                            a, b, c = _T(x - y - 2), _T(x - y - 1), _T(x - y)
+                        elif x < y:
+                            a, b, c = _L(y - x - 2), _L(y - x - 1), _L(y - x)
+                        else:
+                            a, b, c = _T(0), _TL, _L(0)
+                    elif mode == 5:  # Vertical-Right
+                        z = 2 * x - y
+                        if z >= 0 and z % 2 == 0:
+                            a, b, c = _T(x - (y >> 1) - 1), _T(x - (y >> 1)), 0
+                            two[y, x] = True
+                        elif z >= 0:
+                            a, b, c = (_T(x - (y >> 1) - 2),
+                                       _T(x - (y >> 1) - 1),
+                                       _T(x - (y >> 1)))
+                        elif z == -1:
+                            a, b, c = _L(0), _TL, _T(0)
+                        else:
+                            a, b, c = _L(y - 1), _L(y - 2), _L(y - 3)
+                    elif mode == 6:  # Horizontal-Down
+                        z = 2 * y - x
+                        if z >= 0 and z % 2 == 0:
+                            a, b, c = _L(y - (x >> 1) - 1), _L(y - (x >> 1)), 0
+                            two[y, x] = True
+                        elif z >= 0:
+                            a, b, c = (_L(y - (x >> 1) - 2),
+                                       _L(y - (x >> 1) - 1),
+                                       _L(y - (x >> 1)))
+                        elif z == -1:
+                            a, b, c = _L(0), _TL, _T(0)
+                        else:
+                            a, b, c = _T(x - 1), _T(x - 2), _T(x - 3)
+                    elif mode == 7:  # Vertical-Left
+                        i = x + (y >> 1)
+                        if y % 2 == 0:
+                            a, b, c = _T(i), _T(i + 1), 0
+                            two[y, x] = True
+                        else:
+                            a, b, c = _T(i), _T(i + 1), _T(i + 2)
+                    else:  # mode 8, Horizontal-Up
+                        z = x + 2 * y
+                        q = y + (x >> 1)
+                        if z in (0, 2, 4):
+                            a, b, c = _L(q), _L(q + 1), 0
+                            two[y, x] = True
+                        elif z in (1, 3):
+                            a, b, c = _L(q), _L(q + 1), _L(q + 2)
+                        elif z == 5:
+                            a, b, c = _L(2), _L(3), _L(3)
+                        else:
+                            a, b, c = _L(3), _L(3), 0
+                            two[y, x] = True
+                    A[y, x], B[y, x], C[y, x] = a, b, c
+            tabs[mode] = (A, B, C, two)
+        _PRED4_TABS = tabs
+    return _PRED4_TABS
+
+
 def predict_4x4(mode, t, l, tl, have_t, have_l, have_tr):
     """One 4x4 luma prediction.  t: 8 top samples (t[4:] already
     substituted per 8.3.1.2 when top-right is unavailable), l: 4 left,
     tl: corner.  Returns a 4x4 int array; ValueError when `mode`
     needs unavailable neighbours (non-conformant stream)."""
     np = _np()
-    p = np.zeros((4, 4), dtype=np.int64)
     if mode == 0:  # Vertical
         if not have_t:
             raise ValueError("Intra_4x4_Vertical without top samples")
@@ -694,109 +940,37 @@ def predict_4x4(mode, t, l, tl, have_t, have_l, have_tr):
         return np.tile(l.reshape(4, 1), (1, 4))
     if mode == 2:  # DC
         if have_t and have_l:
-            return p + ((int(t[:4].sum()) + int(l.sum()) + 4) >> 3)
-        if have_t:
-            return p + ((int(t[:4].sum()) + 2) >> 2)
-        if have_l:
-            return p + ((int(l.sum()) + 2) >> 2)
-        return p + 128
-    if mode == 3:  # Diagonal-Down-Left
-        if not have_t:
-            raise ValueError("Intra_4x4_DDL without top samples")
-        for y in range(4):
-            for x in range(4):
-                if x == 3 and y == 3:
-                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
-                else:
-                    p[y, x] = (
-                        t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2
-                    ) >> 2
-        return p
-    if mode in (4, 5, 6):
-        if not (have_t and have_l):
-            raise ValueError("Intra_4x4 diagonal mode without neighbours")
-    if mode == 4:  # Diagonal-Down-Right
-        for y in range(4):
-            for x in range(4):
-                if x > y:
-                    p[y, x] = (
-                        t[x - y - 2] + 2 * t[x - y - 1] + t[x - y] + 2
-                    ) >> 2
-                elif x < y:
-                    p[y, x] = (
-                        l[y - x - 2] + 2 * l[y - x - 1] + l[y - x] + 2
-                    ) >> 2
-                else:
-                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
-        return p
-    if mode == 5:  # Vertical-Right
-        for y in range(4):
-            for x in range(4):
-                z = 2 * x - y
-                if z >= 0 and z % 2 == 0:
-                    p[y, x] = (t[x - (y >> 1) - 1] + t[x - (y >> 1)] + 1) >> 1
-                elif z >= 0:
-                    p[y, x] = (
-                        t[x - (y >> 1) - 2]
-                        + 2 * t[x - (y >> 1) - 1]
-                        + t[x - (y >> 1)]
-                        + 2
-                    ) >> 2
-                elif z == -1:
-                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
-                else:
-                    p[y, x] = (l[y - 1] + 2 * l[y - 2] + l[y - 3] + 2) >> 2
-        return p
-    if mode == 6:  # Horizontal-Down
-        for y in range(4):
-            for x in range(4):
-                z = 2 * y - x
-                if z >= 0 and z % 2 == 0:
-                    p[y, x] = (l[y - (x >> 1) - 1] + l[y - (x >> 1)] + 1) >> 1
-                elif z >= 0:
-                    p[y, x] = (
-                        l[y - (x >> 1) - 2]
-                        + 2 * l[y - (x >> 1) - 1]
-                        + l[y - (x >> 1)]
-                        + 2
-                    ) >> 2
-                elif z == -1:
-                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
-                else:
-                    p[y, x] = (t[x - 1] + 2 * t[x - 2] + t[x - 3] + 2) >> 2
-        return p
-    if mode == 7:  # Vertical-Left
-        if not have_t:
-            raise ValueError("Intra_4x4_VL without top samples")
-        for y in range(4):
-            for x in range(4):
-                i = x + (y >> 1)
-                if y % 2 == 0:
-                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
-                else:
-                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
-        return p
-    if mode == 8:  # Horizontal-Up
-        if not have_l:
-            raise ValueError("Intra_4x4_HU without left samples")
-        for y in range(4):
-            for x in range(4):
-                z = x + 2 * y
-                if z in (0, 2, 4):
-                    p[y, x] = (l[y + (x >> 1)] + l[y + (x >> 1) + 1] + 1) >> 1
-                elif z in (1, 3):
-                    p[y, x] = (
-                        l[y + (x >> 1)]
-                        + 2 * l[y + (x >> 1) + 1]
-                        + l[y + (x >> 1) + 2]
-                        + 2
-                    ) >> 2
-                elif z == 5:
-                    p[y, x] = (l[2] + 3 * l[3] + 2) >> 2
-                else:
-                    p[y, x] = l[3]
-        return p
-    raise ValueError(f"bad Intra_4x4 mode {mode}")
+            v = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif have_t:
+            v = (int(t[:4].sum()) + 2) >> 2
+        elif have_l:
+            v = (int(l.sum()) + 2) >> 2
+        else:
+            v = 128
+        return np.full((4, 4), v, dtype=np.int64)
+    if mode == 3 and not have_t:
+        raise ValueError("Intra_4x4_DDL without top samples")
+    if mode in (4, 5, 6) and not (have_t and have_l):
+        raise ValueError("Intra_4x4 diagonal mode without neighbours")
+    if mode == 7 and not have_t:
+        raise ValueError("Intra_4x4_VL without top samples")
+    if mode == 8 and not have_l:
+        raise ValueError("Intra_4x4_HU without left samples")
+    if mode > 8:
+        raise ValueError(f"bad Intra_4x4 mode {mode}")
+    # directional modes 3-8: one gather + filter over the neighbour
+    # vector (tables in _pred4_tabs; bit-identical to the per-sample
+    # branch logic they were generated from)
+    a_idx, b_idx, c_idx, two = _pred4_tabs()[mode]
+    mvec = np.empty(13, dtype=np.int64)
+    mvec[0] = l[3]
+    mvec[1] = l[2]
+    mvec[2] = l[1]
+    mvec[3] = l[0]
+    mvec[4] = tl
+    mvec[5:13] = t
+    a, b, c = mvec[a_idx], mvec[b_idx], mvec[c_idx]
+    return np.where(two, (a + b + 1) >> 1, (a + 2 * b + c + 2) >> 2)
 
 
 def predict_16x16(mode, t, l, tl, have_t, have_l):
@@ -973,34 +1147,30 @@ def _recon_luma16_dc_ac(pred, dc_levels, ac_blocks, qp):
     """Shared I_16x16 luma reconstruction: Hadamard-dequantised DC +
     per-4x4 AC, returns the clipped 16x16 block (8.5.10 + 8.5.12)."""
     np = _np()
-    out = np.zeros((16, 16), dtype=np.int64)
     dc_y = dequant_luma_dc(dc_levels, qp)
-    for blk in range(16):
-        bx, by = _blk_xy(blk)
-        d = dequant_4x4([0] + list(ac_blocks[blk]), qp, skip_dc=True)
-        d[0, 0] = dc_y[by, bx]
-        res = inverse_transform_4x4(d)
-        ps = pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-        out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = np.clip(
-            ps + res, 0, 255
-        )
-    return out
+    levels = [[0] + list(ac_blocks[blk]) for blk in range(16)]
+    d = dequant_4x4_batch(levels, qp, skip_dc=True)
+    z2r, _ = _blk_z2r()
+    d[:, 0, 0] = dc_y.reshape(16)[z2r]
+    res = inverse_transform_4x4_batch(d)
+    return blocks_to_mb(
+        np.minimum(np.maximum(mb_to_blocks(np.asarray(pred)) + res, 0), 255)
+    )
 
 
 def _recon_chroma(pred, dc_levels4, ac_blocks, qpc):
     """Shared 8x8 chroma reconstruction for one component: 2x2
     Hadamard DC + per-4x4 AC (8.5.11 + 8.5.12)."""
     np = _np()
-    out = np.zeros((8, 8), dtype=np.int64)
     dc = dequant_chroma_dc(dc_levels4, qpc)
-    for blk in range(4):
-        bx, by = (blk & 1) * 4, (blk >> 1) * 4
-        d = dequant_4x4([0] + list(ac_blocks[blk]), qpc, skip_dc=True)
-        d[0, 0] = dc[blk >> 1, blk & 1]
-        res = inverse_transform_4x4(d)
-        ps = pred[by : by + 4, bx : bx + 4]
-        out[by : by + 4, bx : bx + 4] = np.clip(ps + res, 0, 255)
-    return out
+    levels = [[0] + list(ac_blocks[blk]) for blk in range(4)]
+    d = dequant_4x4_batch(levels, qpc, skip_dc=True)
+    d[:, 0, 0] = dc.reshape(4)  # blk = (blk>>1, blk&1) raster order
+    res = inverse_transform_4x4_batch(d)
+    # chroma blocks are raster-ordered 2x2 within the 8x8 component
+    pb = np.asarray(pred).reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+    out = np.minimum(np.maximum(pb.reshape(4, 4, 4) + res, 0), 255)
+    return out.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
 
 
 class _SliceState:
@@ -1231,17 +1401,12 @@ def _recon_inter_mb(st, mx: int, my: int, pred, pred_cb, pred_cr,
         pred = wp_apply(pred, w["wl"], w["ol"], w["lwd"])
         pred_cb = wp_apply(pred_cb, w["wcb"], w["ocb"], w["cwd"])
         pred_cr = wp_apply(pred_cr, w["wcr"], w["ocr"], w["cwd"])
+    from .h264_inter import _recon_luma_mb
+
     px, py = mx * 16, my * 16
-    for blk in range(16):
-        bx, by = _blk_xy(blk)
-        sl = np.s_[py + by * 4 : py + by * 4 + 4,
-                   px + bx * 4 : px + bx * 4 + 4]
-        if cbp_luma & (1 << (blk >> 2)):
-            res = inverse_transform_4x4(dequant_4x4(lv_luma[blk], st.qp))
-        else:
-            res = 0
-        ps = pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-        st.y[sl] = np.clip(ps + res, 0, 255)
+    st.y[py : py + 16, px : px + 16] = _recon_luma_mb(
+        pred, lv_luma, cbp_luma, st.qp
+    )
     qpc = chroma_qp(st.qp, st.cq_off)
     cx, cy = mx * 8, my * 8
     for c, (plane, predc) in ((0, (st.cb, pred_cb)), (1, (st.cr, pred_cr))):
@@ -2168,15 +2333,12 @@ def _try_i16(y, src, mx: int, my: int, qp: int):
             best = (sad, mode, pred)
     _sad, mode, pred = best
     resid = src.astype(np.int64) - pred
-    dc_mat = np.zeros((4, 4), dtype=np.int64)
-    ac_blocks: list[list[int]] = [None] * 16
-    for blk in range(16):
-        bx, by = _blk_xy(blk)
-        wt = forward_transform_4x4(
-            resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-        )
-        dc_mat[by, bx] = wt[0, 0]
-        ac_blocks[blk] = quant_4x4(wt, qp, skip_dc=True)[1:]
+    wt = forward_transform_4x4_batch(mb_to_blocks(resid))
+    z2r, _ = _blk_z2r()
+    dc_mat = np.zeros(16, dtype=np.int64)
+    dc_mat[z2r] = wt[:, 0, 0]
+    dc_mat = dc_mat.reshape(4, 4)
+    ac_blocks = [b[1:] for b in quant_4x4_batch(wt, qp, skip_dc=True)]
     dc_levels = _quant_dc_luma(dc_mat, qp)
     luma_flag = any(any(b) for b in ac_blocks)
     if not luma_flag:
@@ -2198,12 +2360,12 @@ def _quant_chroma_resid(preds, src_cb, src_cr, qpc: int):
     ac = [[[0] * 15 for _ in range(4)] for _ in range(2)]
     for c, (pred, src) in enumerate(zip(preds, (src_cb, src_cr))):
         resid = src.astype(np.int64) - pred
-        dc4 = []
-        for blk in range(4):
-            bx, by = (blk & 1) * 4, (blk >> 1) * 4
-            wt = forward_transform_4x4(resid[by : by + 4, bx : bx + 4])
-            dc4.append(int(wt[0, 0]))
-            ac[c][blk] = quant_4x4(wt, qpc, skip_dc=True)[1:]
+        blocks = resid.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(
+            4, 4, 4
+        )
+        wt = forward_transform_4x4_batch(blocks)
+        dc4 = [int(v) for v in wt[:, 0, 0]]
+        ac[c] = [b[1:] for b in quant_4x4_batch(wt, qpc, skip_dc=True)]
         dc[c] = _quant_dc_chroma(dc4, qpc)
     any_ac = any(any(b) for comp in ac for b in comp)
     any_dc = any(any(d) for d in dc)

@@ -101,6 +101,8 @@ def _filter_luma_edge(get, put, bs_line, alpha, beta, tc0_line):
         & (np.abs(p1 - p0) < beta)
         & (np.abs(q1 - q0) < beta)
     )
+    if not fs.any():  # nothing on this edge filters — skip the math
+        return
     # --- normal filter (bS < 4), §8.7.2.3
     tc = tc0 + (ap < beta) + (aq < beta)
     delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
@@ -149,6 +151,8 @@ def _filter_chroma_edge(get, put, bs_line, alpha, beta, tc0_line):
         & (np.abs(p1 - p0) < beta)
         & (np.abs(q1 - q0) < beta)
     )
+    if not fs.any():  # nothing on this edge filters — skip the math
+        return
     tc = tc0 + 1
     delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
     np0 = _clip3(0, 255, p0 + delta)

@@ -85,6 +85,39 @@ def _six_tap(a, b, c, d, e, f):
     return a - 5 * b + 20 * c + 20 * d - 5 * e + f
 
 
+class PaddedPlane:
+    """Edge-padded int64 copy of a reference plane (r13, guide §4.2).
+
+    The spec's out-of-bounds rule is coordinate clamping; edge
+    replication of `pad` samples reproduces it exactly for any window
+    that stays within the padding, so mc_luma / mc_chroma /
+    _motion_search can use basic slicing (no per-call np.clip +
+    np.arange + fancy-index gather, the dominant per-block cost at
+    this frame size). Windows that exceed the padding fall back to
+    the original clamped-gather path via `.base`. Build one per
+    reference plane per slice-encode; every sample read off it is
+    bit-identical to reading the raw plane."""
+
+    __slots__ = ("arr", "base", "pad", "shape")
+
+    def __init__(self, ref, pad: int = 24):
+        np = _np()
+        self.base = ref
+        self.pad = pad
+        self.shape = ref.shape
+        self.arr = np.pad(ref, pad, mode="edge").astype(np.int64)
+
+
+def _wrap_refs(ref):
+    """(y, cb, cr) triple (or list of triples) → PaddedPlane triple(s);
+    idempotent."""
+    if isinstance(ref, list):
+        return [_wrap_refs(r) for r in ref]
+    if isinstance(ref[0], PaddedPlane):
+        return ref
+    return tuple(PaddedPlane(p) for p in ref)
+
+
 def mc_luma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 16,
             bw: int = 16):
     """Motion-compensated luma block: `ref` is the full reference
@@ -93,21 +126,45 @@ def mc_luma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 16,
     reference samples are edge-clamped (the spec's coordinate Clip3).
     Returns an int64 (bh, bw) block of clipped [0, 255] samples."""
     np = _np()
+    pp = None
+    if isinstance(ref, PaddedPlane):
+        pp, ref = ref, ref.base
     h, w = ref.shape
     x0, y0 = px + (mvx >> 2), py + (mvy >> 2)
     fx, fy = mvx & 3, mvy & 3
+    if fx == 0 and fy == 0:
+        # full-pel: no taps needed — gather just the block (r13 fast
+        # path; basic slicing when in-bounds, clamped gather otherwise)
+        if pp is not None and -pp.pad <= y0 and -pp.pad <= x0 and \
+                y0 + bh <= h + pp.pad and x0 + bw <= w + pp.pad:
+            q = pp.pad
+            return pp.arr[q + y0 : q + y0 + bh,
+                          q + x0 : q + x0 + bw].copy()
+        if 0 <= y0 and 0 <= x0 and y0 + bh <= h and x0 + bw <= w:
+            return ref[y0 : y0 + bh, x0 : x0 + bw].astype(np.int64)
+        ys = np.clip(np.arange(y0, y0 + bh), 0, h - 1)
+        xs = np.clip(np.arange(x0, x0 + bw), 0, w - 1)
+        return ref[np.ix_(ys, xs)].astype(np.int64)
     # padded full-pel window: rows y0-2 .. y0+bh+3, cols x0-2 ..
     # x0+bw+3 — two taps left/above, three taps plus one half-pel
     # shift right/below (the dy/dx = 1 variants s and m)
-    ys = np.clip(np.arange(y0 - 2, y0 + bh + 4), 0, h - 1)
-    xs = np.clip(np.arange(x0 - 2, x0 + bw + 4), 0, w - 1)
-    win = ref[np.ix_(ys, xs)].astype(np.int64)  # (bh+6, bw+6)
+    if pp is not None and y0 - 2 >= -pp.pad and x0 - 2 >= -pp.pad and \
+            y0 + bh + 4 <= h + pp.pad and x0 + bw + 4 <= w + pp.pad:
+        q = pp.pad
+        win = pp.arr[q + y0 - 2 : q + y0 + bh + 4,
+                     q + x0 - 2 : q + x0 + bw + 4]
+    elif y0 >= 2 and x0 >= 2 and y0 + bh + 4 <= h and x0 + bw + 4 <= w:
+        # in-bounds: basic slicing instead of the clamped fancy gather
+        win = ref[y0 - 2 : y0 + bh + 4, x0 - 2 : x0 + bw + 4].astype(
+            np.int64
+        )
+    else:
+        ys = np.clip(np.arange(y0 - 2, y0 + bh + 4), 0, h - 1)
+        xs = np.clip(np.arange(x0 - 2, x0 + bw + 4), 0, w - 1)
+        win = ref[np.ix_(ys, xs)].astype(np.int64)  # (bh+6, bw+6)
 
     def full(dy, dx):  # full-pel grid shifted by (dy, dx) in {0, 1}
         return win[2 + dy : 2 + dy + bh, 2 + dx : 2 + dx + bw]
-
-    if fx == 0 and fy == 0:
-        return full(0, 0)
 
     # horizontal half-pel intermediates b1 at every row of the padded
     # window (kept unnormalised — j needs them raw); b1[r, c]
@@ -123,7 +180,7 @@ def mc_luma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 16,
     )  # (bh+1, bw+6)
 
     def clip8(x):
-        return np.clip(x, 0, 255)
+        return np.minimum(np.maximum(x, 0), 255)
 
     def b_half(dy, dx):  # clipped horizontal half-pel at row shift dy,
         # between full-pel columns (dx, dx+1)
@@ -180,16 +237,43 @@ def mc_chroma(ref, px: int, py: int, mvx: int, mvy: int, bh: int = 8,
     units (eighth-pel in chroma).  Bilinear interpolation with
     edge-clamped sampling."""
     np = _np()
+    pp = None
+    if isinstance(ref, PaddedPlane):
+        pp, ref = ref, ref.base
     h, w = ref.shape
     x0, y0 = px + (mvx >> 3), py + (mvy >> 3)
     dx, dy = mvx & 7, mvy & 7
-    ys = np.clip(np.arange(y0, y0 + bh + 1), 0, h - 1)
-    xs = np.clip(np.arange(x0, x0 + bw + 1), 0, w - 1)
-    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    if dx == 0 and dy == 0:
+        # integer chroma position: (64*a + 32) >> 6 == a — gather just
+        # the block (r13 fast path)
+        if pp is not None and -pp.pad <= y0 and -pp.pad <= x0 and \
+                y0 + bh <= h + pp.pad and x0 + bw <= w + pp.pad:
+            q = pp.pad
+            return pp.arr[q + y0 : q + y0 + bh,
+                          q + x0 : q + x0 + bw].copy()
+        if 0 <= y0 and 0 <= x0 and y0 + bh <= h and x0 + bw <= w:
+            return ref[y0 : y0 + bh, x0 : x0 + bw].astype(np.int64)
+        ys = np.clip(np.arange(y0, y0 + bh), 0, h - 1)
+        xs = np.clip(np.arange(x0, x0 + bw), 0, w - 1)
+        return ref[np.ix_(ys, xs)].astype(np.int64)
+    if pp is not None and -pp.pad <= y0 and -pp.pad <= x0 and \
+            y0 + bh + 1 <= h + pp.pad and x0 + bw + 1 <= w + pp.pad:
+        q = pp.pad
+        win = pp.arr[q + y0 : q + y0 + bh + 1, q + x0 : q + x0 + bw + 1]
+    elif 0 <= y0 and 0 <= x0 and y0 + bh + 1 <= h and x0 + bw + 1 <= w:
+        win = ref[y0 : y0 + bh + 1, x0 : x0 + bw + 1].astype(np.int64)
+    else:
+        ys = np.clip(np.arange(y0, y0 + bh + 1), 0, h - 1)
+        xs = np.clip(np.arange(x0, x0 + bw + 1), 0, w - 1)
+        win = ref[np.ix_(ys, xs)].astype(np.int64)
     a = win[0:bh, 0:bw]
     b = win[0:bh, 1 : bw + 1]
     c = win[1 : bh + 1, 0:bw]
     d = win[1 : bh + 1, 1 : bw + 1]
+    if dy == 0:
+        return ((8 - dx) * 8 * a + dx * 8 * b + 32) >> 6
+    if dx == 0:
+        return ((8 - dy) * 8 * a + dy * 8 * c + 32) >> 6
     return (
         (8 - dx) * (8 - dy) * a
         + dx * (8 - dy) * b
@@ -537,9 +621,17 @@ def _motion_search(ref_y, src_mb, px: int, py: int, mvp,
     R = search_range
     h, w = ref_y.shape
     y0, x0 = py + (cy >> 2) - R, px + (cx >> 2) - R
-    ys = np.clip(np.arange(y0, y0 + bh + 2 * R), 0, h - 1)
-    xs = np.clip(np.arange(x0, x0 + bw + 2 * R), 0, w - 1)
-    win = ref_y[np.ix_(ys, xs)]
+    if isinstance(ref_y, PaddedPlane) and y0 >= -ref_y.pad and \
+            x0 >= -ref_y.pad and y0 + bh + 2 * R <= h + ref_y.pad and \
+            x0 + bw + 2 * R <= w + ref_y.pad:
+        q = ref_y.pad
+        win = ref_y.arr[q + y0 : q + y0 + bh + 2 * R,
+                        q + x0 : q + x0 + bw + 2 * R]
+    else:
+        base = ref_y.base if isinstance(ref_y, PaddedPlane) else ref_y
+        ys = np.clip(np.arange(y0, y0 + bh + 2 * R), 0, h - 1)
+        xs = np.clip(np.arange(x0, x0 + bw + 2 * R), 0, w - 1)
+        win = base[np.ix_(ys, xs)]
     sw = np.lib.stride_tricks.sliding_window_view(win, (bh, bw))
     sad = np.abs(
         sw.astype(np.int64) - src_mb[None, None]
@@ -591,22 +683,18 @@ def _append_bits(dst, src_w) -> None:
 
 
 def _quant_luma_mb(src_mb, pred, qp: int):
-    """16 per-4x4 quantised level lists + cbp_luma."""
+    """16 per-4x4 quantised level lists + cbp_luma (batched whole-MB
+    transform + quant — bit-identical to the per-block loop)."""
     from finanalyzer_spark.operators.h264_cavlc import (
-        _blk_xy,
-        forward_transform_4x4,
-        quant_4x4,
+        forward_transform_4x4_batch,
+        mb_to_blocks,
+        quant_4x4_batch,
     )
 
     resid = src_mb - pred
-    lv = []
+    wt = forward_transform_4x4_batch(mb_to_blocks(resid))
+    lv = quant_4x4_batch(wt, qp)
     cbp = 0
-    for blk in range(16):
-        bx, by = _blk_xy(blk)
-        wt = forward_transform_4x4(
-            resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-        )
-        lv.append(quant_4x4(wt, qp))
     for q in range(4):
         if any(any(lv[b]) for b in range(q * 4, q * 4 + 4)):
             cbp |= 1 << q
@@ -617,23 +705,23 @@ def _recon_luma_mb(pred, lv, cbp_luma: int, qp: int):
     import numpy as np
 
     from finanalyzer_spark.operators.h264_cavlc import (
-        _blk_xy,
-        dequant_4x4,
-        inverse_transform_4x4,
+        blocks_to_mb,
+        dequant_4x4_batch,
+        inverse_transform_4x4_batch,
+        mb_to_blocks,
     )
 
-    outb = np.zeros((16, 16), dtype=np.int64)
-    for blk in range(16):
-        bx, by = _blk_xy(blk)
-        ps = pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-        if cbp_luma & (1 << (blk >> 2)):
-            res = inverse_transform_4x4(dequant_4x4(lv[blk], qp))
-        else:
-            res = 0
-        outb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = np.clip(
-            ps + res, 0, 255
-        )
-    return outb
+    if cbp_luma:
+        res = inverse_transform_4x4_batch(dequant_4x4_batch(lv, qp))
+        # non-coded 8x8 quadrants reconstruct from prediction alone
+        for blk in range(16):
+            if not cbp_luma & (1 << (blk >> 2)):
+                res[blk] = 0
+        out = mb_to_blocks(np.asarray(pred)) + res
+        return np.minimum(np.maximum(blocks_to_mb(out), 0), 255)
+    return np.minimum(np.maximum(np.asarray(pred), 0), 255).astype(
+        np.int64
+    )
 
 
 def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
@@ -670,6 +758,9 @@ def _encode_p_slice_mbs(s, est, src, ref, qp, qpc, mbw, mbh,
 
     src_y, src_cb, src_cr = src
     refs0 = ref if isinstance(ref, list) else [ref]
+    # one edge-padded copy per reference plane: every MC / motion-
+    # search window in this slice reads it via basic slicing (r13)
+    refs0 = [_wrap_refs(r) for r in refs0]
     ref = refs0[0]
 
     #: JM-style rate-distortion lambda for the SSD + lam*bits cost
@@ -1024,6 +1115,8 @@ def _encode_b_slice_mbs(s, est, src, ref0, ref1, col, qp, qpc,
     )
 
     src_y, src_cb, src_cr = src
+    ref0 = _wrap_refs(ref0)
+    ref1 = _wrap_refs(ref1)
     lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
     skip_run = 0
     for mb in range(mbw * mbh):
