@@ -3006,6 +3006,13 @@ _GR_ROUNDS = 3      #: unrolled expansion rounds after entry seeding
 _GR_ENTRY = 8       #: entry points: vec_id < this (fixed, deterministic)
 _GR_K = 5           #: neighbors returned
 _GR_QCUT = 8        #: query vectors: vec_id < this
+#: A/B flag (r13): localCheckpoint each intermediate beam round.
+#: False = one fused plan per search; each round references the
+#: previous beam twice (carry + expand), but both references are the
+#: SAME subtree, so within the one action ReuseExchange executes each
+#: round's shuffle once — trading R-1 checkpoint jobs (plus their
+#: broadcast-build jobs) for a deeper, reused plan.
+_GR_BEAM_CKPT = True
 
 
 def _graph_build_ctes(g: str, corpus: str) -> str:
@@ -3192,10 +3199,11 @@ def _build_graph_edges(
     # projection a second time.
     if both is None:
         both = _both_buckets(emb, geom)
-    pairs = None
-    for bcol in ("b1", "b2"):
-        p = _capped_bucket_pairs(both, bcol)
-        pairs = p if pairs is None else pairs.union(p)
+    if nemb is None:
+        # the fused bucket frame carries (embedding, _n) — reuse it
+        # as the norms frame instead of materializing a second pass
+        nemb = both.select("vec_id", "embedding", "_n")
+    pairs = _capped_pairs_both(both)
     topm = _topm_fn(emb, nemb=nemb)
     # localCheckpoint per round: each refinement references the
     # previous graph FOUR times (self-joins inside the candidate
@@ -3211,19 +3219,23 @@ def _build_graph_edges(
 
 
 def _both_buckets(emb: DataFrame, geom: DataFrame) -> DataFrame:
-    """(vec_id, b1, b2): both seeds' adaptive bucket ids in ONE
-    materialized pass — the plane projection is a many-hundred-literal
-    expression tree per seed, and leaving it lazy inlines it into
-    every downstream reference (cap aggregate + both join sides each):
-    multi-MiB task binaries whose COMPILE time, not the 2k-row data,
-    dominated the g0 build."""
+    """(vec_id, b1, b2, embedding, _n): both seeds' adaptive bucket
+    ids AND the vector + its norm in ONE materialized pass — the
+    plane projection is a many-hundred-literal expression tree per
+    seed, and leaving it lazy inlines it into every downstream
+    reference (cap aggregate + both join sides each): multi-MiB task
+    binaries whose COMPILE time, not the 2k-row data, dominated the
+    g0 build.  The norm column (r13) folds what used to be a second
+    checkpointed corpus pass (:func:`_graph_norms`) into this one —
+    the frame doubles as the ``nemb`` input of :func:`_topm_fn`."""
     return adaptive_lsh_buckets(
         adaptive_lsh_buckets(
             emb, geom, "embedding", seed=42
         ).withColumnRenamed("lsh_bucket", "b1"),
         geom, "embedding", seed=_GR_SEED_B,
     ).select(
-        "vec_id", "b1", F.col("lsh_bucket").alias("b2")
+        "vec_id", "b1", F.col("lsh_bucket").alias("b2"),
+        "embedding", F.expr(norm_sql("embedding")).alias("_n"),
     ).localCheckpoint()
 
 
@@ -3246,6 +3258,44 @@ def _capped_bucket_pairs(both, bcol, src_pred=None) -> DataFrame:
         .join(
             b.select(F.col("vec_id").alias("dst"), "lsh_bucket"),
             "lsh_bucket",
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def _capped_pairs_both(both, src_pred=None) -> DataFrame:
+    """Union of both bucketings' capped in-bucket candidate pairs in
+    ONE pipeline (r13): explode each row into (seed, bucket), so one
+    cap aggregate and one src×dst join replace the per-seed pair of
+    each (guide §2.4 — two operations keyed the same way share one
+    exchange).  The produced (src, dst) multiset is exactly the union
+    of the two per-seed pipelines — per-seed cap counts and the
+    src != dst guard are keyed on (seed, bucket), and the consumer
+    (the top-M set-aggregate) dedupes cross-seed repeats the same way
+    it deduped the old UNION ALL."""
+    eb = both.select(
+        "vec_id",
+        F.expr(
+            "explode(array(named_struct('s', 1, 'bkt', b1),"
+            " named_struct('s', 2, 'bkt', b2)))"
+        ).alias("_sb"),
+    ).select("vec_id", F.col("_sb.s").alias("s"),
+             F.col("_sb.bkt").alias("bkt"))
+    keep = (
+        eb.groupBy("s", "bkt")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= _GR_BUCKET_CAP)
+        .select("s", "bkt")
+    )
+    kb = eb.join(keep, ["s", "bkt"])
+    if src_pred is not None:
+        kb = kb.where(src_pred)
+    return (
+        kb.select(F.col("vec_id").alias("src"), "s", "bkt")
+        .join(
+            eb.select(F.col("vec_id").alias("dst"), "s", "bkt"),
+            ["s", "bkt"],
         )
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -3366,26 +3416,19 @@ def _nn_descent_cands(g: DataFrame, touched: DataFrame | None = None) -> DataFra
     return gs.union(rev).union(hop).union(codst)
 
 
-def _graph_beam(t, edges: DataFrame) -> DataFrame:
-    """Fixed-round beam search: (query_id, node, cosine) final beam.
-    Per round the tiny beam frame broadcasts into the edge join; the
-    candidate set re-scores against the query vector with the same
-    rounded-cosine + id tie-break the oracle uses."""
-    emb = t.embeddings.select("vec_id", "embedding")
+def _beam_rescore_fn(emb: DataFrame):
+    """Closure ranking beam candidates: top-BEAM per query as one
+    map-side-combined aggregation (r12, same fusion as _topm_fn):
+    collect_set dedupes repeated candidates (identical (cosine, node)
+    structs), array_sort on struct(-cosine, node) is the
+    (cosine DESC, node) beam order, slice keeps the width — one
+    exchange where the old union().distinct() + row_number window
+    paid two."""
     qs = emb.where(F.col("vec_id") < _GR_QCUT).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     )
-    en = emb.where(F.col("vec_id") < _GR_ENTRY).select(
-        F.col("vec_id").alias("node")
-    )
 
     def rescore(cands: DataFrame) -> DataFrame:
-        # top-BEAM per query as one map-side-combined aggregation
-        # (r12, same fusion as _topm_fn): collect_set dedupes repeated
-        # candidates (identical (cosine, node) structs), array_sort on
-        # struct(-cosine, node) is the (cosine DESC, node) beam order,
-        # slice keeps the width — one exchange where the old
-        # union().distinct() + row_number window paid two.
         scored = (
             cands.join(
                 emb.select(F.col("vec_id").alias("node"),
@@ -3417,12 +3460,47 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
             )
         )
 
+    return rescore
+
+
+def _graph_entry_beam(t) -> DataFrame:
+    """Checkpointed entry beam: rescore(queries × entry points).
+    Depends only on the corpus — shareable across every beam search
+    over the same embeddings (r13)."""
+    emb = t.embeddings.select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") < _GR_QCUT).select(
+        F.col("vec_id").alias("query_id")
+    )
+    en = emb.where(F.col("vec_id") < _GR_ENTRY).select(
+        F.col("vec_id").alias("node")
+    )
+    rescore = _beam_rescore_fn(emb)
+    return rescore(qs.crossJoin(F.broadcast(en))).localCheckpoint()
+
+
+def _graph_beam(t, edges: DataFrame,
+                beam0: DataFrame | None = None) -> DataFrame:
+    """Fixed-round beam search: (query_id, node, cosine) final beam.
+    Per round the tiny beam frame broadcasts into the edge join; the
+    candidate set re-scores against the query vector with the same
+    rounded-cosine + id tie-break the oracle uses.
+
+    ``beam0`` (r13): the entry beam — rescore(queries × entry points)
+    — depends only on the corpus, NOT on ``edges``, so a caller
+    running several beam searches over the same corpus (the repair
+    twin searches the stale and the repaired graph) can materialize
+    it once and pass it in; one fewer entry-scoring job + checkpoint
+    per extra search, bit-identical beams."""
+    emb = t.embeddings.select("vec_id", "embedding")
+    rescore = _beam_rescore_fn(emb)
+
     # per-round localCheckpoint: the beam is (queries × width) rows,
     # and flattening it keeps the unrolled 3-round plan bounded (each
     # round references the previous beam twice: carry + expand)
-    beam = rescore(
-        qs.select("query_id").crossJoin(F.broadcast(en))
-    ).localCheckpoint()
+    if beam0 is not None:
+        beam = beam0
+    else:
+        beam = _graph_entry_beam(t)
     for r in range(_GR_ROUNDS):
         nbrs = (
             edges.join(
@@ -3434,8 +3512,10 @@ def _graph_beam(t, edges: DataFrame) -> DataFrame:
         )
         cands = beam.select("query_id", "node").union(nbrs)
         beam = rescore(cands)
-        if r < _GR_ROUNDS - 1:  # the last beam flows straight into the
-            beam = beam.localCheckpoint()  # caller's final top-k window
+        if _GR_BEAM_CKPT and r < _GR_ROUNDS - 1:
+            # the last beam flows straight into the caller's final
+            # top-k window
+            beam = beam.localCheckpoint()
     return beam
 
 
@@ -3780,24 +3860,29 @@ def ann_graph_repair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtered frame, so base cap counts exclude increment rows exactly
     # as before.)
     both = _both_buckets(emb, emb)
-    nemb = _graph_norms(emb)
+    # the fused bucket frame carries (embedding, _n) — one corpus
+    # materialization serves buckets AND norms (r13)
+    nemb = both.select("vec_id", "embedding", "_n")
     both_base = both.where(F.col("vec_id") % _GRI_MOD != _GRI_REM)
     g_base = _build_graph_edges(base, geom=emb, both=both_base, nemb=nemb)
     topm = _topm_fn(emb, nemb=nemb)
-    ipairs = None
-    for bcol in ("b1", "b2"):
-        p = _capped_bucket_pairs(
-            both, bcol,
-            src_pred=F.col("vec_id") % _GRI_MOD == _GRI_REM,
-        )
-        ipairs = p if ipairs is None else ipairs.union(p)
+    ipairs = _capped_pairs_both(
+        both, src_pred=F.col("vec_id") % _GRI_MOD == _GRI_REM
+    )
     new_out = topm(ipairs).localCheckpoint()
-    stale = g_base.unionByName(new_out).localCheckpoint()
-    touched = (
-        new_out.select("src")
-        .union(new_out.select(F.col("dst").alias("src")))
-        .distinct()
-        .localCheckpoint()
+    # stale graph NOT checkpointed (r13 paired A/B, 3 pairs:
+    # 9.34/9.86/10.02 elided vs 9.63/10.12/10.81 kept): it is a
+    # narrow, exchange-free union of two already-checkpointed frames,
+    # so each downstream reference re-reads materialized blocks — the
+    # checkpoint job cost more than the recomputes it saved.
+    stale = g_base.unionByName(new_out)
+    # touched: no .distinct(), no checkpoint (r13) — every consumer is
+    # a broadcast left_semi/left_anti join, which is duplicate-
+    # insensitive, and the frame is a narrow projection of the
+    # checkpointed new_out; the distinct exchange + checkpoint job
+    # bought nothing semantically.
+    touched = new_out.select("src").union(
+        new_out.select(F.col("dst").alias("src"))
     )
     repaired = topm(_nn_descent_cands(stale, touched=touched))
     final = (
@@ -3805,8 +3890,17 @@ def ann_graph_repair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(repaired)
         .localCheckpoint()
     )
-    got_s = _beam_topk(_graph_beam(t, stale)).withColumn("_hs", F.lit(1))
-    got_r = _beam_topk(_graph_beam(t, final)).withColumn("_hr", F.lit(1))
+    # entry beam shared by both searches (r13): rescore(queries ×
+    # entry points) is graph-independent, so the stale and repaired
+    # beams start from ONE materialized frame — one fewer
+    # entry-scoring job + checkpoint; beams bit-identical
+    beam0 = _graph_entry_beam(t)
+    got_s = _beam_topk(_graph_beam(t, stale, beam0=beam0)).withColumn(
+        "_hs", F.lit(1)
+    )
+    got_r = _beam_topk(_graph_beam(t, final, beam0=beam0)).withColumn(
+        "_hr", F.lit(1)
+    )
     queries_df = t.embeddings.where(F.col("vec_id") < _GR_QCUT)
     exact = cosine_topk(
         corpus=t.embeddings, queries=queries_df, id_col="vec_id",

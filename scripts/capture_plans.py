@@ -15,7 +15,7 @@ suffix = sys.argv[1]
 names = sys.argv[2:]
 sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark("capture_plans")
-out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
 os.makedirs(out_dir, exist_ok=True)
 for n in names:
     try:
