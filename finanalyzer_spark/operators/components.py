@@ -68,6 +68,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     broadcast_nodes: bool | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`;
     `component` is the minimum node id of the connected component.
@@ -83,11 +84,21 @@ def connected_components(
     self-join (both join sides derive from it — without the
     checkpoint the union+groupBy subtree executes twice per round).
     `broadcast_nodes=None` (default) measures the node count once and
-    broadcasts only under BROADCAST_NODE_CAP; True/False force it."""
+    broadcasts only under BROADCAST_NODE_CAP; True/False force it.
+    `symmetric=True` (r13) promises the input already contains both
+    directions of every edge (e.g. grid-DBSCAN's pair stream, built by
+    a symmetric neighborhood join), skipping the union + distinct
+    exchange — correctness never needed the dedup (duplicate edges
+    feed a min aggregate), only the symmetry."""
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if symmetric:
+        sym = e
+    else:
+        sym = e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
     sym = sym.persist()
 
     # round 0 folded into init: label = min(self, min neighbor) is a
@@ -98,9 +109,6 @@ def connected_components(
         .agg(F.least(F.first("a"), F.min("b")).alias("label"))
         .localCheckpoint()
     )
-    # one count over the materialized checkpoint (node cardinality is
-    # loop-invariant) decides the per-round broadcast hint in auto mode
-    broadcast_nodes = resolve_broadcast_nodes(broadcast_nodes, labels.count())
 
     # fixpoint test via the label-sum invariant (r12): every update
     # strictly DECREASES some node's label and never increases any, so
@@ -117,7 +125,18 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
 
-    prev_sum = None
+    # ONE aggregate over the materialized checkpoint yields both the
+    # node count (loop-invariant; decides the per-round broadcast hint
+    # in auto mode) and the ROUND-0 label sum (r13) — the old code
+    # spent a separate count() job and left prev_sum unseeded, so an
+    # input already at its fixpoint after the init fold still paid two
+    # full rounds before the sums could match; seeding from round 0
+    # breaks after ONE round (3 jobs saved on near-clique graphs).
+    n_nodes, prev_sum = labels.agg(
+        F.count("*"), F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()
+    broadcast_nodes = resolve_broadcast_nodes(broadcast_nodes, n_nodes)
+
     for _ in range(max_iter):
         lab_b = F.broadcast(labels) if broadcast_nodes else labels
         nbr = sym.join(
@@ -149,11 +168,8 @@ def connected_components(
         new = new.localCheckpoint()
         labels = new
 
-        # the round-0 sum seeds the invariant (the old join-check
-        # skipped round 0 outright; the sum is cheap enough to run
-        # every round, keeping the earliest possible break at round 1)
         s = _label_sum(new)
-        if prev_sum is not None and s == prev_sum:
+        if s == prev_sum:
             break
         prev_sum = s
 

@@ -1503,7 +1503,11 @@ def grid_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.unionByName(
         core.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     )
-    comp = connected_components(edges)
+    # symmetric=True (r13): pr holds BOTH directions of every in-eps
+    # pair by construction (the 9x cell join emits (a, nb) and (nb, a)
+    # separately) and the core filter is applied to both endpoints, so
+    # the components loop can skip its union + distinct exchange
+    comp = connected_components(edges, symmetric=True)
     corec = comp.groupBy(F.col("component").alias("cluster")).agg(
         F.count("*").alias("n_core")
     )
