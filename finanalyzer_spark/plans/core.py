@@ -1029,10 +1029,22 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_quantiles_bounded)."""
     t = load(spark, sf_dir)
     month = F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM")
-    sk = t.lineitem.groupBy(month.alias("month")).agg(
-        F.hll_sketch_agg("l_orderkey").alias("sk"),
-        F.countDistinct("l_orderkey").alias("n_exact"),
+    # ONE fact scan (r13, guide §1.2/§5): the old shape scanned
+    # lineitem three times — the per-month aggregate, its unpersisted
+    # re-execution under the union-merge, and the global exact count.
+    # All three consumers need only the DISTINCT (month, orderkey)
+    # pairs: countDistinct is count(*) over them, and an HLL sketch is
+    # insertion-duplicate-insensitive, so sketches over the deduped
+    # pairs are register-identical to sketches over the raw rows.
+    d = (
+        t.lineitem.select(month.alias("month"), "l_orderkey")
+        .distinct()
+        .persist()
     )
+    sk = d.groupBy("month").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count("*").alias("n_exact"),
+    ).persist()  # 84-row sketch frame, read by per-month AND the merge
     within = (
         F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
         / F.col("n_exact")
@@ -1040,9 +1052,7 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_month = sk.select("month", "n_exact", within.alias("within_5pct"))
     merged = sk.agg(F.hll_union_agg("sk").alias("msk"))
-    g_exact = t.lineitem.agg(
-        F.countDistinct("l_orderkey").alias("n_exact")
-    )
+    g_exact = d.agg(F.countDistinct("l_orderkey").alias("n_exact"))
     total = (
         merged.crossJoin(g_exact)
         .select(

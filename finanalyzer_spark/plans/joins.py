@@ -1118,6 +1118,14 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the INTEGER-exact scaled cosine^2, so the boundary is never
     decided by a float ulp."""
     t = load(spark, sf_dir)
+    # r13 NEGATIVE RESULTS, recorded so they aren't re-tried: (a)
+    # per-order sort_array(collect_set(..)) arrays with a higher-order-
+    # function pair explode (one exchange, no self-join shuffle)
+    # measured 2.31 s solo best-of-5 vs 1.52 s for this shape; (b) even
+    # just persist()ing the deduped basket frame (re-derived three
+    # times below) measured 2.16 s — the InMemoryRelation write +
+    # codegen break cost more than two recomputes of a cheap
+    # scan+distinct, the same boundary as r12's grid_dbscan persists.
     baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
     item_cnt = baskets.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))

@@ -2518,7 +2518,7 @@ def theil_sen_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     a = daily.select(F.col("t").alias("d1"), F.col("rev").alias("r1"))
     b = daily.select(F.col("t").alias("d2"), F.col("rev").alias("r2"))
     slopes = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("d2") > F.col("d1"))
         .select(
             "d1", "d2",
@@ -2528,16 +2528,41 @@ def theil_sen_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("slope"),
         )
     )
-    ranked = ordered_scan(slopes, ["slope", "d1", "d2"], rank="rnk")
-    # ordered_scan attaches the grand total as a literal column when
-    # asked for a running count; derive n from the same driver pass
-    n_total = ranked.agg(F.max("rnk").alias("n"))
+    # exact median by quantile-band selection (r13, guide §1.2/§2.4):
+    # the old shape ranked ALL ~2.9M pairs through ordered_scan (range
+    # exchange + 2.9M-row checkpoint + offsets join) only to keep rank
+    # (n+1)//2. The slope stream itself is a map-only broadcast-NL
+    # expansion of the ~2.4k-day frame, so three bounded shuffle-free
+    # passes replace the rank machinery:
+    #   1. approxQuantile brackets the median with a GK sketch whose
+    #      rank error (±0.001n) is strictly inside the ±0.005n band;
+    #   2. one exact aggregate counts n, the rows strictly below the
+    #      band, and the band's population;
+    #   3. TakeOrdered pulls the (k - below)-th row of the band under
+    #      the total order (slope, d1, d2) — the same lower-median
+    #      row the global rank selected, exactly (counts are exact;
+    #      the sketch only chooses WHICH superset gets sorted).
+    lo, hi = slopes.stat.approxQuantile("slope", [0.495, 0.505], 0.001)
+    n, below, inband = slopes.agg(
+        F.count("*"),
+        F.count_if(F.col("slope") < lo),
+        F.count_if(F.col("slope").between(lo, hi)),
+    ).first()
+    k = (n + 1) // 2
+    j = k - below
+    if not (1 <= j <= inband):  # GK bound violated — cannot happen
+        raise AssertionError(
+            f"theil_sen band missed the median: k={k} below={below}"
+            f" inband={inband}"
+        )
     return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .where(F.col("rnk") == ((F.col("n") + 1) / 2).cast("long"))
+        slopes.where(F.col("slope").between(lo, hi))
+        .orderBy("slope", "d1", "d2")
+        .limit(j)
+        .agg(F.max(F.struct("slope", "d1", "d2")).alias("_m"))
         .select(
-            F.col("n").cast("long").alias("n_pairs"),
-            (F.round(F.col("slope") / 100.0, 6) + 0.0).alias(
+            F.lit(n).cast("long").alias("n_pairs"),
+            (F.round(F.col("_m.slope") / 100.0, 6) + 0.0).alias(
                 "theil_slope_dollars_per_day"
             ),
         )

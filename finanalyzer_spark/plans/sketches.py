@@ -106,19 +106,27 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     not probabilistic."""
     t = load(spark, sf_dir)
     li = t.lineitem
-    incr = li.select(
-        "l_partkey",
+    # ONE fact scan + per-key pre-aggregation (r13, guide §2.3
+    # "aggregate before you shuffle"): the counter for (i, b) is the
+    # SUM over keys hashing to b of that key's row count, so the d
+    # md5 buckets need computing once per DISTINCT key (~20k) instead
+    # of once per fact row (~600k x d md5 calls), and the same per-key
+    # frame yields the exact top-10 — the old shape's second scan.
+    perkey = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .persist()
+    )
+    incr = perkey.select(
+        "exact_cnt",
         F.posexplode(
             F.array(*[_bucket_spark(i) for i in range(_CMS_D)])
         ).alias("i", "b"),
     )
-    counters = incr.groupBy("i", "b").agg(F.count("*").alias("cnt"))
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc())
-        .limit(_TOP)
-    )
+    counters = incr.groupBy("i", "b").agg(F.sum("exact_cnt").alias("cnt"))
+    exact = perkey.orderBy(
+        F.col("exact_cnt").desc(), F.col("l_partkey").asc()
+    ).limit(_TOP)
     probes = exact.select(
         "l_partkey",
         "exact_cnt",
