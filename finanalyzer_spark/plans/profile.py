@@ -3041,43 +3041,36 @@ def granger_causality_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(CAST(v AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))").alias("s2y"),
         F.expr("sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))").alias("syy"),
     )
-    f = mo.select(*[F.col(c).cast("double").alias(c) for c in mo.columns])
-    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
-    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
-    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
-    sol = f.select(
-        n.alias("n"), sy.alias("sy"), s1y.alias("s1y"),
-        s2y.alias("s2y"), syy.alias("syy"), s1.alias("s1"),
-        (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
-         + s2 * (s1 * s12 - s11 * s2)).alias("det"),
-        (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
-         + s2 * (s1y * s12 - s11 * s2y)).alias("det0"),
-        (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
-         + s2 * (s1 * s2y - s1y * s2)).alias("det1"),
-        (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
-         + sy * (s1 * s12 - s11 * s2)).alias("det2"),
-        ((n * s1y - s1 * sy) / (n * s11 - s1 * s1)).alias("beta_r"),
+    # Cramer solve + F statistic as parsed SQL (r13, guide §4 driver
+    # side): one selectExpr per stage instead of ~150 per-operator
+    # Column round trips; the parsed trees are the same arithmetic
+    # node-for-node (same grouping, same operator order).
+    f = mo.selectExpr(
+        *[f"CAST({c} AS DOUBLE) AS {c}" for c in mo.columns]
     )
-    det, det0 = F.col("det"), F.col("det0")
-    det1, det2 = F.col("det1"), F.col("det2")
+    sol = f.selectExpr(
+        "n", "sy", "s1y", "s2y", "syy", "s1",
+        "((n * ((s11 * s22) - (s12 * s12))) - (s1 * ((s1 * s22) -"
+        " (s12 * s2)))) + (s2 * ((s1 * s12) - (s11 * s2))) AS det",
+        "((sy * ((s11 * s22) - (s12 * s12))) - (s1 * ((s1y * s22) -"
+        " (s12 * s2y)))) + (s2 * ((s1y * s12) - (s11 * s2y))) AS det0",
+        "((n * ((s1y * s22) - (s12 * s2y))) - (sy * ((s1 * s22) -"
+        " (s12 * s2)))) + (s2 * ((s1 * s2y) - (s1y * s2))) AS det1",
+        "((n * ((s11 * s2y) - (s1y * s12))) - (s1 * ((s1 * s2y) -"
+        " (s1y * s2)))) + (sy * ((s1 * s12) - (s11 * s2))) AS det2",
+        "((n * s1y) - (s1 * sy)) / ((n * s11) - (s1 * s1)) AS beta_r",
+    )
     rss_u = (
-        F.col("syy") - (det0 / det) * F.col("sy")
-        - (det1 / det) * F.col("s1y") - (det2 / det) * F.col("s2y")
+        "((syy - ((det0 / det) * sy)) - ((det1 / det) * s1y))"
+        " - ((det2 / det) * s2y)"
     )
     rss_r = (
-        F.col("syy")
-        - ((F.col("sy") - F.col("beta_r") * F.col("s1")) / F.col("n"))
-        * F.col("sy")
-        - F.col("beta_r") * F.col("s1y")
+        "(syy - (((sy - (beta_r * s1)) / n) * sy)) - (beta_r * s1y)"
     )
-    return sol.select(
-        F.col("n").cast("int").alias("n_obs"),
-        (
-            F.round(
-                (rss_r - rss_u) / (rss_u / (F.col("n") - 3.0)), 4
-            )
-            + 0.0
-        ).alias("granger_f"),
+    return sol.selectExpr(
+        "CAST(n AS INT) AS n_obs",
+        f"round((({rss_r}) - ({rss_u})) / (({rss_u}) / (n - 3.0D)), 4)"
+        " + 0.0D AS granger_f",
     )
 
 

@@ -46,6 +46,18 @@ RUNTIME_CONFS: dict[str, str] = {
     # fixture generations — the current fixture stores micros, for which
     # this conf is a no-op; kept so a ns regeneration keeps working).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # r13, guide §4 applied to the driver side of the boundary: with
+    # DataFrame debugging ON (the default), EVERY DataFrame/Column API
+    # call pays a call-site capture of 5 py4j round trips + a Python
+    # traceback walk (pyspark/errors/utils.py::_with_origin —
+    # getActiveSession/isDefined + PySparkCurrentOrigin.set/clear).
+    # Measured here: ~190 wrapped calls ≈ 950 JVM round trips ≈ 0.5 s
+    # of pure plan-construction overhead PER stats query. The feature
+    # only enriches error messages with user call sites; production
+    # batch jobs don't want to buy that per-call. Scale-independent:
+    # this is driver-side constant cost, identical on local[32] and a
+    # 1000-executor cluster.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -69,6 +81,19 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
         except Exception:
             pass  # non-runtime conf on this build — builder-time only
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    # PySpark caches the dataFrameDebugging conf in a module global at
+    # the FIRST wrapped API call; a driver-owned session may have made
+    # wrapped calls before handing the session to us, in which case the
+    # conf.set above comes too late for this process — sync the public
+    # conf's cached value directly so the per-call capture stops either
+    # way (pyspark.errors.utils reads the same conf; this is its
+    # documented cache, not behavior divergence).
+    try:
+        from pyspark.errors import utils as _pyspark_err_utils
+
+        _pyspark_err_utils._enable_debugging_cache = False
+    except Exception:  # pragma: no cover - future pyspark refactor
+        pass
     spark._finanalyzer_tuned = n
     return spark
 

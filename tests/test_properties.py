@@ -1528,10 +1528,26 @@ def _granger_ref(y, x):
     r, u, v = y[1:], y[:-1], x[:-1]
     Xu = np.column_stack([np.ones(len(r)), u, v])
     Xr = np.column_stack([np.ones(len(r)), u])
+    # rank-deficient design (e.g. u == v after lagging identical
+    # series): the engine's exact-integer Cramer determinant is 0 and
+    # the statistic NULL, while lstsq silently returns the min-norm
+    # solution — no meaningful comparison exists; skip (pre-existing
+    # hypothesis flake, found in r13 on both query forms)
+    if np.linalg.matrix_rank(Xu) < 3:
+        return len(r), float("nan")
     bu, *_ = np.linalg.lstsq(Xu, r, rcond=None)
     br, *_ = np.linalg.lstsq(Xr, r, rcond=None)
     rss_u = ((r - Xu @ bu) ** 2).sum()
     rss_r = ((r - Xr @ br) ** 2).sum()
+    # degenerate fixtures: an (effectively) PERFECT unrestricted fit
+    # makes F 0/0-undefined — the engine's exact-decimal moments yield
+    # rss_u == 0.0 and a NULL statistic while numpy's float residuals
+    # leave ~1e-14 garbage, so the comparison is meaningless (latent
+    # flake found by hypothesis in r13, pre-existing on both the
+    # Column and the parsed-SQL query forms). Signal the caller to
+    # skip relative to the total sum of squares.
+    if rss_u <= 1e-9 * max(float((r**2).sum()), 1.0):
+        return len(r), float("nan")
     return len(r), (rss_r - rss_u) / (rss_u / (len(r) - 3))
 
 
