@@ -32,6 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: union widens each round. Refresh per round from the
 #: CORRECTNESS_r*.json keys.
 DRIVER_SAMPLED = frozenset({
+    # --- r12 sample (all green, CORRECTNESS_r12.json — 50/50; the
+    # names not already in older blocks) ---
+    "ann_graph_build", "ann_graph_repair_recall",
     # --- r11 sample (all green, CORRECTNESS_r11.json — 50/50; covered
     # all 6 new + 3 changed r11 names, union stays closed) ---
     "ann_graph_recall_eval", "ann_graph_topk", "ann_ivf_retrain_drift",
@@ -227,32 +230,47 @@ DRIVER_SAMPLED = frozenset({
 #: previously-never-sampled names, closing the union at 377/377.
 NEVER_SAMPLED = frozenset()
 
-#: Round-12 new or semantics-changed names needing a (fresh) driver row.
-#: Capped at ~35 per VERDICT r10 #1 so one ~50-query sample covers every
-#: new/changed name plus rotation. (All r11 new/changed names got green
-#: rows in CORRECTNESS_r11.json and moved into DRIVER_SAMPLED.)
-#: r12: ann_graph_build / ann_graph_repair_recall are NEW (maintained
-#: graph-ANN index: build job + insert-and-repair census);
-#: ann_graph_topk / ann_graph_recall_eval / ann_lsh_topk /
-#: ann_recall_eval changed semantics at sf0.01 via the corpus-adaptive
-#: LSH plane count (p = smallest with 2^p >= n/32 — at sf0.01's
-#: 500-vector corpus that is 5 planes where the fixed constants were
-#: 6/8). (The r12 streaming dhash twin is pytest-only, like the r11
-#: streaming MinHash-LSH — no registry entry to sample.)
+#: Round-13 names needing a (fresh) driver row. r13 is an OPTIMIZATION
+#: round: no semantics changed anywhere (every name below is declared
+#: result-identical and was verified against the DuckDB oracle at
+#: sf0.001/0.01/0.1 during the round) — but these are the queries whose
+#: PHYSICAL PLANS were restructured, so they are exactly the rows where
+#: a fresh driver-side CORRECTNESS row carries the most signal.
+#: (All r12 new/changed names got green rows in CORRECTNESS_r12.json
+#: and moved into DRIVER_SAMPLED.)
 ROUND_CHANGED = frozenset({
-    "ann_graph_build", "ann_graph_repair_recall", "ann_graph_topk",
-    "ann_graph_recall_eval", "ann_lsh_topk", "ann_recall_eval",
+    # graph-ANN: shared entry beam, fused bucket+norm frame, exploded
+    # capped-pairs pipeline, stale/touched checkpoint elisions
+    "ann_graph_build", "ann_graph_topk", "ann_graph_recall_eval",
+    "ann_graph_repair_recall",
+    # components-loop consumers: round-0 sum seed + symmetric input
+    "grid_dbscan_embeddings", "dedup_components",
+    "near_dup_survivorship_by_source", "semantic_dedup_clusters",
+    # single-scan / selection restructures
+    "theil_sen_trend_daily_revenue", "cms_frequency_estimates",
+    "hll_mergeable_rollup", "granger_causality_f",
+    # vectorized H.264 kernels (bit-identical streams, verified)
+    "media_h264_bframe_decode", "media_h264_gop_decode",
+    "media_h264_intra_decode", "media_probe_summary",
+})
+
+#: r12's driver sample rotated these out (they have older green rows
+#: but no r12 row); VERDICT r12 #10 asks that they come right after the
+#: round-changed names so the verified union stays closed.
+ROUND_ROTATED_OUT = frozenset({
+    "ann_ivf_retrain_drift", "dsir_importance_selection",
+    "kcenter_coreset_selection", "media_dhash_cross_format_dedup",
+    "media_id3_tags", "minhash_recall_eval",
+    "winnowing_candidate_pairs",
 })
 
 
 def _ordered_names() -> list[str]:
     """Sampling-priority order for the driver's ~50-query prefix
-    sampler. Round 9 declares more new/changed names than one ~50
-    sample holds, so tier 1 splits: a name with NO driver row ever
-    (round-9 new — a hard signal gap) outranks a round-9-CHANGED name
-    that already has an old green row (the re-queued graph/probe
-    names); the verified rest fills the tail (registry order within
-    each tier)."""
+    sampler: names with NO driver row ever first, then this round's
+    plan-restructured names, then the names the previous sample
+    rotated out, then the verified rest (registry order within each
+    tier)."""
     names = list(REGISTRY)
 
     def tier(n: str) -> int:
@@ -261,8 +279,10 @@ def _ordered_names() -> list[str]:
         if n not in DRIVER_SAMPLED:
             return 1  # no driver row ever — front outright
         if n in ROUND_CHANGED:
-            return 2  # changed semantics — re-queue behind the new
-        return 3
+            return 2  # plan restructured this round — re-verify first
+        if n in ROUND_ROTATED_OUT:
+            return 3  # keep the cross-round union closed
+        return 4
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

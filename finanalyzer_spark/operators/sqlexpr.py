@@ -20,16 +20,32 @@ arithmetically identical:
 
 Lambda variables are prefixed ``_l`` so they can never shadow a column
 referenced inside the fragment.
+
+Column-name arguments are interpolated UNQUOTED: callers must pass
+plain identifiers (letters/digits/underscore, not a reserved word).  A
+name with spaces/hyphens would break parsing where the old Column
+builders accepted anything — every in-repo caller passes plain
+internal names; backtick-quote at the call site if that ever changes.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 
 def dlit(x: float) -> str:
-    """Shortest-round-trip double literal (D suffix: never decimal)."""
-    return f"{float(x)!r}D"
+    """Shortest-round-trip double literal (D suffix: never decimal).
+
+    Finite values only: ``repr(inf)``/``repr(nan)`` would emit the
+    unparseable tokens ``infD``/``nanD`` and surface as a confusing
+    AnalysisException far from the caller — fail loudly here instead
+    (every current caller passes bounded constants: centroids, weights,
+    planes)."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"dlit: non-finite double literal {x!r}")
+    return f"{x!r}D"
 
 
 def arr_dlit(vals: Iterable[float]) -> str:

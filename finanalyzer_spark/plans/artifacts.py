@@ -34,11 +34,19 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _EPHEMERAL_ROOT: str | None = None
+
+#: build-cost ledger (r13, VERDICT r12 #6): wall-clock seconds of every
+#: cold `materialized()` build this process ran, keyed by artifact key.
+#: bench.py drains it into BENCH_QUERIES.json as `_build:<name>` lines
+#: so sum-of-min-reps totals no longer silently exclude the one-time
+#: family build cost (min() drops the cold first rep that contains it).
+BUILD_SECONDS: dict[str, float] = {}
 
 
 def artifact_root() -> str:
@@ -98,7 +106,11 @@ def materialized(
     path = os.path.join(artifact_root(), key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{os.getpid()}"
+        t0 = time.perf_counter()
         build().write.mode("overwrite").parquet(tmp)
+        BUILD_SECONDS[key] = BUILD_SECONDS.get(key, 0.0) + (
+            time.perf_counter() - t0
+        )
         try:
             os.rename(tmp, path)
         except OSError:

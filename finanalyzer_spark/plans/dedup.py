@@ -541,7 +541,11 @@ def semantic_dedup_report(
     # (sizes twice — the eligibility filter and the report join — plus
     # both sides of the pair join); without the persist each recomputes
     # the k-way argmin projection stage (r12 paired A/B: wins all 3
-    # pairs, ~0.5-1 s at sf0.1)
+    # pairs, ~0.5-1 s at sf0.1). No matching unpersist: the frame is
+    # dropped by the session-level cache clearing every harness run
+    # does between queries (bench.py clearCache; the module's other
+    # persists rely on the same), so it only lingers in a long-lived
+    # interactive session.
     m = m.persist()
     sizes = m.groupBy("cluster").agg(F.count("*").alias("n_members"))
     ok = sizes.where(F.col("n_members") <= cluster_cap).select("cluster")

@@ -841,7 +841,10 @@ def random_projection_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, r in enumerate(rows)
         ],
     )
-    # `0 + ...`: Python's sum() seeds with int 0 — kept for tree parity
+    # `0 + ...`: mirrors Python sum()'s int-0 seed. NOTE the seed sits
+    # on the LEFT here while the Column form's __radd__ chain put it on
+    # the right ("(p0*p0) + 0"); the trees differ but the doubles are
+    # numerically identical (IEEE addition of a 0 seed), oracle-pinned.
     sq = "0 + " + " + ".join(f"p{i} * p{i}" for i in range(_JL_K))
     return p.groupBy("label").agg(
         F.count("*").alias("n"),
