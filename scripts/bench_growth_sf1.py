@@ -158,6 +158,16 @@ FAMILIES: dict[str, list[str]] = {
     "ann5": [
         "ann_graph_repair_recall",
     ],
+    # round-13 (VERDICT r12 #5/#8): the ordered_scan / global_ntile
+    # percentile pipelines ride the 10x fact tables — the range
+    # repartition scales with rows while the driver-offset pass stays
+    # <= num_partitions rows by construction; bh_fdr additionally
+    # checks the two-level aggregate + checkpoint_input shape
+    "percentile": [
+        "mad_outlier_flags",
+        "isotonic_calibration_bins",
+        "bh_fdr_supplier_rates",
+    ],
 }
 
 LINKED = ["customer", "nation", "part", "region", "supplier", "events"]
