@@ -118,7 +118,7 @@ LOOP_REPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_LOOP_REPS", "3")))
 BASELINE_FILE = os.environ.get(
     "SPARK_GRAFT_BENCH_BASELINE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 "BENCH_BASELINE_r12.json"),
+                 "BENCH_BASELINE_r13.json"),
 )
 #: A query whose best-of-REPS still lands this far above its committed
 #: solo baseline gets RESCUE_REPS extra attempts (contention rescue):
