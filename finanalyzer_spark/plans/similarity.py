@@ -3246,41 +3246,18 @@ def _both_buckets(emb: DataFrame, geom: DataFrame) -> DataFrame:
     ).localCheckpoint()
 
 
-def _capped_bucket_pairs(both, bcol, src_pred=None) -> DataFrame:
-    """In-bucket candidate pairs for one bucketing: src side restricted
-    to kept (<= cap) buckets and optionally to src_pred rows (the
-    insert path restricts src to the increment's new nodes)."""
-    b = both.select("vec_id", F.col(bcol).alias("lsh_bucket"))
-    keep = (
-        b.groupBy("lsh_bucket")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") <= _GR_BUCKET_CAP)
-        .select("lsh_bucket")
-    )
-    kb = b.join(keep, "lsh_bucket")
-    if src_pred is not None:
-        kb = kb.where(src_pred)
-    return (
-        kb.select(F.col("vec_id").alias("src"), "lsh_bucket")
-        .join(
-            b.select(F.col("vec_id").alias("dst"), "lsh_bucket"),
-            "lsh_bucket",
-        )
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-    )
-
-
 def _capped_pairs_both(both, src_pred=None) -> DataFrame:
     """Union of both bucketings' capped in-bucket candidate pairs in
     ONE pipeline (r13): explode each row into (seed, bucket), so one
     cap aggregate and one src×dst join replace the per-seed pair of
     each (guide §2.4 — two operations keyed the same way share one
-    exchange).  The produced (src, dst) multiset is exactly the union
-    of the two per-seed pipelines — per-seed cap counts and the
-    src != dst guard are keyed on (seed, bucket), and the consumer
-    (the top-M set-aggregate) dedupes cross-seed repeats the same way
-    it deduped the old UNION ALL."""
+    exchange; the replaced per-seed helper lived here through r12).
+    The produced (src, dst) multiset is exactly the union of the two
+    per-seed pipelines — per-seed cap counts (src side restricted to
+    kept <= cap buckets, optionally to src_pred rows: the insert path)
+    and the src != dst guard are keyed on (seed, bucket), and the
+    consumer (the top-M set-aggregate) dedupes cross-seed repeats the
+    same way it deduped the old UNION ALL."""
     eb = both.select(
         "vec_id",
         F.expr(
